@@ -1,13 +1,21 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Every implemented operator from SURVEY.md §2 appears in `queries`,
+  * with a DuckDB oracle in `oracleSql` where SQL-expressible. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: full profile of lineitem (all SURVEY §2.1 statistics as
+    * one tidy DataFrame) at sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    graft.profiler.Profiler.profileTidy(
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Core.queries ++ graft.queries.Extensions.queries
+
+  def oracleSql: Map[String, String] =
+    graft.queries.Core.oracle ++ graft.queries.Extensions.oracle
 }

@@ -1,0 +1,56 @@
+package graft.det
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic float emission.
+  *
+  * Any statistic computed by floating-point aggregation (means, variances,
+  * correlations, …) differs between Spark and the DuckDB oracle at the
+  * ~1e-12 relative level (different summation orders / update formulas).
+  * The driver hash-compares values, so both engines must emit *identical*
+  * doubles. We round every computed float to 5 significant digits using the
+  * *same* closed-form expression on both sides:
+  *
+  *   m = 10 ^ floor(log10(|x|));   sig5(x) = round(x / m, 5) * m
+  *
+  * The rounding bucket (1e-5 relative) is ~1e7 times wider than the
+  * cross-engine divergence, so the probability of a boundary straddle is
+  * negligible, and both Spark's `round` (BigDecimal HALF_UP) and DuckDB's
+  * `round` (half away from zero) agree away from exact dyadic halves.
+  *
+  * Raw data values (min/max/sample values) and pure-integer-derived floats
+  * are emitted unrounded: both engines compute them from identical operands
+  * with identical IEEE-754 operations.
+  */
+object Sig {
+
+  // NOTE: 10^e for NEGATIVE e is inexact and Java's Math.pow and C's
+  // pow() disagree at the last ulp (observed: pow(10,-5) differs) — so
+  // the scale factor is always computed as an exact positive power of
+  // ten (exact integers in double up to 1e22) and inverted with one
+  // IEEE division, which is correctly rounded and thus identical in
+  // both engines.
+
+  /** Spark-side 5-significant-digit rounding. */
+  def sig5(c: Column): Column = {
+    val e = floor(log10(abs(c)))
+    val p = pow(lit(10.0), abs(e))
+    val m = when(e < 0, lit(1.0) / p).otherwise(p)
+    when(c.isNull, lit(null).cast("double"))
+      .when(abs(c) < lit(1e-12), lit(0.0))
+      .otherwise(round(c / m, 5) * m)
+  }
+
+  /** DuckDB-side 5-significant-digit rounding of SQL expression `x`.
+    * `x` must be a simple column reference / cheap expression — it is
+    * expanded several times. */
+  def sql(x: String): String = {
+    val e = s"floor(log10(abs($x)))"
+    val m = s"(CASE WHEN $e < 0 THEN 1.0 / power(10.0, abs($e)) " +
+      s"ELSE power(10.0, abs($e)) END)"
+    s"CASE WHEN ($x) IS NULL THEN CAST(NULL AS DOUBLE) " +
+      s"WHEN abs($x) < 1e-12 THEN 0.0 " +
+      s"ELSE round(($x) / $m, 5) * $m END"
+  }
+}

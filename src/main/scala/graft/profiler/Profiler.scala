@@ -1,0 +1,258 @@
+package graft.profiler
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Profiler configuration, mirroring the reference's knobs
+  * (spark_df_profiling/__init__.py::ProfileReport ≈L12–30:
+  * bins=10, corr_reject=0.9, sample default) plus scale switches the
+  * reference lacks:
+  *
+  * @param bins           histogram bucket count
+  * @param corrReject     Pearson ρ threshold for variable rejection
+  * @param topK           frequency-table size
+  * @param sampleRows     head-sample size
+  * @param exactQuantiles exact interpolated percentiles (test scale)
+  *                       vs percentile_approx sketches (100 TB scale)
+  * @param exactDistinct  exact count(distinct) vs HLL++
+  *                       approx_count_distinct (100 TB scale)
+  * @param correlations   compute the O(k²) correlation pass
+  */
+case class ProfilerConfig(
+    bins: Int = 10,
+    corrReject: Double = 0.9,
+    topK: Int = 10,
+    sampleRows: Int = 5,
+    exactQuantiles: Boolean = true,
+    exactDistinct: Boolean = true,
+    correlations: Boolean = true)
+
+/** One column's profile (reference: one row of the `variables` frame in
+  * base.py::describe's description set). */
+case class ColumnProfile(
+    name: String,
+    kind: String,
+    count: Long,
+    missing: Long,
+    pMissing: Double,
+    distinct: Long,
+    pUnique: Double,
+    stats: Map[String, Double],
+    quantiles: Map[String, Double],
+    histogram: Seq[(Long, Long)],
+    topValues: Seq[(String, Long)])
+
+case class TableProfile(
+    n: Long,
+    nvar: Int,
+    totalMissing: Long,
+    pMissing: Double,
+    columns: Seq[ColumnProfile],
+    rejected: Seq[(String, String, Double)],
+    warnings: Seq[String])
+
+/** The public profiling API (reference: `ProfileReport(df, …)`).
+  *
+  * Architecture delta vs the reference (SURVEY.md §4.3): instead of an
+  * eager per-column job storm — O(k) fused aggs + O(5k) percentile jobs
+  * + O(k²) correlation jobs, each a full driver round-trip — the whole
+  * profile runs in a FIXED number of Spark jobs regardless of column
+  * count:
+  *
+  *   pass A: one wide agg — counts, distincts, moments, zeros, date
+  *           min/max for every column (partial/final hash aggregation,
+  *           whole-stage codegen);
+  *   pass B: one agg with all columns' percentiles;
+  *   pass C: one explode + groupBy for all histograms and frequency
+  *           tables (result bounded by k·max(bins, topK) rows);
+  *   pass D: one agg with all k(k−1)/2 Pearson correlations.
+  *
+  * Every result collected to the driver is O(k) — never proportional
+  * to row count — so the same plan holds at 100 TB with
+  * `exactQuantiles=false, exactDistinct=false` (sketch-based paths).
+  */
+object Profiler {
+
+  def profile(df: DataFrame,
+      cfg: ProfilerConfig = ProfilerConfig()): TableProfile = {
+    val allCols = df.columns.toSeq
+    val numCols = Kinds.numericCols(df)
+    val dateColsS = Kinds.dateCols(df)
+    val nvar = allCols.size
+
+    // ---- pass A: counts + distinct + moments + zeros + date ranges ----
+    val dbl: String => org.apache.spark.sql.Column =
+      c => col(c).cast("double")
+    val aggsA =
+      Seq(count(lit(1)).as("__n")) ++
+      allCols.flatMap { c =>
+        val dc = if (cfg.exactDistinct) countDistinct(col(c))
+                 else approx_count_distinct(col(c))
+        Seq(count(col(c)).as(s"cnt__$c"), dc.as(s"dis__$c"))
+      } ++
+      numCols.flatMap { c =>
+        Seq(avg(dbl(c)).as(s"mean__$c"), min(dbl(c)).as(s"min__$c"),
+          max(dbl(c)).as(s"max__$c"), sum(dbl(c)).as(s"sum__$c"),
+          var_samp(dbl(c)).as(s"var__$c"),
+          stddev_samp(dbl(c)).as(s"sd__$c"),
+          skewness(dbl(c)).as(s"sk__$c"), kurtosis(dbl(c)).as(s"ku__$c"),
+          coalesce(sum(when(dbl(c) === 0.0, 1L).otherwise(0L)), lit(0L))
+            .as(s"z__$c"))
+      } ++
+      dateColsS.flatMap { c =>
+        Seq(unix_micros(min(col(c)).cast("timestamp")).as(s"dmn__$c"),
+          unix_micros(max(col(c)).cast("timestamp")).as(s"dmx__$c"))
+      }
+    val a = df.agg(aggsA.head, aggsA.tail: _*).first()
+    def aLong(name: String): Long = a.getAs[Long](name)
+    def aDouble(name: String): Option[Double] =
+      Option(a.getAs[Any](name)).map {
+        case x: Double => x
+        case x: Long => x.toDouble
+        case x: Number => x.doubleValue()
+      }
+    val n = aLong("__n")
+
+    // ---- pass B: all quantiles in one agg ----
+    val qMap: Map[String, Seq[Double]] =
+      if (numCols.isEmpty) Map.empty
+      else {
+        val arr = Stats.Ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+        val aggsB = numCols.map { c =>
+          val e =
+            if (cfg.exactQuantiles) s"percentile(cast(`$c` as double), $arr)"
+            else s"percentile_approx(cast(`$c` as double), $arr, 10000)"
+          expr(e).as(s"q__$c")
+        }
+        val b = df.agg(aggsB.head, aggsB.tail: _*).first()
+        numCols.map { c =>
+          val v = b.getAs[scala.collection.Seq[Any]](s"q__$c")
+          c -> (if (v == null) Seq.empty[Double]
+                else v.map(x => Option(x).map(_.asInstanceOf[Double])
+                  .getOrElse(Double.NaN)).toSeq)
+        }.toMap
+      }
+
+    // ---- pass C: histograms + frequency tables (one job each) ----
+    val histRows: Map[String, Seq[(Long, Long)]] =
+      if (numCols.isEmpty) Map.empty
+      else Stats.histogram(df, numCols, cfg.bins).collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rs) =>
+          k -> rs.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("cnt")))
+            .toSeq.sortBy(_._1)
+        }
+    val catColsS = Kinds.catCols(df)
+    val freqRows: Map[String, Seq[(String, Long)]] =
+      if (catColsS.isEmpty) Map.empty
+      else Stats.freq(df, catColsS, cfg.topK).collect()
+        .groupBy(_.getString(0))
+        .map { case (k, rs) =>
+          k -> rs.sortBy(_.getAs[Long]("rnk"))
+            .map(r => (r.getAs[String]("value"), r.getAs[Long]("cnt")))
+            .toSeq
+        }
+
+    // ---- pass D: correlations + rejection ----
+    val rejected: Seq[(String, String, Double)] =
+      if (!cfg.correlations || numCols.size < 2) Seq.empty
+      else Stats.corrReject(df, numCols, cfg.corrReject).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    val rejectedNames = rejected.map(_._1).toSet
+
+    // ---- assemble ----
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val columns = allCols.map { c =>
+      val cnt = aLong(s"cnt__$c")
+      val dis = aLong(s"dis__$c")
+      val base = Kinds.baseKind(byName(c))
+      val kind =
+        if (rejectedNames.contains(c)) "CORR"
+        else if (dis == 1) "CONST"
+        else if (dis == cnt && cnt > 1) "UNIQUE"
+        else base
+      val stats: Map[String, Double] =
+        if (base == "NUM")
+          Seq("mean", "min", "max", "sum", "var", "sd", "sk", "ku")
+            .flatMap(k => aDouble(s"${k}__$c").map(k -> _)).toMap ++
+            Map("n_zeros" -> aLong(s"z__$c").toDouble)
+        else if (base == "DATE")
+          Seq("dmn", "dmx").flatMap(k =>
+            Option(a.getAs[Any](s"${k}__$c"))
+              .map(v => k -> v.asInstanceOf[Long].toDouble)).toMap
+        else Map.empty
+      val qs = qMap.getOrElse(c, Seq.empty)
+      ColumnProfile(
+        name = c, kind = kind, count = cnt, missing = n - cnt,
+        pMissing = if (n == 0) 0.0 else (n - cnt).toDouble / n,
+        distinct = dis,
+        pUnique = if (cnt == 0) 0.0 else dis.toDouble / cnt,
+        stats = stats,
+        quantiles =
+          if (qs.isEmpty) Map.empty
+          else Seq("p05", "q1", "median", "q3", "p95").zip(qs).toMap,
+        histogram = histRows.getOrElse(c, Seq.empty),
+        topValues = freqRows.getOrElse(c, Seq.empty))
+    }
+
+    val totalMissing = columns.map(_.missing).sum
+    val warnings = columns.flatMap { cp =>
+      val w = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (cp.pMissing > 0.5)
+        w += s"${cp.name}: ${(cp.pMissing * 100).round}% missing"
+      if (cp.kind == "CAT" && cp.distinct > 50)
+        w += s"${cp.name}: high cardinality (${cp.distinct})"
+      if (cp.kind == "CONST") w += s"${cp.name}: constant"
+      if (cp.kind == "CORR") w += s"${cp.name}: rejected (correlated)"
+      cp.stats.get("sk").foreach { sk =>
+        if (math.abs(sk) > 20) w += s"${cp.name}: highly skewed"
+      }
+      w.toSeq
+    }
+
+    TableProfile(n, nvar, totalMissing,
+      if (n == 0 || nvar == 0) 0.0
+      else totalMissing.toDouble / (n.toDouble * nvar),
+      columns, rejected, warnings)
+  }
+
+  /** Full profile flattened to a tidy queryable DataFrame
+    * (col_name, metric, value_num, value_str) — the Spark-native
+    * analogue of the reference's description-set dict. */
+  def profileTidy(df: DataFrame,
+      cfg: ProfilerConfig = ProfilerConfig()): DataFrame = {
+    val p = profile(df, cfg)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tableRows = Seq(
+      ("__table__", "n", Some(p.n.toDouble), None: Option[String]),
+      ("__table__", "nvar", Some(p.nvar.toDouble), None),
+      ("__table__", "p_missing", Some(p.pMissing), None))
+    val colRows = p.columns.flatMap { c =>
+      Seq(
+        (c.name, "kind", None: Option[Double], Some(c.kind)),
+        (c.name, "count", Some(c.count.toDouble), None),
+        (c.name, "missing", Some(c.missing.toDouble), None),
+        (c.name, "p_missing", Some(c.pMissing), None),
+        (c.name, "distinct", Some(c.distinct.toDouble), None),
+        (c.name, "p_unique", Some(c.pUnique), None)) ++
+        c.stats.toSeq.sortBy(_._1).map { case (k, v) =>
+          (c.name, k, Some(v), None)
+        } ++
+        c.quantiles.toSeq.sortBy(_._1).map { case (k, v) =>
+          (c.name, k, Some(v), None)
+        } ++
+        c.histogram.map { case (bin, cnt) =>
+          (c.name, s"hist_$bin", Some(cnt.toDouble), None)
+        } ++
+        c.topValues.zipWithIndex.map { case ((v, cnt), i) =>
+          (c.name, s"top_$i", Some(cnt.toDouble), Some(v))
+        }
+    }
+    val rejRows = p.rejected.map { case (b, a0, rho) =>
+      (b, "rejected_vs", Some(rho), Some(a0))
+    }
+    (tableRows ++ colRows ++ rejRows)
+      .toDF("col_name", "metric", "value_num", "value_str")
+  }
+}

@@ -1,0 +1,420 @@
+package graft.profiler
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.det.Sig.sig5
+
+/** Column-kind dispatch mirroring the reference's dtype bucketing
+  * (spark_df_profiling/base.py::describe_1d ≈L270–295): integral and
+  * fractional Spark types profile as NUM, timestamp/date as DATE,
+  * everything else (strings, booleans, nested) as CAT; CONST/UNIQUE
+  * override based on distinct counts. */
+object Kinds {
+  def isNumeric(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+        _: FloatType | _: DoubleType | _: DecimalType => true
+    case _ => false
+  }
+  def isDate(dt: DataType): Boolean = dt match {
+    case _: TimestampType | _: TimestampNTZType | _: DateType => true
+    case _ => false
+  }
+  def numericCols(df: DataFrame): Seq[String] =
+    df.schema.fields.filter(f => isNumeric(f.dataType)).map(_.name).toSeq
+  def dateCols(df: DataFrame): Seq[String] =
+    df.schema.fields.filter(f => isDate(f.dataType)).map(_.name).toSeq
+  def catCols(df: DataFrame): Seq[String] =
+    df.schema.fields
+      .filter(f => !isNumeric(f.dataType) && !isDate(f.dataType))
+      .map(_.name).toSeq
+  def baseKind(dt: DataType): String =
+    if (isNumeric(dt)) "NUM" else if (isDate(dt)) "DATE" else "CAT"
+}
+
+/** Fused profiling statistics.
+  *
+  * The reference fires O(k) eager Spark jobs per column plus O(k²)
+  * correlation jobs (base.py::describe ≈L120–330, corr_matrix ≈L40–60).
+  * Every operator here instead aggregates ALL columns in a single scan
+  * (one `agg` with ~10·k expressions — partial/final split, whole-stage
+  * codegen and parquet column pruning come free from Catalyst), so a
+  * full profile is a handful of jobs regardless of column count. All
+  * result sets are tiny (O(k) or O(k·topK) rows), never proportional to
+  * the data, so the same plans hold on a 1000-executor cluster at 100 TB.
+  */
+object Stats {
+
+  private def d(c: String): Column = col(c).cast("double")
+
+  /** Tidy explode of one wide agg row into (col_name, stats…) rows. */
+  private def tidy(row: DataFrame, structs: Seq[Column]): DataFrame =
+    row.select(explode(array(structs: _*)).as("s")).select("s.*")
+      .orderBy("col_name")
+
+  // -------------------------------------------------------------------
+  // Counts / missing (C1, C3, T1) — one pass over all columns.
+  // -------------------------------------------------------------------
+  def counts(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +:
+      cols.map(c => count(col(c)).as(s"cnt__$c"))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      val n = col("__n"); val cnt = col(s"cnt__$c")
+      struct(
+        lit(c).as("col_name"),
+        cnt.as("cnt"),
+        (n - cnt).as("n_missing"),
+        sig5((n - cnt).cast("double") / n).as("p_missing"))
+    }
+    tidy(row, structs)
+  }
+
+  // -------------------------------------------------------------------
+  // Distinct / uniqueness (C2, C4) — exact via count(distinct); the
+  // scale path (Profiler) uses approx_count_distinct (HLL++) instead.
+  // -------------------------------------------------------------------
+  def distinct(df: DataFrame, cols: Seq[String], approx: Boolean = false)
+      : DataFrame = {
+    val aggs = cols.flatMap { c =>
+      val dc =
+        if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))
+      Seq(count(col(c)).as(s"cnt__$c"), dc.as(s"dis__$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      val cnt = col(s"cnt__$c"); val dis = col(s"dis__$c")
+      struct(
+        lit(c).as("col_name"),
+        dis.as("distinct_cnt"),
+        sig5(dis.cast("double") / cnt).as("p_unique"),
+        when(dis === cnt, 1L).otherwise(0L).as("is_unique"))
+    }
+    tidy(row, structs)
+  }
+
+  // -------------------------------------------------------------------
+  // Type inference (C5, U1, U2): dtype bucket + CONST/UNIQUE overrides.
+  // -------------------------------------------------------------------
+  def kinds(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt__$c"),
+        countDistinct(col(c)).as(s"dis__$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val structs = cols.map { c =>
+      val cnt = col(s"cnt__$c"); val dis = col(s"dis__$c")
+      struct(
+        lit(c).as("col_name"),
+        when(dis === 1, "CONST")
+          .when(dis === cnt && cnt > 1, "UNIQUE")
+          .otherwise(Kinds.baseKind(byName(c))).as("kind"))
+    }
+    tidy(row, structs)
+  }
+
+  // -------------------------------------------------------------------
+  // Numeric moments (N1–N6): ONE fused agg for every numeric column
+  // (vs the reference's one eager agg per column).
+  // -------------------------------------------------------------------
+  def moments(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(d(c)).as(s"n__$c"), avg(d(c)).as(s"mean__$c"),
+        min(d(c)).as(s"min__$c"), max(d(c)).as(s"max__$c"),
+        sum(d(c)).as(s"sum__$c"), var_samp(d(c)).as(s"var__$c"),
+        stddev_samp(d(c)).as(s"sd__$c"), skewness(d(c)).as(s"sk__$c"),
+        kurtosis(d(c)).as(s"ku__$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"n__$c").as("n"),
+        sig5(col(s"mean__$c")).as("mean"),
+        col(s"min__$c").as("min_val"),
+        col(s"max__$c").as("max_val"),
+        sig5(col(s"sum__$c")).as("sum_val"),
+        sig5(col(s"var__$c")).as("variance"),
+        sig5(col(s"sd__$c")).as("stddev"),
+        sig5(col(s"sk__$c")).as("skewness"),
+        sig5(col(s"ku__$c")).as("kurtosis"))
+    }
+    tidy(row, structs)
+  }
+
+  // -------------------------------------------------------------------
+  // Quantiles (Q1/Q2): all columns' 5 percentiles in ONE agg. Exact
+  // (Hive-style linear interpolation ≙ DuckDB quantile_cont) for oracle
+  // parity; percentile_approx behind the Profiler config for scale.
+  // -------------------------------------------------------------------
+  val Ps: Seq[Double] = Seq(0.05, 0.25, 0.5, 0.75, 0.95)
+  private val pNames = Seq("p05", "q1", "median", "q3", "p95")
+
+  def quantiles(df: DataFrame, cols: Seq[String], approx: Boolean = false)
+      : DataFrame = {
+    val arr = Ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val aggs = cols.map { c =>
+      val e =
+        if (approx) s"percentile_approx(cast(`$c` as double), $arr, 10000)"
+        else s"percentile(cast(`$c` as double), $arr)"
+      expr(e).as(s"q__$c")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      val fields = pNames.zipWithIndex.map { case (nm, i) =>
+        sig5(element_at(col(s"q__$c"), i + 1)).as(nm)
+      }
+      struct(lit(c).as("col_name") +: fields: _*)
+    }
+    tidy(row, structs)
+  }
+
+  // -------------------------------------------------------------------
+  // Derived stats (D1–D3): range / IQR / CV — fused with the aggs they
+  // derive from, one pass.
+  // -------------------------------------------------------------------
+  def derived(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(min(d(c)).as(s"min__$c"), max(d(c)).as(s"max__$c"),
+        avg(d(c)).as(s"mean__$c"), stddev_samp(d(c)).as(s"sd__$c"),
+        expr(s"percentile(cast(`$c` as double), 0.25D)").as(s"q1__$c"),
+        expr(s"percentile(cast(`$c` as double), 0.75D)").as(s"q3__$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        (col(s"max__$c") - col(s"min__$c")).as("range_val"),
+        sig5(col(s"q3__$c") - col(s"q1__$c")).as("iqr"),
+        sig5(col(s"sd__$c") / col(s"mean__$c")).as("cv"))
+    }
+    tidy(row, structs)
+  }
+
+  // -------------------------------------------------------------------
+  // MAD (D4): mean absolute deviation around the mean (pandas-1.x
+  // `.mad()` semantics, base.py::describe_numeric_1d ≈L172–178).
+  // Two passes: means for all columns, then one fused |x−μ| agg.
+  // -------------------------------------------------------------------
+  def mad(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val meanAggs = cols.map(c => avg(d(c)).as(c))
+    val means = df.agg(meanAggs.head, meanAggs.tail: _*).first()
+    val aggs = cols.zipWithIndex.map { case (c, i) =>
+      avg(abs(d(c) - lit(means.getDouble(i)))).as(s"mad__$c")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      struct(lit(c).as("col_name"), sig5(col(s"mad__$c")).as("mad"))
+    }
+    tidy(row, structs)
+  }
+
+  // -------------------------------------------------------------------
+  // Zeros (Z1) — fused into one pass for all numeric columns.
+  // -------------------------------------------------------------------
+  def zeros(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(d(c)).as(s"cnt__$c"),
+        coalesce(sum(when(d(c) === 0.0, 1L).otherwise(0L)), lit(0L))
+          .as(s"z__$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"z__$c").as("n_zeros"),
+        sig5(col(s"z__$c").cast("double") / col(s"cnt__$c")).as("p_zeros"))
+    }
+    tidy(row, structs)
+  }
+
+  // -------------------------------------------------------------------
+  // Histogram (H1): `bins` equal-width buckets on [min,max], max
+  // clamped into the top bin (base.py::create_hist_data ≈L62–115).
+  // Pass 1: fused min/max; pass 2: per-row bin array explode + ONE
+  // groupBy — a single scan + single shuffle for all columns.
+  // -------------------------------------------------------------------
+  def histogram(df: DataFrame, cols: Seq[String], bins: Int = 10)
+      : DataFrame = {
+    val mmAggs = cols.flatMap(c =>
+      Seq(min(d(c)).as(s"mn__$c"), max(d(c)).as(s"mx__$c")))
+    val mm = df.agg(mmAggs.head, mmAggs.tail: _*).first()
+    val mnMap = cols.zipWithIndex.map { case (c, i) =>
+      c -> (if (mm.isNullAt(2 * i)) Double.NaN else mm.getDouble(2 * i))
+    }.toMap
+    val mxMap = cols.zipWithIndex.map { case (c, i) =>
+      c -> (if (mm.isNullAt(2 * i + 1)) Double.NaN
+            else mm.getDouble(2 * i + 1))
+    }.toMap
+    // Bin per row once, then `bins` conditional sums per column in ONE
+    // shuffle-free aggregation — no row explosion, stays inside
+    // whole-stage codegen (vs an explode→groupBy, which multiplies
+    // rows k× before a shuffle; at 100 TB that shuffle dominates).
+    val binCols = cols.map { c =>
+      val mn = mnMap(c); val mx = mxMap(c)
+      val w = (mx - mn) / bins.toDouble
+      val bin =
+        if (mn.isNaN || mn == mx) when(col(c).isNotNull, lit(0L))
+        else least(floor((d(c) - lit(mn)) / lit(w)), lit(bins - 1L))
+      bin.as(s"bin__$c")
+    }
+    val binned = df.select(binCols: _*)
+    val aggs = cols.flatMap { c =>
+      (0 until bins).map { b =>
+        coalesce(sum(when(col(s"bin__$c") === b, 1L).otherwise(0L)),
+          lit(0L)).as(s"h__${c}__$b")
+      }
+    }
+    val row = binned.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.flatMap { c =>
+      val mn = mnMap(c)
+      val w = (mxMap(c) - mnMap(c)) / bins.toDouble
+      (0 until bins).map { b =>
+        struct(lit(c).as("col_name"), lit(b.toLong).as("bin"),
+          col(s"h__${c}__$b").as("cnt"),
+          lit(mn + b.toDouble * w).as("bin_lo"),
+          lit(mn + (b + 1).toDouble * w).as("bin_hi"))
+      }
+    }
+    row.select(explode(array(structs: _*)).as("s")).select("s.*")
+      .where(col("cnt") > 0)
+      .orderBy("col_name", "bin")
+  }
+
+  // -------------------------------------------------------------------
+  // Frequency tables (F1/F2): top-k values per categorical column with
+  // deterministic (count desc, value asc) tie-break. Unpivot → ONE
+  // groupBy + one window for all columns.
+  // -------------------------------------------------------------------
+  def freq(df: DataFrame, cols: Seq[String], topK: Int = 10): DataFrame = {
+    val structs = cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("value")))
+    val unpivoted = df.select(explode(array(structs: _*)).as("s"))
+      .select("s.*").where(col("value").isNotNull)
+    val counted = unpivoted.groupBy("col_name", "value").count()
+      .withColumnRenamed("count", "cnt")
+    val w = Window.partitionBy("col_name")
+      .orderBy(col("cnt").desc, col("value").asc)
+    counted.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= topK)
+      .orderBy("col_name", "rnk")
+  }
+
+  // -------------------------------------------------------------------
+  // Date min/max (DT1) as exact epoch microseconds.
+  // -------------------------------------------------------------------
+  def dateMinMax(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // parquet naive timestamps arrive as TIMESTAMP_NTZ; with a UTC
+    // session the LTZ cast is identity, matching DuckDB's epoch_us.
+    val aggs = cols.flatMap { c =>
+      Seq(unix_micros(min(col(c)).cast("timestamp")).as(s"mn__$c"),
+        unix_micros(max(col(c)).cast("timestamp")).as(s"mx__$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"mn__$c").as("min_us"), col(s"mx__$c").as("max_us"))
+    }
+    tidy(row, structs)
+  }
+
+  // -------------------------------------------------------------------
+  // Pearson correlation matrix (R1): the reference runs O(k²) separate
+  // `df.corr(a,b)` jobs after listwise na.drop (corr_matrix ≈L40–60).
+  // Here: ONE agg with all k(k−1)/2 corr expressions — a single scan.
+  // -------------------------------------------------------------------
+  def corrPairs(cols: Seq[String]): Seq[(String, String)] =
+    for {
+      i <- cols.indices
+      j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val clean = df.na.drop(cols) // listwise deletion, mirroring reference
+    val pairs = corrPairs(cols)
+    // k(k−1)/2 built-in `corr` aggregates each carry a 6-field
+    // DeclarativeAggregate buffer; at k=8 that blows past the 64 KB
+    // codegen method limit and falls back to interpreted eval (observed
+    // 6–20 s at sf0.1). Instead: plain power/cross sums — k·2 + C(k,2)
+    // + 1 simple `sum`s in one codegen'd hash agg — then ρ by formula.
+    // ρ = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²));
+    // divergence vs the oracle's corr() is ~1e-11 relative, far inside
+    // the sig5 rounding bucket.
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      cols.flatMap(c => Seq(
+        sum(d(c)).as(s"s__$c"), sum(d(c) * d(c)).as(s"ss__$c"))) ++
+      pairs.zipWithIndex.map { case ((a, b), i) =>
+        sum(d(a) * d(b)).as(s"sp__$i")
+      }
+    val row = clean.agg(aggs.head, aggs.tail: _*)
+    val structs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val n = col("__n").cast("double")
+      val cov = n * col(s"sp__$i") - col(s"s__$a") * col(s"s__$b")
+      val va = n * col(s"ss__$a") - col(s"s__$a") * col(s"s__$a")
+      val vb = n * col(s"ss__$b") - col(s"s__$b") * col(s"s__$b")
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        sig5(cov / (sqrt(va) * sqrt(vb))).as("rho"))
+    }
+    row.select(explode(array(structs: _*)).as("s")).select("s.*")
+      .orderBy("col_a", "col_b")
+  }
+
+  /** Correlation rejection (R2): a column is rejected when its sig5'd
+    * Pearson ρ with any EARLIER column (schema order, mirroring the
+    * reference's column-order dependence, base.py::describe ≈L305–330)
+    * is ≥ threshold. Decision uses the rounded ρ so Spark and the
+    * oracle agree even at the threshold boundary. Returns
+    * (col_name, correlated_with, rho) for rejected columns. */
+  def corrReject(df: DataFrame, cols: Seq[String], threshold: Double = 0.9)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = corrMatrix(df, cols).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double]))
+      .toMap
+    val idx = cols.zipWithIndex.toMap
+    val rejected = cols.flatMap { b =>
+      val hits = cols
+        .filter(a => idx(a) < idx(b))
+        .flatMap(a => m.getOrElse((a, b), None).filter(_ >= threshold)
+          .map(rho => (idx(a), a, rho)))
+      hits.sortBy(_._1).headOption.map { case (_, a, rho) => (b, a, rho) }
+    }
+    rejected.toDF("col_name", "correlated_with", "rho").orderBy("col_name")
+  }
+
+  // -------------------------------------------------------------------
+  // Head sample (S1) — key-ordered for determinism (a bare LIMIT is
+  // nondeterministic in any distributed engine).
+  // -------------------------------------------------------------------
+  def sampleHead(df: DataFrame, orderCols: Seq[String], n: Int = 5)
+      : DataFrame = {
+    val tsCols = Kinds.dateCols(df)
+    val projected = df.columns.toSeq.map { c =>
+      if (tsCols.contains(c))
+        unix_micros(col(c).cast("timestamp")).as(s"${c}_us")
+      else col(c)
+    }
+    df.orderBy(orderCols.map(col): _*).limit(n).select(projected: _*)
+  }
+
+  // -------------------------------------------------------------------
+  // Table overview (T1–T3).
+  // -------------------------------------------------------------------
+  def overview(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val nvar = cols.size
+    val missing = cols
+      .map(c => count(lit(1)) - count(col(c)))
+      .reduce(_ + _)
+    df.agg(
+      count(lit(1)).as("n"),
+      lit(nvar.toLong).as("nvar"),
+      missing.as("n_missing_total"),
+      sig5(missing.cast("double") /
+        (count(lit(1)) * lit(nvar.toDouble))).as("p_missing"))
+  }
+}

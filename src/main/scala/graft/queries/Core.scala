@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.profiler.Stats
+import graft.det.Sig
+
+/** Core reference-parity queries (SURVEY.md §2.1) over `lineitem`,
+  * with DuckDB oracle SQL generated from the same column metadata so
+  * column names, ordering, and rounding match by construction. */
+object Core {
+
+  // lineitem schema (FIXTURES.md) — oracle side must be static SQL.
+  val ints: Seq[String] =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+  val floats: Seq[String] =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  val nums: Seq[String] = ints ++ floats
+  val cats: Seq[String] = Seq("l_returnflag", "l_linestatus")
+  val dates: Seq[String] = Seq("l_shipdate")
+  val all: Seq[String] = nums ++ cats ++ dates
+
+  def li(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+
+  private def sig(x: String) = Sig.sql(x)
+
+  // ---------------------------------------------------------------- //
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_count" -> ((s, dir) =>
+      Stats.overview(li(s, dir), all).selectExpr("n")),
+    "table_overview" -> ((s, dir) => Stats.overview(li(s, dir), all)),
+    "col_counts" -> ((s, dir) => Stats.counts(li(s, dir), all)),
+    "col_distinct" -> ((s, dir) => Stats.distinct(li(s, dir), all)),
+    "col_types" -> ((s, dir) => Stats.kinds(li(s, dir), all)),
+    "num_moments" -> ((s, dir) => Stats.moments(li(s, dir), nums)),
+    "num_quantiles" -> ((s, dir) => Stats.quantiles(li(s, dir), nums)),
+    "num_derived" -> ((s, dir) => Stats.derived(li(s, dir), nums)),
+    "num_mad" -> ((s, dir) => Stats.mad(li(s, dir), nums)),
+    "num_zeros" -> ((s, dir) => Stats.zeros(li(s, dir), nums)),
+    "num_histogram" -> ((s, dir) => Stats.histogram(li(s, dir), nums)),
+    "cat_freq" -> ((s, dir) => Stats.freq(li(s, dir), cats)),
+    "date_minmax" -> ((s, dir) => Stats.dateMinMax(li(s, dir), dates)),
+    "corr_matrix" -> ((s, dir) => Stats.corrMatrix(li(s, dir), nums)),
+    "corr_reject" -> ((s, dir) => Stats.corrReject(li(s, dir), nums)),
+    "sample_head" -> ((s, dir) =>
+      Stats.sampleHead(li(s, dir), Seq("l_orderkey", "l_linenumber")))
+  )
+
+  // ------------------------- oracle SQL ---------------------------- //
+
+  private val T = "lineitem"
+
+  private def unionAll(parts: Seq[String]): String =
+    parts.mkString("", "\nUNION ALL\n", "")
+
+  val tableCountSql: String = s"SELECT count(*) AS n FROM $T"
+
+  val tableOverviewSql: String = {
+    val missing = all.map(c => s"(count(*) - count($c))").mkString(" + ")
+    s"""SELECT count(*) AS n, CAST(${all.size} AS BIGINT) AS nvar,
+       |CAST($missing AS BIGINT) AS n_missing_total,
+       |${sig(s"CAST($missing AS DOUBLE) / (count(*) * ${all.size}.0)")} AS p_missing
+       |FROM $T""".stripMargin
+  }
+
+  val colCountsSql: String = unionAll(all.map { c =>
+    s"""SELECT '$c' AS col_name, count($c) AS cnt,
+       |count(*) - count($c) AS n_missing,
+       |${sig(s"CAST(count(*) - count($c) AS DOUBLE) / count(*)")} AS p_missing
+       |FROM $T""".stripMargin
+  }) + "\nORDER BY col_name"
+
+  val colDistinctSql: String = unionAll(all.map { c =>
+    s"""SELECT '$c' AS col_name,
+       |count(DISTINCT $c) AS distinct_cnt,
+       |${sig(s"CAST(count(DISTINCT $c) AS DOUBLE) / count($c)")} AS p_unique,
+       |CAST(CASE WHEN count(DISTINCT $c) = count($c) THEN 1 ELSE 0 END AS BIGINT) AS is_unique
+       |FROM $T""".stripMargin
+  }) + "\nORDER BY col_name"
+
+  private def baseKind(c: String): String =
+    if (nums.contains(c)) "NUM" else if (dates.contains(c)) "DATE" else "CAT"
+
+  val colTypesSql: String = unionAll(all.map { c =>
+    s"""SELECT '$c' AS col_name,
+       |CASE WHEN count(DISTINCT $c) = 1 THEN 'CONST'
+       |     WHEN count(DISTINCT $c) = count($c) AND count($c) > 1 THEN 'UNIQUE'
+       |     ELSE '${baseKind(c)}' END AS kind
+       |FROM $T""".stripMargin
+  }) + "\nORDER BY col_name"
+
+  val numMomentsSql: String = {
+    val ctes = nums.flatMap { c =>
+      Seq(
+        s"src_$c AS (SELECT CAST($c AS DOUBLE) AS x FROM $T WHERE $c IS NOT NULL)",
+        s"""agg_$c AS (SELECT count(*) AS n, avg(x) AS mu, min(x) AS mn,
+           |max(x) AS mx, sum(x) AS sm, var_samp(x) AS vr,
+           |stddev_samp(x) AS sd FROM src_$c)""".stripMargin,
+        s"""cm_$c AS (SELECT
+           |avg(pow(x - (SELECT mu FROM agg_$c), 2)) AS m2,
+           |avg(pow(x - (SELECT mu FROM agg_$c), 3)) AS m3,
+           |avg(pow(x - (SELECT mu FROM agg_$c), 4)) AS m4 FROM src_$c)""".stripMargin)
+    }
+    val selects = nums.map { c =>
+      s"""SELECT '$c' AS col_name, n, ${sig("mu")} AS mean,
+         |mn AS min_val, mx AS max_val, ${sig("sm")} AS sum_val,
+         |${sig("vr")} AS variance, ${sig("sd")} AS stddev,
+         |${sig("m3 / pow(m2, 1.5)")} AS skewness,
+         |${sig("m4 / pow(m2, 2) - 3.0")} AS kurtosis
+         |FROM agg_$c, cm_$c""".stripMargin
+    }
+    s"WITH ${ctes.mkString(",\n")}\n${unionAll(selects)}\nORDER BY col_name"
+  }
+
+  private val psSql = Stats.Ps.mkString("[", ", ", "]")
+  private val pCols = Seq("p05", "q1", "median", "q3", "p95")
+
+  val numQuantilesSql: String = {
+    val qAggs = nums.map(c =>
+      s"quantile_cont(CAST($c AS DOUBLE), $psSql) AS q_$c").mkString(",\n")
+    val selects = nums.map { c =>
+      val fields = pCols.zipWithIndex.map { case (nm, i) =>
+        s"${sig(s"q_$c[${i + 1}]")} AS $nm"
+      }.mkString(", ")
+      s"SELECT '$c' AS col_name, $fields FROM q"
+    }
+    s"WITH q AS (SELECT\n$qAggs\nFROM $T)\n${unionAll(selects)}\nORDER BY col_name"
+  }
+
+  val numDerivedSql: String = {
+    val ctes = nums.map { c =>
+      s"""a_$c AS (SELECT min(CAST($c AS DOUBLE)) AS mn,
+         |max(CAST($c AS DOUBLE)) AS mx, avg(CAST($c AS DOUBLE)) AS mu,
+         |stddev_samp(CAST($c AS DOUBLE)) AS sd,
+         |quantile_cont(CAST($c AS DOUBLE), 0.25) AS q1,
+         |quantile_cont(CAST($c AS DOUBLE), 0.75) AS q3
+         |FROM $T WHERE $c IS NOT NULL)""".stripMargin
+    }
+    val selects = nums.map { c =>
+      s"""SELECT '$c' AS col_name, mx - mn AS range_val,
+         |${sig("q3 - q1")} AS iqr, ${sig("sd / mu")} AS cv FROM a_$c""".stripMargin
+    }
+    s"WITH ${ctes.mkString(",\n")}\n${unionAll(selects)}\nORDER BY col_name"
+  }
+
+  val numMadSql: String = unionAll(nums.map { c =>
+    s"""SELECT '$c' AS col_name,
+       |${sig(s"avg(abs(CAST($c AS DOUBLE) - (SELECT avg(CAST($c AS DOUBLE)) FROM $T WHERE $c IS NOT NULL)))")} AS mad
+       |FROM $T WHERE $c IS NOT NULL""".stripMargin
+  }) + "\nORDER BY col_name"
+
+  val numZerosSql: String = unionAll(nums.map { c =>
+    s"""SELECT '$c' AS col_name,
+       |CAST(coalesce(sum(CASE WHEN CAST($c AS DOUBLE) = 0.0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_zeros,
+       |${sig(s"CAST(coalesce(sum(CASE WHEN CAST($c AS DOUBLE) = 0.0 THEN 1 ELSE 0 END), 0) AS DOUBLE) / count($c)")} AS p_zeros
+       |FROM $T""".stripMargin
+  }) + "\nORDER BY col_name"
+
+  val numHistogramSql: String = {
+    val parts = nums.map { c =>
+      s"""SELECT '$c' AS col_name, bin, count(*) AS cnt,
+         |mn + CAST(bin AS DOUBLE) * w AS bin_lo,
+         |mn + CAST(bin + 1 AS DOUBLE) * w AS bin_hi
+         |FROM (
+         |  SELECT CASE WHEN m.mx = m.mn THEN 0
+         |    ELSE CAST(least(floor((CAST($c AS DOUBLE) - m.mn) / m.w), 9) AS BIGINT)
+         |    END AS bin, m.mn AS mn, m.w AS w
+         |  FROM $T, (SELECT min(CAST($c AS DOUBLE)) AS mn,
+         |            max(CAST($c AS DOUBLE)) AS mx,
+         |            (max(CAST($c AS DOUBLE)) - min(CAST($c AS DOUBLE))) / 10.0 AS w
+         |            FROM $T WHERE $c IS NOT NULL) m
+         |  WHERE $c IS NOT NULL)
+         |GROUP BY bin, mn, w""".stripMargin
+    }
+    unionAll(parts) + "\nORDER BY col_name, bin"
+  }
+
+  val catFreqSql: String = {
+    val parts = cats.map { c =>
+      s"""SELECT * FROM (
+         |  SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS value,
+         |  count(*) AS cnt,
+         |  CAST(row_number() OVER (ORDER BY count(*) DESC, CAST($c AS VARCHAR) ASC) AS BIGINT) AS rnk
+         |  FROM $T WHERE $c IS NOT NULL GROUP BY $c)
+         |WHERE rnk <= 10""".stripMargin
+    }
+    unionAll(parts) + "\nORDER BY col_name, rnk"
+  }
+
+  val dateMinMaxSql: String = unionAll(dates.map { c =>
+    s"""SELECT '$c' AS col_name,
+       |CAST(epoch_us(min($c)) AS BIGINT) AS min_us,
+       |CAST(epoch_us(max($c)) AS BIGINT) AS max_us FROM $T""".stripMargin
+  }) + "\nORDER BY col_name"
+
+  private val cleanCond = nums.map(c => s"$c IS NOT NULL").mkString(" AND ")
+
+  val corrMatrixSql: String = {
+    val pairs = Stats.corrPairs(nums)
+    val aggs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      s"corr(CAST($a AS DOUBLE), CAST($b AS DOUBLE)) AS c_$i"
+    }.mkString(",\n")
+    val selects = pairs.zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT '$a' AS col_a, '$b' AS col_b, ${sig(s"c_$i")} AS rho FROM c"
+    }
+    s"WITH clean AS (SELECT * FROM $T WHERE $cleanCond),\n" +
+      s"c AS (SELECT\n$aggs\nFROM clean)\n" +
+      unionAll(selects) + "\nORDER BY col_a, col_b"
+  }
+
+  val corrRejectSql: String = {
+    val pairs = Stats.corrPairs(nums)
+    val idx = nums.zipWithIndex.toMap
+    val aggs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      s"corr(CAST($a AS DOUBLE), CAST($b AS DOUBLE)) AS c_$i"
+    }.mkString(",\n")
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT '$a' AS col_a, ${idx(a)} AS ia, '$b' AS col_b, ${sig(s"c_$i")} AS rho FROM c"
+    }
+    s"WITH clean AS (SELECT * FROM $T WHERE $cleanCond),\n" +
+      s"c AS (SELECT\n$aggs\nFROM clean),\n" +
+      s"pairs AS (\n${unionAll(rows)}\n)\n" +
+      """SELECT col_b AS col_name, arg_min(col_a, ia) AS correlated_with,
+        |arg_min(rho, ia) AS rho
+        |FROM pairs WHERE rho >= 0.9 GROUP BY col_b ORDER BY col_name""".stripMargin
+  }
+
+  val sampleHeadSql: String = {
+    val proj = all.map { c =>
+      if (dates.contains(c)) s"CAST(epoch_us($c) AS BIGINT) AS ${c}_us"
+      else c
+    }.mkString(", ")
+    s"SELECT $proj FROM $T ORDER BY l_orderkey, l_linenumber LIMIT 5"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "table_count" -> tableCountSql,
+    "table_overview" -> tableOverviewSql,
+    "col_counts" -> colCountsSql,
+    "col_distinct" -> colDistinctSql,
+    "col_types" -> colTypesSql,
+    "num_moments" -> numMomentsSql,
+    "num_quantiles" -> numQuantilesSql,
+    "num_derived" -> numDerivedSql,
+    "num_mad" -> numMadSql,
+    "num_zeros" -> numZerosSql,
+    "num_histogram" -> numHistogramSql,
+    "cat_freq" -> catFreqSql,
+    "date_minmax" -> dateMinMaxSql,
+    "corr_matrix" -> corrMatrixSql,
+    "corr_reject" -> corrRejectSql,
+    "sample_head" -> sampleHeadSql
+  )
+}

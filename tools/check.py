@@ -1,0 +1,110 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify,
+then execute each oracle SQL in DuckDB over the same parquet tables and
+compare (columns sorted by name, rows compared exactly).
+
+Usage: python3 tools/check.py [sfdir] [outdir]
+"""
+import json
+import subprocess
+import sys
+import glob
+import os
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+CP = "/opt/spark/jars/*:target/scala-2.13/classes"
+ADD_OPENS = []
+for p in ["java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.lang.reflect", "java.base/java.io",
+          "java.base/java.net", "java.base/java.nio", "java.base/java.util",
+          "java.base/java.util.concurrent",
+          "java.base/java.util.concurrent.atomic", "java.base/sun.nio.ch",
+          "java.base/sun.nio.cs", "java.base/sun.security.action",
+          "java.base/sun.util.calendar"]:
+    ADD_OPENS += ["--add-opens", p + "=ALL-UNNAMED"]
+
+
+def run_verify():
+    cmd = (["java"] + ADD_OPENS +
+           ["-Xmx8g", "-Dspark.ui.enabled=false",
+            "-Dspark.sql.session.timeZone=UTC",
+            "-cp", CP, "graft.Verify", SF, OUT])
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd="/root/repo")
+    for line in r.stderr.splitlines():
+        if "[verify]" in line or "Exception" in line:
+            print(line)
+    if r.returncode != 0:
+        print(r.stdout[-3000:])
+        print(r.stderr[-6000:])
+        sys.exit(1)
+
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        out.append(tuple(row[i] for i in order))
+    return sorted(cols), sorted(out, key=lambda t: tuple(map(repr, t)))
+
+
+def main():
+    if "--no-verify" not in sys.argv:
+        run_verify()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    with open(f"{OUT}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    dirs = sorted(d for d in os.listdir(OUT)
+                  if os.path.isdir(os.path.join(OUT, d)))
+    for name in dirs:
+        files = glob.glob(f"{OUT}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = con.sql(f"SELECT * FROM '{files[0]}'")
+        gcols, grows = norm(got.fetchall(), got.columns)
+        if name not in oracle:
+            print(f"SKIP {name}: no oracle ({len(grows)} rows)")
+            continue
+        try:
+            want = con.sql(oracle[name])
+            wcols, wrows = norm(want.fetchall(), want.columns)
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        if gcols != wcols:
+            print(f"FAIL {name}: columns {gcols} vs {wcols}")
+            n_fail += 1
+            continue
+        if len(grows) != len(wrows):
+            print(f"FAIL {name}: rowcount {len(grows)} vs {len(wrows)}")
+            n_fail += 1
+            continue
+        bad = [(g, w) for g, w in zip(grows, wrows) if g != w]
+        if bad:
+            print(f"FAIL {name}: {len(bad)}/{len(grows)} rows differ; "
+                  f"cols={gcols}; first: spark={bad[0][0]} duck={bad[0][1]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(grows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, "
+          f"{len(dirs) - n_pass - n_fail} skipped (no oracle)")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
