@@ -25,12 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object Sig {
 
-  // NOTE: 10^e for NEGATIVE e is inexact and Java's Math.pow and C's
+  // NOTE 1: 10^e for NEGATIVE e is inexact and Java's Math.pow and C's
   // pow() disagree at the last ulp (observed: pow(10,-5) differs) — so
   // the scale factor is always computed as an exact positive power of
   // ten (exact integers in double up to 1e22) and inverted with one
   // IEEE division, which is correctly rounded and thus identical in
   // both engines.
+  //
+  // NOTE 2: low-entropy decimal data lands EXACTLY on rounding halves
+  // (observed: avg of four 2-decimal values = 102.7575), where Spark's
+  // exact-BigDecimal HALF_UP and DuckDB's float-multiply rounding
+  // disagree. A fixed 1e-9 epsilon added to the mantissa (identically
+  // on both sides) moves the decision boundary to x.xxxx5−1e-9, a
+  // point real-valued statistics essentially never hit.
 
   /** Spark-side 5-significant-digit rounding. */
   def sig5(c: Column): Column = {
@@ -39,7 +46,7 @@ object Sig {
     val m = when(e < 0, lit(1.0) / p).otherwise(p)
     when(c.isNull, lit(null).cast("double"))
       .when(abs(c) < lit(1e-12), lit(0.0))
-      .otherwise(round(c / m, 5) * m)
+      .otherwise(round(c / m + lit(1e-9), 5) * m)
   }
 
   /** DuckDB-side 5-significant-digit rounding of SQL expression `x`.
@@ -51,6 +58,6 @@ object Sig {
       s"ELSE power(10.0, abs($e)) END)"
     s"CASE WHEN ($x) IS NULL THEN CAST(NULL AS DOUBLE) " +
       s"WHEN abs($x) < 1e-12 THEN 0.0 " +
-      s"ELSE round(($x) / $m, 5) * $m END"
+      s"ELSE round(($x) / $m + 1e-9, 5) * $m END"
   }
 }

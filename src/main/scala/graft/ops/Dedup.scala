@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design: every variant is a distributed shuffle-on-key plan —
+  * no driver-side materialization of pair sets. Exact dedup is a
+  * hash-groupBy on content; near-dup goes through an inverted
+  * shingle index (n-gram Jaccard, exact) or locality-sensitive
+  * signatures (MinHash bands, SimHash chunks) so candidate generation
+  * is linear in corpus size, never all-pairs. Hot shingles (stop
+  * phrases) create join skew at 100 TB: cap them with `maxDf`
+  * (CCNet-style document-frequency cutoff) and rely on AQE skew-join
+  * splitting for the rest.
+  */
+object Dedup {
+
+  /** Exact duplicate stats over arbitrary key columns (full-row dedup:
+    * pass all columns; content dedup: pass the text/binary column). */
+  def exactStats(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val g = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+    g.agg(
+      sum("c").cast("long").as("n_rows"),
+      count(lit(1)).as("n_distinct"),
+      coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).cast("long")
+        .as("n_dup_rows"),
+      coalesce(sum(when(col("c") > 1, 1L)), lit(0L)).cast("long")
+        .as("n_dup_groups"))
+  }
+
+  /** Distinct word n-grams of a single-space-separated text column. */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val w = split(c, " ")
+    val grams = transform(sequence(lit(0), size(w) - n), i =>
+      concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))
+    array_distinct(when(size(w) >= n, grams)
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** Exploded (id, shingle) inverted index, optionally dropping
+    * shingles appearing in more than `maxDf` documents (skew guard —
+    * a shingle shared by 1M docs would otherwise emit 10¹² pairs). */
+  def shingleIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDf: Option[Long] = None): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(wordNgrams(col(textCol), n))
+        .as("shingle"))
+    maxDf match {
+      case None => sh
+      case Some(cap) =>
+        val dfreq = sh.groupBy("shingle")
+          .agg(count(lit(1)).as("df")).where(col("df") <= cap)
+        sh.join(broadcast(dfreq.select("shingle")), Seq("shingle"))
+    }
+  }
+
+  /** EXACT n-gram Jaccard near-duplicate pairs via inverted-index
+    * self-join: pairs sharing ≥1 shingle get their true intersection
+    * counted by the join, |A∪B| from per-doc set sizes. Pairs with
+    * Jaccard 0 never meet — no all-pairs blowup. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.5,
+      maxDf: Option[Long] = None): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n, maxDf)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+        Seq("id_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash signatures: `numHashes` independent hash views via
+    * seeded xxhash64; the signature entry is the min over the doc's
+    * shingle set. Fully deterministic (seed folded into the hash
+    * input), one shuffle (groupBy id). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n)
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash-LSH near-dup candidates: signatures are cut into
+    * `bands` bands of numHashes/bands rows; docs colliding on any
+    * band hash become candidates (one explode + one groupBy join —
+    * linear, the standard 100 TB-scale near-dup plan). Candidates are
+    * scored by signature agreement (unbiased Jaccard estimate) and
+    * filtered at `minEstJaccard`. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val bandStructs = (0 until bands).map { b =>
+      val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
+      struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
+    }
+    val banded = sigs.select(col("id"),
+      explode(array(bandStructs: _*)).as("s"))
+      .select(col("id"), col("s.band"), col("s.bh"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"sa.mh_$i") === col(s"sb.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigs.as("sa"), col("id_a") === col("sa.id"))
+      .join(sigs.as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("est_jaccard",
+        agree.cast("double") / numHashes.toDouble)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash over word unigrams: each token votes ±1 on every
+    * bit of its xxhash64; the fingerprint takes the sign. One
+    * explode + one groupBy. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("t"))
+      .where(col("t") =!= "")
+      .withColumn("h", xxhash64(col("t")))
+    val bitAggs = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b_$j")
+    }
+    val votes = tok.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+    val fp = (0 until 64).map { j =>
+      when(col(s"b_$j") > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+    votes.select(col("id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming,
+    * banded on 4×16-bit chunks (any pair within distance 3 must agree
+    * on ≥1 chunk — pigeonhole), so candidate generation is a bucket
+    * join, not all-pairs. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fps = simhash(df, idCol, textCol)
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFF).as("ch"))
+    }
+    val banded = fps.select(col("id"), col("simhash"),
+      explode(array(chunks: _*)).as("s"))
+      .select(col("id"), col("simhash"), col("s.chunk"), col("s.ch"))
+    banded.as("a").join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.ch") === col("b.ch") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.det.Sig.sig5
+
+/** Event-stream operators, batch form. The same aggregations run
+  * under Structured Streaming in graft.streaming.StreamProfiler
+  * (readStream → watermark → windowed agg); these batch versions are
+  * the DuckDB-checkable equivalents the driver verifies.
+  *
+  * Timestamp handling: the events parquet carries TIMESTAMP(NANOS),
+  * which Spark only reads as nanosecond LONGs
+  * (spark.sql.legacy.parquet.nanosAsLong=true — set in Verify/Bench).
+  * All window arithmetic therefore runs on exact integer epoch
+  * MICROseconds (ns div 1000), identical to the oracle's
+  * epoch_ns(ts)//1000 — no float, no engine-specific date functions.
+  */
+object EventOps {
+
+  /** Exact epoch-micros column from either a nanos LONG or a
+    * timestamp column. */
+  def tsMicros(df: DataFrame): Column =
+    if (df.schema("ts").dataType == LongType)
+      expr("ts div 1000")
+    else unix_micros(col("ts").cast("timestamp"))
+
+  private val HourUs = 3600L * 1000000L
+
+  /** Tumbling-window stats per event type: 1-hour epoch-aligned
+    * windows via pure integer arithmetic (us - us % 3600e6 ≙ Spark's
+    * `window(ts, '1 hour')` start). */
+  def windowedStats(df: DataFrame): DataFrame =
+    df.select((tsMicros(df) - tsMicros(df) % HourUs)
+        .as("window_start_us"), col("event_type"), col("value"))
+      .groupBy("window_start_us", "event_type")
+      .agg(count(lit(1)).as("cnt"), sig5(avg("value")).as("avg_value"),
+        min("value").as("min_value"), max("value").as("max_value"))
+      .orderBy("window_start_us", "event_type")
+
+  /** Gap-based sessionization (30-min inactivity): lag → new-session
+    * flag → running sum as session index → per-session aggregate.
+    * The streaming twin uses flatMapGroupsWithState; this window-
+    * function form is the batch/backfill path. All arithmetic in
+    * exact epoch micros. */
+  def sessionize(df: DataFrame, gapMinutes: Long = 30L): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    df.select(col("user_id"), col("event_id"), tsMicros(df).as("us"))
+      .withColumn("flag",
+        when(lag("us", 1).over(byUser).isNull ||
+          col("us") - lag("us", 1).over(byUser) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum("flag").over(run))
+      .groupBy("user_id", "session_idx")
+      .agg(min("us").as("session_start_us"), max("us").as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  /** Profile the JSON-ish `props` payload: extract `$.k` and
+    * aggregate per event type. Uses a regexp extraction that is
+    * expressible identically in the oracle; the library also offers
+    * `from_json` parsing (propsParsed) for real pipelines. */
+  def propsKStats(df: DataFrame): DataFrame =
+    df.select(col("event_type"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
+          .as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("k")).as("n_with_k"),
+        sig5(avg("k")).as("avg_k"), min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Schema-on-read JSON parsing of props via from_json (the
+    * production path; not oracle-checked because DuckDB's JSON
+    * handling differs in nullability edge cases). */
+  def propsParsed(df: DataFrame): DataFrame =
+    df.withColumn("props_parsed",
+      from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.det.Sig.sig5
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query
+  * set against the full corpus; one scan, no shuffle of the corpus.
+  * Scale path: LSH with deterministic random-hyperplane signatures —
+  * bucket join prunes the corpus to colliding candidates, trading
+  * recall for a ~2^bits reduction in scored pairs. Both rank by
+  * sig5-rounded cosine with vec_id tie-break so results are fully
+  * deterministic. All dot products run through codegen'd higher-order
+  * array functions (zip_with + aggregate) in doubles.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a left-fold in doubles (deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Brute-force cosine top-k: rows with `idCol` < `numQueries` are
+    * the query set (broadcast), every other row a candidate. Returns
+    * (query_id, rnk, neighbor_id, cosine). */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+      numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val base = df.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    val q = base.where(col("vid") < numQueries)
+      .select(col("vid").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val scored = base.join(broadcast(q), col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        sig5(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+          .as("cosine"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid").as("query_id"), col("rnk"),
+        col("vid").as("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Deterministic random hyperplanes: component d of plane j is a
+    * fixed function of (seed, j, d) via a seeded RNG — reproducible
+    * across sessions, no runtime entropy. */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 42L)
+      : Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(bits, dim)(rng.nextGaussian())
+  }
+
+  /** LSH bucket signature: bit j = sign(v · plane_j). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      val proj = aggregate(
+        zip_with(vec, lit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+  /** ANN top-k via hyperplane LSH: score only candidates colliding on
+    * the query's bucket (plus no-probe simplification). Approximate —
+    * recall depends on `bits`; the 100 TB path where brute force is
+    * quadratic-infeasible. */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+      numQueries: Int = 5, k: Int = 10, bits: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(bits, dim)
+    val base = df.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val q = base.where(col("vid") < numQueries)
+      .select(col("vid").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+    val scored = base.join(broadcast(q),
+        col("vid") =!= col("qid") && col("bucket") === col("qbucket"))
+      .select(col("qid"), col("vid"),
+        sig5(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+          .as("cosine"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid").as("query_id"), col("rnk"),
+        col("vid").as("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+}

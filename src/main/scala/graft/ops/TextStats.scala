@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.det.Sig.sig5
+
+/** Text-analysis operators for training-data pipelines: token/char
+  * statistics, heuristic quality scoring, n-gram/stopword language
+  * identification, and rolling-hash document fingerprinting. All are
+  * single-scan, per-row expressions + one aggregation — embarrassingly
+  * parallel at 100 TB (no shuffle except the final small groupBy). */
+object TextStats {
+
+  /** Stopword marker sets per language for the n-gram/stopword
+    * language-ID heuristic (tiny, compiled into the plan as literals;
+    * langs sorted alphabetically for deterministic tie-breaks). */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht"),
+    "en" -> Seq("the", "and", "of", "to", "a", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4", "you3"))
+
+  def tokens(c: Column): Column = split(c, " ")
+
+  private def inList(x: Column, ws: Seq[String]): Column =
+    ws.map(w => x === w).reduce(_ || _)
+
+  def stopCount(c: Column, ws: Seq[String]): Column =
+    size(filter(tokens(c), t => inList(t, ws)))
+
+  /** Per-language aggregate stats over a corpus:
+    * (lang, n_docs, avg_chars, avg_tokens, stop_ratio). */
+  def langStats(df: DataFrame, textCol: String, langCol: String)
+      : DataFrame = {
+    val en = stopwords.toMap.apply("en")
+    df.select(col(langCol).as("lang"),
+        length(col(textCol)).cast("long").as("nc"),
+        size(tokens(col(textCol))).cast("long").as("nt"),
+        stopCount(col(textCol), en).cast("long").as("ns"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sig5(avg("nc")).as("avg_chars"),
+        sig5(avg("nt")).as("avg_tokens"),
+        sig5(sum("ns").cast("double") / sum("nt")).as("stop_ratio"))
+      .orderBy("lang")
+  }
+
+  /** Per-document quality score: a deterministic rational-arithmetic
+    * blend of length, stopword density and lexical diversity (no
+    * transcendental functions → bit-identical across engines). */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val en = stopwords.toMap.apply("en")
+    val t = tokens(col(textCol))
+    val nt = size(t).cast("long")
+    val nd = size(array_distinct(t)).cast("long")
+    val ns = stopCount(col(textCol), en).cast("long")
+    val lenScore = least(nt, lit(100L)).cast("double") / 100.0
+    val stopScore = ns.cast("double") / nt
+    val divScore = nd.cast("double") / nt
+    df.select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("n_chars"),
+        nt.as("n_tokens"), nd.as("n_distinct_tokens"),
+        sig5(stopScore).as("stop_ratio"),
+        sig5(divScore).as("distinct_ratio"),
+        sig5(lenScore * 0.3 + stopScore * 0.4 + divScore * 0.3)
+          .as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword-profile language ID: score every language's marker set
+    * against the token stream; predict the alphabetically-first
+    * language achieving the max score ('unknown' when all zero).
+    * Returns the (labeled lang × predicted lang) confusion counts. */
+  def langIdConfusion(df: DataFrame, textCol: String, langCol: String)
+      : DataFrame = {
+    val scores = stopwords.map { case (l, ws) =>
+      l -> stopCount(col(textCol), ws).as(s"s_$l")
+    }
+    val scored = df.select(col(langCol).as("lang") +:
+      scores.map(_._2): _*)
+    val m = greatest(stopwords.map { case (l, _) => col(s"s_$l") }: _*)
+    val allZero = stopwords.map { case (l, _) => col(s"s_$l") === 0 }
+      .reduce(_ && _)
+    val pred = stopwords.foldRight(lit("unknown")) { case ((l, _), acc) =>
+      when(col(s"s_$l") === m, lit(l)).otherwise(acc)
+    }
+    // foldRight builds de→en→es→fr→zh→unknown; the first WHEN that
+    // matches wins, so ties resolve to the alphabetically-first lang.
+    scored.select(col("lang"), when(allZero, "unknown").otherwise(pred)
+        .as("pred_lang"))
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "pred_lang")
+  }
+
+  /** Karp–Rabin rolling-hash document fingerprint: the minimum base-31
+    * polynomial hash over all 8-char windows (winnowing with window =
+    * whole doc). Pure integer arithmetic → exact. Docs shorter than
+    * 8 chars are excluded. */
+  val FpGram = 8
+  private val pow31: Array[Long] =
+    Iterator.iterate(1L)(_ * 31L).take(FpGram).toArray.reverse
+
+  def fingerprintExpr(textCol: String): Column = {
+    val terms = (0 until FpGram).map { k =>
+      s"ascii(substr($textCol, i + $k, 1)) * CAST(${pow31(k)} AS BIGINT)"
+    }.mkString(" + ")
+    expr(s"array_min(transform(sequence(1, length($textCol) - ${FpGram - 1}), i -> $terms))")
+  }
+
+  def fingerprints(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.where(length(col(textCol)) >= FpGram)
+      .select(col(idCol).as("doc_id"), fingerprintExpr(textCol).as("fp"))
+      .orderBy("doc_id")
+}

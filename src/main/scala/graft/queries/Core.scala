@@ -43,8 +43,9 @@ object Core {
     "date_minmax" -> ((s, dir) => Stats.dateMinMax(li(s, dir), dates)),
     "corr_matrix" -> ((s, dir) => Stats.corrMatrix(li(s, dir), nums)),
     "corr_reject" -> ((s, dir) => Stats.corrReject(li(s, dir), nums)),
-    "sample_head" -> ((s, dir) =>
-      Stats.sampleHead(li(s, dir), Seq("l_orderkey", "l_linenumber")))
+    // total order over every column: (orderkey, linenumber) alone is
+    // not unique at sf0.1, which made LIMIT 5 nondeterministic
+    "sample_head" -> ((s, dir) => Stats.sampleHead(li(s, dir), all))
   )
 
   // ------------------------- oracle SQL ---------------------------- //
@@ -231,7 +232,7 @@ object Core {
       if (dates.contains(c)) s"CAST(epoch_us($c) AS BIGINT) AS ${c}_us"
       else c
     }.mkString(", ")
-    s"SELECT $proj FROM $T ORDER BY l_orderkey, l_linenumber LIMIT 5"
+    s"SELECT $proj FROM $T ORDER BY ${all.mkString(", ")} LIMIT 5"
   }
 
   val oracle: Map[String, String] = Map(

@@ -1,11 +1,247 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.det.Sig
+import graft.ops._
 
-/** LLM-data-pipeline extension queries (dedup, similarity search, text
-  * analysis, multimodal, streaming-equivalent, star-schema joins).
-  * Populated incrementally; see graft.ops.* for the operator impls. */
+/** LLM-data-pipeline extension queries (dedup, similarity search,
+  * text analysis, multimodal, event windows/sessions, star joins)
+  * with DuckDB oracles where the operator is SQL-expressible;
+  * probabilistic ops (MinHash, SimHash, hyperplane LSH) are
+  * deterministic but hash-function-bound, so they get rows-only
+  * checks (no oracle entry). */
 object Extensions {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracle: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def sig(x: String) = Sig.sql(x)
+
+  // English stopword list shared by Spark exprs and oracle SQL.
+  private val enStops = TextStats.stopwords.toMap.apply("en")
+  private def stopOr(v: String, ws: Seq[String]): String =
+    ws.map(w => s"$v = '$w'").mkString(" OR ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactStats(t(s, dir, "documents"), Seq("text"))),
+    "dedup_ngram" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.5)),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, minEstJaccard = 0.5)),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)),
+    // ---- similarity search ----
+    "embed_cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", numQueries = 5, k = 10)),
+    "embed_ann_lsh" -> ((s, dir) =>
+      Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        numQueries = 5, k = 10, bits = 8, dim = 64)),
+    // ---- text analysis ----
+    "text_stats" -> ((s, dir) =>
+      TextStats.langStats(t(s, dir, "documents"), "text", "lang")),
+    "text_quality" -> ((s, dir) =>
+      TextStats.quality(t(s, dir, "documents"), "doc_id", "text")),
+    "text_langid" -> ((s, dir) =>
+      TextStats.langIdConfusion(t(s, dir, "documents"), "text", "lang")),
+    "doc_fingerprint" -> ((s, dir) =>
+      TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+    // ---- multimodal ----
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.mediaMeta(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload").toDF().orderBy("doc_id")),
+    // ---- events (streaming-equivalent batch) ----
+    "events_window" -> ((s, dir) =>
+      EventOps.windowedStats(t(s, dir, "events"))),
+    "events_sessionize" -> ((s, dir) =>
+      EventOps.sessionize(t(s, dir, "events"))),
+    "events_props" -> ((s, dir) =>
+      EventOps.propsKStats(t(s, dir, "events"))),
+    // ---- star-schema joins ----
+    "join_revenue_nation" -> ((s, dir) =>
+      StarJoins.revenueByNation(s, dir)),
+    "join_top_suppliers" -> ((s, dir) =>
+      StarJoins.topSuppliersPerNation(s, dir))
+  )
+
+  // ------------------------- oracle SQL ---------------------------- //
+
+  val dedupExactSql: String =
+    """WITH g AS (SELECT text, count(*) AS c FROM documents GROUP BY text)
+      |SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_distinct,
+      |CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS n_dup_rows,
+      |CAST(coalesce(sum(CASE WHEN c > 1 THEN 1 END), 0) AS BIGINT) AS n_dup_groups
+      |FROM g""".stripMargin
+
+  val dedupNgramSql: String =
+    """WITH sh AS (
+      |  SELECT id, unnest(grams) AS shingle FROM (
+      |    SELECT doc_id AS id,
+      |      list_distinct(list_transform(range(1, len(w) - 1),
+      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+      |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+      |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+      |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      |       GROUP BY a.id, b.id)
+      |SELECT pr.id_a, pr.id_b,
+      |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+      |FROM pr JOIN sz sa ON sa.id = pr.id_a JOIN sz sb ON sb.id = pr.id_b
+      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val embedCosineSql: String = {
+    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |            FROM embeddings, range(1, 65) t(i)),
+       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY vec_id),
+       |dot AS (SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.v * b.v) AS dp
+       |        FROM el a JOIN el b ON a.i = b.i AND b.vec_id <> a.vec_id
+       |        WHERE a.vec_id < 5 GROUP BY 1, 2),
+       |cos AS (SELECT qid, vid, $cosExpr AS cosine
+       |        FROM dot JOIN nrm na ON na.vec_id = dot.qid
+       |        JOIN nrm nb ON nb.vec_id = dot.vid)
+       |SELECT query_id, rnk, neighbor_id, cosine FROM (
+       |  SELECT qid AS query_id,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS BIGINT) AS rnk,
+       |    vid AS neighbor_id, cosine FROM cos)
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  val textStatsSql: String = {
+    val f = stopOr("x", enStops)
+    s"""WITH d AS (SELECT lang, length(text) AS nc,
+       |  len(string_split(text, ' ')) AS nt,
+       |  len(list_filter(string_split(text, ' '), x -> $f)) AS ns
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs, ${sig("avg(nc)")} AS avg_chars,
+       |${sig("avg(nt)")} AS avg_tokens,
+       |${sig("CAST(sum(ns) AS DOUBLE) / CAST(sum(nt) AS DOUBLE)")} AS stop_ratio
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  val textQualitySql: String = {
+    val f = stopOr("x", enStops)
+    s"""WITH d AS (SELECT doc_id, length(text) AS nc,
+       |  string_split(text, ' ') AS t FROM documents),
+       |e AS (SELECT doc_id, nc, len(t) AS nt, len(list_distinct(t)) AS nd,
+       |  len(list_filter(t, x -> $f)) AS ns FROM d)
+       |SELECT doc_id, CAST(nc AS BIGINT) AS n_chars,
+       |CAST(nt AS BIGINT) AS n_tokens, CAST(nd AS BIGINT) AS n_distinct_tokens,
+       |${sig("CAST(ns AS DOUBLE) / nt")} AS stop_ratio,
+       |${sig("CAST(nd AS DOUBLE) / nt")} AS distinct_ratio,
+       |${sig("CAST(least(nt, 100) AS DOUBLE) / 100.0 * 0.3 + CAST(ns AS DOUBLE) / nt * 0.4 + CAST(nd AS DOUBLE) / nt * 0.3")} AS quality
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
+  val textLangidSql: String = {
+    val scoreCols = TextStats.stopwords.map { case (l, ws) =>
+      s"len(list_filter(string_split(text, ' '), x -> ${stopOr("x", ws)})) AS s_$l"
+    }.mkString(",\n  ")
+    val langs = TextStats.stopwords.map(_._1)
+    val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+    val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+    s"""WITH s AS (SELECT lang,
+       |  $scoreCols
+       |  FROM documents)
+       |SELECT lang, CASE WHEN $allZero THEN 'unknown' $cases END AS pred_lang,
+       |count(*) AS cnt FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  val docFingerprintSql: String = {
+    val pow31 = Iterator.iterate(1L)(_ * 31L).take(TextStats.FpGram)
+      .toArray.reverse
+    val terms = (0 until TextStats.FpGram).map { k =>
+      s"ord(substr(text, i + $k, 1)) * CAST(${pow31(k)} AS BIGINT)"
+    }.mkString(" + ")
+    s"""WITH pos AS (SELECT doc_id, text,
+       |  unnest(range(1, length(text) - ${TextStats.FpGram - 2})) AS i
+       |  FROM documents WHERE length(text) >= ${TextStats.FpGram})
+       |SELECT doc_id, min($terms) AS fp
+       |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+      |CAST(64 + length(text) % 193 AS BIGINT) AS width,
+      |CAST(64 + (length(text) * 31) % 157 AS BIGINT) AS height,
+      |CAST(1 + length(text) % 7 AS BIGINT) AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val eventsWindowSql: String =
+    s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type, value
+       |  FROM events)
+       |SELECT CAST(us - us % 3600000000 AS BIGINT) AS window_start_us,
+       |event_type, count(*) AS cnt, ${sig("avg(value)")} AS avg_value,
+       |min(value) AS min_value, max(value) AS max_value
+       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val eventsSessionizeSql: String =
+    """WITH x AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+      |f AS (SELECT user_id, event_id, us,
+      |  CASE WHEN lag(us) OVER w IS NULL
+      |       OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS flag
+      |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (SELECT user_id, us,
+      |  sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM f)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |min(us) AS session_start_us, max(us) AS session_end_us,
+      |count(*) AS n_events
+      |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin
+
+  val eventsPropsSql: String =
+    s"""WITH e AS (SELECT event_type,
+       |  TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+       |  FROM events)
+       |SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+       |${sig("avg(k)")} AS avg_k, min(k) AS min_k, max(k) AS max_k
+       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val joinRevenueNationSql: String =
+    s"""SELECT n_name, count(*) AS n_lineitems,
+       |${sig("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue
+       |FROM lineitem, orders, customer, nation
+       |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |AND c_nationkey = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  val joinTopSuppliersSql: String =
+    s"""WITH rev AS (SELECT n_name, s_suppkey,
+       |  ${sig("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue
+       |  FROM lineitem, supplier, nation
+       |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |  GROUP BY n_name, s_suppkey)
+       |SELECT n_name, rnk, s_suppkey, revenue FROM (
+       |  SELECT n_name, s_suppkey, revenue,
+       |    CAST(row_number() OVER (PARTITION BY n_name
+       |      ORDER BY revenue DESC, s_suppkey ASC) AS BIGINT) AS rnk
+       |  FROM rev)
+       |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram" -> dedupNgramSql,
+    "embed_cosine_topk" -> embedCosineSql,
+    "text_stats" -> textStatsSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql,
+    "doc_fingerprint" -> docFingerprintSql,
+    "multimodal_meta" -> multimodalMetaSql,
+    "events_window" -> eventsWindowSql,
+    "events_sessionize" -> eventsSessionizeSql,
+    "events_props" -> eventsPropsSql,
+    "join_revenue_nation" -> joinRevenueNationSql,
+    "join_top_suppliers" -> joinTopSuppliersSql
+  )
 }
