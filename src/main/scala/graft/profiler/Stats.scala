@@ -48,6 +48,11 @@ object Stats {
 
   private def d(c: String): Column = col(c).cast("double")
 
+  /** ANSI-safe ratio: null when the denominator is 0 (only reachable
+    * on empty/degenerate inputs; the oracle data never divides by 0). */
+  private def ratio(num: Column, den: Column): Column =
+    when(den =!= 0, num.cast("double") / den)
+
   /** Tidy explode of one wide agg row into (col_name, stats…) rows. */
   private def tidy(row: DataFrame, structs: Seq[Column]): DataFrame =
     row.select(explode(array(structs: _*)).as("s")).select("s.*")
@@ -66,7 +71,7 @@ object Stats {
         lit(c).as("col_name"),
         cnt.as("cnt"),
         (n - cnt).as("n_missing"),
-        sig5((n - cnt).cast("double") / n).as("p_missing"))
+        sig5(ratio(n - cnt, n)).as("p_missing"))
     }
     tidy(row, structs)
   }
@@ -88,7 +93,7 @@ object Stats {
       struct(
         lit(c).as("col_name"),
         dis.as("distinct_cnt"),
-        sig5(dis.cast("double") / cnt).as("p_unique"),
+        sig5(ratio(dis, cnt)).as("p_unique"),
         when(dis === cnt, 1L).otherwise(0L).as("is_unique"))
     }
     tidy(row, structs)
@@ -189,7 +194,8 @@ object Stats {
         lit(c).as("col_name"),
         (col(s"max__$c") - col(s"min__$c")).as("range_val"),
         sig5(col(s"q3__$c") - col(s"q1__$c")).as("iqr"),
-        sig5(col(s"sd__$c") / col(s"mean__$c")).as("cv"))
+        sig5(when(col(s"mean__$c") =!= 0.0,
+          col(s"sd__$c") / col(s"mean__$c"))).as("cv"))
     }
     tidy(row, structs)
   }
@@ -203,7 +209,8 @@ object Stats {
     val meanAggs = cols.map(c => avg(d(c)).as(c))
     val means = df.agg(meanAggs.head, meanAggs.tail: _*).first()
     val aggs = cols.zipWithIndex.map { case (c, i) =>
-      avg(abs(d(c) - lit(means.getDouble(i)))).as(s"mad__$c")
+      if (means.isNullAt(i)) lit(null).cast("double").as(s"mad__$c")
+      else avg(abs(d(c) - lit(means.getDouble(i)))).as(s"mad__$c")
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val structs = cols.map { c =>
@@ -226,7 +233,7 @@ object Stats {
       struct(
         lit(c).as("col_name"),
         col(s"z__$c").as("n_zeros"),
-        sig5(col(s"z__$c").cast("double") / col(s"cnt__$c")).as("p_zeros"))
+        sig5(ratio(col(s"z__$c"), col(s"cnt__$c"))).as("p_zeros"))
     }
     tidy(row, structs)
   }
@@ -355,8 +362,9 @@ object Stats {
       val cov = n * col(s"sp__$i") - col(s"s__$a") * col(s"s__$b")
       val va = n * col(s"ss__$a") - col(s"s__$a") * col(s"s__$a")
       val vb = n * col(s"ss__$b") - col(s"s__$b") * col(s"s__$b")
+      val denom = sqrt(va) * sqrt(vb)
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        sig5(cov / (sqrt(va) * sqrt(vb))).as("rho"))
+        sig5(when(denom =!= 0.0, cov / denom)).as("rho"))
     }
     row.select(explode(array(structs: _*)).as("s")).select("s.*")
       .orderBy("col_a", "col_b")
@@ -414,7 +422,7 @@ object Stats {
       count(lit(1)).as("n"),
       lit(nvar.toLong).as("nvar"),
       missing.as("n_missing_total"),
-      sig5(missing.cast("double") /
-        (count(lit(1)) * lit(nvar.toDouble))).as("p_missing"))
+      sig5(ratio(missing, count(lit(1)) * lit(nvar.toDouble)))
+        .as("p_missing"))
   }
 }

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.ops._
+
+/** Unit tests for the LLM-pipeline operators on tiny synthetic
+  * corpora with known duplicate / similarity structure. */
+class OpsSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private val docs = spark.createDataFrame(Seq(
+    Row(0L, "the quick brown fox jumps over the lazy dog today"),
+    Row(1L, "the quick brown fox jumps over the lazy cat today"),
+    Row(2L, "completely different words appear here nothing shared at all"),
+    Row(3L, "the quick brown fox jumps over the lazy dog today")
+  ).asJava, docSchema)
+
+  test("exact dedup: doc 0 and 3 are identical") {
+    val r = Dedup.exactStats(docs, Seq("text")).collect().head
+    assert(r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[Long]("n_distinct") == 3L)
+    assert(r.getAs[Long]("n_dup_rows") == 2L)
+    assert(r.getAs[Long]("n_dup_groups") == 1L)
+  }
+
+  test("ngram jaccard: identical docs = 1.0, near-dup high, disjoint absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 3L)) == 1.0)
+    assert(pairs((0L, 1L)) > 0.5 && pairs((0L, 1L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash LSH: finds the identical and near-dup pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      minEstJaccard = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 3L)) == 1.0) // identical signatures
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("simhash: identical docs at hamming 0; disjoint docs far") {
+    val fps = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) == fps(3L))
+    assert(java.lang.Long.bitCount(fps(0L) ^ fps(2L)) > 10)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  private val vecSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  test("cosine top-k: orthogonal ranked below aligned") {
+    val vecs = spark.createDataFrame(Seq(
+      Row(0L, Seq(1.0f, 0.0f, 0.0f)),
+      Row(5L, Seq(2.0f, 0.0f, 0.0f)),   // same direction as query 0
+      Row(6L, Seq(1.0f, 1.0f, 0.0f)),   // 45 degrees
+      Row(7L, Seq(0.0f, 1.0f, 0.0f))    // orthogonal
+    ).asJava, vecSchema)
+    val r = Similarity.cosineTopK(vecs, "vec_id", "embedding",
+      numQueries = 1, k = 3).collect()
+    assert(r.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(5L, 6L, 7L))
+    assert(r.head.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("ann lsh: identical vector is always its own bucket's top hit") {
+    val vecs = spark.createDataFrame(
+      (Seq(Row(0L, Seq.fill(8)(0.5f))) ++
+        (1 to 20).map(i => Row(i.toLong,
+          Seq.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toFloat / 5f))) ++
+        Seq(Row(21L, Seq.fill(8)(0.25f)))).asJava,
+      vecSchema)
+    val r = Similarity.annTopK(vecs, "vec_id", "embedding",
+      numQueries = 1, k = 5, bits = 4, dim = 8).collect()
+    // vec 21 is colinear with query 0 => same bucket, cosine 1.0 rank 1
+    assert(r.nonEmpty)
+    assert(r.head.getAs[Long]("neighbor_id") == 21L)
+    assert(r.head.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("text stats: token and stopword accounting") {
+    val q = TextStats.quality(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(q(0L).getAs[Long]("n_tokens") == 10L)
+    // 'the' twice in doc 0 => stop_ratio 0.2
+    assert(math.abs(q(0L).getAs[Double]("stop_ratio") - 0.2) < 1e-9)
+    assert(q(2L).getAs[Double]("stop_ratio") == 0.0)
+  }
+
+  test("langid: english stopwords dominate; unknown when no markers") {
+    val conf = TextStats.langIdConfusion(
+      docs.withColumn("lang", org.apache.spark.sql.functions.lit("en")),
+      "text", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf(("en", "en")) == 3L)       // docs 0,1,3 contain 'the'
+    assert(conf(("en", "unknown")) == 1L)  // doc 2 has no markers
+  }
+
+  test("fingerprint: identical docs share fp; deterministic across runs") {
+    val f1 = TextStats.fingerprints(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val f2 = TextStats.fingerprints(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(f1 == f2)
+    assert(f1(0L) == f1(3L))
+  }
+
+  test("multimodal: stub decode metadata is a pure function of bytes") {
+    val bin = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text").cast("binary")
+        .as("payload"))
+    val m = Multimodal.mediaMeta(bin, "doc_id", "payload").collect()
+      .map(x => x.doc_id -> x).toMap
+    assert(m(0L).n_bytes == 49L)
+    assert(m(0L).width == 64L + 49L % 193L)
+    assert(m(0L) == m(3L).copy(doc_id = 0L))
+    val frames = Multimodal.frameSample(
+      Multimodal.mediaMeta(bin, "doc_id", "payload"), stride = 2L)
+    assert(frames.count() > 0)
+  }
+
+  test("sessionize: 30-min gaps split sessions") {
+    val es = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", LongType)))
+    val min = 60L * 1000000000L // ns
+    val ev = spark.createDataFrame(Seq(
+      Row(1L, 1L, 0L * min), Row(1L, 2L, 10L * min),
+      Row(1L, 3L, 50L * min), // 40-min gap => new session
+      Row(2L, 4L, 0L * min)
+    ).asJava, es)
+    val r = EventOps.sessionize(ev).collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("session_idx")) ->
+        x.getAs[Long]("n_events")).toMap
+    assert(r == Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 1L))
+  }
+
+  test("windowed stats: hour alignment from integer micros") {
+    val es = StructType(Seq(StructField("ts", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val hourNs = 3600L * 1000000000L
+    val ev = spark.createDataFrame(Seq(
+      Row(1L, "a", 1.0), Row(hourNs - 1000L, "a", 3.0),
+      Row(hourNs + 1000L, "a", 5.0)
+    ).asJava, es)
+    val r = EventOps.windowedStats(ev).collect()
+    assert(r.length == 2)
+    assert(r.head.getAs[Long]("cnt") == 2L)
+    assert(r.head.getAs[Double]("avg_value") == 2.0)
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.profiler.Stats
+
+/** Unit micro-fixtures for the core statistics operators (FIXTURES.md
+  * §unit-test list): nulls, all-null, constant, unique, NaN, ties,
+  * single row. */
+class StatsSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def df(rows: Seq[Row], schema: StructType) =
+    spark.createDataFrame(rows.asJava, schema)
+
+  private val numSchema = StructType(Seq(
+    StructField("a", DoubleType), StructField("b", LongType)))
+
+  private val mixed = df(Seq(
+    Row(1.0, 10L), Row(2.0, 20L), Row(null, 30L), Row(4.0, 40L),
+    Row(0.0, 50L)), numSchema)
+
+  test("counts: per-column non-null and missing") {
+    val r = Stats.counts(mixed, Seq("a", "b")).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r("a") == (4L, 1L))
+    assert(r("b") == (5L, 0L))
+  }
+
+  test("distinct: exact counts and uniqueness flags") {
+    val r = Stats.distinct(mixed, Seq("a", "b")).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(3))).toMap
+    assert(r("a") == (4L, 1L)) // 4 distinct over 4 non-null => unique
+    assert(r("b") == (5L, 1L))
+  }
+
+  test("kinds: CONST and UNIQUE override the dtype bucket") {
+    val s = StructType(Seq(StructField("c", StringType),
+      StructField("u", LongType), StructField("n", DoubleType)))
+    val d2 = df(Seq(Row("x", 1L, 5.0), Row("x", 2L, 5.0),
+      Row("x", 3L, 7.0)), s)
+    val r = Stats.kinds(d2, Seq("c", "u", "n")).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(r == Map("c" -> "CONST", "u" -> "UNIQUE", "n" -> "NUM"))
+  }
+
+  test("moments: mean/min/max/sum on a known column ignore nulls") {
+    val r = Stats.moments(mixed, Seq("a")).collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("mean") == 1.75)
+    assert(r.getAs[Double]("min_val") == 0.0)
+    assert(r.getAs[Double]("max_val") == 4.0)
+    assert(r.getAs[Double]("sum_val") == 7.0)
+  }
+
+  test("quantiles: monotone and exact on integers 1..5") {
+    val d2 = df((1 to 5).map(i => Row(i.toLong)),
+      StructType(Seq(StructField("x", LongType))))
+    val r = Stats.quantiles(d2, Seq("x")).collect().head
+    val qs = Seq("p05", "q1", "median", "q3", "p95")
+      .map(r.getAs[Double])
+    assert(qs == qs.sorted, "quantiles must be monotone")
+    assert(r.getAs[Double]("median") == 3.0)
+    assert(r.getAs[Double]("q1") == 2.0)
+  }
+
+  test("histogram: bin counts sum to non-null count; max in top bin") {
+    val d2 = df((0 to 99).map(i => Row(i.toDouble)),
+      StructType(Seq(StructField("x", DoubleType))))
+    val h = Stats.histogram(d2, Seq("x"), bins = 10).collect()
+    assert(h.map(_.getAs[Long]("cnt")).sum == 100L)
+    assert(h.length == 10)
+    assert(h.map(_.getAs[Long]("bin")).toSeq == (0L to 9L))
+    // value 99.0 (the max) clamps into bin 9
+    assert(h.last.getAs[Long]("cnt") == 10L)
+  }
+
+  test("histogram: constant column lands in a single bin 0") {
+    val d2 = df(Seq(Row(5.0), Row(5.0), Row(5.0)),
+      StructType(Seq(StructField("x", DoubleType))))
+    val h = Stats.histogram(d2, Seq("x")).collect()
+    assert(h.length == 1 && h.head.getAs[Long]("bin") == 0L &&
+      h.head.getAs[Long]("cnt") == 3L)
+  }
+
+  test("freq: deterministic tie-break on value, topK respected") {
+    val s = StructType(Seq(StructField("c", StringType)))
+    val d2 = df(Seq("b", "b", "a", "a", "c").map(Row(_)), s)
+    val f = Stats.freq(d2, Seq("c"), topK = 2).collect()
+    assert(f.map(r => (r.getAs[String]("value"), r.getAs[Long]("cnt"),
+      r.getAs[Long]("rnk"))).toSeq ==
+      Seq(("a", 2L, 1L), ("b", 2L, 2L)))
+  }
+
+  test("corr: perfectly correlated pair detected and rejected") {
+    val s = StructType(Seq(StructField("x", DoubleType),
+      StructField("y", DoubleType), StructField("z", DoubleType)))
+    val d2 = df((1 to 20).map(i =>
+      Row(i.toDouble, 2.0 * i + 1.0, math.sin(i.toDouble))), s)
+    val m = Stats.corrMatrix(d2, Seq("x", "y", "z")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(m(("x", "y")) - 1.0) < 1e-9)
+    val rej = Stats.corrReject(d2, Seq("x", "y", "z"), 0.9).collect()
+    assert(rej.length == 1)
+    assert(rej.head.getString(0) == "y") // later column rejected
+    assert(rej.head.getString(1) == "x")
+  }
+
+  test("zeros: counts exact zeros only") {
+    val r = Stats.zeros(mixed, Seq("a")).collect().head
+    assert(r.getAs[Long]("n_zeros") == 1L)
+  }
+
+  test("mad: mean absolute deviation around the mean") {
+    val d2 = df(Seq(Row(1.0), Row(3.0)),
+      StructType(Seq(StructField("x", DoubleType))))
+    val r = Stats.mad(d2, Seq("x")).collect().head
+    assert(r.getAs[Double]("mad") == 1.0)
+  }
+
+  test("empty table: aggregations return defined values, not crash") {
+    val empty = df(Seq.empty[Row], numSchema)
+    val c = Stats.counts(empty, Seq("a", "b")).collect()
+    assert(c.forall(_.getAs[Long]("cnt") == 0L))
+    val m = Stats.moments(empty, Seq("a")).collect().head
+    assert(m.getAs[Long]("n") == 0L)
+    assert(m.isNullAt(m.fieldIndex("mean")))
+  }
+
+  test("overview: missing percentage over all cells") {
+    val o = Stats.overview(mixed, Seq("a", "b")).collect().head
+    assert(o.getAs[Long]("n") == 5L)
+    assert(o.getAs[Long]("n_missing_total") == 1L)
+    assert(math.abs(o.getAs[Double]("p_missing") - 0.1) < 1e-9)
+  }
+}
