@@ -91,11 +91,11 @@ object Profiler {
         Seq(count(col(c)).as(s"cnt__$c"), dc.as(s"dis__$c"))
       } ++
       numCols.flatMap { c =>
+        // var/sd/skew/kurt come from pass A2's central sums: k×4
+        // built-in moment aggregates would overflow the codegen
+        // method-size limit and fall back to interpreted eval
         Seq(avg(dbl(c)).as(s"mean__$c"), min(dbl(c)).as(s"min__$c"),
           max(dbl(c)).as(s"max__$c"), sum(dbl(c)).as(s"sum__$c"),
-          var_samp(dbl(c)).as(s"var__$c"),
-          stddev_samp(dbl(c)).as(s"sd__$c"),
-          skewness(dbl(c)).as(s"sk__$c"), kurtosis(dbl(c)).as(s"ku__$c"),
           coalesce(sum(when(dbl(c) === 0.0, 1L).otherwise(0L)), lit(0L))
             .as(s"z__$c"))
       } ++
@@ -112,6 +112,40 @@ object Profiler {
         case x: Number => x.doubleValue()
       }
     val n = aLong("__n")
+
+    // ---- pass A2: central power sums → var/sd/skew/kurt ----
+    val momentMap: Map[String, Map[String, Double]] =
+      if (numCols.isEmpty) Map.empty
+      else {
+        val withMu = numCols.flatMap(c => aDouble(s"mean__$c").map(c -> _))
+        if (withMu.isEmpty) Map.empty
+        else {
+          val aggs2 = withMu.flatMap { case (c, mu) =>
+            val dev = dbl(c) - lit(mu)
+            val dev2 = dev * dev
+            Seq(sum(dev2).as(s"s2__$c"), sum(dev2 * dev).as(s"s3__$c"),
+              sum(dev2 * dev2).as(s"s4__$c"))
+          }
+          val r2 = df.agg(aggs2.head, aggs2.tail: _*).first()
+          withMu.map { case (c, _) =>
+            val nc = aLong(s"cnt__$c").toDouble
+            val s2 = r2.getAs[Double](s"s2__$c")
+            val s3 = r2.getAs[Double](s"s3__$c")
+            val s4 = r2.getAs[Double](s"s4__$c")
+            val m2 = s2 / nc
+            val stats = Map.newBuilder[String, Double]
+            if (nc > 1) {
+              stats += "var" -> s2 / (nc - 1)
+              stats += "sd" -> math.sqrt(s2 / (nc - 1))
+            }
+            if (m2 > 0) {
+              stats += "sk" -> s3 / nc / math.sqrt(m2 * m2 * m2)
+              stats += "ku" -> (s4 / nc / (m2 * m2) - 3.0)
+            }
+            c -> stats.result()
+          }.toMap
+        }
+      }
 
     // ---- pass B: all quantiles in one agg ----
     val qMap: Map[String, Seq[Double]] =
@@ -173,8 +207,9 @@ object Profiler {
         else base
       val stats: Map[String, Double] =
         if (base == "NUM")
-          Seq("mean", "min", "max", "sum", "var", "sd", "sk", "ku")
+          Seq("mean", "min", "max", "sum")
             .flatMap(k => aDouble(s"${k}__$c").map(k -> _)).toMap ++
+            momentMap.getOrElse(c, Map.empty) ++
             Map("n_zeros" -> aLong(s"z__$c").toDouble)
         else if (base == "DATE")
           Seq("dmn", "dmx").flatMap(k =>

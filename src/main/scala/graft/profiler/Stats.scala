@@ -124,17 +124,46 @@ object Stats {
   // Numeric moments (N1–N6): ONE fused agg for every numeric column
   // (vs the reference's one eager agg per column).
   // -------------------------------------------------------------------
+  // Two passes of simple codegen'd sums instead of one pass of k×9
+  // built-in moment aggregates: skewness/kurtosis DeclarativeAggregates
+  // carry 5–6 buffer fields each, and at 8 columns the generated update
+  // method passes the 64 KB JVM limit → whole-stage codegen falls back
+  // to interpreted eval (observed 8.5 s vs ~0.7 s at sf0.1). The
+  // two-pass central-moment form (mean first, then Σ(x−μ)^{2,3,4}) is
+  // also numerically stable at any scale and matches the oracle's
+  // two-pass SQL formula.
   def moments(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap { c =>
-      Seq(
-        count(d(c)).as(s"n__$c"), avg(d(c)).as(s"mean__$c"),
+    val aggs1 = cols.flatMap { c =>
+      Seq(count(d(c)).as(s"n__$c"), avg(d(c)).as(s"mean__$c"),
         min(d(c)).as(s"min__$c"), max(d(c)).as(s"max__$c"),
-        sum(d(c)).as(s"sum__$c"), var_samp(d(c)).as(s"var__$c"),
-        stddev_samp(d(c)).as(s"sd__$c"), skewness(d(c)).as(s"sk__$c"),
-        kurtosis(d(c)).as(s"ku__$c"))
+        sum(d(c)).as(s"sum__$c"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    val r1 = df.agg(aggs1.head, aggs1.tail: _*)
+    val first = r1.first()
+    val muMap = cols.map { c =>
+      val i = first.fieldIndex(s"mean__$c")
+      c -> (if (first.isNullAt(i)) None else Some(first.getDouble(i)))
+    }.toMap
+    val aggs2 = cols.flatMap { c =>
+      muMap(c) match {
+        case None =>
+          Seq(lit(null).cast("double").as(s"s2__$c"),
+            lit(null).cast("double").as(s"s3__$c"),
+            lit(null).cast("double").as(s"s4__$c"))
+        case Some(mu) =>
+          val dev = d(c) - lit(mu)
+          val dev2 = dev * dev
+          Seq(sum(dev2).as(s"s2__$c"), sum(dev2 * dev).as(s"s3__$c"),
+            sum(dev2 * dev2).as(s"s4__$c"))
+      }
+    }
+    val r2 = df.agg(aggs2.head, aggs2.tail: _*)
+    val row = r1.crossJoin(r2)
     val structs = cols.map { c =>
+      val n = col(s"n__$c").cast("double")
+      val m2 = col(s"s2__$c") / n
+      val m3 = col(s"s3__$c") / n
+      val m4 = col(s"s4__$c") / n
       struct(
         lit(c).as("col_name"),
         col(s"n__$c").as("n"),
@@ -142,10 +171,10 @@ object Stats {
         col(s"min__$c").as("min_val"),
         col(s"max__$c").as("max_val"),
         sig5(col(s"sum__$c")).as("sum_val"),
-        sig5(col(s"var__$c")).as("variance"),
-        sig5(col(s"sd__$c")).as("stddev"),
-        sig5(col(s"sk__$c")).as("skewness"),
-        sig5(col(s"ku__$c")).as("kurtosis"))
+        sig5(when(n > 1, col(s"s2__$c") / (n - 1))).as("variance"),
+        sig5(when(n > 1, sqrt(col(s"s2__$c") / (n - 1)))).as("stddev"),
+        sig5(when(m2 > 0, m3 / sqrt(m2 * m2 * m2))).as("skewness"),
+        sig5(when(m2 > 0, m4 / (m2 * m2) - 3.0)).as("kurtosis"))
     }
     tidy(row, structs)
   }
@@ -182,18 +211,21 @@ object Stats {
   // derive from, one pass.
   // -------------------------------------------------------------------
   def derived(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // one percentile agg per column (array percentage) — halves the
+    // exact-percentile buffering vs separate q1/q3 aggregates
     val aggs = cols.flatMap { c =>
       Seq(min(d(c)).as(s"min__$c"), max(d(c)).as(s"max__$c"),
         avg(d(c)).as(s"mean__$c"), stddev_samp(d(c)).as(s"sd__$c"),
-        expr(s"percentile(cast(`$c` as double), 0.25D)").as(s"q1__$c"),
-        expr(s"percentile(cast(`$c` as double), 0.75D)").as(s"q3__$c"))
+        expr(s"percentile(cast(`$c` as double), array(0.25D, 0.75D))")
+          .as(s"q__$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val structs = cols.map { c =>
       struct(
         lit(c).as("col_name"),
         (col(s"max__$c") - col(s"min__$c")).as("range_val"),
-        sig5(col(s"q3__$c") - col(s"q1__$c")).as("iqr"),
+        sig5(element_at(col(s"q__$c"), 2) - element_at(col(s"q__$c"), 1))
+          .as("iqr"),
         sig5(when(col(s"mean__$c") =!= 0.0,
           col(s"sd__$c") / col(s"mean__$c"))).as("cv"))
     }
