@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.profiler.{Profiler, ProfilerConfig, TableProfile}
+import graft.report.HtmlReport
+
+/** Drop-in analogue of the reference's public API
+  * (spark_df_profiling/__init__.py::ProfileReport ≈L12–75):
+  *
+  * {{{
+  *   // reference:  ProfileReport(df, bins=10, corr_reject=0.9)
+  *   val report = ProfileReport(df, ProfilerConfig(bins = 10,
+  *     corrReject = 0.9))
+  *   report.getDescription          // ≙ get_description()
+  *   report.getRejectedVariables()  // ≙ get_rejected_variables()
+  *   report.html                    // ≙ report.html / rendered_html()
+  *   report.toFile("profile.html")  // ≙ to_file(outputfile)
+  * }}}
+  *
+  * All analytics run in the fixed-pass Spark plans of
+  * [[graft.profiler.Profiler]]; only HTML assembly happens on the
+  * driver (as in the reference, where pandas/jinja2 rendering is
+  * driver-side).
+  */
+class ProfileReport(df: DataFrame,
+    cfg: ProfilerConfig = ProfilerConfig(), title: String = "graft profile") {
+
+  /** The description set (reference: `get_description()`). */
+  lazy val getDescription: TableProfile = Profiler.profile(df, cfg)
+
+  /** Names of variables rejected for correlation ≥ threshold
+    * (reference: `get_rejected_variables(threshold)`). */
+  def getRejectedVariables(
+      threshold: Double = cfg.corrReject): Seq[String] =
+    getDescription.rejected.collect {
+      case (name, _, rho) if rho >= threshold => name
+    }
+
+  /** Key-ordered head sample rendered into the report (reference
+    * stores `df.limit(sample).toPandas()`). */
+  private lazy val sample: Seq[Seq[String]] = {
+    val head = df.limit(cfg.sampleRows).collect()
+    val header = df.columns.toSeq
+    header +: head.toSeq.map(r =>
+      (0 until r.length).map(i => String.valueOf(r.get(i))))
+  }
+
+  /** Rendered report (reference: `report.html` / `rendered_html()`). */
+  lazy val html: String =
+    HtmlReport.render(getDescription, title, sample)
+
+  /** Write the standalone HTML report (reference: `to_file(path)`). */
+  def toFile(path: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), html)
+
+  /** Tidy queryable stats DataFrame — our Spark-native extension. */
+  def tidy: DataFrame = Profiler.profileTidy(df, cfg)
+}
+
+object ProfileReport {
+  def apply(df: DataFrame, cfg: ProfilerConfig = ProfilerConfig(),
+      title: String = "graft profile"): ProfileReport =
+    new ProfileReport(df, cfg, title)
+}

@@ -1,0 +1,119 @@
+package graft.report
+
+import graft.profiler.{ColumnProfile, TableProfile}
+
+/** Self-contained HTML rendering of a [[TableProfile]] — the
+  * Spark-native analogue of the reference's jinja2 + matplotlib layer
+  * (spark_df_profiling/templates/ *.html, base.py::to_html ≈L400–470,
+  * formatters.py). Histograms render as inline SVG bars instead of
+  * base64 PNGs (no matplotlib dependency); formatters mirror
+  * formatters.py's fmt_percent / fmt_bytesize / numeric formatting. */
+object HtmlReport {
+
+  // ---- formatters (reference: spark_df_profiling/formatters.py) ----
+
+  def fmtPercent(v: Double): String = f"${v * 100}%.1f%%"
+
+  def fmtNumber(v: Double): String =
+    if (v == v.floor && math.abs(v) < 1e15) f"${v.toLong}%,d"
+    else if (math.abs(v) >= 1e6 || (v != 0 && math.abs(v) < 1e-3))
+      f"$v%.5e"
+    else f"$v%.5f"
+
+  def fmtBytesize(n: Double): String = {
+    val units = Seq("B", "KiB", "MiB", "GiB", "TiB", "PiB")
+    var v = n; var i = 0
+    while (math.abs(v) >= 1024.0 && i < units.size - 1) { v /= 1024.0; i += 1 }
+    f"$v%.1f ${units(i)}"
+  }
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def statRow(k: String, v: String): String =
+    s"<tr><th>${esc(k)}</th><td>${esc(v)}</td></tr>"
+
+  private def miniHistogram(h: Seq[(Long, Long)]): String = {
+    if (h.isEmpty) return ""
+    val maxC = math.max(1L, h.map(_._2).max)
+    val bars = h.map { case (bin, cnt) =>
+      val hgt = math.max(1, (cnt * 60) / maxC)
+      s"""<rect x="${bin * 16}" y="${62 - hgt}" width="14" height="$hgt" class="bar"><title>bin $bin: $cnt</title></rect>"""
+    }.mkString
+    s"""<svg width="${h.map(_._1).max * 16 + 16}" height="64" class="hist">$bars</svg>"""
+  }
+
+  private def columnCard(c: ColumnProfile): String = {
+    val common = Seq(
+      statRow("Type", c.kind),
+      statRow("Count", c.count.toString),
+      statRow("Missing", s"${c.missing} (${fmtPercent(c.pMissing)})"),
+      statRow("Distinct", c.distinct.toString),
+      statRow("Unique", fmtPercent(c.pUnique)))
+    val numeric = Seq("mean" -> "Mean", "min" -> "Min", "max" -> "Max",
+      "sum" -> "Sum", "sd" -> "Std dev", "var" -> "Variance",
+      "sk" -> "Skewness", "ku" -> "Kurtosis", "n_zeros" -> "Zeros")
+      .flatMap { case (k, label) =>
+        c.stats.get(k).map(v => statRow(label, fmtNumber(v)))
+      }
+    val quant = Seq("p05" -> "5%", "q1" -> "Q1", "median" -> "Median",
+      "q3" -> "Q3", "p95" -> "95%").flatMap { case (k, label) =>
+        c.quantiles.get(k).map(v => statRow(label, fmtNumber(v)))
+      }
+    val freq =
+      if (c.topValues.isEmpty) ""
+      else "<table class='freq'><tr><th>Value</th><th>Count</th></tr>" +
+        c.topValues.map { case (v, n) =>
+          s"<tr><td>${esc(v)}</td><td>$n</td></tr>"
+        }.mkString + "</table>"
+    s"""<div class="col card" id="col-${esc(c.name)}">
+       |<h3>${esc(c.name)} <span class="kind">${c.kind}</span></h3>
+       |<div class="row">
+       |<table class="stats">${(common ++ numeric ++ quant).mkString}</table>
+       |${miniHistogram(c.histogram)}
+       |$freq
+       |</div></div>""".stripMargin
+  }
+
+  def render(p: TableProfile, title: String = "graft profile",
+      sample: Seq[Seq[String]] = Seq.empty): String = {
+    val overview =
+      s"""<div class="card"><h2>Overview</h2><table class="stats">
+         |${statRow("Number of rows", p.n.toString)}
+         |${statRow("Number of variables", p.nvar.toString)}
+         |${statRow("Total missing", fmtPercent(p.pMissing))}
+         |${statRow("Rejected variables", p.rejected.size.toString)}
+         |</table></div>""".stripMargin
+    val warnings =
+      if (p.warnings.isEmpty) ""
+      else s"""<div class="card warnings"><h2>Warnings</h2><ul>${p.warnings
+        .map(w => s"<li>${esc(w)}</li>").mkString}</ul></div>"""
+    val sampleHtml =
+      if (sample.isEmpty) ""
+      else {
+        val rows = sample.map(r =>
+          "<tr>" + r.map(v => s"<td>${esc(v)}</td>").mkString + "</tr>")
+        s"""<div class="card"><h2>Sample</h2><table class="freq">${rows.mkString}</table></div>"""
+      }
+    s"""<!DOCTYPE html><html><head><meta charset="utf-8">
+       |<title>${esc(title)}</title><style>
+       |body{font-family:sans-serif;margin:2em;background:#fafafa}
+       |.card{background:#fff;border:1px solid #ddd;border-radius:6px;
+       |  padding:1em;margin-bottom:1em}
+       |.col .row{display:flex;gap:2em;align-items:flex-start}
+       |table.stats th{text-align:left;padding-right:1em;color:#555}
+       |table.freq{border-collapse:collapse}
+       |table.freq td,table.freq th{border:1px solid #eee;padding:2px 8px}
+       |.kind{font-size:0.7em;color:#888;border:1px solid #ccc;
+       |  border-radius:4px;padding:1px 5px}
+       |.hist .bar{fill:#337ab7}
+       |.warnings li{color:#8a6d3b}
+       |</style></head><body>
+       |<h1>${esc(title)}</h1>
+       |$overview
+       |$warnings
+       |${p.columns.map(columnCard).mkString("\n")}
+       |$sampleHtml
+       |</body></html>""".stripMargin
+  }
+}

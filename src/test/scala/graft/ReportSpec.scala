@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.profiler.ProfilerConfig
+
+class ReportSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("x", DoubleType),
+    StructField("k", StringType)))
+
+  private val df = spark.createDataFrame(
+    (1 to 30).map(i => Row(i.toLong, (i % 7).toDouble,
+      if (i % 2 == 0) "even" else "odd")).asJava, schema)
+
+  test("ProfileReport mirrors the reference API surface") {
+    val report = ProfileReport(df, ProfilerConfig(), title = "t1")
+    val desc = report.getDescription
+    assert(desc.n == 30L && desc.nvar == 3)
+    assert(report.getRejectedVariables().isEmpty)
+    val html = report.html
+    assert(html.startsWith("<!DOCTYPE html>"))
+    Seq("id", "x", "k", "Overview", "Sample", "svg").foreach(s =>
+      assert(html.contains(s), s"html must contain $s"))
+    val out = java.nio.file.Files.createTempFile("profile", ".html")
+    report.toFile(out.toString)
+    assert(java.nio.file.Files.size(out) > 1000)
+    assert(report.tidy.count() > 10)
+  }
+
+  test("html escapes content and formats percentages") {
+    assert(graft.report.HtmlReport.fmtPercent(0.1234) == "12.3%")
+    assert(graft.report.HtmlReport.fmtBytesize(2048) == "2.0 KiB")
+    val p = graft.profiler.TableProfile(1, 1, 0, 0.0,
+      Seq(graft.profiler.ColumnProfile("a<b", "CAT", 1, 0, 0.0, 1, 1.0,
+        Map.empty, Map.empty, Seq.empty, Seq("<x>" -> 1L))),
+      Seq.empty, Seq.empty)
+    val html = graft.report.HtmlReport.render(p)
+    assert(html.contains("a&lt;b") && html.contains("&lt;x&gt;"))
+    assert(!html.contains("<x>"))
+  }
+}
