@@ -88,9 +88,15 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64): DataFrame = {
     val sh = shingleIndex(df, idCol, textCol, n)
+    // hash the (variable-length) shingle string ONCE, then derive the
+    // family by re-hashing the resulting fixed 8-byte long with per-
+    // view seeds — avoids 64 string traversals per shingle. (A
+    // wrapping a·h+b family would be cheaper still, but long overflow
+    // is an error under ANSI mode.)
+    val hashed = sh.withColumn("h", xxhash64(col("shingle")))
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
+    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash-LSH near-dup candidates: signatures are cut into

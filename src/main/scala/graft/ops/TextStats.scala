@@ -118,10 +118,23 @@ object TextStats {
   def charCodes(textCol: String): Column =
     expr(s"transform(split($textCol, ''), ch -> ascii(ch))")
 
-  def fingerprints(df: DataFrame, idCol: String, textCol: String)
-      : DataFrame =
+  /** Composed-builtins fingerprint (kept for cross-checking the
+    * native expression; same values on ASCII text). */
+  def fingerprintsComposed(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
     df.where(length(col(textCol)) >= FpGram)
       .withColumn("codes", charCodes(textCol))
       .select(col(idCol).as("doc_id"), fingerprintExpr(textCol).as("fp"))
+      .orderBy("doc_id")
+
+  /** Production path: the native codegen'd
+    * [[graft.functions.RollingMinHash]] expression — one O(len)
+    * rolling loop, no per-row array materialization. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.where(length(col(textCol)) >= FpGram)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.RollingMinHash
+          .rolling_min_hash(col(textCol), FpGram).as("fp"))
       .orderBy("doc_id")
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.RollingMinHash
+import graft.ops.TextStats
+
+class FunctionsSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private val docs = spark.createDataFrame(Seq(
+    Row(0L, "the quick brown fox jumps over the lazy dog"),
+    Row(1L, "pack my box with five dozen liquor jugs"),
+    Row(2L, "short"),
+    Row(3L, "exactly8!")
+  ).asJava, docSchema)
+
+  test("native rolling_min_hash equals the composed-builtins form") {
+    val nat = TextStats.fingerprints(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val comp = TextStats.fingerprintsComposed(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nat == comp)
+    assert(!nat.contains(2L)) // shorter than gram => filtered
+  }
+
+  test("rolling_min_hash: nulls, short strings, SQL registration") {
+    val withNull = spark.createDataFrame(
+      Seq(Row(0L, null), Row(1L, "a plausible document")).asJava,
+      docSchema)
+    val r = withNull.select(col("doc_id"),
+      RollingMinHash.rolling_min_hash(col("text")).as("fp")).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None
+                                 else Some(x.getLong(1)))).toMap
+    assert(r(0L).isEmpty)
+    assert(r(1L).isDefined)
+    RollingMinHash.register(spark)
+    docs.createOrReplaceTempView("fndocs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, rolling_min_hash(text, 8) AS fp FROM fndocs " +
+        "WHERE length(text) >= 8 ORDER BY doc_id").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val direct = TextStats.fingerprints(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(viaSql == direct)
+  }
+
+  test("rolling_min_hash matches a hand-rolled reference on random ASCII") {
+    def ref(s: String, gram: Int): Option[Long] = {
+      if (s.length < gram) None
+      else Some((0 to s.length - gram).map { i =>
+        s.substring(i, i + gram).foldLeft(0L)((h, c) => h * 31L + c.toLong)
+      }.min)
+    }
+    val rng = new scala.util.Random(7)
+    val strs = (0 until 50).map { i =>
+      i.toLong -> rng.alphanumeric.take(rng.nextInt(40) + 1).mkString
+    }
+    val df = spark.createDataFrame(
+      strs.map { case (i, s) => Row(i, s) }.asJava, docSchema)
+    val got = df.select(col("doc_id"),
+      RollingMinHash.rolling_min_hash(col("text")).as("fp")).collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) None
+                                 else Some(x.getLong(1)))).toMap
+    strs.foreach { case (i, s) => assert(got(i) == ref(s, 8), s"doc $i") }
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.profiler.Stats
+
+/** ScalaCheck-generator-driven properties over the core statistics
+  * (SURVEY.md §5.2): invariants that must hold for ANY input column.
+  * Sampling is explicit (fixed seeds — deterministic CI) because only
+  * scalatest + scalacheck are on the classpath, not scalatestplus. */
+class PropertySpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private val schema = StructType(Seq(StructField("x", DoubleType)))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default.withSize(30), Seed(i.toLong)))
+
+  private val colGen: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-1e6, 1e6))
+
+  private def mk(xs: List[Double]) =
+    spark.createDataFrame(xs.map(Row(_)).asJava, schema)
+
+  test("histogram bins partition the non-null count") {
+    samples(colGen, 8).foreach { xs =>
+      val bins = Stats.histogram(mk(xs), Seq("x"), bins = 10).collect()
+      assert(bins.map(_.getAs[Long]("cnt")).sum == xs.size.toLong,
+        s"input $xs")
+      assert(bins.forall { r =>
+        val b = r.getAs[Long]("bin"); b >= 0 && b <= 9
+      })
+    }
+  }
+
+  test("quantiles are monotone and bounded by min/max") {
+    samples(colGen, 8).foreach { xs =>
+      val r = Stats.quantiles(mk(xs), Seq("x")).collect().head
+      val qs = Seq("p05", "q1", "median", "q3", "p95")
+        .map(r.getAs[Double])
+      assert(qs == qs.sorted, s"input $xs")
+      assert(qs.head >= xs.min - math.abs(xs.min) * 1e-4 - 1e-6)
+      assert(qs.last <= xs.max + math.abs(xs.max) * 1e-4 + 1e-6)
+    }
+  }
+
+  test("0 <= p_missing <= 1 and missing + cnt = n") {
+    val optGen = Gen.nonEmptyListOf(Gen.option(Gen.chooseNum(-1e3, 1e3)))
+    samples(optGen, 8).foreach { xs =>
+      val df = spark.createDataFrame(
+        xs.map(o => Row(o.map(Double.box).orNull)).asJava, schema)
+      val r = Stats.counts(df, Seq("x")).collect().head
+      val p = r.getAs[Double]("p_missing")
+      assert(p >= 0.0 && p <= 1.0)
+      assert(r.getAs[Long]("cnt") + r.getAs[Long]("n_missing") ==
+        xs.size.toLong)
+    }
+  }
+
+  test("moments: variance nonnegative; mean within [min,max]") {
+    samples(colGen.suchThat(_.size >= 2), 8).foreach { xs =>
+      val r = Stats.moments(mk(xs), Seq("x")).collect().head
+      assert(r.getAs[Double]("variance") >= 0.0)
+      val mean = r.getAs[Double]("mean")
+      assert(mean >= r.getAs[Double]("min_val") - 1e-6 &&
+        mean <= r.getAs[Double]("max_val") + 1e-6, s"input $xs")
+    }
+  }
+
+  test("sig5 is idempotent") {
+    import graft.det.Sig.sig5
+    import org.apache.spark.sql.functions.col
+    samples(colGen, 8).foreach { xs =>
+      val df = mk(xs)
+      val once = df.select(sig5(col("x")).as("r")).collect()
+        .map(_.getDouble(0))
+      val twice = df.select(sig5(sig5(col("x"))).as("r")).collect()
+        .map(_.getDouble(0))
+      assert(once.toSeq == twice.toSeq, s"input $xs")
+    }
+  }
+}
