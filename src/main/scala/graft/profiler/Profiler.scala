@@ -168,9 +168,14 @@ object Profiler {
       }
 
     // ---- pass C: histograms + frequency tables (one job each) ----
+    val mnMap = numCols.map(c =>
+      c -> aDouble(s"min__$c").getOrElse(Double.NaN)).toMap
+    val mxMap = numCols.map(c =>
+      c -> aDouble(s"max__$c").getOrElse(Double.NaN)).toMap
     val histRows: Map[String, Seq[(Long, Long)]] =
       if (numCols.isEmpty) Map.empty
-      else Stats.histogram(df, numCols, cfg.bins).collect()
+      else Stats.histogramWithBounds(df, numCols, cfg.bins, mnMap, mxMap)
+        .collect()
         .groupBy(_.getString(0))
         .map { case (k, rs) =>
           k -> rs.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("cnt")))

@@ -288,6 +288,15 @@ object Stats {
       c -> (if (mm.isNullAt(2 * i + 1)) Double.NaN
             else mm.getDouble(2 * i + 1))
     }.toMap
+    histogramWithBounds(df, cols, bins, mnMap, mxMap)
+  }
+
+  /** Histogram with already-known per-column bounds (Profiler reuses
+    * pass A's min/max so the whole profile stays at a fixed job
+    * count — no redundant scan). */
+  def histogramWithBounds(df: DataFrame, cols: Seq[String], bins: Int,
+      mnMap: Map[String, Double], mxMap: Map[String, Double])
+      : DataFrame = {
     // Bin per row once, then `bins` conditional sums per column in ONE
     // shuffle-free aggregation — no row explosion, stays inside
     // whole-stage codegen (vs an explode→groupBy, which multiplies

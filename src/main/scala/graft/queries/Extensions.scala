@@ -65,6 +65,9 @@ object Extensions {
       EventOps.sessionize(t(s, dir, "events"))),
     "events_props" -> ((s, dir) =>
       EventOps.propsKStats(t(s, dir, "events"))),
+    // ---- nested-type profiling ----
+    "array_profile" -> ((s, dir) =>
+      ArrayStats.profile(t(s, dir, "embeddings"), "embedding")),
     // ---- star-schema joins ----
     "join_revenue_nation" -> ((s, dir) =>
       StarJoins.revenueByNation(s, dir)),
@@ -208,6 +211,18 @@ object Extensions {
        |${sig("avg(k)")} AS avg_k, min(k) AS min_k, max(k) AS max_k
        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  val arrayProfileSql: String =
+    s"""WITH l AS (SELECT len(embedding) AS ln FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       |la AS (SELECT count(*) AS n_arrays, ${sig("avg(ln)")} AS avg_len,
+       |  CAST(min(ln) AS BIGINT) AS min_len,
+       |  CAST(max(ln) AS BIGINT) AS max_len FROM l),
+       |e AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+       |ea AS (SELECT count(*) AS elem_n, ${sig("avg(v)")} AS elem_mean,
+       |  min(v) AS elem_min, max(v) AS elem_max,
+       |  ${sig("stddev_samp(v)")} AS elem_std FROM e)
+       |SELECT * FROM la, ea""".stripMargin
+
   val joinRevenueNationSql: String =
     s"""SELECT n_name, count(*) AS n_lineitems,
        |${sig("sum(l_extendedprice * (1.0 - l_discount))")} AS revenue
@@ -241,6 +256,7 @@ object Extensions {
     "events_window" -> eventsWindowSql,
     "events_sessionize" -> eventsSessionizeSql,
     "events_props" -> eventsPropsSql,
+    "array_profile" -> arrayProfileSql,
     "join_revenue_nation" -> joinRevenueNationSql,
     "join_top_suppliers" -> joinTopSuppliersSql
   )

@@ -27,13 +27,22 @@ import graft.det.Sig.sig5
   */
 object StreamProfiler {
 
+  /** Event-time column normalization: nanosecond LONGs (parquet
+    * TIMESTAMP(NANOS) read under nanosAsLong) become micros-precision
+    * timestamps; anything else casts straight to timestamp. */
+  def eventTime(events: DataFrame, tsCol: String): Column =
+    if (events.schema(tsCol).dataType ==
+        org.apache.spark.sql.types.LongType)
+      timestamp_micros(expr(s"`$tsCol` div 1000"))
+    else col(tsCol).cast("timestamp")
+
   /** Tumbling-window count/mean/min/max per event type over an
     * event-time stream. Late rows beyond `watermark` are dropped. */
   def windowedStats(events: DataFrame, tsCol: String = "ts",
       watermark: String = "10 minutes", windowLen: String = "1 hour")
       : DataFrame =
     events
-      .withColumn("__ts", col(tsCol).cast("timestamp"))
+      .withColumn("__ts", eventTime(events, tsCol))
       .withWatermark("__ts", watermark)
       .groupBy(window(col("__ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("cnt"), avg("value").as("avg_value"),
@@ -58,7 +67,7 @@ object StreamProfiler {
           .as(s"z__$c"))
     }
     val w = events
-      .withColumn("__ts", col(tsCol).cast("timestamp"))
+      .withColumn("__ts", eventTime(events, tsCol))
       .withWatermark("__ts", watermark)
       .groupBy(window(col("__ts"), windowLen))
       .agg(aggs.head, aggs.tail: _*)
