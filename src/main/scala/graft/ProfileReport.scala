@@ -29,17 +29,30 @@ class ProfileReport(df: DataFrame,
   lazy val getDescription: TableProfile = Profiler.profile(df, cfg)
 
   /** Names of variables rejected for correlation ≥ threshold
-    * (reference: `get_rejected_variables(threshold)`). */
+    * (reference: `get_rejected_variables(threshold)`). Re-evaluates
+    * the stored correlation matrix, so thresholds both above AND
+    * below the profile's `corrReject` work. */
   def getRejectedVariables(
-      threshold: Double = cfg.corrReject): Seq[String] =
-    getDescription.rejected.collect {
-      case (name, _, rho) if rho >= threshold => name
-    }
+      threshold: Double = cfg.corrReject): Seq[String] = {
+    val desc = getDescription
+    val numCols = df.schema.fields
+      .filter(f => graft.profiler.Kinds.isNumeric(f.dataType))
+      .map(_.name).toSeq
+    val m = desc.correlations
+      .map { case (a, b, rho) => (a, b) -> Option(rho) }.toMap
+    graft.profiler.Stats.rejectFromMatrix(numCols, m, threshold)
+      .map(_._1)
+  }
 
-  /** Key-ordered head sample rendered into the report (reference
-    * stores `df.limit(sample).toPandas()`). */
+  /** Head sample rendered into the report (reference stores
+    * `df.limit(sample).toPandas()`); totally ordered over all columns
+    * because a bare LIMIT is nondeterministic in any distributed
+    * engine. */
   private lazy val sample: Seq[Seq[String]] = {
-    val head = df.limit(cfg.sampleRows).collect()
+    val head = df
+      .orderBy(df.columns.map(org.apache.spark.sql.functions.col)
+        .toSeq: _*)
+      .limit(cfg.sampleRows).collect()
     val header = df.columns.toSeq
     header +: head.toSeq.map(r =>
       (0 until r.length).map(i => String.valueOf(r.get(i))))

@@ -108,6 +108,9 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       minEstJaccard: Double = 0.5): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) or trailing " +
+        "signature hashes would be silently excluded from banding")
     val rows = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
     val bandStructs = (0 until bands).map { b =>

@@ -49,7 +49,10 @@ case class TableProfile(
     pMissing: Double,
     columns: Seq[ColumnProfile],
     rejected: Seq[(String, String, Double)],
-    warnings: Seq[String])
+    warnings: Seq[String],
+    /** full upper-triangle Pearson matrix (column order), so rejection
+      * can be re-evaluated at any threshold after profiling */
+    correlations: Seq[(String, String, Double)] = Seq.empty)
 
 /** The public profiling API (reference: `ProfileReport(df, …)`).
   *
@@ -193,10 +196,11 @@ object Profiler {
         }
 
     // ---- pass D: correlations + rejection ----
+    val corrM: Map[(String, String), Option[Double]] =
+      if (!cfg.correlations || numCols.size < 2) Map.empty
+      else Stats.collectCorrMatrix(df, numCols)
     val rejected: Seq[(String, String, Double)] =
-      if (!cfg.correlations || numCols.size < 2) Seq.empty
-      else Stats.corrReject(df, numCols, cfg.corrReject).collect()
-        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+      Stats.rejectFromMatrix(numCols, corrM, cfg.corrReject)
     val rejectedNames = rejected.map(_._1).toSet
 
     // ---- assemble ----
@@ -253,7 +257,10 @@ object Profiler {
     TableProfile(n, nvar, totalMissing,
       if (n == 0 || nvar == 0) 0.0
       else totalMissing.toDouble / (n.toDouble * nvar),
-      columns, rejected, warnings)
+      columns, rejected, warnings,
+      correlations = corrM.toSeq.collect {
+        case ((a, b), Some(rho)) => (a, b, rho)
+      }.sortBy(t => (t._1, t._2)))
   }
 
   /** Full profile flattened to a tidy queryable DataFrame

@@ -421,19 +421,34 @@ object Stats {
       : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val m = corrMatrix(df, cols).collect()
+    val m = collectCorrMatrix(df, cols)
+    rejectFromMatrix(cols, m, threshold)
+      .toDF("col_name", "correlated_with", "rho").orderBy("col_name")
+  }
+
+  /** Collected (col_a, col_b) → ρ matrix (upper triangle). */
+  def collectCorrMatrix(df: DataFrame, cols: Seq[String])
+      : Map[(String, String), Option[Double]] =
+    corrMatrix(df, cols).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         Option(r.get(2)).map(_.asInstanceOf[Double]))
       .toMap
+
+  /** Order-dependent rejection over a collected matrix — shared by
+    * the corr_reject query, Profiler, and
+    * ProfileReport.getRejectedVariables (which may re-apply a LOWER
+    * threshold than the profile was built with). */
+  def rejectFromMatrix(cols: Seq[String],
+      m: Map[(String, String), Option[Double]], threshold: Double)
+      : Seq[(String, String, Double)] = {
     val idx = cols.zipWithIndex.toMap
-    val rejected = cols.flatMap { b =>
+    cols.flatMap { b =>
       val hits = cols
         .filter(a => idx(a) < idx(b))
         .flatMap(a => m.getOrElse((a, b), None).filter(_ >= threshold)
           .map(rho => (idx(a), a, rho)))
       hits.sortBy(_._1).headOption.map { case (_, a, rho) => (b, a, rho) }
     }
-    rejected.toDF("col_name", "correlated_with", "rho").orderBy("col_name")
   }
 
   // -------------------------------------------------------------------

@@ -29,6 +29,7 @@ object HtmlReport {
 
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&#39;")
 
   private def statRow(k: String, v: String): String =
     s"<tr><th>${esc(k)}</th><td>${esc(v)}</td></tr>"

@@ -45,7 +45,7 @@ object StreamProfiler {
       .withColumn("__ts", eventTime(events, tsCol))
       .withWatermark("__ts", watermark)
       .groupBy(window(col("__ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), avg("value").as("avg_value"),
+      .agg(count(lit(1)).as("cnt"), sig5(avg("value")).as("avg_value"),
         min("value").as("min_value"), max("value").as("max_value"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("cnt"), col("avg_value"),

@@ -30,6 +30,21 @@ class ReportSpec extends SparkSpec {
     assert(report.tidy.count() > 10)
   }
 
+  test("getRejectedVariables honors thresholds below the profile's corrReject") {
+    val s = StructType(Seq(StructField("x", DoubleType),
+      StructField("y", DoubleType)))
+    val noisy = spark.createDataFrame(
+      (1 to 40).map(i => Row(i.toDouble,
+        i.toDouble + ((i * 7) % 11) * 9.0)).asJava, s)
+    val report = ProfileReport(noisy) // default corrReject = 0.9
+    val rho = report.getDescription.correlations
+      .collectFirst { case ("x", "y", r) => r }.get
+    assert(rho > 0.2 && rho < 0.9, s"fixture rho=$rho must be mid-range")
+    assert(report.getRejectedVariables() == Seq.empty)
+    assert(report.getRejectedVariables(rho - 0.05) == Seq("y"))
+    assert(report.getRejectedVariables(rho + 0.05) == Seq.empty)
+  }
+
   test("html escapes content and formats percentages") {
     assert(graft.report.HtmlReport.fmtPercent(0.1234) == "12.3%")
     assert(graft.report.HtmlReport.fmtBytesize(2048) == "2.0 KiB")

@@ -13,8 +13,9 @@ import os
 
 import duckdb
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.01"
+OUT = ARGS[1] if len(ARGS) > 1 else "/tmp/verify_out"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
