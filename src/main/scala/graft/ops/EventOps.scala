@@ -75,6 +75,18 @@ object EventOps {
         max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** Hierarchical aggregate via ROLLUP(event_type, user bucket):
+    * grouping-sets coverage (absent in the reference). The grand-total
+    * and per-type subtotal rows carry NULL group keys in both engines;
+    * output is made deterministic by COALESCE'd sort keys. */
+  def rollupStats(df: DataFrame): DataFrame =
+    df.select(col("event_type"), (col("user_id") % 4).as("user_bucket"),
+        col("value"))
+      .rollup("event_type", "user_bucket")
+      .agg(count(lit(1)).as("cnt"), sig5(avg("value")).as("avg_value"))
+      .orderBy(coalesce(col("event_type"), lit("~")),
+        coalesce(col("user_bucket"), lit(-1L)))
+
   /** Schema-on-read JSON parsing of props via from_json (the
     * production path; not oracle-checked because DuckDB's JSON
     * handling differs in nullability edge cases). */

@@ -36,6 +36,25 @@ object StarJoins {
       .orderBy("n_name")
   }
 
+  /** Set-operation coverage (absent in the reference — SURVEY §2.2):
+    * customers with orders in BOTH order-status classes (INTERSECT),
+    * in 'O' only (EXCEPT), and the distinct union count. Set ops
+    * compile to aggregate/anti-join plans Catalyst optimizes like any
+    * other — one row of counts keeps the oracle compact. */
+  def customerSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = load(s, dir, "orders")
+    val open = o.where(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    val closed = o.where(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    val both = open.intersect(closed)
+    val openOnly = open.except(closed)
+    val all = open.union(closed).distinct()
+    both.agg(count(lit(1)).as("n_both")).crossJoin(
+      openOnly.agg(count(lit(1)).as("n_open_only"))).crossJoin(
+      all.agg(count(lit(1)).as("n_any")))
+  }
+
   /** Top-3 suppliers by revenue within each nation: join + grouped
     * agg + ranking window (deterministic: rank on sig5(revenue) with
     * suppkey tie-break). */

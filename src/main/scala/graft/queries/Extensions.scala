@@ -72,7 +72,11 @@ object Extensions {
     "join_revenue_nation" -> ((s, dir) =>
       StarJoins.revenueByNation(s, dir)),
     "join_top_suppliers" -> ((s, dir) =>
-      StarJoins.topSuppliersPerNation(s, dir))
+      StarJoins.topSuppliersPerNation(s, dir)),
+    // ---- grouping sets / set ops (absent in reference — §2.2) ----
+    "events_rollup" -> ((s, dir) => EventOps.rollupStats(t(s, dir, "events"))),
+    "set_ops_customers" -> ((s, dir) =>
+      StarJoins.customerSetOps(s, dir))
   )
 
   // ------------------------- oracle SQL ---------------------------- //
@@ -244,6 +248,26 @@ object Extensions {
        |  FROM rev)
        |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin
 
+val eventsRollupSql: String =
+    s"""SELECT event_type, user_bucket, count(*) AS cnt,
+       |${sig("avg(value)")} AS avg_value
+       |FROM (SELECT event_type, user_id % 4 AS user_bucket, value
+       |      FROM events)
+       |GROUP BY ROLLUP(event_type, user_bucket)
+       |ORDER BY coalesce(event_type, '~'), coalesce(user_bucket, -1)""".stripMargin
+
+  val setOpsCustomersSql: String =
+    """WITH open AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      |closed AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+      |b AS (SELECT count(*) AS n_both FROM
+      |  (SELECT * FROM open INTERSECT SELECT * FROM closed)),
+      |oo AS (SELECT count(*) AS n_open_only FROM
+      |  (SELECT * FROM open EXCEPT SELECT * FROM closed)),
+      |a AS (SELECT count(*) AS n_any FROM
+      |  (SELECT DISTINCT o_custkey FROM orders
+      |   WHERE o_orderstatus IN ('O', 'F')))
+      |SELECT * FROM b, oo, a""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram" -> dedupNgramSql,
@@ -258,6 +282,9 @@ object Extensions {
     "events_props" -> eventsPropsSql,
     "array_profile" -> arrayProfileSql,
     "join_revenue_nation" -> joinRevenueNationSql,
-    "join_top_suppliers" -> joinTopSuppliersSql
+    "join_top_suppliers" -> joinTopSuppliersSql,
+    "events_rollup" -> eventsRollupSql,
+    "set_ops_customers" -> setOpsCustomersSql
   )
+
 }
