@@ -36,7 +36,8 @@ def run_verify():
            ["-Xmx8g", "-Dspark.ui.enabled=false",
             "-Dspark.sql.session.timeZone=UTC",
             "-cp", CP, "graft.Verify", SF, OUT])
-    env = dict(os.environ, SPARK_GRAFT_CPUS="4")
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CPUS", "4")
     r = subprocess.run(cmd, capture_output=True, text=True, env=env,
                        cwd="/root/repo")
     for line in r.stderr.splitlines():
