@@ -63,7 +63,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.5,
       maxDf: Option[Long] = None): DataFrame = {
+    // join on the shingle's xxhash64 instead of the string: smaller
+    // shuffle keys and long-equality probes. A 64-bit collision would
+    // inflate one intersection count; at D distinct shingles the
+    // probability is ~D²/2⁶⁵ (≈4e-8 for D=1e6) — negligible.
     val sh = shingleIndex(df, idCol, textCol, n, maxDf)
+      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
