@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.profiler.{Profiler, ProfilerConfig}
+
+/** Column-count stress: the fixed-pass architecture must hold for
+  * wide tables (the reference's per-column loop is O(k) jobs; ours
+  * must stay at the same handful of jobs and must not die on the
+  * codegen method-size limit). 40 numeric + 10 categorical columns. */
+class WideTableSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  test("50-column profile completes with sane results (scale config)") {
+    val numCols = (0 until 40).map(i => StructField(s"n$i", DoubleType))
+    val catCols = (0 until 10).map(i => StructField(s"c$i", StringType))
+    val schema = StructType(numCols ++ catCols)
+    val rows = (1 to 2000).map { r =>
+      Row.fromSeq(
+        (0 until 40).map(i => ((r * (i + 3) + i * 17) % 101).toDouble) ++
+          (0 until 10).map(i => s"v${(r + i) % 7}"))
+    }
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(4)
+    // scale config: HLL distinct (no 50-way expand), approx quantiles
+    val p = Profiler.profile(df, ProfilerConfig(
+      exactDistinct = false, exactQuantiles = false,
+      correlations = false))
+    assert(p.nvar == 50)
+    assert(p.columns.size == 50)
+    val n0 = p.columns.find(_.name == "n0").get
+    assert(n0.count == 2000L)
+    assert(n0.stats.contains("mean") && n0.stats.contains("sd"))
+    assert(n0.histogram.map(_._2).sum == 2000L)
+    val c0 = p.columns.find(_.name == "c0").get
+    assert(c0.topValues.nonEmpty)
+    // exact config must also survive (count-distinct Expand at k=50)
+    val pe = Profiler.profile(df.limit(500),
+      ProfilerConfig(correlations = false))
+    assert(pe.columns.size == 50)
+  }
+}
