@@ -34,14 +34,23 @@ class ProfileReport(df: DataFrame,
     * below the profile's `corrReject` work. */
   def getRejectedVariables(
       threshold: Double = cfg.corrReject): Seq[String] = {
-    val desc = getDescription
-    val numCols = df.schema.fields
-      .filter(f => graft.profiler.Kinds.isNumeric(f.dataType))
-      .map(_.name).toSeq
-    val m = desc.correlations
-      .map { case (a, b, rho) => (a, b) -> Option(rho) }.toMap
+    val numCols = graft.profiler.Kinds.numericCols(df)
+    val m = correlationMatrix
     graft.profiler.Stats.rejectFromMatrix(numCols, m, threshold)
       .map(_._1)
+  }
+
+  /** Correlations from the profile when available, computed on demand
+    * when the profile was built with correlations = false (so
+    * getRejectedVariables never silently reports "nothing rejected"
+    * for an unprofiled dimension). */
+  private lazy val correlationMatrix
+      : Map[(String, String), Option[Double]] = {
+    val numCols = graft.profiler.Kinds.numericCols(df)
+    val fromProfile = getDescription.correlations
+    if (fromProfile.nonEmpty || numCols.size < 2 || cfg.correlations)
+      fromProfile.map { case (a, b, rho) => (a, b) -> Option(rho) }.toMap
+    else graft.profiler.Stats.collectCorrMatrix(df, numCols)
   }
 
   /** Head sample rendered into the report (reference stores

@@ -50,9 +50,14 @@ object Dedup {
     maxDf match {
       case None => sh
       case Some(cap) =>
-        val dfreq = sh.groupBy("shingle")
-          .agg(count(lit(1)).as("df")).where(col("df") <= cap)
-        sh.join(broadcast(dfreq.select("shingle")), Seq("shingle"))
+        // broadcast the HOT side: shingles with df > cap are few by
+        // construction (each needs > cap docs), while the sub-cap
+        // vocabulary is corpus-sized and could never be broadcast at
+        // 100 TB. left_anti drops the hot ones.
+        val hot = sh.groupBy("shingle")
+          .agg(count(lit(1)).as("df")).where(col("df") > cap)
+          .select("shingle")
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
   }
 

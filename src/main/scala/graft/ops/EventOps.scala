@@ -67,8 +67,10 @@ object EventOps {
     * `from_json` parsing (propsParsed) for real pipelines. */
   def propsKStats(df: DataFrame): DataFrame =
     df.select(col("event_type"),
-        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long")
-          .as("k"))
+        // regexp_extract returns '' on no match and ANSI CAST('')
+        // throws — nullif mirrors the oracle's TRY_CAST semantics
+        nullif(regexp_extract(col("props"), "\"k\": (\\d+)", 1), lit(""))
+          .cast("long").as("k"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), count(col("k")).as("n_with_k"),
         sig5(avg("k")).as("avg_k"), min("k").as("min_k"),

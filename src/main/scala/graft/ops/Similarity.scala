@@ -77,6 +77,12 @@ object Similarity {
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
       numQueries: Int = 5, k: Int = 10, bits: Int = 8,
       dim: Int = 64): DataFrame = {
+    // zip_with null-pads on length mismatch, which would null every
+    // projection and collapse ALL vectors into bucket 0 (a silent
+    // full cross join) — fail fast instead
+    val actualDim = df.select(size(col(vecCol))).head().getInt(0)
+    require(actualDim == dim,
+      s"embedding dim $actualDim does not match configured dim $dim")
     val planes = hyperplanes(bits, dim)
     val base = df.select(col(idCol).as("vid"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"),

@@ -138,8 +138,7 @@ object Stats {
         min(d(c)).as(s"min__$c"), max(d(c)).as(s"max__$c"),
         sum(d(c)).as(s"sum__$c"))
     }
-    val r1 = df.agg(aggs1.head, aggs1.tail: _*)
-    val first = r1.first()
+    val first = df.agg(aggs1.head, aggs1.tail: _*).first()
     val muMap = cols.map { c =>
       val i = first.fieldIndex(s"mean__$c")
       c -> (if (first.isNullAt(i)) None else Some(first.getDouble(i)))
@@ -157,20 +156,28 @@ object Stats {
             sum(dev2 * dev2).as(s"s4__$c"))
       }
     }
-    val r2 = df.agg(aggs2.head, aggs2.tail: _*)
-    val row = r1.crossJoin(r2)
+    // pass-1 results ride as literals so the returned plan contains
+    // only the pass-2 agg — exactly two scans (a crossJoin(r1, r2)
+    // would re-execute r1's full-scan agg on collection)
+    val row = df.agg(aggs2.head, aggs2.tail: _*)
+    def l1(name: String): Column = {
+      val i = first.fieldIndex(name)
+      if (first.isNullAt(i)) lit(null).cast("double")
+      else lit(first.getDouble(i))
+    }
     val structs = cols.map { c =>
-      val n = col(s"n__$c").cast("double")
+      val nL = first.getLong(first.fieldIndex(s"n__$c"))
+      val n = lit(nL.toDouble)
       val m2 = col(s"s2__$c") / n
       val m3 = col(s"s3__$c") / n
       val m4 = col(s"s4__$c") / n
       struct(
         lit(c).as("col_name"),
-        col(s"n__$c").as("n"),
-        sig5(col(s"mean__$c")).as("mean"),
-        col(s"min__$c").as("min_val"),
-        col(s"max__$c").as("max_val"),
-        sig5(col(s"sum__$c")).as("sum_val"),
+        lit(nL).as("n"),
+        sig5(l1(s"mean__$c")).as("mean"),
+        l1(s"min__$c").as("min_val"),
+        l1(s"max__$c").as("max_val"),
+        sig5(l1(s"sum__$c")).as("sum_val"),
         sig5(when(n > 1, col(s"s2__$c") / (n - 1))).as("variance"),
         sig5(when(n > 1, sqrt(col(s"s2__$c") / (n - 1)))).as("stddev"),
         sig5(when(m2 > 0, m3 / sqrt(m2 * m2 * m2))).as("skewness"),
@@ -304,9 +311,13 @@ object Stats {
     val binCols = cols.map { c =>
       val mn = mnMap(c); val mx = mxMap(c)
       val w = (mx - mn) / bins.toDouble
+      // the isNotNull guard matters in BOTH branches: least(null, 9)
+      // returns 9 (least skips nulls), which would count null rows
+      // into the top bin
       val bin =
         if (mn.isNaN || mn == mx) when(col(c).isNotNull, lit(0L))
-        else least(floor((d(c) - lit(mn)) / lit(w)), lit(bins - 1L))
+        else when(col(c).isNotNull,
+          least(floor((d(c) - lit(mn)) / lit(w)), lit(bins - 1L)))
       bin.as(s"bin__$c")
     }
     val binned = df.select(binCols: _*)

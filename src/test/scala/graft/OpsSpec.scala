@@ -142,6 +142,18 @@ class OpsSpec extends SparkSpec {
     assert(r == Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 1L))
   }
 
+  test("props stats tolerate rows without the extracted key (ANSI)") {
+    val es = StructType(Seq(StructField("event_type", StringType),
+      StructField("props", StringType)))
+    val ev = spark.createDataFrame(Seq(
+      Row("a", "{\"k\": 7}"), Row("a", "{}"), Row("a", "{\"j\": 1}")
+    ).asJava, es)
+    val r = EventOps.propsKStats(ev).collect().head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Long]("n_with_k") == 1L)
+    assert(r.getAs[Double]("avg_k") == 7.0)
+  }
+
   test("windowed stats: hour alignment from integer micros") {
     val es = StructType(Seq(StructField("ts", LongType),
       StructField("event_type", StringType),

@@ -75,6 +75,14 @@ class StatsSpec extends SparkSpec {
     assert(h.last.getAs[Long]("cnt") == 10L)
   }
 
+  test("histogram: null rows are excluded, not binned (least(null,9)=9 trap)") {
+    val d2 = df(Seq(Row(1.0), Row(2.0), Row(null), Row(4.0), Row(0.0)),
+      StructType(Seq(StructField("x", DoubleType))))
+    val h = Stats.histogram(d2, Seq("x"), bins = 10).collect()
+    assert(h.map(_.getAs[Long]("cnt")).sum == 4L,
+      "null row must not be counted into any bin")
+  }
+
   test("histogram: constant column lands in a single bin 0") {
     val d2 = df(Seq(Row(5.0), Row(5.0), Row(5.0)),
       StructType(Seq(StructField("x", DoubleType))))
