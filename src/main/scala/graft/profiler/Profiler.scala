@@ -66,8 +66,9 @@ case class TableProfile(
   *           min/max for every column (partial/final hash aggregation,
   *           whole-stage codegen);
   *   pass B: one agg with all columns' percentiles;
-  *   pass C: one explode + groupBy for all histograms and frequency
-  *           tables (result bounded by k·max(bins, topK) rows);
+  *   pass C: shuffle-free conditional-sum histograms (reusing pass
+  *           A's bounds) + one unpivot/groupBy for all frequency
+  *           tables (results bounded by k·max(bins, topK) rows);
   *   pass D: one agg with all k(k−1)/2 Pearson correlations.
   *
   * Every result collected to the driver is O(k) — never proportional
