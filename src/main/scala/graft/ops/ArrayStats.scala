@@ -13,6 +13,22 @@ import graft.det.Sig.sig5
   * explode; no map column exists in the test fixtures. */
 object ArrayStats {
 
+  /** MapType profiling: per-key frequency (top `topK` keys) plus
+    * numeric value stats, through map_entries → explode. One scan,
+    * one small groupBy — same shape as the array path. */
+  def mapProfile(df: DataFrame, mapCol: String, topK: Int = 10)
+      : DataFrame = {
+    val entries = df
+      .select(explode(map_entries(col(mapCol))).as("e"))
+      .select(col("e.key").cast("string").as("key"),
+        col("e.value").cast("double").as("value"))
+    entries.groupBy("key")
+      .agg(count(lit(1)).as("cnt"), sig5(avg("value")).as("avg_value"),
+        min("value").as("min_value"), max("value").as("max_value"))
+      .orderBy(col("cnt").desc, col("key").asc)
+      .limit(topK)
+  }
+
   def profile(df: DataFrame, arrCol: String): DataFrame = {
     val lens = df.agg(
       count(col(arrCol)).as("n_arrays"),

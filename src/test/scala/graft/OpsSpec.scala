@@ -127,6 +127,22 @@ class OpsSpec extends SparkSpec {
     assert(frames.count() > 0)
   }
 
+  test("map profile: key frequency and value stats via map_entries") {
+    val s = StructType(Seq(StructField("m",
+      MapType(StringType, DoubleType))))
+    val d = spark.createDataFrame(Seq(
+      Row(Map("a" -> 1.0, "b" -> 2.0)),
+      Row(Map("a" -> 3.0)),
+      Row(Map("b" -> 4.0, "c" -> 5.0))
+    ).asJava, s)
+    val r = ArrayStats.mapProfile(d, "m").collect()
+      .map(x => x.getString(0) ->
+        (x.getAs[Long]("cnt"), x.getAs[Double]("avg_value"))).toMap
+    assert(r("a") == (2L, 2.0))
+    assert(r("b") == (2L, 3.0))
+    assert(r("c")._1 == 1L)
+  }
+
   test("sessionize: 30-min gaps split sessions") {
     val es = StructType(Seq(StructField("user_id", LongType),
       StructField("event_id", LongType), StructField("ts", LongType)))
