@@ -158,6 +158,16 @@ class OpsSpec extends SparkSpec {
     assert(r == Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 1L))
   }
 
+  test("propsParsed: schema-on-read from_json extraction") {
+    val es = StructType(Seq(StructField("props", StringType)))
+    val ev = spark.createDataFrame(Seq(
+      Row("{\"k\": 42}"), Row("not json")).asJava, es)
+    val r = EventOps.propsParsed(ev)
+      .selectExpr("props_parsed.k AS k").collect()
+      .map(x => if (x.isNullAt(0)) None else Some(x.getLong(0)))
+    assert(r.toSeq == Seq(Some(42L), None))
+  }
+
   test("props stats tolerate rows without the extracted key (ANSI)") {
     val es = StructType(Seq(StructField("event_type", StringType),
       StructField("props", StringType)))

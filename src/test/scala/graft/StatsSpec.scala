@@ -135,6 +135,31 @@ class StatsSpec extends SparkSpec {
     assert(m.isNullAt(m.fieldIndex("mean")))
   }
 
+  test("kinds: booleans and decimals bucket like the reference") {
+    val s = StructType(Seq(StructField("b", BooleanType),
+      StructField("d", DecimalType(10, 2))))
+    val d2 = df(Seq(
+      Row(true, new java.math.BigDecimal("1.25")),
+      Row(false, new java.math.BigDecimal("2.50")),
+      Row(true, new java.math.BigDecimal("1.25"))), s)
+    val kinds = Stats.kinds(d2, Seq("b", "d")).collect()
+      .map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(kinds("b") == "CAT") // booleans are categorical (§1.2)
+    assert(kinds("d") == "NUM") // decimals take the numeric path
+    val m = Stats.moments(d2, Seq("d")).collect().head
+    assert(m.getAs[Double]("min_val") == 1.25)
+    assert(m.getAs[Double]("max_val") == 2.5)
+    val f = Stats.freq(d2, Seq("b")).collect()
+    assert(f.map(_.getAs[String]("value")).toSet == Set("true", "false"))
+  }
+
+  test("distinct: approx path returns HLL estimates in range") {
+    val d2 = df((1 to 500).map(i => Row(i.toDouble, i.toLong)), numSchema)
+    val r = Stats.distinct(d2, Seq("a"), approx = true).collect().head
+    val est = r.getAs[Long]("distinct_cnt")
+    assert(est > 400 && est < 600, s"HLL estimate $est off for 500")
+  }
+
   test("overview: missing percentage over all cells") {
     val o = Stats.overview(mixed, Seq("a", "b")).collect().head
     assert(o.getAs[Long]("n") == 5L)
