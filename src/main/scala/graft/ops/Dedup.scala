@@ -148,6 +148,53 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Embedding-cosine near-duplicate pairs: exact all-pairs self-join
+    * scored by cosine (the baseline; quadratic — test scale /
+    * per-bucket use). At corpus scale, pre-bucket with
+    * [[graft.ops.Similarity.lshBucket]] hyperplane signatures and run
+    * this within buckets ([[embedCosinePairsLsh]]). */
+  def embedCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.5): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.norm(col(vecCol)).as("nrm"))
+    // raw-cosine prefilter BEFORE the sig5 rounding: the rounding
+    // expression (log10/power CASE) costs ~7 µs interpreted per pair,
+    // which dominated the 2M-pair join (15 s → 4 s). sig5 can raise a
+    // value by at most ~6e-6 relative, so a 1e-4 margin keeps every
+    // pair the rounded filter would keep.
+    base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("raw"))
+      .where(col("raw") >= minCosine - 1e-4)
+      .select(col("id_a"), col("id_b"),
+        graft.det.Sig.sig5(col("raw")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Scale path for embedding near-dup: hyperplane-LSH bucket join —
+    * only vectors sharing a bucket are scored (approximate recall,
+    * linear candidate generation). */
+  def embedCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.5, bits: Int = 8, dim: Int = 64)
+      : DataFrame = {
+    val planes = Similarity.hyperplanes(bits, dim)
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.norm(col(vecCol)).as("nrm"),
+      Similarity.lshBucket(col(vecCol), planes).as("bucket"))
+    base.as("a").join(base.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (Similarity.dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm"))).as("raw"))
+      .where(col("raw") >= minCosine - 1e-4)
+      .select(col("id_a"), col("id_b"),
+        graft.det.Sig.sig5(col("raw")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .orderBy("id_a", "id_b")
+  }
+
   /** 64-bit SimHash over word unigrams: each token votes ±1 on every
     * bit of its xxhash64; the fingerprint takes the sign. One
     * explode + one groupBy. */

@@ -19,15 +19,21 @@ import graft.det.Sig.sig5
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a left-fold in doubles (deterministic order). */
+  /** Σ aᵢ·bᵢ in doubles via the native codegen'd
+    * [[graft.functions.ArrayDot]] loop (identical index-order fold as
+    * the composed zip_with+aggregate form, ~10× faster — the HOF
+    * lambdas evaluate interpreted per element). */
   def dot(a: Column, b: Column): Column =
+    graft.functions.ArrayDot.array_dot(a, b)
+
+  /** Composed-builtins dot product, kept for cross-checking the
+    * native expression in tests. */
+  def dotComposed(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Brute-force cosine top-k: rows with `idCol` < `numQueries` are
     * the query set (broadcast), every other row a candidate. Returns

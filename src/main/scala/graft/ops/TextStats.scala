@@ -68,6 +68,23 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** BPE-style pre-tokenizer pattern: optional leading space +
+    * letter-run | digit-run | punctuation-run — the GPT-2 regex shape
+    * restricted to constructs both Java regex and RE2 (the oracle's
+    * engine) support identically (no lookahead). */
+  val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+  /** Per-document token counting two ways: whitespace words and the
+    * BPE-ish pre-tokenization (what an LLM tokenizer's first stage
+    * would produce). */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("n_ws_tokens"),
+        expr(s"size(regexp_extract_all($textCol, '$BpePattern', 0))")
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Stopword-profile language ID: score every language's marker set
     * against the token stream; predict the alphabetically-first
     * language achieving the max score ('unknown' when all zero).

@@ -36,6 +36,9 @@ object Extensions {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
         maxHamming = 3)),
+    "dedup_embed" -> ((s, dir) =>
+      Dedup.embedCosinePairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", minCosine = 0.5)),
     // ---- similarity search ----
     "embed_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id",
@@ -52,6 +55,8 @@ object Extensions {
       TextStats.langIdConfusion(t(s, dir, "documents"), "text", "lang")),
     "doc_fingerprint" -> ((s, dir) =>
       TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+    "text_tokens" -> ((s, dir) =>
+      TextStats.tokenCounts(t(s, dir, "documents"), "doc_id", "text")),
     // ---- multimodal ----
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(
@@ -268,14 +273,37 @@ val eventsRollupSql: String =
       |   WHERE o_orderstatus IN ('O', 'F')))
       |SELECT * FROM b, oo, a""".stripMargin
 
+  val dedupEmbedSql: String = {
+    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |            FROM embeddings, range(1, 65) t(i)),
+       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY vec_id),
+       |dot AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.v * b.v) AS dp
+       |        FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
+       |        GROUP BY 1, 2),
+       |cos AS (SELECT ia, ib, $cosExpr AS cosine
+       |        FROM dot JOIN nrm na ON na.vec_id = dot.ia
+       |        JOIN nrm nb ON nb.vec_id = dot.ib)
+       |SELECT ia AS id_a, ib AS id_b, cosine FROM cos
+       |WHERE cosine >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  val textTokensSql: String =
+    s"""SELECT doc_id,
+       |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |CAST(len(regexp_extract_all(text, '${TextStats.BpePattern}')) AS BIGINT) AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram" -> dedupNgramSql,
+    "dedup_embed" -> dedupEmbedSql,
     "embed_cosine_topk" -> embedCosineSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
     "doc_fingerprint" -> docFingerprintSql,
+    "text_tokens" -> textTokensSql,
     "multimodal_meta" -> multimodalMetaSql,
     "events_window" -> eventsWindowSql,
     "events_sessionize" -> eventsSessionizeSql,

@@ -49,6 +49,36 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql == direct)
   }
 
+  test("array_dot equals the composed zip_with+aggregate fold bit-for-bit") {
+    val vs = StructType(Seq(StructField("id", LongType),
+      StructField("a", ArrayType(FloatType)),
+      StructField("b", ArrayType(FloatType))))
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 100).map { i =>
+      Row(i.toLong, Seq.fill(64)(rng.nextFloat() - 0.5f),
+        Seq.fill(64)(rng.nextFloat() - 0.5f))
+    }
+    val df = spark.createDataFrame(rows.asJava, vs)
+    val got = df.select(
+      graft.functions.ArrayDot.array_dot(col("a"), col("b")).as("nat"),
+      graft.ops.Similarity.dotComposed(col("a"), col("b")).as("comp"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // null + mismatch semantics
+    val edge = spark.createDataFrame(Seq(
+      Row(0L, Seq(1.0f, 2.0f), Seq(3.0f)),
+      Row(1L, null, Seq(1.0f))).asJava, vs)
+    val e = edge.select(graft.functions.ArrayDot
+      .array_dot(col("a"), col("b")).as("d")).collect()
+    assert(e.forall(_.isNullAt(0)))
+    // SQL registration
+    graft.functions.ArrayDot.register(spark)
+    df.createOrReplaceTempView("adot")
+    assert(spark.sql(
+      "SELECT array_dot(a, a) >= 0 AS ok FROM adot").collect()
+      .forall(_.getBoolean(0)))
+  }
+
   test("rolling_min_hash matches a hand-rolled reference on random ASCII") {
     def ref(s: String, gram: Int): Option[Long] = {
       if (s.length < gram) None
