@@ -67,12 +67,11 @@ object Similarity {
     Array.fill(bits, dim)(rng.nextGaussian())
   }
 
-  /** LSH bucket signature: bit j = sign(v · plane_j). */
+  /** LSH bucket signature: bit j = sign(v · plane_j), each projection
+    * through the native codegen'd dot loop. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      val proj = aggregate(
-        zip_with(vec, lit(p), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = graft.functions.ArrayDot.array_dot(vec, typedLit(p))
       when(proj > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
