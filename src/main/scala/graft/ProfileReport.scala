@@ -59,8 +59,8 @@ class ProfileReport(df: DataFrame,
     * engine. */
   private lazy val sample: Seq[Seq[String]] = {
     val head = df
-      .orderBy(df.columns.map(org.apache.spark.sql.functions.col)
-        .toSeq: _*)
+      .orderBy(df.columns.toSeq
+        .map(c => graft.profiler.Stats.orderable(df, c)): _*)
       .limit(cfg.sampleRows).collect()
     val header = df.columns.toSeq
     header +: head.toSeq.map(r =>

@@ -88,7 +88,11 @@ object BottomKSketch {
       : (Double, Array[Long]) = {
     val spark = df.sparkSession
     import spark.implicits._
-    val hashes = df.select(xxhash64(col(colName)).as("h")).as[Long]
+    // xxhash64(NULL) returns the seed — a valid hash — which would
+    // count NULL as a distinct value; countDistinct semantics exclude
+    // nulls, so filter first
+    val hashes = df.where(col(colName).isNotNull)
+      .select(xxhash64(col(colName)).as("h")).as[Long]
     val sketch = hashes.select(bottomKOfHashes(k).as[Array[Long]])
       .head()
     (estimateDistinct(sketch, k), sketch)

@@ -179,8 +179,14 @@ object Dedup {
   def embedCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.5, bits: Int = 8, dim: Int = 64)
       : DataFrame = {
+    // same dim guard as Similarity.annTopK: a null projection would
+    // merge every vector into bucket 0 (silent all-pairs join)
+    val firstDim = df.select(size(col(vecCol))).take(1)
+    firstDim.headOption.foreach(r => require(r.getInt(0) == dim,
+      s"embedding dim ${r.getInt(0)} does not match configured dim $dim"))
     val planes = Similarity.hyperplanes(bits, dim)
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val base = df.where(size(col(vecCol)) === dim)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"),
       Similarity.lshBucket(col(vecCol), planes).as("bucket"))
     base.as("a").join(base.as("b"),

@@ -37,7 +37,10 @@ object Multimodal {
       batchSize: Int = 256): Dataset[MediaMeta] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    // rows with a null id/payload cannot be decoded — skip them (one
+    // null row would otherwise NPE the whole job inside decodeStub)
+    df.where(col(idCol).isNotNull && col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>

@@ -82,16 +82,21 @@ object Similarity {
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
       numQueries: Int = 5, k: Int = 10, bits: Int = 8,
       dim: Int = 64): DataFrame = {
-    // zip_with null-pads on length mismatch, which would null every
-    // projection and collapse ALL vectors into bucket 0 (a silent
-    // full cross join) — fail fast instead
-    val actualDim = df.select(size(col(vecCol))).head().getInt(0)
-    require(actualDim == dim,
-      s"embedding dim $actualDim does not match configured dim $dim")
+    // a null projection (dim mismatch) would collapse vectors into
+    // bucket 0 — a silent full cross join. Fail fast on the observed
+    // dim and drop any stragglers of a different length.
+    val firstDim = df.select(size(col(vecCol))).take(1)
+    if (firstDim.isEmpty) return df.sparkSession.emptyDataFrame
+      .select(lit(0L).as("query_id"), lit(0L).as("rnk"),
+        lit(0L).as("neighbor_id"), lit(0.0).as("cosine")).limit(0)
+    require(firstDim.head.getInt(0) == dim,
+      s"embedding dim ${firstDim.head.getInt(0)} does not match " +
+        s"configured dim $dim")
     val planes = hyperplanes(bits, dim)
-    val base = df.select(col(idCol).as("vid"), col(vecCol).as("v"),
-      norm(col(vecCol)).as("nrm"),
-      lshBucket(col(vecCol), planes).as("bucket"))
+    val base = df.where(size(col(vecCol)) === dim)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"),
+        lshBucket(col(vecCol), planes).as("bucket"))
     val q = base.where(col("vid") < numQueries)
       .select(col("vid").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("bucket").as("qbucket"))

@@ -90,8 +90,9 @@ object Profiler {
     val aggsA =
       Seq(count(lit(1)).as("__n")) ++
       allCols.flatMap { c =>
-        val dc = if (cfg.exactDistinct) countDistinct(col(c))
-                 else approx_count_distinct(col(c))
+        val oc = Stats.orderable(df, c)
+        val dc = if (cfg.exactDistinct) countDistinct(oc)
+                 else approx_count_distinct(oc)
         Seq(count(col(c)).as(s"cnt__$c"), dc.as(s"dis__$c"))
       } ++
       numCols.flatMap { c =>
@@ -124,29 +125,12 @@ object Profiler {
         val withMu = numCols.flatMap(c => aDouble(s"mean__$c").map(c -> _))
         if (withMu.isEmpty) Map.empty
         else {
-          val aggs2 = withMu.flatMap { case (c, mu) =>
-            val dev = dbl(c) - lit(mu)
-            val dev2 = dev * dev
-            Seq(sum(dev2).as(s"s2__$c"), sum(dev2 * dev).as(s"s3__$c"),
-              sum(dev2 * dev2).as(s"s4__$c"))
-          }
+          val aggs2 = Stats.centralSumAggs(withMu)
           val r2 = df.agg(aggs2.head, aggs2.tail: _*).first()
           withMu.map { case (c, _) =>
-            val nc = aLong(s"cnt__$c").toDouble
-            val s2 = r2.getAs[Double](s"s2__$c")
-            val s3 = r2.getAs[Double](s"s3__$c")
-            val s4 = r2.getAs[Double](s"s4__$c")
-            val m2 = s2 / nc
-            val stats = Map.newBuilder[String, Double]
-            if (nc > 1) {
-              stats += "var" -> s2 / (nc - 1)
-              stats += "sd" -> math.sqrt(s2 / (nc - 1))
-            }
-            if (m2 > 0) {
-              stats += "sk" -> s3 / nc / math.sqrt(m2 * m2 * m2)
-              stats += "ku" -> (s4 / nc / (m2 * m2) - 3.0)
-            }
-            c -> stats.result()
+            c -> Stats.momentsFromSums(aLong(s"cnt__$c"),
+              r2.getAs[Double](s"s2__$c"), r2.getAs[Double](s"s3__$c"),
+              r2.getAs[Double](s"s4__$c"))
           }.toMap
         }
       }

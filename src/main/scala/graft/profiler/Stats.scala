@@ -12,6 +12,13 @@ import graft.det.Sig.sig5
   * everything else (strings, booleans, nested) as CAT; CONST/UNIQUE
   * override based on distinct counts. */
 object Kinds {
+  /** MapType is not orderable/groupable in Spark — distinct counts,
+    * sorts and group-bys need a canonical proxy. */
+  def isOrderable(dt: DataType): Boolean = dt match {
+    case _: MapType => false
+    case _ => true
+  }
+
   def isNumeric(dt: DataType): Boolean = dt match {
     case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
         _: FloatType | _: DoubleType | _: DecimalType => true
@@ -48,6 +55,41 @@ object Stats {
 
   private def d(c: String): Column = col(c).cast("double")
 
+  /** Column usable in distinct/sort/groupBy positions: map columns go
+    * through a string cast (reference semantics: nested types profile
+    * only as frequency-style values — SURVEY.md §1.2). */
+  def orderable(df: DataFrame, c: String): Column =
+    if (Kinds.isOrderable(df.schema(c).dataType)) col(c)
+    else col(c).cast("string")
+
+  /** Fused Σ(x−μ)^{2,3,4} aggregate columns for the given
+    * (column, mean) pairs — shared by Stats.moments and Profiler
+    * pass A2 so the numerically-sensitive formulas live in one place. */
+  def centralSumAggs(withMu: Seq[(String, Double)]): Seq[Column] =
+    withMu.flatMap { case (c, mu) =>
+      val dev = d(c) - lit(mu)
+      val dev2 = dev * dev
+      Seq(sum(dev2).as(s"s2__$c"), sum(dev2 * dev).as(s"s3__$c"),
+        sum(dev2 * dev2).as(s"s4__$c"))
+    }
+
+  /** var/sd/skew/kurt from central sums (driver-side form). */
+  def momentsFromSums(n: Long, s2: Double, s3: Double, s4: Double)
+      : Map[String, Double] = {
+    val nc = n.toDouble
+    val m2 = s2 / nc
+    val b = Map.newBuilder[String, Double]
+    if (n > 1) {
+      b += "var" -> s2 / (nc - 1)
+      b += "sd" -> math.sqrt(s2 / (nc - 1))
+    }
+    if (m2 > 0) {
+      b += "sk" -> s3 / nc / math.sqrt(m2 * m2 * m2)
+      b += "ku" -> (s4 / nc / (m2 * m2) - 3.0)
+    }
+    b.result()
+  }
+
   /** ANSI-safe ratio: null when the denominator is 0 (only reachable
     * on empty/degenerate inputs; the oracle data never divides by 0). */
   private def ratio(num: Column, den: Column): Column =
@@ -83,8 +125,9 @@ object Stats {
   def distinct(df: DataFrame, cols: Seq[String], approx: Boolean = false)
       : DataFrame = {
     val aggs = cols.flatMap { c =>
+      val oc = orderable(df, c)
       val dc =
-        if (approx) approx_count_distinct(col(c)) else countDistinct(col(c))
+        if (approx) approx_count_distinct(oc) else countDistinct(oc)
       Seq(count(col(c)).as(s"cnt__$c"), dc.as(s"dis__$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
@@ -105,7 +148,7 @@ object Stats {
   def kinds(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(count(col(c)).as(s"cnt__$c"),
-        countDistinct(col(c)).as(s"dis__$c"))
+        countDistinct(orderable(df, c)).as(s"dis__$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -149,11 +192,7 @@ object Stats {
           Seq(lit(null).cast("double").as(s"s2__$c"),
             lit(null).cast("double").as(s"s3__$c"),
             lit(null).cast("double").as(s"s4__$c"))
-        case Some(mu) =>
-          val dev = d(c) - lit(mu)
-          val dev2 = dev * dev
-          Seq(sum(dev2).as(s"s2__$c"), sum(dev2 * dev).as(s"s3__$c"),
-            sum(dev2 * dev2).as(s"s4__$c"))
+        case Some(mu) => centralSumAggs(Seq(c -> mu))
       }
     }
     // pass-1 results ride as literals so the returned plan contains
@@ -474,7 +513,8 @@ object Stats {
         unix_micros(col(c).cast("timestamp")).as(s"${c}_us")
       else col(c)
     }
-    df.orderBy(orderCols.map(col): _*).limit(n).select(projected: _*)
+    df.orderBy(orderCols.map(c => orderable(df, c)): _*).limit(n)
+      .select(projected: _*)
   }
 
   // -------------------------------------------------------------------

@@ -143,6 +143,15 @@ class OpsSpec extends SparkSpec {
     assert(r("c")._1 == 1L)
   }
 
+  test("multimodal: null payload rows are skipped, not fatal") {
+    val s = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val d = spark.createDataFrame(Seq(
+      Row(1L, "abc".getBytes), Row(2L, null)).asJava, s)
+    val out = Multimodal.mediaMeta(d, "doc_id", "payload").collect()
+    assert(out.map(_.doc_id).toSeq == Seq(1L))
+  }
+
   test("sessionize: 30-min gaps split sessions") {
     val es = StructType(Seq(StructField("user_id", LongType),
       StructField("event_id", LongType), StructField("ts", LongType)))

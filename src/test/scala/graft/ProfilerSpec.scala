@@ -54,6 +54,20 @@ class ProfilerSpec extends SparkSpec {
     assert(x.distinct >= 17 && x.distinct <= 23) // HLL estimate (5% rsd)
   }
 
+  test("profile survives a MapType column (non-orderable distinct)") {
+    val s = StructType(Seq(StructField("id", LongType),
+      StructField("m", MapType(StringType, LongType))))
+    val d = spark.createDataFrame(Seq(
+      Row(1L, Map("a" -> 1L)), Row(2L, Map("b" -> 2L)),
+      Row(3L, Map("a" -> 1L))).asJava, s)
+    val p = Profiler.profile(d, ProfilerConfig(correlations = false))
+    val m = p.columns.find(_.name == "m").get
+    assert(m.kind == "CAT" && m.count == 3L)
+    assert(m.distinct == 2L) // via canonical string proxy
+    val report = ProfileReport(d, ProfilerConfig(correlations = false))
+    assert(report.html.contains("col-m")) // sample orderBy survives maps
+  }
+
   test("profile of all-null and single-row tables") {
     val s = StructType(Seq(StructField("a", DoubleType)))
     val allNull = spark.createDataFrame(

@@ -25,6 +25,14 @@ class SketchSpec extends SparkSpec {
       s"estimate $estB too far from 20000")
   }
 
+  test("nulls are not counted as a distinct value") {
+    val withNulls = spark.createDataFrame(
+      ((1L to 50L).map(v => Row(java.lang.Long.valueOf(v))) ++
+        Seq(Row(null), Row(null))).asJava, schema)
+    val (est, sketch) = BottomKSketch.distinctEstimate(withNulls, "v", 256)
+    assert(est == 50.0 && sketch.length == 50)
+  }
+
   test("deterministic and partition-independent") {
     val values = (1L to 5000L).map(i => i % 1000L)
     val a = BottomKSketch.distinctEstimate(mk(values, 2), "v", 64)

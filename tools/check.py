@@ -67,8 +67,9 @@ def main():
     with open(f"{OUT}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
-    dirs = sorted(d for d in os.listdir(OUT)
-                  if os.path.isdir(os.path.join(OUT, d)))
+    dirs = sorted(set(
+        d for d in os.listdir(OUT)
+        if os.path.isdir(os.path.join(OUT, d))) | set(oracle))
     for name in dirs:
         files = glob.glob(f"{OUT}/{name}/*.parquet")
         if not files:
