@@ -51,6 +51,22 @@ object StreamProfiler {
         col("event_type"), col("cnt"), col("avg_value"),
         col("min_value"), col("max_value"))
 
+  /** Streaming deduplication with bounded state: drops rows whose
+    * `keyCols` were already seen within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` — state is garbage-collected
+    * as event time advances, unlike a plain dropDuplicates whose
+    * state grows forever). This is the streaming twin of
+    * [[graft.ops.Dedup.exactStats]]'s content dedup: the ingest-time
+    * guard of a training-data pipeline, with the batch operators as
+    * the backfill/audit path. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "10 minutes")
+      : DataFrame =
+    events
+      .withColumn("__ts", eventTime(events, tsCol))
+      .withWatermark("__ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Windowed numeric profile: the batch profiler's fused moment agg
     * (count/mean/min/max/stddev + zeros) per tumbling window, for any
     * set of numeric columns — a continuously-maintained description

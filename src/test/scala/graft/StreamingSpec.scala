@@ -50,6 +50,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamProfiler.dedupWithinWatermark(
+      mem.toDF(), Seq("event_type"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedupstream")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(t(1), "a", 1.0), Ev(t(2), "a", 2.0),
+        Ev(t(3), "b", 3.0))
+      q.processAllAvailable()
+      mem.addData(Ev(t(4), "a", 4.0)) // still within horizon => dropped
+      q.processAllAvailable()
+      val out = spark.table("dedupstream").collect()
+      assert(out.map(_.getAs[String]("event_type")).sorted.toSeq ==
+        Seq("a", "b"))
+      assert(out.find(_.getAs[String]("event_type") == "a").get
+        .getAs[Double]("value") == 1.0) // first occurrence wins
+    } finally q.stop()
+  }
+
   test("windowed numeric profile emits per-column rows") {
     val sql = spark
     import sql.implicits._
