@@ -68,6 +68,19 @@ class ProfilerSpec extends SparkSpec {
     assert(report.html.contains("col-m")) // sample orderBy survives maps
   }
 
+  test("profile runs on every fixture table (arrays, nanos ts, json)") {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      val df = spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+      val p = Profiler.profile(df, ProfilerConfig(
+        exactDistinct = false, exactQuantiles = false))
+      assert(p.n > 0, s"$t rows")
+      assert(p.columns.size == df.columns.length, s"$t columns")
+      assert(p.columns.forall(_.count <= p.n), s"$t counts")
+    }
+  }
+
   test("profile of all-null and single-row tables") {
     val s = StructType(Seq(StructField("a", DoubleType)))
     val allNull = spark.createDataFrame(
