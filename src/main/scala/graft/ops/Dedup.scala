@@ -157,21 +157,29 @@ object Dedup {
       minCosine: Double = 0.5): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"))
-    // raw-cosine prefilter BEFORE the sig5 rounding: the rounding
-    // expression (log10/power CASE) costs ~7 µs interpreted per pair,
-    // which dominated the 2M-pair join (15 s → 4 s). sig5 can raise a
-    // value by at most ~6e-6 relative, so a 1e-4 margin keeps every
-    // pair the rounded filter would keep.
-    base.as("a").join(base.as("b"), col("a.id") < col("b.id"))
+    scoreCosinePairs(
+      base.as("a").join(base.as("b"), col("a.id") < col("b.id")),
+      minCosine)
+  }
+
+  /** Shared pair-scoring tail for the exact and LSH cosine dedup
+    * paths: raw-cosine prefilter BEFORE the sig5 rounding (the
+    * rounding expression costs ~7 µs interpreted per pair — it
+    * dominated the 2M-pair join at 15 s; sig5 can raise a value by
+    * at most ~6e-6 relative, so the 1e-4 margin keeps every pair
+    * the rounded filter would keep); zero-norm vectors excluded
+    * (their cosine is NULL via Similarity.cosine, never NaN). */
+  private def scoreCosinePairs(joined: DataFrame, minCosine: Double)
+      : DataFrame =
+    joined
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (Similarity.dot(col("a.v"), col("b.v")) /
-          (col("a.nrm") * col("b.nrm"))).as("raw"))
+        Similarity.cosine(Similarity.dot(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")).as("raw"))
       .where(col("raw") >= minCosine - 1e-4)
       .select(col("id_a"), col("id_b"),
         graft.det.Sig.sig5(col("raw")).as("cosine"))
       .where(col("cosine") >= minCosine)
       .orderBy("id_a", "id_b")
-  }
 
   /** Scale path for embedding near-dup: hyperplane-LSH bucket join —
     * only vectors sharing a bucket are scored (approximate recall,
@@ -181,7 +189,8 @@ object Dedup {
       : DataFrame = {
     // same dim guard as Similarity.annTopK: a null projection would
     // merge every vector into bucket 0 (silent all-pairs join)
-    val firstDim = df.select(size(col(vecCol))).take(1)
+    val firstDim = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1)
     firstDim.headOption.foreach(r => require(r.getInt(0) == dim,
       s"embedding dim ${r.getInt(0)} does not match configured dim $dim"))
     val planes = Similarity.hyperplanes(bits, dim)
@@ -189,16 +198,10 @@ object Dedup {
       .select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"),
       Similarity.lshBucket(col(vecCol), planes).as("bucket"))
-    base.as("a").join(base.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (Similarity.dot(col("a.v"), col("b.v")) /
-          (col("a.nrm") * col("b.nrm"))).as("raw"))
-      .where(col("raw") >= minCosine - 1e-4)
-      .select(col("id_a"), col("id_b"),
-        graft.det.Sig.sig5(col("raw")).as("cosine"))
-      .where(col("cosine") >= minCosine)
-      .orderBy("id_a", "id_b")
+    scoreCosinePairs(
+      base.as("a").join(base.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id")),
+      minCosine)
   }
 
   /** 64-bit SimHash over word unigrams: each token votes ±1 on every

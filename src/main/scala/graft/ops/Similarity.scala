@@ -35,6 +35,13 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine that is NULL (not NaN) for zero-norm vectors: 0/0 = NaN
+    * sorts ABOVE every number in Spark and passes >= thresholds, so a
+    * failed-encoder all-zero embedding would otherwise rank as the #1
+    * neighbor of every query. */
+  def cosine(dp: Column, na: Column, nb: Column): Column =
+    when(na > 0.0 && nb > 0.0, dp / (na * nb))
+
   /** Brute-force cosine top-k: rows with `idCol` < `numQueries` are
     * the query set (broadcast), every other row a candidate. Returns
     * (query_id, rnk, neighbor_id, cosine). */
@@ -47,8 +54,9 @@ object Similarity {
         col("nrm").as("qnrm"))
     val scored = base.join(broadcast(q), col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"),
-        sig5(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+        sig5(cosine(dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
           .as("cosine"))
+      .where(col("cosine").isNotNull)
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("vid").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))
@@ -85,7 +93,8 @@ object Similarity {
     // a null projection (dim mismatch) would collapse vectors into
     // bucket 0 — a silent full cross join. Fail fast on the observed
     // dim and drop any stragglers of a different length.
-    val firstDim = df.select(size(col(vecCol))).take(1)
+    val firstDim = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1)
     if (firstDim.isEmpty) return df.sparkSession.emptyDataFrame
       .select(lit(0L).as("query_id"), lit(0L).as("rnk"),
         lit(0L).as("neighbor_id"), lit(0.0).as("cosine")).limit(0)
@@ -103,8 +112,9 @@ object Similarity {
     val scored = base.join(broadcast(q),
         col("vid") =!= col("qid") && col("bucket") === col("qbucket"))
       .select(col("qid"), col("vid"),
-        sig5(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+        sig5(cosine(dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
           .as("cosine"))
+      .where(col("cosine").isNotNull)
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("vid").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long"))

@@ -22,14 +22,19 @@ object SkewJoin {
   def saltedEquiJoin(big: DataFrame, small: DataFrame, key: String,
       salt: Int = 16): DataFrame = {
     require(salt > 0)
+    // fresh helper-column name: withColumn would silently OVERWRITE a
+    // user column named __salt, corrupting data before the drop
+    val taken = (big.columns ++ small.columns).toSet
+    val saltCol = Iterator.from(0).map(i => s"__salt$i")
+      .find(!taken.contains(_)).get
     // per-row salt: any assignment works for correctness (each big
     // row just needs ONE salt); modular ids spread rows evenly
-    val bigS = big.withColumn("__salt",
+    val bigS = big.withColumn(saltCol,
       pmod(monotonically_increasing_id(), lit(salt.toLong)))
-    val smallS = small.withColumn("__salt",
+    val smallS = small.withColumn(saltCol,
       explode(sequence(lit(0L), lit(salt.toLong - 1L))))
     bigS.join(smallS,
-        bigS(key) === smallS(key) && bigS("__salt") === smallS("__salt"))
-      .drop(smallS(key)).drop(bigS("__salt")).drop(smallS("__salt"))
+        bigS(key) === smallS(key) && bigS(saltCol) === smallS(saltCol))
+      .drop(smallS(key)).drop(bigS(saltCol)).drop(smallS(saltCol))
   }
 }

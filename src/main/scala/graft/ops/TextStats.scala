@@ -81,7 +81,7 @@ object TextStats {
       : DataFrame =
     df.select(col(idCol).as("doc_id"),
         size(tokens(col(textCol))).cast("long").as("n_ws_tokens"),
-        expr(s"size(regexp_extract_all($textCol, '$BpePattern', 0))")
+        expr(s"size(regexp_extract_all(`$textCol`, '$BpePattern', 0))")
           .cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")
 
@@ -115,7 +115,7 @@ object TextStats {
     * whole doc). Pure integer arithmetic → exact. Docs shorter than
     * 8 chars are excluded. */
   val FpGram = 8
-  private val pow31: Array[Long] =
+  private[graft] val pow31: Array[Long] =
     Iterator.iterate(1L)(_ * 31L).take(FpGram).toArray.reverse
 
   def fingerprintExpr(textCol: String): Column = {
@@ -127,13 +127,13 @@ object TextStats {
       s"codes[i + $k - 1] * CAST(${pow31(k)} AS BIGINT)"
     }.mkString(" + ")
     expr(
-      s"array_min(transform(sequence(1, length($textCol) - ${FpGram - 1}), " +
+      s"array_min(transform(sequence(1, length(`$textCol`) - ${FpGram - 1}), " +
         s"i -> $terms))")
   }
 
   /** Char-code array for [[fingerprintExpr]] (`codes` column). */
   def charCodes(textCol: String): Column =
-    expr(s"transform(split($textCol, ''), ch -> ascii(ch))")
+    expr(s"transform(split(`$textCol`, ''), ch -> ascii(ch))")
 
   /** Composed-builtins fingerprint (kept for cross-checking the
     * native expression; same values on ASCII text). */

@@ -324,8 +324,13 @@ object Stats {
   // -------------------------------------------------------------------
   def histogram(df: DataFrame, cols: Seq[String], bins: Int = 10)
       : DataFrame = {
-    val mmAggs = cols.flatMap(c =>
-      Seq(min(d(c)).as(s"mn__$c"), max(d(c)).as(s"mx__$c")))
+    // exclude NaN from the bounds: max() treats NaN as greatest, and
+    // a NaN bound makes the bin width NaN → floor(NaN) = 0 would
+    // silently collapse every row into bin 0
+    val mmAggs = cols.flatMap { c =>
+      val finite = when(!isnan(d(c)), d(c))
+      Seq(min(finite).as(s"mn__$c"), max(finite).as(s"mx__$c"))
+    }
     val mm = df.agg(mmAggs.head, mmAggs.tail: _*).first()
     val mnMap = cols.zipWithIndex.map { case (c, i) =>
       c -> (if (mm.isNullAt(2 * i)) Double.NaN else mm.getDouble(2 * i))
@@ -354,8 +359,9 @@ object Stats {
       // returns 9 (least skips nulls), which would count null rows
       // into the top bin
       val bin =
-        if (mn.isNaN || mn == mx) when(col(c).isNotNull, lit(0L))
-        else when(col(c).isNotNull,
+        if (mn.isNaN || mn == mx)
+          when(col(c).isNotNull && !isnan(d(c)), lit(0L))
+        else when(col(c).isNotNull && !isnan(d(c)),
           least(floor((d(c) - lit(mn)) / lit(w)), lit(bins - 1L)))
       bin.as(s"bin__$c")
     }
@@ -433,29 +439,32 @@ object Stats {
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     val clean = df.na.drop(cols) // listwise deletion, mirroring reference
     val pairs = corrPairs(cols)
-    // k(k−1)/2 built-in `corr` aggregates each carry a 6-field
-    // DeclarativeAggregate buffer; at k=8 that blows past the 64 KB
-    // codegen method limit and falls back to interpreted eval (observed
-    // 6–20 s at sf0.1). Instead: plain power/cross sums — k·2 + C(k,2)
-    // + 1 simple `sum`s in one codegen'd hash agg — then ρ by formula.
-    // ρ = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²));
-    // divergence vs the oracle's corr() is ~1e-11 relative, far inside
-    // the sig5 rounding bucket.
-    val aggs = Seq(count(lit(1)).as("__n")) ++
-      cols.flatMap(c => Seq(
-        sum(d(c)).as(s"s__$c"), sum(d(c) * d(c)).as(s"ss__$c"))) ++
+    // Why not k(k−1)/2 built-in `corr` aggs: their 6-field buffers
+    // blow the 64 KB codegen method limit at k=8 → interpreted eval
+    // (observed 6–20 s at sf0.1). Why not raw power sums
+    // (n·Σxy − Σx·Σy): catastrophic cancellation for large-mean/
+    // small-variance columns (epoch-like values lose the entire
+    // variance signal below double precision). So: TWO passes of
+    // simple codegen'd sums — means first, then centered co-moments
+    // Σ(dx·dy)/Σdx²/Σdy² with the means as literals. Numerically
+    // stable at any scale; divergence vs the oracle's corr() is
+    // ~1e-12 relative, far inside the sig5 bucket.
+    val muAggs = cols.map(c => avg(d(c)).as(c))
+    val muRow = clean.agg(muAggs.head, muAggs.tail: _*).first()
+    val mu = cols.zipWithIndex.map { case (c, i) =>
+      c -> (if (muRow.isNullAt(i)) 0.0 else muRow.getDouble(i))
+    }.toMap
+    def dev(c: String): Column = d(c) - lit(mu(c))
+    val aggs =
+      cols.map(c => sum(dev(c) * dev(c)).as(s"ss__$c")) ++
       pairs.zipWithIndex.map { case ((a, b), i) =>
-        sum(d(a) * d(b)).as(s"sp__$i")
+        sum(dev(a) * dev(b)).as(s"sp__$i")
       }
     val row = clean.agg(aggs.head, aggs.tail: _*)
     val structs = pairs.zipWithIndex.map { case ((a, b), i) =>
-      val n = col("__n").cast("double")
-      val cov = n * col(s"sp__$i") - col(s"s__$a") * col(s"s__$b")
-      val va = n * col(s"ss__$a") - col(s"s__$a") * col(s"s__$a")
-      val vb = n * col(s"ss__$b") - col(s"s__$b") * col(s"s__$b")
-      val denom = sqrt(va) * sqrt(vb)
+      val denom = sqrt(col(s"ss__$a")) * sqrt(col(s"ss__$b"))
       struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        sig5(when(denom =!= 0.0, cov / denom)).as("rho"))
+        sig5(when(denom =!= 0.0, col(s"sp__$i") / denom)).as("rho"))
     }
     row.select(explode(array(structs: _*)).as("s")).select("s.*")
       .orderBy("col_a", "col_b")

@@ -170,8 +170,7 @@ object Extensions {
   }
 
   val docFingerprintSql: String = {
-    val pow31 = Iterator.iterate(1L)(_ * 31L).take(TextStats.FpGram)
-      .toArray.reverse
+    val pow31 = TextStats.pow31
     val terms = (0 until TextStats.FpGram).map { k =>
       s"ord(substr(text, i + $k, 1)) * CAST(${pow31(k)} AS BIGINT)"
     }.mkString(" + ")

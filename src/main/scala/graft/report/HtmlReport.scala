@@ -57,6 +57,12 @@ object HtmlReport {
       .flatMap { case (k, label) =>
         c.stats.get(k).map(v => statRow(label, fmtNumber(v)))
       }
+    val dates = Seq("dmn" -> "Min", "dmx" -> "Max").flatMap {
+      case (k, label) => c.stats.get(k).map { us =>
+        statRow(label, java.time.Instant
+          .ofEpochMilli((us / 1000.0).toLong).toString)
+      }
+    }
     val quant = Seq("p05" -> "5%", "q1" -> "Q1", "median" -> "Median",
       "q3" -> "Q3", "p95" -> "95%").flatMap { case (k, label) =>
         c.quantiles.get(k).map(v => statRow(label, fmtNumber(v)))
@@ -70,7 +76,7 @@ object HtmlReport {
     s"""<div class="col card" id="col-${esc(c.name)}">
        |<h3>${esc(c.name)} <span class="kind">${c.kind}</span></h3>
        |<div class="row">
-       |<table class="stats">${(common ++ numeric ++ quant).mkString}</table>
+       |<table class="stats">${(common ++ numeric ++ dates ++ quant).mkString}</table>
        |${miniHistogram(c.histogram)}
        |$freq
        |</div></div>""".stripMargin
