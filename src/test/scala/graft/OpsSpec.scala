@@ -86,6 +86,22 @@ class OpsSpec extends SparkSpec {
     assert(r.head.getAs[Double]("cosine") == 1.0)
   }
 
+  test("zero-norm embeddings never rank as neighbors or near-dups") {
+    val vecs = spark.createDataFrame(Seq(
+      Row(0L, Seq(1.0f, 0.0f)), Row(5L, Seq(0.0f, 0.0f)),
+      Row(6L, Seq(2.0f, 0.0f))).asJava,
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val top = Similarity.cosineTopK(vecs, "vec_id", "embedding",
+      numQueries = 1, k = 5).collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(6L),
+      "the zero vector must not appear (its cosine was NaN = rank 1)")
+    val pairs = Dedup.embedCosinePairs(vecs, "vec_id", "embedding",
+      minCosine = 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 6L)))
+  }
+
   test("text stats: token and stopword accounting") {
     val q = TextStats.quality(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap

@@ -83,6 +83,26 @@ class StatsSpec extends SparkSpec {
       "null row must not be counted into any bin")
   }
 
+  test("histogram: NaN values are excluded and do not poison the bounds") {
+    val d2 = df(Seq(Row(1.0), Row(2.0), Row(Double.NaN), Row(4.0)),
+      StructType(Seq(StructField("x", DoubleType))))
+    val h = Stats.histogram(d2, Seq("x"), bins = 10).collect()
+    assert(h.map(_.getAs[Long]("cnt")).sum == 3L)
+    assert(h.forall(r => !r.getAs[Double]("bin_lo").isNaN))
+  }
+
+  test("corr: stable for large-mean/small-variance columns") {
+    val s = StructType(Seq(StructField("x", DoubleType),
+      StructField("y", DoubleType)))
+    // epoch-like magnitudes with unit jitter: raw power sums would
+    // cancel catastrophically here
+    val d2 = df((1 to 1000).map(i =>
+      Row(1.7e9 + (i % 7).toDouble, 1.7e9 + ((i * 3) % 11).toDouble)), s)
+    val rho = Stats.corrMatrix(d2, Seq("x", "y")).collect()
+      .head.getDouble(2)
+    assert(!rho.isNaN && math.abs(rho) <= 1.0)
+  }
+
   test("histogram: constant column lands in a single bin 0") {
     val d2 = df(Seq(Row(5.0), Row(5.0), Row(5.0)),
       StructType(Seq(StructField("x", DoubleType))))
