@@ -256,14 +256,22 @@ object Stats {
   // Derived stats (D1–D3): range / IQR / CV — fused with the aggs they
   // derive from, one pass.
   // -------------------------------------------------------------------
-  def derived(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def derived(df: DataFrame, cols: Seq[String], approx: Boolean = false)
+      : DataFrame = {
     // one percentile agg per column (array percentage) — halves the
-    // exact-percentile buffering vs separate q1/q3 aggregates
+    // exact-percentile buffering vs separate q1/q3 aggregates. The
+    // `approx` switch mirrors `quantiles`: exact Hive percentile
+    // buffers every value per partition (ObjectHashAggregate) — a
+    // driver-OOM class at 100 TB — so the scale path uses the GK
+    // sketch (bounded memory) for the IQR inputs.
     val aggs = cols.flatMap { c =>
+      val qe =
+        if (approx)
+          s"percentile_approx(cast(`$c` as double), array(0.25D, 0.75D), 10000)"
+        else s"percentile(cast(`$c` as double), array(0.25D, 0.75D))"
       Seq(min(d(c)).as(s"min__$c"), max(d(c)).as(s"max__$c"),
         avg(d(c)).as(s"mean__$c"), stddev_samp(d(c)).as(s"sd__$c"),
-        expr(s"percentile(cast(`$c` as double), array(0.25D, 0.75D))")
-          .as(s"q__$c"))
+        expr(qe).as(s"q__$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val structs = cols.map { c =>
@@ -376,15 +384,23 @@ object Stats {
     val structs = cols.flatMap { c =>
       val mn = mnMap(c)
       val w = (mxMap(c) - mnMap(c)) / bins.toDouble
+      // upstream's create_hist_data (≈L62–115) emits ALL `bins`
+      // buckets including empty ones; keep that parity whenever the
+      // bounds are well-formed. Degenerate columns (all-null/all-NaN
+      // → NaN bounds, or min==max → zero width) have no meaningful
+      // edges, so only their non-empty buckets are emitted.
+      val wellFormed = !mn.isNaN && w > 0
       (0 until bins).map { b =>
         struct(lit(c).as("col_name"), lit(b.toLong).as("bin"),
           col(s"h__${c}__$b").as("cnt"),
           lit(mn + b.toDouble * w).as("bin_lo"),
-          lit(mn + (b + 1).toDouble * w).as("bin_hi"))
+          lit(mn + (b + 1).toDouble * w).as("bin_hi"),
+          lit(wellFormed).as("__keep_empty"))
       }
     }
     row.select(explode(array(structs: _*)).as("s")).select("s.*")
-      .where(col("cnt") > 0)
+      .where(col("cnt") > 0 || col("__keep_empty"))
+      .drop("__keep_empty")
       .orderBy("col_name", "bin")
   }
 
@@ -402,8 +418,19 @@ object Stats {
       .withColumnRenamed("count", "cnt")
     val w = Window.partitionBy("col_name")
       .orderBy(col("cnt").desc, col("value").asc)
-    counted.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= topK)
+    val ranked = counted.withColumn("rnk", row_number().over(w).cast("long"))
+    // "other values" remainder bucket (upstream shows top-k plus an
+    // aggregated other-count, base.py::describe_categorical_1d
+    // ≈L210–230 + templates/freq_table.html): one row per column with
+    // the non-top-k value count, emitted only when non-zero so
+    // low-cardinality columns keep their exact-table shape.
+    val other = ranked.where(col("rnk") > topK)
+      .groupBy("col_name")
+      .agg(sum("cnt").as("cnt"))
+      .select(col("col_name"), lit("__other__").as("value"), col("cnt"),
+        lit(topK + 1L).as("rnk"))
+    ranked.where(col("rnk") <= topK)
+      .unionByName(other)
       .orderBy("col_name", "rnk")
   }
 
@@ -540,5 +567,39 @@ object Stats {
       missing.as("n_missing_total"),
       sig5(ratio(missing, count(lit(1)) * lit(nvar.toDouble)))
         .as("p_missing"))
+  }
+
+  /** Overview variable-type breakdown (upstream's overview panel
+    * counts variables per profile kind — NUM/CAT/DATE/CONST/UNIQUE/
+    * CORR, base.py::to_html ≈L400–470). Kind precedence matches the
+    * Profiler: CORR (rejected) > CONST > UNIQUE > dtype bucket. One
+    * cnt/distinct agg + the (driver-side O(k²)-cell) correlation pass;
+    * every collected result is O(k), scale-independent. */
+  def kindCounts(df: DataFrame, cols: Seq[String],
+      corrThreshold: Double = 0.9): DataFrame = {
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt__$c"),
+        countDistinct(orderable(df, c)).as(s"dis__$c"))
+    }
+    val a = df.agg(aggs.head, aggs.tail: _*).first()
+    val numCols = cols.filter(c => Kinds.isNumeric(df.schema(c).dataType))
+    val rejected: Set[String] =
+      if (numCols.size < 2) Set.empty
+      else rejectFromMatrix(numCols,
+        collectCorrMatrix(df, numCols), corrThreshold).map(_._1).toSet
+    val kindsByCol = cols.map { c =>
+      val cnt = a.getAs[Long](s"cnt__$c")
+      val dis = a.getAs[Long](s"dis__$c")
+      if (rejected.contains(c)) "CORR"
+      else if (dis == 1) "CONST"
+      else if (dis == cnt && cnt > 1) "UNIQUE"
+      else Kinds.baseKind(df.schema(c).dataType)
+    }
+    val byKind = kindsByCol.groupBy(identity).view.mapValues(_.size.toLong)
+    val kindCols = Seq("NUM", "CAT", "DATE", "CONST", "UNIQUE", "CORR")
+      .map(k => lit(byKind.getOrElse(k, 0L)).as(s"n_${k.toLowerCase}"))
+    df.sparkSession.range(1).select(
+      lit(a.getAs[Long]("__n")).as("n") +:
+        lit(cols.size.toLong).as("nvar") +: kindCols: _*)
   }
 }

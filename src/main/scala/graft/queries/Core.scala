@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.profiler.Stats
 import graft.det.Sig
 
@@ -40,9 +41,29 @@ object Core {
     "num_zeros" -> ((s, dir) => Stats.zeros(li(s, dir), nums)),
     "num_histogram" -> ((s, dir) => Stats.histogram(li(s, dir), nums)),
     "cat_freq" -> ((s, dir) => Stats.freq(li(s, dir), cats)),
+    // high-cardinality columns (25 brands / 150 types > topK=10) so
+    // the "__other__" remainder bucket is exercised non-trivially
+    "cat_freq_other" -> ((s, dir) =>
+      Stats.freq(s.read.parquet(s"$dir/part.parquet"),
+        Seq("p_brand", "p_type"))),
     "date_minmax" -> ((s, dir) => Stats.dateMinMax(li(s, dir), dates)),
     "corr_matrix" -> ((s, dir) => Stats.corrMatrix(li(s, dir), nums)),
-    "corr_reject" -> ((s, dir) => Stats.corrReject(li(s, dir), nums)),
+    // a derived gross = price·(1+tax) column gives the rejection pass
+    // a genuinely correlated pair (ρ ≈ 0.999 vs l_extendedprice), so
+    // the oracle validates a NON-empty, order-dependent rejection
+    "corr_reject" -> ((s, dir) => Stats.corrReject(
+      li(s, dir).withColumn("l_gross",
+        col("l_extendedprice") * (lit(1.0) + col("l_tax"))),
+      nums :+ "l_gross")),
+    // overview variable-kind breakdown over a projection of orders
+    // that exercises every kind: o_orderkey UNIQUE, o_const CONST,
+    // o_gross CORR (ρ = 1 vs o_totalprice), plus NUM/CAT/DATE
+    "table_kinds" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .withColumn("o_const", lit("X"))
+        .withColumn("o_gross", col("o_totalprice") * lit(1.1))
+      Stats.kindCounts(o, o.columns.toSeq)
+    }),
     // total order over every column: (orderkey, linenumber) alone is
     // not unique at sf0.1, which made LIMIT 5 nondeterministic
     "sample_head" -> ((s, dir) => Stats.sampleHead(li(s, dir), all))
@@ -159,20 +180,25 @@ object Core {
   }) + "\nORDER BY col_name"
 
   val numHistogramSql: String = {
+    // all 10 buckets per column including empty ones (upstream's
+    // create_hist_data emits every bin; every lineitem numeric column
+    // has well-formed bounds, so the Spark side does too)
     val parts = nums.map { c =>
-      s"""SELECT '$c' AS col_name, bin, count(*) AS cnt,
-         |mn + CAST(bin AS DOUBLE) * w AS bin_lo,
-         |mn + CAST(bin + 1 AS DOUBLE) * w AS bin_hi
-         |FROM (
-         |  SELECT CASE WHEN m.mx = m.mn THEN 0
-         |    ELSE CAST(least(floor((CAST($c AS DOUBLE) - m.mn) / m.w), 9) AS BIGINT)
-         |    END AS bin, m.mn AS mn, m.w AS w
-         |  FROM $T, (SELECT min(CAST($c AS DOUBLE)) AS mn,
-         |            max(CAST($c AS DOUBLE)) AS mx,
+      s"""SELECT '$c' AS col_name, CAST(b.bin AS BIGINT) AS bin,
+         |CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt,
+         |m.mn + CAST(b.bin AS DOUBLE) * m.w AS bin_lo,
+         |m.mn + CAST(b.bin + 1 AS DOUBLE) * m.w AS bin_hi
+         |FROM (SELECT unnest(range(0, 10)) AS bin) b
+         |CROSS JOIN (SELECT min(CAST($c AS DOUBLE)) AS mn,
          |            (max(CAST($c AS DOUBLE)) - min(CAST($c AS DOUBLE))) / 10.0 AS w
          |            FROM $T WHERE $c IS NOT NULL) m
-         |  WHERE $c IS NOT NULL)
-         |GROUP BY bin, mn, w""".stripMargin
+         |LEFT JOIN (
+         |  SELECT CAST(least(floor((CAST($c AS DOUBLE) - mm.mn) / mm.w), 9) AS BIGINT) AS bin,
+         |         count(*) AS cnt
+         |  FROM $T, (SELECT min(CAST($c AS DOUBLE)) AS mn,
+         |            (max(CAST($c AS DOUBLE)) - min(CAST($c AS DOUBLE))) / 10.0 AS w
+         |            FROM $T WHERE $c IS NOT NULL) mm
+         |  WHERE $c IS NOT NULL GROUP BY 1) h ON h.bin = b.bin""".stripMargin
     }
     unionAll(parts) + "\nORDER BY col_name, bin"
   }
@@ -187,6 +213,72 @@ object Core {
          |WHERE rnk <= 10""".stripMargin
     }
     unionAll(parts) + "\nORDER BY col_name, rnk"
+  }
+
+  val catFreqOtherSql: String = {
+    val parts = Seq("p_brand", "p_type").map { c =>
+      s"""SELECT * FROM (
+         |  WITH r_$c AS (
+         |    SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS value,
+         |    count(*) AS cnt,
+         |    CAST(row_number() OVER (ORDER BY count(*) DESC, CAST($c AS VARCHAR) ASC) AS BIGINT) AS rnk
+         |    FROM part WHERE $c IS NOT NULL GROUP BY $c)
+         |  SELECT col_name, value, cnt, rnk FROM r_$c WHERE rnk <= 10
+         |  UNION ALL
+         |  SELECT '$c', '__other__', CAST(sum(cnt) AS BIGINT), CAST(11 AS BIGINT)
+         |  FROM r_$c WHERE rnk > 10 HAVING count(*) > 0)""".stripMargin
+    }
+    unionAll(parts) + "\nORDER BY col_name, rnk"
+  }
+
+  val tableKindsSql: String = {
+    val kindCols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority", "o_const", "o_gross")
+    val kindNums = Seq("o_orderkey", "o_custkey", "o_totalprice", "o_gross")
+    val kindDates = Seq("o_orderdate")
+    def base(c: String): String =
+      if (kindNums.contains(c)) "NUM"
+      else if (kindDates.contains(c)) "DATE" else "CAT"
+    val pairs = Stats.corrPairs(kindNums)
+    val idx = kindNums.zipWithIndex.toMap
+    val aggs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      s"corr(CAST($a AS DOUBLE), CAST($b AS DOUBLE)) AS c_$i"
+    }.mkString(",\n")
+    val pairRows = pairs.zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT '$b' AS col_b, ${idx(a)} AS ia, ${sig(s"c_$i")} AS rho FROM c"
+    }
+    val cleanCondK = kindNums.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val kindRows = kindCols.map { c =>
+      s"""SELECT CASE
+         |  WHEN '$c' IN (SELECT col_b FROM rej) THEN 'CORR'
+         |  WHEN count(DISTINCT $c) = 1 THEN 'CONST'
+         |  WHEN count(DISTINCT $c) = count($c) AND count($c) > 1 THEN 'UNIQUE'
+         |  ELSE '${base(c)}' END AS kind
+         |FROM t""".stripMargin
+    }
+    val counts = Seq("NUM", "CAT", "DATE", "CONST", "UNIQUE", "CORR")
+      .map(k =>
+        s"CAST(coalesce(sum(CASE WHEN kind = '$k' THEN 1 END), 0) AS BIGINT)" +
+          s" AS n_${k.toLowerCase}")
+      .mkString(",\n")
+    s"""WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |  o_orderdate, o_orderpriority, 'X' AS o_const,
+       |  o_totalprice * 1.1 AS o_gross FROM orders),
+       |clean AS (SELECT * FROM t WHERE $cleanCondK),
+       |c AS (SELECT
+       |$aggs
+       |FROM clean),
+       |pairs AS (
+       |${unionAll(pairRows)}
+       |),
+       |rej AS (SELECT col_b FROM pairs WHERE rho >= 0.9 GROUP BY col_b),
+       |k AS (
+       |${unionAll(kindRows)}
+       |)
+       |SELECT (SELECT count(*) FROM t) AS n,
+       |CAST(${kindCols.size} AS BIGINT) AS nvar,
+       |$counts
+       |FROM k""".stripMargin
   }
 
   val dateMinMaxSql: String = unionAll(dates.map { c =>
@@ -211,15 +303,17 @@ object Core {
   }
 
   val corrRejectSql: String = {
-    val pairs = Stats.corrPairs(nums)
-    val idx = nums.zipWithIndex.toMap
+    val rejCols = nums :+ "l_gross"
+    val pairs = Stats.corrPairs(rejCols)
+    val idx = rejCols.zipWithIndex.toMap
     val aggs = pairs.zipWithIndex.map { case ((a, b), i) =>
       s"corr(CAST($a AS DOUBLE), CAST($b AS DOUBLE)) AS c_$i"
     }.mkString(",\n")
     val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
       s"SELECT '$a' AS col_a, ${idx(a)} AS ia, '$b' AS col_b, ${sig(s"c_$i")} AS rho FROM c"
     }
-    s"WITH clean AS (SELECT * FROM $T WHERE $cleanCond),\n" +
+    s"WITH clean AS (SELECT *, l_extendedprice * (1.0 + l_tax) AS l_gross " +
+      s"FROM $T WHERE $cleanCond),\n" +
       s"c AS (SELECT\n$aggs\nFROM clean),\n" +
       s"pairs AS (\n${unionAll(rows)}\n)\n" +
       """SELECT col_b AS col_name, arg_min(col_a, ia) AS correlated_with,
@@ -248,6 +342,8 @@ object Core {
     "num_zeros" -> numZerosSql,
     "num_histogram" -> numHistogramSql,
     "cat_freq" -> catFreqSql,
+    "cat_freq_other" -> catFreqOtherSql,
+    "table_kinds" -> tableKindsSql,
     "date_minmax" -> dateMinMaxSql,
     "corr_matrix" -> corrMatrixSql,
     "corr_reject" -> corrRejectSql,

@@ -111,13 +111,42 @@ class StatsSpec extends SparkSpec {
       h.head.getAs[Long]("cnt") == 3L)
   }
 
-  test("freq: deterministic tie-break on value, topK respected") {
+  test("freq: deterministic tie-break on value, topK respected, " +
+      "remainder aggregated into __other__") {
     val s = StructType(Seq(StructField("c", StringType)))
-    val d2 = df(Seq("b", "b", "a", "a", "c").map(Row(_)), s)
+    val d2 = df(Seq("b", "b", "a", "a", "c", "d", "c").map(Row(_)), s)
     val f = Stats.freq(d2, Seq("c"), topK = 2).collect()
     assert(f.map(r => (r.getAs[String]("value"), r.getAs[Long]("cnt"),
       r.getAs[Long]("rnk"))).toSeq ==
-      Seq(("a", 2L, 1L), ("b", 2L, 2L)))
+      Seq(("a", 2L, 1L), ("b", 2L, 2L), ("__other__", 3L, 3L)))
+  }
+
+  test("freq: no __other__ row when topK covers every value") {
+    val s = StructType(Seq(StructField("c", StringType)))
+    val d2 = df(Seq("b", "a", "a").map(Row(_)), s)
+    val f = Stats.freq(d2, Seq("c"), topK = 10).collect()
+    assert(f.map(_.getAs[String]("value")).toSeq == Seq("a", "b"))
+  }
+
+  test("kindCounts: every kind counted with CORR > CONST > UNIQUE " +
+      "precedence") {
+    val s = StructType(Seq(StructField("id", LongType),
+      StructField("x", DoubleType), StructField("y", DoubleType),
+      StructField("k", StringType), StructField("c", StringType)))
+    // x is a low-correlation sawtooth vs the monotone id (ρ ≈ 0.17)
+    // so only y (= 3x+1, ρ = 1 vs x) is rejected as CORR
+    val d2 = df((1 to 20).map(i => Row(i.toLong, (i % 5).toDouble,
+      3.0 * (i % 5) + 1.0, if (i % 2 == 0) "even" else "odd", "K")), s)
+    val r = Stats.kindCounts(d2, d2.columns.toSeq).collect().head
+    assert(r.getAs[Long]("n") == 20L)
+    assert(r.getAs[Long]("nvar") == 5L)
+    // id UNIQUE, x NUM, y CORR (ρ=1 vs x), k CAT, c CONST
+    assert(r.getAs[Long]("n_num") == 1L)
+    assert(r.getAs[Long]("n_cat") == 1L)
+    assert(r.getAs[Long]("n_date") == 0L)
+    assert(r.getAs[Long]("n_const") == 1L)
+    assert(r.getAs[Long]("n_unique") == 1L)
+    assert(r.getAs[Long]("n_corr") == 1L)
   }
 
   test("corr: perfectly correlated pair detected and rejected") {
