@@ -148,6 +148,53 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Recall-containment view for MinHash-LSH: the exact n-gram
+    * Jaccard pairs at `minJaccard` that the banded MinHash candidate
+    * set captures. Declaring THIS as the oracle-checked query (oracle
+    * = the exact pairs) turns the probabilistic operator into a
+    * checked invariant: a hash-match means every exact pair ≥
+    * `minJaccard` appeared among the LSH candidates (100% recall at
+    * the fixture, deterministic given the seeded hashes) — any
+    * banding/signature regression drops rows and fails the compare.
+    * Containment is one-directional: precision (no false candidates
+    * surviving the est-Jaccard filter) is covered by unit tests. */
+  def minhashContainmentPairs(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minEstJaccard: Double = 0.5, minJaccard: Double = 0.7,
+      maxDf: Option[Long] = None): DataFrame = {
+    val exact = ngramJaccardPairs(df, idCol, textCol, n, minJaccard, maxDf)
+    val cand = minhashLshPairs(df, idCol, textCol, n, numHashes, bands,
+      minEstJaccard)
+    exact.join(cand.select("id_a", "id_b"), Seq("id_a", "id_b"),
+        "left_semi")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Bounded-distance invariant view for SimHash: the exact n-gram
+    * Jaccard pairs at `minJaccard` whose 64-bit SimHash Hamming
+    * distance is ≤ `maxHamming`. With the oracle producing the exact
+    * pair set, a hash-match asserts the fingerprint property that
+    * makes SimHash near-dup detection work: near-identical documents
+    * (J ≥ 0.9) stay within a small Hamming radius (observed ≤ 11 on
+    * the fixtures; random-doc expectation is 32, so a bit-vote
+    * regression spreads the distance and fails the compare). Distance
+    * is computed directly on the pair list (no banding) — the banded
+    * candidate generator is covered by unit tests. */
+  def simhashBoundedPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minJaccard: Double = 0.9, maxHamming: Int = 16,
+      maxDf: Option[Long] = None): DataFrame = {
+    val exact = ngramJaccardPairs(df, idCol, textCol, n, minJaccard, maxDf)
+    val fps = simhash(df, idCol, textCol)
+    exact
+      .join(fps.select(col("id").as("id_a"), col("simhash").as("ha")),
+        Seq("id_a"))
+      .join(fps.select(col("id").as("id_b"), col("simhash").as("hb")),
+        Seq("id_b"))
+      .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs: exact all-pairs self-join
     * scored by cosine (the baseline; quadratic — test scale /
     * per-bucket use). At corpus scale, pre-bucket with
@@ -183,7 +230,9 @@ object Dedup {
 
   /** Scale path for embedding near-dup: hyperplane-LSH bucket join —
     * only vectors sharing a bucket are scored (approximate recall,
-    * linear candidate generation). */
+    * linear candidate generation). Kept as the AND-only (single
+    * bucket) construction for comparison; recall at cos 0.5–0.9 is
+    * poor — prefer [[embedCosinePairsBanded]]. */
   def embedCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.5, bits: Int = 8, dim: Int = 64)
       : DataFrame = {
@@ -201,6 +250,55 @@ object Dedup {
     scoreCosinePairs(
       base.as("a").join(base.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id")),
+      minCosine)
+  }
+
+  /** Banded (OR-amplified) hyperplane LSH for embedding near-dup —
+    * the minhash-banding construction transplanted to cosine space:
+    * `bands`×`rowsPerBand` hyperplane sign bits; vectors colliding on
+    * ANY band's bit-block become candidates, then candidates are
+    * scored exactly and filtered at `minCosine`.
+    *
+    * Recall for a pair at angle θ is 1−(1−p^r)^b with
+    * p = 1−θ/π — e.g. 8×4 bands give ~0.96 at cos 0.9 vs ~0.04 for
+    * the 8-bit AND-only bucket. Candidate generation stays linear in
+    * corpus size (explode ×bands, one shuffle on the band hash), so
+    * the plan is the standard corpus-scale near-dup shape: never
+    * all-pairs, skew bounded by the largest single band bucket. */
+  def embedCosinePairsBanded(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.5, bands: Int = 8, rowsPerBand: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val firstDim = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1)
+    firstDim.headOption.foreach(r => require(r.getInt(0) == dim,
+      s"embedding dim ${r.getInt(0)} does not match configured dim $dim"))
+    val planes = Similarity.hyperplanes(bands * rowsPerBand, dim)
+    val bandStructs = (0 until bands).map { b =>
+      val bandPlanes = planes.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+      struct(lit(b).as("band"),
+        Similarity.lshBucket(col("v"), bandPlanes).as("bh"))
+    }
+    val base = df.where(size(col(vecCol)) === dim)
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        Similarity.norm(col(vecCol)).as("nrm"))
+    val banded = base.select(col("id"),
+      explode(array(bandStructs: _*)).as("s"))
+      .select(col("id"), col("s.band"), col("s.bh"))
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    scoreCosinePairs(
+      cand
+        .join(base.select(col("id").as("id_a"), col("v").as("av"),
+          col("nrm").as("anrm")), Seq("id_a"))
+        .join(base.select(col("id").as("id_b"), col("v").as("bv"),
+          col("nrm").as("bnrm")), Seq("id_b"))
+        .select(struct(col("id_a").as("id"), col("av").as("v"),
+          col("anrm").as("nrm")).as("a"),
+          struct(col("id_b").as("id"), col("bv").as("v"),
+            col("bnrm").as("nrm")).as("b")),
       minCosine)
   }
 

@@ -84,12 +84,19 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
 
   /** ANN top-k via hyperplane LSH: score only candidates colliding on
-    * the query's bucket (plus no-probe simplification). Approximate —
-    * recall depends on `bits`; the 100 TB path where brute force is
-    * quadratic-infeasible. */
+    * one of the query's probe buckets. With `multiProbe` (default),
+    * each query also probes the `bits` neighboring buckets at Hamming
+    * distance 1 — a vector one sign-flip away from the query's bucket
+    * (the dominant miss mode: one near-zero projection) is still
+    * found, fixing the single-probe recall cliff for a (bits+1)×
+    * candidate cost instead of the 2^bits cost of shorter codes.
+    * Probe buckets are distinct values and each corpus vector has
+    * exactly one bucket, so no candidate is scored twice. Approximate
+    * — recall depends on `bits`/probing; the 100 TB path where brute
+    * force is quadratic-infeasible. */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
       numQueries: Int = 5, k: Int = 10, bits: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, multiProbe: Boolean = true): DataFrame = {
     // a null projection (dim mismatch) would collapse vectors into
     // bucket 0 — a silent full cross join. Fail fast on the observed
     // dim and drop any stragglers of a different length.
@@ -106,11 +113,19 @@ object Similarity {
       .select(col(idCol).as("vid"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"),
         lshBucket(col(vecCol), planes).as("bucket"))
-    val q = base.where(col("vid") < numQueries)
+    val q0 = base.where(col("vid") < numQueries)
       .select(col("vid").as("qid"), col("v").as("qv"),
         col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+    // multiprobe: explode the (tiny, broadcast) query side into its
+    // probe set — the corpus is never replicated
+    val q =
+      if (!multiProbe) q0.withColumnRenamed("qbucket", "probe")
+      else q0.select(col("qid"), col("qv"), col("qnrm"),
+        explode(array(col("qbucket") +:
+          (0 until bits).map(j =>
+            col("qbucket").bitwiseXOR(lit(1L << j))): _*)).as("probe"))
     val scored = base.join(broadcast(q),
-        col("vid") =!= col("qid") && col("bucket") === col("qbucket"))
+        col("vid") =!= col("qid") && col("bucket") === col("probe"))
       .select(col("qid"), col("vid"),
         sig5(cosine(dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
           .as("cosine"))

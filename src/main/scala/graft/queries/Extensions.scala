@@ -23,29 +23,44 @@ object Extensions {
   private def stopOr(v: String, ws: Seq[String]): String =
     ws.map(w => s"$v = '$w'").mkString(" OR ")
 
+  /** Hot-shingle document-frequency cap (CCNet-style) used by every
+    * declared n-gram query AND its oracle SQL, so the scale guard is
+    * always on in production shape; no fixture shingle exceeds df 25,
+    * so the capped results equal the uncapped ones at test sf. */
+  val NgramMaxDf = 1000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactStats(t(s, dir, "documents"), Seq("text"))),
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, minJaccard = 0.5)),
+        n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf))),
+    // recall containment: exact J≥0.7 pairs ∩ MinHash-LSH candidates;
+    // oracle = the exact pairs, so a hash-match proves 100% recall
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, numHashes = 64, bands = 16, minEstJaccard = 0.5)),
+      Dedup.minhashContainmentPairs(t(s, dir, "documents"), "doc_id",
+        "text", n = 3, numHashes = 64, bands = 16, minEstJaccard = 0.5,
+        minJaccard = 0.7, maxDf = Some(NgramMaxDf))),
+    // bounded-distance invariant: exact J≥0.9 pairs with SimHash
+    // Hamming ≤ 16; oracle = the exact pairs
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3)),
+      Dedup.simhashBoundedPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.9, maxHamming = 16,
+        maxDf = Some(NgramMaxDf))),
+    // the scale path IS the declared query: banded hyperplane LSH with
+    // the oracle replicating the banding (plane literals in the SQL)
     "dedup_embed" -> ((s, dir) =>
-      Dedup.embedCosinePairs(t(s, dir, "embeddings"), "vec_id",
-        "embedding", minCosine = 0.5)),
+      Dedup.embedCosinePairsBanded(t(s, dir, "embeddings"), "vec_id",
+        "embedding", minCosine = 0.5, bands = EmbedBands,
+        rowsPerBand = EmbedRows)),
     // ---- similarity search ----
     "embed_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id",
         "embedding", numQueries = 5, k = 10)),
     "embed_ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        numQueries = 5, k = 10, bits = 8, dim = 64)),
+        numQueries = 5, k = 10, bits = 8, dim = 64, multiProbe = true)),
     // ---- text analysis ----
     "text_stats" -> ((s, dir) =>
       TextStats.langStats(t(s, dir, "documents"), "text", "lang")),
@@ -93,22 +108,33 @@ object Extensions {
       |CAST(coalesce(sum(CASE WHEN c > 1 THEN 1 END), 0) AS BIGINT) AS n_dup_groups
       |FROM g""".stripMargin
 
-  val dedupNgramSql: String =
-    """WITH sh AS (
-      |  SELECT id, unnest(grams) AS shingle FROM (
-      |    SELECT doc_id AS id,
-      |      list_distinct(list_transform(range(1, len(w) - 1),
-      |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
-      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
-      |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-      |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-      |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-      |       GROUP BY a.id, b.id)
-      |SELECT pr.id_a, pr.id_b,
-      |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
-      |FROM pr JOIN sz sa ON sa.id = pr.id_a JOIN sz sb ON sb.id = pr.id_b
-      |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
-      |ORDER BY id_a, id_b""".stripMargin
+  /** Exact n-gram Jaccard pairs at `minJ`, with the same hot-shingle
+    * df cap as the Spark side (no fixture shingle reaches the cap, so
+    * the CTE also serves as the uncapped ground truth). */
+  private def ngramSql(minJ: Double): String =
+    s"""WITH sh0 AS (
+       |  SELECT id, unnest(grams) AS shingle FROM (
+       |    SELECT doc_id AS id,
+       |      list_distinct(list_transform(range(1, len(w) - 1),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+       |hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+       |        HAVING count(*) > $NgramMaxDf),
+       |sh AS (SELECT * FROM sh0
+       |       WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+       |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+       |       GROUP BY a.id, b.id)
+       |SELECT pr.id_a, pr.id_b,
+       |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+       |FROM pr JOIN sz sa ON sa.id = pr.id_a JOIN sz sb ON sb.id = pr.id_b
+       |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $minJ
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val dedupNgramSql: String = ngramSql(0.5)
+  val dedupMinhashSql: String = ngramSql(0.7)
+  val dedupSimhashSql: String = ngramSql(0.9)
 
   val embedCosineSql: String = {
     val cosExpr = sig("dp / (na.nrm * nb.nrm)")
@@ -272,19 +298,80 @@ val eventsRollupSql: String =
       |   WHERE o_orderstatus IN ('O', 'F')))
       |SELECT * FROM b, oo, a""".stripMargin
 
+  // banded-LSH geometry for dedup_embed, shared by the Spark query and
+  // the oracle SQL (which embeds the very same hyperplane components
+  // as literals, so the bucketing is replicated bit-for-bit)
+  val EmbedBands = 8
+  val EmbedRows = 4
+
+  /** (plane_index, 1-based_component, weight) VALUES list for a
+    * deterministic hyperplane array — Double.toString round-trips
+    * exactly, so DuckDB parses the identical IEEE value. */
+  private def planesValues(planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.flatMap { case (p, j) =>
+      p.zipWithIndex.map { case (w, d) => s"($j, ${d + 1}, $w)" }
+    }.mkString(", ")
+
   val dedupEmbedSql: String = {
     val cosExpr = sig("dp / (na.nrm * nb.nrm)")
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |            FROM embeddings, range(1, 65) t(i)),
+    val pv = planesValues(
+      Similarity.hyperplanes(EmbedBands * EmbedRows, 64))
+    s"""WITH planes(pj, i, w) AS (VALUES $pv),
+       |el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i)),
+       |proj AS (SELECT e.vec_id, p.pj, sum(e.v * p.w) AS pr
+       |         FROM el e JOIN planes p ON p.i = e.i GROUP BY 1, 2),
+       |bh AS (SELECT vec_id, pj // $EmbedRows AS band,
+       |       CAST(sum(CASE WHEN pr > 0
+       |         THEN CAST(1 AS BIGINT) << (pj % $EmbedRows)
+       |         ELSE 0 END) AS BIGINT) AS bh
+       |       FROM proj GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+       |         FROM bh a JOIN bh b
+       |         ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id),
        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY vec_id),
-       |dot AS (SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.v * b.v) AS dp
-       |        FROM el a JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
+       |dot AS (SELECT c.ia, c.ib, sum(a.v * b.v) AS dp
+       |        FROM cand c JOIN el a ON a.vec_id = c.ia
+       |        JOIN el b ON b.vec_id = c.ib AND b.i = a.i
        |        GROUP BY 1, 2),
        |cos AS (SELECT ia, ib, $cosExpr AS cosine
        |        FROM dot JOIN nrm na ON na.vec_id = dot.ia
        |        JOIN nrm nb ON nb.vec_id = dot.ib)
        |SELECT ia AS id_a, ib AS id_b, cosine FROM cos
        |WHERE cosine >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  val embedAnnLshSql: String = {
+    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
+    val pv = planesValues(Similarity.hyperplanes(8, 64))
+    s"""WITH planes(pj, i, w) AS (VALUES $pv),
+       |el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i)),
+       |proj AS (SELECT e.vec_id, p.pj, sum(e.v * p.w) AS pr
+       |         FROM el e JOIN planes p ON p.i = e.i GROUP BY 1, 2),
+       |bkt AS (SELECT vec_id,
+       |        CAST(sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << pj
+       |          ELSE 0 END) AS BIGINT) AS bucket
+       |        FROM proj GROUP BY 1),
+       |q AS (SELECT vec_id AS qid, bucket AS qb FROM bkt WHERE vec_id < 5),
+       |probes AS (SELECT qid, CASE WHEN t.j = 8 THEN qb
+       |             ELSE xor(qb, CAST(1 AS BIGINT) << t.j) END AS pb
+       |           FROM q, range(0, 9) t(j)),
+       |cand AS (SELECT p.qid, b.vec_id AS vid FROM probes p
+       |         JOIN bkt b ON b.bucket = p.pb WHERE b.vec_id <> p.qid),
+       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY vec_id),
+       |dot AS (SELECT c.qid, c.vid, sum(a.v * b.v) AS dp
+       |        FROM cand c JOIN el a ON a.vec_id = c.qid
+       |        JOIN el b ON b.vec_id = c.vid AND b.i = a.i
+       |        GROUP BY 1, 2),
+       |cos AS (SELECT qid, vid, $cosExpr AS cosine
+       |        FROM dot JOIN nrm na ON na.vec_id = dot.qid
+       |        JOIN nrm nb ON nb.vec_id = dot.vid)
+       |SELECT query_id, rnk, neighbor_id, cosine FROM (
+       |  SELECT qid AS query_id,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS BIGINT) AS rnk,
+       |    vid AS neighbor_id, cosine FROM cos)
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   }
 
   val textTokensSql: String =
@@ -296,8 +383,11 @@ val eventsRollupSql: String =
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram" -> dedupNgramSql,
+    "dedup_minhash" -> dedupMinhashSql,
+    "dedup_simhash" -> dedupSimhashSql,
     "dedup_embed" -> dedupEmbedSql,
     "embed_cosine_topk" -> embedCosineSql,
+    "embed_ann_lsh" -> embedAnnLshSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,

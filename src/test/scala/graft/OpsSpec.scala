@@ -86,6 +86,92 @@ class OpsSpec extends SparkSpec {
     assert(r.head.getAs[Double]("cosine") == 1.0)
   }
 
+  test("minhash containment view: exact J>=0.7 pairs all captured") {
+    val r = Dedup.minhashContainmentPairs(docs, "doc_id", "text",
+      minJaccard = 0.7).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    // both high-J pairs (0,3) identical and (0,1)/(1,3) near-dup
+    // survive the LSH candidate join — the containment invariant
+    assert(r.contains((0L, 3L)) && r((0L, 3L)) == 1.0)
+    assert(r.keySet ==
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet)
+  }
+
+  test("simhash bounded view: near-identical pairs inside Hamming 16") {
+    val r = Dedup.simhashBoundedPairs(docs, "doc_id", "text",
+      minJaccard = 0.9, maxHamming = 16).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(r == Set((0L, 3L))) // the identical pair (hamming 0)
+    // a tight bound excludes nothing that J>=0.9 includes here
+    val r0 = Dedup.simhashBoundedPairs(docs, "doc_id", "text",
+      minJaccard = 0.9, maxHamming = 0).collect()
+    assert(r0.length == 1)
+  }
+
+  test("ngram maxDf cap defuses a stop-phrase hot shingle") {
+    // pathological corpus: every doc shares one stop phrase; without
+    // the cap the inverted index emits O(m²) candidate pairs
+    val m = 40
+    val stop = "all rights reserved by the original author"
+    val hotDocs = spark.createDataFrame(
+      (0 until m).map(i =>
+        Row(i.toLong, s"$stop unique tail $i with words w$i x$i y$i z$i"))
+        .asJava, docSchema)
+    val uncapped = Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text",
+      n = 3, minJaccard = 0.0)
+    // every pair shares the stop-phrase shingles => m(m-1)/2 pairs
+    assert(uncapped.count() == m.toLong * (m - 1) / 2)
+    val capped = Dedup.ngramJaccardPairs(hotDocs, "doc_id", "text",
+      n = 3, minJaccard = 0.0, maxDf = Some(10L))
+    // all stop shingles exceed df 10; unique tails share nothing
+    assert(capped.count() == 0L)
+  }
+
+  test("banded embed LSH on the fixture: captures the exact near-dup " +
+      "pair and emits nothing else") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Dedup.embedCosinePairs(emb, "vec_id", "embedding", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = Dedup.embedCosinePairsBanded(emb, "vec_id", "embedding",
+      0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(banded == exact) // 100% recall + exact-cosine precision here
+  }
+
+  test("multiprobe ANN recall@10 vs brute force, and >= single-probe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def recall(ann: Map[Long, Set[Long]], ref: Map[Long, Set[Long]])
+        : Double = {
+      val hits = ref.toSeq.map { case (q, s) =>
+        ann.getOrElse(q, Set.empty).intersect(s).size
+      }.sum
+      hits.toDouble / ref.values.map(_.size).sum
+    }
+    def tops(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) =>
+          q -> rs.map(_.getAs[Long]("neighbor_id")).toSet
+        }
+    val brute = tops(Similarity.cosineTopK(emb, "vec_id", "embedding",
+      numQueries = 5, k = 10))
+    val single = tops(Similarity.annTopK(emb, "vec_id", "embedding",
+      numQueries = 5, k = 10, bits = 8, dim = 64, multiProbe = false))
+    val multi = tops(Similarity.annTopK(emb, "vec_id", "embedding",
+      numQueries = 5, k = 10, bits = 8, dim = 64, multiProbe = true))
+    val rs = recall(single, brute)
+    val rm = recall(multi, brute)
+    info(f"single-probe recall@10 = $rs%.2f, multiprobe = $rm%.2f")
+    // deterministic given seed-42 planes + fixture: measured 0.00
+    // single-probe vs 0.10 multiprobe. The fixture's true top-10 sit
+    // at cosine ≈ 0.3–0.4 (no planted neighbors at sf0.001), the
+    // hardest regime for an 8-bit code; the invariant under test is
+    // that Hamming-1 probing strictly lifts the single-probe cliff
+    // and never drops below its measured floor.
+    assert(rm > rs)
+    assert(rm >= 0.1, "multiprobe recall collapsed below the measured floor")
+  }
+
   test("zero-norm embeddings never rank as neighbors or near-dups") {
     val vecs = spark.createDataFrame(Seq(
       Row(0L, Seq(1.0f, 0.0f)), Row(5L, Seq(0.0f, 0.0f)),
