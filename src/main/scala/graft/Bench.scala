@@ -23,10 +23,27 @@ object Bench {
     // JVM/codegen warmup so the first measured query isn't charged
     // ~10s of one-time session cost
     spark.read.parquet(s"$sfDir/region.parquet").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) =>
+    // flagship timings (VERDICT r1 task 7): the full fixed-job-count
+    // profile of lineitem under the oracle-exact config and under the
+    // 100 TB sketch config (HLL++ distinct + GK quantiles), measured
+    // per round rather than inferred. Not SparkEntry queries — the
+    // profile is the composition the per-stat oracles already cover.
+    import graft.profiler.{Profiler, ProfilerConfig}
+    val flagship: Seq[(String, () => Unit)] = Seq(
+      "profile_full" -> (() => {
+        Profiler.profile(spark.read.parquet(s"$sfDir/lineitem.parquet"))
+        ()
+      }),
+      "profile_full_sketch" -> (() => {
+        Profiler.profile(spark.read.parquet(s"$sfDir/lineitem.parquet"),
+          ProfilerConfig(exactQuantiles = false, exactDistinct = false))
+        ()
+      }))
+    val results = (SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) => name -> (() => { fn(spark, sfDir).collect(); () })
+    } ++ flagship).map { case (name, run) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).collect() }
+        try run()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }

@@ -39,14 +39,33 @@ object Dedup {
       .otherwise(array().cast("array<string>")))
   }
 
-  /** Exploded (id, shingle) inverted index, optionally dropping
+  /** Exploded (id, shingle-hash) inverted index, optionally dropping
     * shingles appearing in more than `maxDf` documents (skew guard —
-    * a shingle shared by 1M docs would otherwise emit 10¹² pairs). */
+    * a shingle shared by 1M docs would otherwise emit 10¹² pairs).
+    *
+    * Shingle keys are 64-bit hashes of token-hash n-tuples —
+    * value-equivalent to hashing [[wordNgrams]]'s strings (word
+    * splitting makes gram strings ≙ token tuples bijective; only the
+    * negligible 64-bit collision class differs) but far cheaper: no
+    * per-gram string building, long (not string) distinct/shuffle
+    * keys. The token-hash array is materialized as its OWN projection
+    * before the gram lambda reads it — higher-order-function lambdas
+    * evaluate interpreted with no common-subexpression elimination, so
+    * an inlined `transform(split(...))` would be re-evaluated on every
+    * `element_at` access: O(tokens²) per document (measured: the
+    * dominant cost of the whole dedup family). CollapseProject keeps
+    * the boundary because the alias is non-cheap and multiply
+    * referenced. */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxDf: Option[Long] = None): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("id"), explode(wordNgrams(col(textCol), n))
-        .as("shingle"))
+    val hw = df.select(col(idCol).as("id"),
+      transform(split(col(textCol), " "), t => xxhash64(t)).as("hw"))
+    val a = col("hw")
+    val grams = transform(sequence(lit(0), size(a) - n), i =>
+      xxhash64((0 until n).map(k => element_at(a, i + k + 1)): _*))
+    val sh = hw.select(col("id"),
+      explode(array_distinct(when(size(a) >= n, grams)
+        .otherwise(array().cast("array<bigint>")))).as("shingle"))
     maxDf match {
       case None => sh
       case Some(cap) =>
@@ -68,12 +87,11 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.5,
       maxDf: Option[Long] = None): DataFrame = {
-    // join on the shingle's xxhash64 instead of the string: smaller
-    // shuffle keys and long-equality probes. A 64-bit collision would
-    // inflate one intersection count; at D distinct shingles the
-    // probability is ~D²/2⁶⁵ (≈4e-8 for D=1e6) — negligible.
+    // the index already joins on 64-bit shingle hashes (smaller
+    // shuffle keys, long-equality probes). A collision would inflate
+    // one intersection count; at D distinct shingles the probability
+    // is ~D²/2⁶⁵ (≈4e-8 for D=1e6) — negligible.
     val sh = shingleIndex(df, idCol, textCol, n, maxDf)
-      .select(col("id"), xxhash64(col("shingle")).as("shingle"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -97,16 +115,15 @@ object Dedup {
     * input), one shuffle (groupBy id). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64): DataFrame = {
-    val sh = shingleIndex(df, idCol, textCol, n)
-    // hash the (variable-length) shingle string ONCE, then derive the
-    // family by re-hashing the resulting fixed 8-byte long with per-
-    // view seeds — avoids 64 string traversals per shingle. (A
+    // the shingle key from the index is already a fixed 8-byte hash;
+    // derive the family by re-hashing it with per-view seeds — 64
+    // hashes of one long each, never 64 string traversals. (A
     // wrapping a·h+b family would be cheaper still, but long overflow
     // is an error under ANSI mode.)
-    val hashed = sh.withColumn("h", xxhash64(col("shingle")))
+    val sh = shingleIndex(df, idCol, textCol, n)
     val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
-    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash-LSH near-dup candidates: signatures are cut into

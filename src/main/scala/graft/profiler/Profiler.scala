@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   * @param sampleRows     head-sample size
   * @param exactQuantiles exact interpolated percentiles (test scale)
   *                       vs percentile_approx sketches (100 TB scale)
+  * @param quantilesByDtype reproduce upstream's per-dtype dispatch
+  *                       (describe_integer_1d ≈L150–165 vs
+  *                       describe_float_1d ≈L190–205): integral
+  *                       columns exact, fractional columns approx —
+  *                       overrides `exactQuantiles` when set
   * @param exactDistinct  exact count(distinct) vs HLL++
   *                       approx_count_distinct (100 TB scale)
   * @param correlations   compute the O(k²) correlation pass
@@ -24,6 +29,7 @@ case class ProfilerConfig(
     topK: Int = 10,
     sampleRows: Int = 5,
     exactQuantiles: Boolean = true,
+    quantilesByDtype: Boolean = false,
     exactDistinct: Boolean = true,
     correlations: Boolean = true)
 
@@ -141,9 +147,14 @@ object Profiler {
       else {
         val arr = Stats.Ps.map(p => s"${p}D").mkString("array(", ", ", ")")
         val aggsB = numCols.map { c =>
+          val useApprox =
+            if (cfg.quantilesByDtype)
+              !Kinds.isIntegral(df.schema(c).dataType)
+            else !cfg.exactQuantiles
           val e =
-            if (cfg.exactQuantiles) s"percentile(cast(`$c` as double), $arr)"
-            else s"percentile_approx(cast(`$c` as double), $arr, 10000)"
+            if (useApprox)
+              s"percentile_approx(cast(`$c` as double), $arr, 10000)"
+            else s"percentile(cast(`$c` as double), $arr)"
           expr(e).as(s"q__$c")
         }
         val b = df.agg(aggsB.head, aggsB.tail: _*).first()

@@ -24,6 +24,14 @@ object Kinds {
         _: FloatType | _: DoubleType | _: DecimalType => true
     case _ => false
   }
+  /** Integer family — upstream profiles these through the exact Hive
+    * `percentile` while fractional columns go through
+    * `percentile_approx` (describe_integer_1d ≈L150–165 vs
+    * describe_float_1d ≈L190–205). */
+  def isIntegral(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+    case _ => false
+  }
   def isDate(dt: DataType): Boolean = dt match {
     case _: TimestampType | _: TimestampNTZType | _: DateType => true
     case _ => false
@@ -234,22 +242,86 @@ object Stats {
   private val pNames = Seq("p05", "q1", "median", "q3", "p95")
 
   def quantiles(df: DataFrame, cols: Seq[String], approx: Boolean = false)
-      : DataFrame = {
+      : DataFrame =
+    quantilesPerCol(df, cols.map(c => c -> approx))
+
+  /** Per-dtype dispatch (upstream describe_integer_1d vs
+    * describe_float_1d): integral columns through exact `percentile`,
+    * fractional ones through the bounded-memory GK sketch — still ONE
+    * fused agg for all columns. */
+  def quantilesByDtype(df: DataFrame, cols: Seq[String]): DataFrame =
+    quantilesPerCol(df,
+      cols.map(c => c -> !Kinds.isIntegral(df.schema(c).dataType)))
+
+  private def quantilesPerCol(df: DataFrame,
+      colApprox: Seq[(String, Boolean)]): DataFrame = {
     val arr = Ps.map(p => s"${p}D").mkString("array(", ", ", ")")
-    val aggs = cols.map { c =>
+    val aggs = colApprox.map { case (c, approx) =>
       val e =
         if (approx) s"percentile_approx(cast(`$c` as double), $arr, 10000)"
         else s"percentile(cast(`$c` as double), $arr)"
       expr(e).as(s"q__$c")
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val structs = cols.map { c =>
+    val structs = colApprox.map { case (c, _) =>
       val fields = pNames.zipWithIndex.map { case (nm, i) =>
         sig5(element_at(col(s"q__$c"), i + 1)).as(nm)
       }
       struct(lit(c).as("col_name") +: fields: _*)
     }
     tidy(row, structs)
+  }
+
+  /** Rank-contract check for the approx path: percentile_approx's GK
+    * sketch guarantees the returned element's rank is within ±n/
+    * accuracy of the target rank. The approx VALUE depends on merge
+    * order (partitioning), so it cannot be oracle-compared — but the
+    * CONTRACT can: emit (col_name, p_name, within_bound) where the
+    * bound is checked against exact ranks counted in a second pass;
+    * the oracle simply expects every row to be true. A sketch
+    * regression (or a mis-wired accuracy) breaks the booleans and
+    * fails the hash-compare. */
+  def quantileRankCheck(df: DataFrame, cols: Seq[String],
+      accuracy: Int = 10000): DataFrame = {
+    val arr = Ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val qAggs = cols.map(c =>
+      expr(s"percentile_approx(cast(`$c` as double), $arr, $accuracy)")
+        .as(s"q__$c"))
+    val qRow = df.agg(qAggs.head, qAggs.tail: _*).first()
+    val approxVals: Map[String, Seq[Option[Double]]] = cols.map { c =>
+      val v = qRow.getAs[scala.collection.Seq[Any]](s"q__$c")
+      c -> (if (v == null) Ps.map(_ => None)
+            else v.map(Option(_).map(_.asInstanceOf[Double])).toSeq)
+    }.toMap
+    val cntAggs = cols.flatMap { c =>
+      count(d(c)).as(s"n__$c") +: Ps.indices.flatMap { i =>
+        approxVals(c)(i) match {
+          case None => Seq.empty
+          case Some(a) => Seq(
+            coalesce(sum(when(d(c) < a, 1L)), lit(0L)).as(s"lo__${c}__$i"),
+            coalesce(sum(when(d(c) <= a, 1L)), lit(0L)).as(s"hi__${c}__$i"))
+        }
+      }
+    }
+    val r = df.agg(cntAggs.head, cntAggs.tail: _*).first()
+    val spark = df.sparkSession
+    import spark.implicits._
+    cols.flatMap { c =>
+      val n = r.getAs[Long](s"n__$c")
+      Ps.zip(pNames).zipWithIndex.map { case ((p, nm), i) =>
+        val ok = approxVals(c)(i) match {
+          case None => n == 0 // no value only legal on an empty column
+          case Some(_) =>
+            val lo = r.getAs[Long](s"lo__${c}__$i")
+            val hi = r.getAs[Long](s"hi__${c}__$i")
+            val target = p * n
+            val margin = n.toDouble / accuracy + 1.0
+            lo + 1 <= target + margin && hi >= target - margin
+        }
+        (c, nm, ok)
+      }
+    }.toDF("col_name", "p_name", "within_bound")
+      .orderBy("col_name", "p_name")
   }
 
   // -------------------------------------------------------------------

@@ -36,6 +36,17 @@ object Core {
     "col_types" -> ((s, dir) => Stats.kinds(li(s, dir), all)),
     "num_moments" -> ((s, dir) => Stats.moments(li(s, dir), nums)),
     "num_quantiles" -> ((s, dir) => Stats.quantiles(li(s, dir), nums)),
+    // upstream's per-dtype dispatch routes integral columns through
+    // exact percentile — declared over the int columns so the oracle
+    // (quantile_cont) checks the dispatch chose the exact path
+    "num_quantiles_int" -> ((s, dir) =>
+      Stats.quantilesByDtype(li(s, dir), ints)),
+    // the float side of the dispatch goes through the GK sketch whose
+    // returned element is merge-order dependent; what IS deterministic
+    // is its rank-error contract — checked exactly, oracle expects
+    // every (col, percentile) to be within bound
+    "num_quantiles_approx_rank" -> ((s, dir) =>
+      Stats.quantileRankCheck(li(s, dir), floats)),
     "num_derived" -> ((s, dir) => Stats.derived(li(s, dir), nums)),
     "num_mad" -> ((s, dir) => Stats.mad(li(s, dir), nums)),
     "num_zeros" -> ((s, dir) => Stats.zeros(li(s, dir), nums)),
@@ -138,10 +149,10 @@ object Core {
   private val psSql = Stats.Ps.mkString("[", ", ", "]")
   private val pCols = Seq("p05", "q1", "median", "q3", "p95")
 
-  val numQuantilesSql: String = {
-    val qAggs = nums.map(c =>
+  private def quantilesSqlFor(cols: Seq[String]): String = {
+    val qAggs = cols.map(c =>
       s"quantile_cont(CAST($c AS DOUBLE), $psSql) AS q_$c").mkString(",\n")
-    val selects = nums.map { c =>
+    val selects = cols.map { c =>
       val fields = pCols.zipWithIndex.map { case (nm, i) =>
         s"${sig(s"q_$c[${i + 1}]")} AS $nm"
       }.mkString(", ")
@@ -149,6 +160,14 @@ object Core {
     }
     s"WITH q AS (SELECT\n$qAggs\nFROM $T)\n${unionAll(selects)}\nORDER BY col_name"
   }
+
+  val numQuantilesSql: String = quantilesSqlFor(nums)
+  val numQuantilesIntSql: String = quantilesSqlFor(ints)
+
+  val numQuantilesApproxRankSql: String =
+    unionAll(floats.flatMap(c => pCols.map(nm =>
+      s"SELECT '$c' AS col_name, '$nm' AS p_name, true AS within_bound"))) +
+      "\nORDER BY col_name, p_name"
 
   val numDerivedSql: String = {
     val ctes = nums.map { c =>
@@ -337,6 +356,8 @@ object Core {
     "col_types" -> colTypesSql,
     "num_moments" -> numMomentsSql,
     "num_quantiles" -> numQuantilesSql,
+    "num_quantiles_int" -> numQuantilesIntSql,
+    "num_quantiles_approx_rank" -> numQuantilesApproxRankSql,
     "num_derived" -> numDerivedSql,
     "num_mad" -> numMadSql,
     "num_zeros" -> numZerosSql,

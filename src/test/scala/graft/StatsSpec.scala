@@ -149,6 +149,41 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_corr") == 1L)
   }
 
+  test("quantilesByDtype: int column exact-interpolated, float column " +
+      "routed through the sketch") {
+    val s = StructType(Seq(StructField("i", LongType),
+      StructField("f", DoubleType)))
+    // n=5 so q1/q3 land exactly on elements: exact and approx agree
+    // on f, while i exercises interpolation (p05 of 1..5 = 1.2)
+    val d2 = df((1 to 5).map(x => Row(x.toLong, x.toDouble)), s)
+    val byDtype = Stats.quantilesByDtype(d2, Seq("i", "f")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(byDtype("i").getAs[Double]("p05") == 1.2) // interpolated
+    assert(byDtype("f").getAs[Double]("p05") == 1.0) // sketch: element
+    assert(byDtype("i").getAs[Double]("q1") == 2.0)
+    assert(byDtype("f").getAs[Double]("q1") == 2.0)
+  }
+
+  test("quantileRankCheck: sketch honors its rank-error contract") {
+    val s = StructType(Seq(StructField("f", DoubleType)))
+    val d2 = df((1 to 1000).map(x => Row(x.toDouble)), s)
+    val r = Stats.quantileRankCheck(d2, Seq("f")).collect()
+    assert(r.length == 5)
+    assert(r.forall(_.getAs[Boolean]("within_bound")))
+  }
+
+  test("derived approx: IQR via sketch matches exact on element-aligned " +
+      "quartiles") {
+    val s = StructType(Seq(StructField("f", DoubleType)))
+    val d2 = df((1 to 5).map(x => Row(x.toDouble)), s)
+    val exact = Stats.derived(d2, Seq("f")).collect().head
+    val approx = Stats.derived(d2, Seq("f"), approx = true).collect().head
+    assert(exact.getAs[Double]("iqr") == 2.0)
+    assert(approx.getAs[Double]("iqr") == 2.0)
+    assert(exact.getAs[Double]("range_val") ==
+      approx.getAs[Double]("range_val"))
+  }
+
   test("corr: perfectly correlated pair detected and rejected") {
     val s = StructType(Seq(StructField("x", DoubleType),
       StructField("y", DoubleType), StructField("z", DoubleType)))
