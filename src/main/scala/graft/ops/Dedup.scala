@@ -114,13 +114,14 @@ object Dedup {
     * shingle set. Fully deterministic (seed folded into the hash
     * input), one shuffle (groupBy id). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 64): DataFrame = {
+      n: Int = 3, numHashes: Int = 64,
+      maxDf: Option[Long] = None): DataFrame = {
     // the shingle key from the index is already a fixed 8-byte hash;
     // derive the family by re-hashing it with per-view seeds — 64
     // hashes of one long each, never 64 string traversals. (A
     // wrapping a·h+b family would be cheaper still, but long overflow
     // is an error under ANSI mode.)
-    val sh = shingleIndex(df, idCol, textCol, n)
+    val sh = shingleIndex(df, idCol, textCol, n, maxDf)
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
@@ -134,12 +135,13 @@ object Dedup {
     * filtered at `minEstJaccard`. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5, maxDf: Option[Long] = None)
+      : DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) or trailing " +
         "signature hashes would be silently excluded from banding")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes, maxDf)
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
@@ -174,14 +176,18 @@ object Dedup {
     * the fixture, deterministic given the seeded hashes) — any
     * banding/signature regression drops rows and fails the compare.
     * Containment is one-directional: precision (no false candidates
-    * surviving the est-Jaccard filter) is covered by unit tests. */
+    * surviving the est-Jaccard filter) is covered by unit tests.
+    * `maxDf` is applied to BOTH sides so the exact premise and the
+    * MinHash signatures see the same (cap-filtered) shingle sets —
+    * an asymmetric cap would fail the compare on corpora where the
+    * cap binds without any LSH regression. */
   def minhashContainmentPairs(df: DataFrame, idCol: String,
       textCol: String, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       minEstJaccard: Double = 0.5, minJaccard: Double = 0.7,
       maxDf: Option[Long] = None): DataFrame = {
     val exact = ngramJaccardPairs(df, idCol, textCol, n, minJaccard, maxDf)
     val cand = minhashLshPairs(df, idCol, textCol, n, numHashes, bands,
-      minEstJaccard)
+      minEstJaccard, maxDf)
     exact.join(cand.select("id_a", "id_b"), Seq("id_a", "id_b"),
         "left_semi")
       .orderBy("id_a", "id_b")
@@ -196,7 +202,16 @@ object Dedup {
     * the fixtures; random-doc expectation is 32, so a bit-vote
     * regression spreads the distance and fails the compare). Distance
     * is computed directly on the pair list (no banding) — the banded
-    * candidate generator is covered by unit tests. */
+    * candidate generator is covered by unit tests.
+    *
+    * Caveat (fixture-calibrated invariant): the premise is the
+    * `maxDf`-capped 3-gram Jaccard while the SimHash votes over ALL
+    * unigrams — the two feature spaces diverge on corpora whose
+    * near-dup pairs are dominated by capped boilerplate (capped J
+    * high, raw Hamming large). The fixtures have no binding cap, and
+    * the thresholds here are calibrated against them; re-calibrate
+    * `minJaccard`/`maxHamming` when pointing this check at a corpus
+    * with heavy shared boilerplate. */
   def simhashBoundedPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minJaccard: Double = 0.9, maxHamming: Int = 16,
       maxDf: Option[Long] = None): DataFrame = {
@@ -253,12 +268,7 @@ object Dedup {
   def embedCosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.5, bits: Int = 8, dim: Int = 64)
       : DataFrame = {
-    // same dim guard as Similarity.annTopK: a null projection would
-    // merge every vector into bucket 0 (silent all-pairs join)
-    val firstDim = df.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).take(1)
-    firstDim.headOption.foreach(r => require(r.getInt(0) == dim,
-      s"embedding dim ${r.getInt(0)} does not match configured dim $dim"))
+    Similarity.checkDim(df, vecCol, dim)
     val planes = Similarity.hyperplanes(bits, dim)
     val base = df.where(size(col(vecCol)) === dim)
       .select(col(idCol).as("id"), col(vecCol).as("v"),
@@ -285,10 +295,7 @@ object Dedup {
   def embedCosinePairsBanded(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.5, bands: Int = 8, rowsPerBand: Int = 4,
       dim: Int = 64): DataFrame = {
-    val firstDim = df.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).take(1)
-    firstDim.headOption.foreach(r => require(r.getInt(0) == dim,
-      s"embedding dim ${r.getInt(0)} does not match configured dim $dim"))
+    Similarity.checkDim(df, vecCol, dim)
     val planes = Similarity.hyperplanes(bands * rowsPerBand, dim)
     val bandStructs = (0 until bands).map { b =>
       val bandPlanes = planes.slice(b * rowsPerBand, (b + 1) * rowsPerBand)

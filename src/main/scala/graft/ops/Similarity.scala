@@ -66,6 +66,20 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Shared dim guard for every LSH entry point: a dim mismatch makes
+    * the plane projection NULL, which would collapse every vector
+    * into bucket 0 — a silent all-pairs join. Fails fast on the first
+    * observed non-null vector; returns false when the input has no
+    * non-null vectors (callers then short-circuit to empty). */
+  private[ops] def checkDim(df: DataFrame, vecCol: String, dim: Int)
+      : Boolean = {
+    val firstDim = df.where(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).take(1)
+    firstDim.headOption.foreach(r => require(r.getInt(0) == dim,
+      s"embedding dim ${r.getInt(0)} does not match configured dim $dim"))
+    firstDim.nonEmpty
+  }
+
   /** Deterministic random hyperplanes: component d of plane j is a
     * fixed function of (seed, j, d) via a seeded RNG — reproducible
     * across sessions, no runtime entropy. */
@@ -97,17 +111,11 @@ object Similarity {
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
       numQueries: Int = 5, k: Int = 10, bits: Int = 8,
       dim: Int = 64, multiProbe: Boolean = true): DataFrame = {
-    // a null projection (dim mismatch) would collapse vectors into
-    // bucket 0 — a silent full cross join. Fail fast on the observed
-    // dim and drop any stragglers of a different length.
-    val firstDim = df.where(col(vecCol).isNotNull)
-      .select(size(col(vecCol))).take(1)
-    if (firstDim.isEmpty) return df.sparkSession.emptyDataFrame
-      .select(lit(0L).as("query_id"), lit(0L).as("rnk"),
-        lit(0L).as("neighbor_id"), lit(0.0).as("cosine")).limit(0)
-    require(firstDim.head.getInt(0) == dim,
-      s"embedding dim ${firstDim.head.getInt(0)} does not match " +
-        s"configured dim $dim")
+    // fail fast on a dim mismatch; drop stragglers of other lengths
+    if (!checkDim(df, vecCol, dim))
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("rnk"),
+          lit(0L).as("neighbor_id"), lit(0.0).as("cosine")).limit(0)
     val planes = hyperplanes(bits, dim)
     val base = df.where(size(col(vecCol)) === dim)
       .select(col(idCol).as("vid"), col(vecCol).as("v"),

@@ -212,7 +212,9 @@ object Core {
          |            (max(CAST($c AS DOUBLE)) - min(CAST($c AS DOUBLE))) / 10.0 AS w
          |            FROM $T WHERE $c IS NOT NULL) m
          |LEFT JOIN (
-         |  SELECT CAST(least(floor((CAST($c AS DOUBLE) - mm.mn) / mm.w), 9) AS BIGINT) AS bin,
+         |  SELECT CASE WHEN mm.w = 0 THEN 0
+         |    ELSE CAST(least(floor((CAST($c AS DOUBLE) - mm.mn) / mm.w), 9) AS BIGINT)
+         |    END AS bin,
          |         count(*) AS cnt
          |  FROM $T, (SELECT min(CAST($c AS DOUBLE)) AS mn,
          |            (max(CAST($c AS DOUBLE)) - min(CAST($c AS DOUBLE))) / 10.0 AS w
