@@ -326,6 +326,73 @@ object Dedup {
       minCosine)
   }
 
+  /** Connected components over a near-dup pair list: every document
+    * that appears in a pair gets a cluster id = the minimum doc id
+    * reachable through the pair graph (the canonical representative).
+    * This is the step that turns pairwise candidates into an actual
+    * dedup decision (keep one doc per cluster), as in CCNet/
+    * RefinedWeb-style corpus pipelines.
+    *
+    * Algorithm: iterative min-label propagation — each round joins
+    * the undirected adjacency with current labels and takes the
+    * neighborhood minimum, stopping early when no label changes.
+    * Rounds needed = cluster diameter, which for near-dup clusters is
+    * small (duplicates of one source document form near-cliques; the
+    * fixtures converge in ≤ 3 rounds). Each round is one shuffle-join
+    * + one aggregation, all distributed; `localCheckpoint` truncates
+    * the growing lineage so round N's plan does not replay rounds
+    * 1..N−1. For adversarially chained graphs at 100 TB (diameter ≫
+    * rounds), swap in the large-star/small-star alternation (Kiveris
+    * et al.), which converges in O(log n) rounds on the same
+    * join-shape. */
+  def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
+    val adj = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = adj.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = adj
+        .join(labels.select(col("id").as("b"), col("label").as("bl")),
+          Seq("b"))
+        .groupBy(col("a").as("id")).agg(min("bl").as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          when(col("nbr") < col("label"), col("nbr"))
+            .otherwise(col("label")).as("label"),
+          (col("nbr") < col("label")).cast("long").as("chg"))
+        .localCheckpoint(true)
+      changed = next.agg(coalesce(sum("chg"), lit(0L))).first().getLong(0)
+      labels = next.select("id", "label")
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** End-to-end near-dedup decision stats: total docs, docs touched
+    * by a near-dup cluster, docs dropped (cluster members that are
+    * not the minimum-id representative), docs kept. */
+  def keepStats(df: DataFrame, idCol: String, clusters: DataFrame)
+      : DataFrame = {
+    val n = df.select(count(col(idCol)).as("n_docs"))
+    val c = clusters.agg(
+      count(lit(1)).as("n_in_clusters"),
+      countDistinct(col("cluster_id")).as("n_clusters"))
+    n.crossJoin(c).select(
+      col("n_docs"),
+      col("n_in_clusters"),
+      (col("n_in_clusters") - col("n_clusters")).as("n_dropped"),
+      (col("n_docs") - col("n_in_clusters") + col("n_clusters"))
+        .as("n_kept"))
+  }
+
   /** 64-bit SimHash over word unigrams: each token votes ±1 on every
     * bit of its xxhash64; the fingerprint takes the sign. One
     * explode + one groupBy. */

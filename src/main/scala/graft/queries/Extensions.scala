@@ -48,6 +48,20 @@ object Extensions {
       Dedup.simhashBoundedPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, minJaccard = 0.9, maxHamming = 16,
         maxDf = Some(NgramMaxDf))),
+    // pairwise candidates → dedup decision: connected components over
+    // the capped exact pair graph (cluster id = min reachable doc id)
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf)))),
+    // end-to-end keep-one-representative stats over those clusters
+    "dedup_keep" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.keepStats(docs, "doc_id",
+        Dedup.duplicateClusters(
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+            n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf))))
+    }),
     // the scale path IS the declared query: banded hyperplane LSH with
     // the oracle replicating the banding (plane literals in the SQL)
     "dedup_embed" -> ((s, dir) =>
@@ -135,6 +149,35 @@ object Extensions {
   val dedupNgramSql: String = ngramSql(0.5)
   val dedupMinhashSql: String = ngramSql(0.7)
   val dedupSimhashSql: String = ngramSql(0.9)
+
+  /** Transitive closure over the near-dup pair graph (DuckDB
+    * recursive CTE) → per-doc min reachable id, mirroring
+    * [[graft.ops.Dedup.duplicateClusters]]'s fixpoint. */
+  private def clustersCte: String =
+    s"""pairs AS (SELECT id_a, id_b FROM (${ngramSql(0.5)})),
+       |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+       |  UNION
+       |  SELECT e.a, r.b FROM und e JOIN reach r ON r.a = e.b),
+       |cl AS (SELECT a AS doc_id, min(b) AS cluster_id
+       |       FROM reach GROUP BY a)""".stripMargin
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $clustersCte
+       |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin
+
+  val dedupKeepSql: String =
+    s"""WITH RECURSIVE $clustersCte,
+       |s AS (SELECT count(*) AS n_in_clusters,
+       |      count(DISTINCT cluster_id) AS n_clusters FROM cl),
+       |n AS (SELECT count(doc_id) AS n_docs FROM documents)
+       |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       |CAST(n_in_clusters AS BIGINT) AS n_in_clusters,
+       |CAST(n_in_clusters - n_clusters AS BIGINT) AS n_dropped,
+       |CAST(n_docs - n_in_clusters + n_clusters AS BIGINT) AS n_kept
+       |FROM n, s""".stripMargin
 
   val embedCosineSql: String = {
     val cosExpr = sig("dp / (na.nrm * nb.nrm)")
@@ -385,6 +428,8 @@ val eventsRollupSql: String =
     "dedup_ngram" -> dedupNgramSql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhashSql,
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_keep" -> dedupKeepSql,
     "dedup_embed" -> dedupEmbedSql,
     "embed_cosine_topk" -> embedCosineSql,
     "embed_ann_lsh" -> embedAnnLshSql,

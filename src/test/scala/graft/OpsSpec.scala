@@ -128,6 +128,38 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() == 0L)
   }
 
+  test("duplicateClusters: chain and clique collapse to min-id labels; " +
+      "unpaired docs absent") {
+    val s = StructType(Seq(StructField("id_a", LongType),
+      StructField("id_b", LongType)))
+    // chain 1-2-3-4 (diameter 3, needs multiple propagation rounds)
+    // plus clique {10,11,12}; doc 99 appears in no pair
+    val pairs = spark.createDataFrame(Seq(
+      Row(1L, 2L), Row(2L, 3L), Row(3L, 4L),
+      Row(10L, 11L), Row(10L, 12L), Row(11L, 12L)).asJava, s)
+    val cl = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("keepStats: one representative survives per cluster") {
+    val s = StructType(Seq(StructField("id_a", LongType),
+      StructField("id_b", LongType)))
+    val pairs = spark.createDataFrame(Seq(
+      Row(1L, 2L), Row(2L, 3L), Row(10L, 11L)).asJava, s)
+    val docsDf = spark.createDataFrame(
+      (1L to 20L).map(i => Row(i, s"doc $i")).asJava,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+    val r = Dedup.keepStats(docsDf, "doc_id",
+      Dedup.duplicateClusters(pairs)).collect().head
+    assert(r.getAs[Long]("n_docs") == 20L)
+    assert(r.getAs[Long]("n_in_clusters") == 5L)
+    assert(r.getAs[Long]("n_dropped") == 3L) // {2,3} and {11}
+    assert(r.getAs[Long]("n_kept") == 17L)
+  }
+
   test("banded embed LSH on the fixture: captures the exact near-dup " +
       "pair and emits nothing else") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
