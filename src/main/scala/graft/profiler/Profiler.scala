@@ -90,17 +90,22 @@ object Profiler {
     val dateColsS = Kinds.dateCols(df)
     val nvar = allCols.size
 
-    // ---- pass A: counts + distinct + moments + zeros + date ranges ----
+    // ---- pass A: counts + moments + zeros + date ranges ------------
+    // Exact countDistinct is kept OUT of this agg: k distinct
+    // aggregates make Catalyst plan an Expand that multiplies every
+    // input row (k+1)× before the partial aggregation, so fusing them
+    // here would push all the cheap codegen'd aggregates through the
+    // expanded stream too (measured ~5 s extra at sf0.1 for 11
+    // columns). The HLL++ sketch is a regular declarative aggregate
+    // (no Expand), so the approx path stays fully fused in one scan.
     val dbl: String => org.apache.spark.sql.Column =
       c => col(c).cast("double")
     val aggsA =
       Seq(count(lit(1)).as("__n")) ++
-      allCols.flatMap { c =>
-        val oc = Stats.orderable(df, c)
-        val dc = if (cfg.exactDistinct) countDistinct(oc)
-                 else approx_count_distinct(oc)
-        Seq(count(col(c)).as(s"cnt__$c"), dc.as(s"dis__$c"))
-      } ++
+      allCols.map(c => count(col(c)).as(s"cnt__$c")) ++
+      (if (cfg.exactDistinct) Nil
+       else allCols.map(c =>
+         approx_count_distinct(Stats.orderable(df, c)).as(s"dis__$c"))) ++
       numCols.flatMap { c =>
         // var/sd/skew/kurt come from pass A2's central sums: k×4
         // built-in moment aggregates would overflow the codegen
@@ -114,10 +119,22 @@ object Profiler {
         Seq(unix_micros(min(col(c)).cast("timestamp")).as(s"dmn__$c"),
           unix_micros(max(col(c)).cast("timestamp")).as(s"dmx__$c"))
       }
-    val a = df.agg(aggsA.head, aggsA.tail: _*).first()
-    def aLong(name: String): Long = a.getAs[Long](name)
+    val aRow = df.agg(aggsA.head, aggsA.tail: _*).first()
+    val aMap: Map[String, Any] = {
+      val base = aRow.schema.fieldNames.zipWithIndex
+        .map { case (f, i) => f -> aRow.get(i) }.toMap
+      if (!cfg.exactDistinct) base
+      else {
+        val dAggs = allCols.map(c =>
+          countDistinct(Stats.orderable(df, c)).as(s"dis__$c"))
+        val dRow = df.agg(dAggs.head, dAggs.tail: _*).first()
+        base ++ dRow.schema.fieldNames.zipWithIndex
+          .map { case (f, i) => f -> dRow.get(i) }
+      }
+    }
+    def aLong(name: String): Long = aMap(name).asInstanceOf[Long]
     def aDouble(name: String): Option[Double] =
-      Option(a.getAs[Any](name)).map {
+      Option(aMap(name)).map {
         case x: Double => x
         case x: Long => x.toDouble
         case x: Number => x.doubleValue()
@@ -218,7 +235,7 @@ object Profiler {
             Map("n_zeros" -> aLong(s"z__$c").toDouble)
         else if (base == "DATE")
           Seq("dmn", "dmx").flatMap(k =>
-            Option(a.getAs[Any](s"${k}__$c"))
+            Option(aMap(s"${k}__$c"))
               .map(v => k -> v.asInstanceOf[Long].toDouble)).toMap
         else Map.empty
       val qs = qMap.getOrElse(c, Seq.empty)
