@@ -97,6 +97,76 @@ object Similarity {
       when(proj > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
+  /** IVF(-flat) ANN top-k: partition the corpus into Voronoi cells
+    * around a fixed centroid codebook — here the corpus rows with
+    * ids in [centroidLo, centroidHi), so there is no training step
+    * and the oracle can recompute the same cells relationally — and
+    * search only the `nprobe` cells nearest each query.
+    *
+    * Scale shape: the codebook is tiny and driver/broadcast-resident
+    * (as in any IVF index), so cell assignment is a MAP-ONLY pass —
+    * per row, argmin over C inline `array_dot` scores via
+    * lexicographic struct-`least` (no shuffle, no row expansion; a
+    * C-way crossJoin + window would shuffle n·C rows). Ranking key is
+    * |c|² − 2·v·c (per-row-constant |v|² dropped), ties broken by
+    * centroid id. Probed-cell candidates are then scored exactly and
+    * top-k ranked — the second ANN family next to the hyperplane-LSH
+    * path, trading its hash buckets for data-adaptive cells. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      numQueries: Int = 5, k: Int = 10, centroidLo: Long = 100L,
+      centroidHi: Long = 116L, nprobe: Int = 4, dim: Int = 64)
+      : DataFrame = {
+    checkDim(df, vecCol, dim)
+    val base = df.where(size(col(vecCol)) === dim)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"))
+    val cents: Array[(Long, Array[Double], Double)] = base
+      .where(col("vid") >= centroidLo && col("vid") < centroidHi)
+      .select(col("vid"), col("v").cast("array<double>"))
+      .collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1).toArray
+        (r.getLong(0), cv, cv.map(x => x * x).sum)
+      }
+      .sortBy(_._1)
+    require(cents.nonEmpty,
+      s"no centroid rows with id in [$centroidLo, $centroidHi)")
+    val cellStructs = cents.map { case (cid, cv, cn2) =>
+      struct(
+        (lit(cn2) - lit(2.0) * graft.functions.ArrayDot
+          .array_dot(col("v"), typedLit(cv))).as("score"),
+        lit(cid).as("cid"))
+    }
+    // the C scores are computed ONCE into the sorted array; argmin =
+    // element 1 (struct order = (score, cid) lexicographic). The
+    // array alias is referenced once per consumer, so CollapseProject
+    // cannot duplicate the C dot products.
+    val withCells = base.select(col("vid"), col("v"), col("nrm"),
+      array_sort(array(cellStructs: _*)).as("cells"))
+    val assigned = withCells.select(col("vid"), col("v"), col("nrm"),
+      element_at(col("cells"), 1).getField("cid").as("cell"))
+    // query probes: nprobe nearest cells of the (tiny) query rows
+    val probes = withCells.where(col("vid") < numQueries)
+      .select(col("vid").as("qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"),
+        explode(slice(col("cells"), 1, nprobe)).as("p"))
+      .select(col("qid"), col("qv"), col("qnrm"),
+        col("p.cid").as("pcell"))
+    val scored = assigned.join(broadcast(probes),
+        col("vid") =!= col("qid") && col("cell") === col("pcell"))
+      .select(col("qid"), col("vid"),
+        sig5(cosine(dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
+          .as("cosine"))
+      .where(col("cosine").isNotNull)
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("vid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("qid").as("query_id"), col("rnk"),
+        col("vid").as("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** ANN top-k via hyperplane LSH: score only candidates colliding on
     * one of the query's probe buckets. With `multiProbe` (default),
     * each query also probes the `bits` neighboring buckets at Hamming

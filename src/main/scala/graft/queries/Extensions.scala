@@ -75,6 +75,13 @@ object Extensions {
     "embed_ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         numQueries = 5, k = 10, bits = 8, dim = 64, multiProbe = true)),
+    // IVF-flat ANN: Voronoi cells around designated corpus rows (ids
+    // 100..115) as the codebook, nprobe=4 — the oracle recomputes the
+    // identical cells relationally (no literals needed)
+    "embed_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+        numQueries = 5, k = 10, centroidLo = 100L, centroidHi = 116L,
+        nprobe = 4, dim = 64)),
     // ---- text analysis ----
     "text_stats" -> ((s, dir) =>
       TextStats.langStats(t(s, dir, "documents"), "text", "lang")),
@@ -187,6 +194,39 @@ object Extensions {
        |dot AS (SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.v * b.v) AS dp
        |        FROM el a JOIN el b ON a.i = b.i AND b.vec_id <> a.vec_id
        |        WHERE a.vec_id < 5 GROUP BY 1, 2),
+       |cos AS (SELECT qid, vid, $cosExpr AS cosine
+       |        FROM dot JOIN nrm na ON na.vec_id = dot.qid
+       |        JOIN nrm nb ON nb.vec_id = dot.vid)
+       |SELECT query_id, rnk, neighbor_id, cosine FROM (
+       |  SELECT qid AS query_id,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS BIGINT) AS rnk,
+       |    vid AS neighbor_id, cosine FROM cos)
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  val embedAnnIvfSql: String = {
+    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i)),
+       |cn AS (SELECT vec_id AS cid, sum(v * v) AS cn2 FROM el
+       |       WHERE vec_id BETWEEN 100 AND 115 GROUP BY 1),
+       |cd AS (SELECT a.vec_id AS vid, c.vec_id AS cid, sum(a.v * c.v) AS dp
+       |       FROM el a JOIN el c ON c.i = a.i
+       |       AND c.vec_id BETWEEN 100 AND 115 GROUP BY 1, 2),
+       |sc AS (SELECT vid, cd.cid, cn2 - 2 * dp AS score
+       |       FROM cd JOIN cn ON cn.cid = cd.cid),
+       |rk AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid
+       |       ORDER BY score ASC, cid ASC) AS rn FROM sc),
+       |assign AS (SELECT vid, cid AS cell FROM rk WHERE rn = 1),
+       |probes AS (SELECT vid AS qid, cid AS cell FROM rk
+       |           WHERE vid < 5 AND rn <= 4),
+       |cand AS (SELECT p.qid, a.vid FROM probes p
+       |         JOIN assign a ON a.cell = p.cell WHERE a.vid <> p.qid),
+       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY 1),
+       |dot AS (SELECT c.qid, c.vid, sum(a.v * b.v) AS dp
+       |        FROM cand c JOIN el a ON a.vec_id = c.qid
+       |        JOIN el b ON b.vec_id = c.vid AND b.i = a.i
+       |        GROUP BY 1, 2),
        |cos AS (SELECT qid, vid, $cosExpr AS cosine
        |        FROM dot JOIN nrm na ON na.vec_id = dot.qid
        |        JOIN nrm nb ON nb.vec_id = dot.vid)
@@ -433,6 +473,7 @@ val eventsRollupSql: String =
     "dedup_embed" -> dedupEmbedSql,
     "embed_cosine_topk" -> embedCosineSql,
     "embed_ann_lsh" -> embedAnnLshSql,
+    "embed_ann_ivf" -> embedAnnIvfSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,

@@ -191,9 +191,16 @@ class OpsSpec extends SparkSpec {
       numQueries = 5, k = 10, bits = 8, dim = 64, multiProbe = false))
     val multi = tops(Similarity.annTopK(emb, "vec_id", "embedding",
       numQueries = 5, k = 10, bits = 8, dim = 64, multiProbe = true))
+    val ivf = tops(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      numQueries = 5, k = 10))
+    val ri = recall(ivf, brute)
     val rs = recall(single, brute)
     val rm = recall(multi, brute)
-    info(f"single-probe recall@10 = $rs%.2f, multiprobe = $rm%.2f")
+    info(f"single-probe recall@10 = $rs%.2f, multiprobe = $rm%.2f, " +
+      f"ivf(4/16 cells) = $ri%.2f")
+    // IVF probing 4 of 16 data-adaptive cells scans ~25% of the
+    // corpus; its recall floor is measured like the LSH ones
+    assert(ri >= 0.2, "IVF recall collapsed below the measured floor")
     // deterministic given seed-42 planes + fixture: measured 0.00
     // single-probe vs 0.10 multiprobe. The fixture's true top-10 sit
     // at cosine ≈ 0.3–0.4 (no planted neighbors at sf0.001), the
