@@ -2,7 +2,17 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import graft.det.Sig.sig5
+
+/** Open-session state carried between micro-batches by
+  * [[StreamProfiler.sessionizeStream]] (per user). */
+case class SessionState(startUs: Long, endUs: Long, n: Long, idx: Long)
+
+/** A closed session — same schema as the batch
+  * [[graft.ops.EventOps.sessionize]] output. */
+case class SessionOut(user_id: Long, session_idx: Long,
+    session_start_us: Long, session_end_us: Long, n_events: Long)
 
 /** Continuous profiling over event-time streams — the reference is
   * batch-only (SURVEY.md §2.2: streaming absent); this is the
@@ -66,6 +76,76 @@ object StreamProfiler {
       .withColumn("__ts", eventTime(events, tsCol))
       .withWatermark("__ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming sessionization with CUSTOM state — the
+    * `flatMapGroupsWithState` surface (arbitrary per-key state, which
+    * windowed aggregation cannot express): per user, events within
+    * `gapUs` of the open session extend it; a larger gap closes and
+    * emits it; the event-time timeout fires once the watermark passes
+    * the open session's end + gap, emitting the final session without
+    * waiting for more input. State is one small record per ACTIVE
+    * user and is garbage-collected by the timeout — bounded
+    * regardless of stream length.
+    *
+    * Semantics twin of the batch [[graft.ops.EventOps.sessionize]]
+    * (same output schema and session boundaries; equivalence is
+    * asserted in StreamingSpec). Caveat shared by every incremental
+    * sessionizer: an event that arrives AFTER its session was already
+    * closed (later micro-batch, still inside the watermark) starts a
+    * new session instead of reopening the emitted one — the batch
+    * operator is the authoritative backfill/audit path. */
+  def sessionizeStream(events: DataFrame, tsCol: String = "ts",
+      userCol: String = "user_id", gapUs: Long = 1800000000L,
+      watermark: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the watermarked __ts column must survive into the grouped
+    // dataset or the event-time timeout is rejected at analysis
+    val prepared = events
+      .withColumn("__ts", eventTime(events, tsCol))
+      .withWatermark("__ts", watermark)
+      .select(col(userCol).cast("long").as("user_id"),
+        unix_micros(col("__ts")).as("us"), col("__ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+    prepared
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.idx, s.startUs, s.endUs, s.n))
+          } else {
+            val times = rows.map(_._2).toSeq.sorted
+            val out = scala.collection.mutable.Buffer.empty[SessionOut]
+            var cur = state.getOption
+            for (t <- times) {
+              cur match {
+                case Some(s)
+                    if t >= s.startUs - gapUs && t - s.endUs <= gapUs =>
+                  cur = Some(s.copy(startUs = math.min(s.startUs, t),
+                    endUs = math.max(s.endUs, t), n = s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(user, s.idx, s.startUs, s.endUs, s.n)
+                  cur = Some(SessionState(t, t, 1L, s.idx + 1))
+                case None => cur = Some(SessionState(t, t, 1L, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout once the watermark passes end + gap; must be
+              // strictly ahead of the current watermark or Spark
+              // rejects it (a very late group's session closes on the
+              // next watermark advance instead)
+              state.setTimeoutTimestamp(math.max(
+                s.endUs / 1000L + gapUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
+          }
+      }.toDF()
+  }
 
   /** Windowed numeric profile: the batch profiler's fused moment agg
     * (count/mean/min/max/stddev + zeros) per tumbling window, for any

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.streaming.StreamProfiler
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class UserEv(ts: Timestamp, user_id: Long)
 
 class StreamingSpec extends SparkSpec {
 
@@ -70,6 +71,58 @@ class StreamingSpec extends SparkSpec {
         Seq("a", "b"))
       assert(out.find(_.getAs[String]("event_type") == "a").get
         .getAs[Double]("value") == 1.0) // first occurrence wins
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer matches batch sessionize; " +
+      "timeout closes the final session") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEv]
+    val q = StreamProfiler.sessionizeStream(
+      mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // events sit an hour past epoch: a row exactly AT the initial
+      // watermark (0) is dropped by the pre-state late-row filter.
+      // user 1: events at minutes 60,70 (one session), then 110
+      // (40-min gap => new session); user 2: single event at 65
+      // (strictly past the batch-2 watermark of t(60))
+      mem.addData(UserEv(t(60), 1L), UserEv(t(70), 1L))
+      q.processAllAvailable()
+      mem.addData(UserEv(t(110), 1L), UserEv(t(65), 2L))
+      q.processAllAvailable()
+      // advance the watermark far past every open session + gap so
+      // event-time timeouts fire and emit the final sessions
+      mem.addData(UserEv(t(5000), 99L))
+      q.processAllAvailable()
+      mem.addData(UserEv(t(10000), 99L))
+      q.processAllAvailable()
+      val out = spark.table("sess")
+        .select("user_id", "session_idx", "session_start_us",
+          "session_end_us", "n_events")
+        .where(col("user_id").isin(1L, 2L))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val min = 60000000L // µs
+      assert(out((1L, 1L)) == (60L * min, 70L * min, 2L))
+      assert(out((1L, 2L)) == (110L * min, 110L * min, 1L))
+      assert(out((2L, 1L)) == (65L * min, 65L * min, 1L))
+      // batch equivalence on the same events
+      val batch = graft.ops.EventOps.sessionize(
+        Seq(UserEv(t(60), 1L), UserEv(t(70), 1L), UserEv(t(110), 1L),
+          UserEv(t(65), 2L)).toDF()
+          .withColumn("event_id", monotonically_increasing_id()))
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("session_idx")) ->
+          (r.getAs[Long]("session_start_us"),
+            r.getAs[Long]("session_end_us"),
+            r.getAs[Long]("n_events"))).toMap
+      assert(batch.view.filterKeys(_._1 != 99L).toMap ==
+        out.view.filterKeys(_._1 != 99L).toMap)
     } finally q.stop()
   }
 
