@@ -326,6 +326,34 @@ object Dedup {
       minCosine)
   }
 
+  /** Benchmark decontamination: for each eval/benchmark document,
+    * find training documents sharing ≥ `minShared` distinct n-gram
+    * shingles (the GPT-3/PaLM-style n-gram overlap check), with the
+    * shared count and the shared fraction of the eval doc's shingle
+    * set. Same inverted hashed-shingle index as the dedup family —
+    * the join is linear in index size, never |train|×|eval|, and the
+    * `maxDf` cap defuses boilerplate shingles on both sides. A
+    * training pipeline drops (or flags) every training doc that
+    * contaminates an eval doc. */
+  def contaminationPairs(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, minShared: Long = 5L,
+      maxDf: Option[Long] = None): DataFrame = {
+    val ti = shingleIndex(train, idCol, textCol, n, maxDf)
+      .select(col("id").as("train_id"), col("shingle"))
+    val ei = shingleIndex(eval, idCol, textCol, n, maxDf)
+      .select(col("id").as("eval_id"), col("shingle"))
+    val evalSizes = ei.groupBy("eval_id").agg(count(lit(1)).as("esz"))
+    ei.join(ti, Seq("shingle"))
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .join(evalSizes, Seq("eval_id"))
+      .select(col("eval_id"), col("train_id"), col("n_shared"),
+        graft.det.Sig.sig5(col("n_shared").cast("double") / col("esz"))
+          .as("overlap"))
+      .orderBy("eval_id", "train_id")
+  }
+
   /** Connected components over a near-dup pair list: every document
     * that appears in a pair gets a cluster id = the minimum doc id
     * reachable through the pair graph (the canonical representative).

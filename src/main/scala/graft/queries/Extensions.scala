@@ -48,6 +48,17 @@ object Extensions {
       Dedup.simhashBoundedPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, minJaccard = 0.9, maxHamming = 16,
         maxDf = Some(NgramMaxDf))),
+    // benchmark decontamination: src0 plays the eval set, the rest is
+    // the training corpus; GPT-3-style n-gram overlap with the same
+    // capped hashed-shingle index as the dedup family
+    "text_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationPairs(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", n = 3, minShared = 5L,
+        maxDf = Some(NgramMaxDf))
+    }),
     // pairwise candidates → dedup decision: connected components over
     // the capped exact pair graph (cluster id = min reachable doc id)
     "dedup_clusters" -> ((s, dir) =>
@@ -156,6 +167,32 @@ object Extensions {
   val dedupNgramSql: String = ngramSql(0.5)
   val dedupMinhashSql: String = ngramSql(0.7)
   val dedupSimhashSql: String = ngramSql(0.9)
+
+  val textContaminationSql: String = {
+    def side(name: String, cond: String): String =
+      s"""${name}0 AS (
+         |  SELECT id, unnest(grams) AS shingle FROM (
+         |    SELECT doc_id AS id,
+         |      list_distinct(list_transform(range(1, len(w) - 1),
+         |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |          FROM documents WHERE $cond))),
+         |${name}_hot AS (SELECT shingle FROM ${name}0 GROUP BY shingle
+         |        HAVING count(*) > $NgramMaxDf),
+         |$name AS (SELECT * FROM ${name}0
+         |       WHERE shingle NOT IN (SELECT shingle FROM ${name}_hot))""".stripMargin
+    s"""WITH ${side("tr", "source <> 'src0'")},
+       |${side("ev", "source = 'src0'")},
+       |esz AS (SELECT id, count(*) AS esz FROM ev GROUP BY id),
+       |sh AS (SELECT ev.id AS eval_id, tr.id AS train_id,
+       |       count(*) AS n_shared
+       |       FROM ev JOIN tr ON tr.shingle = ev.shingle
+       |       GROUP BY 1, 2 HAVING count(*) >= 5)
+       |SELECT eval_id, train_id, n_shared,
+       |${sig("CAST(n_shared AS DOUBLE) / esz")} AS overlap
+       |FROM sh JOIN esz ON esz.id = sh.eval_id
+       |ORDER BY eval_id, train_id""".stripMargin
+  }
 
   /** Transitive closure over the near-dup pair graph (DuckDB
     * recursive CTE) → per-doc min reachable id, mirroring
@@ -470,6 +507,7 @@ val eventsRollupSql: String =
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep" -> dedupKeepSql,
+    "text_contamination" -> textContaminationSql,
     "dedup_embed" -> dedupEmbedSql,
     "embed_cosine_topk" -> embedCosineSql,
     "embed_ann_lsh" -> embedAnnLshSql,

@@ -128,6 +128,25 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() == 0L)
   }
 
+  test("contamination: eval doc flagged against overlapping train doc " +
+      "only") {
+    val train = spark.createDataFrame(Seq(
+      Row(1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      Row(2L, "totally unrelated content nothing shared here at all ok")
+    ).asJava, docSchema)
+    val eval = spark.createDataFrame(Seq(
+      Row(100L, "alpha beta gamma delta epsilon zeta eta kappa lambda"),
+      Row(101L, "fresh benchmark question with its own novel words")
+    ).asJava, docSchema)
+    val r = Dedup.contaminationPairs(train, eval, "doc_id", "text",
+      n = 3, minShared = 5L).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 100L && r.head.getLong(1) == 1L)
+    // eval 100 has 7 distinct 3-grams, 5 shared with train 1
+    assert(r.head.getAs[Long]("n_shared") == 5L)
+    assert(math.abs(r.head.getAs[Double]("overlap") - 5.0 / 7) < 1e-4)
+  }
+
   test("duplicateClusters: chain and clique collapse to min-id labels; " +
       "unpaired docs absent") {
     val s = StructType(Seq(StructField("id_a", LongType),
