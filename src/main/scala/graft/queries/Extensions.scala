@@ -104,6 +104,12 @@ object Extensions {
       TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
     "text_tokens" -> ((s, dir) =>
       TextStats.tokenCounts(t(s, dir, "documents"), "doc_id", "text")),
+    // deterministic stratified sample: 10% of each language, lowest
+    // doc_ids — exact fractions, fully oracle-expressible
+    "sample_stratified" -> ((s, dir) =>
+      Sampling.stratifiedExact(t(s, dir, "documents"), "lang", "doc_id",
+          0.1)
+        .select("doc_id", "lang").orderBy("doc_id")),
     // ---- multimodal ----
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(
@@ -167,6 +173,14 @@ object Extensions {
   val dedupNgramSql: String = ngramSql(0.5)
   val dedupMinhashSql: String = ngramSql(0.7)
   val dedupSimhashSql: String = ngramSql(0.9)
+
+  val sampleStratifiedSql: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM documents)
+      |WHERE rn <= ceil(cnt * 0.1) ORDER BY doc_id""".stripMargin
 
   val textContaminationSql: String = {
     def side(name: String, cond: String): String =
@@ -508,6 +522,7 @@ val eventsRollupSql: String =
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep" -> dedupKeepSql,
     "text_contamination" -> textContaminationSql,
+    "sample_stratified" -> sampleStratifiedSql,
     "dedup_embed" -> dedupEmbedSql,
     "embed_cosine_topk" -> embedCosineSql,
     "embed_ann_lsh" -> embedAnnLshSql,

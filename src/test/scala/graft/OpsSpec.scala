@@ -128,6 +128,32 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() == 0L)
   }
 
+  test("stratifiedExact: ceil(frac*n) lowest ids per stratum") {
+    val s = StructType(Seq(StructField("id", LongType),
+      StructField("g", StringType)))
+    val d = spark.createDataFrame(
+      ((1L to 10L).map(i => Row(i, "a")) ++
+        (11L to 13L).map(i => Row(i, "b"))).asJava, s)
+    val r = Sampling.stratifiedExact(d, "g", "id", 0.2).collect()
+      .map(x => (x.getString(1), x.getLong(0))).toSet
+    // a: ceil(10*0.2)=2 lowest ids; b: ceil(3*0.2)=1
+    assert(r == Set(("a", 1L), ("a", 2L), ("b", 11L)))
+  }
+
+  test("hashSplit: deterministic, disjoint, exhaustive") {
+    val s = StructType(Seq(StructField("id", LongType)))
+    val d = spark.createDataFrame(
+      (1L to 500L).map(Row(_)).asJava, s)
+    val (tr1, ho1) = Sampling.hashSplit(d, "id", holdoutPerMille = 100)
+    val (tr2, ho2) = Sampling.hashSplit(d, "id", holdoutPerMille = 100)
+    val t1 = tr1.collect().map(_.getLong(0)).toSet
+    val h1 = ho1.collect().map(_.getLong(0)).toSet
+    assert(t1 == tr2.collect().map(_.getLong(0)).toSet) // stable
+    assert(h1 == ho2.collect().map(_.getLong(0)).toSet)
+    assert((t1 & h1).isEmpty && t1.size + h1.size == 500)
+    assert(h1.size > 20 && h1.size < 200) // ~10% binomial envelope
+  }
+
   test("contamination: eval doc flagged against overlapping train doc " +
       "only") {
     val train = spark.createDataFrame(Seq(
