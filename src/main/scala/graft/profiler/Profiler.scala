@@ -83,6 +83,20 @@ case class TableProfile(
   */
 object Profiler {
 
+  /** Run a wide single-row aggregation in chunks of at most `chunk`
+    * expressions — several scans instead of one enormous plan — and
+    * merge the results into one name→value map. Catalyst analysis
+    * and codegen are superlinear in expression count: a 500-column
+    * profile would otherwise build a ~2,500-expression Aggregate.
+    * For ordinary tables (k·aggs ≤ chunk) this is exactly one scan,
+    * identical to the unchunked plan. */
+  private def chunkedAgg(df: DataFrame, aggs: Seq[org.apache.spark.sql.Column],
+      chunk: Int): Map[String, Any] =
+    aggs.grouped(chunk).flatMap { g =>
+      val r = df.agg(g.head, g.tail: _*).first()
+      r.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> r.get(i) }
+    }.toMap
+
   def profile(df: DataFrame,
       cfg: ProfilerConfig = ProfilerConfig()): TableProfile = {
     val allCols = df.columns.toSeq
@@ -119,17 +133,17 @@ object Profiler {
         Seq(unix_micros(min(col(c)).cast("timestamp")).as(s"dmn__$c"),
           unix_micros(max(col(c)).cast("timestamp")).as(s"dmx__$c"))
       }
-    val aRow = df.agg(aggsA.head, aggsA.tail: _*).first()
     val aMap: Map[String, Any] = {
-      val base = aRow.schema.fieldNames.zipWithIndex
-        .map { case (f, i) => f -> aRow.get(i) }.toMap
+      val base = chunkedAgg(df, aggsA, chunk = 600)
       if (!cfg.exactDistinct) base
       else {
+        // smaller chunks for exact distincts: the Expand multiplier
+        // equals the number of distinct aggs in the scan, so total
+        // expanded rows stay ~k·n however we chunk — but each scan's
+        // hash-agg memory is bounded by its chunk
         val dAggs = allCols.map(c =>
           countDistinct(Stats.orderable(df, c)).as(s"dis__$c"))
-        val dRow = df.agg(dAggs.head, dAggs.tail: _*).first()
-        base ++ dRow.schema.fieldNames.zipWithIndex
-          .map { case (f, i) => f -> dRow.get(i) }
+        base ++ chunkedAgg(df, dAggs, chunk = 64)
       }
     }
     def aLong(name: String): Long = aMap(name).asInstanceOf[Long]
@@ -148,12 +162,13 @@ object Profiler {
         val withMu = numCols.flatMap(c => aDouble(s"mean__$c").map(c -> _))
         if (withMu.isEmpty) Map.empty
         else {
-          val aggs2 = Stats.centralSumAggs(withMu)
-          val r2 = df.agg(aggs2.head, aggs2.tail: _*).first()
+          val r2 = chunkedAgg(df, Stats.centralSumAggs(withMu),
+            chunk = 600)
           withMu.map { case (c, _) =>
             c -> Stats.momentsFromSums(aLong(s"cnt__$c"),
-              r2.getAs[Double](s"s2__$c"), r2.getAs[Double](s"s3__$c"),
-              r2.getAs[Double](s"s4__$c"))
+              r2(s"s2__$c").asInstanceOf[Double],
+              r2(s"s3__$c").asInstanceOf[Double],
+              r2(s"s4__$c").asInstanceOf[Double])
           }.toMap
         }
       }
@@ -174,9 +189,11 @@ object Profiler {
             else s"percentile(cast(`$c` as double), $arr)"
           expr(e).as(s"q__$c")
         }
-        val b = df.agg(aggsB.head, aggsB.tail: _*).first()
+        // chunked: each percentile agg buffers its column's values
+        // (exact path) — bounding aggs-per-scan bounds that memory
+        val b = chunkedAgg(df, aggsB, chunk = 64)
         numCols.map { c =>
-          val v = b.getAs[scala.collection.Seq[Any]](s"q__$c")
+          val v = b(s"q__$c").asInstanceOf[scala.collection.Seq[Any]]
           c -> (if (v == null) Seq.empty[Double]
                 else v.map(x => Option(x).map(_.asInstanceOf[Double])
                   .getOrElse(Double.NaN)).toSeq)
@@ -188,15 +205,18 @@ object Profiler {
       c -> aDouble(s"min__$c").getOrElse(Double.NaN)).toMap
     val mxMap = numCols.map(c =>
       c -> aDouble(s"max__$c").getOrElse(Double.NaN)).toMap
+    // chunked by column group: bins·k conditional sums per scan
+    // otherwise (wide-table plan blowup, same rationale as chunkedAgg)
     val histRows: Map[String, Seq[(Long, Long)]] =
-      if (numCols.isEmpty) Map.empty
-      else Stats.histogramWithBounds(df, numCols, cfg.bins, mnMap, mxMap)
-        .collect()
-        .groupBy(_.getString(0))
-        .map { case (k, rs) =>
-          k -> rs.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("cnt")))
-            .toSeq.sortBy(_._1)
-        }
+      numCols.grouped(60).flatMap { g =>
+        Stats.histogramWithBounds(df, g, cfg.bins, mnMap, mxMap)
+          .collect()
+          .groupBy(_.getString(0))
+          .map { case (k, rs) =>
+            k -> rs.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("cnt")))
+              .toSeq.sortBy(_._1)
+          }
+      }.toMap
     val catColsS = Kinds.catCols(df)
     val freqRows: Map[String, Seq[(String, Long)]] =
       if (catColsS.isEmpty) Map.empty

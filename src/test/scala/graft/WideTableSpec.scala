@@ -38,4 +38,26 @@ class WideTableSpec extends SparkSpec {
       ProfilerConfig(correlations = false))
     assert(pe.columns.size == 50)
   }
+
+  test("250-column profile exercises the chunked aggregation passes") {
+    val k = 250
+    val schema = StructType((0 until k).map(i =>
+      StructField(s"n$i", DoubleType)))
+    val rows = (1 to 200).map { r =>
+      Row.fromSeq((0 until k).map(i =>
+        ((r * (i + 3) + i * 17) % 101).toDouble))
+    }
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(4)
+    // pass A (1250 aggs), B (250 percentile aggs) and the histogram
+    // pass all exceed one chunk; results must merge seamlessly
+    val p = Profiler.profile(df, ProfilerConfig(
+      exactQuantiles = false, exactDistinct = false,
+      correlations = false))
+    assert(p.nvar == k && p.columns.size == k)
+    val last = p.columns.find(_.name == s"n${k - 1}").get
+    assert(last.count == 200L)
+    assert(last.stats.contains("mean"))
+    assert(last.quantiles.nonEmpty)
+    assert(last.histogram.map(_._2).sum == 200L)
+  }
 }
