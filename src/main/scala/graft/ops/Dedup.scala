@@ -374,7 +374,7 @@ object Dedup {
     * et al.), which converges in O(log n) rounds on the same
     * join-shape. */
   def duplicateClusters(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 50): DataFrame = {
     val edges = pairs.select(col(idA).as("a"), col(idB).as("b"))
     val adj = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
@@ -400,6 +400,14 @@ object Dedup {
       labels = next.select("id", "label")
       iter += 1
     }
+    // a silent non-converged result would be WRONG labels (a component
+    // split in two); fail loudly instead — raise maxIter or switch to
+    // the O(log n)-round large-star/small-star variant for graphs with
+    // diameter beyond it
+    require(changed == 0,
+      s"duplicateClusters did not converge within $maxIter rounds " +
+        s"($changed labels still changing) — component diameter exceeds " +
+        "maxIter")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
   }

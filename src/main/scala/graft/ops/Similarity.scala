@@ -116,7 +116,10 @@ object Similarity {
       numQueries: Int = 5, k: Int = 10, centroidLo: Long = 100L,
       centroidHi: Long = 116L, nprobe: Int = 4, dim: Int = 64)
       : DataFrame = {
-    checkDim(df, vecCol, dim)
+    if (!checkDim(df, vecCol, dim))
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as("query_id"), lit(0L).as("rnk"),
+          lit(0L).as("neighbor_id"), lit(0.0).as("cosine")).limit(0)
     val base = df.where(size(col(vecCol)) === dim)
       .select(col(idCol).as("vid"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
@@ -131,9 +134,14 @@ object Similarity {
       .sortBy(_._1)
     require(cents.nonEmpty,
       s"no centroid rows with id in [$centroidLo, $centroidHi)")
+    // the ranking key is sig5-ROUNDED on both engines (engine
+    // contract: every discrete decision — here argmin cell and the
+    // nprobe cutoff — ranks rounded values; raw doubles differ by an
+    // ULP between Spark's sequential dot and DuckDB's join-order sum,
+    // which could flip the assignment of a near-equidistant vector)
     val cellStructs = cents.map { case (cid, cv, cn2) =>
       struct(
-        (lit(cn2) - lit(2.0) * graft.functions.ArrayDot
+        sig5(lit(cn2) - lit(2.0) * graft.functions.ArrayDot
           .array_dot(col("v"), typedLit(cv))).as("score"),
         lit(cid).as("cid"))
     }

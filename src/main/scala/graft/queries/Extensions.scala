@@ -264,7 +264,7 @@ object Extensions {
        |cd AS (SELECT a.vec_id AS vid, c.vec_id AS cid, sum(a.v * c.v) AS dp
        |       FROM el a JOIN el c ON c.i = a.i
        |       AND c.vec_id BETWEEN 100 AND 115 GROUP BY 1, 2),
-       |sc AS (SELECT vid, cd.cid, cn2 - 2 * dp AS score
+       |sc AS (SELECT vid, cd.cid, ${sig("cn2 - 2 * dp")} AS score
        |       FROM cd JOIN cn ON cn.cid = cd.cid),
        |rk AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid
        |       ORDER BY score ASC, cid ASC) AS rn FROM sc),

@@ -83,9 +83,12 @@ object StreamProfiler {
     * `gapUs` of the open session extend it; a larger gap closes and
     * emits it; the event-time timeout fires once the watermark passes
     * the open session's end + gap, emitting the final session without
-    * waiting for more input. State is one small record per ACTIVE
-    * user and is garbage-collected by the timeout — bounded
-    * regardless of stream length.
+    * waiting for more input. State is one small (4-long) record per
+    * user ever seen: the timeout shrinks a closed session's state to
+    * a tombstone carrying the session counter rather than deleting
+    * it, because a monotone per-user `session_idx` requires
+    * remembering the count — bounded by distinct users, not stream
+    * length.
     *
     * Semantics twin of the batch [[graft.ops.EventOps.sessionize]]
     * (same output schema and session boundaries; equivalence is
@@ -113,8 +116,17 @@ object StreamProfiler {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user, rows, state) =>
           if (state.hasTimedOut) {
+            // close the open session but KEEP the state as an n=0
+            // tombstone carrying the session counter: removing it
+            // would restart session_idx at 1 on the user's next
+            // event, colliding (user_id, session_idx) keys and
+            // breaking batch parity. State is therefore one tiny
+            // record per user ever seen — the price of a monotone
+            // per-user session index (any correct incremental
+            // numberer must remember the count); no new timeout is
+            // registered for the tombstone.
             val s = state.get
-            state.remove()
+            state.update(s.copy(n = 0L))
             Iterator(SessionOut(user, s.idx, s.startUs, s.endUs, s.n))
           } else {
             val times = rows.map(_._2).toSeq.sorted
@@ -122,6 +134,8 @@ object StreamProfiler {
             var cur = state.getOption
             for (t <- times) {
               cur match {
+                case Some(s) if s.n == 0L => // tombstone: next session
+                  cur = Some(SessionState(t, t, 1L, s.idx + 1))
                 case Some(s)
                     if t >= s.startUs - gapUs && t - s.endUs <= gapUs =>
                   cur = Some(s.copy(startUs = math.min(s.startUs, t),
@@ -137,10 +151,12 @@ object StreamProfiler {
               // timeout once the watermark passes end + gap; must be
               // strictly ahead of the current watermark or Spark
               // rejects it (a very late group's session closes on the
-              // next watermark advance instead)
-              state.setTimeoutTimestamp(math.max(
-                s.endUs / 1000L + gapUs / 1000L,
-                state.getCurrentWatermarkMs() + 1L))
+              // next watermark advance instead). Tombstones register
+              // no timeout.
+              if (s.n > 0L)
+                state.setTimeoutTimestamp(math.max(
+                  s.endUs / 1000L + gapUs / 1000L,
+                  state.getCurrentWatermarkMs() + 1L))
             }
             out.iterator
           }

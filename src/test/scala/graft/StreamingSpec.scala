@@ -98,6 +98,10 @@ class StreamingSpec extends SparkSpec {
       // event-time timeouts fire and emit the final sessions
       mem.addData(UserEv(t(5000), 99L))
       q.processAllAvailable()
+      // user 1 returns AFTER their sessions were timeout-closed: the
+      // tombstone must continue the index at 3, not restart at 1
+      mem.addData(UserEv(t(6000), 1L))
+      q.processAllAvailable()
       mem.addData(UserEv(t(10000), 99L))
       q.processAllAvailable()
       val out = spark.table("sess")
@@ -110,11 +114,12 @@ class StreamingSpec extends SparkSpec {
       val min = 60000000L // µs
       assert(out((1L, 1L)) == (60L * min, 70L * min, 2L))
       assert(out((1L, 2L)) == (110L * min, 110L * min, 1L))
+      assert(out((1L, 3L)) == (6000L * min, 6000L * min, 1L))
       assert(out((2L, 1L)) == (65L * min, 65L * min, 1L))
       // batch equivalence on the same events
       val batch = graft.ops.EventOps.sessionize(
         Seq(UserEv(t(60), 1L), UserEv(t(70), 1L), UserEv(t(110), 1L),
-          UserEv(t(65), 2L)).toDF()
+          UserEv(t(6000), 1L), UserEv(t(65), 2L)).toDF()
           .withColumn("event_id", monotonically_increasing_id()))
         .collect()
         .map(r => (r.getLong(0), r.getAs[Long]("session_idx")) ->
