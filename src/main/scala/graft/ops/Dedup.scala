@@ -412,6 +412,81 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Connected components via the alternating large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — converges in O(log n) rounds on ANY graph shape,
+    * where [[duplicateClusters]]'s min-label propagation needs
+    * diameter rounds. Each round is two groupBy+join phases over the
+    * canonical edge list:
+    *
+    *  - large-star: every node attaches its strictly-larger
+    *    neighbors to the minimum of its closed neighborhood;
+    *  - small-star: every node attaches its smaller-or-equal
+    *    neighborhood (and itself) to that minimum.
+    *
+    * Fixpoint reached when the edge checksum stops changing — the
+    * edges then form stars rooted at each component's minimum id.
+    * Output schema matches [[duplicateClusters]]. */
+  def duplicateClustersStar(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 30): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .where(col("a") =!= col("b")).distinct()
+    def bidir(e: DataFrame): DataFrame =
+      e.union(e.select(col("b").as("a"), col("a").as("b")))
+    // (count, order-independent hash) — equality across rounds is the
+    // convergence signal; a collision coinciding with an equal count
+    // on a still-moving edge set is negligible. Hashes are masked to
+    // 32 bits before summing: a sum of raw 64-bit hashes is an
+    // ARITHMETIC_OVERFLOW error under ANSI mode.
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("a"), col("b"))
+          .bitwiseAND(lit(0xFFFFFFFFL))), lit(0L))).first()
+      (r.getLong(0), r.getLong(1))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = bidir(e)
+      val mins = bi.groupBy("a").agg(min("b").as("mn"))
+      val withM = bi.join(mins, Seq("a"))
+        .select(col("a"), col("b"), least(col("mn"), col("a")).as("m"))
+      canon(withM.where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical edges have a < b: smaller-neighbor lists are keyed
+      // by the larger endpoint, whose closed-neighborhood min is mn
+      val mins = e.groupBy("b").agg(min("a").as("mn"))
+      val withM = e.join(mins, Seq("b"))
+      canon(withM.select(col("a"), col("mn").as("b"))
+        .union(mins.select(col("b").as("a"), col("mn").as("b"))))
+    }
+    val e0 = canon(pairs.select(col(idA).as("a"), col(idB).as("b")))
+      .localCheckpoint(true)
+    val nodes = bidir(e0).select(col("a").as("id")).distinct()
+      .localCheckpoint(true)
+    var e = e0
+    var prev = checksum(e)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    require(converged,
+      s"duplicateClustersStar did not converge within $maxIter rounds")
+    val lbl = bidir(e).groupBy("a").agg(min("b").as("mn"))
+      .select(col("a").as("id"), least(col("mn"), col("a")).as("label"))
+    nodes.join(lbl, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("label"), col("id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** End-to-end near-dedup decision stats: total docs, docs touched
     * by a near-dup cluster, docs dropped (cluster members that are
     * not the minimum-id representative), docs kept. */

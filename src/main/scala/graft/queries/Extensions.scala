@@ -61,15 +61,18 @@ object Extensions {
     }),
     // pairwise candidates → dedup decision: connected components over
     // the capped exact pair graph (cluster id = min reachable doc id)
+    // via the O(log n)-round large-star/small-star algorithm — the
+    // any-diameter scale path (min-label propagation kept as the
+    // cross-checked simple variant)
     "dedup_clusters" -> ((s, dir) =>
-      Dedup.duplicateClusters(
+      Dedup.duplicateClustersStar(
         Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
           n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf)))),
     // end-to-end keep-one-representative stats over those clusters
     "dedup_keep" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.keepStats(docs, "doc_id",
-        Dedup.duplicateClusters(
+        Dedup.duplicateClustersStar(
           Dedup.ngramJaccardPairs(docs, "doc_id", "text",
             n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf))))
     }),

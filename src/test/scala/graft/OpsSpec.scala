@@ -188,6 +188,29 @@ class OpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L))
   }
 
+  test("duplicateClustersStar: 100-node chain collapses in O(log n) " +
+      "rounds; agrees with propagation on mixed graphs") {
+    val s = StructType(Seq(StructField("id_a", LongType),
+      StructField("id_b", LongType)))
+    // a chain of diameter 99 — min-label propagation would need 99
+    // rounds (beyond its maxIter guard); the star algorithm must
+    // converge logarithmically
+    val chain = spark.createDataFrame(
+      (1L until 100L).map(i => Row(i, i + 1)).asJava, s)
+    val cl = Dedup.duplicateClustersStar(chain).collect()
+    assert(cl.length == 100)
+    assert(cl.forall(_.getLong(1) == 1L))
+    // equivalence with min-label propagation on a mixed graph
+    val mixed = spark.createDataFrame(Seq(
+      Row(5L, 3L), Row(3L, 9L), Row(20L, 21L), Row(21L, 22L),
+      Row(40L, 41L)).asJava, s)
+    val a = Dedup.duplicateClusters(mixed).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.duplicateClustersStar(mixed).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("keepStats: one representative survives per cluster") {
     val s = StructType(Seq(StructField("id_a", LongType),
       StructField("id_b", LongType)))
