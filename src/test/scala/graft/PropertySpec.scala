@@ -70,6 +70,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components: star algorithm ≡ min-label propagation " +
+      "on random graphs, and labels are a fixpoint") {
+    val edgeSchema = StructType(Seq(StructField("id_a", LongType),
+      StructField("id_b", LongType)))
+    val graphGen: Gen[List[(Long, Long)]] =
+      Gen.nonEmptyListOf(for {
+        a <- Gen.chooseNum(1L, 30L)
+        b <- Gen.chooseNum(1L, 30L) if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    samples(graphGen, 6).foreach { es =>
+      val pairs = spark.createDataFrame(
+        es.map { case (a, b) => Row(a, b) }.asJava, edgeSchema)
+      val prop = graft.ops.Dedup.duplicateClusters(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = graft.ops.Dedup.duplicateClustersStar(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(prop == star, s"graph $es")
+      // fixpoint: both endpoints of every edge share a label, and
+      // every label is the minimum of its own cluster
+      es.foreach { case (a, b) =>
+        assert(star(a) == star(b), s"edge ($a,$b) split in $star")
+      }
+      star.groupBy(_._2).foreach { case (lbl, members) =>
+        assert(members.keys.min == lbl, s"label $lbl not cluster min")
+      }
+    }
+  }
+
   test("sig5 is idempotent") {
     import graft.det.Sig.sig5
     import org.apache.spark.sql.functions.col
