@@ -490,19 +490,29 @@ object Stats {
       .withColumnRenamed("count", "cnt")
     val w = Window.partitionBy("col_name")
       .orderBy(col("cnt").desc, col("value").asc)
-    val ranked = counted.withColumn("rnk", row_number().over(w).cast("long"))
+    val top = counted
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= topK)
     // "other values" remainder bucket (upstream shows top-k plus an
     // aggregated other-count, base.py::describe_categorical_1d
     // ≈L210–230 + templates/freq_table.html): one row per column with
     // the non-top-k value count, emitted only when non-zero so
     // low-cardinality columns keep their exact-table shape.
-    val other = ranked.where(col("rnk") > topK)
-      .groupBy("col_name")
-      .agg(sum("cnt").as("cnt"))
-      .select(col("col_name"), lit("__other__").as("value"), col("cnt"),
+    // Computed as (column total − Σ top-k) from distributed partial
+    // aggregations — NOT by ranking the full value set: the rnk≤topK
+    // branch's single-partition window is fed only ~k rows per
+    // upstream partition thanks to WindowGroupLimit pushdown, but a
+    // rnk>topK branch would force ranking every distinct value of a
+    // column through one partition (fatal for a near-unique column at
+    // corpus scale).
+    val totals = counted.groupBy("col_name").agg(sum("cnt").as("total"))
+    val topSums = top.groupBy("col_name").agg(sum("cnt").as("topsum"))
+    val other = totals.join(topSums, Seq("col_name"))
+      .select(col("col_name"), lit("__other__").as("value"),
+        (col("total") - col("topsum")).as("cnt"),
         lit(topK + 1L).as("rnk"))
-    ranked.where(col("rnk") <= topK)
-      .unionByName(other)
+      .where(col("cnt") > 0)
+    top.unionByName(other)
       .orderBy("col_name", "rnk")
   }
 
