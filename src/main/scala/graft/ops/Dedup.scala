@@ -18,9 +18,22 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact duplicate stats over arbitrary key columns (full-row dedup:
-    * pass all columns; content dedup: pass the text/binary column). */
-  def exactStats(df: DataFrame, keys: Seq[String]): DataFrame = {
-    val g = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+    * pass all columns; content dedup: pass the text/binary column).
+    *
+    * `hashKeys` groups by the 64-bit xxhash64 of the keys instead of
+    * the values themselves — the shuffle then carries 8-byte keys
+    * instead of full document bodies, which is the difference between
+    * shuffling 100 TB and shuffling 800 GB on a content-dedup pass.
+    * A hash collision would merge two distinct documents into one
+    * group (~n²/2⁶⁵); the declared oracle query keeps the by-value
+    * form, the hashed form is the production default at corpus
+    * scale (equivalence unit-tested). */
+  def exactStats(df: DataFrame, keys: Seq[String],
+      hashKeys: Boolean = false): DataFrame = {
+    val groupCols =
+      if (hashKeys) Seq(xxhash64(keys.map(col): _*))
+      else keys.map(col)
+    val g = df.groupBy(groupCols: _*).agg(count(lit(1)).as("c"))
     g.agg(
       sum("c").cast("long").as("n_rows"),
       count(lit(1)).as("n_distinct"),

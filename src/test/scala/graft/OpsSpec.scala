@@ -27,6 +27,17 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_dup_groups") == 1L)
   }
 
+  test("exact dedup: hashed-key scale path matches by-value grouping") {
+    val byValue = Dedup.exactStats(docs, Seq("text")).collect().head
+    val byHash = Dedup.exactStats(docs, Seq("text"), hashKeys = true)
+      .collect().head
+    assert(byValue == byHash)
+    // and on the real fixture corpus
+    val fx = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert(Dedup.exactStats(fx, Seq("text")).collect().head ==
+      Dedup.exactStats(fx, Seq("text"), hashKeys = true).collect().head)
+  }
+
   test("ngram jaccard: identical docs = 1.0, near-dup high, disjoint absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 3, minJaccard = 0.3).collect()
