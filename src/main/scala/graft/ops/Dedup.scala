@@ -27,11 +27,18 @@ object Dedup {
     * A hash collision would merge two distinct documents into one
     * group (~n²/2⁶⁵); the declared oracle query keeps the by-value
     * form, the hashed form is the production default at corpus
-    * scale (equivalence unit-tested). */
+    * scale (equivalence unit-tested).
+    *
+    * Each key is preceded by its is-null flag in the hash input:
+    * Spark's HashExpression SKIPS null children (xxhash64(NULL, x) ==
+    * xxhash64(x)), so without the flags the distinct tuples
+    * ('x', NULL) and (NULL, 'x') would deterministically merge. */
   def exactStats(df: DataFrame, keys: Seq[String],
       hashKeys: Boolean = false): DataFrame = {
     val groupCols =
-      if (hashKeys) Seq(xxhash64(keys.map(col): _*))
+      if (hashKeys)
+        Seq(xxhash64(keys.flatMap(k =>
+          Seq(col(k).isNull.cast("int"), col(k))): _*))
       else keys.map(col)
     val g = df.groupBy(groupCols: _*).agg(count(lit(1)).as("c"))
     g.agg(
@@ -451,13 +458,16 @@ object Dedup {
     // (count, order-independent hash) — equality across rounds is the
     // convergence signal; a collision coinciding with an equal count
     // on a still-moving edge set is negligible. Hashes are masked to
-    // 32 bits before summing: a sum of raw 64-bit hashes is an
-    // ARITHMETIC_OVERFLOW error under ANSI mode.
-    def checksum(e: DataFrame): (Long, Long) = {
+    // 32 bits and summed as decimal(38,0): a Long sum is an ANSI
+    // ARITHMETIC_OVERFLOW for raw 64-bit hashes immediately, and even
+    // masked it would overflow at ~2³² edges — within reach of a
+    // corpus-scale pair graph.
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
       val r = e.agg(count(lit(1)),
         coalesce(sum(xxhash64(col("a"), col("b"))
-          .bitwiseAND(lit(0xFFFFFFFFL))), lit(0L))).first()
-      (r.getLong(0), r.getLong(1))
+            .bitwiseAND(lit(0xFFFFFFFFL)).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).first()
+      (r.getLong(0), r.getDecimal(1))
     }
     def largeStar(e: DataFrame): DataFrame = {
       val bi = bidir(e)

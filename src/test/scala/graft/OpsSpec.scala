@@ -36,6 +36,17 @@ class OpsSpec extends SparkSpec {
     val fx = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     assert(Dedup.exactStats(fx, Seq("text")).collect().head ==
       Dedup.exactStats(fx, Seq("text"), hashKeys = true).collect().head)
+    // null-position disambiguation: Spark's hash skips null children,
+    // so ('x', NULL) and (NULL, 'x') would merge without the is-null
+    // flags in the hash input
+    val ns = StructType(Seq(StructField("k1", StringType),
+      StructField("k2", StringType)))
+    val nd = spark.createDataFrame(Seq(
+      Row("x", null), Row(null, "x"), Row("x", null)).asJava, ns)
+    val r = Dedup.exactStats(nd, Seq("k1", "k2"), hashKeys = true)
+      .collect().head
+    assert(r.getAs[Long]("n_distinct") == 2L)
+    assert(r.getAs[Long]("n_dup_rows") == 2L)
   }
 
   test("ngram jaccard: identical docs = 1.0, near-dup high, disjoint absent") {
