@@ -83,19 +83,12 @@ case class TableProfile(
   */
 object Profiler {
 
-  /** Run a wide single-row aggregation in chunks of at most `chunk`
-    * expressions — several scans instead of one enormous plan — and
-    * merge the results into one name→value map. Catalyst analysis
-    * and codegen are superlinear in expression count: a 500-column
-    * profile would otherwise build a ~2,500-expression Aggregate.
-    * For ordinary tables (k·aggs ≤ chunk) this is exactly one scan,
-    * identical to the unchunked plan. */
+  /** Wide single-row aggregations run through [[Stats.chunkedAgg]] —
+    * a 500-column profile would otherwise build multi-thousand-
+    * expression Aggregate plans (Catalyst analysis and codegen are
+    * superlinear in expression count). */
   private def chunkedAgg(df: DataFrame, aggs: Seq[org.apache.spark.sql.Column],
-      chunk: Int): Map[String, Any] =
-    aggs.grouped(chunk).flatMap { g =>
-      val r = df.agg(g.head, g.tail: _*).first()
-      r.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> r.get(i) }
-    }.toMap
+      chunk: Int): Map[String, Any] = Stats.chunkedAgg(df, aggs, chunk)
 
   def profile(df: DataFrame,
       cfg: ProfilerConfig = ProfilerConfig()): TableProfile = {

@@ -108,6 +108,19 @@ object Stats {
     row.select(explode(array(structs: _*)).as("s")).select("s.*")
       .orderBy("col_name")
 
+  /** Run a wide single-row aggregation in chunks of at most `chunk`
+    * expressions — several scans instead of one enormous plan — and
+    * merge the results into one name→value map. Catalyst analysis and
+    * codegen are superlinear in expression count; for ordinary tables
+    * (≤ chunk aggs) this is exactly one scan, identical to the
+    * unchunked plan. */
+  def chunkedAgg(df: DataFrame, aggs: Seq[Column], chunk: Int)
+      : Map[String, Any] =
+    aggs.grouped(chunk).flatMap { g =>
+      val r = df.agg(g.head, g.tail: _*).first()
+      r.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> r.get(i) }
+    }.toMap
+
   // -------------------------------------------------------------------
   // Counts / missing (C1, C3, T1) — one pass over all columns.
   // -------------------------------------------------------------------
@@ -558,10 +571,17 @@ object Stats {
     // Σ(dx·dy)/Σdx²/Σdy² with the means as literals. Numerically
     // stable at any scale; divergence vs the oracle's corr() is
     // ~1e-12 relative, far inside the sig5 bucket.
-    val muAggs = cols.map(c => avg(d(c)).as(c))
-    val muRow = clean.agg(muAggs.head, muAggs.tail: _*).first()
-    val mu = cols.zipWithIndex.map { case (c, i) =>
-      c -> (if (muRow.isNullAt(i)) 0.0 else muRow.getDouble(i))
+    // both passes run CHUNKED (k mean aggs, then k + k(k−1)/2 sum
+    // aggs): at k columns the pair sums alone are O(k²) expressions —
+    // a single Aggregate plan stops being viable around k ≈ 100. Raw
+    // ρ is assembled driver-side from the collected sums (sqrt /
+    // multiply / divide are single correctly-rounded IEEE ops —
+    // bit-identical to the previous in-plan form) and the canonical
+    // sig5 expression is applied in the returned plan so oracle
+    // rounding parity is untouched.
+    val muMap = chunkedAgg(clean, cols.map(c => avg(d(c)).as(c)), 600)
+    val mu = cols.map { c =>
+      c -> Option(muMap(c)).map(_.asInstanceOf[Double]).getOrElse(0.0)
     }.toMap
     def dev(c: String): Column = d(c) - lit(mu(c))
     val aggs =
@@ -569,13 +589,24 @@ object Stats {
       pairs.zipWithIndex.map { case ((a, b), i) =>
         sum(dev(a) * dev(b)).as(s"sp__$i")
       }
-    val row = clean.agg(aggs.head, aggs.tail: _*)
-    val structs = pairs.zipWithIndex.map { case ((a, b), i) =>
-      val denom = sqrt(col(s"ss__$a")) * sqrt(col(s"ss__$b"))
-      struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        sig5(when(denom =!= 0.0, col(s"sp__$i") / denom)).as("rho"))
-    }
-    row.select(explode(array(structs: _*)).as("s")).select("s.*")
+    val m = chunkedAgg(clean, aggs, 600)
+    def get(name: String): Option[Double] =
+      Option(m(name)).map(_.asInstanceOf[Double])
+    val rows: Seq[(String, String, Option[Double])] =
+      pairs.zipWithIndex.map { case ((a, b), i) =>
+        val raw = for {
+          ssa <- get(s"ss__$a")
+          ssb <- get(s"ss__$b")
+          sp <- get(s"sp__$i")
+          denom = math.sqrt(ssa) * math.sqrt(ssb)
+          if denom != 0.0
+        } yield sp / denom
+        (a, b, raw)
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("col_a", "col_b", "raw")
+      .select(col("col_a"), col("col_b"), sig5(col("raw")).as("rho"))
       .orderBy("col_a", "col_b")
   }
 

@@ -39,6 +39,26 @@ class WideTableSpec extends SparkSpec {
     assert(pe.columns.size == 50)
   }
 
+  test("60-column correlation matrix (1770 pairs) runs chunked") {
+    val k = 60
+    val schema = StructType((0 until k).map(i =>
+      StructField(s"n$i", DoubleType)))
+    val rows = (1 to 100).map { r =>
+      Row.fromSeq((0 until k).map(i =>
+        ((r * (i + 3) + i * 17) % 101).toDouble))
+    }
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val m = graft.profiler.Stats.corrMatrix(df,
+      (0 until k).map(i => s"n$i"))
+    val collected = m.collect()
+    assert(collected.length == k * (k - 1) / 2)
+    // self-consistency spot check: ρ(n0, n0-shifted-clone) would be 1;
+    // here just assert every ρ is in [-1, 1] (sig5 can nudge ~1e-5)
+    assert(collected.forall { r =>
+      r.isNullAt(2) || math.abs(r.getDouble(2)) <= 1.0 + 1e-4
+    })
+  }
+
   test("250-column profile exercises the chunked aggregation passes") {
     val k = 250
     val schema = StructType((0 until k).map(i =>
