@@ -1,0 +1,71 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Sources
+
+/** Source/sink format coverage: schema-enforced JSONL and CSV
+  * ingestion with corrupt-record accounting, and partitioned parquet
+  * as the sink shape whose reads are partition-pruned. */
+class SourcesSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toFile.getAbsolutePath
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  test("jsonl: schema-enforced read flags malformed lines instead of " +
+      "dropping or failing") {
+    val dir = tmpDir("jsonl")
+    Files.write(java.nio.file.Paths.get(dir, "part.jsonl"),
+      java.util.Arrays.asList(
+        """{"doc_id": 1, "text": "hello world"}""",
+        """{"doc_id": 2, "text": "second doc"}""",
+        """this is not json at all""",
+        """{"doc_id": 3, "text": "third"}"""))
+    val df = Sources.jsonl(spark, dir, docSchema)
+    val (n, corrupt) = Sources.corruptStats(df)
+    assert(n == 4L && corrupt == 1L)
+    val cleaned = Sources.clean(df)
+    assert(cleaned.columns.toSeq == Seq("doc_id", "text"))
+    assert(cleaned.count() == 3L)
+    assert(cleaned.agg(sum("doc_id")).first().getLong(0) == 6L)
+  }
+
+  test("csv: round-trips the fixture corpus for profiling") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val dir = tmpDir("csv")
+    docs.write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val back = Sources.clean(Sources.csv(spark, dir, schema))
+    assert(back.count() == docs.count())
+    // profiling stats survive the round-trip byte-for-byte
+    val a = graft.ops.TextStats.langStats(docs, "text", "lang")
+      .collect().toSeq
+    val b = graft.ops.TextStats.langStats(back, "text", "lang")
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("partitioned parquet sink: reads prune partitions on the " +
+      "partition key filter") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text", "lang")
+    val dir = tmpDir("part")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val filtered = spark.read.parquet(dir).where(col("lang") === "en")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"),
+      "partition-key filter must prune at the source, not post-scan")
+    assert(plan.contains("lang"), plan.take(500))
+    assert(filtered.count() ==
+      docs.where(col("lang") === "en").count())
+  }
+}
