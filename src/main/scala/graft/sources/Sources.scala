@@ -33,14 +33,21 @@ object Sources {
       .json(path)
 
   /** Schema-enforced CSV reader with the same corrupt-record
-    * contract. */
+    * contract. `multiLine` defaults to true because Spark's own CSV
+    * writer quotes embedded newlines across physical lines — without
+    * it each half parses as a separate (corrupt) record and the rows
+    * are silently lost on clean(). Trade-off: multiLine files are
+    * not splittable, so one task reads each file; for corpus-scale
+    * ingestion either write many files or pre-scrub newlines and
+    * pass multiLine = false to regain splittable scans. */
   def csv(spark: SparkSession, path: String, schema: StructType,
-      header: Boolean = true): DataFrame =
+      header: Boolean = true, multiLine: Boolean = true): DataFrame =
     spark.read
       .schema(schema.add(StructField(CorruptCol, StringType)))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", CorruptCol)
       .option("header", header.toString)
+      .option("multiLine", multiLine.toString)
       .csv(path)
 
   /** Ingestion health: (n_rows, n_corrupt). Spark refuses queries

@@ -53,6 +53,19 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("csv: embedded newlines survive the round-trip (multiLine)") {
+    val sql = spark
+    import sql.implicits._
+    val dir = tmpDir("csvnl")
+    val src = Seq((1L, "line one\nline two"), (2L, "plain"))
+      .toDF("doc_id", "text")
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = Sources.clean(Sources.csv(spark, dir, docSchema))
+    assert(back.count() == 2L)
+    val texts = back.orderBy("doc_id").collect().map(_.getString(1))
+    assert(texts(0) == "line one\nline two", texts.mkString("|"))
+  }
+
   test("partitioned parquet sink: reads prune partitions on the " +
       "partition key filter") {
     val docs = spark.read
@@ -62,9 +75,14 @@ class SourcesSpec extends SparkSpec {
     docs.write.mode("overwrite").partitionBy("lang").parquet(dir)
     val filtered = spark.read.parquet(dir).where(col("lang") === "en")
     val plan = filtered.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"),
-      "partition-key filter must prune at the source, not post-scan")
-    assert(plan.contains("lang"), plan.take(500))
+    // the lang predicate must appear INSIDE the PartitionFilters
+    // bracket — the bracket itself prints even when empty, and "lang"
+    // always appears in the scan's column list, so a bare contains()
+    // would pass even if pruning regressed to a post-scan Filter
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(plan)
+        .isDefined,
+      "partition-key filter must prune at the source, not post-scan: " +
+        plan.take(800))
     assert(filtered.count() ==
       docs.where(col("lang") === "en").count())
   }
