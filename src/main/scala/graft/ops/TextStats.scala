@@ -110,6 +110,42 @@ object TextStats {
       .orderBy("lang", "pred_lang")
   }
 
+  /** Within-document repetition stats (the MassiveText/Gopher-style
+    * quality filters): per doc, the fraction of occurrences claimed
+    * by the most frequent token and by the most frequent word
+    * 2-gram. Highly repetitive machine-generated text scores near 1;
+    * natural prose near 2/len. Bigram identity rides the 64-bit
+    * token-hash pair (full multiplicity — unlike the dedup shingles,
+    * NO distinct), so the count join shuffles 8-byte keys.
+    * Fractions are NULL when the doc is too short to have any
+    * (n-gram) occurrences. */
+  def repetition(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("t"))
+    val tokStats = tok.groupBy("doc_id", "t").count()
+      .groupBy("doc_id")
+      .agg(sum("count").as("n_tokens"), max("count").as("top_tok"))
+    val hw = df.select(col(idCol).as("doc_id"),
+      transform(tokens(col(textCol)), t => xxhash64(t)).as("hw"))
+    val a = col("hw")
+    val bi = hw.select(col("doc_id"),
+      explode(when(size(a) >= 2,
+        transform(sequence(lit(0), size(a) - 2), i =>
+          xxhash64(element_at(a, i + 1), element_at(a, i + 2))))
+        .otherwise(array().cast("array<bigint>"))).as("g"))
+    val biStats = bi.groupBy("doc_id", "g").count()
+      .groupBy("doc_id")
+      .agg(sum("count").as("n_bigrams"), max("count").as("top_bi"))
+    tokStats.join(biStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        sig5(col("top_tok").cast("double") / col("n_tokens"))
+          .as("top_token_frac"),
+        sig5(col("top_bi").cast("double") / col("n_bigrams"))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Karp–Rabin rolling-hash document fingerprint: the minimum base-31
     * polynomial hash over all 8-char windows (winnowing with window =
     * whole doc). Pure integer arithmetic → exact. Docs shorter than

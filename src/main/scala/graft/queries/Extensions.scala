@@ -107,6 +107,9 @@ object Extensions {
       TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
     "text_tokens" -> ((s, dir) =>
       TextStats.tokenCounts(t(s, dir, "documents"), "doc_id", "text")),
+    // Gopher/MassiveText-style within-doc repetition filters
+    "text_repetition" -> ((s, dir) =>
+      TextStats.repetition(t(s, dir, "documents"), "doc_id", "text")),
     // deterministic stratified sample: 10% of each language, lowest
     // doc_ids — exact fractions, fully oracle-expressible
     "sample_stratified" -> ((s, dir) =>
@@ -511,6 +514,26 @@ val eventsRollupSql: String =
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   }
 
+  val textRepetitionSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |             FROM documents),
+       |tc AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id, t),
+       |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |       max(c) AS top_tok FROM tc GROUP BY doc_id),
+       |bg AS (SELECT doc_id, unnest(grams) AS g FROM (
+       |  SELECT doc_id, list_transform(range(1, len(w)),
+       |    i -> w[i] || ' ' || w[i+1]) AS grams
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM documents))),
+       |bc AS (SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, g),
+       |bs AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bi
+       |       FROM bc GROUP BY doc_id)
+       |SELECT ts.doc_id, n_tokens,
+       |${sig("CAST(top_tok AS DOUBLE) / n_tokens")} AS top_token_frac,
+       |${sig("CAST(top_bi AS DOUBLE) / n_bigrams")} AS top_bigram_frac
+       |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id
+       |ORDER BY ts.doc_id""".stripMargin
+
   val textTokensSql: String =
     s"""SELECT doc_id,
        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -535,6 +558,7 @@ val eventsRollupSql: String =
     "text_langid" -> textLangidSql,
     "doc_fingerprint" -> docFingerprintSql,
     "text_tokens" -> textTokensSql,
+    "text_repetition" -> textRepetitionSql,
     "multimodal_meta" -> multimodalMetaSql,
     "events_window" -> eventsWindowSql,
     "events_sessionize" -> eventsSessionizeSql,

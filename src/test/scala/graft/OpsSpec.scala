@@ -326,6 +326,23 @@ class OpsSpec extends SparkSpec {
     assert(q(2L).getAs[Double]("stop_ratio") == 0.0)
   }
 
+  test("repetition: degenerate loop text scores near 1, varied text low") {
+    val d = spark.createDataFrame(Seq(
+      Row(1L, "spam spam spam spam spam spam"),
+      Row(2L, "each word here appears exactly once today"),
+      Row(3L, "solo")
+    ).asJava, docSchema)
+    val r = TextStats.repetition(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Double]("top_token_frac") == 1.0)
+    assert(r(1L).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(r(2L).getAs[Long]("n_tokens") == 7L)
+    assert(math.abs(r(2L).getAs[Double]("top_token_frac") - 1.0 / 7) < 1e-4)
+    assert(math.abs(r(2L).getAs[Double]("top_bigram_frac") - 1.0 / 6) < 1e-4)
+    assert(r(3L).isNullAt(r(3L).fieldIndex("top_bigram_frac")),
+      "a one-token doc has no bigrams")
+  }
+
   test("langid: english stopwords dominate; unknown when no markers") {
     val conf = TextStats.langIdConfusion(
       docs.withColumn("lang", org.apache.spark.sql.functions.lit("en")),
