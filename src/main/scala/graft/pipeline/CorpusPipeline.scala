@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Sampling, TextStats}
+
+/** End-to-end training-corpus preparation: the composition of the
+  * oracle-checked operators into the standard funnel
+  *
+  *   raw corpus → quality filter (token range + repetition)
+  *              → near-dedup (cluster, keep one representative)
+  *              → benchmark decontamination (n-gram overlap vs eval)
+  *              → deterministic train/holdout split
+  *
+  * Every stage is a declarative plan over the previous one — one
+  * lazily-composed DAG per stage, no driver materialization of
+  * anything proportional to the corpus. Filter decisions use the
+  * same rounded values as the per-operator oracles, so the whole
+  * funnel is itself oracle-checkable (`pipeline_funnel`). */
+object CorpusPipeline {
+
+  case class FunnelConfig(
+      minTokens: Long = 20L,
+      maxTokens: Long = 1000L,
+      maxTopBigramFrac: Double = 0.2,
+      dedupMinJaccard: Double = 0.5,
+      contaminationMinShared: Long = 5L,
+      maxDf: Long = 1000L,
+      holdoutPerMille: Int = 100)
+
+  /** Quality-filter survivors: token count in range and the
+    * (sig5-rounded) top-bigram repetition below threshold. */
+  def qualityFiltered(corpus: DataFrame, idCol: String, textCol: String,
+      cfg: FunnelConfig): DataFrame = {
+    val rep = TextStats.repetition(corpus, idCol, textCol)
+      .where(col("n_tokens") >= cfg.minTokens &&
+        col("n_tokens") <= cfg.maxTokens &&
+        (col("top_bigram_frac").isNull ||
+          col("top_bigram_frac") < cfg.maxTopBigramFrac))
+      .select(col("doc_id").as(idCol))
+    corpus.join(rep, Seq(idCol), "left_semi")
+  }
+
+  /** Near-dedup keep: drop cluster members that are not the
+    * minimum-id representative. */
+  def dedupKeepOne(docs: DataFrame, idCol: String, textCol: String,
+      cfg: FunnelConfig): DataFrame = {
+    val clusters = Dedup.duplicateClustersStar(
+      Dedup.ngramJaccardPairs(docs, idCol, textCol, n = 3,
+        minJaccard = cfg.dedupMinJaccard, maxDf = Some(cfg.maxDf)))
+    docs.join(
+      clusters.where(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Decontamination: drop training docs sharing ≥ minShared shingles
+    * with any eval doc. */
+  def decontaminated(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, cfg: FunnelConfig): DataFrame = {
+    val flagged = Dedup.contaminationPairs(docs, evalDocs, idCol,
+        textCol, n = 3, minShared = cfg.contaminationMinShared,
+        maxDf = Some(cfg.maxDf))
+      .select(col("train_id").as(idCol)).distinct()
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /** Full funnel; returns (clean train frame, holdout frame). */
+  def run(corpus: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, cfg: FunnelConfig = FunnelConfig())
+      : (DataFrame, DataFrame) = {
+    val clean = decontaminated(
+      dedupKeepOne(qualityFiltered(corpus, idCol, textCol, cfg),
+        idCol, textCol, cfg),
+      evalDocs, idCol, textCol, cfg)
+    Sampling.hashSplit(clean, idCol, cfg.holdoutPerMille)
+  }
+
+  /** Stage counts for the oracle-checked funnel query (the hash
+    * split is xxhash64-bound, so its sizes are covered by unit tests
+    * rather than the DuckDB oracle). */
+  def funnelCounts(corpus: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String,
+      cfg: FunnelConfig = FunnelConfig()): DataFrame = {
+    val q = qualityFiltered(corpus, idCol, textCol, cfg)
+    val d = dedupKeepOne(q, idCol, textCol, cfg)
+    val c = decontaminated(d, evalDocs, idCol, textCol, cfg)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((corpus.count(), q.count(), d.count(), c.count()))
+      .toDF("n_corpus", "n_quality", "n_dedup", "n_clean")
+  }
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.det.Sig
 import graft.ops._
+import graft.pipeline.CorpusPipeline
 
 /** LLM-data-pipeline extension queries (dedup, similarity search,
   * text analysis, multimodal, event windows/sessions, star joins)
@@ -48,6 +49,16 @@ object Extensions {
       Dedup.simhashBoundedPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, minJaccard = 0.9, maxHamming = 16,
         maxDf = Some(NgramMaxDf))),
+    // the full corpus-preparation funnel as ONE oracle-checked query:
+    // quality filter → near-dedup keep → decontamination, stage
+    // counts compared against DuckDB's independent re-derivation
+    "pipeline_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusPipeline.funnelCounts(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text")
+    }),
     // benchmark decontamination: src0 plays the eval set, the rest is
     // the training corpus; GPT-3-style n-gram overlap with the same
     // capped hashed-shingle index as the dedup family
@@ -534,6 +545,94 @@ val eventsRollupSql: String =
        |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id
        |ORDER BY ts.doc_id""".stripMargin
 
+  /** The whole corpus-preparation funnel re-derived independently in
+    * DuckDB: quality filter (token range + sig5-rounded top-bigram
+    * repetition), near-dedup via recursive-CTE connected components
+    * over capped n-gram Jaccard pairs, then n-gram-overlap
+    * decontamination against the src0 eval slice. A hash-match proves
+    * the COMPOSITION of the operators, not just each in isolation. */
+  val pipelineFunnelSql: String = {
+    val repFrac = sig("CAST(top_bi AS DOUBLE) / n_bigrams")
+    s"""WITH RECURSIVE
+       |corpus AS (SELECT doc_id, text FROM documents
+       |           WHERE source <> 'src0'),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |        FROM corpus),
+       |tc AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id, t),
+       |ts AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_tok
+       |       FROM tc GROUP BY doc_id),
+       |bg AS (SELECT doc_id, unnest(grams) AS g FROM (
+       |  SELECT doc_id, list_transform(range(1, len(w)),
+       |    i -> w[i] || ' ' || w[i+1]) AS grams
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus))),
+       |bc AS (SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, g),
+       |bs AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bi
+       |       FROM bc GROUP BY doc_id),
+       |q AS (SELECT ts.doc_id FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id
+       |      WHERE n_tokens BETWEEN 20 AND 1000
+       |      AND (top_bi IS NULL OR $repFrac < 0.2)),
+       |qd AS (SELECT c.doc_id, c.text FROM corpus c
+       |       JOIN q ON q.doc_id = c.doc_id),
+       |sh0 AS (
+       |  SELECT id, unnest(grams) AS shingle FROM (
+       |    SELECT doc_id AS id,
+       |      list_distinct(list_transform(range(1, len(w) - 1),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM qd))),
+       |hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+       |        HAVING count(*) > $NgramMaxDf),
+       |sh AS (SELECT * FROM sh0
+       |       WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+       |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+       |       GROUP BY a.id, b.id),
+       |pairs AS (SELECT pr.id_a, pr.id_b
+       |  FROM pr JOIN sz sa ON sa.id = pr.id_a
+       |  JOIN sz sb ON sb.id = pr.id_b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+       |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+       |  UNION
+       |  SELECT e.a, r.b FROM und e JOIN reach r ON r.a = e.b),
+       |cl AS (SELECT a AS doc_id, min(b) AS cluster_id
+       |       FROM reach GROUP BY a),
+       |dd AS (SELECT * FROM qd WHERE doc_id NOT IN
+       |       (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)),
+       |tr0 AS (
+       |  SELECT id, unnest(grams) AS shingle FROM (
+       |    SELECT doc_id AS id,
+       |      list_distinct(list_transform(range(1, len(w) - 1),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM dd))),
+       |tr_hot AS (SELECT shingle FROM tr0 GROUP BY shingle
+       |           HAVING count(*) > $NgramMaxDf),
+       |tr AS (SELECT * FROM tr0
+       |       WHERE shingle NOT IN (SELECT shingle FROM tr_hot)),
+       |ev0 AS (
+       |  SELECT id, unnest(grams) AS shingle FROM (
+       |    SELECT doc_id AS id,
+       |      list_distinct(list_transform(range(1, len(w) - 1),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |          FROM documents WHERE source = 'src0'))),
+       |ev_hot AS (SELECT shingle FROM ev0 GROUP BY shingle
+       |           HAVING count(*) > $NgramMaxDf),
+       |ev AS (SELECT * FROM ev0
+       |       WHERE shingle NOT IN (SELECT shingle FROM ev_hot)),
+       |contam AS (SELECT DISTINCT tr.id AS train_id
+       |  FROM ev JOIN tr ON tr.shingle = ev.shingle
+       |  GROUP BY ev.id, tr.id HAVING count(*) >= 5),
+       |final AS (SELECT doc_id FROM dd
+       |          WHERE doc_id NOT IN (SELECT train_id FROM contam))
+       |SELECT (SELECT count(*) FROM corpus) AS n_corpus,
+       |(SELECT count(*) FROM q) AS n_quality,
+       |(SELECT count(*) FROM dd) AS n_dedup,
+       |(SELECT count(*) FROM final) AS n_clean""".stripMargin
+  }
+
   val textTokensSql: String =
     s"""SELECT doc_id,
        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -559,6 +658,7 @@ val eventsRollupSql: String =
     "doc_fingerprint" -> docFingerprintSql,
     "text_tokens" -> textTokensSql,
     "text_repetition" -> textRepetitionSql,
+    "pipeline_funnel" -> pipelineFunnelSql,
     "multimodal_meta" -> multimodalMetaSql,
     "events_window" -> eventsWindowSql,
     "events_sessionize" -> eventsSessionizeSql,

@@ -150,6 +150,27 @@ class OpsSpec extends SparkSpec {
     assert(capped.count() == 0L)
   }
 
+  test("corpus pipeline: funnel stages drop monotonically and the " +
+      "split partitions the clean set") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.01/documents.parquet")
+    val corpus = docs.where(col("source") =!= "src0")
+    val eval = docs.where(col("source") === "src0")
+    val counts = graft.pipeline.CorpusPipeline
+      .funnelCounts(corpus, eval, "doc_id", "text").collect().head
+    val (n0, n1, n2, n3) = (counts.getLong(0), counts.getLong(1),
+      counts.getLong(2), counts.getLong(3))
+    assert(n0 >= n1 && n1 >= n2 && n2 >= n3)
+    assert(n3 > 0 && n1 < n0 && n2 < n1, "every stage must bite")
+    val (train, holdout) = graft.pipeline.CorpusPipeline
+      .run(corpus, eval, "doc_id", "text")
+    val tr = train.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ho = holdout.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((tr & ho).isEmpty)
+    assert(tr.size + ho.size == n3)
+  }
+
   test("stratifiedExact: ceil(frac*n) lowest ids per stratum") {
     val s = StructType(Seq(StructField("id", LongType),
       StructField("g", StringType)))
