@@ -78,14 +78,7 @@ object Dedup {
     * referenced. */
   def shingleIndex(df: DataFrame, idCol: String, textCol: String,
       n: Int, maxDf: Option[Long] = None): DataFrame = {
-    val hw = df.select(col(idCol).as("id"),
-      transform(split(col(textCol), " "), t => xxhash64(t)).as("hw"))
-    val a = col("hw")
-    val grams = transform(sequence(lit(0), size(a) - n), i =>
-      xxhash64((0 until n).map(k => element_at(a, i + k + 1)): _*))
-    val sh = hw.select(col("id"),
-      explode(array_distinct(when(size(a) >= n, grams)
-        .otherwise(array().cast("array<bigint>")))).as("shingle"))
+    val sh = hashedGramFrame(df, idCol, textCol, n, distinct = true)
     maxDf match {
       case None => sh
       case Some(cap) =>
@@ -98,6 +91,28 @@ object Dedup {
           .select("shingle")
         sh.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
+  }
+
+  /** Exploded (id, 64-bit gram-hash) frame — the single home of the
+    * hashed n-gram construction shared by the dedup shingle index
+    * (distinct = set semantics) and the repetition stats
+    * (multiset). The token-hash array is deliberately its OWN
+    * projection: HOF lambdas evaluate interpreted with no CSE, so an
+    * inlined transform(split(...)) would re-evaluate per element_at
+    * access — O(tokens²) per document (see the shingleIndex note; do
+    * not "simplify" the two selects into one). */
+  private[ops] def hashedGramFrame(df: DataFrame, idCol: String,
+      textCol: String, n: Int, distinct: Boolean): DataFrame = {
+    val hw = df.select(col(idCol).as("id"),
+      transform(split(col(textCol), " "), t => xxhash64(t)).as("hw"))
+    val a = col("hw")
+    val grams = transform(sequence(lit(0), size(a) - n), i =>
+      xxhash64((0 until n).map(k => element_at(a, i + k + 1)): _*))
+    val guarded = when(size(a) >= n, grams)
+      .otherwise(array().cast("array<bigint>"))
+    hw.select(col("id"),
+      explode(if (distinct) array_distinct(guarded) else guarded)
+        .as("shingle"))
   }
 
   /** EXACT n-gram Jaccard near-duplicate pairs via inverted-index

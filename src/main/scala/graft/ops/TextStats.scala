@@ -126,14 +126,9 @@ object TextStats {
     val tokStats = tok.groupBy("doc_id", "t").count()
       .groupBy("doc_id")
       .agg(sum("count").as("n_tokens"), max("count").as("top_tok"))
-    val hw = df.select(col(idCol).as("doc_id"),
-      transform(tokens(col(textCol)), t => xxhash64(t)).as("hw"))
-    val a = col("hw")
-    val bi = hw.select(col("doc_id"),
-      explode(when(size(a) >= 2,
-        transform(sequence(lit(0), size(a) - 2), i =>
-          xxhash64(element_at(a, i + 1), element_at(a, i + 2))))
-        .otherwise(array().cast("array<bigint>"))).as("g"))
+    val bi = Dedup.hashedGramFrame(df, idCol, textCol, n = 2,
+        distinct = false)
+      .select(col("id").as("doc_id"), col("shingle").as("g"))
     val biStats = bi.groupBy("doc_id", "g").count()
       .groupBy("doc_id")
       .agg(sum("count").as("n_bigrams"), max("count").as("top_bi"))

@@ -82,8 +82,12 @@ object CorpusPipeline {
   def funnelCounts(corpus: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String,
       cfg: FunnelConfig = FunnelConfig()): DataFrame = {
+    // each stage is materialized once (localCheckpoint) before the
+    // next consumes it — four naive count() actions would replay the
+    // repetition shuffles and semi-joins up to three times each
     val q = qualityFiltered(corpus, idCol, textCol, cfg)
-    val d = dedupKeepOne(q, idCol, textCol, cfg)
+      .localCheckpoint(true)
+    val d = dedupKeepOne(q, idCol, textCol, cfg).localCheckpoint(true)
     val c = decontaminated(d, evalDocs, idCol, textCol, cfg)
     val spark = corpus.sparkSession
     import spark.implicits._

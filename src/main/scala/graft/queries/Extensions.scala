@@ -163,20 +163,29 @@ object Extensions {
       |CAST(coalesce(sum(CASE WHEN c > 1 THEN 1 END), 0) AS BIGINT) AS n_dup_groups
       |FROM g""".stripMargin
 
-  /** Exact n-gram Jaccard pairs at `minJ`, with the same hot-shingle
-    * df cap as the Spark side (no fixture shingle reaches the cap, so
-    * the CTE also serves as the uncapped ground truth). */
-  private def ngramSql(minJ: Double): String =
-    s"""WITH sh0 AS (
+  /** The capped shingle-index CTE trio (`<p>0` exploded distinct
+    * 3-grams, `<p>_hot` over-cap shingles, `<p>` the capped index)
+    * over an arbitrary (doc_id, text) source — the ONE home of the
+    * oracle-side gram construction; every n-gram oracle (pair
+    * queries, contamination, the pipeline funnel) composes this so
+    * cap/gram semantics can never drift apart between them. */
+  private def shingleCteSql(p: String, src: String): String =
+    s"""${p}0 AS (
        |  SELECT id, unnest(grams) AS shingle FROM (
        |    SELECT doc_id AS id,
        |      list_distinct(list_transform(range(1, len(w) - 1),
        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
-       |hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src))),
+       |${p}_hot AS (SELECT shingle FROM ${p}0 GROUP BY shingle
        |        HAVING count(*) > $NgramMaxDf),
-       |sh AS (SELECT * FROM sh0
-       |       WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |$p AS (SELECT * FROM ${p}0
+       |       WHERE shingle NOT IN (SELECT shingle FROM ${p}_hot))""".stripMargin
+
+  /** Exact n-gram Jaccard pairs at `minJ`, with the same hot-shingle
+    * df cap as the Spark side (no fixture shingle reaches the cap, so
+    * the CTE also serves as the uncapped ground truth). */
+  private def ngramSql(minJ: Double): String =
+    s"""WITH ${shingleCteSql("sh", "documents")},
        |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
        |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
        |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
@@ -200,20 +209,10 @@ object Extensions {
       |WHERE rn <= ceil(cnt * 0.1) ORDER BY doc_id""".stripMargin
 
   val textContaminationSql: String = {
-    def side(name: String, cond: String): String =
-      s"""${name}0 AS (
-         |  SELECT id, unnest(grams) AS shingle FROM (
-         |    SELECT doc_id AS id,
-         |      list_distinct(list_transform(range(1, len(w) - 1),
-         |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
-         |    FROM (SELECT doc_id, string_split(text, ' ') AS w
-         |          FROM documents WHERE $cond))),
-         |${name}_hot AS (SELECT shingle FROM ${name}0 GROUP BY shingle
-         |        HAVING count(*) > $NgramMaxDf),
-         |$name AS (SELECT * FROM ${name}0
-         |       WHERE shingle NOT IN (SELECT shingle FROM ${name}_hot))""".stripMargin
-    s"""WITH ${side("tr", "source <> 'src0'")},
-       |${side("ev", "source = 'src0'")},
+    s"""WITH ${shingleCteSql("tr",
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')")},
+       |${shingleCteSql("ev",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")},
        |esz AS (SELECT id, count(*) AS esz FROM ev GROUP BY id),
        |sh AS (SELECT ev.id AS eval_id, tr.id AS train_id,
        |       count(*) AS n_shared
@@ -573,16 +572,7 @@ val eventsRollupSql: String =
        |      AND (top_bi IS NULL OR $repFrac < 0.2)),
        |qd AS (SELECT c.doc_id, c.text FROM corpus c
        |       JOIN q ON q.doc_id = c.doc_id),
-       |sh0 AS (
-       |  SELECT id, unnest(grams) AS shingle FROM (
-       |    SELECT doc_id AS id,
-       |      list_distinct(list_transform(range(1, len(w) - 1),
-       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM qd))),
-       |hot AS (SELECT shingle FROM sh0 GROUP BY shingle
-       |        HAVING count(*) > $NgramMaxDf),
-       |sh AS (SELECT * FROM sh0
-       |       WHERE shingle NOT IN (SELECT shingle FROM hot)),
+       |${shingleCteSql("sh", "qd")},
        |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
        |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
        |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
@@ -601,27 +591,9 @@ val eventsRollupSql: String =
        |       FROM reach GROUP BY a),
        |dd AS (SELECT * FROM qd WHERE doc_id NOT IN
        |       (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)),
-       |tr0 AS (
-       |  SELECT id, unnest(grams) AS shingle FROM (
-       |    SELECT doc_id AS id,
-       |      list_distinct(list_transform(range(1, len(w) - 1),
-       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM dd))),
-       |tr_hot AS (SELECT shingle FROM tr0 GROUP BY shingle
-       |           HAVING count(*) > $NgramMaxDf),
-       |tr AS (SELECT * FROM tr0
-       |       WHERE shingle NOT IN (SELECT shingle FROM tr_hot)),
-       |ev0 AS (
-       |  SELECT id, unnest(grams) AS shingle FROM (
-       |    SELECT doc_id AS id,
-       |      list_distinct(list_transform(range(1, len(w) - 1),
-       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS w
-       |          FROM documents WHERE source = 'src0'))),
-       |ev_hot AS (SELECT shingle FROM ev0 GROUP BY shingle
-       |           HAVING count(*) > $NgramMaxDf),
-       |ev AS (SELECT * FROM ev0
-       |       WHERE shingle NOT IN (SELECT shingle FROM ev_hot)),
+       |${shingleCteSql("tr", "dd")},
+       |${shingleCteSql("ev",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")},
        |contam AS (SELECT DISTINCT tr.id AS train_id
        |  FROM ev JOIN tr ON tr.shingle = ev.shingle
        |  GROUP BY ev.id, tr.id HAVING count(*) >= 5),

@@ -162,7 +162,8 @@ class OpsSpec extends SparkSpec {
     val (n0, n1, n2, n3) = (counts.getLong(0), counts.getLong(1),
       counts.getLong(2), counts.getLong(3))
     assert(n0 >= n1 && n1 >= n2 && n2 >= n3)
-    assert(n3 > 0 && n1 < n0 && n2 < n1, "every stage must bite")
+    assert(n3 > 0 && n1 < n0 && n2 < n1 && n3 < n2,
+      s"every stage must bite: $n0 -> $n1 -> $n2 -> $n3")
     val (train, holdout) = graft.pipeline.CorpusPipeline
       .run(corpus, eval, "doc_id", "text")
     val tr = train.select("doc_id").collect().map(_.getLong(0)).toSet
