@@ -12,10 +12,13 @@ import graft.det.Sig.sig5
   * set against the full corpus; one scan, no shuffle of the corpus.
   * Scale path: LSH with deterministic random-hyperplane signatures —
   * bucket join prunes the corpus to colliding candidates, trading
-  * recall for a ~2^bits reduction in scored pairs. Both rank by
+  * recall for a ~2^bits reduction in scored pairs; IVF-flat cells
+  * are the data-adaptive alternative. All variants rank by
   * sig5-rounded cosine with vec_id tie-break so results are fully
-  * deterministic. All dot products run through codegen'd higher-order
-  * array functions (zip_with + aggregate) in doubles.
+  * deterministic. All dot products run through the native codegen'd
+  * [[graft.functions.ArrayDot]] loop in doubles (the composed
+  * zip_with + aggregate form is kept only as a cross-check — HOF
+  * lambdas evaluate interpreted per element).
   */
 object Similarity {
 

@@ -68,17 +68,23 @@ case class TableProfile(
   * profile runs in a FIXED number of Spark jobs regardless of column
   * count:
   *
-  *   pass A: one wide agg — counts, distincts, moments, zeros, date
-  *           min/max for every column (partial/final hash aggregation,
-  *           whole-stage codegen);
+  *   pass A: one wide agg — counts, moments, zeros, date min/max for
+  *           every column (partial/final hash aggregation, whole-stage
+  *           codegen); HLL++ distincts fuse in here, while EXACT
+  *           countDistinct runs as its own pass (k distinct aggs plan
+  *           an Expand that multiplies rows (k+1)× — fusing the cheap
+  *           aggregates into that stream measured ~2× slower);
   *   pass B: one agg with all columns' percentiles;
   *   pass C: shuffle-free conditional-sum histograms (reusing pass
   *           A's bounds) + one unpivot/groupBy for all frequency
   *           tables (results bounded by k·max(bins, topK) rows);
-  *   pass D: one agg with all k(k−1)/2 Pearson correlations.
+  *   pass D: all k(k−1)/2 Pearson correlations from central co-moment
+  *           sums.
   *
-  * Every result collected to the driver is O(k) — never proportional
-  * to row count — so the same plan holds at 100 TB with
+  * Every wide aggregation runs through bounded-size chunks (several
+  * scans instead of one enormous plan past a few hundred columns),
+  * and every result collected to the driver is O(k) — never
+  * proportional to row count — so the same plans hold at 100 TB with
   * `exactQuantiles=false, exactDistinct=false` (sketch-based paths).
   */
 object Profiler {

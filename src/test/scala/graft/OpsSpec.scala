@@ -49,6 +49,26 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_dup_rows") == 2L)
   }
 
+  test("hashed gram sets are value-equivalent to string word n-grams") {
+    // the production index hashes token-hash tuples; wordNgrams is
+    // the reference string construction — per doc, the SET SIZES and
+    // the cross-doc equality structure must agree exactly
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val strSizes = docs
+      .select(col("doc_id"), asize(Dedup.wordNgrams(col("text"), 3))
+        .as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hashed = Dedup.shingleIndex(docs, "doc_id", "text", 3)
+    val hashSizes = hashed.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(strSizes == hashSizes)
+    // identical docs 0 and 3 share ALL hashed shingles; doc 2 none
+    val sets = hashed.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(sets(0L) == sets(3L))
+    assert(sets(0L).intersect(sets(2L)).isEmpty)
+  }
+
   test("ngram jaccard: identical docs = 1.0, near-dup high, disjoint absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 3, minJaccard = 0.3).collect()
