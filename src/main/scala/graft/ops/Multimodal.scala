@@ -1,33 +1,159 @@
 package graft.ops
 
+import java.io.ByteArrayOutputStream
+import java.util.zip.CRC32
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: image/audio/video payloads ride as
-  * opaque `binary` columns with typed metadata extracted by a batched
-  * per-partition decode stage.
+/** Multimodal-column support: image/audio/video payloads ride as opaque
+  * `binary` columns; typed metadata is extracted by a batched
+  * per-partition decode stage that parses the real container headers.
   *
-  * The decode itself is STUBBED (no codec libraries in this
-  * environment): `decodeStub` derives deterministic fake dimensions
-  * from the payload bytes. Everything around it — the binary column
-  * schema, the Dataset[T] encoder boundary, the mapPartitions
-  * batch-shaped execution (mirroring how a Pandas-UDF/Arrow batch
-  * decode would run per executor core), and the downstream
-  * aggregability of the result — is real Spark plumbing and is what
-  * the tests exercise. Swap `decodeStub` for a real codec call and
-  * the operator is production-shaped: decode cost scales per row,
-  * no shuffle, no driver involvement.
+  * The decode is pure public-format byte arithmetic — no codec
+  * libraries:
+  *   - PNG: 8-byte signature + IHDR chunk (width/height as big-endian
+  *     u32 at offsets 16/20, colour type at 25 → channel count), plus
+  *     an `acTL` chunk scan for APNG frame counts. Layout per the W3C
+  *     PNG spec / RFC 2083.
+  *   - JPEG: marker-segment walk from SOI, skipping each segment by
+  *     its big-endian length, until a start-of-frame marker
+  *     (SOF0..SOF15 minus DHT/JPG/DAC) yields height/width (u16 at
+  *     +5/+7) and component count (+9). Layout per ITU-T T.81 §B.
+  *   - WAV: RIFF/WAVE chunk walk; `fmt ` yields channels (LE u16),
+  *     sample rate (LE u32) and block align; `data` size / block
+  *     align = audio frame count. Layout per the Microsoft RIFF spec.
+  *
+  * Everything around the parse — the binary column schema, the
+  * Dataset[T] encoder boundary, the mapPartitions batch-shaped
+  * execution (mirroring how an Arrow-batch decode runs per executor
+  * core), and the downstream aggregability of the result — is the
+  * same plumbing a full pixel/sample decoder would use: decode cost
+  * scales per row, no shuffle, no driver involvement. Pixel/sample
+  * decoding itself (not header metadata) would swap in at the same
+  * boundary.
+  *
+  * Reference scope: upstream spark-df-profiling has no multimodal
+  * support at all; this is part of the training-data-pipeline
+  * extension surface (SURVEY.md §2.2).
   */
 object Multimodal {
 
-  case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
-      height: Long, n_frames: Long)
+  /** Per-payload metadata. Image fields (`width`/`height`) and audio
+    * fields (`sample_rate`) are null for the other modality;
+    * `n_frames` is APNG/video frames for images (1 for stills) and
+    * PCM frame count (samples per channel) for audio. */
+  case class MediaMeta(doc_id: Long, format: String, n_bytes: Long,
+      width: Option[Long], height: Option[Long], n_frames: Option[Long],
+      sample_rate: Option[Long], channels: Option[Long])
 
-  /** Deterministic fake decode: metadata as a pure function of the
-    * payload length (stands in for parsing a real container header). */
-  def decodeStub(payload: Array[Byte]): (Long, Long, Long) = {
-    val len = payload.length.toLong
-    (64L + len % 193L, 64L + (len * 31L) % 157L, 1L + len % 7L)
+  /** Decoder output before the id/byte-count wrapper is attached. */
+  case class Decoded(format: String, width: Option[Long],
+      height: Option[Long], nFrames: Option[Long],
+      sampleRate: Option[Long], channels: Option[Long])
+
+  private val Unknown = Decoded("unknown", None, None, None, None, None)
+
+  // ---- unsigned byte readers (Array[Byte] is signed in JVM) ----
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Long =
+    ((u8(b, i) << 8) | u8(b, i + 1)).toLong
+  private def be32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong << 24) | (u8(b, i + 1).toLong << 16) |
+      (u8(b, i + 2).toLong << 8) | u8(b, i + 3).toLong
+  private def le16(b: Array[Byte], i: Int): Long =
+    ((u8(b, i + 1) << 8) | u8(b, i)).toLong
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i + 3).toLong << 24) | (u8(b, i + 2).toLong << 16) |
+      (u8(b, i + 1).toLong << 8) | u8(b, i).toLong
+  private def ascii(b: Array[Byte], i: Int, n: Int): String =
+    new String(b, i, n, "US-ASCII")
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Parse the container header of a payload. Never throws: anything
+    * unparseable degrades to format "unknown" / null fields, so one
+    * corrupt blob can't kill a 100 TB scan. */
+  def decode(p: Array[Byte]): Decoded =
+    if (p == null) Unknown
+    else if (p.length >= 33 && p.view.take(8).sameElements(PngSig) &&
+      ascii(p, 12, 4) == "IHDR") decodePng(p)
+    else if (p.length >= 4 && u8(p, 0) == 0xff && u8(p, 1) == 0xd8 &&
+      u8(p, 2) == 0xff) decodeJpeg(p)
+    else if (p.length >= 12 && ascii(p, 0, 4) == "RIFF" &&
+      ascii(p, 8, 4) == "WAVE") decodeWav(p)
+    else Unknown
+
+  /** PNG: IHDR is mandated to be the first chunk, so width/height sit
+    * at fixed offsets; the chunk walk afterwards only looks for acTL
+    * (APNG animation control — frame count precedes the first IDAT). */
+  private def decodePng(p: Array[Byte]): Decoded = {
+    val w = be32(p, 16)
+    val h = be32(p, 20)
+    val channels = u8(p, 25) match { // colour type -> samples per pixel
+      case 0 => 1L; case 2 => 3L; case 3 => 1L
+      case 4 => 2L; case 6 => 4L; case _ => 0L
+    }
+    var frames = 1L
+    var pos = 8
+    var done = false
+    while (!done && pos + 8 <= p.length) {
+      val len = be32(p, pos)
+      val typ = ascii(p, pos + 4, 4)
+      if (typ == "acTL" && pos + 12 <= p.length) frames = be32(p, pos + 8)
+      if (typ == "IEND" || len < 0 || len > Int.MaxValue - 12) done = true
+      else pos += 12 + len.toInt // len + type + data + CRC
+    }
+    Decoded("png", Some(w), Some(h), Some(frames), None,
+      if (channels == 0L) None else Some(channels))
+  }
+
+  /** JPEG start-of-frame markers: C0..CF minus C4 (DHT), C8 (JPG
+    * extension), CC (DAC) — covers baseline, progressive, lossless,
+    * arithmetic variants. */
+  private def isSof(m: Int): Boolean =
+    m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+  private def decodeJpeg(p: Array[Byte]): Decoded = {
+    val none = Decoded("jpeg", None, None, None, None, None)
+    var pos = 2
+    while (pos + 1 < p.length) {
+      if (u8(p, pos) != 0xff) return none // misaligned stream
+      val m = u8(p, pos + 1)
+      if (m == 0xff) pos += 1 // fill byte before a marker
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) pos += 2 // bare
+      else if (m == 0xd9) return none // EOI before any SOF
+      else if (pos + 3 >= p.length) return none
+      else if (isSof(m)) {
+        if (pos + 9 >= p.length) return none
+        return Decoded("jpeg", Some(be16(p, pos + 7)),
+          Some(be16(p, pos + 5)), Some(1L), None,
+          Some(u8(p, pos + 9).toLong))
+      } else pos += 2 + be16(p, pos + 2).toInt // length includes itself
+    }
+    none
+  }
+
+  private def decodeWav(p: Array[Byte]): Decoded = {
+    var channels, sampleRate, blockAlign = Option.empty[Long]
+    var dataSize = Option.empty[Long]
+    var pos = 12
+    var done = false
+    while (!done && pos + 8 <= p.length) {
+      val id = ascii(p, pos, 4)
+      val size = le32(p, pos + 4)
+      if (id == "fmt " && pos + 24 <= p.length) {
+        channels = Some(le16(p, pos + 10))
+        sampleRate = Some(le32(p, pos + 12))
+        blockAlign = Some(le16(p, pos + 20))
+      } else if (id == "data") dataSize = Some(size)
+      if (size < 0 || size > Int.MaxValue - 9) done = true
+      else pos += 8 + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    val frames = for { d <- dataSize; ba <- blockAlign if ba > 0 }
+      yield d / ba
+    Decoded("wav", None, None, frames, sampleRate, channels)
   }
 
   /** Batched metadata extraction over a binary column. `batchSize`
@@ -38,7 +164,7 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     // rows with a null id/payload cannot be decoded — skip them (one
-    // null row would otherwise NPE the whole job inside decodeStub)
+    // null row would otherwise poison the whole partition's batch)
     df.where(col(idCol).isNotNull && col(binCol).isNotNull)
       .select(col(idCol).cast("long"), col(binCol).cast("binary"))
       .as[(Long, Array[Byte])]
@@ -46,8 +172,9 @@ object Multimodal {
         it.grouped(batchSize).flatMap { batch =>
           // per-batch "decoder init" would live here
           batch.iterator.map { case (id, payload) =>
-            val (w, h, f) = decodeStub(payload)
-            MediaMeta(id, payload.length.toLong, w, h, f)
+            val d = decode(payload)
+            MediaMeta(id, d.format, payload.length.toLong, d.width,
+              d.height, d.nFrames, d.sampleRate, d.channels)
           }
         }
       }
@@ -59,10 +186,123 @@ object Multimodal {
   def frameSample(meta: Dataset[MediaMeta], stride: Long = 2L)
       : DataFrame =
     meta.toDF()
+      .where(col("n_frames").isNotNull && col("n_frames") >= 1)
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(stride)))
           .as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
         xxhash64(col("doc_id"), col("frame_idx")).as("frame_hash"))
       .orderBy("doc_id", "frame_idx")
+
+  // ------------------------------------------------------------------
+  // Fixture synthesis: REAL minimal container bytes (valid signatures,
+  // chunk CRCs, marker segments) whose header parameters are a pure
+  // function of the id. The decoder above knows nothing about these
+  // formulas — it parses the bytes — so the oracle re-deriving the
+  // same parameters from the id independently checks the parse.
+  // ------------------------------------------------------------------
+
+  private def be32b(v: Long): Array[Byte] = Array(
+    (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+  private def be16b(v: Long): Array[Byte] =
+    Array((v >> 8).toByte, v.toByte)
+  private def le32b(v: Long): Array[Byte] = Array(
+    v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def le16b(v: Long): Array[Byte] =
+    Array(v.toByte, (v >> 8).toByte)
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val crc = new CRC32()
+    crc.update(t); crc.update(data)
+    be32b(data.length.toLong) ++ t ++ data ++ be32b(crc.getValue)
+  }
+
+  /** Minimal PNG: signature, IHDR (8-bit truecolour), optional acTL
+    * when animated, an 8-byte IDAT filler, IEND. CRCs are real.
+    * Sizes: 65 bytes still, 85 animated. */
+  def synthPng(w: Long, h: Long, frames: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(PngSig)
+    out.write(pngChunk("IHDR",
+      be32b(w) ++ be32b(h) ++ Array[Byte](8, 2, 0, 0, 0)))
+    if (frames > 1)
+      out.write(pngChunk("acTL", be32b(frames) ++ be32b(0L)))
+    out.write(pngChunk("IDAT",
+      Array(0x78, 0x9c, 0x63, 0x60, 0x00, 0x00, 0x00, 0x02)
+        .map(_.toByte)))
+    out.write(pngChunk("IEND", Array.emptyByteArray))
+    out.toByteArray
+  }
+
+  /** Minimal JPEG: SOI, JFIF APP0, one SOF segment (baseline SOF0 or
+    * progressive SOF2 — both must parse), EOI. 41 bytes. */
+  def synthJpeg(w: Long, h: Long, progressive: Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    out.write(Array(0xff, 0xe0, 0x00, 0x10).map(_.toByte)) // APP0 len 16
+    out.write("JFIF".getBytes("US-ASCII"))
+    out.write(Array(0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01,
+      0x00, 0x00).map(_.toByte)) // v1.1, no density, no thumbnail
+    out.write(Array(0xff, if (progressive) 0xc2 else 0xc0, 0x00, 0x11)
+      .map(_.toByte)) // SOF, len 17 = 8 + 3 components x 3
+    out.write(8.toByte) // sample precision
+    out.write(be16b(h)); out.write(be16b(w))
+    out.write(3.toByte) // components: Y 2x2, Cb 1x1, Cr 1x1
+    out.write(Array(0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11,
+      0x01).map(_.toByte))
+    out.write(Array(0xff, 0xd9).map(_.toByte)) // EOI
+    out.toByteArray
+  }
+
+  /** Minimal PCM WAV: RIFF/WAVE, 16-byte fmt chunk, zero-filled data
+    * chunk of `frames` samples x `channels` x 16-bit. 44 + data bytes. */
+  def synthWav(sampleRate: Long, channels: Long, frames: Long)
+      : Array[Byte] = {
+    val blockAlign = channels * 2
+    val dataSize = frames * blockAlign
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32b(36 + dataSize))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    out.write(le32b(16L)) // PCM fmt chunk size
+    out.write(le16b(1L)) // audio format 1 = PCM
+    out.write(le16b(channels))
+    out.write(le32b(sampleRate))
+    out.write(le32b(sampleRate * blockAlign)) // byte rate
+    out.write(le16b(blockAlign))
+    out.write(le16b(16L)) // bits per sample
+    out.write("data".getBytes("US-ASCII"))
+    out.write(le32b(dataSize))
+    out.write(new Array[Byte](dataSize.toInt))
+    out.toByteArray
+  }
+
+  /** Deterministic id→payload mapping used by the declared query and
+    * its oracle (`queries/Extensions.multimodalMetaSql` re-derives
+    * these parameters in SQL). id mod 3 picks the modality. */
+  def synthPayload(docId: Long): Array[Byte] = (docId % 3) match {
+    case 0 => synthPng(16 + docId % 317, 16 + (docId * 7) % 211,
+      1 + docId % 5)
+    case 1 => synthJpeg(8 + (docId * 13) % 509, 8 + (docId * 11) % 387,
+      progressive = docId % 2 == 1)
+    case _ =>
+      val rate = (docId % 4) match {
+        case 0 => 8000L; case 1 => 16000L; case 2 => 22050L
+        case _ => 44100L
+      }
+      synthWav(rate, 1 + docId % 2, 16 + docId % 257)
+  }
+
+  /** Attach a synthesized real-format payload per id: the fixture
+    * generator for the multimodal query path. Runs distributed (typed
+    * map, no shuffle) so the fixture scales with the table. */
+  def synthMedia(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .map(id => (id, synthPayload(id)))
+      .toDF(idCol, "payload")
+  }
 }

@@ -128,10 +128,14 @@ object Extensions {
           0.1)
         .select("doc_id", "lang").orderBy("doc_id")),
     // ---- multimodal ----
+    // real container-header decode: each doc_id gets a synthesized
+    // minimal PNG/JPEG/WAV payload (real signatures, chunk CRCs, SOF
+    // segments), the decoder parses the actual bytes, and the oracle
+    // re-derives the embedded parameters from doc_id independently —
+    // a wrong parse offset fails the hash compare
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.mediaMeta(
-        t(s, dir, "documents")
-          .select(col("doc_id"), col("text").cast("binary").as("payload")),
+        Multimodal.synthMedia(t(s, dir, "documents"), "doc_id"),
         "doc_id", "payload").toDF().orderBy("doc_id")),
     // ---- events (streaming-equivalent batch) ----
     "events_window" -> ((s, dir) =>
@@ -357,11 +361,35 @@ object Extensions {
        |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Re-derives the parameters `Multimodal.synthPayload` embeds into
+    * real PNG/JPEG/WAV header bytes. The Spark side never sees these
+    * formulas — it parses the container bytes — so this checks the
+    * parse, byte offsets and endianness included. Payload sizes:
+    * PNG 65 B still / 85 B animated (acTL), JPEG 41 B, WAV 44 B + PCM
+    * data (frames x channels x 2). */
   val multimodalMetaSql: String =
-    """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-      |CAST(64 + length(text) % 193 AS BIGINT) AS width,
-      |CAST(64 + (length(text) * 31) % 157 AS BIGINT) AS height,
-      |CAST(1 + length(text) % 7 AS BIGINT) AS n_frames
+    """SELECT doc_id,
+      |CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav'
+      |  END AS format,
+      |CAST(CASE doc_id % 3
+      |  WHEN 0 THEN CASE WHEN doc_id % 5 = 0 THEN 65 ELSE 85 END
+      |  WHEN 1 THEN 41
+      |  ELSE 44 + (16 + doc_id % 257) * (1 + doc_id % 2) * 2
+      |  END AS BIGINT) AS n_bytes,
+      |CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 317
+      |  WHEN 1 THEN 8 + (doc_id * 13) % 509 ELSE NULL
+      |  END AS BIGINT) AS width,
+      |CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 211
+      |  WHEN 1 THEN 8 + (doc_id * 11) % 387 ELSE NULL
+      |  END AS BIGINT) AS height,
+      |CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 5 WHEN 1 THEN 1
+      |  ELSE 16 + doc_id % 257 END AS BIGINT) AS n_frames,
+      |CAST(CASE WHEN doc_id % 3 = 2 THEN
+      |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      |      WHEN 2 THEN 22050 ELSE 44100 END
+      |  ELSE NULL END AS BIGINT) AS sample_rate,
+      |CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2 ELSE 3
+      |  END AS BIGINT) AS channels
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val eventsWindowSql: String =

@@ -403,17 +403,86 @@ class OpsSpec extends SparkSpec {
     assert(f1(0L) == f1(3L))
   }
 
-  test("multimodal: stub decode metadata is a pure function of bytes") {
-    val bin = docs.select(org.apache.spark.sql.functions.col("doc_id"),
-      org.apache.spark.sql.functions.col("text").cast("binary")
-        .as("payload"))
-    val m = Multimodal.mediaMeta(bin, "doc_id", "payload").collect()
-      .map(x => x.doc_id -> x).toMap
-    assert(m(0L).n_bytes == 49L)
-    assert(m(0L).width == 64L + 49L % 193L)
-    assert(m(0L) == m(3L).copy(doc_id = 0L))
+  test("multimodal: PNG IHDR parse on hand-written bytes") {
+    // 13x7 truecolour PNG, hand-assembled: sig + IHDR + IDAT + IEND.
+    // CRCs computed here, not by the code under test.
+    def crc(bs: Array[Byte]): Array[Byte] = {
+      val c = new java.util.zip.CRC32(); c.update(bs)
+      val v = c.getValue
+      Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    }
+    val ihdr = "IHDR".getBytes ++ Array[Byte](0, 0, 0, 13, 0, 0, 0, 7,
+      8, 2, 0, 0, 0)
+    val png = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte) ++
+      Array[Byte](0, 0, 0, 13) ++ ihdr ++ crc(ihdr) ++
+      Array[Byte](0, 0, 0, 0) ++ "IDAT".getBytes ++
+        crc("IDAT".getBytes) ++
+      Array[Byte](0, 0, 0, 0) ++ "IEND".getBytes ++ crc("IEND".getBytes)
+    val d = Multimodal.decode(png)
+    assert(d.format == "png")
+    assert(d.width.contains(13L) && d.height.contains(7L))
+    assert(d.nFrames.contains(1L) && d.channels.contains(3L))
+  }
+
+  test("multimodal: JPEG SOF scan skips preceding segments") {
+    // SOI + APP1 (9 bytes of junk the scan must skip by length) +
+    // SOF2 (progressive) declaring 300x200, 3 components + EOI
+    val jpeg = Array[Int](0xff, 0xd8,
+      0xff, 0xe1, 0x00, 0x0b, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+      0xff, 0xc2, 0x00, 0x11, 8, 0x00, 0xc8, 0x01, 0x2c, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1,
+      0xff, 0xd9).map(_.toByte)
+    val d = Multimodal.decode(jpeg)
+    assert(d.format == "jpeg")
+    assert(d.width.contains(300L) && d.height.contains(200L))
+    assert(d.channels.contains(3L))
+  }
+
+  test("multimodal: WAV fmt/data chunk walk, LE fields") {
+    // 44.1 kHz stereo 16-bit, 10 frames => data = 40 bytes
+    def le16(v: Int) = Array(v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array(v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val wav = "RIFF".getBytes ++ le32(76) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(44100) ++ le32(176400) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(40) ++ new Array[Byte](40)
+    val d = Multimodal.decode(wav)
+    assert(d.format == "wav")
+    assert(d.sampleRate.contains(44100L) && d.channels.contains(2L))
+    assert(d.nFrames.contains(10L))
+    assert(d.width.isEmpty && d.height.isEmpty)
+  }
+
+  test("multimodal: garbage and truncated payloads degrade to unknown") {
+    assert(Multimodal.decode("not a media file".getBytes)
+      .format == "unknown")
+    assert(Multimodal.decode(Array[Byte](0x89.toByte, 0x50))
+      .format == "unknown") // truncated PNG sig
+    // JPEG that ends mid-scan: no SOF found, but no exception
+    val d = Multimodal.decode(
+      Array(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x10).map(_.toByte))
+    assert(d.format == "jpeg" && d.width.isEmpty)
+  }
+
+  test("multimodal: synth payloads decode to their embedded params") {
+    // end-to-end over the Dataset boundary: synthesize real bytes,
+    // decode distributed, check against the id formulas
+    val ids = docs.select(org.apache.spark.sql.functions.col("doc_id"))
+    val m = Multimodal.mediaMeta(Multimodal.synthMedia(ids, "doc_id"),
+      "doc_id", "payload").collect().map(x => x.doc_id -> x).toMap
+    assert(m(0L).format == "png" && m(0L).width.contains(16L) &&
+      m(0L).n_frames.contains(1L) && m(0L).n_bytes == 65L)
+    assert(m(3L).format == "png" && m(3L).n_frames.contains(4L) &&
+      m(3L).n_bytes == 85L) // animated: acTL present
+    assert(m(1L).format == "jpeg" && m(1L).width.contains(21L) &&
+      m(1L).height.contains(19L))
+    assert(m(2L).format == "wav" && m(2L).sample_rate.contains(22050L)
+      && m(2L).n_frames.contains(18L) && m(2L).channels.contains(1L))
     val frames = Multimodal.frameSample(
-      Multimodal.mediaMeta(bin, "doc_id", "payload"), stride = 2L)
+      Multimodal.mediaMeta(Multimodal.synthMedia(ids, "doc_id"),
+        "doc_id", "payload"), stride = 2L)
     assert(frames.count() > 0)
   }
 
