@@ -402,9 +402,12 @@ object Dedup {
     * Rounds needed = cluster diameter, which for near-dup clusters is
     * small (duplicates of one source document form near-cliques; the
     * fixtures converge in ≤ 3 rounds). Each round is one shuffle-join
-    * + one aggregation, all distributed; `localCheckpoint` truncates
-    * the growing lineage so round N's plan does not replay rounds
-    * 1..N−1. For adversarially chained graphs at 100 TB (diameter ≫
+    * + one aggregation, all distributed; [[Materialize.materialize]]
+    * truncates the growing lineage so round N's plan does not replay
+    * rounds 1..N−1 (reliable checkpoint when a checkpoint dir is set,
+    * executor-local otherwise — see its scaladoc for the
+    * fault-tolerance trade-off). For adversarially chained graphs at
+    * 100 TB (diameter ≫
     * rounds), swap in the large-star/small-star alternation (Kiveris
     * et al.), which converges in O(log n) rounds on the same
     * join-shape. */
@@ -414,10 +417,10 @@ object Dedup {
     val adj = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Materialize.materialize)
     var labels = adj.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .transform(Materialize.materialize)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -430,7 +433,7 @@ object Dedup {
           when(col("nbr") < col("label"), col("nbr"))
             .otherwise(col("label")).as("label"),
           (col("nbr") < col("label")).cast("long").as("chg"))
-        .localCheckpoint(true)
+        .transform(Materialize.materialize)
       changed = next.agg(coalesce(sum("chg"), lit(0L))).first().getLong(0)
       labels = next.select("id", "label")
       iter += 1
@@ -501,15 +504,15 @@ object Dedup {
         .union(mins.select(col("b").as("a"), col("mn").as("b"))))
     }
     val e0 = canon(pairs.select(col(idA).as("a"), col(idB).as("b")))
-      .localCheckpoint(true)
+      .transform(Materialize.materialize)
     val nodes = bidir(e0).select(col("a").as("id")).distinct()
-      .localCheckpoint(true)
+      .transform(Materialize.materialize)
     var e = e0
     var prev = checksum(e)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
+      e = smallStar(largeStar(e)).transform(Materialize.materialize)
       val cur = checksum(e)
       converged = cur == prev
       prev = cur

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Sampling, TextStats}
+import graft.ops.{Dedup, Materialize, Sampling, TextStats}
 
 /** End-to-end training-corpus preparation: the composition of the
   * oracle-checked operators into the standard funnel
@@ -82,12 +82,13 @@ object CorpusPipeline {
   def funnelCounts(corpus: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String,
       cfg: FunnelConfig = FunnelConfig()): DataFrame = {
-    // each stage is materialized once (localCheckpoint) before the
-    // next consumes it — four naive count() actions would replay the
-    // repetition shuffles and semi-joins up to three times each
+    // each stage is materialized once (localCheckpoint, or reliable
+    // checkpoint when a checkpoint dir is set — see Materialize)
+    // before the next consumes it — four naive count() actions would
+    // replay the repetition shuffles and semi-joins up to three times
     val q = qualityFiltered(corpus, idCol, textCol, cfg)
-      .localCheckpoint(true)
-    val d = dedupKeepOne(q, idCol, textCol, cfg).localCheckpoint(true)
+      .transform(Materialize.materialize)
+    val d = dedupKeepOne(q, idCol, textCol, cfg).transform(Materialize.materialize)
     val c = decontaminated(d, evalDocs, idCol, textCol, cfg)
     val spark = corpus.sparkSession
     import spark.implicits._

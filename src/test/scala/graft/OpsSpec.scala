@@ -275,6 +275,56 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("duplicateClustersStar under a reliable checkpoint dir: same " +
+      "labels, checkpoint files actually written") {
+    val s = StructType(Seq(StructField("id_a", LongType),
+      StructField("id_b", LongType)))
+    val pairs = spark.createDataFrame(Seq(
+      Row(1L, 2L), Row(2L, 3L), Row(3L, 4L),
+      Row(10L, 11L), Row(10L, 12L), Row(11L, 12L)).asJava, s)
+    val baseline = Dedup.duplicateClustersStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    try {
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      // auto mode must now route through reliable checkpoint()
+      val withCkpt = Dedup.duplicateClustersStar(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(withCkpt == baseline)
+      // prove the reliable path engaged: checkpoint data on disk
+      def files(p: java.io.File): Iterator[java.io.File] =
+        Option(p.listFiles).iterator.flatten
+          .flatMap(f => Iterator(f) ++ files(f))
+      assert(files(dir.toFile).exists(_.isFile))
+      // explicit "true" with a dir set also works
+      spark.conf.set(Materialize.ConfKey, "true")
+      assert(Dedup.duplicateClustersStar(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap == baseline)
+    } finally {
+      // the shared session keeps its checkpoint dir (no unset API);
+      // force the fast local path back for every other suite
+      spark.conf.set(Materialize.ConfKey, "false")
+    }
+  }
+
+  test("materialize: reliable=true without a checkpoint dir fails " +
+      "loudly instead of silently degrading") {
+    // a fresh session view shares the context but its own SQL conf
+    val s2 = spark.newSession()
+    s2.conf.set(Materialize.ConfKey, "true")
+    val df = s2.range(3).toDF("id")
+    if (s2.sparkContext.getCheckpointDir.isEmpty) {
+      val e = intercept[IllegalArgumentException] {
+        Materialize.materialize(df)
+      }
+      assert(e.getMessage.contains("checkpoint dir"))
+    } else {
+      // the shared context already has a dir (suite-order dependent):
+      // then the call must succeed on the reliable path
+      assert(Materialize.materialize(df).count() == 3L)
+    }
+  }
+
   test("keepStats: one representative survives per cluster") {
     val s = StructType(Seq(StructField("id_a", LongType),
       StructField("id_b", LongType)))
