@@ -38,6 +38,11 @@ object Bench {
         Profiler.profile(spark.read.parquet(s"$sfDir/lineitem.parquet"),
           ProfilerConfig(exactQuantiles = false, exactDistinct = false))
         ()
+      }),
+      "profile_full_fused" -> (() => {
+        Profiler.profileFused(
+          spark.read.parquet(s"$sfDir/lineitem.parquet"))
+        ()
       }))
     val results = (SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) => name -> (() => { fn(spark, sfDir).collect(); () })

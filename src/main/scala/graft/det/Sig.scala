@@ -49,6 +49,22 @@ object Sig {
       .otherwise(round(c / m + lit(1e-9), 5) * m)
   }
 
+  /** Driver-side (plain Double) twin of the Column form — same
+    * formula, with Spark `round`'s HALF_UP-on-decimal-string
+    * semantics (java BigDecimal.valueOf). Used where a statistic is
+    * assembled on the driver (fused-profiler correlation matrix). */
+  def sig5(x: Double): Double =
+    if (x.isNaN) x
+    else if (math.abs(x) < 1e-12) 0.0
+    else {
+      val e = math.floor(math.log10(math.abs(x)))
+      val p = math.pow(10.0, math.abs(e)) // exact positive power
+      val m = if (e < 0) 1.0 / p else p
+      java.math.BigDecimal.valueOf(x / m + 1e-9)
+        .setScale(5, java.math.RoundingMode.HALF_UP)
+        .doubleValue() * m
+    }
+
   /** DuckDB-side 5-significant-digit rounding of SQL expression `x`.
     * `x` must be a simple column reference / cheap expression — it is
     * expanded several times. */

@@ -199,6 +199,162 @@ object Profiler {
         }.toMap
       }
 
+    assemble(df, cfg, aMap, momentMap, qMap)
+  }
+
+  /** Whole-table profile in ONE input scan for all scannable
+    * statistics: each column gets a [[graft.functions.MultiSketchAgg]]
+    * carrying count + streaming central moments + min/max/sum/zeros +
+    * a KMV distinct sketch + GK quantile summaries, so passes A, A2
+    * and B of [[profile]] collapse into a single aggregation. The
+    * remaining jobs (histograms — which need the min/max bounds this
+    * scan produces — frequency tables, correlations) are unchanged.
+    *
+    * Statistics are sketch-grade where [[profile]]'s sketch config is
+    * sketch-grade (distinct ~1/√k error above k=1024, quantiles at GK
+    * accuracy 10000 — the same class percentile_approx uses) and
+    * exact elsewhere (counts, min/max/sum/zeros; moments exact up to
+    * float summation order). The 100 TB default: one pass over the
+    * corpus instead of three. */
+  def profileFused(df: DataFrame,
+      cfg: ProfilerConfig = ProfilerConfig()): TableProfile = {
+    import graft.functions.MultiSketch
+    val allCols = df.columns.toSeq
+    val numColsSet = Kinds.numericCols(df).toSet
+    val dateColsSet = Kinds.dateCols(df).toSet
+    // hash/cast/null-guard work runs in a codegen'd projection UNDER
+    // the aggregate (fused into the scan stage by whole-stage
+    // codegen); the aggregate's children are then bare attribute
+    // reads, so its per-row interpreted eval is just row access
+    val proj = df.select(allCols.flatMap { c =>
+      val oc = Stats.orderable(df, c)
+      val value =
+        if (numColsSet(c)) col(c).cast("double")
+        else if (dateColsSet(c))
+          unix_micros(col(c).cast("timestamp")).cast("double")
+        else lit(null).cast("double")
+      Seq(value.as(s"v__$c"),
+        when(oc.isNotNull, xxhash64(oc)).as(s"h__$c"))
+    }: _*)
+    // numeric column order for the co-moment matrix
+    val numColsOrdered = Kinds.numericCols(df)
+    val withCorr = cfg.correlations && numColsOrdered.size >= 2
+    val aggs = (count(lit(1)).as("__n") +: allCols.map { c =>
+      // quantile summaries only where the profile reads them
+      MultiSketch.sketch(col(s"v__$c"), col(s"h__$c"),
+        ps = if (numColsSet(c)) Stats.Ps else Nil).as(s"ms__$c")
+    }) ++
+      // the whole correlation matrix rides in the same scan: one
+      // buffer of all k(k+1)/2 streaming co-moments (see CoMomentAgg)
+      (if (withCorr)
+        Seq(graft.functions.CoMoment.sketch(
+          array(numColsOrdered.map(c => col(s"v__$c")): _*),
+          numColsOrdered.size).as("__cm"))
+      else Nil)
+    val m = chunkedAgg(proj, aggs, chunk = 300)
+    def rowOf(c: String) = m(s"ms__$c").asInstanceOf[org.apache.spark.sql.Row]
+    val aMap: Map[String, Any] = Map("__n" -> m("__n")) ++
+      allCols.flatMap { c =>
+        val r = rowOf(c)
+        val base = Seq[(String, Any)](s"cnt__$c" -> r.getAs[Long]("cnt"),
+          s"dis__$c" -> r.getAs[Long]("dis"))
+        val extra: Seq[(String, Any)] =
+          if (numColsSet(c))
+            Seq(s"mean__$c" -> r.getAs[Any]("mean"),
+              s"min__$c" -> r.getAs[Any]("mn"),
+              s"max__$c" -> r.getAs[Any]("mx"),
+              s"sum__$c" -> r.getAs[Any]("sm"),
+              s"z__$c" -> r.getAs[Long]("nz"))
+          else if (dateColsSet(c))
+            Seq(s"dmn__$c" -> Option(r.getAs[Any]("mn"))
+                .map(v => java.lang.Long.valueOf(
+                  v.asInstanceOf[Double].toLong)).orNull,
+              s"dmx__$c" -> Option(r.getAs[Any]("mx"))
+                .map(v => java.lang.Long.valueOf(
+                  v.asInstanceOf[Double].toLong)).orNull)
+          else Nil
+        base ++ extra
+      }
+    val momentMap: Map[String, Map[String, Double]] =
+      allCols.filter(numColsSet).flatMap { c =>
+        val r = rowOf(c)
+        val nNum = r.getAs[Long]("n_num")
+        if (nNum == 0 || r.isNullAt(r.fieldIndex("m2"))) None
+        else Some(c -> Stats.momentsFromSums(nNum,
+          r.getAs[Double]("m2"), r.getAs[Double]("m3"),
+          r.getAs[Double]("m4")))
+      }.toMap
+    val qMap: Map[String, Seq[Double]] =
+      allCols.filter(numColsSet).map { c =>
+        val r = rowOf(c)
+        val qs = r.getAs[scala.collection.Seq[Any]]("qs")
+        c -> (if (qs == null) Seq.empty[Double]
+              else qs.map(x => Option(x).map(_.asInstanceOf[Double])
+                .getOrElse(Double.NaN)).toSeq)
+      }.toMap
+    // histograms estimated from the GK summaries — no extra scan;
+    // per-bin error bounded by the GK rank guarantee (≤ ε·n per edge,
+    // ε = 1e-4), exact whenever a column's summary never compressed
+    val histOverride: Map[String, Seq[(Long, Long)]] =
+      allCols.filter(numColsSet).flatMap { c =>
+        val r = rowOf(c)
+        val gk = r.getAs[Array[Byte]]("gk")
+        if (gk == null) None
+        else {
+          val mn = Option(r.getAs[Any]("mn"))
+            .map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
+          val mx = Option(r.getAs[Any]("mx"))
+            .map(_.asInstanceOf[Double]).getOrElse(Double.NaN)
+          val h = MultiSketch.gkHistogram(gk, mn, mx, cfg.bins)
+          if (h.isEmpty) None else Some(c -> h)
+        }
+      }.toMap
+    // correlation matrix from the fused co-moment buffer, sig5-rounded
+    // exactly as Stats.corrMatrix rounds in-plan
+    val corrOverride: Option[Map[(String, String), Option[Double]]] =
+      if (!withCorr) Some(Map.empty)
+      else {
+        val r = m("__cm").asInstanceOf[org.apache.spark.sql.Row]
+        val cm = r.getAs[scala.collection.Seq[Double]]("cm").toArray
+        val kN = numColsOrdered.size
+        Some(Stats.corrPairs(numColsOrdered).map { case (a, b) =>
+          val i = numColsOrdered.indexOf(a)
+          val j = numColsOrdered.indexOf(b)
+          val cij = cm(graft.functions.CoMoment.triIndex(i, j, kN))
+          val cii = cm(graft.functions.CoMoment.triIndex(i, i, kN))
+          val cjj = cm(graft.functions.CoMoment.triIndex(j, j, kN))
+          val denom = math.sqrt(cii) * math.sqrt(cjj)
+          (a, b) -> (if (denom == 0.0 || denom.isNaN) None
+                     else Some(graft.det.Sig.sig5(cij / denom)))
+        }.toMap)
+      }
+    assemble(df, cfg, aMap, momentMap, qMap,
+      histOverride = Some(histOverride), corrOverride = corrOverride)
+  }
+
+  /** Passes C (histograms + frequency tables) and D (correlations)
+    * plus final assembly — shared by the pass-based [[profile]] and
+    * the single-scan [[profileFused]], which produce the same
+    * (aMap, momentMap, qMap) shape by different plans. */
+  private def assemble(df: DataFrame, cfg: ProfilerConfig,
+      aMap: Map[String, Any],
+      momentMap: Map[String, Map[String, Double]],
+      qMap: Map[String, Seq[Double]],
+      histOverride: Option[Map[String, Seq[(Long, Long)]]] = None,
+      corrOverride: Option[Map[(String, String), Option[Double]]] = None)
+      : TableProfile = {
+    val allCols = df.columns.toSeq
+    val numCols = Kinds.numericCols(df)
+    val nvar = allCols.size
+    def aLong(name: String): Long = aMap(name).asInstanceOf[Long]
+    def aDouble(name: String): Option[Double] =
+      Option(aMap(name)).map {
+        case x: Double => x
+        case x: Long => x.toDouble
+        case x: Number => x.doubleValue()
+      }
+    val n = aLong("__n")
+
     // ---- pass C: histograms + frequency tables (one job each) ----
     val mnMap = numCols.map(c =>
       c -> aDouble(s"min__$c").getOrElse(Double.NaN)).toMap
@@ -207,15 +363,17 @@ object Profiler {
     // chunked by column group: bins·k conditional sums per scan
     // otherwise (wide-table plan blowup, same rationale as chunkedAgg)
     val histRows: Map[String, Seq[(Long, Long)]] =
-      numCols.grouped(60).flatMap { g =>
-        Stats.histogramWithBounds(df, g, cfg.bins, mnMap, mxMap)
-          .collect()
-          .groupBy(_.getString(0))
-          .map { case (k, rs) =>
-            k -> rs.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("cnt")))
-              .toSeq.sortBy(_._1)
-          }
-      }.toMap
+      histOverride.getOrElse(
+        numCols.grouped(60).flatMap { g =>
+          Stats.histogramWithBounds(df, g, cfg.bins, mnMap, mxMap)
+            .collect()
+            .groupBy(_.getString(0))
+            .map { case (k, rs) =>
+              k -> rs.map(r =>
+                (r.getAs[Long]("bin"), r.getAs[Long]("cnt")))
+                .toSeq.sortBy(_._1)
+            }
+        }.toMap)
     val catColsS = Kinds.catCols(df)
     val freqRows: Map[String, Seq[(String, Long)]] =
       if (catColsS.isEmpty) Map.empty
@@ -230,7 +388,7 @@ object Profiler {
     // ---- pass D: correlations + rejection ----
     val corrM: Map[(String, String), Option[Double]] =
       if (!cfg.correlations || numCols.size < 2) Map.empty
-      else Stats.collectCorrMatrix(df, numCols)
+      else corrOverride.getOrElse(Stats.collectCorrMatrix(df, numCols))
     val rejected: Seq[(String, String, Double)] =
       Stats.rejectFromMatrix(numCols, corrM, cfg.corrReject)
     val rejectedNames = rejected.map(_._1).toSet

@@ -54,6 +54,123 @@ class ProfilerSpec extends SparkSpec {
     assert(x.distinct >= 17 && x.distinct <= 23) // HLL estimate (5% rsd)
   }
 
+  test("fused single-scan profile matches the pass-based profile") {
+    // small fixture: every sketch is below capacity, so distinct is
+    // exact (compare vs the exact profile) and GK quantiles return
+    // the same elements percentile_approx does (compare vs the
+    // sketch-config profile — the exact path INTERPOLATES, which no
+    // element-returning sketch reproduces)
+    val exact = Profiler.profile(df, ProfilerConfig())
+    val sketch = Profiler.profile(df,
+      ProfilerConfig(exactQuantiles = false, exactDistinct = false))
+    val fused = Profiler.profileFused(df, ProfilerConfig())
+    assert(fused.n == exact.n && fused.nvar == exact.nvar)
+    val e = exact.columns.map(c => c.name -> c).toMap
+    val sk = sketch.columns.map(c => c.name -> c).toMap
+    fused.columns.foreach { f =>
+      val x = e(f.name)
+      assert(f.kind == x.kind, s"${f.name} kind")
+      assert(f.count == x.count && f.missing == x.missing,
+        s"${f.name} counts")
+      assert(f.distinct == x.distinct, s"${f.name} distinct")
+      x.stats.foreach { case (k0, v) =>
+        val fv = f.stats(k0)
+        assert(math.abs(fv - v) <= 1e-9 * math.max(1.0, math.abs(v)),
+          s"${f.name}.$k0: fused $fv vs exact $v")
+      }
+      sk(f.name).quantiles.foreach { case (k0, v) =>
+        assert(math.abs(f.quantiles(k0) - v) <= 1e-12,
+          s"${f.name}.$k0 quantile: fused ${f.quantiles(k0)} vs GK $v")
+      }
+      assert(f.histogram == x.histogram, s"${f.name} histogram")
+      assert(f.topValues == x.topValues, s"${f.name} freq")
+    }
+    assert(fused.rejected == exact.rejected)
+  }
+
+  test("fused profile at sf0.001: counts exact, sketches within bounds " +
+      "on every fixture table") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = Profiler.profile(li, ProfilerConfig())
+    val fused = Profiler.profileFused(li, ProfilerConfig())
+    val e = exact.columns.map(c => c.name -> c).toMap
+    val n = exact.n.toDouble
+    fused.columns.foreach { f =>
+      val x = e(f.name)
+      assert(f.count == x.count, s"${f.name} count")
+      // KMV k=1024: exact below k, ~3·(1/√1024) ≈ 10% above
+      val tol = if (x.distinct < 1024) 0.0 else 0.10 * x.distinct
+      assert(math.abs(f.distinct - x.distinct) <= tol,
+        s"${f.name} distinct: fused ${f.distinct} vs exact ${x.distinct}")
+      Seq("mean", "sum", "min", "max", "n_zeros").foreach { k0 =>
+        (f.stats.get(k0), x.stats.get(k0)) match {
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b)),
+              s"${f.name}.$k0: fused $a vs exact $b")
+          case (a, b) => assert(a == b, s"${f.name}.$k0 presence")
+        }
+      }
+      Seq("var", "sd", "sk", "ku").foreach { k0 =>
+        (f.stats.get(k0), x.stats.get(k0)) match {
+          case (Some(a), Some(b)) =>
+            assert(math.abs(a - b) <= 1e-4 * math.max(1.0, math.abs(b)),
+              s"${f.name}.$k0: fused $a vs exact $b")
+          case (a, b) => assert(a == b, s"${f.name}.$k0 presence")
+        }
+      }
+      // GK rank contract (discrete-data form): for the returned value
+      // v at probability p, count(<v)/n ≤ p+ε and count(≤v)/n ≥ p−ε
+      // (±1/n boundary slack); ε = 1/accuracy = 1e-4
+      if (f.quantiles.nonEmpty) {
+        import org.apache.spark.sql.functions._
+        val cName = f.name
+        val probs = Seq("p05" -> 0.05, "q1" -> 0.25, "median" -> 0.5,
+          "q3" -> 0.75, "p95" -> 0.95)
+        val aggs = count(col(cName)).as("nn") +:
+          probs.flatMap { case (k0, _) =>
+            val v = f.quantiles(k0)
+            Seq(
+              sum(when(col(cName).cast("double") < v, 1L)
+                .otherwise(0L)).as(s"lt_$k0"),
+              sum(when(col(cName).cast("double") <= v, 1L)
+                .otherwise(0L)).as(s"le_$k0"))
+          }
+        val cnts = li.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val nn = cnts.getAs[Long]("nn").toDouble
+        probs.foreach { case (k0, p) =>
+          val lt = cnts.getAs[Long](s"lt_$k0") / nn
+          val le = cnts.getAs[Long](s"le_$k0") / nn
+          val eps = 1.0 / 10000 + 1.0 / nn
+          assert(lt <= p + eps && le >= p - eps,
+            s"${f.name}.$k0: lt=$lt le=$le for p=$p")
+        }
+      }
+      // GK-derived histogram: same bins, per-bin count within the
+      // rank-error bound (2 edges × ε·n each, plus FP-edge slack)
+      if (x.histogram.nonEmpty) {
+        assert(f.histogram.map(_._1) == x.histogram.map(_._1),
+          s"${f.name} histogram bins")
+        assert(f.histogram.map(_._2).sum == x.histogram.map(_._2).sum,
+          s"${f.name} histogram total")
+        val tol = math.max(4.0, 2 * n / 10000 + 4)
+        f.histogram.zip(x.histogram).foreach { case ((b, fc), (_, xc)) =>
+          assert(math.abs(fc - xc) <= tol,
+            s"${f.name} bin $b: fused $fc vs exact $xc")
+        }
+      }
+    }
+    // streaming co-moment correlations agree with the two-pass exact
+    // matrix after the shared sig5 rounding
+    val exactCorr = exact.correlations.map(t => (t._1, t._2) -> t._3).toMap
+    assert(fused.correlations.size == exactCorr.size)
+    fused.correlations.foreach { case (a, b, rho) =>
+      val e0 = exactCorr((a, b))
+      assert(math.abs(rho - e0) <= 5e-5 * math.max(1.0, math.abs(e0)),
+        s"corr($a,$b): fused $rho vs exact $e0")
+    }
+    assert(fused.rejected == exact.rejected)
+  }
+
   test("profile survives a MapType column (non-orderable distinct)") {
     val s = StructType(Seq(StructField("id", LongType),
       StructField("m", MapType(StringType, LongType))))
