@@ -337,6 +337,51 @@ object Stats {
       .orderBy("col_name", "p_name")
   }
 
+  /** Distinct-sketch error contracts — the sketch-distinct twin of
+    * [[quantileRankCheck]]: the exact per-column distinct count is the
+    * premise, and the query emits whether each sketch's estimate lands
+    * inside `marginSds` standard deviations of it (+1 absolute slack
+    * for tiny counts): HLL++ at the default 5% rsd
+    * (approx_count_distinct — the Profiler sketch config) and the KMV
+    * bottom-k sketch at k=1024 (the fused profiler's deterministic
+    * path, exact below k). Both sketches are order-independent for
+    * fixed data (HLL registers are max-merged, the bottom-k set is a
+    * pure set property), so the booleans are stable across
+    * partitionings and cluster sizes — the oracle expects every row
+    * true. A mis-wired rsd/k or a sketch regression flips a boolean
+    * and fails the hash compare. */
+  def distinctSketchCheck(df: DataFrame, cols: Seq[String],
+      rsd: Double = 0.05, kmvK: Int = 1024, marginSds: Double = 4.0)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // exact + HLL together (small chunks: each exact countDistinct
+    // plans an Expand whose row multiplier is the per-scan distinct
+    // count); the KMV TypedImperativeAggregates run in their own scan
+    // so the distinct rewrite never mixes with object aggregation
+    val exHll = chunkedAgg(df, cols.flatMap { c =>
+      val oc = orderable(df, c)
+      Seq(countDistinct(oc).as(s"ex__$c"),
+        approx_count_distinct(oc, rsd).as(s"hll__$c"))
+    }, chunk = 8)
+    val kmvMap = chunkedAgg(df, cols.map { c =>
+      val oc = orderable(df, c)
+      graft.functions.MultiSketch.sketch(lit(null).cast("double"),
+        when(oc.isNotNull, xxhash64(oc)), k = kmvK, ps = Nil)
+        .as(s"kmv__$c")
+    }, chunk = 300)
+    cols.map { c =>
+      val ex = exHll(s"ex__$c").asInstanceOf[Long]
+      val hll = exHll(s"hll__$c").asInstanceOf[Long]
+      val kmv = kmvMap(s"kmv__$c")
+        .asInstanceOf[org.apache.spark.sql.Row].getAs[Long]("dis")
+      def ok(est: Long, sd: Double): Boolean =
+        math.abs(est - ex) <= marginSds * sd * ex + 1
+      (c, ok(hll, rsd), ok(kmv, 1.0 / math.sqrt(kmvK.toDouble)))
+    }.toDF("col_name", "hll_within_bound", "kmv_within_bound")
+      .orderBy("col_name")
+  }
+
   // -------------------------------------------------------------------
   // Derived stats (D1–D3): range / IQR / CV — fused with the aggs they
   // derive from, one pass.

@@ -33,6 +33,11 @@ object Core {
     "table_overview" -> ((s, dir) => Stats.overview(li(s, dir), all)),
     "col_counts" -> ((s, dir) => Stats.counts(li(s, dir), all)),
     "col_distinct" -> ((s, dir) => Stats.distinct(li(s, dir), all)),
+    // sketch-distinct error contract: exact counts as premise, HLL++
+    // and KMV estimates must land inside their rsd bounds (both
+    // deterministic for fixed data) — oracle expects all-true
+    "col_distinct_approx_err" -> ((s, dir) =>
+      Stats.distinctSketchCheck(li(s, dir), all)),
     "col_types" -> ((s, dir) => Stats.kinds(li(s, dir), all)),
     "num_moments" -> ((s, dir) => Stats.moments(li(s, dir), nums)),
     "num_quantiles" -> ((s, dir) => Stats.quantiles(li(s, dir), nums)),
@@ -168,6 +173,11 @@ object Core {
     unionAll(floats.flatMap(c => pCols.map(nm =>
       s"SELECT '$c' AS col_name, '$nm' AS p_name, true AS within_bound"))) +
       "\nORDER BY col_name, p_name"
+
+  val colDistinctApproxErrSql: String =
+    unionAll(all.map(c =>
+      s"SELECT '$c' AS col_name, true AS hll_within_bound, " +
+        "true AS kmv_within_bound")) + "\nORDER BY col_name"
 
   val numDerivedSql: String = {
     val ctes = nums.map { c =>
@@ -355,6 +365,7 @@ object Core {
     "table_overview" -> tableOverviewSql,
     "col_counts" -> colCountsSql,
     "col_distinct" -> colDistinctSql,
+    "col_distinct_approx_err" -> colDistinctApproxErrSql,
     "col_types" -> colTypesSql,
     "num_moments" -> numMomentsSql,
     "num_quantiles" -> numQuantilesSql,

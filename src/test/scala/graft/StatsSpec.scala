@@ -250,4 +250,17 @@ class StatsSpec extends SparkSpec {
     assert(o.getAs[Long]("n_missing_total") == 1L)
     assert(math.abs(o.getAs[Double]("p_missing") - 0.1) < 1e-9)
   }
+
+  test("distinctSketchCheck: HLL and KMV bounds hold; exact below k") {
+    val d2 = df((1 to 2000).map(i =>
+      Row((i % 700).toDouble, i.toLong)), numSchema)
+    val r = Stats.distinctSketchCheck(d2, Seq("a", "b")).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(r.forall(_.getAs[Boolean]("hll_within_bound")))
+    assert(r.forall(_.getAs[Boolean]("kmv_within_bound")))
+    // KMV below capacity is exact — tighten the bound to zero error
+    val tight = Stats.distinctSketchCheck(d2, Seq("a"), kmvK = 4096,
+      marginSds = 0.0).collect().head
+    assert(tight.getAs[Boolean]("kmv_within_bound")) // 700 < 4096: exact
+  }
 }
