@@ -326,10 +326,24 @@ object Dedup {
     * the 8-bit AND-only bucket. Candidate generation stays linear in
     * corpus size (explode ×bands, one shuffle on the band hash), so
     * the plan is the standard corpus-scale near-dup shape: never
-    * all-pairs, skew bounded by the largest single band bucket. */
+    * all-pairs, skew bounded by the largest single band bucket.
+    *
+    * That last bound is the adversarial case: m near-identical
+    * vectors land in ONE bucket of every band and all-pairs-in-bucket
+    * generates C(m,2) candidates — quadratic again, just locally
+    * (500 copies → 125k pairs; a viral 100 TB boilerplate cluster →
+    * job-killing). `maxBucket` caps it: buckets larger than the cap
+    * switch from all-pairs to STAR linking (every member paired with
+    * the bucket's minimum id — m−1 edges). For clustering/dedup the
+    * star preserves exactly the connectivity the all-pairs edges gave
+    * within the bucket (all members reachable through the rep), at
+    * the cost of pair-level recall for members whose direct star edge
+    * falls below `minCosine` while some non-star edge would not —
+    * acceptable for over-cap buckets, which are near-identical blobs
+    * by construction. */
   def embedCosinePairsBanded(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.5, bands: Int = 8, rowsPerBand: Int = 4,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64, maxBucket: Option[Long] = None): DataFrame = {
     Similarity.checkDim(df, vecCol, dim)
     val planes = Similarity.hyperplanes(bands * rowsPerBand, dim)
     val bandStructs = (0 until bands).map { b =>
@@ -343,11 +357,31 @@ object Dedup {
     val banded = base.select(col("id"),
       explode(array(bandStructs: _*)).as("s"))
       .select(col("id"), col("s.band"), col("s.bh"))
-    val cand = banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
+    val cand = maxBucket match {
+      case None =>
+        banded.as("x").join(banded.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .distinct()
+      case Some(cap) =>
+        // one aggregation per bucket gives both the size (cap
+        // decision) and the star representative; the all-pairs join
+        // then runs ONLY over under-cap buckets
+        val sizes = banded.groupBy("band", "bh")
+          .agg(count(lit(1)).as("sz"), min("id").as("rep"))
+        val withSz = banded.join(sizes, Seq("band", "bh"))
+        val small = withSz.where(col("sz") <= cap)
+          .select("id", "band", "bh")
+        val smallPairs = small.as("x").join(small.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
+          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        val starPairs = withSz
+          .where(col("sz") > cap && col("id") =!= col("rep"))
+          .select(col("rep").as("id_a"), col("id").as("id_b"))
+        smallPairs.union(starPairs).distinct()
+    }
     scoreCosinePairs(
       cand
         .join(base.select(col("id").as("id_a"), col("v").as("av"),

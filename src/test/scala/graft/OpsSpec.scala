@@ -353,6 +353,41 @@ class OpsSpec extends SparkSpec {
     assert(banded == exact) // 100% recall + exact-cosine precision here
   }
 
+  test("banded embed LSH adversarial skew: maxBucket caps a " +
+      "pathological bucket to star edges, preserving connectivity") {
+    // 500 positive scalings of ONE direction: identical hyperplane
+    // signs in every band -> one bucket of 500 per band; plus two
+    // unrelated orthogonal-ish vectors that must be unaffected
+    val dim = 64
+    val baseVec = (0 until dim).map(d => math.sin(d + 1.0).toFloat)
+    val rows = (0L until 500L).map { i =>
+      Row(i, baseVec.map(x => x * (1.0f + i.toFloat * 1e-6f)))
+    } ++ Seq(
+      Row(900L, (0 until dim).map(d =>
+        if (d == 0) 1.0f else 0.0f)),
+      Row(901L, (0 until dim).map(d =>
+        if (d == 1) 1.0f else 0.0f)))
+    val s = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val emb = spark.createDataFrame(rows.asJava, s).repartition(8)
+    // uncapped: quadratic blow-up confined to the hot bucket
+    val uncapped = Dedup.embedCosinePairsBanded(emb, "vec_id",
+      "embedding", minCosine = 0.9)
+    assert(uncapped.count() == 500L * 499L / 2)
+    // capped: the hot bucket degrades to 499 star edges — candidate
+    // volume bounded by m-1, not C(m,2)
+    val capped = Dedup.embedCosinePairsBanded(emb, "vec_id",
+      "embedding", minCosine = 0.9, maxBucket = Some(100L))
+    val cappedPairs = capped.collect()
+    assert(cappedPairs.length == 499)
+    assert(cappedPairs.forall(_.getLong(0) == 0L)) // star rep = min id
+    // connectivity identical: one cluster of all 500 either way
+    val cl = Dedup.duplicateClustersStar(capped).collect()
+    assert(cl.length == 500 && cl.forall(_.getLong(1) == 0L))
+    // under-cap buckets still do exact all-pairs: nothing spurious
+    assert(cappedPairs.forall(r => r.getLong(1) < 500L))
+  }
+
   test("multiprobe ANN recall@10 vs brute force, and >= single-probe") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def recall(ann: Map[Long, Set[Long]], ref: Map[Long, Set[Long]])
