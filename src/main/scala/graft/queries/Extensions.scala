@@ -30,6 +30,15 @@ object Extensions {
     * so the capped results equal the uncapped ones at test sf. */
   val NgramMaxDf = 1000L
 
+  /** The canonical near-dup cluster frame — the ONE construction
+    * shared by `dedup_clusters` and `dedup_keep`, so the keep stats
+    * are computed over exactly the clusters the cluster query
+    * declares and the two can never drift. */
+  private def docClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClustersStar(
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup ----
     "dedup_exact" -> ((s, dir) =>
@@ -75,18 +84,14 @@ object Extensions {
     // via the O(log n)-round large-star/small-star algorithm — the
     // any-diameter scale path (min-label propagation kept as the
     // cross-checked simple variant)
-    "dedup_clusters" -> ((s, dir) =>
-      Dedup.duplicateClustersStar(
-        Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-          n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf)))),
-    // end-to-end keep-one-representative stats over those clusters
-    "dedup_keep" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.keepStats(docs, "doc_id",
-        Dedup.duplicateClustersStar(
-          Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-            n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf))))
-    }),
+    "dedup_clusters" -> ((s, dir) => docClusters(s, dir)),
+    // end-to-end keep-one-representative stats over the SAME clusters
+    // frame dedup_clusters declares (one construction site — the two
+    // queries cannot drift; a real pipeline materializes the clusters
+    // once, as CorpusPipeline does)
+    "dedup_keep" -> ((s, dir) =>
+      Dedup.keepStats(t(s, dir, "documents"), "doc_id",
+        docClusters(s, dir))),
     // the scale path IS the declared query: banded hyperplane LSH with
     // the oracle replicating the banding (plane literals in the SQL)
     "dedup_embed" -> ((s, dir) =>
