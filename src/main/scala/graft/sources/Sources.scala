@@ -50,24 +50,49 @@ object Sources {
       .option("multiLine", multiLine.toString)
       .csv(path)
 
-  /** Ingestion health: (n_rows, n_corrupt). Spark refuses queries
-    * over raw JSON/CSV that reference only the internal corrupt
-    * column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN),
-    * so the frame is materialized via cache for the check — the
-    * caller is about to profile the same data anyway, so the cache
-    * is not wasted. */
+  /** Ingestion health: (n_rows, n_corrupt) — WITHOUT caching, so an
+    * audit-only flow never pins a corpus-sized frame in storage
+    * memory. Two constraints shape the aggregation:
+    *
+    *  - Spark refuses queries over raw JSON/CSV that reference ONLY
+    *    the internal corrupt column
+    *    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    *  - corruption is detected during parse of the REFERENCED
+    *    columns, so an agg touching a subset of the schema would
+    *    miss value-level corruption (type mismatches) in the rest.
+    *
+    * Counting every data column satisfies both: the scan parses the
+    * full schema (same corruption semantics a cached materialization
+    * had) and the query references far more than the corrupt column.
+    * Row-format sources parse whole lines anyway, so the extra
+    * column references cost no extra I/O. */
   def corruptStats(df: DataFrame): (Long, Long) = {
-    df.cache() // stays cached for the caller's follow-up reads
-    val r = df.agg(count(lit(1)), count(col(CorruptCol))).first()
+    val dataCols = df.columns.filter(_ != CorruptCol).toSeq
+    val aggs = count(lit(1)).as("__n") +:
+      count(col(CorruptCol)).as("__nc") +:
+      dataCols.map(c => count(col(c)).as(s"__t__$c"))
+    val r = df.agg(aggs.head, aggs.tail: _*).first()
     (r.getLong(0), r.getLong(1))
   }
 
-  /** Clean rows only, corrupt column dropped. Cached first for the
-    * same reason as [[corruptStats]]: a downstream count/aggregate
-    * over the filtered frame prunes every column except the corrupt
-    * one, which Spark disallows on raw JSON/CSV scans. */
-  def clean(df: DataFrame): DataFrame = {
-    df.cache()
+  /** Clean rows only, corrupt column dropped.
+    *
+    * `cache = true` (default) materializes the frame first, because a
+    * downstream query that references NO data column (a bare
+    * `count()`) prunes the scan to just the corrupt column, which
+    * Spark disallows on raw JSON/CSV. The cache is right for the
+    * profiling flow — the caller reads the same data repeatedly — but
+    * it is the CALLER'S responsibility to `df.unpersist()` (this
+    * `df`, the raw frame) when done; nothing here does it.
+    *
+    * Pass `cache = false` for single-pass pipelines (clean → write
+    * out, clean → profile selected columns): any downstream query
+    * referencing at least one data column is legal uncached, and a
+    * corpus-sized frame never enters storage memory. For bare
+    * row-count health checks use [[corruptStats]], which is uncached
+    * by construction. */
+  def clean(df: DataFrame, cache: Boolean = true): DataFrame = {
+    if (cache) df.cache()
     df.where(col(CorruptCol).isNull).drop(CorruptCol)
   }
 }

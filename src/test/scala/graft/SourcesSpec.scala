@@ -28,10 +28,34 @@ class SourcesSpec extends SparkSpec {
     val df = Sources.jsonl(spark, dir, docSchema)
     val (n, corrupt) = Sources.corruptStats(df)
     assert(n == 4L && corrupt == 1L)
+    // the audit path must NOT have pinned the frame in storage memory
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "corruptStats must not cache")
     val cleaned = Sources.clean(df)
     assert(cleaned.columns.toSeq == Seq("doc_id", "text"))
     assert(cleaned.count() == 3L)
     assert(cleaned.agg(sum("doc_id")).first().getLong(0) == 6L)
+    df.unpersist() // the documented caller-side contract for clean()
+  }
+
+  test("corruptStats sees value-level corruption in every column " +
+      "without caching; clean(cache=false) works for column queries") {
+    val dir = tmpDir("jsonlv")
+    Files.write(java.nio.file.Paths.get(dir, "part.jsonl"),
+      java.util.Arrays.asList(
+        """{"doc_id": 1, "text": "ok"}""",
+        """{"doc_id": "NOT_A_NUMBER", "text": "type mismatch"}""",
+        """{"doc_id": 3, "text": "fine"}"""))
+    val df = Sources.jsonl(spark, dir, docSchema)
+    // the type mismatch lives in doc_id only — a corrupt-count that
+    // parsed a column subset would miss it
+    val (n, corrupt) = Sources.corruptStats(df)
+    assert(n == 3L && corrupt == 1L)
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    val cleaned = Sources.clean(df, cache = false)
+    assert(cleaned.agg(sum("doc_id")).first().getLong(0) == 4L)
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "clean(cache=false) must not cache")
   }
 
   test("csv: round-trips the fixture corpus for profiling") {
