@@ -210,6 +210,13 @@ object Dedup {
     * `minJaccard` appeared among the LSH candidates (100% recall at
     * the fixture, deterministic given the seeded hashes) — any
     * banding/signature regression drops rows and fails the compare.
+    * Margin note: banding recall is probabilistic over the SEEDED
+    * hash choice — for b bands of r rows, a pair at exactly J has
+    * capture probability 1−(1−Jʳ)ᵇ (16×4: ≈0.988 at J=0.7, ≈0.99978
+    * at J=0.8). Declared gates should set `minJaccard` high enough
+    * that this is overwhelming, or a new fixture with an unlucky
+    * near-threshold pair turns a probabilistic miss into a gate
+    * failure with no code regression.
     * Containment is one-directional: precision (no false candidates
     * surviving the est-Jaccard filter) is covered by unit tests.
     * `maxDf` is applied to BOTH sides so the exact premise and the

