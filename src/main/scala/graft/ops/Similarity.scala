@@ -93,17 +93,21 @@ object Similarity {
   }
 
   /** LSH bucket signature: bit j = sign(v · plane_j), each projection
-    * through the native codegen'd dot loop. The sign test is made on
-    * the sig5-ROUNDED projection — the engine contract for discrete
-    * decisions (as ivfTopK ranks rounded cell scores): summation
-    * order differs between Spark and the DuckDB oracle, so a
-    * near-zero raw projection could flip a bit by one ulp across
-    * engines; after rounding, both engines see the identical double
-    * (and |proj| < 1e-12 collapses to exactly 0 on both). */
+    * through the native codegen'd dot loop. The sign test follows the
+    * engine contract for discrete decisions (as ivfTopK ranks rounded
+    * cell scores): the bit is set iff sig5(proj) > 0, which reduces
+    * ALGEBRAICALLY to `proj ≥ 1e-12` — for x ≥ 1e-12, x/10^⌊log10 x⌋
+    * ∈ [1,10) so the rounded mantissa is ≥ 1; below the 1e-12 cutoff
+    * sig5 collapses to exactly 0. The threshold form costs nothing
+    * per row (no log/pow/round) while keeping the cross-engine
+    * guarantee: a raw projection differing by one ulp between Spark
+    * and DuckDB flips the decision only if it straddles 1e-12 itself,
+    * the same negligible boundary the sig5 bucket has. The oracle SQL
+    * applies the identical `pr >= 1e-12` test. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
       val proj = graft.functions.ArrayDot.array_dot(vec, typedLit(p))
-      when(graft.det.Sig.sig5(proj) > 0, lit(1L << j)).otherwise(0L)
+      when(proj >= 1e-12, lit(1L << j)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
   /** IVF(-flat) ANN top-k: partition the corpus into Voronoi cells

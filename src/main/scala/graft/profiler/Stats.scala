@@ -355,25 +355,26 @@ object Stats {
       : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // exact + HLL together (small chunks: each exact countDistinct
-    // plans an Expand whose row multiplier is the per-scan distinct
-    // count); the KMV TypedImperativeAggregates run in their own scan
-    // so the distinct rewrite never mixes with object aggregation
-    val exHll = chunkedAgg(df, cols.flatMap { c =>
+    // exact countDistinct in its OWN scan (k distinct aggs plan an
+    // Expand that multiplies every row (k+1)× — any other aggregate
+    // fused into that scan gets dragged through the expanded stream,
+    // measured 59 s vs 7 s at sf0.1); both sketches fuse in a second
+    // Expand-free scan (declarative HLL + imperative KMV mix fine
+    // under ObjectHashAggregate)
+    val exacts = chunkedAgg(df, cols.map { c =>
+      countDistinct(orderable(df, c)).as(s"ex__$c")
+    }, chunk = 128)
+    val sketches = chunkedAgg(df, cols.flatMap { c =>
       val oc = orderable(df, c)
-      Seq(countDistinct(oc).as(s"ex__$c"),
-        approx_count_distinct(oc, rsd).as(s"hll__$c"))
-    }, chunk = 8)
-    val kmvMap = chunkedAgg(df, cols.map { c =>
-      val oc = orderable(df, c)
-      graft.functions.MultiSketch.sketch(lit(null).cast("double"),
-        when(oc.isNotNull, xxhash64(oc)), k = kmvK, ps = Nil)
-        .as(s"kmv__$c")
+      Seq(approx_count_distinct(oc, rsd).as(s"hll__$c"),
+        graft.functions.MultiSketch.sketch(lit(null).cast("double"),
+          when(oc.isNotNull, xxhash64(oc)), k = kmvK, ps = Nil)
+          .as(s"kmv__$c"))
     }, chunk = 300)
     cols.map { c =>
-      val ex = exHll(s"ex__$c").asInstanceOf[Long]
-      val hll = exHll(s"hll__$c").asInstanceOf[Long]
-      val kmv = kmvMap(s"kmv__$c")
+      val ex = exacts(s"ex__$c").asInstanceOf[Long]
+      val hll = sketches(s"hll__$c").asInstanceOf[Long]
+      val kmv = sketches(s"kmv__$c")
         .asInstanceOf[org.apache.spark.sql.Row].getAs[Long]("dis")
       def ok(est: Long, sd: Double): Boolean =
         math.abs(est - ex) <= marginSds * sd * ex + 1

@@ -511,7 +511,7 @@ val eventsRollupSql: String =
        |proj AS (SELECT e.vec_id, p.pj, sum(e.v * p.w) AS pr
        |         FROM el e JOIN planes p ON p.i = e.i GROUP BY 1, 2),
        |bh AS (SELECT vec_id, pj // $EmbedRows AS band,
-       |       CAST(sum(CASE WHEN ${sig("pr")} > 0
+       |       CAST(sum(CASE WHEN pr >= 1e-12
        |         THEN CAST(1 AS BIGINT) << (pj % $EmbedRows)
        |         ELSE 0 END) AS BIGINT) AS bh
        |       FROM proj GROUP BY 1, 2),
@@ -539,7 +539,7 @@ val eventsRollupSql: String =
        |proj AS (SELECT e.vec_id, p.pj, sum(e.v * p.w) AS pr
        |         FROM el e JOIN planes p ON p.i = e.i GROUP BY 1, 2),
        |bkt AS (SELECT vec_id,
-       |        CAST(sum(CASE WHEN ${sig("pr")} > 0
+       |        CAST(sum(CASE WHEN pr >= 1e-12
        |          THEN CAST(1 AS BIGINT) << pj
        |          ELSE 0 END) AS BIGINT) AS bucket
        |        FROM proj GROUP BY 1),
