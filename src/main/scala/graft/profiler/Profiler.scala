@@ -58,7 +58,14 @@ case class TableProfile(
     warnings: Seq[String],
     /** full upper-triangle Pearson matrix (column order), so rejection
       * can be re-evaluated at any threshold after profiling */
-    correlations: Seq[(String, String, Double)] = Seq.empty)
+    correlations: Seq[(String, String, Double)] = Seq.empty,
+    /** Catalyst's optimized-plan size estimate (file bytes for a
+      * plain scan) — the Spark-native analogue of the reference's
+      * "total size in memory" overview stat (base.py::describe uses
+      * df.memory_usage; a distributed engine reports the plan
+      * statistic instead of a driver-side materialization). 0 when
+      * unavailable. */
+    sizeBytes: BigInt = BigInt(0))
 
 /** The public profiling API (reference: `ProfileReport(df, …)`).
   *
@@ -450,7 +457,10 @@ object Profiler {
       columns, rejected, warnings,
       correlations = corrM.toSeq.collect {
         case ((a, b), Some(rho)) => (a, b, rho)
-      }.sortBy(t => (t._1, t._2)))
+      }.sortBy(t => (t._1, t._2)),
+      sizeBytes = scala.util.Try(
+        df.queryExecution.optimizedPlan.stats.sizeInBytes)
+        .getOrElse(BigInt(0)))
   }
 
   /** Full profile flattened to a tidy queryable DataFrame

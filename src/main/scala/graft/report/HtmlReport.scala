@@ -47,9 +47,10 @@ object HtmlReport {
   private def columnCard(c: ColumnProfile): String = {
     val common = Seq(
       statRow("Type", c.kind),
-      statRow("Count", c.count.toString),
-      statRow("Missing", s"${c.missing} (${fmtPercent(c.pMissing)})"),
-      statRow("Distinct", c.distinct.toString),
+      statRow("Count", fmtNumber(c.count.toDouble)),
+      statRow("Missing",
+        s"${fmtNumber(c.missing.toDouble)} (${fmtPercent(c.pMissing)})"),
+      statRow("Distinct", fmtNumber(c.distinct.toDouble)),
       statRow("Unique", fmtPercent(c.pUnique)))
     val numeric = Seq("mean" -> "Mean", "min" -> "Min", "max" -> "Max",
       "sum" -> "Sum", "sd" -> "Std dev", "var" -> "Variance",
@@ -84,11 +85,18 @@ object HtmlReport {
 
   def render(p: TableProfile, title: String = "graft profile",
       sample: Seq[Seq[String]] = Seq.empty): String = {
+    val size =
+      if (p.sizeBytes <= 0) Seq.empty
+      else Seq(
+        statRow("Total size", fmtBytesize(p.sizeBytes.toDouble)),
+        statRow("Average record size",
+          fmtBytesize(p.sizeBytes.toDouble / math.max(1L, p.n))))
     val overview =
       s"""<div class="card"><h2>Overview</h2><table class="stats">
-         |${statRow("Number of rows", p.n.toString)}
+         |${statRow("Number of rows", fmtNumber(p.n.toDouble))}
          |${statRow("Number of variables", p.nvar.toString)}
          |${statRow("Total missing", fmtPercent(p.pMissing))}
+         |${size.mkString("\n")}
          |${statRow("Rejected variables", p.rejected.size.toString)}
          |</table></div>""".stripMargin
     val warnings =

@@ -56,4 +56,19 @@ class ReportSpec extends SparkSpec {
     assert(html.contains("a&lt;b") && html.contains("&lt;x&gt;"))
     assert(!html.contains("<x>"))
   }
+
+  test("overview renders plan-size via fmt_bytesize and separated " +
+      "counts (formatters.py parity)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val p = graft.profiler.Profiler.profile(li,
+      graft.profiler.ProfilerConfig(exactQuantiles = false,
+        exactDistinct = false, correlations = false))
+    assert(p.sizeBytes > 0, "plan size estimate must be available")
+    val html = graft.report.HtmlReport.render(p)
+    assert(html.contains("Total size"))
+    assert(html.contains("Average record size"))
+    assert("\\d [KMG]?i?B".r.findFirstIn(html).isDefined)
+    // thousands separators on row/count stats (fmt "{:n}" parity)
+    assert(html.contains(graft.report.HtmlReport.fmtNumber(p.n.toDouble)))
+  }
 }
