@@ -320,23 +320,42 @@ object Profiler {
     // exactly as Stats.corrMatrix rounds in-plan
     val corrOverride: Option[Map[(String, String), Option[Double]]] =
       if (!withCorr) Some(Map.empty)
-      else {
-        val r = m("__cm").asInstanceOf[org.apache.spark.sql.Row]
-        val cm = r.getAs[scala.collection.Seq[Double]]("cm").toArray
-        val kN = numColsOrdered.size
-        Some(Stats.corrPairs(numColsOrdered).map { case (a, b) =>
-          val i = numColsOrdered.indexOf(a)
-          val j = numColsOrdered.indexOf(b)
-          val cij = cm(graft.functions.CoMoment.triIndex(i, j, kN))
-          val cii = cm(graft.functions.CoMoment.triIndex(i, i, kN))
-          val cjj = cm(graft.functions.CoMoment.triIndex(j, j, kN))
-          val denom = math.sqrt(cii) * math.sqrt(cjj)
-          (a, b) -> (if (denom == 0.0 || denom.isNaN) None
-                     else Some(graft.det.Sig.sig5(cij / denom)))
-        }.toMap)
-      }
+      else Some(corrFromCmRow(
+        m("__cm").asInstanceOf[org.apache.spark.sql.Row], numColsOrdered))
     assemble(df, cfg, aMap, momentMap, qMap,
       histOverride = Some(histOverride), corrOverride = corrOverride)
+  }
+
+  /** ρ matrix from a collected [[graft.functions.CoMomentAgg]] struct,
+    * sig5-rounded exactly as Stats.corrMatrix rounds in-plan. */
+  private def corrFromCmRow(r: org.apache.spark.sql.Row,
+      cols: Seq[String]): Map[(String, String), Option[Double]] = {
+    val cm = r.getAs[scala.collection.Seq[Double]]("cm").toArray
+    val kN = cols.size
+    val idx = cols.zipWithIndex.toMap
+    Stats.corrPairs(cols).map { case (a, b) =>
+      val i = idx(a); val j = idx(b)
+      val cij = cm(graft.functions.CoMoment.triIndex(i, j, kN))
+      val cii = cm(graft.functions.CoMoment.triIndex(i, i, kN))
+      val cjj = cm(graft.functions.CoMoment.triIndex(j, j, kN))
+      val denom = math.sqrt(cii) * math.sqrt(cjj)
+      (a, b) -> (if (denom == 0.0 || denom.isNaN) None
+                 else Some(graft.det.Sig.sig5(cij / denom)))
+    }.toMap
+  }
+
+  /** Whole correlation matrix in ONE scan via the all-pairs streaming
+    * co-moment aggregate — used by [[profile]]'s pass D in place of
+    * the two-pass (means, then centered sums) Stats.corrMatrix plan.
+    * Values agree with the two-pass form to ~1e-12 relative before
+    * the shared sig5 rounding, and exactly after it (away from
+    * rounding-boundary measure zero). */
+  private def coMomentCorr(df: DataFrame, cols: Seq[String])
+      : Map[(String, String), Option[Double]] = {
+    val vals = array(cols.map(c => col(c).cast("double")): _*)
+    val r = df.agg(graft.functions.CoMoment.sketch(vals, cols.size)
+      .as("__cm")).first().getAs[org.apache.spark.sql.Row]("__cm")
+    corrFromCmRow(r, cols)
   }
 
   /** Passes C (histograms + frequency tables) and D (correlations)
@@ -392,10 +411,12 @@ object Profiler {
             .toSeq
         }
 
-    // ---- pass D: correlations + rejection ----
+    // ---- pass D: correlations + rejection — one co-moment scan
+    // (the oracle-parity two-pass plan lives on in Stats.corrMatrix,
+    // which the corr_matrix query declares directly) ----
     val corrM: Map[(String, String), Option[Double]] =
       if (!cfg.correlations || numCols.size < 2) Map.empty
-      else corrOverride.getOrElse(Stats.collectCorrMatrix(df, numCols))
+      else corrOverride.getOrElse(coMomentCorr(df, numCols))
     val rejected: Seq[(String, String, Double)] =
       Stats.rejectFromMatrix(numCols, corrM, cfg.corrReject)
     val rejectedNames = rejected.map(_._1).toSet
