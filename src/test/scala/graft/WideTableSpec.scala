@@ -59,6 +59,43 @@ class WideTableSpec extends SparkSpec {
     })
   }
 
+  test("fused single-scan profile holds at 50 mixed + correlations " +
+      "and at 250 numeric columns") {
+    val numCols = (0 until 40).map(i => StructField(s"n$i", DoubleType))
+    val catCols = (0 until 10).map(i => StructField(s"c$i", StringType))
+    val schema = StructType(numCols ++ catCols)
+    val rows = (1 to 2000).map { r =>
+      Row.fromSeq(
+        (0 until 40).map(i => ((r * (i + 3) + i * 17) % 101).toDouble) ++
+          (0 until 10).map(i => s"v${(r + i) % 7}"))
+    }
+    val df = spark.createDataFrame(rows.asJava, schema).repartition(4)
+    // correlations ON: the 40-column co-moment buffer (820 cells)
+    // rides the same scan as 50 MultiSketch buffers
+    val p = Profiler.profileFused(df, ProfilerConfig())
+    assert(p.nvar == 50 && p.columns.size == 50)
+    val n0 = p.columns.find(_.name == "n0").get
+    assert(n0.count == 2000L && n0.stats.contains("sd"))
+    assert(n0.histogram.map(_._2).sum == 2000L)
+    assert(p.correlations.size == 40 * 39 / 2)
+    assert(p.correlations.forall { case (_, _, rho) =>
+      math.abs(rho) <= 1.0 + 1e-4 })
+    // 250 columns: chunked object aggregation (300-agg chunks) with a
+    // 250-wide co-moment buffer (31k cells)
+    val k = 250
+    val ws = StructType((0 until k).map(i => StructField(s"m$i", DoubleType)))
+    val wrows = (1 to 200).map { r =>
+      Row.fromSeq((0 until k).map(i =>
+        ((r * (i + 3) + i * 17) % 101).toDouble))
+    }
+    val wdf = spark.createDataFrame(wrows.asJava, ws).repartition(4)
+    val wp = Profiler.profileFused(wdf, ProfilerConfig(correlations = false))
+    assert(wp.nvar == k && wp.columns.size == k)
+    val last = wp.columns.find(_.name == s"m${k - 1}").get
+    assert(last.count == 200L && last.quantiles.nonEmpty)
+    assert(last.histogram.map(_._2).sum == 200L)
+  }
+
   test("250-column profile exercises the chunked aggregation passes") {
     val k = 250
     val schema = StructType((0 until k).map(i =>
