@@ -36,6 +36,11 @@ object ScaleSmoke {
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[scale-smoke] profiled $rows%,d rows x ${p.nvar} cols " +
       f"in $secs%.1f s (${rows / secs / 1e6}%.1f M rows/s)")
+    val t1 = System.nanoTime()
+    val pf = Profiler.profileFused(df)
+    val fsecs = (System.nanoTime() - t1) / 1e9
+    println(f"[scale-smoke] FUSED  $rows%,d rows x ${pf.nvar} cols " +
+      f"in $fsecs%.1f s (${rows / fsecs / 1e6}%.1f M rows/s)")
     p.columns.foreach(c => println(
       s"  ${c.name}: kind=${c.kind} distinct~${c.distinct} " +
         s"mean=${c.stats.get("mean").map(_.toString).getOrElse("-")}"))
