@@ -148,6 +148,18 @@ object Extensions {
       Multimodal.mediaMeta(
         Multimodal.synthMedia(t(s, dir, "documents"), "doc_id"),
         "doc_id", "payload").toDF().orderBy("doc_id")),
+    // frame sampling over the REAL decoded frame counts (stride 2):
+    // the oracle re-derives n_frames from the embedded header params
+    // and generates the same index sequence — checks the decode →
+    // explode(sequence) chain end-to-end (frame_hash is xxhash64-
+    // bound, so the declared projection stops at the indices)
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.mediaMeta(
+          Multimodal.synthMedia(t(s, dir, "documents"), "doc_id"),
+          "doc_id", "payload"), stride = 2L)
+        .select("doc_id", "frame_idx")
+        .orderBy("doc_id", "frame_idx")),
     // ---- events (streaming-equivalent batch) ----
     "events_window" -> ((s, dir) =>
       EventOps.windowedStats(t(s, dir, "events"))),
@@ -402,6 +414,19 @@ object Extensions {
       |CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2 ELSE 3
       |  END AS BIGINT) AS channels
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Stride-2 frame indices from the same per-doc frame counts the
+    * container headers embed (see [[multimodalMetaSql]]): Spark's
+    * sequence(0, n−1, 2) over the DECODED count must equal DuckDB's
+    * range(0, n, 2) over the re-derived one. */
+  val multimodalFramesSql: String =
+    """WITH nf AS (SELECT doc_id,
+      |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 5 WHEN 1 THEN 1
+      |    ELSE 16 + doc_id % 257 END AS BIGINT) AS n_frames
+      |  FROM documents)
+      |SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS BIGINT)
+      |  AS frame_idx
+      |FROM nf ORDER BY doc_id, frame_idx""".stripMargin
 
   val eventsWindowSql: String =
     s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type, value
@@ -672,6 +697,7 @@ val eventsRollupSql: String =
     "text_repetition" -> textRepetitionSql,
     "pipeline_funnel" -> pipelineFunnelSql,
     "multimodal_meta" -> multimodalMetaSql,
+    "multimodal_frames" -> multimodalFramesSql,
     "events_window" -> eventsWindowSql,
     "events_sessionize" -> eventsSessionizeSql,
     "events_props" -> eventsPropsSql,
