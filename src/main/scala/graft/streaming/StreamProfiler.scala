@@ -192,4 +192,37 @@ object StreamProfiler {
     w.select(unix_micros(col("window.start")).as("window_start_us"),
       explode(array(structs: _*)).as("s")).select("window_start_us", "s.*")
   }
+
+  /** Windowed MULTI-SKETCH profile: the fused single-scan profiler
+    * aggregate ([[graft.functions.MultiSketchAgg]]) per tumbling
+    * window — count, streaming moments, KMV distinct estimate and a
+    * GK median continuously maintained per column. The aggregate's
+    * serialize/merge contract is exactly what the streaming state
+    * store needs: per-window sketch buffers persist across
+    * micro-batches and merge on arrival, state O(k + accuracy) per
+    * window regardless of row count. */
+  def windowedSketchProfile(events: DataFrame, tsCol: String,
+      cols: Seq[String], watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame = {
+    val aggs = cols.map { c =>
+      graft.functions.MultiSketch.sketch(col(c).cast("double"),
+        when(col(c).isNotNull, xxhash64(col(c)))).as(s"ms__$c")
+    }
+    val w = events
+      .withColumn("__ts", eventTime(events, tsCol))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowLen))
+      .agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"ms__$c.cnt").as("n"),
+        col(s"ms__$c.dis").as("distinct_est"),
+        sig5(col(s"ms__$c.mean")).as("mean"),
+        col(s"ms__$c.mn").as("min_val"),
+        col(s"ms__$c.mx").as("max_val"),
+        element_at(col(s"ms__$c.qs"), 3).as("median_est"))
+    }
+    w.select(unix_micros(col("window.start")).as("window_start_us"),
+      explode(array(structs: _*)).as("s")).select("window_start_us", "s.*")
+  }
 }

@@ -152,4 +152,44 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[Double]("mean") == 3.0)
     } finally q.stop()
   }
+
+  test("windowed multi-sketch profile: sketch state merges across " +
+      "micro-batches and matches the batch twin") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamProfiler.windowedSketchProfile(
+      mem.toDF(), "ts", Seq("value"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sketchprof")
+      .outputMode("append").start()
+    try {
+      // same window fed across TWO micro-batches: the per-window
+      // sketch buffer must survive in the state store and merge
+      mem.addData(Ev(t(1), "a", 2.0), Ev(t(2), "a", 4.0))
+      q.processAllAvailable()
+      mem.addData(Ev(t(3), "a", 4.0), Ev(t(4), "a", 9.0))
+      q.processAllAvailable()
+      // advance past the watermark to close the first window
+      mem.addData(Ev(t(4000), "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sketchprof").collect()
+      val r = rows.find(_.getAs[String]("col_name") == "value").get
+      assert(r.getAs[Long]("n") == 4L)
+      assert(r.getAs[Long]("distinct_est") == 3L) // exact below k
+      assert(r.getAs[Double]("mean") == 4.75)
+      assert(r.getAs[Double]("min_val") == 2.0)
+      assert(r.getAs[Double]("max_val") == 9.0)
+      assert(r.getAs[Double]("median_est") == 4.0)
+      // batch twin over the same data, same aggregate
+      val batch = Seq(Ev(t(1), "a", 2.0), Ev(t(2), "a", 4.0),
+        Ev(t(3), "a", 4.0), Ev(t(4), "a", 9.0)).toDF()
+      val b = StreamProfiler.windowedSketchProfile(
+        batch, "ts", Seq("value")).collect().head
+      assert(b.getAs[Long]("n") == r.getAs[Long]("n"))
+      assert(b.getAs[Double]("mean") == r.getAs[Double]("mean"))
+      assert(b.getAs[Double]("median_est") ==
+        r.getAs[Double]("median_est"))
+    } finally q.stop()
+  }
 }
