@@ -505,9 +505,22 @@ object Dedup {
     *
     * Fixpoint reached when the edge checksum stops changing — the
     * edges then form stars rooted at each component's minimum id.
-    * Output schema matches [[duplicateClusters]]. */
+    * Output schema matches [[duplicateClusters]].
+    *
+    * Size-adaptive execution (the same principle as Spark choosing
+    * broadcast vs sort-merge by measured size): once the canonical
+    * edge list is materialized, its count is known; at or below
+    * `driverThreshold` edges the components are solved by
+    * DRIVER-SIDE union-find in microseconds — each distributed round
+    * costs several whole Spark jobs of fixed overhead, which
+    * dominates end-to-end latency for small pair graphs (near-dup
+    * pair lists are tiny relative to the corpus whenever dedup rates
+    * are sane). Above the threshold — a 100 TB-corpus pair graph —
+    * the O(log n)-round distributed algorithm runs unchanged. Both
+    * paths produce identical labels (equivalence property-tested). */
   def duplicateClustersStar(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 30): DataFrame = {
+      idB: String = "id_b", maxIter: Int = 30,
+      driverThreshold: Long = 100000L): DataFrame = {
     def canon(e: DataFrame): DataFrame =
       e.select(least(col("a"), col("b")).as("a"),
           greatest(col("a"), col("b")).as("b"))
@@ -546,6 +559,29 @@ object Dedup {
     }
     val e0 = canon(pairs.select(col(idA).as("a"), col(idB).as("b")))
       .transform(Materialize.materialize)
+    if (e0.count() <= driverThreshold) {
+      // driver union-find over the (bounded) edge list
+      val edges = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val labels = ids.map(id => (id, find(id)))
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return labels.toSeq.toDF("doc_id", "cluster_id").orderBy("doc_id")
+    }
     val nodes = bidir(e0).select(col("a").as("id")).distinct()
       .transform(Materialize.materialize)
     var e = e0

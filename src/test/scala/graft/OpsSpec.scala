@@ -261,7 +261,8 @@ class OpsSpec extends SparkSpec {
     // converge logarithmically
     val chain = spark.createDataFrame(
       (1L until 100L).map(i => Row(i, i + 1)).asJava, s)
-    val cl = Dedup.duplicateClustersStar(chain).collect()
+    val cl = Dedup.duplicateClustersStar(chain,
+      driverThreshold = 0L).collect() // force the distributed rounds
     assert(cl.length == 100)
     assert(cl.forall(_.getLong(1) == 1L))
     // equivalence with min-label propagation on a mixed graph
@@ -282,13 +283,15 @@ class OpsSpec extends SparkSpec {
     val pairs = spark.createDataFrame(Seq(
       Row(1L, 2L), Row(2L, 3L), Row(3L, 4L),
       Row(10L, 11L), Row(10L, 12L), Row(11L, 12L)).asJava, s)
-    val baseline = Dedup.duplicateClustersStar(pairs).collect()
+    val baseline = Dedup.duplicateClustersStar(pairs,
+      driverThreshold = 0L).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
     try {
       spark.sparkContext.setCheckpointDir(dir.toString)
       // auto mode must now route through reliable checkpoint()
-      val withCkpt = Dedup.duplicateClustersStar(pairs).collect()
+      val withCkpt = Dedup.duplicateClustersStar(pairs,
+        driverThreshold = 0L).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(withCkpt == baseline)
       // prove the reliable path engaged: checkpoint data on disk
@@ -298,7 +301,8 @@ class OpsSpec extends SparkSpec {
       assert(files(dir.toFile).exists(_.isFile))
       // explicit "true" with a dir set also works
       spark.conf.set(Materialize.ConfKey, "true")
-      assert(Dedup.duplicateClustersStar(pairs).collect()
+      assert(Dedup.duplicateClustersStar(pairs, driverThreshold = 0L)
+        .collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap == baseline)
     } finally {
       // the shared session keeps its checkpoint dir (no unset API);

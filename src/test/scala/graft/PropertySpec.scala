@@ -84,9 +84,15 @@ class PropertySpec extends SparkSpec {
         es.map { case (a, b) => Row(a, b) }.asJava, edgeSchema)
       val prop = graft.ops.Dedup.duplicateClusters(pairs).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver union-find path (default threshold) ...
       val star = graft.ops.Dedup.duplicateClustersStar(pairs).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // ... AND the distributed star rounds (threshold 0 forces them)
+      val dist = graft.ops.Dedup.duplicateClustersStar(pairs,
+          driverThreshold = 0L).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(prop == star, s"graph $es")
+      assert(prop == dist, s"graph $es (distributed path)")
       // fixpoint: both endpoints of every edge share a label, and
       // every label is the minimum of its own cluster
       es.foreach { case (a, b) =>
