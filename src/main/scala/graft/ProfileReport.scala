@@ -25,8 +25,12 @@ import graft.report.HtmlReport
 class ProfileReport(df: DataFrame,
     cfg: ProfilerConfig = ProfilerConfig(), title: String = "graft profile") {
 
-  /** The description set (reference: `get_description()`). */
-  lazy val getDescription: TableProfile = Profiler.profile(df, cfg)
+  /** The description set (reference: `get_description()`).
+    * `cfg.fused = true` routes through the one-scan multi-sketch
+    * profiler — the 100 TB shape. */
+  lazy val getDescription: TableProfile =
+    if (cfg.fused) Profiler.profileFused(df, cfg)
+    else Profiler.profile(df, cfg)
 
   /** Names of variables rejected for correlation ≥ threshold
     * (reference: `get_rejected_variables(threshold)`). Re-evaluates

@@ -22,6 +22,10 @@ import org.apache.spark.sql.functions._
   * @param exactDistinct  exact count(distinct) vs HLL++
   *                       approx_count_distinct (100 TB scale)
   * @param correlations   compute the O(k²) correlation pass
+  * @param fused          run the whole profile through the ONE-scan
+  *                       [[Profiler.profileFused]] multi-sketch path
+  *                       (sketch-grade distincts/quantiles/histograms;
+  *                       overrides the exact* switches)
   */
 case class ProfilerConfig(
     bins: Int = 10,
@@ -31,7 +35,8 @@ case class ProfilerConfig(
     exactQuantiles: Boolean = true,
     quantilesByDtype: Boolean = false,
     exactDistinct: Boolean = true,
-    correlations: Boolean = true)
+    correlations: Boolean = true,
+    fused: Boolean = false)
 
 /** One column's profile (reference: one row of the `variables` frame in
   * base.py::describe's description set). */
@@ -489,7 +494,7 @@ object Profiler {
     * analogue of the reference's description-set dict. */
   def profileTidy(df: DataFrame,
       cfg: ProfilerConfig = ProfilerConfig()): DataFrame = {
-    val p = profile(df, cfg)
+    val p = if (cfg.fused) profileFused(df, cfg) else profile(df, cfg)
     val spark = df.sparkSession
     import spark.implicits._
     val tableRows = Seq(

@@ -210,4 +210,34 @@ class ProfilerSpec extends SparkSpec {
     assert(p2.columns.head.kind == "CONST")
     assert(p2.columns.head.stats("mean") == 7.0)
   }
+
+  test("fused profile degenerate inputs: all-null, single-row, empty") {
+    val s = StructType(Seq(StructField("a", DoubleType)))
+    val cfgNc = ProfilerConfig(correlations = false)
+    val allNull = spark.createDataFrame(
+      Seq(Row(null), Row(null)).asJava, s)
+    val p = Profiler.profileFused(allNull, cfgNc)
+    assert(p.columns.head.missing == 2L)
+    assert(p.columns.head.quantiles.isEmpty)
+    assert(p.columns.head.histogram.isEmpty)
+    val single = spark.createDataFrame(Seq(Row(7.0)).asJava, s)
+    val p2 = Profiler.profileFused(single, cfgNc)
+    assert(p2.columns.head.kind == "CONST")
+    assert(p2.columns.head.stats("mean") == 7.0)
+    assert(p2.columns.head.histogram == Seq((0L, 1L))) // degenerate bin
+    val empty = spark.createDataFrame(
+      Seq.empty[Row].asJava, s)
+    val p3 = Profiler.profileFused(empty, cfgNc)
+    assert(p3.n == 0L && p3.columns.head.count == 0L)
+  }
+
+  test("ProfileReport(fused = true) renders through the one-scan path") {
+    val report = ProfileReport(df, ProfilerConfig(fused = true))
+    assert(report.getDescription.n == 40L)
+    assert(report.getRejectedVariables() == Seq("x2"))
+    assert(report.html.contains("col-x"))
+    assert(report.tidy.where(
+      org.apache.spark.sql.functions.col("metric") === "median")
+      .count() > 0)
+  }
 }
