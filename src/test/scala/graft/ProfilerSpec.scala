@@ -195,6 +195,12 @@ class ProfilerSpec extends SparkSpec {
       assert(p.n > 0, s"$t rows")
       assert(p.columns.size == df.columns.length, s"$t columns")
       assert(p.columns.forall(_.count <= p.n), s"$t counts")
+      // the one-scan path must survive the same schema diversity and
+      // agree on the exact stats (counts, n)
+      val f = Profiler.profileFused(df)
+      assert(f.n == p.n, s"$t fused rows")
+      assert(f.columns.map(c => c.name -> c.count).toMap ==
+        p.columns.map(c => c.name -> c.count).toMap, s"$t fused counts")
     }
   }
 
