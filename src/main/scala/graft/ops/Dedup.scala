@@ -162,16 +162,54 @@ object Dedup {
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Candidate pairs from a banded (id, band, bh) frame: docs
+    * colliding on any band's hash, deduplicated across bands. With
+    * `maxBucket` set, buckets over the cap switch from all-pairs
+    * (C(m,2) — quadratic in the bucket) to STAR linking (m−1 edges to
+    * the bucket's min id), which preserves the connectivity that
+    * clustering consumes while bounding candidate volume — the shared
+    * skew guard for every banded LSH family (MinHash and hyperplane).
+    */
+  private def bandedCandidates(banded: DataFrame,
+      maxBucket: Option[Long]): DataFrame = maxBucket match {
+    case None =>
+      banded.as("x").join(banded.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+        .distinct()
+    case Some(cap) =>
+      // one aggregation per bucket gives both the size (cap decision)
+      // and the star representative; the all-pairs join then runs
+      // ONLY over under-cap buckets
+      val sizes = banded.groupBy("band", "bh")
+        .agg(count(lit(1)).as("sz"), min("id").as("rep"))
+      val withSz = banded.join(sizes, Seq("band", "bh"))
+      val small = withSz.where(col("sz") <= cap)
+        .select("id", "band", "bh")
+      val smallPairs = small.as("x").join(small.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      val starPairs = withSz
+        .where(col("sz") > cap && col("id") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("id").as("id_b"))
+      smallPairs.union(starPairs).distinct()
+  }
+
   /** MinHash-LSH near-dup candidates: signatures are cut into
     * `bands` bands of numHashes/bands rows; docs colliding on any
     * band hash become candidates (one explode + one groupBy join —
     * linear, the standard 100 TB-scale near-dup plan). Candidates are
     * scored by signature agreement (unbiased Jaccard estimate) and
-    * filtered at `minEstJaccard`. */
+    * filtered at `minEstJaccard`. `maxBucket` is the
+    * [[bandedCandidates]] skew guard — m near-identical docs share
+    * every band hash, and without the cap one viral boilerplate
+    * cluster costs C(m,2) candidate pairs. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      minEstJaccard: Double = 0.5, maxDf: Option[Long] = None)
-      : DataFrame = {
+      minEstJaccard: Double = 0.5, maxDf: Option[Long] = None,
+      maxBucket: Option[Long] = None): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) or trailing " +
         "signature hashes would be silently excluded from banding")
@@ -184,11 +222,7 @@ object Dedup {
     val banded = sigs.select(col("id"),
       explode(array(bandStructs: _*)).as("s"))
       .select(col("id"), col("s.band"), col("s.bh"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val cand = bandedCandidates(banded, maxBucket)
     val agree = (0 until numHashes)
       .map(i => when(col(s"sa.mh_$i") === col(s"sb.mh_$i"), 1).otherwise(0))
       .reduce(_ + _)
@@ -364,31 +398,7 @@ object Dedup {
     val banded = base.select(col("id"),
       explode(array(bandStructs: _*)).as("s"))
       .select(col("id"), col("s.band"), col("s.bh"))
-    val cand = maxBucket match {
-      case None =>
-        banded.as("x").join(banded.as("y"),
-            col("x.band") === col("y.band") &&
-              col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
-          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-          .distinct()
-      case Some(cap) =>
-        // one aggregation per bucket gives both the size (cap
-        // decision) and the star representative; the all-pairs join
-        // then runs ONLY over under-cap buckets
-        val sizes = banded.groupBy("band", "bh")
-          .agg(count(lit(1)).as("sz"), min("id").as("rep"))
-        val withSz = banded.join(sizes, Seq("band", "bh"))
-        val small = withSz.where(col("sz") <= cap)
-          .select("id", "band", "bh")
-        val smallPairs = small.as("x").join(small.as("y"),
-            col("x.band") === col("y.band") &&
-              col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
-          .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-        val starPairs = withSz
-          .where(col("sz") > cap && col("id") =!= col("rep"))
-          .select(col("rep").as("id_a"), col("id").as("id_b"))
-        smallPairs.union(starPairs).distinct()
-    }
+    val cand = bandedCandidates(banded, maxBucket)
     scoreCosinePairs(
       cand
         .join(base.select(col("id").as("id_a"), col("v").as("av"),

@@ -392,6 +392,23 @@ class OpsSpec extends SparkSpec {
     assert(cappedPairs.forall(r => r.getLong(1) < 500L))
   }
 
+  test("minhash banded join honors the same maxBucket star cap") {
+    // 40 identical docs: every band bucket holds all 40
+    val m = 40
+    val same = spark.createDataFrame(
+      (0 until m).map(i => Row(i.toLong,
+        "identical boilerplate text repeated across the corpus body"))
+        .asJava, docSchema)
+    val uncapped = Dedup.minhashLshPairs(same, "doc_id", "text",
+      minEstJaccard = 0.5)
+    assert(uncapped.count() == m.toLong * (m - 1) / 2)
+    val capped = Dedup.minhashLshPairs(same, "doc_id", "text",
+      minEstJaccard = 0.5, maxBucket = Some(10L)).collect()
+    assert(capped.length == m - 1)
+    assert(capped.forall(_.getLong(0) == 0L)) // star rep = min id
+    assert(capped.forall(_.getDouble(2) == 1.0)) // identical sigs
+  }
+
   test("multiprobe ANN recall@10 vs brute force, and >= single-probe") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def recall(ann: Map[Long, Set[Long]], ref: Map[Long, Set[Long]])
