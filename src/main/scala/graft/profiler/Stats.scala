@@ -361,9 +361,11 @@ object Stats {
     // measured 59 s vs 7 s at sf0.1); both sketches fuse in a second
     // Expand-free scan (declarative HLL + imperative KMV mix fine
     // under ObjectHashAggregate)
+    // chunk 64 bounds the per-scan Expand multiplier on wide tables
+    // (same bound Profiler uses for its exact-distinct pass)
     val exacts = chunkedAgg(df, cols.map { c =>
       countDistinct(orderable(df, c)).as(s"ex__$c")
-    }, chunk = 128)
+    }, chunk = 64)
     val sketches = chunkedAgg(df, cols.flatMap { c =>
       val oc = orderable(df, c)
       Seq(approx_count_distinct(oc, rsd).as(s"hll__$c"),
