@@ -180,6 +180,56 @@ object Multimodal {
       }
   }
 
+  /** Per-payload byte-distribution features: a `bins`-bucket
+    * histogram over byte values (bucket = unsigned byte / (256/bins))
+    * plus the Shannon entropy of the full 256-symbol distribution in
+    * bits [0, 8]. The feature-extraction stage of the multimodal
+    * pipeline — REAL computation over the payload bytes (compressed
+    * media ≈ 8 bits/byte, text/headers much lower), the standard
+    * cheap signal for format drift, truncation, and
+    * mislabeled-modality detection at corpus scale. Same batched
+    * mapPartitions shape as [[mediaMeta]]: O(len) per row, no
+    * shuffle, no driver involvement. */
+  case class ByteFeatures(doc_id: Long, n_bytes: Long,
+      byte_hist: Array[Long], entropy: Double)
+
+  def byteFeatures(df: DataFrame, idCol: String, binCol: String,
+      bins: Int = 16, batchSize: Int = 256): Dataset[ByteFeatures] = {
+    require(bins > 0 && 256 % bins == 0, "bins must divide 256")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val width = 256 / bins
+    df.where(col(idCol).isNotNull && col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, payload) =>
+            val full = new Array[Long](256)
+            var i = 0
+            while (i < payload.length) {
+              full(payload(i) & 0xff) += 1
+              i += 1
+            }
+            val hist = new Array[Long](bins)
+            var b = 0
+            while (b < 256) { hist(b / width) += full(b); b += 1 }
+            val n = payload.length.toDouble
+            var h = 0.0
+            b = 0
+            while (b < 256) {
+              if (full(b) > 0) {
+                val p = full(b) / n
+                h -= p * (math.log(p) / math.log(2.0))
+              }
+              b += 1
+            }
+            ByteFeatures(id, payload.length.toLong, hist, h)
+          }
+        }
+      }
+  }
+
   /** Frame sampling: one output row per sampled frame index (every
     * `stride`-th frame), the shape a video-frame extractor produces.
     * Frame "content hash" is a deterministic stand-in. */

@@ -572,6 +572,38 @@ class OpsSpec extends SparkSpec {
     assert(d.format == "jpeg" && d.width.isEmpty)
   }
 
+  test("multimodal: byte features — exact histogram on a known " +
+      "payload, entropy bounds, zero-run detection") {
+    import org.apache.spark.sql.functions.col
+    // WAV with zero-filled PCM data: 44 header bytes + 64 zeros
+    val wav = Multimodal.synthWav(8000L, 1L, 32L)
+    val s = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val one = spark.createDataFrame(
+      Seq(Row(1L, wav)).asJava, s)
+    val f = Multimodal.byteFeatures(one, "doc_id", "payload")
+      .collect().head
+    assert(f.n_bytes == wav.length.toLong)
+    assert(f.byte_hist.sum == wav.length.toLong)
+    // zero-dominated: bucket 0 holds all PCM zeros plus header zeros
+    val zeros = wav.count(_ == 0)
+    assert(f.byte_hist(0) >= zeros)
+    assert(f.entropy > 0.0 && f.entropy < 8.0)
+    // uniform 0..255 payload has exactly 8 bits of entropy
+    val uniform = Array.tabulate[Byte](256)(_.toByte)
+    val u = Multimodal.byteFeatures(
+      spark.createDataFrame(Seq(Row(2L, uniform)).asJava, s),
+      "doc_id", "payload").collect().head
+    assert(math.abs(u.entropy - 8.0) < 1e-12)
+    assert(u.byte_hist.forall(_ == 16L)) // 256 values / 16 buckets
+    // corpus-scale shape: runs over the synthesized fixture payloads
+    val many = Multimodal.byteFeatures(
+      Multimodal.synthMedia(docs.select(col("doc_id")), "doc_id"),
+      "doc_id", "payload").collect()
+    assert(many.length == 4)
+    assert(many.forall(x => x.byte_hist.sum == x.n_bytes))
+  }
+
   test("multimodal: synth payloads decode to their embedded params") {
     // end-to-end over the Dataset boundary: synthesize real bytes,
     // decode distributed, check against the id formulas
