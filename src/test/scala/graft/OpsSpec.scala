@@ -604,6 +604,55 @@ class OpsSpec extends SparkSpec {
     assert(many.forall(x => x.byte_hist.sum == x.n_bytes))
   }
 
+  test("multimodal: real PNG pixel decode inverts synthesis under " +
+      "every scanline filter; resize samples exact source pixels") {
+    for (ft <- 0 to 4) {
+      val png = Multimodal.synthPngRaster(13, 7, seed = ft * 11,
+        filterType = ft)
+      val px = Multimodal.decodePixels(png)
+        .getOrElse(fail(s"filter $ft did not decode"))
+      assert(px.width == 13 && px.height == 7 && px.channels == 3)
+      for (y <- 0 until 7; x <- 0 until 13; c <- 0 until 3)
+        assert((px.data((y * 13 + x) * 3 + c) & 0xff) ==
+          Multimodal.rasterPixel(x, y, c, ft * 11),
+          s"filter $ft pixel ($x,$y,$c)")
+    }
+    // nearest-neighbor resize: output (x,y) = source (x*W/outW, ...)
+    val px = Multimodal.decodePixels(
+      Multimodal.synthPngRaster(16, 8, seed = 1)).get
+    val t = Multimodal.resizeNearest(px, 4, 2)
+    assert(t.width == 4 && t.height == 2)
+    for (y <- 0 until 2; x <- 0 until 4; c <- 0 until 3)
+      assert((t.data((y * 4 + x) * 3 + c) & 0xff) ==
+        Multimodal.rasterPixel(x * 4, y * 4, c, 1))
+    // headers-only synthetic PNGs (fake IDAT) and non-PNGs decode to
+    // None, never throw
+    assert(Multimodal.decodePixels(Multimodal.synthPng(5, 5, 1)).isEmpty)
+    assert(Multimodal.decodePixels(
+      Multimodal.synthWav(8000, 1, 4)).isEmpty)
+  }
+
+  test("multimodal: distributed thumbnail stats over real rasters") {
+    import org.apache.spark.sql.functions.col
+    val s = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val rows = (0L until 6L).map(i =>
+      Row(i, Multimodal.synthPngRaster(16 + i.toInt, 8, seed = i.toInt)))
+    val mixed = rows :+ Row(99L, "not a png".getBytes) // must be dropped
+    val df = spark.createDataFrame(mixed.asJava, s).repartition(3)
+    val t = Multimodal.thumbStats(df, "doc_id", "payload",
+      thumbW = 4, thumbH = 4).collect().map(x => x.doc_id -> x).toMap
+    assert(t.size == 6 && !t.contains(99L))
+    assert(t(0L).width == 16L && t(0L).height == 8L)
+    assert(t(0L).thumb_means.length == 3)
+    assert(t(0L).thumb_means.forall(m => m >= 0.0 && m <= 255.0))
+    // deterministic: same content -> same hash; different seeds differ
+    assert(t(0L).thumb_hash != t(1L).thumb_hash)
+    val again = Multimodal.thumbStats(df, "doc_id", "payload",
+      thumbW = 4, thumbH = 4).collect().map(x => x.doc_id -> x).toMap
+    assert(again(3L).thumb_hash == t(3L).thumb_hash)
+  }
+
   test("multimodal: synth payloads decode to their embedded params") {
     // end-to-end over the Dataset boundary: synthesize real bytes,
     // decode distributed, check against the id formulas
