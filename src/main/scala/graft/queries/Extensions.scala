@@ -160,6 +160,45 @@ object Extensions {
           "doc_id", "payload"), stride = 2L)
         .select("doc_id", "frame_idx")
         .orderBy("doc_id", "frame_idx")),
+    // ---- temporal joins (operators Spark lacks as built-ins) ----
+    // backward as-of join: every click matched to the user's most
+    // recent purchase at-or-before it (7-day tolerance), via the
+    // union-marker single-window plan — one shuffle, ZERO join
+    // operators (an inequality join would plan a per-key nested
+    // loop). The oracle is the quadratic LEFT JOIN + row_number
+    // formulation — a hash-match proves the window trick equals the
+    // textbook semantics on every row, ties and tolerance included.
+    "join_asof" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val base = e.select(col("event_id"), col("user_id"),
+        EventOps.tsMicros(e).as("us"), col("event_type"), col("value"))
+      TemporalJoin.asofJoin(
+        base.where(col("event_type") === "click")
+          .select("event_id", "user_id", "us"),
+        base.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "us", "value"),
+        key = "user_id", ts = "us", idCol = "event_id",
+        rightVals = Seq("value"),
+        toleranceUs = Some(7L * 24 * 3600 * 1000000L))
+    }),
+    // point-in-interval (range) join: every event matched to the
+    // containing session interval of its user via the bucket-exploded
+    // equi-join (1-hour buckets) — no broadcast-nested-loop. The
+    // oracle derives each event's session index directly from the
+    // window formulation, so the bucketing machinery must reproduce
+    // exact interval-containment semantics to hash-match.
+    "join_range" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val pts = e.select(col("event_id"), col("user_id"),
+        EventOps.tsMicros(e).as("us"))
+      TemporalJoin.pointInInterval(pts, EventOps.sessionize(e),
+          key = "user_id", pointCol = "us",
+          startCol = "session_start_us", endCol = "session_end_us",
+          bucketUs = 3600L * 1000000L,
+          pointProj = Seq("event_id"), intervalProj = Seq("session_idx"))
+        .select("event_id", "user_id", "us", "session_idx")
+        .orderBy("event_id")
+    }),
     // ---- events (streaming-equivalent batch) ----
     "events_window" -> ((s, dir) =>
       EventOps.windowedStats(t(s, dir, "events"))),
@@ -427,6 +466,53 @@ object Extensions {
       |SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS BIGINT)
       |  AS frame_idx
       |FROM nf ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** The quadratic textbook as-of formulation (LEFT JOIN on the
+    * inequality + keep the rank-1 right row) — independent of the
+    * union-marker window plan the Spark side runs. Tolerance 7 days;
+    * unmatched/over-tolerance clicks survive with NULL match
+    * columns. All matched values are carried, never recomputed, so
+    * no rounding is needed anywhere. */
+  val joinAsofSql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+      |            event_type, value FROM events),
+      |l AS (SELECT event_id, user_id, us FROM e
+      |      WHERE event_type = 'click'),
+      |r AS (SELECT event_id, user_id, us, value FROM e
+      |      WHERE event_type = 'purchase'),
+      |j AS (SELECT l.event_id, l.user_id, l.us,
+      |        r.event_id AS m_eid, r.us AS m_us, r.value AS m_val,
+      |        row_number() OVER (PARTITION BY l.event_id
+      |          ORDER BY r.us DESC, r.event_id DESC) AS rn
+      |      FROM l LEFT JOIN r
+      |      ON r.user_id = l.user_id AND r.us <= l.us),
+      |t AS (SELECT *, m_us IS NOT NULL
+      |        AND us - m_us <= 604800000000 AS ok
+      |      FROM j WHERE rn = 1)
+      |SELECT event_id, user_id, us,
+      |CAST(CASE WHEN ok THEN m_eid END AS BIGINT) AS matched_event_id,
+      |CAST(CASE WHEN ok THEN m_us END AS BIGINT) AS matched_us,
+      |CAST(CASE WHEN ok THEN us - m_us END AS BIGINT) AS gap_us,
+      |CAST(CASE WHEN ok THEN m_val END AS DOUBLE) AS matched_value
+      |FROM t ORDER BY event_id""".stripMargin
+
+  /** Each event's containing session derived straight from the
+    * window formulation (sessions of one user are disjoint, so the
+    * interval join has exactly one match per event). */
+  val joinRangeSql: String =
+    """WITH x AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
+      |           FROM events),
+      |f AS (SELECT user_id, event_id, us,
+      |  CASE WHEN lag(us) OVER w IS NULL
+      |       OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS flag
+      |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (SELECT user_id, event_id, us,
+      |  sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM f)
+      |SELECT event_id, user_id, us, CAST(session_idx AS BIGINT)
+      |  AS session_idx
+      |FROM s ORDER BY event_id""".stripMargin
 
   val eventsWindowSql: String =
     s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type, value
@@ -698,6 +784,8 @@ val eventsRollupSql: String =
     "pipeline_funnel" -> pipelineFunnelSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,
+    "join_asof" -> joinAsofSql,
+    "join_range" -> joinRangeSql,
     "events_window" -> eventsWindowSql,
     "events_sessionize" -> eventsSessionizeSql,
     "events_props" -> eventsPropsSql,
