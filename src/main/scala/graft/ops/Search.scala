@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.det.Sig.sig5
+
+/** Keyword search scoring over a document corpus — the retrieval
+  * primitive of a training-data pipeline (nearest-neighbor mining for
+  * eval curation, boilerplate hunting, targeted corpus slicing).
+  *
+  * Scale shape: document lengths and the per-term document
+  * frequencies are corpus aggregates computed with map-side partial
+  * aggregation; the per-(doc, term) frequency frame is FILTERED TO
+  * THE QUERY TERMS before any shuffle, so the join graph moves
+  * O(matching postings), never the full token stream; the df table is
+  * O(|query|) rows and broadcast. Top-k is TakeOrdered (no global
+  * sort materialization).
+  */
+object Search {
+
+  /** Okapi BM25 top-k: score = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1−b+b·dl/avgdl)), idf = ln((N−df+0.5)/(df+0.5)+1)
+    * (the Lucene non-negative variant). Ranking and the k-cut use the
+    * sig5-ROUNDED score with doc-id tie-break (engine contract:
+    * discrete decisions rank rounded values — ln is not required to
+    * be correctly rounded by IEEE 754, so raw scores may differ by an
+    * ulp across engines). */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(TextStats.tokens(col(textCol))).as("t"))
+    val lens = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // two corpus scalars (N, avgdl) as a 1-row broadcast frame — no
+    // driver round-trip, stays one lazy plan
+    val corpus = lens.agg(count(lit(1)).as("n_docs"),
+      avg("dl").as("avgdl"))
+    val qtok = tok.where(col("t").isin(terms: _*))
+    val dfT = qtok.groupBy("t")
+      .agg(countDistinct(col("doc_id")).as("df_t"))
+    val tf = qtok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val scored = tf
+      .join(broadcast(dfT), Seq("t"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5)
+          + 1.0) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("s"))
+    val ranked = scored.groupBy("doc_id")
+      .agg(sig5(sum("s")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+    // rnk assigned after the k-cut: the window runs over k rows, not
+    // the corpus (single-partition window over the full scored set
+    // would serialize the sort at scale)
+    ranked.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .select("rnk", "doc_id", "score")
+      .orderBy("rnk")
+  }
+}

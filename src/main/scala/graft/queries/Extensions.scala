@@ -118,6 +118,18 @@ object Extensions {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         numQueries = 5, k = 10, centroidLo = 100L, centroidHi = 116L,
         nprobe = 4, dim = 64)),
+    // int8 scalar quantization report: codes are bit-identical across
+    // engines (floor(x+0.5) on identical doubles), only the error
+    // averages are rounded
+    "embed_quantize" -> ((s, dir) =>
+      VectorQuant.quantizeStats(t(s, dir, "embeddings"), "embedding",
+        dim = 64)),
+    // seeded 2-iteration Lloyd k-means: designated corpus rows
+    // 120..135 as centroids (no RNG), assignment by sig5-rounded
+    // score argmin — the oracle unrolls both iterations relationally
+    "embed_kmeans" -> ((s, dir) =>
+      KMeansOp.kmeansStats(t(s, dir, "embeddings"), "vec_id",
+        "embedding", seedLo = 120L, seedHi = 136L, iters = 2)),
     // ---- text analysis ----
     "text_stats" -> ((s, dir) =>
       TextStats.langStats(t(s, dir, "documents"), "text", "lang")),
@@ -132,6 +144,19 @@ object Extensions {
     // Gopher/MassiveText-style within-doc repetition filters
     "text_repetition" -> ((s, dir) =>
       TextStats.repetition(t(s, dir, "documents"), "doc_id", "text")),
+    // Okapi BM25 keyword retrieval, postings filtered to the query
+    // terms before any shuffle; ranking on sig5-rounded scores
+    "text_bm25" -> ((s, dir) =>
+      Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, k = 10)),
+    // PII scrub: deterministic synthesized PII (pure function of
+    // doc_id — the fixture corpus has none, which would make an
+    // all-zero detector pass vacuously), then regex detection +
+    // placeholder redaction; the oracle re-synthesizes and re-detects
+    // independently and the full redacted strings are hash-compared
+    "text_pii" -> ((s, dir) =>
+      Pii.piiStats(Pii.synthPii(t(s, dir, "documents"), "doc_id",
+        "text"), "doc_id", "text")),
     // deterministic stratified sample: 10% of each language, lowest
     // doc_ids — exact fractions, fully oracle-expressible
     "sample_stratified" -> ((s, dir) =>
@@ -756,6 +781,131 @@ val eventsRollupSql: String =
        |(SELECT count(*) FROM final) AS n_clean""".stripMargin
   }
 
+  /** BM25 query-term literal set (shared Spark/oracle). */
+  val Bm25Terms: Seq[String] = Seq("spark", "hash", "window")
+
+  /** BM25 re-derived relationally. Every float constant (k1+1, 1−b,
+    * …) is interpolated from the SAME Scala doubles the Spark plan
+    * uses — Double.toString round-trips exactly, so both engines
+    * compute from identical IEEE values; ln() may differ by an ulp
+    * between engines, absorbed by the sig5 ranking contract. */
+  val textBm25Sql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |             FROM documents),
+       |lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+       |qt AS (SELECT * FROM tok WHERE t IN ($terms)),
+       |dft AS (SELECT t, count(DISTINCT doc_id) AS df_t FROM qt GROUP BY t),
+       |tf AS (SELECT doc_id, t, count(*) AS tf FROM qt GROUP BY doc_id, t),
+       |sc AS (SELECT tf.doc_id,
+       |  ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) *
+       |  (tf * ${k1 + 1.0}) /
+       |  (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)) AS s
+       |  FROM tf JOIN dft ON dft.t = tf.t
+       |  JOIN lens ON lens.doc_id = tf.doc_id, corpus),
+       |agg AS (SELECT doc_id, ${sig("sum(s)")} AS score FROM sc
+       |        GROUP BY doc_id)
+       |SELECT CAST(rn AS BIGINT) AS rnk, doc_id, score FROM (
+       |  SELECT doc_id, score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+       |  FROM agg)
+       |WHERE rn <= 10 ORDER BY rnk""".stripMargin
+  }
+
+  /** Re-synthesizes the deterministic PII payloads from doc_id and
+    * re-runs detection + redaction with DuckDB's RE2 engine — regex
+    * semantics (leftmost-first, greedy, global replace) must agree
+    * with Java's for the full redacted strings to hash-match. */
+  val textPiiSql: String = {
+    import graft.ops.Pii.{EmailRe, Ipv4Re, PhoneRe}
+    s"""WITH s AS (SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 3 >= 1 THEN ' mail user' ||
+       |    CAST(doc_id AS VARCHAR) || 'a@mail.example.com'
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 3 = 2 THEN ' cc user' ||
+       |    CAST(doc_id AS VARCHAR) || 'b@mail.example.com'
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 2 = 0 THEN ' from 10.' ||
+       |    CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
+       |    CAST(doc_id % 250 + 1 AS VARCHAR)
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||
+       |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |    ELSE '' END AS t2
+       |  FROM documents)
+       |SELECT doc_id,
+       |CAST(len(regexp_extract_all(t2, '$EmailRe')) AS BIGINT)
+       |  AS n_emails,
+       |CAST(len(regexp_extract_all(t2, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       |CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT)
+       |  AS n_phones,
+       |regexp_replace(regexp_replace(regexp_replace(t2,
+       |  '$EmailRe', '<EMAIL>', 'g'),
+       |  '$Ipv4Re', '<IP>', 'g'),
+       |  '$PhoneRe', '<PHONE>', 'g') AS redacted
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** int8 quantization re-derived relationally: the codes come from
+    * floor(x+0.5) on doubles both engines computed with identical
+    * correctly-rounded IEEE ops, so mn/mx/step/max_abs_err/n_codes
+    * need NO rounding; only avg(err) (summation order) is sig5'd. */
+  val embedQuantizeSql: String =
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i)),
+       |b AS (SELECT i, min(v) AS mn, max(v) AS mx,
+       |      (max(v) - min(v)) / 255.0 AS step FROM el GROUP BY i),
+       |e AS (SELECT el.i, mn, mx, step,
+       |      CASE WHEN step > 0 THEN
+       |        CAST(least(greatest(floor((v - mn) / step + 0.5), 0.0),
+       |          255.0) AS BIGINT)
+       |        ELSE 0 END AS q, v
+       |      FROM el JOIN b ON b.i = el.i),
+       |w AS (SELECT i, mn, mx, step, q,
+       |      abs(v - (mn + q * step)) AS err FROM e)
+       |SELECT i, mn, mx, step, ${sig("avg(err)")} AS avg_abs_err,
+       |max(err) AS max_abs_err,
+       |CAST(count(DISTINCT q) AS BIGINT) AS n_codes
+       |FROM w GROUP BY i, mn, mx, step ORDER BY i""".stripMargin
+
+  /** Two Lloyd iterations unrolled relationally: seed centroids =
+    * corpus rows 120..135, argmin on the sig5-rounded score
+    * |c|² − 2·v·c with cid tie-break (identical decision machinery as
+    * [[embedAnnIvfSql]]); WCSS sums the rounded score + raw |v|². */
+  val embedKmeansSql: String = {
+    val score = sig("cn2 - 2 * dp")
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i)),
+       |vn AS (SELECT vec_id, sum(v * v) AS vn2 FROM el GROUP BY vec_id),
+       |c0 AS (SELECT vec_id AS cid, i, v AS w FROM el
+       |       WHERE vec_id BETWEEN 120 AND 135),
+       |cn0 AS (SELECT cid, sum(w * w) AS cn2 FROM c0 GROUP BY cid),
+       |d0 AS (SELECT e.vec_id AS vid, c.cid, sum(e.v * c.w) AS dp
+       |       FROM el e JOIN c0 c ON c.i = e.i GROUP BY 1, 2),
+       |s0 AS (SELECT vid, d0.cid, $score AS score
+       |       FROM d0 JOIN cn0 ON cn0.cid = d0.cid),
+       |a0 AS (SELECT vid, cid FROM (
+       |  SELECT vid, cid, row_number() OVER (PARTITION BY vid
+       |    ORDER BY score ASC, cid ASC) AS rn FROM s0) WHERE rn = 1),
+       |c1 AS (SELECT a0.cid, el.i, avg(el.v) AS w FROM el
+       |       JOIN a0 ON a0.vid = el.vec_id GROUP BY 1, 2),
+       |cn1 AS (SELECT cid, sum(w * w) AS cn2 FROM c1 GROUP BY cid),
+       |d1 AS (SELECT e.vec_id AS vid, c.cid, sum(e.v * c.w) AS dp
+       |       FROM el e JOIN c1 c ON c.i = e.i GROUP BY 1, 2),
+       |s1 AS (SELECT vid, d1.cid, $score AS score
+       |       FROM d1 JOIN cn1 ON cn1.cid = d1.cid),
+       |a1 AS (SELECT vid, cid, score FROM (
+       |  SELECT vid, cid, score, row_number() OVER (PARTITION BY vid
+       |    ORDER BY score ASC, cid ASC) AS rn FROM s1) WHERE rn = 1)
+       |SELECT cid AS cluster_id, count(*) AS n_members,
+       |${sig("sum(score + vn2)")} AS wcss
+       |FROM a1 JOIN vn ON vn.vec_id = a1.vid
+       |GROUP BY cid ORDER BY cluster_id""".stripMargin
+  }
+
   val textTokensSql: String =
     s"""SELECT doc_id,
        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -781,6 +931,10 @@ val eventsRollupSql: String =
     "doc_fingerprint" -> docFingerprintSql,
     "text_tokens" -> textTokensSql,
     "text_repetition" -> textRepetitionSql,
+    "text_bm25" -> textBm25Sql,
+    "text_pii" -> textPiiSql,
+    "embed_quantize" -> embedQuantizeSql,
+    "embed_kmeans" -> embedKmeansSql,
     "pipeline_funnel" -> pipelineFunnelSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,
