@@ -89,6 +89,26 @@ object EventOps {
       .orderBy(coalesce(col("event_type"), lit("~")),
         coalesce(col("user_bucket"), lit(-1L)))
 
+  /** Per-event lag/rolling features — the feature-engineering pass of
+    * an event-driven training pipeline: previous value, inter-event
+    * gap, and the rolling mean/count over the user's `nPrev`
+    * preceding events (current row excluded, so the feature is
+    * leakage-free for next-event prediction). One shuffle (window by
+    * user); carried values are exact, only the rolling mean (frame
+    * summation order) is sig5-rounded. */
+  def laggedFeatures(df: DataFrame, nPrev: Int = 3): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val frame = w.rowsBetween(-nPrev, -1)
+    df.select(col("event_id"), col("user_id"), tsMicros(df).as("us"),
+        col("value"))
+      .select(col("event_id"), col("user_id"), col("us"),
+        lag("value", 1).over(w).as("prev_value"),
+        (col("us") - lag("us", 1).over(w)).as("dt_us"),
+        sig5(avg("value").over(frame)).as("avg_prev"),
+        count(lit(1)).over(frame).as("n_prev"))
+      .orderBy("event_id")
+  }
+
   /** Schema-on-read JSON parsing of props via from_json (the
     * production path; not oracle-checked because DuckDB's JSON
     * handling differs in nullability edge cases). */

@@ -47,4 +47,35 @@ object Sampling {
     val b = splitBucket(col(idCol), 1000, seed)
     (df.where(b >= holdoutPerMille), df.where(b < holdoutPerMille))
   }
+
+  private val MinstdM = 2147483647L // 2^31 − 1 (MINSTD modulus)
+  private val MinstdA = 48271L
+
+  /** Deterministic pseudo-random mille bucket in [0, 1000) from a row
+    * id via two MINSTD (Lehmer) steps — pure BIGINT arithmetic, so
+    * unlike xxhash64 it is re-derivable in ANY SQL engine (the
+    * oracle recomputes it exactly). pmod bounds the id first, keeping
+    * every product < 2³¹·48271 ≪ 2⁶³: no ANSI overflow for any id. */
+  def minstdMille(id: Column): Column = {
+    val h0 = pmod(id + 12345L, lit(MinstdM))
+    val h1 = pmod(h0 * MinstdA, lit(MinstdM))
+    val h2 = pmod(h1 * MinstdA, lit(MinstdM))
+    pmod(h2, lit(1000L))
+  }
+
+  /** Per-row weighted subsampling: keep a row iff its deterministic
+    * mille bucket falls under floor(weight·1000) — rows with weight
+    * ≥ 1 always survive, weight ≤ 0 never. The acceptance decision is
+    * a map-only row-local predicate (no shuffle, stable under
+    * repartitioning), the quality-proportional sampling stage of a
+    * corpus pipeline. Returns the kept rows with the bucket and
+    * threshold exposed for audit. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column)
+      : DataFrame = {
+    val m = minstdMille(col(idCol))
+    val thr = floor(weight * 1000.0).cast("long")
+    df.withColumn("mille", m)
+      .withColumn("w_mille", thr)
+      .where(col("mille") < col("w_mille"))
+  }
 }

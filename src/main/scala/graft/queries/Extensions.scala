@@ -224,6 +224,17 @@ object Extensions {
         .select("event_id", "user_id", "us", "session_idx")
         .orderBy("event_id")
     }),
+    // per-event lag/rolling features (leakage-free: current row
+    // excluded from its own rolling frame)
+    "events_features" -> ((s, dir) =>
+      EventOps.laggedFeatures(t(s, dir, "events"))),
+    // quality-proportional subsampling via the MINSTD mille bucket —
+    // unlike xxhash64-bound splits this mixer is pure BIGINT
+    // arithmetic, so the oracle re-derives the exact kept set
+    "sample_weighted" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
+          least(col("n_chars") / 400.0, lit(1.0)))
+        .select("doc_id", "mille", "w_mille").orderBy("doc_id")),
     // ---- events (streaming-equivalent batch) ----
     "events_window" -> ((s, dir) =>
       EventOps.windowedStats(t(s, dir, "events"))),
@@ -538,6 +549,33 @@ object Extensions {
       |SELECT event_id, user_id, us, CAST(session_idx AS BIGINT)
       |  AS session_idx
       |FROM s ORDER BY event_id""".stripMargin
+
+  val eventsFeaturesSql: String =
+    s"""WITH x AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+       |           value FROM events)
+       |SELECT event_id, user_id, us,
+       |lag(value) OVER w AS prev_value,
+       |us - lag(us) OVER w AS dt_us,
+       |${sig("avg(value) OVER f")} AS avg_prev,
+       |count(*) OVER f AS n_prev
+       |FROM x
+       |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id),
+       |f AS (PARTITION BY user_id ORDER BY us, event_id
+       |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+       |ORDER BY event_id""".stripMargin
+
+  /** The MINSTD double-step mille bucket re-derived in pure BIGINT
+    * arithmetic (no engine hash involved — see
+    * [[graft.ops.Sampling.minstdMille]]). */
+  val sampleWeightedSql: String =
+    """WITH h AS (SELECT doc_id,
+      |  ((((((doc_id + 12345) % 2147483647) * 48271) % 2147483647)
+      |    * 48271) % 2147483647) % 1000 AS mille,
+      |  CAST(floor(least(n_chars / 400.0, 1.0) * 1000.0) AS BIGINT)
+      |    AS w_mille
+      |  FROM documents)
+      |SELECT doc_id, mille, w_mille FROM h
+      |WHERE mille < w_mille ORDER BY doc_id""".stripMargin
 
   val eventsWindowSql: String =
     s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type, value
@@ -940,6 +978,8 @@ val eventsRollupSql: String =
     "multimodal_frames" -> multimodalFramesSql,
     "join_asof" -> joinAsofSql,
     "join_range" -> joinRangeSql,
+    "events_features" -> eventsFeaturesSql,
+    "sample_weighted" -> sampleWeightedSql,
     "events_window" -> eventsWindowSql,
     "events_sessionize" -> eventsSessionizeSql,
     "events_props" -> eventsPropsSql,

@@ -14,6 +14,16 @@ case class SessionState(startUs: Long, endUs: Long, n: Long, idx: Long)
 case class SessionOut(user_id: Long, session_idx: Long,
     session_start_us: Long, session_end_us: Long, n_events: Long)
 
+/** Last-seen right-side payload carried per key by
+  * [[StreamProfiler.asofStream]]. */
+case class AsofState(ts: Long, id: Long, value: Double)
+
+/** One matched (or unmatched) left row — same schema as the batch
+  * [[graft.ops.TemporalJoin.asofJoin]] output. */
+case class AsofOut(event_id: Long, user_id: Long, us: Long,
+    matched_event_id: Option[Long], matched_us: Option[Long],
+    gap_us: Option[Long], matched_value: Option[Double])
+
 /** Continuous profiling over event-time streams — the reference is
   * batch-only (SURVEY.md §2.2: streaming absent); this is the
   * Spark-native extension mapping the same per-column statistics onto
@@ -160,6 +170,71 @@ object StreamProfiler {
             }
             out.iterator
           }
+      }.toDF()
+  }
+
+  /** Streaming backward as-of join — the incremental twin of the
+    * batch [[graft.ops.TemporalJoin.asofJoin]]: one event stream
+    * carrying both sides (rows whose `event_type` is `leftType` are
+    * matched against the most recent `rightType` row of the same
+    * user at-or-before their event time, `toleranceUs` semantics as
+    * in the batch operator).
+    *
+    * State is ONE small record per user: the latest right payload
+    * (ts, id, value) — exactly the carry the batch union-marker
+    * window maintains per partition, made persistent across
+    * micro-batches. Within a batch, rows process in (ts,
+    * right-before-left, id) order, so intra-batch semantics equal the
+    * batch operator exactly.
+    *
+    * Incremental caveat (shared by any single-state as-of stream): a
+    * LEFT row arriving after a NEWER right was already absorbed into
+    * state emits unmatched rather than matching the older right the
+    * batch operator would find (the state guard `s.ts <= us` keeps it
+    * from matching forward in time — never a wrong match, only a
+    * conservative miss); late RIGHT rows older than the state are
+    * ignored. In-event-time-order feeds reproduce the batch result
+    * exactly (asserted in StreamingSpec); the batch operator is the
+    * authoritative backfill path. */
+  def asofStream(events: DataFrame, leftType: String, rightType: String,
+      tsCol: String = "ts", toleranceUs: Option[Long] = None,
+      watermark: String = "10 minutes"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prepared = events
+      .withColumn("__ts", eventTime(events, tsCol))
+      .withWatermark("__ts", watermark)
+      .where(col("event_type").isin(leftType, rightType))
+      .select(col("user_id").cast("long"),
+        unix_micros(col("__ts")).as("us"),
+        col("event_id").cast("long"),
+        (col("event_type") === leftType).as("isLeft"),
+        col("value").cast("double"))
+      .as[(Long, Long, Long, Boolean, Double)]
+    prepared
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          // (ts, side, id): right sorts before left at equal ts
+          // (Ordering[Boolean]: false < true) — inclusive <= matching
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._4, r._3))
+          val out = scala.collection.mutable.Buffer.empty[AsofOut]
+          for ((_, us, id, isLeft, value) <- sorted) {
+            if (!isLeft) {
+              // keep the lexicographically-greatest (ts, id) right;
+              // a cross-batch late right never regresses the state
+              if (state.getOption.forall(s =>
+                  us > s.ts || (us == s.ts && id > s.id)))
+                state.update(AsofState(us, id, value))
+            } else {
+              val m = state.getOption.filter(s => s.ts <= us &&
+                toleranceUs.forall(t => us - s.ts <= t))
+              out += AsofOut(id, user, us, m.map(_.id), m.map(_.ts),
+                m.map(us - _.ts), m.map(_.value))
+            }
+          }
+          out.iterator
       }.toDF()
   }
 

@@ -115,6 +115,45 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample: weight 1 keeps all, 0 keeps none, fractions track") {
+    import graft.ops.Sampling
+    val d = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val n = d.count()
+    assert(Sampling.weightedSample(d, "doc_id", lit(1.0)).count() == n)
+    assert(Sampling.weightedSample(d, "doc_id", lit(0.0)).count() == 0)
+    // a flat 0.3 weight keeps ~30% (MINSTD mille is near-uniform)
+    val k = Sampling.weightedSample(d, "doc_id", lit(0.3)).count()
+    assert(k > n * 0.2 && k < n * 0.4, s"kept $k of $n at weight 0.3")
+    // deterministic: the same call yields the identical kept set
+    val a = Sampling.weightedSample(d, "doc_id", lit(0.3))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(d, "doc_id", lit(0.3))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("lagged features: leakage-free rolling frame excludes current row") {
+    import graft.ops.EventOps
+    val s = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("ts", LongType),
+      StructField("value", DoubleType)))
+    // ts in NANOS (the fixtures' nanosAsLong shape): us = ns div 1000
+    val d = spark.createDataFrame(Seq(
+      Row(1L, 1L, 1000L, 10.0), Row(2L, 1L, 2000L, 20.0),
+      Row(3L, 1L, 3000L, 30.0), Row(4L, 1L, 4000L, 40.0),
+      Row(5L, 1L, 5000L, 50.0), Row(6L, 2L, 1000L, 99.0)).asJava, s)
+    val r = EventOps.laggedFeatures(d).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).isNullAt(3) && r(1L).isNullAt(4) && r(1L).isNullAt(5))
+    assert(r(1L).getLong(6) == 0L)
+    assert(r(2L).getDouble(3) == 10.0 && r(2L).getLong(4) == 1L)
+    assert(r(2L).getDouble(5) == 10.0) // mean of the single prev row
+    assert(r(5L).getDouble(5) == 30.0) // mean(20,30,40), not incl. 50
+    assert(r(5L).getLong(6) == 3L)
+    assert(r(6L).isNullAt(3)) // other user: frames never cross keys
+  }
+
   test("kmeans: 1 iteration assigns every row to its nearest seed") {
     // two tight blobs around the seed rows 10 and 11
     val d = vecs(

@@ -7,6 +7,8 @@ import graft.streaming.StreamProfiler
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class UserEv(ts: Timestamp, user_id: Long)
+case class SideEv(ts: Timestamp, user_id: Long, event_id: Long,
+    event_type: String, value: Double)
 
 class StreamingSpec extends SparkSpec {
 
@@ -128,6 +130,53 @@ class StreamingSpec extends SparkSpec {
             r.getAs[Long]("n_events"))).toMap
       assert(batch.view.filterKeys(_._1 != 99L).toMap ==
         out.view.filterKeys(_._1 != 99L).toMap)
+    } finally q.stop()
+  }
+
+  test("streaming as-of join matches the batch operator on an " +
+      "in-order feed; state carries across micro-batches") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SideEv]
+    val q = StreamProfiler.asofStream(
+      mem.toDF(), leftType = "click", rightType = "purchase",
+      toleranceUs = Some(30L * 60000000L))
+      .writeStream.format("memory").queryName("asof")
+      .outputMode("append").start()
+    val all = Seq(
+      SideEv(t(60), 1L, 1L, "click", 0.0),     // before any purchase
+      SideEv(t(62), 1L, 2L, "purchase", 5.0),
+      SideEv(t(63), 1L, 3L, "click", 0.0),     // matches id 2
+      SideEv(t(70), 1L, 4L, "purchase", 7.0),
+      SideEv(t(70), 1L, 5L, "click", 0.0),     // same-ts: inclusive, id 4
+      SideEv(t(200), 1L, 6L, "click", 0.0),    // gap 130 min > tolerance
+      SideEv(t(205), 2L, 7L, "click", 0.0))    // user with no purchases
+    try {
+      mem.addData(all.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(all.slice(3, 5): _*)  // same-ts pair in a new batch
+      q.processAllAvailable()
+      mem.addData(all.drop(5): _*)      // state must persist to here
+      q.processAllAvailable()
+      val stream = spark.table("asof").orderBy("event_id").collect()
+      val m = stream.map(r => r.getLong(0) -> r).toMap
+      assert(m(1L).isNullAt(3) && m(6L).isNullAt(3) && m(7L).isNullAt(3))
+      assert(m(3L).getLong(3) == 2L && m(3L).getDouble(6) == 5.0)
+      assert(m(5L).getLong(3) == 4L) // inclusive same-ts match
+      // batch equivalence over the identical event set
+      val b = all.toDF()
+      val base = b.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"), col("value"))
+      val batch = graft.ops.TemporalJoin.asofJoin(
+        base.where(col("event_type") === "click")
+          .select("event_id", "user_id", "us"),
+        base.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "us", "value"),
+        "user_id", "us", "event_id", Seq("value"),
+        toleranceUs = Some(30L * 60000000L)).collect()
+      assert(stream.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
     } finally q.stop()
   }
 
