@@ -64,4 +64,33 @@ object Search {
       .select("rnk", "doc_id", "score")
       .orderBy("rnk")
   }
+
+  /** Unigram language-model quality score (the CCNet-style
+    * perplexity filter, reduced to its unigram core): train p(t) =
+    * count(t)/total on the corpus itself, score every document by its
+    * average negative log-likelihood −Σ ln p(t) / |doc| (nats; low =
+    * in-distribution text, high = out-of-distribution/noise).
+    *
+    * Scale shape: the model IS a (token → count) aggregate — one
+    * shuffle with map-side combine; scoring joins the token stream
+    * against it on the token key and aggregates per doc. Corpus
+    * totals ride a 1-row broadcast. Smoothing-free by construction
+    * (every scored token was seen in training, since the corpus
+    * scores itself; score a FOREIGN corpus through the same join and
+    * unseen tokens drop out — add-one smoothing is a one-line
+    * coalesce if needed). */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(TextStats.tokens(col(textCol))).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum("c").as("total"))
+    tok.join(freq, Seq("t"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sig5(avg(-log(col("c").cast("double") / col("total"))))
+          .as("nll"))
+      .orderBy("doc_id")
+  }
 }

@@ -118,6 +118,16 @@ object Extensions {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         numQueries = 5, k = 10, centroidLo = 100L, centroidHi = 116L,
         nprobe = 4, dim = 64)),
+    // unigram-LM quality score (the CCNet perplexity filter's core):
+    // the corpus trains its own token model, each doc scored by avg
+    // negative log-likelihood
+    "text_lm_score" -> ((s, dir) =>
+      Search.unigramNll(t(s, dir, "documents"), "doc_id", "text")),
+    // categorical distribution shape: Shannon entropy + evenness per
+    // column via the O(distinct) identity H = ln n − (Σ c·ln c)/n
+    "cat_entropy" -> ((s, dir) =>
+      CatStats.entropy(t(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority"))),
     // int8 scalar quantization report: codes are bit-identical across
     // engines (floor(x+0.5) on identical doubles), only the error
     // averages are rounded
@@ -887,6 +897,32 @@ val eventsRollupSql: String =
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  val textLmScoreSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |             FROM documents),
+       |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+       |tot AS (SELECT sum(c) AS total FROM freq)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |${sig("avg(-ln(CAST(c AS DOUBLE) / total))")} AS nll
+       |FROM tok JOIN freq ON freq.t = tok.t, tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private def entropyColSql(c: String): String =
+    s"""SELECT '$c' AS col_name, CAST(n AS BIGINT) AS n,
+       |CAST(nd AS BIGINT) AS n_distinct,
+       |${sig("ln(n) - clc / n")} AS entropy,
+       |${sig("CASE WHEN nd > 1 THEN (ln(n) - clc / n) / ln(nd) END")}
+       |  AS evenness
+       |FROM (SELECT sum(cnt) AS n, count(*) AS nd,
+       |      sum(cnt * ln(cnt)) AS clc
+       |      FROM (SELECT $c AS v, count(*) AS cnt FROM orders
+       |            GROUP BY 1))""".stripMargin
+
+  val catEntropySql: String =
+    s"""SELECT * FROM (${entropyColSql("o_orderstatus")}
+       |UNION ALL ${entropyColSql("o_orderpriority")})
+       |ORDER BY col_name""".stripMargin
+
   /** int8 quantization re-derived relationally: the codes come from
     * floor(x+0.5) on doubles both engines computed with identical
     * correctly-rounded IEEE ops, so mn/mx/step/max_abs_err/n_codes
@@ -971,6 +1007,8 @@ val eventsRollupSql: String =
     "text_repetition" -> textRepetitionSql,
     "text_bm25" -> textBm25Sql,
     "text_pii" -> textPiiSql,
+    "text_lm_score" -> textLmScoreSql,
+    "cat_entropy" -> catEntropySql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_kmeans" -> embedKmeansSql,
     "pipeline_funnel" -> pipelineFunnelSql,

@@ -115,6 +115,34 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("unigram LM score: rare tokens raise a doc's nll") {
+    val d = docs(0L -> "a a", 1L -> "a b")
+    val r = Search.unigramNll(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // freq: a=3, b=1, total=4
+    assert(math.abs(r(0L).getDouble(2) - math.log(4.0 / 3)) < 1e-4)
+    assert(math.abs(r(1L).getDouble(2) -
+      (math.log(4.0 / 3) + math.log(4.0)) / 2) < 1e-4)
+    assert(r(1L).getDouble(2) > r(0L).getDouble(2))
+    assert(r(0L).getLong(1) == 2L)
+  }
+
+  test("categorical entropy: uniform = ln k with evenness 1, constant = 0") {
+    import graft.ops.CatStats
+    val s = StructType(Seq(StructField("u", StringType),
+      StructField("k", StringType)))
+    val d = spark.createDataFrame(Seq(
+      Row("x", "c"), Row("x", "c"), Row("y", "c"), Row("y", "c"))
+      .asJava, s)
+    val r = CatStats.entropy(d, Seq("u", "k")).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(math.abs(r("u").getDouble(3) - math.log(2.0)) < 1e-4)
+    assert(math.abs(r("u").getDouble(4) - 1.0) < 1e-4)
+    assert(r("k").getDouble(3) == 0.0)
+    assert(r("k").isNullAt(4)) // evenness undefined for 1 category
+    assert(r("u").getLong(1) == 4L && r("u").getLong(2) == 2L)
+  }
+
   test("weighted sample: weight 1 keeps all, 0 keeps none, fractions track") {
     import graft.ops.Sampling
     val d = spark.read
