@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.det.Sig.sig5
+
+/** Distribution-drift diagnostics between two corpus slices — the
+  * monitoring pass a training pipeline runs when a new crawl lands:
+  * has the language mix / length distribution / source mix moved
+  * enough to re-balance? Reports the standard pair of scores per
+  * dimension: PSI (population stability index, the banking-world
+  * ln-weighted divergence; rule of thumb <0.1 stable, >0.25 shifted)
+  * and total-variation distance.
+  *
+  * Scale shape: each dimension reduces to ONE hash aggregation of
+  * (bucket → per-slice counts) with map-side combine — the slice
+  * indicator is folded into conditional sums, so both slices are
+  * counted in a single scan and nothing but O(buckets) rows ever
+  * reach the final reduction. Numeric dimensions bin with the same
+  * closed-form fixed-width arithmetic as the profiler's histograms
+  * (bounds from one tiny premise agg, broadcast), so no sort and no
+  * per-row quantile machinery is involved.
+  */
+object Drift {
+
+  /** Laplace-smoothed share: (c + 0.5) / (n + 0.5·k) — keeps ln
+    * finite when a bucket is empty on one side, identical closed form
+    * on both engines. */
+  private def share(c: Column, n: Column, k: Column): Column =
+    (c + lit(0.5)) / (n + lit(0.5) * k)
+
+  /** PSI + TVD for one categorical dimension. `slice` must be a
+    * two-valued 0/1 column (0 = baseline, 1 = candidate). NULL
+    * bucket values count as a regular category. */
+  def categoricalDrift(df: DataFrame, dim: String, bucket: Column,
+      slice: Column): DataFrame = {
+    val counts = df
+      .select(bucket.as("b"), slice.as("s"))
+      .groupBy("b")
+      .agg(sum(when(col("s") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("cb"))
+    // per-bucket shares need the global totals: a 1-row broadcast
+    // crossJoin keeps everything in one lazy plan (no driver action)
+    val totals = counts.agg(
+      sum("ca").cast("double").as("na"),
+      sum("cb").cast("double").as("nb"),
+      count(lit(1)).cast("double").as("k"))
+    counts.crossJoin(broadcast(totals))
+      .select(
+        share(col("ca").cast("double"), col("na"), col("k")).as("p"),
+        share(col("cb").cast("double"), col("nb"), col("k")).as("q"),
+        col("na"), col("nb"), col("k"))
+      .agg(
+        min(lit(dim)).as("dim"),
+        // na/nb/k are constant across rows (broadcast totals) — min is
+        // just a deterministic way to carry them through the agg
+        min(col("na")).cast("long").as("n_a"),
+        min(col("nb")).cast("long").as("n_b"),
+        min(col("k")).cast("long").as("n_buckets"),
+        sig5(sum((col("p") - col("q")) * log(col("p") / col("q"))))
+          .as("psi"),
+        sig5(sum(abs(col("p") - col("q"))) / 2.0).as("tvd"))
+      .select("dim", "n_a", "n_b", "n_buckets", "psi", "tvd")
+  }
+
+  /** PSI + TVD for a numeric dimension, binned into `bins` fixed-width
+    * buckets over the COMBINED min/max (profiler histogram edge
+    * arithmetic: least(floor((x−mn)/w), bins−1)); the shared bounds
+    * ride a 1-row broadcast so the whole dimension is one premise agg
+    * + one bucket agg. */
+  def numericDrift(df: DataFrame, dim: String, value: Column,
+      slice: Column, bins: Int = 10): DataFrame = {
+    val base = df.select(value.cast("double").as("v"), slice.as("s"))
+      .where(col("v").isNotNull)
+    val bounds = base.agg(min("v").as("mn"),
+      ((max("v") - min("v")) / bins.toDouble).as("w"))
+    val bucketed = base.crossJoin(broadcast(bounds))
+      .select(
+        when(col("w") > 0.0,
+          least(floor((col("v") - col("mn")) / col("w")),
+            lit(bins - 1.0)).cast("long"))
+          .otherwise(0L).as("b"),
+        col("s"))
+    categoricalDrift(bucketed, dim, col("b"), col("s"))
+  }
+}

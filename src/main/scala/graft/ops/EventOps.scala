@@ -89,6 +89,30 @@ object EventOps {
       .orderBy(coalesce(col("event_type"), lit("~")),
         coalesce(col("user_bucket"), lit(-1L)))
 
+  /** Full CUBE(event_type, hour-of-day) aggregate with grouping_id —
+    * the other half of the grouping-sets surface (rollupStats covers
+    * the hierarchical prefix sets; CUBE adds the cross-marginals,
+    * e.g. per-hour totals across all event types). grouping_id
+    * disambiguates a genuine NULL group value from a subtotal row —
+    * emitted so the oracle must reproduce Spark's bit order (type
+    * bit 1, hour bit 0). One shuffle; grouping-set expansion happens
+    * map-side before the exchange. */
+  def cubeStats(df: DataFrame): DataFrame =
+    df.select(col("event_type"), tsMicros(df).as("us"), col("value"))
+      // `div`, not `/`: Column./ is ALWAYS double division
+      .select(col("event_type"),
+        expr(s"us % ${24L * HourUs} div $HourUs").as("hour"),
+        col("value"))
+      .cube("event_type", "hour")
+      // grouping_id() is only resolvable INSIDE the grouping-sets
+      // aggregate (UNSUPPORTED_GROUPING_EXPRESSION in a later select)
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("cnt"), sig5(sum("value")).as("sum_value"))
+      .orderBy(col("gid"),
+        coalesce(col("event_type"), lit("~")),
+        coalesce(col("hour"), lit(-1L)))
+      .select("gid", "event_type", "hour", "cnt", "sum_value")
+
   /** Per-event lag/rolling features — the feature-engineering pass of
     * an event-driven training pipeline: previous value, inter-event
     * gap, and the rolling mean/count over the user's `nPrev`

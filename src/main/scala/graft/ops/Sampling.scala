@@ -63,6 +63,45 @@ object Sampling {
     pmod(h2, lit(1000L))
   }
 
+  /** Data mixing to target proportions: the largest sample achieving
+    * EXACTLY the requested mixture `weights` given what each stratum
+    * has available. scale = min_i(avail_i / w_i); stratum i keeps
+    * floor(scale · w_i) rows — the binding stratum contributes all
+    * (or nearly all) of its rows, every other stratum is downsampled
+    * to match. Selection is deterministic: lowest `idCol` first.
+    *
+    * Scale shape: availability is one tiny groupBy (map-side
+    * combined); the scale factor and per-stratum quotas are an
+    * O(strata) reduction broadcast back; the final selection pays one
+    * window shuffle partitioned by stratum. For the approximate
+    * production path at 100 TB, replace the window with
+    * [[weightedSample]] using weight = quota_i / avail_i — map-only,
+    * same expected mixture, binomial deviation. */
+  def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "weights must be positive")
+    val w = weights.toSeq.sortBy(_._1)
+      .map { case (k, v) => struct(lit(k).as("stratum"), lit(v).as("w")) }
+    val wdf = df.sparkSession.range(1)
+      .select(explode(array(w: _*)).as("t"))
+      .select(col("t.stratum").as("__stratum"), col("t.w").as("__w"))
+    val avail = df.groupBy(col(stratumCol).as("__stratum"))
+      .agg(count(lit(1)).as("__avail"))
+      .join(wdf, Seq("__stratum")) // inner: strata without a weight drop
+    val scale = avail
+      .agg(min(col("__avail").cast("double") / col("__w")).as("__scale"))
+    val quotas = avail.crossJoin(broadcast(scale))
+      .select(col("__stratum"),
+        floor(col("__scale") * col("__w")).cast("long").as("__quota"))
+    val ranked = df.join(broadcast(quotas),
+        df(stratumCol) === quotas("__stratum"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(stratumCol).orderBy(col(idCol))))
+    ranked.where(col("__rn") <= col("__quota"))
+      .drop("__stratum", "__quota", "__rn")
+  }
+
   /** Per-row weighted subsampling: keep a row iff its deterministic
     * mille bucket falls under floor(weight·1000) — rows with weight
     * ≥ 1 always survive, weight ≤ 0 never. The acceptance decision is

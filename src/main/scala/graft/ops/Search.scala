@@ -65,6 +65,36 @@ object Search {
       .orderBy("rnk")
   }
 
+  /** fastText-shaped linear document classifier: score(doc) =
+    * sigmoid(mean over tokens of w(token)), keep = score ≥ 0.5 — the
+    * model-based quality-filter stage of a corpus pipeline (the real
+    * deployment swaps in trained weights; the distributed scoring
+    * plan is identical). Weights here are a deterministic surrogate
+    * lookup keyed on the token's corpus count through the MINSTD
+    * mixer, mapped to [−1, 1] — pure BIGINT+double arithmetic, so the
+    * oracle re-derives the whole model relationally (a string hash
+    * would be Spark-only).
+    *
+    * Scale shape: the "model" is the (token → count) aggregate — one
+    * shuffle with map-side combine; scoring is one join of the token
+    * stream against it plus a per-doc aggregation. The keep decision
+    * ranks the sig5-ROUNDED score (engine contract for discrete
+    * decisions). */
+  def linearScore(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+      explode(TextStats.tokens(col(textCol))).as("t"))
+    val freq = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val weighted = freq.withColumn("w",
+      (Sampling.minstdMille(col("c")).cast("double") - 499.5) / 499.5)
+    tok.join(weighted, Seq("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sig5(lit(1.0) / (lit(1.0) + exp(-avg("w")))).as("score"))
+      .withColumn("keep", (col("score") >= 0.5).cast("boolean"))
+      .orderBy("doc_id")
+  }
+
   /** Unigram language-model quality score (the CCNet-style
     * perplexity filter, reduced to its unigram core): train p(t) =
     * count(t)/total on the corpus itself, score every document by its

@@ -420,6 +420,57 @@ object Stats {
   }
 
   // -------------------------------------------------------------------
+  // Tukey-fence outlier counts — the anomaly flag a profiler raises
+  // next to the IQR (not in the reference, which stops at the IQR
+  // itself). Two passes: one fused quantile agg for all columns, then
+  // one fused conditional-count agg against the (rounded) fences.
+  // -------------------------------------------------------------------
+
+  /** Per column: q1/q3, the Tukey fences q1−k·IQR / q3+k·IQR, and how
+    * many non-null values fall strictly outside them. The fences are
+    * sig5-rounded BEFORE counting, so the count predicate compares
+    * against the same literal doubles on any engine (the engine
+    * contract: discrete decisions — here, a row being an outlier —
+    * are made on rounded values). `approx` mirrors `derived`: the GK
+    * sketch replaces exact percentile for the 100 TB path. */
+  def outliers(df: DataFrame, cols: Seq[String], k: Double = 1.5,
+      approx: Boolean = false): DataFrame = {
+    val qAggs = cols.map { c =>
+      val qe =
+        if (approx)
+          s"percentile_approx(cast(`$c` as double), array(0.25D, 0.75D), 10000)"
+        else s"percentile(cast(`$c` as double), array(0.25D, 0.75D))"
+      expr(qe).as(s"q__$c")
+    }
+    val fenceRow = df.agg(qAggs.head, qAggs.tail: _*).select(
+      cols.flatMap { c =>
+        val q1 = element_at(col(s"q__$c"), 1)
+        val q3 = element_at(col(s"q__$c"), 2)
+        val iqr = q3 - q1
+        Seq(sig5(q1).as(s"q1__$c"), sig5(q3).as(s"q3__$c"),
+          sig5(q1 - lit(k) * iqr).as(s"lo__$c"),
+          sig5(q3 + lit(k) * iqr).as(s"hi__$c"))
+      }: _*).first()
+    def f(name: String, c: String): Double =
+      fenceRow.getAs[Double](s"${name}__$c")
+    val cntAggs = cols.flatMap { c =>
+      Seq(count(d(c)).as(s"n__$c"),
+        sum(when(d(c) < f("lo", c), 1L).otherwise(0L)).as(s"nb__$c"),
+        sum(when(d(c) > f("hi", c), 1L).otherwise(0L)).as(s"na__$c"))
+    }
+    val row = df.agg(cntAggs.head, cntAggs.tail: _*)
+    val structs = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        lit(f("q1", c)).as("q1"), lit(f("q3", c)).as("q3"),
+        lit(f("lo", c)).as("fence_lo"), lit(f("hi", c)).as("fence_hi"),
+        col(s"nb__$c").as("n_below"), col(s"na__$c").as("n_above"),
+        sig5((col(s"nb__$c") + col(s"na__$c")).cast("double") /
+          col(s"n__$c")).as("p_outlier"))
+    }
+    tidy(row, structs)
+  }
+
+  // -------------------------------------------------------------------
   // MAD (D4): mean absolute deviation around the mean (pandas-1.x
   // `.mad()` semantics, base.py::describe_numeric_1d ≈L172–178).
   // Two passes: means for all columns, then one fused |x−μ| agg.

@@ -53,6 +53,9 @@ object Core {
     "num_quantiles_approx_rank" -> ((s, dir) =>
       Stats.quantileRankCheck(li(s, dir), floats)),
     "num_derived" -> ((s, dir) => Stats.derived(li(s, dir), nums)),
+    // Tukey-fence outlier counts: fences sig5-rounded BEFORE counting
+    // so both engines count against identical literal doubles
+    "num_outliers" -> ((s, dir) => Stats.outliers(li(s, dir), nums)),
     "num_mad" -> ((s, dir) => Stats.mad(li(s, dir), nums)),
     "num_zeros" -> ((s, dir) => Stats.zeros(li(s, dir), nums)),
     "num_histogram" -> ((s, dir) => Stats.histogram(li(s, dir), nums)),
@@ -191,6 +194,30 @@ object Core {
     val selects = nums.map { c =>
       s"""SELECT '$c' AS col_name, mx - mn AS range_val,
          |${sig("q3 - q1")} AS iqr, ${sig("sd / mu")} AS cv FROM a_$c""".stripMargin
+    }
+    s"WITH ${ctes.mkString(",\n")}\n${unionAll(selects)}\nORDER BY col_name"
+  }
+
+  val numOutliersSql: String = {
+    val ctes = nums.flatMap { c =>
+      Seq(
+        s"""a_$c AS (SELECT
+           |quantile_cont(CAST($c AS DOUBLE), 0.25) AS rq1,
+           |quantile_cont(CAST($c AS DOUBLE), 0.75) AS rq3
+           |FROM $T WHERE $c IS NOT NULL)""".stripMargin,
+        s"""f_$c AS (SELECT ${sig("rq1")} AS q1, ${sig("rq3")} AS q3,
+           |${sig("rq1 - 1.5 * (rq3 - rq1)")} AS lo,
+           |${sig("rq3 + 1.5 * (rq3 - rq1)")} AS hi FROM a_$c)""".stripMargin)
+    }
+    val selects = nums.map { c =>
+      s"""SELECT '$c' AS col_name, q1, q3, lo AS fence_lo, hi AS fence_hi,
+         |CAST(coalesce(sum(CASE WHEN v < lo THEN 1 END), 0) AS BIGINT)
+         |  AS n_below,
+         |CAST(coalesce(sum(CASE WHEN v > hi THEN 1 END), 0) AS BIGINT)
+         |  AS n_above,
+         |${sig("CAST(coalesce(sum(CASE WHEN v < lo OR v > hi THEN 1 END), 0) AS DOUBLE) / count(v)")} AS p_outlier
+         |FROM (SELECT CAST($c AS DOUBLE) AS v FROM $T), f_$c
+         |GROUP BY q1, q3, lo, hi""".stripMargin
     }
     s"WITH ${ctes.mkString(",\n")}\n${unionAll(selects)}\nORDER BY col_name"
   }
@@ -378,6 +405,7 @@ object Core {
     "num_quantiles_int" -> numQuantilesIntSql,
     "num_quantiles_approx_rank" -> numQuantilesApproxRankSql,
     "num_derived" -> numDerivedSql,
+    "num_outliers" -> numOutliersSql,
     "num_mad" -> numMadSql,
     "num_zeros" -> numZerosSql,
     "num_histogram" -> numHistogramSql,

@@ -167,6 +167,26 @@ object Extensions {
     "text_pii" -> ((s, dir) =>
       Pii.piiStats(Pii.synthPii(t(s, dir, "documents"), "doc_id",
         "text"), "doc_id", "text")),
+    // context-window chunking: 64-token windows, stride 48 (16-token
+    // overlap) — map-only generate, the pre-packing stage
+    "text_chunk" -> ((s, dir) =>
+      Chunking.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+          size = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")),
+    // fastText-shaped linear quality classifier with a fully
+    // relational surrogate weight table (MINSTD of the corpus count)
+    "text_classify" -> ((s, dir) =>
+      Search.linearScore(t(s, dir, "documents"), "doc_id", "text")),
+    // distribution drift between the even/odd doc_id slices: PSI +
+    // TVD over the language mix and the 10-bin length histogram
+    "drift_psi" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val slice = pmod(col("doc_id"), lit(2L))
+      Drift.categoricalDrift(d, "lang", col("lang"), slice)
+        .unionByName(
+          Drift.numericDrift(d, "n_chars", col("n_chars"), slice))
+        .orderBy("dim")
+    }),
     // deterministic stratified sample: 10% of each language, lowest
     // doc_ids — exact fractions, fully oracle-expressible
     "sample_stratified" -> ((s, dir) =>
@@ -245,6 +265,13 @@ object Extensions {
       Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
           least(col("n_chars") / 400.0, lit(1.0)))
         .select("doc_id", "mille", "w_mille").orderBy("doc_id")),
+    // data mixing to target source proportions: the largest sample
+    // hitting the requested 50/30/20 mix given availability —
+    // per-stratum quotas from one tiny broadcast reduction
+    "sample_mixture" -> ((s, dir) =>
+      Sampling.mixtureSample(t(s, dir, "documents"), "source", "doc_id",
+          MixtureWeights)
+        .select("doc_id", "source").orderBy("doc_id")),
     // ---- events (streaming-equivalent batch) ----
     "events_window" -> ((s, dir) =>
       EventOps.windowedStats(t(s, dir, "events"))),
@@ -262,9 +289,17 @@ object Extensions {
       StarJoins.topSuppliersPerNation(s, dir)),
     // ---- grouping sets / set ops (absent in reference — §2.2) ----
     "events_rollup" -> ((s, dir) => EventOps.rollupStats(t(s, dir, "events"))),
+    // CUBE adds the cross-marginals rollup's prefix sets can't
+    // express; gid pins Spark's grouping_id bit order to the oracle's
+    "events_cube" -> ((s, dir) => EventOps.cubeStats(t(s, dir, "events"))),
     "set_ops_customers" -> ((s, dir) =>
       StarJoins.customerSetOps(s, dir))
   )
+
+  /** Target mixture proportions for `sample_mixture` (shared with the
+    * oracle literal VALUES list). */
+  val MixtureWeights: Map[String, Double] =
+    Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2)
 
   // ------------------------- oracle SQL ---------------------------- //
 
@@ -986,7 +1021,127 @@ val eventsRollupSql: String =
        |CAST(len(regexp_extract_all(text, '${TextStats.BpePattern}')) AS BIGINT) AS n_bpe_tokens
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** 64-token windows at stride 48, re-derived with DuckDB's 1-based
+    * inclusive list slicing (Spark's slice(ts, start+1, 64) ≙
+    * ts[start+1 : start+64]); chunk_idx = start // stride exactly.
+    * string_split never returns an empty list (''→['']), so
+    * range(0, len, stride) enumerates the same starts as the Spark
+    * side's sequence(0, len−1, stride). */
+  val textChunkSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+      |             FROM documents),
+      |st AS (SELECT doc_id, ts,
+      |       unnest(range(0, len(ts), 48)) AS start FROM tok)
+      |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+      |CAST(least(len(ts) - start, 64) AS BIGINT) AS n_tokens,
+      |array_to_string(ts[start + 1 : start + 64], ' ') AS chunk_text
+      |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** The surrogate weight model re-derived relationally: MINSTD of
+    * the corpus token count mapped to [−1, 1] (same BIGINT chain as
+    * [[sampleWeightedSql]]), sigmoid of the per-doc mean; the keep
+    * decision ranks the sig5-rounded score on both engines. */
+  val textClassifySql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |             FROM documents),
+       |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+       |wt AS (SELECT t,
+       |  (CAST(((((((c + 12345) % 2147483647) * 48271) % 2147483647)
+       |    * 48271) % 2147483647) % 1000 AS DOUBLE) - 499.5) / 499.5 AS w
+       |  FROM freq),
+       |s AS (SELECT doc_id, count(*) AS n_tokens,
+       |      ${sig("1.0 / (1.0 + exp(-avg(w)))")} AS score
+       |      FROM tok JOIN wt ON wt.t = tok.t GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, score, score >= 0.5 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** One drift dimension's PSI/TVD re-derivation: `bucketExpr` must
+    * produce the same bucket values as the Spark side (lang string /
+    * fixed-width bin index), slice = doc_id parity, Laplace-smoothed
+    * shares (c+0.5)/(n+0.5k). */
+  private def driftDimSql(dim: String, src: String, bucketExpr: String)
+      : String =
+    s"""SELECT '$dim' AS dim, CAST(min(na) AS BIGINT) AS n_a,
+       |CAST(min(nb) AS BIGINT) AS n_b,
+       |CAST(min(k) AS BIGINT) AS n_buckets,
+       |${sig("sum((p - q) * ln(p / q))")} AS psi,
+       |${sig("sum(abs(p - q)) / 2.0")} AS tvd
+       |FROM (
+       |  SELECT (ca + 0.5) / (na + 0.5 * k) AS p,
+       |         (cb + 0.5) / (nb + 0.5 * k) AS q, na, nb, k
+       |  FROM (SELECT $bucketExpr AS b,
+       |          sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+       |          sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+       |        FROM $src GROUP BY 1) c,
+       |       -- totals from the counts themselves (a NULL bucket is a
+       |       -- regular category, exactly like the Spark groupBy)
+       |       (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+       |        CAST(sum(cb) AS DOUBLE) AS nb,
+       |        CAST(count(*) AS DOUBLE) AS k
+       |        FROM (SELECT $bucketExpr AS b,
+       |                sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+       |                sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+       |              FROM $src GROUP BY 1)) t)""".stripMargin
+
+  val driftPsiSql: String = {
+    val ncharsBin =
+      """CASE WHEN mm.w > 0 THEN
+        |  CAST(least(floor((CAST(n_chars AS DOUBLE) - mm.mn) / mm.w),
+        |    9) AS BIGINT) ELSE 0 END""".stripMargin
+    s"""WITH mm AS (SELECT min(CAST(n_chars AS DOUBLE)) AS mn,
+       |  (max(CAST(n_chars AS DOUBLE)) - min(CAST(n_chars AS DOUBLE)))
+       |    / 10.0 AS w
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |binned AS (SELECT doc_id, $ncharsBin AS b
+       |           FROM documents, mm WHERE n_chars IS NOT NULL)
+       |SELECT * FROM (
+       |${driftDimSql("lang", "documents", "lang")}
+       |UNION ALL
+       |${driftDimSql("n_chars", "binned", "b")}
+       |) ORDER BY dim""".stripMargin
+  }
+
+  /** Quotas from scale = min(avail/weight) — every float step is a
+    * single IEEE op on identical operands in both engines, so the
+    * floor() quota needs no rounding contract. */
+  val sampleMixtureSql: String = {
+    val values = MixtureWeights.toSeq.sorted
+      .map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+    s"""WITH w(stratum, wt) AS (VALUES $values),
+       |avail AS (SELECT source AS stratum, count(*) AS n
+       |          FROM documents GROUP BY source),
+       |a AS (SELECT w.stratum, n, wt FROM avail
+       |      JOIN w ON w.stratum = avail.stratum),
+       |sc AS (SELECT min(n / wt) AS scale FROM a),
+       |q AS (SELECT stratum, CAST(floor(scale * wt) AS BIGINT) AS quota
+       |      FROM a, sc),
+       |r AS (SELECT doc_id, source, quota,
+       |        row_number() OVER (PARTITION BY source ORDER BY doc_id)
+       |          AS rn
+       |      FROM documents d JOIN q ON q.stratum = d.source)
+       |SELECT doc_id, source FROM r WHERE rn <= quota
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** CUBE with Spark's grouping_id bit order (event_type bit 1,
+    * hour bit 0) and integer-micros hour-of-day arithmetic. */
+  val eventsCubeSql: String =
+    s"""WITH e AS (SELECT event_type,
+       |  (epoch_ns(ts) // 1000) % 86400000000 // 3600000000 AS hour,
+       |  value FROM events)
+       |SELECT CAST(grouping(event_type) * 2 + grouping(hour) AS BIGINT)
+       |  AS gid,
+       |event_type, hour, count(*) AS cnt,
+       |${sig("sum(value)")} AS sum_value
+       |FROM e GROUP BY CUBE(event_type, hour)
+       |ORDER BY gid, coalesce(event_type, '~'), coalesce(hour, -1)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "text_chunk" -> textChunkSql,
+    "text_classify" -> textClassifySql,
+    "drift_psi" -> driftPsiSql,
+    "sample_mixture" -> sampleMixtureSql,
+    "events_cube" -> eventsCubeSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_minhash" -> dedupMinhashSql,
