@@ -31,7 +31,10 @@ object Drift {
 
   /** PSI + TVD for one categorical dimension. `slice` must be a
     * two-valued 0/1 column (0 = baseline, 1 = candidate). NULL
-    * bucket values count as a regular category. */
+    * bucket values count as a regular category. An EMPTY input (zero
+    * rows — e.g. a numeric dimension whose value column is entirely
+    * NULL) yields zero output rows rather than a row of NULLs, so the
+    * degenerate case has the same defined shape on any engine. */
   def categoricalDrift(df: DataFrame, dim: String, bucket: Column,
       slice: Column): DataFrame = {
     val counts = df
@@ -61,6 +64,10 @@ object Drift {
           .as("psi"),
         sig5(sum(abs(col("p") - col("q"))) / 2.0).as("tvd"))
       .select("dim", "n_a", "n_b", "n_buckets", "psi", "tvd")
+      // empty input → the global agg still emits one all-NULL row;
+      // n_buckets is NULL there and ≥1 otherwise, so this predicate
+      // drops exactly the degenerate row
+      .where(col("n_buckets") > 0)
   }
 
   /** PSI + TVD for a numeric dimension, binned into `bins` fixed-width

@@ -76,7 +76,13 @@ object Sampling {
     * window shuffle partitioned by stratum. For the approximate
     * production path at 100 TB, replace the window with
     * [[weightedSample]] using weight = quota_i / avail_i — map-only,
-    * same expected mixture, binomial deviation. */
+    * same expected mixture, binomial deviation.
+    *
+    * Every `weights` key MUST have at least one row in the data: an
+    * absent stratum makes the exact mixture unsatisfiable (its
+    * availability is 0, so the only exact sample is empty), and the
+    * query fails loudly at execution via `raise_error` rather than
+    * silently emitting a mixture that omits the stratum. */
   def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
       weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0.0),
@@ -88,7 +94,14 @@ object Sampling {
       .select(col("t.stratum").as("__stratum"), col("t.w").as("__w"))
     val avail = df.groupBy(col(stratumCol).as("__stratum"))
       .agg(count(lit(1)).as("__avail"))
-      .join(wdf, Seq("__stratum")) // inner: strata without a weight drop
+      // right join keeps every weights key; a key with no data rows
+      // surfaces as a NULL availability → loud in-plan failure (no
+      // extra driver action, the check rides the existing premise agg)
+      .join(wdf, Seq("__stratum"), "right")
+      .withColumn("__avail", when(col("__avail").isNull,
+        raise_error(concat(
+          lit("mixtureSample: weights stratum absent from data: "),
+          col("__stratum")))).otherwise(col("__avail")))
     val scale = avail
       .agg(min(col("__avail").cast("double") / col("__w")).as("__scale"))
     val quotas = avail.crossJoin(broadcast(scale))

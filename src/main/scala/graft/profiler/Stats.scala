@@ -451,18 +451,31 @@ object Stats {
           sig5(q1 - lit(k) * iqr).as(s"lo__$c"),
           sig5(q3 + lit(k) * iqr).as(s"hi__$c"))
       }: _*).first()
-    def f(name: String, c: String): Double =
-      fenceRow.getAs[Double](s"${name}__$c")
+    // an all-null / empty column yields NULL quantiles; read the
+    // fences as Options so null never unboxes to 0.0 and fabricates a
+    // fence at the origin — the NULL propagates to every derived field
+    // instead (mirrors mad()'s lazy null handling)
+    def f(name: String, c: String): Option[Double] = {
+      val i = fenceRow.fieldIndex(s"${name}__$c")
+      if (fenceRow.isNullAt(i)) None else Some(fenceRow.getDouble(i))
+    }
     val cntAggs = cols.flatMap { c =>
-      Seq(count(d(c)).as(s"n__$c"),
-        sum(when(d(c) < f("lo", c), 1L).otherwise(0L)).as(s"nb__$c"),
-        sum(when(d(c) > f("hi", c), 1L).otherwise(0L)).as(s"na__$c"))
+      count(d(c)).as(s"n__$c") +: ((f("lo", c), f("hi", c)) match {
+        case (Some(lo), Some(hi)) =>
+          Seq(sum(when(d(c) < lo, 1L).otherwise(0L)).as(s"nb__$c"),
+            sum(when(d(c) > hi, 1L).otherwise(0L)).as(s"na__$c"))
+        case _ =>
+          Seq(max(lit(null).cast("long")).as(s"nb__$c"),
+            max(lit(null).cast("long")).as(s"na__$c"))
+      })
     }
     val row = df.agg(cntAggs.head, cntAggs.tail: _*)
+    def fl(name: String, c: String) =
+      f(name, c).map(v => lit(v)).getOrElse(lit(null).cast("double"))
     val structs = cols.map { c =>
       struct(lit(c).as("col_name"),
-        lit(f("q1", c)).as("q1"), lit(f("q3", c)).as("q3"),
-        lit(f("lo", c)).as("fence_lo"), lit(f("hi", c)).as("fence_hi"),
+        fl("q1", c).as("q1"), fl("q3", c).as("q3"),
+        fl("lo", c).as("fence_lo"), fl("hi", c).as("fence_hi"),
         col(s"nb__$c").as("n_below"), col(s"na__$c").as("n_above"),
         sig5((col(s"nb__$c") + col(s"na__$c")).cast("double") /
           col(s"n__$c")).as("p_outlier"))
