@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter decontamination prefilter — the map-only candidate
+  * cut that makes benchmark decontamination affordable at corpus
+  * scale. [[Dedup.contaminationPairs]] joins the FULL training
+  * shingle index against the eval index: correct, but the shuffle
+  * carries every training document's shingles even though almost
+  * none of them overlap any eval doc. This operator first folds the
+  * (small) eval shingle set into a Bloom bitset, broadcasts it, and
+  * drops every training document none of whose shingles can be in
+  * the eval set — a pure Scan→Project→Filter with NO shuffle — then
+  * runs the exact overlap join on the surviving sliver.
+  *
+  * Bloom filters have no false negatives, so the prefilter provably
+  * loses nothing: any training doc sharing ≥1 shingle with the eval
+  * set survives, and the composed result is IDENTICAL to the
+  * unfiltered exact join (the declared query's oracle is exactly
+  * that). False positives only cost wasted candidates (rate
+  * (1−e^(−kn/m))^k ≈ 1e-5 at the defaults for a 15k-shingle eval
+  * set).
+  *
+  * Built relationally on purpose: the bitset is ~m/64 longs as ONE
+  * map<long,long> row (bit_or aggregation of per-position masks),
+  * broadcast-crossJoined; membership is pure builtin arithmetic
+  * (xxhash64 + pmod + shiftleft + bitwiseAND) inside an `exists`
+  * lambda over the doc's gram array — no UDF, no driver-side sketch
+  * object to serialize, deterministic everywhere.
+  *
+  * The hot-shingle df cap (CCNet skew guard) is computed on the FULL
+  * training corpus before filtering — computing it on the candidate
+  * set would under-count document frequencies and could keep a
+  * boilerplate shingle the exact path drops. That pass is one
+  * map-side-combined aggregation emitting a tiny hot set; the
+  * expensive pair join never sees non-candidates.
+  */
+object BloomPrefilter {
+
+  /** Bloom bitset over `keys` (a LongType `shingle` column) as a
+    * single-row map<word-index, 64-bit word>. */
+  def buildBits(keys: DataFrame, mBits: Long, nHashes: Int): DataFrame =
+    keys
+      .select(explode(array((0 until nHashes).map(j =>
+        pmod(xxhash64(lit(j.toLong), col("shingle")), lit(mBits))): _*))
+        .as("pos"))
+      .select((col("pos") / lit(64L)).cast("long").as("w"),
+        call_function("shiftleft", lit(1L),
+          pmod(col("pos"), lit(64L)).cast("int")).as("m"))
+      .groupBy("w")
+      .agg(call_function("bit_or", col("m")).as("bits"))
+      .agg(map_from_arrays(collect_list("w"), collect_list("bits"))
+        .as("bloom"))
+
+  /** All `nHashes` bit probes for `key` against the bitset map. */
+  def mightContain(bloom: Column, key: Column, mBits: Long,
+      nHashes: Int): Column =
+    (0 until nHashes).map { j =>
+      val pos = pmod(xxhash64(lit(j.toLong), key), lit(mBits))
+      val word = coalesce(
+        element_at(bloom, (pos / lit(64L)).cast("long")), lit(0L))
+      val mask = call_function("shiftleft", lit(1L),
+        pmod(pos, lit(64L)).cast("int"))
+      word.bitwiseAND(mask) =!= 0L
+    }.reduce(_ && _)
+
+  /** The distinct hashed-n-gram array of `textCol` as a column —
+    * the array (not exploded) twin of [[Dedup.shingleIndex]]'s gram
+    * construction, value-identical hashes. `hw` must be the
+    * materialized token-hash array projection (HOF-CSE rule: the
+    * lambda below reads it per element). */
+  private def gramArray(hw: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(0), size(hw) - n), i =>
+      xxhash64((0 until n).map(k => element_at(hw, i + k + 1)): _*))
+    when(size(hw) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Training docs that MIGHT share a shingle with the eval set:
+    * map-only Bloom probe over each doc's gram array (keeps the
+    * original schema). Guaranteed superset of the docs the exact
+    * join would match. */
+  def bloomCandidates(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, maxDf: Option[Long] = None,
+      mBits: Long = 1L << 20, nHashes: Int = 4): DataFrame = {
+    val evalShingles = Dedup.shingleIndex(eval, idCol, textCol, n, maxDf)
+      .select("shingle").distinct()
+    val bloom = buildBits(evalShingles, mBits, nHashes)
+    val cols = train.columns
+    train
+      .withColumn("__hw",
+        transform(split(col(textCol), " "), t => xxhash64(t)))
+      .withColumn("__gs", gramArray(col("__hw"), n))
+      .crossJoin(broadcast(bloom))
+      .where(exists(col("__gs"),
+        g => mightContain(col("bloom"), g, mBits, nHashes)))
+      .select(cols.map(col): _*)
+  }
+
+  /** Exact decontamination through the Bloom prefilter: identical
+    * result to [[Dedup.contaminationPairs]] on the full inputs (no
+    * false negatives), with the pair join reduced to candidates.
+    * The df cap's hot-shingle set comes from the FULL training
+    * corpus (see class note). */
+  def bloomDecontaminate(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, minShared: Long = 5L,
+      maxDf: Option[Long] = None, mBits: Long = 1L << 20,
+      nHashes: Int = 4): DataFrame = {
+    val cand = bloomCandidates(train, eval, idCol, textCol, n, maxDf,
+      mBits, nHashes)
+    maxDf match {
+      case None =>
+        Dedup.contaminationPairs(cand, eval, idCol, textCol, n,
+          minShared, None)
+      case Some(cap) =>
+        // full-corpus document frequencies → the same hot set the
+        // unfiltered exact path would drop; then the capped candidate
+        // index is assembled directly (anti-join against the tiny
+        // broadcast hot set), bypassing shingleIndex's internal cap
+        // which would re-count df on candidates only
+        val hot = Dedup.shingleIndex(train, idCol, textCol, n, None)
+          .groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("shingle")
+        val ti = Dedup.shingleIndex(cand, idCol, textCol, n, None)
+          .join(broadcast(hot), Seq("shingle"), "left_anti")
+          .select(col("id").as("train_id"), col("shingle"))
+        val ei = Dedup.shingleIndex(eval, idCol, textCol, n, Some(cap))
+          .select(col("id").as("eval_id"), col("shingle"))
+        val evalSizes = ei.groupBy("eval_id").agg(count(lit(1)).as("esz"))
+        ei.join(ti, Seq("shingle"))
+          .groupBy("eval_id", "train_id")
+          .agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= minShared)
+          .join(evalSizes, Seq("eval_id"))
+          .select(col("eval_id"), col("train_id"), col("n_shared"),
+            graft.det.Sig.sig5(
+              col("n_shared").cast("double") / col("esz")).as("overlap"))
+          .orderBy("eval_id", "train_id")
+    }
+  }
+}

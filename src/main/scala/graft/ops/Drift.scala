@@ -82,12 +82,53 @@ object Drift {
     val bounds = base.agg(min("v").as("mn"),
       ((max("v") - min("v")) / bins.toDouble).as("w"))
     val bucketed = base.crossJoin(broadcast(bounds))
-      .select(
-        when(col("w") > 0.0,
-          least(floor((col("v") - col("mn")) / col("w")),
-            lit(bins - 1.0)).cast("long"))
-          .otherwise(0L).as("b"),
-        col("s"))
+      .select(bin(col("v"), col("mn"), col("w"), bins), col("s"))
     categoricalDrift(bucketed, dim, col("b"), col("s"))
+  }
+
+  private def bin(v: Column, mn: Column, w: Column, bins: Int): Column =
+    when(w > 0.0,
+      least(floor((v - mn) / w), lit(bins - 1.0)).cast("long"))
+      .otherwise(0L).as("b")
+
+  /** Binned two-sample Kolmogorov–Smirnov statistic between the
+    * slices: D = max over bin edges of |CDF₀ − CDF₁| — the classic
+    * "did the whole distribution move" test to PSI's per-bucket
+    * divergence (binning makes D a lower bound of the exact KS
+    * statistic, tight at `bins` resolution). Same scale shape as
+    * [[numericDrift]]: one premise agg for shared bounds, one
+    * conditional-sum bucket agg, then windows over the ≤`bins`-row
+    * aggregated set. Empty input yields zero rows; a slice with no
+    * rows yields a NULL statistic (CDF undefined), never NaN. */
+  def ksDrift(df: DataFrame, dim: String, value: Column,
+      slice: Column, bins: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(value.cast("double").as("v"), slice.as("s"))
+      .where(col("v").isNotNull)
+    val bounds = base.agg(min("v").as("mn"),
+      ((max("v") - min("v")) / bins.toDouble).as("w"))
+    val counts = base.crossJoin(broadcast(bounds))
+      .select(bin(col("v"), col("mn"), col("w"), bins), col("s"))
+      .groupBy("b")
+      .agg(sum(when(col("s") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("cb"))
+    val wCum = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("na", sum("ca").over(wAll))
+      .withColumn("nb", sum("cb").over(wAll))
+      // guarded: ANSI mode raises DIVIDE_BY_ZERO even for doubles,
+      // so an empty slice must short-circuit to NULL, not divide
+      .withColumn("da", when(col("na") > 0,
+        sum("ca").over(wCum).cast("double") / col("na").cast("double")))
+      .withColumn("db", when(col("nb") > 0,
+        sum("cb").over(wCum).cast("double") / col("nb").cast("double")))
+      .agg(
+        min(lit(dim)).as("dim"),
+        min("na").as("n_a"), min("nb").as("n_b"),
+        sig5(max(abs(col("da") - col("db")))).as("ks"))
+      .where(col("n_a") + col("n_b") > 0)
   }
 }

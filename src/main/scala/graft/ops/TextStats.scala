@@ -185,4 +185,34 @@ object TextStats {
         graft.functions.RollingMinHash
           .rolling_min_hash(col(textCol), FpGram).as("fp"))
       .orderBy("doc_id")
+
+  /** Corpus vocabulary profile: the `topK` tokens by frequency with
+    * rank, count, and corpus share — the vocabulary sanity check run
+    * before tokenizer training (a misbehaving extractor shows up as
+    * markup tokens at the head of this list).
+    *
+    * Scale shape: ONE hash aggregation of (token → count) with
+    * map-side combine — the only pass over the corpus — then rank
+    * AND corpus totals as window functions over the TINY aggregated
+    * set (|vocab| rows, not |corpus|) in the same single-partition
+    * window, so the expensive token explode is never evaluated
+    * twice. Ties break by token for determinism. */
+  def vocab(df: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val wRank = Window.orderBy(col("cnt").desc, col("token"))
+    val wAll = Window.orderBy(col("cnt").desc, col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("n_total", sum("cnt").over(wAll).cast("double"))
+      .withColumn("n_vocab", count(lit(1)).over(wAll))
+      .where(col("rnk") <= topK)
+      .select(col("rnk").cast("long").as("rnk"), col("token"),
+        col("cnt"), sig5(col("cnt") / col("n_total")).as("share"),
+        col("n_vocab"))
+      .orderBy("rnk")
+  }
 }

@@ -827,4 +827,39 @@ object Stats {
       lit(a.getAs[Long]("__n")).as("n") +:
         lit(cols.size.toLong).as("nvar") +: kindCols: _*)
   }
+
+  // -------------------------------------------------------------------
+  // Sliced profiling: the per-segment twin of the global numeric pass
+  // (profile BY nation / source / label, the "compare my slices" view
+  // a dataset owner asks for right after the global profile).
+  // -------------------------------------------------------------------
+
+  /** Per-group numeric stats for every column in `cols`: one
+    * hash-aggregate shuffle on the group key with map-side combine —
+    * the aggregation state is O(groups × cols), never row-bound, so
+    * the shape is identical at 100 TB (skew lands on AQE; a group
+    * key with billions of rows still reduces map-side first).
+    * Output long-form: (group, col_name, n, n_null, mean, sd, min,
+    * max), ordered. */
+  def grouped(df: DataFrame, groupCol: String, cols: Seq[String])
+      : DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(count(d(c)).as(s"n__$c"),
+        sum(when(d(c).isNull, 1L).otherwise(0L)).as(s"nn__$c"),
+        avg(d(c)).as(s"mean__$c"),
+        stddev_samp(d(c)).as(s"sd__$c"),
+        min(d(c)).as(s"min__$c"), max(d(c)).as(s"max__$c"))
+    }
+    val row = df.groupBy(col(groupCol).as("grp"))
+      .agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"n__$c").as("n"), col(s"nn__$c").as("n_null"),
+        sig5(col(s"mean__$c")).as("mean"), sig5(col(s"sd__$c")).as("sd"),
+        col(s"min__$c").as("min_val"), col(s"max__$c").as("max_val"))
+    }
+    row.select(col("grp"), explode(array(structs: _*)).as("s"))
+      .select("grp", "s.*")
+      .orderBy("grp", "col_name")
+  }
 }

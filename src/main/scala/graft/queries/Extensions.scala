@@ -293,7 +293,83 @@ object Extensions {
     // express; gid pins Spark's grouping_id bit order to the oracle's
     "events_cube" -> ((s, dir) => EventOps.cubeStats(t(s, dir, "events"))),
     "set_ops_customers" -> ((s, dir) =>
-      StarJoins.customerSetOps(s, dir))
+      StarJoins.customerSetOps(s, dir)),
+    // ---- round 5: corpus-scale sketches & span dedup ----
+    "text_vocab" -> ((s, dir) =>
+      TextStats.vocab(t(s, dir, "documents"), "text", topK = 20)),
+    // sliced profiling: per-returnflag numeric stats, long form
+    "num_grouped" -> ((s, dir) =>
+      graft.profiler.Stats.grouped(t(s, dir, "lineitem"), "l_returnflag",
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+    // Misra–Gries guarantee gate: exact counts are the premise; the
+    // query emits every TRUE heavy item (cnt·(k+1) > n) with the
+    // sketch's order-free guarantees as booleans. Estimates are
+    // merge-order dependent and deliberately NOT emitted; coverage
+    // failure drops a row (row-count mismatch), a bound violation
+    // flips a boolean (hash mismatch).
+    "cat_heavy_hitters" -> ((s, dir) => {
+      val k = 2
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("item"))
+      val sk = li.agg(graft.functions.HeavyHitters.mg(col("item"), k)
+        .as("mg"))
+      val entries = sk.select(col("mg.n").as("n"),
+          explode(col("mg.items")))
+        .select(col("n"), col("key").as("item"), col("value").as("est"))
+      val exact = li.groupBy("item").agg(count(lit(1)).as("cnt"))
+      val tot = exact.agg(sum("cnt").as("n_stream"))
+      exact.crossJoin(broadcast(tot))
+        .where(col("cnt") * (k + 1) > col("n_stream"))
+        .join(entries, Seq("item"))
+        .select(col("item"), col("cnt"),
+          (col("est") <= col("cnt")).as("est_le_exact"),
+          ((col("cnt") - col("est")) * (k + 1) <= col("n"))
+            .as("err_bounded"))
+        .orderBy("item")
+    }),
+    // substring-level duplication (Lee et al. suffix-array semantics,
+    // n-gram-position-index shape)
+    "dedup_substring" -> ((s, dir) =>
+      SubstringDedup.duplicatedSpanStats(t(s, dir, "documents"),
+        "doc_id", "text", gram = 5, minOcc = 2L)),
+    // Bloom prefilter + exact overlap join; the oracle is the SAME
+    // exact contamination SQL as `text_contamination` — matching it
+    // proves the map-only prefilter has zero false negatives
+    "text_contamination_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      BloomPrefilter.bloomDecontaminate(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", n = 3, minShared = 5L,
+        maxDf = Some(NgramMaxDf))
+    }),
+    // binned two-sample KS statistic over the even/odd doc_id slices
+    "drift_ks" -> ((s, dir) =>
+      Drift.ksDrift(t(s, dir, "documents"), "n_chars", col("n_chars"),
+        pmod(col("doc_id"), lit(2L)), bins = 20)),
+    // concat-and-split sequence packing over non-overlapping chunks;
+    // shard expression is engine-portable so the oracle re-derives
+    // the full assignment
+    "text_pack" -> ((s, dir) =>
+      Chunking.packChunks(
+        Chunking.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+          size = 64, stride = 64),
+        seqLen = 256, shards = 4,
+        shardExpr = Some(pmod(col("doc_id"), lit(4L))))),
+    // the explicit hot-key mitigation path as a first-class query:
+    // salted equi-join (big side salted, small side replicated), then
+    // revenue by nation — the oracle is the PLAIN join, so the salt
+    // machinery must be result-invisible
+    "join_salted" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+      SkewJoin.saltedEquiJoin(o, c, "custkey", salt = 8)
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          Sig.sig5(sum("o_totalprice")).as("revenue"))
+        .orderBy("c_nationkey")
+    })
   )
 
   /** Target mixture proportions for `sample_mixture` (shared with the
@@ -1136,7 +1212,151 @@ val eventsRollupSql: String =
        |FROM e GROUP BY CUBE(event_type, hour)
        |ORDER BY gid, coalesce(event_type, '~'), coalesce(hour, -1)""".stripMargin
 
+  val textVocabSql: String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+       |            FROM documents),
+       |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+       |        count(*) AS n_vocab FROM c),
+       |r AS (SELECT token, cnt,
+       |        row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+       |      FROM c)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, token, cnt,
+       |${sig("cnt / n_total")} AS share, n_vocab
+       |FROM r, tot WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
+  /** Long-form per-group stats via one UNION ALL branch per column —
+    * mirrors Stats.grouped's cast-to-double + sig5 contract. */
+  val numGroupedSql: String = {
+    def branch(c: String): String =
+      s"""SELECT l_returnflag AS grp, '$c' AS col_name,
+         |count(CAST($c AS DOUBLE)) AS n,
+         |CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |${sig(s"avg(CAST($c AS DOUBLE))")} AS mean,
+         |${sig(s"stddev_samp(CAST($c AS DOUBLE))")} AS sd,
+         |min(CAST($c AS DOUBLE)) AS min_val,
+         |max(CAST($c AS DOUBLE)) AS max_val
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount")
+      .map(branch).mkString("", "\nUNION ALL\n",
+        "\nORDER BY grp, col_name")
+  }
+
+  /** Exact heavy hitters above the n/(k+1) MG threshold (k = 2); the
+    * guarantee booleans are theorems (order-free), so TRUE literals. */
+  val catHeavyHittersSql: String =
+    """WITH c AS (SELECT l_returnflag AS item, count(*) AS cnt
+      |           FROM lineitem GROUP BY 1),
+      |t AS (SELECT sum(cnt) AS n FROM c)
+      |SELECT item, cnt, TRUE AS est_le_exact, TRUE AS err_bounded
+      |FROM c, t WHERE cnt * 3 > n ORDER BY item""".stripMargin
+
+  /** Duplicated-span report re-derived on string grams: position
+    * index → df≥2 flags → gaps-and-islands runs → interval union.
+    * range(a,b) is [a,b); list_slice is 1-based inclusive. */
+  val dedupSubstringSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+       |              FROM documents),
+       |pos AS (SELECT doc_id, i - 1 AS p,
+       |          array_to_string(list_slice(w, i, i + 4), ' ') AS gram
+       |        FROM toks, LATERAL unnest(range(1, len(w) - 3)) AS t(i)
+       |        WHERE len(w) >= 5),
+       |dg AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, p FROM pos
+       |       WHERE gram IN (SELECT gram FROM dg)),
+       |runs AS (SELECT doc_id, min(p) AS s, max(p) + 4 AS e
+       |         FROM (SELECT doc_id, p, p - row_number()
+       |                 OVER (PARTITION BY doc_id ORDER BY p) AS isl
+       |               FROM dp)
+       |         GROUP BY doc_id, isl),
+       |m AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id
+       |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND
+       |        1 PRECEDING) AS pme FROM runs),
+       |g AS (SELECT doc_id, s, e,
+       |        sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0
+       |            END) OVER (PARTITION BY doc_id ORDER BY s ROWS
+       |            BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+       |      FROM m),
+       |cov AS (SELECT doc_id, grp, min(s) AS cs, max(e) AS ce
+       |        FROM g GROUP BY doc_id, grp),
+       |pd AS (SELECT doc_id, count(*) AS n_dup_spans,
+       |         CAST(sum(ce - cs + 1) AS BIGINT) AS n_dup_tokens
+       |       FROM cov GROUP BY doc_id),
+       |nt AS (SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |       FROM documents)
+       |SELECT pd.doc_id, n_dup_spans, n_dup_tokens, n_tokens,
+       |${sig("CAST(n_dup_tokens AS DOUBLE) / n_tokens")} AS dup_frac
+       |FROM pd JOIN nt ON nt.doc_id = pd.doc_id
+       |ORDER BY pd.doc_id""".stripMargin
+
+  /** Binned two-sample KS: shared-bounds 20-bin histogram per slice,
+    * cumulative shares, max gap. */
+  val driftKsSql: String =
+    s"""WITH mm AS (SELECT min(CAST(n_chars AS DOUBLE)) AS mn,
+       |  (max(CAST(n_chars AS DOUBLE)) - min(CAST(n_chars AS DOUBLE)))
+       |    / 20.0 AS w
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |bn AS (SELECT CASE WHEN mm.w > 0 THEN
+       |    CAST(least(floor((CAST(n_chars AS DOUBLE) - mm.mn) / mm.w),
+       |      19) AS BIGINT) ELSE 0 END AS b,
+       |    doc_id % 2 AS s
+       |  FROM documents, mm WHERE n_chars IS NOT NULL),
+       |c AS (SELECT b,
+       |    sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+       |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+       |  FROM bn GROUP BY b),
+       |cum AS (SELECT b, sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
+       |    sum(ca) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS cuma,
+       |    sum(cb) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS cumb
+       |  FROM c)
+       |SELECT 'n_chars' AS dim, CAST(min(na) AS BIGINT) AS n_a,
+       |  CAST(min(nb) AS BIGINT) AS n_b,
+       |${sig("max(abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb))")}
+       |  AS ks
+       |FROM cum""".stripMargin
+
+  /** Concat-and-split packing re-derived: same chunking CTE shape as
+    * [[textChunkSql]] at stride = size, per-shard running sums. */
+  val textPackSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+      |             FROM documents),
+      |st AS (SELECT doc_id, ts,
+      |       unnest(range(0, len(ts), 64)) AS start FROM tok),
+      |ch AS (SELECT doc_id % 4 AS shard, doc_id,
+      |       CAST(start // 64 AS BIGINT) AS chunk_idx,
+      |       CAST(least(len(ts) - start, 64) AS BIGINT) AS n_tokens
+      |       FROM st),
+      |cb AS (SELECT shard, doc_id, chunk_idx, n_tokens,
+      |       coalesce(sum(n_tokens) OVER (PARTITION BY shard
+      |         ORDER BY doc_id, chunk_idx ROWS BETWEEN UNBOUNDED
+      |         PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |       FROM ch)
+      |SELECT shard, doc_id, chunk_idx, n_tokens,
+      |CAST(cum_before // 256 AS BIGINT) AS pack_id,
+      |CAST(cum_before % 256 AS BIGINT) AS pack_pos
+      |FROM cb ORDER BY shard, doc_id, chunk_idx""".stripMargin
+
+  /** The PLAIN join — salting must be result-invisible. */
+  val joinSaltedSql: String =
+    s"""SELECT c_nationkey, count(*) AS n_orders,
+       |${sig("sum(o_totalprice)")} AS revenue
+       |FROM orders JOIN customer ON c_custkey = o_custkey
+       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "drift_ks" -> driftKsSql,
+    "text_pack" -> textPackSql,
+    "join_salted" -> joinSaltedSql,
+    "text_vocab" -> textVocabSql,
+    "num_grouped" -> numGroupedSql,
+    "cat_heavy_hitters" -> catHeavyHittersSql,
+    "dedup_substring" -> dedupSubstringSql,
+    // identical exact-contamination SQL: the Bloom prefilter must
+    // lose nothing (no false negatives)
+    "text_contamination_bloom" -> textContaminationSql,
     "text_chunk" -> textChunkSql,
     "text_classify" -> textClassifySql,
     "drift_psi" -> driftPsiSql,
