@@ -300,4 +300,27 @@ object StreamProfiler {
     w.select(unix_micros(col("window.start")).as("window_start_us"),
       explode(array(structs: _*)).as("s")).select("window_start_us", "s.*")
   }
+
+  /** Windowed heavy hitters: one O(k) Misra–Gries buffer
+    * ([[graft.functions.MisraGriesAgg]]) per tumbling window — "which
+    * items dominate the feed right now" maintained continuously. The
+    * aggregate's serialize/merge contract (PODS-2012 mergeable form)
+    * is exactly what the state store needs: per-window MG counters
+    * persist across micro-batches and merge on arrival, state O(k)
+    * per window regardless of stream volume. Estimates are
+    * merge-order dependent; the MG guarantees (underestimate, error
+    * ≤ n/(k+1), coverage of every item above that threshold) hold for
+    * ANY micro-batch arrival order — assert those, not raw counts
+    * (StreamingSpec does). */
+  def windowedHeavyHitters(events: DataFrame, tsCol: String = "ts",
+      itemCol: String = "event_type", k: Int = 8,
+      watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withColumn("__ts", eventTime(events, tsCol))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowLen))
+      .agg(graft.functions.HeavyHitters.mg(col(itemCol), k).as("mg"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("mg.n").as("n"), col("mg.items").as("items"))
 }

@@ -241,4 +241,40 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Double]("median_est"))
     } finally q.stop()
   }
+
+  test("windowed heavy hitters: MG state merges across micro-batches, " +
+      "guarantees hold") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val k = 2
+    val q = StreamProfiler.windowedHeavyHitters(mem.toDF(), "ts",
+        "event_type", k = k, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("hhprof")
+      .outputMode("append").start()
+    try {
+      // one window fed across two micro-batches: a×6, b×3, c×2, d×1
+      def evs(xs: (String, Int)*): Seq[Ev] = xs.zipWithIndex.flatMap {
+        case ((e, n), i) => Seq.fill(n)(Ev(t(i + 1), e, 1.0))
+      }
+      mem.addData(evs("a" -> 3, "b" -> 2): _*)
+      q.processAllAvailable()
+      mem.addData(evs("a" -> 3, "b" -> 1, "c" -> 2, "d" -> 1): _*)
+      q.processAllAvailable()
+      mem.addData(Ev(t(4000), "z", 1.0)) // close the window
+      q.processAllAvailable()
+      val r = spark.table("hhprof").collect()
+        .find(_.getAs[Long]("n") == 12L).get
+      val exact = Map("a" -> 6L, "b" -> 3L, "c" -> 2L, "d" -> 1L)
+      val est = r.getMap[String, Long](r.fieldIndex("items")).toMap
+      assert(est.size <= k)
+      est.foreach { case (it, e) =>
+        assert(e <= exact(it), s"overcount $it")
+        assert((exact(it) - e) * (k + 1) <= 12L, s"bound $it")
+      }
+      // a (6 of 12) is above n/(k+1)=4 → must be present
+      assert(est.contains("a"))
+    } finally q.stop()
+  }
 }
