@@ -32,6 +32,45 @@ import graft.det.Sig.sig5
   * drop out (standard Lloyd behavior), identically in both engines. */
 object KMeansOp {
 
+  /** (vid, v) base frame: rows with a well-formed `dim`-vector. */
+  private[ops] def vecBase(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame =
+    df.where(size(col(vecCol)) === dim)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"))
+
+  /** Seed centroids: designated corpus rows with id in
+    * [seedLo, seedHi), keyed by their row id — no RNG anywhere. */
+  private[ops] def seedCentroids(base: DataFrame, seedLo: Long,
+      seedHi: Long): Array[(Long, Array[Double])] = {
+    val cents = base
+      .where(col("vid") >= seedLo && col("vid") < seedHi)
+      .select(col("vid"), col("v").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, s"no seed rows with id in [$seedLo, $seedHi)")
+    cents
+  }
+
+  /** Map-only nearest-centroid assignment: (vid, v, cell, score),
+    * argmin over sig5-rounded |c|²−2·v·c with centroid-id tie-break
+    * (see object scaladoc for the determinism contract). */
+  private[ops] def assignCells(base: DataFrame,
+      cs: Array[(Long, Array[Double])]): DataFrame = {
+    val cellStructs = cs.map { case (cid, cv) =>
+      val cn2 = cv.map(x => x * x).sum
+      struct(
+        sig5(lit(cn2) - lit(2.0) * graft.functions.ArrayDot
+          .array_dot(col("v"), typedLit(cv))).as("score"),
+        lit(cid).as("cid"))
+    }
+    base.select(col("vid"), col("v"),
+        array_sort(array(cellStructs: _*)).as("cells"))
+      .select(col("vid"), col("v"),
+        element_at(col("cells"), 1).getField("cid").as("cell"),
+        element_at(col("cells"), 1).getField("score").as("score"))
+  }
+
   /** Per-cluster report after `iters` Lloyd iterations from the seed
     * rows with id in [seedLo, seedHi): (cluster_id, n_members, wcss).
     * Every corpus row (any id) participates in every assignment. */
@@ -39,31 +78,10 @@ object KMeansOp {
       seedLo: Long, seedHi: Long, iters: Int = 2, dim: Int = 64)
       : DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val base = df.where(size(col(vecCol)) === dim)
-      .select(col(idCol).as("vid"), col(vecCol).as("v"))
-    // seed centroids: designated corpus rows, keyed by their row id
-    var cents: Array[(Long, Array[Double])] = base
-      .where(col("vid") >= seedLo && col("vid") < seedHi)
-      .select(col("vid"), col("v").cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    require(cents.nonEmpty, s"no seed rows with id in [$seedLo, $seedHi)")
-
-    def assigned(cs: Array[(Long, Array[Double])]): DataFrame = {
-      val cellStructs = cs.map { case (cid, cv) =>
-        val cn2 = cv.map(x => x * x).sum
-        struct(
-          sig5(lit(cn2) - lit(2.0) * graft.functions.ArrayDot
-            .array_dot(col("v"), typedLit(cv))).as("score"),
-          lit(cid).as("cid"))
-      }
-      base.select(col("vid"), col("v"),
-          array_sort(array(cellStructs: _*)).as("cells"))
-        .select(col("vid"), col("v"),
-          element_at(col("cells"), 1).getField("cid").as("cell"),
-          element_at(col("cells"), 1).getField("score").as("score"))
-    }
+    val base = vecBase(df, idCol, vecCol, dim)
+    var cents = seedCentroids(base, seedLo, seedHi)
+    def assigned(cs: Array[(Long, Array[Double])]): DataFrame =
+      assignCells(base, cs)
 
     // iters−1 reassign→recompute rounds; the final assignment feeds
     // the report directly
@@ -90,5 +108,44 @@ object KMeansOp {
       .agg(count(lit(1)).as("n_members"),
         sig5(sum(col("score") + col("vn2"))).as("wcss"))
       .orderBy("cluster_id")
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): cluster the embedding space, then compare
+    * pairs ONLY within a cluster — the clustering bounds the
+    * quadratic pair blow-up that makes all-pairs cosine infeasible,
+    * which is the paper's whole point. Emits
+    * (cluster_id, id_a, id_b, cosine) for within-cluster pairs whose
+    * sig5-rounded cosine ≥ `minCosine` (keep-one policy: drop the
+    * higher id of each pair, exactly like the n-gram dedup family).
+    *
+    * Scale shape: assignment is the map-only seeded-centroid pass
+    * (no shuffle); the pair join shuffles on the cell key, and the
+    * per-cell all-pairs cost C(m,2) is the knob you size with k
+    * (SemDeDup uses k large enough that clusters stay comparison-
+    * sized; for adversarial cells, cap cluster membership upstream
+    * the same way bandedCandidates caps bucket size). One Lloyd
+    * iteration (pure seed assignment) keeps the whole computation a
+    * closed-form function of the data, which the oracle re-derives. */
+  def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      seedLo: Long, seedHi: Long, dim: Int = 64,
+      minCosine: Double = 0.9): DataFrame = {
+    val base = vecBase(df, idCol, vecCol, dim)
+    val a = assignCells(base, seedCentroids(base, seedLo, seedHi))
+      .select(col("vid"), col("v"),
+        sqrt(graft.functions.ArrayDot.array_dot(col("v"), col("v")))
+          .as("nrm"), col("cell"))
+    val x = a.select(col("cell"), col("vid").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val y = a.select(col("cell"), col("vid").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    x.join(y, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("cell").as("cluster_id"), col("id_a"), col("id_b"),
+        sig5(graft.functions.ArrayDot.array_dot(col("va"), col("vb")) /
+          (col("na") * col("nb"))).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .orderBy("cluster_id", "id_a", "id_b")
   }
 }

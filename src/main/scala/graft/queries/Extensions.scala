@@ -355,6 +355,19 @@ object Extensions {
           size = 64, stride = 64),
         seqLen = 256, shards = 4,
         shardExpr = Some(pmod(col("doc_id"), lit(4L))))),
+    // SemDeDup: seeded-centroid clustering bounds the pair join to
+    // within-cluster comparisons; fixed 2000-vector shard gate (the
+    // operator is generic — the shard keeps the oracle's pair join
+    // a constant size across scale factors, like vec_id<5 does for
+    // the top-k queries)
+    "dedup_semantic" -> ((s, dir) =>
+      KMeansOp.semanticDupPairs(
+        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
+        "vec_id", "embedding", seedLo = 120L, seedHi = 136L,
+        // the synthetic embedding space is near-random (global max
+        // pair cosine ≈ 0.51), so the fixture gate runs at 0.4; at
+        // web scale the operating point is ~0.9 — same machinery
+        dim = 64, minCosine = 0.4)),
     // the explicit hot-key mitigation path as a first-class query:
     // salted equi-join (big side salted, small side replicated), then
     // revenue by nation — the oracle is the PLAIN join, so the salt
@@ -1339,6 +1352,41 @@ val eventsRollupSql: String =
       |CAST(cum_before % 256 AS BIGINT) AS pack_pos
       |FROM cb ORDER BY shard, doc_id, chunk_idx""".stripMargin
 
+  /** One seed-assignment round (embedKmeansSql's a0 stage), then
+    * within-cluster pairs with sig5-rounded cosine ≥ 0.9; the cid is
+    * attached to element rows BEFORE the pair join so the join keys
+    * are (cid, i) and the intermediate never crosses clusters. */
+  val dedupSemanticSql: String = {
+    val score = sig("cn2 - 2 * dp")
+    val cos = sig("dp / (na.nrm * nb.nrm)")
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i) WHERE vec_id < 2000),
+       |c0 AS (SELECT vec_id AS cid, i, v AS w FROM el
+       |       WHERE vec_id BETWEEN 120 AND 135),
+       |cn0 AS (SELECT cid, sum(w * w) AS cn2 FROM c0 GROUP BY cid),
+       |d0 AS (SELECT e.vec_id AS vid, c.cid, sum(e.v * c.w) AS dp
+       |       FROM el e JOIN c0 c ON c.i = e.i GROUP BY 1, 2),
+       |s0 AS (SELECT vid, d0.cid, $score AS score
+       |       FROM d0 JOIN cn0 ON cn0.cid = d0.cid),
+       |a0 AS (SELECT vid, cid FROM (
+       |  SELECT vid, cid, row_number() OVER (PARTITION BY vid
+       |    ORDER BY score ASC, cid ASC) AS rn FROM s0) WHERE rn = 1),
+       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el
+       |        GROUP BY vec_id),
+       |elc AS (SELECT el.vec_id, a0.cid, el.i, el.v
+       |        FROM el JOIN a0 ON a0.vid = el.vec_id),
+       |pr AS (SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+       |         sum(a.v * b.v) AS dp
+       |       FROM elc a JOIN elc b ON a.cid = b.cid AND a.i = b.i
+       |         AND a.vec_id < b.vec_id
+       |       GROUP BY 1, 2, 3)
+       |SELECT cid AS cluster_id, id_a, id_b, $cos AS cosine
+       |FROM pr JOIN nrm na ON na.vec_id = id_a
+       |JOIN nrm nb ON nb.vec_id = id_b
+       |WHERE $cos >= 0.4
+       |ORDER BY cluster_id, id_a, id_b""".stripMargin
+  }
+
   /** The PLAIN join — salting must be result-invisible. */
   val joinSaltedSql: String =
     s"""SELECT c_nationkey, count(*) AS n_orders,
@@ -1347,6 +1395,7 @@ val eventsRollupSql: String =
        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_semantic" -> dedupSemanticSql,
     "drift_ks" -> driftKsSql,
     "text_pack" -> textPackSql,
     "join_salted" -> joinSaltedSql,

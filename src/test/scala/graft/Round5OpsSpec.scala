@@ -259,6 +259,40 @@ class Round5OpsSpec extends SparkSpec {
     assert(math.abs(st.getAs[Double]("utilization") - 0.75) < 1e-9)
   }
 
+  test("semantic dedup: pairs only within a cluster, threshold on " +
+      "rounded cosine") {
+    val d = 4
+    def vec(xs: Double*): Seq[Float] = {
+      val a = xs.toArray.padTo(d, 0.0)
+      a.map(_.toFloat).toSeq
+    }
+    val vSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val rows = Seq(
+      Row(0L, vec(1, 0, 0, 0)),   // seed A
+      Row(1L, vec(0, 1, 0, 0)),   // seed B
+      Row(10L, vec(5, 0.1, 0, 0)), // cluster A
+      Row(11L, vec(5, 0.12, 0, 0)), // cluster A, ~identical to 10
+      Row(12L, vec(0.1, 5, 0, 0)), // cluster B — near 10/11 in angle? no
+      Row(13L, vec(0.12, 5, 0, 0))) // cluster B, ~identical to 12
+    val df = spark.createDataFrame(rows.asJava, vSchema)
+    val r = graft.ops.KMeansOp.semanticDupPairs(df, "vec_id",
+      "embedding", seedLo = 0L, seedHi = 2L, dim = d,
+      minCosine = 0.99).collect()
+    val pairs = r.map(x => (x.getLong(1), x.getLong(2))).toSet
+    // seeds are corpus rows too: 0 is near-parallel to 10/11, 1 to
+    // 12/13 — all legitimate within-cluster pairs. No cross-cluster
+    // pair appears (e.g. (10,12)): the join key is the cell.
+    assert(pairs == Set((0L, 10L), (0L, 11L), (10L, 11L),
+      (1L, 12L), (1L, 13L), (12L, 13L)))
+    r.foreach { x =>
+      assert(x.getAs[Double]("cosine") >= 0.99)
+      val inA = Set(0L, 10L, 11L)
+      val a = inA.contains(x.getLong(1))
+      assert(a == inA.contains(x.getLong(2)), "cross-cluster pair")
+    }
+  }
+
   test("grouped: per-slice stats match hand computation") {
     val s2 = StructType(Seq(StructField("g", StringType),
       StructField("x", DoubleType)))
