@@ -570,4 +570,129 @@ object Multimodal {
       .map(id => (id, synthPayload(id)))
       .toDF(idCol, "payload")
   }
+
+  // ------------------------------------------------------------------
+  // WAV PCM sample decode — the audio twin of decodePixels: REAL
+  // byte-level signal extraction (16-bit LE PCM per the RIFF spec),
+  // no codec libraries. The feature stage every audio-corpus pipeline
+  // runs first: energy / peak / zero-crossing screening before any
+  // model sees the clip.
+  // ------------------------------------------------------------------
+
+  /** All PCM samples (interleaved across channels) of a 16-bit PCM
+    * WAV; None for non-WAV, non-PCM, or non-16-bit payloads. */
+  def decodeSamples(p: Array[Byte]): Option[Array[Int]] = {
+    if (p.length < 12 || ascii(p, 0, 4) != "RIFF" ||
+      ascii(p, 8, 4) != "WAVE") return None
+    var fmtOk = false
+    var pos = 12
+    while (pos + 8 <= p.length) {
+      val id = ascii(p, pos, 4)
+      val size = le32(p, pos + 4)
+      if (id == "fmt " && pos + 24 <= p.length)
+        fmtOk = le16(p, pos + 8) == 1L && le16(p, pos + 22) == 16L
+      else if (id == "data" && fmtOk) {
+        val n = math.min(size, (p.length - pos - 8).toLong).toInt / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          // signed 16-bit little-endian
+          out(i) = ((p(pos + 8 + 2 * i) & 0xff) |
+            (p(pos + 9 + 2 * i) << 8)).toShort.toInt
+          i += 1
+        }
+        return Some(out)
+      }
+      if (size < 0 || size > Int.MaxValue - 9) return None
+      pos += 8 + size.toInt + (size.toInt & 1)
+    }
+    None
+  }
+
+  /** Per-clip signal screen: sample count, peak |s|, sig5-rounded
+    * RMS, zero crossings (strict sign flips). */
+  final case class AudioStats(doc_id: Long, n_samples: Long,
+      peak: Long, rms: Double, n_zero_cross: Long)
+
+  /** Batched PCM feature extraction over a binary column — same
+    * mapPartitions codec boundary as [[mediaMeta]]; clips that don't
+    * decode are dropped (screening semantics). */
+  def audioStats(df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 256): Dataset[AudioStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull && col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, payload) =>
+            decodeSamples(payload).filter(_.nonEmpty).map { s =>
+              var peak = 0L
+              var sumSq = 0.0
+              var zc = 0L
+              var i = 0
+              while (i < s.length) {
+                val v = s(i)
+                if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+                sumSq += v.toDouble * v.toDouble
+                if (i > 0 && ((v < 0) != (s(i - 1) < 0))) zc += 1
+                i += 1
+              }
+              AudioStats(id, s.length.toLong, peak,
+                graft.det.Sig.sig5(math.sqrt(sumSq / s.length)), zc)
+            }
+          }
+        }
+      }
+  }
+
+  /** Deterministic 16-bit PCM tone: sample k (interleaved stream
+    * order) is ((seed + 7·k) mod 4096) − 2048 — pure integer
+    * arithmetic any engine re-derives exactly. */
+  def synthWavTone(sampleRate: Long, channels: Long, frames: Long,
+      seed: Long): Array[Byte] = {
+    val n = (frames * channels).toInt
+    val blockAlign = channels * 2
+    val dataSize = frames * blockAlign
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32b(36 + dataSize))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    out.write(le32b(16L))
+    out.write(le16b(1L))
+    out.write(le16b(channels))
+    out.write(le32b(sampleRate))
+    out.write(le32b(sampleRate * blockAlign))
+    out.write(le16b(blockAlign))
+    out.write(le16b(16L))
+    out.write("data".getBytes("US-ASCII"))
+    out.write(le32b(dataSize))
+    var k = 0
+    while (k < n) {
+      val s = ((seed + 7L * k) % 4096L - 2048L).toInt
+      out.write(s & 0xff)
+      out.write((s >> 8) & 0xff)
+      k += 1
+    }
+    out.toByteArray
+  }
+
+  /** Tone-payload fixture: every id gets a WAV whose samples are a
+    * closed-form function of the id (rate/channels/frames formulas
+    * match [[synthPayload]]'s WAV arm; seed = id mod 997). */
+  def synthAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .map { id =>
+        val rate = (id % 4) match {
+          case 0 => 8000L; case 1 => 16000L; case 2 => 22050L
+          case _ => 44100L
+        }
+        (id, synthWavTone(rate, 1 + id % 2, 16 + id % 257, id % 997))
+      }
+      .toDF(idCol, "payload")
+  }
 }

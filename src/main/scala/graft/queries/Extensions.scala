@@ -355,6 +355,42 @@ object Extensions {
           size = 64, stride = 64),
         seqLen = 256, shards = 4,
         shardExpr = Some(pmod(col("doc_id"), lit(4L))))),
+    // REAL audio decode: every doc gets a 16-bit PCM WAV whose
+    // samples are a closed-form function of doc_id; the decoder
+    // parses the actual bytes back and the oracle re-derives peak /
+    // RMS / zero-crossings from the formula — a wrong byte offset,
+    // endianness, or sign extension fails the hash compare
+    "multimodal_audio" -> ((s, dir) =>
+      Multimodal.audioStats(
+        Multimodal.synthAudio(t(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload").toDF().orderBy("doc_id")),
+    // vocabulary-mix drift: PSI/TVD over the TOKEN distribution of
+    // the two slices — the "did the crawl's language change" check
+    // one level below the lang column; reuses categoricalDrift with
+    // tokens as buckets (one explode + one conditional-sum agg)
+    "drift_vocab" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Drift.categoricalDrift(
+        d.select(explode(TextStats.tokens(col("text"))).as("tok"),
+          pmod(col("doc_id"), lit(2L)).as("sl")),
+        "token_mix", col("tok"), col("sl"))
+    }),
+    // quality-quota data selection: the top-5 highest-quality docs
+    // per language (rank on the sig5-ROUNDED score, doc_id
+    // tie-break — the engine contract for discrete decisions)
+    "sample_quota" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val q = TextStats.quality(d, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      import org.apache.spark.sql.expressions.Window
+      q.join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("rnk", row_number().over(Window.partitionBy("lang")
+          .orderBy(col("quality").desc, col("doc_id"))))
+        .where(col("rnk") <= 5)
+        .select(col("lang"), col("rnk").cast("long").as("rnk"),
+          col("doc_id"), col("quality"))
+        .orderBy("lang", "rnk")
+    }),
     // SemDeDup: seeded-centroid clustering bounds the pair join to
     // within-cluster comparisons; fixed 2000-vector shard gate (the
     // operator is generic — the shard keeps the oracle's pair join
@@ -1387,6 +1423,52 @@ val eventsRollupSql: String =
        |ORDER BY cluster_id, id_a, id_b""".stripMargin
   }
 
+  /** The tone generator re-derived: sample k of doc d is
+    * ((d mod 997) + 7k) mod 4096 − 2048 over n = frames·channels
+    * samples; v(k−1) is closed-form too, so zero-crossings need no
+    * window. v² sums are integer-exact in doubles (< 2⁵³), so the
+    * RMS is bit-identical regardless of summation order. */
+  val multimodalAudioSql: String =
+    s"""WITH par AS (SELECT doc_id,
+       |    (16 + doc_id % 257) * (1 + doc_id % 2) AS n,
+       |    doc_id % 997 AS seed FROM documents),
+       |s AS (SELECT doc_id, n, k,
+       |    (seed + 7 * k) % 4096 - 2048 AS v,
+       |    CASE WHEN k > 0 THEN (seed + 7 * (k - 1)) % 4096 - 2048
+       |      END AS pv
+       |  FROM par, LATERAL unnest(range(0, n)) t(k))
+       |SELECT doc_id, CAST(min(n) AS BIGINT) AS n_samples,
+       |CAST(max(abs(v)) AS BIGINT) AS peak,
+       |${sig("sqrt(sum(CAST(v AS DOUBLE) * v) / min(n))")} AS rms,
+       |CAST(sum(CASE WHEN k > 0 AND ((v < 0) <> (pv < 0)) THEN 1
+       |  ELSE 0 END) AS BIGINT) AS n_zero_cross
+       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Token-distribution drift via the shared per-dim CTE (tokens as
+    * buckets). */
+  val driftVocabSql: String = driftDimSql("token_mix",
+    "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+      "FROM documents)", "tok")
+
+  /** Quality-quota selection: textQualitySql's score formula ranked
+    * per language, top 5, rounded-score ordering. */
+  val sampleQuotaSql: String = {
+    val f = stopOr("x", enStops)
+    val quality = sig("CAST(least(nt, 100) AS DOUBLE) / 100.0 * 0.3 " +
+      "+ CAST(ns AS DOUBLE) / nt * 0.4 + CAST(nd AS DOUBLE) / nt * 0.3")
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+       |           FROM documents),
+       |e AS (SELECT doc_id, lang, len(t) AS nt,
+       |  len(list_distinct(t)) AS nd,
+       |  len(list_filter(t, x -> $f)) AS ns FROM d),
+       |q AS (SELECT doc_id, lang, $quality AS quality FROM e),
+       |r AS (SELECT lang, doc_id, quality, row_number() OVER (
+       |        PARTITION BY lang ORDER BY quality DESC, doc_id) AS rnk
+       |      FROM q)
+       |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, quality
+       |FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
+  }
+
   /** The PLAIN join — salting must be result-invisible. */
   val joinSaltedSql: String =
     s"""SELECT c_nationkey, count(*) AS n_orders,
@@ -1395,6 +1477,9 @@ val eventsRollupSql: String =
        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "multimodal_audio" -> multimodalAudioSql,
+    "drift_vocab" -> driftVocabSql,
+    "sample_quota" -> sampleQuotaSql,
     "dedup_semantic" -> dedupSemanticSql,
     "drift_ks" -> driftKsSql,
     "text_pack" -> textPackSql,

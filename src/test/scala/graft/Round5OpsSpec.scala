@@ -293,6 +293,28 @@ class Round5OpsSpec extends SparkSpec {
     }
   }
 
+  test("audio: PCM decode round-trips the tone generator, stats exact") {
+    import graft.ops.Multimodal
+    // 3 frames, 2 channels, seed 4090 → samples (4090+7k)%4096-2048:
+    // k=0..5 → 2042, then the mod wraps: -2047, -2040, -2033,
+    // -2026, -2019
+    val p = Multimodal.synthWavTone(8000L, 2L, 3L, 4090L)
+    val s = Multimodal.decodeSamples(p).get.toSeq
+    assert(s == Seq(2042, -2047, -2040, -2033, -2026, -2019))
+    // sign extension: negative samples survive the LE round-trip
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("payload", BinaryType)))
+    val df = spark.createDataFrame(Seq(Row(7L, p)).asJava, sch)
+    val st = Multimodal.audioStats(df, "doc_id", "payload").collect()(0)
+    assert(st.n_samples == 6 && st.peak == 2047)
+    assert(st.n_zero_cross == 1) // one sign flip at k=1
+    val rms = math.sqrt(s.map(x => x.toDouble * x).sum / 6)
+    assert(st.rms == graft.det.Sig.sig5(rms))
+    // non-WAV and truncated payloads decode to None, never throw
+    assert(Multimodal.decodeSamples("nope".getBytes).isEmpty)
+    assert(Multimodal.decodeSamples(p.take(20)).isEmpty)
+  }
+
   test("grouped: per-slice stats match hand computation") {
     val s2 = StructType(Seq(StructField("g", StringType),
       StructField("x", DoubleType)))
