@@ -66,20 +66,33 @@ object Bench {
           spark.read.parquet(s"$sfDir/lineitem.parquet"))
         ()
       }))
+    // Median-of-N timing (VERDICT r5 task 3): single-shot numbers on
+    // this box vary up to 10× with zero code change (GC, JIT
+    // recompilation, page cache), which has twice produced phantom
+    // regressions in round-over-round analysis. Each query runs
+    // `reps` times and reports the MEDIAN; the honest end-to-end cost
+    // is reported separately as "wall".
+    val reps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    val wall0 = System.nanoTime()
     val results = (SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) => name -> (() => { fn(spark, sfDir).collect(); () })
     } ++ flagship).map { case (name, run) =>
+      val times = (1 to reps).map { i =>
         val t0 = System.nanoTime()
         try run()
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          System.err.println(s"[bench] $name rep $i failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }
+    val wall = (System.nanoTime() - wall0) / 1e9
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"wall":$wall}""")
     spark.stop()
   }
 }

@@ -77,66 +77,96 @@ object BloomPrefilter {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** A helper-column name that does not collide with `taken` (the
+    * same probe pattern as SkewJoin.saltedEquiJoin's `__salt`). */
+  private def freshName(base: String, taken: Seq[String]): String =
+    Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(n => !taken.contains(n)).get
+
   /** Training docs that MIGHT share a shingle with the eval set:
     * map-only Bloom probe over each doc's gram array (keeps the
     * original schema). Guaranteed superset of the docs the exact
-    * join would match. */
+    * join would match. Helper columns are collision-probed against
+    * the input schema, so a training frame that already has a
+    * `bloom` (or `__hw`/`__gs`) column profiles unchanged. */
   def bloomCandidates(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 3, maxDf: Option[Long] = None,
       mBits: Long = 1L << 20, nHashes: Int = 4): DataFrame = {
     val evalShingles = Dedup.shingleIndex(eval, idCol, textCol, n, maxDf)
       .select("shingle").distinct()
-    val bloom = buildBits(evalShingles, mBits, nHashes)
     val cols = train.columns
+    val bloomC = freshName("__bloom", cols)
+    val hwC = freshName("__hw", cols)
+    val gsC = freshName("__gs", cols)
+    val bloom = buildBits(evalShingles, mBits, nHashes)
+      .withColumnRenamed("bloom", bloomC)
     train
-      .withColumn("__hw",
+      .withColumn(hwC,
         transform(split(col(textCol), " "), t => xxhash64(t)))
-      .withColumn("__gs", gramArray(col("__hw"), n))
+      .withColumn(gsC, gramArray(col(hwC), n))
       .crossJoin(broadcast(bloom))
-      .where(exists(col("__gs"),
-        g => mightContain(col("bloom"), g, mBits, nHashes)))
+      .where(exists(col(gsC),
+        g => mightContain(col(bloomC), g, mBits, nHashes)))
       .select(cols.map(col): _*)
   }
 
   /** Exact decontamination through the Bloom prefilter: identical
     * result to [[Dedup.contaminationPairs]] on the full inputs (no
     * false negatives), with the pair join reduced to candidates.
-    * The df cap's hot-shingle set comes from the FULL training
-    * corpus (see class note). */
+    *
+    * Single-corpus-pass shape (r6): the probe runs per INDEX ROW,
+    * not per document — one corpus-wide gram scan feeds a map-only
+    * bitset filter, and the surviving sliver (eval-matching grams
+    * plus a ~1e-5 false-positive tail — small by the prefilter's own
+    * premise) is materialized once. Both the df-cap hot set and the
+    * pair join then read that materialized sliver, so the corpus
+    * text is scanned exactly once.
+    *
+    * The df cap stays FULL-corpus exact without a second pass: the
+    * probe is a pure function of the shingle value, so for any
+    * surviving shingle the sliver retains EVERY (doc, shingle)
+    * occurrence — its document frequency over the sliver equals its
+    * document frequency over the whole corpus. Shingles the probe
+    * drops can never join the eval index (no false negatives), so
+    * their df is irrelevant. Computing df on a doc-level candidate
+    * subset would under-count (the class used to pay a second
+    * full-corpus shingleIndex pass to avoid exactly that). */
   def bloomDecontaminate(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 3, minShared: Long = 5L,
       maxDf: Option[Long] = None, mBits: Long = 1L << 20,
       nHashes: Int = 4): DataFrame = {
-    val cand = bloomCandidates(train, eval, idCol, textCol, n, maxDf,
-      mBits, nHashes)
-    maxDf match {
-      case None =>
-        Dedup.contaminationPairs(cand, eval, idCol, textCol, n,
-          minShared, None)
+    val evalShingles = Dedup.shingleIndex(eval, idCol, textCol, n, maxDf)
+      .select("shingle").distinct()
+    val bloom = buildBits(evalShingles, mBits, nHashes)
+    val idx = Dedup.shingleIndex(train, idCol, textCol, n, None)
+    val probed = Materialize.materialize(
+      idx.crossJoin(broadcast(bloom))
+        .where(mightContain(col("bloom"), col("shingle"), mBits,
+          nHashes))
+        .select("id", "shingle"))
+    val ti = (maxDf match {
+      case None => probed
       case Some(cap) =>
-        // full-corpus document frequencies → the same hot set the
-        // unfiltered exact path would drop; then the capped candidate
-        // index is assembled directly (anti-join against the tiny
-        // broadcast hot set), bypassing shingleIndex's internal cap
-        // which would re-count df on candidates only
-        val hot = Dedup.shingleIndex(train, idCol, textCol, n, None)
-          .groupBy("shingle").agg(count(lit(1)).as("df"))
+        // exact full-corpus df for every surviving shingle (see
+        // scaladoc); the hot set is tiny by construction (> cap docs
+        // each) → broadcast anti-join
+        val hot = probed.groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
           .where(col("df") > cap).select("shingle")
-        val ti = Dedup.shingleIndex(cand, idCol, textCol, n, None)
-          .join(broadcast(hot), Seq("shingle"), "left_anti")
-          .select(col("id").as("train_id"), col("shingle"))
-        val ei = Dedup.shingleIndex(eval, idCol, textCol, n, Some(cap))
-          .select(col("id").as("eval_id"), col("shingle"))
-        val evalSizes = ei.groupBy("eval_id").agg(count(lit(1)).as("esz"))
-        ei.join(ti, Seq("shingle"))
-          .groupBy("eval_id", "train_id")
-          .agg(count(lit(1)).as("n_shared"))
-          .where(col("n_shared") >= minShared)
-          .join(evalSizes, Seq("eval_id"))
-          .select(col("eval_id"), col("train_id"), col("n_shared"),
-            graft.det.Sig.sig5(
-              col("n_shared").cast("double") / col("esz")).as("overlap"))
-          .orderBy("eval_id", "train_id")
-    }
+        probed.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }).select(col("id").as("train_id"), col("shingle"))
+    val ei = Dedup.shingleIndex(eval, idCol, textCol, n, maxDf)
+      .select(col("id").as("eval_id"), col("shingle"))
+    val evalSizes = ei.groupBy("eval_id").agg(count(lit(1)).as("esz"))
+    ei.join(ti, Seq("shingle"))
+      .groupBy("eval_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .join(evalSizes, Seq("eval_id"))
+      .select(col("eval_id"), col("train_id"), col("n_shared"),
+        graft.det.Sig.sig5(
+          col("n_shared").cast("double") / col("esz")).as("overlap"))
+      .orderBy("eval_id", "train_id")
   }
 }

@@ -124,24 +124,60 @@ object KMeansOp {
     * (no shuffle); the pair join shuffles on the cell key, and the
     * per-cell all-pairs cost C(m,2) is the knob you size with k
     * (SemDeDup uses k large enough that clusters stay comparison-
-    * sized; for adversarial cells, cap cluster membership upstream
-    * the same way bandedCandidates caps bucket size). One Lloyd
-    * iteration (pure seed assignment) keeps the whole computation a
-    * closed-form function of the data, which the oracle re-derives. */
+    * sized). `maxCluster` is the adversarial-cell guard — the same
+    * star cap as `Dedup.bandedCandidates`: a near-duplicate-heavy
+    * corpus (the exact case SemDeDup targets) concentrates mass in
+    * few cells, and an over-cap cell switches from all-pairs to STAR
+    * linking (every member paired with the cell's minimum id — m−1
+    * edges instead of C(m,2)). The star preserves the connectivity
+    * that keep-one clustering consumes (all members reachable
+    * through the rep) at the cost of pair-level recall for member
+    * pairs whose direct star edge scores below `minCosine` —
+    * acceptable for over-cap cells, which are near-identical blobs
+    * by construction. One Lloyd iteration (pure seed assignment)
+    * keeps the whole computation a closed-form function of the data,
+    * which the oracle re-derives — including the cap. */
   def semanticDupPairs(df: DataFrame, idCol: String, vecCol: String,
       seedLo: Long, seedHi: Long, dim: Int = 64,
-      minCosine: Double = 0.9): DataFrame = {
+      minCosine: Double = 0.9,
+      maxCluster: Option[Long] = None): DataFrame = {
     val base = vecBase(df, idCol, vecCol, dim)
     val a = assignCells(base, seedCentroids(base, seedLo, seedHi))
       .select(col("vid"), col("v"),
         sqrt(graft.functions.ArrayDot.array_dot(col("v"), col("v")))
           .as("nrm"), col("cell"))
-    val x = a.select(col("cell"), col("vid").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val y = a.select(col("cell"), col("vid").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    x.join(y, Seq("cell"))
-      .where(col("id_a") < col("id_b"))
+    val pairs = maxCluster match {
+      case None =>
+        val x = a.select(col("cell"), col("vid").as("id_a"),
+          col("v").as("va"), col("nrm").as("na"))
+        val y = a.select(col("cell"), col("vid").as("id_b"),
+          col("v").as("vb"), col("nrm").as("nb"))
+        x.join(y, Seq("cell")).where(col("id_a") < col("id_b"))
+      case Some(cap) =>
+        // one aggregation per cell gives both the size (cap
+        // decision) and the star representative (min vid, so
+        // rep < id_b holds for every star edge by construction)
+        val sizes = a.groupBy("cell")
+          .agg(count(lit(1)).as("sz"), min("vid").as("rep"))
+        val w = a.join(sizes, Seq("cell"))
+        val small = w.where(col("sz") <= cap)
+        val x = small.select(col("cell"), col("vid").as("id_a"),
+          col("v").as("va"), col("nrm").as("na"))
+        val y = small.select(col("cell"), col("vid").as("id_b"),
+          col("v").as("vb"), col("nrm").as("nb"))
+        val smallPairs =
+          x.join(y, Seq("cell")).where(col("id_a") < col("id_b"))
+        val starB = w.where(col("sz") > cap && col("vid") =!= col("rep"))
+          .select(col("cell"), col("rep"), col("vid").as("id_b"),
+            col("v").as("vb"), col("nrm").as("nb"))
+        val repV = a.select(col("vid").as("rep"), col("v").as("va"),
+          col("nrm").as("na"))
+        val starPairs = starB.join(repV, Seq("rep"))
+          .select(col("cell"), col("rep").as("id_a"), col("va"),
+            col("na"), col("id_b"), col("vb"), col("nb"))
+        smallPairs.unionByName(starPairs)
+    }
+    pairs
       .select(col("cell").as("cluster_id"), col("id_a"), col("id_b"),
         sig5(graft.functions.ArrayDot.array_dot(col("va"), col("vb")) /
           (col("na") * col("nb"))).as("cosine"))

@@ -191,25 +191,34 @@ object TextStats {
     * before tokenizer training (a misbehaving extractor shows up as
     * markup tokens at the head of this list).
     *
-    * Scale shape: ONE hash aggregation of (token → count) with
-    * map-side combine — the only pass over the corpus — then rank
-    * AND corpus totals as window functions over the TINY aggregated
-    * set (|vocab| rows, not |corpus|) in the same single-partition
-    * window, so the expensive token explode is never evaluated
-    * twice. Ties break by token for determinism. */
+    * Scale shape: a whitespace vocabulary over a web-scale corpus is
+    * BILLIONS of distinct tokens, so nothing unbounded may pass
+    * through one partition. The (token → count) hash aggregation is
+    * the only corpus pass; from that aggregated child,
+    *   - corpus totals come from a 1-row scalar aggregate that is
+    *     crossJoin(broadcast)-ed back (the same distributed-totals
+    *     pattern as Stats.freq's `__other__` bucket), and
+    *   - the head comes from orderBy+limit, which plans as
+    *     TakeOrderedAndProject — each partition keeps its local
+    *     top-k heap and only k·partitions candidate rows reach the
+    *     driver-side merge.
+    * Rank is stamped by a window AFTER the limit, over ≤ topK rows —
+    * bounded by the parameter, not the data. The two consumers of
+    * the aggregation share its shuffle via exchange reuse, so the
+    * expensive token explode still runs once. Ties break by token
+    * for determinism. */
   def vocab(df: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df
       .select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      sum("cnt").cast("double").as("n_total"),
+      count(lit(1)).as("n_vocab"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(topK)
     val wRank = Window.orderBy(col("cnt").desc, col("token"))
-    val wAll = Window.orderBy(col("cnt").desc, col("token"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    counts
+    top.crossJoin(broadcast(totals))
       .withColumn("rnk", row_number().over(wRank))
-      .withColumn("n_total", sum("cnt").over(wAll).cast("double"))
-      .withColumn("n_vocab", count(lit(1)).over(wAll))
-      .where(col("rnk") <= topK)
       .select(col("rnk").cast("long").as("rnk"), col("token"),
         col("cnt"), sig5(col("cnt") / col("n_total")).as("share"),
         col("n_vocab"))

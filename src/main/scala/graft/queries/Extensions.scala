@@ -402,8 +402,11 @@ object Extensions {
         "vec_id", "embedding", seedLo = 120L, seedHi = 136L,
         // the synthetic embedding space is near-random (global max
         // pair cosine ≈ 0.51), so the fixture gate runs at 0.4; at
-        // web scale the operating point is ~0.9 — same machinery
-        dim = 64, minCosine = 0.4)),
+        // web scale the operating point is ~0.9 — same machinery.
+        // maxCluster is the production default shape (cap ON): any
+        // cell over 150 members switches to star linking, and the
+        // oracle models the same cap.
+        dim = 64, minCosine = 0.4, maxCluster = Some(150L))),
     // the explicit hot-key mitigation path as a first-class query:
     // salted equi-join (big side salted, small side replicated), then
     // revenue by nation — the oracle is the PLAIN join, so the salt
@@ -1409,12 +1412,17 @@ val eventsRollupSql: String =
        |    ORDER BY score ASC, cid ASC) AS rn FROM s0) WHERE rn = 1),
        |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el
        |        GROUP BY vec_id),
-       |elc AS (SELECT el.vec_id, a0.cid, el.i, el.v
-       |        FROM el JOIN a0 ON a0.vid = el.vec_id),
+       |sz AS (SELECT cid, count(*) AS m, min(vid) AS rep FROM a0
+       |       GROUP BY cid),
+       |elc AS (SELECT el.vec_id, a0.cid, sz.m, sz.rep, el.i, el.v
+       |        FROM el JOIN a0 ON a0.vid = el.vec_id
+       |        JOIN sz ON sz.cid = a0.cid),
        |pr AS (SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
        |         sum(a.v * b.v) AS dp
        |       FROM elc a JOIN elc b ON a.cid = b.cid AND a.i = b.i
-       |         AND a.vec_id < b.vec_id
+       |         AND ((a.m <= 150 AND a.vec_id < b.vec_id)
+       |           OR (a.m > 150 AND a.vec_id = a.rep
+       |               AND b.vec_id <> b.rep))
        |       GROUP BY 1, 2, 3)
        |SELECT cid AS cluster_id, id_a, id_b, $cos AS cosine
        |FROM pr JOIN nrm na ON na.vec_id = id_a
