@@ -107,13 +107,19 @@ case class MisraGriesAgg(child: Expression, k: Int,
         new GenericArrayData(items.map(e => e._2: Any)))))
   }
 
+  // items as length-prefixed UTF-8 byte arrays, NOT writeUTF: the
+  // modified-UTF-8 format caps an item at 65535 encoded bytes and
+  // throws beyond it, and this sketch is advertised for items like
+  // boilerplate LINES from a crawl, where an oversized key must
+  // degrade (count normally) rather than kill the aggregation.
   override def serialize(buf: MgBuf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeLong(buf.n)
     out.writeInt(buf.counts.size)
     buf.counts.foreach { case (it, c) =>
-      out.writeUTF(it); out.writeLong(c)
+      val b = it.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(c)
     }
     out.flush()
     bos.toByteArray
@@ -126,7 +132,10 @@ case class MisraGriesAgg(child: Expression, k: Int,
     val sz = in.readInt()
     var i = 0
     while (i < sz) {
-      val it = in.readUTF(); val c = in.readLong()
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      val it = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      val c = in.readLong()
       buf.counts.update(it, c)
       i += 1
     }
@@ -147,4 +156,42 @@ object HeavyHitters {
   def mg(item: Column, k: Int): Column =
     GraftSql.column(
       MisraGriesAgg(GraftSql.expression(item), k).toAggregateExpression())
+
+  /** Exact heavy hitters by the standard two-pass sketch-then-recount
+    * pattern: pass 1 runs the Misra–Gries aggregate (O(k) state per
+    * partition, no full item shuffle) to propose ≤ k candidates and
+    * the exact stream length n; pass 2 recounts ONLY the candidates
+    * exactly and keeps those with cnt·(k+1) > n.
+    *
+    * Output — (item, cnt, share) — is DETERMINISTIC even though the
+    * sketch's candidate set is merge-order dependent: every true
+    * heavy item (cnt > n/(k+1)) is guaranteed present in the sketch
+    * (MG coverage), and any extra candidate the merge order happened
+    * to retain fails the exact threshold and drops out. This is the
+    * user-facing "top domains in the crawl" answer at corpus scale:
+    * the full (item → count) shuffle the sketch avoids would carry
+    * billions of distinct keys; the recount pass shuffles only rows
+    * of ≤ k items after map-side combine.
+    *
+    * The collected sketch is ONE row of ≤ k entries — driver state
+    * bounded by the parameter, same as the IVF codebooks. */
+  def heavyHittersExact(df: org.apache.spark.sql.DataFrame,
+      itemCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sk = df.agg(mg(col(itemCol), k).as("mg"))
+      .select(col("mg.n"), col("mg.items")).collect()(0)
+    val n = sk.getLong(0)
+    val cand = sk.getMap[String, Long](1).keys.toSeq.sorted
+    val base = df.select(col(itemCol).as("item"))
+    val candidates =
+      if (cand.isEmpty) base.where(lit(false)) // empty stream
+      else base.where(col("item").isin(cand: _*))
+    candidates
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") * (k + 1) > lit(n))
+      .select(col("item"), col("cnt"),
+        graft.det.Sig.sig5(col("cnt").cast("double") / lit(n.toDouble))
+          .as("share"))
+      .orderBy("item")
+  }
 }

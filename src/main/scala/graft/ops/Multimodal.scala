@@ -580,33 +580,44 @@ object Multimodal {
   // ------------------------------------------------------------------
 
   /** All PCM samples (interleaved across channels) of a 16-bit PCM
-    * WAV; None for non-WAV, non-PCM, or non-16-bit payloads. */
+    * WAV; None for non-WAV, non-PCM, or non-16-bit payloads. The
+    * chunk walk records the FIRST data chunk's extent and decodes it
+    * after the walk, once fmt has validated — RIFF does not mandate
+    * fmt-before-data ordering, and a spec-valid data-first file must
+    * decode rather than be silently dropped by audioStats. A chunk
+    * with a corrupt size ends the walk (nothing past it is
+    * reachable); whatever fmt/data were seen before it still count. */
   def decodeSamples(p: Array[Byte]): Option[Array[Int]] = {
     if (p.length < 12 || ascii(p, 0, 4) != "RIFF" ||
       ascii(p, 8, 4) != "WAVE") return None
     var fmtOk = false
+    var dataPos = -1
+    var dataLen = 0
     var pos = 12
-    while (pos + 8 <= p.length) {
+    var walking = true
+    while (walking && pos + 8 <= p.length) {
       val id = ascii(p, pos, 4)
       val size = le32(p, pos + 4)
       if (id == "fmt " && pos + 24 <= p.length)
         fmtOk = le16(p, pos + 8) == 1L && le16(p, pos + 22) == 16L
-      else if (id == "data" && fmtOk) {
-        val n = math.min(size, (p.length - pos - 8).toLong).toInt / 2
-        val out = new Array[Int](n)
-        var i = 0
-        while (i < n) {
-          // signed 16-bit little-endian
-          out(i) = ((p(pos + 8 + 2 * i) & 0xff) |
-            (p(pos + 9 + 2 * i) << 8)).toShort.toInt
-          i += 1
-        }
-        return Some(out)
+      else if (id == "data" && dataPos < 0) {
+        dataPos = pos + 8
+        dataLen = math.min(size, (p.length - pos - 8).toLong).toInt
       }
-      if (size < 0 || size > Int.MaxValue - 9) return None
-      pos += 8 + size.toInt + (size.toInt & 1)
+      if (size < 0 || size > Int.MaxValue - 9) walking = false
+      else pos += 8 + size.toInt + (size.toInt & 1)
     }
-    None
+    if (!fmtOk || dataPos < 0) return None
+    val n = dataLen / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      // signed 16-bit little-endian
+      out(i) = ((p(dataPos + 2 * i) & 0xff) |
+        (p(dataPos + 1 + 2 * i) << 8)).toShort.toInt
+      i += 1
+    }
+    Some(out)
   }
 
   /** Per-clip signal screen: sample count, peak |s|, sig5-rounded

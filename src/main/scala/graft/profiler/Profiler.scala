@@ -151,10 +151,13 @@ object Profiler {
         // smaller chunks for exact distincts: the Expand multiplier
         // equals the number of distinct aggs in the scan, so total
         // expanded rows stay ~k·n however we chunk — but each scan's
-        // hash-agg memory is bounded by its chunk
+        // hash-agg memory is bounded by its chunk. Chunks run as
+        // concurrent jobs: each distinct's de-dup hash agg has a
+        // heavy final stage that would otherwise serialize.
         val dAggs = allCols.map(c =>
           countDistinct(Stats.orderable(df, c)).as(s"dis__$c"))
-        base ++ chunkedAgg(df, dAggs, chunk = 64)
+        base ++ Stats.chunkedAggPar(df, dAggs,
+          chunk = math.max(1, (dAggs.size + 7) / 8))
       }
     }
     def aLong(name: String): Long = aMap(name).asInstanceOf[Long]
@@ -201,8 +204,14 @@ object Profiler {
           expr(e).as(s"q__$c")
         }
         // chunked: each percentile agg buffers its column's values
-        // (exact path) — bounding aggs-per-scan bounds that memory
-        val b = chunkedAgg(df, aggsB, chunk = 64)
+        // (exact path) — bounding aggs-per-scan bounds that memory.
+        // Chunks run as CONCURRENT jobs: a global exact percentile's
+        // final merge (all partial value buffers → one sorted pass)
+        // is one single-threaded task, so k columns in one agg pay k
+        // serial merges; per-column jobs overlap them (measured r6:
+        // profile_full 11.4 s → single digits at sf0.1).
+        val b = Stats.chunkedAggPar(df, aggsB,
+          chunk = math.max(1, (aggsB.size + 7) / 8))
         numCols.map { c =>
           val v = b(s"q__$c").asInstanceOf[scala.collection.Seq[Any]]
           c -> (if (v == null) Seq.empty[Double]

@@ -121,6 +121,38 @@ object Stats {
       r.schema.fieldNames.zipWithIndex.map { case (f, i) => f -> r.get(i) }
     }.toMap
 
+  /** [[chunkedAgg]] with the chunk jobs submitted CONCURRENTLY (Spark
+    * schedules actions from different threads side by side). This is
+    * for aggregates whose FINAL merge is the bottleneck: a global
+    * exact `percentile` buffers every value of its column, so its
+    * final-stage merge is one single-threaded task per job — serial
+    * across k columns in one wide agg, parallel across jobs here.
+    * Cheap codegen'd aggregates gain nothing (their final merge is
+    * O(partitions)); keep those in one fused scan. Total buffered
+    * memory is the same either way; `maxPar` bounds how much of it is
+    * live at once. */
+  def chunkedAggPar(df: DataFrame, aggs: Seq[Column], chunk: Int,
+      maxPar: Int = 8): Map[String, Any] = {
+    val groups = aggs.grouped(chunk).toSeq
+    if (groups.size <= 1) chunkedAgg(df, aggs, chunk)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(groups.size, maxPar))
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try {
+        val futs = groups.map(g => Future {
+          val r = df.agg(g.head, g.tail: _*).first()
+          r.schema.fieldNames.zipWithIndex
+            .map { case (f, i) => f -> r.get(i) }
+        })
+        Await.result(Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf).flatten.toMap
+      } finally pool.shutdown()
+    }
+  }
+
   // -------------------------------------------------------------------
   // Counts / missing (C1, C3, T1) — one pass over all columns.
   // -------------------------------------------------------------------

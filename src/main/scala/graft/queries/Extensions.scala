@@ -326,6 +326,15 @@ object Extensions {
             .as("err_bounded"))
         .orderBy("item")
     }),
+    // the user-facing deterministic answer the sketch enables: MG
+    // proposes ≤ k candidates (pass 1), an exact recount of only
+    // those candidates (pass 2) keeps the true heavy items — the
+    // oracle is a plain GROUP BY, proving the two-pass result equals
+    // the full exact aggregation it avoids at scale
+    "cat_heavy_exact" -> ((s, dir) =>
+      graft.functions.HeavyHitters.heavyHittersExact(
+        t(s, dir, "lineitem").select(col("l_returnflag")),
+        "l_returnflag", k = 2)),
     // substring-level duplication (Lee et al. suffix-array semantics,
     // n-gram-position-index shape)
     "dedup_substring" -> ((s, dir) =>
@@ -1209,7 +1218,11 @@ val eventsRollupSql: String =
        |        FROM (SELECT $bucketExpr AS b,
        |                sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
        |                sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
-       |              FROM $src GROUP BY 1)) t)""".stripMargin
+       |              FROM $src GROUP BY 1)) t)
+       |-- empty-dimension guard: Spark's groupBy emits ZERO rows for
+       |-- an empty input, while a bare aggregate here would emit one
+       |-- all-NULL row — drop it so both engines agree
+       |HAVING count(*) > 0""".stripMargin
 
   val driftPsiSql: String = {
     val ncharsBin =
@@ -1302,6 +1315,17 @@ val eventsRollupSql: String =
       |t AS (SELECT sum(cnt) AS n FROM c)
       |SELECT item, cnt, TRUE AS est_le_exact, TRUE AS err_bounded
       |FROM c, t WHERE cnt * 3 > n ORDER BY item""".stripMargin
+
+  /** The two-pass exact heavy hitters collapse to a plain exact
+    * GROUP BY + threshold — candidates beyond the true heavy set are
+    * filtered out by the exact recount, so the sketch pass is
+    * result-invisible. */
+  val catHeavyExactSql: String =
+    s"""WITH c AS (SELECT l_returnflag AS item, count(*) AS cnt
+       |           FROM lineitem GROUP BY 1),
+       |t AS (SELECT sum(cnt) AS n FROM c)
+       |SELECT item, cnt, ${sig("CAST(cnt AS DOUBLE) / n")} AS share
+       |FROM c, t WHERE cnt * 3 > n ORDER BY item""".stripMargin
 
   /** Duplicated-span report re-derived on string grams: position
     * index → df≥2 flags → gaps-and-islands runs → interval union.
@@ -1495,6 +1519,7 @@ val eventsRollupSql: String =
     "text_vocab" -> textVocabSql,
     "num_grouped" -> numGroupedSql,
     "cat_heavy_hitters" -> catHeavyHittersSql,
+    "cat_heavy_exact" -> catHeavyExactSql,
     "dedup_substring" -> dedupSubstringSql,
     // identical exact-contamination SQL: the Bloom prefilter must
     // lose nothing (no false negatives)

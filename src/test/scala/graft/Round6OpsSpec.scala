@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.functions.HeavyHitters
 import graft.ops.{Dedup, KMeansOp, TextStats}
 
 /** Round-6 operators and plan-shape guarantees: distributed
@@ -72,5 +73,75 @@ class Round6OpsSpec extends SparkSpec {
     val cu = Dedup.duplicateClusters(uncapped).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cc == cu)
+  }
+
+  // ---------------------------------------------------------------
+  // exact heavy hitters (two-pass) + oversized-item serialization
+  // ---------------------------------------------------------------
+
+  private val itemSchema = StructType(Seq(StructField("it", StringType)))
+  private def items(xs: String*) =
+    spark.createDataFrame(xs.map(Row(_)).asJava, itemSchema)
+
+  test("heavyHittersExact: sketch-then-recount equals the plain " +
+      "exact answer") {
+    // n = 20: a=9, b=6, c=3, d=2; k=2 → threshold n/3 ≈ 6.67, so
+    // only a passes even though the sketch may retain b as a
+    // candidate — the exact recount filters it
+    val d = items(Seq.fill(9)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(3)("c") ++ Seq.fill(2)("d"): _*).repartition(4)
+    val r = HeavyHitters.heavyHittersExact(d, "it", k = 2).collect()
+    assert(r.map(x => (x.getString(0), x.getLong(1))).toSeq
+      == Seq(("a", 9L)))
+    assert(math.abs(r(0).getAs[Double]("share") - 0.45) < 1e-9)
+    // k=3 → threshold 5: a and b
+    val r3 = HeavyHitters.heavyHittersExact(d, "it", k = 3).collect()
+    assert(r3.map(x => (x.getString(0), x.getLong(1))).toSeq
+      == Seq(("a", 9L), ("b", 6L)))
+    // empty stream → empty result, not a crash
+    assert(HeavyHitters.heavyHittersExact(
+      items().repartition(2), "it", k = 2).collect().isEmpty)
+  }
+
+  test("mg: items over 65535 UTF-8 bytes survive partial-buffer " +
+      "serialization") {
+    // writeUTF would throw UTFDataFormatException here; the
+    // length-prefixed encoding must round-trip the key intact
+    val big = "x" * 70000
+    val d = items(Seq.fill(6)(big) ++ Seq.fill(2)("small"): _*)
+      .repartition(4) // forces serialize/merge of partial buffers
+    val r = d.agg(HeavyHitters.mg(col("it"), 4).as("mg"))
+      .select(col("mg.n"), col("mg.items")).collect()(0)
+    assert(r.getLong(0) == 8L)
+    val m = r.getMap[String, Long](0 + 1)
+    assert(m(big) == 6L) // |vocab| ≤ k → exact counts
+    assert(m("small") == 2L)
+  }
+
+  // ---------------------------------------------------------------
+  // WAV decode: data-before-fmt chunk order
+  // ---------------------------------------------------------------
+
+  test("decodeSamples: spec-valid RIFF with data chunk before fmt " +
+      "still decodes") {
+    def le32b(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16b(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val samples = le16b(1000) ++ le16b(-2000 & 0xffff)
+    val dataChunk = "data".getBytes("ASCII") ++ le32b(4) ++ samples
+    val fmtBody = le16b(1) ++ le16b(1) ++ le32b(8000) ++ le32b(16000) ++
+      le16b(2) ++ le16b(16)
+    val fmtChunk = "fmt ".getBytes("ASCII") ++ le32b(16) ++ fmtBody
+    val riff = "RIFF".getBytes("ASCII") ++
+      le32b(4 + dataChunk.length + fmtChunk.length) ++
+      "WAVE".getBytes("ASCII") ++ dataChunk ++ fmtChunk
+    assert(graft.ops.Multimodal.decodeSamples(riff)
+      .map(_.toSeq).contains(Seq(1000, -2000)))
+    // and fmt-before-data (the common layout) still decodes too
+    val riff2 = "RIFF".getBytes("ASCII") ++
+      le32b(4 + dataChunk.length + fmtChunk.length) ++
+      "WAVE".getBytes("ASCII") ++ fmtChunk ++ dataChunk
+    assert(graft.ops.Multimodal.decodeSamples(riff2)
+      .map(_.toSeq).contains(Seq(1000, -2000)))
   }
 }
