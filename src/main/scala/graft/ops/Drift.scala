@@ -131,4 +131,73 @@ object Drift {
         sig5(max(abs(col("da") - col("db")))).as("ks"))
       .where(col("n_a") + col("n_b") > 0)
   }
+
+  // -------------------------------------------------------------------
+  // Fixed-reference drift: a candidate slice scored against a LITERAL
+  // reference histogram — the monitoring shape where the baseline is
+  // computed once (a blessed corpus snapshot) and every new slice (or
+  // every streaming window) is compared against it. The reference is
+  // O(buckets) driver state folded into the plan as constants, so the
+  // candidate side needs exactly ONE conditional-sum aggregation and
+  // the scores are closed-form codegen'd arithmetic — which is also
+  // precisely the single-stateful-aggregation shape Structured
+  // Streaming's append mode accepts (see
+  // StreamProfiler.windowedReferenceDrift, this premise's streaming
+  // twin).
+  // -------------------------------------------------------------------
+
+  /** Premise aggregates for [[referenceDrift]]: one conditional-sum
+    * counter per reference bucket plus an `__other__` counter for any
+    * candidate value outside the reference's bucket set (NULL
+    * included). Exactly one aggregation, map-side combined. */
+  private[graft] def refDriftAggs(bucket: Column, refs: Seq[String])
+      : Seq[Column] = {
+    val inRef = coalesce(bucket.isin(refs: _*), lit(false))
+    refs.zipWithIndex.map { case (b, i) =>
+      sum(when(bucket === b, 1L).otherwise(0L)).as(s"__rc$i")
+    } :+ sum(when(inRef, 0L).otherwise(1L)).as("__rcO")
+  }
+
+  /** Finisher over [[refDriftAggs]]'s counters: smoothed PSI, TVD and
+    * a binned KS statistic vs the literal reference shares. Reference
+    * shares are plain Scala doubles folded into the plan; the
+    * Laplace-smoothed shares of BOTH sides sum to exactly 1, so their
+    * running sums are proper CDFs and KS = max cumulative gap with
+    * buckets in the given (caller-sorted) order, `__other__` last. */
+  private[graft] def refDriftStats(refCounts: Seq[(String, Long)])
+      : Seq[Column] = {
+    val k = refCounts.size + 1 // + __other__
+    val na = refCounts.map(_._2).sum.toDouble
+    val ps = (refCounts.map(_._2.toDouble) :+ 0.0)
+      .map(c => (c + 0.5) / (na + 0.5 * k))
+    val cntCols = refCounts.indices.map(i => col(s"__rc$i")) :+
+      col("__rcO")
+    val nb = cntCols.map(_.cast("double")).reduce(_ + _)
+    val qs = cntCols.map(c =>
+      (c.cast("double") + 0.5) / (nb + lit(0.5 * k)))
+    val psi = ps.zip(qs)
+      .map { case (p, q) => (lit(p) - q) * log(lit(p) / q) }
+      .reduce(_ + _)
+    val tvd = ps.zip(qs).map { case (p, q) => abs(lit(p) - q) }
+      .reduce(_ + _) / 2.0
+    val pcum = ps.scanLeft(0.0)(_ + _).tail
+    val qcum = qs.scanLeft(lit(0.0))(_ + _).tail
+    val ks = pcum.zip(qcum).map { case (pc, qc) => abs(lit(pc) - qc) }
+      .reduce((a, b) => greatest(a, b))
+    Seq(lit(na).cast("long").as("n_a"), nb.cast("long").as("n_b"),
+      lit(k.toLong).as("n_buckets"),
+      sig5(psi).as("psi"), sig5(tvd).as("tvd"), sig5(ks).as("ks"))
+  }
+
+  /** Batch fixed-reference drift: score `df`'s `bucket` distribution
+    * against the literal `refCounts` histogram (bucket → count,
+    * caller-sorted for the KS bucket order). One aggregation over the
+    * candidate; the reference never rescans. */
+  def referenceDrift(df: DataFrame, dim: String, bucket: Column,
+      refCounts: Seq[(String, Long)]): DataFrame = {
+    require(refCounts.nonEmpty, "reference histogram is empty")
+    val aggs = refDriftAggs(bucket, refCounts.map(_._1))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(lit(dim).as("dim") +: refDriftStats(refCounts): _*)
+  }
 }

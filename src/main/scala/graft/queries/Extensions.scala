@@ -384,6 +384,22 @@ object Extensions {
           pmod(col("doc_id"), lit(2L)).as("sl")),
         "token_mix", col("tok"), col("sl"))
     }),
+    // fixed-reference drift: the even-doc slice's lang histogram is
+    // collected once (O(langs) driver state, the blessed-baseline
+    // monitoring shape) and the odd-doc slice is scored against it in
+    // ONE conditional-sum agg — the batch twin of the streaming
+    // windowedReferenceDrift (StreamingSpec asserts per-window
+    // equality)
+    "drift_reference" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val refCounts = d
+        .where(col("doc_id") % 2 === 0 && col("lang").isNotNull)
+        .groupBy("lang").agg(count(lit(1)).as("c"))
+        .orderBy("lang").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      Drift.referenceDrift(d.where(col("doc_id") % 2 === 1),
+        "lang_ref", col("lang"), refCounts)
+    }),
     // quality-quota data selection: the top-5 highest-quality docs
     // per language (rank on the sig5-ROUNDED score, doc_id
     // tie-break — the engine contract for discrete decisions)
@@ -1476,6 +1492,42 @@ val eventsRollupSql: String =
        |  ELSE 0 END) AS BIGINT) AS n_zero_cross
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Fixed-reference drift re-derived: literal reference shares from
+    * the even slice, candidate shares from the odd slice, PSI/TVD
+    * over the reference buckets ∪ `__other__`, KS as the max
+    * cumulative-share gap in (bucket, other-last) order — the same
+    * fold order as the Scala finisher's scanLeft. */
+  val driftReferenceSql: String =
+    s"""WITH ref AS (SELECT lang AS b, count(*) AS c FROM documents
+       |       WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1),
+       |mt AS (SELECT CAST(sum(c) AS DOUBLE) AS na,
+       |       CAST(count(*) + 1 AS DOUBLE) AS k FROM ref),
+       |cand AS (SELECT CASE WHEN lang IN (SELECT b FROM ref)
+       |           THEN lang ELSE '__other__' END AS b, count(*) AS c
+       |         FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+       |nbt AS (SELECT CAST(COALESCE(sum(c), 0) AS DOUBLE) AS nb
+       |        FROM cand),
+       |bk AS (SELECT b, c, 0 AS iso FROM ref
+       |       UNION ALL SELECT '__other__', 0, 1),
+       |sh AS (SELECT bk.b, bk.iso,
+       |         (CAST(bk.c AS DOUBLE) + 0.5) / (mt.na + 0.5 * mt.k)
+       |           AS p,
+       |         (CAST(COALESCE(cand.c, 0) AS DOUBLE) + 0.5)
+       |           / (nbt.nb + 0.5 * mt.k) AS q,
+       |         mt.na AS na, nbt.nb AS nb, mt.k AS k
+       |       FROM bk CROSS JOIN mt CROSS JOIN nbt
+       |       LEFT JOIN cand ON cand.b = bk.b),
+       |cum AS (SELECT *, sum(p) OVER w AS pc, sum(q) OVER w AS qc
+       |        FROM sh WINDOW w AS (ORDER BY iso, b
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT 'lang_ref' AS dim, CAST(min(na) AS BIGINT) AS n_a,
+       |CAST(min(nb) AS BIGINT) AS n_b,
+       |CAST(min(k) AS BIGINT) AS n_buckets,
+       |${sig("sum((p - q) * ln(p / q))")} AS psi,
+       |${sig("sum(abs(p - q)) / 2.0")} AS tvd,
+       |${sig("max(abs(pc - qc))")} AS ks
+       |FROM cum""".stripMargin
+
   /** Token-distribution drift via the shared per-dim CTE (tokens as
     * buckets). */
   val driftVocabSql: String = driftDimSql("token_mix",
@@ -1511,6 +1563,7 @@ val eventsRollupSql: String =
   val oracle: Map[String, String] = Map(
     "multimodal_audio" -> multimodalAudioSql,
     "drift_vocab" -> driftVocabSql,
+    "drift_reference" -> driftReferenceSql,
     "sample_quota" -> sampleQuotaSql,
     "dedup_semantic" -> dedupSemanticSql,
     "drift_ks" -> driftKsSql,

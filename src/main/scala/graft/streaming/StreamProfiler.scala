@@ -323,4 +323,35 @@ object StreamProfiler {
       .agg(graft.functions.HeavyHitters.mg(col(itemCol), k).as("mg"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("mg.n").as("n"), col("mg.items").as("items"))
+
+  /** Windowed drift against a FIXED reference distribution — the
+    * continuously-run twin of [[graft.ops.Drift.referenceDrift]]:
+    * every closed event-time window is scored (PSI / TVD / binned KS)
+    * against the literal `refCounts` histogram of a blessed baseline
+    * slice. This is the most monitoring-shaped operator in the set —
+    * "is today's crawl drifting from the snapshot we trained on" as a
+    * standing query.
+    *
+    * Scale/streaming shape: the reference is O(buckets) constants in
+    * the plan, so the whole thing is ONE windowed conditional-sum
+    * aggregation (append-mode legal, state = O(buckets) counters per
+    * open window inside the watermark horizon) followed by stateless
+    * closed-form score arithmetic. Per closed window the output row
+    * equals the batch [[graft.ops.Drift.referenceDrift]] on that
+    * window's rows exactly — same premise aggregates, same finisher
+    * expressions (asserted in StreamingSpec). */
+  def windowedReferenceDrift(events: DataFrame, tsCol: String,
+      bucket: Column, refCounts: Seq[(String, Long)],
+      watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame = {
+    require(refCounts.nonEmpty, "reference histogram is empty")
+    val aggs = graft.ops.Drift.refDriftAggs(bucket, refCounts.map(_._1))
+    events
+      .withColumn("__ts", eventTime(events, tsCol))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowLen))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(unix_micros(col("window.start")).as("window_start_us") +:
+        graft.ops.Drift.refDriftStats(refCounts): _*)
+  }
 }

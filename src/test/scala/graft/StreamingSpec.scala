@@ -277,4 +277,47 @@ class StreamingSpec extends SparkSpec {
       assert(est.contains("a"))
     } finally q.stop()
   }
+
+  test("windowed reference drift: each closed window equals the batch " +
+      "referenceDrift on that window's rows") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val ref = Seq("a" -> 3L, "b" -> 1L)
+    val q = StreamProfiler.windowedReferenceDrift(mem.toDF(), "ts",
+        col("event_type"), ref, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("refdrift")
+      .outputMode("append").start()
+    try {
+      // hour 0: a drifted mix (c is outside the reference buckets);
+      // hour 1: exactly the reference mix
+      val w0 = Seq(Ev(t(5), "a", 1.0), Ev(t(10), "b", 1.0),
+        Ev(t(20), "c", 1.0), Ev(t(30), "a", 1.0))
+      val w1 = Seq(Ev(t(65), "a", 1.0), Ev(t(70), "a", 1.0),
+        Ev(t(75), "a", 1.0), Ev(t(80), "b", 1.0))
+      mem.addData(w0 ++ w1: _*)
+      q.processAllAvailable()
+      mem.addData(Ev(t(4000), "a", 1.0)) // close both windows
+      q.processAllAvailable()
+      val out = spark.table("refdrift")
+        .orderBy("window_start_us").collect()
+      val r0 = out.find(_.getLong(0) == 0L).get
+      val r1 = out.find(_.getLong(0) == 3600000000L).get
+      // per-window equality with the batch twin
+      for ((row, slice) <- Seq(r0 -> w0, r1 -> w1)) {
+        val batch = graft.ops.Drift.referenceDrift(slice.toDF(), "w",
+          col("event_type"), ref).collect()(0)
+        for (f <- Seq("n_a", "n_b", "n_buckets"))
+          assert(row.getAs[Long](f) == batch.getAs[Long](f), f)
+        for (f <- Seq("psi", "tvd", "ks"))
+          assert(row.getAs[Double](f) == batch.getAs[Double](f), f)
+      }
+      // the reference-mix window scores zero drift; the drifted one
+      // does not
+      assert(r1.getAs[Double]("psi") == 0.0)
+      assert(r1.getAs[Double]("ks") == 0.0)
+      assert(r0.getAs[Double]("psi") > 0.0)
+    } finally q.stop()
+  }
 }
