@@ -39,9 +39,18 @@ import org.apache.spark.sql.functions._
 object BloomPrefilter {
 
   /** Bloom bitset over `keys` (a LongType `shingle` column) as a
-    * single-row map<word-index, 64-bit word>. */
-  def buildBits(keys: DataFrame, mBits: Long, nHashes: Int): DataFrame =
-    keys
+    * single-row DENSE array<bigint> of m/64 words (128 KiB at the
+    * default m=2^20 — bounded by the parameter, not the data, the
+    * same driver-state contract as the IVF codebooks).
+    *
+    * Dense-array form is the load-bearing choice: `element_at` on a
+    * Catalyst map is a LINEAR scan of the ~m/64 entries, so a sparse
+    * map<word,bits> bitset pays ~16k key comparisons PER PROBE —
+    * measured r6, it dominated the whole decontamination probe (the
+    * map-form prefilter ran 3× slower than the unfiltered exact
+    * join it was supposed to beat). Array `element_at` is O(1). */
+  def buildBits(keys: DataFrame, mBits: Long, nHashes: Int): DataFrame = {
+    val words = keys
       .select(explode(array((0 until nHashes).map(j =>
         pmod(xxhash64(lit(j.toLong), col("shingle")), lit(mBits))): _*))
         .as("pos"))
@@ -50,16 +59,20 @@ object BloomPrefilter {
           pmod(col("pos"), lit(64L)).cast("int")).as("m"))
       .groupBy("w")
       .agg(call_function("bit_or", col("m")).as("bits"))
-      .agg(map_from_arrays(collect_list("w"), collect_list("bits"))
-        .as("bloom"))
+      .collect() // ≤ m/64 rows — parameter-bounded, like a codebook
+    val arr = new Array[Long](((mBits + 63L) / 64L).toInt)
+    words.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    keys.sparkSession.range(1).select(typedlit(arr.toSeq).as("bloom"))
+  }
 
-  /** All `nHashes` bit probes for `key` against the bitset map. */
+  /** All `nHashes` bit probes for `key` against the dense bitset
+    * array (1-based element_at; every word index is in range by
+    * construction). */
   def mightContain(bloom: Column, key: Column, mBits: Long,
       nHashes: Int): Column =
     (0 until nHashes).map { j =>
       val pos = pmod(xxhash64(lit(j.toLong), key), lit(mBits))
-      val word = coalesce(
-        element_at(bloom, (pos / lit(64L)).cast("long")), lit(0L))
+      val word = element_at(bloom, (pos / lit(64L)).cast("int") + 1)
       val mask = call_function("shiftleft", lit(1L),
         pmod(pos, lit(64L)).cast("int"))
       word.bitwiseAND(mask) =!= 0L
