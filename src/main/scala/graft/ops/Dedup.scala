@@ -440,6 +440,35 @@ object Dedup {
       .orderBy("eval_id", "train_id")
   }
 
+  /** Per-document n-gram novelty vs a training corpus — the
+    * memorization-risk screen dual to [[contaminationPairs]]: for
+    * each eval document, the fraction of its DISTINCT n-gram shingles
+    * never seen anywhere in training. A benchmark whose novelty
+    * collapses toward 0 is answerable from memorized spans; a
+    * fine-tuning set whose novelty is ~1 genuinely extends the
+    * corpus. Emits (doc_id, n_grams, n_seen, novelty); docs shorter
+    * than `n` tokens have no shingle set and are absent (same
+    * convention as the dedup family).
+    *
+    * Scale shape: the training side collapses to DISTINCT shingles
+    * (one aggregation — one row per vocab gram, so the probe join
+    * cannot blow up on hot boilerplate grams), then one left join on
+    * the 8-byte shingle key and one per-doc aggregation. */
+  def noveltyStats(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val ti = shingleIndex(train, idCol, textCol, n, None)
+      .select("shingle").distinct().withColumn("seen", lit(1L))
+    val ei = shingleIndex(eval, idCol, textCol, n, None)
+    ei.join(ti, Seq("shingle"), "left")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum("seen"), lit(0L)).as("n_seen"))
+      .select(col("doc_id"), col("n_grams"), col("n_seen"),
+        graft.det.Sig.sig5(lit(1.0) -
+          col("n_seen").cast("double") / col("n_grams")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over a near-dup pair list: every document
     * that appears in a pair gets a cluster id = the minimum doc id
     * reachable through the pair graph (the canonical representative).

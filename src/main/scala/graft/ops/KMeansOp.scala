@@ -154,12 +154,25 @@ object KMeansOp {
           col("v").as("vb"), col("nrm").as("nb"))
         x.join(y, Seq("cell")).where(col("id_a") < col("id_b"))
       case Some(cap) =>
-        // one aggregation per cell gives both the size (cap
-        // decision) and the star representative (min vid, so
-        // rep < id_b holds for every star edge by construction)
-        val sizes = a.groupBy("cell")
-          .agg(count(lit(1)).as("sz"), min("vid").as("rep"))
-        val w = a.join(sizes, Seq("cell"))
+        // size, star representative (min vid — so rep < id_b holds
+        // for every star edge) and the rep's vector all come from
+        // windows over ONE cell-partitioned exchange: no extra
+        // aggregation, no join back, and the expensive assignment
+        // projection is evaluated once per branch with the shuffle
+        // itself deduplicated by exchange reuse. Per-cell window work
+        // is LINEAR in the cell (the quadratic all-pairs is what the
+        // cap removes), same bound as the pair join's own cell
+        // partitioning.
+        import org.apache.spark.sql.expressions.Window
+        val byCell = Window.partitionBy("cell")
+        val byCellOrd = Window.partitionBy("cell").orderBy("vid")
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)
+        val w = a.select(col("cell"), col("vid"), col("v"), col("nrm"),
+          count(lit(1)).over(byCell).as("sz"),
+          min("vid").over(byCell).as("rep"),
+          first("v").over(byCellOrd).as("repv"),
+          first("nrm").over(byCellOrd).as("repn"))
         val small = w.where(col("sz") <= cap)
         val x = small.select(col("cell"), col("vid").as("id_a"),
           col("v").as("va"), col("nrm").as("na"))
@@ -167,14 +180,12 @@ object KMeansOp {
           col("v").as("vb"), col("nrm").as("nb"))
         val smallPairs =
           x.join(y, Seq("cell")).where(col("id_a") < col("id_b"))
-        val starB = w.where(col("sz") > cap && col("vid") =!= col("rep"))
-          .select(col("cell"), col("rep"), col("vid").as("id_b"),
-            col("v").as("vb"), col("nrm").as("nb"))
-        val repV = a.select(col("vid").as("rep"), col("v").as("va"),
-          col("nrm").as("na"))
-        val starPairs = starB.join(repV, Seq("rep"))
-          .select(col("cell"), col("rep").as("id_a"), col("va"),
-            col("na"), col("id_b"), col("vb"), col("nb"))
+        val starPairs = w
+          .where(col("sz") > cap && col("vid") =!= col("rep"))
+          .select(col("cell"), col("rep").as("id_a"),
+            col("repv").as("va"), col("repn").as("na"),
+            col("vid").as("id_b"), col("v").as("vb"),
+            col("nrm").as("nb"))
         smallPairs.unionByName(starPairs)
     }
     pairs

@@ -130,4 +130,31 @@ object Sampling {
       .withColumn("w_mille", thr)
       .where(col("mille") < col("w_mille"))
   }
+
+  /** Temperature-scaled mixture quotas — the multilingual/source
+    * re-balancing rule (mBERT/XLM-R style): stratum s gets a share
+    * ∝ n_s^invT of `budget`, so invT = 1 reproduces natural
+    * proportions, invT → 0 approaches uniform, and 0 < invT < 1
+    * up-samples the tail without letting the head dominate. Emits
+    * one row per stratum: (stratum, n_docs, share, quota).
+    *
+    * Scale shape: ONE count aggregation (strata-sized result) and
+    * closed-form arithmetic — no second scan, no window. Discrete
+    * determinism: the share is sig5-ROUNDED before the quota
+    * multiply+floor, so the cross-engine contract rests on rounded
+    * operands (the pow/sum ulp noise never reaches the floor). */
+  def temperatureQuotas(df: DataFrame, stratumCol: String,
+      budget: Long, invT: Double = 0.5): DataFrame = {
+    require(invT > 0.0 && budget > 0L, "invT and budget must be > 0")
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("wgt", pow(col("n_docs").cast("double"), lit(invT)))
+    val tot = counts.agg(sum("wgt").as("tw"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_docs"),
+        graft.det.Sig.sig5(col("wgt") / col("tw")).as("share"))
+      .withColumn("quota",
+        floor(col("share") * budget.toDouble).cast("long"))
+      .orderBy("stratum")
+  }
 }

@@ -390,6 +390,29 @@ object Extensions {
     // ONE conditional-sum agg — the batch twin of the streaming
     // windowedReferenceDrift (StreamingSpec asserts per-window
     // equality)
+    // temperature-scaled mixture quotas: stratum share ∝ n^(1/T)
+    // (T = 2 here) — the multilingual re-balancing rule; floor on the
+    // sig5-rounded share keeps the discrete quota cross-engine exact
+    "sample_temperature" -> ((s, dir) =>
+      Sampling.temperatureQuotas(t(s, dir, "documents"), "lang",
+        budget = 1000L, invT = 0.5)),
+    // n-gram novelty: the memorization-risk screen — per eval doc,
+    // the share of its distinct 3-grams never seen in training
+    // (uncapped on both sides: a df cap would falsely mark common
+    // grams as novel)
+    "doc_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.noveltyStats(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", n = 3)
+    }),
+    // DSIR-style data selection: raw docs scored by the unigram
+    // log-likelihood ratio against the src0 target slice, top 25 kept
+    // (rank on sig5-ROUNDED weight, doc_id tie-break)
+    "dsir_select" -> ((s, dir) =>
+      Dsir.topByImportance(t(s, dir, "documents"), "doc_id", "text",
+        col("source") === "src0", topK = 25)),
     "drift_reference" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val refCounts = d
@@ -1492,6 +1515,68 @@ val eventsRollupSql: String =
        |  ELSE 0 END) AS BIGINT) AS n_zero_cross
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Temperature quotas re-derived; floor runs on the sig5-rounded
+    * share in BOTH engines so pow/sum ulp noise never flips the
+    * discrete quota. */
+  val sampleTemperatureSql: String =
+    s"""WITH c AS (SELECT lang AS stratum, count(*) AS n_docs
+       |           FROM documents GROUP BY 1),
+       |w AS (SELECT stratum, n_docs,
+       |        pow(CAST(n_docs AS DOUBLE), 0.5) AS wgt FROM c),
+       |t AS (SELECT sum(wgt) AS tw FROM w)
+       |SELECT stratum, n_docs, ${sig("wgt / tw")} AS share,
+       |CAST(floor(${sig("wgt / tw")} * 1000.0) AS BIGINT) AS quota
+       |FROM w, t ORDER BY stratum""".stripMargin
+
+  /** Novelty re-derived on string grams (no hot cap on either side —
+    * unlike the contamination CTEs — because common grams must count
+    * as SEEN, not novel). */
+  val docNoveltySql: String =
+    s"""WITH tg AS (
+       |  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |    AS shingle
+       |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+       |        WHERE source <> 'src0') s,
+       |    LATERAL unnest(range(1, len(w) - 1)) t(i)),
+       |ev AS (
+       |  SELECT id, unnest(grams) AS shingle FROM (
+       |    SELECT doc_id AS id,
+       |      list_distinct(list_transform(range(1, len(w) - 1),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |          FROM documents WHERE source = 'src0')))
+       |SELECT ev.id AS doc_id, count(*) AS n_grams,
+       |CAST(sum(CASE WHEN tg.shingle IS NOT NULL THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS n_seen,
+       |${sig("1.0 - CAST(sum(CASE WHEN tg.shingle IS NOT NULL " +
+          "THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS novelty
+       |FROM ev LEFT JOIN tg ON tg.shingle = ev.shingle
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DSIR importance selection re-derived: per-slice smoothed unigram
+    * probs over the shared vocabulary, per-doc Σ ln ratio (sig5 —
+    * summation-order float noise is absorbed before the rank
+    * compares), row_number-then-limit ≡ the Spark rank-after-limit. */
+  val dsirSelectSql: String =
+    s"""WITH tok AS (SELECT doc_id, (source = 'src0') AS tgt,
+       |        unnest(string_split(text, ' ')) AS token FROM documents),
+       |c AS (SELECT token,
+       |        sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ca,
+       |        sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cb
+       |      FROM tok GROUP BY 1),
+       |t AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+       |        CAST(sum(cb) AS DOUBLE) AS nb,
+       |        CAST(count(*) AS DOUBLE) AS k FROM c),
+       |lr AS (SELECT token, ln(((ca + 0.5) / (na + 0.5 * k)) /
+       |        ((cb + 0.5) / (nb + 0.5 * k))) AS lr FROM c, t),
+       |w AS (SELECT tok.doc_id, count(*) AS n_tokens,
+       |        ${sig("sum(lr)")} AS w
+       |      FROM tok JOIN lr USING (token) WHERE NOT tgt GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY w DESC, doc_id)
+       |         AS BIGINT) AS rnk,
+       |  doc_id, n_tokens, w
+       |FROM w ORDER BY w DESC, doc_id LIMIT 25""".stripMargin
+
   /** Fixed-reference drift re-derived: literal reference shares from
     * the even slice, candidate shares from the odd slice, PSI/TVD
     * over the reference buckets ∪ `__other__`, KS as the max
@@ -1564,6 +1649,9 @@ val eventsRollupSql: String =
     "multimodal_audio" -> multimodalAudioSql,
     "drift_vocab" -> driftVocabSql,
     "drift_reference" -> driftReferenceSql,
+    "dsir_select" -> dsirSelectSql,
+    "doc_novelty" -> docNoveltySql,
+    "sample_temperature" -> sampleTemperatureSql,
     "sample_quota" -> sampleQuotaSql,
     "dedup_semantic" -> dedupSemanticSql,
     "drift_ks" -> driftKsSql,

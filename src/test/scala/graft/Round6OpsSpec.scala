@@ -119,6 +119,66 @@ class Round6OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // temperature quotas
+  // ---------------------------------------------------------------
+
+  test("temperatureQuotas: invT=0.5 up-samples the tail, invT=1 is " +
+      "proportional") {
+    val d = docs((0L until 90L).map(i => i -> "x"): _*)
+      .withColumn("lang", when(col("doc_id") < 81L, "en").otherwise("de"))
+    // n_en=81, n_de=9 → sqrt: 9 vs 3 → shares 0.75/0.25
+    val r = graft.ops.Sampling
+      .temperatureQuotas(d, "lang", budget = 100L, invT = 0.5)
+      .collect().map(x => (x.getString(0), x.getLong(1),
+        x.getAs[Double]("share"), x.getAs[Long]("quota"))).toSeq
+    assert(r == Seq(("de", 9L, 0.25, 25L), ("en", 81L, 0.75, 75L)))
+    val r1 = graft.ops.Sampling
+      .temperatureQuotas(d, "lang", budget = 100L, invT = 1.0)
+      .collect().map(x => (x.getString(0), x.getAs[Long]("quota"))).toSeq
+    assert(r1 == Seq(("de", 10L), ("en", 90L)))
+  }
+
+  // ---------------------------------------------------------------
+  // n-gram novelty
+  // ---------------------------------------------------------------
+
+  test("noveltyStats: share of eval grams unseen in training") {
+    val train = docs(0L -> "a b c d") // grams: "a b c", "b c d"
+    val eval = docs(
+      10L -> "a b c x", // "a b c" seen, "b c x" novel → 0.5
+      11L -> "p q r",   // fully novel
+      12L -> "z z")     // < 3 tokens → no gram set, absent
+    val r = Dedup.noveltyStats(train, eval, "doc_id", "text", n = 3)
+      .collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      x.getDouble(3))).toSeq ==
+      Seq((10L, 2L, 1L, 0.5), (11L, 1L, 0L, 1.0)))
+  }
+
+  // ---------------------------------------------------------------
+  // DSIR importance weighting
+  // ---------------------------------------------------------------
+
+  test("dsir: log-likelihood-ratio weights favor target-like docs") {
+    val srcSchema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType), StructField("src", StringType)))
+    val d = spark.createDataFrame(Seq(
+      Row(0L, "a a b", "tgt"), // target: a-heavy with b
+      Row(1L, "a a", "raw"),   // raw, target-like
+      Row(2L, "c c c", "raw")  // raw, source-only tokens
+    ).asJava, srcSchema)
+    val r = graft.ops.Dsir.topByImportance(d, "doc_id", "text",
+      col("src") === "tgt", topK = 2).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+      == Seq((1L, 1L, 2L), (2L, 2L, 3L)))
+    // hand-derived: vocab {a,b,c}, na=3, nb=5, k=3;
+    // lr(a) = ln((2.5/4.5)/(2.5/6.5)) = ln(6.5/4.5); doc 1 = 2·lr(a)
+    val w1 = 2.0 * math.log(6.5 / 4.5)
+    assert(math.abs(r(0).getAs[Double]("w") - w1) < 1e-4)
+    assert(r(1).getAs[Double]("w") < 0.0) // source-only tokens ⇒ down-weighted
+  }
+
+  // ---------------------------------------------------------------
   // WAV decode: data-before-fmt chunk order
   // ---------------------------------------------------------------
 
