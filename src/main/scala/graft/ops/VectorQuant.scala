@@ -56,4 +56,50 @@ object VectorQuant {
         countDistinct(col("q")).as("n_codes"))
       .orderBy("i")
   }
+
+  /** Product quantization (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): the vector is cut into
+    * `m` subspaces and each slice is coded as the id of its nearest
+    * seeded sub-centroid — dim floats become m small codes (8 bytes
+    * here vs 256 for a 64-dim float32 vector), the codebook layout
+    * IVF-PQ indexes build on. Codebooks are the designated corpus
+    * rows with id in [seedLo, seedHi) sliced per subspace (no RNG,
+    * same seeding contract as [[KMeansOp]] / IVF), so the whole
+    * computation is a closed-form function of the data.
+    *
+    * Scale shape: the codebook is O(k·dim) driver state collected
+    * once; encoding is a MAP-ONLY pass — per row, m independent
+    * argmins over k inline squared-distance expressions (no shuffle,
+    * no row expansion). Emits (vec_id, codes, mse) with mse the
+    * per-dimension mean squared reconstruction-proxy error (mean of
+    * the winning sub-distances over dim).
+    *
+    * Determinism contract: each argmin ranks sig5-ROUNDED sub-
+    * distances with centroid-id tie-break; mse sums the rounded
+    * winners (the [[KMeansOp]] wcss pattern). */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
+      seedLo: Long, seedHi: Long, dim: Int = 64, m: Int = 8)
+      : DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into $m")
+    val dsub = dim / m
+    val base = KMeansOp.vecBase(df, idCol, vecCol, dim)
+    val cents = KMeansOp.seedCentroids(base, seedLo, seedHi)
+    val sub = (0 until m).map { s =>
+      val structs = cents.map { case (cid, cv) =>
+        val d2 = (0 until dsub).map { j =>
+          val idx = s * dsub + j + 1 // element_at is 1-based
+          val diff = element_at(col("v"), idx).cast("double") -
+            lit(cv(s * dsub + j))
+          diff * diff
+        }.reduce(_ + _)
+        struct(sig5(d2).as("score"), lit(cid).as("cid"))
+      }
+      val best = element_at(array_sort(array(structs: _*)), 1)
+      (best.getField("cid") - lit(seedLo), best.getField("score"))
+    }
+    base.select(col("vid").as("vec_id"),
+        array(sub.map(_._1): _*).as("codes"),
+        sig5(sub.map(_._2).reduce(_ + _) / dim.toDouble).as("mse"))
+      .orderBy("vec_id")
+  }
 }

@@ -390,6 +390,14 @@ object Extensions {
     // ONE conditional-sum agg — the batch twin of the streaming
     // windowedReferenceDrift (StreamingSpec asserts per-window
     // equality)
+    // product quantization: 8 subspace codes per vector against the
+    // same seeded codebook rows as the IVF/SemDeDup family; map-only
+    // encode, codes + reconstruction-proxy mse oracle-checked
+    "embed_pq" -> ((s, dir) =>
+      VectorQuant.pqCodes(
+        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
+        "vec_id", "embedding", seedLo = 120L, seedHi = 136L,
+        dim = 64, m = 8)),
     // temperature-scaled mixture quotas: stratum share ∝ n^(1/T)
     // (T = 2 here) — the multilingual re-balancing rule; floor on the
     // sig5-rounded share keeps the discrete quota cross-engine exact
@@ -1515,6 +1523,28 @@ val eventsRollupSql: String =
        |  ELSE 0 END) AS BIGINT) AS n_zero_cross
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** PQ re-derived: subspace id s = (i−1)//8 folds each dimension
+    * into its slice, per-(vid, cid, s) squared distances, argmin on
+    * the sig5-rounded distance with cid tie-break, codes gathered in
+    * subspace order. */
+  val embedPqSql: String =
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i) WHERE vec_id < 2000),
+       |c0 AS (SELECT vec_id AS cid, i, v AS w FROM el
+       |       WHERE vec_id BETWEEN 120 AND 135),
+       |d AS (SELECT e.vec_id AS vid, c.cid, (e.i - 1) // 8 AS s,
+       |        sum((e.v - c.w) * (e.v - c.w)) AS d2
+       |      FROM el e JOIN c0 c ON c.i = e.i
+       |      GROUP BY 1, 2, 3),
+       |a AS (SELECT vid, s, cid, sd2 FROM (
+       |   SELECT vid, s, cid, ${sig("d2")} AS sd2,
+       |     row_number() OVER (PARTITION BY vid, s
+       |       ORDER BY ${sig("d2")} ASC, cid ASC) AS rn
+       |   FROM d) WHERE rn = 1)
+       |SELECT vid AS vec_id, list(cid - 120 ORDER BY s) AS codes,
+       |${sig("sum(sd2) / 64.0")} AS mse
+       |FROM a GROUP BY vid ORDER BY vec_id""".stripMargin
+
   /** Temperature quotas re-derived; floor runs on the sig5-rounded
     * share in BOTH engines so pow/sum ulp noise never flips the
     * discrete quota. */
@@ -1652,6 +1682,7 @@ val eventsRollupSql: String =
     "dsir_select" -> dsirSelectSql,
     "doc_novelty" -> docNoveltySql,
     "sample_temperature" -> sampleTemperatureSql,
+    "embed_pq" -> embedPqSql,
     "sample_quota" -> sampleQuotaSql,
     "dedup_semantic" -> dedupSemanticSql,
     "drift_ks" -> driftKsSql,

@@ -119,6 +119,30 @@ class Round6OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // product quantization
+  // ---------------------------------------------------------------
+
+  test("pqCodes: per-subspace nearest sub-centroid, mse over dim") {
+    val vecSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val d = spark.createDataFrame(Seq(
+      Row(0L, Seq(0.0, 0.0, 10.0, 10.0)), // codebook row 0
+      Row(1L, Seq(5.0, 5.0, 0.0, 0.0)),   // codebook row 1
+      Row(5L, Seq(1.0, 1.0, 9.0, 9.0)),   // → codes [0, 0]
+      Row(6L, Seq(4.0, 4.0, 1.0, 1.0))    // → codes [1, 1]
+    ).asJava, vecSchema)
+    val r = graft.ops.VectorQuant
+      .pqCodes(d, "vec_id", "embedding", 0L, 2L, dim = 4, m = 2)
+      .collect()
+      .map(x => x.getLong(0) ->
+        (x.getSeq[Long](1).toSeq, x.getDouble(2))).toMap
+    assert(r(0L) == (Seq(0L, 0L), 0.0)) // codebook rows code to themselves
+    assert(r(1L) == (Seq(1L, 1L), 0.0))
+    assert(r(5L) == (Seq(0L, 0L), 1.0)) // d2 = 2 per subspace, /4
+    assert(r(6L) == (Seq(1L, 1L), 1.0))
+  }
+
+  // ---------------------------------------------------------------
   // temperature quotas
   // ---------------------------------------------------------------
 
