@@ -124,6 +124,39 @@ object BloomPrefilter {
       .select(cols.map(col): _*)
   }
 
+  /** Ingest-time contamination flag: every row of `df` keeps its
+    * schema and gains a `maybe_contaminated` boolean — true iff some
+    * n-gram of the document MIGHT be in the eval set's Bloom bitset.
+    * `false` is definitive (no false negatives); `true` routes the
+    * doc to the exact [[Dedup.contaminationPairs]] audit.
+    *
+    * The probe is a pure Scan→Project against a broadcast 1-row
+    * bitset — no shuffle, no state — so `df` may be a STREAMING frame
+    * (stream-static broadcast join, append-safe): this is the
+    * ingest-time guard of a training pipeline, flagging contaminated
+    * documents as they arrive with the batch path as backfill/audit
+    * (StreamingSpec asserts stream/batch flag equality). */
+  def flagMaybeContaminated(df: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      maxDf: Option[Long] = None, mBits: Long = 1L << 20,
+      nHashes: Int = 4): DataFrame = {
+    val evalShingles = Dedup.shingleIndex(eval, idCol, textCol, n, maxDf)
+      .select("shingle").distinct()
+    val cols = df.columns
+    val bloomC = freshName("__bloom", cols)
+    val hwC = freshName("__hw", cols)
+    val gsC = freshName("__gs", cols)
+    val bloom = buildBits(evalShingles, mBits, nHashes)
+      .withColumnRenamed("bloom", bloomC)
+    df.withColumn(hwC,
+        transform(split(col(textCol), " "), t => xxhash64(t)))
+      .withColumn(gsC, gramArray(col(hwC), n))
+      .crossJoin(broadcast(bloom))
+      .withColumn("maybe_contaminated", exists(col(gsC),
+        g => mightContain(col(bloomC), g, mBits, nHashes)))
+      .select(cols.map(col) :+ col("maybe_contaminated"): _*)
+  }
+
   /** Exact decontamination through the Bloom prefilter: identical
     * result to [[Dedup.contaminationPairs]] on the full inputs (no
     * false negatives), with the pair join reduced to candidates.

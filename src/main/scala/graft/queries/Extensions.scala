@@ -390,6 +390,27 @@ object Extensions {
     // ONE conditional-sum agg — the batch twin of the streaming
     // windowedReferenceDrift (StreamingSpec asserts per-window
     // equality)
+    // ingest-guard recall gate: every train doc the EXACT capped
+    // overlap join finds (≥1 shared gram) must carry a true Bloom
+    // flag — the no-false-negatives guarantee as a hash-checked
+    // boolean column, same pattern as the LSH recall gates. The
+    // streaming twin runs the identical map-only probe
+    // (StreamingSpec asserts stream/batch flag equality).
+    "text_guard_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.where(col("source") =!= "src0")
+      val eval = docs.where(col("source") === "src0")
+      val flagged = BloomPrefilter.flagMaybeContaminated(train, eval,
+          "doc_id", "text", n = 3, maxDf = Some(NgramMaxDf))
+        .select(col("doc_id"), col("maybe_contaminated"))
+      val exact = Dedup.contaminationPairs(train, eval, "doc_id",
+          "text", n = 3, minShared = 1L, maxDf = Some(NgramMaxDf))
+        .select(col("train_id").as("doc_id")).distinct()
+      exact.join(flagged, Seq("doc_id"))
+        .select(col("doc_id"),
+          col("maybe_contaminated").as("flagged"))
+        .orderBy("doc_id")
+    }),
     // product quantization: 8 subspace codes per vector against the
     // same seeded codebook rows as the IVF/SemDeDup family; map-only
     // encode, codes + reconstruction-proxy mse oracle-checked
@@ -1523,6 +1544,18 @@ val eventsRollupSql: String =
        |  ELSE 0 END) AS BIGINT) AS n_zero_cross
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Guard recall gate: the exact ≥1-shared-gram train set with TRUE
+    * literals — the Bloom flag has no false negatives, so a false
+    * flag anywhere fails the hash compare. */
+  val textGuardRecallSql: String =
+    s"""WITH ${shingleCteSql("tr",
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')")},
+       |${shingleCteSql("ev",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")}
+       |SELECT DISTINCT tr.id AS doc_id, TRUE AS flagged
+       |FROM tr JOIN ev ON ev.shingle = tr.shingle
+       |ORDER BY doc_id""".stripMargin
+
   /** PQ re-derived: subspace id s = (i−1)//8 folds each dimension
     * into its slice, per-(vid, cid, s) squared distances, argmin on
     * the sig5-rounded distance with cid tie-break, codes gathered in
@@ -1683,6 +1716,7 @@ val eventsRollupSql: String =
     "doc_novelty" -> docNoveltySql,
     "sample_temperature" -> sampleTemperatureSql,
     "embed_pq" -> embedPqSql,
+    "text_guard_recall" -> textGuardRecallSql,
     "sample_quota" -> sampleQuotaSql,
     "dedup_semantic" -> dedupSemanticSql,
     "drift_ks" -> driftKsSql,

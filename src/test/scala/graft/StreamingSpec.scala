@@ -320,4 +320,39 @@ class StreamingSpec extends SparkSpec {
       assert(r0.getAs[Double]("psi") > 0.0)
     } finally q.stop()
   }
+
+  test("streaming contamination guard flags arriving docs exactly " +
+      "like the batch probe") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "a copy of the quick brown fox jumps here"), // shares grams
+      (2L, "completely unrelated sentence about trains"),
+      (3L, "pack my box with five dozen liquor jugs verbatim"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.ops.BloomPrefilter.flagMaybeContaminated(
+        mem.toDF().toDF("doc_id", "text"), evalDocs, "doc_id", "text")
+      .writeStream.format("memory").queryName("contamguard")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("contamguard").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Boolean]("maybe_contaminated")).toMap
+      val batch = graft.ops.BloomPrefilter.flagMaybeContaminated(
+          incoming.toDF("doc_id", "text"), evalDocs, "doc_id", "text")
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Boolean]("maybe_contaminated")).toMap
+      assert(streamed == batch)
+      assert(streamed(1L) && streamed(3L))
+      assert(!streamed(2L)) // no false positives on this fixture
+    } finally q.stop()
+  }
 }
