@@ -189,6 +189,50 @@ object Drift {
       sig5(psi).as("psi"), sig5(tvd).as("tvd"), sig5(ks).as("ks"))
   }
 
+  /** Embedding-space drift between two slices: centroid shift as L2
+    * distance and cosine between the per-slice mean vectors, plus the
+    * max per-dimension mean gap. The continuous-space twin of the
+    * categorical drifts — a crawl whose embedding centroid moves has
+    * changed topically even when every categorical mix looks stable.
+    *
+    * Scale shape: one posexplode + (dim → conditional sums)
+    * aggregation with map-side combine (shuffle volume = partitions ×
+    * dim), then a `dim`-row reduce to one row. NULL metrics (never
+    * NaN) when a slice is empty. */
+  def embeddingDrift(df: DataFrame, dim: String, vec: Column,
+      slice: Column, dims: Int = 64): DataFrame = {
+    val el = df.where(size(vec) === dims)
+      .select(posexplode(vec).as(Seq("p", "vf")), slice.as("s"))
+      .select(col("p"), col("vf").cast("double").as("v"), col("s"))
+    val perDim = el.groupBy("p").agg(
+      sum(when(col("s") === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col("s") === 1, 1L).otherwise(0L)).as("cb"),
+      sum(when(col("s") === 0, col("v")).otherwise(0.0)).as("sa"),
+      sum(when(col("s") === 1, col("v")).otherwise(0.0)).as("sb"))
+    perDim
+      .select(col("ca"), col("cb"),
+        when(col("ca") > 0, col("sa") / col("ca")).as("ma"),
+        when(col("cb") > 0, col("sb") / col("cb")).as("mb"))
+      .agg(
+        min(lit(dim)).as("dim"),
+        // ca/cb are the per-slice vector counts, identical in every
+        // dim group — min is just a deterministic carrier
+        min("ca").as("n_a"),
+        min("cb").as("n_b"),
+        sig5(sqrt(sum((col("ma") - col("mb")) * (col("ma") - col("mb")))))
+          .as("l2"),
+        // guarded: ANSI raises DIVIDE_BY_ZERO even for doubles, so a
+        // degenerate all-zero centroid short-circuits to NULL
+        sig5(when(
+          sqrt(sum(col("ma") * col("ma"))) *
+            sqrt(sum(col("mb") * col("mb"))) > 0.0,
+          sum(col("ma") * col("mb")) /
+            (sqrt(sum(col("ma") * col("ma"))) *
+             sqrt(sum(col("mb") * col("mb")))))).as("centroid_cos"),
+        sig5(max(abs(col("ma") - col("mb")))).as("max_dim_gap"))
+      .where(col("n_a").isNotNull)
+  }
+
   /** Batch fixed-reference drift: score `df`'s `bucket` distribution
     * against the literal `refCounts` histogram (bucket → count,
     * caller-sorted for the KS bucket order). One aggregation over the

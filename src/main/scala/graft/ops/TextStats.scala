@@ -186,6 +186,34 @@ object TextStats {
           .rolling_min_hash(col(textCol), FpGram).as("fp"))
       .orderBy("doc_id")
 
+  /** Top adjacent character-pair frequencies within tokens — the
+    * counting pass of BPE tokenizer training (Sennrich et al. 2016):
+    * the first merge rule is exactly the head of this list, and each
+    * subsequent BPE iteration re-runs this count over the re-tokenized
+    * corpus. At 100 TB the counting pass IS the training cost, so its
+    * plan shape matters: token explode → in-token position explode →
+    * ONE (pair → count) hash aggregation with map-side combine, head
+    * via orderBy+limit (TakeOrderedAndProject), rank stamped after
+    * the limit — the same distributed top-k contract as [[vocab]].
+    * Ties break by pair for determinism. */
+  def bpePairs(df: DataFrame, textCol: String, topK: Int = 20)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(explode(tokens(col(textCol))).as("tok"))
+      .where(length(col("tok")) >= 2)
+    val counts = tok
+      .select(col("tok"),
+        explode(sequence(lit(1), length(col("tok")) - 1)).as("i"))
+      .select(expr("substring(tok, i, 2)").as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("pair")).limit(topK)
+    top.withColumn("rnk", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("pair")))
+        .cast("long"))
+      .select("rnk", "pair", "cnt")
+      .orderBy("rnk")
+  }
+
   /** Corpus vocabulary profile: the `topK` tokens by frequency with
     * rank, count, and corpus share — the vocabulary sanity check run
     * before tokenizer training (a misbehaving extractor shows up as

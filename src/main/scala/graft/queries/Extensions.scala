@@ -390,6 +390,17 @@ object Extensions {
     // ONE conditional-sum agg — the batch twin of the streaming
     // windowedReferenceDrift (StreamingSpec asserts per-window
     // equality)
+    // BPE counting pass: top adjacent char pairs within tokens — the
+    // first merge rule of tokenizer training; distributed top-k
+    "text_bpe_pairs" -> ((s, dir) =>
+      TextStats.bpePairs(t(s, dir, "documents"), "text", topK = 20)),
+    // embedding-space drift: centroid shift between the even/odd
+    // vector slices — the continuous twin of the categorical drifts
+    "drift_embedding" -> ((s, dir) =>
+      Drift.embeddingDrift(
+        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
+        "embedding", col("embedding"), pmod(col("vec_id"), lit(2L)),
+        dims = 64)),
     // ingest-guard recall gate: every train doc the EXACT capped
     // overlap join finds (≥1 shared gram) must carry a true Bloom
     // flag — the no-false-negatives guarantee as a hash-checked
@@ -1544,6 +1555,44 @@ val eventsRollupSql: String =
        |  ELSE 0 END) AS BIGINT) AS n_zero_cross
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** BPE pair counts re-derived with character-based substring on
+    * both engines. */
+  val textBpePairsSql: String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+       |             FROM documents),
+       |pr AS (SELECT substring(tok, i, 2) AS pair
+       |       FROM tok, LATERAL unnest(range(1, len(tok))) t(i)
+       |       WHERE len(tok) >= 2),
+       |c AS (SELECT pair, count(*) AS cnt FROM pr GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair)
+       |  AS BIGINT) AS rnk, pair, cnt
+       |FROM c ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  /** Embedding drift re-derived: per-dim conditional sums, slice
+    * means, centroid L2/cosine over the 64-row mean table. */
+  val driftEmbeddingSql: String =
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v,
+       |        vec_id % 2 AS s
+       |      FROM embeddings, range(1, 65) t(i)
+       |      WHERE vec_id < 2000 AND len(embedding) = 64),
+       |pd AS (SELECT i,
+       |        sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+       |        sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb,
+       |        sum(CASE WHEN s = 0 THEN v ELSE 0 END) AS sa,
+       |        sum(CASE WHEN s = 1 THEN v ELSE 0 END) AS sb
+       |      FROM el GROUP BY 1),
+       |m AS (SELECT ca, cb,
+       |        CASE WHEN ca > 0 THEN sa / ca END AS ma,
+       |        CASE WHEN cb > 0 THEN sb / cb END AS mb FROM pd)
+       |SELECT 'embedding' AS dim, CAST(min(ca) AS BIGINT) AS n_a,
+       |CAST(min(cb) AS BIGINT) AS n_b,
+       |${sig("sqrt(sum((ma - mb) * (ma - mb)))")} AS l2,
+       |${sig("CASE WHEN sqrt(sum(ma * ma)) * sqrt(sum(mb * mb)) > 0 " +
+          "THEN sum(ma * mb) / (sqrt(sum(ma * ma)) * " +
+          "sqrt(sum(mb * mb))) END")} AS centroid_cos,
+       |${sig("max(abs(ma - mb))")} AS max_dim_gap
+       |FROM m HAVING min(ca) IS NOT NULL""".stripMargin
+
   /** Guard recall gate: the exact ≥1-shared-gram train set with TRUE
     * literals — the Bloom flag has no false negatives, so a false
     * flag anywhere fails the hash compare. */
@@ -1717,6 +1766,8 @@ val eventsRollupSql: String =
     "sample_temperature" -> sampleTemperatureSql,
     "embed_pq" -> embedPqSql,
     "text_guard_recall" -> textGuardRecallSql,
+    "text_bpe_pairs" -> textBpePairsSql,
+    "drift_embedding" -> driftEmbeddingSql,
     "sample_quota" -> sampleQuotaSql,
     "dedup_semantic" -> dedupSemanticSql,
     "drift_ks" -> driftKsSql,

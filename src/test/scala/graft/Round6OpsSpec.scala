@@ -119,6 +119,48 @@ class Round6OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // BPE pair counts + embedding drift
+  // ---------------------------------------------------------------
+
+  test("bpePairs: counts adjacent in-token char pairs, rank ties by " +
+      "pair") {
+    val d = docs(0L -> "abab cd", 1L -> "ab x")
+    // pairs: abab → ab, ba, ab; cd → cd; ab → ab  (x is length-1)
+    val r = TextStats.bpePairs(d, "text", topK = 2).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, "ab", 3L), (2L, "ba", 1L))) // ba < cd tie
+  }
+
+  test("embeddingDrift: identical slices → l2 0 and cosine 1; " +
+      "shifted slice measured") {
+    val vecSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    def mk(rows: (Long, Seq[Double])*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2)).asJava, vecSchema)
+    val same = mk(0L -> Seq(1.0, 2.0), 1L -> Seq(1.0, 2.0),
+      2L -> Seq(1.0, 2.0), 3L -> Seq(1.0, 2.0))
+    val r0 = graft.ops.Drift.embeddingDrift(same, "e",
+      col("embedding"), pmod(col("vec_id"), lit(2L)), dims = 2)
+      .collect()(0)
+    assert(r0.getAs[Long]("n_a") == 2L && r0.getAs[Long]("n_b") == 2L)
+    assert(r0.getAs[Double]("l2") == 0.0)
+    assert(r0.getAs[Double]("centroid_cos") == 1.0)
+    val moved = mk(0L -> Seq(1.0, 0.0), 2L -> Seq(1.0, 0.0),
+      1L -> Seq(0.0, 3.0), 3L -> Seq(0.0, 3.0))
+    val r1 = graft.ops.Drift.embeddingDrift(moved, "e",
+      col("embedding"), pmod(col("vec_id"), lit(2L)), dims = 2)
+      .collect()(0)
+    // centroids (1,0) vs (0,3): l2 = sqrt(10), cos = 0, gap = 3
+    assert(math.abs(r1.getAs[Double]("l2") - math.sqrt(10.0)) < 1e-4)
+    assert(r1.getAs[Double]("centroid_cos") == 0.0)
+    assert(r1.getAs[Double]("max_dim_gap") == 3.0)
+    // empty input → zero rows, not a NULL row
+    assert(graft.ops.Drift.embeddingDrift(mk(), "e",
+      col("embedding"), pmod(col("vec_id"), lit(2L)), dims = 2)
+      .collect().isEmpty)
+  }
+
+  // ---------------------------------------------------------------
   // product quantization
   // ---------------------------------------------------------------
 
