@@ -132,6 +132,41 @@ object Drift {
       .where(col("n_a") + col("n_b") > 0)
   }
 
+  /** Per-quantile drift between the slices: exact per-slice quantiles
+    * of a numeric dimension and their gaps — "the P90 document length
+    * moved 40% while the median held" is the monitoring readout
+    * PSI's single number hides. One aggregation computes BOTH slices'
+    * quantile arrays via conditional inputs (aggregates ignore the
+    * CASE-induced NULLs), then a bounded explode emits one row per
+    * requested quantile. Exact `percentile` buffers values — the
+    * oracle-parity config, same trade as `num_quantiles`; swap in
+    * `percentile_approx` for the 100 TB sketch path. */
+  def quantileDrift(df: DataFrame, dim: String, value: Column,
+      slice: Column,
+      ps: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    val base = df.select(value.cast("double").as("v"), slice.as("s"))
+      .where(col("v").isNotNull)
+    val arr = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val nullArr = expr(s"array(${Seq.fill(ps.size)("CAST(NULL AS DOUBLE)")
+      .mkString(", ")})")
+    val agg = base.agg(
+      expr(s"percentile(CASE WHEN s = 0 THEN v END, $arr)").as("qa"),
+      expr(s"percentile(CASE WHEN s = 1 THEN v END, $arr)").as("qb"),
+      count(col("v")).as("n"))
+    agg
+      .select(col("n"), typedlit(ps).as("p"),
+        coalesce(col("qa"), nullArr).as("qa"),
+        coalesce(col("qb"), nullArr).as("qb"))
+      .select(col("n"),
+        posexplode(arrays_zip(col("p"), col("qa"), col("qb")))
+          .as(Seq("i", "z")))
+      .where(col("n") > 0) // empty input → zero rows on any engine
+      .select(lit(dim).as("dim"), col("z.p").as("p"),
+        sig5(col("z.qa")).as("q_a"), sig5(col("z.qb")).as("q_b"),
+        sig5(col("z.qb") - col("z.qa")).as("gap"))
+      .orderBy("p")
+  }
+
   // -------------------------------------------------------------------
   // Fixed-reference drift: a candidate slice scored against a LITERAL
   // reference histogram — the monitoring shape where the baseline is

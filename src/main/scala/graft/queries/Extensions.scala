@@ -390,6 +390,11 @@ object Extensions {
     // ONE conditional-sum agg — the batch twin of the streaming
     // windowedReferenceDrift (StreamingSpec asserts per-window
     // equality)
+    // per-quantile drift: exact per-slice quantiles of doc length and
+    // their gaps — the readout PSI's single number hides
+    "drift_quantiles" -> ((s, dir) =>
+      Drift.quantileDrift(t(s, dir, "documents"), "n_chars",
+        col("n_chars"), pmod(col("doc_id"), lit(2L)))),
     // BPE counting pass: top adjacent char pairs within tokens — the
     // first merge rule of tokenizer training; distributed top-k
     "text_bpe_pairs" -> ((s, dir) =>
@@ -1555,6 +1560,23 @@ val eventsRollupSql: String =
        |  ELSE 0 END) AS BIGINT) AS n_zero_cross
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Quantile drift re-derived: DuckDB quantile_cont per slice via
+    * conditional inputs, indexed unnest over the quantile list. */
+  val driftQuantilesSql: String =
+    s"""WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS v, doc_id % 2 AS s
+       |           FROM documents WHERE n_chars IS NOT NULL),
+       |q AS (SELECT
+       |   quantile_cont(CASE WHEN s = 0 THEN v END,
+       |     [0.1, 0.25, 0.5, 0.75, 0.9]) AS qa,
+       |   quantile_cont(CASE WHEN s = 1 THEN v END,
+       |     [0.1, 0.25, 0.5, 0.75, 0.9]) AS qb,
+       |   count(v) AS n FROM b)
+       |SELECT 'n_chars' AS dim,
+       |CAST(([0.1, 0.25, 0.5, 0.75, 0.9])[i] AS DOUBLE) AS p,
+       |${sig("qa[i]")} AS q_a, ${sig("qb[i]")} AS q_b,
+       |${sig("qb[i] - qa[i]")} AS gap
+       |FROM q, range(1, 6) t(i) WHERE n > 0 ORDER BY p""".stripMargin
+
   /** BPE pair counts re-derived with character-based substring on
     * both engines. */
   val textBpePairsSql: String =
@@ -1767,6 +1789,7 @@ val eventsRollupSql: String =
     "embed_pq" -> embedPqSql,
     "text_guard_recall" -> textGuardRecallSql,
     "text_bpe_pairs" -> textBpePairsSql,
+    "drift_quantiles" -> driftQuantilesSql,
     "drift_embedding" -> driftEmbeddingSql,
     "sample_quota" -> sampleQuotaSql,
     "dedup_semantic" -> dedupSemanticSql,

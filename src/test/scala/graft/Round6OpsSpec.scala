@@ -131,6 +131,33 @@ class Round6OpsSpec extends SparkSpec {
     assert(r == Seq((1L, "ab", 3L), (2L, "ba", 1L))) // ba < cd tie
   }
 
+  test("quantileDrift: per-quantile gaps; one-sided slice → NULL " +
+      "quantiles; empty input → zero rows") {
+    val schema = StructType(Seq(StructField("v", DoubleType),
+      StructField("id", LongType)))
+    def mk(rows: (java.lang.Double, Long)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2)).asJava, schema)
+    // slice 0: 0..10 (even ids), slice 1: 100..110 (odd ids)
+    val d = mk((0 to 10).flatMap(i => Seq(
+      (java.lang.Double.valueOf(i.toDouble), 2L * i),
+      (java.lang.Double.valueOf(100.0 + i), 2L * i + 1))): _*)
+    val r = graft.ops.Drift.quantileDrift(d, "v", col("v"),
+      pmod(col("id"), lit(2L))).collect()
+    assert(r.length == 5)
+    val med = r.find(_.getAs[Double]("p") == 0.5).get
+    assert(med.getAs[Double]("q_a") == 5.0)
+    assert(med.getAs[Double]("q_b") == 105.0)
+    assert(med.getAs[Double]("gap") == 100.0)
+    // one-sided: slice 1 empty → q_b/gap NULL, q_a defined
+    val oneSided = mk((0 to 4).map(i =>
+      (java.lang.Double.valueOf(i.toDouble), 2L * i)): _*)
+    val r1 = graft.ops.Drift.quantileDrift(oneSided, "v", col("v"),
+      pmod(col("id"), lit(2L))).collect()
+    assert(r1.length == 5 && r1.forall(_.isNullAt(3)))
+    assert(graft.ops.Drift.quantileDrift(mk(), "v", col("v"),
+      pmod(col("id"), lit(2L))).collect().isEmpty)
+  }
+
   test("embeddingDrift: identical slices → l2 0 and cosine 1; " +
       "shifted slice measured") {
     val vecSchema = StructType(Seq(StructField("vec_id", LongType),
