@@ -126,9 +126,13 @@ class Round6OpsSpec extends SparkSpec {
       "pair") {
     val d = docs(0L -> "abab cd", 1L -> "ab x")
     // pairs: abab → ab, ba, ab; cd → cd; ab → ab  (x is length-1)
-    val r = TextStats.bpePairs(d, "text", topK = 2).collect()
+    val q = TextStats.bpePairs(d, "text", topK = 2)
+    val r = q.collect()
       .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSeq
     assert(r == Seq((1L, "ab", 3L), (2L, "ba", 1L))) // ba < cd tie
+    // the same distributed top-k contract as vocab
+    assert(q.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
   }
 
   test("quantileDrift: per-quantile gaps; one-sided slice → NULL " +
@@ -260,10 +264,15 @@ class Round6OpsSpec extends SparkSpec {
       Row(1L, "a a", "raw"),   // raw, target-like
       Row(2L, "c c c", "raw")  // raw, source-only tokens
     ).asJava, srcSchema)
-    val r = graft.ops.Dsir.topByImportance(d, "doc_id", "text",
-      col("src") === "tgt", topK = 2).collect()
+    val q = graft.ops.Dsir.topByImportance(d, "doc_id", "text",
+      col("src") === "tgt", topK = 2)
+    val r = q.collect()
     assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
       == Seq((1L, 1L, 2L), (2L, 2L, 3L)))
+    // selection head is a distributed partial top-k, never a
+    // full-corpus rank window
+    assert(q.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
     // hand-derived: vocab {a,b,c}, na=3, nb=5, k=3;
     // lr(a) = ln((2.5/4.5)/(2.5/6.5)) = ln(6.5/4.5); doc 1 = 2·lr(a)
     val w1 = 2.0 * math.log(6.5 / 4.5)
