@@ -81,25 +81,47 @@ object VectorQuant {
       seedLo: Long, seedHi: Long, dim: Int = 64, m: Int = 8)
       : DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into $m")
+    import graft.functions.ArrayDot.array_dot
     val dsub = dim / m
     val base = KMeansOp.vecBase(df, idCol, vecCol, dim)
     val cents = KMeansOp.seedCentroids(base, seedLo, seedHi)
-    val sub = (0 until m).map { s =>
-      val structs = cents.map { case (cid, cv) =>
-        val d2 = (0 until dsub).map { j =>
-          val idx = s * dsub + j + 1 // element_at is 1-based
-          val diff = element_at(col("v"), idx).cast("double") -
-            lit(cv(s * dsub + j))
-          diff * diff
-        }.reduce(_ + _)
-        struct(sig5(d2).as("score"), lit(cid).as("cid"))
-      }
-      val best = element_at(array_sort(array(structs: _*)), 1)
-      (best.getField("cid") - lit(seedLo), best.getField("score"))
-    }
-    base.select(col("vid").as("vec_id"),
-        array(sub.map(_._1): _*).as("codes"),
-        sig5(sub.map(_._2).reduce(_ + _) / dim.toDouble).as("mse"))
+    // Expression economy matters here (measured r6): an unrolled
+    // per-dimension (v[i]−c[i])² form is m·k·dsub element_at nodes,
+    // and with the argmin array duplicated per extracted field the
+    // serialized plan reached >200 MB task binaries and 227 s for
+    // 2000 rows — pure codegen/planning cost. The assignCells form —
+    // native array_dot over a per-subspace slice with the
+    // |c|²−2·x·c+|x|² expansion, slices and norms projected ONCE,
+    // best-struct extracted ONCE per subspace — keeps the plan
+    // O(m·k) small nodes.
+    val sliced = base.select(
+      col("vid") +: (0 until m).flatMap { s =>
+        val x = slice(col("v"), s * dsub + 1, dsub)
+        Seq(x.as(s"x$s"))
+      }: _*)
+    val normed = sliced.select(
+      col("vid") +: (0 until m).flatMap { s =>
+        Seq(col(s"x$s"),
+          array_dot(col(s"x$s"), col(s"x$s")).as(s"n$s"))
+      }: _*)
+    val withBest = normed.select(
+      col("vid") +: (0 until m).map { s =>
+        val structs = cents.map { case (cid, cv) =>
+          val cSlice = cv.slice(s * dsub, (s + 1) * dsub)
+          val cn2 = cSlice.map(t => t * t).sum
+          struct(
+            sig5(lit(cn2) - lit(2.0) *
+              array_dot(col(s"x$s"), typedLit(cSlice)) + col(s"n$s"))
+              .as("score"),
+            lit(cid).as("cid"))
+        }
+        element_at(array_sort(array(structs: _*)), 1).as(s"b$s")
+      }: _*)
+    withBest.select(col("vid").as("vec_id"),
+        array((0 until m).map(s =>
+          col(s"b$s").getField("cid") - lit(seedLo)): _*).as("codes"),
+        sig5((0 until m).map(s => col(s"b$s").getField("score"))
+          .reduce(_ + _) / dim.toDouble).as("mse"))
       .orderBy("vec_id")
   }
 }

@@ -1632,14 +1632,19 @@ val eventsRollupSql: String =
     * the sig5-rounded distance with cid tie-break, codes gathered in
     * subspace order. */
   val embedPqSql: String =
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v,
+       |        (i - 1) // 8 AS s
        |       FROM embeddings, range(1, 65) t(i) WHERE vec_id < 2000),
-       |c0 AS (SELECT vec_id AS cid, i, v AS w FROM el
+       |xn AS (SELECT vec_id, s, sum(v * v) AS xn2 FROM el GROUP BY 1, 2),
+       |c0 AS (SELECT vec_id AS cid, i, v AS w, s FROM el
        |       WHERE vec_id BETWEEN 120 AND 135),
-       |d AS (SELECT e.vec_id AS vid, c.cid, (e.i - 1) // 8 AS s,
-       |        sum((e.v - c.w) * (e.v - c.w)) AS d2
-       |      FROM el e JOIN c0 c ON c.i = e.i
-       |      GROUP BY 1, 2, 3),
+       |cn AS (SELECT cid, s, sum(w * w) AS cn2 FROM c0 GROUP BY 1, 2),
+       |dp AS (SELECT e.vec_id AS vid, c.cid, e.s, sum(e.v * c.w) AS dp
+       |       FROM el e JOIN c0 c ON c.i = e.i
+       |       GROUP BY 1, 2, 3),
+       |d AS (SELECT vid, dp.cid, dp.s, cn2 - 2 * dp + xn2 AS d2
+       |      FROM dp JOIN cn ON cn.cid = dp.cid AND cn.s = dp.s
+       |      JOIN xn ON xn.vec_id = dp.vid AND xn.s = dp.s),
        |a AS (SELECT vid, s, cid, sd2 FROM (
        |   SELECT vid, s, cid, ${sig("d2")} AS sd2,
        |     row_number() OVER (PARTITION BY vid, s
