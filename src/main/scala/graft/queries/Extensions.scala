@@ -390,6 +390,34 @@ object Extensions {
     // ONE conditional-sum agg — the batch twin of the streaming
     // windowedReferenceDrift (StreamingSpec asserts per-window
     // equality)
+    // mergeable-sketch distinct: per-source HLL sketches (DataSketches
+    // hll_sketch_agg — the per-day/per-partition shards of an
+    // INCREMENTAL profile) unioned vs one single-pass global sketch.
+    // NOTE the estimates are NOT required to be equal: DataSketches
+    // HLL keeps small shards in an exact coupon mode, so a union of
+    // exact shards can be MORE accurate than the already-promoted
+    // global sketch (observed: union exact at 500 distinct while the
+    // global sketch estimated 494). The composable-shards contract is
+    // the error ENVELOPE: both paths must sit within the sketch's
+    // bound of the exact count — emitted as booleans over the exact
+    // premise (raw estimates are engine-specific, not emitted).
+    "col_distinct_mergeable" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val perSrc = docs.groupBy("source")
+        .agg(expr("hll_sketch_agg(doc_id)").as("sk"))
+      val merged = perSrc.agg(expr(
+        "hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+      val global = docs.agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(doc_id))")
+          .as("est_global"),
+        countDistinct(col("doc_id")).as("exact"))
+      merged.crossJoin(global).select(
+        col("exact"),
+        (abs(col("est_merged") - col("exact")) <=
+          col("exact").cast("double") * 0.05).as("merged_err_bounded"),
+        (abs(col("est_global") - col("exact")) <=
+          col("exact").cast("double") * 0.05).as("global_err_bounded"))
+    }),
     // per-quantile drift: exact per-slice quantiles of doc length and
     // their gaps — the readout PSI's single number hides
     "drift_quantiles" -> ((s, dir) =>
@@ -1560,6 +1588,14 @@ val eventsRollupSql: String =
        |  ELSE 0 END) AS BIGINT) AS n_zero_cross
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Mergeable-distinct gate: exact count + both error-envelope
+    * theorems as TRUE literals (5% at default lgK=12 is ~3σ of the
+    * ~1.6% RSE — far beyond observed deviation). */
+  val colDistinctMergeableSql: String =
+    """SELECT count(DISTINCT doc_id) AS exact,
+      |TRUE AS merged_err_bounded, TRUE AS global_err_bounded
+      |FROM documents""".stripMargin
+
   /** Quantile drift re-derived: DuckDB quantile_cont per slice via
     * conditional inputs, indexed unnest over the quantile list. */
   val driftQuantilesSql: String =
@@ -1795,6 +1831,7 @@ val eventsRollupSql: String =
     "text_guard_recall" -> textGuardRecallSql,
     "text_bpe_pairs" -> textBpePairsSql,
     "drift_quantiles" -> driftQuantilesSql,
+    "col_distinct_mergeable" -> colDistinctMergeableSql,
     "drift_embedding" -> driftEmbeddingSql,
     "sample_quota" -> sampleQuotaSql,
     "dedup_semantic" -> dedupSemanticSql,

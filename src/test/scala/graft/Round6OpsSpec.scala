@@ -119,6 +119,38 @@ class Round6OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // mergeable HLL sketches
+  // ---------------------------------------------------------------
+
+  test("hll: shard-union and global sketches both sit in the error " +
+      "envelope (union may be MORE accurate — exact coupon shards)") {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("shard", StringType)))
+    val d = spark.createDataFrame(
+      (0L until 500L).map(i => Row(i, s"s${i % 7}")).asJava, schema)
+      .repartition(4)
+    val perShard = d.groupBy("shard")
+      .agg(expr("hll_sketch_agg(id)").as("sk"))
+    val merged = perShard
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("m"))
+      .collect()(0).getLong(0)
+    val global = d.agg(
+      expr("hll_sketch_estimate(hll_sketch_agg(id))").as("g"))
+      .collect()(0).getLong(0)
+    // estimate EQUALITY is deliberately not asserted: small shards
+    // stay in DataSketches' exact coupon mode, so the union can beat
+    // the already-promoted single-pass sketch (observed 500 vs 494)
+    assert(math.abs(merged - 500L) <= 25L)
+    assert(math.abs(global - 500L) <= 25L)
+    // partition-order independence of the merged path
+    val merged2 = d.repartition(13).groupBy("shard")
+      .agg(expr("hll_sketch_agg(id)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("m"))
+      .collect()(0).getLong(0)
+    assert(merged2 == merged)
+  }
+
+  // ---------------------------------------------------------------
   // BPE pair counts + embedding drift
   // ---------------------------------------------------------------
 
