@@ -139,4 +139,48 @@ object EventOps {
   def propsParsed(df: DataFrame): DataFrame =
     df.withColumn("props_parsed",
       from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+
+  private val DayUs = 86400L * 1000000L
+
+  /** Cohort retention: users bucketed by their FIRST-seen day (exact
+    * integer epoch-day index — the repo's no-date-functions time
+    * convention), then distinct active users per (cohort_day,
+    * day_offset). The standard product-analytics retention triangle.
+    *
+    * Scale shape: the first-seen aggregation and the activity join
+    * both hash-partition on user_id, so the join rides the
+    * aggregation's exchange; the final (cohort, offset) aggregation
+    * is cohort-days × horizon rows. No windows, no date functions. */
+  def retention(df: DataFrame): DataFrame = {
+    val us = tsMicros(df)
+    // numerator is an exact multiple of DayUs, so the double division
+    // is exact and the cast is safe (same trick as windowedStats)
+    val ev = df.select(col("user_id"),
+      ((us - us % lit(DayUs)) / lit(DayUs)).cast("long").as("day"))
+    val fd = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(fd, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  /** Per-user z-score anomalies: events whose value sits more than
+    * `threshold` sig5-rounded standard deviations from the user's own
+    * mean — the per-entity outlier screen run over activity streams.
+    * Users with zero variance (or a single event: NULL stddev) emit
+    * nothing. The gate compares the ROUNDED z (the engine contract
+    * for discrete decisions). One aggregation plus a co-partitioned
+    * join on user_id; the z filter is map-side. */
+  def anomalies(df: DataFrame, threshold: Double = 3.0): DataFrame = {
+    val stats = df.groupBy("user_id").agg(
+      avg("value").as("mu"), stddev_samp("value").as("sd"))
+    df.select(col("event_id"), col("user_id"), col("value"))
+      .join(stats, Seq("user_id"))
+      .where(col("sd") > 0.0)
+      .select(col("event_id"), col("user_id"),
+        sig5((col("value") - col("mu")) / col("sd")).as("z"))
+      .where(abs(col("z")) > threshold)
+      .orderBy("event_id")
+  }
 }

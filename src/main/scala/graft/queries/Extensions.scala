@@ -275,6 +275,13 @@ object Extensions {
     // ---- events (streaming-equivalent batch) ----
     "events_window" -> ((s, dir) =>
       EventOps.windowedStats(t(s, dir, "events"))),
+    // cohort retention triangle: first-seen day → distinct active
+    // users per (cohort, day offset)
+    "events_retention" -> ((s, dir) =>
+      EventOps.retention(t(s, dir, "events"))),
+    // per-user z-score outliers, gate on the sig5-rounded z
+    "events_anomaly" -> ((s, dir) =>
+      EventOps.anomalies(t(s, dir, "events"))),
     "events_sessionize" -> ((s, dir) =>
       EventOps.sessionize(t(s, dir, "events"))),
     "events_props" -> ((s, dir) =>
@@ -796,6 +803,28 @@ object Extensions {
       |SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS BIGINT)
       |  AS frame_idx
       |FROM nf ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Retention triangle re-derived on exact integer epoch days. */
+  val eventsRetentionSql: String =
+    """WITH ev AS (SELECT user_id,
+      |        (epoch_ns(ts) // 1000) // 86400000000 AS day FROM events),
+      |fd AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
+      |SELECT fd.cohort_day, ev.day - fd.cohort_day AS day_offset,
+      |count(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN fd ON fd.user_id = ev.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-user z-score outliers; both the emitted z and the >3 gate
+    * use the sig5-rounded value so summation-order noise in mu/sd
+    * cannot flip membership. */
+  val eventsAnomalySql: String =
+    s"""WITH s AS (SELECT user_id, avg(value) AS mu,
+       |             stddev_samp(value) AS sd FROM events GROUP BY 1)
+       |SELECT event_id, e.user_id,
+       |${sig("(value - mu) / sd")} AS z
+       |FROM events e JOIN s ON s.user_id = e.user_id
+       |WHERE sd > 0 AND abs(${sig("(value - mu) / sd")}) > 3
+       |ORDER BY event_id""".stripMargin
 
   /** The quadratic textbook as-of formulation (LEFT JOIN on the
     * inequality + keep the rank-1 right row) — independent of the
@@ -1883,6 +1912,8 @@ val eventsRollupSql: String =
     "events_features" -> eventsFeaturesSql,
     "sample_weighted" -> sampleWeightedSql,
     "events_window" -> eventsWindowSql,
+    "events_retention" -> eventsRetentionSql,
+    "events_anomaly" -> eventsAnomalySql,
     "events_sessionize" -> eventsSessionizeSql,
     "events_props" -> eventsPropsSql,
     "array_profile" -> arrayProfileSql,

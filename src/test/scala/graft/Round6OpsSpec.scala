@@ -119,6 +119,41 @@ class Round6OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // retention + anomalies
+  // ---------------------------------------------------------------
+
+  private val DayNs = 86400L * 1000000000L
+
+  test("retention: cohort by first-seen day, distinct users per " +
+      "offset") {
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val d = spark.createDataFrame(Seq(
+      Row(1L, 0L * DayNs, 10L, 1.0), Row(2L, 1L * DayNs, 10L, 1.0),
+      Row(3L, 0L * DayNs, 20L, 1.0),
+      Row(4L, 1L * DayNs, 30L, 1.0), Row(5L, 3L * DayNs, 30L, 1.0)
+    ).asJava, schema)
+    val r = graft.ops.EventOps.retention(d).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    assert(r == Seq((0L, 0L, 2L), (0L, 1L, 1L),
+      (1L, 0L, 1L), (1L, 2L, 1L)))
+  }
+
+  test("anomalies: flags only |z| > 3 on the rounded score; " +
+      "single-event users emit nothing") {
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("value", DoubleType)))
+    val rows = (1L to 12L).map(i => Row(i, 0L, 1L, 0.0)) ++
+      Seq(Row(13L, 0L, 1L, 100.0), Row(14L, 0L, 2L, 5.0))
+    val d = spark.createDataFrame(rows.asJava, schema)
+    val r = graft.ops.EventOps.anomalies(d).collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(13L))
+    assert(r(0).getAs[Double]("z") > 3.0)
+  }
+
+  // ---------------------------------------------------------------
   // mergeable HLL sketches
   // ---------------------------------------------------------------
 
