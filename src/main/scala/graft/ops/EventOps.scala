@@ -165,6 +165,37 @@ object EventOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Ordered conversion funnel: step i counts users whose FIRST
+    * step-i event occurs at-or-after their step-(i−1) entry time —
+    * the strict-sequence product-analytics funnel (a purchase before
+    * ever viewing does not convert).
+    *
+    * Scale shape: per step, one filtered min-aggregation plus a join
+    * against the previous frontier — every aggregation and join is
+    * hash-partitioned on user_id, so the whole chain rides one
+    * exchange family; frontiers only shrink. Counts are tiny 1-row
+    * aggregates unioned at the end (steps × 1 rows total). */
+  def funnel(df: DataFrame,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = df.select(col("user_id"), tsMicros(df).as("us"),
+      col("event_type"))
+    val first = ev.where(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("us").as("t0"))
+    val frontiers = steps.zipWithIndex.drop(1)
+      .scanLeft(first) { case (prev, (st, i)) =>
+        ev.where(col("event_type") === st)
+          .join(prev, Seq("user_id"))
+          .where(col("us") >= col(s"t${i - 1}"))
+          .groupBy("user_id").agg(min("us").as(s"t$i"))
+      }
+    frontiers.zip(steps).zipWithIndex.map { case ((f, st), i) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(st).as("event_type"),
+          col("n_users"))
+    }.reduce(_ unionByName _).orderBy("step")
+  }
+
   /** Per-user z-score anomalies: events whose value sits more than
     * `threshold` sig5-rounded standard deviations from the user's own
     * mean — the per-entity outlier screen run over activity streams.

@@ -282,6 +282,9 @@ object Extensions {
     // per-user z-score outliers, gate on the sig5-rounded z
     "events_anomaly" -> ((s, dir) =>
       EventOps.anomalies(t(s, dir, "events"))),
+    // strict-sequence conversion funnel view → click → purchase
+    "events_funnel" -> ((s, dir) =>
+      EventOps.funnel(t(s, dir, "events"))),
     "events_sessionize" -> ((s, dir) =>
       EventOps.sessionize(t(s, dir, "events"))),
     "events_props" -> ((s, dir) =>
@@ -825,6 +828,26 @@ object Extensions {
        |FROM events e JOIN s ON s.user_id = e.user_id
        |WHERE sd > 0 AND abs(${sig("(value - mu) / sd")}) > 3
        |ORDER BY event_id""".stripMargin
+
+  /** Strict-sequence funnel re-derived: each step's frontier joins
+    * the previous one on user and requires at-or-after timing. */
+  val eventsFunnelSql: String =
+    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+      |             event_type FROM events),
+      |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e
+      |       JOIN s1 ON s1.user_id = e.user_id
+      |       WHERE event_type = 'click' AND us >= t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e
+      |       JOIN s2 ON s2.user_id = e.user_id
+      |       WHERE event_type = 'purchase' AND us >= t2 GROUP BY 1)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+      |         count(*) AS n_users FROM s1
+      |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+      |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+      |ORDER BY step""".stripMargin
 
   /** The quadratic textbook as-of formulation (LEFT JOIN on the
     * inequality + keep the rank-1 right row) — independent of the
@@ -1914,6 +1937,7 @@ val eventsRollupSql: String =
     "events_window" -> eventsWindowSql,
     "events_retention" -> eventsRetentionSql,
     "events_anomaly" -> eventsAnomalySql,
+    "events_funnel" -> eventsFunnelSql,
     "events_sessionize" -> eventsSessionizeSql,
     "events_props" -> eventsPropsSql,
     "array_profile" -> arrayProfileSql,

@@ -140,6 +140,28 @@ class Round6OpsSpec extends SparkSpec {
       (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
+  test("funnel: strict ordering — a purchase before the view does " +
+      "not convert") {
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", LongType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    val us = 1000000000L // 1s in ns
+    val d = spark.createDataFrame(Seq(
+      // user 1: full ordered funnel
+      Row(1L, 1L * us, 1L, "view"), Row(2L, 2L * us, 1L, "click"),
+      Row(3L, 3L * us, 1L, "purchase"),
+      // user 2: purchase BEFORE view → stops at click
+      Row(4L, 1L * us, 2L, "purchase"), Row(5L, 2L * us, 2L, "view"),
+      Row(6L, 3L * us, 2L, "click"),
+      // user 3: view only
+      Row(7L, 1L * us, 3L, "view")
+    ).asJava, schema)
+    val r = graft.ops.EventOps.funnel(d).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2))).toSeq
+    assert(r == Seq((1L, "view", 3L), (2L, "click", 2L),
+      (3L, "purchase", 1L)))
+  }
+
   test("anomalies: flags only |z| > 3 on the rounded score; " +
       "single-event users emit nothing") {
     val schema = StructType(Seq(StructField("event_id", LongType),
