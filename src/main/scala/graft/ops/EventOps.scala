@@ -140,6 +140,31 @@ object EventOps {
     df.withColumn("props_parsed",
       from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
 
+  /** Sliding-window stats per event type: every event lands in
+    * len/slide overlapping windows (the monitoring view that catches
+    * a spike straddling a tumbling boundary). Same exact-integer
+    * window arithmetic as [[windowedStats]], with the bounded
+    * len/slide explode factor as the only extra cost — shuffle keys
+    * stay (window_start, type). Mirrors Spark's
+    * `window(ts, len, slide)` semantics; the streaming twin is
+    * [[graft.streaming.StreamProfiler.windowedStats]] with a slide. */
+  def slidingWindowStats(df: DataFrame, lenUs: Long = HourUs,
+      slideUs: Long = HourUs / 2): DataFrame = {
+    require(lenUs % slideUs == 0, "len must be a multiple of slide")
+    val n = (lenUs / slideUs).toInt
+    val us = tsMicros(df)
+    df.select(us.as("us"), col("event_type"), col("value"))
+      .select(col("us"), col("event_type"), col("value"),
+        explode(sequence(lit(0), lit(n - 1))).as("j"))
+      .select(((col("us") - col("us") % lit(slideUs)) -
+          col("j") * lit(slideUs)).as("window_start_us"),
+        col("event_type"), col("value"))
+      .groupBy("window_start_us", "event_type")
+      .agg(count(lit(1)).as("cnt"), sig5(avg("value")).as("avg_value"),
+        min("value").as("min_value"), max("value").as("max_value"))
+      .orderBy("window_start_us", "event_type")
+  }
+
   private val DayUs = 86400L * 1000000L
 
   /** Cohort retention: users bucketed by their FIRST-seen day (exact

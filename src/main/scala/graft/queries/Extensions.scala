@@ -285,6 +285,9 @@ object Extensions {
     // strict-sequence conversion funnel view → click → purchase
     "events_funnel" -> ((s, dir) =>
       EventOps.funnel(t(s, dir, "events"))),
+    // overlapping 1h windows sliding every 30min
+    "events_sliding" -> ((s, dir) =>
+      EventOps.slidingWindowStats(t(s, dir, "events"))),
     "events_sessionize" -> ((s, dir) =>
       EventOps.sessionize(t(s, dir, "events"))),
     "events_props" -> ((s, dir) =>
@@ -828,6 +831,19 @@ object Extensions {
        |FROM events e JOIN s ON s.user_id = e.user_id
        |WHERE sd > 0 AND abs(${sig("(value - mu) / sd")}) > 3
        |ORDER BY event_id""".stripMargin
+
+  /** Sliding windows re-derived: each event replicated into its
+    * len/slide containing windows by integer arithmetic. */
+  val eventsSlidingSql: String =
+    s"""WITH x AS (SELECT epoch_ns(ts) // 1000 AS us, event_type,
+       |             value FROM events),
+       |w AS (SELECT (us - us % 1800000000) - j * 1800000000
+       |          AS window_start_us, event_type, value
+       |      FROM x, range(0, 2) t(j))
+       |SELECT window_start_us, event_type, count(*) AS cnt,
+       |${sig("avg(value)")} AS avg_value,
+       |min(value) AS min_value, max(value) AS max_value
+       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Strict-sequence funnel re-derived: each step's frontier joins
     * the previous one on user and requires at-or-after timing. */
@@ -1938,6 +1954,7 @@ val eventsRollupSql: String =
     "events_retention" -> eventsRetentionSql,
     "events_anomaly" -> eventsAnomalySql,
     "events_funnel" -> eventsFunnelSql,
+    "events_sliding" -> eventsSlidingSql,
     "events_sessionize" -> eventsSessionizeSql,
     "events_props" -> eventsPropsSql,
     "array_profile" -> arrayProfileSql,

@@ -56,15 +56,19 @@ object StreamProfiler {
       timestamp_micros(expr(s"`$tsCol` div 1000"))
     else col(tsCol).cast("timestamp")
 
-  /** Tumbling-window count/mean/min/max per event type over an
-    * event-time stream. Late rows beyond `watermark` are dropped. */
+  /** Tumbling- or sliding-window count/mean/min/max per event type
+    * over an event-time stream (`slide` defaults to the window length
+    * = tumbling; a shorter slide gives the overlapping-window
+    * monitoring view — batch twin: EventOps.slidingWindowStats). Late
+    * rows beyond `watermark` are dropped. */
   def windowedStats(events: DataFrame, tsCol: String = "ts",
-      watermark: String = "10 minutes", windowLen: String = "1 hour")
-      : DataFrame =
+      watermark: String = "10 minutes", windowLen: String = "1 hour",
+      slide: Option[String] = None): DataFrame =
     events
       .withColumn("__ts", eventTime(events, tsCol))
       .withWatermark("__ts", watermark)
-      .groupBy(window(col("__ts"), windowLen), col("event_type"))
+      .groupBy(window(col("__ts"), windowLen,
+        slide.getOrElse(windowLen)), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sig5(avg("value")).as("avg_value"),
         min("value").as("min_value"), max("value").as("max_value"))
       .select(unix_micros(col("window.start")).as("window_start_us"),

@@ -321,6 +321,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding stream windows: one event lands in len/slide " +
+      "overlapping windows, matching the batch twin") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamProfiler.windowedStats(mem.toDF(),
+        watermark = "10 minutes", windowLen = "1 hour",
+        slide = Some("30 minutes"))
+      .writeStream.format("memory").queryName("slidewin")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(t(40), "a", 2.0)) // 00:40 → windows 00:00, 00:30
+      q.processAllAvailable()
+      mem.addData(Ev(t(4000), "a", 1.0)) // close them
+      q.processAllAvailable()
+      val starts = spark.table("slidewin").collect()
+        .map(_.getLong(0)).filter(_ < 3600000000L).sorted.toSeq
+      assert(starts == Seq(0L, 1800000000L))
+      // batch twin emits the same two windows for the same event
+      val batch = graft.ops.EventOps.slidingWindowStats(
+          Seq(Ev(t(40), "a", 2.0)).toDF()
+            .withColumn("event_id", lit(1L)))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(batch == starts)
+    } finally q.stop()
+  }
+
   test("streaming contamination guard flags arriving docs exactly " +
       "like the batch probe") {
     val sql = spark
