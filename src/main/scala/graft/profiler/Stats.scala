@@ -894,4 +894,50 @@ object Stats {
       .select("grp", "s.*")
       .orderBy("grp", "col_name")
   }
+
+  // -------------------------------------------------------------------
+  // Functional dependencies / key candidates + duplicate rows — the
+  // schema-quality half of profiling: "is (a, b) the table's key",
+  // "does a determine b". FD lhs → rhs holds iff the distinct count
+  // of lhs equals the distinct count of lhs ∪ rhs; a key is the FD
+  // lhs → all-other-columns. Distinct counting goes through struct()
+  // so NULL fields stay row-valued (countDistinct over bare multiple
+  // columns drops any-NULL rows — DuckDB's row semantics would then
+  // disagree on nullable data).
+  // -------------------------------------------------------------------
+
+  /** One row per claim: (lhs, rhs, n_lhs, n_lhs_rhs, n_violations,
+    * holds). Empty `rhs` means "all other columns" (key check). Each
+    * claim's two distinct counts ride one aggregation; claims are
+    * unioned (a handful of claims — the declared-audit shape; a
+    * k²-column FD *search* would instead mine the distinct-count
+    * matrix the profiler already computes). */
+  def fdCheck(df: DataFrame,
+      claims: Seq[(Seq[String], Seq[String])]): DataFrame = {
+    require(claims.nonEmpty, "fdCheck needs at least one claim")
+    claims.map { case (lhs, rhs0) =>
+      val rhs = if (rhs0.nonEmpty) rhs0
+        else df.columns.toSeq.filterNot(lhs.contains)
+      val both = (lhs ++ rhs).distinct
+      df.agg(
+          countDistinct(struct(lhs.map(col): _*)).as("n_lhs"),
+          countDistinct(struct(both.map(col): _*)).as("n_lhs_rhs"))
+        .select(lit(lhs.mkString(",")).as("lhs"),
+          lit(if (rhs0.isEmpty) "*" else rhs0.mkString(",")).as("rhs"),
+          col("n_lhs"), col("n_lhs_rhs"),
+          (col("n_lhs_rhs") - col("n_lhs")).as("n_violations"),
+          (col("n_lhs_rhs") === col("n_lhs")).as("holds"))
+    }.reduce(_ unionByName _).orderBy("lhs", "rhs")
+  }
+
+  /** Exact duplicate-row profile: (n_rows, n_distinct_rows,
+    * n_duplicate_rows) — the "how much of this table is literal
+    * copies" stat. One distinct aggregation over the full-row
+    * struct. */
+  def duplicateRows(df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n_rows"),
+        countDistinct(struct(df.columns.map(col): _*))
+          .as("n_distinct_rows"))
+      .select(col("n_rows"), col("n_distinct_rows"),
+        (col("n_rows") - col("n_distinct_rows")).as("n_duplicate_rows"))
 }

@@ -403,6 +403,17 @@ object Extensions {
     // ONE conditional-sum agg — the batch twin of the streaming
     // windowedReferenceDrift (StreamingSpec asserts per-window
     // equality)
+    // schema-quality audit: key/FD claims with violation counts —
+    // o_orderkey IS the table key (holds), o_custkey does not
+    // determine status (fails, counted)
+    "col_fd_keys" -> ((s, dir) =>
+      graft.profiler.Stats.fdCheck(t(s, dir, "orders"), Seq(
+        Seq("o_orderkey") -> Seq(),
+        Seq("o_orderkey") -> Seq("o_custkey"),
+        Seq("o_custkey") -> Seq("o_orderstatus")))),
+    // exact duplicate-row profile over the full-row struct
+    "table_duplicates" -> ((s, dir) =>
+      graft.profiler.Stats.duplicateRows(t(s, dir, "lineitem"))),
     // mergeable-sketch distinct: per-source HLL sketches (DataSketches
     // hll_sketch_agg — the per-day/per-partition shards of an
     // INCREMENTAL profile) unioned vs one single-pass global sketch.
@@ -1656,6 +1667,36 @@ val eventsRollupSql: String =
        |  ELSE 0 END) AS BIGINT) AS n_zero_cross
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** FD/key claims re-derived; row(...) constructors mirror Spark's
+    * struct() distinct semantics (NULL fields stay row-valued). */
+  val colFdKeysSql: String =
+    """SELECT lhs, rhs, n_lhs, n_lhs_rhs,
+      |n_lhs_rhs - n_lhs AS n_violations, n_lhs_rhs = n_lhs AS holds
+      |FROM (
+      |  SELECT 'o_orderkey' AS lhs, '*' AS rhs,
+      |    count(DISTINCT row(o_orderkey)) AS n_lhs,
+      |    count(DISTINCT row(o_orderkey, o_custkey, o_orderstatus,
+      |      o_totalprice, o_orderdate, o_orderpriority)) AS n_lhs_rhs
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderkey', 'o_custkey',
+      |    count(DISTINCT row(o_orderkey)),
+      |    count(DISTINCT row(o_orderkey, o_custkey)) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_custkey', 'o_orderstatus',
+      |    count(DISTINCT row(o_custkey)),
+      |    count(DISTINCT row(o_custkey, o_orderstatus)) FROM orders)
+      |ORDER BY lhs, rhs""".stripMargin
+
+  /** Duplicate rows re-derived via DISTINCT *. */
+  val tableDuplicatesSql: String =
+    """SELECT count(*) AS n_rows,
+      |(SELECT count(*) FROM (SELECT DISTINCT * FROM lineitem))
+      |  AS n_distinct_rows,
+      |count(*) - (SELECT count(*) FROM (SELECT DISTINCT * FROM
+      |  lineitem)) AS n_duplicate_rows
+      |FROM lineitem""".stripMargin
+
   /** Mergeable-distinct gate: exact count + both error-envelope
     * theorems as TRUE literals (5% at default lgK=12 is ~3σ of the
     * ~1.6% RSE — far beyond observed deviation). */
@@ -1900,6 +1941,8 @@ val eventsRollupSql: String =
     "text_bpe_pairs" -> textBpePairsSql,
     "drift_quantiles" -> driftQuantilesSql,
     "col_distinct_mergeable" -> colDistinctMergeableSql,
+    "col_fd_keys" -> colFdKeysSql,
+    "table_duplicates" -> tableDuplicatesSql,
     "drift_embedding" -> driftEmbeddingSql,
     "sample_quota" -> sampleQuotaSql,
     "dedup_semantic" -> dedupSemanticSql,

@@ -119,6 +119,31 @@ class Round6OpsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // FD / key claims + duplicate rows
+  // ---------------------------------------------------------------
+
+  test("fdCheck: holding and violated dependencies, NULLs stay " +
+      "row-valued; duplicateRows counts literal copies") {
+    val schema = StructType(Seq(StructField("a", LongType),
+      StructField("b", StringType), StructField("c", StringType)))
+    val d = spark.createDataFrame(Seq(
+      Row(1L, "x", "p"), Row(2L, "x", "q"), Row(3L, null, "p"),
+      Row(3L, null, "p") // literal duplicate row
+    ).asJava, schema)
+    val r = graft.profiler.Stats.fdCheck(d, Seq(
+        Seq("a") -> Seq("b"),    // holds (incl. the NULL b for a=3)
+        Seq("b") -> Seq("c"),    // violated: b=x → p and q
+        Seq("a", "b") -> Seq())) // key check: duplicate row ⇒ holds
+      .collect().map(x => (x.getString(0), x.getString(1),
+        x.getLong(4), x.getBoolean(5))).toSeq
+    assert(r == Seq(("a", "b", 0L, true), ("a,b", "*", 0L, true),
+      ("b", "c", 1L, false)))
+    val dup = graft.profiler.Stats.duplicateRows(d).collect()(0)
+    assert((dup.getLong(0), dup.getLong(1), dup.getLong(2))
+      == ((4L, 3L, 1L)))
+  }
+
+  // ---------------------------------------------------------------
   // retention + anomalies
   // ---------------------------------------------------------------
 
