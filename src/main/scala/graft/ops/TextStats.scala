@@ -186,6 +186,24 @@ object TextStats {
           .rolling_min_hash(col(textCol), FpGram).as("fp"))
       .orderBy("doc_id")
 
+  /** Corpus manifest: the per-source composition datasheet shipped
+    * with a training corpus — docs, tokens, chars and doc-share per
+    * source. ONE aggregation with map-side combine plus broadcast
+    * totals (the freq()/vocab() distributed-totals pattern). */
+  def manifest(df: DataFrame, srcCol: String, textCol: String)
+      : DataFrame = {
+    val counts = df.groupBy(col(srcCol).as("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(tokens(col(textCol))).cast("long")).as("n_tokens"),
+      sum(length(col(textCol)).cast("long")).as("n_chars"))
+    val totals = counts.agg(sum("n_docs").cast("double").as("td"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_chars"),
+        sig5(col("n_docs").cast("double") / col("td")).as("doc_share"))
+      .orderBy("source")
+  }
+
   /** Top adjacent character-pair frequencies within tokens — the
     * counting pass of BPE tokenizer training (Sennrich et al. 2016):
     * the first merge rule is exactly the head of this list, and each

@@ -403,6 +403,9 @@ object Extensions {
     // ONE conditional-sum agg — the batch twin of the streaming
     // windowedReferenceDrift (StreamingSpec asserts per-window
     // equality)
+    // per-source corpus manifest (the training-data datasheet)
+    "corpus_manifest" -> ((s, dir) =>
+      TextStats.manifest(t(s, dir, "documents"), "source", "text")),
     // schema-quality audit: key/FD claims with violation counts —
     // o_orderkey IS the table key (holds), o_custkey does not
     // determine status (fails, counted)
@@ -1667,6 +1670,19 @@ val eventsRollupSql: String =
        |  ELSE 0 END) AS BIGINT) AS n_zero_cross
        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Manifest re-derived; token counts via string_split like the
+    * other token oracles. */
+  val corpusManifestSql: String =
+    s"""WITH c AS (SELECT source, count(*) AS n_docs,
+       |  sum(len(string_split(text, ' '))) AS n_tokens,
+       |  sum(len(text)) AS n_chars
+       |  FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS td FROM c)
+       |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |CAST(n_chars AS BIGINT) AS n_chars,
+       |${sig("CAST(n_docs AS DOUBLE) / td")} AS doc_share
+       |FROM c, t ORDER BY source""".stripMargin
+
   /** FD/key claims re-derived; row(...) constructors mirror Spark's
     * struct() distinct semantics (NULL fields stay row-valued). */
   val colFdKeysSql: String =
@@ -1942,6 +1958,7 @@ val eventsRollupSql: String =
     "drift_quantiles" -> driftQuantilesSql,
     "col_distinct_mergeable" -> colDistinctMergeableSql,
     "col_fd_keys" -> colFdKeysSql,
+    "corpus_manifest" -> corpusManifestSql,
     "table_duplicates" -> tableDuplicatesSql,
     "drift_embedding" -> driftEmbeddingSql,
     "sample_quota" -> sampleQuotaSql,
