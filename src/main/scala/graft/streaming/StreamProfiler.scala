@@ -328,6 +328,31 @@ object StreamProfiler {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("mg.n").as("n"), col("mg.items").as("items"))
 
+  /** Native session-window aggregation (`session_window(ts, gap)`) —
+    * the DECLARATIVE alternative to [[sessionizeStream]]'s custom
+    * flatMapGroupsWithState state machine: Spark's own session
+    * operator merges windows within `gap` per grouping key, state
+    * bounded by open sessions inside the watermark horizon. Emits the
+    * same session boundaries as the batch
+    * [[graft.ops.EventOps.sessionize]] with `session_end_us` =
+    * last-event time + gap (the session_window end convention;
+    * StreamingSpec asserts the exact correspondence). Use this form
+    * when per-session COUNTS/aggregates suffice; the custom
+    * sessionizer remains for monotone per-user session indexing,
+    * which a window aggregation cannot express. */
+  def sessionWindowStats(events: DataFrame, tsCol: String = "ts",
+      gap: String = "30 minutes", watermark: String = "10 minutes")
+      : DataFrame =
+    events
+      .withColumn("__ts", eventTime(events, tsCol))
+      .withWatermark("__ts", watermark)
+      .groupBy(session_window(col("__ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+
   /** Windowed drift against a FIXED reference distribution — the
     * continuously-run twin of [[graft.ops.Drift.referenceDrift]]:
     * every closed event-time window is scored (PSI / TVD / binned KS)

@@ -321,6 +321,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window aggregation: boundaries equal batch " +
+      "sessionize with end = last event + gap") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEv]
+    val q = StreamProfiler.sessionWindowStats(mem.toDF(),
+        gap = "30 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sesswin")
+      .outputMode("append").start()
+    try {
+      // user 1: two sessions (0,10) and (60); user 2: one session
+      mem.addData(UserEv(t(0), 1L), UserEv(t(10), 1L),
+        UserEv(t(60), 1L), UserEv(t(5), 2L))
+      q.processAllAvailable()
+      mem.addData(UserEv(t(5000), 9L)) // close everything
+      q.processAllAvailable()
+      val out = spark.table("sesswin").collect()
+        .filter(_.getLong(0) < 9L)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(x => (x._1, x._2)).toSeq
+      val gapUs = 30L * 60L * 1000000L
+      val batch = graft.ops.EventOps.sessionize(
+          Seq((t(0), 1L), (t(10), 1L), (t(60), 1L), (t(5), 2L))
+            .zipWithIndex
+            .map { case ((ts, u), i) => (i.toLong, ts, u) }
+            .toDF("event_id", "ts", "user_id"))
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("session_start_us"),
+          r.getAs[Long]("session_end_us") + gapUs,
+          r.getAs[Long]("n_events")))
+        .sortBy(x => (x._1, x._2)).toSeq
+      assert(out == batch)
+      assert(out.map(x => (x._1, x._4)).toSet ==
+        Set((1L, 2L), (1L, 1L), (2L, 1L)))
+    } finally q.stop()
+  }
+
   test("sliding stream windows: one event lands in len/slide " +
       "overlapping windows, matching the batch twin") {
     val sql = spark
