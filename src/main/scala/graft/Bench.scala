@@ -75,24 +75,48 @@ object Bench {
     val reps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val wall0 = System.nanoTime()
+    // A failed rep must NOT contribute a timing sample: a query that
+    // throws quickly would otherwise report a misleadingly low median
+    // with the failure visible only on stderr. The median is over
+    // SUCCESSFUL reps only; queries with zero successes report null
+    // and every failure is counted in the "fails" map.
     val results = (SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) => name -> (() => { fn(spark, sfDir).collect(); () })
     } ++ flagship).map { case (name, run) =>
-      val times = (1 to reps).map { i =>
+      val samples = (1 to reps).map { i =>
         val t0 = System.nanoTime()
-        try run()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name rep $i failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> times(times.length / 2)
+        val ok =
+          try { run(); true }
+          catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] $name rep $i failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val good = samples.collect { case (t, true) => t }.sorted
+      val median = if (good.nonEmpty) Some(good(good.length / 2)) else None
+      (name, median, samples.count(!_._2))
     }
     val wall = (System.nanoTime() - wall0) / 1e9
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"wall":$wall}""")
+    def queriesJson(fmt: Double => String): String =
+      results.map { case (k, v, _) =>
+        "\"" + k + "\":" + v.map(fmt).getOrElse("null")
+      }.mkString("{", ",", "}")
+    val failsJson = results.collect { case (k, _, f) if f > 0 =>
+      "\"" + k + "\":" + f
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    def line(fmt: Double => String): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${queriesJson(fmt)},"fails":$failsJson,"sf":"$sfDir","reps":$reps,"wall":${fmt(wall)}}"""
+    // Full-precision copy to a file: the driver's BENCH_r{N}.json
+    // keeps only the tail of stdout, which truncated the first ~30
+    // per-query medians every round. The stdout line is ms-rounded to
+    // stay inside the captured tail; bench_full.json keeps the
+    // complete map either way.
+    val pw = new java.io.PrintWriter("bench_full.json")
+    try pw.println(line(_.toString)) finally pw.close()
+    println(line(v => "%.3f".format(v)))
     spark.stop()
   }
 }

@@ -112,9 +112,18 @@ case class MisraGriesAgg(child: Expression, k: Int,
   // throws beyond it, and this sketch is advertised for items like
   // boilerplate LINES from a crawl, where an oversized key must
   // degrade (count normally) rather than kill the aggregation.
+  //
+  // Wire format v2 (leading version byte). These buffers PERSIST in
+  // streaming state-store checkpoints (windowedHeavyHitters), so any
+  // format change is a checkpoint break; the version byte turns a
+  // stale checkpoint into a clear error instead of garbage or EOF.
+  // v1 (the round-5 writeUTF format) had no version byte — its first
+  // byte is the high byte of the n Long, i.e. 0 for any real stream —
+  // so v1 state is reliably detected and rejected.
   override def serialize(buf: MgBuf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    out.writeByte(MisraGriesAgg.FormatVersion)
     out.writeLong(buf.n)
     out.writeInt(buf.counts.size)
     buf.counts.foreach { case (it, c) =>
@@ -127,6 +136,13 @@ case class MisraGriesAgg(child: Expression, k: Int,
 
   override def deserialize(bytes: Array[Byte]): MgBuf = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val ver = in.readByte()
+    if (ver != MisraGriesAgg.FormatVersion)
+      throw new IllegalStateException(
+        s"MisraGriesAgg state format $ver is not the supported " +
+          s"v${MisraGriesAgg.FormatVersion}; a streaming checkpoint " +
+          "written by an older build must be discarded (the sketch " +
+          "buffer wire format changed)")
     val buf = new MgBuf(k)
     buf.n = in.readLong()
     val sz = in.readInt()
@@ -148,6 +164,12 @@ case class MisraGriesAgg(child: Expression, k: Int,
       : MisraGriesAgg = copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression)
       : MisraGriesAgg = copy(child = newChild)
+}
+
+object MisraGriesAgg {
+  /** Buffer wire-format version (see serialize). Bump on ANY change
+    * to the serialized layout. */
+  val FormatVersion: Byte = 2
 }
 
 object HeavyHitters {

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.det.Sig.sig5
 
@@ -38,6 +37,28 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Shared ranking tail: scored (qid, vid, cosine) candidates →
+    * (query_id, rnk, neighbor_id, cosine), the k best per query.
+    *
+    * Scale shape: a bounded [[graft.functions.TopKByScore]] heap
+    * aggregate, NOT `row_number() OVER (PARTITION BY qid ...)` — the
+    * window form sorts each query's entire candidate set (O(corpus)
+    * for brute force) through one task per query; the aggregate
+    * prunes to O(k) state map-side with a linear O(k) final merge,
+    * then explodes only the ≤k survivors. Same rank-after-bound
+    * contract as the vocab/BPE/DSIR heads. Determinism: cosine is
+    * sig5-rounded upstream; ties break on ascending vid inside the
+    * aggregate's total order. */
+  private[ops] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("qid")
+      .agg(graft.functions.TopKByScore.top_k(k)(
+        col("cosine"), col("vid")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "e")))
+      .select(col("qid").as("query_id"),
+        (col("p") + 1).cast("long").as("rnk"),
+        col("e._2").as("neighbor_id"), col("e._1").as("cosine"))
+      .orderBy("query_id", "rnk")
+
   /** Cosine that is NULL (not NaN) for zero-norm vectors: 0/0 = NaN
     * sorts ABOVE every number in Spark and passes >= thresholds, so a
     * failed-encoder all-zero embedding would otherwise rank as the #1
@@ -60,13 +81,7 @@ object Similarity {
         sig5(cosine(dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
           .as("cosine"))
       .where(col("cosine").isNotNull)
-    val w = Window.partitionBy("qid")
-      .orderBy(col("cosine").desc, col("vid").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
-      .select(col("qid").as("query_id"), col("rnk"),
-        col("vid").as("neighbor_id"), col("cosine"))
-      .orderBy("query_id", "rnk")
+    rankTopK(scored, k)
   }
 
   /** Shared dim guard for every LSH entry point: a dim mismatch makes
@@ -110,6 +125,54 @@ object Similarity {
       when(proj >= 1e-12, lit(1L << j)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
 
+  /** Sorted (score, cid) cell array of a vector column against a
+    * broadcast-size centroid codebook `(cid, centroid, |centroid|²)`.
+    * The ranking key |c|² − 2·v·c (per-row-constant |v|² dropped) is
+    * sig5-ROUNDED on both engines (engine contract: every discrete
+    * decision — argmin cell and the nprobe cutoff — ranks rounded
+    * values; raw doubles differ by an ULP between Spark's sequential
+    * dot and DuckDB's join-order sum, which could flip the assignment
+    * of a near-equidistant vector); ties break on centroid id via the
+    * struct's lexicographic order. */
+  def cellArray(vec: Column, cents: Seq[(Long, Array[Double], Double)])
+      : Column =
+    array_sort(array(cents.map { case (cid, cv, cn2) =>
+      struct(
+        sig5(lit(cn2) - lit(2.0) * graft.functions.ArrayDot
+          .array_dot(vec, typedLit(cv))).as("score"),
+        lit(cid).as("cid"))
+    }: _*))
+
+  /** Codebook rows from the data itself: the rows with `idCol` in
+    * [lo, hi), collected once as O(C·dim) driver/broadcast state —
+    * the seeding contract shared with [[ivfTopK]] / KMeansOp. */
+  def seedCodebook(df: DataFrame, idCol: String, vecCol: String,
+      lo: Long, hi: Long): Seq[(Long, Array[Double], Double)] =
+    df.where(col(idCol) >= lo && col(idCol) < hi)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map { r =>
+        val cv = r.getSeq[Double](1).toArray
+        (r.getLong(0), cv, cv.map(x => x * x).sum)
+      }
+      .sortBy(_._1).toSeq
+
+  /** Map-only IVF cell assignment against an explicit codebook:
+    * (vec_id, cell) per input vector — the indexing pass of an
+    * IVF index build, usable verbatim on a STREAMING DataFrame
+    * (stateless projection; see StreamProfiler.ivfAssignStream).
+    * Vectors of the wrong length are dropped (same guard as every
+    * vector entry point). */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Array[Double], Double)], dim: Int = 64)
+      : DataFrame = {
+    require(cents.nonEmpty, "empty codebook")
+    df.where(size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("vec_id"),
+        element_at(cellArray(col(vecCol), cents), 1)
+          .getField("cid").as("cell"))
+  }
+
   /** IVF(-flat) ANN top-k: partition the corpus into Voronoi cells
     * around a fixed centroid codebook — here the corpus rows with
     * ids in [centroidLo, centroidHi), so there is no training step
@@ -136,34 +199,15 @@ object Similarity {
     val base = df.where(size(col(vecCol)) === dim)
       .select(col(idCol).as("vid"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
-    val cents: Array[(Long, Array[Double], Double)] = base
-      .where(col("vid") >= centroidLo && col("vid") < centroidHi)
-      .select(col("vid"), col("v").cast("array<double>"))
-      .collect()
-      .map { r =>
-        val cv = r.getSeq[Double](1).toArray
-        (r.getLong(0), cv, cv.map(x => x * x).sum)
-      }
-      .sortBy(_._1)
+    val cents = seedCodebook(base, "vid", "v", centroidLo, centroidHi)
     require(cents.nonEmpty,
       s"no centroid rows with id in [$centroidLo, $centroidHi)")
-    // the ranking key is sig5-ROUNDED on both engines (engine
-    // contract: every discrete decision — here argmin cell and the
-    // nprobe cutoff — ranks rounded values; raw doubles differ by an
-    // ULP between Spark's sequential dot and DuckDB's join-order sum,
-    // which could flip the assignment of a near-equidistant vector)
-    val cellStructs = cents.map { case (cid, cv, cn2) =>
-      struct(
-        sig5(lit(cn2) - lit(2.0) * graft.functions.ArrayDot
-          .array_dot(col("v"), typedLit(cv))).as("score"),
-        lit(cid).as("cid"))
-    }
     // the C scores are computed ONCE into the sorted array; argmin =
     // element 1 (struct order = (score, cid) lexicographic). The
     // array alias is referenced once per consumer, so CollapseProject
     // cannot duplicate the C dot products.
     val withCells = base.select(col("vid"), col("v"), col("nrm"),
-      array_sort(array(cellStructs: _*)).as("cells"))
+      cellArray(col("v"), cents).as("cells"))
     val assigned = withCells.select(col("vid"), col("v"), col("nrm"),
       element_at(col("cells"), 1).getField("cid").as("cell"))
     // query probes: nprobe nearest cells of the (tiny) query rows
@@ -179,13 +223,7 @@ object Similarity {
         sig5(cosine(dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
           .as("cosine"))
       .where(col("cosine").isNotNull)
-    val w = Window.partitionBy("qid")
-      .orderBy(col("cosine").desc, col("vid").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
-      .select(col("qid").as("query_id"), col("rnk"),
-        col("vid").as("neighbor_id"), col("cosine"))
-      .orderBy("query_id", "rnk")
+    rankTopK(scored, k)
   }
 
   /** ANN top-k via hyperplane LSH: score only candidates colliding on
@@ -229,12 +267,6 @@ object Similarity {
         sig5(cosine(dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
           .as("cosine"))
       .where(col("cosine").isNotNull)
-    val w = Window.partitionBy("qid")
-      .orderBy(col("cosine").desc, col("vid").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .where(col("rnk") <= k)
-      .select(col("qid").as("query_id"), col("rnk"),
-        col("vid").as("neighbor_id"), col("cosine"))
-      .orderBy("query_id", "rnk")
+    rankTopK(scored, k)
   }
 }

@@ -673,6 +673,24 @@ object Stats {
       .orderBy("col_name", "rnk")
   }
 
+  /** Date-column histogram (DT1 extension): `bins` equal-width
+    * buckets over the column as exact epoch MICROSECONDS — the
+    * mini-histogram pandas-profiling 1.x renders for date columns,
+    * which the canonical upstream's describe_date_1d (≈L235–250)
+    * dropped to min/max only. Bin edges are epoch-micros doubles
+    * (micros ≈ 1.7e15 < 2^53, so the long→double conversion is exact
+    * and both engines bin IDENTICAL values — the num_histogram
+    * determinism argument verbatim). Same single-scan conditional-sum
+    * shape as [[histogram]]. */
+  def dateHistogram(df: DataFrame, cols: Seq[String], bins: Int = 10)
+      : DataFrame = {
+    // parquet naive timestamps arrive as TIMESTAMP_NTZ; with a UTC
+    // session the LTZ cast is identity, matching DuckDB's epoch_us
+    val proj = df.select(cols.map(c =>
+      unix_micros(col(c).cast("timestamp")).cast("double").as(c)): _*)
+    histogram(proj, cols, bins)
+  }
+
   // -------------------------------------------------------------------
   // Date min/max (DT1) as exact epoch microseconds.
   // -------------------------------------------------------------------

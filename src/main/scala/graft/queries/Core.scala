@@ -66,6 +66,11 @@ object Core {
       Stats.freq(s.read.parquet(s"$dir/part.parquet"),
         Seq("p_brand", "p_type"))),
     "date_minmax" -> ((s, dir) => Stats.dateMinMax(li(s, dir), dates)),
+    // date mini-histogram (pandas-profiling 1.x renders one for DATE
+    // columns; the canonical describe_date_1d kept only min/max):
+    // 10 equal-width bins over exact epoch micros
+    "date_histogram" -> ((s, dir) =>
+      Stats.dateHistogram(li(s, dir), dates)),
     "corr_matrix" -> ((s, dir) => Stats.corrMatrix(li(s, dir), nums)),
     // a derived gross = price·(1+tax) column gives the rejection pass
     // a genuinely correlated pair (ρ ≈ 0.999 vs l_extendedprice), so
@@ -235,30 +240,33 @@ object Core {
        |FROM $T""".stripMargin
   }) + "\nORDER BY col_name"
 
-  val numHistogramSql: String = {
-    // all 10 buckets per column including empty ones (upstream's
-    // create_hist_data emits every bin) — EXCEPT for degenerate
-    // columns (all-null/all-NaN bounds or min == max), where the
-    // Spark side emits only non-empty buckets; the WHERE clause
-    // mirrors histogramWithBounds' `cnt > 0 OR wellFormed` exactly so
-    // a constant/all-null numeric column entering a fixture cannot
-    // produce a spurious mismatch
-    val parts = nums.map { c =>
+  // all 10 buckets per column including empty ones (upstream's
+  // create_hist_data emits every bin) — EXCEPT for degenerate
+  // columns (all-null/all-NaN bounds or min == max), where the
+  // Spark side emits only non-empty buckets; the WHERE clause
+  // mirrors histogramWithBounds' `cnt > 0 OR wellFormed` exactly so
+  // a constant/all-null numeric column entering a fixture cannot
+  // produce a spurious mismatch. `v` maps the column to its binned
+  // DOUBLE value (identity cast for numerics, epoch_us for dates).
+  private def histogramSql(cols: Seq[String], v: String => String)
+      : String = {
+    val parts = cols.map { c =>
+      val vc = v(c)
       s"""SELECT '$c' AS col_name, CAST(b.bin AS BIGINT) AS bin,
          |CAST(coalesce(h.cnt, 0) AS BIGINT) AS cnt,
          |m.mn + CAST(b.bin AS DOUBLE) * m.w AS bin_lo,
          |m.mn + CAST(b.bin + 1 AS DOUBLE) * m.w AS bin_hi
          |FROM (SELECT unnest(range(0, 10)) AS bin) b
-         |CROSS JOIN (SELECT min(CAST($c AS DOUBLE)) AS mn,
-         |            (max(CAST($c AS DOUBLE)) - min(CAST($c AS DOUBLE))) / 10.0 AS w
+         |CROSS JOIN (SELECT min($vc) AS mn,
+         |            (max($vc) - min($vc)) / 10.0 AS w
          |            FROM $T WHERE $c IS NOT NULL) m
          |LEFT JOIN (
          |  SELECT CASE WHEN mm.w = 0 THEN 0
-         |    ELSE CAST(least(floor((CAST($c AS DOUBLE) - mm.mn) / mm.w), 9) AS BIGINT)
+         |    ELSE CAST(least(floor(($vc - mm.mn) / mm.w), 9) AS BIGINT)
          |    END AS bin,
          |         count(*) AS cnt
-         |  FROM $T, (SELECT min(CAST($c AS DOUBLE)) AS mn,
-         |            (max(CAST($c AS DOUBLE)) - min(CAST($c AS DOUBLE))) / 10.0 AS w
+         |  FROM $T, (SELECT min($vc) AS mn,
+         |            (max($vc) - min($vc)) / 10.0 AS w
          |            FROM $T WHERE $c IS NOT NULL) mm
          |  WHERE $c IS NOT NULL GROUP BY 1) h ON h.bin = b.bin
          |WHERE coalesce(h.cnt, 0) > 0
@@ -266,6 +274,14 @@ object Core {
     }
     unionAll(parts) + "\nORDER BY col_name, bin"
   }
+
+  val numHistogramSql: String =
+    histogramSql(nums, c => s"CAST($c AS DOUBLE)")
+
+  /** Epoch-micros histogram of the date columns; micros < 2^53 so the
+    * long→double conversion is exact on both engines. */
+  val dateHistogramSql: String =
+    histogramSql(dates, c => s"CAST(epoch_us($c) AS DOUBLE)")
 
   val catFreqSql: String = {
     val parts = cats.map { c =>
@@ -413,6 +429,7 @@ object Core {
     "cat_freq_other" -> catFreqOtherSql,
     "table_kinds" -> tableKindsSql,
     "date_minmax" -> dateMinMaxSql,
+    "date_histogram" -> dateHistogramSql,
     "corr_matrix" -> corrMatrixSql,
     "corr_reject" -> corrRejectSql,
     "sample_head" -> sampleHeadSql

@@ -484,9 +484,11 @@ object Extensions {
     }),
     // product quantization: 8 subspace codes per vector against the
     // same seeded codebook rows as the IVF/SemDeDup family; map-only
-    // encode, codes + reconstruction-proxy mse oracle-checked
+    // encode, one scalar row per (vec_id, subspace, code) — the
+    // nested codes-array form crashed the driver's pandas comparator
+    // (unhashable ndarray), so the harness-facing query posexplodes
     "embed_pq" -> ((s, dir) =>
-      VectorQuant.pqCodes(
+      VectorQuant.pqCodeRows(
         t(s, dir, "embeddings").where(col("vec_id") < 2000L),
         "vec_id", "embedding", seedLo = 120L, seedHi = 136L,
         dim = 64, m = 8)),
@@ -1790,12 +1792,16 @@ val eventsRollupSql: String =
 
   /** PQ re-derived: subspace id s = (i−1)//8 folds each dimension
     * into its slice, per-(vid, cid, s) squared distances, argmin on
-    * the sig5-rounded distance with cid tie-break, codes gathered in
-    * subspace order. */
+    * the sig5-rounded distance with cid tie-break, one scalar row per
+    * (vec_id, subspace, code) with the per-vector mse repeated —
+    * mirrors [[graft.ops.VectorQuant.pqCodeRows]]. The
+    * `len(embedding) = 64` guard matches the Spark side's
+    * `KMeansOp.vecBase` length filter. */
   val embedPqSql: String =
     s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v,
        |        (i - 1) // 8 AS s
-       |       FROM embeddings, range(1, 65) t(i) WHERE vec_id < 2000),
+       |       FROM embeddings, range(1, 65) t(i)
+       |       WHERE vec_id < 2000 AND len(embedding) = 64),
        |xn AS (SELECT vec_id, s, sum(v * v) AS xn2 FROM el GROUP BY 1, 2),
        |c0 AS (SELECT vec_id AS cid, i, v AS w, s FROM el
        |       WHERE vec_id BETWEEN 120 AND 135),
@@ -1810,10 +1816,13 @@ val eventsRollupSql: String =
        |   SELECT vid, s, cid, ${sig("d2")} AS sd2,
        |     row_number() OVER (PARTITION BY vid, s
        |       ORDER BY ${sig("d2")} ASC, cid ASC) AS rn
-       |   FROM d) WHERE rn = 1)
-       |SELECT vid AS vec_id, list(cid - 120 ORDER BY s) AS codes,
-       |${sig("sum(sd2) / 64.0")} AS mse
-       |FROM a GROUP BY vid ORDER BY vec_id""".stripMargin
+       |   FROM d) WHERE rn = 1),
+       |m AS (SELECT vid, ${sig("sum(sd2) / 64.0")} AS mse
+       |      FROM a GROUP BY vid)
+       |SELECT a.vid AS vec_id, a.s AS subspace, a.cid - 120 AS code,
+       |m.mse
+       |FROM a JOIN m ON m.vid = a.vid
+       |ORDER BY vec_id, subspace""".stripMargin
 
   /** Temperature quotas re-derived; floor runs on the sig5-rounded
     * share in BOTH engines so pow/sum ulp noise never flips the

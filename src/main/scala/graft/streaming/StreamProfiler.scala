@@ -353,6 +353,48 @@ object StreamProfiler {
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("n_events"))
 
+  /** Streaming IVF cell assignment — the ingest-time twin of the
+    * batch ANN family ([[graft.ops.Similarity.ivfAssign]]): each
+    * arriving vector is mapped to its nearest codebook cell. The
+    * codebook is O(C·dim) plan constants (exactly as in the batch
+    * plan), so this is a STATELESS map-only projection — no state
+    * store, no watermark required, append-mode trivially legal, and
+    * batch/stream results are identical by construction (the
+    * micro-batch planner runs the very same Catalyst projection;
+    * asserted in StreamingSpec). This is the indexing half of a
+    * continuously-maintained IVF index: assignments stream out as
+    * vectors arrive while the batch path rebuilds/audits offline. */
+  def ivfAssignStream(vecs: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[(Long, Array[Double], Double)], dim: Int = 64)
+      : DataFrame =
+    graft.ops.Similarity.ivfAssign(vecs, idCol, vecCol, cents, dim)
+
+  /** Windowed IVF cell OCCUPANCY — per event-time window, how many
+    * arriving vectors landed in each cell: the monitoring view over
+    * [[ivfAssignStream]] that catches index skew (a hot cell =
+    * degraded ANN pruning) and embedding drift at ingest time. One
+    * windowed count aggregation over the stateless assignment;
+    * state = O(cells) counters per open window. */
+  def windowedCellCounts(vecs: DataFrame, idCol: String,
+      vecCol: String, cents: Seq[(Long, Array[Double], Double)],
+      tsCol: String = "ts", dim: Int = 64,
+      watermark: String = "10 minutes", windowLen: String = "1 hour")
+      : DataFrame = {
+    val withTs = vecs
+      .withColumn("__ts", eventTime(vecs, tsCol))
+      .withWatermark("__ts", watermark)
+    val assigned = withTs
+      .where(size(col(vecCol)) === dim)
+      .select(col("__ts"),
+        element_at(graft.ops.Similarity.cellArray(col(vecCol), cents), 1)
+          .getField("cid").as("cell"))
+    assigned
+      .groupBy(window(col("__ts"), windowLen), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("cell"), col("cnt"))
+  }
+
   /** Windowed drift against a FIXED reference distribution — the
     * continuously-run twin of [[graft.ops.Drift.referenceDrift]]:
     * every closed event-time window is scored (PSI / TVD / binned KS)

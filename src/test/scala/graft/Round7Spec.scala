@@ -1,0 +1,294 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.TopKByScore
+import graft.ops.{Similarity, VectorQuant}
+import graft.profiler.Stats
+import graft.streaming.StreamProfiler
+
+case class VecEv(ts: Timestamp, vec_id: Long, embedding: Seq[Double])
+
+/** Round-7 additions: bounded top-k similarity tail, scalar-row PQ
+  * output, date histograms, streaming IVF assignment, and the
+  * harness-compatibility (scalar-only output schema) sweep. */
+class Round7Spec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private def t(min: Long) = new Timestamp(min * 60000L)
+
+  /** Scalar = hashable by a pandas-based comparator: no nested types. */
+  private def isScalar(dt: DataType): Boolean = dt match {
+    case _: ArrayType | _: MapType | _: StructType => false
+    case _ => true
+  }
+
+  // ---------------------------------------------------------------
+  // TopKByScore aggregate semantics
+  // ---------------------------------------------------------------
+
+  test("TopKByScore: keeps the k best (score desc, id asc), " +
+      "order-independent") {
+    val agg = new TopKByScore(3)
+    val items = Seq((0.5, 7L), (0.9, 2L), (0.9, 1L), (0.1, 9L),
+      (0.7, 4L), (0.9, 3L))
+    val expected = Seq((0.9, 1L), (0.9, 2L), (0.9, 3L))
+    // every permutation reduces to the same buffer
+    items.permutations.take(50).foreach { perm =>
+      val buf = perm.foldLeft(agg.zero)(agg.reduce)
+      assert(buf.toSeq == expected, s"order $perm broke determinism")
+    }
+    // arbitrary splits merge to the same buffer
+    (0 to items.length).foreach { cut =>
+      val (a, b) = items.splitAt(cut)
+      val merged = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce),
+        b.foldLeft(agg.zero)(agg.reduce))
+      assert(merged.toSeq == expected, s"split at $cut broke merge")
+    }
+  }
+
+  test("TopKByScore: buffer never exceeds k entries") {
+    val agg = new TopKByScore(2)
+    val buf = (1L to 100L).map(i => (i.toDouble, i))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(buf.toSeq == Seq((100.0, 100L), (99.0, 99L)))
+    val buf2 = (101L to 200L).map(i => (i.toDouble, i))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(buf, buf2).toSeq ==
+      Seq((200.0, 200L), (199.0, 199L)))
+    assert(agg.merge(buf2, buf).toSeq ==
+      Seq((200.0, 200L), (199.0, 199L)))
+  }
+
+  test("MisraGriesAgg: buffers round-trip under the versioned wire " +
+      "format; stale v1 state fails with a clear error") {
+    val agg = graft.functions.MisraGriesAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 4)
+    val buf = agg.createAggregationBuffer()
+    Seq("a", "a", "b").foreach(buf.add)
+    val bytes = agg.serialize(buf)
+    assert(bytes(0) == graft.functions.MisraGriesAgg.FormatVersion)
+    val back = agg.deserialize(bytes)
+    assert(back.n == buf.n && back.counts == buf.counts)
+    // v1 buffers had no version byte: first byte = high byte of the
+    // n Long = 0 for any real stream → must be rejected, not parsed
+    val stale = bytes.clone(); stale(0) = 0
+    val e = intercept[IllegalStateException](agg.deserialize(stale))
+    assert(e.getMessage.contains("checkpoint"))
+  }
+
+  // ---------------------------------------------------------------
+  // Similarity top-k tail: plan shape + reference equivalence
+  // ---------------------------------------------------------------
+
+  private def randVecs(n: Int, dim: Int, seed: Long) = {
+    val rng = new scala.util.Random(seed)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    spark.createDataFrame(
+      (0L until n).map(i =>
+        Row(i, Seq.fill(dim)(rng.nextGaussian()))).asJava, schema)
+  }
+
+  test("cosineTopK: no single-partition window over the candidate " +
+      "set; matches an independent per-query sort") {
+    val vecs = randVecs(80, 8, seed = 7L)
+    val q = Similarity.cosineTopK(vecs, "vec_id", "embedding",
+      numQueries = 3, k = 5)
+    // scale contract: the ranking tail is a bounded-k heap aggregate,
+    // never row_number over an unbounded per-qid window partition
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"similarity tail must not rank through a window:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the typed top-k aggregate in the plan:\n$plan")
+    // reference: score everything, sort per query, take 5
+    val rows = q.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3)))
+    val data = vecs.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      dp / (na * nb)
+    }
+    for (qid <- 0L until 3L) {
+      val want = data.toSeq.filter(_._1 != qid)
+        .map { case (vid, v) =>
+          (vid, graft.det.Sig.sig5(cos(data(qid), v)))
+        }
+        .sortBy { case (vid, c) => (-c, vid) }.take(5)
+      val got = rows.filter(_._1 == qid).sortBy(_._2)
+        .map(r => (r._3, r._4)).toSeq
+      assert(got == want, s"qid $qid top-5 mismatch")
+      assert(rows.filter(_._1 == qid).map(_._2).toSeq ==
+        (1L to 5L).toSeq, "ranks must be 1..k after the bound")
+    }
+  }
+
+  test("annTopK / ivfTopK: window-free ranking tails") {
+    val vecs = randVecs(150, 16, seed = 11L)
+    val ann = Similarity.annTopK(vecs, "vec_id", "embedding",
+      numQueries = 2, k = 4, bits = 4, dim = 16)
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      numQueries = 2, k = 4, centroidLo = 100L, centroidHi = 108L,
+      nprobe = 3, dim = 16)
+    for ((name, q) <- Seq("annTopK" -> ann, "ivfTopK" -> ivf)) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name ranks through a window")
+      val rows = q.collect()
+      assert(rows.nonEmpty, s"$name returned nothing")
+      // ranks are contiguous from 1 within each query
+      rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+        assert(rs.map(_.getLong(1)).sorted.toSeq ==
+          (1L to rs.length).toSeq, s"$name qid $qid ranks not 1..n")
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // pqCodeRows: scalar rows, consistent with the nested form
+  // ---------------------------------------------------------------
+
+  test("pqCodeRows: one scalar row per (vec_id, subspace), values " +
+      "match pqCodes") {
+    val vecs = randVecs(30, 8, seed = 13L)
+    val nested = VectorQuant.pqCodes(vecs, "vec_id", "embedding",
+      seedLo = 0L, seedHi = 3L, dim = 8, m = 4).collect()
+    val flat = VectorQuant.pqCodeRows(vecs, "vec_id", "embedding",
+      seedLo = 0L, seedHi = 3L, dim = 8, m = 4)
+    flat.schema.fields.foreach(f =>
+      assert(isScalar(f.dataType),
+        s"pqCodeRows must emit scalars, got ${f.name}: ${f.dataType}"))
+    val rows = flat.collect()
+    assert(rows.length == nested.length * 4)
+    val byVid = rows.groupBy(_.getLong(0))
+    nested.foreach { r =>
+      val vid = r.getLong(0)
+      val codes = r.getSeq[Long](1)
+      val mse = r.getDouble(2)
+      val got = byVid(vid).sortBy(_.getLong(1))
+      assert(got.map(_.getLong(2)).toSeq == codes,
+        s"vid $vid codes mismatch")
+      assert(got.map(_.getLong(1)).toSeq == (0L until 4L).toSeq)
+      assert(got.forall(_.getDouble(3) == mse))
+    }
+  }
+
+  // ---------------------------------------------------------------
+  // Driver-harness compatibility: every declared query emits ONLY
+  // scalar columns (the round-6 embed_pq lesson: array columns are
+  // unhashable in pandas-based comparators, so a non-scalar output
+  // silently drops the query from the driver's verified set)
+  // ---------------------------------------------------------------
+
+  test("every SparkEntry query's output schema is scalar-only") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, dir).schema.fields.collect {
+          case f if !isScalar(f.dataType) =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(bad.isEmpty,
+      s"non-scalar output columns break the driver comparator:\n" +
+        bad.mkString("\n"))
+  }
+
+  // ---------------------------------------------------------------
+  // Date histogram
+  // ---------------------------------------------------------------
+
+  test("dateHistogram: 10 epoch-micros bins covering [min, max], " +
+      "counts sum to the non-null count") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val h = Stats.dateHistogram(li, Seq("l_shipdate")).collect()
+    assert(h.length == 10)
+    assert(h.map(_.getLong(1)).toSeq == (0L until 10L).toSeq)
+    val total = li.where(col("l_shipdate").isNotNull).count()
+    assert(h.map(_.getLong(2)).sum == total)
+    val mm = Stats.dateMinMax(li, Seq("l_shipdate")).collect().head
+    val mn = mm.getLong(1).toDouble
+    val mx = mm.getLong(2).toDouble
+    assert(h.head.getDouble(3) == mn, "first bin_lo = min epoch_us")
+    assert(math.abs(h.last.getDouble(4) - mx) < 1e-3,
+      "last bin_hi = max epoch_us (up to fp assembly of mn + 10w)")
+    // every row lands in the bin claiming it
+    assert(h.forall(r => r.getDouble(4) > r.getDouble(3)))
+  }
+
+  // ---------------------------------------------------------------
+  // Streaming IVF twin
+  // ---------------------------------------------------------------
+
+  test("ivfAssignStream: stateless assignment equals the batch " +
+      "ivfAssign on the same rows") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = randVecs(40, 4, seed = 17L)
+    val cents = Similarity.seedCodebook(batch, "vec_id", "embedding",
+      0L, 4L)
+    val expected = Similarity
+      .ivfAssign(batch, "vec_id", "embedding", cents, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = batch.collect().zipWithIndex.map { case (r, i) =>
+      VecEv(t(i.toLong), r.getLong(0), r.getSeq[Double](1))
+    }
+    val mem = MemoryStream[VecEv]
+    val q = StreamProfiler.ivfAssignStream(mem.toDF(), "vec_id",
+        "embedding", cents, dim = 4)
+      .writeStream.format("memory").queryName("ivfassign")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: batch/stream equality must not depend on
+      // how rows split across triggers (it's a stateless projection)
+      mem.addData(rows.take(15).toSeq)
+      q.processAllAvailable()
+      mem.addData(rows.drop(15).toSeq)
+      q.processAllAvailable()
+      val got = spark.table("ivfassign").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("windowedCellCounts: per-window occupancy sums to arrivals") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = randVecs(30, 4, seed = 19L)
+    val cents = Similarity.seedCodebook(batch, "vec_id", "embedding",
+      0L, 3L)
+    val rows = batch.collect().zipWithIndex.map { case (r, i) =>
+      VecEv(t(i.toLong), r.getLong(0), r.getSeq[Double](1))
+    }
+    val mem = MemoryStream[VecEv]
+    val q = StreamProfiler.windowedCellCounts(mem.toDF(), "vec_id",
+        "embedding", cents, tsCol = "ts", dim = 4,
+        watermark = "10 minutes", windowLen = "1 hour")
+      .writeStream.format("memory").queryName("cellcounts")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.toSeq)
+      q.processAllAvailable()
+      mem.addData(VecEv(t(10000L), 999L, Seq(1.0, 0.0, 0.0, 0.0)))
+      q.processAllAvailable() // watermark advance closes hour 0
+      val out = spark.table("cellcounts")
+        .where(col("window_start_us") === 0L).collect()
+      assert(out.map(_.getLong(2)).sum == 30L,
+        "hour-0 occupancy must count every arrival exactly once")
+      assert(out.forall(r => cents.exists(_._1 == r.getLong(1))),
+        "cells must come from the codebook")
+    } finally q.stop()
+  }
+}
