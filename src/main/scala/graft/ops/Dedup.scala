@@ -206,22 +206,55 @@ object Dedup {
     * [[bandedCandidates]] skew guard — m near-identical docs share
     * every band hash, and without the cap one viral boilerplate
     * cluster costs C(m,2) candidate pairs. */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      minEstJaccard: Double = 0.5, maxDf: Option[Long] = None,
-      maxBucket: Option[Long] = None): DataFrame = {
+  /** (id, band, bh) banding of a MinHash signature frame — the LSH
+    * bucket-key view [[minhashLshPairs]] joins on, exposed so skew
+    * diagnostics ([[bucketCapProfile]], the dedup scale smoke) can
+    * profile the exact buckets the join would see. */
+  def bandedFromSignatures(sigs: DataFrame, numHashes: Int, bands: Int)
+      : DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) or trailing " +
         "signature hashes would be silently excluded from banding")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes, maxDf)
     val bandStructs = (0 until bands).map { b =>
       val cols = (b * rows until (b + 1) * rows).map(i => col(s"mh_$i"))
       struct(lit(b).as("band"), xxhash64(cols: _*).as("bh"))
     }
-    val banded = sigs.select(col("id"),
-      explode(array(bandStructs: _*)).as("s"))
+    sigs.select(col("id"), explode(array(bandStructs: _*)).as("s"))
       .select(col("id"), col("s.band"), col("s.bh"))
+  }
+
+  /** One-row cap profile of a banded frame under `cap`: how many
+    * buckets exist, how many exceed the cap (switching to star
+    * linking), the all-pairs edges the under-cap buckets emit, the
+    * star edges the over-cap ones degrade to, the quadratic edge
+    * count the cap AVOIDED, and the largest bucket. This is the
+    * measured form of the star-cap degradation contract. */
+  def bucketCapProfile(banded: DataFrame, cap: Long): DataFrame = {
+    // C(sz,2) via shiftright keeps the arithmetic in LONGs end to end
+    // (Column./ is double division — a 2^53 precision hazard at
+    // corpus-scale bucket sizes)
+    banded.groupBy("band", "bh").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_buckets"),
+        coalesce(sum(when(col("sz") > cap, 1L).otherwise(0L)), lit(0L))
+          .as("n_over_cap"),
+        coalesce(sum(when(col("sz") <= cap,
+          shiftright(col("sz") * (col("sz") - 1), 1)).otherwise(0L)),
+          lit(0L)).as("allpairs_edges"),
+        coalesce(sum(when(col("sz") > cap, col("sz") - 1)
+          .otherwise(0L)), lit(0L)).as("star_edges"),
+        coalesce(sum(when(col("sz") > cap,
+          shiftright(col("sz") * (col("sz") - 1), 1)).otherwise(0L)),
+          lit(0L)).as("avoided_edges"),
+        max("sz").as("max_bucket"))
+  }
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minEstJaccard: Double = 0.5, maxDf: Option[Long] = None,
+      maxBucket: Option[Long] = None): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, n, numHashes, maxDf)
+    val banded = bandedFromSignatures(sigs, numHashes, bands)
     val cand = bandedCandidates(banded, maxBucket)
     val agree = (0 until numHashes)
       .map(i => when(col(s"sa.mh_$i") === col(s"sb.mh_$i"), 1).otherwise(0))
