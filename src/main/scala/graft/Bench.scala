@@ -99,8 +99,14 @@ object Bench {
       (name, median, samples.count(!_._2))
     }
     val wall = (System.nanoTime() - wall0) / 1e9
+    // The stdout map lists queries CHEAPEST-FIRST: the driver's
+    // BENCH_r{N}.json keeps only the last ~2000 chars of output, and
+    // the per-query names alone exceed that, so ordering by cost puts
+    // the entries that matter (the expensive ones) in the surviving
+    // tail. bench_full.json keeps the complete full-precision map.
+    val ordered = results.sortBy(_._2.getOrElse(Double.MaxValue))
     def queriesJson(fmt: Double => String): String =
-      results.map { case (k, v, _) =>
+      ordered.map { case (k, v, _) =>
         "\"" + k + "\":" + v.map(fmt).getOrElse("null")
       }.mkString("{", ",", "}")
     val failsJson = results.collect { case (k, _, f) if f > 0 =>
@@ -109,11 +115,6 @@ object Bench {
     val total = results.flatMap(_._2).sum
     def line(fmt: Double => String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${queriesJson(fmt)},"fails":$failsJson,"sf":"$sfDir","reps":$reps,"wall":${fmt(wall)}}"""
-    // Full-precision copy to a file: the driver's BENCH_r{N}.json
-    // keeps only the tail of stdout, which truncated the first ~30
-    // per-query medians every round. The stdout line is ms-rounded to
-    // stay inside the captured tail; bench_full.json keeps the
-    // complete map either way.
     val pw = new java.io.PrintWriter("bench_full.json")
     try pw.println(line(_.toString)) finally pw.close()
     println(line(v => "%.3f".format(v)))

@@ -118,6 +118,16 @@ object Extensions {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         numQueries = 5, k = 10, centroidLo = 100L, centroidHi = 116L,
         nprobe = 4, dim = 64)),
+    // the IVF index-build pass on its own: map-only nearest-cell
+    // assignment of every corpus vector against the broadcast
+    // codebook — the batch path of the streaming ingest twin
+    // (StreamProfiler.ivfAssignStream); one scalar row per vector
+    "embed_ivf_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfAssign(emb, "vec_id", "embedding",
+        Similarity.seedCodebook(emb, "vec_id", "embedding", 100L, 116L),
+        dim = 64).orderBy("vec_id")
+    }),
     // unigram-LM quality score (the CCNet perplexity filter's core):
     // the corpus trains its own token model, each doc scored by avg
     // negative log-likelihood
@@ -728,6 +738,25 @@ object Extensions {
        |    vid AS neighbor_id, cosine FROM cos)
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** IVF assignment re-derived: same cell CTEs as [[embedAnnIvfSql]]
+    * (argmin over sig5-rounded |c|²−2·v·c with cid tie-break), whole
+    * corpus, one row per vector. */
+  val embedIvfAssignSql: String =
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i)
+       |       WHERE len(embedding) = 64),
+       |cn AS (SELECT vec_id AS cid, sum(v * v) AS cn2 FROM el
+       |       WHERE vec_id BETWEEN 100 AND 115 GROUP BY 1),
+       |cd AS (SELECT a.vec_id AS vid, c.vec_id AS cid, sum(a.v * c.v) AS dp
+       |       FROM el a JOIN el c ON c.i = a.i
+       |       AND c.vec_id BETWEEN 100 AND 115 GROUP BY 1, 2),
+       |sc AS (SELECT vid, cd.cid, ${sig("cn2 - 2 * dp")} AS score
+       |       FROM cd JOIN cn ON cn.cid = cd.cid)
+       |SELECT vid AS vec_id, cid AS cell FROM (
+       |  SELECT vid, cid, row_number() OVER (PARTITION BY vid
+       |    ORDER BY score ASC, cid ASC) AS rn FROM sc) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
 
   val textStatsSql: String = {
     val f = stopOr("x", enStops)
@@ -2000,6 +2029,7 @@ val eventsRollupSql: String =
     "embed_cosine_topk" -> embedCosineSql,
     "embed_ann_lsh" -> embedAnnLshSql,
     "embed_ann_ivf" -> embedAnnIvfSql,
+    "embed_ivf_assign" -> embedIvfAssignSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,
