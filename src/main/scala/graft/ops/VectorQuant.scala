@@ -130,11 +130,21 @@ object VectorQuant {
     * comparator-friendly output (array columns are unhashable in
     * pandas-based harnesses, which made the nested form unverifiable
     * by the driver gate in round 6). Subspace is 0-based, matching
-    * the oracle's `(i-1)//8` fold. */
+    * the oracle's `(i-1)//8` fold.
+    *
+    * The encode result is MATERIALIZED before the explode: the
+    * posexplode Generate infers a `size(codes) > 0` predicate that
+    * predicate-pushdown substitutes through every Project, cloning
+    * the whole O(m·k) argmin expression tree into the Filter (plan
+    * text 713 KB, 17.5 s vs 5 s — the round-5 Generate-inlining trap
+    * from the other direction). Cutting lineage at the (tiny,
+    * O(vectors)) encoded frame keeps the heavy tree in exactly one
+    * plan node; the explode then runs on plain columns. */
   def pqCodeRows(df: DataFrame, idCol: String, vecCol: String,
       seedLo: Long, seedHi: Long, dim: Int = 64, m: Int = 8)
       : DataFrame =
-    pqCodes(df, idCol, vecCol, seedLo, seedHi, dim, m)
+    Materialize.materialize(
+        pqCodes(df, idCol, vecCol, seedLo, seedHi, dim, m))
       .select(col("vec_id"), col("mse"),
         posexplode(col("codes")).as(Seq("p", "code")))
       .select(col("vec_id"), col("p").cast("long").as("subspace"),
