@@ -116,4 +116,30 @@ class PropertySpec extends SparkSpec {
       assert(once.toSeq == twice.toSeq, s"input $xs")
     }
   }
+
+  test("TopKByScore equals sort-take under any partitioning of the " +
+      "reduce/merge tree") {
+    val entryGen: Gen[List[(Double, Long)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(-1.0, 1.0), Gen.chooseNum(0L, 50L)))
+    val kGen = Gen.chooseNum(1, 12)
+    samples(Gen.zip(entryGen, kGen), 24).foreach { case (raw, k) =>
+      // ids unique per group (the call-site invariant): keep the
+      // first score per id
+      val items = raw.groupBy(_._2).map(_._2.head).toList
+      val agg = new graft.functions.TopKByScore(k)
+      val want = items.sortBy { case (s, i) => (-s, i) }.take(k)
+      // single reduce chain
+      assert(items.foldLeft(agg.zero)(agg.reduce).toSeq == want,
+        s"reduce: items=$items k=$k")
+      // random split points → partial buffers → arbitrary merge tree
+      (1 until math.min(items.length, 4)).foreach { parts =>
+        val bufs = items.grouped(
+          math.max(1, items.length / parts)).toList
+          .map(_.foldLeft(agg.zero)(agg.reduce))
+        val merged = bufs.reduce(agg.merge)
+        assert(merged.toSeq == want,
+          s"merge($parts): items=$items k=$k")
+      }
+    }
+  }
 }
