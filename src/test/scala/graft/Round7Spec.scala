@@ -262,6 +262,52 @@ class Round7Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedHeavyHitters: MG state survives a query RESTART from " +
+      "a real checkpoint (v2 wire format through the state store)") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_hh_ckpt").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_hh_out").toString
+    val mem = MemoryStream[Ev]
+    def start() = StreamProfiler.windowedHeavyHitters(mem.toDF(), "ts",
+        "event_type", k = 4, watermark = "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // run 1: half the window's items, then STOP — the MG buffer
+    // persists serialized in the state store
+    val q1 = start()
+    mem.addData((1 to 6).map(i => Ev(t(i.toLong), "a", 1.0)) ++
+      (7 to 8).map(i => Ev(t(i.toLong), "b", 1.0)): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // run 2: a fresh query instance DESERIALIZES that state, merges
+    // the rest of the window, and the watermark closes it
+    val q2 = start()
+    try {
+      mem.addData(Ev(t(9), "a", 1.0), Ev(t(10), "a", 1.0),
+        Ev(t(11), "c", 1.0))
+      q2.processAllAvailable()
+      mem.addData(Ev(t(5000), "z", 1.0))
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .where(col("window_start_us") === 0L).collect()
+      assert(rows.length == 1, "window 0 must close exactly once")
+      val r = rows.head
+      assert(r.getAs[Long]("n") == 11L,
+        "stream length must count BOTH sides of the restart")
+      val items = r.getAs[Map[String, Long]]("items")
+      // MG guarantees on the merged-through-checkpoint state:
+      // a (true 8) must survive with est in [true - n/(k+1), true]
+      assert(items.contains("a"), s"dominant item lost: $items")
+      assert(items("a") <= 8L && items("a") >= 8L - 11L / 5L,
+        s"MG bound violated: $items")
+    } finally q2.stop()
+  }
+
   test("windowedCellCounts: per-window occupancy sums to arrivals") {
     val sql = spark
     import sql.implicits._
