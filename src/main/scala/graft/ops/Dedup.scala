@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -300,6 +301,109 @@ object Dedup {
     exact.join(cand.select("id_a", "id_b"), Seq("id_a", "id_b"),
         "left_semi")
       .orderBy("id_a", "id_b")
+  }
+
+  /** Exact cross-side n-gram Jaccard pairs (incoming × catalog) —
+    * the ground-truth premise for incremental dedup: every
+    * (incoming, catalog) pair whose capped-3-gram Jaccard reaches
+    * `minJaccard`. Same inverted-index shape as
+    * [[ngramJaccardPairs]], but the join is BETWEEN the two frames
+    * (the catalog is never self-paired). The df cap applies per side,
+    * matching what per-side signature computation sees. */
+  def crossJaccardPairs(incoming: DataFrame, catalog: DataFrame,
+      idCol: String, textCol: String, n: Int = 3,
+      minJaccard: Double = 0.5, maxDf: Option[Long] = None)
+      : DataFrame = {
+    val shI = shingleIndex(incoming, idCol, textCol, n, maxDf)
+    val shC = shingleIndex(catalog, idCol, textCol, n, maxDf)
+    val szI = shI.groupBy("id").agg(count(lit(1)).as("sz_a"))
+      .withColumnRenamed("id", "inc_id")
+    val szC = shC.groupBy("id").agg(count(lit(1)).as("sz_b"))
+      .withColumnRenamed("id", "cat_id")
+    shI.as("a").join(shC.as("b"), col("a.shingle") === col("b.shingle"))
+      .groupBy(col("a.id").as("inc_id"), col("b.id").as("cat_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(szI, Seq("inc_id")).join(szC, Seq("cat_id"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select("inc_id", "cat_id", "jaccard")
+      .orderBy("inc_id", "cat_id")
+  }
+
+  /** Incremental (catalog) MinHash-LSH near-dup candidates: an
+    * INCOMING batch banded against an existing CATALOG — the
+    * daily-crawl operating shape at 100 TB. The catalog side is the
+    * persisted signature/band index of everything already kept (in
+    * production computed ONCE and stored; recomputed here from text
+    * because the harness has no state between queries); each new
+    * batch is signed, banded identically, and candidates come from an
+    * incoming↔catalog bucket join — the catalog is never re-paired
+    * against itself, so daily cost is O(batch) + one index probe, not
+    * O(corpus²) or even O(corpus).
+    *
+    * `maxCatalogPerBucket` is the incremental skew guard: a viral
+    * catalog bucket (boilerplate cluster) is represented by its
+    * `cap` smallest-id members — an incoming near-dup still collides
+    * with the representatives (detection preserved: the incremental
+    * question is "is this new doc a dup of ANYTHING", not the full
+    * pair list), while the per-bucket join fan-out is bounded by
+    * cap·|incoming-bucket|. */
+  def incrementalLshPairs(incoming: DataFrame, catalog: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, minEstJaccard: Double = 0.5,
+      maxDf: Option[Long] = None,
+      maxCatalogPerBucket: Option[Long] = None): DataFrame = {
+    val sigsI = minhashSignatures(incoming, idCol, textCol, n,
+      numHashes, maxDf)
+    val sigsC = minhashSignatures(catalog, idCol, textCol, n,
+      numHashes, maxDf)
+    val bI = bandedFromSignatures(sigsI, numHashes, bands)
+    val bC0 = bandedFromSignatures(sigsC, numHashes, bands)
+    val bC = maxCatalogPerBucket match {
+      case None => bC0
+      case Some(cap) =>
+        // keep the cap smallest ids per catalog bucket — windows over
+        // ONE bucket-partitioned exchange, never an all-member join
+        val w = Window.partitionBy("band", "bh").orderBy(col("id").asc)
+        bC0.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= cap).drop("__rn")
+    }
+    val cand = bI.as("x").join(bC.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.id").as("inc_id"), col("y.id").as("cat_id"))
+      .distinct()
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"sa.mh_$i") === col(s"sb.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigsI.as("sa"), col("inc_id") === col("sa.id"))
+      .join(sigsC.as("sb"), col("cat_id") === col("sb.id"))
+      .withColumn("est_jaccard",
+        agree.cast("double") / numHashes.toDouble)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select("inc_id", "cat_id", "est_jaccard")
+      .orderBy("inc_id", "cat_id")
+  }
+
+  /** Recall-containment view for incremental dedup (the declared
+    * gate, same pattern as [[minhashContainmentPairs]]): the exact
+    * cross-side Jaccard pairs at `minJaccard` that the incremental
+    * banded candidates capture. Oracle = the exact pairs; a
+    * hash-match proves every catalog near-dup of the incoming batch
+    * appeared among the incremental candidates. */
+  def incrementalContainmentPairs(incoming: DataFrame,
+      catalog: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      minEstJaccard: Double = 0.5, minJaccard: Double = 0.8,
+      maxDf: Option[Long] = None): DataFrame = {
+    val exact = crossJaccardPairs(incoming, catalog, idCol, textCol,
+      n, minJaccard, maxDf)
+    val cand = incrementalLshPairs(incoming, catalog, idCol, textCol,
+      n, numHashes, bands, minEstJaccard, maxDf)
+    exact.join(cand.select("inc_id", "cat_id"), Seq("inc_id", "cat_id"),
+        "left_semi")
+      .orderBy("inc_id", "cat_id")
   }
 
   /** Bounded-distance invariant view for SimHash: the exact n-gram

@@ -58,6 +58,21 @@ object Extensions {
       Dedup.minhashContainmentPairs(t(s, dir, "documents"), "doc_id",
         "text", n = 3, numHashes = 64, bands = 16, minEstJaccard = 0.5,
         minJaccard = 0.8, maxDf = Some(NgramMaxDf))),
+    // incremental (catalog) dedup — the daily-crawl shape: the src0
+    // slice arrives as the new batch, everything else is the
+    // persisted catalog; declared as the recall-containment gate
+    // (exact cross-side J≥0.8 pairs ∩ incremental LSH candidates,
+    // oracle = the exact pairs — fixture pairs sit at J 0.97–0.99
+    // where 16×4 banding capture is ≈1)
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.incrementalContainmentPairs(
+        docs.where(col("source") === "src0"),
+        docs.where(col("source") =!= "src0"),
+        "doc_id", "text", n = 3, numHashes = 64, bands = 16,
+        minEstJaccard = 0.5, minJaccard = 0.8,
+        maxDf = Some(NgramMaxDf))
+    }),
     // bounded-distance invariant: exact J≥0.9 pairs with SimHash
     // Hamming ≤ 16; oracle = the exact pairs
     "dedup_simhash" -> ((s, dir) =>
@@ -634,6 +649,28 @@ object Extensions {
   val dedupNgramSql: String = ngramSql(0.5)
   val dedupMinhashSql: String = ngramSql(0.8)
   val dedupSimhashSql: String = ngramSql(0.9)
+
+  /** Exact CROSS-side Jaccard pairs (src0 batch × catalog) at J≥0.8 —
+    * the incremental-dedup ground truth, per-side df caps mirroring
+    * the per-side Spark signature computation. The raw double
+    * division is bit-identical across engines (integer-derived
+    * operands, one IEEE op) — same contract as [[ngramSql]]. */
+  val dedupIncrementalSql: String =
+    s"""WITH ${shingleCteSql("inc",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")},
+       |${shingleCteSql("cat",
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')")},
+       |isz AS (SELECT id, count(*) AS sz FROM inc GROUP BY id),
+       |csz AS (SELECT id, count(*) AS sz FROM cat GROUP BY id),
+       |pr AS (SELECT i.id AS inc_id, c.id AS cat_id, count(*) AS inter
+       |       FROM inc i JOIN cat c ON c.shingle = i.shingle
+       |       GROUP BY 1, 2)
+       |SELECT pr.inc_id, pr.cat_id,
+       |  CAST(inter AS DOUBLE) / (si.sz + sc.sz - inter) AS jaccard
+       |FROM pr JOIN isz si ON si.id = pr.inc_id
+       |JOIN csz sc ON sc.id = pr.cat_id
+       |WHERE CAST(inter AS DOUBLE) / (si.sz + sc.sz - inter) >= 0.8
+       |ORDER BY inc_id, cat_id""".stripMargin
 
   val sampleStratifiedSql: String =
     """SELECT doc_id, lang FROM (
@@ -2020,6 +2057,7 @@ val eventsRollupSql: String =
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram" -> dedupNgramSql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep" -> dedupKeepSql,

@@ -181,6 +181,62 @@ class Round7Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // Incremental (catalog) dedup
+  // ---------------------------------------------------------------
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2)).asJava, docSchema)
+
+  test("incrementalLshPairs: finds incoming×catalog near-dups, never " +
+      "re-pairs the catalog against itself") {
+    val base = (1 to 14).map(i => s"tok$i").mkString(" ")
+    val catalog = docs(
+      (0L, base), (1L, base + " tail1"), // catalog-internal near-dups
+      (2L, (30 to 45).map(i => s"other$i").mkString(" ")))
+    val incoming = docs(
+      (100L, base + " tail2"), // near-dup of catalog 0 and 1
+      (101L, (60 to 75).map(i => s"fresh$i").mkString(" ")))
+    val pairs = graft.ops.Dedup.incrementalLshPairs(incoming, catalog,
+      "doc_id", "text", n = 3, numHashes = 64, bands = 16,
+      minEstJaccard = 0.5).collect()
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((100L, 0L)) && got.contains((100L, 1L)),
+      s"incoming near-dup must hit both catalog copies, got $got")
+    assert(pairs.forall(_.getLong(0) >= 100L),
+      "no catalog-internal pairs may be emitted")
+    assert(!got.exists(_._1 == 101L), "fresh doc must not match")
+  }
+
+  test("incrementalLshPairs: maxCatalogPerBucket bounds a viral " +
+      "catalog bucket while keeping detection") {
+    val base = (1 to 14).map(i => s"tok$i").mkString(" ")
+    // 50 near-identical catalog docs (one viral boilerplate cluster)
+    val catalog = docs((0L until 50L).map(i =>
+      i -> (base + s" tail$i")): _*)
+    val incoming = docs((100L, base + " tailX"))
+    val uncapped = graft.ops.Dedup.incrementalLshPairs(incoming,
+      catalog, "doc_id", "text", n = 3, numHashes = 64, bands = 16,
+      minEstJaccard = 0.3).collect()
+    assert(uncapped.length == 50,
+      s"uncapped must hit every catalog copy, got ${uncapped.length}")
+    val capped = graft.ops.Dedup.incrementalLshPairs(incoming, catalog,
+      "doc_id", "text", n = 3, numHashes = 64, bands = 16,
+      minEstJaccard = 0.3, maxCatalogPerBucket = Some(3L)).collect()
+    assert(capped.nonEmpty, "detection must survive the cap")
+    // the cap bounds PER-BUCKET fan-out: ≤ cap reps per (band, bh),
+    // so the distinct union over 16 bands is ≤ bands·cap — and far
+    // below the 50 copies the uncapped join pairs with
+    assert(capped.length <= 16 * 3,
+      s"per-bucket cap must bound candidates, got ${capped.length}")
+    assert(capped.length < uncapped.length,
+      "cap must strictly reduce the viral-bucket fan-out")
+    assert(capped.forall(_.getLong(0) == 100L))
+  }
+
+  // ---------------------------------------------------------------
   // Driver-harness compatibility: every declared query emits ONLY
   // scalar columns (the round-6 embed_pq lesson: array columns are
   // unhashable in pandas-based comparators, so a non-scalar output
