@@ -282,6 +282,22 @@ class Round7Spec extends SparkSpec {
     assert(h.forall(r => r.getDouble(4) > r.getDouble(3)))
   }
 
+  test("dateHistogram: all-null and constant date columns degrade " +
+      "like numeric histograms") {
+    val schema = StructType(Seq(
+      StructField("d1", TimestampType), StructField("d2", TimestampType)))
+    val c = java.sql.Timestamp.valueOf("2024-06-01 00:00:00")
+    val rows = Seq(Row(null, c), Row(null, c), Row(null, c))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val h = Stats.dateHistogram(df, Seq("d1", "d2")).collect()
+    // all-null column: no well-formed bounds → zero rows emitted;
+    // constant column: single non-empty bin 0 with the full count
+    assert(!h.exists(_.getString(0) == "d1"))
+    val d2 = h.filter(_.getString(0) == "d2")
+    assert(d2.length == 1 && d2.head.getLong(1) == 0L &&
+      d2.head.getLong(2) == 3L)
+  }
+
   // ---------------------------------------------------------------
   // Streaming IVF twin
   // ---------------------------------------------------------------
