@@ -386,6 +386,122 @@ object Dedup {
       .orderBy("inc_id", "cat_id")
   }
 
+  /** Per-row banded MinHash — the STATELESS twin of
+    * [[minhashSignatures]] → [[bandedFromSignatures]]: each row
+    * computes its own signature from its token-hash array (HOF
+    * `array_min` over per-view rehashes of the same 64-bit gram
+    * hashes — value-identical longs, batch-equality unit-tested), so
+    * there is NO explode-groupBy shuffle and the whole thing runs
+    * verbatim on a STREAMING DataFrame. Per-row cost is
+    * O(numHashes·grams) interpreted lambda evaluations — the right
+    * trade for ingest-time guards where each row is seen once; the
+    * batch index path stays the bulk-build plan.
+    *
+    * `hotShingles` is the static over-cap gram set (shipped with the
+    * catalog index in production, like the Bloom bits): a stateless
+    * row cannot compute corpus document frequencies, so the df cap
+    * becomes a membership filter against this literal set. Docs with
+    * no grams (shorter than n tokens) are dropped, as in the batch
+    * index. Returns (id, band, bh). */
+  def rowBanded(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      hotShingles: Seq[Long] = Nil): DataFrame = {
+    val withKeys = rowBandKeys(df, idCol, textCol, n, numHashes, bands,
+      hotShingles)
+    withKeys
+      .select(col("id"), posexplode(col("__bands")).as(Seq("band", "bh")))
+      .select(col("id"), col("band").cast("int"), col("bh"))
+  }
+
+  /** (id, __bands: array<bigint>) — per-row band hashes, plus
+    * `__bandkeys` (band index folded into the hash) for set/Bloom
+    * membership keyed on (band, bh) pairs. Shared by [[rowBanded]]
+    * and the streaming guard. */
+  private[ops] def rowBandKeys(df: DataFrame, idCol: String,
+      textCol: String, n: Int, numHashes: Int, bands: Int,
+      hotShingles: Seq[Long]): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+    // token-hash array as its OWN projection (HOF-CSE rule — see
+    // hashedGramFrame; an inlined transform(split(...)) re-evaluates
+    // per element access)
+    val hw = df.select(col(idCol).as("id"),
+      transform(split(col(textCol), " "), t => xxhash64(t)).as("__hw"))
+    val a = col("__hw")
+    val grams0 = transform(sequence(lit(0), size(a) - n), i =>
+      xxhash64((0 until n).map(k => element_at(a, i + k + 1)): _*))
+    val guarded = array_distinct(when(size(a) >= n, grams0)
+      .otherwise(array().cast("array<bigint>")))
+    val grams =
+      if (hotShingles.isEmpty) guarded
+      else array_except(guarded, typedLit(hotShingles.toArray))
+    // grams array materialized before the signature lambdas read it
+    val withG = hw.select(col("id"), grams.as("__g"))
+      .where(size(col("__g")) >= 1)
+    val sigs = (0 until numHashes).map(i =>
+      array_min(transform(col("__g"), s => xxhash64(lit(i), s)))
+        .as(s"__mh_$i"))
+    val withSig = withG.select(col("id") +: sigs: _*)
+    val bandHashes = (0 until bands).map { b =>
+      val cs = (b * rows until (b + 1) * rows).map(i => col(s"__mh_$i"))
+      xxhash64(cs: _*)
+    }
+    withSig.select(col("id"), array(bandHashes: _*).as("__bands"),
+      array(bandHashes.zipWithIndex.map { case (bh, b) =>
+        xxhash64(lit(b.toLong), bh)
+      }: _*).as("__bandkeys"))
+  }
+
+  /** The catalog's (band, bh) key set folded into a dense Bloom
+    * bitset (one `Array[Long]` of mBits/64 words) plus the over-cap
+    * hot-gram set — the STATIC state a streaming ingest guard ships:
+    * O(mBits + hot) driver/broadcast bytes, independent of catalog
+    * row count. Keys are xxhash64(band, bh) so a hash colliding in a
+    * DIFFERENT band cannot flag. */
+  def catalogBandBloom(catalog: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, maxDf: Option[Long] = None,
+      mBits: Long = 1L << 20, nBloomHashes: Int = 5)
+      : (Array[Long], Seq[Long]) = {
+    val sigs = minhashSignatures(catalog, idCol, textCol, n,
+      numHashes, maxDf)
+    val banded = bandedFromSignatures(sigs, numHashes, bands)
+    val keys = banded.select(
+      xxhash64(col("band").cast("long"), col("bh")).as("shingle"))
+    val bits = BloomPrefilter.buildBits(keys, mBits, nBloomHashes)
+      .collect()(0).getSeq[Long](0).toArray
+    val hot = maxDf match {
+      case None => Nil
+      case Some(cap) =>
+        hashedGramFrame(catalog, idCol, textCol, n, distinct = true)
+          .groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap)
+          .collect().map(_.getLong(0)).toSeq
+    }
+    (bits, hot)
+  }
+
+  /** Per-row incremental dedup guard: each doc's band keys probed
+    * against the catalog's Bloom bitset — ONE output row per doc,
+    * `maybe_dup` true iff some band key might be in the catalog
+    * (Bloom semantics: no false negatives relative to the banded
+    * index; false-positive rate set by mBits/nBloomHashes). The whole
+    * plan is Scan→Project — no shuffle, no state — so it runs
+    * verbatim on a STREAMING frame (StreamProfiler delegates here),
+    * the same guard contract as BloomPrefilter's contamination flag. */
+  def incrementalGuard(df: DataFrame, idCol: String, textCol: String,
+      bloomBits: Array[Long], hotShingles: Seq[Long] = Nil,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      mBits: Long = 1L << 20, nBloomHashes: Int = 5): DataFrame = {
+    val bloom = typedLit(bloomBits.toSeq)
+    rowBandKeys(df, idCol, textCol, n, numHashes, bands, hotShingles)
+      .select(col("id").as("doc_id"),
+        exists(col("__bandkeys"), k =>
+          BloomPrefilter.mightContain(bloom, k, mBits, nBloomHashes))
+          .as("maybe_dup"))
+  }
+
   /** Recall-containment view for incremental dedup (the declared
     * gate, same pattern as [[minhashContainmentPairs]]): the exact
     * cross-side Jaccard pairs at `minJaccard` that the incremental

@@ -395,6 +395,27 @@ object StreamProfiler {
         col("cell"), col("cnt"))
   }
 
+  /** Streaming incremental near-dup guard — the ingest-time twin of
+    * the batch [[graft.ops.Dedup.incrementalLshPairs]] catalog dedup:
+    * each arriving doc computes its own banded MinHash per row
+    * (stateless — no explode-groupBy, see `Dedup.rowBanded`) and
+    * probes the catalog's (band, bh) Bloom bitset. Static state is
+    * O(mBits + hot-grams) broadcast constants built once by
+    * `Dedup.catalogBandBloom`; the streaming plan is pure
+    * Scan→Project, append-mode trivially legal, no watermark needed.
+    * `maybe_dup = true` has Bloom+banding semantics: every doc whose
+    * bands collide with the catalog index is flagged (no false
+    * negatives vs the banded index), plus a tunable false-positive
+    * sliver — route flagged docs to the exact batch path, exactly
+    * like the contamination guard. */
+  def incrementalGuardStream(docs: DataFrame, bloomBits: Array[Long],
+      hotShingles: Seq[Long] = Nil, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, mBits: Long = 1L << 20, nBloomHashes: Int = 5)
+      : DataFrame =
+    graft.ops.Dedup.incrementalGuard(docs, idCol, textCol, bloomBits,
+      hotShingles, n, numHashes, bands, mBits, nBloomHashes)
+
   /** Windowed drift against a FIXED reference distribution — the
     * continuously-run twin of [[graft.ops.Drift.referenceDrift]]:
     * every closed event-time window is scored (PSI / TVD / binned KS)

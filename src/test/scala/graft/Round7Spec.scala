@@ -11,6 +11,7 @@ import graft.profiler.Stats
 import graft.streaming.StreamProfiler
 
 case class VecEv(ts: Timestamp, vec_id: Long, embedding: Seq[Double])
+case class Doc(doc_id: Long, text: String)
 
 /** Round-7 additions: bounded top-k similarity tail, scalar-row PQ
   * output, date histograms, streaming IVF assignment, and the
@@ -234,6 +235,58 @@ class Round7Spec extends SparkSpec {
     assert(capped.length < uncapped.length,
       "cap must strictly reduce the viral-bucket fan-out")
     assert(capped.forall(_.getLong(0) == 100L))
+  }
+
+  test("rowBanded: per-row stateless banding equals the batch " +
+      "signature-index path exactly") {
+    val d = docs((0L until 20L).map(i =>
+      i -> ((1 to 15).map(t => s"w${(i * 3 + t) % 40}")
+        .mkString(" "))): _*)
+    val viaIndex = graft.ops.Dedup.bandedFromSignatures(
+      graft.ops.Dedup.minhashSignatures(d, "doc_id", "text",
+        n = 3, numHashes = 32), 32, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    val viaRow = graft.ops.Dedup.rowBanded(d, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    assert(viaRow == viaIndex,
+      "per-row banding must produce identical (id, band, bh) keys")
+  }
+
+  test("incrementalGuardStream: stateless Bloom band probe flags " +
+      "catalog near-dups at ingest, batch-equal") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 14).map(i => s"tok$i").mkString(" ")
+    val catalog = docs((0L, base), (1L, base + " tailA"),
+      (2L, (30 to 45).map(i => s"other$i").mkString(" ")))
+    val (bits, hot) = graft.ops.Dedup.catalogBandBloom(catalog,
+      "doc_id", "text", n = 3, numHashes = 64, bands = 16)
+    assert(hot.isEmpty)
+    val incoming = Seq(
+      Doc(100L, base + " tailB"), // near-dup of the catalog pair
+      Doc(101L, (60 to 75).map(i => s"fresh$i").mkString(" ")))
+    // batch form of the same guard
+    val batchFlags = graft.ops.Dedup.incrementalGuard(
+      incoming.toDF(), "doc_id", "text", bits)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(batchFlags(100L), "near-dup must be flagged")
+    assert(!batchFlags(101L), "fresh doc must pass")
+    // streaming: same rows through a MemoryStream
+    val mem = MemoryStream[Doc]
+    val q = StreamProfiler.incrementalGuardStream(mem.toDF(), bits)
+      .writeStream.format("memory").queryName("incguard")
+      .outputMode("append").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = spark.table("incguard").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(got == batchFlags, "stream/batch guard must agree")
+    } finally q.stop()
   }
 
   // ---------------------------------------------------------------
