@@ -354,12 +354,50 @@ object Dedup {
       bands: Int = 16, minEstJaccard: Double = 0.5,
       maxDf: Option[Long] = None,
       maxCatalogPerBucket: Option[Long] = None): DataFrame = {
-    val sigsI = minhashSignatures(incoming, idCol, textCol, n,
-      numHashes, maxDf)
     val sigsC = minhashSignatures(catalog, idCol, textCol, n,
       numHashes, maxDf)
+    incrementalLshPairsWithIndex(incoming, sigsC,
+      bandedFromSignatures(sigsC, numHashes, bands), idCol, textCol,
+      n, numHashes, bands, minEstJaccard, maxDf, maxCatalogPerBucket)
+  }
+
+  /** Persist the catalog's near-dup index — signatures plus banded
+    * (id, band, bh) keys — as parquet under `path`: the state a
+    * production pipeline builds ONCE per corpus version and probes
+    * on every batch. Band keys are written partitioned by `band`
+    * so a probe of one band prunes to 1/bands of the index files. */
+  def writeCatalogIndex(catalog: DataFrame, idCol: String,
+      textCol: String, path: String, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, maxDf: Option[Long] = None): Unit = {
+    val sigs = minhashSignatures(catalog, idCol, textCol, n,
+      numHashes, maxDf)
+    sigs.write.mode("overwrite").parquet(s"$path/signatures")
+    bandedFromSignatures(sigs, numHashes, bands)
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$path/bands")
+  }
+
+  /** Load a [[writeCatalogIndex]] index: (signatures, banded keys). */
+  def readCatalogIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/signatures"),
+      spark.read.parquet(s"$path/bands")
+        .select(col("id"), col("band").cast("int"), col("bh")))
+
+  /** [[incrementalLshPairs]] against a PREBUILT catalog index (the
+    * persisted-signatures production path — the catalog text is
+    * never re-read, only its index). */
+  def incrementalLshPairsWithIndex(incoming: DataFrame,
+      catalogSigs: DataFrame, catalogBands: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, minEstJaccard: Double = 0.5,
+      maxDf: Option[Long] = None,
+      maxCatalogPerBucket: Option[Long] = None): DataFrame = {
+    val sigsI = minhashSignatures(incoming, idCol, textCol, n,
+      numHashes, maxDf)
+    val sigsC = catalogSigs
     val bI = bandedFromSignatures(sigsI, numHashes, bands)
-    val bC0 = bandedFromSignatures(sigsC, numHashes, bands)
+    val bC0 = catalogBands
     val bC = maxCatalogPerBucket match {
       case None => bC0
       case Some(cap) =>

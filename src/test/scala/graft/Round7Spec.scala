@@ -255,6 +255,29 @@ class Round7Spec extends SparkSpec {
       "per-row banding must produce identical (id, band, bh) keys")
   }
 
+  test("catalog index round-trips through parquet; probing the " +
+      "persisted index equals direct computation") {
+    val base = (1 to 14).map(i => s"tok$i").mkString(" ")
+    val catalog = docs((0L, base), (1L, base + " tailA"),
+      (2L, (30 to 45).map(i => s"other$i").mkString(" ")))
+    val incoming = docs((100L, base + " tailB"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_catidx").toString
+    graft.ops.Dedup.writeCatalogIndex(catalog, "doc_id", "text", dir,
+      n = 3, numHashes = 64, bands = 16)
+    val (sigs, bands) = graft.ops.Dedup.readCatalogIndex(spark, dir)
+    val viaIndex = graft.ops.Dedup.incrementalLshPairsWithIndex(
+      incoming, sigs, bands, "doc_id", "text", n = 3,
+      numHashes = 64, bands = 16, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = graft.ops.Dedup.incrementalLshPairs(incoming,
+      catalog, "doc_id", "text", n = 3, numHashes = 64, bands = 16,
+      minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == direct && viaIndex.nonEmpty,
+      s"persisted-index probe must equal direct: $viaIndex vs $direct")
+  }
+
   test("incrementalGuardStream: stateless Bloom band probe flags " +
       "catalog near-dups at ingest, batch-equal") {
     val sql = spark
