@@ -104,6 +104,30 @@ object DedupScaleSmoke {
       s"(expected: 1 hot cluster of $hot + ${hot * 10 - hot} group docs " +
       s"in ${(hot * 10 - hot) / 4} groups)")
 
+    // incremental (catalog) dedup at scale: 99% of the corpus is the
+    // persisted catalog (index built ONCE per corpus version), the 1%
+    // id-sampled slice arrives as today's batch and probes the
+    // prebuilt index — the measured daily cost vs full re-pairing
+    val isIncoming = pmod(col("id"), lit(100L)) === 0L
+    val incoming = corpus.where(isIncoming)
+    val catalogDocs = corpus.where(!isIncoming)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_smoke_catidx").toString
+    timed("catalog index build+persist (99% of corpus, once)") {
+      Dedup.writeCatalogIndex(catalogDocs, "id", "text", idxDir,
+        n = 3, numHashes = 64, bands = 16)
+    }
+    val (catSigs, catBands) = Dedup.readCatalogIndex(spark, idxDir)
+    val incPairs = timed("incremental probe (1% batch vs index)") {
+      Dedup.incrementalLshPairsWithIndex(incoming, catSigs, catBands,
+        "id", "text", n = 3, numHashes = 64, bands = 16,
+        minEstJaccard = 0.5, maxCatalogPerBucket = Some(cap))
+        .transform(graft.ops.Materialize.materialize)
+    }
+    println(s"[dedup-smoke] incremental pairs = ${incPairs.count()} " +
+      s"(batch = ${docs / 100} docs against a " +
+      s"${docs - docs / 100}-doc catalog index)")
+
     // SemDeDup maxCluster cap: same hot blob in embedding space —
     // 100k identical vectors land in one Voronoi cell; the cap must
     // bound within-cell pair emission

@@ -261,9 +261,12 @@ object Profiler {
     val numColsOrdered = Kinds.numericCols(df)
     val withCorr = cfg.correlations && numColsOrdered.size >= 2
     val aggs = (count(lit(1)).as("__n") +: allCols.map { c =>
-      // quantile summaries only where the profile reads them
+      // quantile summaries where the profile reads them: numeric
+      // quantiles, and DATE columns for the GK-estimated epoch-micros
+      // mini-histogram (the pandas-profiling 1.x date render)
       MultiSketch.sketch(col(s"v__$c"), col(s"h__$c"),
-        ps = if (numColsSet(c)) Stats.Ps else Nil).as(s"ms__$c")
+        ps = if (numColsSet(c) || dateColsSet(c)) Stats.Ps else Nil)
+        .as(s"ms__$c")
     }) ++
       // the whole correlation matrix rides in the same scan: one
       // buffer of all k(k+1)/2 streaming co-moments (see CoMomentAgg)
@@ -317,7 +320,7 @@ object Profiler {
     // per-bin error bounded by the GK rank guarantee (≤ ε·n per edge,
     // ε = 1e-4), exact whenever a column's summary never compressed
     val histOverride: Map[String, Seq[(Long, Long)]] =
-      allCols.filter(numColsSet).flatMap { c =>
+      allCols.filter(c => numColsSet(c) || dateColsSet(c)).flatMap { c =>
         val r = rowOf(c)
         val gk = r.getAs[Array[Byte]]("gk")
         if (gk == null) None
@@ -396,16 +399,29 @@ object Profiler {
     val n = aLong("__n")
 
     // ---- pass C: histograms + frequency tables (one job each) ----
+    // DATE columns join the numeric histogram job as exact
+    // epoch-micros doubles (< 2^53, conversion exact — the
+    // date_histogram determinism argument): same scan count, the
+    // pandas-profiling 1.x date mini-histogram included.
+    val dateColsA = Kinds.dateCols(df)
+    def aEpoch(name: String): Double = Option(aMap(name))
+      .map(_.asInstanceOf[Long].toDouble).getOrElse(Double.NaN)
     val mnMap = numCols.map(c =>
-      c -> aDouble(s"min__$c").getOrElse(Double.NaN)).toMap
+      c -> aDouble(s"min__$c").getOrElse(Double.NaN)).toMap ++
+      dateColsA.map(c => c -> aEpoch(s"dmn__$c"))
     val mxMap = numCols.map(c =>
-      c -> aDouble(s"max__$c").getOrElse(Double.NaN)).toMap
+      c -> aDouble(s"max__$c").getOrElse(Double.NaN)).toMap ++
+      dateColsA.map(c => c -> aEpoch(s"dmx__$c"))
+    val histSrc =
+      if (dateColsA.isEmpty) df
+      else df.select(numCols.map(col) ++ dateColsA.map(c =>
+        unix_micros(col(c).cast("timestamp")).cast("double").as(c)): _*)
     // chunked by column group: bins·k conditional sums per scan
     // otherwise (wide-table plan blowup, same rationale as chunkedAgg)
     val histRows: Map[String, Seq[(Long, Long)]] =
       histOverride.getOrElse(
-        numCols.grouped(60).flatMap { g =>
-          Stats.histogramWithBounds(df, g, cfg.bins, mnMap, mxMap)
+        (numCols ++ dateColsA).grouped(60).flatMap { g =>
+          Stats.histogramWithBounds(histSrc, g, cfg.bins, mnMap, mxMap)
             .collect()
             .groupBy(_.getString(0))
             .map { case (k, rs) =>

@@ -374,6 +374,26 @@ class Round7Spec extends SparkSpec {
       d2.head.getLong(2) == 3L)
   }
 
+  test("profile carries DATE mini-histograms in both the pass-based " +
+      "and fused paths") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val exact = graft.profiler.Profiler.profile(li)
+      .columns.find(_.name == "l_shipdate").get
+    // pass-based: identical to the declared date_histogram query
+    val want = Stats.dateHistogram(li, Seq("l_shipdate")).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(exact.histogram == want,
+      "pass-based date histogram must equal the query-level counts")
+    // fused: GK-estimated — right shape, full mass
+    val fused = graft.profiler.Profiler.profileFused(li)
+      .columns.find(_.name == "l_shipdate").get
+    assert(fused.histogram.nonEmpty, "fused path must estimate one")
+    assert(fused.histogram.map(_._2).sum == exact.count,
+      "estimated mass must cover every non-null date")
+  }
+
   // ---------------------------------------------------------------
   // Streaming IVF twin
   // ---------------------------------------------------------------
