@@ -333,7 +333,10 @@ object Dedup {
 
   /** Incremental (catalog) MinHash-LSH near-dup candidates: an
     * INCOMING batch banded against an existing CATALOG — the
-    * daily-crawl operating shape at 100 TB. The catalog side is the
+    * daily-crawl operating shape at 100 TB (the corpus-maintenance
+    * regime described for production web-scale dedup in Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022 §3, applied incrementally). The catalog side is the
     * persisted signature/band index of everything already kept (in
     * production computed ONCE and stored; recomputed here from text
     * because the harness has no state between queries); each new

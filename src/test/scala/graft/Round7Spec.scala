@@ -255,6 +255,21 @@ class Round7Spec extends SparkSpec {
       "per-row banding must produce identical (id, band, bh) keys")
   }
 
+  test("incremental probe plan: equi-joins only — no cartesian or " +
+      "nested-loop over the catalog") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val q = graft.ops.Dedup.incrementalLshPairs(
+      d.where(col("source") === "src0"),
+      d.where(col("source") =!= "src0"),
+      "doc_id", "text", n = 3, numHashes = 64, bands = 16)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"catalog probe must stay equi-join:\n${plan.take(2000)}")
+  }
+
   test("catalog index round-trips through parquet; probing the " +
       "persisted index equals direct computation") {
     val base = (1 to 14).map(i => s"tok$i").mkString(" ")
