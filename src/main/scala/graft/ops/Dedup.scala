@@ -417,8 +417,11 @@ object Dedup {
     val agree = (0 until numHashes)
       .map(i => when(col(s"sa.mh_$i") === col(s"sb.mh_$i"), 1).otherwise(0))
       .reduce(_ + _)
+    // the incoming side is batch-sized by the operator's premise
+    // (daily slice vs corpus), so its signature table broadcasts —
+    // the scoring join then shuffles only candidates × catalog sigs
     cand
-      .join(sigsI.as("sa"), col("inc_id") === col("sa.id"))
+      .join(broadcast(sigsI.as("sa")), col("inc_id") === col("sa.id"))
       .join(sigsC.as("sb"), col("cat_id") === col("sb.id"))
       .withColumn("est_jaccard",
         agree.cast("double") / numHashes.toDouble)
