@@ -67,20 +67,30 @@ object DedupScaleSmoke {
       r
     }
 
-    // bucket-cap profile over the exact banded frame the join sees
-    val profile = timed("bucket profile (signatures + banding + agg)") {
-      val sigs = Dedup.minhashSignatures(corpus, "id", "text",
-        n = 3, numHashes = 64)
-      Dedup.bucketCapProfile(
-        Dedup.bandedFromSignatures(sigs, 64, 16), cap).collect().head
-    }
-    println(s"[dedup-smoke] buckets=${profile.getLong(0)} " +
-      s"over_cap=${profile.getLong(1)} " +
-      s"allpairs_edges=${profile.getLong(2)} " +
-      s"star_edges=${profile.getLong(3)} " +
-      s"avoided_edges=${profile.getLong(4)} " +
-      s"max_bucket=${profile.getLong(5)}")
+    // optional phase filter (args(3), CSV of
+    // profile|pairs|incremental|semantic) so one phase can be
+    // re-measured without paying the others
+    val phases: Set[String] =
+      if (args.length > 3) args(3).split(",").toSet
+      else Set("profile", "pairs", "incremental", "semantic")
 
+    // bucket-cap profile over the exact banded frame the join sees
+    if (phases("profile")) {
+      val profile = timed("bucket profile (signatures + banding + agg)") {
+        val sigs = Dedup.minhashSignatures(corpus, "id", "text",
+          n = 3, numHashes = 64)
+        Dedup.bucketCapProfile(
+          Dedup.bandedFromSignatures(sigs, 64, 16), cap).collect().head
+      }
+      println(s"[dedup-smoke] buckets=${profile.getLong(0)} " +
+        s"over_cap=${profile.getLong(1)} " +
+        s"allpairs_edges=${profile.getLong(2)} " +
+        s"star_edges=${profile.getLong(3)} " +
+        s"avoided_edges=${profile.getLong(4)} " +
+        s"max_bucket=${profile.getLong(5)}")
+    }
+
+    if (phases("pairs")) {
     val pairs = timed("capped LSH candidate pairs (end-to-end)") {
       Dedup.minhashLshPairs(corpus, "id", "text", n = 3,
         numHashes = 64, bands = 16, minEstJaccard = 0.5,
@@ -103,7 +113,9 @@ object DedupScaleSmoke {
       s"docs_in_clusters=${summary.getLong(1)} " +
       s"(expected: 1 hot cluster of $hot + ${hot * 10 - hot} group docs " +
       s"in ${(hot * 10 - hot) / 4} groups)")
+    }
 
+    if (phases("incremental")) {
     // incremental (catalog) dedup at scale: 99% of the corpus is the
     // persisted catalog (index built ONCE per corpus version), the 1%
     // id-sampled slice arrives as today's batch and probes the
@@ -127,7 +139,9 @@ object DedupScaleSmoke {
     println(s"[dedup-smoke] incremental pairs = ${incPairs.count()} " +
       s"(batch = ${docs / 100} docs against a " +
       s"${docs - docs / 100}-doc catalog index)")
+    }
 
+    if (phases("semantic")) {
     // SemDeDup maxCluster cap: same hot blob in embedding space —
     // 100k identical vectors land in one Voronoi cell; the cap must
     // bound within-cell pair emission
@@ -149,6 +163,7 @@ object DedupScaleSmoke {
     println(s"[dedup-smoke] semantic pairs = $nSem " +
       s"(hot-blob pairs = $hotSem; uncapped blob would be " +
       s"${hot * (hot - 1) / 2})")
+    }
     spark.stop()
   }
 }
