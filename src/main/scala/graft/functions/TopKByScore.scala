@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions.udaf
   * ordering compares identical doubles on both engines; ties break on
   * ascending id. Entries with equal (score, id) cannot occur per
   * group (ids are unique per group in every call site) but are kept
-  * verbatim if they do — the aggregate never dedups.
+  * verbatim if they do — the aggregate never dedups. Score and id
+  * must be NON-NULL (every call site filters first): a null input
+  * fails loudly through the non-nullable tuple encoder rather than
+  * silently ranking as 0.
   */
 class TopKByScore(k: Int)
     extends Aggregator[(Double, Long), Array[(Double, Long)],
