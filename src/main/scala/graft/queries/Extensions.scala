@@ -442,6 +442,27 @@ object Extensions {
     // exact duplicate-row profile over the full-row struct
     "table_duplicates" -> ((s, dir) =>
       graft.profiler.Stats.duplicateRows(t(s, dir, "lineitem"))),
+    // cross-table inclusion dependencies (FK discovery) — the
+    // multi-table profiling pass: four true TPC-H FKs (inclusion 1.0)
+    // plus one deliberately partial pair so the non-FK verdict is
+    // exercised non-trivially
+    "table_inclusion" -> ((s, dir) =>
+      Inclusion.inclusionStats(Seq(
+        ("customer.c_nationkey->nation.n_nationkey",
+          t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+          t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+          t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        ("orders.o_custkey->customer.c_custkey",
+          t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        ("part.p_partkey->supplier.s_suppkey",
+          t(s, dir, "part"), "p_partkey",
+          t(s, dir, "supplier"), "s_suppkey")))),
     // mergeable-sketch distinct: per-source HLL sketches (DataSketches
     // hll_sketch_agg — the per-day/per-partition shards of an
     // INCREMENTAL profile) unioned vs one single-pass global sketch.
@@ -1751,6 +1772,35 @@ val eventsRollupSql: String =
        |${sig("CAST(n_docs AS DOUBLE) / td")} AS doc_share
        |FROM c, t ORDER BY source""".stripMargin
 
+  /** Inclusion coefficients re-derived: distinct child keys
+    * left-semi'd against distinct parent keys, per candidate pair —
+    * mirrors [[graft.ops.Inclusion.inclusionStats]]. */
+  val tableInclusionSql: String = {
+    val pairs = Seq(
+      ("customer.c_nationkey->nation.n_nationkey",
+        "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("lineitem.l_orderkey->orders.o_orderkey",
+        "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part.p_partkey",
+        "lineitem", "l_partkey", "part", "p_partkey"),
+      ("orders.o_custkey->customer.c_custkey",
+        "orders", "o_custkey", "customer", "c_custkey"),
+      ("part.p_partkey->supplier.s_suppkey",
+        "part", "p_partkey", "supplier", "s_suppkey"))
+    pairs.map { case (label, ct, cc, pt, pc) =>
+      s"""SELECT '$label' AS pair,
+         |nc AS n_child_distinct, ns AS n_shared,
+         |${sig("CAST(ns AS DOUBLE) / nc")} AS inclusion,
+         |CAST(CASE WHEN ns = nc THEN 1 ELSE 0 END AS BIGINT) AS is_fk
+         |FROM (SELECT count(*) AS nc FROM
+         |  (SELECT DISTINCT $cc FROM $ct WHERE $cc IS NOT NULL)),
+         |(SELECT count(*) AS ns FROM
+         |  (SELECT DISTINCT $cc AS k FROM $ct WHERE $cc IS NOT NULL) c
+         |  JOIN (SELECT DISTINCT $pc AS k FROM $pt
+         |        WHERE $pc IS NOT NULL) p USING (k))""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY pair")
+  }
+
   /** FD/key claims re-derived; row(...) constructors mirror Spark's
     * struct() distinct semantics (NULL fields stay row-valued). */
   val colFdKeysSql: String =
@@ -2033,6 +2083,7 @@ val eventsRollupSql: String =
     "drift_quantiles" -> driftQuantilesSql,
     "col_distinct_mergeable" -> colDistinctMergeableSql,
     "col_fd_keys" -> colFdKeysSql,
+    "table_inclusion" -> tableInclusionSql,
     "corpus_manifest" -> corpusManifestSql,
     "table_duplicates" -> tableDuplicatesSql,
     "drift_embedding" -> driftEmbeddingSql,

@@ -237,6 +237,26 @@ class Round7Spec extends SparkSpec {
     assert(capped.forall(_.getLong(0) == 100L))
   }
 
+  test("inclusionStats: coefficient, null exclusion, and the is_fk " +
+      "verdict") {
+    val kSchema = StructType(Seq(StructField("k", LongType)))
+    def tbl(ks: Seq[java.lang.Long]) = spark.createDataFrame(
+      ks.map(Row(_)).asJava, kSchema)
+    val child = tbl(Seq(1L, 2L, 2L, 3L, null))
+    val parentFull = tbl(Seq(1L, 2L, 3L, 4L))
+    val parentPart = tbl(Seq(1L, 3L, 9L))
+    val r = graft.ops.Inclusion.inclusionStats(Seq(
+      ("full", child, "k", parentFull, "k"),
+      ("part", child, "k", parentPart, "k"))).collect()
+    val full = r.find(_.getString(0) == "full").get
+    // 3 distinct non-null child keys, all resolve
+    assert(full.getLong(1) == 3L && full.getLong(2) == 3L &&
+      full.getDouble(3) == 1.0 && full.getLong(4) == 1L)
+    val part = r.find(_.getString(0) == "part").get
+    assert(part.getLong(2) == 2L && part.getLong(4) == 0L)
+    assert(math.abs(part.getDouble(3) - 2.0 / 3.0) < 1e-4)
+  }
+
   test("rowBanded: per-row stateless banding equals the batch " +
       "signature-index path exactly") {
     val d = docs((0L until 20L).map(i =>
