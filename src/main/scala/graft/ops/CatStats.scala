@@ -16,6 +16,75 @@ import graft.det.Sig.sig5
   * one union of independent (tiny) aggregates. */
 object CatStats {
 
+  /** Pairwise association between categorical columns — the
+    * "which metadata facets are redundant?" diagnostic a pipeline
+    * reads before stratifying on several of them at once. Emits,
+    * per requested pair, the bias-uncorrected Cramér's V
+    * (symmetric, chi-square-based) and Theil's uncertainty
+    * coefficient U in BOTH directions (asymmetric: U(a|b) = how
+    * much of A's entropy B explains) — the categorical analogue of
+    * the reference's Pearson matrix
+    * (spark_df_profiling/base.py::corr ≈L300, numeric-only there).
+    *
+    * Scale shape: ONE shuffle per pair — the (a, b) contingency
+    * groupBy (map-side combined, ≤ card_a·card_b rows). Marginals
+    * are groupBys OF THE CONTINGENCY (tiny), broadcast back onto
+    * it; chi² uses the identity χ² = n·(Σ nij²/(ri·cj) − 1), which
+    * needs only OBSERVED cells (an empty cell contributes 0), so no
+    * dense r×c grid is ever materialized. Conditional entropies come
+    * from the same joined frame: H(A|B) = −Σ (nij/n)·ln(nij/cj).
+    * Columns past `maxCard` distinct values report NULL scores (the
+    * statistics are meaningless there and the tiny-marginal
+    * broadcast assumption breaks); the contingency pass itself
+    * distributes regardless of cardinality. */
+  def association(df: DataFrame, pairs: Seq[(String, String)],
+      maxCard: Long = 10000L): DataFrame =
+    pairs.map { case (a, b) =>
+      val cont = df.groupBy(col(a).as("va"), col(b).as("vb"))
+        .agg(count(lit(1)).as("nij"))
+      val ra = cont.groupBy("va").agg(sum("nij").as("ri"))
+      val cb = cont.groupBy("vb").agg(sum("nij").as("cj"))
+      val j = cont
+        .join(broadcast(ra), "va")
+        .join(broadcast(cb), "vb")
+        .select(col("va"), col("vb"),
+          col("nij").cast("double").as("nij"),
+          col("ri").cast("double").as("ri"),
+          col("cj").cast("double").as("cj"))
+      // ONE reduction over observed cells. Marginal entropies come
+      // from the same pass via Σ_cells nij·ln(ri) = Σ_a ri·ln(ri)
+      // (row sums of a row's observed cells ARE the marginal), so
+      // rlr doubles as both H(A)'s sum and H(B|A)'s numerator term.
+      val cell = j.agg(
+        sum("nij").cast("long").as("n"),
+        countDistinct("va").as("card_a"),
+        countDistinct("vb").as("card_b"),
+        sum(col("nij") * col("nij") / (col("ri") * col("cj")))
+          .as("sumsq"),
+        sum(col("nij") * log(col("nij"))).as("nln"),
+        sum(col("nij") * log(col("cj"))).as("clc"),
+        sum(col("nij") * log(col("ri"))).as("rlr"))
+      val nD = col("n").cast("double")
+      val ha = log(nD) - col("rlr") / nD           // H(A), nats
+      val hb = log(nD) - col("clc") / nD           // H(B)
+      val hab = (col("clc") - col("nln")) / nD     // H(A|B)
+      val hba = (col("rlr") - col("nln")) / nD     // H(B|A)
+      // V² = χ²/(n·(min(r,c)−1)) with χ² = n·(sumsq−1): the n cancels
+      // exactly, so compute (sumsq−1)/(min−1) — same expression the
+      // oracle uses, keeping both engines on one rounding path
+      val minDf = least(col("card_a"), col("card_b")) - lit(1L)
+      val inCard = col("card_a") <= maxCard && col("card_b") <= maxCard
+      cell
+        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
+          col("card_a"), col("card_b"),
+          sig5(when(inCard && minDf > 0,
+            sqrt(greatest((col("sumsq") - lit(1.0)) / minDf.cast("double"),
+              lit(0.0)))))
+            .as("cramers_v"),
+          sig5(when(inCard && ha > 0, (ha - hab) / ha)).as("theils_u_ab"),
+          sig5(when(inCard && hb > 0, (hb - hba) / hb)).as("theils_u_ba"))
+    }.reduce(_ unionByName _).orderBy("col_a", "col_b")
+
   /** Per-column (col_name, n, n_distinct, entropy, evenness):
     * entropy in nats over the value distribution (NULL treated as a
     * regular category), evenness = H / ln(n_distinct) (1 = uniform;

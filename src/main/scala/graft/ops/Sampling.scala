@@ -48,6 +48,50 @@ object Sampling {
     (df.where(b >= holdoutPerMille), df.where(b < holdoutPerMille))
   }
 
+  /** Leakage-aware split assignment: a document's train/val/test
+    * membership is decided by the MINSTD mille of its near-dup
+    * CLUSTER representative (its own id when unclustered), so two
+    * near-duplicate documents can NEVER straddle a split boundary —
+    * the train→test contamination mode a naive per-doc hash split
+    * creates whenever the corpus still contains near-dups (Lee et
+    * al., "Deduplicating Training Data Makes Language Models
+    * Better", §6: duplicates across the split inflate eval scores).
+    *
+    * `clusters` is the (idCol, cluster_id) frame the dedup family
+    * produces ([[graft.ops.Dedup.duplicateClustersStar]]); a real
+    * pipeline materializes it once and reuses it here. Scale shape:
+    * one co-partitioned left join on the id (the cluster map is
+    * data-sized — NOT broadcast), then a map-only mille on the
+    * representative. Returns the docs frame plus `rep` and `split`.
+    */
+  def splitAssign(docs: DataFrame, clusters: DataFrame, idCol: String,
+      trainPerMille: Int = 800, valPerMille: Int = 100): DataFrame = {
+    require(trainPerMille + valPerMille <= 1000,
+      "train + val shares exceed 1000 mille")
+    val rep = docs.join(clusters, Seq(idCol), "left")
+      .withColumn("rep", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+    val m = minstdMille(col("rep"))
+    rep.withColumn("split",
+      when(m < trainPerMille, lit("train"))
+        .when(m < trainPerMille + valPerMille, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  /** Per-split balance report over [[splitAssign]]: doc count,
+    * distinct dedup-group count, and total chars — the numbers a
+    * pipeline checks before accepting a split (shares near target,
+    * no split starved of whole clusters). */
+  def splitStats(docs: DataFrame, clusters: DataFrame, idCol: String,
+      charsCol: String, trainPerMille: Int = 800,
+      valPerMille: Int = 100): DataFrame =
+    splitAssign(docs, clusters, idCol, trainPerMille, valPerMille)
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_groups"),
+        sum(col(charsCol)).cast("long").as("n_chars"))
+      .orderBy("split")
+
   private val MinstdM = 2147483647L // 2^31 − 1 (MINSTD modulus)
   private val MinstdA = 48271L
 

@@ -153,6 +153,17 @@ object Extensions {
     "cat_entropy" -> ((s, dir) =>
       CatStats.entropy(t(s, dir, "orders"),
         Seq("o_orderstatus", "o_orderpriority"))),
+    // pairwise categorical association (Cramér's V + Theil's U both
+    // directions) across three tables' facet pairs — the categorical
+    // counterpart of corr_matrix; one contingency shuffle per pair
+    "cat_association" -> ((s, dir) =>
+      CatStats.association(t(s, dir, "orders"),
+          Seq(("o_orderstatus", "o_orderpriority")))
+        .unionByName(CatStats.association(t(s, dir, "customer"),
+          Seq(("c_mktsegment", "c_nationkey"))))
+        .unionByName(CatStats.association(t(s, dir, "documents"),
+          Seq(("lang", "source"))))
+        .orderBy("col_a", "col_b")),
     // int8 scalar quantization report: codes are bit-identical across
     // engines (floor(x+0.5) on identical doubles), only the error
     // averages are rounded
@@ -290,6 +301,13 @@ object Extensions {
       Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
           least(col("n_chars") / 400.0, lit(1.0)))
         .select("doc_id", "mille", "w_mille").orderBy("doc_id")),
+    // leakage-aware train/val/test split: membership decided by the
+    // MINSTD mille of the near-dup CLUSTER representative (the SAME
+    // clusters frame dedup_clusters declares), so near-dups never
+    // straddle a split; declared as the per-split balance report
+    "sample_split" -> ((s, dir) =>
+      Sampling.splitStats(t(s, dir, "documents"), docClusters(s, dir),
+        "doc_id", "n_chars")),
     // data mixing to target source proportions: the largest sample
     // hitting the requested 50/30/20 mix given availability —
     // per-stratum quotas from one tiny broadcast reduction
@@ -1042,6 +1060,27 @@ object Extensions {
       |SELECT doc_id, mille, w_mille FROM h
       |WHERE mille < w_mille ORDER BY doc_id""".stripMargin
 
+  /** Leakage-aware split re-derived: the SAME recursive-CTE cluster
+    * closure as [[dedupClustersSql]] gives each doc its near-dup
+    * representative (own id when unclustered), then the MINSTD mille
+    * of the REP decides the split — mirroring
+    * [[graft.ops.Sampling.splitAssign]]. */
+  val sampleSplitSql: String =
+    s"""WITH RECURSIVE $clustersCte,
+       |rep AS (SELECT d.doc_id, d.n_chars,
+       |        coalesce(cl.cluster_id, d.doc_id) AS rep
+       |        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+       |sp AS (SELECT rep, n_chars,
+       |  ((((((rep + 12345) % 2147483647) * 48271) % 2147483647)
+       |    * 48271) % 2147483647) % 1000 AS mille FROM rep)
+       |SELECT CASE WHEN mille < 800 THEN 'train'
+       |            WHEN mille < 900 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |CAST(count(*) AS BIGINT) AS n_docs,
+       |CAST(count(DISTINCT rep) AS BIGINT) AS n_groups,
+       |CAST(sum(n_chars) AS BIGINT) AS n_chars
+       |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
+
   val eventsWindowSql: String =
     s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type, value
        |  FROM events)
@@ -1377,6 +1416,43 @@ val eventsRollupSql: String =
     s"""SELECT * FROM (${entropyColSql("o_orderstatus")}
        |UNION ALL ${entropyColSql("o_orderpriority")})
        |ORDER BY col_name""".stripMargin
+
+  /** One (a, b) block of [[catAssociationSql]], re-deriving
+    * [[graft.ops.CatStats.association]]'s observed-cells identities:
+    * χ² = n·(Σ nij²/(ri·cj) − 1), H(A) = ln n − (Σ nij·ln ri)/n
+    * (valid because Σ_cells nij·ln ri = Σ_a ri·ln ri), and
+    * H(A|B) = (Σ nij·ln cj − Σ nij·ln nij)/n. Marginals via window
+    * sums over the contingency. */
+  private def assocPairSql(table: String, a: String, b: String): String = {
+    val vGuard = "least(card_a, card_b) > 1 AND greatest(card_a, card_b) <= 10000"
+    val uGuard = "greatest(card_a, card_b) <= 10000"
+    s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
+       |CAST(card_a AS BIGINT) AS card_a, CAST(card_b AS BIGINT) AS card_b,
+       |${sig(s"CASE WHEN $vGuard THEN sqrt(greatest((sumsq - 1) / (least(card_a, card_b) - 1), 0)) END")} AS cramers_v,
+       |${sig(s"CASE WHEN $uGuard AND ln(n) - rlr / n > 0 THEN ((ln(n) - rlr / n) - (clc - nln) / n) / (ln(n) - rlr / n) END")} AS theils_u_ab,
+       |${sig(s"CASE WHEN $uGuard AND ln(n) - clc / n > 0 THEN ((ln(n) - clc / n) - (rlr - nln) / n) / (ln(n) - clc / n) END")} AS theils_u_ba
+       |FROM (
+       |  SELECT sum(nij) AS n,
+       |    count(DISTINCT va) AS card_a, count(DISTINCT vb) AS card_b,
+       |    sum(nij * nij / (ri * cj)) AS sumsq,
+       |    sum(nij * ln(nij)) AS nln,
+       |    sum(nij * ln(cj)) AS clc,
+       |    sum(nij * ln(ri)) AS rlr
+       |  FROM (
+       |    SELECT va, vb, nij,
+       |      sum(nij) OVER (PARTITION BY va) AS ri,
+       |      sum(nij) OVER (PARTITION BY vb) AS cj
+       |    FROM (SELECT $a AS va, $b AS vb,
+       |          CAST(count(*) AS DOUBLE) AS nij
+       |          FROM $table GROUP BY 1, 2)))""".stripMargin
+  }
+
+  val catAssociationSql: String =
+    s"""SELECT * FROM (
+       |${assocPairSql("orders", "o_orderstatus", "o_orderpriority")}
+       |UNION ALL ${assocPairSql("customer", "c_mktsegment", "c_nationkey")}
+       |UNION ALL ${assocPairSql("documents", "lang", "source")})
+       |ORDER BY col_a, col_b""".stripMargin
 
   /** int8 quantization re-derived relationally: the codes come from
     * floor(x+0.5) on doubles both engines computed with identical
@@ -2129,6 +2205,7 @@ val eventsRollupSql: String =
     "text_pii" -> textPiiSql,
     "text_lm_score" -> textLmScoreSql,
     "cat_entropy" -> catEntropySql,
+    "cat_association" -> catAssociationSql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_kmeans" -> embedKmeansSql,
     "pipeline_funnel" -> pipelineFunnelSql,
@@ -2138,6 +2215,7 @@ val eventsRollupSql: String =
     "join_range" -> joinRangeSql,
     "events_features" -> eventsFeaturesSql,
     "sample_weighted" -> sampleWeightedSql,
+    "sample_split" -> sampleSplitSql,
     "events_window" -> eventsWindowSql,
     "events_retention" -> eventsRetentionSql,
     "events_anomaly" -> eventsAnomalySql,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.TopKByScore
-import graft.ops.{Similarity, VectorQuant}
+import graft.ops.{CatStats, Dedup, Sampling, Similarity, VectorQuant}
 import graft.profiler.Stats
 import graft.streaming.StreamProfiler
 
@@ -539,5 +539,82 @@ class Round7Spec extends SparkSpec {
       assert(out.forall(r => cents.exists(_._1 == r.getLong(1))),
         "cells must come from the codebook")
     } finally q.stop()
+  }
+
+  // ---------------------------------------------------------------
+  // Categorical association (Cramér's V + Theil's U)
+  // ---------------------------------------------------------------
+
+  test("association: perfect, independent, and degenerate pairs") {
+    val sql = spark
+    import sql.implicits._
+    // a fully determines b → V = U(a|b) = U(b|a) = 1
+    val perfect = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("a", "b")
+    val p = CatStats.association(perfect, Seq(("a", "b"))).collect()(0)
+    assert(p.getLong(2) == 4L && p.getLong(3) == 2L && p.getLong(4) == 2L)
+    assert(p.getDouble(5) == 1.0, s"perfect V: ${p.getDouble(5)}")
+    assert(p.getDouble(6) == 1.0 && p.getDouble(7) == 1.0)
+    // a independent of b → V = 0, U ≈ 0 (ulp-level ln cancellation)
+    val indep = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("a", "b")
+    val i = CatStats.association(indep, Seq(("a", "b"))).collect()(0)
+    assert(i.getDouble(5) == 0.0, s"independent V: ${i.getDouble(5)}")
+    assert(math.abs(i.getDouble(6)) < 1e-12 &&
+      math.abs(i.getDouble(7)) < 1e-12)
+    // constant a: V undefined (min card 1), U(a|b) undefined (H(A)=0),
+    // U(b|a) = 0 (knowing a constant explains nothing of b)
+    val const = Seq(("k", "p"), ("k", "q")).toDF("a", "b")
+    val c = CatStats.association(const, Seq(("a", "b"))).collect()(0)
+    assert(c.isNullAt(5) && c.isNullAt(6))
+    assert(math.abs(c.getDouble(7)) < 1e-12)
+  }
+
+  test("association: past maxCard the scores degrade to NULL, " +
+      "counts survive") {
+    val sql = spark
+    import sql.implicits._
+    val wide = (0 until 20).map(i => (s"v$i", s"w${i % 2}"))
+      .toDF("a", "b")
+    val r = CatStats.association(wide, Seq(("a", "b")), maxCard = 10L)
+      .collect()(0)
+    assert(r.getLong(3) == 20L && r.getLong(4) == 2L)
+    assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7))
+  }
+
+  // ---------------------------------------------------------------
+  // Leakage-aware split
+  // ---------------------------------------------------------------
+
+  test("splitAssign: near-dup pairs never straddle a split; " +
+      "stats add up") {
+    val sql = spark
+    import sql.implicits._
+    // 100 mutually-distinct docs (disjoint shingle sets) + 30 exact
+    // near-dups of the first 30 → 30 J=1 pairs, 30 2-doc clusters
+    val base = (0L until 100L).map(i =>
+      (i, s"t${i}a t${i}b t${i}c t${i}d t${i}e t${i}f"))
+    val dups = (0L until 30L).map(i => (1000L + i, base(i.toInt)._2))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, minJaccard = 0.5)
+    val clusters = Dedup.duplicateClustersStar(pairs)
+    val assign = Sampling.splitAssign(docs, clusters, "doc_id")
+    val sa = assign.select(col("doc_id"), col("split"))
+    val straddle = pairs
+      .join(sa.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("split", "split_a"), "id_a")
+      .join(sa.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("split", "split_b"), "id_b")
+      .where(col("split_a") =!= col("split_b")).count()
+    assert(straddle == 0L, "a near-dup pair crossed a split boundary")
+    val stats = Sampling.splitStats(docs, clusters, "doc_id", "n_chars")
+      .collect()
+    assert(stats.map(_.getLong(1)).sum == 130L, "docs partition the corpus")
+    assert(stats.map(_.getLong(2)).sum == 100L,
+      "each dedup group lands in exactly one split")
+    assert(stats.map(_.getString(0)).toSet.subsetOf(
+      Set("train", "val", "test")))
   }
 }
