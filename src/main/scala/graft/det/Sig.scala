@@ -39,8 +39,20 @@ object Sig {
   // on both sides) moves the decision boundary to x.xxxx5−1e-9, a
   // point real-valued statistics essentially never hit.
 
-  /** Spark-side 5-significant-digit rounding. */
-  def sig5(c: Column): Column = {
+  /** Spark-side 5-significant-digit rounding, as the native
+    * [[graft.functions.Sig5]] expression: the composed Column form
+    * (kept below as [[sig5Composed]] for the equivalence test)
+    * references its input ~6 times and Catalyst clones the child
+    * tree into every reference — ruinous when the child is itself
+    * expensive and pushdown lands the tree in a join condition (the
+    * brute-force cosine scorer paid ~12 dot products per pair). The
+    * native expression binds the child once. */
+  def sig5(c: Column): Column =
+    graft.functions.Sig5.sig5_expr(c.cast("double"))
+
+  /** The original composed-builtins form, kept as the cross-check
+    * for the native expression (FunctionsSpec sweeps them equal). */
+  def sig5Composed(c: Column): Column = {
     val e = floor(log10(abs(c)))
     val p = pow(lit(10.0), abs(e))
     val m = when(e < 0, lit(1.0) / p).otherwise(p)
@@ -48,6 +60,22 @@ object Sig {
       .when(abs(c) < lit(1e-12), lit(0.0))
       .otherwise(round(c / m + lit(1e-9), 5) * m)
   }
+
+  /** Scalar twin of the COLUMN form for the native expression: same
+    * formula as [[sig5]](Double) below, plus the NaN/±Inf → NaN
+    * collapse the composed tree produced (its exponent long-cast sent
+    * every non-finite input to NaN via 0/0 or round's passthrough). */
+  def sig5Col(x: Double): Double =
+    if (x.isNaN || x.isInfinite) Double.NaN
+    else if (math.abs(x) < 1e-12) 0.0
+    else {
+      val e = math.floor(math.log10(math.abs(x)))
+      val p = math.pow(10.0, math.abs(e)) // exact positive power
+      val m = if (e < 0) 1.0 / p else p
+      java.math.BigDecimal.valueOf(x / m + 1e-9)
+        .setScale(5, java.math.RoundingMode.HALF_UP)
+        .doubleValue() * m
+    }
 
   /** Driver-side (plain Double) twin of the Column form — same
     * formula, with Spark `round`'s HALF_UP-on-decimal-string

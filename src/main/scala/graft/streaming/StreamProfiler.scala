@@ -369,6 +369,23 @@ object StreamProfiler {
       : DataFrame =
     graft.ops.Similarity.ivfAssign(vecs, idCol, vecCol, cents, dim)
 
+  /** Streaming leakage-aware split routing — the ingest-time twin of
+    * [[graft.ops.Sampling.splitAssign]]: each arriving document is
+    * routed to train/val/test by the MINSTD mille of its near-dup
+    * cluster representative. `clusters` is a STATIC frame (the
+    * persisted clusters the batch dedup pass produced — rebuilt
+    * offline per corpus version, like the IVF codebook above), so
+    * this is a stateless stream-static left join + map-only mille:
+    * no state store, no watermark, append-mode legal, batch/stream
+    * equal by construction. A brand-new doc (no catalog cluster yet)
+    * routes by its own id — consistent with the batch operator's
+    * treatment of unclustered docs. */
+  def splitAssignStream(docs: DataFrame, clusters: DataFrame,
+      idCol: String, trainPerMille: Int = 800, valPerMille: Int = 100)
+      : DataFrame =
+    graft.ops.Sampling.splitAssign(docs, clusters, idCol,
+      trainPerMille, valPerMille)
+
   /** Windowed IVF cell OCCUPANCY — per event-time window, how many
     * arriving vectors landed in each cell: the monitoring view over
     * [[ivfAssignStream]] that catches index skew (a hot cell =

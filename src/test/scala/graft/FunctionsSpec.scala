@@ -49,6 +49,40 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql == direct)
   }
 
+  test("native sig5 equals the composed-builtins form and the " +
+      "driver scalar twin bit-for-bit") {
+    val sql = spark
+    import sql.implicits._
+    val rng = new scala.util.Random(7L)
+    val values: Seq[java.lang.Double] =
+      Seq[java.lang.Double](null, 0.0, -0.0, 1e-13, -1e-13, 1e-12,
+        -1e-12, 1.0, -1.0, 102.7575, 0.123455, 12345.5, 1e300, 1e-300,
+        Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity) ++
+        (1 to 500).map(_ => Double.box(
+          (rng.nextDouble() - 0.5) * math.pow(10.0, rng.nextInt(20) - 10)))
+    val df = values.toDF("x")
+    val rows = df.select(
+        graft.det.Sig.sig5(col("x")).as("nat"),
+        graft.det.Sig.sig5Composed(col("x")).as("comp"))
+      .collect()
+    rows.zip(values).foreach { case (r, v) =>
+      val nat = if (r.isNullAt(0)) null else Double.box(r.getDouble(0))
+      val comp = if (r.isNullAt(1)) null else Double.box(r.getDouble(1))
+      def bits(d: java.lang.Double) =
+        if (d == null) -1L
+        else java.lang.Double.doubleToLongBits(d.doubleValue)
+      assert(bits(nat) == bits(comp),
+        s"sig5($v): native $nat != composed $comp")
+      // driver twin (skip null and the non-finite inputs the scalar
+      // legacy form handles differently by documented design)
+      if (v != null && !v.isNaN && !v.isInfinite) {
+        assert(bits(nat) == bits(Double.box(
+          graft.det.Sig.sig5(v.doubleValue))),
+          s"sig5($v): native $nat != driver twin")
+      }
+    }
+  }
+
   test("array_dot equals the composed zip_with+aggregate fold bit-for-bit") {
     val vs = StructType(Seq(StructField("id", LongType),
       StructField("a", ArrayType(FloatType)),

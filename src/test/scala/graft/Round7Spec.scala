@@ -617,4 +617,34 @@ class Round7Spec extends SparkSpec {
     assert(stats.map(_.getString(0)).toSet.subsetOf(
       Set("train", "val", "test")))
   }
+
+  test("splitAssignStream: stream-static routing equals the batch " +
+      "splitAssign on the same rows") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static cluster map: docs 0..9 pair up into 5 clusters
+    val clusters = (0L until 10L).map(i => (i, i / 2 * 2))
+      .toDF("doc_id", "cluster_id")
+    val docs = (0L until 40L).map(i => (i, s"text $i"))
+      .toDF("doc_id", "text")
+    val expected = Sampling.splitAssign(docs, clusters, "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("split")).toMap
+    val mem = MemoryStream[Doc]
+    val q = StreamProfiler.splitAssignStream(mem.toDF(), clusters,
+        "doc_id")
+      .select("doc_id", "split")
+      .writeStream.format("memory").queryName("splitroute")
+      .outputMode("append").start()
+    try {
+      mem.addData((0L until 25L).map(i => Doc(i, s"text $i")))
+      q.processAllAvailable()
+      mem.addData((25L until 40L).map(i => Doc(i, s"text $i")))
+      q.processAllAvailable()
+      val got = spark.table("splitroute").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == expected)
+    } finally q.stop()
+  }
 }
