@@ -125,6 +125,88 @@ object VectorQuant {
       .orderBy("vec_id")
   }
 
+  /** PQ asymmetric-distance (ADC) top-k search (Jégou et al., TPAMI
+    * 2011 §IV-A): queries keep their exact vectors, the corpus is
+    * represented ONLY by its PQ codes, and the approximate distance
+    * is the sum of per-subspace lookup-table entries
+    * d(q, x) ≈ Σ_s ‖q_s − c_{s, code_s(x)}‖² — the search mode PQ
+    * exists for (the codes are 8 bytes/vector; the scan never touches
+    * raw corpus floats).
+    *
+    * Scale shape: the per-query LUTs are O(Q·m·k) DRIVER state
+    * (computed once from the collected query slices and the seeded
+    * codebook, shipped as plan literals — exactly how an IVF-PQ
+    * scanner holds them in registers); scoring is a MAP-ONLY pass
+    * over the (materialized) codes frame — per row, m array lookups
+    * per query, no shuffle, no join, no raw-vector access. The
+    * ranking tail is the same bounded [[graft.functions.TopKByScore]]
+    * heap as the similarity family (window-free; distances rank
+    * ascending via score negation AFTER sig5 rounding, vid
+    * tie-break).
+    *
+    * Determinism contract: LUT entries are raw doubles on both
+    * engines (identical operands, IEEE ops); only the SUMMED distance
+    * is sig5-rounded, and ranking compares the rounded values. */
+  def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+      seedLo: Long, seedHi: Long, numQueries: Int = 5, k: Int = 10,
+      dim: Int = 64, m: Int = 8): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into $m")
+    val dsub = dim / m
+    val base = KMeansOp.vecBase(df, idCol, vecCol, dim)
+    val cents = KMeansOp.seedCentroids(base, seedLo, seedHi)
+    // LUT slot = the CODE value (cid − seedLo), not the centroid's
+    // sort position: with a gap in the seed id range the two diverge
+    // and every later code would read a shifted LUT row. Absent codes
+    // can never be emitted by pqCodes, so their slots hold NaN.
+    val ksz = (seedHi - seedLo).toInt
+    val centByCode: Map[Int, Array[Double]] =
+      cents.map { case (cid, cv) => ((cid - seedLo).toInt, cv) }.toMap
+    // query vectors: O(Q·dim) driver state, same collection contract
+    // as the codebook itself
+    val queries = base.where(col("vid") < numQueries)
+      .select(col("vid"), col("v").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(queries.nonEmpty, s"no query rows with id < $numQueries")
+    val qids = queries.map(_._1)
+    // flat per-query LUT: lut(s·k + c) = ‖q_s − c_{s,c}‖²
+    val luts = queries.map { case (_, qv) =>
+      Array.tabulate(m * ksz) { i =>
+        val (s, c) = (i / ksz, i % ksz)
+        centByCode.get(c) match {
+          case None => Double.NaN // unreachable code slot
+          case Some(cv) =>
+            var d2 = 0.0
+            var d = s * dsub
+            while (d < (s + 1) * dsub) {
+              val t = qv(d) - cv(d); d2 += t * t; d += 1
+            }
+            d2
+        }
+      }
+    }
+    val codes = Materialize.materialize(
+      pqCodes(df, idCol, vecCol, seedLo, seedHi, dim, m))
+    // one pass over the codes: every query's ADC sum from its LUT
+    val distExprs = luts.map { lut =>
+      (0 until m).map { s =>
+        element_at(typedLit(lut),
+          (col("codes").getItem(s) + lit(s * ksz) + 1).cast("int"))
+      }.reduce(_ + _)
+    }
+    val scored = codes
+      .select(col("vec_id").as("vid"),
+        posexplode(array(distExprs: _*)).as(Seq("qp", "dist")))
+      .select(
+        element_at(typedLit(qids), col("qp").cast("int") + 1).as("qid"),
+        col("vid"), (-sig5(col("dist"))).as("cosine"))
+      .where(col("vid") =!= col("qid"))
+    Similarity.rankTopK(scored, k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (-col("cosine")).as("adc_d2"))
+  }
+
   /** [[pqCodes]] flattened to one SCALAR row per (vec_id, subspace,
     * code) with the per-vector mse repeated on each row — hash-
     * comparator-friendly output (array columns are unhashable in

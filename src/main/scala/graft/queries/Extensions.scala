@@ -556,6 +556,14 @@ object Extensions {
         t(s, dir, "embeddings").where(col("vec_id") < 2000L),
         "vec_id", "embedding", seedLo = 120L, seedHi = 136L,
         dim = 64, m = 8)),
+    // PQ asymmetric-distance (ADC) top-k: exact queries against the
+    // codes-only corpus via broadcast per-query LUTs — the search
+    // mode the PQ codes exist for; map-only scoring, TopKByScore tail
+    "embed_pq_search" -> ((s, dir) =>
+      VectorQuant.pqAdcTopK(
+        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
+        "vec_id", "embedding", seedLo = 120L, seedHi = 136L,
+        numQueries = 5, k = 10, dim = 64, m = 8)),
     // temperature-scaled mixture quotas: stratum share ∝ n^(1/T)
     // (T = 2 here) — the multilingual re-balancing rule; floor on the
     // sig5-rounded share keeps the discrete quota cross-engine exact
@@ -2016,6 +2024,47 @@ val eventsRollupSql: String =
        |FROM a JOIN m ON m.vid = a.vid
        |ORDER BY vec_id, subspace""".stripMargin
 
+  /** ADC search re-derived: the SAME code-assignment CTEs as
+    * [[embedPqSql]] (rounded per-subspace argmin, cid tie-break),
+    * then the LUT as exact per-(query, centroid, subspace) squared
+    * distances and the ADC score as their sum over the assigned
+    * codes. Only the SUMMED distance is rounded (matching
+    * [[graft.ops.VectorQuant.pqAdcTopK]]); ranking compares rounded
+    * values with vid tie-break. */
+  val embedPqSearchSql: String =
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v,
+       |        (i - 1) // 8 AS s
+       |       FROM embeddings, range(1, 65) t(i)
+       |       WHERE vec_id < 2000 AND len(embedding) = 64),
+       |xn AS (SELECT vec_id, s, sum(v * v) AS xn2 FROM el GROUP BY 1, 2),
+       |c0 AS (SELECT vec_id AS cid, i, v AS w, s FROM el
+       |       WHERE vec_id BETWEEN 120 AND 135),
+       |cn AS (SELECT cid, s, sum(w * w) AS cn2 FROM c0 GROUP BY 1, 2),
+       |dp AS (SELECT e.vec_id AS vid, c.cid, e.s, sum(e.v * c.w) AS dp
+       |       FROM el e JOIN c0 c ON c.i = e.i
+       |       GROUP BY 1, 2, 3),
+       |d AS (SELECT vid, dp.cid, dp.s, cn2 - 2 * dp + xn2 AS d2
+       |      FROM dp JOIN cn ON cn.cid = dp.cid AND cn.s = dp.s
+       |      JOIN xn ON xn.vec_id = dp.vid AND xn.s = dp.s),
+       |a AS (SELECT vid, s, cid FROM (
+       |   SELECT vid, s, cid,
+       |     row_number() OVER (PARTITION BY vid, s
+       |       ORDER BY ${sig("d2")} ASC, cid ASC) AS rn
+       |   FROM d) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, i, v, s FROM el WHERE vec_id < 5),
+       |ld AS (SELECT q.qid, c.cid, q.s,
+       |       sum((q.v - c.w) * (q.v - c.w)) AS d2
+       |       FROM q JOIN c0 c ON c.i = q.i GROUP BY 1, 2, 3),
+       |sc AS (SELECT ld.qid, a.vid, sum(ld.d2) AS dist
+       |       FROM a JOIN ld ON ld.cid = a.cid AND ld.s = a.s
+       |       WHERE a.vid <> ld.qid GROUP BY 1, 2),
+       |r AS (SELECT qid, vid, ${sig("dist")} AS adc_d2,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY ${sig("dist")} ASC, vid ASC) AS rnk FROM sc)
+       |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rnk,
+       |vid AS neighbor_id, adc_d2
+       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
   /** Temperature quotas re-derived; floor runs on the sig5-rounded
     * share in BOTH engines so pow/sum ulp noise never flips the
     * discrete quota. */
@@ -2154,6 +2203,7 @@ val eventsRollupSql: String =
     "doc_novelty" -> docNoveltySql,
     "sample_temperature" -> sampleTemperatureSql,
     "embed_pq" -> embedPqSql,
+    "embed_pq_search" -> embedPqSearchSql,
     "text_guard_recall" -> textGuardRecallSql,
     "text_bpe_pairs" -> textBpePairsSql,
     "drift_quantiles" -> driftQuantilesSql,

@@ -542,6 +542,48 @@ class Round7Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // PQ asymmetric-distance (ADC) search
+  // ---------------------------------------------------------------
+
+  test("pqAdcTopK: matches an independent LUT-sum reconstruction " +
+      "and keeps a window-free tail") {
+    val vecs = randVecs(60, 8, seed = 23L)
+    val out = VectorQuant.pqAdcTopK(vecs, "vec_id", "embedding",
+      seedLo = 10L, seedHi = 14L, numQueries = 3, k = 5,
+      dim = 8, m = 2)
+    // no per-query ranking window (the TopKByScore contract)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "ADC ranking tail must be window-free")
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // independent reconstruction: codes from pqCodes, exact LUT sums
+    // in plain Scala, rank by (sig5 dist, vid)
+    val data = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cents = (10L until 14L).map(c => c -> data(c)).toMap
+    val codes = VectorQuant.pqCodes(vecs, "vec_id", "embedding",
+        10L, 14L, dim = 8, m = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def sub(a: Array[Double], s: Int) = a.slice(s * 4, s * 4 + 4)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expected = (0L until 3L).flatMap { qid =>
+      val ranked = data.keys.filter(_ != qid).toSeq.map { vid =>
+        val dist = (0 until 2).map { s =>
+          d2(sub(data(qid), s), sub(cents(10L + codes(vid)(s)), s))
+        }.sum
+        (graft.det.Sig.sig5(dist), vid)
+      }.sortBy(identity).take(5)
+      ranked.zipWithIndex.map { case ((d, vid), i) =>
+        (qid, i + 1L, vid, d)
+      }
+    }
+    assert(got.toSeq == expected,
+      s"ADC mismatch:\n got ${got.toSeq}\n exp $expected")
+  }
+
+  // ---------------------------------------------------------------
   // Categorical association (Cramér's V + Theil's U)
   // ---------------------------------------------------------------
 
