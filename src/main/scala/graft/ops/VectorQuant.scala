@@ -207,6 +207,90 @@ object VectorQuant {
         (-col("cosine")).as("adc_d2"))
   }
 
+  /** IVF-PQ top-k: the canonical billion-scale ANN index shape —
+    * coarse Voronoi cells prune the corpus to the `nprobe` cells
+    * nearest each query, then the survivors are scored by PQ
+    * asymmetric distance against their codes ONLY (no raw corpus
+    * floats in the scan). Composes [[graft.ops.Similarity]]'s
+    * map-only cell assignment (IVF codebook = corpus rows
+    * [ivfLo, ivfHi)) with [[pqAdcTopK]]'s LUT scoring (PQ codebook =
+    * corpus rows [pqLo, pqHi)); both codebooks and the per-query
+    * LUTs are driver/broadcast state.
+    *
+    * Scale shape: one map-only assignment pass, one map-only encode
+    * pass (both amortizable index builds), then a broadcast
+    * candidate join (probes are O(Q·nprobe)) and a key-key join to
+    * the codes — never a corpus×corpus pair, never raw vectors in
+    * the scoring loop; the all-queries LUT is ONE flat plan literal
+    * indexed by (query, subspace, code), so the scorer is a single
+    * expression for every candidate row. Ranking: the same
+    * window-free TopKByScore tail, ascending rounded distance, vid
+    * tie-break. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      ivfLo: Long, ivfHi: Long, pqLo: Long, pqHi: Long,
+      numQueries: Int = 5, k: Int = 10, nprobe: Int = 4,
+      dim: Int = 64, m: Int = 8): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into $m")
+    val dsub = dim / m
+    val base = KMeansOp.vecBase(df, idCol, vecCol, dim)
+    val ivfCents = Similarity.seedCodebook(base, "vid", "v", ivfLo,
+      ivfHi)
+    val pqCents = KMeansOp.seedCentroids(base, pqLo, pqHi)
+    val ksz = (pqHi - pqLo).toInt
+    val centByCode: Map[Int, Array[Double]] =
+      pqCents.map { case (cid, cv) => ((cid - pqLo).toInt, cv) }.toMap
+    val queries = base.where(col("vid") < numQueries)
+      .select(col("vid"), col("v").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(queries.nonEmpty, s"no query rows with id < $numQueries")
+    val qids = queries.map(_._1)
+    // ONE flat LUT for all queries: slot = qidx·m·k + s·k + code
+    val flatLut = queries.flatMap { case (_, qv) =>
+      Array.tabulate(m * ksz) { i =>
+        val (s, c) = (i / ksz, i % ksz)
+        centByCode.get(c) match {
+          case None => Double.NaN
+          case Some(cv) =>
+            var d2 = 0.0
+            var d = s * dsub
+            while (d < (s + 1) * dsub) {
+              val t = qv(d) - cv(d); d2 += t * t; d += 1
+            }
+            d2
+        }
+      }
+    }
+    // coarse quantizer: cells computed once per row, probes from the
+    // tiny query side (the ivfTopK plan, minus exact rescoring)
+    val withCells = base.select(col("vid"),
+      Similarity.cellArray(col("v"), ivfCents).as("cells"))
+    val assigned = withCells.select(col("vid"),
+      element_at(col("cells"), 1).getField("cid").as("cell"))
+    val probes = withCells.where(col("vid") < numQueries)
+      .select(col("vid").as("qid"),
+        explode(slice(col("cells"), 1, nprobe)).as("p"))
+      .select(col("qid"), col("p.cid").as("pcell"))
+    val codes = Materialize.materialize(
+      pqCodes(df, idCol, vecCol, pqLo, pqHi, dim, m))
+    val cand = assigned.join(broadcast(probes),
+        col("vid") =!= col("qid") && col("cell") === col("pcell"))
+      .select(col("qid"), col("vid"))
+    val qidx = array_position(typedLit(qids), col("qid")) - 1L
+    val dist = (0 until m).map { s =>
+      element_at(typedLit(flatLut),
+        (qidx * (m * ksz) + col("codes").getItem(s) + lit(s * ksz) + 1)
+          .cast("int"))
+    }.reduce(_ + _)
+    val scored = cand
+      .join(codes.withColumnRenamed("vec_id", "vid"), "vid")
+      .select(col("qid"), col("vid"), (-sig5(dist)).as("cosine"))
+    Similarity.rankTopK(scored, k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (-col("cosine")).as("adc_d2"))
+  }
+
   /** [[pqCodes]] flattened to one SCALAR row per (vec_id, subspace,
     * code) with the per-vector mse repeated on each row — hash-
     * comparator-friendly output (array columns are unhashable in

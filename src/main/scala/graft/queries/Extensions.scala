@@ -564,6 +564,15 @@ object Extensions {
         t(s, dir, "embeddings").where(col("vec_id") < 2000L),
         "vec_id", "embedding", seedLo = 120L, seedHi = 136L,
         numQueries = 5, k = 10, dim = 64, m = 8)),
+    // IVF-PQ: coarse cells (the embed_ann_ivf codebook) prune to
+    // nprobe cells, survivors scored by ADC codes only — the
+    // canonical billion-scale index shape as one declared query
+    "embed_ivf_pq" -> ((s, dir) =>
+      VectorQuant.ivfPqTopK(
+        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
+        "vec_id", "embedding", ivfLo = 100L, ivfHi = 116L,
+        pqLo = 120L, pqHi = 136L, numQueries = 5, k = 10,
+        nprobe = 4, dim = 64, m = 8)),
     // temperature-scaled mixture quotas: stratum share ∝ n^(1/T)
     // (T = 2 here) — the multilingual re-balancing rule; floor on the
     // sig5-rounded share keeps the discrete quota cross-engine exact
@@ -2065,6 +2074,61 @@ val eventsRollupSql: String =
        |vid AS neighbor_id, adc_d2
        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
+  /** IVF-PQ re-derived: [[embedAnnIvfSql]]'s cell/probe CTEs
+    * (i-prefixed to avoid collisions) over the SAME restricted
+    * corpus as the PQ family, [[embedPqSearchSql]]'s code-assignment
+    * and LUT CTEs, then candidates = probed cells and the ADC sum
+    * over assigned codes. */
+  val embedIvfPqSql: String =
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v,
+       |        (i - 1) // 8 AS s
+       |       FROM embeddings, range(1, 65) t(i)
+       |       WHERE vec_id < 2000 AND len(embedding) = 64),
+       |icn AS (SELECT vec_id AS cid, sum(v * v) AS cn2 FROM el
+       |       WHERE vec_id BETWEEN 100 AND 115 GROUP BY 1),
+       |icd AS (SELECT a.vec_id AS vid, c.vec_id AS cid, sum(a.v * c.v) AS dp
+       |       FROM el a JOIN el c ON c.i = a.i
+       |       AND c.vec_id BETWEEN 100 AND 115 GROUP BY 1, 2),
+       |isc AS (SELECT vid, icd.cid, ${sig("cn2 - 2 * dp")} AS score
+       |       FROM icd JOIN icn ON icn.cid = icd.cid),
+       |irk AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid
+       |       ORDER BY score ASC, cid ASC) AS rn FROM isc),
+       |iassign AS (SELECT vid, cid AS cell FROM irk WHERE rn = 1),
+       |iprobes AS (SELECT vid AS qid, cid AS cell FROM irk
+       |           WHERE vid < 5 AND rn <= 4),
+       |cand AS (SELECT p.qid, a.vid FROM iprobes p
+       |         JOIN iassign a ON a.cell = p.cell WHERE a.vid <> p.qid),
+       |xn AS (SELECT vec_id, s, sum(v * v) AS xn2 FROM el GROUP BY 1, 2),
+       |c0 AS (SELECT vec_id AS cid, i, v AS w, s FROM el
+       |       WHERE vec_id BETWEEN 120 AND 135),
+       |cn AS (SELECT cid, s, sum(w * w) AS cn2 FROM c0 GROUP BY 1, 2),
+       |dp AS (SELECT e.vec_id AS vid, c.cid, e.s, sum(e.v * c.w) AS dp
+       |       FROM el e JOIN c0 c ON c.i = e.i
+       |       GROUP BY 1, 2, 3),
+       |d AS (SELECT vid, dp.cid, dp.s, cn2 - 2 * dp + xn2 AS d2
+       |      FROM dp JOIN cn ON cn.cid = dp.cid AND cn.s = dp.s
+       |      JOIN xn ON xn.vec_id = dp.vid AND xn.s = dp.s),
+       |a AS (SELECT vid, s, cid FROM (
+       |   SELECT vid, s, cid,
+       |     row_number() OVER (PARTITION BY vid, s
+       |       ORDER BY ${sig("d2")} ASC, cid ASC) AS rn
+       |   FROM d) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, i, v, s FROM el WHERE vec_id < 5),
+       |ld AS (SELECT q.qid, c.cid, q.s,
+       |       sum((q.v - c.w) * (q.v - c.w)) AS d2
+       |       FROM q JOIN c0 c ON c.i = q.i GROUP BY 1, 2, 3),
+       |sc AS (SELECT cd.qid, cd.vid, sum(ld.d2) AS dist
+       |       FROM cand cd JOIN a ON a.vid = cd.vid
+       |       JOIN ld ON ld.qid = cd.qid AND ld.cid = a.cid
+       |        AND ld.s = a.s
+       |       GROUP BY 1, 2),
+       |r AS (SELECT qid, vid, ${sig("dist")} AS adc_d2,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY ${sig("dist")} ASC, vid ASC) AS rnk FROM sc)
+       |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rnk,
+       |vid AS neighbor_id, adc_d2
+       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
   /** Temperature quotas re-derived; floor runs on the sig5-rounded
     * share in BOTH engines so pow/sum ulp noise never flips the
     * discrete quota. */
@@ -2204,6 +2268,7 @@ val eventsRollupSql: String =
     "sample_temperature" -> sampleTemperatureSql,
     "embed_pq" -> embedPqSql,
     "embed_pq_search" -> embedPqSearchSql,
+    "embed_ivf_pq" -> embedIvfPqSql,
     "text_guard_recall" -> textGuardRecallSql,
     "text_bpe_pairs" -> textBpePairsSql,
     "drift_quantiles" -> driftQuantilesSql,

@@ -583,6 +583,56 @@ class Round7Spec extends SparkSpec {
       s"ADC mismatch:\n got ${got.toSeq}\n exp $expected")
   }
 
+  test("ivfPqTopK: matches an independent cells+LUT reconstruction") {
+    val vecs = randVecs(60, 8, seed = 29L)
+    val out = VectorQuant.ivfPqTopK(vecs, "vec_id", "embedding",
+      ivfLo = 10L, ivfHi = 14L, pqLo = 14L, pqHi = 18L,
+      numQueries = 3, k = 5, nprobe = 2, dim = 8, m = 2)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val data = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // coarse cells: rounded |c|²−2·v·c, cid tie-break
+    def cellRank(v: Array[Double]) =
+      (10L until 14L).map { cid =>
+        val c = data(cid)
+        (graft.det.Sig.sig5(dot(c, c) - 2.0 * dot(v, c)), cid)
+      }.sortBy(identity).map(_._2)
+    val assign = data.view.mapValues(v => cellRank(v).head).toMap
+    // PQ codes: rounded per-subspace argmin, cid tie-break
+    def sub(a: Array[Double], s: Int) = a.slice(s * 4, s * 4 + 4)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def codesOf(v: Array[Double]) = (0 until 2).map { s =>
+      (14L until 18L).map { cid =>
+        val cs = sub(data(cid), s)
+        val xs = sub(v, s)
+        (graft.det.Sig.sig5(dot(cs, cs) - 2.0 * dot(xs, cs) +
+          dot(xs, xs)), cid)
+      }.min._2
+    }
+    val expected = (0L until 3L).flatMap { qid =>
+      val probes = cellRank(data(qid)).take(2).toSet
+      val ranked = data.keys
+        .filter(vid => vid != qid && probes.contains(assign(vid)))
+        .toSeq.map { vid =>
+          val dist = (0 until 2).map { s =>
+            d2(sub(data(qid), s), sub(data(codesOf(data(vid))(s)), s))
+          }.sum
+          (graft.det.Sig.sig5(dist), vid)
+        }.sortBy(identity).take(5)
+      ranked.zipWithIndex.map { case ((d, vid), i) =>
+        (qid, i + 1L, vid, d)
+      }
+    }
+    assert(got.toSeq == expected,
+      s"IVF-PQ mismatch:\n got ${got.toSeq}\n exp $expected")
+  }
+
   // ---------------------------------------------------------------
   // Categorical association (Cramér's V + Theil's U)
   // ---------------------------------------------------------------
