@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.Similarity
+import graft.ops.{Similarity, VectorQuant}
 
 /** Dev utility: measured brute-force vs IVF vs hyperplane-LSH ANN
   * over a GENERATED clustered vector corpus — the wall-time/recall
@@ -72,11 +72,41 @@ object AnnScaleSmoke {
       grab(Similarity.annTopK(emb, "vec_id", "embedding",
         numQueries = q, k = k, bits = 10, dim = dim))
     }
+    // PQ family: distance ranking (ADC), not cosine — agreement with
+    // the cosine ground truth is structural on this corpus (cluster
+    // directions dominate), so the recall line is still meaningful
+    val pqK = 16L
+    val adc = timed(s"PQ ADC encode+scan (m=8, k=$pqK)") {
+      grab(VectorQuant.pqAdcTopK(emb, "vec_id", "embedding",
+        seedLo = q.toLong + cells, seedHi = q.toLong + cells + pqK,
+        numQueries = q, k = k, dim = dim, m = 8))
+    }
+    val ivfpq = timed(s"IVF-PQ ($cells cells, nprobe=$nprobe, m=8)") {
+      grab(VectorQuant.ivfPqTopK(emb, "vec_id", "embedding",
+        ivfLo = q.toLong, ivfHi = q.toLong + cells,
+        pqLo = q.toLong + cells, pqHi = q.toLong + cells + pqK,
+        numQueries = q, k = k, nprobe = nprobe, dim = dim, m = 8))
+    }
     def recall(approx: Set[(Long, Long)]): Double =
       if (truth.isEmpty) 1.0
       else approx.intersect(truth).size.toDouble / truth.size
+    // PQ resolution note: 16 seeded sub-centroids over 200 latent
+    // clusters quantize to CLUSTER resolution — same-cluster vectors
+    // share codes, so within-cluster order is tie-broken by id and
+    // pair-level recall vs the exact ranking is near-random. The
+    // structure PQ preserves at this codebook size is the cluster:
+    // report the fraction of returned neighbors in the query's true
+    // latent cluster (i ≡ q mod 200) alongside pair recall.
+    def clusterRecall(approx: Set[(Long, Long)]): Double =
+      if (approx.isEmpty) 0.0
+      else approx.count { case (q2, v) => v % 200L == q2 % 200L }
+        .toDouble / approx.size
     println(f"[ann-smoke] truth pairs=${truth.size} " +
-      f"ivf_recall=${recall(ivf)}%.3f lsh_recall=${recall(lsh)}%.3f")
+      f"ivf_recall=${recall(ivf)}%.3f lsh_recall=${recall(lsh)}%.3f " +
+      f"adc_recall=${recall(adc)}%.3f ivfpq_recall=${recall(ivfpq)}%.3f")
+    println(f"[ann-smoke] cluster recall: brute=${clusterRecall(truth)}%.3f " +
+      f"ivf=${clusterRecall(ivf)}%.3f lsh=${clusterRecall(lsh)}%.3f " +
+      f"adc=${clusterRecall(adc)}%.3f ivfpq=${clusterRecall(ivfpq)}%.3f")
     spark.stop()
   }
 }
