@@ -40,8 +40,13 @@ object CatStats {
   def association(df: DataFrame, pairs: Seq[(String, String)],
       maxCard: Long = 10000L): DataFrame =
     pairs.map { case (a, b) =>
-      val cont = df.groupBy(col(a).as("va"), col(b).as("vb"))
-        .agg(count(lit(1)).as("nij"))
+      // the contingency feeds THREE consumers (cells + both marginal
+      // groupBys); without a lineage cut each one recomputes it from
+      // the source scan — 3 corpus passes per pair instead of 1. The
+      // materialized frame is tiny (≤ card_a·card_b rows).
+      val cont = Materialize.materialize(
+        df.groupBy(col(a).as("va"), col(b).as("vb"))
+          .agg(count(lit(1)).as("nij")))
       val ra = cont.groupBy("va").agg(sum("nij").as("ri"))
       val cb = cont.groupBy("vb").agg(sum("nij").as("cj"))
       val j = cont
