@@ -47,6 +47,40 @@ object CatStats {
       val cont = Materialize.materialize(
         df.groupBy(col(a).as("va"), col(b).as("vb"))
           .agg(count(lit(1)).as("nij")))
+      pairStats(cont, a, b, maxCard)
+    }.reduce(_ unionByName _).orderBy("col_a", "col_b")
+
+  /** All pairs' associations in ONE corpus scan: each row explodes
+    * into its (pair, value-a, value-b) structs (values unified to
+    * string — the statistics depend only on category identity, never
+    * representation), one map-side-combined aggregation builds every
+    * contingency at once, and the per-pair math runs over slices of
+    * the materialized (tiny) result — the profiler's path: k_cat²/2
+    * pairs cost one pass, not one scan each. Shuffle volume is
+    * partitions × Σ card_a·card_b — independent of row count. */
+  def associationAll(df: DataFrame, pairs: Seq[(String, String)],
+      maxCard: Long = 10000L): DataFrame = {
+    require(pairs.nonEmpty, "no column pairs")
+    val structs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("pidx"), col(a).cast("string").as("va"),
+        col(b).cast("string").as("vb"))
+    }
+    val cont = Materialize.materialize(
+      df.select(explode(array(structs: _*)).as("e"))
+        .groupBy(col("e.pidx").as("pidx"), col("e.va").as("va"),
+          col("e.vb").as("vb"))
+        .agg(count(lit(1)).as("nij")))
+    pairs.zipWithIndex.map { case ((a, b), i) =>
+      pairStats(cont.where(col("pidx") === i).drop("pidx"), a, b,
+        maxCard)
+    }.reduce(_ unionByName _).orderBy("col_a", "col_b")
+  }
+
+  /** The per-pair reduction over a contingency frame (va, vb, nij) —
+    * the ONE implementation [[association]] and [[associationAll]]
+    * both feed, so the two paths cannot drift. */
+  private def pairStats(cont: DataFrame, a: String, b: String,
+      maxCard: Long): DataFrame = {
       val ra = cont.groupBy("va").agg(sum("nij").as("ri"))
       val cb = cont.groupBy("vb").agg(sum("nij").as("cj"))
       val j = cont
@@ -88,7 +122,7 @@ object CatStats {
             .as("cramers_v"),
           sig5(when(inCard && ha > 0, (ha - hab) / ha)).as("theils_u_ab"),
           sig5(when(inCard && hb > 0, (hb - hba) / hb)).as("theils_u_ba"))
-    }.reduce(_ unionByName _).orderBy("col_a", "col_b")
+  }
 
   /** Per-column (col_name, n, n_distinct, entropy, evenness):
     * entropy in nats over the value distribution (NULL treated as a

@@ -36,7 +36,16 @@ case class ProfilerConfig(
     quantilesByDtype: Boolean = false,
     exactDistinct: Boolean = true,
     correlations: Boolean = true,
-    fused: Boolean = false)
+    fused: Boolean = false,
+    /** pairwise Cramér's V over the CAT columns (pandas-profiling
+      * 2.x-style categorical associations; the 1.x reference lineage
+      * has none, so this EXTENSION is opt-in and the default profile
+      * output shape stays reference-parity). One extra corpus pass
+      * for ALL pairs ([[graft.ops.CatStats.associationAll]]). */
+    catAssociations: Boolean = false,
+    /** cap on cat-association pairs (k_cat²/2 grows fast); excess
+      * pairs are dropped with a warning */
+    maxCatAssocPairs: Int = 15)
 
 /** One column's profile (reference: one row of the `variables` frame in
   * base.py::describe's description set). */
@@ -64,6 +73,11 @@ case class TableProfile(
     /** full upper-triangle Pearson matrix (column order), so rejection
       * can be re-evaluated at any threshold after profiling */
     correlations: Seq[(String, String, Double)] = Seq.empty,
+    /** pairwise (col_a, col_b, Cramér's V) over CAT columns when
+      * `cfg.catAssociations` is on — the categorical counterpart of
+      * `correlations` (empty otherwise; pairs whose V is undefined —
+      * a constant side — are omitted) */
+    catAssociations: Seq[(String, String, Double)] = Seq.empty,
     /** Catalyst's optimized-plan size estimate (file bytes for a
       * plain scan) — the Spark-native analogue of the reference's
       * "total size in memory" overview stat (base.py::describe uses
@@ -488,7 +502,7 @@ object Profiler {
     }
 
     val totalMissing = columns.map(_.missing).sum
-    val warnings = columns.flatMap { cp =>
+    val warnings0 = columns.flatMap { cp =>
       val w = scala.collection.mutable.ArrayBuffer.empty[String]
       if (cp.pMissing > 0.5)
         w += s"${cp.name}: ${(cp.pMissing * 100).round}% missing"
@@ -502,6 +516,28 @@ object Profiler {
       w.toSeq
     }
 
+    // ---- optional pass E: categorical associations (opt-in; one
+    // corpus scan for every CAT pair via associationAll) ----
+    val catCols = columns
+      .filter(c => c.kind == "CAT" && c.distinct > 1 && c.distinct <= 100)
+      .map(_.name)
+    val allCatPairs =
+      for { i <- catCols.indices; j <- (i + 1) until catCols.size }
+        yield (catCols(i), catCols(j))
+    val catPairs = allCatPairs.take(cfg.maxCatAssocPairs)
+    val catAssoc: Seq[(String, String, Double)] =
+      if (!cfg.catAssociations || catPairs.isEmpty) Seq.empty
+      else graft.ops.CatStats.associationAll(df, catPairs)
+        .collect().toSeq.flatMap { r =>
+          if (r.isNullAt(5)) None
+          else Some((r.getString(0), r.getString(1), r.getDouble(5)))
+        }
+    val warnings =
+      if (cfg.catAssociations && allCatPairs.size > catPairs.size)
+        warnings0 :+ (s"cat associations: ${allCatPairs.size} pairs " +
+          s"capped to ${catPairs.size}")
+      else warnings0
+
     TableProfile(n, nvar, totalMissing,
       if (n == 0 || nvar == 0) 0.0
       else totalMissing.toDouble / (n.toDouble * nvar),
@@ -509,6 +545,7 @@ object Profiler {
       correlations = corrM.toSeq.collect {
         case ((a, b), Some(rho)) => (a, b, rho)
       }.sortBy(t => (t._1, t._2)),
+      catAssociations = catAssoc,
       sizeBytes = scala.util.Try(
         df.queryExecution.optimizedPlan.stats.sizeInBytes)
         .getOrElse(BigInt(0)))

@@ -110,6 +110,18 @@ object HtmlReport {
           "<tr>" + r.map(v => s"<td>${esc(v)}</td>").mkString + "</tr>")
         s"""<div class="card"><h2>Sample</h2><table class="freq">${rows.mkString}</table></div>"""
       }
+    val assocHtml =
+      if (p.catAssociations.isEmpty) ""
+      else {
+        val rows = p.catAssociations.map { case (a, b, v) =>
+          s"<tr><td>${esc(a)}</td><td>${esc(b)}</td>" +
+            s"<td>${fmtNumber(v)}</td></tr>"
+        }
+        s"""<div class="card"><h2>Categorical associations
+           |(Cram&eacute;r's V)</h2><table class="freq">
+           |<tr><th>column</th><th>column</th><th>V</th></tr>
+           |${rows.mkString("\n")}</table></div>""".stripMargin
+      }
     s"""<!DOCTYPE html><html><head><meta charset="utf-8">
        |<title>${esc(title)}</title><style>
        |body{font-family:sans-serif;margin:2em;background:#fafafa}
@@ -127,6 +139,7 @@ object HtmlReport {
        |<h1>${esc(title)}</h1>
        |$overview
        |$warnings
+       |$assocHtml
        |${p.columns.map(columnCard).mkString("\n")}
        |$sampleHtml
        |</body></html>""".stripMargin

@@ -674,6 +674,42 @@ class Round7Spec extends SparkSpec {
     assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7))
   }
 
+  test("associationAll: one-scan all-pairs path equals the per-pair " +
+      "association exactly") {
+    val sql = spark
+    import sql.implicits._
+    val rng = new scala.util.Random(31L)
+    val df = (1 to 400).map { _ =>
+      (s"a${rng.nextInt(4)}", s"b${rng.nextInt(3)}", rng.nextInt(5))
+    }.toDF("x", "y", "z")
+    val pairs = Seq(("x", "y"), ("x", "z"), ("y", "z"))
+    val one = CatStats.association(df, pairs).collect().map(_.toSeq)
+    val all = CatStats.associationAll(df, pairs).collect().map(_.toSeq)
+    assert(one.toSeq == all.toSeq)
+  }
+
+  test("profile with catAssociations: CAT pairs carry Cramér's V, " +
+      "report renders the section, default profile unchanged") {
+    val sql = spark
+    import sql.implicits._
+    val df = (0 until 200).map { i =>
+      (i.toLong, if (i % 2 == 0) "x" else "y",
+        if (i % 2 == 0) "p" else "q", i.toDouble)
+    }.toDF("id", "a", "b", "v")
+    val cfg = graft.profiler.ProfilerConfig(catAssociations = true)
+    val p = graft.profiler.Profiler.profile(df, cfg)
+    // a determines b exactly → V = 1 on the one CAT pair
+    assert(p.catAssociations == Seq(("a", "b", 1.0)),
+      s"got ${p.catAssociations}")
+    val html = graft.report.HtmlReport.render(p)
+    assert(html.contains("Categorical associations"))
+    // opt-out default: no extra pass, no section, same shape as before
+    val p0 = graft.profiler.Profiler.profile(df)
+    assert(p0.catAssociations.isEmpty)
+    assert(!graft.report.HtmlReport.render(p0)
+      .contains("Categorical associations"))
+  }
+
   // ---------------------------------------------------------------
   // Leakage-aware split
   // ---------------------------------------------------------------
