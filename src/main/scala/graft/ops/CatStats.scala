@@ -36,7 +36,9 @@ object CatStats {
     * Columns past `maxCard` distinct values report NULL scores (the
     * statistics are meaningless there and the tiny-marginal
     * broadcast assumption breaks); the contingency pass itself
-    * distributes regardless of cardinality. */
+    * distributes regardless of cardinality. NULL values are a
+    * regular category (the [[entropy]] contract): marginal joins are
+    * null-safe and cardinalities count the null group. */
   def association(df: DataFrame, pairs: Seq[(String, String)],
       maxCard: Long = 10000L): DataFrame =
     pairs.map { case (a, b) =>
@@ -82,10 +84,16 @@ object CatStats {
   private def pairStats(cont: DataFrame, a: String, b: String,
       maxCard: Long): DataFrame = {
       val ra = cont.groupBy("va").agg(sum("nij").as("ri"))
+        .withColumnRenamed("va", "rva")
       val cb = cont.groupBy("vb").agg(sum("nij").as("cj"))
+        .withColumnRenamed("vb", "cvb")
+      // NULL is a regular category (the cat_entropy contract): the
+      // marginal joins are NULL-SAFE — a plain equi-join would drop
+      // every null-valued cell here while the oracle's window
+      // partitions keep them, silently diverging on real data
       val j = cont
-        .join(broadcast(ra), "va")
-        .join(broadcast(cb), "vb")
+        .join(broadcast(ra), col("va") <=> col("rva"))
+        .join(broadcast(cb), col("vb") <=> col("cvb"))
         .select(col("va"), col("vb"),
           col("nij").cast("double").as("nij"),
           col("ri").cast("double").as("ri"),
@@ -94,10 +102,14 @@ object CatStats {
       // from the same pass via Σ_cells nij·ln(ri) = Σ_a ri·ln(ri)
       // (row sums of a row's observed cells ARE the marginal), so
       // rlr doubles as both H(A)'s sum and H(B|A)'s numerator term.
+      // Cardinalities count the null category too (countDistinct
+      // skips nulls in both engines, so add its presence flag).
       val cell = j.agg(
         sum("nij").cast("long").as("n"),
-        countDistinct("va").as("card_a"),
-        countDistinct("vb").as("card_b"),
+        (countDistinct("va") +
+          max(when(col("va").isNull, 1L).otherwise(0L))).as("card_a"),
+        (countDistinct("vb") +
+          max(when(col("vb").isNull, 1L).otherwise(0L))).as("card_b"),
         sum(col("nij") * col("nij") / (col("ri") * col("cj")))
           .as("sumsq"),
         sum(col("nij") * log(col("nij"))).as("nln"),

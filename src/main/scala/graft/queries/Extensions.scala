@@ -1450,7 +1450,10 @@ val eventsRollupSql: String =
        |${sig(s"CASE WHEN $uGuard AND ln(n) - clc / n > 0 THEN ((ln(n) - clc / n) - (rlr - nln) / n) / (ln(n) - clc / n) END")} AS theils_u_ba
        |FROM (
        |  SELECT sum(nij) AS n,
-       |    count(DISTINCT va) AS card_a, count(DISTINCT vb) AS card_b,
+       |    count(DISTINCT va)
+       |      + max(CASE WHEN va IS NULL THEN 1 ELSE 0 END) AS card_a,
+       |    count(DISTINCT vb)
+       |      + max(CASE WHEN vb IS NULL THEN 1 ELSE 0 END) AS card_b,
        |    sum(nij * nij / (ri * cj)) AS sumsq,
        |    sum(nij * ln(nij)) AS nln,
        |    sum(nij * ln(cj)) AS clc,

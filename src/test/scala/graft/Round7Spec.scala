@@ -674,6 +674,24 @@ class Round7Spec extends SparkSpec {
     assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7))
   }
 
+  test("association: NULL is a regular category (cat_entropy " +
+      "contract) on both paths") {
+    val sql = spark
+    import sql.implicits._
+    // a ∈ {x, NULL} determines b exactly → V = 1 with card 2×2;
+    // a plain equi-join would drop the null cells and report card 1
+    val rows = Seq(("x", "p"), ("x", "p"), (null, "q"), (null, "q"))
+    val df = rows.toDF("a", "b")
+    val r = CatStats.association(df, Seq(("a", "b"))).collect()(0)
+    assert(r.getLong(2) == 4L, s"n must count null cells: ${r.toSeq}")
+    assert(r.getLong(3) == 2L && r.getLong(4) == 2L,
+      s"card must include the null category: ${r.toSeq}")
+    assert(r.getDouble(5) == 1.0 && r.getDouble(6) == 1.0)
+    val all = CatStats.associationAll(df, Seq(("a", "b")))
+      .collect()(0)
+    assert(r.toSeq == all.toSeq)
+  }
+
   test("associationAll: one-scan all-pairs path equals the per-pair " +
       "association exactly") {
     val sql = spark
