@@ -587,7 +587,10 @@ object Profiler {
     val rejRows = p.rejected.map { case (b, a0, rho) =>
       (b, "rejected_vs", Some(rho), Some(a0))
     }
-    (tableRows ++ colRows ++ rejRows)
+    val assocRows = p.catAssociations.map { case (a0, b, v) =>
+      (a0, "cramers_v_vs", Some(v), Some(b))
+    }
+    (tableRows ++ colRows ++ rejRows ++ assocRows)
       .toDF("col_name", "metric", "value_num", "value_str")
   }
 }

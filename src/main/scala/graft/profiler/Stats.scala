@@ -559,6 +559,44 @@ object Stats {
   // Pass 1: fused min/max; pass 2: per-row bin array explode + ONE
   // groupBy — a single scan + single shuffle for all columns.
   // -------------------------------------------------------------------
+  /** Equi-DEPTH histogram: `bins` buckets holding ~equal row counts,
+    * bounded by the exact interpolated percentiles — the histogram
+    * form that stays readable under heavy skew, where the equi-width
+    * [[histogram]] collapses most rows into one bar (and the bucket
+    * shape databases keep as optimizer statistics).
+    *
+    * Scale shape: one exact-percentile aggregation for the bin edges
+    * (the [[quantiles]] pass; `percentile_approx` is the documented
+    * 100 TB switch, same as everywhere else), then ONE conditional
+    * pass — bin(v) = #edges ≤ v via bins−1 inline comparisons against
+    * the broadcast 1-row edge frame, no shuffle of the data beyond
+    * the tiny groupBy. Emits (bin, cnt, lo, hi) with lo/hi the
+    * actual bin extremes (raw data values — exact both engines).
+    *
+    * Determinism: edges are sig5-ROUNDED before the comparisons
+    * (engine contract: discrete decisions compare rounded values),
+    * so a cross-engine edge ulp cannot move a row across bins; ties
+    * AT an edge go to the right bucket in both engines. Empty
+    * buckets (possible under heavy ties) are omitted — identically,
+    * since both engines derive them from the same rounded edges. */
+  def eqDepthHistogram(df: DataFrame, c: String, bins: Int = 10)
+      : DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val probs = (1 until bins).map(_.toDouble / bins)
+    val arr = probs.mkString("array(", ", ", ")")
+    val edges = df.agg(
+      expr(s"percentile(cast(`$c` as double), $arr)").as("es"))
+    val binExpr = (1 until bins).map(i =>
+      when(d(c) >= sig5(element_at(col("es"), i)), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.where(col(c).isNotNull).crossJoin(broadcast(edges))
+      .select(binExpr.as("bin"), d(c).as("v"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("cnt"), min("v").as("lo"),
+        max("v").as("hi"))
+      .orderBy("bin")
+  }
+
   def histogram(df: DataFrame, cols: Seq[String], bins: Int = 10)
       : DataFrame = {
     // exclude NaN from the bounds: max() treats NaN as greatest, and

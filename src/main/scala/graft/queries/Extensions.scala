@@ -153,6 +153,12 @@ object Extensions {
     "cat_entropy" -> ((s, dir) =>
       CatStats.entropy(t(s, dir, "orders"),
         Seq("o_orderstatus", "o_orderpriority"))),
+    // equi-DEPTH histogram: ~equal-count buckets bounded by exact
+    // percentiles — readable under skew where equi-width collapses;
+    // one edge agg + one conditional pass, rounded-edge decisions
+    "num_histogram_eqdepth" -> ((s, dir) =>
+      graft.profiler.Stats.eqDepthHistogram(
+        t(s, dir, "documents"), "n_chars", bins = 10)),
     // pairwise categorical association (Cramér's V + Theil's U both
     // directions) across three tables' facet pairs — the categorical
     // counterpart of corr_matrix; one contingency shuffle per pair
@@ -1467,6 +1473,25 @@ val eventsRollupSql: String =
        |          FROM $table GROUP BY 1, 2)))""".stripMargin
   }
 
+  /** Equi-depth histogram re-derived: quantile_cont edges (proven
+    * interpolation-identical to Spark's exact `percentile` by the
+    * num_quantiles gates), bin = #rounded-edges ≤ v — the same
+    * rounded-edge decision [[graft.profiler.Stats.eqDepthHistogram]]
+    * makes. */
+  val numHistogramEqdepthSql: String = {
+    val fracs = (1 to 9).map(i => s"0.$i").mkString("[", ", ", "]")
+    val binSum = (1 to 9)
+      .map(i => s"CASE WHEN v >= ${sig(s"es[$i]")} THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), $fracs)
+       |           AS es FROM documents),
+       |v AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+       |      WHERE n_chars IS NOT NULL),
+       |b AS (SELECT CAST($binSum AS BIGINT) AS bin, v FROM v, e)
+       |SELECT bin, count(*) AS cnt, min(v) AS lo, max(v) AS hi
+       |FROM b GROUP BY 1 ORDER BY bin""".stripMargin
+  }
+
   val catAssociationSql: String =
     s"""SELECT * FROM (
        |${assocPairSql("orders", "o_orderstatus", "o_orderpriority")}
@@ -2324,6 +2349,7 @@ val eventsRollupSql: String =
     "text_lm_score" -> textLmScoreSql,
     "cat_entropy" -> catEntropySql,
     "cat_association" -> catAssociationSql,
+    "num_histogram_eqdepth" -> numHistogramEqdepthSql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_kmeans" -> embedKmeansSql,
     "pipeline_funnel" -> pipelineFunnelSql,

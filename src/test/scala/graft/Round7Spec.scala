@@ -674,6 +674,26 @@ class Round7Spec extends SparkSpec {
     assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(7))
   }
 
+  test("eqDepthHistogram: equal occupancy on uniform data, tie " +
+      "absorption under skew, count preservation") {
+    val sql = spark
+    import sql.implicits._
+    val uniform = (1L to 1000L).toDF("x")
+    val h = Stats.eqDepthHistogram(uniform, "x", bins = 10).collect()
+    assert(h.length == 10)
+    assert(h.forall(_.getLong(1) == 100L),
+      s"uniform data must fill every bucket equally: ${h.toSeq}")
+    assert(h.map(_.getLong(0)).toSeq == (0L until 10L),
+      "bins must be contiguous and ordered")
+    // 900 ties on one value: the duplicated value collapses 8 edges
+    // onto itself and lands in ONE bucket; the tail keeps its own
+    val skew = (Seq.fill(900)(1L) ++ (2L to 101L)).toDF("x")
+    val hs = Stats.eqDepthHistogram(skew, "x", bins = 10).collect()
+    assert(hs.map(_.getLong(1)).sum == 1000L, "every row lands once")
+    assert(hs.length == 2 && hs.head.getLong(1) == 900L,
+      s"ties must collapse into one bucket: ${hs.toSeq}")
+  }
+
   test("association: NULL is a regular category (cat_entropy " +
       "contract) on both paths") {
     val sql = spark
