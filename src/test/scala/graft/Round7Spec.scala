@@ -748,6 +748,23 @@ class Round7Spec extends SparkSpec {
       .contains("Categorical associations"))
   }
 
+  test("profile catAssociations: pair explosion is capped with a " +
+      "warning") {
+    val sql = spark
+    import sql.implicits._
+    // 7 CAT columns → 21 pairs > the cap of 15
+    val df = (0 until 60).map { i =>
+      (s"a${i % 2}", s"b${i % 2}", s"c${i % 3}", s"d${i % 2}",
+        s"e${i % 3}", s"f${i % 2}", s"g${i % 2}")
+    }.toDF("a", "b", "c", "d", "e", "f", "g")
+    val p = graft.profiler.Profiler.profile(df,
+      graft.profiler.ProfilerConfig(catAssociations = true))
+    assert(p.catAssociations.size == 15,
+      s"expected the capped 15 pairs, got ${p.catAssociations.size}")
+    assert(p.warnings.exists(_.contains("capped")),
+      s"cap must warn: ${p.warnings}")
+  }
+
   // ---------------------------------------------------------------
   // Leakage-aware split
   // ---------------------------------------------------------------
