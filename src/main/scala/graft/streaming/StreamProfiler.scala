@@ -386,6 +386,28 @@ object StreamProfiler {
     graft.ops.Sampling.splitAssign(docs, clusters, idCol,
       trainPerMille, valPerMille)
 
+  /** Per-window categorical CONTINGENCY — the streaming feed of the
+    * association family ([[graft.ops.CatStats.association]]): per
+    * event-time window, the (value-a, value-b) co-occurrence counts
+    * of two categorical facets. Each closed window's slice IS a
+    * contingency frame (va, vb, nij), so the batch per-pair math
+    * (Cramér's V / Theil's U) runs on it directly downstream —
+    * "did the association between these facets shift this hour" as
+    * a drift signal. State = O(card_a·card_b) counters per open
+    * window; NULL categories survive (the cat_entropy contract —
+    * groupBy keeps null keys). */
+  def windowedContingency(events: DataFrame, a: String, b: String,
+      tsCol: String = "ts", watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .withColumn("__ts", eventTime(events, tsCol))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowLen),
+        col(a).as("va"), col(b).as("vb"))
+      .agg(count(lit(1)).as("nij"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("va"), col("vb"), col("nij"))
+
   /** Windowed IVF cell OCCUPANCY — per event-time window, how many
     * arriving vectors landed in each cell: the monitoring view over
     * [[ivfAssignStream]] that catches index skew (a hot cell =

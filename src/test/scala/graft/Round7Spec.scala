@@ -748,6 +748,36 @@ class Round7Spec extends SparkSpec {
       .contains("Categorical associations"))
   }
 
+  test("windowedContingency: closed-window counts equal the batch " +
+      "contingency on the same rows") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Ev(ts: Timestamp, a: String, b: String)
+    val rows = (0 until 40).map(i =>
+      Ev(t(i.toLong), s"a${i % 2}", s"b${i % 3}"))
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val q = StreamProfiler.windowedContingency(
+        mem.toDF().toDF("ts", "a", "b"), "a", "b",
+        watermark = "10 minutes", windowLen = "1 hour")
+      .writeStream.format("memory").queryName("contingency")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.map(e => (e.ts, e.a, e.b)))
+      q.processAllAvailable()
+      mem.addData((t(10000L), "a0", "b0")) // watermark closes hour 0
+      q.processAllAvailable()
+      val got = spark.table("contingency")
+        .where(col("window_start_us") === 0L).collect()
+        .map(r => (r.getString(1), r.getString(2)) -> r.getLong(3))
+        .toMap
+      val expected = rows.groupBy(e => (e.a, e.b))
+        .map { case (k, v) => k -> v.size.toLong }
+      assert(got == expected,
+        s"window-0 contingency mismatch: $got vs $expected")
+    } finally q.stop()
+  }
+
   test("profile catAssociations: pair explosion is capped with a " +
       "warning") {
     val sql = spark
