@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.det.Sig.sig5
 
@@ -98,42 +99,76 @@ object CatStats {
           col("nij").cast("double").as("nij"),
           col("ri").cast("double").as("ri"),
           col("cj").cast("double").as("cj"))
-      // ONE reduction over observed cells. Marginal entropies come
-      // from the same pass via Σ_cells nij·ln(ri) = Σ_a ri·ln(ri)
-      // (row sums of a row's observed cells ARE the marginal), so
-      // rlr doubles as both H(A)'s sum and H(B|A)'s numerator term.
-      // Cardinalities count the null category too (countDistinct
-      // skips nulls in both engines, so add its presence flag).
-      val cell = j.agg(
-        sum("nij").cast("long").as("n"),
-        (countDistinct("va") +
-          max(when(col("va").isNull, 1L).otherwise(0L))).as("card_a"),
-        (countDistinct("vb") +
-          max(when(col("vb").isNull, 1L).otherwise(0L))).as("card_b"),
-        sum(col("nij") * col("nij") / (col("ri") * col("cj")))
-          .as("sumsq"),
-        sum(col("nij") * log(col("nij"))).as("nln"),
-        sum(col("nij") * log(col("cj"))).as("clc"),
-        sum(col("nij") * log(col("ri"))).as("rlr"))
-      val nD = col("n").cast("double")
-      val ha = log(nD) - col("rlr") / nD           // H(A), nats
-      val hb = log(nD) - col("clc") / nD           // H(B)
-      val hab = (col("clc") - col("nln")) / nD     // H(A|B)
-      val hba = (col("rlr") - col("nln")) / nD     // H(B|A)
-      // V² = χ²/(n·(min(r,c)−1)) with χ² = n·(sumsq−1): the n cancels
-      // exactly, so compute (sumsq−1)/(min−1) — same expression the
-      // oracle uses, keeping both engines on one rounding path
-      val minDf = least(col("card_a"), col("card_b")) - lit(1L)
-      val inCard = col("card_a") <= maxCard && col("card_b") <= maxCard
-      cell
-        .select(lit(a).as("col_a"), lit(b).as("col_b"), col("n"),
-          col("card_a"), col("card_b"),
-          sig5(when(inCard && minDf > 0,
-            sqrt(greatest((col("sumsq") - lit(1.0)) / minDf.cast("double"),
-              lit(0.0)))))
-            .as("cramers_v"),
-          sig5(when(inCard && ha > 0, (ha - hab) / ha)).as("theils_u_ab"),
-          sig5(when(inCard && hb > 0, (hb - hba) / hb)).as("theils_u_ba"))
+      // ONE reduction over observed cells — the shared [[cellAggs]] /
+      // [[scoreCols]] math (see there for the identities).
+      val cell = j.agg(cellAggs.head, cellAggs.tail: _*)
+      cell.select(
+        (lit(a).as("col_a") +: lit(b).as("col_b") +: col("n") +:
+          col("card_a") +: col("card_b") +: scoreCols(maxCard)): _*)
+  }
+
+  /** Per-group association over a PRE-AGGREGATED contingency frame
+    * `(grpCol, va, vb, nij)` — the consumer of
+    * [[graft.streaming.StreamProfiler.windowedContingency]]'s output
+    * (grp = the event-time window) or any other sliced contingency:
+    * Cramér's V / Theil's U per group, "did the facet association
+    * shift this hour" as a number. Marginals via window sums over
+    * the tiny contingency (partitions bounded by card products),
+    * then one groupBy(grp) reduction — the same [[cellAggs]] /
+    * [[scoreCols]] math as the table-level paths, so the three can
+    * never drift. */
+  def associationGrouped(cont: DataFrame, grpCol: String,
+      maxCard: Long = 10000L): DataFrame = {
+    val wA = Window.partitionBy(grpCol, "va")
+    val wB = Window.partitionBy(grpCol, "vb")
+    val x = cont.select(col(grpCol), col("va"), col("vb"),
+        col("nij").cast("double").as("nij"))
+      .withColumn("ri", sum("nij").over(wA))
+      .withColumn("cj", sum("nij").over(wB))
+    x.groupBy(grpCol).agg(cellAggs.head, cellAggs.tail: _*)
+      .select((col(grpCol) +: col("n") +: col("card_a") +:
+        col("card_b") +: scoreCols(maxCard)): _*)
+      .orderBy(grpCol)
+  }
+
+  /** The observed-cells reduction shared by every association path.
+    * Marginal entropies come from the same pass via
+    * Σ_cells nij·ln(ri) = Σ_a ri·ln(ri) (row sums of a row's
+    * observed cells ARE the marginal), so rlr doubles as both H(A)'s
+    * sum and H(B|A)'s numerator term. Cardinalities count the null
+    * category too (countDistinct skips nulls in both engines, so add
+    * its presence flag). */
+  private def cellAggs: Seq[Column] = Seq(
+    sum("nij").cast("long").as("n"),
+    (countDistinct("va") +
+      max(when(col("va").isNull, 1L).otherwise(0L))).as("card_a"),
+    (countDistinct("vb") +
+      max(when(col("vb").isNull, 1L).otherwise(0L))).as("card_b"),
+    sum(col("nij") * col("nij") / (col("ri") * col("cj")))
+      .as("sumsq"),
+    sum(col("nij") * log(col("nij"))).as("nln"),
+    sum(col("nij") * log(col("cj"))).as("clc"),
+    sum(col("nij") * log(col("ri"))).as("rlr"))
+
+  /** V/U from the [[cellAggs]] columns. V² = χ²/(n·(min(r,c)−1))
+    * with χ² = n·(sumsq−1): the n cancels exactly, so compute
+    * (sumsq−1)/(min−1) — same expression the oracle uses, keeping
+    * both engines on one rounding path. */
+  private def scoreCols(maxCard: Long): Seq[Column] = {
+    val nD = col("n").cast("double")
+    val ha = log(nD) - col("rlr") / nD           // H(A), nats
+    val hb = log(nD) - col("clc") / nD           // H(B)
+    val hab = (col("clc") - col("nln")) / nD     // H(A|B)
+    val hba = (col("rlr") - col("nln")) / nD     // H(B|A)
+    val minDf = least(col("card_a"), col("card_b")) - lit(1L)
+    val inCard = col("card_a") <= maxCard && col("card_b") <= maxCard
+    Seq(
+      sig5(when(inCard && minDf > 0,
+        sqrt(greatest((col("sumsq") - lit(1.0)) / minDf.cast("double"),
+          lit(0.0)))))
+        .as("cramers_v"),
+      sig5(when(inCard && ha > 0, (ha - hab) / ha)).as("theils_u_ab"),
+      sig5(when(inCard && hb > 0, (hb - hba) / hb)).as("theils_u_ba"))
   }
 
   /** Per-column (col_name, n, n_distinct, entropy, evenness):

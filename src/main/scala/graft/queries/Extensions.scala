@@ -324,6 +324,21 @@ object Extensions {
     // ---- events (streaming-equivalent batch) ----
     "events_window" -> ((s, dir) =>
       EventOps.windowedStats(t(s, dir, "events"))),
+    // per-hour facet association: Cramér's V / Theil's U between
+    // event_type and the user cohort per event-time window — the
+    // batch twin of StreamProfiler.windowedContingency feeding
+    // CatStats.associationGrouped (drift of facet association)
+    "events_window_assoc" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val us = EventOps.tsMicros(ev) // nanos-as-long-safe epoch micros
+      val cont = ev.select(
+          (us - pmod(us, lit(3600000000L))).as("window_start_us"),
+          col("event_type").as("va"),
+          pmod(col("user_id"), lit(4L)).cast("string").as("vb"))
+        .groupBy("window_start_us", "va", "vb")
+        .agg(count(lit(1)).as("nij"))
+      CatStats.associationGrouped(cont, "window_start_us")
+    }),
     // cohort retention triangle: first-seen day → distinct active
     // users per (cohort, day offset)
     "events_retention" -> ((s, dir) =>
@@ -1103,6 +1118,38 @@ object Extensions {
        |CAST(count(DISTINCT rep) AS BIGINT) AS n_groups,
        |CAST(sum(n_chars) AS BIGINT) AS n_chars
        |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
+
+  /** Per-window association re-derived: hourly contingency (same
+    * epoch-micros window arithmetic as [[eventsWindowSql]]), window
+    * marginals, then the SAME observed-cells identities as
+    * [[assocPairSql]] grouped by window. */
+  val eventsWindowAssocSql: String = {
+    val vGuard = "least(card_a, card_b) > 1 AND greatest(card_a, card_b) <= 10000"
+    val uGuard = "greatest(card_a, card_b) <= 10000"
+    s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type AS va,
+       |  CAST(user_id % 4 AS VARCHAR) AS vb FROM events),
+       |c AS (SELECT CAST(us - us % 3600000000 AS BIGINT) AS w, va, vb,
+       |      CAST(count(*) AS DOUBLE) AS nij FROM e GROUP BY 1, 2, 3),
+       |x AS (SELECT w, va, vb, nij,
+       |      sum(nij) OVER (PARTITION BY w, va) AS ri,
+       |      sum(nij) OVER (PARTITION BY w, vb) AS cj FROM c),
+       |g AS (SELECT w, sum(nij) AS n,
+       |      count(DISTINCT va)
+       |        + max(CASE WHEN va IS NULL THEN 1 ELSE 0 END) AS card_a,
+       |      count(DISTINCT vb)
+       |        + max(CASE WHEN vb IS NULL THEN 1 ELSE 0 END) AS card_b,
+       |      sum(nij * nij / (ri * cj)) AS sumsq,
+       |      sum(nij * ln(nij)) AS nln,
+       |      sum(nij * ln(cj)) AS clc,
+       |      sum(nij * ln(ri)) AS rlr
+       |      FROM x GROUP BY w)
+       |SELECT w AS window_start_us, CAST(n AS BIGINT) AS n,
+       |CAST(card_a AS BIGINT) AS card_a, CAST(card_b AS BIGINT) AS card_b,
+       |${sig(s"CASE WHEN $vGuard THEN sqrt(greatest((sumsq - 1) / (least(card_a, card_b) - 1), 0)) END")} AS cramers_v,
+       |${sig(s"CASE WHEN $uGuard AND ln(n) - rlr / n > 0 THEN ((ln(n) - rlr / n) - (clc - nln) / n) / (ln(n) - rlr / n) END")} AS theils_u_ab,
+       |${sig(s"CASE WHEN $uGuard AND ln(n) - clc / n > 0 THEN ((ln(n) - clc / n) - (rlr - nln) / n) / (ln(n) - clc / n) END")} AS theils_u_ba
+       |FROM g ORDER BY window_start_us""".stripMargin
+  }
 
   val eventsWindowSql: String =
     s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type, value
@@ -2361,6 +2408,7 @@ val eventsRollupSql: String =
     "sample_weighted" -> sampleWeightedSql,
     "sample_split" -> sampleSplitSql,
     "events_window" -> eventsWindowSql,
+    "events_window_assoc" -> eventsWindowAssocSql,
     "events_retention" -> eventsRetentionSql,
     "events_anomaly" -> eventsAnomalySql,
     "events_funnel" -> eventsFunnelSql,

@@ -748,6 +748,30 @@ class Round7Spec extends SparkSpec {
       .contains("Categorical associations"))
   }
 
+  test("associationGrouped: per-group scores equal the table-level " +
+      "association on each slice") {
+    val sql = spark
+    import sql.implicits._
+    val rng = new scala.util.Random(37L)
+    val df = (0 until 600).map { i =>
+      (i % 3L, s"a${rng.nextInt(3)}", s"b${rng.nextInt(4)}")
+    }.toDF("g", "x", "y")
+    val cont = df.groupBy(col("g"), col("x").as("va"),
+        col("y").as("vb"))
+      .agg(count(lit(1)).as("nij"))
+    val grouped = CatStats.associationGrouped(cont, "g").collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    (0L until 3L).foreach { g =>
+      val slice = CatStats.association(df.where(col("g") === g),
+        Seq(("x", "y"))).collect()(0)
+      val exp = (slice.getDouble(5), slice.getDouble(6),
+        slice.getDouble(7))
+      assert(grouped(g) == exp,
+        s"group $g: grouped ${grouped(g)} != slice $exp")
+    }
+  }
+
   test("windowedContingency: closed-window counts equal the batch " +
       "contingency on the same rows") {
     val sql = spark
