@@ -37,9 +37,19 @@ class TopKByScore(k: Int)
       Array[(Double, Long)]] {
   require(k > 0)
 
-  // total order: score DESC, id ASC — index 0 is the best entry
+  // total order: score DESC, id ASC — index 0 is the best entry.
+  // Double.compare (not >/==) so the order stays TOTAL for NaN: the
+  // IEEE operators are false both ways on NaN, which made a NaN entry
+  // insert at index 0 and merge output buffer-order-dependent (the
+  // ADC 'unreachable' LUT slots can surface NaN). Under Double
+  // .compare NaN ranks above every number — deterministically — and
+  // sig5 collapses ±0 to +0, so the compare-vs-== divergence on -0.0
+  // never reaches rounded scores.
   @inline private def lt(s1: Double, i1: Long, s2: Double, i2: Long)
-      : Boolean = s1 > s2 || (s1 == s2 && i1 < i2)
+      : Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   override def zero: Array[(Double, Long)] = Array.empty
 

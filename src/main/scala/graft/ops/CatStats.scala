@@ -64,9 +64,25 @@ object CatStats {
   def associationAll(df: DataFrame, pairs: Seq[(String, String)],
       maxCard: Long = 10000L): DataFrame = {
     require(pairs.nonEmpty, "no column pairs")
+    // float/double facets are NORMALIZED before the string cast so
+    // this path groups exactly like [[association]]'s native groupBy:
+    // native grouping keys normalize -0.0 to 0.0, but their strings
+    // ("-0.0" vs "0.0") differ — a category-cardinality drift between
+    // the two "cannot drift" twins. NaN needs no guard (one native
+    // group, one "NaN" string).
+    def catStr(name: String): Column = {
+      val c = col(name)
+      df.schema(name).dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType =>
+          when(c === lit(0.0), lit(0.0).cast(df.schema(name).dataType))
+            .otherwise(c).cast("string")
+        case _ => c.cast("string")
+      }
+    }
     val structs = pairs.zipWithIndex.map { case ((a, b), i) =>
-      struct(lit(i).as("pidx"), col(a).cast("string").as("va"),
-        col(b).cast("string").as("vb"))
+      struct(lit(i).as("pidx"), catStr(a).as("va"),
+        catStr(b).as("vb"))
     }
     val cont = Materialize.materialize(
       df.select(explode(array(structs: _*)).as("e"))
@@ -162,13 +178,21 @@ object CatStats {
     val hba = (col("rlr") - col("nln")) / nD     // H(B|A)
     val minDf = least(col("card_a"), col("card_b")) - lit(1L)
     val inCard = col("card_a") <= maxCard && col("card_b") <= maxCard
+    // U's positive-entropy guard runs on the exact INTEGER cardinality
+    // (H(A) > 0 ⟺ card_a > 1), not the raw float sum: for a constant
+    // facet ha is a near-zero float whose SIGN depends on the engine's
+    // summation order — a discrete cross-engine decision on unrounded
+    // doubles, against the rounded-decision contract (the V guard
+    // already decides on minDf > 0 for the same reason).
     Seq(
       sig5(when(inCard && minDf > 0,
         sqrt(greatest((col("sumsq") - lit(1.0)) / minDf.cast("double"),
           lit(0.0)))))
         .as("cramers_v"),
-      sig5(when(inCard && ha > 0, (ha - hab) / ha)).as("theils_u_ab"),
-      sig5(when(inCard && hb > 0, (hb - hba) / hb)).as("theils_u_ba"))
+      sig5(when(inCard && col("card_a") > 1L, (ha - hab) / ha))
+        .as("theils_u_ab"),
+      sig5(when(inCard && col("card_b") > 1L, (hb - hba) / hb))
+        .as("theils_u_ba"))
   }
 
   /** Per-column (col_name, n, n_distinct, entropy, evenness):

@@ -32,10 +32,15 @@ object Inclusion {
       : DataFrame = {
     require(candidates.nonEmpty, "no candidate pairs")
     candidates.map { case (label, child, cCol, parent, pCol) =>
+      // native-typed keys (Catalyst coerces the join sides to a common
+      // type): a hard cast("long") here sent non-numeric keys — e.g.
+      // string codes — to NULL AFTER the null filter, so they counted
+      // into n_child_distinct but could never match the semi-join,
+      // silently reporting inclusion < 1 for a perfectly valid FK
       val c = child.where(col(cCol).isNotNull)
-        .select(col(cCol).cast("long").as("k")).distinct()
+        .select(col(cCol).as("k")).distinct()
       val p = parent.where(col(pCol).isNotNull)
-        .select(col(pCol).cast("long").as("k")).distinct()
+        .select(col(pCol).as("k")).distinct()
       c.join(p, Seq("k"), "left_semi")
         .agg(count(lit(1)).as("n_shared"))
         .crossJoin(c.agg(count(lit(1)).as("n_child_distinct")))

@@ -584,12 +584,19 @@ object Stats {
     require(bins >= 2, "need at least 2 bins")
     val probs = (1 until bins).map(_.toDouble / bins)
     val arr = probs.mkString("array(", ", ", ")")
+    // NaN is excluded alongside NULL in BOTH passes (and in the
+    // oracle): the engines order NaN oppositely — Spark bins it to
+    // bin 0 (NaN >= edge is false), DuckDB sorts it greatest, i.e.
+    // the top bin — so a float column with NaNs would diverge; the
+    // same guard the equi-width histogram's bounds pass applies.
     val edges = df.agg(
-      expr(s"percentile(cast(`$c` as double), $arr)").as("es"))
+      expr(s"percentile(CASE WHEN NOT isnan(cast(`$c` as double)) " +
+        s"THEN cast(`$c` as double) END, $arr)").as("es"))
     val binExpr = (1 until bins).map(i =>
       when(d(c) >= sig5(element_at(col("es"), i)), 1L).otherwise(0L))
       .reduce(_ + _)
-    df.where(col(c).isNotNull).crossJoin(broadcast(edges))
+    df.where(col(c).isNotNull && !isnan(d(c)))
+      .crossJoin(broadcast(edges))
       .select(binExpr.as("bin"), d(c).as("v"))
       .groupBy("bin")
       .agg(count(lit(1)).as("cnt"), min("v").as("lo"),

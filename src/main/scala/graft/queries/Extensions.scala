@@ -630,17 +630,27 @@ object Extensions {
     // quality-quota data selection: the top-5 highest-quality docs
     // per language (rank on the sig5-ROUNDED score, doc_id
     // tie-break — the engine contract for discrete decisions)
+    // per-language top-5 by quality via the bounded TopKByScore heap
+    // (the repo's per-GROUP top-k contract): the former
+    // row_number() OVER (PARTITION BY lang ...) form ranked each
+    // language's ENTIRE corpus through one window task — at 100 TB
+    // the dominant language is one task sorting most of the corpus.
+    // The heap keeps O(k) state map-side with a linear merge; the
+    // tie-break is ASCENDING doc_id on equal (sig5-rounded) quality,
+    // matching the oracle's ORDER BY quality DESC, doc_id. Plan is
+    // asserted window-free (Round8Spec).
     "sample_quota" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val q = TextStats.quality(d, "doc_id", "text")
         .select(col("doc_id"), col("quality"))
-      import org.apache.spark.sql.expressions.Window
       q.join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .withColumn("rnk", row_number().over(Window.partitionBy("lang")
-          .orderBy(col("quality").desc, col("doc_id"))))
-        .where(col("rnk") <= 5)
-        .select(col("lang"), col("rnk").cast("long").as("rnk"),
-          col("doc_id"), col("quality"))
+        .where(col("quality").isNotNull) // heap contract: non-null score
+        .groupBy("lang")
+        .agg(graft.functions.TopKByScore.top_k(5)(
+          col("quality"), col("doc_id")).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("p", "e")))
+        .select(col("lang"), (col("p") + 1).cast("long").as("rnk"),
+          col("e._2").as("doc_id"), col("e._1").as("quality"))
         .orderBy("lang", "rnk")
     }),
     // SemDeDup: seeded-centroid clustering bounds the pair join to
@@ -1146,8 +1156,8 @@ object Extensions {
        |SELECT w AS window_start_us, CAST(n AS BIGINT) AS n,
        |CAST(card_a AS BIGINT) AS card_a, CAST(card_b AS BIGINT) AS card_b,
        |${sig(s"CASE WHEN $vGuard THEN sqrt(greatest((sumsq - 1) / (least(card_a, card_b) - 1), 0)) END")} AS cramers_v,
-       |${sig(s"CASE WHEN $uGuard AND ln(n) - rlr / n > 0 THEN ((ln(n) - rlr / n) - (clc - nln) / n) / (ln(n) - rlr / n) END")} AS theils_u_ab,
-       |${sig(s"CASE WHEN $uGuard AND ln(n) - clc / n > 0 THEN ((ln(n) - clc / n) - (rlr - nln) / n) / (ln(n) - clc / n) END")} AS theils_u_ba
+       |${sig(s"CASE WHEN $uGuard AND card_a > 1 THEN ((ln(n) - rlr / n) - (clc - nln) / n) / (ln(n) - rlr / n) END")} AS theils_u_ab,
+       |${sig(s"CASE WHEN $uGuard AND card_b > 1 THEN ((ln(n) - clc / n) - (rlr - nln) / n) / (ln(n) - clc / n) END")} AS theils_u_ba
        |FROM g ORDER BY window_start_us""".stripMargin
   }
 
@@ -1499,8 +1509,8 @@ val eventsRollupSql: String =
     s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
        |CAST(card_a AS BIGINT) AS card_a, CAST(card_b AS BIGINT) AS card_b,
        |${sig(s"CASE WHEN $vGuard THEN sqrt(greatest((sumsq - 1) / (least(card_a, card_b) - 1), 0)) END")} AS cramers_v,
-       |${sig(s"CASE WHEN $uGuard AND ln(n) - rlr / n > 0 THEN ((ln(n) - rlr / n) - (clc - nln) / n) / (ln(n) - rlr / n) END")} AS theils_u_ab,
-       |${sig(s"CASE WHEN $uGuard AND ln(n) - clc / n > 0 THEN ((ln(n) - clc / n) - (rlr - nln) / n) / (ln(n) - clc / n) END")} AS theils_u_ba
+       |${sig(s"CASE WHEN $uGuard AND card_a > 1 THEN ((ln(n) - rlr / n) - (clc - nln) / n) / (ln(n) - rlr / n) END")} AS theils_u_ab,
+       |${sig(s"CASE WHEN $uGuard AND card_b > 1 THEN ((ln(n) - clc / n) - (rlr - nln) / n) / (ln(n) - clc / n) END")} AS theils_u_ba
        |FROM (
        |  SELECT sum(nij) AS n,
        |    count(DISTINCT va)
@@ -1531,9 +1541,11 @@ val eventsRollupSql: String =
       .map(i => s"CASE WHEN v >= ${sig(s"es[$i]")} THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""WITH e AS (SELECT quantile_cont(CAST(n_chars AS DOUBLE), $fracs)
-       |           AS es FROM documents),
+       |           AS es FROM documents
+       |           WHERE NOT isnan(CAST(n_chars AS DOUBLE))),
        |v AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
-       |      WHERE n_chars IS NOT NULL),
+       |      WHERE n_chars IS NOT NULL
+       |        AND NOT isnan(CAST(n_chars AS DOUBLE))),
        |b AS (SELECT CAST($binSum AS BIGINT) AS bin, v FROM v, e)
        |SELECT bin, count(*) AS cnt, min(v) AS lo, max(v) AS hi
        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin
