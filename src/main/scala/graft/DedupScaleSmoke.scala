@@ -139,6 +139,16 @@ object DedupScaleSmoke {
     println(s"[dedup-smoke] incremental pairs = ${incPairs.count()} " +
       s"(batch = ${docs / 100} docs against a " +
       s"${docs - docs / 100}-doc catalog index)")
+
+    // catalog maintenance: fold the accepted batch INTO the persisted
+    // index (an O(batch) sign+band+append job) — the daily-lifecycle
+    // alternative to the full index rebuild timed above
+    timed("catalog index append (accepted 1% batch folded in)") {
+      Dedup.appendCatalogIndex(incoming, "id", "text", idxDir,
+        n = 3, numHashes = 64, bands = 16)
+    }
+    val merged = Dedup.readCatalogIndex(spark, idxDir)._2.count()
+    println(s"[dedup-smoke] merged index bands = $merged rows")
     }
 
     if (phases("semantic")) {

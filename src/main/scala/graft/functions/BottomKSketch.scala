@@ -73,6 +73,16 @@ object BottomKSketch {
   def bottomKOfHashes(k: Int): Column =
     new BottomK(k).toColumn.asInstanceOf[Column]
 
+  /** Untyped relational form: `bottom_k(ids)` over a groupBy keeps
+    * the k smallest DISTINCT values of a LongType column — the
+    * bounded-state replacement for `row_number() OVER (... ORDER BY
+    * id) <= k`, which sorts the whole partition in one task. O(k)
+    * map-side state, linear sorted-union merge, order-independent. */
+  def bottom_k(k: Int)(c: Column): Column =
+    udaf(new BottomK(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long]())
+      .apply(c)
+
   /** Distinct-count estimate from a collected sketch. */
   def estimateDistinct(sketch: Array[Long], k: Int): Double =
     if (sketch.length < k) sketch.length.toDouble

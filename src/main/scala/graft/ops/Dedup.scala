@@ -163,6 +163,24 @@ object Dedup {
     sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[minhashSignatures]] with a STATIC over-cap gram set instead of
+    * a computed df cap — the batch-append/streaming shape ([[
+    * rowBanded]] contract): a batch cannot see corpus-global document
+    * frequencies, so the cap ships as the catalog's hot-shingle set
+    * and filtering is a broadcast membership test (Catalyst compiles
+    * the literal list to an InSet hash probe). With `hot` empty this
+    * is exactly the uncapped [[minhashSignatures]]. */
+  def minhashSignaturesStatic(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, numHashes: Int = 64,
+      hot: Seq[Long] = Nil): DataFrame = {
+    val sh0 = shingleIndex(df, idCol, textCol, n, None)
+    val sh = if (hot.isEmpty) sh0
+      else sh0.where(!col("shingle").isin(hot: _*))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Candidate pairs from a banded (id, band, bh) frame: docs
     * colliding on any band's hash, deduplicated across bands. With
     * `maxBucket` set, buckets over the cap switch from all-pairs
@@ -387,6 +405,34 @@ object Dedup {
       spark.read.parquet(s"$path/bands")
         .select(col("id"), col("band").cast("int"), col("bh")))
 
+  /** Fold an accepted (already-deduped) batch INTO a persisted
+    * [[writeCatalogIndex]] index without rebuilding it — the rest of
+    * the daily-crawl lifecycle: sign and band ONLY the batch (an
+    * O(batch) job, vs the measured 43 s full rebuild at 10M docs),
+    * then parquet-append the new rows. Signatures and band keys are
+    * per-document pure functions of the text, so append ≡ rebuild
+    * exactly (probe-equality is unit-tested); any per-bucket cap is
+    * applied at PROBE time (`maxCatalogPerBucket`), so appends never
+    * need a re-cap pass.
+    *
+    * `maxDf` caveat: document frequencies are corpus-global state a
+    * batch cannot see. Pass `hotShingles` (the catalog's static
+    * over-cap gram set, the [[rowBanded]] contract) to reproduce the
+    * full-rebuild signatures exactly; computing a fresh df cap over
+    * the batch alone would drift from the rebuilt index. With no df
+    * cap (None, Nil) append and rebuild are identical by
+    * construction. */
+  def appendCatalogIndex(batch: DataFrame, idCol: String,
+      textCol: String, path: String, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, hotShingles: Seq[Long] = Nil): Unit = {
+    val sigs = minhashSignaturesStatic(batch, idCol, textCol, n,
+      numHashes, hotShingles)
+    sigs.write.mode("append").parquet(s"$path/signatures")
+    bandedFromSignatures(sigs, numHashes, bands)
+      .write.mode("append").partitionBy("band")
+      .parquet(s"$path/bands")
+  }
+
   /** [[incrementalLshPairs]] against a PREBUILT catalog index (the
     * persisted-signatures production path — the catalog text is
     * never re-read, only its index). */
@@ -404,11 +450,18 @@ object Dedup {
     val bC = maxCatalogPerBucket match {
       case None => bC0
       case Some(cap) =>
-        // keep the cap smallest ids per catalog bucket — windows over
-        // ONE bucket-partitioned exchange, never an all-member join
-        val w = Window.partitionBy("band", "bh").orderBy(col("id").asc)
-        bC0.withColumn("__rn", row_number().over(w))
-          .where(col("__rn") <= cap).drop("__rn")
+        // keep the cap smallest ids per catalog bucket via the
+        // bounded BottomK aggregate: the former row_number window
+        // SORTED each bucket in one task before cutting — a viral
+        // bucket (measured max 81k members at 10M docs) serialized
+        // through one sort — while the heap keeps O(cap) state
+        // map-side with a linear merge; ids are unique per bucket so
+        // BottomK's distinctness is a no-op. Same exchange, no sort.
+        bC0.groupBy("band", "bh")
+          .agg(graft.functions.BottomKSketch.bottom_k(cap.toInt)(
+            col("id")).as("__ids"))
+          .select(col("band"), col("bh"),
+            explode(col("__ids")).as("id"))
     }
     val cand = bI.as("x").join(bC.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))

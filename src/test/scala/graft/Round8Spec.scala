@@ -120,6 +120,86 @@ class Round8Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // Catalog-bucket cap: bounded BottomK aggregate, window-free
+  // ---------------------------------------------------------------
+
+  private val docSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType)))
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava,
+      docSchema)
+
+  test("catalog-bucket cap is window-free and keeps the cap " +
+      "smallest ids per bucket") {
+    val base = (1 to 14).map(i => s"tok$i").mkString(" ")
+    val catalog = docs((0L until 30L).map(i =>
+      i -> (base + s" tail$i")): _*)
+    val incoming = docs((100L, base + " tailX"))
+    val q = graft.ops.Dedup.incrementalLshPairs(incoming, catalog,
+      "doc_id", "text", n = 3, numHashes = 64, bands = 16,
+      minEstJaccard = 0.3, maxCatalogPerBucket = Some(3L))
+    assert(!q.queryExecution.executedPlan.toString.contains("Window"),
+      "the per-bucket cap must not sort buckets through a window")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // reference: the row_number-window form the cap replaced
+    val sigs = graft.ops.Dedup.minhashSignatures(catalog, "doc_id",
+      "text", n = 3, numHashes = 64)
+    val bandsDf = graft.ops.Dedup.bandedFromSignatures(sigs, 64, 16)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("band", "bh").orderBy(col("id").asc)
+    val cappedRef = bandsDf.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= 3L).drop("__rn")
+    val ref = graft.ops.Dedup.incrementalLshPairsWithIndex(incoming,
+        sigs, cappedRef, "doc_id", "text", n = 3, numHashes = 64,
+        bands = 16, minEstJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref,
+      s"BottomK cap must equal the windowed cap: $got vs $ref")
+    assert(got.nonEmpty, "detection must survive the cap")
+  }
+
+  // ---------------------------------------------------------------
+  // Catalog index append: merged index ≡ rebuilt index
+  // ---------------------------------------------------------------
+
+  test("appendCatalogIndex folds a batch into the persisted index; " +
+      "probe equals a full rebuild") {
+    val base = (1 to 14).map(i => s"tok$i").mkString(" ")
+    val day0 = docs((0L, base), (1L, base + " tailA"),
+      (2L, (30 to 45).map(i => s"other$i").mkString(" ")))
+    val day1 = docs((10L, base + " tailB"),
+      (11L, (60 to 75).map(i => s"fresh$i").mkString(" ")))
+    val incoming = docs((100L, base + " tailC"),
+      (101L, (60 to 75).map(i => s"fresh$i").mkString(" ") + " x"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_catidx_merge").toString
+    graft.ops.Dedup.writeCatalogIndex(day0, "doc_id", "text", dir,
+      n = 3, numHashes = 64, bands = 16)
+    graft.ops.Dedup.appendCatalogIndex(day1, "doc_id", "text", dir,
+      n = 3, numHashes = 64, bands = 16)
+    val (sigs, bandsDf) = graft.ops.Dedup.readCatalogIndex(spark, dir)
+    val viaMerged = graft.ops.Dedup.incrementalLshPairsWithIndex(
+      incoming, sigs, bandsDf, "doc_id", "text", n = 3,
+      numHashes = 64, bands = 16, minEstJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = graft.ops.Dedup.incrementalLshPairs(incoming,
+      day0.unionByName(day1), "doc_id", "text", n = 3,
+      numHashes = 64, bands = 16, minEstJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaMerged == rebuilt,
+      s"append must equal rebuild: $viaMerged vs $rebuilt")
+    // the appended near-dup of the boilerplate cluster is probed
+    assert(viaMerged.contains((100L, 10L)),
+      "incoming must collide with the APPENDED catalog doc")
+    assert(viaMerged.contains((101L, 11L)),
+      "incoming must collide with the appended fresh doc")
+  }
+
+  // ---------------------------------------------------------------
   // eqDepthHistogram excludes NaN like it excludes NULL
   // ---------------------------------------------------------------
 
