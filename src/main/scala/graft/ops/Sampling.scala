@@ -21,7 +21,14 @@ object Sampling {
 
   /** Exact deterministic stratified sample: the ceil(frac·n) lowest
     * `idCol` rows of every stratum. One shuffle (window partition by
-    * stratum); ties impossible for unique ids. */
+    * stratum); ties impossible for unique ids.
+    *
+    * 100 TB switch: this window form sorts EVERY stratum through one
+    * task — a 90%-skewed stratum serializes most of the corpus.
+    * [[stratifiedHashExact]] is the production path (same exact
+    * per-stratum quota, map-only admission, only a ~n/bucket-count
+    * residual ever sorted); [[hashSplit]] when approximate fractions
+    * are acceptable. */
   def stratifiedExact(df: DataFrame, stratumCol: String, idCol: String,
       frac: Double): DataFrame = {
     val w = Window.partitionBy(stratumCol).orderBy(col(idCol))
@@ -30,6 +37,84 @@ object Sampling {
       .withColumn("__cnt", count(lit(1)).over(wc))
       .where(col("__rn") <= ceil(col("__cnt") * lit(frac)))
       .drop("__rn", "__cnt")
+  }
+
+  /** EXACT-quota stratified sample that never sorts a stratum: each
+    * stratum keeps its quota = ceil(frac·n) smallest rows under the
+    * ordering (bucket, id) with bucket = minstdHash(id) mod
+    * `buckets` — a deterministic pseudo-random draw (the oracle
+    * re-derives it as one window expression; the hash makes the
+    * selection corpus-order-free like [[hashSplit]], unlike
+    * [[stratifiedExact]]'s lowest-id rule).
+    *
+    * Scale shape — the point: pass 1 builds the per-(stratum, bucket)
+    * HISTOGRAM (one map-side-combined groupBy; ≤ `buckets` rows per
+    * stratum regardless of stratum size). The admission threshold —
+    * the bucket where the quota boundary falls and the residual count
+    * r — comes from a running sum over that bounded histogram
+    * (window partitions capped at `buckets` rows, never data-sized).
+    * Pass 2 admits every row below the boundary bucket MAP-ONLY via
+    * a broadcast of the strata-sized threshold frame; only the
+    * boundary bucket itself — expected n/buckets rows, ~10⁶× smaller
+    * than the stratum — is ranked by id for the last r rows. A
+    * 90%-skewed stratum costs a hash-agg, not a corpus sort. */
+  def stratifiedHashExact(df: DataFrame, stratumCol: String,
+      idCol: String, frac: Double, buckets: Int = 1000000)
+      : DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    // quota on the DOUBLE product (both engines' identical IEEE
+    // multiply+ceil — the discrete decision compares identical
+    // operands, the hashSplit contract)
+    val quotas = df.groupBy(col(stratumCol).as("__s"))
+      .agg(ceil(count(lit(1)).cast("double") * lit(frac))
+        .cast("long").as("__quota"))
+    quotaSampleByHash(df, stratumCol, idCol, quotas, buckets)
+  }
+
+  /** The shared threshold machinery behind [[stratifiedHashExact]]
+    * and [[mixtureSampleHash]]: keep each stratum's `__quota`
+    * smallest rows under the (bucket, id) ordering, where `quotas`
+    * is a strata-sized (`__s`, `__quota`) frame. See
+    * [[stratifiedHashExact]] for the scale argument. */
+  def quotaSampleByHash(df: DataFrame, stratumCol: String,
+      idCol: String, quotas: DataFrame, buckets: Int = 1000000)
+      : DataFrame = {
+    val b = pmod(minstdHash(col(idCol)), lit(buckets.toLong))
+    val hist = df.groupBy(col(stratumCol).as("__s"), b.as("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wcum = Window.partitionBy("__s").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = hist
+      .withColumn("__cum", coalesce(sum("__cnt").over(wcum), lit(0L)))
+      .join(quotas, Seq("__s"))
+      .where(col("__cum") < col("__quota") &&
+        col("__cum") + col("__cnt") >= col("__quota"))
+      .select(col("__s"), col("__b").as("__tb"),
+        (col("__quota") - col("__cum")).as("__r"))
+    val withB = df.withColumn("__b", b)
+      .join(broadcast(bounds), df(stratumCol) === col("__s"))
+    val core = withB.where(col("__b") < col("__tb"))
+    val resid = withB.where(col("__b") === col("__tb"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__s").orderBy(col(idCol))))
+      .where(col("__rn") <= col("__r")).drop("__rn")
+    core.unionByName(resid).drop("__s", "__b", "__tb", "__r")
+  }
+
+  /** [[mixtureSample]]'s exact-mixture semantics on the
+    * [[quotaSampleByHash]] scale path: same availability scan and
+    * largest-exact-mixture quota derivation, but the per-stratum
+    * selection is the hash-threshold plan (map-only admission,
+    * bounded residual) instead of a full-stratum ranking window —
+    * the production form when one mixture stratum dominates the
+    * corpus. Selection rule is the deterministic (bucket, id) draw,
+    * not lowest-id. */
+  def mixtureSampleHash(df: DataFrame, stratumCol: String,
+      idCol: String, weights: Map[String, Double],
+      buckets: Int = 1000000): DataFrame = {
+    val quotas = mixtureQuotas(df, stratumCol, weights)
+      .select(col("__stratum").as("__s"), col("__quota"))
+    quotaSampleByHash(df, stratumCol, idCol, quotas, buckets)
   }
 
   /** Map-only deterministic split assignment: bucket = seeded
@@ -95,17 +180,23 @@ object Sampling {
   private val MinstdM = 2147483647L // 2^31 − 1 (MINSTD modulus)
   private val MinstdA = 48271L
 
-  /** Deterministic pseudo-random mille bucket in [0, 1000) from a row
-    * id via two MINSTD (Lehmer) steps — pure BIGINT arithmetic, so
-    * unlike xxhash64 it is re-derivable in ANY SQL engine (the
-    * oracle recomputes it exactly). pmod bounds the id first, keeping
-    * every product < 2³¹·48271 ≪ 2⁶³: no ANSI overflow for any id. */
-  def minstdMille(id: Column): Column = {
+  /** Deterministic pseudo-random hash in [0, 2³¹−1) from a row id via
+    * two MINSTD (Lehmer) steps — pure BIGINT arithmetic, so unlike
+    * xxhash64 it is re-derivable in ANY SQL engine (the oracle
+    * recomputes it exactly). pmod bounds the id first, keeping every
+    * product < 2³¹·48271 ≪ 2⁶³: no ANSI overflow for any id.
+    * Injective for ids in [−12345, 2³¹−12346) — the Lehmer step is a
+    * bijection on the field — so sketch paths can treat it as a
+    * collision-free uniformizer at fixture scales. */
+  def minstdHash(id: Column): Column = {
     val h0 = pmod(id + 12345L, lit(MinstdM))
     val h1 = pmod(h0 * MinstdA, lit(MinstdM))
-    val h2 = pmod(h1 * MinstdA, lit(MinstdM))
-    pmod(h2, lit(1000L))
+    pmod(h1 * MinstdA, lit(MinstdM))
   }
+
+  /** [[minstdHash]] folded to a mille bucket in [0, 1000). */
+  def minstdMille(id: Column): Column =
+    pmod(minstdHash(id), lit(1000L))
 
   /** Data mixing to target proportions: the largest sample achieving
     * EXACTLY the requested mixture `weights` given what each stratum
@@ -117,10 +208,12 @@ object Sampling {
     * Scale shape: availability is one tiny groupBy (map-side
     * combined); the scale factor and per-stratum quotas are an
     * O(strata) reduction broadcast back; the final selection pays one
-    * window shuffle partitioned by stratum. For the approximate
-    * production path at 100 TB, replace the window with
-    * [[weightedSample]] using weight = quota_i / avail_i — map-only,
-    * same expected mixture, binomial deviation.
+    * window shuffle partitioned by stratum. 100 TB switch:
+    * [[mixtureSampleHash]] keeps the EXACT quotas without ever
+    * sorting a stratum (hash-threshold admission, bounded residual);
+    * [[weightedSample]] with weight = quota_i / avail_i is the
+    * map-only approximate form (same expected mixture, binomial
+    * deviation).
     *
     * Every `weights` key MUST have at least one row in the data: an
     * absent stratum makes the exact mixture unsatisfiable (its
@@ -128,6 +221,21 @@ object Sampling {
     * query fails loudly at execution via `raise_error` rather than
     * silently emitting a mixture that omits the stratum. */
   def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    val quotas = mixtureQuotas(df, stratumCol, weights)
+    val ranked = df.join(broadcast(quotas),
+        df(stratumCol) === quotas("__stratum"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(stratumCol).orderBy(col(idCol))))
+    ranked.where(col("__rn") <= col("__quota"))
+      .drop("__stratum", "__quota", "__rn")
+  }
+
+  /** The largest-exact-mixture quota frame (`__stratum`, `__quota`)
+    * shared by [[mixtureSample]] and [[mixtureSampleHash]]:
+    * scale = min_i(avail_i / w_i), quota_i = floor(scale·w_i). A
+    * weights key with no data rows fails loudly in-plan. */
+  private[ops] def mixtureQuotas(df: DataFrame, stratumCol: String,
       weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0.0),
       "weights must be positive")
@@ -148,15 +256,9 @@ object Sampling {
           col("__stratum")))).otherwise(col("__avail")))
     val scale = avail
       .agg(min(col("__avail").cast("double") / col("__w")).as("__scale"))
-    val quotas = avail.crossJoin(broadcast(scale))
+    avail.crossJoin(broadcast(scale))
       .select(col("__stratum"),
         floor(col("__scale") * col("__w")).cast("long").as("__quota"))
-    val ranked = df.join(broadcast(quotas),
-        df(stratumCol) === quotas("__stratum"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(stratumCol).orderBy(col(idCol))))
-    ranked.where(col("__rn") <= col("__quota"))
-      .drop("__stratum", "__quota", "__rn")
   }
 
   /** Per-row weighted subsampling: keep a row iff its deterministic

@@ -235,6 +235,17 @@ object Extensions {
       Sampling.stratifiedExact(t(s, dir, "documents"), "lang", "doc_id",
           0.1)
         .select("doc_id", "lang").orderBy("doc_id")),
+    // the production stratified form: same EXACT per-stratum quota,
+    // but admission is a histogram-derived hash threshold (map-only
+    // for everything except the single boundary bucket) — no stratum
+    // is ever sorted through one task, so a 90%-skewed language costs
+    // a hash-agg, not a corpus sort. The oracle states the same
+    // selection as one window expression over the re-derived
+    // minstd bucket.
+    "sample_stratified_hash" -> ((s, dir) =>
+      Sampling.stratifiedHashExact(t(s, dir, "documents"), "lang",
+          "doc_id", 0.1)
+        .select("doc_id", "lang").orderBy("doc_id")),
     // ---- multimodal ----
     // real container-header decode: each doc_id gets a synthesized
     // minimal PNG/JPEG/WAV payload (real signatures, chunk CRCs, SOF
@@ -320,6 +331,13 @@ object Extensions {
     "sample_mixture" -> ((s, dir) =>
       Sampling.mixtureSample(t(s, dir, "documents"), "source", "doc_id",
           MixtureWeights)
+        .select("doc_id", "source").orderBy("doc_id")),
+    // exact-mixture quotas on the hash-threshold scale path (the
+    // sample_stratified_hash machinery fed by the mixture quota
+    // derivation) — the form that survives a dominant stratum
+    "sample_mixture_hash" -> ((s, dir) =>
+      Sampling.mixtureSampleHash(t(s, dir, "documents"), "source",
+          "doc_id", MixtureWeights)
         .select("doc_id", "source").orderBy("doc_id")),
     // ---- events (streaming-equivalent batch) ----
     "events_window" -> ((s, dir) =>
@@ -487,6 +505,30 @@ object Extensions {
     // exercised non-trivially
     "table_inclusion" -> ((s, dir) =>
       Inclusion.inclusionStats(Seq(
+        ("customer.c_nationkey->nation.n_nationkey",
+          t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey"),
+        ("lineitem.l_orderkey->orders.o_orderkey",
+          t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey",
+          t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"),
+        ("orders.o_custkey->customer.c_custkey",
+          t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"),
+        ("part.p_partkey->supplier.s_suppkey",
+          t(s, dir, "part"), "p_partkey",
+          t(s, dir, "supplier"), "s_suppkey")))),
+    // the 100 TB inclusion path as a value-checked error contract:
+    // bottom-k (KMV) containment estimate vs the exact coefficient —
+    // the sketch side is ONE O(k) mergeable aggregation per table
+    // (shuffle independent of key cardinality), and because the key
+    // hash is the pure-arithmetic minstdHash, the ORACLE recomputes
+    // the same sketches and the same estimate (not an all-true
+    // declaration). Same 5 candidate pairs as table_inclusion.
+    "table_inclusion_sketch" -> ((s, dir) =>
+      Inclusion.inclusionSketchStats(Seq(
         ("customer.c_nationkey->nation.n_nationkey",
           t(s, dir, "customer"), "c_nationkey",
           t(s, dir, "nation"), "n_nationkey"),
@@ -766,6 +808,23 @@ object Extensions {
       |    count(*) OVER (PARTITION BY lang) AS cnt
       |  FROM documents)
       |WHERE rn <= ceil(cnt * 0.1) ORDER BY doc_id""".stripMargin
+
+  /** The hash-threshold sampler's SPEC as one window expression: the
+    * quota smallest rows per stratum under (minstd bucket, doc_id) —
+    * the Spark side reaches the same set through the histogram
+    * thresholds without sorting any stratum. Quota arithmetic runs
+    * on DOUBLE in both engines (identical IEEE multiply+ceil, no
+    * DECIMAL boundary luck). */
+  val sampleStratifiedHashSql: String =
+    s"""SELECT doc_id, lang FROM (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${minstdHashSql("doc_id")} % 1000000, doc_id)
+       |      AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS cnt
+       |  FROM documents)
+       |WHERE rn <= CAST(ceil(CAST(cnt AS DOUBLE) * CAST(0.1 AS DOUBLE))
+       |  AS BIGINT) ORDER BY doc_id""".stripMargin
 
   val textContaminationSql: String = {
     s"""WITH ${shingleCteSql("tr",
@@ -1727,6 +1786,29 @@ val eventsRollupSql: String =
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** [[sampleMixtureSql]]'s quota derivation with the hash-threshold
+    * selection rule (minstd bucket, doc_id) — the
+    * sample_stratified_hash spec applied to mixture quotas. */
+  val sampleMixtureHashSql: String = {
+    val values = MixtureWeights.toSeq.sorted
+      .map { case (k, v) => s"('$k', $v)" }.mkString(", ")
+    s"""WITH w(stratum, wt) AS (VALUES $values),
+       |avail AS (SELECT source AS stratum, count(*) AS n
+       |          FROM documents GROUP BY source),
+       |a AS (SELECT w.stratum, n, wt FROM avail
+       |      JOIN w ON w.stratum = avail.stratum),
+       |sc AS (SELECT min(n / wt) AS scale FROM a),
+       |q AS (SELECT stratum, CAST(floor(scale * wt) AS BIGINT) AS quota
+       |      FROM a, sc),
+       |r AS (SELECT doc_id, source, quota,
+       |        row_number() OVER (PARTITION BY source
+       |          ORDER BY ${minstdHashSql("doc_id")} % 1000000, doc_id)
+       |          AS rn
+       |      FROM documents d JOIN q ON q.stratum = d.source)
+       |SELECT doc_id, source FROM r WHERE rn <= quota
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** CUBE with Spark's grouping_id bit order (event_type bit 1,
     * hour bit 0) and integer-micros hour-of-day arithmetic. */
   val eventsCubeSql: String =
@@ -1979,6 +2061,72 @@ val eventsRollupSql: String =
          |  JOIN (SELECT DISTINCT $pc AS k FROM $pt
          |        WHERE $pc IS NOT NULL) p USING (k))""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY pair")
+  }
+
+  /** The [[graft.ops.Sampling.minstdHash]] twin in portable SQL:
+    * two Lehmer steps in pure BIGINT arithmetic (products bounded
+    * ≪ 2⁶³), pmod spelled out for negative inputs. */
+  private def minstdHashSql(x: String): String = {
+    val m = "2147483647"; val a = "48271"
+    val h0 = s"((((CAST($x AS BIGINT) + 12345) % $m) + $m) % $m)"
+    val h1 = s"(($h0 * $a) % $m)" // h0 ≥ 0, so % IS pmod from here
+    s"(($h1 * $a) % $m)"
+  }
+
+  /** Bottom-k containment re-derived VALUE-LEVEL: because the key
+    * hash is pure integer arithmetic, DuckDB rebuilds the identical
+    * SA/SB/merged sketches (ORDER BY h LIMIT k over DISTINCT hashes
+    * = the BottomK aggregate's set property) and lands on the same
+    * estimate — the error contract is checked, not declared. */
+  val tableInclusionSketchSql: String = {
+    val k = 1024
+    val pairs = Seq(
+      ("customer.c_nationkey->nation.n_nationkey",
+        "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("lineitem.l_orderkey->orders.o_orderkey",
+        "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part.p_partkey",
+        "lineitem", "l_partkey", "part", "p_partkey"),
+      ("orders.o_custkey->customer.c_custkey",
+        "orders", "o_custkey", "customer", "c_custkey"),
+      ("part.p_partkey->supplier.s_suppkey",
+        "part", "p_partkey", "supplier", "s_suppkey"))
+    val ctes = pairs.zipWithIndex.flatMap { case ((_, ct, cc, pt, pc), i) =>
+      Seq(
+        s"""sa_$i AS (SELECT h FROM (SELECT DISTINCT
+           |  ${minstdHashSql(cc)} AS h FROM $ct WHERE $cc IS NOT NULL)
+           |  ORDER BY h LIMIT $k)""".stripMargin,
+        s"""sb_$i AS (SELECT h FROM (SELECT DISTINCT
+           |  ${minstdHashSql(pc)} AS h FROM $pt WHERE $pc IS NOT NULL)
+           |  ORDER BY h LIMIT $k)""".stripMargin,
+        s"""m_$i AS (SELECT h FROM (SELECT h FROM sa_$i
+           |  UNION SELECT h FROM sb_$i) ORDER BY h LIMIT $k)""".stripMargin,
+        s"""sk_$i AS (SELECT count(a.h) AS child_in,
+           |  count(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+           |        THEN 1 END) AS shared_in
+           |  FROM m_$i LEFT JOIN sa_$i a ON m_$i.h = a.h
+           |  LEFT JOIN sb_$i b ON m_$i.h = b.h)""".stripMargin,
+        s"""ex_$i AS (SELECT
+           |  (SELECT count(*) FROM (SELECT DISTINCT $cc FROM $ct
+           |   WHERE $cc IS NOT NULL)) AS nc,
+           |  (SELECT count(*) FROM
+           |   (SELECT DISTINCT $cc AS k FROM $ct WHERE $cc IS NOT NULL) c
+           |   JOIN (SELECT DISTINCT $pc AS k FROM $pt
+           |         WHERE $pc IS NOT NULL) p USING (k)) AS ns)""".stripMargin)
+    }
+    val selects = pairs.zipWithIndex.map { case ((label, _, _, _, _), i) =>
+      s"""SELECT pair, n_child_distinct, inclusion, inclusion_est,
+         |  abs_err, CAST(CASE WHEN abs_err <= 0.05 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS within_bound
+         |FROM (SELECT pair, n_child_distinct, inclusion, inclusion_est,
+         |  ${sig("abs(inclusion - inclusion_est)")} AS abs_err
+         |  FROM (SELECT '$label' AS pair, nc AS n_child_distinct,
+         |    ${sig("CAST(ns AS DOUBLE) / nc")} AS inclusion,
+         |    ${sig("CASE WHEN child_in > 0 THEN CAST(shared_in AS DOUBLE) / child_in END")}
+         |      AS inclusion_est
+         |    FROM ex_$i, sk_$i))""".stripMargin
+    }
+    s"WITH ${ctes.mkString(",\n")}\n${selects.mkString("", "\nUNION ALL\n", "\nORDER BY pair")}"
   }
 
   /** FD/key claims re-derived; row(...) constructors mirror Spark's
@@ -2362,6 +2510,7 @@ val eventsRollupSql: String =
     "col_distinct_mergeable" -> colDistinctMergeableSql,
     "col_fd_keys" -> colFdKeysSql,
     "table_inclusion" -> tableInclusionSql,
+    "table_inclusion_sketch" -> tableInclusionSketchSql,
     "corpus_manifest" -> corpusManifestSql,
     "table_duplicates" -> tableDuplicatesSql,
     "drift_embedding" -> driftEmbeddingSql,
@@ -2382,6 +2531,7 @@ val eventsRollupSql: String =
     "text_classify" -> textClassifySql,
     "drift_psi" -> driftPsiSql,
     "sample_mixture" -> sampleMixtureSql,
+    "sample_mixture_hash" -> sampleMixtureHashSql,
     "events_cube" -> eventsCubeSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram" -> dedupNgramSql,
@@ -2392,6 +2542,7 @@ val eventsRollupSql: String =
     "dedup_keep" -> dedupKeepSql,
     "text_contamination" -> textContaminationSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_stratified_hash" -> sampleStratifiedHashSql,
     "dedup_embed" -> dedupEmbedSql,
     "embed_cosine_topk" -> embedCosineSql,
     "embed_ann_lsh" -> embedAnnLshSql,
