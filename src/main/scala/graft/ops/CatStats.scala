@@ -183,15 +183,22 @@ object CatStats {
     // facet ha is a near-zero float whose SIGN depends on the engine's
     // summation order — a discrete cross-engine decision on unrounded
     // doubles, against the rounded-decision contract (the V guard
-    // already decides on minDf > 0 for the same reason).
+    // already decides on minDf > 0 for the same reason). The
+    // DENOMINATOR is additionally clamped: card_a > 1 makes H(A) > 0
+    // mathematically, but the float ln(n) − rlr/n can still cancel to
+    // 0.0 or a tiny negative for a near-constant facet at extreme n —
+    // 0/0 or a flipped sign that sig5 would pass through. The oracle
+    // twins clamp identically.
+    val haC = greatest(ha, lit(1e-12))
+    val hbC = greatest(hb, lit(1e-12))
     Seq(
       sig5(when(inCard && minDf > 0,
         sqrt(greatest((col("sumsq") - lit(1.0)) / minDf.cast("double"),
           lit(0.0)))))
         .as("cramers_v"),
-      sig5(when(inCard && col("card_a") > 1L, (ha - hab) / ha))
+      sig5(when(inCard && col("card_a") > 1L, (ha - hab) / haC))
         .as("theils_u_ab"),
-      sig5(when(inCard && col("card_b") > 1L, (hb - hba) / hb))
+      sig5(when(inCard && col("card_b") > 1L, (hb - hba) / hbC))
         .as("theils_u_ba"))
   }
 

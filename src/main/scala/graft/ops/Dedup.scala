@@ -390,12 +390,41 @@ object Dedup {
   def writeCatalogIndex(catalog: DataFrame, idCol: String,
       textCol: String, path: String, n: Int = 3, numHashes: Int = 64,
       bands: Int = 16, maxDf: Option[Long] = None): Unit = {
-    val sigs = minhashSignatures(catalog, idCol, textCol, n,
-      numHashes, maxDf)
+    // the hot (over-df-cap) shingle set is corpus-GLOBAL state a later
+    // batch cannot re-derive — resolve it ONCE here and persist it
+    // with the build params, so append jobs reproduce the rebuild
+    // signatures exactly instead of trusting caller discipline. Hot
+    // shingles are few by construction (each needs > cap docs).
+    val hot: Seq[Long] = maxDf match {
+      case None => Nil
+      case Some(cap) =>
+        shingleIndex(catalog, idCol, textCol, n, None)
+          .groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap)
+          .collect().map(_.getLong(0)).toSeq.sorted
+    }
+    val sigs = minhashSignaturesStatic(catalog, idCol, textCol, n,
+      numHashes, hot)
     sigs.write.mode("overwrite").parquet(s"$path/signatures")
     bandedFromSignatures(sigs, numHashes, bands)
       .write.mode("overwrite").partitionBy("band")
       .parquet(s"$path/bands")
+    val spark = catalog.sparkSession
+    spark.range(1).select(lit(n).as("n"),
+        lit(numHashes).as("num_hashes"), lit(bands).as("bands"),
+        lit(maxDf.map(Long.box).orNull).cast("long").as("max_df"),
+        array(hot.map(lit(_)): _*).cast("array<bigint>").as("hot"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The persisted build params of a [[writeCatalogIndex]] index:
+    * (n, numHashes, bands, maxDf, hot shingle set). */
+  def readCatalogMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, Int, Option[Long], Seq[Long]) = {
+    val r = spark.read.parquet(s"$path/meta").collect().head
+    (r.getInt(0), r.getInt(1), r.getInt(2),
+      if (r.isNullAt(3)) None else Some(r.getLong(3)),
+      r.getSeq[Long](4))
   }
 
   /** Load a [[writeCatalogIndex]] index: (signatures, banded keys). */
@@ -416,17 +445,25 @@ object Dedup {
     * need a re-cap pass.
     *
     * `maxDf` caveat: document frequencies are corpus-global state a
-    * batch cannot see. Pass `hotShingles` (the catalog's static
-    * over-cap gram set, the [[rowBanded]] contract) to reproduce the
-    * full-rebuild signatures exactly; computing a fresh df cap over
-    * the batch alone would drift from the rebuilt index. With no df
-    * cap (None, Nil) append and rebuild are identical by
-    * construction. */
+    * batch cannot see — the index's persisted metadata carries the
+    * catalog's resolved hot-shingle set, so the append reproduces the
+    * full-rebuild signatures exactly with no caller-side state.
+    *
+    * The caller's (n, numHashes, bands) are VERIFIED against the
+    * persisted build params: a mismatched append would silently
+    * corrupt probe equality (different shingle width or band keys in
+    * one index), so it fails loudly instead. */
   def appendCatalogIndex(batch: DataFrame, idCol: String,
       textCol: String, path: String, n: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, hotShingles: Seq[Long] = Nil): Unit = {
+      bands: Int = 16): Unit = {
+    val (mn, mh, mb, _, hot) =
+      readCatalogMeta(batch.sparkSession, path)
+    require(mn == n && mh == numHashes && mb == bands,
+      s"appendCatalogIndex params (n=$n, numHashes=$numHashes, " +
+        s"bands=$bands) do not match the index's persisted build " +
+        s"params (n=$mn, numHashes=$mh, bands=$mb) at $path")
     val sigs = minhashSignaturesStatic(batch, idCol, textCol, n,
-      numHashes, hotShingles)
+      numHashes, hot)
     sigs.write.mode("append").parquet(s"$path/signatures")
     bandedFromSignatures(sigs, numHashes, bands)
       .write.mode("append").partitionBy("band")
@@ -450,6 +487,14 @@ object Dedup {
     val bC = maxCatalogPerBucket match {
       case None => bC0
       case Some(cap) =>
+        // the BottomK buffer encodes ids as Long: any other id type
+        // would get an implicit cast (NULL under non-ANSI) feeding a
+        // non-nullable encoder — fail loudly instead of corrupting
+        // the cap
+        require(bC0.schema("id").dataType ==
+          org.apache.spark.sql.types.LongType,
+          "maxCatalogPerBucket requires a LongType id column; got " +
+            s"${bC0.schema("id").dataType.simpleString}")
         // keep the cap smallest ids per catalog bucket via the
         // bounded BottomK aggregate: the former row_number window
         // SORTED each bucket in one task before cutting — a viral

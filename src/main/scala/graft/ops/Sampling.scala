@@ -84,15 +84,20 @@ object Sampling {
       .agg(count(lit(1)).as("__cnt"))
     val wcum = Window.partitionBy("__s").orderBy("__b")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // stratum joins are NULL-SAFE (<=>): a NULL stratum is a regular
+    // stratum here, exactly as the window forms' PARTITION BY treats
+    // it — a plain equi-join would silently drop every NULL-stratum
+    // row while the oracle keeps them
     val bounds = hist
       .withColumn("__cum", coalesce(sum("__cnt").over(wcum), lit(0L)))
-      .join(quotas, Seq("__s"))
+      .join(quotas.withColumnRenamed("__s", "__sq"),
+        col("__s") <=> col("__sq"))
       .where(col("__cum") < col("__quota") &&
         col("__cum") + col("__cnt") >= col("__quota"))
       .select(col("__s"), col("__b").as("__tb"),
         (col("__quota") - col("__cum")).as("__r"))
     val withB = df.withColumn("__b", b)
-      .join(broadcast(bounds), df(stratumCol) === col("__s"))
+      .join(broadcast(bounds), df(stratumCol) <=> col("__s"))
     val core = withB.where(col("__b") < col("__tb"))
     val resid = withB.where(col("__b") === col("__tb"))
       .withColumn("__rn", row_number().over(

@@ -1215,8 +1215,8 @@ object Extensions {
        |SELECT w AS window_start_us, CAST(n AS BIGINT) AS n,
        |CAST(card_a AS BIGINT) AS card_a, CAST(card_b AS BIGINT) AS card_b,
        |${sig(s"CASE WHEN $vGuard THEN sqrt(greatest((sumsq - 1) / (least(card_a, card_b) - 1), 0)) END")} AS cramers_v,
-       |${sig(s"CASE WHEN $uGuard AND card_a > 1 THEN ((ln(n) - rlr / n) - (clc - nln) / n) / (ln(n) - rlr / n) END")} AS theils_u_ab,
-       |${sig(s"CASE WHEN $uGuard AND card_b > 1 THEN ((ln(n) - clc / n) - (rlr - nln) / n) / (ln(n) - clc / n) END")} AS theils_u_ba
+       |${sig(s"CASE WHEN $uGuard AND card_a > 1 THEN ((ln(n) - rlr / n) - (clc - nln) / n) / greatest(ln(n) - rlr / n, 1e-12) END")} AS theils_u_ab,
+       |${sig(s"CASE WHEN $uGuard AND card_b > 1 THEN ((ln(n) - clc / n) - (rlr - nln) / n) / greatest(ln(n) - clc / n, 1e-12) END")} AS theils_u_ba
        |FROM g ORDER BY window_start_us""".stripMargin
   }
 
@@ -1568,8 +1568,8 @@ val eventsRollupSql: String =
     s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
        |CAST(card_a AS BIGINT) AS card_a, CAST(card_b AS BIGINT) AS card_b,
        |${sig(s"CASE WHEN $vGuard THEN sqrt(greatest((sumsq - 1) / (least(card_a, card_b) - 1), 0)) END")} AS cramers_v,
-       |${sig(s"CASE WHEN $uGuard AND card_a > 1 THEN ((ln(n) - rlr / n) - (clc - nln) / n) / (ln(n) - rlr / n) END")} AS theils_u_ab,
-       |${sig(s"CASE WHEN $uGuard AND card_b > 1 THEN ((ln(n) - clc / n) - (rlr - nln) / n) / (ln(n) - clc / n) END")} AS theils_u_ba
+       |${sig(s"CASE WHEN $uGuard AND card_a > 1 THEN ((ln(n) - rlr / n) - (clc - nln) / n) / greatest(ln(n) - rlr / n, 1e-12) END")} AS theils_u_ab,
+       |${sig(s"CASE WHEN $uGuard AND card_b > 1 THEN ((ln(n) - clc / n) - (rlr - nln) / n) / greatest(ln(n) - clc / n, 1e-12) END")} AS theils_u_ba
        |FROM (
        |  SELECT sum(nij) AS n,
        |    count(DISTINCT va)
@@ -2482,7 +2482,7 @@ val eventsRollupSql: String =
        |q AS (SELECT doc_id, lang, $quality AS quality FROM e),
        |r AS (SELECT lang, doc_id, quality, row_number() OVER (
        |        PARTITION BY lang ORDER BY quality DESC, doc_id) AS rnk
-       |      FROM q)
+       |      FROM q WHERE quality IS NOT NULL)
        |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, quality
        |FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
   }

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Sampling}
+
+/** Round-9 additions: the quotaSampleByHash property sweep (frac ×
+  * skew × buckets vs the windowed reference), its NULL-stratum
+  * contract, the plan-shape assert, and the persisted catalog-index
+  * build-params metadata. */
+class Round9Spec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  // 90/10-skewed stratified fixture: stratum "big" holds 90% of the
+  // rows, "a"/"b" split the rest; `nullFrom` rows get a NULL stratum
+  private def skewed(n: Long, withNull: Boolean): DataFrame = {
+    val big = (n * 9) / 10
+    val base = spark.range(n).select(col("id"),
+      when(col("id") < big, lit("big"))
+        .when(col("id") % 2 === 0, lit("a"))
+        .otherwise(lit("b")).as("lang"))
+    if (!withNull) base
+    else base.withColumn("lang",
+      when(col("id") % 13 === 5, lit(null: String))
+        .otherwise(col("lang")))
+  }
+
+  /** The windowed reference selection quotaSampleByHash must equal:
+    * per stratum, the ceil(frac·n) smallest rows under the
+    * (minstd bucket, id) ordering — one window expression, the same
+    * form the DuckDB oracle states. */
+  private def windowedRef(df: DataFrame, frac: Double, buckets: Int)
+      : Set[(String, Long)] = {
+    val b = pmod(Sampling.minstdHash(col("id")), lit(buckets.toLong))
+    val w = Window.partitionBy("lang").orderBy(b, col("id"))
+    val wc = Window.partitionBy("lang")
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__cnt", count(lit(1)).over(wc))
+      .where(col("__rn") <=
+        ceil(col("__cnt").cast("double") * lit(frac)).cast("long"))
+      .select("lang", "id").collect()
+      .map(r => (if (r.isNullAt(0)) null else r.getString(0),
+        r.getLong(1))).toSet
+  }
+
+  test("quotaSampleByHash sweep: frac × skew × buckets equals the " +
+      "windowed reference with exact per-stratum quotas") {
+    val df = skewed(2000L, withNull = false)
+    val counts = df.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // frac 1.0 (boundary = last bucket), 0.5, and a quota-of-1 tail;
+    // buckets down to 1 (residual = the ENTIRE stratum) and 2
+    // (pathologically large residual slices)
+    for (frac <- Seq(1.0, 0.5, 1e-6); buckets <- Seq(1, 2, 7, 1000)) {
+      val got = Sampling.stratifiedHashExact(df, "lang", "id", frac,
+          buckets)
+        .select("lang", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val ref = windowedRef(df, frac, buckets)
+      assert(got == ref,
+        s"frac=$frac buckets=$buckets: hash selection != windowed " +
+          s"reference (${got.size} vs ${ref.size} rows)")
+      val perStratum = got.groupBy(_._1).map { case (k, v) =>
+        k -> v.size.toLong }
+      counts.foreach { case (lang, n) =>
+        val want = math.ceil(n.toDouble * frac).toLong
+        assert(perStratum.getOrElse(lang, 0L) == want,
+          s"frac=$frac buckets=$buckets stratum=$lang: quota " +
+            s"${perStratum.getOrElse(lang, 0L)} != ceil(frac*n)=$want")
+      }
+    }
+  }
+
+  test("quotaSampleByHash keeps a NULL stratum like the window " +
+      "form's PARTITION BY (null-safe stratum joins)") {
+    val df = skewed(1300L, withNull = true)
+    val nNull = df.where(col("lang").isNull).count()
+    assert(nNull > 0, "fixture must have a NULL stratum")
+    for (frac <- Seq(0.3, 1.0)) {
+      val got = Sampling.stratifiedHashExact(df, "lang", "id", frac, 7)
+        .select("lang", "id").collect()
+        .map(r => (if (r.isNullAt(0)) null else r.getString(0),
+          r.getLong(1))).toSet
+      assert(got == windowedRef(df, frac, 7),
+        s"frac=$frac: NULL-stratum selection diverged from the " +
+          "windowed reference")
+      val gotNull = got.count(_._1 == null).toLong
+      assert(gotNull == math.ceil(nNull.toDouble * frac).toLong,
+        s"frac=$frac: NULL stratum kept $gotNull of $nNull")
+    }
+  }
+
+  test("quotaSampleByHash plan: the only ranking window is the " +
+      "bounded residual slice — no corpus sort") {
+    val out = Sampling.stratifiedHashExact(
+      skewed(500L, withNull = false), "lang", "id", 0.25, 7)
+    val plan = out.queryExecution.executedPlan.toString
+    // the only ROW-RANKING window is the residual slice's: exactly
+    // one row_number in the plan, and the boundary-bucket filter
+    // (__b = __tb) is present to bound it to ~n/buckets rows. The
+    // remaining Window nodes are the histogram cum-sum (partitions
+    // ≤ buckets rows; it prints once per Union branch through the
+    // shared broadcast subtree). A second row_number would mean the
+    // map-only core admission regressed to a ranking.
+    val ranks = "row_number".r.findAllIn(plan).size
+    assert(ranks == 1,
+      s"expected 1 residual row_number, found $ranks in:\n$plan")
+    assert(plan.contains("__tb"),
+      "residual ranking must run on the boundary-bucket slice")
+    val windows = "\\bWindow ".r.findAllIn(plan).size
+    assert(windows <= 3,
+      s"unexpected extra Window nodes ($windows):\n$plan")
+  }
+
+  // ---------------------------------------------------------------
+  // Catalog index metadata: persisted build params
+  // ---------------------------------------------------------------
+
+  private val docSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType)))
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava,
+      docSchema)
+
+  test("appendCatalogIndex rejects params that mismatch the " +
+      "persisted build params") {
+    val day0 = docs((0L, (1 to 20).map(i => s"tok$i").mkString(" ")))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_catidx_meta").toString
+    Dedup.writeCatalogIndex(day0, "doc_id", "text", dir,
+      n = 3, numHashes = 64, bands = 16)
+    val (n, nh, b, maxDf, hot) = Dedup.readCatalogMeta(spark, dir)
+    assert((n, nh, b, maxDf, hot) == (3, 64, 16, None, Nil))
+    val day1 = docs((1L, (5 to 25).map(i => s"tok$i").mkString(" ")))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendCatalogIndex(day1, "doc_id", "text", dir,
+        n = 3, numHashes = 64, bands = 8)
+    }
+    assert(e.getMessage.contains("persisted build params"))
+  }
+
+  test("appendCatalogIndex reuses the persisted hot-shingle set: " +
+      "appended signatures equal a rebuild under the frozen hot set") {
+    val boiler = (1 to 10).map(i => s"hot$i").mkString(" ")
+    // the boilerplate phrase appears in 6 docs -> its shingles have
+    // df 6 > cap 4 and land in the persisted hot set
+    val day0 = docs((0L until 6L).map(i =>
+      i -> (boiler + s" tail$i a$i b$i c$i")) :+
+      (50L -> (20 to 35).map(i => s"cold$i").mkString(" ")): _*)
+    val day1 = docs((100L, boiler + " tailX aX bX cX"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_catidx_hot").toString
+    Dedup.writeCatalogIndex(day0, "doc_id", "text", dir,
+      n = 3, numHashes = 64, bands = 16, maxDf = Some(4L))
+    val (_, _, _, maxDf, hot) = Dedup.readCatalogMeta(spark, dir)
+    assert(maxDf.contains(4L) && hot.nonEmpty,
+      "hot shingle set must be persisted with the index")
+    Dedup.appendCatalogIndex(day1, "doc_id", "text", dir,
+      n = 3, numHashes = 64, bands = 16)
+    val sigs = spark.read.parquet(s"$dir/signatures")
+    val rebuilt = Dedup.minhashSignaturesStatic(
+      day0.unionByName(day1), "doc_id", "text", n = 3,
+      numHashes = 64, hot = hot)
+    assert(sigs.orderBy("id").collect().toSeq ==
+      rebuilt.orderBy("id").collect().toSeq,
+      "append under the persisted hot set must equal a frozen-hot " +
+        "rebuild")
+  }
+}
