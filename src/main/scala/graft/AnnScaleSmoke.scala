@@ -76,7 +76,7 @@ object AnnScaleSmoke {
     // the cosine ground truth is structural on this corpus (cluster
     // directions dominate), so the recall line is still meaningful
     val pqK = 16L
-    val adc = timed(s"PQ ADC encode+scan (m=8, k=$pqK)") {
+    val adc = timed(s"PQ ADC encode+scan (m=8, k=$pqK seeded)") {
       grab(VectorQuant.pqAdcTopK(emb, "vec_id", "embedding",
         seedLo = q.toLong + cells, seedHi = q.toLong + cells + pqK,
         numQueries = q, k = k, dim = dim, m = 8))
@@ -86,6 +86,24 @@ object AnnScaleSmoke {
         ivfLo = q.toLong, ivfHi = q.toLong + cells,
         pqLo = q.toLong + cells, pqHi = q.toLong + cells + pqK,
         numQueries = q, k = k, nprobe = nprobe, dim = dim, m = 8))
+    }
+    // LEARNED codebooks: k=256 sub-centroids per subspace, Lloyd-
+    // trained (2 recompute rounds over the full corpus here; at
+    // 100 TB you train on a bounded sample and freeze) — the
+    // resolution jump that takes PQ from cluster-level to
+    // within-cluster ranking on this corpus
+    val pqKT = 256L
+    val adcT = timed(s"PQ ADC trained (m=8, k=$pqKT, 2 Lloyd rounds)") {
+      grab(VectorQuant.pqAdcTopK(emb, "vec_id", "embedding",
+        seedLo = q.toLong + cells, seedHi = q.toLong + cells + pqKT,
+        numQueries = q, k = k, dim = dim, m = 8, iters = 3))
+    }
+    val ivfpqT = timed(s"IVF-PQ trained ($cells cells, k=$pqKT)") {
+      grab(VectorQuant.ivfPqTopK(emb, "vec_id", "embedding",
+        ivfLo = q.toLong, ivfHi = q.toLong + cells,
+        pqLo = q.toLong + cells, pqHi = q.toLong + cells + pqKT,
+        numQueries = q, k = k, nprobe = nprobe, dim = dim, m = 8,
+        iters = 3))
     }
     def recall(approx: Set[(Long, Long)]): Double =
       if (truth.isEmpty) 1.0
@@ -103,10 +121,14 @@ object AnnScaleSmoke {
         .toDouble / approx.size
     println(f"[ann-smoke] truth pairs=${truth.size} " +
       f"ivf_recall=${recall(ivf)}%.3f lsh_recall=${recall(lsh)}%.3f " +
-      f"adc_recall=${recall(adc)}%.3f ivfpq_recall=${recall(ivfpq)}%.3f")
+      f"adc_recall=${recall(adc)}%.3f ivfpq_recall=${recall(ivfpq)}%.3f " +
+      f"adc_trained_recall=${recall(adcT)}%.3f " +
+      f"ivfpq_trained_recall=${recall(ivfpqT)}%.3f")
     println(f"[ann-smoke] cluster recall: brute=${clusterRecall(truth)}%.3f " +
       f"ivf=${clusterRecall(ivf)}%.3f lsh=${clusterRecall(lsh)}%.3f " +
-      f"adc=${clusterRecall(adc)}%.3f ivfpq=${clusterRecall(ivfpq)}%.3f")
+      f"adc=${clusterRecall(adc)}%.3f ivfpq=${clusterRecall(ivfpq)}%.3f " +
+      f"adc_trained=${clusterRecall(adcT)}%.3f " +
+      f"ivfpq_trained=${clusterRecall(ivfpqT)}%.3f")
     spark.stop()
   }
 }

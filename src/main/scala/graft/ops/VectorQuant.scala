@@ -57,43 +57,138 @@ object VectorQuant {
       .orderBy("i")
   }
 
+  /** A per-subspace PQ codebook: for subspace s, the (cid,
+    * sub-vector) entries sorted by cid. cid is the SEED row id the
+    * centroid descends from (codes = cid − seedLo), so identities —
+    * and the argmin tie-break — survive training unchanged. */
+  private[ops] type PqCodebook = Array[Array[(Long, Array[Double])]]
+
+  /** Train the per-subspace PQ codebooks: initialization is the
+    * designated corpus rows with id in [seedLo, seedHi) sliced per
+    * subspace (k = seedHi − seedLo sub-centroids, no RNG), then
+    * `iters − 1` Lloyd reassign→recompute rounds run INDEPENDENTLY in
+    * every subspace — the actual PQ training loop (Jégou et al.,
+    * TPAMI 2011 §II: k-means per subquantizer), not just seed
+    * slicing. iters = 1 is exactly the seeded codebook.
+    *
+    * Scale shape per iteration: ONE map-only assignment pass (m
+    * argmins per row over the broadcast codebook — O(m·k·dsub)
+    * FLOPs/row, no shuffle, no row expansion), one bounded
+    * recompute aggregation (shuffle volume m·k·dsub × partitions,
+    * independent of row count) and an O(m·k·dsub) driver collect —
+    * the [[KMeansOp.kmeansStats]] structure per subspace. At corpus
+    * scale you train on a bounded sample (codebooks converge on
+    * ~10⁵–10⁶ vectors; Jégou §V trains on a learning subset) and
+    * encode the full corpus with the frozen codebook — training cost
+    * is amortized index-build work either way. The assignment frame
+    * is materialized before the recompute explode (the computed-array
+    * Generate trap, round-7 lesson).
+    *
+    * Determinism contract: assignment argmins rank sig5-ROUNDED
+    * |c_s|² − 2·x_s·c_s scores (the per-row-constant |x_s|² dropped,
+    * the [[KMeansOp.assignCells]] form) with cid tie-break; centroid
+    * recomputation is a plain per-(subspace, cid, dim) average. The
+    * oracle re-derives the same rounds relationally (the
+    * embed_kmeans unrolling), so the whole trained codebook is a
+    * closed-form function of the data. Sub-clusters left empty by a
+    * round drop out identically in both engines. */
+  private[ops] def pqCodebook(base: DataFrame, seedLo: Long,
+      seedHi: Long, dim: Int, m: Int, iters: Int): PqCodebook = {
+    require(iters >= 1, "iters must be >= 1")
+    import graft.functions.ArrayDot.array_dot
+    val dsub = dim / m
+    val seeds = KMeansOp.seedCentroids(base, seedLo, seedHi)
+    var cbs: PqCodebook = Array.tabulate(m)(s =>
+      seeds.map { case (cid, cv) =>
+        (cid, cv.slice(s * dsub, (s + 1) * dsub)) })
+    for (_ <- 1 until iters) {
+      val sliced = base.select(
+        col("vid") +: (0 until m).map(s =>
+          slice(col("v"), s * dsub + 1, dsub).cast("array<double>")
+            .as(s"x$s")): _*)
+      val withBest = sliced.select(
+        col("vid") +: (0 until m).flatMap { s =>
+          val structs = cbs(s).map { case (cid, cSlice) =>
+            val cn2 = cSlice.map(t => t * t).sum
+            struct(
+              sig5(lit(cn2) - lit(2.0) *
+                array_dot(col(s"x$s"), typedLit(cSlice))).as("score"),
+              lit(cid).as("cid"))
+          }
+          Seq(col(s"x$s"),
+            array_min(array(structs: _*)).getField("cid").as(s"c$s"))
+        }: _*)
+      val assigned = Materialize.materialize(withBest)
+      val rows = assigned
+        .select(explode(array((0 until m).map(s =>
+            struct(lit(s).as("s"), col(s"c$s").as("cid"),
+              col(s"x$s").as("x"))): _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.cid").as("cid"),
+          posexplode(col("e.x")).as(Seq("p", "xv")))
+        .groupBy("s", "cid", "p")
+        .agg(avg("xv").as("w"))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+          r.getDouble(3)))
+      cbs = Array.tabulate(m) { s =>
+        rows.filter(_._1 == s)
+          .groupBy(_._2).map { case (cid, vs) =>
+            val arr = new Array[Double](dsub)
+            vs.foreach { case (_, _, p, w) => arr(p) = w }
+            (cid, arr)
+          }.toArray.sortBy(_._1)
+      }
+    }
+    cbs
+  }
+
   /** Product quantization (Jégou et al., "Product Quantization for
     * Nearest Neighbor Search", TPAMI 2011): the vector is cut into
     * `m` subspaces and each slice is coded as the id of its nearest
-    * seeded sub-centroid — dim floats become m small codes (8 bytes
+    * sub-centroid — dim floats become m small codes (8 bytes
     * here vs 256 for a 64-dim float32 vector), the codebook layout
-    * IVF-PQ indexes build on. Codebooks are the designated corpus
-    * rows with id in [seedLo, seedHi) sliced per subspace (no RNG,
-    * same seeding contract as [[KMeansOp]] / IVF), so the whole
-    * computation is a closed-form function of the data.
+    * IVF-PQ indexes build on. Codebooks initialize from the
+    * designated corpus rows with id in [seedLo, seedHi) sliced per
+    * subspace (no RNG, same seeding contract as [[KMeansOp]] / IVF)
+    * and are Lloyd-TRAINED for `iters − 1` rounds ([[pqCodebook]]),
+    * so the whole computation is a closed-form function of the data.
     *
-    * Scale shape: the codebook is O(k·dim) driver state collected
-    * once; encoding is a MAP-ONLY pass — per row, m independent
-    * argmins over k inline squared-distance expressions (no shuffle,
-    * no row expansion). Emits (vec_id, codes, mse) with mse the
-    * per-dimension mean squared reconstruction-proxy error (mean of
-    * the winning sub-distances over dim).
+    * Scale shape: the codebook is O(k·dim) driver state; encoding is
+    * a MAP-ONLY pass — per row, m independent argmins over k inline
+    * squared-distance expressions (no shuffle, no row expansion).
+    * Emits (vec_id, codes, mse) with mse the per-dimension mean
+    * squared reconstruction-proxy error (mean of the winning
+    * sub-distances over dim).
     *
     * Determinism contract: each argmin ranks sig5-ROUNDED sub-
     * distances with centroid-id tie-break; mse sums the rounded
     * winners (the [[KMeansOp]] wcss pattern). */
   def pqCodes(df: DataFrame, idCol: String, vecCol: String,
-      seedLo: Long, seedHi: Long, dim: Int = 64, m: Int = 8)
-      : DataFrame = {
+      seedLo: Long, seedHi: Long, dim: Int = 64, m: Int = 8,
+      iters: Int = 1): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into $m")
+    val base = KMeansOp.vecBase(df, idCol, vecCol, dim)
+    pqEncode(base, pqCodebook(base, seedLo, seedHi, dim, m, iters),
+      seedLo, dim, m)
+  }
+
+  /** The map-only encode pass against a trained codebook — the
+    * shared tail of [[pqCodes]] / [[pqAdcTopK]] / [[ivfPqTopK]] (one
+    * training, one encode; no double codebook derivation).
+    *
+    * Expression economy matters here (measured r6): an unrolled
+    * per-dimension (v[i]−c[i])² form is m·k·dsub element_at nodes,
+    * and with the argmin array duplicated per extracted field the
+    * serialized plan reached >200 MB task binaries and 227 s for
+    * 2000 rows — pure codegen/planning cost. The assignCells form —
+    * native array_dot over a per-subspace slice with the
+    * |c|²−2·x·c+|x|² expansion, slices and norms projected ONCE,
+    * best-struct extracted ONCE per subspace — keeps the plan
+    * O(m·k) small nodes. */
+  private def pqEncode(base: DataFrame, cbs: PqCodebook, seedLo: Long,
+      dim: Int, m: Int): DataFrame = {
     import graft.functions.ArrayDot.array_dot
     val dsub = dim / m
-    val base = KMeansOp.vecBase(df, idCol, vecCol, dim)
-    val cents = KMeansOp.seedCentroids(base, seedLo, seedHi)
-    // Expression economy matters here (measured r6): an unrolled
-    // per-dimension (v[i]−c[i])² form is m·k·dsub element_at nodes,
-    // and with the argmin array duplicated per extracted field the
-    // serialized plan reached >200 MB task binaries and 227 s for
-    // 2000 rows — pure codegen/planning cost. The assignCells form —
-    // native array_dot over a per-subspace slice with the
-    // |c|²−2·x·c+|x|² expansion, slices and norms projected ONCE,
-    // best-struct extracted ONCE per subspace — keeps the plan
-    // O(m·k) small nodes.
     val sliced = base.select(
       col("vid") +: (0 until m).flatMap { s =>
         val x = slice(col("v"), s * dsub + 1, dsub)
@@ -106,8 +201,7 @@ object VectorQuant {
       }: _*)
     val withBest = normed.select(
       col("vid") +: (0 until m).map { s =>
-        val structs = cents.map { case (cid, cv) =>
-          val cSlice = cv.slice(s * dsub, (s + 1) * dsub)
+        val structs = cbs(s).map { case (cid, cSlice) =>
           val cn2 = cSlice.map(t => t * t).sum
           struct(
             sig5(lit(cn2) - lit(2.0) *
@@ -149,18 +243,20 @@ object VectorQuant {
     * is sig5-rounded, and ranking compares the rounded values. */
   def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
       seedLo: Long, seedHi: Long, numQueries: Int = 5, k: Int = 10,
-      dim: Int = 64, m: Int = 8): DataFrame = {
+      dim: Int = 64, m: Int = 8, iters: Int = 1): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into $m")
     val dsub = dim / m
     val base = KMeansOp.vecBase(df, idCol, vecCol, dim)
-    val cents = KMeansOp.seedCentroids(base, seedLo, seedHi)
+    val cbs = pqCodebook(base, seedLo, seedHi, dim, m, iters)
     // LUT slot = the CODE value (cid − seedLo), not the centroid's
-    // sort position: with a gap in the seed id range the two diverge
-    // and every later code would read a shifted LUT row. Absent codes
-    // can never be emitted by pqCodes, so their slots hold NaN.
+    // sort position: with a gap in the seed id range (or a
+    // sub-cluster emptied by training) the two diverge and every
+    // later code would read a shifted LUT row. Absent codes can
+    // never be emitted by the encode, so their slots hold NaN.
     val ksz = (seedHi - seedLo).toInt
-    val centByCode: Map[Int, Array[Double]] =
-      cents.map { case (cid, cv) => ((cid - seedLo).toInt, cv) }.toMap
+    val centByCode: Array[Map[Int, Array[Double]]] =
+      cbs.map(_.map { case (cid, cv) =>
+        ((cid - seedLo).toInt, cv) }.toMap)
     // query vectors: O(Q·dim) driver state, same collection contract
     // as the codebook itself
     val queries = base.where(col("vid") < numQueries)
@@ -174,20 +270,20 @@ object VectorQuant {
     val luts = queries.map { case (_, qv) =>
       Array.tabulate(m * ksz) { i =>
         val (s, c) = (i / ksz, i % ksz)
-        centByCode.get(c) match {
+        centByCode(s).get(c) match {
           case None => Double.NaN // unreachable code slot
           case Some(cv) =>
             var d2 = 0.0
-            var d = s * dsub
-            while (d < (s + 1) * dsub) {
-              val t = qv(d) - cv(d); d2 += t * t; d += 1
+            var d = 0
+            while (d < dsub) {
+              val t = qv(s * dsub + d) - cv(d); d2 += t * t; d += 1
             }
             d2
         }
       }
     }
     val codes = Materialize.materialize(
-      pqCodes(df, idCol, vecCol, seedLo, seedHi, dim, m))
+      pqEncode(base, cbs, seedLo, dim, m))
     // one pass over the codes: every query's ADC sum from its LUT
     val distExprs = luts.map { lut =>
       (0 until m).map { s =>
@@ -229,16 +325,17 @@ object VectorQuant {
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
       ivfLo: Long, ivfHi: Long, pqLo: Long, pqHi: Long,
       numQueries: Int = 5, k: Int = 10, nprobe: Int = 4,
-      dim: Int = 64, m: Int = 8): DataFrame = {
+      dim: Int = 64, m: Int = 8, iters: Int = 1): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into $m")
     val dsub = dim / m
     val base = KMeansOp.vecBase(df, idCol, vecCol, dim)
     val ivfCents = Similarity.seedCodebook(base, "vid", "v", ivfLo,
       ivfHi)
-    val pqCents = KMeansOp.seedCentroids(base, pqLo, pqHi)
+    val cbs = pqCodebook(base, pqLo, pqHi, dim, m, iters)
     val ksz = (pqHi - pqLo).toInt
-    val centByCode: Map[Int, Array[Double]] =
-      pqCents.map { case (cid, cv) => ((cid - pqLo).toInt, cv) }.toMap
+    val centByCode: Array[Map[Int, Array[Double]]] =
+      cbs.map(_.map { case (cid, cv) =>
+        ((cid - pqLo).toInt, cv) }.toMap)
     val queries = base.where(col("vid") < numQueries)
       .select(col("vid"), col("v").cast("array<double>"))
       .collect()
@@ -250,13 +347,13 @@ object VectorQuant {
     val flatLut = queries.flatMap { case (_, qv) =>
       Array.tabulate(m * ksz) { i =>
         val (s, c) = (i / ksz, i % ksz)
-        centByCode.get(c) match {
+        centByCode(s).get(c) match {
           case None => Double.NaN
           case Some(cv) =>
             var d2 = 0.0
-            var d = s * dsub
-            while (d < (s + 1) * dsub) {
-              val t = qv(d) - cv(d); d2 += t * t; d += 1
+            var d = 0
+            while (d < dsub) {
+              val t = qv(s * dsub + d) - cv(d); d2 += t * t; d += 1
             }
             d2
         }
@@ -273,7 +370,7 @@ object VectorQuant {
         explode(slice(col("cells"), 1, nprobe)).as("p"))
       .select(col("qid"), col("p.cid").as("pcell"))
     val codes = Materialize.materialize(
-      pqCodes(df, idCol, vecCol, pqLo, pqHi, dim, m))
+      pqEncode(base, cbs, pqLo, dim, m))
     val cand = assigned.join(broadcast(probes),
         col("vid") =!= col("qid") && col("cell") === col("pcell"))
       .select(col("qid"), col("vid"))
@@ -307,10 +404,10 @@ object VectorQuant {
     * O(vectors)) encoded frame keeps the heavy tree in exactly one
     * plan node; the explode then runs on plain columns. */
   def pqCodeRows(df: DataFrame, idCol: String, vecCol: String,
-      seedLo: Long, seedHi: Long, dim: Int = 64, m: Int = 8)
-      : DataFrame =
+      seedLo: Long, seedHi: Long, dim: Int = 64, m: Int = 8,
+      iters: Int = 1): DataFrame =
     Materialize.materialize(
-        pqCodes(df, idCol, vecCol, seedLo, seedHi, dim, m))
+        pqCodes(df, idCol, vecCol, seedLo, seedHi, dim, m, iters))
       .select(col("vec_id"), col("mse"),
         posexplode(col("codes")).as(Seq("p", "code")))
       .select(col("vec_id"), col("p").cast("long").as("subspace"),

@@ -609,33 +609,38 @@ object Extensions {
           col("maybe_contaminated").as("flagged"))
         .orderBy("doc_id")
     }),
-    // product quantization: 8 subspace codes per vector against the
-    // same seeded codebook rows as the IVF/SemDeDup family; map-only
-    // encode, one scalar row per (vec_id, subspace, code) — the
-    // nested codes-array form crashed the driver's pandas comparator
-    // (unhashable ndarray), so the harness-facing query posexplodes
+    // product quantization with a LEARNED codebook: 32 sub-centroids
+    // per subspace initialized from corpus seed rows and Lloyd-
+    // trained for one recompute round (iters = 2 — the actual PQ
+    // training loop, per-subspace k-means); map-only encode, one
+    // scalar row per (vec_id, subspace, code) — the nested
+    // codes-array form crashed the driver's pandas comparator
+    // (unhashable ndarray), so the harness-facing query posexplodes.
+    // The oracle re-derives the training round relationally (the
+    // embed_kmeans unrolling), so the codebook itself is verified.
     "embed_pq" -> ((s, dir) =>
       VectorQuant.pqCodeRows(
         t(s, dir, "embeddings").where(col("vec_id") < 2000L),
-        "vec_id", "embedding", seedLo = 120L, seedHi = 136L,
-        dim = 64, m = 8)),
+        "vec_id", "embedding", seedLo = 120L, seedHi = 152L,
+        dim = 64, m = 8, iters = 2)),
     // PQ asymmetric-distance (ADC) top-k: exact queries against the
     // codes-only corpus via broadcast per-query LUTs — the search
-    // mode the PQ codes exist for; map-only scoring, TopKByScore tail
+    // mode the PQ codes exist for; map-only scoring, TopKByScore
+    // tail; same trained codebook as embed_pq
     "embed_pq_search" -> ((s, dir) =>
       VectorQuant.pqAdcTopK(
         t(s, dir, "embeddings").where(col("vec_id") < 2000L),
-        "vec_id", "embedding", seedLo = 120L, seedHi = 136L,
-        numQueries = 5, k = 10, dim = 64, m = 8)),
+        "vec_id", "embedding", seedLo = 120L, seedHi = 152L,
+        numQueries = 5, k = 10, dim = 64, m = 8, iters = 2)),
     // IVF-PQ: coarse cells (the embed_ann_ivf codebook) prune to
-    // nprobe cells, survivors scored by ADC codes only — the
-    // canonical billion-scale index shape as one declared query
+    // nprobe cells, survivors scored by ADC against the TRAINED
+    // codes only — the canonical billion-scale index shape
     "embed_ivf_pq" -> ((s, dir) =>
       VectorQuant.ivfPqTopK(
         t(s, dir, "embeddings").where(col("vec_id") < 2000L),
         "vec_id", "embedding", ivfLo = 100L, ivfHi = 116L,
-        pqLo = 120L, pqHi = 136L, numQueries = 5, k = 10,
-        nprobe = 4, dim = 64, m = 8)),
+        pqLo = 120L, pqHi = 152L, numQueries = 5, k = 10,
+        nprobe = 4, dim = 64, m = 8, iters = 2)),
     // temperature-scaled mixture quotas: stratum share ∝ n^(1/T)
     // (T = 2 here) — the multilingual re-balancing rule; floor on the
     // sig5-rounded share keeps the discrete quota cross-engine exact
@@ -2234,11 +2239,57 @@ val eventsRollupSql: String =
        |FROM tr JOIN ev ON ev.shingle = tr.shingle
        |ORDER BY doc_id""".stripMargin
 
+  /** The trained-PQ codebook + code-assignment CTE chain shared by
+    * the three PQ oracles (each supplies the same `el` CTE first):
+    * per-subspace seeds = corpus rows [120, 152) sliced by
+    * s = (i−1)//8, ONE Lloyd recompute round — training argmin `ta`
+    * ranks the sig5-rounded |c|² − 2·x·c with cid tie-break (the
+    * Spark trainer's exact per-stage decision, |x|² dropped as a
+    * per-(vid, s) constant), `c1` = per-(cid, subspace, dim) average
+    * of the assigned slices — then the final encode argmin `a` on
+    * the full rounded squared distance, mirroring
+    * [[graft.ops.VectorQuant.pqCodebook]] with iters = 2 feeding the
+    * encode. Sub-clusters emptied by the round drop out of `c1` in
+    * both engines. `withScore` threads the winning rounded distance
+    * through for the mse report. */
+  private def pqTrainedCtes(withScore: Boolean): String = {
+    val scoreSel = if (withScore) ", sd2" else ""
+    val scoreCol = if (withScore) s", ${sig("d2")} AS sd2" else ""
+    s"""xn AS (SELECT vec_id, s, sum(v * v) AS xn2 FROM el GROUP BY 1, 2),
+       |c0 AS (SELECT vec_id AS cid, i, v AS w, s FROM el
+       |       WHERE vec_id BETWEEN 120 AND 151),
+       |cn0 AS (SELECT cid, s, sum(w * w) AS cn2 FROM c0 GROUP BY 1, 2),
+       |tdp AS (SELECT e.vec_id AS vid, c.cid, e.s, sum(e.v * c.w) AS dp
+       |       FROM el e JOIN c0 c ON c.i = e.i
+       |       GROUP BY 1, 2, 3),
+       |ta AS (SELECT vid, s, cid FROM (
+       |   SELECT t.vid, t.s, t.cid,
+       |     row_number() OVER (PARTITION BY t.vid, t.s
+       |       ORDER BY ${sig("cn2 - 2 * dp")} ASC, t.cid ASC) AS rn
+       |   FROM tdp t JOIN cn0 ON cn0.cid = t.cid AND cn0.s = t.s)
+       |   WHERE rn = 1),
+       |c1 AS (SELECT ta.cid, el.i, avg(el.v) AS w, el.s FROM el
+       |       JOIN ta ON ta.vid = el.vec_id AND ta.s = el.s
+       |       GROUP BY 1, 2, 4),
+       |cn AS (SELECT cid, s, sum(w * w) AS cn2 FROM c1 GROUP BY 1, 2),
+       |dp AS (SELECT e.vec_id AS vid, c.cid, e.s, sum(e.v * c.w) AS dp
+       |       FROM el e JOIN c1 c ON c.i = e.i
+       |       GROUP BY 1, 2, 3),
+       |d AS (SELECT vid, dp.cid, dp.s, cn2 - 2 * dp + xn2 AS d2
+       |      FROM dp JOIN cn ON cn.cid = dp.cid AND cn.s = dp.s
+       |      JOIN xn ON xn.vec_id = dp.vid AND xn.s = dp.s),
+       |a AS (SELECT vid, s, cid$scoreSel FROM (
+       |   SELECT vid, s, cid$scoreCol,
+       |     row_number() OVER (PARTITION BY vid, s
+       |       ORDER BY ${sig("d2")} ASC, cid ASC) AS rn
+       |   FROM d) WHERE rn = 1)""".stripMargin
+  }
+
   /** PQ re-derived: subspace id s = (i−1)//8 folds each dimension
-    * into its slice, per-(vid, cid, s) squared distances, argmin on
-    * the sig5-rounded distance with cid tie-break, one scalar row per
+    * into its slice, the [[pqTrainedCtes]] Lloyd-trained codebook and
+    * rounded argmin assignment, one scalar row per
     * (vec_id, subspace, code) with the per-vector mse repeated —
-    * mirrors [[graft.ops.VectorQuant.pqCodeRows]]. The
+    * mirrors [[graft.ops.VectorQuant.pqCodeRows]] at iters = 2. The
     * `len(embedding) = 64` guard matches the Spark side's
     * `KMeansOp.vecBase` length filter. */
   val embedPqSql: String =
@@ -2246,21 +2297,7 @@ val eventsRollupSql: String =
        |        (i - 1) // 8 AS s
        |       FROM embeddings, range(1, 65) t(i)
        |       WHERE vec_id < 2000 AND len(embedding) = 64),
-       |xn AS (SELECT vec_id, s, sum(v * v) AS xn2 FROM el GROUP BY 1, 2),
-       |c0 AS (SELECT vec_id AS cid, i, v AS w, s FROM el
-       |       WHERE vec_id BETWEEN 120 AND 135),
-       |cn AS (SELECT cid, s, sum(w * w) AS cn2 FROM c0 GROUP BY 1, 2),
-       |dp AS (SELECT e.vec_id AS vid, c.cid, e.s, sum(e.v * c.w) AS dp
-       |       FROM el e JOIN c0 c ON c.i = e.i
-       |       GROUP BY 1, 2, 3),
-       |d AS (SELECT vid, dp.cid, dp.s, cn2 - 2 * dp + xn2 AS d2
-       |      FROM dp JOIN cn ON cn.cid = dp.cid AND cn.s = dp.s
-       |      JOIN xn ON xn.vec_id = dp.vid AND xn.s = dp.s),
-       |a AS (SELECT vid, s, cid, sd2 FROM (
-       |   SELECT vid, s, cid, ${sig("d2")} AS sd2,
-       |     row_number() OVER (PARTITION BY vid, s
-       |       ORDER BY ${sig("d2")} ASC, cid ASC) AS rn
-       |   FROM d) WHERE rn = 1),
+       |${pqTrainedCtes(withScore = true)},
        |m AS (SELECT vid, ${sig("sum(sd2) / 64.0")} AS mse
        |      FROM a GROUP BY vid)
        |SELECT a.vid AS vec_id, a.s AS subspace, a.cid - 120 AS code,
@@ -2268,11 +2305,12 @@ val eventsRollupSql: String =
        |FROM a JOIN m ON m.vid = a.vid
        |ORDER BY vec_id, subspace""".stripMargin
 
-  /** ADC search re-derived: the SAME code-assignment CTEs as
-    * [[embedPqSql]] (rounded per-subspace argmin, cid tie-break),
-    * then the LUT as exact per-(query, centroid, subspace) squared
-    * distances and the ADC score as their sum over the assigned
-    * codes. Only the SUMMED distance is rounded (matching
+  /** ADC search re-derived: the SAME trained code-assignment CTEs as
+    * [[embedPqSql]] ([[pqTrainedCtes]]: Lloyd round, rounded
+    * per-subspace argmin, cid tie-break), then the LUT as exact
+    * per-(query, centroid, subspace) squared distances AGAINST THE
+    * TRAINED codebook `c1` and the ADC score as their sum over the
+    * assigned codes. Only the SUMMED distance is rounded (matching
     * [[graft.ops.VectorQuant.pqAdcTopK]]); ranking compares rounded
     * values with vid tie-break. */
   val embedPqSearchSql: String =
@@ -2280,25 +2318,11 @@ val eventsRollupSql: String =
        |        (i - 1) // 8 AS s
        |       FROM embeddings, range(1, 65) t(i)
        |       WHERE vec_id < 2000 AND len(embedding) = 64),
-       |xn AS (SELECT vec_id, s, sum(v * v) AS xn2 FROM el GROUP BY 1, 2),
-       |c0 AS (SELECT vec_id AS cid, i, v AS w, s FROM el
-       |       WHERE vec_id BETWEEN 120 AND 135),
-       |cn AS (SELECT cid, s, sum(w * w) AS cn2 FROM c0 GROUP BY 1, 2),
-       |dp AS (SELECT e.vec_id AS vid, c.cid, e.s, sum(e.v * c.w) AS dp
-       |       FROM el e JOIN c0 c ON c.i = e.i
-       |       GROUP BY 1, 2, 3),
-       |d AS (SELECT vid, dp.cid, dp.s, cn2 - 2 * dp + xn2 AS d2
-       |      FROM dp JOIN cn ON cn.cid = dp.cid AND cn.s = dp.s
-       |      JOIN xn ON xn.vec_id = dp.vid AND xn.s = dp.s),
-       |a AS (SELECT vid, s, cid FROM (
-       |   SELECT vid, s, cid,
-       |     row_number() OVER (PARTITION BY vid, s
-       |       ORDER BY ${sig("d2")} ASC, cid ASC) AS rn
-       |   FROM d) WHERE rn = 1),
+       |${pqTrainedCtes(withScore = false)},
        |q AS (SELECT vec_id AS qid, i, v, s FROM el WHERE vec_id < 5),
        |ld AS (SELECT q.qid, c.cid, q.s,
        |       sum((q.v - c.w) * (q.v - c.w)) AS d2
-       |       FROM q JOIN c0 c ON c.i = q.i GROUP BY 1, 2, 3),
+       |       FROM q JOIN c1 c ON c.i = q.i GROUP BY 1, 2, 3),
        |sc AS (SELECT ld.qid, a.vid, sum(ld.d2) AS dist
        |       FROM a JOIN ld ON ld.cid = a.cid AND ld.s = a.s
        |       WHERE a.vid <> ld.qid GROUP BY 1, 2),
@@ -2311,9 +2335,10 @@ val eventsRollupSql: String =
 
   /** IVF-PQ re-derived: [[embedAnnIvfSql]]'s cell/probe CTEs
     * (i-prefixed to avoid collisions) over the SAME restricted
-    * corpus as the PQ family, [[embedPqSearchSql]]'s code-assignment
-    * and LUT CTEs, then candidates = probed cells and the ADC sum
-    * over assigned codes. */
+    * corpus as the PQ family, [[pqTrainedCtes]]'s trained
+    * code-assignment CTEs, then candidates = probed cells and the
+    * ADC sum (LUT against the trained codebook `c1`) over assigned
+    * codes. */
   val embedIvfPqSql: String =
     s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v,
        |        (i - 1) // 8 AS s
@@ -2333,25 +2358,11 @@ val eventsRollupSql: String =
        |           WHERE vid < 5 AND rn <= 4),
        |cand AS (SELECT p.qid, a.vid FROM iprobes p
        |         JOIN iassign a ON a.cell = p.cell WHERE a.vid <> p.qid),
-       |xn AS (SELECT vec_id, s, sum(v * v) AS xn2 FROM el GROUP BY 1, 2),
-       |c0 AS (SELECT vec_id AS cid, i, v AS w, s FROM el
-       |       WHERE vec_id BETWEEN 120 AND 135),
-       |cn AS (SELECT cid, s, sum(w * w) AS cn2 FROM c0 GROUP BY 1, 2),
-       |dp AS (SELECT e.vec_id AS vid, c.cid, e.s, sum(e.v * c.w) AS dp
-       |       FROM el e JOIN c0 c ON c.i = e.i
-       |       GROUP BY 1, 2, 3),
-       |d AS (SELECT vid, dp.cid, dp.s, cn2 - 2 * dp + xn2 AS d2
-       |      FROM dp JOIN cn ON cn.cid = dp.cid AND cn.s = dp.s
-       |      JOIN xn ON xn.vec_id = dp.vid AND xn.s = dp.s),
-       |a AS (SELECT vid, s, cid FROM (
-       |   SELECT vid, s, cid,
-       |     row_number() OVER (PARTITION BY vid, s
-       |       ORDER BY ${sig("d2")} ASC, cid ASC) AS rn
-       |   FROM d) WHERE rn = 1),
+       |${pqTrainedCtes(withScore = false)},
        |q AS (SELECT vec_id AS qid, i, v, s FROM el WHERE vec_id < 5),
        |ld AS (SELECT q.qid, c.cid, q.s,
        |       sum((q.v - c.w) * (q.v - c.w)) AS d2
-       |       FROM q JOIN c0 c ON c.i = q.i GROUP BY 1, 2, 3),
+       |       FROM q JOIN c1 c ON c.i = q.i GROUP BY 1, 2, 3),
        |sc AS (SELECT cd.qid, cd.vid, sum(ld.d2) AS dist
        |       FROM cand cd JOIN a ON a.vid = cd.vid
        |       JOIN ld ON ld.qid = cd.qid AND ld.cid = a.cid

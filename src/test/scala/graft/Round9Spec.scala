@@ -127,6 +127,45 @@ class Round9Spec extends SparkSpec {
       rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava,
       docSchema)
 
+  // ---------------------------------------------------------------
+  // Learned PQ codebooks: Lloyd training reduces quantization error
+  // ---------------------------------------------------------------
+
+  test("pqCodes: a Lloyd-trained codebook (iters=2) reduces mean " +
+      "reconstruction error vs the seeded codebook (iters=1)") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 2000L)
+    def meanMse(iters: Int): Double =
+      graft.ops.VectorQuant.pqCodes(emb, "vec_id", "embedding",
+          seedLo = 120L, seedHi = 152L, dim = 64, m = 8, iters = iters)
+        .agg(avg("mse")).collect()(0).getDouble(0)
+    val seeded = meanMse(1)
+    val trained = meanMse(2)
+    assert(trained < seeded,
+      s"training must reduce quantization error: $trained vs $seeded")
+    // the k-means step is a strict improvement on this data, not noise
+    assert(trained < seeded * 0.9,
+      s"expected a material drop, got $trained vs $seeded")
+  }
+
+  test("pqAdcTopK trained path returns a full ranking per query " +
+      "with codes-only scoring") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = graft.ops.VectorQuant.pqAdcTopK(emb, "vec_id",
+      "embedding", seedLo = 120L, seedHi = 152L, numQueries = 5,
+      k = 10, dim = 64, m = 8, iters = 2).collect()
+    assert(out.length == 50, s"expected 5 queries x 10, got ${out.length}")
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 5 && byQ.values.forall(_.length == 10))
+    byQ.values.foreach { rows =>
+      val ds = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(ds.sameElements(ds.sorted),
+        "ADC distances must rank ascending")
+    }
+  }
+
   test("appendCatalogIndex rejects params that mismatch the " +
       "persisted build params") {
     val day0 = docs((0L, (1 to 20).map(i => s"tok$i").mkString(" ")))
