@@ -96,28 +96,55 @@ object Bench {
       }
       val good = samples.collect { case (t, true) => t }.sorted
       val median = if (good.nonEmpty) Some(good(good.length / 2)) else None
-      (name, median, samples.count(!_._2))
+      (name, median, samples.count(!_._2), good)
     }
     val wall = (System.nanoTime() - wall0) / 1e9
-    // The stdout map lists queries CHEAPEST-FIRST: the driver's
-    // BENCH_r{N}.json keeps only the last ~2000 chars of output, and
-    // the per-query names alone exceed that, so ordering by cost puts
-    // the entries that matter (the expensive ones) in the surviving
-    // tail. bench_full.json keeps the complete full-precision map.
     val ordered = results.sortBy(_._2.getOrElse(Double.MaxValue))
     def queriesJson(fmt: Double => String): String =
-      ordered.map { case (k, v, _) =>
+      ordered.map { case (k, v, _, _) =>
         "\"" + k + "\":" + v.map(fmt).getOrElse("null")
       }.mkString("{", ",", "}")
-    val failsJson = results.collect { case (k, _, f) if f > 0 =>
+    // per-query [min, max] spread over the successful reps, so a
+    // round-over-round delta can be separated from this box's
+    // documented run-to-run variance mechanically (a "regression"
+    // inside the previous round's spread is noise, not a plan change)
+    val spreadJson = ordered.collect {
+      case (k, Some(_), _, good) if good.nonEmpty =>
+        "\"" + k + "\":[" + good.min + "," + good.max + "]"
+    }.mkString("{", ",", "}")
+    val failsJson = results.collect { case (k, _, f, _) if f > 0 =>
       "\"" + k + "\":" + f
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     def line(fmt: Double => String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${queriesJson(fmt)},"fails":$failsJson,"sf":"$sfDir","reps":$reps,"wall":${fmt(wall)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${queriesJson(fmt)},"spread":$spreadJson,"fails":$failsJson,"sf":"$sfDir","reps":$reps,"wall":${fmt(wall)}}"""
     val pw = new java.io.PrintWriter("bench_full.json")
     try pw.println(line(_.toString)) finally pw.close()
+    // Human-readable complete map first (cheapest-first, full
+    // precision) ...
     println(line(v => "%.3f".format(v)))
+    // ... then, as the LAST line, a SELF-CONTAINED compact JSON the
+    // driver's ~2000-char stdout tail preserves whole: the complete
+    // 112-entry map is ~2.5k chars and CANNOT fit that window (the
+    // r7/r8 artifacts captured a decapitated line, parsed: null), so
+    // this line keeps totals + fails exact and as many of the MOST
+    // EXPENSIVE per-query medians as fit a 1700-char budget,
+    // most-expensive-first, with the truncation made explicit
+    // (shown/total counts) and the complete map's location named.
+    val compactEntries = ordered.reverse.map { case (k, v, _, _) =>
+      "\"" + k + "\":" + v.map(t => "%.2f".format(t)).getOrElse("null")
+    }
+    val budget = 1700
+    val fixedPart =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"wall":${"%.3f".format(wall)},"fails":$failsJson,"full":"bench_full.json","n_queries":${results.size},"n_shown":NNN,"queries":{}}"""
+    var used = fixedPart.length
+    val shown = compactEntries.takeWhile { e =>
+      val fits = used + e.length + 1 <= budget
+      if (fits) used += e.length + 1
+      fits
+    }
+    println(
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"wall":${"%.3f".format(wall)},"fails":$failsJson,"full":"bench_full.json","n_queries":${results.size},"n_shown":${shown.size},"queries":${shown.mkString("{", ",", "}")}}""")
     spark.stop()
   }
 }

@@ -110,6 +110,70 @@ object KMeansOp {
       .orderBy("cluster_id")
   }
 
+  /** The Lloyd convergence contract as data: one row per iteration —
+    * (iter, n_clusters, inertia, center_shift) — where inertia is the
+    * WCSS of that iteration's assignment (sig5-rounded sum of the
+    * rounded assignment score + raw |v|², the [[kmeansStats]] wcss
+    * formula) and center_shift is the summed squared movement
+    * ‖c_i − c_{i−1}‖² of the surviving centroids (NULL on the first
+    * iteration — there is no previous codebook). Lloyd guarantees
+    * inertia is non-increasing across iterations (each reassignment
+    * and each recompute step is a monotone improvement); emitting the
+    * trajectory makes that contract INSPECTABLE — the number a user
+    * reads to size `iters` (stop when the shift is negligible).
+    *
+    * Scale shape per iteration: the same map-only assignment +
+    * bounded recompute as [[kmeansStats]], plus one O(rows)
+    * aggregation for the inertia (map-side combined, 1-row result);
+    * the shift is O(k·d) driver arithmetic on the collected
+    * codebooks. Everything is a closed-form function of the data —
+    * the oracle replays the iterations relationally. */
+  def kmeansConvergence(df: DataFrame, idCol: String, vecCol: String,
+      seedLo: Long, seedHi: Long, iters: Int = 2, dim: Int = 64)
+      : DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = df.sparkSession
+    val base = vecBase(df, idCol, vecCol, dim)
+    var cents = seedCentroids(base, seedLo, seedHi)
+    val rows = Seq.newBuilder[(Long, Long, Double, Option[Double])]
+    var shift: Option[Double] = None
+    for (it <- 1 to iters) {
+      val a = assignCells(base, cents)
+      val stats = a.select(col("cell"), col("score"),
+          graft.functions.ArrayDot.array_dot(col("v"), col("v"))
+            .as("vn2"))
+        .agg(countDistinct(col("cell")).as("n_clusters"),
+          sig5(sum(col("score") + col("vn2"))).as("inertia"))
+        .collect()(0)
+      rows += ((it.toLong, stats.getLong(0), stats.getDouble(1), shift))
+      if (it < iters) {
+        val prev = cents.toMap
+        cents = a
+          .select(col("cell"), posexplode(col("v")).as(Seq("p", "vf")))
+          .groupBy(col("cell"), col("p"))
+          .agg(avg(col("vf").cast("double")).as("m"))
+          .groupBy("cell")
+          .agg(map_from_arrays(collect_list(col("p")),
+            collect_list(col("m"))).as("dims"))
+          .collect()
+          .map { r =>
+            val m = r.getMap[Int, Double](1)
+            (r.getLong(0), Array.tabulate(dim)(m(_)))
+          }
+          .sortBy(_._1)
+        shift = Some(graft.det.Sig.sig5(cents.map { case (cid, cv) =>
+          val pv = prev(cid)
+          var s = 0.0; var d = 0
+          while (d < dim) { val t = cv(d) - pv(d); s += t * t; d += 1 }
+          s
+        }.sum))
+      }
+    }
+    import spark.implicits._
+    rows.result().toDF("iter", "n_clusters", "inertia", "center_shift")
+      .orderBy("iter")
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al.,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication", 2023): cluster the embedding space, then compare

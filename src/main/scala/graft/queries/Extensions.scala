@@ -182,6 +182,13 @@ object Extensions {
     "embed_kmeans" -> ((s, dir) =>
       KMeansOp.kmeansStats(t(s, dir, "embeddings"), "vec_id",
         "embedding", seedLo = 120L, seedHi = 136L, iters = 2)),
+    // the Lloyd convergence CONTRACT as data: per-iteration WCSS
+    // (non-increasing by construction) and squared centroid movement
+    // — the trajectory a user reads to size the iteration count; the
+    // oracle replays both iterations and the inter-codebook shift
+    "embed_kmeans_convergence" -> ((s, dir) =>
+      KMeansOp.kmeansConvergence(t(s, dir, "embeddings"), "vec_id",
+        "embedding", seedLo = 120L, seedHi = 136L, iters = 2)),
     // ---- text analysis ----
     "text_stats" -> ((s, dir) =>
       TextStats.langStats(t(s, dir, "documents"), "text", "lang")),
@@ -1679,6 +1686,54 @@ val eventsRollupSql: String =
        |GROUP BY cid ORDER BY cluster_id""".stripMargin
   }
 
+  /** The convergence trajectory re-derived: [[embedKmeansSql]]'s
+    * unrolled iterations with the assignment score carried through
+    * both rounds — per-iteration inertia = the wcss formula over that
+    * round's assignment, center_shift = Σ (c1 − c0)² joined on
+    * (cid, dim) for the surviving centroids (NULL on round 1). */
+  val embedKmeansConvergenceSql: String = {
+    val score = sig("cn2 - 2 * dp")
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i)),
+       |vn AS (SELECT vec_id, sum(v * v) AS vn2 FROM el GROUP BY vec_id),
+       |c0 AS (SELECT vec_id AS cid, i, v AS w FROM el
+       |       WHERE vec_id BETWEEN 120 AND 135),
+       |cn0 AS (SELECT cid, sum(w * w) AS cn2 FROM c0 GROUP BY cid),
+       |d0 AS (SELECT e.vec_id AS vid, c.cid, sum(e.v * c.w) AS dp
+       |       FROM el e JOIN c0 c ON c.i = e.i GROUP BY 1, 2),
+       |s0 AS (SELECT vid, d0.cid, $score AS score
+       |       FROM d0 JOIN cn0 ON cn0.cid = d0.cid),
+       |a0 AS (SELECT vid, cid, score FROM (
+       |  SELECT vid, cid, score, row_number() OVER (PARTITION BY vid
+       |    ORDER BY score ASC, cid ASC) AS rn FROM s0) WHERE rn = 1),
+       |i1 AS (SELECT count(DISTINCT cid) AS n_clusters,
+       |       ${sig("sum(score + vn2)")} AS inertia
+       |       FROM a0 JOIN vn ON vn.vec_id = a0.vid),
+       |c1 AS (SELECT a0.cid, el.i, avg(el.v) AS w FROM el
+       |       JOIN a0 ON a0.vid = el.vec_id GROUP BY 1, 2),
+       |cn1 AS (SELECT cid, sum(w * w) AS cn2 FROM c1 GROUP BY cid),
+       |d1 AS (SELECT e.vec_id AS vid, c.cid, sum(e.v * c.w) AS dp
+       |       FROM el e JOIN c1 c ON c.i = e.i GROUP BY 1, 2),
+       |s1 AS (SELECT vid, d1.cid, $score AS score
+       |       FROM d1 JOIN cn1 ON cn1.cid = d1.cid),
+       |a1 AS (SELECT vid, cid, score FROM (
+       |  SELECT vid, cid, score, row_number() OVER (PARTITION BY vid
+       |    ORDER BY score ASC, cid ASC) AS rn FROM s1) WHERE rn = 1),
+       |i2 AS (SELECT count(DISTINCT cid) AS n_clusters,
+       |       ${sig("sum(score + vn2)")} AS inertia
+       |       FROM a1 JOIN vn ON vn.vec_id = a1.vid),
+       |sh AS (SELECT
+       |       ${sig("sum((c1.w - c0.w) * (c1.w - c0.w))")} AS shift
+       |       FROM c1 JOIN c0 ON c0.cid = c1.cid AND c0.i = c1.i)
+       |SELECT CAST(1 AS BIGINT) AS iter,
+       |CAST(n_clusters AS BIGINT) AS n_clusters, inertia,
+       |CAST(NULL AS DOUBLE) AS center_shift FROM i1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), CAST(n_clusters AS BIGINT), inertia,
+       |(SELECT shift FROM sh) FROM i2
+       |ORDER BY iter""".stripMargin
+  }
+
   val textTokensSql: String =
     s"""SELECT doc_id,
        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -2573,6 +2628,7 @@ val eventsRollupSql: String =
     "num_histogram_eqdepth" -> numHistogramEqdepthSql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_kmeans" -> embedKmeansSql,
+    "embed_kmeans_convergence" -> embedKmeansConvergenceSql,
     "pipeline_funnel" -> pipelineFunnelSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,

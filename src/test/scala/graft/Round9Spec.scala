@@ -166,6 +166,28 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------
+  // k-means convergence contract: inertia is non-increasing
+  // ---------------------------------------------------------------
+
+  test("kmeansConvergence: inertia non-increasing across iterations, " +
+      "shift NULL only on round 1") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = graft.ops.KMeansOp.kmeansConvergence(emb, "vec_id",
+        "embedding", seedLo = 120L, seedHi = 136L, iters = 4)
+      .collect()
+    assert(rows.length == 4)
+    val inertias = rows.map(_.getDouble(2))
+    inertias.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"Lloyd inertia must not increase: $a -> $b")
+    }
+    assert(rows.head.isNullAt(3), "round 1 has no previous codebook")
+    rows.tail.foreach { r =>
+      assert(!r.isNullAt(3) && r.getDouble(3) >= 0.0)
+    }
+  }
+
   test("appendCatalogIndex rejects params that mismatch the " +
       "persisted build params") {
     val day0 = docs((0L, (1 to 20).map(i => s"tok$i").mkString(" ")))
