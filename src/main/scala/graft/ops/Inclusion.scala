@@ -81,6 +81,39 @@ object Inclusion {
     * the contract is value-checked, not declared true. Keys must be
     * integral for the cross-engine hash (the exact path handles any
     * type); nulls excluded as in [[inclusionStats]]. */
+  /** The estimate-ONLY production form of [[inclusionSketchStats]]:
+    * two O(k) mergeable BottomK sketches per pair and the KMV
+    * containment estimate — NO exact distinct-set join anywhere, so
+    * per-pair cost is one map-side-combined sketch aggregation per
+    * side (shuffle O(k), independent of key cardinality). This is
+    * the operator a 100 TB FK-discovery sweep actually runs; the
+    * error-contract twin exists to certify its bound on fixtures. */
+  def inclusionSketchEstimate(
+      candidates: Seq[(String, DataFrame, String, DataFrame, String)],
+      k: Int = 1024): DataFrame = {
+    import graft.functions.BottomKSketch.bottom_k
+    require(candidates.nonEmpty, "no candidate pairs")
+    candidates.map { case (label, child, cCol, parent, pCol) =>
+      def sketch(df: DataFrame, c: String, as: String) =
+        df.where(col(c).isNotNull)
+          .select(Sampling.minstdHash(col(c).cast("long")).as("h"))
+          .agg(bottom_k(k)(col("h")).as(as))
+      val m = slice(array_sort(array_union(col("sa"), col("sb"))),
+        1, k)
+      sketch(child, cCol, "sa")
+        .crossJoin(sketch(parent, pCol, "sb"))
+        .select(
+          size(array_intersect(m, col("sa"))).cast("long")
+            .as("child_in"),
+          size(array_intersect(array_intersect(m, col("sa")),
+            col("sb"))).cast("long").as("shared_in"))
+        .select(lit(label).as("pair"),
+          sig5(when(col("child_in") > 0,
+            col("shared_in").cast("double") / col("child_in")))
+            .as("inclusion_est"))
+    }.reduce(_.unionByName(_)).orderBy("pair")
+  }
+
   def inclusionSketchStats(
       candidates: Seq[(String, DataFrame, String, DataFrame, String)],
       k: Int = 1024, bound: Double = 0.05): DataFrame = {
