@@ -57,7 +57,17 @@ object Sampling {
     * a broadcast of the strata-sized threshold frame; only the
     * boundary bucket itself — expected n/buckets rows, ~10⁶× smaller
     * than the stratum — is ranked by id for the last r rows. A
-    * 90%-skewed stratum costs a hash-agg, not a corpus sort. */
+    * 90%-skewed stratum costs a hash-agg, not a corpus sort.
+    *
+    * `buckets` sizing: the histogram is strata × buckets rows and the
+    * sorted residual ~biggest-stratum / buckets rows — keep buckets
+    * ≪ stratum size so the map-side combine collapses the histogram
+    * (the 10⁶ default assumes corpus-scale strata of 10⁹⁺ rows; a
+    * 10⁷-row corpus wants ~10⁴). Measured 90/10 skew vs the windowed
+    * form (SamplingScaleSmoke, BASELINE.md r9): 9.5 s vs 13.8 s at
+    * 10M rows, 41 s vs 157 s at 100M — the windowed form's
+    * single-task sort of the dominant stratum is the diverging
+    * term. */
   def stratifiedHashExact(df: DataFrame, stratumCol: String,
       idCol: String, frac: Double, buckets: Int = 1000000)
       : DataFrame = {
