@@ -253,6 +253,50 @@ object TextStats {
     * the aggregation share its shuffle via exchange reuse, so the
     * expensive token explode still runs once. Ties break by token
     * for determinism. */
+  /** Corpus-level boilerplate detection: the top-k word n-grams by
+    * DOCUMENT frequency (a gram repeated inside one document counts
+    * once) with their corpus share — templates, headers, and license
+    * blurbs surface here long before they distort near-dup
+    * signatures. This is the INSPECTABLE form of the hot-gram state
+    * the dedup family handles internally: the over-cap set `maxDf`
+    * drops from MinHash signatures (and the frozen set the catalog
+    * index persists for appends) is exactly the head of this
+    * ranking at the df cap.
+    *
+    * Scale shape: tokens are projected ONCE (HOF lambdas evaluate
+    * with no CSE — an inlined split would re-evaluate per element,
+    * the shingleIndex O(tokens²) trap), per-doc grams are
+    * array_distinct'd BEFORE the explode (within-doc dedup costs
+    * nothing extra and keeps the exploded row count ≤ corpus token
+    * count), one map-side-combined groupBy on the gram, head via
+    * orderBy().limit(k) (TakeOrderedAndProject — the per-TABLE
+    * top-k contract), rank stamped after the limit over ≤ k rows.
+    * Ties break (df DESC, gram ASC) in both engines. */
+  def boilerplateGrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1 && topK >= 1, "n and topK must be >= 1")
+    val base = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ts"))
+    val grams = when(size(col("ts")) >= n,
+      array_distinct(transform(sequence(lit(0), size(col("ts")) - n),
+        i => concat_ws(" ", slice(col("ts"), i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val c = base.select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df_docs"))
+    val nd = base.agg(count(lit(1)).as("n_docs"))
+    val top = c.orderBy(col("df_docs").desc, col("gram")).limit(topK)
+    val wRank = Window.orderBy(col("df_docs").desc, col("gram"))
+    top.crossJoin(broadcast(nd))
+      .withColumn("rnk", row_number().over(wRank))
+      .select(col("rnk").cast("long").as("rnk"), col("gram"),
+        col("df_docs"),
+        sig5(col("df_docs").cast("double") / col("n_docs"))
+          .as("df_share"),
+        col("n_docs"))
+      .orderBy("rnk")
+  }
+
   def vocab(df: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df

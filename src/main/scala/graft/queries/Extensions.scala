@@ -200,6 +200,12 @@ object Extensions {
       TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
     "text_tokens" -> ((s, dir) =>
       TextStats.tokenCounts(t(s, dir, "documents"), "doc_id", "text")),
+    // corpus boilerplate report: top word 3-grams by DOCUMENT
+    // frequency — the inspectable head of the hot-gram set the
+    // dedup family's df cap drops from signatures
+    "text_boilerplate" -> ((s, dir) =>
+      TextStats.boilerplateGrams(t(s, dir, "documents"), "doc_id",
+        "text", n = 3, topK = 20)),
     // Gopher/MassiveText-style within-doc repetition filters
     "text_repetition" -> ((s, dir) =>
       TextStats.repetition(t(s, dir, "documents"), "doc_id", "text")),
@@ -1882,6 +1888,30 @@ val eventsRollupSql: String =
        |FROM e GROUP BY CUBE(event_type, hour)
        |ORDER BY gid, coalesce(event_type, '~'), coalesce(hour, -1)""".stripMargin
 
+  /** Boilerplate grams re-derived: per-doc DISTINCT 3-grams from
+    * DuckDB's inclusive list slicing (ts[i+1 : i+3] ≙ Spark
+    * slice(ts, i+1, 3)); range(0, len−2) enumerates the same starts
+    * as sequence(0, size−3) and is empty for short docs like the
+    * Spark guard. Tie-break (df DESC, gram ASC) in both engines. */
+  val textBoilerplateSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |             FROM documents WHERE text IS NOT NULL),
+       |st AS (SELECT doc_id, ts,
+       |       unnest(range(0, len(ts) - 2)) AS i FROM tok),
+       |g AS (SELECT DISTINCT doc_id,
+       |        array_to_string(ts[i + 1 : i + 3], ' ') AS gram
+       |      FROM st),
+       |c AS (SELECT gram, count(*) AS df_docs FROM g GROUP BY gram),
+       |nd AS (SELECT count(*) AS n_docs FROM tok),
+       |r AS (SELECT gram, df_docs,
+       |        row_number() OVER (ORDER BY df_docs DESC, gram) AS rnk
+       |      FROM c)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, gram,
+       |CAST(df_docs AS BIGINT) AS df_docs,
+       |${sig("CAST(df_docs AS DOUBLE) / n_docs")} AS df_share,
+       |CAST(n_docs AS BIGINT) AS n_docs
+       |FROM r, nd WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
   val textVocabSql: String =
     s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
        |            FROM documents),
@@ -2586,6 +2616,7 @@ val eventsRollupSql: String =
     "text_pack" -> textPackSql,
     "join_salted" -> joinSaltedSql,
     "text_vocab" -> textVocabSql,
+    "text_boilerplate" -> textBoilerplateSql,
     "num_grouped" -> numGroupedSql,
     "cat_heavy_hitters" -> catHeavyHittersSql,
     "cat_heavy_exact" -> catHeavyExactSql,

@@ -12,6 +12,14 @@ import graft.ops.{Dedup, Sampling}
 class Round9Spec extends SparkSpec {
   import scala.jdk.CollectionConverters._
 
+  private lazy val sql = spark
+
+  private object TextStatsAccess {
+    def boilerplate(df: DataFrame): DataFrame =
+      graft.ops.TextStats.boilerplateGrams(df, "doc_id", "text",
+        n = 3, topK = 20)
+  }
+
   // 90/10-skewed stratified fixture: stratum "big" holds 90% of the
   // rows, "a"/"b" split the rest; `nullFrom` rows get a NULL stratum
   private def skewed(n: Long, withNull: Boolean): DataFrame = {
@@ -164,6 +172,30 @@ class Round9Spec extends SparkSpec {
       assert(ds.sameElements(ds.sorted),
         "ADC distances must rank ascending")
     }
+  }
+
+  // ---------------------------------------------------------------
+  // Boilerplate grams: bounded head, no pre-limit ranking window
+  // ---------------------------------------------------------------
+
+  test("boilerplateGrams heads through TakeOrderedAndProject and " +
+      "counts document frequency, not term frequency") {
+    import sql.implicits._
+    val docs = Seq(
+      (1L, "the same header line alpha"),
+      (2L, "the same header line beta"),
+      (3L, "the same header the same header"), // gram repeats in-doc
+      (4L, "unrelated text entirely here")).toDF("doc_id", "text")
+    val out = TextStatsAccess.boilerplate(docs)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k head must be a bounded TakeOrderedAndProject:\n$plan")
+    val rows = out.collect()
+    val bySig = rows.map(r => r.getString(1) -> r.getLong(2)).toMap
+    // doc 3 contains "the same header" twice but counts ONCE
+    assert(bySig("the same header") == 3L,
+      s"document frequency must dedup within doc: $bySig")
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length))
   }
 
   // ---------------------------------------------------------------
