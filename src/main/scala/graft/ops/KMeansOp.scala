@@ -71,6 +71,39 @@ object KMeansOp {
         element_at(col("cells"), 1).getField("score").as("score"))
   }
 
+  /** The Lloyd recompute step: per-(cell, dim) average of the
+    * assigned vectors, collected as the next O(k·d) driver codebook
+    * (shuffle volume k·d·partitions, independent of row count).
+    * Cells left empty drop out. Shared by [[kmeansStats]],
+    * [[kmeansConvergence]] and the trained-codebook paths. */
+  private[ops] def recomputeCentroids(a: DataFrame, dim: Int)
+      : Array[(Long, Array[Double])] = a
+    .select(col("cell"), posexplode(col("v")).as(Seq("p", "vf")))
+    .groupBy(col("cell"), col("p"))
+    .agg(avg(col("vf").cast("double")).as("m"))
+    .groupBy("cell")
+    .agg(map_from_arrays(collect_list(col("p")),
+      collect_list(col("m"))).as("dims"))
+    .collect()
+    .map { r =>
+      val m = r.getMap[Int, Double](1)
+      (r.getLong(0), Array.tabulate(dim)(m(_)))
+    }
+    .sortBy(_._1)
+
+  /** Seed centroids refined by `iters − 1` Lloyd rounds — the
+    * trained full-width codebook the IVF family feeds to its cell
+    * assignment (iters = 1 ≡ the raw seeds). */
+  private[ops] def trainedCentroids(base: DataFrame, seedLo: Long,
+      seedHi: Long, dim: Int, iters: Int)
+      : Array[(Long, Array[Double])] = {
+    require(iters >= 1, "iters must be >= 1")
+    var cents = seedCentroids(base, seedLo, seedHi)
+    for (_ <- 1 until iters)
+      cents = recomputeCentroids(assignCells(base, cents), dim)
+    cents
+  }
+
   /** Per-cluster report after `iters` Lloyd iterations from the seed
     * rows with id in [seedLo, seedHi): (cluster_id, n_members, wcss).
     * Every corpus row (any id) participates in every assignment. */
@@ -79,29 +112,8 @@ object KMeansOp {
       : DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val base = vecBase(df, idCol, vecCol, dim)
-    var cents = seedCentroids(base, seedLo, seedHi)
-    def assigned(cs: Array[(Long, Array[Double])]): DataFrame =
-      assignCells(base, cs)
-
-    // iters−1 reassign→recompute rounds; the final assignment feeds
-    // the report directly
-    for (_ <- 1 until iters) {
-      val a = assigned(cents)
-      cents = a
-        .select(col("cell"), posexplode(col("v")).as(Seq("p", "vf")))
-        .groupBy(col("cell"), col("p"))
-        .agg(avg(col("vf").cast("double")).as("m"))
-        .groupBy("cell")
-        .agg(map_from_arrays(collect_list(col("p")),
-          collect_list(col("m"))).as("dims"))
-        .collect()
-        .map { r =>
-          val m = r.getMap[Int, Double](1)
-          (r.getLong(0), Array.tabulate(dim)(m(_)))
-        }
-        .sortBy(_._1)
-    }
-    val fin = assigned(cents)
+    val fin = assignCells(base,
+      trainedCentroids(base, seedLo, seedHi, dim, iters))
     fin.select(col("cell"), col("score"),
         graft.functions.ArrayDot.array_dot(col("v"), col("v")).as("vn2"))
       .groupBy(col("cell").as("cluster_id"))
@@ -148,19 +160,7 @@ object KMeansOp {
       rows += ((it.toLong, stats.getLong(0), stats.getDouble(1), shift))
       if (it < iters) {
         val prev = cents.toMap
-        cents = a
-          .select(col("cell"), posexplode(col("v")).as(Seq("p", "vf")))
-          .groupBy(col("cell"), col("p"))
-          .agg(avg(col("vf").cast("double")).as("m"))
-          .groupBy("cell")
-          .agg(map_from_arrays(collect_list(col("p")),
-            collect_list(col("m"))).as("dims"))
-          .collect()
-          .map { r =>
-            val m = r.getMap[Int, Double](1)
-            (r.getLong(0), Array.tabulate(dim)(m(_)))
-          }
-          .sortBy(_._1)
+        cents = recomputeCentroids(a, dim)
         shift = Some(graft.det.Sig.sig5(cents.map { case (cid, cv) =>
           val pv = prev(cid)
           var s = 0.0; var d = 0

@@ -157,6 +157,20 @@ object Similarity {
       }
       .sortBy(_._1).toSeq
 
+  /** [[seedCodebook]] refined by `iters − 1` Lloyd rounds (the
+    * [[KMeansOp]] machinery: map-only assignment, bounded recompute
+    * shuffle) — the TRAINED coarse quantizer an IVF index actually
+    * deploys; iters = 1 is exactly the seeded codebook. Entries keep
+    * their seed-row cid (cell identity and tie-break survive
+    * training); cells emptied by a round drop out. */
+  def trainedCodebook(df: DataFrame, idCol: String, vecCol: String,
+      lo: Long, hi: Long, dim: Int, iters: Int)
+      : Seq[(Long, Array[Double], Double)] =
+    KMeansOp.trainedCentroids(
+        KMeansOp.vecBase(df, idCol, vecCol, dim), lo, hi, dim, iters)
+      .map { case (cid, cv) => (cid, cv, cv.map(x => x * x).sum) }
+      .toSeq
+
   /** Map-only IVF cell assignment against an explicit codebook:
     * (vec_id, cell) per input vector — the indexing pass of an
     * IVF index build, usable verbatim on a STREAMING DataFrame
@@ -174,10 +188,11 @@ object Similarity {
   }
 
   /** IVF(-flat) ANN top-k: partition the corpus into Voronoi cells
-    * around a fixed centroid codebook — here the corpus rows with
-    * ids in [centroidLo, centroidHi), so there is no training step
-    * and the oracle can recompute the same cells relationally — and
-    * search only the `nprobe` cells nearest each query.
+    * around a centroid codebook — the corpus rows with ids in
+    * [centroidLo, centroidHi), optionally refined by `iters − 1`
+    * Lloyd rounds ([[trainedCodebook]]; both forms are closed-form
+    * functions of the data the oracle recomputes relationally) —
+    * and search only the `nprobe` cells nearest each query.
     *
     * Scale shape: the codebook is tiny and driver/broadcast-resident
     * (as in any IVF index), so cell assignment is a MAP-ONLY pass —
@@ -190,8 +205,8 @@ object Similarity {
     * path, trading its hash buckets for data-adaptive cells. */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       numQueries: Int = 5, k: Int = 10, centroidLo: Long = 100L,
-      centroidHi: Long = 116L, nprobe: Int = 4, dim: Int = 64)
-      : DataFrame = {
+      centroidHi: Long = 116L, nprobe: Int = 4, dim: Int = 64,
+      iters: Int = 1): DataFrame = {
     if (!checkDim(df, vecCol, dim))
       return df.sparkSession.emptyDataFrame
         .select(lit(0L).as("query_id"), lit(0L).as("rnk"),
@@ -199,7 +214,14 @@ object Similarity {
     val base = df.where(size(col(vecCol)) === dim)
       .select(col(idCol).as("vid"), col(vecCol).as("v"),
         norm(col(vecCol)).as("nrm"))
-    val cents = seedCodebook(base, "vid", "v", centroidLo, centroidHi)
+    // iters > 1: Lloyd-trained coarse quantizer (the deployed IVF
+    // shape); iters = 1: the raw seed rows, byte-identical to the
+    // original seeded path
+    val cents =
+      if (iters <= 1) seedCodebook(base, "vid", "v", centroidLo,
+        centroidHi)
+      else trainedCodebook(base, "vid", "v", centroidLo, centroidHi,
+        dim, iters)
     require(cents.nonEmpty,
       s"no centroid rows with id in [$centroidLo, $centroidHi)")
     // the C scores are computed ONCE into the sorted array; argmin =

@@ -314,12 +314,16 @@ object VectorQuant {
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
       ivfLo: Long, ivfHi: Long, pqLo: Long, pqHi: Long,
       numQueries: Int = 5, k: Int = 10, nprobe: Int = 4,
-      dim: Int = 64, m: Int = 8, iters: Int = 1): DataFrame = {
+      dim: Int = 64, m: Int = 8, iters: Int = 1,
+      coarseIters: Int = 1): DataFrame = {
     require(m > 0 && dim % m == 0, s"dim $dim must divide into $m")
     val dsub = dim / m
     val base = KMeansOp.vecBase(df, idCol, vecCol, dim)
-    val ivfCents = Similarity.seedCodebook(base, "vid", "v", ivfLo,
-      ivfHi)
+    val ivfCents =
+      if (coarseIters <= 1)
+        Similarity.seedCodebook(base, "vid", "v", ivfLo, ivfHi)
+      else Similarity.trainedCodebook(base, "vid", "v", ivfLo, ivfHi,
+        dim, coarseIters)
     val cbs = pqCodebook(base, pqLo, pqHi, dim, m, iters)
     val ksz = (pqHi - pqLo).toInt
     val centByCode: Array[Map[Int, Array[Double]]] =

@@ -129,10 +129,14 @@ object Extensions {
     // IVF-flat ANN: Voronoi cells around designated corpus rows (ids
     // 100..115) as the codebook, nprobe=4 — the oracle recomputes the
     // identical cells relationally (no literals needed)
+    // IVF with a TRAINED coarse quantizer (iters = 2: seed rows
+    // refined by one Lloyd round — the deployed IVF shape, like the
+    // PQ family's trained codebooks); the oracle replays the
+    // training round relationally
     "embed_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         numQueries = 5, k = 10, centroidLo = 100L, centroidHi = 116L,
-        nprobe = 4, dim = 64)),
+        nprobe = 4, dim = 64, iters = 2)),
     // the IVF index-build pass on its own: map-only nearest-cell
     // assignment of every corpus vector against the broadcast
     // codebook — the batch path of the streaming ingest twin
@@ -653,7 +657,7 @@ object Extensions {
         t(s, dir, "embeddings").where(col("vec_id") < 2000L),
         "vec_id", "embedding", ivfLo = 100L, ivfHi = 116L,
         pqLo = 120L, pqHi = 152L, numQueries = 5, k = 10,
-        nprobe = 4, dim = 64, m = 8, iters = 2)),
+        nprobe = 4, dim = 64, m = 8, iters = 2, coarseIters = 2)),
     // temperature-scaled mixture quotas: stratum share ∝ n^(1/T)
     // (T = 2 here) — the multilingual re-balancing rule; floor on the
     // sig5-rounded share keeps the discrete quota cross-engine exact
@@ -911,11 +915,20 @@ object Extensions {
     val cosExpr = sig("dp / (na.nrm * nb.nrm)")
     s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
        |       FROM embeddings, range(1, 65) t(i)),
-       |cn AS (SELECT vec_id AS cid, sum(v * v) AS cn2 FROM el
-       |       WHERE vec_id BETWEEN 100 AND 115 GROUP BY 1),
-       |cd AS (SELECT a.vec_id AS vid, c.vec_id AS cid, sum(a.v * c.v) AS dp
-       |       FROM el a JOIN el c ON c.i = a.i
-       |       AND c.vec_id BETWEEN 100 AND 115 GROUP BY 1, 2),
+       |c0 AS (SELECT vec_id AS cid, i, v AS w FROM el
+       |       WHERE vec_id BETWEEN 100 AND 115),
+       |cn0 AS (SELECT cid, sum(w * w) AS cn2 FROM c0 GROUP BY 1),
+       |cd0 AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
+       |       FROM el a JOIN c0 c ON c.i = a.i GROUP BY 1, 2),
+       |ta AS (SELECT vid, cid FROM (
+       |   SELECT vid, cd0.cid, row_number() OVER (PARTITION BY vid
+       |     ORDER BY ${sig("cn2 - 2 * dp")} ASC, cd0.cid ASC) AS rn
+       |   FROM cd0 JOIN cn0 ON cn0.cid = cd0.cid) WHERE rn = 1),
+       |c1 AS (SELECT ta.cid, el.i, avg(el.v) AS w FROM el
+       |       JOIN ta ON ta.vid = el.vec_id GROUP BY 1, 2),
+       |cn AS (SELECT cid, sum(w * w) AS cn2 FROM c1 GROUP BY 1),
+       |cd AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
+       |       FROM el a JOIN c1 c ON c.i = a.i GROUP BY 1, 2),
        |sc AS (SELECT vid, cd.cid, ${sig("cn2 - 2 * dp")} AS score
        |       FROM cd JOIN cn ON cn.cid = cd.cid),
        |rk AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid
@@ -2429,11 +2442,20 @@ val eventsRollupSql: String =
        |        (i - 1) // 8 AS s
        |       FROM embeddings, range(1, 65) t(i)
        |       WHERE vec_id < 2000 AND len(embedding) = 64),
-       |icn AS (SELECT vec_id AS cid, sum(v * v) AS cn2 FROM el
-       |       WHERE vec_id BETWEEN 100 AND 115 GROUP BY 1),
-       |icd AS (SELECT a.vec_id AS vid, c.vec_id AS cid, sum(a.v * c.v) AS dp
-       |       FROM el a JOIN el c ON c.i = a.i
-       |       AND c.vec_id BETWEEN 100 AND 115 GROUP BY 1, 2),
+       |ic0 AS (SELECT vec_id AS cid, i, v AS w FROM el
+       |       WHERE vec_id BETWEEN 100 AND 115),
+       |icn0 AS (SELECT cid, sum(w * w) AS cn2 FROM ic0 GROUP BY 1),
+       |icd0 AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
+       |       FROM el a JOIN ic0 c ON c.i = a.i GROUP BY 1, 2),
+       |ita AS (SELECT vid, cid FROM (
+       |   SELECT vid, icd0.cid, row_number() OVER (PARTITION BY vid
+       |     ORDER BY ${sig("cn2 - 2 * dp")} ASC, icd0.cid ASC) AS rn
+       |   FROM icd0 JOIN icn0 ON icn0.cid = icd0.cid) WHERE rn = 1),
+       |ic1 AS (SELECT ita.cid, el.i, avg(el.v) AS w FROM el
+       |       JOIN ita ON ita.vid = el.vec_id GROUP BY 1, 2),
+       |icn AS (SELECT cid, sum(w * w) AS cn2 FROM ic1 GROUP BY 1),
+       |icd AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
+       |       FROM el a JOIN ic1 c ON c.i = a.i GROUP BY 1, 2),
        |isc AS (SELECT vid, icd.cid, ${sig("cn2 - 2 * dp")} AS score
        |       FROM icd JOIN icn ON icn.cid = icd.cid),
        |irk AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid
