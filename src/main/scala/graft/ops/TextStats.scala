@@ -272,17 +272,26 @@ object TextStats {
     * orderBy().limit(k) (TakeOrderedAndProject — the per-TABLE
     * top-k contract), rank stamped after the limit over ≤ k rows.
     * Ties break (df DESC, gram ASC) in both engines. */
+  /** Per-document DISTINCT word n-grams from a pre-projected token
+    * array column. `ts` MUST be a bound column attribute, not an
+    * inline split(...) — HOF lambdas evaluate with no CSE, so an
+    * inlined expression would re-evaluate per element (the
+    * shingleIndex O(tokens²) trap). Shared by [[boilerplateGrams]]
+    * and the streaming hot-gram monitor so the two derive IDENTICAL
+    * gram sets. */
+  private[graft] def distinctGrams(ts: Column, n: Int): Column =
+    when(size(ts) >= n,
+      array_distinct(transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
   def boilerplateGrams(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1 && topK >= 1, "n and topK must be >= 1")
     val base = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"), split(col(textCol), " ").as("ts"))
-    val grams = when(size(col("ts")) >= n,
-      array_distinct(transform(sequence(lit(0), size(col("ts")) - n),
-        i => concat_ws(" ", slice(col("ts"), i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
-    val c = base.select(explode(grams).as("gram"))
+    val c = base.select(explode(distinctGrams(col("ts"), n)).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("df_docs"))
     val nd = base.agg(count(lit(1)).as("n_docs"))
     val top = c.orderBy(col("df_docs").desc, col("gram")).limit(topK)

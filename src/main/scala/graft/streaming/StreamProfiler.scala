@@ -328,6 +328,27 @@ object StreamProfiler {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("mg.n").as("n"), col("mg.items").as("items"))
 
+  /** The [[graft.ops.TextStats.boilerplateGrams]] monitor on an
+    * unbounded document INGEST stream: Misra–Gries heavy hitters
+    * over the per-document distinct word n-grams (the SAME gram
+    * derivation as the batch report — shared helper, the twins
+    * cannot drift). State is O(k) per partition with a linear MG
+    * merge — no unbounded distinct-gram state, no gram shuffle;
+    * emit under `complete` mode (one global row). The items map
+    * OVER-APPROXIMATES the true boilerplate head (the MG guarantee:
+    * any gram in more than n/(k+1) documents survives); the batch
+    * [[graft.ops.TextStats.boilerplateGrams]] recount certifies the
+    * shortlist — the cat_heavy_hitters two-pass contract applied to
+    * a stream. */
+  def hotGramStream(docs: DataFrame, textCol: String = "text",
+      n: Int = 3, k: Int = 16): DataFrame =
+    docs.where(col(textCol).isNotNull)
+      .select(split(col(textCol), " ").as("__toks"))
+      .select(explode(
+        graft.ops.TextStats.distinctGrams(col("__toks"), n)).as("gram"))
+      .agg(graft.functions.HeavyHitters.mg(col("gram"), k).as("mg"))
+      .select(col("mg.n").as("n_grams"), col("mg.items").as("items"))
+
   /** Native session-window aggregation (`session_window(ts, gap)`) —
     * the DECLARATIVE alternative to [[sessionizeStream]]'s custom
     * flatMapGroupsWithState state machine: Spark's own session

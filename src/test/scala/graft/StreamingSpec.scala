@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.streaming.StreamProfiler
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class StreamDoc(doc_id: Long, text: String)
 case class UserEv(ts: Timestamp, user_id: Long)
 case class SideEv(ts: Timestamp, user_id: Long, event_id: Long,
     event_type: String, value: Double)
@@ -275,6 +276,46 @@ class StreamingSpec extends SparkSpec {
       }
       // a (6 of 12) is above n/(k+1)=4 → must be present
       assert(est.contains("a"))
+    } finally q.stop()
+  }
+
+  test("hot-gram stream: MG boilerplate monitor merges across " +
+      "micro-batches and keeps the dominant gram") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val q = StreamProfiler.hotGramStream(mem.toDF(), "text",
+        n = 3, k = 8)
+      .writeStream.format("memory").queryName("hotgrams")
+      .outputMode("complete").start()
+    try {
+      // boilerplate in 16 of 20 docs: gram stream n = 16·5 + 4·4 =
+      // 96, bound n/(k+1) = 10.7 < 16 → the MG guarantee FORCES
+      // "all rights reserved" to survive the merge
+      val boiler = "all rights reserved legal notice"
+      mem.addData((1L to 16L).map(i =>
+        StreamDoc(i, s"$boiler unique$i tail$i")): _*)
+      q.processAllAvailable()
+      mem.addData((20L to 23L).map(i =>
+        StreamDoc(i, s"totally fresh text number $i here")): _*)
+      q.processAllAvailable()
+      val r = sql.table("hotgrams").collect().last
+      assert(r.getLong(r.fieldIndex("n_grams")) == 96L)
+      val items = r.getMap[String, Long](r.fieldIndex("items")).toMap
+      assert(items.size <= 8)
+      assert(items.contains("all rights reserved"), s"got $items")
+      // MG never overcounts; the batch report is the exact recount
+      val batch = graft.ops.TextStats.boilerplateGrams(
+        sql.table("hotgrams").sparkSession.createDataFrame(
+          (1L to 16L).map(i => (i, s"$boiler unique$i tail$i")) ++
+            (20L to 23L).map(i =>
+              (i, s"totally fresh text number $i here"))
+        ).toDF("doc_id", "text"), "doc_id", "text", n = 3, topK = 5)
+        .collect()
+      assert(batch.head.getString(1) == "all rights reserved")
+      assert(batch.head.getLong(2) == 16L)
+      assert(items("all rights reserved") <= 16L)
     } finally q.stop()
   }
 
