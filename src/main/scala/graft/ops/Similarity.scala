@@ -59,6 +59,69 @@ object Similarity {
         col("e._2").as("neighbor_id"), col("e._1").as("cosine"))
       .orderBy("query_id", "rnk")
 
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings", ACL 2019): cross-side candidate pairs score
+    * margin = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2) — the
+    * RATIO margin that normalizes away hubness (a target close to
+    * everything inflates its own denominator), the selection rule
+    * bitext/translation-pair mining pipelines use. Emits the top
+    * `topM` pairs: (rnk, src_id, tgt_id, cosine, margin).
+    *
+    * Scale shape: the cross-side score matrix is materialized ONCE
+    * (|X|·|Y| pairs — at corpus scale you prune candidates with the
+    * ANN family first and feed only the pruned pairs; the margin
+    * math itself is one pair pass + two bounded [[graft.functions
+    * .TopKByScore]] aggregations — O(k) state per side id, no
+    * windows, no unbounded sort — joined back by side id). Head via
+    * orderBy().limit(topM) (TakeOrderedAndProject), rank stamped
+    * after the limit.
+    *
+    * Determinism: cosines are sig5-rounded BEFORE the neighbor
+    * heaps (rounded-operand top-k, id tie-break); the k-neighbor
+    * averages feed a guarded division (NULL when the mean neighbor
+    * cosine is non-positive — ANSI-safe, and margin is meaningless
+    * there) and the margin is sig5-rounded again; final ties break
+    * (margin DESC, src_id, tgt_id). */
+  def marginMine(x: DataFrame, y: DataFrame, idCol: String,
+      vecCol: String, dim: Int = 64, k: Int = 4, topM: Int = 25)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && topM >= 1, "k and topM must be >= 1")
+    def side(df: DataFrame, id: String, v: String, n: String) =
+      df.where(size(col(vecCol)) === dim)
+        .select(col(idCol).as(id), col(vecCol).as(v),
+          norm(col(vecCol)).as(n))
+    val pairs = Materialize.materialize(
+      side(x, "xid", "xv", "xn")
+        .crossJoin(side(y, "yid", "yv", "yn"))
+        .select(col("xid"), col("yid"),
+          sig5(cosine(dot(col("xv"), col("yv")), col("xn"),
+            col("yn"))).as("cos"))
+        .where(col("cos").isNotNull))
+    def nnAvg(id: String, other: String, as: String) = pairs
+      .groupBy(id)
+      .agg(graft.functions.TopKByScore.top_k(k)(
+        col("cos"), col(other)).as("t"))
+      .select(col(id), explode(col("t")).as("e"))
+      .groupBy(id).agg(avg(col("e._1")).as(as))
+    val m = pairs
+      .join(nnAvg("xid", "yid", "ax"), "xid")
+      .join(nnAvg("yid", "xid", "ay"), "yid")
+      .select(col("xid"), col("yid"), col("cos"),
+        sig5(when((col("ax") + col("ay")) / 2.0 > 0.0,
+          col("cos") / ((col("ax") + col("ay")) / 2.0))).as("margin"))
+      .where(col("margin").isNotNull)
+    val top = m.orderBy(col("margin").desc, col("xid"), col("yid"))
+      .limit(topM)
+    val wR = Window.orderBy(col("margin").desc, col("xid"), col("yid"))
+    top.withColumn("rnk", row_number().over(wR).cast("long"))
+      .select(col("rnk"), col("xid").as("src_id"),
+        col("yid").as("tgt_id"), col("cos").as("cosine"),
+        col("margin"))
+      .orderBy("rnk")
+  }
+
   /** Cosine that is NULL (not NaN) for zero-norm vectors: 0/0 = NaN
     * sorts ABOVE every number in Spark and passes >= thresholds, so a
     * failed-encoder all-zero embedding would otherwise rank as the #1

@@ -137,6 +137,17 @@ object Extensions {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         numQueries = 5, k = 10, centroidLo = 100L, centroidHi = 116L,
         nprobe = 4, dim = 64, iters = 2)),
+    // margin-based bitext pair mining (Artetxe & Schwenk ratio
+    // margin): even vec_ids as the source side, odd as the target —
+    // cross-side cosine matrix, k-NN mean normalization on BOTH
+    // sides (hubness correction), top-25 pairs by rounded margin
+    "embed_margin_mine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 2000L)
+      Similarity.marginMine(
+        e.where(col("vec_id") % 2 === 0),
+        e.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", dim = 64, k = 4, topM = 25)
+    }),
     // the IVF index-build pass on its own: map-only nearest-cell
     // assignment of every corpus vector against the broadcast
     // codebook — the batch path of the streaming ingest twin
@@ -1753,6 +1764,44 @@ val eventsRollupSql: String =
        |ORDER BY iter""".stripMargin
   }
 
+  /** Margin mining re-derived: cross-parity cosine matrix, per-side
+    * k-NN means over the ROUNDED cosines (row_number windows with
+    * id tie-breaks — the TopKByScore twin), guarded ratio margin,
+    * rounded again, top 25 by (margin DESC, src, tgt). */
+  val embedMarginMineSql: String =
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i)
+       |       WHERE vec_id < 2000 AND len(embedding) = 64),
+       |nr AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY 1),
+       |dp AS (SELECT a.vec_id AS xid, b.vec_id AS yid,
+       |       sum(a.v * b.v) AS dp
+       |       FROM el a JOIN el b ON b.i = a.i
+       |       WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+       |       GROUP BY 1, 2),
+       |cc AS (SELECT xid, yid,
+       |       ${sig("CASE WHEN nx.nrm > 0 AND ny.nrm > 0 THEN dp / (nx.nrm * ny.nrm) END")} AS c
+       |       FROM dp JOIN nr nx ON nx.vec_id = xid
+       |       JOIN nr ny ON ny.vec_id = yid),
+       |cn AS (SELECT * FROM cc WHERE c IS NOT NULL),
+       |ax AS (SELECT xid, avg(c) AS ax FROM (
+       |   SELECT xid, c, row_number() OVER (PARTITION BY xid
+       |     ORDER BY c DESC, yid ASC) AS rn FROM cn)
+       |   WHERE rn <= 4 GROUP BY xid),
+       |ay AS (SELECT yid, avg(c) AS ay FROM (
+       |   SELECT yid, c, row_number() OVER (PARTITION BY yid
+       |     ORDER BY c DESC, xid ASC) AS rn FROM cn)
+       |   WHERE rn <= 4 GROUP BY yid),
+       |m AS (SELECT cn.xid, cn.yid, c,
+       |      ${sig("CASE WHEN (ax + ay) / 2 > 0 THEN c / ((ax + ay) / 2) END")} AS margin
+       |      FROM cn JOIN ax ON ax.xid = cn.xid
+       |      JOIN ay ON ay.yid = cn.yid),
+       |r AS (SELECT xid, yid, c, margin,
+       |      row_number() OVER (ORDER BY margin DESC, xid, yid) AS rnk
+       |      FROM m WHERE margin IS NOT NULL)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, xid AS src_id,
+       |yid AS tgt_id, c AS cosine, margin
+       |FROM r WHERE rnk <= 25 ORDER BY rnk""".stripMargin
+
   val textTokensSql: String =
     s"""SELECT doc_id,
        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -2682,6 +2731,7 @@ val eventsRollupSql: String =
     "embed_quantize" -> embedQuantizeSql,
     "embed_kmeans" -> embedKmeansSql,
     "embed_kmeans_convergence" -> embedKmeansConvergenceSql,
+    "embed_margin_mine" -> embedMarginMineSql,
     "pipeline_funnel" -> pipelineFunnelSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,

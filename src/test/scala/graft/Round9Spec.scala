@@ -199,6 +199,38 @@ class Round9Spec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // Margin mining: hubness correction + window-free neighbor stats
+  // ---------------------------------------------------------------
+
+  test("marginMine: ratio margin demotes a hub target below a true " +
+      "pair of equal raw prominence; heaps are window-free") {
+    import sql.implicits._
+    // x0=[1,0], x1=[0,1]; hub=[0.8,0.6] is close to BOTH x's, y1=[1,0]
+    // is x0's true pair. Raw cosine ranks (x0,y1)=1.0 then
+    // (x0,hub)=0.8; the margin keeps that order but discounts the
+    // hub relative to its raw cosine (0.889 < 0.8/0.72 without the
+    // y-side mean), and the true pair scores the maximal margin.
+    val xs = Seq((0L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val ys = Seq((1L, Array(0.8f, 0.6f)), (3L, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.marginMine(xs, ys, "vec_id",
+      "embedding", dim = 2, k = 1, topM = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    // the ONLY window is the post-limit rank over <= topM rows; the
+    // k-NN means run through the bounded TopKByScore heaps
+    assert("\\bWindow ".r.findAllIn(plan).size == 1, plan)
+    val rows = out.collect()
+    assert(rows.head.getLong(1) == 0L && rows.head.getLong(2) == 3L,
+      s"true pair must rank first: ${rows.toSeq}")
+    val byPair = rows.map(r =>
+      (r.getLong(1), r.getLong(2)) -> r.getDouble(4)).toMap
+    assert(byPair((0L, 3L)) == 1.0) // cos 1 / mean-NN 1
+    // hub pair margin strictly below its raw cosine share
+    assert(byPair((0L, 1L)) < 0.9 && byPair((0L, 1L)) > 0.85)
+  }
+
+  // ---------------------------------------------------------------
   // k-means convergence contract: inertia is non-increasing
   // ---------------------------------------------------------------
 
