@@ -99,6 +99,22 @@ object Similarity {
           sig5(cosine(dot(col("xv"), col("yv")), col("xn"),
             col("yn"))).as("cos"))
         .where(col("cos").isNotNull))
+    marginFromPairs(pairs, k, topM)
+  }
+
+  /** The margin math over a PRE-SCORED candidate frame
+    * (xid, yid, cos — cosines already sig5-rounded) — the corpus-
+    * scale entry point: feed the ANN family's pruned candidates
+    * (LSH buckets / IVF probes) instead of [[marginMine]]'s dense
+    * cross matrix, and the whole computation is one pair pass + two
+    * bounded heap aggregations. Neighbor means are then over the
+    * SURVIVING candidates per side — exactly the mining-pipeline
+    * practice (the margin is computed over the retrieved k-NN list,
+    * not the full matrix). */
+  def marginFromPairs(pairs: DataFrame, k: Int = 4, topM: Int = 25)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && topM >= 1, "k and topM must be >= 1")
     def nnAvg(id: String, other: String, as: String) = pairs
       .groupBy(id)
       .agg(graft.functions.TopKByScore.top_k(k)(
