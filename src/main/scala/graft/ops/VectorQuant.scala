@@ -381,6 +381,130 @@ object VectorQuant {
         (-col("cosine")).as("adc_d2"))
   }
 
+  /** RESIDUAL IVF-PQ top-k — the full Jégou IVF-ADC shape (TPAMI
+    * 2011 §IV-B): the PQ codebook is trained on and encodes the
+    * RESIDUAL r = x − q₁(x) of each vector against its coarse
+    * centroid, not the raw vector. Residual magnitudes are a fraction
+    * of vector magnitudes once the coarse quantizer has absorbed the
+    * cluster structure, so the same code budget buys materially finer
+    * resolution — this is the refinement step that separates a
+    * deployed IVF-ADC index from naive per-cell PQ (see
+    * [[ivfPqTopK]], kept as the comparison baseline).
+    *
+    * Query side: ADC needs one lookup table PER (query, probed cell)
+    * — the query's residual against THAT cell's centroid scored
+    * against the shared residual codebook — so LUT state is
+    * O(Q·nprobe·m·k) driver literals (vs O(Q·m·k) for raw ADC), still
+    * register-resident by design; every candidate is scored through
+    * the LUT of the one cell it lives in.
+    *
+    * Scale shape: one map-only assignment pass, one map-only
+    * residualization (`zip_with` against the broadcast centroid map —
+    * exact IEEE subtraction, no shuffle), the [[pqCodebook]] training
+    * loop over residuals, one map-only encode, then the identical
+    * broadcast candidate join + flat-LUT scoring + window-free
+    * [[graft.functions.TopKByScore]] tail as [[ivfPqTopK]]. Probes
+    * are collected once (O(Q·nprobe) rows — driver state like the
+    * queries themselves).
+    *
+    * Determinism contract: with the SEEDED coarse quantizer
+    * (coarseIters = 1, the declared-query form) residuals are exact
+    * differences of identically-derived doubles — bit-identical
+    * across engines with no rounding guard; all downstream discrete
+    * decisions (cell argmin, probe cutoff, training/encode argmins,
+    * final ranking) compare sig5-rounded scores with id tie-breaks,
+    * exactly the [[ivfPqTopK]] contract. */
+  def ivfPqResidualTopK(df: DataFrame, idCol: String, vecCol: String,
+      ivfLo: Long, ivfHi: Long, pqLo: Long, pqHi: Long,
+      numQueries: Int = 5, k: Int = 10, nprobe: Int = 4,
+      dim: Int = 64, m: Int = 8, iters: Int = 1,
+      coarseIters: Int = 1): DataFrame = {
+    require(m > 0 && dim % m == 0, s"dim $dim must divide into $m")
+    val dsub = dim / m
+    val base = KMeansOp.vecBase(df, idCol, vecCol, dim)
+    val ivfCents =
+      if (coarseIters <= 1)
+        Similarity.seedCodebook(base, "vid", "v", ivfLo, ivfHi)
+      else Similarity.trainedCodebook(base, "vid", "v", ivfLo, ivfHi,
+        dim, coarseIters)
+    val withCells = base.select(col("vid"), col("v"),
+      Similarity.cellArray(col("v"), ivfCents).as("cells"))
+    val assigned = withCells.select(col("vid"), col("v"),
+      element_at(col("cells"), 1).getField("cid").as("cell"))
+    // residualize: map-only exact subtraction against the broadcast
+    // centroid map (O(C·dim) literal, the codebook itself)
+    val centMap = typedLit(ivfCents.map { case (cid, cv, _) =>
+      cid -> cv.toSeq }.toMap)
+    val resBase = assigned.select(col("vid"),
+      zip_with(col("v").cast("array<double>"),
+        element_at(centMap, col("cell")), (a, b) => a - b).as("v"),
+      col("cell"))
+    val cbs = pqCodebook(resBase, pqLo, pqHi, dim, m, iters)
+    val ksz = (pqHi - pqLo).toInt
+    val centByCode: Array[Map[Int, Array[Double]]] =
+      cbs.map(_.map { case (cid, cv) =>
+        ((cid - pqLo).toInt, cv) }.toMap)
+    val codes = Materialize.materialize(
+      pqEncode(resBase, cbs, pqLo, dim, m))
+    // probes: the nprobe nearest cells per query, collected as
+    // O(Q·nprobe) driver state (the filter prunes the cellArray
+    // projection to the Q query rows before it runs)
+    val probesDf = withCells.where(col("vid") < numQueries)
+      .select(col("vid").as("qid"),
+        explode(slice(col("cells"), 1, nprobe)).as("p"))
+      .select(col("qid"), col("p.cid").as("pcell"))
+    val probes = probesDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    require(probes.nonEmpty, s"no query rows with id < $numQueries")
+    val queries = base.where(col("vid") < numQueries)
+      .select(col("vid"), col("v").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    val centById = ivfCents.map { case (cid, cv, _) => cid -> cv }.toMap
+    // one flat LUT over all (query, probed cell) pairs: the query's
+    // residual vs that cell, scored against the residual codebook
+    val flatLut = probes.toArray.flatMap { case (qid, cell) =>
+      val qv = queries(qid)
+      val cw = centById(cell)
+      Array.tabulate(m * ksz) { i =>
+        val (s, c) = (i / ksz, i % ksz)
+        centByCode(s).get(c) match {
+          case None => Double.NaN // unreachable code slot
+          case Some(cv) =>
+            var d2 = 0.0
+            var d = 0
+            while (d < dsub) {
+              val t = (qv(s * dsub + d) - cw(s * dsub + d)) - cv(d)
+              d2 += t * t; d += 1
+            }
+            d2
+        }
+      }
+    }
+    // (qid, cell) → LUT block index via one flat key literal; span
+    // makes the packed key collision-free over the codebook's ids
+    val span = ivfCents.map(_._1).max + 1L
+    val probeKeys: Array[Long] =
+      probes.toArray.map { case (q, c) => q * span + c }
+    val cand = assigned.select(col("vid"), col("cell"))
+      .join(broadcast(probesDf),
+        col("vid") =!= col("qid") && col("cell") === col("pcell"))
+      .select(col("qid"), col("vid"), col("cell"))
+    val pidx = array_position(typedLit(probeKeys),
+      col("qid") * lit(span) + col("cell")) - 1L
+    val dist = (0 until m).map { s =>
+      element_at(typedLit(flatLut),
+        (pidx * (m * ksz) + col("codes").getItem(s) + lit(s * ksz) + 1)
+          .cast("int"))
+    }.reduce(_ + _)
+    val scored = cand
+      .join(codes.withColumnRenamed("vec_id", "vid"), "vid")
+      .select(col("qid"), col("vid"), (-sig5(dist)).as("cosine"))
+    Similarity.rankTopK(scored, k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        (-col("cosine")).as("adc_d2"))
+  }
+
   /** [[pqCodes]] flattened to one SCALAR row per (vec_id, subspace,
     * code) with the per-vector mse repeated on each row — hash-
     * comparator-friendly output (array columns are unhashable in

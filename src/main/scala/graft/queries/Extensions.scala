@@ -669,6 +669,18 @@ object Extensions {
         "vec_id", "embedding", ivfLo = 100L, ivfHi = 116L,
         pqLo = 120L, pqHi = 152L, numQueries = 5, k = 10,
         nprobe = 4, dim = 64, m = 8, iters = 2, coarseIters = 2)),
+    // RESIDUAL IVF-PQ (the full Jégou IVF-ADC shape): the PQ
+    // codebook is trained on and encodes r = x − coarse centroid —
+    // the refinement that separates a deployed IVF-ADC index from
+    // naive per-cell PQ. Seeded coarse quantizer (residuals stay
+    // exact cross-engine differences), Lloyd-trained residual
+    // codebook (iters = 2), per-(query, probed-cell) LUTs
+    "embed_ivf_pq_residual" -> ((s, dir) =>
+      VectorQuant.ivfPqResidualTopK(
+        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
+        "vec_id", "embedding", ivfLo = 100L, ivfHi = 116L,
+        pqLo = 120L, pqHi = 152L, numQueries = 5, k = 10,
+        nprobe = 4, dim = 64, m = 8, iters = 2)),
     // temperature-scaled mixture quotas: stratum share ∝ n^(1/T)
     // (T = 2 here) — the multilingual re-balancing rule; floor on the
     // sig5-rounded share keeps the discrete quota cross-engine exact
@@ -2399,15 +2411,16 @@ val eventsRollupSql: String =
     * encode. Sub-clusters emptied by the round drop out of `c1` in
     * both engines. `withScore` threads the winning rounded distance
     * through for the mse report. */
-  private def pqTrainedCtes(withScore: Boolean): String = {
+  private def pqTrainedCtes(withScore: Boolean,
+      src: String = "el"): String = {
     val scoreSel = if (withScore) ", sd2" else ""
     val scoreCol = if (withScore) s", ${sig("d2")} AS sd2" else ""
-    s"""xn AS (SELECT vec_id, s, sum(v * v) AS xn2 FROM el GROUP BY 1, 2),
-       |c0 AS (SELECT vec_id AS cid, i, v AS w, s FROM el
+    s"""xn AS (SELECT vec_id, s, sum(v * v) AS xn2 FROM $src GROUP BY 1, 2),
+       |c0 AS (SELECT vec_id AS cid, i, v AS w, s FROM $src
        |       WHERE vec_id BETWEEN 120 AND 151),
        |cn0 AS (SELECT cid, s, sum(w * w) AS cn2 FROM c0 GROUP BY 1, 2),
        |tdp AS (SELECT e.vec_id AS vid, c.cid, e.s, sum(e.v * c.w) AS dp
-       |       FROM el e JOIN c0 c ON c.i = e.i
+       |       FROM $src e JOIN c0 c ON c.i = e.i
        |       GROUP BY 1, 2, 3),
        |ta AS (SELECT vid, s, cid FROM (
        |   SELECT t.vid, t.s, t.cid,
@@ -2415,12 +2428,12 @@ val eventsRollupSql: String =
        |       ORDER BY ${sig("cn2 - 2 * dp")} ASC, t.cid ASC) AS rn
        |   FROM tdp t JOIN cn0 ON cn0.cid = t.cid AND cn0.s = t.s)
        |   WHERE rn = 1),
-       |c1 AS (SELECT ta.cid, el.i, avg(el.v) AS w, el.s FROM el
-       |       JOIN ta ON ta.vid = el.vec_id AND ta.s = el.s
+       |c1 AS (SELECT ta.cid, e.i, avg(e.v) AS w, e.s FROM $src e
+       |       JOIN ta ON ta.vid = e.vec_id AND ta.s = e.s
        |       GROUP BY 1, 2, 4),
        |cn AS (SELECT cid, s, sum(w * w) AS cn2 FROM c1 GROUP BY 1, 2),
        |dp AS (SELECT e.vec_id AS vid, c.cid, e.s, sum(e.v * c.w) AS dp
-       |       FROM el e JOIN c1 c ON c.i = e.i
+       |       FROM $src e JOIN c1 c ON c.i = e.i
        |       GROUP BY 1, 2, 3),
        |d AS (SELECT vid, dp.cid, dp.s, cn2 - 2 * dp + xn2 AS d2
        |      FROM dp JOIN cn ON cn.cid = dp.cid AND cn.s = dp.s
@@ -2523,6 +2536,58 @@ val eventsRollupSql: String =
        |       FROM cand cd JOIN a ON a.vid = cd.vid
        |       JOIN ld ON ld.qid = cd.qid AND ld.cid = a.cid
        |        AND ld.s = a.s
+       |       GROUP BY 1, 2),
+       |r AS (SELECT qid, vid, ${sig("dist")} AS adc_d2,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY ${sig("dist")} ASC, vid ASC) AS rnk FROM sc)
+       |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rnk,
+       |vid AS neighbor_id, adc_d2
+       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  /** RESIDUAL IVF-PQ re-derived: the SEEDED coarse quantizer (rows
+    * [100, 116), no training round — residuals stay exact differences
+    * of identically-derived doubles on both engines), the residual
+    * CTE `rel` (v − assigned-cell centroid, column-compatible with
+    * `el` so [[pqTrainedCtes]] trains the PQ codebook ON RESIDUALS
+    * unchanged), per-(query, probed-cell) LUTs against the trained
+    * residual codebook `c1`, and the ADC sum over each candidate
+    * through the LUT of ITS cell — mirroring
+    * [[graft.ops.VectorQuant.ivfPqResidualTopK]] at iters = 2. */
+  val embedIvfPqResidualSql: String =
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v,
+       |        (i - 1) // 8 AS s
+       |       FROM embeddings, range(1, 65) t(i)
+       |       WHERE vec_id < 2000 AND len(embedding) = 64),
+       |rc0 AS (SELECT vec_id AS cid, i, v AS w FROM el
+       |       WHERE vec_id BETWEEN 100 AND 115),
+       |rcn0 AS (SELECT cid, sum(w * w) AS cn2 FROM rc0 GROUP BY 1),
+       |rcd0 AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
+       |       FROM el a JOIN rc0 c ON c.i = a.i GROUP BY 1, 2),
+       |rrk AS (SELECT vid, rcd0.cid,
+       |       row_number() OVER (PARTITION BY vid
+       |         ORDER BY ${sig("cn2 - 2 * dp")} ASC, rcd0.cid ASC) AS rn
+       |       FROM rcd0 JOIN rcn0 ON rcn0.cid = rcd0.cid),
+       |rassign AS (SELECT vid, cid AS cell FROM rrk WHERE rn = 1),
+       |rprobes AS (SELECT vid AS qid, cid AS cell FROM rrk
+       |           WHERE vid < 5 AND rn <= 4),
+       |rel AS (SELECT e.vec_id, e.i, e.v - c.w AS v, e.s FROM el e
+       |       JOIN rassign ra ON ra.vid = e.vec_id
+       |       JOIN rc0 c ON c.cid = ra.cell AND c.i = e.i),
+       |${pqTrainedCtes(withScore = false, src = "rel")},
+       |qr AS (SELECT p.qid, p.cell, e.i, e.v - c.w AS v, e.s
+       |       FROM rprobes p
+       |       JOIN el e ON e.vec_id = p.qid
+       |       JOIN rc0 c ON c.cid = p.cell AND c.i = e.i),
+       |ld AS (SELECT qr.qid, qr.cell, c.cid, qr.s,
+       |       sum((qr.v - c.w) * (qr.v - c.w)) AS d2
+       |       FROM qr JOIN c1 c ON c.i = qr.i GROUP BY 1, 2, 3, 4),
+       |cand AS (SELECT p.qid, p.cell, a2.vid FROM rprobes p
+       |         JOIN rassign a2 ON a2.cell = p.cell
+       |         WHERE a2.vid <> p.qid),
+       |sc AS (SELECT cd.qid, cd.vid, sum(ld.d2) AS dist
+       |       FROM cand cd JOIN a ON a.vid = cd.vid
+       |       JOIN ld ON ld.qid = cd.qid AND ld.cell = cd.cell
+       |        AND ld.cid = a.cid AND ld.s = a.s
        |       GROUP BY 1, 2),
        |r AS (SELECT qid, vid, ${sig("dist")} AS adc_d2,
        |      row_number() OVER (PARTITION BY qid
@@ -2671,6 +2736,7 @@ val eventsRollupSql: String =
     "embed_pq" -> embedPqSql,
     "embed_pq_search" -> embedPqSearchSql,
     "embed_ivf_pq" -> embedIvfPqSql,
+    "embed_ivf_pq_residual" -> embedIvfPqResidualSql,
     "text_guard_recall" -> textGuardRecallSql,
     "text_bpe_pairs" -> textBpePairsSql,
     "drift_quantiles" -> driftQuantilesSql,

@@ -296,4 +296,125 @@ class Round9Spec extends SparkSpec {
       "append under the persisted hot set must equal a frozen-hot " +
         "rebuild")
   }
+
+  // ---------------------------------------------------------------
+  // Residual IVF-PQ (the full IVF-ADC shape)
+  // ---------------------------------------------------------------
+
+  /** Clustered vector fixture: 4 latent centers, vector i =
+    * center(i % 4) + small deterministic noise — the regime where
+    * residual encoding's fidelity gain exists (coarse cells absorb
+    * the cluster structure, residuals are the small remainder). */
+  private def clusteredVecs(n: Int, dim: Int, seed: Long,
+      nCenters: Int = 4): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rng = new scala.util.Random(seed)
+    val centers = Array.fill(nCenters, dim)(rng.nextGaussian() * 5.0)
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    spark.createDataFrame(
+      (0 until n).map { i =>
+        val c = centers(i % nCenters)
+        Row(i.toLong,
+          c.toSeq.map(_ + rng.nextGaussian() * 0.3))
+      }.asJava, schema)
+  }
+
+  test("ivfPqResidualTopK: matches an independent residual " +
+      "cells+LUT reconstruction and keeps a window-free tail") {
+    val vecs = clusteredVecs(60, 8, seed = 41L)
+    val out = graft.ops.VectorQuant.ivfPqResidualTopK(vecs, "vec_id",
+      "embedding", ivfLo = 10L, ivfHi = 14L, pqLo = 14L, pqHi = 18L,
+      numQueries = 3, k = 5, nprobe = 2, dim = 8, m = 2)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "residual IVF-PQ ranking tail must be window-free")
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val data = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def sub(a: Array[Double], s: Int) = a.slice(s * 4, s * 4 + 4)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // coarse cells: rounded |c|²−2·v·c, cid tie-break (seeded)
+    def cellRank(v: Array[Double]) =
+      (10L until 14L).map { cid =>
+        val c = data(cid)
+        (graft.det.Sig.sig5(dot(c, c) - 2.0 * dot(v, c)), cid)
+      }.sortBy(identity).map(_._2)
+    val assign = data.view.mapValues(v => cellRank(v).head).toMap
+    // residual of every vector vs ITS cell's centroid
+    val resid = data.map { case (vid, v) =>
+      vid -> v.zip(data(assign(vid))).map { case (x, c) => x - c }
+    }
+    // PQ sub-centroids = residuals of the seed rows [14, 18)
+    def codesOf(r: Array[Double]) = (0 until 2).map { s =>
+      (14L until 18L).map { cid =>
+        val cs = sub(resid(cid), s)
+        val xs = sub(r, s)
+        (graft.det.Sig.sig5(dot(cs, cs) - 2.0 * dot(xs, cs) +
+          dot(xs, xs)), cid)
+      }.min._2
+    }
+    val expected = (0L until 3L).flatMap { qid =>
+      val probes = cellRank(data(qid)).take(2).toSet
+      val ranked = data.keys
+        .filter(vid => vid != qid && probes.contains(assign(vid)))
+        .toSeq.map { vid =>
+          // the query's residual vs the CANDIDATE's cell, scored
+          // against the shared residual codebook
+          val qr = data(qid).zip(data(assign(vid)))
+            .map { case (x, c) => x - c }
+          val dist = (0 until 2).map { s =>
+            d2(sub(qr, s), sub(resid(codesOf(resid(vid))(s)), s))
+          }.sum
+          (graft.det.Sig.sig5(dist), vid)
+        }.sortBy(identity).take(5)
+      ranked.zipWithIndex.map { case ((d, vid), i) =>
+        (qid, i + 1L, vid, d)
+      }
+    }
+    assert(got.toSeq == expected,
+      s"residual IVF-PQ mismatch:\n got ${got.toSeq}\n exp $expected")
+  }
+
+  test("residual encoding beats raw-vector PQ on reconstruction " +
+      "error when the coarse quantizer absorbs cluster structure") {
+    // 8 latent clusters but only 4 PQ codes per subspace: raw PQ
+    // cannot cover the cluster locations, residual PQ only has to
+    // cover the noise ball the coarse quantizer leaves behind
+    val vecs = clusteredVecs(80, 8, seed = 43L, nCenters = 8)
+    val data = vecs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cellOf(v: Array[Double]) =
+      (8L until 16L).map { cid =>
+        val c = data(cid)
+        (graft.det.Sig.sig5(dot(c, c) - 2.0 * dot(v, c)), cid)
+      }.min._2
+    // residual frame built independently of the operator under test
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val resDf = spark.createDataFrame(
+      data.toSeq.sortBy(_._1).map { case (vid, v) =>
+        Row(vid, v.zip(data(cellOf(v)))
+          .map { case (x, c) => x - c }.toSeq)
+      }.asJava, schema)
+    def avgMse(df: DataFrame): Double = {
+      val rows = graft.ops.VectorQuant.pqCodes(df, "vec_id",
+          "embedding", 16L, 20L, dim = 8, m = 2, iters = 2)
+        .select(avg("mse")).collect()
+      rows(0).getDouble(0)
+    }
+    val rawMse = avgMse(vecs)
+    val resMse = avgMse(resDf)
+    assert(resMse < rawMse * 0.5,
+      s"residual mse $resMse should be well under raw mse $rawMse")
+  }
 }
