@@ -74,6 +74,16 @@ object Bench {
     // is reported separately as "wall".
     val reps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // Box-load evidence (VERDICT r9 task 2): the r9 headline was 1.41×
+    // inflated by concurrent work sharing the box, and nothing in the
+    // artifact let a reader separate noise from regression without
+    // re-timing by hand. Record the 1-min system load average before
+    // and after the timed run (OS-level, sees OTHER processes too) so
+    // a contaminated run is machine-detectable: loads well above the
+    // bench's own CPU budget mean the numbers carry external noise.
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadBefore = loadAvg
     val wall0 = System.nanoTime()
     // A failed rep must NOT contribute a timing sample: a query that
     // throws quickly would otherwise report a misleadingly low median
@@ -99,6 +109,13 @@ object Bench {
       (name, median, samples.count(!_._2), good)
     }
     val wall = (System.nanoTime() - wall0) / 1e9
+    val loadAfter = loadAvg
+    // wall/(sum of ALL samples) ≈ 1/overlap under no contention; a
+    // ratio far above it with high load means the box was shared
+    val sumAll = results.flatMap(_._4).sum
+    val loadJson = s""""load_avg_1m":{"before":$loadBefore,""" +
+      s""""after":$loadAfter},"wall_vs_sum":${
+        if (sumAll > 0) "%.3f".format(wall / sumAll) else "null"}"""
     val ordered = results.sortBy(_._2.getOrElse(Double.MaxValue))
     def queriesJson(fmt: Double => String): String =
       ordered.map { case (k, v, _, _) =>
@@ -117,7 +134,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     def line(fmt: Double => String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${queriesJson(fmt)},"spread":$spreadJson,"fails":$failsJson,"sf":"$sfDir","reps":$reps,"wall":${fmt(wall)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${queriesJson(fmt)},"spread":$spreadJson,"fails":$failsJson,"sf":"$sfDir","reps":$reps,"wall":${fmt(wall)},$loadJson}"""
     val pw = new java.io.PrintWriter("bench_full.json")
     try pw.println(line(_.toString)) finally pw.close()
     // Human-readable complete map first (cheapest-first, full
@@ -136,15 +153,24 @@ object Bench {
     }
     val budget = 1700
     val fixedPart =
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"wall":${"%.3f".format(wall)},"fails":$failsJson,"full":"bench_full.json","n_queries":${results.size},"n_shown":NNN,"queries":{}}"""
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"wall":${"%.3f".format(wall)},$loadJson,"fails":$failsJson,"full":"bench_full.json","n_queries":${results.size},"n_shown":NNN,"queries":{}}"""
     var used = fixedPart.length
     val shown = compactEntries.takeWhile { e =>
       val fits = used + e.length + 1 <= budget
       if (fits) used += e.length + 1
       fits
     }
-    println(
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"wall":${"%.3f".format(wall)},"fails":$failsJson,"full":"bench_full.json","n_queries":${results.size},"n_shown":${shown.size},"queries":${shown.mkString("{", ",", "}")}}""")
+    val compactLine =
+      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"wall":${"%.3f".format(wall)},$loadJson,"fails":$failsJson,"full":"bench_full.json","n_queries":${results.size},"n_shown":${shown.size},"queries":${shown.mkString("{", ",", "}")}}"""
+    // The compact line goes out AFTER spark.stop() so no Spark
+    // shutdown logging can print behind it, and build.sbt sets
+    // `run / outputStrategy := StdoutOutput` (no sbt "[info] "
+    // prefix on forked output) + `showSuccess := false` (no
+    // trailing "[success] ..." line) — making this the genuinely
+    // FINAL stdout line, parseable from the driver's tail capture
+    // (the three-round `parsed: null` item).
     spark.stop()
+    System.out.println(compactLine)
+    System.out.flush()
   }
 }

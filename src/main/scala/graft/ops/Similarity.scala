@@ -138,6 +138,58 @@ object Similarity {
       .orderBy("rnk")
   }
 
+  /** ANN-PRUNED margin mining — the corpus-scale form of
+    * [[marginMine]]: candidate pairs come from hyperplane-LSH bucket
+    * collisions (the [[annTopK]] machinery) instead of the dense
+    * |X|·|Y| cross matrix, then [[marginFromPairs]] runs the margin
+    * math over the survivors. This is exactly the mining-pipeline
+    * practice (Artetxe & Schwenk §3.2 retrieve k-NN candidates with
+    * an index, then margin-score the retrieved lists).
+    *
+    * Scale shape: both sides compute their bucket in one map-only
+    * pass; the X side explodes into its bucket + the `bits`
+    * Hamming-1 probe buckets (the [[annTopK]] multiprobe — a
+    * (bits+1)× bounded replication of ONE side, never the corpus
+    * cross product) and the candidate join is a plain shuffle join
+    * on the 8-byte bucket key — pairs scored = colliding pairs only.
+    * Each probe bucket is distinct and each Y vector has exactly one
+    * bucket, so no pair is scored twice. The pair frame is
+    * materialized once ([[marginFromPairs]] reads it three times).
+    * The |X|·|Y| materialize of the dense form appears NOWHERE in
+    * this plan.
+    *
+    * Determinism: same contracts as [[marginMine]] (sig5-rounded
+    * cosines before the bounded neighbor heaps, guarded ratio
+    * margin, rounded again, (margin DESC, src, tgt) total order) —
+    * the bucket decision is the [[lshBucket]] `proj ≥ 1e-12`
+    * threshold the oracle replays with identical plane literals. */
+  def marginMineAnn(x: DataFrame, y: DataFrame, idCol: String,
+      vecCol: String, dim: Int = 64, bits: Int = 8, k: Int = 4,
+      topM: Int = 25, seed: Long = 42L): DataFrame = {
+    require(k >= 1 && topM >= 1, "k and topM must be >= 1")
+    val planes = hyperplanes(bits, dim, seed)
+    def side(df: DataFrame, id: String, v: String, n: String,
+        b: String) =
+      df.where(size(col(vecCol)) === dim)
+        .select(col(idCol).as(id), col(vecCol).as(v),
+          norm(col(vecCol)).as(n),
+          lshBucket(col(vecCol), planes).as(b))
+    val ys = side(y, "yid", "yv", "yn", "yb")
+    // multiprobe the X side: its own bucket + the bits Hamming-1
+    // neighbors (one near-zero projection is the dominant miss mode)
+    val xp = side(x, "xid", "xv", "xn", "xb")
+      .select(col("xid"), col("xv"), col("xn"),
+        explode(array(col("xb") +: (0 until bits).map(j =>
+          col("xb").bitwiseXOR(lit(1L << j))): _*)).as("probe"))
+    val pairs = Materialize.materialize(
+      ys.join(xp, col("yb") === col("probe"))
+        .select(col("xid"), col("yid"),
+          sig5(cosine(dot(col("xv"), col("yv")), col("xn"),
+            col("yn"))).as("cos"))
+        .where(col("cos").isNotNull))
+    marginFromPairs(pairs, k, topM)
+  }
+
   /** Cosine that is NULL (not NaN) for zero-norm vectors: 0/0 = NaN
     * sorts ABOVE every number in Spark and passes >= thresholds, so a
     * failed-encoder all-zero embedding would otherwise rank as the #1

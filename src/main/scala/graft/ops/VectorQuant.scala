@@ -408,12 +408,22 @@ object VectorQuant {
     * queries themselves).
     *
     * Determinism contract: with the SEEDED coarse quantizer
-    * (coarseIters = 1, the declared-query form) residuals are exact
-    * differences of identically-derived doubles — bit-identical
-    * across engines with no rounding guard; all downstream discrete
-    * decisions (cell argmin, probe cutoff, training/encode argmins,
-    * final ranking) compare sig5-rounded scores with id tie-breaks,
-    * exactly the [[ivfPqTopK]] contract. */
+    * (coarseIters = 1) residuals are exact differences of
+    * identically-derived doubles — bit-identical across engines with
+    * no rounding guard. With a TRAINED coarse quantizer
+    * (coarseIters ≥ 2, the declared-query form — the deployed
+    * IVF-ADC index trains its coarse cells too) each centroid
+    * component is a Lloyd AVERAGE whose last ulp differs between
+    * engines (summation order), so both engines residualize against
+    * the CANONICAL sig5-ROUNDED components: r = x − sig5(c). The
+    * subtraction of identically-valued doubles is again exact, so
+    * residuals stay bit-identical and everything downstream keeps
+    * the [[ivfPqTopK]] contract (all discrete decisions — cell
+    * argmin, probe cutoff, training/encode argmins, final ranking —
+    * compare sig5-rounded scores with id tie-breaks). Cell
+    * ASSIGNMENT still ranks against the unrounded centroids (its
+    * scores are sig5-rounded anyway); only the residual subtraction
+    * reads the rounded canon. */
   def ivfPqResidualTopK(df: DataFrame, idCol: String, vecCol: String,
       ivfLo: Long, ivfHi: Long, pqLo: Long, pqHi: Long,
       numQueries: Int = 5, k: Int = 10, nprobe: Int = 4,
@@ -427,13 +437,25 @@ object VectorQuant {
         Similarity.seedCodebook(base, "vid", "v", ivfLo, ivfHi)
       else Similarity.trainedCodebook(base, "vid", "v", ivfLo, ivfHi,
         dim, coarseIters)
+    // the canonical components residualization subtracts: raw seed
+    // rows as-is (exact data), trained averages sig5-rounded (see
+    // the determinism contract above)
+    val resCents =
+      if (coarseIters <= 1) ivfCents
+      else ivfCents.map { case (cid, cv, n2) =>
+        (cid, cv.map(graft.det.Sig.sig5(_: Double)), n2) }
     val withCells = base.select(col("vid"), col("v"),
       Similarity.cellArray(col("v"), ivfCents).as("cells"))
-    val assigned = withCells.select(col("vid"), col("v"),
-      element_at(col("cells"), 1).getField("cid").as("cell"))
+    // materialized: the O(N·C) cellArray argmin would otherwise
+    // re-execute for the training collect, the encode, and the cand
+    // join (the round-7 materialize-before-reuse lesson; codes alone
+    // was not enough — ADVICE r9)
+    val assigned = Materialize.materialize(
+      withCells.select(col("vid"), col("v"),
+        element_at(col("cells"), 1).getField("cid").as("cell")))
     // residualize: map-only exact subtraction against the broadcast
     // centroid map (O(C·dim) literal, the codebook itself)
-    val centMap = typedLit(ivfCents.map { case (cid, cv, _) =>
+    val centMap = typedLit(resCents.map { case (cid, cv, _) =>
       cid -> cv.toSeq }.toMap)
     val resBase = assigned.select(col("vid"),
       zip_with(col("v").cast("array<double>"),
@@ -460,7 +482,7 @@ object VectorQuant {
       .select(col("vid"), col("v").cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
-    val centById = ivfCents.map { case (cid, cv, _) => cid -> cv }.toMap
+    val centById = resCents.map { case (cid, cv, _) => cid -> cv }.toMap
     // one flat LUT over all (query, probed cell) pairs: the query's
     // residual vs that cell, scored against the residual codebook
     val flatLut = probes.toArray.flatMap { case (qid, cell) =>
@@ -490,8 +512,18 @@ object VectorQuant {
       .join(broadcast(probesDf),
         col("vid") =!= col("qid") && col("cell") === col("pcell"))
       .select(col("qid"), col("vid"), col("cell"))
-    val pidx = array_position(typedLit(probeKeys),
-      col("qid") * lit(span) + col("cell")) - 1L
+    // structural guard (ADVICE r9): a (qid, cell) key missing from
+    // probeKeys would make array_position return 0 → pidx −1, and
+    // element_at's NEGATIVE index silently reads from the END of the
+    // flat LUT — corrupt distances instead of a failure. Unreachable
+    // while cand joins the same probesDf the keys were collected
+    // from; raise_error makes a future break of that invariant loud.
+    val pos = array_position(typedLit(probeKeys),
+      col("qid") * lit(span) + col("cell"))
+    val pidx = when(pos >= 1L, pos - 1L).otherwise(
+      raise_error(concat(lit("residual IVF-PQ probe LUT miss: qid="),
+        col("qid").cast("string"), lit(" cell="),
+        col("cell").cast("string"))).cast("long"))
     val dist = (0 until m).map { s =>
       element_at(typedLit(flatLut),
         (pidx * (m * ksz) + col("codes").getItem(s) + lit(s * ksz) + 1)

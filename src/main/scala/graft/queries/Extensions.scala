@@ -148,6 +148,19 @@ object Extensions {
         e.where(col("vec_id") % 2 === 1),
         "vec_id", "embedding", dim = 64, k = 4, topM = 25)
     }),
+    // the SCALE form of margin mining as a first-class query (the
+    // _hash-twin precedent): candidates from hyperplane-LSH bucket
+    // collisions with X-side multiprobe — NO |X|·|Y| materialize
+    // anywhere in the plan — then the identical margin math over the
+    // survivors; the oracle replays buckets (same plane literals),
+    // probes, candidate join, and heaps relationally
+    "embed_margin_mine_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 2000L)
+      Similarity.marginMineAnn(
+        e.where(col("vec_id") % 2 === 0),
+        e.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", dim = 64, bits = 8, k = 4, topM = 25)
+    }),
     // the IVF index-build pass on its own: map-only nearest-cell
     // assignment of every corpus vector against the broadcast
     // codebook — the batch path of the streaming ingest twin
@@ -672,15 +685,18 @@ object Extensions {
     // RESIDUAL IVF-PQ (the full Jégou IVF-ADC shape): the PQ
     // codebook is trained on and encodes r = x − coarse centroid —
     // the refinement that separates a deployed IVF-ADC index from
-    // naive per-cell PQ. Seeded coarse quantizer (residuals stay
-    // exact cross-engine differences), Lloyd-trained residual
-    // codebook (iters = 2), per-(query, probed-cell) LUTs
+    // naive per-cell PQ. TRAINED coarse quantizer (coarseIters = 2,
+    // like embed_ann_ivf/embed_ivf_pq — the deployed index trains
+    // its cells too; residuals subtract the CANONICAL sig5-rounded
+    // centroid components so they stay exact cross-engine
+    // differences), Lloyd-trained residual codebook (iters = 2),
+    // per-(query, probed-cell) LUTs
     "embed_ivf_pq_residual" -> ((s, dir) =>
       VectorQuant.ivfPqResidualTopK(
         t(s, dir, "embeddings").where(col("vec_id") < 2000L),
         "vec_id", "embedding", ivfLo = 100L, ivfHi = 116L,
         pqLo = 120L, pqHi = 152L, numQueries = 5, k = 10,
-        nprobe = 4, dim = 64, m = 8, iters = 2)),
+        nprobe = 4, dim = 64, m = 8, iters = 2, coarseIters = 2)),
     // temperature-scaled mixture quotas: stratum share ∝ n^(1/T)
     // (T = 2 here) — the multilingual re-balancing rule; floor on the
     // sig5-rounded share keeps the discrete quota cross-engine exact
@@ -1814,6 +1830,65 @@ val eventsRollupSql: String =
        |yid AS tgt_id, c AS cosine, margin
        |FROM r WHERE rnk <= 25 ORDER BY rnk""".stripMargin
 
+  /** ANN-pruned margin mining re-derived: the [[embedAnnLshSql]]
+    * bucket CTEs (identical plane literals, `pr >= 1e-12` bit test),
+    * X-side multiprobe (bucket + 8 Hamming-1 neighbors — j = 8 is
+    * the identity probe), candidate pairs = bucket collisions, then
+    * the [[embedMarginMineSql]] margin math verbatim over the
+    * SURVIVING candidates (k-NN means are over the retrieved lists,
+    * exactly the Spark `marginFromPairs` contract). */
+  val embedMarginMineAnnSql: String = {
+    val pv = planesValues(Similarity.hyperplanes(8, 64))
+    s"""WITH planes(pj, i, w) AS (VALUES $pv),
+       |el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i)
+       |       WHERE vec_id < 2000 AND len(embedding) = 64),
+       |proj AS (SELECT e.vec_id, p.pj, sum(e.v * p.w) AS pr
+       |         FROM el e JOIN planes p ON p.i = e.i GROUP BY 1, 2),
+       |bkt AS (SELECT vec_id,
+       |        CAST(sum(CASE WHEN pr >= 1e-12
+       |          THEN CAST(1 AS BIGINT) << pj
+       |          ELSE 0 END) AS BIGINT) AS bucket
+       |        FROM proj GROUP BY 1),
+       |xb AS (SELECT vec_id AS xid, bucket FROM bkt
+       |       WHERE vec_id % 2 = 0),
+       |yb AS (SELECT vec_id AS yid, bucket FROM bkt
+       |       WHERE vec_id % 2 = 1),
+       |probes AS (SELECT xid, CASE WHEN t.j = 8 THEN bucket
+       |             ELSE xor(bucket, CAST(1 AS BIGINT) << t.j) END AS pb
+       |           FROM xb, range(0, 9) t(j)),
+       |cand AS (SELECT p.xid, y.yid FROM probes p
+       |         JOIN yb y ON y.bucket = p.pb),
+       |nr AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY 1),
+       |dp AS (SELECT c.xid, c.yid, sum(a.v * b.v) AS dp
+       |       FROM cand c JOIN el a ON a.vec_id = c.xid
+       |       JOIN el b ON b.vec_id = c.yid AND b.i = a.i
+       |       GROUP BY 1, 2),
+       |cc AS (SELECT xid, yid,
+       |       ${sig("CASE WHEN nx.nrm > 0 AND ny.nrm > 0 THEN dp / (nx.nrm * ny.nrm) END")} AS c
+       |       FROM dp JOIN nr nx ON nx.vec_id = xid
+       |       JOIN nr ny ON ny.vec_id = yid),
+       |cn AS (SELECT * FROM cc WHERE c IS NOT NULL),
+       |ax AS (SELECT xid, avg(c) AS ax FROM (
+       |   SELECT xid, c, row_number() OVER (PARTITION BY xid
+       |     ORDER BY c DESC, yid ASC) AS rn FROM cn)
+       |   WHERE rn <= 4 GROUP BY xid),
+       |ay AS (SELECT yid, avg(c) AS ay FROM (
+       |   SELECT yid, c, row_number() OVER (PARTITION BY yid
+       |     ORDER BY c DESC, xid ASC) AS rn FROM cn)
+       |   WHERE rn <= 4 GROUP BY yid),
+       |m AS (SELECT cn.xid, cn.yid, c,
+       |      ${sig("CASE WHEN (ax + ay) / 2 > 0 THEN c / ((ax + ay) / 2) END")} AS margin
+       |      FROM cn JOIN ax ON ax.xid = cn.xid
+       |      JOIN ay ON ay.yid = cn.yid),
+       |r AS (SELECT xid, yid, c, margin,
+       |      row_number() OVER (ORDER BY margin DESC, xid, yid) AS rnk
+       |      FROM m WHERE margin IS NOT NULL)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, xid AS src_id,
+       |yid AS tgt_id, c AS cosine, margin
+       |FROM r WHERE rnk <= 25 ORDER BY rnk""".stripMargin
+  }
+
   val textTokensSql: String =
     s"""SELECT doc_id,
        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -2544,15 +2619,21 @@ val eventsRollupSql: String =
        |vid AS neighbor_id, adc_d2
        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
 
-  /** RESIDUAL IVF-PQ re-derived: the SEEDED coarse quantizer (rows
-    * [100, 116), no training round — residuals stay exact differences
-    * of identically-derived doubles on both engines), the residual
-    * CTE `rel` (v − assigned-cell centroid, column-compatible with
-    * `el` so [[pqTrainedCtes]] trains the PQ codebook ON RESIDUALS
+  /** RESIDUAL IVF-PQ re-derived: the TRAINED coarse quantizer (seed
+    * rows [100, 116) + one Lloyd round — the [[embedAnnIvfSql]]
+    * replay, r-prefixed), residualization against the CANONICAL
+    * sig5-ROUNDED trained components (`rcw` — a Lloyd average's last
+    * ulp differs between engines, so both subtract the identical
+    * rounded double and residuals stay exact differences; cell
+    * assignment still ranks the unrounded components through
+    * sig5-rounded scores), the residual CTE `rel` (v − rounded
+    * assigned-cell centroid, column-compatible with `el` so
+    * [[pqTrainedCtes]] trains the PQ codebook ON RESIDUALS
     * unchanged), per-(query, probed-cell) LUTs against the trained
     * residual codebook `c1`, and the ADC sum over each candidate
     * through the LUT of ITS cell — mirroring
-    * [[graft.ops.VectorQuant.ivfPqResidualTopK]] at iters = 2. */
+    * [[graft.ops.VectorQuant.ivfPqResidualTopK]] at iters = 2,
+    * coarseIters = 2. */
   val embedIvfPqResidualSql: String =
     s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v,
        |        (i - 1) // 8 AS s
@@ -2563,21 +2644,31 @@ val eventsRollupSql: String =
        |rcn0 AS (SELECT cid, sum(w * w) AS cn2 FROM rc0 GROUP BY 1),
        |rcd0 AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
        |       FROM el a JOIN rc0 c ON c.i = a.i GROUP BY 1, 2),
-       |rrk AS (SELECT vid, rcd0.cid,
+       |rta AS (SELECT vid, cid FROM (
+       |   SELECT vid, rcd0.cid, row_number() OVER (PARTITION BY vid
+       |     ORDER BY ${sig("cn2 - 2 * dp")} ASC, rcd0.cid ASC) AS rn
+       |   FROM rcd0 JOIN rcn0 ON rcn0.cid = rcd0.cid) WHERE rn = 1),
+       |rc1 AS (SELECT rta.cid, el.i, avg(el.v) AS w FROM el
+       |       JOIN rta ON rta.vid = el.vec_id GROUP BY 1, 2),
+       |rcn AS (SELECT cid, sum(w * w) AS cn2 FROM rc1 GROUP BY 1),
+       |rcd AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
+       |       FROM el a JOIN rc1 c ON c.i = a.i GROUP BY 1, 2),
+       |rrk AS (SELECT vid, rcd.cid,
        |       row_number() OVER (PARTITION BY vid
-       |         ORDER BY ${sig("cn2 - 2 * dp")} ASC, rcd0.cid ASC) AS rn
-       |       FROM rcd0 JOIN rcn0 ON rcn0.cid = rcd0.cid),
+       |         ORDER BY ${sig("cn2 - 2 * dp")} ASC, rcd.cid ASC) AS rn
+       |       FROM rcd JOIN rcn ON rcn.cid = rcd.cid),
        |rassign AS (SELECT vid, cid AS cell FROM rrk WHERE rn = 1),
        |rprobes AS (SELECT vid AS qid, cid AS cell FROM rrk
        |           WHERE vid < 5 AND rn <= 4),
+       |rcw AS (SELECT cid, i, ${sig("w")} AS w FROM rc1),
        |rel AS (SELECT e.vec_id, e.i, e.v - c.w AS v, e.s FROM el e
        |       JOIN rassign ra ON ra.vid = e.vec_id
-       |       JOIN rc0 c ON c.cid = ra.cell AND c.i = e.i),
+       |       JOIN rcw c ON c.cid = ra.cell AND c.i = e.i),
        |${pqTrainedCtes(withScore = false, src = "rel")},
        |qr AS (SELECT p.qid, p.cell, e.i, e.v - c.w AS v, e.s
        |       FROM rprobes p
        |       JOIN el e ON e.vec_id = p.qid
-       |       JOIN rc0 c ON c.cid = p.cell AND c.i = e.i),
+       |       JOIN rcw c ON c.cid = p.cell AND c.i = e.i),
        |ld AS (SELECT qr.qid, qr.cell, c.cid, qr.s,
        |       sum((qr.v - c.w) * (qr.v - c.w)) AS d2
        |       FROM qr JOIN c1 c ON c.i = qr.i GROUP BY 1, 2, 3, 4),
@@ -2798,6 +2889,7 @@ val eventsRollupSql: String =
     "embed_kmeans" -> embedKmeansSql,
     "embed_kmeans_convergence" -> embedKmeansConvergenceSql,
     "embed_margin_mine" -> embedMarginMineSql,
+    "embed_margin_mine_ann" -> embedMarginMineAnnSql,
     "pipeline_funnel" -> pipelineFunnelSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,

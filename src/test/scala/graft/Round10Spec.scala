@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Similarity, TextStats, VectorQuant}
+import graft.det.Sig
+
+/** Round-10 additions: the ANN-pruned margin-mining path (driver-side
+  * independent reconstruction + plan-shape assert — no |X|·|Y|
+  * materialize), the trained-coarse residual IVF-PQ contract, and the
+  * boilerplate-report ≡ catalog-frozen-hot-set equality (the
+  * inspectable report explains the dedup behavior). */
+class Round10Spec extends SparkSpec {
+
+  // ---- deterministic synthetic embeddings (dim 8, float) ----
+  private def synthVec(i: Long, dim: Int): Array[Float] =
+    Array.tabulate(dim)(d =>
+      (math.sin(i * 31.0 + d * 7.0) + 0.1 * math.cos(i * 3.0 - d)).toFloat)
+
+  private def synthEmb(n: Int, dim: Int): DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map(i => (i.toLong, synthVec(i.toLong, dim)))
+      .toDF("vec_id", "embedding")
+  }
+
+  // ---- driver-side replication of the ANN margin-mining pipeline ----
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var d = 0
+    while (d < a.length) { s += a(d) * b(d); d += 1 }
+    s
+  }
+
+  /** bit j set iff v·plane_j ≥ 1e-12 — the lshBucket threshold. */
+  private def bucketOf(v: Array[Double],
+      planes: Array[Array[Double]]): Long =
+    planes.zipWithIndex.map { case (p, j) =>
+      if (dot(v, p) >= 1e-12) 1L << j else 0L
+    }.reduce(_ | _)
+
+  test("marginMineAnn equals a driver-side independent " +
+      "reconstruction of buckets, multiprobe candidates and margins") {
+    val dim = 8; val bits = 4; val k = 2; val topM = 10
+    val n = 60
+    val df = synthEmb(n, dim)
+    val x = df.where(col("vec_id") % 2 === 0)
+    val y = df.where(col("vec_id") % 2 === 1)
+    val got = Similarity.marginMineAnn(x, y, "vec_id", "embedding",
+        dim = dim, bits = bits, k = k, topM = topM)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+
+    // independent reconstruction (plain Scala, no Spark)
+    val planes = Similarity.hyperplanes(bits, dim)
+    val vecs = (0 until n).map { i =>
+      i.toLong -> synthVec(i.toLong, dim).map(_.toDouble)
+    }.toMap
+    val nrm = vecs.map { case (i, v) => i -> math.sqrt(dot(v, v)) }
+    val bkt = vecs.map { case (i, v) => i -> bucketOf(v, planes) }
+    val xs = (0 until n).map(_.toLong).filter(_ % 2 == 0)
+    val ys = (0 until n).map(_.toLong).filter(_ % 2 == 1)
+    val pairs = for {
+      xi <- xs
+      probe <- bkt(xi) +: (0 until bits).map(j => bkt(xi) ^ (1L << j))
+      yi <- ys if bkt(yi) == probe
+      if nrm(xi) > 0.0 && nrm(yi) > 0.0
+    } yield (xi, yi,
+      Sig.sig5Col(dot(vecs(xi), vecs(yi)) / (nrm(xi) * nrm(yi))))
+    // k-NN mean per side over the SURVIVING candidates: top-k by
+    // (cos desc, other-id asc), summed in that sorted order (the
+    // TopKByScore explode order Spark's avg consumes)
+    def nnAvg(grouped: Map[Long, Seq[(Long, Double)]])
+        : Map[Long, Double] =
+      grouped.map { case (id, cand) =>
+        val top = cand.sortBy { case (o, c) => (-c, o) }.take(k)
+        id -> top.map(_._2).sum / top.size
+      }
+    val ax = nnAvg(pairs.groupBy(_._1).map { case (i, ps) =>
+      i -> ps.map(p => (p._2, p._3)).toSeq })
+    val ay = nnAvg(pairs.groupBy(_._2).map { case (i, ps) =>
+      i -> ps.map(p => (p._1, p._3)).toSeq })
+    val margins = pairs.flatMap { case (xi, yi, c) =>
+      val den = (ax(xi) + ay(yi)) / 2.0
+      if (den > 0.0) Some((xi, yi, c, Sig.sig5Col(c / den))) else None
+    }
+    val want = margins
+      .sortBy { case (xi, yi, _, m) => (-m, xi, yi) }
+      .take(topM).zipWithIndex
+      .map { case ((xi, yi, c, m), p) =>
+        ((p + 1).toLong, xi, yi, c, m) }
+
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("marginMineAnn plan has no cross product — the |X|·|Y| " +
+      "materialize of the dense form appears nowhere") {
+    val df = synthEmb(60, 8)
+    val plan = Similarity.marginMineAnn(
+        df.where(col("vec_id") % 2 === 0),
+        df.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", dim = 8, bits = 4, k = 2, topM = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "ANN margin mining must not materialize the cross matrix")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "ANN margin mining must join on the bucket key, not nested-loop")
+  }
+
+  test("ANN-pruned margins agree with the dense form on shared " +
+      "pairs' cosines and never exceed its pair set") {
+    val df = synthEmb(60, 8)
+    val x = df.where(col("vec_id") % 2 === 0)
+    val y = df.where(col("vec_id") % 2 === 1)
+    val dense = Similarity.marginMine(x, y, "vec_id", "embedding",
+        dim = 8, k = 2, topM = 1000).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ann = Similarity.marginMineAnn(x, y, "vec_id", "embedding",
+        dim = 8, bits = 4, k = 2, topM = 1000).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(ann.nonEmpty)
+    // every ANN pair exists in the dense matrix with the IDENTICAL
+    // sig5-rounded cosine (the margin denominators legitimately
+    // differ: k-NN means are over the retrieved lists)
+    ann.foreach { case (xi, yi, c) =>
+      assert(dense.get((xi, yi)).contains(c),
+        s"pair ($xi,$yi) cosine $c not in dense result")
+    }
+  }
+
+  test("residual IVF-PQ with trained coarse quantizer: " +
+      "deterministic, ranked, distance-monotone per query") {
+    val df = synthEmb(200, 8)
+    def run() = VectorQuant.ivfPqResidualTopK(df, "vec_id",
+        "embedding", ivfLo = 100L, ivfHi = 104L, pqLo = 110L,
+        pqHi = 114L, numQueries = 3, k = 5, nprobe = 2, dim = 8,
+        m = 4, iters = 2, coarseIters = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val a = run(); val b = run()
+    assert(a.toSeq == b.toSeq, "trained-coarse residual must be " +
+      "a pure function of the data")
+    assert(a.nonEmpty)
+    a.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq,
+        s"query $q ranks not contiguous")
+      assert(sorted.map(_._4).toSeq ==
+        sorted.map(_._4).sorted.toSeq,
+        s"query $q adc_d2 not non-decreasing in rank")
+      assert(rows.map(_._3).distinct.length == rows.length,
+        s"query $q repeated a neighbor")
+    }
+  }
+
+  test("residual IVF-PQ trained-coarse differs from seeded-coarse " +
+      "only through the residual canon (both run green)") {
+    val df = synthEmb(200, 8)
+    val seeded = VectorQuant.ivfPqResidualTopK(df, "vec_id",
+      "embedding", 100L, 104L, 110L, 114L, numQueries = 3, k = 5,
+      nprobe = 2, dim = 8, m = 4, iters = 2, coarseIters = 1)
+      .collect()
+    assert(seeded.nonEmpty)
+  }
+
+  test("boilerplate report's over-cap gram set equals the frozen " +
+      "hot-shingle set the catalog index persists (equal n/maxDf)") {
+    val s = spark
+    import s.implicits._
+    // 30 docs sharing a boilerplate prefix; unique tails
+    val docs = (0 until 30).map { i =>
+      (i.toLong, s"terms of service apply tail$i unique$i words$i")
+    }.toDF("doc_id", "text")
+    val cap = 10L
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_hotset").toString
+    Dedup.writeCatalogIndex(docs, "doc_id", "text", path,
+      n = 3, numHashes = 8, bands = 4, maxDf = Some(cap))
+    val (_, _, _, maxDf, hot) = Dedup.readCatalogMeta(spark, path)
+    assert(maxDf.contains(cap))
+    assert(hot.nonEmpty, "fixture must produce a non-empty hot set")
+
+    // the boilerplate derivation (TextStats.distinctGrams — the
+    // exact gram set the report ranks), filtered at the SAME df cap,
+    // hashed with the dedup family's token-tuple construction
+    val base = docs.where(col("text").isNotNull)
+      .select(split(col("text"), " ").as("ts"))
+    val overCap = base
+      .select(explode(TextStats.distinctGrams(col("ts"), 3)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df_docs"))
+      .where(col("df_docs") > cap)
+    val w = split(col("gram"), " ")
+    val hashed = overCap
+      .select(xxhash64((0 until 3).map(kk =>
+        xxhash64(element_at(w, kk + 1))): _*).as("h"))
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(hashed == hot.sorted,
+      "boilerplate over-cap grams must equal the persisted hot set")
+
+    // and the REPORT surfaces exactly those grams at the head: both
+    // shared 3-grams appear with df_docs = 30
+    val report = TextStats.boilerplateGrams(docs, "doc_id", "text",
+      n = 3, topK = 5).collect()
+    val headGrams = report.filter(_.getLong(2) == 30L)
+      .map(_.getString(1)).toSet
+    assert(headGrams == Set("terms of service", "of service apply"))
+  }
+}

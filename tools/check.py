@@ -16,6 +16,12 @@ import duckdb
 ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
 SF = ARGS[0] if len(ARGS) > 0 else "/root/testdata/sf0.01"
 OUT = ARGS[1] if len(ARGS) > 1 else "/tmp/verify_out"
+# --only=a,b restricts both the Verify run and the compare to the
+# named queries (local iteration; the driver never passes it)
+ONLY = None
+for a in sys.argv[1:]:
+    if a.startswith("--only="):
+        ONLY = set(a[len("--only="):].split(","))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -35,7 +41,8 @@ def run_verify():
     cmd = (["java"] + ADD_OPENS +
            ["-Xmx8g", "-Dspark.ui.enabled=false",
             "-Dspark.sql.session.timeZone=UTC",
-            "-cp", CP, "graft.Verify", SF, OUT])
+            "-cp", CP, "graft.Verify", SF, OUT] +
+           ([",".join(sorted(ONLY))] if ONLY else []))
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_CPUS", "4")
     r = subprocess.run(cmd, capture_output=True, text=True, env=env,
@@ -70,6 +77,8 @@ def main():
     dirs = sorted(set(
         d for d in os.listdir(OUT)
         if os.path.isdir(os.path.join(OUT, d))) | set(oracle))
+    if ONLY:
+        dirs = [d for d in dirs if d in ONLY]
     for name in dirs:
         files = glob.glob(f"{OUT}/{name}/*.parquet")
         if not files:
