@@ -182,8 +182,8 @@ object VectorQuant {
     * |c|²−2·x·c+|x|² expansion, slices and norms projected ONCE,
     * best-struct extracted ONCE per subspace — keeps the plan
     * O(m·k) small nodes. */
-  private def pqEncode(base: DataFrame, cbs: PqCodebook, seedLo: Long,
-      dim: Int, m: Int): DataFrame = {
+  private[ops] def pqEncode(base: DataFrame, cbs: PqCodebook,
+      seedLo: Long, dim: Int, m: Int): DataFrame = {
     val dsub = dim / m
     val sliced = base.select(
       col("vid") +: (0 until m).flatMap { s =>

