@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.det.Sig
+import graft.det.Sig.sig5
+
+/** Embedding-QUALITY evaluation against a labeled column — the
+  * checks a pipeline runs before trusting an embedding space for
+  * semantic dedup, ANN retrieval, or diversity sampling. The
+  * `embeddings.label` column is the ground truth (class id per
+  * vector).
+  *
+  * Two reports:
+  *  - [[knnLabelAgreement]]: k-NN majority-vote label prediction —
+  *    the standard retrieval-quality probe (a good space retrieves
+  *    same-class neighbors).
+  *  - [[labelStats]]: per-class separability — cohesion (mean cosine
+  *    of members to their class centroid) and separation (the
+  *    nearest OTHER centroid's cosine): Fisher-style "are the
+  *    classes blobs or soup" numbers.
+  *
+  * Scale shape: centroids are an O(L·dim) bounded aggregation
+  * (map-side combine, shuffle volume independent of row count)
+  * collected once as driver/broadcast state — the KMeansOp recompute
+  * step keyed by label instead of cell; every per-vector score is
+  * then a MAP-ONLY pass against the broadcast centroid map. The k-NN
+  * probe composes the existing [[Similarity]] machinery (brute-force
+  * here — the oracle-exact baseline; at corpus scale feed
+  * [[Similarity.annTopK]]/[[Similarity.ivfTopK]] instead, identical
+  * downstream vote).
+  *
+  * Determinism: votes and argmax picks compare integers (exact);
+  * every cosine is sig5-rounded before any average or ranking;
+  * centroid-vs-centroid decisions rank rounded values with label
+  * tie-break (the engine contract). */
+object EmbedEval {
+
+  /** k-NN label agreement: for each query row (`idCol` <
+    * `numQueries`), retrieve the k nearest neighbors by exact cosine
+    * and majority-vote their labels (ties → smaller label id).
+    * Returns (query_id, true_label, pred_label, n_votes, correct)
+    * ordered by query_id. `n_votes` is the winning label's neighbor
+    * count — a confidence proxy. */
+  def knnLabelAgreement(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, numQueries: Int = 20, k: Int = 10)
+      : DataFrame = {
+    val nb = Similarity.cosineTopK(df, idCol, vecCol, numQueries, k)
+    val lbl = df.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("long").as("label"))
+    // vote counts are integers: the (count DESC, label ASC) argmax
+    // is exact on both engines — encoded as max over a
+    // lexicographic (cnt, −label) struct, no window
+    val pred = nb.join(lbl, "neighbor_id")
+      .groupBy("query_id", "label").agg(count(lit(1)).as("cnt"))
+      .groupBy("query_id")
+      .agg(max(struct(col("cnt"),
+        (-col("label")).as("nl"))).as("w"))
+      .select(col("query_id"), col("w.cnt").as("n_votes"),
+        (-col("w.nl")).as("pred_label"))
+    val truth = df.where(col(idCol) < numQueries)
+      .select(col(idCol).as("query_id"),
+        col(labelCol).cast("long").as("true_label"))
+    pred.join(truth, "query_id")
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        col("n_votes"),
+        (col("true_label") === col("pred_label")).as("correct"))
+      .orderBy("query_id")
+  }
+
+  /** Per-class separability report: (label, n, cohesion, nn_label,
+    * separation) — cohesion = mean sig5-rounded cosine of members to
+    * their class centroid; nn_label/separation = the nearest OTHER
+    * class centroid by rounded cosine (ties → smaller label) and its
+    * value. Healthy embeddings show cohesion ≫ separation. */
+  def labelStats(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, dim: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.where(size(col(vecCol)) === dim)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"),
+        col(labelCol).cast("long").as("label"))
+    // per-label centroids: the KMeansOp recompute step keyed by
+    // label — bounded shuffle, O(L·dim) driver state
+    val cents = KMeansOp.recomputeCentroids(
+      base.select(col("label").as("cell"), col("v")), dim)
+    require(cents.nonEmpty, "no labeled vectors")
+    val centMap = typedLit(cents.map { case (l, cv) =>
+      l -> cv.toSeq }.toMap)
+    // map-only cohesion pass against the broadcast centroid map
+    val c = element_at(centMap, col("label"))
+    val coh = base.select(col("label"),
+        sig5(Similarity.cosine(Similarity.dot(col("v"), c),
+          Similarity.norm(col("v")), Similarity.norm(c))).as("coh"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sig5(avg(col("coh"))).as("cohesion"))
+    // centroid-vs-centroid separation: O(L²) driver arithmetic on
+    // the collected codebook (L tiny), rounded-decision argmax
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var d = 0
+      while (d < a.length) { s += a(d) * b(d); d += 1 }
+      s
+    }
+    val sepRows = cents.map { case (l, cv) =>
+      val nl = math.sqrt(dotA(cv, cv))
+      val others = cents.filter(_._1 != l).flatMap { case (m, mv) =>
+        val nm = math.sqrt(dotA(mv, mv))
+        if (nl > 0.0 && nm > 0.0)
+          Some((Sig.sig5Col(dotA(cv, mv) / (nl * nm)), m))
+        else None
+      }
+      if (others.isEmpty) (l, None: Option[Long], None: Option[Double])
+      else {
+        val best = others.minBy { case (cos, m) => (-cos, m) }
+        (l, Some(best._2), Some(best._1))
+      }
+    }.toSeq
+    import spark.implicits._
+    val sep = sepRows.toDF("label", "nn_label", "separation")
+    coh.join(sep, "label")
+      .select(col("label"), col("n"), col("cohesion"),
+        col("nn_label"), col("separation"))
+      .orderBy("label")
+  }
+}

@@ -161,6 +161,22 @@ object Extensions {
         e.where(col("vec_id") % 2 === 1),
         "vec_id", "embedding", dim = 64, bits = 8, k = 4, topM = 25)
     }),
+    // embedding-quality eval against the labeled column (the checks
+    // run BEFORE trusting a space for semantic dedup / ANN): k-NN
+    // majority-vote label agreement — integer votes, (cnt DESC,
+    // label ASC) argmax as a struct max, no windows
+    "embed_knn_label" -> ((s, dir) =>
+      EmbedEval.knnLabelAgreement(
+        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
+        "vec_id", "embedding", "label", numQueries = 20, k = 10)),
+    // per-class separability: cohesion (members → own centroid) vs
+    // separation (nearest OTHER centroid) — centroids are one
+    // bounded O(L·dim) aggregation collected as broadcast state,
+    // cohesion a map-only pass
+    "embed_label_stats" -> ((s, dir) =>
+      EmbedEval.labelStats(
+        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
+        "vec_id", "embedding", "label", dim = 64)),
     // the IVF index-build pass on its own: map-only nearest-cell
     // assignment of every corpus vector against the broadcast
     // codebook — the batch path of the streaming ingest twin
@@ -1889,6 +1905,80 @@ val eventsRollupSql: String =
        |FROM r WHERE rnk <= 25 ORDER BY rnk""".stripMargin
   }
 
+  /** k-NN label agreement re-derived: the [[embedCosineSql]] exact
+    * top-k CTEs with Q = 20 queries, then integer vote counts and
+    * the (cnt DESC, label ASC) argmax as a row_number pick — the
+    * Spark struct-max twin. */
+  val embedKnnLabelSql: String = {
+    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |            FROM embeddings, range(1, 65) t(i)
+       |            WHERE vec_id < 2000),
+       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY vec_id),
+       |dot AS (SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.v * b.v) AS dp
+       |        FROM el a JOIN el b ON a.i = b.i AND b.vec_id <> a.vec_id
+       |        WHERE a.vec_id < 20 GROUP BY 1, 2),
+       |cos AS (SELECT qid, vid, $cosExpr AS cosine
+       |        FROM dot JOIN nrm na ON na.vec_id = dot.qid
+       |        JOIN nrm nb ON nb.vec_id = dot.vid),
+       |nb AS (SELECT qid, vid FROM (
+       |   SELECT qid, vid, row_number() OVER (PARTITION BY qid
+       |     ORDER BY cosine DESC, vid ASC) AS rnk FROM cos)
+       |   WHERE rnk <= 10),
+       |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+       |       FROM embeddings WHERE vec_id < 2000),
+       |votes AS (SELECT nb.qid, lb.label, count(*) AS cnt
+       |          FROM nb JOIN lb ON lb.vec_id = nb.vid GROUP BY 1, 2),
+       |pick AS (SELECT qid, label AS pred_label, cnt AS n_votes FROM (
+       |   SELECT qid, label, cnt, row_number() OVER (PARTITION BY qid
+       |     ORDER BY cnt DESC, label ASC) AS rn FROM votes)
+       |   WHERE rn = 1)
+       |SELECT p.qid AS query_id, t.label AS true_label, p.pred_label,
+       |CAST(p.n_votes AS BIGINT) AS n_votes,
+       |t.label = p.pred_label AS correct
+       |FROM pick p JOIN lb t ON t.vec_id = p.qid
+       |ORDER BY query_id""".stripMargin
+  }
+
+  /** Per-class separability re-derived: per-label centroids as
+    * (label, dim) averages, member→centroid cosines rounded then
+    * averaged (rounded again), centroid-pair cosines rounded with a
+    * (cos DESC, label ASC) nearest-other pick — mirroring
+    * [[graft.ops.EmbedEval.labelStats]]'s broadcast-centroid map
+    * pass and driver-side argmax. */
+  val embedLabelStatsSql: String =
+    s"""WITH el AS (SELECT vec_id, CAST(label AS BIGINT) AS label, i,
+       |        CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i)
+       |       WHERE vec_id < 2000 AND len(embedding) = 64),
+       |cent AS (SELECT label, i, avg(v) AS w FROM el GROUP BY 1, 2),
+       |cn AS (SELECT label, sqrt(sum(w * w)) AS cnrm FROM cent GROUP BY 1),
+       |vn AS (SELECT vec_id, sqrt(sum(v * v)) AS vnrm FROM el GROUP BY 1),
+       |dp AS (SELECT e.vec_id, e.label, sum(e.v * c.w) AS dp
+       |       FROM el e JOIN cent c ON c.label = e.label AND c.i = e.i
+       |       GROUP BY 1, 2),
+       |coh0 AS (SELECT dp.label,
+       |       ${sig("CASE WHEN vnrm > 0 AND cnrm > 0 THEN dp / (vnrm * cnrm) END")} AS coh
+       |       FROM dp JOIN vn ON vn.vec_id = dp.vec_id
+       |       JOIN cn ON cn.label = dp.label),
+       |coh AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+       |        ${sig("avg(coh)")} AS cohesion FROM coh0 GROUP BY 1),
+       |cc AS (SELECT a.label AS la, b.label AS lb2, sum(a.w * b.w) AS dp
+       |       FROM cent a JOIN cent b ON b.i = a.i AND b.label <> a.label
+       |       GROUP BY 1, 2),
+       |sep0 AS (SELECT la, lb2,
+       |        ${sig("CASE WHEN na.cnrm > 0 AND nb.cnrm > 0 THEN dp / (na.cnrm * nb.cnrm) END")} AS cos
+       |        FROM cc JOIN cn na ON na.label = la
+       |        JOIN cn nb ON nb.label = lb2),
+       |sep AS (SELECT la AS label, lb2 AS nn_label, cos AS separation
+       |        FROM (SELECT la, lb2, cos,
+       |          row_number() OVER (PARTITION BY la
+       |            ORDER BY cos DESC, lb2 ASC) AS rn
+       |          FROM sep0 WHERE cos IS NOT NULL) WHERE rn = 1)
+       |SELECT c.label, c.n, c.cohesion, s.nn_label, s.separation
+       |FROM coh c LEFT JOIN sep s ON s.label = c.label
+       |ORDER BY c.label""".stripMargin
+
   val textTokensSql: String =
     s"""SELECT doc_id,
        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -2890,6 +2980,8 @@ val eventsRollupSql: String =
     "embed_kmeans_convergence" -> embedKmeansConvergenceSql,
     "embed_margin_mine" -> embedMarginMineSql,
     "embed_margin_mine_ann" -> embedMarginMineAnnSql,
+    "embed_knn_label" -> embedKnnLabelSql,
+    "embed_label_stats" -> embedLabelStatsSql,
     "pipeline_funnel" -> pipelineFunnelSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{AnnIndex, Dedup, Similarity, TextStats, VectorQuant}
+import graft.ops.{AnnIndex, Dedup, EmbedEval, Similarity, TextStats,
+  VectorQuant}
 import graft.det.Sig
 
 /** Round-10 additions: the ANN-pruned margin-mining path (driver-side
@@ -260,6 +261,58 @@ class Round10Spec extends SparkSpec {
         k = 5, nprobe = 2)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cell"))
+  }
+
+  // ---- embedding-quality eval (labeled column) ----
+
+  /** Cleanly clustered labeled fixture: label = id mod 4, vector =
+    * the label's direction + small per-id perturbation — k-NN and
+    * separability have known right answers. */
+  private def labeledEmb(n: Int, dim: Int): DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0 until n).map { i =>
+      val lbl = i % 4
+      val v = Array.tabulate(dim)(d =>
+        (math.sin((lbl + 1.0) * (d + 1.0)) +
+          0.05 * math.sin(i * 7.0 + d)).toFloat)
+      (i.toLong, v, lbl)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("knnLabelAgreement on a cleanly clustered corpus predicts " +
+      "every query's own label with a full vote") {
+    val df = labeledEmb(120, 8)
+    val got = EmbedEval.knnLabelAgreement(df, "vec_id", "embedding",
+        "label", numQueries = 8, k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(got.length == 8)
+    got.foreach { case (q, t, p, votes, correct) =>
+      assert(correct && t == p && votes == 5L,
+        s"query $q: true=$t pred=$p votes=$votes")
+      assert(t == q % 4)
+    }
+  }
+
+  test("labelStats: cohesion ≫ separation on clustered data, " +
+      "nn picks are symmetric-sane, deterministic") {
+    val df = labeledEmb(120, 8)
+    def run() = EmbedEval.labelStats(df, "vec_id", "embedding",
+        "label", dim = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    val a = run()
+    assert(a.toSeq == run().toSeq)
+    assert(a.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    a.foreach { case (l, n, coh, nn, sep) =>
+      assert(n == 30L)
+      assert(coh > 0.99, s"label $l cohesion $coh")
+      assert(coh > sep, s"label $l cohesion $coh !> separation $sep")
+      assert(nn != l && nn >= 0 && nn < 4)
+    }
   }
 
   test("boilerplate report's over-cap gram set equals the frozen " +
