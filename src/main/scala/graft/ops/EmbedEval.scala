@@ -68,6 +68,40 @@ object EmbedEval {
       .orderBy("query_id")
   }
 
+  /** Cluster purity: assign every vector to its nearest seed
+    * centroid (the [[KMeansOp]] seeded cells — corpus rows
+    * [seedLo, seedHi), one pure-assignment round so the whole
+    * computation is closed-form) and report, per cell, how label-
+    * homogeneous it is: (cluster_id, n, top_label, top_n, purity).
+    * THE check that a clustering used for SemDeDup-style semantic
+    * dedup or diversity sampling actually tracks the semantic
+    * classes — purity ≈ 1 means cell-scoped decisions are
+    * class-scoped decisions.
+    *
+    * Scale shape: the map-only assignment pass (broadcast codebook,
+    * no shuffle) + one (cell, label) count aggregation; the argmax
+    * is the same windowless integer struct-max as
+    * [[knnLabelAgreement]]. */
+  def clusterPurity(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, seedLo: Long, seedHi: Long, dim: Int = 64)
+      : DataFrame = {
+    val base = df.where(size(col(vecCol)) === dim)
+      .select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val assigned = KMeansOp.assignCells(base,
+      KMeansOp.seedCentroids(base, seedLo, seedHi))
+      .select(col("vid"), col("cell"))
+      .join(df.select(col(idCol).as("vid"),
+        col(labelCol).cast("long").as("label")), "vid")
+    assigned.groupBy("cell", "label").agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cell").as("cluster_id"))
+      .agg(sum(col("cnt")).as("n"),
+        max(struct(col("cnt"), (-col("label")).as("nl"))).as("w"))
+      .select(col("cluster_id"), col("n"),
+        (-col("w.nl")).as("top_label"), col("w.cnt").as("top_n"),
+        sig5(col("w.cnt").cast("double") / col("n")).as("purity"))
+      .orderBy("cluster_id")
+  }
+
   /** Per-class separability report: (label, n, cohesion, nn_label,
     * separation) — cohesion = mean sig5-rounded cosine of members to
     * their class centroid; nn_label/separation = the nearest OTHER

@@ -177,6 +177,14 @@ object Extensions {
       EmbedEval.labelStats(
         t(s, dir, "embeddings").where(col("vec_id") < 2000L),
         "vec_id", "embedding", "label", dim = 64)),
+    // cluster purity: do the seeded kmeans cells (the embed_kmeans
+    // seed rows) track the label classes? purity ≈ 1 means
+    // cell-scoped dedup/sampling decisions are class-scoped
+    "embed_cluster_purity" -> ((s, dir) =>
+      EmbedEval.clusterPurity(
+        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
+        "vec_id", "embedding", "label", seedLo = 120L,
+        seedHi = 136L, dim = 64)),
     // the IVF index-build pass on its own: map-only nearest-cell
     // assignment of every corpus vector against the broadcast
     // codebook — the batch path of the streaming ingest twin
@@ -1979,6 +1987,41 @@ val eventsRollupSql: String =
        |FROM coh c LEFT JOIN sep s ON s.label = c.label
        |ORDER BY c.label""".stripMargin
 
+  /** Cluster purity re-derived: the seed-assignment CTEs (the
+    * [[embedIvfAssignSql]] pattern over the embed_kmeans seed rows
+    * [120, 136)), label votes per cell, and the (cnt DESC, label
+    * ASC) argmax as a row_number pick — the Spark struct-max twin;
+    * purity = top_n / n on integer operands, rounded identically. */
+  val embedClusterPuritySql: String =
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i)
+       |       WHERE vec_id < 2000 AND len(embedding) = 64),
+       |cn AS (SELECT vec_id AS cid, sum(v * v) AS cn2 FROM el
+       |       WHERE vec_id BETWEEN 120 AND 135 GROUP BY 1),
+       |cd AS (SELECT a.vec_id AS vid, c.vec_id AS cid, sum(a.v * c.v) AS dp
+       |       FROM el a JOIN el c ON c.i = a.i
+       |       AND c.vec_id BETWEEN 120 AND 135 GROUP BY 1, 2),
+       |sc AS (SELECT vid, cd.cid, ${sig("cn2 - 2 * dp")} AS score
+       |       FROM cd JOIN cn ON cn.cid = cd.cid),
+       |asg AS (SELECT vid, cid AS cell FROM (
+       |  SELECT vid, cid, row_number() OVER (PARTITION BY vid
+       |    ORDER BY score ASC, cid ASC) AS rn FROM sc) WHERE rn = 1),
+       |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+       |       FROM embeddings WHERE vec_id < 2000),
+       |votes AS (SELECT cell, label, count(*) AS cnt
+       |          FROM asg JOIN lb ON lb.vec_id = asg.vid GROUP BY 1, 2),
+       |tot AS (SELECT cell, CAST(sum(cnt) AS BIGINT) AS n
+       |        FROM votes GROUP BY 1),
+       |pick AS (SELECT cell, label AS top_label, cnt AS top_n FROM (
+       |  SELECT cell, label, cnt, row_number() OVER (PARTITION BY cell
+       |    ORDER BY cnt DESC, label ASC) AS rn FROM votes)
+       |  WHERE rn = 1)
+       |SELECT t.cell AS cluster_id, t.n, p.top_label,
+       |CAST(p.top_n AS BIGINT) AS top_n,
+       |${sig("CAST(p.top_n AS DOUBLE) / t.n")} AS purity
+       |FROM tot t JOIN pick p ON p.cell = t.cell
+       |ORDER BY cluster_id""".stripMargin
+
   val textTokensSql: String =
     s"""SELECT doc_id,
        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -2982,6 +3025,7 @@ val eventsRollupSql: String =
     "embed_margin_mine_ann" -> embedMarginMineAnnSql,
     "embed_knn_label" -> embedKnnLabelSql,
     "embed_label_stats" -> embedLabelStatsSql,
+    "embed_cluster_purity" -> embedClusterPuritySql,
     "pipeline_funnel" -> pipelineFunnelSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,

@@ -315,6 +315,24 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("clusterPurity on clustered data: every seeded cell is pure " +
+      "and its top label is the seed row's own label") {
+    val df = labeledEmb(200, 8)
+    val got = EmbedEval.clusterPurity(df, "vec_id", "embedding",
+        "label", seedLo = 120L, seedHi = 136L, dim = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    assert(got.map(_._2).sum == 200L, "every vector assigned once")
+    got.foreach { case (cell, n, topLabel, topN, purity) =>
+      assert(topLabel == cell % 4,
+        s"cell $cell top label $topLabel != seed label ${cell % 4}")
+      assert(purity == 1.0 && topN == n,
+        s"cell $cell impure: purity=$purity")
+    }
+  }
+
   test("boilerplate report's over-cap gram set equals the frozen " +
       "hot-shingle set the catalog index persists (equal n/maxDf)") {
     val s = spark
