@@ -180,16 +180,38 @@ object AnnIndex {
 
   // ---- internals ----
 
-  /** (vec_id, codes, mse, cell): the two map-only encode passes
-    * joined on the id — the shared tail of build and append. */
-  private def encodeWithCell(base: DataFrame,
+  /** (vec_id, codes, mse, cell) in ONE stateless projection — cell
+    * assignment and all m PQ argmins computed from the same row, no
+    * join, no sort, no shuffle. Being a pure per-row map makes it
+    * legal verbatim on a STREAMING DataFrame (the ingest twin,
+    * [[graft.streaming.StreamProfiler.annEncodeStream]]); slices are
+    * projected once and the argmin structs extracted once per
+    * subspace (the [[VectorQuant.pqEncode]] expression-economy
+    * contract). Values are bit-identical to pqEncode ∘ ivfAssign:
+    * same rounded argmins, same tie-breaks. */
+  private[graft] def encodeWithCell(base: DataFrame,
       ivfCents: Seq[(Long, Array[Double], Double)],
       cbs: VectorQuant.PqCodebook, pqLo: Long, dim: Int, m: Int)
       : DataFrame = {
-    val assigned = Similarity
-      .ivfAssign(base, "vid", "v", ivfCents, dim)
-    VectorQuant.pqEncode(base, cbs, pqLo, dim, m)
-      .join(assigned, "vec_id")
+    val dsub = dim / m
+    val sliced = base.select(
+      col("vid") +:
+        element_at(Similarity.cellArray(col("v"), ivfCents), 1)
+          .getField("cid").as("cell") +:
+        (0 until m).map(s =>
+          slice(col("v"), s * dsub + 1, dsub).as(s"x$s")): _*)
+    val withBest = sliced.select(
+      col("vid") +: col("cell") +: (0 until m).map { s =>
+        graft.functions.PqArgMin.pq_argmin(col(s"x$s"), cbs(s),
+          includeNorm = true).as(s"b$s")
+      }: _*)
+    withBest.select(col("vid").as("vec_id"),
+      array((0 until m).map(s =>
+        col(s"b$s").getField("cid") - lit(pqLo)): _*).as("codes"),
+      graft.det.Sig.sig5((0 until m).map(s =>
+          col(s"b$s").getField("score")).reduce(_ + _) / dim.toDouble)
+        .as("mse"),
+      col("cell"))
   }
 
   private def writeCodebooks(spark: SparkSession, path: String,
@@ -211,7 +233,7 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  private def readCodebooks(spark: SparkSession, path: String,
+  private[graft] def readCodebooks(spark: SparkSession, path: String,
       meta: Meta)
       : (Seq[(Long, Array[Double], Double)], VectorQuant.PqCodebook) = {
     val coarse = spark.read.parquet(s"$path/coarse").collect()

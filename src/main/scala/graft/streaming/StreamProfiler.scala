@@ -390,6 +390,29 @@ object StreamProfiler {
       : DataFrame =
     graft.ops.Similarity.ivfAssign(vecs, idCol, vecCol, cents, dim)
 
+  /** Streaming ANN-index ingest — the streaming twin of
+    * [[graft.ops.AnnIndex.appendAnnIndex]]: each arriving vector is
+    * coarse-cell-assigned AND PQ-encoded against the persisted
+    * index's FROZEN codebooks (loaded once at stream setup — static
+    * driver state, exactly like the IVF codebook above) in one
+    * stateless projection — no shuffle, no state store, no
+    * watermark, append-mode legal. Returns (vec_id, codes, mse,
+    * cell); point the sink at the index's `codes` dir partitioned by
+    * `cell` and the persisted index grows continuously with probe ≡
+    * batch-append equality by construction (same expression tree —
+    * batch-equivalence unit-tested). */
+  def annEncodeStream(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, vecs: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    import graft.ops.AnnIndex
+    val meta = AnnIndex.readMeta(spark, indexPath)
+    val (ivfCents, cbs) = AnnIndex.readCodebooks(spark, indexPath, meta)
+    AnnIndex.encodeWithCell(
+      vecs.where(size(col(vecCol)) === meta.dim)
+        .select(col(idCol).as("vid"), col(vecCol).as("v")),
+      ivfCents, cbs, meta.pqLo, meta.dim, meta.m)
+  }
+
   /** Streaming leakage-aware split routing — the ingest-time twin of
     * [[graft.ops.Sampling.splitAssign]]: each arriving document is
     * routed to train/val/test by the MINSTD mille of its near-dup
