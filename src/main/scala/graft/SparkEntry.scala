@@ -14,8 +14,10 @@ object SparkEntry {
       spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Core.queries ++ graft.queries.Extensions.queries
+    graft.queries.Core.queries ++ graft.queries.Extensions.queries ++
+      graft.queries.QualityQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Core.oracle ++ graft.queries.Extensions.oracle
+    graft.queries.Core.oracle ++ graft.queries.Extensions.oracle ++
+      graft.queries.QualityQueries.oracle
 }

@@ -529,4 +529,31 @@ object StreamProfiler {
       .select(unix_micros(col("window.start")).as("window_start_us") +:
         graft.ops.Drift.refDriftStats(refCounts): _*)
   }
+
+  /** Continuous data-quality gate: [[graft.ops.Quality]] check suites
+    * evaluated per tumbling event-time window — the streaming twin of
+    * `Quality.runChecks`, sharing the SAME compiled metric aggregates
+    * and result expressions (one definition site, the twins cannot
+    * drift). Uniqueness is forced through HLL++
+    * (`approx_count_distinct`) because exact count(DISTINCT) is not
+    * streamable; every other metric is a plain conditional count /
+    * mean whose partial state the window store merges in O(1) per
+    * column. Emits (window_start_us, check_type, col_name, observed,
+    * lo, hi, passed) on window close (append mode with watermark) —
+    * the shape a downstream alerting sink consumes directly. */
+  def windowedQualityChecks(events: DataFrame, tsCol: String,
+      checks: Seq[graft.ops.Quality.Check],
+      watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame = {
+    val aggs = graft.ops.Quality.compiledAggs(checks, approxUnique = true)
+    events
+      .withColumn("__ts", eventTime(events, tsCol))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowLen))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        explode(array(
+          graft.ops.Quality.resultStructs(checks): _*)).as("s"))
+      .select("window_start_us", "s.*")
+  }
 }

@@ -462,4 +462,52 @@ class StreamingSpec extends SparkSpec {
       assert(!streamed(2L)) // no false positives on this fixture
     } finally q.stop()
   }
+
+  test("windowed quality checks: per-window suite merges across " +
+      "micro-batches and equals the batch twin on the window's rows") {
+    import graft.ops.Quality
+    import graft.ops.Quality._
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val checks = Seq(
+      Completeness("value", 1.0),
+      InRange("value", 0.0, 5.0, 1.0),
+      InSet("event_type", Seq("a", "b"), 1.0),
+      Uniqueness("event_type", 0.5),
+      MeanBetween("value", 0.0, 4.0),
+      RowCountBetween(1L, 100L))
+    val mem = MemoryStream[Ev]
+    val q = StreamProfiler.windowedQualityChecks(
+        mem.toDF(), "ts", checks, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("qchecks")
+      .outputMode("append").start()
+    try {
+      // one window fed across TWO micro-batches (state must merge);
+      // the 9.0 value makes in_range FAIL at 3/4
+      mem.addData(Ev(t(1), "a", 2.0), Ev(t(2), "b", 4.0))
+      q.processAllAvailable()
+      mem.addData(Ev(t(3), "a", 9.0), Ev(t(4), "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(t(4000), "a", 1.0)) // close the window
+      q.processAllAvailable()
+      val streamRows = sql.table("qchecks").collect()
+        .filter(_.getAs[Long]("window_start_us") == 0L)
+        .map(r => (r.getAs[String]("check_type"),
+          r.getAs[String]("col_name"), r.getAs[Double]("observed"),
+          r.getAs[Long]("passed"))).toSet
+      val batchRows = Quality.runChecks(
+          Seq(Ev(t(1), "a", 2.0), Ev(t(2), "b", 4.0),
+            Ev(t(3), "a", 9.0), Ev(t(4), "a", 1.0)).toDF(),
+          checks, approxUnique = true)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+          r.getLong(5))).toSet
+      assert(streamRows == batchRows)
+      val byType = streamRows.map(t4 => t4._1 -> t4).toMap
+      assert(byType("in_range")._4 == 0L)     // 0.75 < 1.0
+      assert(byType("completeness")._4 == 1L)
+      assert(byType("row_count")._3 == 4.0)
+    } finally q.stop()
+  }
 }
