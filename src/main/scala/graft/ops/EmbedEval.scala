@@ -155,4 +155,130 @@ object EmbedEval {
         col("nn_label"), col("separation"))
       .orderBy("label")
   }
+
+  /** Per-DIMENSION embedding health report — the "is this embedding
+    * column usable" scan run before any ANN/dedup/clustering work:
+    * per dimension (0-based) n/mean/std/min/max plus the zero
+    * fraction and a dead-dimension flag (sig5-rounded std below
+    * 1e-9 — a constant coordinate carries no signal and silently
+    * wastes index bits), and one summary row at `dim_idx = -1` with
+    * the same statistics over the per-vector L2 NORM (zero-norm
+    * vectors there are undeduplicatable/unsearchable rows).
+    *
+    * Scale shape: the per-dim block posexplodes to dim× rows but
+    * partial aggregation folds each partition to O(dim) groups
+    * before the shuffle (dim groups total, independent of N); the
+    * norm block is a map-only array fold into one single-row
+    * aggregate. Two parallel scans, no joins, no windows.
+    *
+    * Determinism: raw per-dim min/max are exact data values
+    * (unrounded); every computed statistic (mean/std/zero-fraction
+    * and ALL norm-row stats — norms are computed floats) is
+    * sig5-rounded; the dead flag compares the ROUNDED std so both
+    * engines decide on identical doubles. */
+  def dimProfile(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame = {
+    val base = df.where(size(col(vecCol)) === dim)
+    val ex = base.select(
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("p", "v")))
+    val perDim = ex.groupBy(col("p").cast("long").as("dim_idx"))
+      .agg(count(col("v")).as("n"),
+        sig5(avg(col("v"))).as("mean"),
+        sig5(stddev_samp(col("v"))).as("std"),
+        min(col("v")).as("min_val"),
+        max(col("v")).as("max_val"),
+        sig5(count(when(col("v") === 0.0, 1)).cast("double") /
+          count(col("v")).cast("double")).as("p_zero"))
+      .withColumn("is_dead",
+        when(col("std") < 1e-9, 1L).otherwise(0L))
+    val norms = base.select(sqrt(aggregate(
+      transform(col(vecCol), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)).as("norm"))
+    val normRow = norms.agg(count(col("norm")).as("n"),
+        sig5(avg(col("norm"))).as("mean"),
+        sig5(stddev_samp(col("norm"))).as("std"),
+        sig5(min(col("norm"))).as("min_val"),
+        sig5(max(col("norm"))).as("max_val"),
+        sig5(count(when(col("norm") === 0.0, 1)).cast("double") /
+          count(col("norm")).cast("double")).as("p_zero"))
+      .select(lit(-1L).as("dim_idx"), col("n"), col("mean"),
+        col("std"), col("min_val"), col("max_val"), col("p_zero"),
+        lit(0L).as("is_dead"))
+    perDim.select(col("dim_idx"), col("n"), col("mean"), col("std"),
+        col("min_val"), col("max_val"), col("p_zero"), col("is_dead"))
+      .unionAll(normRow)
+      .orderBy("dim_idx")
+  }
+
+  /** Embedding-space ANISOTROPY: the fraction of total variance the
+    * top principal component explains (Ethayarajh-style "is the
+    * space a cone" diagnostic — an anisotropic space degrades cosine
+    * retrieval and near-dup thresholds; measure it BEFORE trusting
+    * the ANN/semantic-dedup families). λ₁ is obtained by `iters`
+    * rounds of power iteration on the covariance matrix.
+    *
+    * Scale shape: the covariance needs exactly the first and second
+    * moments — Σxᵢ and Σxᵢxⱼ for i ≤ j — computed as a WIDE
+    * single-row scalar aggregation (dim + dim(dim+1)/2 codegen'd
+    * avg() expressions, full map-side combine: shuffle = one row of
+    * O(dim²) doubles regardless of N, NO explode / self-join
+    * anywhere near the data). The expression count is superlinear
+    * for Catalyst, so [[graft.profiler.Stats.chunkedAggPar]] splits
+    * it into bounded CONCURRENT scans (dim 64 → 2145 aggs → 5 jobs).
+    * The O(dim²) matrix and the iteration itself are driver
+    * arithmetic — the same bounded-collect pattern as the k-means /
+    * PQ codebooks.
+    *
+    * Determinism: each covariance entry is sig5-rounded (the cross-
+    * engine canon — both engines iterate IDENTICAL matrices); inside
+    * the iteration plain double arithmetic diverges only at the
+    * summation-order 1e-15 level, then λ₁/trace/explained are
+    * sig5-rounded on emission (the bench-family argument: divergence
+    * ~1e7 below the rounding bucket). The all-ones start vector is
+    * fixed, so there is no RNG anywhere. */
+  def anisotropy(df: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 4, chunk: Int = 512): DataFrame = {
+    require(iters >= 1 && dim >= 2, "need iters >= 1, dim >= 2")
+    val base = df.where(size(col(vecCol)) === dim)
+      .select(col(vecCol).cast("array<double>").as("v"))
+    def e(i: Int) = element_at(col("v"), i + 1)
+    val aggs = count(lit(1)).as("n__") +:
+      ((0 until dim).map(i => avg(e(i)).as(s"m__$i")) ++
+        (for (i <- 0 until dim; j <- i until dim)
+          yield avg(e(i) * e(j)).as(s"p__${i}_$j")))
+    val m = graft.profiler.Stats.chunkedAggPar(base, aggs, chunk)
+    val n = m("n__").asInstanceOf[Long]
+    require(n > 0, "no vectors of the declared dimension")
+    val mu = Array.tabulate(dim)(i => m(s"m__$i").asInstanceOf[Double])
+    val cov = Array.ofDim[Double](dim, dim)
+    for (i <- 0 until dim; j <- i until dim) {
+      val c = Sig.sig5(
+        m(s"p__${i}_$j").asInstanceOf[Double] - mu(i) * mu(j))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    def matvec(x: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var s = 0.0; var j = 0
+        while (j < dim) { s += cov(i)(j) * x(j); j += 1 }
+        s
+      }
+    var v = Array.fill(dim)(1.0)
+    var it = 0
+    while (it < iters) {
+      val w = matvec(v)
+      val nn = math.sqrt(w.map(x => x * x).sum)
+      require(nn > 0.0, "power iteration collapsed to the null vector")
+      v = w.map(_ / nn)
+      it += 1
+    }
+    val cv = matvec(v)
+    val lambda = (0 until dim).map(i => v(i) * cv(i)).sum
+    val trace = (0 until dim).map(i => cov(i)(i)).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, dim.toLong, Sig.sig5(trace), Sig.sig5(lambda),
+        Sig.sig5(lambda / trace), iters.toLong))
+      .toDF("n_vectors", "dim", "trace", "lambda1", "explained",
+        "iters")
+  }
 }
