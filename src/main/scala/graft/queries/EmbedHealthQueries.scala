@@ -95,6 +95,70 @@ object EmbedHealthQueries {
   }
 
   // ---------------------------------------------------------------- //
+  // Johnson–Lindenstrauss random projection (64 → 16 dims) and its
+  // distance-distortion acceptance report. The sign matrix is the
+  // SAME exact-integer xor-mix on both sides ([[graft.ops.Projection
+  // .rpSign]]); 1/√16 scaling is a power of two, so per-term
+  // products are bit-identical and only summation order differs
+  // (bridged by sig5).
+  // ---------------------------------------------------------------- //
+
+  private val OutDim = 16
+  private val RpSample = 48L
+  private val RpEps = 0.5
+
+  /** `(d, o) → ±1` as SQL over the flat index d*OutDim + o — the
+    * exact-integer xor-mix twin of [[graft.ops.Projection.rpSign]]
+    * (0x9E3779B9 = 2654435769, 0x85EBCA6B = 2246822507). */
+  private def signSql(d: String, o: String): String = {
+    val i = s"(($d) * $OutDim + ($o))"
+    s"(CASE WHEN ((xor($i * 2654435769, ($i * 2246822507) >> 13)" +
+      s" >> 7) & 1) = 0 THEN 1.0 ELSE -1.0 END)"
+  }
+
+  private val exCte =
+    s"""SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+       |unnest(CAST(embedding AS DOUBLE[])) AS x
+       |FROM embeddings WHERE len(embedding) = $Dim""".stripMargin
+
+  private val rpSql: String =
+    s"""WITH ex AS ($exCte)
+       |SELECT vec_id, o AS out_dim,
+       |  ${sig(s"sum(x * ${signSql("d", "o")} / sqrt(${OutDim}.0))")}
+       |    AS y
+       |FROM ex CROSS JOIN range(0, $OutDim) t(o)
+       |GROUP BY vec_id, o
+       |ORDER BY vec_id, out_dim""".stripMargin
+
+  private val rpDistortionSql: String =
+    s"""WITH ex AS ($exCte AND vec_id < $RpSample),
+       |pr AS (
+       |  SELECT vec_id, o, sum(x * ${signSql("d", "o")}
+       |    / sqrt(${OutDim}.0)) AS y
+       |  FROM ex CROSS JOIN range(0, $OutDim) t(o)
+       |  GROUP BY vec_id, o),
+       |dv AS (
+       |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |    sum((a.x - b.x) * (a.x - b.x)) AS dv
+       |  FROM ex a JOIN ex b ON a.d = b.d AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |dp AS (
+       |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |    sum((a.y - b.y) * (a.y - b.y)) AS dp
+       |  FROM pr a JOIN pr b ON a.o = b.o AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |rt AS (
+       |  SELECT ${sig("dp.dp / dv.dv")} AS ratio
+       |  FROM dv JOIN dp ON dv.ida = dp.ida AND dv.idb = dp.idb
+       |  WHERE dv.dv > 0)
+       |SELECT count(*) AS n_pairs,
+       |  ${sig("avg(ratio)")} AS mean_ratio,
+       |  ${sig("min(ratio)")} AS min_ratio,
+       |  ${sig("max(ratio)")} AS max_ratio,
+       |  ${sig(s"CAST(count(CASE WHEN ratio >= ${1.0 - RpEps} AND " +
+           s"ratio <= ${1.0 + RpEps} THEN 1 END) AS DOUBLE) / count(*)")}
+       |    AS p_within_eps
+       |FROM rt""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_dim_profile" -> ((s, dir) =>
@@ -102,9 +166,17 @@ object EmbedHealthQueries {
         "embedding", Dim)),
     "embed_anisotropy" -> ((s, dir) =>
       EmbedEval.anisotropy(t(s, dir, "embeddings"), "embedding", Dim,
-        Iters)))
+        Iters)),
+    "embed_rp" -> ((s, dir) =>
+      graft.ops.Projection.randomProject(t(s, dir, "embeddings"),
+        "vec_id", "embedding", Dim, OutDim)),
+    "embed_rp_distortion" -> ((s, dir) =>
+      graft.ops.Projection.rpDistortion(t(s, dir, "embeddings"),
+        "vec_id", "embedding", Dim, OutDim, RpSample, RpEps)))
 
   val oracle: Map[String, String] = Map(
     "embed_dim_profile" -> dimProfileSql,
-    "embed_anisotropy" -> anisotropySql)
+    "embed_anisotropy" -> anisotropySql,
+    "embed_rp" -> rpSql,
+    "embed_rp_distortion" -> rpDistortionSql)
 }

@@ -125,4 +125,59 @@ class EmbedHealthSpec extends SparkSpec {
     // the planted direction dominates: explained well above uniform
     assert(expl > 0.8, s"explained $expl should reflect 10x variance")
   }
+
+  test("randomProject equals the driver-side matrix product; signs " +
+      "are balanced") {
+    import graft.ops.Projection
+    val dim = 8; val k = 4
+    val rows = (0 until 5).map(i =>
+      (i.toLong, Array.tabulate(dim)(d => (i * dim + d + 1).toFloat)))
+    val got = Projection.randomProject(toDF(rows), "vec_id",
+        "embedding", dim, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val m = Projection.rpMatrix(dim, k)
+    for ((id, v) <- rows; o <- 0 until k) {
+      val want = Sig.sig5((0 until dim)
+        .map(d => v(d).toDouble * m(o)(d)).sum)
+      assert(got((id, o.toLong)) == want, s"vec $id out-dim $o")
+    }
+    // sign balance over the whole 64×16 declared matrix: an LCG
+    // parity that collapsed to one sign would make the projection
+    // a (scaled) sum — catch that class of bug
+    val signs = for (d <- 0 until 64; o <- 0 until 16)
+      yield Projection.rpSign(d, o, 16)
+    val pos = signs.count(_ > 0)
+    assert(pos > signs.size * 3 / 10 && pos < signs.size * 7 / 10,
+      s"degenerate sign balance: $pos of ${signs.size}")
+  }
+
+  test("rpDistortion: near-isometry on spread data, zero-distance " +
+      "pairs excluded, ratios positive") {
+    import graft.ops.Projection
+    val dim = 32; val k = 16
+    val n = 24
+    // spread pseudo-random vectors (no planted structure) — JL
+    // expectation E[ratio] = 1. The i·d cross term matters: without
+    // it every difference vector lives in the 2-dim {sin, cos}
+    // subspace of one frequency and a FIXED matrix can contract it
+    def gen(i: Int): Array[Float] = Array.tabulate(dim)(d =>
+      math.sin((i * 1009.0 + d * 101.0 + i * d * 13.0) * 0.7).toFloat)
+    val rows = (0 until n).map(i => (i.toLong, gen(i))) :+
+      (n.toLong, gen(0)) // duplicate of vec 0
+    val out = Projection.rpDistortion(toDF(rows), "vec_id",
+      "embedding", dim, k, sampleIds = n + 1L, eps = 0.5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    // C(25,2) pairs minus the one identical pair
+    assert(r.getAs[Long]("n_pairs") == (n + 1) * n / 2 - 1)
+    assert(r.getAs[Double]("min_ratio") > 0.0)
+    val mean = r.getAs[Double]("mean_ratio")
+    assert(mean > 0.7 && mean < 1.3, s"mean distortion $mean")
+    // k = 16 has ratio std ≈ √(2/k) ≈ 0.35 (plus deterministic-row
+    // correlation); the assert's job is to kill DEGENERATE matrices
+    // (the rank-1 LCG-parity bug measured mean 0.04, p_within ≈ 0),
+    // not to demand Gaussian-level concentration
+    val within = r.getAs[Double]("p_within_eps")
+    assert(within > 0.3, s"p_within_eps $within on isotropic data")
+  }
 }
