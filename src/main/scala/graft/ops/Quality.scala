@@ -251,4 +251,81 @@ object Quality {
     rows.toDF("col_name", "rule", "detail", "lo", "hi")
       .orderBy("col_name", "rule")
   }
+
+  /** Turn a [[suggest]] result back into an enforceable check suite —
+    * the profile→gate bridge: suggest on corpus version N, enforce on
+    * version N+1, and every violated constraint is a drift signal.
+    * The suggestion frame is O(cols · rules) driver state by
+    * construction. By the definitions of the rules, the returned
+    * suite always passes on the corpus that produced it (the closure
+    * property, unit-tested). */
+  def suggestedChecks(suggestions: DataFrame): Seq[Check] =
+    suggestions
+      .select("col_name", "rule", "detail", "lo", "hi").collect()
+      .toSeq.flatMap { r =>
+        val c = r.getString(0)
+        r.getString(1) match {
+          case "not_null" => Some(Completeness(c, 1.0))
+          case "unique" => Some(Uniqueness(c, 1.0))
+          case "is_in" =>
+            Some(InSet(c, r.getString(2).split(",").toSeq, 1.0))
+          case "value_range" =>
+            Some(InRange(c, r.getDouble(3), r.getDouble(4), 1.0))
+          case "non_negative" =>
+            Some(InRange(c, 0.0, Double.MaxValue, 1.0))
+          case _ => None
+        }
+      }
+
+  /** Benford first-significant-digit conformance — the forensic
+    * audit for "organically grown" numeric columns (amounts, sizes,
+    * counts spanning orders of magnitude follow P(d) = log10(1+1/d);
+    * fabricated or truncated data does not). One aggregation scan:
+    * per digit 1–9 the observed fraction of nonzero values, the
+    * Benford expectation, and the per-digit absolute gap; row
+    * `digit = 0` carries the total variation distance (half the L1
+    * gap — the single number a screening rule thresholds on).
+    *
+    * First-digit extraction is engine-deterministic by construction:
+    * the scale factor is always an EXACT positive power of ten
+    * (negative powers differ between libm implementations at the
+    * last ulp — the Sig NOTE-1 trap: 0.02 / pow(10,-2) can floor to
+    * digit 1 on one engine and 2 on the other), applied as one
+    * correctly-rounded multiply or divide; a normalization CASE
+    * absorbs any ±1 disagreement in floor(log10(x)) at power-of-ten
+    * boundaries. */
+  def benford(df: DataFrame, column: String): DataFrame = {
+    val x = abs(col(column).cast("double"))
+    val p = floor(log10(x))
+    val pp = pow(lit(10.0), abs(p)) // exact positive power of ten
+    val s = when(p >= 0.0, x / pp).otherwise(x * pp)
+    val digit = when(s >= 10.0, floor(s / 10.0))
+      .when(s < 1.0, floor(s * 10.0))
+      .otherwise(floor(s)).cast("long")
+    val counted = df.where(col(column).isNotNull && x > 0.0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("cnt"))
+    // left-join a digit spine so absent digits report 0 observed
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spine = (1 to 9).map(_.toLong).toDF("digit")
+    val expected = (d: Column) =>
+      log10(lit(1.0) + lit(1.0) / d.cast("double"))
+    val joined = spine.join(counted, Seq("digit"), "left")
+      .select(col("digit"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val withTotal = joined.select(col("digit"), col("cnt"),
+      sum(col("cnt")).over().as("total"))
+    val perDigit = withTotal.select(col("digit"),
+      sig5(col("cnt").cast("double") / col("total").cast("double"))
+        .as("observed"),
+      sig5(expected(col("digit"))).as("expected"))
+      .withColumn("abs_gap",
+        sig5(abs(col("observed") - col("expected"))))
+    val tvd = perDigit.agg(
+      sig5(sum(col("abs_gap")) / 2.0).as("observed"))
+      .select(lit(0L).as("digit"), col("observed"),
+        lit(0.0).as("expected"), lit(0.0).as("abs_gap"))
+    perDigit.unionAll(tvd).orderBy("digit")
+  }
 }

@@ -160,6 +160,42 @@ object QualityQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Benford oracle: the same exact-positive-power digit extraction,
+    * rounded observed/expected named in subqueries so the gap and
+    * TVD reference the SAME canon doubles the Spark side compares. */
+  private def benfordSql(t: String, c: String): String =
+    s"""WITH src AS (
+       |  SELECT abs(CAST($c AS DOUBLE)) AS x FROM $t
+       |  WHERE $c IS NOT NULL AND abs(CAST($c AS DOUBLE)) > 0),
+       |dg AS (
+       |  SELECT CASE WHEN s >= 10 THEN floor(s / 10)
+       |              WHEN s < 1 THEN floor(s * 10)
+       |              ELSE floor(s) END AS digit
+       |  FROM (SELECT CASE WHEN p >= 0 THEN x / power(10.0, p)
+       |               ELSE x * power(10.0, -p) END AS s
+       |        FROM (SELECT x, floor(log10(x)) AS p FROM src))),
+       |cnt AS (SELECT CAST(digit AS BIGINT) AS digit, count(*) AS c
+       |  FROM dg GROUP BY 1),
+       |spine AS (SELECT CAST(d AS BIGINT) AS digit
+       |  FROM range(1, 10) t(d)),
+       |joined AS (SELECT spine.digit, COALESCE(cnt.c, 0) AS c
+       |  FROM spine LEFT JOIN cnt ON spine.digit = cnt.digit),
+       |per AS (SELECT digit,
+       |  ${sig("CAST(c AS DOUBLE) / (SELECT sum(c) FROM joined)")}
+       |    AS observed,
+       |  ${sig("log10(1.0 + 1.0 / CAST(digit AS DOUBLE))")} AS expected
+       |  FROM joined),
+       |per2 AS (SELECT digit, observed, expected,
+       |  ${sig("abs(observed - expected)")} AS abs_gap FROM per),
+       |tvd AS (SELECT ${sig("sum(abs_gap) / 2.0")} AS observed
+       |  FROM per2)
+       |SELECT digit, observed, expected, abs_gap FROM per2
+       |UNION ALL
+       |SELECT CAST(0 AS BIGINT) AS digit, observed,
+       |  CAST(0.0 AS DOUBLE) AS expected, CAST(0.0 AS DOUBLE) AS abs_gap
+       |FROM tvd
+       |ORDER BY digit""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_suite" -> ((s, dir) =>
       Quality.runChecks(t(s, dir, "lineitem"), lineitemChecks)),
@@ -168,7 +204,9 @@ object QualityQueries {
         documentChecks)),
     "quality_suggest" -> ((s, dir) =>
       Quality.suggest(t(s, dir, "lineitem"), suggestCols,
-        SuggestLowCard)))
+        SuggestLowCard)),
+    "quality_benford" -> ((s, dir) =>
+      Quality.benford(t(s, dir, "lineitem"), "l_extendedprice")))
 
   // bare table names: the harness registers each parquet as a view
   private val LI = "lineitem"
@@ -177,5 +215,6 @@ object QualityQueries {
   val oracle: Map[String, String] = Map(
     "quality_suite" -> suiteSql(LI, lineitemChecks, None),
     "quality_by_source" -> suiteSql(DOCS, documentChecks, Some("source")),
-    "quality_suggest" -> suggestSql(LI))
+    "quality_suggest" -> suggestSql(LI),
+    "quality_benford" -> benfordSql(LI, "l_extendedprice"))
 }

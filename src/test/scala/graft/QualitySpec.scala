@@ -142,4 +142,61 @@ class QualitySpec extends SparkSpec {
     val srng = out.find(t => t._1 == "score" && t._2 == "value_range").get
     assert(srng._4 == 2.0 && srng._5 == 200.0)
   }
+
+  test("closure: suggestedChecks from suggest() all PASS on the " +
+      "corpus that produced them") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 200L)
+      .map(i => (i, if (i % 3 == 0) "a" else "b", i * 1.5,
+        if (i % 7 == 0) None else Some(s"v${i % 40}")))
+      .toDF("id", "cat", "score", "sparse")
+    val cols = Seq("id", "cat", "score", "sparse")
+    val suggested = Quality.suggestedChecks(Quality.suggest(df, cols))
+    assert(suggested.nonEmpty)
+    val res = Quality.runChecks(df, suggested).collect()
+    assert(res.forall(_.getLong(5) == 1L),
+      s"closure violated: ${res.filter(_.getLong(5) == 0L).mkString}")
+    // and the suite is a real gate: a drifted corpus FAILS it
+    val drifted = df.withColumn("cat",
+      when(col("id") === 1L, "NEW_VALUE").otherwise(col("cat")))
+    val dres = Quality.runChecks(drifted, suggested).collect()
+    assert(dres.exists(r => r.getString(0) == "in_set" &&
+      r.getString(1) == "cat" && r.getLong(5) == 0L))
+  }
+
+  test("benford: digit classification exact at boundaries, nulls/" +
+      "zeros/negatives handled, TVD separates log-spread from " +
+      "uniform data") {
+    val s = spark
+    import s.implicits._
+    // boundary values: exact powers of ten, sub-1 magnitudes (the
+    // negative-exponent pow trap), negatives (use |x|), zero + null
+    // (excluded)
+    val edge = Seq(Some(10.0), Some(100.0), Some(0.02), Some(0.1),
+      Some(-300.0), Some(9.999), Some(0.0), None)
+      .toDF("x")
+    val er = Quality.benford(edge, "x").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // digits: 1 (10), 1 (100), 2 (0.02), 1 (0.1), 3 (-300), 9 (9.999)
+    // → 6 values: d1 3/6, d2 1/6, d3 1/6, d9 1/6
+    assert(math.abs(er(1L) - 0.5) < 1e-9)
+    assert(math.abs(er(2L) - 1.0 / 6) < 1e-6)
+    assert(math.abs(er(3L) - 1.0 / 6) < 1e-6)
+    assert(math.abs(er(9L) - 1.0 / 6) < 1e-6)
+    assert(er(4L) == 0.0)
+
+    // log-spread data (x = 10^(i/500), 3 decades) ≈ Benford; uniform
+    // [1, 10) data is far from it — TVD must separate the two
+    val conforming = (0 until 1500).map(i => math.pow(10.0, i / 500.0))
+      .toDF("x")
+    val uniform = (0 until 1500).map(i => 1.0 + 9.0 * i / 1500.0)
+      .toDF("x")
+    def tvd(df0: org.apache.spark.sql.DataFrame): Double =
+      Quality.benford(df0, "x").collect()
+        .find(_.getLong(0) == 0L).get.getDouble(1)
+    val tc = tvd(conforming); val tu = tvd(uniform)
+    assert(tc < 0.02, s"log-spread TVD $tc should be ~0")
+    assert(tu > 0.2, s"uniform TVD $tu should be large")
+  }
 }
