@@ -262,22 +262,33 @@ object EmbedEval {
         while (j < dim) { s += cov(i)(j) * x(j); j += 1 }
         s
       }
-    var v = Array.fill(dim)(1.0)
-    var it = 0
-    while (it < iters) {
-      val w = matvec(v)
-      val nn = math.sqrt(w.map(x => x * x).sum)
-      require(nn > 0.0, "power iteration collapsed to the null vector")
-      v = w.map(_ / nn)
-      it += 1
-    }
-    val cv = matvec(v)
-    val lambda = (0 until dim).map(i => v(i) * cv(i)).sum
     val trace = (0 until dim).map(i => cov(i)(i)).sum
+    // degenerate corpus (all vectors identical → zero covariance):
+    // report zero variance structure instead of crashing — a
+    // diagnostic must survive the pathologies it diagnoses
+    val lambda =
+      if (trace <= 0.0) 0.0
+      else {
+        var v = Array.fill(dim)(1.0)
+        var it = 0
+        while (it < iters) {
+          val w = matvec(v)
+          val nn = math.sqrt(w.map(x => x * x).sum)
+          // Cv = 0 only when v is in the null space; the all-ones
+          // start escaping to exactly null measure-zero — restart
+          // direction e_it if it happens
+          v = if (nn > 0.0) w.map(_ / nn)
+          else Array.tabulate(dim)(i => if (i == it % dim) 1.0 else 0.0)
+          it += 1
+        }
+        val cv = matvec(v)
+        (0 until dim).map(i => v(i) * cv(i)).sum
+      }
+    val explained = if (trace <= 0.0) 0.0 else lambda / trace
     val spark = df.sparkSession
     import spark.implicits._
     Seq((n, dim.toLong, Sig.sig5(trace), Sig.sig5(lambda),
-        Sig.sig5(lambda / trace), iters.toLong))
+        Sig.sig5(explained), iters.toLong))
       .toDF("n_vectors", "dim", "trace", "lambda1", "explained",
         "iters")
   }

@@ -61,6 +61,17 @@ object Quality {
   /** table row count must lie in [lo, hi]. */
   final case class RowCountBetween(lo: Long, hi: Long) extends Check
 
+  /** observed minimum of `column` must lie in [lo, hi] — e.g. "ids
+    * start at 1", "no value below the floor". An empty/all-null
+    * column observes `lo` (vacuous pass). */
+  final case class MinBetween(column: String, lo: Double, hi: Double)
+      extends Check
+
+  /** observed maximum of `column` must lie in [lo, hi] — the cap
+    * contract. An empty/all-null column observes `lo`. */
+  final case class MaxBetween(column: String, lo: Double, hi: Double)
+      extends Check
+
   private def sig5(c: Column): Column = Sig.sig5(c)
 
   /** Alias-safe encoding of range bounds (dots/minus signs in a
@@ -93,6 +104,10 @@ object Quality {
       Seq(s"__avg_$c" -> avg(col(c)))
     case RowCountBetween(_, _) =>
       Seq("__n" -> count(lit(1)))
+    case MinBetween(c, _, _) =>
+      Seq(s"__min_$c" -> min(col(c)).cast("double"))
+    case MaxBetween(c, _, _) =>
+      Seq(s"__max_$c" -> max(col(c)).cast("double"))
   }
 
   /** (check_type, col_name, observed, lo, hi, passed) struct for one
@@ -133,6 +148,13 @@ object Quality {
       case RowCountBetween(lo, hi) =>
         row("row_count", "*", col("__n").cast("double"),
           lo.toDouble, hi.toDouble)
+      case MinBetween(c, lo, hi) =>
+        // raw data values, unrounded (the exact-operand convention)
+        row("min_between", c, coalesce(col(s"__min_$c"), lit(lo)),
+          lo, hi)
+      case MaxBetween(c, lo, hi) =>
+        row("max_between", c, coalesce(col(s"__max_$c"), lit(lo)),
+          lo, hi)
     }
   }
 
@@ -316,9 +338,12 @@ object Quality {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
     val withTotal = joined.select(col("digit"), col("cnt"),
       sum(col("cnt")).over().as("total"))
+    // all-zero/null/empty column → total 0: observe 0.0 rather than
+    // emit NULLs (the comparator-friendly no-data convention)
     val perDigit = withTotal.select(col("digit"),
-      sig5(col("cnt").cast("double") / col("total").cast("double"))
-        .as("observed"),
+      sig5(when(col("total") === 0L, 0.0)
+        .otherwise(col("cnt").cast("double") / col("total")
+          .cast("double"))).as("observed"),
       sig5(expected(col("digit"))).as("expected"))
       .withColumn("abs_gap",
         sig5(abs(col("observed") - col("expected"))))

@@ -36,6 +36,8 @@ object QualityQueries {
     InSet("l_returnflag", Seq("A", "N", "R"), 1.0),
     Matches("l_linestatus", "^[OF]$", 1.0),
     MeanBetween("l_tax", 0.0, 0.1),
+    MinBetween("l_quantity", 1.0, 1.0),
+    MaxBetween("l_quantity", 30.0, 100.0),
     RowCountBetween(1000L, 10000000000L))
 
   /** per-source documents gate (the per-shard corpus acceptance
@@ -82,6 +84,10 @@ object QualityQueries {
           "THEN 1 END)", s"count($c)")
       case MeanBetween(c, _, _) => s"avg($c)"
       case RowCountBetween(_, _) => "CAST(count(*) AS DOUBLE)"
+      case MinBetween(c, lo, _) =>
+        s"COALESCE(CAST(min($c) AS DOUBLE), ${lit(lo)})"
+      case MaxBetween(c, lo, _) =>
+        s"COALESCE(CAST(max($c) AS DOUBLE), ${lit(lo)})"
     }
   }
 
@@ -95,6 +101,8 @@ object QualityQueries {
       case MeanBetween(c, lo, hi) => ("mean_between", c, lo, hi)
       case RowCountBetween(lo, hi) =>
         ("row_count", "*", lo.toDouble, hi.toDouble)
+      case MinBetween(c, lo, hi) => ("min_between", c, lo, hi)
+      case MaxBetween(c, lo, hi) => ("max_between", c, lo, hi)
     }
 
   /** One SELECT per check; a subquery isolates the (large, sig5-
@@ -181,7 +189,8 @@ object QualityQueries {
        |joined AS (SELECT spine.digit, COALESCE(cnt.c, 0) AS c
        |  FROM spine LEFT JOIN cnt ON spine.digit = cnt.digit),
        |per AS (SELECT digit,
-       |  ${sig("CAST(c AS DOUBLE) / (SELECT sum(c) FROM joined)")}
+       |  ${sig("CASE WHEN (SELECT sum(c) FROM joined) = 0 THEN 0.0 " +
+           "ELSE CAST(c AS DOUBLE) / (SELECT sum(c) FROM joined) END")}
        |    AS observed,
        |  ${sig("log10(1.0 + 1.0 / CAST(digit AS DOUBLE))")} AS expected
        |  FROM joined),

@@ -126,6 +126,19 @@ class EmbedHealthSpec extends SparkSpec {
     assert(expl > 0.8, s"explained $expl should reflect 10x variance")
   }
 
+  test("anisotropy survives a degenerate corpus (identical vectors) " +
+      "with zeros instead of a crash") {
+    val rows = (0 until 10).map(i =>
+      (i.toLong, Array.fill(4)(2.5f)))
+    val out = EmbedEval.anisotropy(toDF(rows), "embedding", 4,
+      iters = 3).collect()
+    val r = out.head
+    assert(r.getAs[Double]("trace") == 0.0)
+    assert(r.getAs[Double]("lambda1") == 0.0)
+    assert(r.getAs[Double]("explained") == 0.0)
+    assert(r.getAs[Long]("n_vectors") == 10L)
+  }
+
   test("randomProject equals the driver-side matrix product; signs " +
       "are balanced") {
     import graft.ops.Projection

@@ -199,4 +199,40 @@ class QualitySpec extends SparkSpec {
     assert(tc < 0.02, s"log-spread TVD $tc should be ~0")
     assert(tu > 0.2, s"uniform TVD $tu should be large")
   }
+
+  test("MinBetween/MaxBetween: raw extrema checked, all-null column " +
+      "passes vacuously at lo") {
+    val checks = Seq(
+      MinBetween("v", -5.0, -5.0),   // min is exactly -5 → pass
+      MinBetween("v", 0.0, 10.0),    // min -5 below floor → FAIL
+      MaxBetween("v", 5.0, 20.0),    // max 10 → pass
+      MaxBetween("v", 0.0, 5.0),     // max 10 above cap → FAIL
+      MinBetween("allnull", 1.0, 2.0)) // vacuous: observes lo → pass
+    val out = Quality.runChecks(fixture, checks).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(5))).toSet
+    assert(out == Set(
+      ("min_between", "v", -5.0, -5.0, 1L),
+      ("min_between", "v", -5.0, 0.0, 0L),
+      ("max_between", "v", 10.0, 5.0, 1L),
+      ("max_between", "v", 10.0, 0.0, 0L),
+      ("min_between", "allnull", 1.0, 1.0, 1L)))
+  }
+
+  test("benford: a column with no positive values emits zeros, " +
+      "never NULLs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(Option.empty[Double], Some(0.0), Some(0.0), None)
+      .toDF("x")
+    val out = Quality.benford(df, "x").collect()
+    assert(out.length == 10)
+    assert(out.forall(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+      !r.isNullAt(3)))
+    // per-digit observed 0; the TVD row then reports Σ|0−expected|/2
+    // = 0.5 — a no-data corpus FAILS a conformance gate (fail
+    // closed) instead of silently passing
+    assert(out.filter(_.getLong(0) >= 1L).forall(_.getDouble(1) == 0.0))
+    assert(out.find(_.getLong(0) == 0L).get.getDouble(1) == 0.5)
+  }
 }
