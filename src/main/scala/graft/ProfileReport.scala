@@ -75,6 +75,18 @@ class ProfileReport(df: DataFrame,
   lazy val html: String =
     HtmlReport.render(getDescription, title, sample)
 
+  /** Report WITH a quality-gate section: evaluates the declared
+    * check suite ([[graft.ops.Quality.runChecks]] — one extra
+    * aggregation scan) and renders the pass/fail table above the
+    * column cards. The natural pairing: `suggestedChecks` from LAST
+    * version's profile, rendered against this version's data. */
+  def htmlWithChecks(checks: Seq[graft.ops.Quality.Check]): String = {
+    val rows = graft.ops.Quality.runChecks(df, checks).collect()
+      .toSeq.map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    HtmlReport.render(getDescription, title, sample, rows)
+  }
+
   /** Write the standalone HTML report (reference: `to_file(path)`). */
   def toFile(path: String): Unit =
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), html)

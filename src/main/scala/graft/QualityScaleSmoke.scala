@@ -133,6 +133,71 @@ object QualityScaleSmoke {
       println("  " + a.mkString)
     }
 
+    if (phases("wide")) {
+      // WIDE embeddings (dim 256): the case the chunked covariance
+      // and the JL reduction exist for. Three measurements:
+      //  (a) full-dim anisotropy — 33k agg expressions through
+      //      chunkedAggPar (the brute-force reference),
+      //  (b) JL 256→32 then anisotropy in the reduced space — the
+      //      production composition (covariance cost drops 64×),
+      //  (c) ANN recall in the projected space vs full-dim exact
+      //      top-10 — "is RP safe as the pre-LSH stage".
+      val dim = 256; val outDim = 32; val nw = math.min(vecs, 500000L)
+      val wcols = array((0 until dim).map(d =>
+        (sin(col("id") * (0.11 + d * 0.007)) +
+          when(lit(d % 16) === 0,
+            sin(col("id") * 0.0017) * 3.0).otherwise(lit(0.0)))
+          .cast("float")): _*)
+      val wdf = spark.range(nw)
+        .select(col("id").as("vec_id"), wcols.as("embedding"))
+        .transform(graft.ops.Materialize.materialize)
+      wdf.count()
+
+      val full = timed(s"anisotropy FULL dim $dim at $nw vecs " +
+          "(33k-expression chunked covariance)") {
+        EmbedEval.anisotropy(wdf, "embedding", dim, iters = 4,
+          chunk = 1024).collect()
+      }
+      println("  full: " + full.mkString)
+
+      val proj = timed(s"JL $dim->$outDim projection encode at $nw") {
+        val p = graft.ops.Projection
+          .randomProject(wdf, "vec_id", "embedding", dim, outDim)
+          .groupBy("vec_id")
+          .agg(sort_array(collect_list(struct(col("out_dim"),
+            col("y")))).as("s"))
+          .select(col("vec_id"),
+            expr("transform(s, x -> cast(x.y as float))").as("embedding"))
+        graft.ops.Materialize.materialize(p)
+      }
+      proj.count()
+      val red = timed(s"anisotropy in the REDUCED $outDim-dim space") {
+        EmbedEval.anisotropy(proj, "embedding", outDim, iters = 4)
+          .collect()
+      }
+      println("  reduced: " + red.mkString)
+
+      // recall: exact top-10 of 20 queries in full vs projected space
+      val q = 20
+      val topFull = timed(s"exact cosine top-10, $q queries, FULL dim") {
+        graft.ops.Similarity.cosineTopK(wdf, "vec_id", "embedding",
+          q, 10).collect()
+          .groupBy(_.getLong(0))
+          .map { case (k, v) => k -> v.map(_.getLong(2)).toSet }
+      }
+      val topProj = timed(s"exact cosine top-10, $q queries, " +
+          s"PROJECTED dim $outDim") {
+        graft.ops.Similarity.cosineTopK(proj, "vec_id", "embedding",
+          q, 10).collect()
+          .groupBy(_.getLong(0))
+          .map { case (k, v) => k -> v.map(_.getLong(2)).toSet }
+      }
+      val rec = topFull.keys.map(k =>
+        (topFull(k) & topProj.getOrElse(k, Set.empty)).size / 10.0)
+      println(f"  RP recall@10 vs full-dim exact: " +
+        f"${rec.sum / rec.size}%.3f over $q queries")
+    }
+
     spark.stop()
   }
 }

@@ -83,8 +83,37 @@ object HtmlReport {
        |</div></div>""".stripMargin
   }
 
+  /** Quality-gate section: one row per evaluated check — the
+    * [[graft.ops.Quality.runChecks]] output shape (check_type,
+    * col_name, observed, lo, hi, passed) — with a pass/fail banner.
+    * Empty input renders nothing (reports without a declared suite
+    * are unchanged). */
+  def qualitySection(
+      checks: Seq[(String, String, Double, Double, Double, Long)])
+      : String =
+    if (checks.isEmpty) ""
+    else {
+      val nPass = checks.count(_._6 == 1L)
+      val cls = if (nPass == checks.size) "qc-pass" else "qc-fail"
+      val rows = checks.map { case (typ, cn, obs, lo, hi, passed) =>
+        val badge = if (passed == 1L) """<span class="ok">pass</span>"""
+          else """<span class="bad">FAIL</span>"""
+        s"<tr><td>${esc(typ)}</td><td>${esc(cn)}</td>" +
+          s"<td>${fmtNumber(obs)}</td>" +
+          s"<td>[${fmtNumber(lo)}, ${fmtNumber(hi)}]</td>" +
+          s"<td>$badge</td></tr>"
+      }
+      s"""<div class="card $cls"><h2>Quality checks
+         |($nPass/${checks.size} passed)</h2><table class="freq">
+         |<tr><th>check</th><th>column</th><th>observed</th>
+         |<th>bounds</th><th>result</th></tr>
+         |${rows.mkString("\n")}</table></div>""".stripMargin
+    }
+
   def render(p: TableProfile, title: String = "graft profile",
-      sample: Seq[Seq[String]] = Seq.empty): String = {
+      sample: Seq[Seq[String]] = Seq.empty,
+      quality: Seq[(String, String, Double, Double, Double, Long)] =
+        Seq.empty): String = {
     val size =
       if (p.sizeBytes <= 0) Seq.empty
       else Seq(
@@ -135,10 +164,15 @@ object HtmlReport {
        |  border-radius:4px;padding:1px 5px}
        |.hist .bar{fill:#337ab7}
        |.warnings li{color:#8a6d3b}
+       |.qc-pass h2{color:#3c763d}
+       |.qc-fail h2{color:#a94442}
+       |.ok{color:#3c763d;font-weight:bold}
+       |.bad{color:#a94442;font-weight:bold}
        |</style></head><body>
        |<h1>${esc(title)}</h1>
        |$overview
        |$warnings
+       |${qualitySection(quality)}
        |$assocHtml
        |${p.columns.map(columnCard).mkString("\n")}
        |$sampleHtml

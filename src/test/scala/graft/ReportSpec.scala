@@ -71,4 +71,22 @@ class ReportSpec extends SparkSpec {
     // thousands separators on row/count stats (fmt "{:n}" parity)
     assert(html.contains(graft.report.HtmlReport.fmtNumber(p.n.toDouble)))
   }
+
+  test("htmlWithChecks renders the quality-gate section with " +
+      "pass/fail rows; plain html omits it") {
+    import graft.ops.Quality._
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val rep = ProfileReport(li,
+      graft.profiler.ProfilerConfig(exactQuantiles = false,
+        exactDistinct = false, correlations = false))
+    assert(!rep.html.contains("Quality checks"))
+    val html = rep.htmlWithChecks(Seq(
+      Completeness("l_quantity", 1.0),           // passes
+      Uniqueness("l_orderkey", 0.99)))           // fails (repeats)
+    assert(html.contains("Quality checks"))
+    assert(html.contains("(1/2 passed)"))
+    assert(html.contains("qc-fail"))
+    assert(html.contains(">pass<") && html.contains(">FAIL<"))
+    assert(html.contains("completeness") && html.contains("uniqueness"))
+  }
 }
