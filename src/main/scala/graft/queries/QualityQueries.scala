@@ -50,6 +50,28 @@ object QualityQueries {
     MeanBetween("n_chars", 150.0, 300.0),
     RowCountBetween(1L, 10000000000L))
 
+  /** Warehouse-wide manifest: a minimal generic gate per table —
+    * row count, key completeness, key uniqueness (threshold 1.0 on
+    * true PKs; 0.1 on lineitem, whose l_orderkey repeats ~4× by
+    * construction at every sf). One definition site for both
+    * engines, like the per-table suites. */
+  val manifestTables: Seq[(String, String, Double)] = Seq(
+    ("region", "r_regionkey", 1.0),
+    ("nation", "n_nationkey", 1.0),
+    ("customer", "c_custkey", 1.0),
+    ("supplier", "s_suppkey", 1.0),
+    ("part", "p_partkey", 1.0),
+    ("orders", "o_orderkey", 1.0),
+    ("lineitem", "l_orderkey", 0.1),
+    ("events", "event_id", 1.0),
+    ("documents", "doc_id", 1.0),
+    ("embeddings", "vec_id", 1.0))
+
+  private def manifestChecks(key: String, uniqLo: Double): Seq[Check] =
+    Seq(RowCountBetween(1L, 10000000000000L),
+      Completeness(key, 1.0),
+      Uniqueness(key, uniqLo))
+
   private val suggestCols: Seq[String] = Seq(
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
     "l_quantity", "l_extendedprice", "l_discount", "l_tax",
@@ -205,9 +227,27 @@ object QualityQueries {
        |FROM tvd
        |ORDER BY digit""".stripMargin
 
+  private def manifestSql: String = {
+    val parts = manifestTables.flatMap { case (tbl, key, uniqLo) =>
+      manifestChecks(key, uniqLo).map(chk =>
+        s"SELECT '$tbl' AS table_name, * FROM (\n" +
+          checkSql(tbl, chk, None) + "\n)")
+    }
+    unionAll(parts) + "\nORDER BY table_name, check_type, col_name"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_suite" -> ((s, dir) =>
       Quality.runChecks(t(s, dir, "lineitem"), lineitemChecks)),
+    "quality_manifest" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      manifestTables.map { case (tbl, key, uniqLo) =>
+        Quality.runChecks(t(s, dir, tbl), manifestChecks(key, uniqLo))
+          .select(org.apache.spark.sql.functions.lit(tbl)
+            .as("table_name"), col("*"))
+      }.reduce(_ unionAll _)
+        .orderBy("table_name", "check_type", "col_name")
+    }),
     "quality_by_source" -> ((s, dir) =>
       Quality.runChecksByGroup(t(s, dir, "documents"), Seq("source"),
         documentChecks)),
@@ -225,5 +265,6 @@ object QualityQueries {
     "quality_suite" -> suiteSql(LI, lineitemChecks, None),
     "quality_by_source" -> suiteSql(DOCS, documentChecks, Some("source")),
     "quality_suggest" -> suggestSql(LI),
-    "quality_benford" -> benfordSql(LI, "l_extendedprice"))
+    "quality_benford" -> benfordSql(LI, "l_extendedprice"),
+    "quality_manifest" -> manifestSql)
 }

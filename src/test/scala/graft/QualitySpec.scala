@@ -219,6 +219,17 @@ class QualitySpec extends SparkSpec {
       ("min_between", "allnull", 1.0, 1.0, 1L)))
   }
 
+  test("quality_manifest: every table in the warehouse passes its " +
+      "generic gate (keys complete + unique, tables non-empty)") {
+    val out = graft.queries.QualityQueries.queries("quality_manifest")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.length ==
+      graft.queries.QualityQueries.manifestTables.size * 3)
+    val failed = out.filter(_.getLong(6) == 0L)
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(failed.isEmpty, s"manifest failures: ${failed.mkString}")
+  }
+
   test("benford: a column with no positive values emits zeros, " +
       "never NULLs") {
     val s = spark
