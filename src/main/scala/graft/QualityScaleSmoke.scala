@@ -110,6 +110,17 @@ object QualityScaleSmoke {
         timed("EXACT uniqueness on the same column") {
           Quality.runChecks(df, u).collect()
         }
+        // suggestion at corpus scale: the approx form's single
+        // no-Expand scan vs the exact multi-distinct
+        val sCols = Seq("source", "score", "user", "bucket")
+        val ap = timed("suggest with HLL cardinalities (4 cols)") {
+          Quality.suggest(df, sCols, approxUnique = true).collect()
+        }
+        println(ap.map(r =>
+          s"  ${r.getString(0)}:${r.getString(1)}").mkString("\n"))
+        timed("suggest with EXACT cardinalities (4 cols)") {
+          Quality.suggest(df, sCols).collect()
+        }
       }
     }
 

@@ -218,8 +218,17 @@ object Quality {
     * numeric columns `value_range` [min,max] plus `non_negative`
     * when min >= 0. Sentinels for non-range rules: lo = hi = 0.0,
     * detail = '' (the driver comparator prefers no NULLs). */
-  def suggest(df: DataFrame, cols: Seq[String], lowCard: Int = 8)
-      : DataFrame = {
+  /** `approxUnique = true` is the corpus-scale form: the first
+    * pass's per-column cardinalities come from HLL++ instead of
+    * exact count(DISTINCT) — one mergeable scan with NO Expand
+    * (exact multi-distinct multiplies every row by the number of
+    * distinct aggregates before the shuffle). The derived `unique`
+    * rule then compares an ESTIMATE, so borderline columns can gain
+    * or lose a suggestion within HLL's rsd; the is_in value sets are
+    * unaffected (the second pass collects them exactly). The
+    * declared oracle query keeps the exact form. */
+  def suggest(df: DataFrame, cols: Seq[String], lowCard: Int = 8,
+      approxUnique: Boolean = false): DataFrame = {
     val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val numeric =
       cols.filter(c => types(c).isInstanceOf[NumericType])
@@ -227,8 +236,10 @@ object Quality {
 
     val aggs = Seq(count(lit(1)).as("__n")) ++
       cols.flatMap { c =>
-        Seq(count(col(c)).as(s"__cnt_$c"),
-          countDistinct(col(c)).as(s"__dis_$c"))
+        val dis =
+          if (approxUnique) approx_count_distinct(col(c), 0.02)
+          else countDistinct(col(c))
+        Seq(count(col(c)).as(s"__cnt_$c"), dis.as(s"__dis_$c"))
       } ++ numeric.flatMap { c =>
         Seq(min(col(c)).cast("double").as(s"__min_$c"),
           max(col(c)).cast("double").as(s"__max_$c"))
@@ -255,7 +266,14 @@ object Quality {
         if (cnt == n && n > 0) Seq((c, "not_null", "", 0.0, 0.0))
         else Seq.empty
       val uniq =
-        if (dis == cnt && cnt > 1) Seq((c, "unique", "", 0.0, 0.0))
+        // approx mode: HLL under/overshoots true cardinality within
+        // its rsd, so exact equality would never fire on a genuinely
+        // unique big column — rsd 0.02 sketch, accept within 10%
+        // (5× rsd; a column with >10% duplicate keys is not a
+        // unique-key candidate anyway)
+        if (cnt > 1 && (if (approxUnique) dis >= cnt * 0.9
+                        else dis == cnt))
+          Seq((c, "unique", "", 0.0, 0.0))
         else Seq.empty
       val isin = valueSets.get(c)
         .map(csv => (c, "is_in", csv, 0.0, 0.0)).toSeq

@@ -219,6 +219,26 @@ class QualitySpec extends SparkSpec {
       ("min_between", "allnull", 1.0, 1.0, 1L)))
   }
 
+  test("suggest approxUnique: same rules as exact on clear-cut " +
+      "columns, including the unique rule on a big unique column") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 5000L)
+      .map(i => (i, s"k${i % 100}", i * 0.5))
+      .toDF("id", "key", "score")
+    val cols = Seq("id", "key", "score")
+    def rules(approx: Boolean) =
+      Quality.suggest(df, cols, approxUnique = approx).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val exact = rules(approx = false)
+    val approx = rules(approx = true)
+    assert(exact.contains(("id", "unique")))
+    assert(approx.contains(("id", "unique")),
+      "HLL tolerance must still surface the unique rule")
+    assert(exact == approx,
+      s"exact $exact vs approx $approx diverged on clear-cut columns")
+  }
+
   test("quality_manifest: every table in the warehouse passes its " +
       "generic gate (keys complete + unique, tables non-empty)") {
     val out = graft.queries.QualityQueries.queries("quality_manifest")(
