@@ -16,10 +16,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Core.queries ++ graft.queries.Extensions.queries ++
       graft.queries.QualityQueries.queries ++
-      graft.queries.EmbedHealthQueries.queries
+      graft.queries.EmbedHealthQueries.queries ++
+      graft.queries.StoreQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracle ++ graft.queries.Extensions.oracle ++
       graft.queries.QualityQueries.oracle ++
-      graft.queries.EmbedHealthQueries.oracle
+      graft.queries.EmbedHealthQueries.oracle ++
+      graft.queries.StoreQueries.oracle
 }

@@ -273,7 +273,109 @@ case class MultiSketchAgg(
         buf.nz, q, gk))
   }
 
-  override def serialize(buf: MultiSketchBuf): Array[Byte] = {
+  override def serialize(buf: MultiSketchBuf): Array[Byte] =
+    MultiSketch.serializeBuf(buf)
+
+  override def deserialize(bytes: Array[Byte]): MultiSketchBuf =
+    MultiSketch.deserializeBuf(bytes, k, accuracy)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int)
+      : MultiSketchAgg = copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int)
+      : MultiSketchAgg = copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MultiSketchAgg =
+    copy(valueChild = newLeft, hashChild = newRight)
+}
+
+/** Variant of [[MultiSketchAgg]] whose eval emits the SERIALIZED
+  * buffer (BinaryType) instead of the finalized statistics struct —
+  * the capture side of the incremental profile store
+  * ([[graft.profiler.ProfileStore]]): the persisted bytes are the
+  * exact shuffle wire format, so a later job can deserialize,
+  * `mergeIn`, and finalize without rescanning the rows that produced
+  * them. Update/merge/serde are byte-identical to the struct form. */
+case class MultiSketchStateAgg(
+    valueChild: Expression,
+    hashChild: Expression,
+    k: Int = 1024,
+    accuracy: Int = 10000,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MultiSketchBuf]
+  with BinaryLike[Expression] {
+
+  override def left: Expression = valueChild
+  override def right: Expression = hashChild
+  override def prettyName: String = "multi_sketch_state"
+  override def nullable: Boolean = false
+  override val dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): MultiSketchBuf =
+    new MultiSketchBuf(k, accuracy)
+
+  override def update(buf: MultiSketchBuf, input: InternalRow)
+      : MultiSketchBuf = {
+    val h = hashChild.eval(input)
+    if (h != null) buf.addHash(h.asInstanceOf[Long])
+    val v = valueChild.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Double]
+      buf.addValue(x)
+      if (!x.isNaN) buf.gkInsert(x)
+    }
+    buf
+  }
+
+  override def merge(buf: MultiSketchBuf, other: MultiSketchBuf)
+      : MultiSketchBuf = buf.mergeIn(other)
+
+  override def eval(buf: MultiSketchBuf): Any =
+    MultiSketch.serializeBuf(buf)
+
+  override def serialize(buf: MultiSketchBuf): Array[Byte] =
+    MultiSketch.serializeBuf(buf)
+
+  override def deserialize(bytes: Array[Byte]): MultiSketchBuf =
+    MultiSketch.deserializeBuf(bytes, k, accuracy)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int)
+      : MultiSketchStateAgg = copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int)
+      : MultiSketchStateAgg = copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MultiSketchStateAgg =
+    copy(valueChild = newLeft, hashChild = newRight)
+}
+
+object MultiSketch {
+
+  /** The fused sketch as a Column. `value` must be DoubleType (null
+    * for non-numeric columns); `hash` a LongType hash that is null
+    * exactly when the column value is null. */
+  def sketch(value: Column, hash: Column, k: Int = 1024,
+      accuracy: Int = 10000,
+      ps: Seq[Double] = Seq(0.05, 0.25, 0.5, 0.75, 0.95)): Column =
+    GraftSql.column(
+      MultiSketchAgg(GraftSql.expression(value),
+        GraftSql.expression(hash), k, accuracy, ps)
+        .toAggregateExpression())
+
+  /** The serialized-state form of [[sketch]] (see
+    * [[MultiSketchStateAgg]]). */
+  def state(value: Column, hash: Column, k: Int = 1024,
+      accuracy: Int = 10000): Column =
+    GraftSql.column(
+      MultiSketchStateAgg(GraftSql.expression(value),
+        GraftSql.expression(hash), k, accuracy)
+        .toAggregateExpression())
+
+  /** Canonical wire format of a [[MultiSketchBuf]] — shared by the
+    * aggregate's shuffle serde AND the profile store's persisted
+    * snapshots (one format, one reader). GK state is written
+    * compressed; k/accuracy ride OUTSIDE the bytes (snapshot
+    * metadata), mirroring how the aggregate carries them. */
+  def serializeBuf(buf: MultiSketchBuf): Array[Byte] = {
     buf.gkFlush()
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -295,7 +397,8 @@ case class MultiSketchAgg(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): MultiSketchBuf = {
+  def deserializeBuf(bytes: Array[Byte], k: Int, accuracy: Int)
+      : MultiSketchBuf = {
     val in = new DataInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val buf = new MultiSketchBuf(k, accuracy)
@@ -319,29 +422,7 @@ case class MultiSketchAgg(
     buf
   }
 
-  override def withNewMutableAggBufferOffset(newOffset: Int)
-      : MultiSketchAgg = copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int)
-      : MultiSketchAgg = copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): MultiSketchAgg =
-    copy(valueChild = newLeft, hashChild = newRight)
-}
-
-object MultiSketch {
-
-  /** The fused sketch as a Column. `value` must be DoubleType (null
-    * for non-numeric columns); `hash` a LongType hash that is null
-    * exactly when the column value is null. */
-  def sketch(value: Column, hash: Column, k: Int = 1024,
-      accuracy: Int = 10000,
-      ps: Seq[Double] = Seq(0.05, 0.25, 0.5, 0.75, 0.95)): Column =
-    GraftSql.column(
-      MultiSketchAgg(GraftSql.expression(value),
-        GraftSql.expression(hash), k, accuracy, ps)
-        .toAggregateExpression())
-
-  private[functions] def serializeGk(q: QuantileSummaries): Array[Byte] = {
+  def serializeGk(q: QuantileSummaries): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeLong(q.count)

@@ -1,0 +1,393 @@
+package graft.profiler
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.det.Sig
+import graft.functions.{MultiSketch, MultiSketchBuf}
+
+/** Incremental profile store — profile the daily crawl without ever
+  * rescanning history.
+  *
+  * The fused profiler ([[Profiler.profileFused]]) already reduces a
+  * whole-table profile to ONE scan whose per-column state is a
+  * bounded, associative [[MultiSketchBuf]] (exact counts/min/max/sum/
+  * zeros, Pébay central moments, KMV distinct, GK quantiles). This
+  * store persists that state: each ingested batch pays one O(batch)
+  * scan producing one ~O(k + accuracy)-byte row per column, and the
+  * corpus-wide profile at any point is a driver-side merge of the
+  * persisted snapshot rows — O(snapshots × columns) sketches of a few
+  * KB each, milliseconds, no data rescan. At 100 TB this is the only
+  * viable profiling shape: day N+1 costs O(day), not O(history).
+  *
+  * Lifecycle mirrors the dedup catalog and ANN index contracts
+  * (`Dedup.writeCatalogIndex`, `AnnIndex.writeAnnIndex`): build
+  * params (k, accuracy, format version) are persisted WITH the state
+  * and verified on append — merging sketches built with different
+  * params is refused loudly, never silently wrong.
+  *
+  * Reference scope: the upstream profiler (spark-df-profiling
+  * `base.py::describe`) recomputes from raw rows on every call; the
+  * incremental form is the scale extension, with the same statistics
+  * contract where the state is exact (counts, min/max, sum, zeros)
+  * and documented error bounds where it is sketched (KMV ~1/√k
+  * distinct, GK ε-rank quantiles, moments exact up to float
+  * summation order).
+  */
+object ProfileStore {
+
+  val FormatVersion = 1
+
+  /** Store defaults: KMV k as the fused profiler uses, but GK
+    * accuracy 1000 (ε=1e-3), NOT the profiler's scan-time 10000 —
+    * measured at 10M rows/snapshot, ε=1e-4 summaries serialize to
+    * ~5.7 MB per column per snapshot (the GK size term is
+    * O((1/ε)·log(εn))), which at a year of daily snapshots × 100
+    * columns is hundreds of GB of state and a minutes-long merge;
+    * ε=1e-3 keeps a snapshot row ~100s of KB with rank error still
+    * 10× finer than the p05 granularity the profile reports. Callers
+    * with tighter quantile contracts raise it per store. */
+  val DefaultK = 1024
+  val DefaultAccuracy = 1000
+
+  /** One row per column of serialized profile state:
+    * (col_name, kind, n_rows, state). `kind` ∈ num|date|other decides
+    * how [[mergedProfile]] renders min/max and which stats apply. */
+  def snapshotState(df: DataFrame, k: Int = DefaultK,
+      accuracy: Int = DefaultAccuracy): DataFrame = {
+    val spark = df.sparkSession
+    val cols = df.columns.toSeq
+    val numSet = Kinds.numericCols(df).toSet
+    val dateSet = Kinds.dateCols(df).toSet
+    // identical projection to profileFused: hash/cast/null-guard in a
+    // codegen'd projection under the aggregate
+    val proj = df.select(cols.flatMap { c =>
+      val oc = Stats.orderable(df, c)
+      val value =
+        if (numSet(c)) col(c).cast("double")
+        else if (dateSet(c))
+          unix_micros(col(c).cast("timestamp")).cast("double")
+        else lit(null).cast("double")
+      Seq(value.as(s"v__$c"),
+        when(oc.isNotNull, xxhash64(oc)).as(s"h__$c"))
+    }: _*)
+    val aggs = count(lit(1)).as("__n") +: cols.map(c =>
+      MultiSketch.state(col(s"v__$c"), col(s"h__$c"), k, accuracy)
+        .as(s"st__$c"))
+    val row = proj.agg(aggs.head, aggs.tail: _*).first()
+    val nRows = row.getLong(0)
+    val out = cols.map { c =>
+      val kind =
+        if (numSet(c)) "num" else if (dateSet(c)) "date" else "other"
+      Row(c, kind, nRows, row.getAs[Array[Byte]](s"st__$c"))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(
+        StructField("col_name", StringType, nullable = false),
+        StructField("kind", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("state", BinaryType, nullable = false))))
+  }
+
+  /** Create a store at `path` from the first batch. Overwrites. */
+  def writeSnapshot(df: DataFrame, path: String, snapshotId: String,
+      k: Int = DefaultK, accuracy: Int = DefaultAccuracy): Unit = {
+    val spark = df.sparkSession
+    snapshotState(df, k, accuracy)
+      .withColumn("snapshot_id", lit(snapshotId))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("snapshot_id")
+      .parquet(s"$path/state")
+    spark.range(1).select(lit(FormatVersion).as("version"),
+        lit(k).as("k"), lit(accuracy).as("accuracy"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Persisted build params: (version, k, accuracy). */
+  def readMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").collect().head
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Fold a new batch into an existing store: one O(batch) scan, one
+    * parquet append — history untouched. Build params come from the
+    * store's own meta (never the caller), and the batch's column set
+    * must match the stored one: a schema drift would otherwise merge
+    * a column against an unrelated sketch. */
+  def appendSnapshot(df: DataFrame, path: String, snapshotId: String)
+      : Unit = {
+    val spark = df.sparkSession
+    val (version, k, accuracy) = readMeta(spark, path)
+    require(version == FormatVersion,
+      s"profile store at $path has format v$version; this build " +
+        s"reads v$FormatVersion")
+    val existing = spark.read.parquet(s"$path/state")
+    val storedIds = existing.select("snapshot_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    require(!storedIds.contains(snapshotId),
+      s"snapshot_id '$snapshotId' already present in $path")
+    val storedCols = existing.select("col_name", "kind").distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val batchCols = df.columns.toSet
+    require(batchCols == storedCols.keySet,
+      s"batch columns $batchCols do not match stored profile " +
+        s"columns ${storedCols.keySet}")
+    val snap = snapshotState(df, k, accuracy)
+    snap.collect().foreach { r =>
+      val c = r.getString(0)
+      require(r.getString(1) == storedCols(c),
+        s"column $c: batch kind ${r.getString(1)} vs stored " +
+          s"${storedCols(c)} — type drift, refuse to merge")
+    }
+    snap.withColumn("snapshot_id", lit(snapshotId))
+      .coalesce(1)
+      .write.mode("append").partitionBy("snapshot_id")
+      .parquet(s"$path/state")
+  }
+
+  /** Driver-side merge of all (or the selected) snapshots:
+    * col_name → (kind, total rows, merged buffer). */
+  def mergedBuffers(spark: SparkSession, path: String,
+      snapshotIds: Option[Seq[String]] = None)
+      : Map[String, (String, Long, MultiSketchBuf)] = {
+    val (version, k, accuracy) = readMeta(spark, path)
+    require(version == FormatVersion,
+      s"profile store at $path has format v$version")
+    val st0 = spark.read.parquet(s"$path/state")
+    val st = snapshotIds match {
+      case None => st0
+      case Some(ids) => st0.where(col("snapshot_id").isin(ids: _*))
+    }
+    // deterministic merge order (by snapshot id) so moment floats are
+    // reproducible run-to-run; KMV/counts/min/max are order-free
+    val rows = st.select("col_name", "kind", "n_rows", "state",
+        "snapshot_id")
+      .collect().sortBy(r => (r.getString(0), r.getString(4)))
+    require(rows.nonEmpty, s"no snapshots selected at $path")
+    rows.groupBy(_.getString(0)).map { case (c, rs) =>
+      val kind = rs.head.getString(1)
+      val n = rs.map(_.getLong(2)).sum
+      val merged = rs.map(r =>
+          MultiSketch.deserializeBuf(r.getAs[Array[Byte]](3), k,
+            accuracy))
+        .reduceLeft(_.mergeIn(_))
+      c -> (kind, n, merged)
+    }
+  }
+
+  private val profileSchema = StructType(Seq(
+    StructField("col_name", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("n_missing", LongType, nullable = false),
+    StructField("distinct_est", LongType, nullable = false),
+    StructField("mean", DoubleType),
+    StructField("variance", DoubleType),
+    StructField("min_val", DoubleType),
+    StructField("max_val", DoubleType),
+    StructField("sum_val", DoubleType),
+    StructField("n_zeros", LongType),
+    StructField("p05", DoubleType),
+    StructField("q1", DoubleType),
+    StructField("median", DoubleType),
+    StructField("q3", DoubleType),
+    StructField("p95", DoubleType)))
+
+  /** The corpus-wide profile from persisted state only — no scan of
+    * any data file. Exact fields are exact over the union; distinct
+    * is the KMV estimate; quantiles the merged-GK estimates. */
+  def mergedProfile(spark: SparkSession, path: String,
+      snapshotIds: Option[Seq[String]] = None): DataFrame = {
+    val merged = mergedBuffers(spark, path, snapshotIds)
+    val out = merged.toSeq.sortBy(_._1).map {
+      case (c, (kind, nRows, b)) =>
+        val hasNum = b.n > 0
+        b.gkFlush()
+        val qs = if (hasNum) {
+          val compressed = b.qs.compress()
+          Stats.Ps.map(p => compressed.query(p)
+            .map(Double.box).orNull)
+        } else Stats.Ps.map(_ => null)
+        Row.fromSeq(Seq[Any](c, kind, nRows, b.cnt, nRows - b.cnt,
+          b.distinctEstimate,
+          if (hasNum) Sig.sig5(b.mean) else null,
+          if (b.n > 1) Sig.sig5(b.m2 / (b.n - 1).toDouble)
+          else null,
+          if (hasNum) b.mn else null,
+          if (hasNum) b.mx else null,
+          if (hasNum) Sig.sig5(b.sum) else null,
+          if (hasNum) b.nz else null) ++ qs)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), profileSchema)
+  }
+
+  private val driftSchema = StructType(Seq(
+    StructField("col_name", StringType, nullable = false),
+    StructField("n_a", LongType, nullable = false),
+    StructField("n_b", LongType, nullable = false),
+    StructField("mean_shift_sd", DoubleType),
+    StructField("distinct_ratio", DoubleType),
+    StructField("psi", DoubleType)))
+
+  /** Drift between two snapshot sets — computed ENTIRELY from
+    * persisted state, no data rescan: compare "this week's crawl"
+    * against "all of history" in milliseconds, at any history length.
+    *
+    *  - mean_shift_sd: |μ_b − μ_a| / pooled sd (numeric cols);
+    *  - distinct_ratio: KMV estimate ratio b/a (all cols);
+    *  - psi: population-stability index over 10 equal-width bins of
+    *    the union range, bin masses estimated from each side's merged
+    *    GK summary ([[graft.functions.MultiSketch.gkHistogram]]) —
+    *    the same contract as the scan-based `Drift.psi`, with rank
+    *    error bounded by the summaries' ε.
+    *
+    * The scan-based `ops/Drift` twins stay the oracle-checkable
+    * forms; this is the monitoring shape a 100 TB store runs daily. */
+  def driftReport(spark: SparkSession, path: String,
+      idsA: Seq[String], idsB: Seq[String]): DataFrame = {
+    val a = mergedBuffers(spark, path, Some(idsA))
+    val b = mergedBuffers(spark, path, Some(idsB))
+    require(a.keySet == b.keySet, "snapshot column sets differ")
+    val out = a.keySet.toSeq.sorted.map { c =>
+      val (_, _, ba) = a(c)
+      val (_, _, bb) = b(c)
+      val shift =
+        if (ba.n > 1 && bb.n > 1) {
+          val va = ba.m2 / (ba.n - 1).toDouble
+          val vb = bb.m2 / (bb.n - 1).toDouble
+          val pooled = math.sqrt(
+            ((ba.n - 1) * va + (bb.n - 1) * vb) /
+              (ba.n + bb.n - 2).toDouble)
+          if (pooled > 0)
+            Double.box(Sig.sig5(math.abs(bb.mean - ba.mean) / pooled))
+          else null
+        } else null
+      val dr =
+        if (ba.distinctEstimate > 0)
+          Double.box(Sig.sig5(bb.distinctEstimate.toDouble /
+            ba.distinctEstimate.toDouble))
+        else null
+      val psi =
+        if (ba.n > 0 && bb.n > 0) {
+          val mn = math.min(ba.mn, bb.mn)
+          val mx = math.max(ba.mx, bb.mx)
+          val bins = 10
+          def masses(buf: MultiSketchBuf): Array[Double] = {
+            val h = MultiSketch.gkHistogram(
+              MultiSketch.serializeGk({ buf.gkFlush(); buf.qs.compress() }),
+              mn, mx, bins)
+            val tot = math.max(1L, h.map(_._2).sum).toDouble
+            val arr = new Array[Double](bins)
+            h.foreach { case (i, cnt) =>
+              if (i < bins) arr(i.toInt) = cnt / tot }
+            arr
+          }
+          val pa = masses(ba)
+          val pb = masses(bb)
+          val eps = 1e-4 // standard PSI zero-bin floor
+          val v = (0 until bins).map { i =>
+            val x = math.max(pa(i), eps)
+            val y = math.max(pb(i), eps)
+            (y - x) * math.log(y / x)
+          }.sum
+          Double.box(Sig.sig5(v))
+        } else null
+      Row(c, a(c)._2, b(c)._2, shift, dr, psi)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), driftSchema)
+  }
+
+  // ------------------------------------------------------------------
+  // The sig5-canonical exact-merge form (the declared oracle query).
+  // ------------------------------------------------------------------
+
+  /** Per-partition canonical stats merged with the Pébay pairwise
+    * formulas over ROUNDED canon — the oracle-checkable twin of the
+    * sketch store. Each part pays the same two-pass scan as
+    * [[Stats.moments]]; per-part mean/sum/M2 are sig5-rounded (the
+    * canonical handoff both engines can reproduce bit-exactly), then
+    * merged with exact IEEE arithmetic:
+    *
+    *   n = Σnᵢ;  mean = Σnᵢμᵢ / n;  M2 = ΣM2ᵢ + Σ nᵢ·(μᵢ − mean)²
+    *
+    * (the multi-way form of Chan/Pébay's pairwise update — exact for
+    * any number of parts, no sequential fold order to agree on).
+    * Emits one row per (column): n per part, merged n, mean, min,
+    * max, sum, variance — everything sig5 on the way out, so a DuckDB
+    * replay of the same per-part CTEs + merge arithmetic hash-matches.
+    */
+  def incrementalMoments(parts: Seq[(String, DataFrame)],
+      cols: Seq[String]): DataFrame = {
+    require(parts.nonEmpty)
+    val spark = parts.head._2.sparkSession
+    // per part: pass 1 (n, mean, min, max, sum) then pass 2 central
+    // sum against the unrounded own-engine mean (the num_moments
+    // pattern — sig5 absorbs the cross-engine 1e-12 divergence)
+    val partStats: Seq[(String, Map[String,
+        (Long, Double, Double, Double, Double, Double)])] =
+      parts.map { case (pname, df) =>
+        val aggs1 = cols.flatMap { c =>
+          val d = col(c).cast("double")
+          Seq(count(d).as(s"n__$c"), avg(d).as(s"mean__$c"),
+            min(d).as(s"min__$c"), max(d).as(s"max__$c"),
+            sum(d).as(s"sum__$c"))
+        }
+        val r1 = df.agg(aggs1.head, aggs1.tail: _*).first()
+        val aggs2 = cols.map { c =>
+          val i = r1.fieldIndex(s"mean__$c")
+          val mu = if (r1.isNullAt(i)) 0.0 else r1.getDouble(i)
+          val d = col(c).cast("double")
+          sum(pow(d - lit(mu), 2)).as(s"s2__$c")
+        }
+        val r2 = df.agg(aggs2.head, aggs2.tail: _*).first()
+        val m = cols.map { c =>
+          val n = r1.getLong(r1.fieldIndex(s"n__$c"))
+          def g(r: Row, f: String): Double = {
+            val i = r.fieldIndex(f)
+            if (r.isNullAt(i)) Double.NaN else r.getDouble(i)
+          }
+          c -> ((n, Sig.sig5(g(r1, s"mean__$c")),
+            g(r1, s"min__$c"), g(r1, s"max__$c"),
+            Sig.sig5(g(r1, s"sum__$c")),
+            Sig.sig5(g(r2, s"s2__$c"))))
+        }.toMap
+        pname -> m
+      }
+    val out = cols.map { c =>
+      val ps = partStats.map { case (_, m) => m(c) }
+      val n = ps.map(_._1).sum
+      val mean = ps.map(p => p._1.toDouble * p._2).sum / n.toDouble
+      val mn = ps.map(_._3).min
+      val mx = ps.map(_._4).max
+      val sm = ps.map(_._5).sum
+      // association is load-bearing for the oracle replay: nᵢ·(d·d),
+      // left-fold sums — the SQL writes the identical parenthesization
+      val m2 = ps.map(_._6).sum +
+        ps.map { p =>
+          val d = p._2 - mean
+          p._1.toDouble * (d * d)
+        }.sum
+      Row.fromSeq(Seq[Any](c, n,
+        Sig.sig5(mean), mn, mx, Sig.sig5(sm),
+        if (n > 1) Sig.sig5(m2 / (n - 1).toDouble) else null) ++
+        ps.map(p => Long.box(p._1)))
+    }
+    val schema = StructType(Seq(
+      StructField("col_name", StringType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("mean", DoubleType),
+      StructField("min_val", DoubleType),
+      StructField("max_val", DoubleType),
+      StructField("sum_val", DoubleType),
+      StructField("variance", DoubleType)) ++
+      partStats.map { case (pname, _) =>
+        StructField(s"n_$pname", LongType, nullable = false) })
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.det.Sig
+import graft.profiler.ProfileStore
+
+/** Declared incremental-profile queries: the sig5-canonical
+  * partition-merge form of the profile store
+  * ([[graft.profiler.ProfileStore]]), with the DuckDB oracle
+  * replaying per-part statistics AND the Pébay/Chan merge arithmetic
+  * as CTEs — the merge algebra itself is value-checked, not just the
+  * final numbers. The sketch-state lifecycle (persisted
+  * MultiSketchBuf bytes) is the scale path, unit-tested for
+  * merge ≡ rescan; this query pins the part→merge contract
+  * relationally.
+  */
+object StoreQueries {
+
+  private def sig(x: String) = Sig.sql(x)
+  private val T = "lineitem"
+  // the float columns: the merge formulas' interesting case (the int
+  // columns exercise nothing the floats don't)
+  private val cols = Core.floats
+  // a deterministic, data-derived 2-way split — the "two ingest days"
+  private val splitA = "l_orderkey % 2 = 0"
+  private val splitB = "l_orderkey % 2 = 1"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_incremental" -> ((s, dir) => {
+      val li = Core.li(s, dir)
+      ProfileStore.incrementalMoments(
+        Seq("a" -> li.where(expr(splitA)),
+          "b" -> li.where(expr(splitB))), cols)
+    }))
+
+  private val profileIncrementalSql: String = {
+    val ctes = cols.flatMap { c =>
+      Seq("a" -> splitA, "b" -> splitB).flatMap { case (p, pred) =>
+        Seq(
+          s"""src_${p}_$c AS (SELECT CAST($c AS DOUBLE) AS x FROM $T
+             |WHERE ($pred) AND $c IS NOT NULL)""".stripMargin,
+          s"""agg_${p}_$c AS (SELECT count(*) AS n, avg(x) AS mu,
+             |min(x) AS mn, max(x) AS mx, sum(x) AS sm
+             |FROM src_${p}_$c)""".stripMargin,
+          s"""cs_${p}_$c AS (SELECT
+             |sum(pow(x - (SELECT mu FROM agg_${p}_$c), 2)) AS s2r
+             |FROM src_${p}_$c)""".stripMargin,
+          // per-part canon: sig5-rounded mean/sum/central-sum — the
+          // handoff both engines reproduce bit-exactly; min/max/count
+          // are exact and stay raw
+          s"""canon_${p}_$c AS (SELECT n, ${sig("mu")} AS ma,
+             |mn, mx, ${sig("sm")} AS sa, ${sig("s2r")} AS s2
+             |FROM agg_${p}_$c, cs_${p}_$c)""".stripMargin)
+      } :+
+        // the merge: exact IEEE arithmetic over the rounded canon,
+        // parenthesized EXACTLY as the Scala fold computes it
+        s"""mrg_$c AS (SELECT a.n AS na, b.n AS nb,
+           |a.ma AS ma, b.ma AS mb, a.mn AS mna, b.mn AS mnb,
+           |a.mx AS mxa, b.mx AS mxb, a.sa AS sa, b.sa AS sb,
+           |a.s2 AS s2a, b.s2 AS s2b,
+           |(a.n * a.ma + b.n * b.ma) / (a.n + b.n) AS mu
+           |FROM canon_a_$c a, canon_b_$c b)""".stripMargin
+    }
+    val selects = cols.map { c =>
+      s"""SELECT '$c' AS col_name, na + nb AS n,
+         |${sig("mu")} AS mean,
+         |LEAST(mna, mnb) AS min_val, GREATEST(mxa, mxb) AS max_val,
+         |${sig("(sa + sb)")} AS sum_val,
+         |${sig("((s2a + s2b) + (na * ((ma - mu) * (ma - mu)) + nb * ((mb - mu) * (mb - mu)))) / (na + nb - 1)")} AS variance,
+         |na AS n_a, nb AS n_b
+         |FROM mrg_$c""".stripMargin
+    }
+    s"WITH ${ctes.mkString(",\n")}\n" +
+      selects.mkString("", "\nUNION ALL\n", "") + "\nORDER BY col_name"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "profile_incremental" -> profileIncrementalSql)
+}

@@ -1,0 +1,232 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{MultiSketch, MultiSketchBuf}
+import graft.profiler.ProfileStore
+
+/** Incremental profile store: persisted sketch-state merge must equal
+  * a fresh whole-corpus scan — exactly where the state is exact, to
+  * contract bounds where it is sketched. */
+class ProfileStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus(lo: Long, hi: Long) =
+    spark.range(lo, hi).select(
+      col("id"),
+      (col("id") % 97).cast("double").as("x"),
+      when(col("id") % 11 === 0, lit(null).cast("double"))
+        .otherwise((col("id") % 1000).cast("double") / 10.0).as("y"),
+      concat(lit("s"), (col("id") % 523).cast("string")).as("cat"))
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("snapshot merge ≡ whole-corpus scan: exact fields bit-equal, " +
+      "KMV distinct bit-equal, GK quantiles within rank bound") {
+    val a = corpus(0, 20000)
+    val b = corpus(20000, 33000)
+    val whole = corpus(0, 33000)
+    val path = tmp("pstore")
+    ProfileStore.writeSnapshot(a, path, "day=01", k = 256)
+    ProfileStore.appendSnapshot(b, path, "day=02")
+    val merged = ProfileStore.mergedBuffers(spark, path)
+    // a fresh single-snapshot state over the union, same params
+    val fresh = ProfileStore.snapshotState(whole, k = 256)
+      .collect().map(r => r.getString(0) ->
+        MultiSketch.deserializeBuf(r.getAs[Array[Byte]](3), 256,
+          ProfileStore.DefaultAccuracy)).toMap
+    for (c <- Seq("id", "x", "y", "cat")) {
+      val (_, nRows, m) = merged(c)
+      val f = fresh(c)
+      assert(nRows === 33000L)
+      assert(m.cnt === f.cnt, s"$c cnt")
+      assert(m.n === f.n, s"$c n")
+      assert(m.mn === f.mn, s"$c min")
+      assert(m.mx === f.mx, s"$c max")
+      assert(m.nz === f.nz, s"$c zeros")
+      // KMV is a SET of the k smallest distinct hashes — merge order
+      // cannot matter: bit-equality, not closeness
+      assert(m.kmvLen === f.kmvLen, s"$c kmvLen")
+      assert(m.kmv.take(m.kmvLen).toSeq ===
+        f.kmv.take(f.kmvLen).toSeq, s"$c kmv hashes")
+      if (f.n > 0) {
+        assert(math.abs(m.sum - f.sum) <=
+          1e-9 * math.max(1.0, math.abs(f.sum)), s"$c sum")
+        assert(math.abs(m.mean - f.mean) <=
+          1e-9 * math.max(1.0, math.abs(f.mean)), s"$c mean")
+        assert(math.abs(m.m2 - f.m2) <=
+          1e-6 * math.max(1.0, math.abs(f.m2)), s"$c m2")
+        // merged GK keeps the ε-rank contract (merge adds the two
+        // summaries' errors: ≤ 2ε·n; assert with slack 3ε)
+        m.gkFlush()
+        val q = m.qs.compress()
+        val vals = whole.select(col(c).cast("double"))
+          .where(col(c).isNotNull)
+          .as[Double].collect().sorted
+        for (p <- Seq(0.25, 0.5, 0.75)) {
+          val est = q.query(p).get
+          // two-sided form (correct under heavy duplicates, where a
+          // single value can carry ≫ ε of rank mass): the est value's
+          // rank INTERVAL [rank_lt, rank_le] must cover p to within
+          // the merged-GK error (≤ 2ε; slack 3ε + head jitter)
+          val eps = 3.0 / ProfileStore.DefaultAccuracy + 1e-3
+          val rLt = vals.count(_ < est).toDouble / vals.length
+          val rLe = vals.count(_ <= est).toDouble / vals.length
+          assert(rLt <= p + eps && rLe >= p - eps,
+            s"$c p$p est=$est rank interval [$rLt, $rLe]")
+        }
+      }
+    }
+  }
+
+  test("mergedProfile matches a direct profile of the union on " +
+      "exact fields; distinct estimate within KMV rsd") {
+    val a = corpus(0, 8000)
+    val b = corpus(8000, 15000)
+    val path = tmp("pstore_prof")
+    ProfileStore.writeSnapshot(a, path, "d1")
+    ProfileStore.appendSnapshot(b, path, "d2")
+    val prof = ProfileStore.mergedProfile(spark, path)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val y = prof("y")
+    assert(y.getLong(y.fieldIndex("n_rows")) === 15000L)
+    val expectedNullY = corpus(0, 15000).where(col("y").isNull).count()
+    assert(y.getLong(y.fieldIndex("n_missing")) === expectedNullY)
+    val x = prof("x")
+    assert(x.getDouble(x.fieldIndex("min_val")) === 0.0)
+    assert(x.getDouble(x.fieldIndex("max_val")) === 96.0)
+    // x has 97 distinct values < k=1024 → KMV is EXACT
+    assert(x.getLong(x.fieldIndex("distinct_est")) === 97L)
+    val cat = prof("cat")
+    assert(cat.getLong(cat.fieldIndex("distinct_est")) === 523L)
+    assert(cat.isNullAt(cat.fieldIndex("mean")))
+    // id: 15000 distinct > k → estimate within ~3/√1024 ≈ 10%
+    val id = prof("id")
+    val est = id.getLong(id.fieldIndex("distinct_est")).toDouble
+    assert(math.abs(est - 15000.0) / 15000.0 < 0.1,
+      s"id distinct est $est")
+  }
+
+  test("append refuses: duplicate snapshot id, schema drift, " +
+      "column-kind drift") {
+    val path = tmp("pstore_guard")
+    ProfileStore.writeSnapshot(corpus(0, 100), path, "d1")
+    intercept[IllegalArgumentException] {
+      ProfileStore.appendSnapshot(corpus(100, 200), path, "d1")
+    }
+    intercept[IllegalArgumentException] {
+      ProfileStore.appendSnapshot(
+        corpus(100, 200).withColumnRenamed("x", "z"), path, "d2")
+    }
+    intercept[IllegalArgumentException] {
+      // same column NAME, different kind (numeric → string)
+      ProfileStore.appendSnapshot(
+        corpus(100, 200).withColumn("x", col("x").cast("string")),
+        path, "d2")
+    }
+  }
+
+  test("snapshot selection: merging a subset of snapshot ids " +
+      "profiles exactly that subset") {
+    val path = tmp("pstore_sel")
+    ProfileStore.writeSnapshot(corpus(0, 1000), path, "d1")
+    ProfileStore.appendSnapshot(corpus(1000, 2500), path, "d2")
+    ProfileStore.appendSnapshot(corpus(2500, 3000), path, "d3")
+    val sel = ProfileStore.mergedProfile(spark, path,
+      Some(Seq("d1", "d3")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(sel("id").getLong(sel("id").fieldIndex("n_rows")) === 1500L)
+    assert(sel("id").getDouble(sel("id").fieldIndex("min_val")) === 0.0)
+    assert(sel("id").getDouble(sel("id").fieldIndex("max_val"))
+      === 2999.0)
+  }
+
+  test("incrementalMoments merge algebra equals single-scan moments " +
+      "to sig5 on a skewed split") {
+    // deliberately UNBALANCED parts with different distributions —
+    // the merge formulas' stress case (large delta between means)
+    val whole = corpus(0, 30000)
+    val parts = Seq(
+      "a" -> whole.where(col("id") < 27000),
+      "b" -> whole.where(col("id") >= 27000))
+    val inc = ProfileStore.incrementalMoments(parts, Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val direct = graft.profiler.Stats.moments(whole, Seq("x", "y"))
+      .collect().map(r => r.getString(r.fieldIndex("col_name")) -> r)
+      .toMap
+    for (c <- Seq("x", "y")) {
+      val i = inc(c); val d = direct(c)
+      assert(i.getLong(i.fieldIndex("n")) ===
+        d.getLong(d.fieldIndex("n")), s"$c n")
+      assert(i.getDouble(i.fieldIndex("min_val")) ===
+        d.getDouble(d.fieldIndex("min_val")), s"$c min")
+      assert(i.getDouble(i.fieldIndex("max_val")) ===
+        d.getDouble(d.fieldIndex("max_val")), s"$c max")
+      for (f <- Seq("mean", "sum_val", "variance")) {
+        val iv = i.getDouble(i.fieldIndex(f))
+        val dv = d.getDouble(d.fieldIndex(f))
+        // both sides sig5-round their own path; the merge introduces
+        // one extra rounding step → agree to ~1e-4 relative
+        assert(math.abs(iv - dv) <= 2e-4 * math.max(1.0, math.abs(dv)),
+          s"$c $f inc=$iv direct=$dv")
+      }
+    }
+  }
+
+  test("driftReport from state only: planted mean shift and " +
+      "distribution change surface; identical snapshots are quiet") {
+    val path = tmp("pstore_drift")
+    // week A: two snapshots of the same distribution
+    ProfileStore.writeSnapshot(corpus(0, 10000), path, "a1")
+    ProfileStore.appendSnapshot(corpus(10000, 20000), path, "a2")
+    // week B: x SHIFTED by +50 (half an sd-ish), same y
+    val shifted = corpus(20000, 30000)
+      .withColumn("x", col("x") + lit(50.0))
+    ProfileStore.appendSnapshot(shifted, path, "b1")
+    val drift = ProfileStore.driftReport(spark, path,
+      Seq("a1", "a2"), Seq("b1"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val x = drift("x")
+    assert(x.getLong(x.fieldIndex("n_a")) === 20000L)
+    assert(x.getLong(x.fieldIndex("n_b")) === 10000L)
+    assert(x.getDouble(x.fieldIndex("mean_shift_sd")) > 1.0,
+      "a +50 shift on a sd≈28 uniform must read as a large shift")
+    assert(x.getDouble(x.fieldIndex("psi")) > 0.5,
+      "disjoint-ish ranges give a large PSI")
+    // y unchanged: quiet on both measures
+    val y = drift("y")
+    assert(y.getDouble(y.fieldIndex("mean_shift_sd")) < 0.05)
+    assert(y.getDouble(y.fieldIndex("psi")) < 0.05)
+    // self-drift is exactly quiet
+    val self = ProfileStore.driftReport(spark, path,
+      Seq("a1"), Seq("a1"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(self("x").getDouble(self("x").fieldIndex("mean_shift_sd"))
+      === 0.0)
+    assert(self("x").getDouble(self("x").fieldIndex("distinct_ratio"))
+      === 1.0)
+  }
+
+  test("MultiSketchStateAgg state bytes round-trip: deserialize → " +
+      "finalize equals the struct aggregate's output") {
+    val df = corpus(0, 5000)
+    val proj = df.select(col("x").as("v"),
+      when(col("x").isNotNull, xxhash64(col("x"))).as("h"))
+    val stBytes = proj.agg(
+        MultiSketch.state(col("v"), col("h"), 256, 10000).as("st"))
+      .first().getAs[Array[Byte]](0)
+    val buf = MultiSketch.deserializeBuf(stBytes, 256, 10000)
+    val struct = proj.agg(
+        MultiSketch.sketch(col("v"), col("h"), 256, 10000).as("ms"))
+      .first().getStruct(0)
+    assert(buf.cnt === struct.getAs[Long]("cnt"))
+    assert(buf.distinctEstimate === struct.getAs[Long]("dis"))
+    assert(buf.n === struct.getAs[Long]("n_num"))
+    assert(buf.mean === struct.getAs[Double]("mean"))
+    assert(buf.mn === struct.getAs[Double]("mn"))
+    assert(buf.mx === struct.getAs[Double]("mx"))
+    assert(buf.sum === struct.getAs[Double]("sm"))
+    assert(buf.nz === struct.getAs[Long]("nz"))
+  }
+}
