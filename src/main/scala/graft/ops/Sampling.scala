@@ -318,4 +318,47 @@ object Sampling {
         floor(col("share") * budget.toDouble).cast("long"))
       .orderBy("stratum")
   }
+
+  /** Diversity-aware selection (the prototype/coreset shape behind
+    * SemDeDup-style "keep one per semantic region" and k-center
+    * data-selection): partition the embedding space into Voronoi
+    * cells around a seeded codebook (corpus rows [seedLo, seedHi) —
+    * the [[Similarity.ivfAssign]] machinery, no RNG), join each
+    * vector's row in `quality` (any per-id score: text quality,
+    * perplexity, n_chars), and keep the single best-quality member
+    * of every cell — maximal coverage of the space per selected row,
+    * instead of the frequency-proportional picks a random sample
+    * makes.
+    *
+    * Output: (cell, vec_id, quality, n_members), one row per
+    * non-empty cell.
+    *
+    * Scale shape: cell assignment is a MAP-ONLY argmin against the
+    * broadcast codebook (no shuffle, no row expansion); the per-cell
+    * winner is one windowless struct-min aggregation over O(cells)
+    * groups; the quality join shuffles on the 8-byte id (or
+    * broadcasts when quality is small). Nothing scales with corpus
+    * size except the one assignment pass.
+    *
+    * Discrete determinism: assignment scores are sig5-rounded with
+    * centroid-id tie-break (the IVF contract); the per-cell winner
+    * orders by (quality DESC, id ASC) via min of struct(−quality,
+    * id) — both deterministic and oracle-replayable. */
+  def diverseByCell(emb: DataFrame, idCol: String, vecCol: String,
+      quality: DataFrame, qIdCol: String, qCol: String,
+      seedLo: Long, seedHi: Long, dim: Int = 64): DataFrame = {
+    val cents = Similarity.seedCodebook(emb, idCol, vecCol,
+      seedLo, seedHi)
+    val assigned = Similarity.ivfAssign(emb, idCol, vecCol, cents, dim)
+    val scored = assigned.join(
+      quality.select(col(qIdCol).cast("long").as("vec_id"),
+        col(qCol).cast("double").as("q")), "vec_id")
+    scored.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("q")).as("nq"), col("vec_id").as("vid")))
+          .as("w"))
+      .select(col("cell"), col("w.vid").as("vec_id"),
+        (-col("w.nq")).as("quality"), col("n_members"))
+      .orderBy("cell")
+  }
 }

@@ -306,6 +306,55 @@ object TextStats {
       .orderBy("rnk")
   }
 
+  /** Encoding-health diagnostics — the "did a decode step corrupt
+    * this shard" gate a crawl pipeline runs before spending compute
+    * downstream. Per-language aggregate of four per-doc signals:
+    *
+    *  - replacement chars (U+FFFD): a decoder already gave up;
+    *  - stray control chars (C0 minus \t\n\r, plus DEL): binary
+    *    bleed-through or broken transfer encoding;
+    *  - mojibake markers: the UTF-8-bytes-read-as-Latin-1 digraphs
+    *    ("Ã©" for é, "â€" opening the quote/dash family) — counted
+    *    as LITERAL substrings via the replace-length identity, so
+    *    both engines count identically with no regex-dialect risk;
+    *  - non-ASCII ratio: legitimate signal for language mix (zh ≫
+    *    en), a drift alarm when it moves within a language.
+    *
+    * Counting is one map-only projection + one O(langs) groupBy —
+    * embarrassingly parallel at corpus scale. */
+  def encodingHealth(df: DataFrame, textCol: String, langCol: String)
+      : DataFrame = {
+    def litCount(c: Column, marker: String): Column =
+      (length(c) - length(replace(c, lit(marker), lit("")))) /
+        lit(marker.length)
+    val ctrlClass = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+    val t = col(textCol)
+    val perDoc = df.select(col(langCol).as("lang"),
+      length(t).cast("long").as("nc"),
+      litCount(t, "�").cast("long").as("n_repl"),
+      (length(t) - length(regexp_replace(t, ctrlClass, "")))
+        .cast("long").as("n_ctrl"),
+      (litCount(t, "Ã©") + litCount(t, "â€"))
+        .cast("long").as("n_moji"),
+      (length(t) - length(regexp_replace(t, "[^\\x00-\\x7F]", "")))
+        .cast("long").as("n_nonascii"))
+    perDoc.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_repl") > 0, 1L).otherwise(0L))
+          .as("repl_docs"),
+        sum(when(col("n_ctrl") > 0, 1L).otherwise(0L))
+          .as("ctrl_docs"),
+        sum(when(col("n_moji") > 0, 1L).otherwise(0L))
+          .as("moji_docs"),
+        sum("n_nonascii").as("nonascii_chars"),
+        sum("nc").as("total_chars"))
+      .select(col("lang"), col("n_docs"), col("repl_docs"),
+        col("ctrl_docs"), col("moji_docs"),
+        sig5(col("nonascii_chars").cast("double") /
+          col("total_chars")).as("nonascii_ratio"))
+      .orderBy("lang")
+  }
+
   def vocab(df: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df

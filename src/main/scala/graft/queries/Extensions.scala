@@ -457,6 +457,12 @@ object Extensions {
     // ---- round 5: corpus-scale sketches & span dedup ----
     "text_vocab" -> ((s, dir) =>
       TextStats.vocab(t(s, dir, "documents"), "text", topK = 20)),
+    // encoding-health gate: replacement/control/mojibake counts +
+    // non-ASCII ratio per language (mojibake via LITERAL substring
+    // counting — no regex-dialect risk between engines)
+    "text_encoding" -> ((s, dir) =>
+      TextStats.encodingHealth(t(s, dir, "documents"), "text",
+        "lang")),
     // sliced profiling: per-returnflag numeric stats, long form
     "num_grouped" -> ((s, dir) =>
       graft.profiler.Stats.grouped(t(s, dir, "lineitem"), "l_returnflag",
@@ -766,6 +772,13 @@ object Extensions {
     // tie-break is ASCENDING doc_id on equal (sig5-rounded) quality,
     // matching the oracle's ORDER BY quality DESC, doc_id. Plan is
     // asserted window-free (Round8Spec).
+    // diversity-aware selection: one best-quality doc per Voronoi
+    // cell of the embedding space (the SemDeDup/k-center selection
+    // shape) — map-only assignment + windowless per-cell argmax
+    "sample_diverse" -> ((s, dir) =>
+      Sampling.diverseByCell(t(s, dir, "embeddings"), "vec_id",
+        "embedding", t(s, dir, "documents"), "doc_id", "n_chars",
+        100L, 116L)),
     "sample_quota" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val q = TextStats.quality(d, "doc_id", "text")
@@ -1019,6 +1032,49 @@ object Extensions {
   /** IVF assignment re-derived: same cell CTEs as [[embedAnnIvfSql]]
     * (argmin over sig5-rounded |c|²−2·v·c with cid tie-break), whole
     * corpus, one row per vector. */
+  val textEncodingSql: String =
+    s"""WITH d AS (SELECT lang, length(text) AS nc,
+       |  CAST(length(text) - length(replace(text, '�', ''))
+       |    AS BIGINT) AS n_repl,
+       |  CAST(length(text) - length(regexp_replace(text,
+       |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))
+       |    AS BIGINT) AS n_ctrl,
+       |  CAST((length(text) - length(replace(text, 'Ã©', ''))) / 2
+       |    + (length(text) - length(replace(text, 'â€', ''))) / 2
+       |    AS BIGINT) AS n_moji,
+       |  CAST(length(text) - length(regexp_replace(text,
+       |    '[^\\x00-\\x7F]', '', 'g')) AS BIGINT) AS n_nonascii
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |CAST(sum(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS repl_docs,
+       |CAST(sum(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ctrl_docs,
+       |CAST(sum(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS moji_docs,
+       |${sig("CAST(sum(n_nonascii) AS DOUBLE) / sum(nc)")} AS nonascii_ratio
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  val sampleDiverseSql: String =
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i)
+       |       WHERE len(embedding) = 64),
+       |cn AS (SELECT vec_id AS cid, sum(v * v) AS cn2 FROM el
+       |       WHERE vec_id BETWEEN 100 AND 115 GROUP BY 1),
+       |cd AS (SELECT a.vec_id AS vid, c.vec_id AS cid, sum(a.v * c.v) AS dp
+       |       FROM el a JOIN el c ON c.i = a.i
+       |       AND c.vec_id BETWEEN 100 AND 115 GROUP BY 1, 2),
+       |sc AS (SELECT vid, cd.cid, ${sig("cn2 - 2 * dp")} AS score
+       |       FROM cd JOIN cn ON cn.cid = cd.cid),
+       |cells AS (SELECT vid, cid AS cell FROM (
+       |  SELECT vid, cid, row_number() OVER (PARTITION BY vid
+       |    ORDER BY score ASC, cid ASC) AS rn FROM sc) WHERE rn = 1),
+       |j AS (SELECT c.cell, c.vid, CAST(d.n_chars AS DOUBLE) AS q
+       |      FROM cells c JOIN documents d ON d.doc_id = c.vid)
+       |SELECT cell, vid AS vec_id, q AS quality, n_members FROM (
+       |  SELECT cell, vid, q,
+       |    count(*) OVER (PARTITION BY cell) AS n_members,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY q DESC, vid ASC) AS rn FROM j)
+       |WHERE rn = 1 ORDER BY cell""".stripMargin
+
   val embedIvfAssignSql: String =
     s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
        |       FROM embeddings, range(1, 65) t(i)
@@ -2971,11 +3027,13 @@ val eventsRollupSql: String =
     "corpus_manifest" -> corpusManifestSql,
     "table_duplicates" -> tableDuplicatesSql,
     "drift_embedding" -> driftEmbeddingSql,
+    "sample_diverse" -> sampleDiverseSql,
     "sample_quota" -> sampleQuotaSql,
     "dedup_semantic" -> dedupSemanticSql,
     "drift_ks" -> driftKsSql,
     "text_pack" -> textPackSql,
     "join_salted" -> joinSaltedSql,
+    "text_encoding" -> textEncodingSql,
     "text_vocab" -> textVocabSql,
     "text_boilerplate" -> textBoilerplateSql,
     "num_grouped" -> numGroupedSql,
