@@ -463,6 +463,11 @@ object Extensions {
     "text_encoding" -> ((s, dir) =>
       TextStats.encodingHealth(t(s, dir, "documents"), "text",
         "lang")),
+    // BPE merge-rule TRAINING (Sennrich): 6 iterations of
+    // count-pairs → argmax → literal-rewrite over the word-frequency
+    // table; the oracle replays every iteration as CTEs
+    "text_bpe_train" -> ((s, dir) =>
+      BpeTrain.train(t(s, dir, "documents"), "text", merges = 6)),
     // sliced profiling: per-returnflag numeric stats, long form
     "num_grouped" -> ((s, dir) =>
       graft.profiler.Stats.grouped(t(s, dir, "lineitem"), "l_returnflag",
@@ -1032,6 +1037,46 @@ object Extensions {
   /** IVF assignment re-derived: same cell CTEs as [[embedAnnIvfSql]]
     * (argmin over sig5-rounded |c|²−2·v·c with cid tie-break), whole
     * corpus, one row per vector. */
+  /** The BPE-training oracle: every iteration (pair counts → best
+    * pair → vocab rewrite) unrolled as CTEs — the learned merge
+    * TABLE is value-checked, not just sampled. chr(2)/chr(1) are
+    * the symbol markers/separator (BpeTrain.Mark/Sep); greedy-left
+    * literal replace on that encoding ≡ BPE's merge pass. */
+  val textBpeTrainSql: String = {
+    val M = "chr(2)"
+    val S = "chr(1)"
+    val iters = 6
+    val base =
+      s"""words AS (SELECT lower(tok) AS word FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE regexp_matches(lower(tok), '^[a-z]+${"$"}')
+         |    AND length(tok) <= 64),
+         |voc AS (SELECT word, count(*) AS freq FROM words GROUP BY 1),
+         |v0 AS (SELECT rtrim(concat(regexp_replace(word, '(.)',
+         |  $M||'\\1'||$M||$S, 'g')), $S) AS sym, freq FROM voc)""".stripMargin
+    val steps = (1 to iters).flatMap { k =>
+      Seq(
+        s"""p$k AS (SELECT toks[i] AS a, toks[i+1] AS b,
+           |  CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split(sym, $S) AS toks, freq
+           |        FROM v${k - 1}) t, range(1, 65) r(i)
+           |  WHERE i + 1 <= len(toks) GROUP BY 1, 2)""".stripMargin,
+        s"""b$k AS (SELECT a, b, cnt FROM p$k
+           |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""".stripMargin,
+        s"""v$k AS (SELECT replace(sym, b$k.a || $S || b$k.b,
+           |  $M || replace(b$k.a, $M, '') || replace(b$k.b, $M, '')
+           |  || $M) AS sym, freq FROM v${k - 1}, b$k)""".stripMargin)
+    }
+    val selects = (1 to iters).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rnk,
+         |replace(a, $M, '') AS left_sym, replace(b, $M, '') AS right_sym,
+         |replace(a, $M, '') || replace(b, $M, '') AS merged,
+         |cnt AS pair_count FROM b$k""".stripMargin
+    }
+    s"WITH $base,\n${steps.mkString(",\n")}\n" +
+      selects.mkString("", "\nUNION ALL\n", "") + "\nORDER BY rnk"
+  }
+
   val textEncodingSql: String =
     s"""WITH d AS (SELECT lang, length(text) AS nc,
        |  CAST(length(text) - length(replace(text, '�', ''))
@@ -3033,6 +3078,7 @@ val eventsRollupSql: String =
     "drift_ks" -> driftKsSql,
     "text_pack" -> textPackSql,
     "join_salted" -> joinSaltedSql,
+    "text_bpe_train" -> textBpeTrainSql,
     "text_encoding" -> textEncodingSql,
     "text_vocab" -> textVocabSql,
     "text_boilerplate" -> textBoilerplateSql,
