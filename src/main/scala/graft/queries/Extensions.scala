@@ -468,6 +468,17 @@ object Extensions {
     // table; the oracle replays every iteration as CTEs
     "text_bpe_train" -> ((s, dir) =>
       BpeTrain.train(t(s, dir, "documents"), "text", merges = 6)),
+    // the apply side: train the 6 rules, then encode every doc with
+    // them (rules ride as literal rewrites — map-only) and count
+    // subword tokens; the oracle re-derives the rules and applies
+    // the identical nested replaces
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rules = BpeTrain.train(docs, "text", merges = 6)
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeTrain.encodeTokenCount(docs, "doc_id", "text", rules)
+    }),
     // sliced profiling: per-returnflag numeric stats, long form
     "num_grouped" -> ((s, dir) =>
       graft.profiler.Stats.grouped(t(s, dir, "lineitem"), "l_returnflag",
@@ -1042,10 +1053,15 @@ object Extensions {
     * TABLE is value-checked, not just sampled. chr(2)/chr(1) are
     * the symbol markers/separator (BpeTrain.Mark/Sep); greedy-left
     * literal replace on that encoding ≡ BPE's merge pass. */
-  val textBpeTrainSql: String = {
-    val M = "chr(2)"
-    val S = "chr(1)"
-    val iters = 6
+  private val bpeM = "chr(2)"
+  private val bpeS = "chr(1)"
+  private val bpeIters = 6
+
+  /** The shared training-iteration CTEs (v0 → p_k/b_k/v_k unrolled):
+    * both the train oracle and the encode oracle replay the SAME
+    * learned rules from these. */
+  private val bpeTrainCtes: String = {
+    val M = bpeM; val S = bpeS
     val base =
       s"""words AS (SELECT lower(tok) AS word FROM (
          |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
@@ -1054,7 +1070,7 @@ object Extensions {
          |voc AS (SELECT word, count(*) AS freq FROM words GROUP BY 1),
          |v0 AS (SELECT rtrim(concat(regexp_replace(word, '(.)',
          |  $M||'\\1'||$M||$S, 'g')), $S) AS sym, freq FROM voc)""".stripMargin
-    val steps = (1 to iters).flatMap { k =>
+    val steps = (1 to bpeIters).flatMap { k =>
       Seq(
         s"""p$k AS (SELECT toks[i] AS a, toks[i+1] AS b,
            |  CAST(sum(freq) AS BIGINT) AS cnt
@@ -1067,14 +1083,49 @@ object Extensions {
            |  $M || replace(b$k.a, $M, '') || replace(b$k.b, $M, '')
            |  || $M) AS sym, freq FROM v${k - 1}, b$k)""".stripMargin)
     }
-    val selects = (1 to iters).map { k =>
+    s"$base,\n${steps.mkString(",\n")}"
+  }
+
+  val textBpeTrainSql: String = {
+    val M = bpeM
+    val selects = (1 to bpeIters).map { k =>
       s"""SELECT CAST($k AS BIGINT) AS rnk,
          |replace(a, $M, '') AS left_sym, replace(b, $M, '') AS right_sym,
          |replace(a, $M, '') || replace(b, $M, '') AS merged,
          |cnt AS pair_count FROM b$k""".stripMargin
     }
-    s"WITH $base,\n${steps.mkString(",\n")}\n" +
+    s"WITH $bpeTrainCtes\n" +
       selects.mkString("", "\nUNION ALL\n", "") + "\nORDER BY rnk"
+  }
+
+  /** Apply-side oracle: re-derive the learned rules (the training
+    * CTEs), then encode every document's words with the same nested
+    * literal rewrites and count subwords. */
+  val textBpeEncodeSql: String = {
+    val M = bpeM; val S = bpeS
+    // single-line on purpose: a nested stripMargin would eat the
+    // leading pipes of any line starting with the || operator
+    val applied = (1 to bpeIters).foldLeft("sym0") { (acc, k) =>
+      s"replace($acc, b$k.a || $S || b$k.b, $M || " +
+        s"replace(b$k.a, $M, '') || replace(b$k.b, $M, '') || $M)"
+    }
+    val bTables = (1 to bpeIters).map(k => s"b$k").mkString(", ")
+    // the training CTEs are embedded AFTER stripMargin — running
+    // stripMargin over the combined text would eat leading || pipes
+    val tail =
+      s"""dwords AS (SELECT doc_id, lower(tok) AS word FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents)
+         |  WHERE regexp_matches(lower(tok), '^[a-z]+${"$"}')
+         |    AND length(tok) <= 64),
+         |dsym AS (SELECT doc_id, rtrim(concat(regexp_replace(word,
+         |  '(.)', $M||'\\1'||$M||$S, 'g')), $S) AS sym0 FROM dwords),
+         |enc AS (SELECT doc_id, $applied AS sym
+         |        FROM dsym, $bTables)
+         |SELECT doc_id, count(*) AS n_words,
+         |CAST(sum(len(string_split(sym, $S))) AS BIGINT) AS n_subwords
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"WITH $bpeTrainCtes,\n$tail"
   }
 
   val textEncodingSql: String =
@@ -3078,6 +3129,7 @@ val eventsRollupSql: String =
     "drift_ks" -> driftKsSql,
     "text_pack" -> textPackSql,
     "join_salted" -> joinSaltedSql,
+    "text_bpe_encode" -> textBpeEncodeSql,
     "text_bpe_train" -> textBpeTrainSql,
     "text_encoding" -> textEncodingSql,
     "text_vocab" -> textVocabSql,

@@ -556,4 +556,43 @@ object StreamProfiler {
           graft.ops.Quality.resultStructs(checks): _*)).as("s"))
       .select("window_start_us", "s.*")
   }
+
+  /** Streaming ingest into the incremental profile store
+    * ([[graft.profiler.ProfileStore]]): each micro-batch becomes one
+    * appended snapshot (id = zero-padded batch id), so the persisted
+    * state grows O(1) rows per batch and the corpus-wide profile /
+    * drift report stay a driver-side merge away at any stream age —
+    * the same lifecycle the batch "daily crawl" uses, driven by the
+    * engine's own micro-batch boundary. foreachBatch (not a stateful
+    * aggregation) is the right altitude: the store IS the state,
+    * durable and queryable outside the stream, and the batch append
+    * path is reused verbatim (stream ≡ batch-append is the tested
+    * contract — no second write path to drift).
+    *
+    * The first batch creates the store (build params fixed there);
+    * later batches append through the store's own compatibility
+    * checks. Empty micro-batches are skipped (an empty snapshot adds
+    * no information and would burn a snapshot id). */
+  def profileStoreSink(stream: DataFrame, path: String,
+      k: Int = graft.profiler.ProfileStore.DefaultK,
+      accuracy: Int = graft.profiler.ProfileStore.DefaultAccuracy)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          val snapId = f"batch$id%06d"
+          val exists = try {
+            graft.profiler.ProfileStore.readMeta(
+              batch.sparkSession, path); true
+          } catch { case _: org.apache.spark.sql.AnalysisException =>
+            false }
+          if (exists)
+            graft.profiler.ProfileStore.appendSnapshot(batch, path,
+              snapId)
+          else
+            graft.profiler.ProfileStore.writeSnapshot(batch, path,
+              snapId, k, accuracy)
+        }
+    }
 }
