@@ -765,6 +765,73 @@ object Stats {
       j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
 
+  /** Spearman rank-correlation matrix — the monotonic twin of R1
+    * (pandas-profiling 1.x computed corr(method='spearman') beside
+    * Pearson; the Spark port's matrix kept only Pearson): transform
+    * every column to its AVERAGE rank (standard tie handling:
+    * rank() + (tie_count − 1)/2 — exact half-integer doubles, so the
+    * transform itself is bit-identical cross-engine), then run the
+    * same stable two-pass Pearson machinery over the ranks.
+    *
+    * Scale note: exact average ranks pay one full-column sort window
+    * per column (k single-partition sorts) — the audit/verification
+    * form, declared as the oracle query. [[spearmanApprox]] is the
+    * corpus path: a per-column GK quantile grid (one agg) + a
+    * map-only binary-search rank transform — no global sort
+    * anywhere, error O(1/grid + ε). */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clean = df.na.drop(cols)
+    val ranked = clean.select(cols.map { c =>
+      (rank().over(Window.orderBy(d(c))).cast("double") +
+        (count(lit(1)).over(Window.partitionBy(d(c)))
+          .cast("double") - lit(1.0)) / lit(2.0)).as(c)
+    }: _*)
+    corrMatrix(ranked, cols)
+  }
+
+  /** Map-only approximate Spearman: ranks estimated by binary search
+    * into a per-column `grid`-point GK quantile lattice (collected in
+    * ONE chunked agg, broadcast as literals into the native
+    * [[graft.functions.GridRank]] expression), then the two-pass
+    * Pearson over the estimated rank fractions. No sort, no window,
+    * no shuffle beyond the aggregations — survives any corpus size.
+    * Rank error is O(1/grid + GK ε), which perturbs ρ by about the
+    * same order — fine for the profiling use (detecting monotonic
+    * association), not for hypothesis-test precision. */
+  def spearmanApprox(df: DataFrame, cols: Seq[String],
+      grid: Int = 1024): DataFrame = {
+    val clean = df.na.drop(cols)
+    val ps = (0 to grid).map(_.toDouble / grid)
+    val aggs = cols.map(c =>
+      percentile_approx(d(c), typedLit(ps), lit(10000)).as(c))
+    val row = chunkedAgg(clean, aggs, 300)
+    val ranked = clean.select(cols.map { c =>
+      val cuts = row(c).asInstanceOf[scala.collection.Seq[Any]]
+        .map(_.asInstanceOf[Double]).toArray
+      graft.functions.GridRank.grid_rank(d(c), cuts).as(c)
+    }: _*)
+    corrMatrix(ranked, cols)
+  }
+
+  /** The approx-Spearman error CONTRACT as data (the
+    * `distinctSketchCheck` pattern): the grid estimate is GK-merge-
+    * order dependent so its VALUE can't be oracle-hashed, but its
+    * error bound can — emit per pair whether |approx − exact| stays
+    * inside `bound`; the oracle expects every row true. */
+  def spearmanApproxCheck(df: DataFrame, cols: Seq[String],
+      grid: Int = 1024, bound: Double = 0.05): DataFrame = {
+    val e = spearmanMatrix(df, cols)
+      .withColumnRenamed("rho", "rho_exact")
+    val a = spearmanApprox(df, cols, grid)
+      .withColumnRenamed("rho", "rho_approx")
+    e.join(a, Seq("col_a", "col_b"))
+      .select(col("col_a"), col("col_b"),
+        (abs(col("rho_approx") - col("rho_exact")) < bound)
+          .as("within_bound"))
+      .orderBy("col_a", "col_b")
+  }
+
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     val clean = df.na.drop(cols) // listwise deletion, mirroring reference
     val pairs = corrPairs(cols)

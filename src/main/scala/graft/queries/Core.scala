@@ -72,6 +72,18 @@ object Core {
     "date_histogram" -> ((s, dir) =>
       Stats.dateHistogram(li(s, dir), dates)),
     "corr_matrix" -> ((s, dir) => Stats.corrMatrix(li(s, dir), nums)),
+    // Spearman twin (pandas-profiling 1.x computed both): average
+    // ranks (exact half-integer doubles, bit-identical cross-engine)
+    // then the same two-pass Pearson; declared over the float cols —
+    // the int keys' rank transform exercises nothing extra and k=4
+    // keeps the window-sort audit form cheap
+    "corr_spearman" -> ((s, dir) =>
+      Stats.spearmanMatrix(li(s, dir), floats)),
+    // the map-only grid-rank approximation can't be value-hashed
+    // (GK merge order), but its error contract can: every pair's
+    // |approx − exact| must stay inside the bound → oracle all-true
+    "corr_spearman_approx_err" -> ((s, dir) =>
+      Stats.spearmanApproxCheck(li(s, dir), floats)),
     // a derived gross = price·(1+tax) column gives the rejection pass
     // a genuinely correlated pair (ρ ≈ 0.999 vs l_extendedprice), so
     // the oracle validates a NON-empty, order-dependent rejection
@@ -382,6 +394,32 @@ object Core {
       unionAll(selects) + "\nORDER BY col_a, col_b"
   }
 
+  val corrSpearmanSql: String = {
+    val pairs = Stats.corrPairs(floats)
+    val cleanCondF = floats.map(c => s"$c IS NOT NULL")
+      .mkString(" AND ")
+    val rankCols = floats.map { c =>
+      s"""rank() OVER (ORDER BY CAST($c AS DOUBLE)) +
+         |(count(*) OVER (PARTITION BY CAST($c AS DOUBLE)) - 1) / 2.0
+         |AS $c""".stripMargin
+    }.mkString(",\n")
+    val aggs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      s"corr($a, $b) AS c_$i"
+    }.mkString(",\n")
+    val selects = pairs.zipWithIndex.map { case ((a, b), i) =>
+      s"SELECT '$a' AS col_a, '$b' AS col_b, ${sig(s"c_$i")} AS rho FROM c"
+    }
+    s"WITH clean AS (SELECT * FROM $T WHERE $cleanCondF),\n" +
+      s"r AS (SELECT\n$rankCols\nFROM clean),\n" +
+      s"c AS (SELECT\n$aggs\nFROM r)\n" +
+      unionAll(selects) + "\nORDER BY col_a, col_b"
+  }
+
+  val corrSpearmanApproxErrSql: String =
+    unionAll(Stats.corrPairs(floats).map { case (a, b) =>
+      s"SELECT '$a' AS col_a, '$b' AS col_b, true AS within_bound"
+    }) + "\nORDER BY col_a, col_b"
+
   val corrRejectSql: String = {
     val rejCols = nums :+ "l_gross"
     val pairs = Stats.corrPairs(rejCols)
@@ -431,6 +469,8 @@ object Core {
     "date_minmax" -> dateMinMaxSql,
     "date_histogram" -> dateHistogramSql,
     "corr_matrix" -> corrMatrixSql,
+    "corr_spearman" -> corrSpearmanSql,
+    "corr_spearman_approx_err" -> corrSpearmanApproxErrSql,
     "corr_reject" -> corrRejectSql,
     "sample_head" -> sampleHeadSql
   )
