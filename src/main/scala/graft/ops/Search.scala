@@ -123,4 +123,53 @@ object Search {
           .as("nll"))
       .orderBy("doc_id")
   }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    * Büttcher, SIGIR 2009): fuse the lexical (BM25) and semantic
+    * (embedding-cosine) rankings with score(d) = Σ 1/(rrfK + rank_d)
+    * over the lists that retrieved d — the standard first-stage
+    * fusion of a modern retrieval stack (rank-based, so the two
+    * legs' incomparable score scales never meet).
+    *
+    * Scale shape: both legs end in bounded top-k cuts, so the fusion
+    * join moves ≤ 2k rows regardless of corpus size; the legs
+    * themselves are the already-scale-shaped [[bm25TopK]] and
+    * cosine machinery (swap in the ANN family's pruned top-k for the
+    * semantic leg at corpus scale — same (doc, rank) contract).
+    *
+    * Determinism: ranks are exact integers; 1/(rrfK + rank) is one
+    * correctly-rounded IEEE division and the two-term sum has a
+    * fixed order (lexical + semantic) — bit-identical cross-engine
+    * with NO sig5 rounding needed. Ties break on doc id. */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, docIdCol: String,
+      textCol: String, vecIdCol: String, vecCol: String,
+      terms: Seq[String], k: Int = 20, topM: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    val lex = bm25TopK(docs, docIdCol, textCol, terms, k)
+      .select(col("doc_id"), col("rnk").as("lex_rnk"))
+    // semantic leg: exact cosine around query vector 0 (the declared
+    // verification form; ANN top-k composes identically)
+    val sem = Similarity.cosineTopK(emb, vecIdCol, vecCol,
+        numQueries = 1, k = k)
+      .select(col("neighbor_id").as("doc_id"),
+        col("rnk").as("sem_rnk"))
+    val kD = rrfK.toDouble
+    val score =
+      coalesce(lit(1.0) / (lit(kD) + col("lex_rnk").cast("double")),
+        lit(0.0)) +
+      coalesce(lit(1.0) / (lit(kD) + col("sem_rnk").cast("double")),
+        lit(0.0))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), score.as("rrf_score"),
+        col("lex_rnk"), col("sem_rnk"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(topM)
+    // rank stamped AFTER the cut: the window sees topM rows only
+    fused.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_score").desc, col("doc_id").asc))
+        .cast("long"))
+      .select("rnk", "doc_id", "rrf_score", "lex_rnk", "sem_rnk")
+      .orderBy("rnk")
+  }
 }

@@ -266,6 +266,13 @@ object Extensions {
     "text_bm25" -> ((s, dir) =>
       Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Bm25Terms, k = 10)),
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 and
+    // cosine legs (rank-based — no cross-scale score mixing);
+    // the fusion join moves ≤ 2k rows at any corpus size
+    "search_hybrid_rrf" -> ((s, dir) =>
+      Search.hybridRrf(t(s, dir, "documents"),
+        t(s, dir, "embeddings"), "doc_id", "text", "vec_id",
+        "embedding", Bm25Terms, k = 20, topM = 10)),
     // PII scrub: deterministic synthesized PII (pure function of
     // doc_id — the fixture corpus has none, which would make an
     // all-zero detector pass vacuously), then regex detection +
@@ -1741,6 +1748,56 @@ val eventsRollupSql: String =
        |WHERE rn <= 10 ORDER BY rnk""".stripMargin
   }
 
+  /** RRF fusion oracle: both legs' CTEs (BM25 k=20 and qid-0 cosine
+    * k=20), FULL OUTER joined, fused with the identical fixed-order
+    * 1/(60+rank) arithmetic — ranks are integers, so the fused score
+    * is bit-exact with no sig rounding. */
+  val searchHybridRrfSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |             FROM documents),
+       |lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+       |qt AS (SELECT * FROM tok WHERE t IN ($terms)),
+       |dft AS (SELECT t, count(DISTINCT doc_id) AS df_t FROM qt GROUP BY t),
+       |tf AS (SELECT doc_id, t, count(*) AS tf FROM qt GROUP BY doc_id, t),
+       |sc AS (SELECT tf.doc_id,
+       |  ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) *
+       |  (tf * ${k1 + 1.0}) /
+       |  (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)) AS s
+       |  FROM tf JOIN dft ON dft.t = tf.t
+       |  JOIN lens ON lens.doc_id = tf.doc_id, corpus),
+       |lagg AS (SELECT doc_id, ${sig("sum(s)")} AS score FROM sc
+       |         GROUP BY doc_id),
+       |lex AS (SELECT doc_id, CAST(rn AS BIGINT) AS lex_rnk FROM (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC,
+       |    doc_id ASC) AS rn FROM lagg) WHERE rn <= 20),
+       |el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i)),
+       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY vec_id),
+       |dot AS (SELECT b.vec_id AS vid, sum(a.v * b.v) AS dp
+       |        FROM el a JOIN el b ON a.i = b.i AND b.vec_id <> 0
+       |        WHERE a.vec_id = 0 GROUP BY 1),
+       |cos AS (SELECT vid, $cosExpr AS cosine
+       |        FROM dot JOIN nrm na ON na.vec_id = 0
+       |        JOIN nrm nb ON nb.vec_id = dot.vid),
+       |sem AS (SELECT vid AS doc_id, CAST(rn AS BIGINT) AS sem_rnk FROM (
+       |  SELECT vid, row_number() OVER (ORDER BY cosine DESC,
+       |    vid ASC) AS rn FROM cos) WHERE rn <= 20),
+       |fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |  coalesce(1.0 / (60.0 + CAST(lex_rnk AS DOUBLE)), 0.0) +
+       |  coalesce(1.0 / (60.0 + CAST(sem_rnk AS DOUBLE)), 0.0)
+       |    AS rrf_score, lex_rnk, sem_rnk
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT CAST(rn AS BIGINT) AS rnk, doc_id, rrf_score,
+       |  lex_rnk, sem_rnk FROM (
+       |  SELECT *, row_number() OVER (ORDER BY rrf_score DESC,
+       |    doc_id ASC) AS rn FROM fused) WHERE rn <= 10
+       |ORDER BY rnk""".stripMargin
+  }
+
   /** Re-synthesizes the deterministic PII payloads from doc_id and
     * re-runs detection + redaction with DuckDB's RE2 engine — regex
     * semantics (leftmost-first, greedy, global replace) must agree
@@ -3168,6 +3225,7 @@ val eventsRollupSql: String =
     "doc_fingerprint" -> docFingerprintSql,
     "text_tokens" -> textTokensSql,
     "text_repetition" -> textRepetitionSql,
+    "search_hybrid_rrf" -> searchHybridRrfSql,
     "text_bm25" -> textBm25Sql,
     "text_pii" -> textPiiSql,
     "text_lm_score" -> textLmScoreSql,
