@@ -37,7 +37,10 @@ import graft.functions.{MultiSketch, MultiSketchBuf}
   */
 object ProfileStore {
 
-  val FormatVersion = 1
+  /** v2: snapshot rows gained the Misra–Gries top-value state
+    * (mg_n / mg_items) for categorical columns, so the store can
+    * render the full profile report incl. frequency tables. */
+  val FormatVersion = 2
 
   /** Store defaults: KMV k as the fused profiler uses, but GK
     * accuracy 1000 (ε=1e-3), NOT the profiler's scan-time 10000 —
@@ -51,9 +54,18 @@ object ProfileStore {
   val DefaultK = 1024
   val DefaultAccuracy = 1000
 
+  /** Misra–Gries width for the per-column top-value state: the
+    * report shows 10; k=32 keeps the MG error n/(k+1) well below the
+    * top-10 cutoff on any plausibly skewed column. */
+  val MgK = 32
+
   /** One row per column of serialized profile state:
-    * (col_name, kind, n_rows, state). `kind` ∈ num|date|other decides
-    * how [[mergedProfile]] renders min/max and which stats apply. */
+    * (col_name, kind, n_rows, state, mg_n, mg_items). `kind` ∈
+    * num|date|other decides how [[mergedProfile]] renders min/max
+    * and which stats apply; mg_* carry the Misra–Gries top-value
+    * summary for `other` (categorical) columns — its struct output
+    * (n + counters) IS the buffer state, so it persists as plain
+    * parquet columns and merges with the PODS-2012 rule. */
   def snapshotState(df: DataFrame, k: Int = DefaultK,
       accuracy: Int = DefaultAccuracy): DataFrame = {
     val spark = df.sparkSession
@@ -69,18 +81,32 @@ object ProfileStore {
         else if (dateSet(c))
           unix_micros(col(c).cast("timestamp")).cast("double")
         else lit(null).cast("double")
+      val catItem =
+        if (numSet(c) || dateSet(c)) lit(null).cast("string")
+        else col(c).cast("string")
       Seq(value.as(s"v__$c"),
-        when(oc.isNotNull, xxhash64(oc)).as(s"h__$c"))
+        when(oc.isNotNull, xxhash64(oc)).as(s"h__$c"),
+        catItem.as(s"i__$c"))
     }: _*)
-    val aggs = count(lit(1)).as("__n") +: cols.map(c =>
+    val catSet = cols.filterNot(c => numSet(c) || dateSet(c)).toSet
+    val aggs = (count(lit(1)).as("__n") +: cols.map(c =>
       MultiSketch.state(col(s"v__$c"), col(s"h__$c"), k, accuracy)
-        .as(s"st__$c"))
+        .as(s"st__$c"))) ++
+      catSet.toSeq.sorted.map(c =>
+        graft.functions.HeavyHitters.mg(col(s"i__$c"), MgK)
+          .as(s"mg__$c"))
     val row = proj.agg(aggs.head, aggs.tail: _*).first()
     val nRows = row.getLong(0)
     val out = cols.map { c =>
       val kind =
         if (numSet(c)) "num" else if (dateSet(c)) "date" else "other"
-      Row(c, kind, nRows, row.getAs[Array[Byte]](s"st__$c"))
+      val (mgN, mgItems): (Any, Any) =
+        if (catSet(c)) {
+          val s = row.getAs[Row](s"mg__$c")
+          (s.getAs[Long]("n"), s.getAs[Map[String, Long]]("items"))
+        } else (null, null)
+      Row(c, kind, nRows, row.getAs[Array[Byte]](s"st__$c"),
+        mgN, mgItems)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(out, 1),
@@ -88,7 +114,10 @@ object ProfileStore {
         StructField("col_name", StringType, nullable = false),
         StructField("kind", StringType, nullable = false),
         StructField("n_rows", LongType, nullable = false),
-        StructField("state", BinaryType, nullable = false))))
+        StructField("state", BinaryType, nullable = false),
+        StructField("mg_n", LongType, nullable = true),
+        StructField("mg_items",
+          MapType(StringType, LongType), nullable = true))))
   }
 
   /** Create a store at `path` from the first batch. Overwrites. */
@@ -148,10 +177,12 @@ object ProfileStore {
   }
 
   /** Driver-side merge of all (or the selected) snapshots:
-    * col_name → (kind, total rows, merged buffer). */
+    * col_name → (kind, total rows, merged buffer, merged MG
+    * top-value state — None for non-categorical columns). */
   def mergedBuffers(spark: SparkSession, path: String,
       snapshotIds: Option[Seq[String]] = None)
-      : Map[String, (String, Long, MultiSketchBuf)] = {
+      : Map[String, (String, Long, MultiSketchBuf,
+        Option[graft.functions.MgBuf])] = {
     val (version, k, accuracy) = readMeta(spark, path)
     require(version == FormatVersion,
       s"profile store at $path has format v$version")
@@ -161,9 +192,11 @@ object ProfileStore {
       case Some(ids) => st0.where(col("snapshot_id").isin(ids: _*))
     }
     // deterministic merge order (by snapshot id) so moment floats are
-    // reproducible run-to-run; KMV/counts/min/max are order-free
+    // reproducible run-to-run; KMV/counts/min/max are order-free (MG
+    // estimates are order-dependent but its guarantees are not —
+    // the fixed order keeps runs reproducible)
     val rows = st.select("col_name", "kind", "n_rows", "state",
-        "snapshot_id")
+        "snapshot_id", "mg_n", "mg_items")
       .collect().sortBy(r => (r.getString(0), r.getString(4)))
     require(rows.nonEmpty, s"no snapshots selected at $path")
     rows.groupBy(_.getString(0)).map { case (c, rs) =>
@@ -173,7 +206,16 @@ object ProfileStore {
           MultiSketch.deserializeBuf(r.getAs[Array[Byte]](3), k,
             accuracy))
         .reduceLeft(_.mergeIn(_))
-      c -> (kind, n, merged)
+      val mg =
+        if (rs.head.isNullAt(5)) None
+        else Some(rs.map { r =>
+          val buf = new graft.functions.MgBuf(MgK)
+          buf.n = r.getLong(5)
+          r.getAs[Map[String, Long]](6).foreach { case (it, cn) =>
+            buf.counts.update(it, cn) }
+          buf
+        }.reduceLeft(_.mergeIn(_)))
+      c -> (kind, n, merged, mg)
     }
   }
 
@@ -203,7 +245,7 @@ object ProfileStore {
       snapshotIds: Option[Seq[String]] = None): DataFrame = {
     val merged = mergedBuffers(spark, path, snapshotIds)
     val out = merged.toSeq.sortBy(_._1).map {
-      case (c, (kind, nRows, b)) =>
+      case (c, (kind, nRows, b, _)) =>
         val hasNum = b.n > 0
         b.gkFlush()
         val qs = if (hasNum) {
@@ -224,6 +266,95 @@ object ProfileStore {
     spark.createDataFrame(
       spark.sparkContext.parallelize(out, 1), profileSchema)
   }
+
+  /** The FULL profile report structure from persisted state only —
+    * the 100 TB shape of `ProfileReport`: every overview stat,
+    * column card, histogram, quantile row, and frequency table the
+    * HTML report renders, assembled from the merged sketch state
+    * with no data rescan. Deliberate deltas from the scan-based
+    * profile: distinct is the KMV estimate, quantiles/histograms the
+    * merged-GK estimates, top values the MG summary (estimates are
+    * lower bounds with error ≤ n/(MgK+1)), and the correlation
+    * matrix is absent (co-moment state is not in the store). */
+  def storeProfile(spark: SparkSession, path: String,
+      snapshotIds: Option[Seq[String]] = None): TableProfile = {
+    val merged = mergedBuffers(spark, path, snapshotIds)
+    val nRows = merged.values.map(_._2).max
+    val columns = merged.toSeq.sortBy(_._1).map {
+      case (c, (kindRaw, _, b, mg)) =>
+        val base = kindRaw match {
+          case "num" => "NUM"
+          case "date" => "DATE"
+          case _ => "CAT"
+        }
+        val dis = b.distinctEstimate
+        val kind =
+          if (dis == 1) "CONST"
+          else if (dis == b.cnt && b.cnt > 1) "UNIQUE"
+          else base
+        val hasNum = b.n > 0
+        val stats: Map[String, Double] =
+          if (base == "NUM" && hasNum)
+            Map("mean" -> b.mean, "min" -> b.mn, "max" -> b.mx,
+              "sum" -> b.sum, "n_zeros" -> b.nz.toDouble) ++
+              Stats.momentsFromSums(b.n, b.m2, b.m3, b.m4)
+          else if (base == "DATE" && hasNum)
+            Map("dmn" -> b.mn, "dmx" -> b.mx)
+          else Map.empty
+        b.gkFlush()
+        val compressed = if (hasNum) Some(b.qs.compress()) else None
+        val quantiles: Map[String, Double] =
+          if (base == "NUM" && compressed.isDefined)
+            Seq("p05", "q1", "median", "q3", "p95").zip(
+              Stats.Ps.flatMap(p => compressed.get.query(p))).toMap
+          else Map.empty
+        val histogram: Seq[(Long, Long)] =
+          if (base == "NUM" && compressed.isDefined)
+            MultiSketch.gkHistogram(
+              MultiSketch.serializeGk(compressed.get), b.mn, b.mx, 10)
+          else Seq.empty
+        val topValues: Seq[(String, Long)] = mg match {
+          case Some(m) => m.counts.toSeq
+            .sortBy { case (v, cn) => (-cn, v) }.take(10)
+          case None => Seq.empty
+        }
+        ColumnProfile(
+          name = c, kind = kind, count = b.cnt,
+          missing = nRows - b.cnt,
+          pMissing =
+            if (nRows == 0) 0.0 else (nRows - b.cnt).toDouble / nRows,
+          distinct = dis,
+          pUnique = if (b.cnt == 0) 0.0 else dis.toDouble / b.cnt,
+          stats = stats, quantiles = quantiles,
+          histogram = histogram, topValues = topValues)
+    }
+    val totalMissing = columns.map(_.missing).sum
+    val warnings = columns.flatMap { cp =>
+      val w = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (cp.pMissing > 0.5)
+        w += s"${cp.name}: ${(cp.pMissing * 100).round}% missing"
+      if (cp.kind == "CAT" && cp.distinct > 50)
+        w += s"${cp.name}: high cardinality (${cp.distinct})"
+      if (cp.kind == "CONST") w += s"${cp.name}: constant"
+      cp.stats.get("sk").foreach { sk =>
+        if (math.abs(sk) > 20) w += s"${cp.name}: highly skewed"
+      }
+      w.toSeq
+    }
+    TableProfile(
+      n = nRows, nvar = columns.size, totalMissing = totalMissing,
+      pMissing =
+        if (nRows == 0 || columns.isEmpty) 0.0
+        else totalMissing.toDouble / (nRows.toDouble * columns.size),
+      columns = columns, rejected = Seq.empty, warnings = warnings)
+  }
+
+  /** Standalone HTML report from the store (no data rescan). */
+  def htmlFromStore(spark: SparkSession, path: String,
+      title: String = "graft incremental profile",
+      snapshotIds: Option[Seq[String]] = None): String =
+    graft.report.HtmlReport.render(
+      storeProfile(spark, path, snapshotIds), title)
 
   private val driftSchema = StructType(Seq(
     StructField("col_name", StringType, nullable = false),
@@ -253,8 +384,8 @@ object ProfileStore {
     val b = mergedBuffers(spark, path, Some(idsB))
     require(a.keySet == b.keySet, "snapshot column sets differ")
     val out = a.keySet.toSeq.sorted.map { c =>
-      val (_, _, ba) = a(c)
-      val (_, _, bb) = b(c)
+      val (_, _, ba, _) = a(c)
+      val (_, _, bb, _) = b(c)
       val shift =
         if (ba.n > 1 && bb.n > 1) {
           val va = ba.m2 / (ba.n - 1).toDouble

@@ -37,7 +37,7 @@ class ProfileStoreSpec extends SparkSpec {
         MultiSketch.deserializeBuf(r.getAs[Array[Byte]](3), 256,
           ProfileStore.DefaultAccuracy)).toMap
     for (c <- Seq("id", "x", "y", "cat")) {
-      val (_, nRows, m) = merged(c)
+      val (_, nRows, m, _) = merged(c)
       val f = fresh(c)
       assert(nRows === 33000L)
       assert(m.cnt === f.cnt, s"$c cnt")
@@ -172,6 +172,47 @@ class ProfileStoreSpec extends SparkSpec {
           s"$c $f inc=$iv direct=$dv")
       }
     }
+  }
+
+  test("storeProfile renders the full report from state: top values " +
+      "via merged Misra-Gries, histograms, quantiles, warnings, and " +
+      "an HTML document — no data rescan") {
+    val path = tmp("pstore_report")
+    // skewed cat column: value "hot" dominates (planted heavy hitter)
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"),
+      (col("id") % 100).cast("double").as("x"),
+      when(col("id") % 3 === 0, lit("hot"))
+        .otherwise(concat(lit("c"), (col("id") % 97).cast("string")))
+        .as("cat"),
+      lit("only").as("const_col"))
+    ProfileStore.writeSnapshot(batch(0, 6000), path, "d1")
+    ProfileStore.appendSnapshot(batch(6000, 9000), path, "d2")
+    val p = ProfileStore.storeProfile(spark, path)
+    assert(p.n === 9000L)
+    assert(p.nvar === 4)
+    val cat = p.columns.find(_.name == "cat").get
+    assert(cat.kind === "CAT")
+    // MG under-estimates but must surface the dominant value first
+    // with est ≥ true − n/(k+1) = 3000 − 9000/33
+    assert(cat.topValues.nonEmpty)
+    assert(cat.topValues.head._1 === "hot")
+    assert(cat.topValues.head._2 >= 3000L - 9000L / 33 &&
+      cat.topValues.head._2 <= 3000L)
+    val x = p.columns.find(_.name == "x").get
+    assert(x.kind === "NUM")
+    assert(x.histogram.map(_._2).sum === 9000L)
+    assert(x.quantiles.contains("median"))
+    assert(x.stats("min") === 0.0 && x.stats("max") === 99.0)
+    val cc = p.columns.find(_.name == "const_col").get
+    assert(cc.kind === "CONST")
+    assert(p.warnings.exists(_.contains("const_col")),
+      "constant-column warning must fire from state")
+    assert(p.warnings.exists(_.contains("high cardinality")),
+      "cat has 98 distinct > 50")
+    val html = ProfileStore.htmlFromStore(spark, path)
+    assert(html.contains("hot") && html.contains("const_col") &&
+      html.contains("<svg"), "report renders freq table + histogram")
   }
 
   test("driftReport from state only: planted mean shift and " +
