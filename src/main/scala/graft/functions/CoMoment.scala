@@ -138,26 +138,11 @@ case class CoMomentAgg(
       new GenericArrayData(buf.mean.map(x => x: Any)),
       new GenericArrayData(buf.c.map(x => x: Any))))
 
-  override def serialize(buf: CoMomentBuf): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeLong(buf.n)
-    buf.mean.foreach(out.writeDouble)
-    buf.c.foreach(out.writeDouble)
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buf: CoMomentBuf): Array[Byte] =
+    CoMoment.serializeBuf(buf)
 
-  override def deserialize(bytes: Array[Byte]): CoMomentBuf = {
-    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val buf = new CoMomentBuf(k)
-    buf.n = in.readLong()
-    var i = 0
-    while (i < k) { buf.mean(i) = in.readDouble(); i += 1 }
-    i = 0
-    while (i < buf.c.length) { buf.c(i) = in.readDouble(); i += 1 }
-    buf
-  }
+  override def deserialize(bytes: Array[Byte]): CoMomentBuf =
+    CoMoment.deserializeBuf(bytes, k)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): CoMomentAgg =
     copy(mutableAggBufferOffset = newOffset)
@@ -174,6 +159,30 @@ object CoMoment {
   def sketch(values: Column, k: Int): Column =
     GraftSql.column(
       CoMomentAgg(GraftSql.expression(values), k).toAggregateExpression())
+
+  /** Canonical wire format of a [[CoMomentBuf]] — the aggregate's
+    * shuffle serde AND the profile store's persisted correlation
+    * state (k rides outside the bytes, like MultiSketch). */
+  def serializeBuf(buf: CoMomentBuf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeLong(buf.n)
+    buf.mean.foreach(out.writeDouble)
+    buf.c.foreach(out.writeDouble)
+    out.flush()
+    bos.toByteArray
+  }
+
+  def deserializeBuf(bytes: Array[Byte], k: Int): CoMomentBuf = {
+    val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val buf = new CoMomentBuf(k)
+    buf.n = in.readLong()
+    var i = 0
+    while (i < k) { buf.mean(i) = in.readDouble(); i += 1 }
+    i = 0
+    while (i < buf.c.length) { buf.c(i) = in.readDouble(); i += 1 }
+    buf
+  }
 
   /** Upper-triangle index of (i, j), i ≤ j, in the `cm` layout. */
   def triIndex(i: Int, j: Int, k: Int): Int =

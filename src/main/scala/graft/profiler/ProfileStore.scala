@@ -39,8 +39,15 @@ object ProfileStore {
 
   /** v2: snapshot rows gained the Misra–Gries top-value state
     * (mg_n / mg_items) for categorical columns, so the store can
-    * render the full profile report incl. frequency tables. */
-  val FormatVersion = 2
+    * render the full profile report incl. frequency tables.
+    * v3: one `__corr__` row per snapshot carries the serialized
+    * [[graft.functions.CoMomentBuf]] (all-pairs streaming
+    * co-moments over the SORTED numeric columns), so the Pearson
+    * matrix too is answerable from state with no rescan. */
+  val FormatVersion = 3
+
+  /** Reserved snapshot row name for the co-moment state. */
+  val CorrRow = "__corr__"
 
   /** Store defaults: KMV k as the fused profiler uses, but GK
     * accuracy 1000 (ε=1e-3), NOT the profiler's scan-time 10000 —
@@ -89,12 +96,22 @@ object ProfileStore {
         catItem.as(s"i__$c"))
     }: _*)
     val catSet = cols.filterNot(c => numSet(c) || dateSet(c)).toSet
+    // SORTED numeric order: snapshot batches may present columns in
+    // different schema orders, but the co-moment array layout must
+    // agree across every snapshot of a store
+    val corrCols = cols.filter(numSet).sorted
+    val withCorr = corrCols.size >= 2
     val aggs = (count(lit(1)).as("__n") +: cols.map(c =>
       MultiSketch.state(col(s"v__$c"), col(s"h__$c"), k, accuracy)
         .as(s"st__$c"))) ++
       catSet.toSeq.sorted.map(c =>
         graft.functions.HeavyHitters.mg(col(s"i__$c"), MgK)
-          .as(s"mg__$c"))
+          .as(s"mg__$c")) ++
+      (if (withCorr)
+        Seq(graft.functions.CoMoment.sketch(
+          array(corrCols.map(c => col(s"v__$c")): _*), corrCols.size)
+          .as("__cm"))
+      else Nil)
     val row = proj.agg(aggs.head, aggs.tail: _*).first()
     val nRows = row.getLong(0)
     val out = cols.map { c =>
@@ -107,7 +124,19 @@ object ProfileStore {
         } else (null, null)
       Row(c, kind, nRows, row.getAs[Array[Byte]](s"st__$c"),
         mgN, mgItems)
-    }
+    } ++ (if (withCorr) {
+      // reconstruct the buffer from the eval struct and persist the
+      // canonical wire bytes in the shared `state` column
+      val s = row.getAs[Row]("__cm")
+      val buf = new graft.functions.CoMomentBuf(corrCols.size)
+      buf.n = s.getAs[Long]("n")
+      val means = s.getAs[scala.collection.Seq[Double]]("means")
+      val cm = s.getAs[scala.collection.Seq[Double]]("cm")
+      means.zipWithIndex.foreach { case (v, i) => buf.mean(i) = v }
+      cm.zipWithIndex.foreach { case (v, i) => buf.c(i) = v }
+      Seq(Row(CorrRow, "corr", nRows,
+        graft.functions.CoMoment.serializeBuf(buf), null, null))
+    } else Nil)
     spark.createDataFrame(
       spark.sparkContext.parallelize(out, 1),
       StructType(Seq(
@@ -158,13 +187,14 @@ object ProfileStore {
     require(!storedIds.contains(snapshotId),
       s"snapshot_id '$snapshotId' already present in $path")
     val storedCols = existing.select("col_name", "kind").distinct()
+      .where(col("col_name") =!= CorrRow)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val batchCols = df.columns.toSet
     require(batchCols == storedCols.keySet,
       s"batch columns $batchCols do not match stored profile " +
         s"columns ${storedCols.keySet}")
     val snap = snapshotState(df, k, accuracy)
-    snap.collect().foreach { r =>
+    snap.collect().filter(_.getString(0) != CorrRow).foreach { r =>
       val c = r.getString(0)
       require(r.getString(1) == storedCols(c),
         s"column $c: batch kind ${r.getString(1)} vs stored " +
@@ -197,6 +227,7 @@ object ProfileStore {
     // the fixed order keeps runs reproducible)
     val rows = st.select("col_name", "kind", "n_rows", "state",
         "snapshot_id", "mg_n", "mg_items")
+      .where(col("col_name") =!= CorrRow)
       .collect().sortBy(r => (r.getString(0), r.getString(4)))
     require(rows.nonEmpty, s"no snapshots selected at $path")
     rows.groupBy(_.getString(0)).map { case (c, rs) =>
@@ -267,6 +298,45 @@ object ProfileStore {
       spark.sparkContext.parallelize(out, 1), profileSchema)
   }
 
+  /** Merged Pearson correlations from persisted co-moment state:
+    * (col_a, col_b, sig5 ρ) over the SORTED numeric columns, pairs
+    * with a zero-variance side omitted. Empty when the store has
+    * fewer than two numeric columns. */
+  def mergedCorrelations(spark: SparkSession, path: String,
+      snapshotIds: Option[Seq[String]] = None)
+      : Seq[(String, String, Double)] = {
+    val (version, _, _) = readMeta(spark, path)
+    require(version == FormatVersion,
+      s"profile store at $path has format v$version")
+    val st0 = spark.read.parquet(s"$path/state")
+      .where(col("col_name") === CorrRow)
+    val st = snapshotIds match {
+      case None => st0
+      case Some(ids) => st0.where(col("snapshot_id").isin(ids: _*))
+    }
+    val rows = st.select("state", "snapshot_id").collect()
+      .sortBy(_.getString(1))
+    if (rows.isEmpty) return Seq.empty
+    // numeric column order is the sorted one snapshotState used;
+    // recover it from the per-column rows
+    val numCols = spark.read.parquet(s"$path/state")
+      .where(col("kind") === "num").select("col_name").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val kk = numCols.size
+    val merged = rows.map(r => graft.functions.CoMoment
+        .deserializeBuf(r.getAs[Array[Byte]](0), kk))
+      .reduceLeft(_.mergeIn(_))
+    for {
+      i <- 0 until kk
+      j <- (i + 1) until kk
+      cii = merged.c(graft.functions.CoMoment.triIndex(i, i, kk))
+      cjj = merged.c(graft.functions.CoMoment.triIndex(j, j, kk))
+      if cii > 0.0 && cjj > 0.0
+    } yield (numCols(i), numCols(j), Sig.sig5(
+      merged.c(graft.functions.CoMoment.triIndex(i, j, kk)) /
+        (math.sqrt(cii) * math.sqrt(cjj))))
+  }
+
   /** The FULL profile report structure from persisted state only —
     * the 100 TB shape of `ProfileReport`: every overview stat,
     * column card, histogram, quantile row, and frequency table the
@@ -274,8 +344,11 @@ object ProfileStore {
     * with no data rescan. Deliberate deltas from the scan-based
     * profile: distinct is the KMV estimate, quantiles/histograms the
     * merged-GK estimates, top values the MG summary (estimates are
-    * lower bounds with error ≤ n/(MgK+1)), and the correlation
-    * matrix is absent (co-moment state is not in the store). */
+    * lower bounds with error ≤ n/(MgK+1)); the Pearson matrix comes
+    * from the persisted co-moment state (v3) over the SORTED numeric
+    * columns — note its listwise-deletion population is per-snapshot
+    * rows, matching the scan-based matrix exactly when batches share
+    * the null layout. */
   def storeProfile(spark: SparkSession, path: String,
       snapshotIds: Option[Seq[String]] = None): TableProfile = {
     val merged = mergedBuffers(spark, path, snapshotIds)
@@ -346,7 +419,8 @@ object ProfileStore {
       pMissing =
         if (nRows == 0 || columns.isEmpty) 0.0
         else totalMissing.toDouble / (nRows.toDouble * columns.size),
-      columns = columns, rejected = Seq.empty, warnings = warnings)
+      columns = columns, rejected = Seq.empty, warnings = warnings,
+      correlations = mergedCorrelations(spark, path, snapshotIds))
   }
 
   /** Standalone HTML report from the store (no data rescan). */

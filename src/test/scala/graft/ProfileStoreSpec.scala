@@ -33,7 +33,9 @@ class ProfileStoreSpec extends SparkSpec {
     val merged = ProfileStore.mergedBuffers(spark, path)
     // a fresh single-snapshot state over the union, same params
     val fresh = ProfileStore.snapshotState(whole, k = 256)
-      .collect().map(r => r.getString(0) ->
+      .collect()
+      .filter(_.getString(0) != ProfileStore.CorrRow) // co-moment row
+      .map(r => r.getString(0) ->
         MultiSketch.deserializeBuf(r.getAs[Array[Byte]](3), 256,
           ProfileStore.DefaultAccuracy)).toMap
     for (c <- Seq("id", "x", "y", "cat")) {
@@ -213,6 +215,31 @@ class ProfileStoreSpec extends SparkSpec {
     val html = ProfileStore.htmlFromStore(spark, path)
     assert(html.contains("hot") && html.contains("const_col") &&
       html.contains("<svg"), "report renders freq table + histogram")
+  }
+
+  test("mergedCorrelations from persisted co-moment state equals the " +
+      "scan-based Pearson matrix to sig5") {
+    val path = tmp("pstore_corr")
+    // correlated pair (x, x+noise-ish y via id mixing), independent z
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id"),
+      (col("id") % 97).cast("double").as("x"),
+      ((col("id") % 97) * 2 + (col("id") % 5)).cast("double").as("y"),
+      pmod(col("id") * 2654435761L, lit(1000L)).cast("double").as("z"))
+    ProfileStore.writeSnapshot(batch(0, 7000), path, "d1")
+    ProfileStore.appendSnapshot(batch(7000, 12000), path, "d2")
+    val fromStore = ProfileStore.mergedCorrelations(spark, path)
+      .map { case (a, b, r) => (a, b) -> r }.toMap
+    val scan = graft.profiler.Stats
+      .corrMatrix(batch(0, 12000), Seq("id", "x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(2)).toMap
+    assert(fromStore.keySet === scan.keySet)
+    for ((k, s) <- scan)
+      assert(fromStore(k) === s, s"pair $k store=${fromStore(k)} scan=$s")
+    // and the report carries them
+    val p = ProfileStore.storeProfile(spark, path)
+    assert(p.correlations.size === 6)
   }
 
   test("driftReport from state only: planted mean shift and " +
