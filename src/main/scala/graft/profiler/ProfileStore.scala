@@ -1,6 +1,6 @@
 package graft.profiler
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -526,6 +526,74 @@ object ProfileStore {
     * max, sum, variance — everything sig5 on the way out, so a DuckDB
     * replay of the same per-part CTEs + merge arithmetic hash-matches.
     */
+  /** The correlation twin of [[incrementalMoments]]: per-part
+    * two-pass central CO-moments, sig5-canonicalized, merged with
+    * the multi-way pairwise formula
+    *
+    *   Cxy = ΣCxyᵢ + Σ nᵢ·(μxᵢ − μx)(μyᵢ − μy)
+    *
+    * then ρ = Cxy / √(Cxx·Cyy) — value-checks the co-moment merge
+    * algebra (the v3 store's correlation contract) relationally.
+    * Two parts, fixed association, everything sig5 on the way out. */
+  def incrementalCorr(parts: Seq[(String, DataFrame)],
+      cols: Seq[String]): DataFrame = {
+    require(parts.size == 2, "declared form merges exactly two parts")
+    val spark = parts.head._2.sparkSession
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    // per part: (n, per-col sig5 mean, per-col sig5 Cxx, per-pair
+    // sig5 Cxy) — n is per-part row count (columns are non-null in
+    // the declared use; listwise semantics otherwise)
+    val partStats = parts.map { case (pname, df) =>
+      val clean = df.na.drop(cols)
+      val aggs1 = count(lit(1)).as("n") +: cols.map(c =>
+        avg(col(c).cast("double")).as(s"mu__$c"))
+      val r1 = clean.agg(aggs1.head, aggs1.tail: _*).first()
+      val n = r1.getLong(0)
+      val mu = cols.map(c =>
+        c -> r1.getDouble(r1.fieldIndex(s"mu__$c"))).toMap
+      def dev(c: String): Column = col(c).cast("double") - lit(mu(c))
+      val aggs2 = cols.map(c =>
+        sum(dev(c) * dev(c)).as(s"cxx__$c")) ++
+        pairs.zipWithIndex.map { case ((a, b), i) =>
+          sum(dev(a) * dev(b)).as(s"cxy__$i") }
+      val r2 = clean.agg(aggs2.head, aggs2.tail: _*).first()
+      (pname, n,
+        cols.map(c => c -> Sig.sig5(mu(c))).toMap,
+        cols.map(c => c -> Sig.sig5(
+          r2.getDouble(r2.fieldIndex(s"cxx__$c")))).toMap,
+        pairs.zipWithIndex.map { case (p, i) => p -> Sig.sig5(
+          r2.getDouble(r2.fieldIndex(s"cxy__$i"))) }.toMap)
+    }
+    val Seq((_, na, mua, cxxa, cxya), (_, nb, mub, cxxb, cxyb)) =
+      partStats
+    val n = na + nb
+    def mergedMean(c: String): Double =
+      (na.toDouble * mua(c) + nb.toDouble * mub(c)) / n.toDouble
+    def mergedC(xa: Double, xb: Double, dxa: Double, dya: Double,
+        dxb: Double, dyb: Double): Double =
+      (xa + xb) + ((dxa * dya) * na.toDouble + (dxb * dyb) * nb.toDouble)
+    val out = pairs.map { case (x, y) =>
+      val mx = mergedMean(x); val my = mergedMean(y)
+      val cxy = mergedC(cxya((x, y)), cxyb((x, y)),
+        mua(x) - mx, mua(y) - my, mub(x) - mx, mub(y) - my)
+      val cxx = mergedC(cxxa(x), cxxb(x),
+        mua(x) - mx, mua(x) - mx, mub(x) - mx, mub(x) - mx)
+      val cyy = mergedC(cxxa(y), cxxb(y),
+        mua(y) - my, mua(y) - my, mub(y) - my, mub(y) - my)
+      Row(x, y, Sig.sig5(cxy / (math.sqrt(cxx) * math.sqrt(cyy))), n)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1),
+      StructType(Seq(
+        StructField("col_a", StringType, nullable = false),
+        StructField("col_b", StringType, nullable = false),
+        StructField("rho", DoubleType),
+        StructField("n", LongType, nullable = false))))
+      .orderBy("col_a", "col_b")
+  }
+
   def incrementalMoments(parts: Seq[(String, DataFrame)],
       cols: Seq[String]): DataFrame = {
     require(parts.nonEmpty)

@@ -33,6 +33,15 @@ object StoreQueries {
       ProfileStore.incrementalMoments(
         Seq("a" -> li.where(expr(splitA)),
           "b" -> li.where(expr(splitB))), cols)
+    }),
+    // the correlation twin: per-part co-moment canon merged with the
+    // multi-way pairwise formula (the v3 store's merge algebra) —
+    // oracle replays parts AND merge arithmetic
+    "profile_incremental_corr" -> ((s, dir) => {
+      val li = Core.li(s, dir)
+      ProfileStore.incrementalCorr(
+        Seq("a" -> li.where(expr(splitA)),
+          "b" -> li.where(expr(splitB))), cols)
     }))
 
   private val profileIncrementalSql: String = {
@@ -76,6 +85,62 @@ object StoreQueries {
       selects.mkString("", "\nUNION ALL\n", "") + "\nORDER BY col_name"
   }
 
+  private val profileIncrementalCorrSql: String = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val colSel = cols.map(c => s"CAST($c AS DOUBLE) AS $c")
+      .mkString(", ")
+    val notNull = cols.map(c => s"$c IS NOT NULL").mkString(" AND ")
+    val partCtes = Seq("a" -> splitA, "b" -> splitB).flatMap {
+      case (p, pred) =>
+        val mus = cols.map(c => s"avg($c) AS mu_$c").mkString(", ")
+        val sub = (c: String) => s"(SELECT mu_$c FROM agg_$p)"
+        val cxx = cols.map(c =>
+          s"sum(($c - ${sub(c)}) * ($c - ${sub(c)})) AS cxx_$c")
+        val cxy = pairs.zipWithIndex.map { case ((x, y), i) =>
+          s"sum(($x - ${sub(x)}) * ($y - ${sub(y)})) AS cxy_$i" }
+        val canonFields =
+          (Seq("n") ++
+            cols.map(c => s"${sig(s"mu_$c")} AS m_$c") ++
+            cols.map(c => s"${sig(s"cxx_$c")} AS x_$c") ++
+            pairs.indices.map(i => s"${sig(s"cxy_$i")} AS p_$i"))
+            .mkString(",\n")
+        Seq(
+          s"src_$p AS (SELECT $colSel FROM $T WHERE ($pred) AND $notNull)",
+          s"agg_$p AS (SELECT count(*) AS n, $mus FROM src_$p)",
+          s"cs_$p AS (SELECT ${(cxx ++ cxy).mkString(",\n")} FROM src_$p)",
+          s"canon_$p AS (SELECT $canonFields FROM agg_$p, cs_$p)")
+    }
+    val pairCtes = pairs.zipWithIndex.map { case ((x, y), i) =>
+      s"""m_$i AS (SELECT a.n AS na, b.n AS nb,
+         |a.m_$x AS mxa, b.m_$x AS mxb, a.m_$y AS mya, b.m_$y AS myb,
+         |a.x_$x AS cxxa, b.x_$x AS cxxb,
+         |a.x_$y AS cyya, b.x_$y AS cyyb,
+         |a.p_$i AS cxya, b.p_$i AS cxyb,
+         |(a.n * a.m_$x + b.n * b.m_$x) / (a.n + b.n) AS mx,
+         |(a.n * a.m_$y + b.n * b.m_$y) / (a.n + b.n) AS my
+         |FROM canon_a a, canon_b b)""".stripMargin
+    }
+    // merge arithmetic parenthesized EXACTLY as the Scala fold:
+    // (xa + xb) + ((dxa*dya)*na + (dxb*dyb)*nb)
+    val selects = pairs.zipWithIndex.map { case ((x, y), i) =>
+      val cxy = "(cxya + cxyb) + (((mxa - mx) * (mya - my)) * na" +
+        " + ((mxb - mx) * (myb - my)) * nb)"
+      val cxx = "(cxxa + cxxb) + (((mxa - mx) * (mxa - mx)) * na" +
+        " + ((mxb - mx) * (mxb - mx)) * nb)"
+      val cyy = "(cyya + cyyb) + (((mya - my) * (mya - my)) * na" +
+        " + ((myb - my) * (myb - my)) * nb)"
+      s"""SELECT '$x' AS col_a, '$y' AS col_b,
+         |${sig(s"($cxy) / (sqrt($cxx) * sqrt($cyy))")} AS rho,
+         |na + nb AS n FROM m_$i""".stripMargin
+    }
+    s"WITH ${(partCtes ++ pairCtes).mkString(",\n")}\n" +
+      selects.mkString("", "\nUNION ALL\n", "") +
+      "\nORDER BY col_a, col_b"
+  }
+
   val oracle: Map[String, String] = Map(
-    "profile_incremental" -> profileIncrementalSql)
+    "profile_incremental" -> profileIncrementalSql,
+    "profile_incremental_corr" -> profileIncrementalCorrSql)
 }

@@ -312,6 +312,29 @@ class ProfileStoreSpec extends SparkSpec {
     assert(ids === Array("batch000000", "batch000001"))
   }
 
+  test("incrementalCorr merge algebra equals single-scan corrMatrix " +
+      "to sig5 on an unbalanced split") {
+    val whole = spark.range(25000).select(
+      col("id"),
+      (col("id") % 97).cast("double").as("x"),
+      ((col("id") % 97) * 3 + (col("id") % 7)).cast("double").as("y"),
+      pmod(col("id") * 2654435761L, lit(1000L)).cast("double").as("z"))
+    val parts = Seq(
+      "a" -> whole.where(col("id") < 22000),
+      "b" -> whole.where(col("id") >= 22000))
+    val inc = ProfileStore.incrementalCorr(parts, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(2)).toMap
+    val direct = graft.profiler.Stats
+      .corrMatrix(whole, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(2)).toMap
+    assert(inc.keySet === direct.keySet)
+    for ((k, d) <- direct)
+      assert(math.abs(inc(k) - d) <= 2e-4 * math.max(1.0, math.abs(d)),
+        s"$k inc=${inc(k)} direct=$d")
+  }
+
   test("MultiSketchStateAgg state bytes round-trip: deserialize → " +
       "finalize equals the struct aggregate's output") {
     val df = corpus(0, 5000)
