@@ -81,6 +81,22 @@ object ProfileStoreSmoke {
     }
     prof.take(3).foreach(r => println(s"[pstore-smoke]   $r"))
 
+    // the state-only analytics a store answers WITHOUT any rescan —
+    // each is a driver-side sketch merge at any history length
+    timed("driftReport: last day vs all history (state only)") {
+      ProfileStore.driftReport(spark, store,
+        (0 until days - 1).map(d => f"day$d%02d"),
+        Seq(f"day${days - 1}%02d")).collect()
+    }
+    timed("mergedCorrelations: Pearson matrix (state only)") {
+      ProfileStore.mergedCorrelations(spark, store)
+    }
+    val (html, _) = timed("htmlFromStore: full HTML report " +
+        "(state only)") {
+      ProfileStore.htmlFromStore(spark, store)
+    }
+    println(s"[pstore-smoke] html bytes = ${html.length}")
+
     val all = (0 until days).map(readDay).reduce(_.unionByName(_))
     val (_, rescanS) = timed(
       s"rescan alternative: profileFused over all ${days}x$rows") {
