@@ -91,6 +91,49 @@ object Drift {
       least(floor((v - mn) / w), lit(bins - 1.0)).cast("long"))
       .otherwise(0L).as("b")
 
+  /** Per-GROUP numeric PSI/TVD — the sliced-monitoring form ("which
+    * SOURCE drifted", not just "did the corpus drift"): bins are
+    * per-group fixed-width over that group's own min/max (a drifted
+    * group must be visible against its own baseline, not diluted by
+    * the global range), and every group's statistic computes in the
+    * SAME two aggregations — one O(groups) bounds premise joined
+    * back broadcast, one (group, bin) count agg, then O(groups×bins)
+    * share arithmetic. No per-group jobs, no windows; scales to any
+    * group count the way `quality_by_source` does. */
+  def numericDriftByGroup(df: DataFrame, groupCol: String,
+      value: Column, slice: Column, bins: Int = 10): DataFrame = {
+    val base = df.select(col(groupCol).as("g"),
+        value.cast("double").as("v"), slice.as("s"))
+      .where(col("v").isNotNull)
+    val bounds = base.groupBy("g").agg(min("v").as("mn"),
+      ((max("v") - min("v")) / bins.toDouble).as("w"))
+    val bucketed = base.join(broadcast(bounds), "g")
+      .select(col("g"), bin(col("v"), col("mn"), col("w"), bins),
+        col("s"))
+    val counts = bucketed.groupBy("g", "b")
+      .agg(sum(when(col("s") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("cb"))
+    val totals = counts.groupBy("g").agg(
+      sum("ca").cast("double").as("na"),
+      sum("cb").cast("double").as("nb"),
+      count(lit(1)).cast("double").as("k"))
+    counts.join(broadcast(totals), "g")
+      .select(col("g"),
+        share(col("ca").cast("double"), col("na"), col("k")).as("p"),
+        share(col("cb").cast("double"), col("nb"), col("k")).as("q"),
+        col("na"), col("nb"), col("k"))
+      .groupBy("g")
+      .agg(
+        min(col("na")).cast("long").as("n_a"),
+        min(col("nb")).cast("long").as("n_b"),
+        min(col("k")).cast("long").as("n_buckets"),
+        sig5(sum((col("p") - col("q")) * log(col("p") / col("q"))))
+          .as("psi"),
+        sig5(sum(abs(col("p") - col("q"))) / 2.0).as("tvd"))
+      .withColumnRenamed("g", groupCol)
+      .orderBy(groupCol)
+  }
+
   /** Binned two-sample Kolmogorov–Smirnov statistic between the
     * slices: D = max over bin edges of |CDF₀ − CDF₁| — the classic
     * "did the whole distribution move" test to PSI's per-bucket

@@ -293,6 +293,11 @@ object Extensions {
       Search.linearScore(t(s, dir, "documents"), "doc_id", "text")),
     // distribution drift between the even/odd doc_id slices: PSI +
     // TVD over the language mix and the 10-bin length histogram
+    // sliced monitoring: WHICH source drifted — per-group PSI/TVD
+    // with per-group bins, all groups in one pass
+    "drift_psi_by_source" -> ((s, dir) =>
+      Drift.numericDriftByGroup(t(s, dir, "documents"), "source",
+        col("n_chars"), pmod(col("doc_id"), lit(2L)))),
     "drift_psi" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val slice = pmod(col("doc_id"), lit(2L))
@@ -2303,6 +2308,38 @@ val eventsRollupSql: String =
        |-- all-NULL row — drop it so both engines agree
        |HAVING count(*) > 0""".stripMargin
 
+  val driftPsiBySourceSql: String = {
+    val binExpr =
+      """CASE WHEN mm.w > 0 THEN
+        |  CAST(least(floor((CAST(n_chars AS DOUBLE) - mm.mn) / mm.w),
+        |    9) AS BIGINT) ELSE 0 END""".stripMargin
+    s"""WITH mm AS (SELECT source AS g,
+       |  min(CAST(n_chars AS DOUBLE)) AS mn,
+       |  (max(CAST(n_chars AS DOUBLE)) - min(CAST(n_chars AS DOUBLE)))
+       |    / 10.0 AS w
+       |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+       |binned AS (SELECT d.doc_id, d.source AS g, $binExpr AS b
+       |           FROM documents d JOIN mm ON mm.g = d.source
+       |           WHERE n_chars IS NOT NULL),
+       |c AS (SELECT g, b,
+       |        sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+       |        sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+       |      FROM binned GROUP BY 1, 2),
+       |t AS (SELECT g, CAST(sum(ca) AS DOUBLE) AS na,
+       |        CAST(sum(cb) AS DOUBLE) AS nb,
+       |        CAST(count(*) AS DOUBLE) AS k
+       |      FROM c GROUP BY 1),
+       |sh AS (SELECT c.g, (ca + 0.5) / (na + 0.5 * k) AS p,
+       |         (cb + 0.5) / (nb + 0.5 * k) AS q, na, nb, k
+       |       FROM c JOIN t ON t.g = c.g)
+       |SELECT g AS source, CAST(min(na) AS BIGINT) AS n_a,
+       |CAST(min(nb) AS BIGINT) AS n_b,
+       |CAST(min(k) AS BIGINT) AS n_buckets,
+       |${sig("sum((p - q) * ln(p / q))")} AS psi,
+       |${sig("sum(abs(p - q)) / 2.0")} AS tvd
+       |FROM sh GROUP BY g ORDER BY source""".stripMargin
+  }
+
   val driftPsiSql: String = {
     val ncharsBin =
       """CASE WHEN mm.w > 0 THEN
@@ -3201,6 +3238,7 @@ val eventsRollupSql: String =
     "text_chunk" -> textChunkSql,
     "text_classify" -> textClassifySql,
     "drift_psi" -> driftPsiSql,
+    "drift_psi_by_source" -> driftPsiBySourceSql,
     "sample_mixture" -> sampleMixtureSql,
     "sample_mixture_hash" -> sampleMixtureHashSql,
     "events_cube" -> eventsCubeSql,

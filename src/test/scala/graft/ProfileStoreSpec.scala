@@ -312,6 +312,32 @@ class ProfileStoreSpec extends SparkSpec {
     assert(ids === Array("batch000000", "batch000001"))
   }
 
+  test("numericDriftByGroup: only the planted group drifts; bins " +
+      "are per-group so a small group's shift is not diluted") {
+    // group A: slice 1 shifted by +500 (drift); B and C: identical
+    // slices (quiet). C's range is tiny vs A's — per-group bins must
+    // still resolve it.
+    val df = spark.range(30000).select(
+      element_at(typedLit(Seq("A", "B", "C")),
+        (col("id") % 3 + 1).cast("int")).as("src"),
+      (col("id") % 2).as("slice"),
+      (when(element_at(typedLit(Seq("A", "B", "C")),
+          (col("id") % 3 + 1).cast("int")) === "A",
+        (col("id") % 100) + when(col("id") % 2 === 1, 500)
+          .otherwise(0))
+        .when(element_at(typedLit(Seq("A", "B", "C")),
+          (col("id") % 3 + 1).cast("int")) === "B", col("id") % 100)
+        .otherwise(col("id") % 5)).cast("double").as("v"))
+    val out = graft.ops.Drift.numericDriftByGroup(df, "src",
+        col("v"), col("slice"))
+      .collect().map(r => r.getString(0) ->
+        r.getDouble(r.fieldIndex("psi"))).toMap
+    assert(out.keySet === Set("A", "B", "C"))
+    assert(out("A") > 1.0, s"planted shift must be loud: ${out("A")}")
+    assert(out("B") < 0.05, s"quiet group B: ${out("B")}")
+    assert(out("C") < 0.05, s"quiet small-range group C: ${out("C")}")
+  }
+
   test("incrementalCorr merge algebra equals single-scan corrMatrix " +
       "to sig5 on an unbalanced split") {
     val whole = spark.range(25000).select(
