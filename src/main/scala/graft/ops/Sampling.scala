@@ -319,6 +319,45 @@ object Sampling {
       .orderBy("stratum")
   }
 
+  /** Loss-aware mixture reweighting — the DoReMi-family signal
+    * (Xie et al., "DoReMi: Optimizing Data Mixtures Speeds Up
+    * Language Model Pretraining", NeurIPS 2023) in its simplest
+    * deployable form: domains whose documents score HIGH loss get
+    * UPWEIGHTED, w_s = exp((nll_s − min nll)/T), share = w/Σw,
+    * quota = ⌊share·budget⌋. The loss here is the corpus-unigram
+    * per-token NLL ([[Search.unigramNll]] — self-contained and
+    * oracle-replayable); a real run swaps in model losses keyed by
+    * doc id, and the whole reweighting plan downstream of the score
+    * column is unchanged.
+    *
+    * Scale shape: the NLL join is the token-stream shuffle
+    * unigramNll already pays; everything after is O(sources) rows.
+    * Discrete determinism: per-doc and per-source NLLs are sig5
+    * canon, the exp/ratio arithmetic runs on canon operands, the
+    * share is re-canonicalized, and the quota floors the ROUNDED
+    * share (the temperatureQuotas contract). */
+  def mixtureByLoss(docs: DataFrame, idCol: String, textCol: String,
+      srcCol: String, budget: Long, temp: Double = 0.5): DataFrame = {
+    require(budget > 0L && temp > 0.0, "budget and temp must be > 0")
+    val nll = Search.unigramNll(docs, idCol, textCol)
+      .select(col("doc_id"), col("nll"))
+    val bySrc = nll.join(docs.select(col(idCol).as("doc_id"),
+        col(srcCol).as("source")), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        graft.det.Sig.sig5(avg("nll")).as("nll"))
+    val mn = bySrc.agg(min("nll").as("mn"))
+    val w = bySrc.crossJoin(broadcast(mn))
+      .withColumn("w", exp((col("nll") - col("mn")) / lit(temp)))
+    val tw = w.agg(sum("w").as("tw"))
+    w.crossJoin(broadcast(tw))
+      .select(col("source"), col("n_docs"), col("nll"),
+        graft.det.Sig.sig5(col("w") / col("tw")).as("share"))
+      .withColumn("quota",
+        floor(col("share") * budget.toDouble).cast("long"))
+      .orderBy("source")
+  }
+
   /** Diversity-aware selection (the prototype/coreset shape behind
     * SemDeDup-style "keep one per semantic region" and k-center
     * data-selection): partition the embedding space into Voronoi

@@ -800,6 +800,11 @@ object Extensions {
     // tie-break is ASCENDING doc_id on equal (sig5-rounded) quality,
     // matching the oracle's ORDER BY quality DESC, doc_id. Plan is
     // asserted window-free (Round8Spec).
+    // loss-aware mixture reweighting (the DoReMi signal): hard
+    // domains upweighted via exp(excess NLL / T) → shares → quotas
+    "sample_mixture_loss" -> ((s, dir) =>
+      Sampling.mixtureByLoss(t(s, dir, "documents"), "doc_id",
+        "text", "source", budget = 1000L)),
     // diversity-aware selection: one best-quality doc per Voronoi
     // cell of the embedding space (the SemDeDup/k-center selection
     // shape) — map-only assignment + windowless per-cell argmax
@@ -1159,6 +1164,26 @@ object Extensions {
        |CAST(sum(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS moji_docs,
        |${sig("CAST(sum(n_nonascii) AS DOUBLE) / sum(nc)")} AS nonascii_ratio
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  val sampleMixtureLossSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |             FROM documents),
+       |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+       |tot AS (SELECT sum(c) AS total FROM freq),
+       |dnll AS (SELECT doc_id,
+       |  ${sig("avg(-ln(CAST(c AS DOUBLE) / total))")} AS nll
+       |  FROM tok JOIN freq ON freq.t = tok.t, tot GROUP BY doc_id),
+       |src AS (SELECT d.source, count(*) AS n_docs,
+       |  ${sig("avg(nll)")} AS nll
+       |  FROM dnll JOIN documents d ON d.doc_id = dnll.doc_id
+       |  GROUP BY 1),
+       |mn AS (SELECT min(nll) AS mn FROM src),
+       |w AS (SELECT source, n_docs, nll,
+       |      exp((nll - mn) / 0.5) AS w FROM src, mn),
+       |tw AS (SELECT sum(w) AS tw FROM w)
+       |SELECT source, n_docs, nll, ${sig("w / tw")} AS share,
+       |CAST(floor((${sig("w / tw")}) * 1000.0) AS BIGINT) AS quota
+       |FROM w, tw ORDER BY source""".stripMargin
 
   val sampleDiverseSql: String =
     s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
@@ -3218,6 +3243,7 @@ val eventsRollupSql: String =
     "table_duplicates" -> tableDuplicatesSql,
     "drift_embedding" -> driftEmbeddingSql,
     "sample_diverse" -> sampleDiverseSql,
+    "sample_mixture_loss" -> sampleMixtureLossSql,
     "sample_quota" -> sampleQuotaSql,
     "dedup_semantic" -> dedupSemanticSql,
     "drift_ks" -> driftKsSql,
