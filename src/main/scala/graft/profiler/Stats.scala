@@ -465,6 +465,61 @@ object Stats {
     * contract: discrete decisions — here, a row being an outlier —
     * are made on rounded values). `approx` mirrors `derived`: the GK
     * sketch replaces exact percentile for the 100 TB path. */
+  /** Trimmed & winsorized statistics — the outlier-ROBUST location/
+    * scale pair the plain mean/std lack (a handful of corrupt values
+    * in a 100 TB column otherwise own the mean): fences at the
+    * p05/p95 percentiles (sig5-rounded BEFORE use, the num_outliers
+    * discrete-decision contract), then one conditional aggregation —
+    * trimmed mean averages the in-fence rows, winsorized mean/std
+    * clamp instead of dropping. Two scans total for ALL columns
+    * (fence premise + stats), map-side combinable. */
+  def trimmed(df: DataFrame, cols: Seq[String], pLo: Double = 0.05,
+      pHi: Double = 0.95): DataFrame = {
+    val qAggs = cols.map { c =>
+      expr(s"percentile(cast(`$c` as double), " +
+        s"array(${pLo}D, ${pHi}D))").as(s"q__$c")
+    }
+    val fenceRow = df.agg(qAggs.head, qAggs.tail: _*).select(
+      cols.flatMap { c =>
+        Seq(sig5(element_at(col(s"q__$c"), 1)).as(s"lo__$c"),
+          sig5(element_at(col(s"q__$c"), 2)).as(s"hi__$c"))
+      }: _*).first()
+    def f(name: String, c: String): Option[Double] = {
+      val i = fenceRow.fieldIndex(s"${name}__$c")
+      if (fenceRow.isNullAt(i)) None else Some(fenceRow.getDouble(i))
+    }
+    val aggs = cols.flatMap { c =>
+      (f("lo", c), f("hi", c)) match {
+        case (Some(lo), Some(hi)) =>
+          val in = d(c) >= lo && d(c) <= hi
+          val clamped = least(greatest(d(c), lit(lo)), lit(hi))
+          Seq(
+            sum(when(in, 1L).otherwise(0L)).as(s"nk__$c"),
+            avg(when(in, d(c))).as(s"tm__$c"),
+            avg(clamped).as(s"wm__$c"),
+            stddev_samp(clamped).as(s"ws__$c"))
+        case _ => Seq(
+          max(lit(null).cast("long")).as(s"nk__$c"),
+          max(lit(null).cast("double")).as(s"tm__$c"),
+          max(lit(null).cast("double")).as(s"wm__$c"),
+          max(lit(null).cast("double")).as(s"ws__$c"))
+      }
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"nk__$c").as("n_kept"),
+        lit(f("lo", c).map(Double.box).orNull).cast("double")
+          .as("fence_lo"),
+        lit(f("hi", c).map(Double.box).orNull).cast("double")
+          .as("fence_hi"),
+        sig5(col(s"tm__$c")).as("trimmed_mean"),
+        sig5(col(s"wm__$c")).as("winsor_mean"),
+        sig5(col(s"ws__$c")).as("winsor_std"))
+    }
+    tidy(row, structs)
+  }
+
   def outliers(df: DataFrame, cols: Seq[String], k: Double = 1.5,
       approx: Boolean = false): DataFrame = {
     val qAggs = cols.map { c =>

@@ -57,6 +57,9 @@ object Core {
     // so both engines count against identical literal doubles
     "num_outliers" -> ((s, dir) => Stats.outliers(li(s, dir), nums)),
     "num_mad" -> ((s, dir) => Stats.mad(li(s, dir), nums)),
+    // outlier-robust location/scale: p05/p95 fences (sig5 canon),
+    // trimmed mean drops, winsorized mean/std clamps
+    "num_trimmed" -> ((s, dir) => Stats.trimmed(li(s, dir), nums)),
     "num_zeros" -> ((s, dir) => Stats.zeros(li(s, dir), nums)),
     "num_histogram" -> ((s, dir) => Stats.histogram(li(s, dir), nums)),
     "cat_freq" -> ((s, dir) => Stats.freq(li(s, dir), cats)),
@@ -415,6 +418,31 @@ object Core {
       unionAll(selects) + "\nORDER BY col_a, col_b"
   }
 
+  val numTrimmedSql: String = {
+    val ctes = nums.flatMap { c =>
+      Seq(
+        s"""tsrc_$c AS (SELECT CAST($c AS DOUBLE) AS x FROM $T
+           |WHERE $c IS NOT NULL)""".stripMargin,
+        s"""tq_$c AS (SELECT
+           |${sig("quantile_cont(x, 0.05)")} AS lo,
+           |${sig("quantile_cont(x, 0.95)")} AS hi FROM tsrc_$c)""".stripMargin,
+        s"""ts_$c AS (SELECT
+           |CAST(sum(CASE WHEN x >= lo AND x <= hi THEN 1 ELSE 0 END)
+           |  AS BIGINT) AS nk,
+           |${sig("avg(CASE WHEN x >= lo AND x <= hi THEN x END)")} AS tm,
+           |${sig("avg(least(greatest(x, lo), hi))")} AS wm,
+           |${sig("stddev_samp(least(greatest(x, lo), hi))")} AS ws
+           |FROM tsrc_$c, tq_$c)""".stripMargin)
+    }
+    val selects = nums.map { c =>
+      s"""SELECT '$c' AS col_name, nk AS n_kept, lo AS fence_lo,
+         |hi AS fence_hi, tm AS trimmed_mean, wm AS winsor_mean,
+         |ws AS winsor_std FROM ts_$c, tq_$c""".stripMargin
+    }
+    s"WITH ${ctes.mkString(",\n")}\n" +
+      unionAll(selects) + "\nORDER BY col_name"
+  }
+
   val corrSpearmanApproxErrSql: String =
     unionAll(Stats.corrPairs(floats).map { case (a, b) =>
       s"SELECT '$a' AS col_a, '$b' AS col_b, true AS within_bound"
@@ -455,6 +483,7 @@ object Core {
     "col_distinct_approx_err" -> colDistinctApproxErrSql,
     "col_types" -> colTypesSql,
     "num_moments" -> numMomentsSql,
+    "num_trimmed" -> numTrimmedSql,
     "num_quantiles" -> numQuantilesSql,
     "num_quantiles_int" -> numQuantilesIntSql,
     "num_quantiles_approx_rank" -> numQuantilesApproxRankSql,

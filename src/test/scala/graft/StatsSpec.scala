@@ -263,4 +263,24 @@ class StatsSpec extends SparkSpec {
       marginSds = 0.0).collect().head
     assert(tight.getAs[Boolean]("kmv_within_bound")) // 700 < 4096: exact
   }
+
+  test("trimmed/winsorized stats are robust to planted corruption " +
+      "where the plain mean is not") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 1000 clean values in [0, 100); 10 corrupt at 1e9
+    val clean = (0 until 1000).map(i => (i % 100).toDouble)
+    val df = (clean ++ Seq.fill(10)(1e9)).toDF("x")
+    val t = Stats.trimmed(df, Seq("x")).collect().head
+    def g(n: String) = t.getDouble(t.fieldIndex(n))
+    val plainMean = df.agg(avg("x")).first().getDouble(0)
+    assert(plainMean > 9e6, "corruption owns the plain mean")
+    assert(g("trimmed_mean") > 40 && g("trimmed_mean") < 60,
+      s"trimmed mean stays near the clean center: ${g("trimmed_mean")}")
+    assert(g("winsor_mean") < 200,
+      s"winsorized mean bounded by the p95 fence: ${g("winsor_mean")}")
+    assert(g("winsor_std") < 100, s"robust scale: ${g("winsor_std")}")
+    assert(g("fence_hi") < 120, "p95 fence sits in the clean range")
+    assert(t.getLong(t.fieldIndex("n_kept")) >= 900)
+  }
 }
