@@ -800,6 +800,11 @@ object Extensions {
     // tie-break is ASCENDING doc_id on equal (sig5-rounded) quality,
     // matching the oracle's ORDER BY quality DESC, doc_id. Plan is
     // asserted window-free (Round8Spec).
+    // reproducible-release manifest: deterministic MINSTD shards +
+    // order-free modular checksums (any engine recomputes from ids)
+    "corpus_shards" -> ((s, dir) =>
+      graft.sources.Sources.shardManifest(t(s, dir, "documents"),
+        "doc_id", buckets = 8)),
     // loss-aware mixture reweighting (the DoReMi signal): hard
     // domains upweighted via exp(excess NLL / T) → shares → quotas
     "sample_mixture_loss" -> ((s, dir) =>
@@ -1164,6 +1169,14 @@ object Extensions {
        |CAST(sum(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS moji_docs,
        |${sig("CAST(sum(n_nonascii) AS DOUBLE) / sum(nc)")} AS nonascii_ratio
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  val corpusShardsSql: String = {
+    val h = "((((((doc_id + 12345) % 2147483647) * 48271) " +
+      "% 2147483647) * 48271) % 2147483647)"
+    s"""SELECT $h % 8 AS shard, count(*) AS n_docs,
+       |CAST(sum($h % 1000003) % 1000003 AS BIGINT) AS checksum
+       |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+  }
 
   val sampleMixtureLossSql: String =
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
@@ -3243,6 +3256,7 @@ val eventsRollupSql: String =
     "table_duplicates" -> tableDuplicatesSql,
     "drift_embedding" -> driftEmbeddingSql,
     "sample_diverse" -> sampleDiverseSql,
+    "corpus_shards" -> corpusShardsSql,
     "sample_mixture_loss" -> sampleMixtureLossSql,
     "sample_quota" -> sampleQuotaSql,
     "dedup_semantic" -> dedupSemanticSql,

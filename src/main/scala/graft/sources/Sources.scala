@@ -95,4 +95,72 @@ object Sources {
     if (cache) df.cache()
     df.where(col(CorruptCol).isNull).drop(CorruptCol)
   }
+
+  // ------------------------------------------------------------------
+  // Reproducible sharded release (the data-publishing side of the
+  // pipeline): deterministic shard assignment + a verification
+  // manifest, so a consumer can check a copied release shard-by-shard
+  // without talking to the producer.
+  // ------------------------------------------------------------------
+
+  /** Modulus for the manifest's modular id-hash checksum: prime, and
+    * small enough that a shard of any size sums without 64-bit
+    * overflow (n · 1e6 ≪ 2⁶³) while DuckDB's HUGEINT sum reduces to
+    * the same residue — modular arithmetic is width-independent. */
+  val ChecksumMod = 1000003L
+
+  /** Per-shard release manifest: (shard, n_docs, checksum).
+    * Shard = MINSTD(id) mod `buckets` — content-independent, stable
+    * under repartitioning and insertion order (the hashSplit
+    * contract); checksum = Σ (MINSTD(id) mod p) mod p — order-free
+    * modular sum, so ANY engine recomputes it from the ids alone.
+    * One aggregation, O(buckets) output. */
+  def shardManifest(df: DataFrame, idCol: String, buckets: Int)
+      : DataFrame = {
+    require(buckets > 0, "buckets must be > 0")
+    val h = graft.ops.Sampling.minstdHash(col(idCol).cast("long"))
+    df.select(pmod(h, lit(buckets.toLong)).as("shard"),
+        (h % ChecksumMod).as("hm"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("hm") % ChecksumMod).as("checksum"))
+      .orderBy("shard")
+  }
+
+  /** Write `df` partitioned by the deterministic shard plus the
+    * manifest — the publishable layout (each shard independently
+    * consumable and verifiable). */
+  def writeSharded(df: DataFrame, idCol: String, path: String,
+      buckets: Int): Unit = {
+    val h = graft.ops.Sampling.minstdHash(col(idCol).cast("long"))
+    df.withColumn("shard", pmod(h, lit(buckets.toLong)))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$path/data")
+    shardManifest(df, idCol, buckets)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** Verify a copied release against its own manifest: recompute
+    * per-shard counts and checksums from the data files and compare.
+    * Full outer join so a MISSING shard (or an extra one) surfaces
+    * as ok = false rather than vanishing. */
+  def verifySharded(spark: SparkSession, path: String, idCol: String)
+      : DataFrame = {
+    val data = spark.read.parquet(s"$path/data")
+    val stored = spark.read.parquet(s"$path/manifest")
+      .select(col("shard"), col("n_docs").as("m_docs"),
+        col("checksum").as("m_sum"))
+    val h = graft.ops.Sampling.minstdHash(col(idCol).cast("long"))
+    val recomputed = data
+      .select(col("shard").cast("long").as("shard"),
+        (h % ChecksumMod).as("hm"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum("hm") % ChecksumMod).as("checksum"))
+    recomputed.join(stored, Seq("shard"), "full_outer")
+      .select(col("shard"), col("n_docs"), col("m_docs"),
+        (col("n_docs") <=> col("m_docs") &&
+          col("checksum") <=> col("m_sum")).as("ok"))
+      .orderBy("shard")
+  }
 }

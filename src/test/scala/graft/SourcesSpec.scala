@@ -110,4 +110,31 @@ class SourcesSpec extends SparkSpec {
     assert(filtered.count() ==
       docs.where(col("lang") === "en").count())
   }
+
+  test("sharded release: write → verify all ok; a tampered shard " +
+      "fails while untouched shards still verify") {
+    import spark.implicits._
+    val rel = (0L until 400L).map(i => (i, s"text$i"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    Sources.writeSharded(rel, "doc_id", path, buckets = 4)
+    val ok = Sources.verifySharded(spark, path, "doc_id").collect()
+    assert(ok.length === 4)
+    assert(ok.forall(_.getBoolean(3)), "intact release verifies")
+    // tamper: drop one row from shard 0 and rewrite that partition
+    val d = spark.read.parquet(s"$path/data")
+    val s0 = d.where(col("shard") === 0).drop("shard")
+    val victim = s0.agg(min("doc_id")).first().getLong(0)
+    val rewritten = s0.where(col("doc_id") =!= victim).collect()
+    val rewrittenDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rewritten.toSeq, 1), s0.schema)
+    rewrittenDf.write.mode("overwrite")
+      .parquet(s"$path/data/shard=0")
+    val after = Sources.verifySharded(spark, path, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(!after(0L), "tampered shard fails")
+    assert(after.filter(_._1 != 0L).values.forall(identity),
+      "untouched shards still verify")
+  }
 }
