@@ -465,6 +465,52 @@ object Stats {
     * contract: discrete decisions — here, a row being an outlier —
     * are made on rounded values). `approx` mirrors `derived`: the GK
     * sketch replaces exact percentile for the 100 TB path. */
+  /** Missingness association (the missingno/pandas-profiling-2.x
+    * nullity-correlation matrix): φ coefficient between the NULL
+    * indicators of every column pair — +1 means the two columns are
+    * always missing together, −1 never together, 0 independent. The
+    * signal that separates "random sensor dropouts" from "one broken
+    * upstream join nulled both fields on the same rows".
+    *
+    * One aggregation for ALL pairs: per pair, four conditional
+    * counts (n11/n10/n01/n00 from two scans' worth of expressions in
+    * one pass — map-side combinable), then φ = (n11·n00 − n10·n01) /
+    * √(r1·r0·c1·c0) from exact integers. Pairs where either column
+    * is never (or always) null have an undefined φ → NULL. */
+  def nullAssociation(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = corrPairs(cols)
+    val aggs = count(lit(1)).as("__n") +: pairs.zipWithIndex.flatMap {
+      case ((a, b), i) =>
+        val na = col(a).isNull
+        val nb = col(b).isNull
+        Seq(
+          sum(when(na && nb, 1L).otherwise(0L)).as(s"b11__$i"),
+          sum(when(na && !nb, 1L).otherwise(0L)).as(s"b10__$i"),
+          sum(when(!na && nb, 1L).otherwise(0L)).as(s"b01__$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val structs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val n = col("__n").cast("double")
+      val n11 = col(s"b11__$i").cast("double")
+      val n10 = col(s"b10__$i").cast("double")
+      val n01 = col(s"b01__$i").cast("double")
+      val n00 = n - n11 - n10 - n01
+      val r1 = n11 + n10 // a null
+      val r0 = n01 + n00
+      val c1 = n11 + n01 // b null
+      val c0 = n10 + n00
+      val denom = sqrt(r1 * r0 * c1 * c0)
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"b11__$i").as("n_both_null"),
+        (col(s"b11__$i") + col(s"b10__$i")).as("n_a_null"),
+        (col(s"b11__$i") + col(s"b01__$i")).as("n_b_null"),
+        sig5(when(denom > 0.0,
+          (n11 * n00 - n10 * n01) / denom)).as("phi"))
+    }
+    row.select(explode(array(structs: _*)).as("s")).select("s.*")
+      .orderBy("col_a", "col_b")
+  }
+
   /** Trimmed & winsorized statistics — the outlier-ROBUST location/
     * scale pair the plain mean/std lack (a handful of corrupt values
     * in a 100 TB column otherwise own the mean): fences at the

@@ -60,6 +60,23 @@ object Core {
     // outlier-robust location/scale: p05/p95 fences (sig5 canon),
     // trimmed mean drops, winsorized mean/std clamps
     "num_trimmed" -> ((s, dir) => Stats.trimmed(li(s, dir), nums)),
+    // missingness association: the fixture has no NULLs (an all-zero
+    // matrix would pass vacuously), so a deterministic null pattern
+    // is synthesized from the keys (the text_pii precedent) — tax
+    // and discount share a driver, quantity is independent, price
+    // never null (exercises the undefined-phi NULL path)
+    "null_association" -> ((s, dir) =>
+      Stats.nullAssociation(li(s, dir)
+        .withColumn("l_tax", when(col("l_orderkey") % 7 === 0,
+          lit(null).cast("double")).otherwise(col("l_tax")))
+        .withColumn("l_discount",
+          when(col("l_orderkey") % 7 === 0 ||
+            col("l_orderkey") % 11 === 0,
+            lit(null).cast("double")).otherwise(col("l_discount")))
+        .withColumn("l_quantity",
+          when(col("l_partkey") % 13 === 0,
+            lit(null).cast("double")).otherwise(col("l_quantity"))),
+        Seq("l_tax", "l_discount", "l_quantity", "l_extendedprice"))),
     "num_zeros" -> ((s, dir) => Stats.zeros(li(s, dir), nums)),
     "num_histogram" -> ((s, dir) => Stats.histogram(li(s, dir), nums)),
     "cat_freq" -> ((s, dir) => Stats.freq(li(s, dir), cats)),
@@ -418,6 +435,44 @@ object Core {
       unionAll(selects) + "\nORDER BY col_a, col_b"
   }
 
+  val nullAssociationSql: String = {
+    val ncols = Seq("l_tax", "l_discount", "l_quantity",
+      "l_extendedprice")
+    val pairs = Stats.corrPairs(ncols)
+    val nulled =
+      s"""nulled AS (SELECT
+         |CASE WHEN l_orderkey % 7 = 0 THEN NULL
+         |  ELSE CAST(l_tax AS DOUBLE) END AS l_tax,
+         |CASE WHEN l_orderkey % 7 = 0 OR l_orderkey % 11 = 0 THEN NULL
+         |  ELSE CAST(l_discount AS DOUBLE) END AS l_discount,
+         |CASE WHEN l_partkey % 13 = 0 THEN NULL
+         |  ELSE CAST(l_quantity AS DOUBLE) END AS l_quantity,
+         |CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
+         |FROM $T)""".stripMargin
+    val sums = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(
+        s"CAST(sum(CASE WHEN $a IS NULL AND $b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS b11_$i",
+        s"CAST(sum(CASE WHEN $a IS NULL AND $b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS b10_$i",
+        s"CAST(sum(CASE WHEN $a IS NOT NULL AND $b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS b01_$i")
+    }.mkString(",\n")
+    val selects = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val phi =
+        s"""(CAST(b11_$i AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(b11_$i AS DOUBLE) - CAST(b10_$i AS DOUBLE) - CAST(b01_$i AS DOUBLE))
+           | - CAST(b10_$i AS DOUBLE) * CAST(b01_$i AS DOUBLE)) /
+           |sqrt((CAST(b11_$i AS DOUBLE) + CAST(b10_$i AS DOUBLE)) *
+           |  ((CAST(n AS DOUBLE) - CAST(b11_$i AS DOUBLE) - CAST(b10_$i AS DOUBLE) - CAST(b01_$i AS DOUBLE)) + CAST(b01_$i AS DOUBLE)) *
+           |  (CAST(b11_$i AS DOUBLE) + CAST(b01_$i AS DOUBLE)) *
+           |  ((CAST(n AS DOUBLE) - CAST(b11_$i AS DOUBLE) - CAST(b10_$i AS DOUBLE) - CAST(b01_$i AS DOUBLE)) + CAST(b10_$i AS DOUBLE)))""".stripMargin
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |b11_$i AS n_both_null,
+         |b11_$i + b10_$i AS n_a_null, b11_$i + b01_$i AS n_b_null,
+         |${sig(s"CASE WHEN (b11_$i + b10_$i) > 0 AND (b11_$i + b01_$i) > 0 AND (b11_$i + b10_$i) < n AND (b11_$i + b01_$i) < n THEN $phi END")} AS phi
+         |FROM c""".stripMargin
+    }
+    s"WITH $nulled,\nc AS (SELECT count(*) AS n,\n$sums FROM nulled)\n" +
+      unionAll(selects) + "\nORDER BY col_a, col_b"
+  }
+
   val numTrimmedSql: String = {
     val ctes = nums.flatMap { c =>
       Seq(
@@ -482,6 +537,7 @@ object Core {
     "col_distinct" -> colDistinctSql,
     "col_distinct_approx_err" -> colDistinctApproxErrSql,
     "col_types" -> colTypesSql,
+    "null_association" -> nullAssociationSql,
     "num_moments" -> numMomentsSql,
     "num_trimmed" -> numTrimmedSql,
     "num_quantiles" -> numQuantilesSql,

@@ -264,6 +264,40 @@ class StatsSpec extends SparkSpec {
     assert(tight.getAs[Boolean]("kmv_within_bound")) // 700 < 4096: exact
   }
 
+  test("nullAssociation: co-missing columns read phi near +1, " +
+      "disjoint nulls negative, independent near 0, never-null " +
+      "undefined") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10000).select(
+      // a and b null TOGETHER (same driver)
+      when(col("id") % 5 === 0, lit(null).cast("double"))
+        .otherwise(lit(1.0)).as("a"),
+      when(col("id") % 5 === 0, lit(null).cast("double"))
+        .otherwise(lit(1.0)).as("b"),
+      // c null exactly when a is NOT (disjoint)
+      when(col("id") % 5 =!= 0, lit(null).cast("double"))
+        .otherwise(lit(1.0)).as("c"),
+      // d independent-ish pattern
+      when(col("id") % 7 === 3, lit(null).cast("double"))
+        .otherwise(lit(1.0)).as("d"),
+      lit(1.0).as("e"))
+    val out = graft.profiler.Stats
+      .nullAssociation(df, Seq("a", "b", "c", "d", "e"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    def phi(k: (String, String)): Option[Double] = {
+      val r = out(k)
+      if (r.isNullAt(r.fieldIndex("phi"))) None
+      else Some(r.getDouble(r.fieldIndex("phi")))
+    }
+    assert(phi(("a", "b")).get === 1.0)
+    assert(phi(("a", "c")).get === -1.0)
+    assert(math.abs(phi(("a", "d")).get) < 0.05,
+      s"independent patterns: ${phi(("a", "d"))}")
+    assert(phi(("a", "e")).isEmpty, "never-null side → undefined phi")
+    val ab = out(("a", "b"))
+    assert(ab.getLong(ab.fieldIndex("n_both_null")) === 2000L)
+  }
+
   test("trimmed/winsorized stats are robust to planted corruption " +
       "where the plain mean is not") {
     import org.apache.spark.sql.functions._
