@@ -1,6 +1,6 @@
 package graft.profiler
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -479,6 +479,10 @@ object Stats {
     * is never (or always) null have an undefined φ → NULL. */
   def nullAssociation(df: DataFrame, cols: Seq[String]): DataFrame = {
     val pairs = corrPairs(cols)
+    // O(k²) pair sums — CHUNKED like corrMatrix (a 100-column table
+    // is ~15k aggregate expressions; one Aggregate plan would blow
+    // analysis/codegen), then φ assembled from the exact integers
+    // driver-side with the same IEEE ops the oracle writes
     val aggs = count(lit(1)).as("__n") +: pairs.zipWithIndex.flatMap {
       case ((a, b), i) =>
         val na = col(a).isNull
@@ -488,26 +492,36 @@ object Stats {
           sum(when(na && !nb, 1L).otherwise(0L)).as(s"b10__$i"),
           sum(when(!na && nb, 1L).otherwise(0L)).as(s"b01__$i"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val structs = pairs.zipWithIndex.map { case ((a, b), i) =>
-      val n = col("__n").cast("double")
-      val n11 = col(s"b11__$i").cast("double")
-      val n10 = col(s"b10__$i").cast("double")
-      val n01 = col(s"b01__$i").cast("double")
+    val m = chunkedAgg(df, aggs, 600)
+    val nL = m("__n").asInstanceOf[Long]
+    val spark = df.sparkSession
+    val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val b11 = m(s"b11__$i").asInstanceOf[Long]
+      val b10 = m(s"b10__$i").asInstanceOf[Long]
+      val b01 = m(s"b01__$i").asInstanceOf[Long]
+      val n = nL.toDouble
+      val n11 = b11.toDouble; val n10 = b10.toDouble
+      val n01 = b01.toDouble
       val n00 = n - n11 - n10 - n01
-      val r1 = n11 + n10 // a null
-      val r0 = n01 + n00
-      val c1 = n11 + n01 // b null
-      val c0 = n10 + n00
-      val denom = sqrt(r1 * r0 * c1 * c0)
-      struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        col(s"b11__$i").as("n_both_null"),
-        (col(s"b11__$i") + col(s"b10__$i")).as("n_a_null"),
-        (col(s"b11__$i") + col(s"b01__$i")).as("n_b_null"),
-        sig5(when(denom > 0.0,
-          (n11 * n00 - n10 * n01) / denom)).as("phi"))
+      val r1 = n11 + n10; val r0 = n01 + n00
+      val c1 = n11 + n01; val c0 = n10 + n00
+      val denom = math.sqrt(r1 * r0 * c1 * c0)
+      val phi =
+        if (denom > 0.0)
+          Double.box(graft.det.Sig.sig5(
+            (n11 * n00 - n10 * n01) / denom))
+        else null
+      Row(a, b, b11, b11 + b10, b11 + b01, phi)
     }
-    row.select(explode(array(structs: _*)).as("s")).select("s.*")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("col_a", StringType, nullable = false),
+        StructField("col_b", StringType, nullable = false),
+        StructField("n_both_null", LongType, nullable = false),
+        StructField("n_a_null", LongType, nullable = false),
+        StructField("n_b_null", LongType, nullable = false),
+        StructField("phi", DoubleType))))
       .orderBy("col_a", "col_b")
   }
 
