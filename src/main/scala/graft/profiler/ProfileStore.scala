@@ -298,6 +298,88 @@ object ProfileStore {
       spark.sparkContext.parallelize(out, 1), profileSchema)
   }
 
+  /** Compact a set of snapshots into ONE — the retention half of the
+    * lifecycle: a years-old store otherwise carries O(days × columns)
+    * state rows, and every merge pays for all of them. Compaction
+    * folds the selected snapshots' buffers (sketch merge is
+    * associative — the exact fields, KMV sets, and the MG/co-moment
+    * guarantees are unchanged; merged-GK rank error and MG/moment
+    * float estimates may shift within their documented bounds because
+    * merge ORDER changes) and rewrites the state dir with the
+    * compacted row set plus the untouched snapshots. Typical cadence:
+    * compact last month into one snapshot, keep dailies for the
+    * current month — drift against "all history" stays one cheap
+    * merge forever. */
+  def compactSnapshots(spark: SparkSession, path: String,
+      ids: Seq[String], newId: String): Unit = {
+    require(ids.nonEmpty, "nothing to compact")
+    val (version, k, accuracy) = readMeta(spark, path)
+    require(version == FormatVersion,
+      s"profile store at $path has format v$version")
+    val st = spark.read.parquet(s"$path/state")
+    val allIds = st.select("snapshot_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    require(ids.toSet.subsetOf(allIds),
+      s"unknown snapshot ids: ${ids.toSet -- allIds}")
+    require(!(allIds -- ids.toSet).contains(newId),
+      s"compacted id '$newId' collides with a kept snapshot")
+    val merged = mergedBuffers(spark, path, Some(ids))
+    // co-moment state for the selected ids, merged in sorted-id order
+    val corrRows = st
+      .where(col("col_name") === CorrRow &&
+        col("snapshot_id").isin(ids: _*))
+      .select("state", "snapshot_id", "n_rows")
+      .collect().sortBy(_.getString(1))
+    val nTotal = merged.values.map(_._2).max
+    val compacted = merged.toSeq.sortBy(_._1).map {
+      case (c, (kind, n, buf, mg)) =>
+        val (mgN, mgItems): (Any, Any) = mg match {
+          case Some(m) => (m.n, m.counts.toMap)
+          case None => (null, null)
+        }
+        Row(c, kind, n, MultiSketch.serializeBuf(buf), mgN, mgItems)
+    } ++ (if (corrRows.nonEmpty) {
+      val kk = {
+        val numCols = merged.count(_._2._1 == "num")
+        numCols
+      }
+      val mergedCm = corrRows.map(r => graft.functions.CoMoment
+          .deserializeBuf(r.getAs[Array[Byte]](0), kk))
+        .reduceLeft(_.mergeIn(_))
+      Seq(Row(CorrRow, "corr", nTotal,
+        graft.functions.CoMoment.serializeBuf(mergedCm), null, null))
+    } else Nil)
+    val keep = st.where(!col("snapshot_id").isin(ids: _*))
+      .select("col_name", "kind", "n_rows", "state", "mg_n",
+        "mg_items", "snapshot_id")
+      .collect().toSeq
+    val schema = StructType(Seq(
+      StructField("col_name", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("state", BinaryType, nullable = false),
+      StructField("mg_n", LongType, nullable = true),
+      StructField("mg_items", MapType(StringType, LongType),
+        nullable = true),
+      StructField("snapshot_id", StringType, nullable = false)))
+    val newRows = keep ++ compacted.map(r =>
+      Row.fromSeq(r.toSeq :+ newId))
+    // rewrite via a temp dir then swap: a failure mid-write must not
+    // leave the store truncated
+    val tmp = s"$path/state_compact_tmp"
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(newRows, 1), schema)
+      .write.mode("overwrite").partitionBy("snapshot_id").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val stPath = new org.apache.hadoop.fs.Path(s"$path/state")
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val oldPath = new org.apache.hadoop.fs.Path(s"$path/state_old")
+    fs.rename(stPath, oldPath)
+    fs.rename(tmpPath, stPath)
+    fs.delete(oldPath, true)
+  }
+
   /** Merged Pearson correlations from persisted co-moment state:
     * (col_a, col_b, sig5 ρ) over the SORTED numeric columns, pairs
     * with a zero-variance side omitted. Empty when the store has

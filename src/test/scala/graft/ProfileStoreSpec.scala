@@ -312,6 +312,53 @@ class ProfileStoreSpec extends SparkSpec {
     assert(ids === Array("batch000000", "batch000001"))
   }
 
+  test("compactSnapshots: folding history into one snapshot leaves " +
+      "the merged profile unchanged where exact, within bounds " +
+      "where sketched, and shrinks the state") {
+    val path = tmp("pstore_compact")
+    ProfileStore.writeSnapshot(corpus(0, 4000), path, "d1")
+    ProfileStore.appendSnapshot(corpus(4000, 7000), path, "d2")
+    ProfileStore.appendSnapshot(corpus(7000, 9000), path, "d3")
+    ProfileStore.appendSnapshot(corpus(9000, 12000), path, "d4")
+    val before = ProfileStore.mergedProfile(spark, path)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val corrBefore = ProfileStore.mergedCorrelations(spark, path)
+      .map { case (a, b, r) => (a, b) -> r }.toMap
+    ProfileStore.compactSnapshots(spark, path,
+      Seq("d1", "d2", "d3"), "hist")
+    val ids = spark.read.parquet(s"$path/state")
+      .select("snapshot_id").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(ids === Array("d4", "hist"))
+    val after = ProfileStore.mergedProfile(spark, path)
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- Seq("id", "x", "y", "cat")) {
+      val b = before(c); val a = after(c)
+      for (f <- Seq("n_rows", "n", "n_missing", "distinct_est"))
+        assert(a.getLong(a.fieldIndex(f)) === b.getLong(b.fieldIndex(f)),
+          s"$c.$f")
+      for (f <- Seq("min_val", "max_val") if !b.isNullAt(b.fieldIndex(f)))
+        assert(a.getDouble(a.fieldIndex(f)) ===
+          b.getDouble(b.fieldIndex(f)), s"$c.$f")
+      // sig5 canon absorbs the merge-order float shift
+      for (f <- Seq("mean", "sum_val", "variance")
+          if !b.isNullAt(b.fieldIndex(f)))
+        assert(a.getDouble(a.fieldIndex(f)) ===
+          b.getDouble(b.fieldIndex(f)), s"$c.$f")
+    }
+    // correlations survive compaction to sig5
+    val corrAfter = ProfileStore.mergedCorrelations(spark, path)
+      .map { case (a, b, r) => (a, b) -> r }.toMap
+    assert(corrAfter.keySet === corrBefore.keySet)
+    for ((k, v) <- corrBefore)
+      assert(corrAfter(k) === v, s"corr $k")
+    // append still works against the compacted store
+    ProfileStore.appendSnapshot(corpus(12000, 13000), path, "d5")
+    val n5 = ProfileStore.mergedProfile(spark, path)
+      .collect().find(_.getString(0) == "id").get.getLong(2)
+    assert(n5 === 13000L)
+  }
+
   test("numericDriftByGroup: only the planted group drifts; bins " +
       "are per-group so a small group's shift is not diluted") {
     // group A: slice 1 shifted by +500 (drift); B and C: identical
