@@ -530,6 +530,30 @@ object StreamProfiler {
         graft.ops.Drift.refDriftStats(refCounts): _*)
   }
 
+  /** The GROUPED twin of [[windowedReferenceDrift]] — per (window,
+    * group) drift against the frozen reference histogram, mirroring
+    * the batch `Drift.numericDriftByGroup` question at ingest time:
+    * WHICH source drifted this hour, not just whether the stream
+    * did. Same compiled reference aggs (one definition site); state
+    * per key stays O(reference buckets). */
+  def windowedReferenceDriftByGroup(events: DataFrame, tsCol: String,
+      groupCol: String, bucket: Column,
+      refCounts: Seq[(String, Long)],
+      watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame = {
+    require(refCounts.nonEmpty, "reference histogram is empty")
+    val aggs = graft.ops.Drift.refDriftAggs(bucket, refCounts.map(_._1))
+    events
+      .withColumn("__ts", eventTime(events, tsCol))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowLen),
+        col(groupCol).as("grp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(unix_micros(col("window.start")).as("window_start_us") +:
+        col("grp").as(groupCol) +:
+        graft.ops.Drift.refDriftStats(refCounts): _*)
+  }
+
   /** Continuous data-quality gate: [[graft.ops.Quality]] check suites
     * evaluated per tumbling event-time window — the streaming twin of
     * `Quality.runChecks`, sharing the SAME compiled metric aggregates

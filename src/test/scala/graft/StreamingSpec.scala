@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.streaming.StreamProfiler
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class GrpEv(ts: Timestamp, src: String, event_type: String)
 case class StreamDoc(doc_id: Long, text: String)
 case class UserEv(ts: Timestamp, user_id: Long)
 case class SideEv(ts: Timestamp, user_id: Long, event_id: Long,
@@ -508,6 +509,53 @@ class StreamingSpec extends SparkSpec {
       assert(byType("in_range")._4 == 0L)     // 0.75 < 1.0
       assert(byType("completeness")._4 == 1L)
       assert(byType("row_count")._3 == 4.0)
+    } finally q.stop()
+  }
+
+  test("windowed grouped reference drift: per (window, source) rows, " +
+      "only the drifted source is loud, and each equals the batch " +
+      "twin on its slice") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[GrpEv]
+    val ref = Seq("a" -> 3L, "b" -> 1L)
+    val q = StreamProfiler.windowedReferenceDriftByGroup(mem.toDF(),
+        "ts", "src", col("event_type"), ref,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("grpdrift")
+      .outputMode("append").start()
+    try {
+      // source s1: the reference mix exactly; source s2: drifted
+      val w0 =
+        Seq(GrpEv(t(5), "s1", "a"), GrpEv(t(10), "s1", "a"),
+          GrpEv(t(20), "s1", "a"), GrpEv(t(30), "s1", "b"),
+          GrpEv(t(6), "s2", "b"), GrpEv(t(12), "s2", "b"),
+          GrpEv(t(22), "s2", "c"), GrpEv(t(32), "s2", "b"))
+      mem.addData(w0: _*)
+      q.processAllAvailable()
+      mem.addData(GrpEv(t(4000), "s1", "a")) // close the window
+      q.processAllAvailable()
+      val out = spark.table("grpdrift")
+        .where(col("window_start_us") === 0L)
+        .collect().map(r => r.getString(1) -> r).toMap
+      assert(out.keySet === Set("s1", "s2"))
+      assert(out("s1").getAs[Double]("psi") == 0.0,
+        "reference-mix source is quiet")
+      assert(out("s2").getAs[Double]("psi") > 0.5,
+        "drifted source is loud")
+      // per-group equality with the batch twin on that group's rows
+      for ((g, rows) <- w0.groupBy(_.src)) {
+        val batch = graft.ops.Drift.referenceDrift(
+          rows.map(e => Ev(e.ts, e.event_type, 1.0)).toDF(), "w",
+          col("event_type"), ref).collect()(0)
+        for (f <- Seq("n_a", "n_b", "n_buckets"))
+          assert(out(g).getAs[Long](f) == batch.getAs[Long](f),
+            s"$g.$f")
+        for (f <- Seq("psi", "tvd", "ks"))
+          assert(out(g).getAs[Double](f) == batch.getAs[Double](f),
+            s"$g.$f")
+      }
     } finally q.stop()
   }
 }
