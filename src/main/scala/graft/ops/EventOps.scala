@@ -61,6 +61,34 @@ object EventOps {
       .orderBy("user_id", "session_idx")
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for each ordered (event_type → next_type) step —
+    * consecutive events of the SAME user, ordered by exact epoch
+    * micros with event_id tie-breaks — the step count and the
+    * row-normalized transition probability. The "what do users do
+    * next" primitive behind funnel design and sequence-anomaly
+    * scoring; absent in the reference (tables only — SURVEY §2.2).
+    *
+    * Scale shape: one shuffle on user_id for the lead() window (the
+    * natural partitioning every sequence op here uses), then a
+    * partial-aggregated groupBy whose key space is |types|² — the
+    * matrix stays tiny regardless of corpus size, so the
+    * row-normalizing window runs over the aggregate, never the
+    * events. */
+  def transitionMatrix(df: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val byType = Window.partitionBy("event_type")
+    df.select(col("user_id"), col("event_id"), col("event_type"),
+        tsMicros(df).as("us"))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .where(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        sig5(col("n").cast("double") / sum("n").over(byType)))
+      .orderBy("event_type", "next_type")
+  }
+
   /** Profile the JSON-ish `props` payload: extract `$.k` and
     * aggregate per event type. Uses a regexp extraction that is
     * expressible identically in the oracle; the library also offers

@@ -745,4 +745,66 @@ object ProfileStore {
     spark.createDataFrame(
       spark.sparkContext.parallelize(out, 1), schema)
   }
+
+  /** Robust anomaly detection over a metric history — "which ingest
+    * day looks wrong": per part (snapshot) and column, the sig5 mean
+    * canon, then a median/MAD z-score of each part's metric against
+    * the whole history. MAD (not stddev) so one bad day cannot
+    * inflate its own yardstick; the 1.4826 factor makes the scale
+    * σ-consistent under normality. mad = 0 (a constant history)
+    * yields z = null / anomalous = false rather than ±∞.
+    *
+    * The across-parts arithmetic is driver-side over the
+    * O(snapshots × cols) metric canon — the same dashboard-sized
+    * state [[incrementalMoments]] merges; each part contributes ONE
+    * fused aggregation scan. Median interpolation is written as
+    * v_lo + frac·(v_hi − v_lo) — quantile_cont's formula, so the
+    * oracle's median() replays it bit-for-bit pre-rounding. */
+  def metricAnomaly(parts: Seq[(String, DataFrame)], cols: Seq[String],
+      zThresh: Double = 3.0): DataFrame = {
+    require(parts.nonEmpty)
+    val spark = parts.head._2.sparkSession
+    val partMeans: Seq[(String, Map[String, Double])] =
+      parts.map { case (pname, df) =>
+        val aggs = cols.map(c => avg(col(c).cast("double")).as(c))
+        val r = df.agg(aggs.head, aggs.tail: _*).first()
+        pname -> cols.map { c =>
+          val i = r.fieldIndex(c)
+          c -> (if (r.isNullAt(i)) Double.NaN else Sig.sig5(r.getDouble(i)))
+        }.toMap
+      }
+    def medianCont(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1).toDouble
+      val lo = pos.toInt
+      val frac = pos - lo.toDouble
+      if (frac == 0.0) s(lo) else s(lo) + frac * (s(lo + 1) - s(lo))
+    }
+    val out = cols.flatMap { c =>
+      val ms = partMeans.map { case (p, m) => p -> m(c) }
+      val med = Sig.sig5(medianCont(ms.map(_._2)))
+      val mad = Sig.sig5(medianCont(ms.map(x => math.abs(x._2 - med))))
+      ms.map { case (p, m) =>
+        val z: Any =
+          if (mad == 0.0) null else Sig.sig5((m - med) / (1.4826 * mad))
+        // 0/1 BIGINT, not BOOLEAN — the repo's driver-comparator
+        // convention for flags (QualityQueries `passed`)
+        val anom: Long =
+          if (mad != 0.0 &&
+            math.abs((m - med) / (1.4826 * mad)) > zThresh) 1L
+          else 0L
+        Row(p, c, m, med, mad, z, anom)
+      }
+    }.sortBy(r => (r.getString(1), r.getString(0)))
+    val schema = StructType(Seq(
+      StructField("part", StringType, nullable = false),
+      StructField("col_name", StringType, nullable = false),
+      StructField("metric_mean", DoubleType),
+      StructField("med", DoubleType),
+      StructField("mad", DoubleType),
+      StructField("z", DoubleType),
+      StructField("anomalous", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), schema)
+  }
 }

@@ -793,6 +793,50 @@ object Stats {
       .orderBy("col_name", "bin")
   }
 
+  /** Joint (2D) histogram of two numeric columns — the
+    * correlation-visual primitive the 1D family can't express (two
+    * marginals don't show a ridge). Same floor((x−mn)/w) binning as
+    * [[histogram]]; bounds come from the JOINTLY valid rows (both
+    * dims non-null, non-NaN) because a cell is a joint observation.
+    * Only non-empty cells are emitted: a 2D grid is mostly empty and
+    * the empty-cell majority carries no information (the 1D parity
+    * argument for all-bins emission doesn't transfer).
+    *
+    * Scale shape: one bounds aggregation, then one map-side-combined
+    * groupBy on ≤ bins² cell keys — output is O(bins²) regardless of
+    * row count, and nothing shuffles more than the partial-agg
+    * buffers. */
+  def histogram2d(df: DataFrame, cx: String, cy: String,
+      bins: Int = 10): DataFrame = {
+    val valid = df.where(
+      col(cx).isNotNull && !isnan(d(cx)) &&
+        col(cy).isNotNull && !isnan(d(cy)))
+    val mm = valid.agg(min(d(cx)).as("mnx"), max(d(cx)).as("mxx"),
+      min(d(cy)).as("mny"), max(d(cy)).as("mxy")).first()
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (mm.isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Double, Double, Double,
+        Double)].toDF("bx", "by", "cnt", "x_lo", "x_hi", "y_lo", "y_hi")
+    val (mnx, mxx, mny, mxy) =
+      (mm.getDouble(0), mm.getDouble(1), mm.getDouble(2), mm.getDouble(3))
+    val wx = (mxx - mnx) / bins.toDouble
+    val wy = (mxy - mny) / bins.toDouble
+    def bin(c: String, mn: Double, w: Double): Column =
+      if (w == 0) lit(0L)
+      else least(floor((d(c) - lit(mn)) / lit(w)), lit(bins - 1L))
+    def edge(b: Column, mn: Double, w: Double): Column =
+      lit(mn) + b.cast("double") * lit(w)
+    valid.select(bin(cx, mnx, wx).as("bx"), bin(cy, mny, wy).as("by"))
+      .groupBy("bx", "by").agg(count(lit(1)).as("cnt"))
+      .select(col("bx"), col("by"), col("cnt"),
+        edge(col("bx"), mnx, wx).as("x_lo"),
+        edge(col("bx") + 1, mnx, wx).as("x_hi"),
+        edge(col("by"), mny, wy).as("y_lo"),
+        edge(col("by") + 1, mny, wy).as("y_hi"))
+      .orderBy("bx", "by")
+  }
+
   // -------------------------------------------------------------------
   // Frequency tables (F1/F2): top-k values per categorical column with
   // deterministic (count desc, value asc) tie-break. Unpivot → ONE

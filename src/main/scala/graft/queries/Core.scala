@@ -79,6 +79,10 @@ object Core {
         Seq("l_tax", "l_discount", "l_quantity", "l_extendedprice"))),
     "num_zeros" -> ((s, dir) => Stats.zeros(li(s, dir), nums)),
     "num_histogram" -> ((s, dir) => Stats.histogram(li(s, dir), nums)),
+    // joint 2D histogram: the price × discount ridge two marginals
+    // can't show; O(bins²) output regardless of row count
+    "num_histogram2d" -> ((s, dir) =>
+      Stats.histogram2d(li(s, dir), "l_extendedprice", "l_discount")),
     "cat_freq" -> ((s, dir) => Stats.freq(li(s, dir), cats)),
     // high-cardinality columns (25 brands / 150 types > topK=10) so
     // the "__other__" remainder bucket is exercised non-trivially
@@ -309,6 +313,35 @@ object Core {
 
   val numHistogramSql: String =
     histogramSql(nums, c => s"CAST($c AS DOUBLE)")
+
+  /** Joint 2D histogram mirror of [[graft.profiler.Stats.histogram2d]]:
+    * bounds over jointly-valid rows, identical floor binning on both
+    * dims, edges re-derived from the same (mn, w) doubles. */
+  val numHistogram2dSql: String =
+    s"""WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+       |    CAST(l_discount AS DOUBLE) AS y FROM $T
+       |  WHERE l_extendedprice IS NOT NULL
+       |    AND NOT isnan(CAST(l_extendedprice AS DOUBLE))
+       |    AND l_discount IS NOT NULL
+       |    AND NOT isnan(CAST(l_discount AS DOUBLE))),
+       |m AS (SELECT min(x) AS mnx, (max(x) - min(x)) / 10.0 AS wx,
+       |             min(y) AS mny, (max(y) - min(y)) / 10.0 AS wy
+       |      FROM v),
+       |b AS (SELECT
+       |  CASE WHEN m.wx = 0 THEN 0
+       |    ELSE CAST(least(floor((x - m.mnx) / m.wx), 9) AS BIGINT)
+       |    END AS bx,
+       |  CASE WHEN m.wy = 0 THEN 0
+       |    ELSE CAST(least(floor((y - m.mny) / m.wy), 9) AS BIGINT)
+       |    END AS by
+       |  FROM v, m),
+       |c AS (SELECT bx, by, count(*) AS cnt FROM b GROUP BY 1, 2)
+       |SELECT bx, by, cnt,
+       |m.mnx + CAST(bx AS DOUBLE) * m.wx AS x_lo,
+       |m.mnx + CAST(bx + 1 AS DOUBLE) * m.wx AS x_hi,
+       |m.mny + CAST(by AS DOUBLE) * m.wy AS y_lo,
+       |m.mny + CAST(by + 1 AS DOUBLE) * m.wy AS y_hi
+       |FROM c, m ORDER BY bx, by""".stripMargin
 
   /** Epoch-micros histogram of the date columns; micros < 2^53 so the
     * long→double conversion is exact on both engines. */
@@ -548,6 +581,7 @@ object Core {
     "num_mad" -> numMadSql,
     "num_zeros" -> numZerosSql,
     "num_histogram" -> numHistogramSql,
+    "num_histogram2d" -> numHistogram2dSql,
     "cat_freq" -> catFreqSql,
     "cat_freq_other" -> catFreqOtherSql,
     "table_kinds" -> tableKindsSql,

@@ -449,6 +449,10 @@ object Extensions {
       EventOps.slidingWindowStats(t(s, dir, "events"))),
     "events_sessionize" -> ((s, dir) =>
       EventOps.sessionize(t(s, dir, "events"))),
+    // first-order Markov transitions over per-user sequences: the
+    // |types|² matrix with row-normalized probabilities
+    "events_markov" -> ((s, dir) =>
+      EventOps.transitionMatrix(t(s, dir, "events"))),
     "events_props" -> ((s, dir) =>
       EventOps.propsKStats(t(s, dir, "events"))),
     // ---- nested-type profiling ----
@@ -1538,6 +1542,23 @@ object Extensions {
       |min(us) AS session_start_us, max(us) AS session_end_us,
       |count(*) AS n_events
       |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin
+
+  /** Per-user lead() steps → (type, next_type) counts → row-normalized
+    * probabilities, mirroring [[graft.ops.EventOps.transitionMatrix]]
+    * (same window, same tie-breaks, same tiny-aggregate normalizing
+    * window). */
+  val eventsMarkovSql: String =
+    s"""WITH x AS (SELECT user_id, event_id, event_type,
+       |  epoch_ns(ts) // 1000 AS us FROM events),
+       |st AS (SELECT event_type, lead(event_type) OVER (
+       |    PARTITION BY user_id ORDER BY us, event_id) AS next_type
+       |  FROM x),
+       |c AS (SELECT event_type, next_type, count(*) AS n FROM st
+       |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+       |SELECT event_type, next_type, n,
+       |${sig("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type)")}
+       |  AS p
+       |FROM c ORDER BY event_type, next_type""".stripMargin
 
   val eventsPropsSql: String =
     s"""WITH e AS (SELECT event_type,
@@ -3333,6 +3354,7 @@ val eventsRollupSql: String =
     "events_funnel" -> eventsFunnelSql,
     "events_sliding" -> eventsSlidingSql,
     "events_sessionize" -> eventsSessionizeSql,
+    "events_markov" -> eventsMarkovSql,
     "events_props" -> eventsPropsSql,
     "array_profile" -> arrayProfileSql,
     "join_revenue_nation" -> joinRevenueNationSql,

@@ -42,7 +42,25 @@ object StoreQueries {
       ProfileStore.incrementalCorr(
         Seq("a" -> li.where(expr(splitA)),
           "b" -> li.where(expr(splitB))), cols)
+    }),
+    // robust metric-history anomaly: four "ingest days" (orderkey-mod
+    // splits), one deliberately corrupted (day d only received the
+    // high-quantity rows) — median/MAD z-scores must flag it
+    "store_metric_anomaly" -> ((s, dir) => {
+      val li = Core.li(s, dir)
+      ProfileStore.metricAnomaly(
+        anomSplits.map { case (p, pred) => p -> li.where(expr(pred)) },
+        cols)
     }))
+
+  // the "bad ingest day": split d is biased to l_quantity > 40, so
+  // every quantity-correlated metric drifts — data-derived,
+  // deterministic, independently re-derivable in SQL
+  private val anomSplits = Seq(
+    "a" -> "l_orderkey % 4 = 0",
+    "b" -> "l_orderkey % 4 = 1",
+    "c" -> "l_orderkey % 4 = 2",
+    "d" -> "l_orderkey % 4 = 3 AND l_quantity > 40")
 
   private val profileIncrementalSql: String = {
     val ctes = cols.flatMap { c =>
@@ -140,7 +158,36 @@ object StoreQueries {
       "\nORDER BY col_a, col_b"
   }
 
+  /** Mirror of [[graft.profiler.ProfileStore.metricAnomaly]]: per-part
+    * sig5 mean canon, median()/MAD over the canon (DuckDB's median IS
+    * quantile_cont(0.5) — the interpolation formula the Scala side
+    * writes out), z from the ROUNDED med/mad, flag from the same raw
+    * comparison. */
+  private val storeMetricAnomalySql: String = {
+    val pm = for { c <- cols; (p, pred) <- anomSplits } yield
+      s"""SELECT '$p' AS part, '$c' AS col_name,
+         |${sig(s"avg(CAST($c AS DOUBLE))")} AS m
+         |FROM $T WHERE ($pred)""".stripMargin
+    s"""WITH pm AS (
+       |${pm.mkString("\nUNION ALL\n")}),
+       |st AS (SELECT col_name, ${sig("median(m)")} AS med
+       |  FROM pm GROUP BY col_name),
+       |md AS (SELECT pm.col_name, ${sig("median(abs(m - med))")} AS mad
+       |  FROM pm JOIN st ON st.col_name = pm.col_name
+       |  GROUP BY pm.col_name)
+       |SELECT part, pm.col_name AS col_name, m AS metric_mean, med, mad,
+       |CASE WHEN mad = 0 THEN NULL
+       |  ELSE ${sig("(m - med) / (1.4826 * mad)")} END AS z,
+       |CAST(CASE WHEN mad <> 0
+       |    AND abs((m - med) / (1.4826 * mad)) > 3.0
+       |  THEN 1 ELSE 0 END AS BIGINT) AS anomalous
+       |FROM pm JOIN st ON st.col_name = pm.col_name
+       |JOIN md ON md.col_name = pm.col_name
+       |ORDER BY col_name, part""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "profile_incremental" -> profileIncrementalSql,
-    "profile_incremental_corr" -> profileIncrementalCorrSql)
+    "profile_incremental_corr" -> profileIncrementalCorrSql,
+    "store_metric_anomaly" -> storeMetricAnomalySql)
 }

@@ -713,6 +713,26 @@ class OpsSpec extends SparkSpec {
     assert(r == Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 1L))
   }
 
+  test("transitionMatrix: per-user steps only, row-normalized " +
+      "probabilities, no cross-user step") {
+    val es = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_type", StringType)))
+    val min = 60L * 1000000000L // ns
+    val ev = spark.createDataFrame(Seq(
+      Row(1L, 1L, 0L * min, "A"), Row(1L, 2L, 1L * min, "B"),
+      Row(1L, 3L, 2L * min, "A"),
+      // user 2 ends on C; no (C, ...) step may appear even though
+      // user 1's events come later in input order
+      Row(2L, 4L, 0L * min, "B"), Row(2L, 5L, 1L * min, "C")
+    ).asJava, es)
+    val r = EventOps.transitionMatrix(ev).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getAs[Long]("n"), x.getAs[Double]("p"))).toMap
+    assert(r == Map(("A", "B") -> ((1L, 1.0)), ("B", "A") -> ((1L, 0.5)),
+      ("B", "C") -> ((1L, 0.5))))
+  }
+
   test("propsParsed: schema-on-read from_json extraction") {
     val es = StructType(Seq(StructField("props", StringType)))
     val ev = spark.createDataFrame(Seq(

@@ -429,4 +429,26 @@ class ProfileStoreSpec extends SparkSpec {
     assert(buf.sum === struct.getAs[Double]("sm"))
     assert(buf.nz === struct.getAs[Long]("nz"))
   }
+
+  test("metricAnomaly: only the shifted snapshot is flagged; a " +
+      "constant history yields z=null / anomalous=0, never ±inf") {
+    def day(seed: Long, shift: Double) =
+      spark.range(0, 4000).select(
+        (((col("id") * 131 + seed) % 997).cast("double") / 100.0 + shift)
+          .as("x"))
+    val parts = Seq("d1" -> day(1, 0.0), "d2" -> day(2, 0.0),
+      "d3" -> day(3, 0.0), "d4" -> day(4, 0.0), "d5" -> day(5, 50.0))
+    val r = ProfileStore.metricAnomaly(parts, Seq("x")).collect()
+      .map(x => x.getString(0) ->
+        (x.getAs[Double]("z"), x.getAs[Long]("anomalous"))).toMap
+    assert(r("d5")._2 == 1L, "the +50 shift must be flagged")
+    assert(Seq("d1", "d2", "d3", "d4").forall(r(_)._2 == 0L),
+      "clean days must not be flagged")
+    assert(r("d5")._1 > 3.0)
+    // constant history: every part identical → mad = 0 → null z
+    val const = Seq("c1", "c2", "c3").map(_ -> day(9, 0.0))
+    val rc = ProfileStore.metricAnomaly(const, Seq("x")).collect()
+    assert(rc.forall(_.isNullAt(rc.head.fieldIndex("z"))))
+    assert(rc.forall(_.getAs[Long]("anomalous") == 0L))
+  }
 }

@@ -111,6 +111,35 @@ class StatsSpec extends SparkSpec {
       h.head.getAs[Long]("cnt") == 3L)
   }
 
+  test("histogram2d: diagonal data fills only diagonal cells; " +
+      "counts sum to jointly-valid rows") {
+    val s = StructType(Seq(StructField("x", DoubleType),
+      StructField("y", DoubleType)))
+    val rows = (0 to 99).map(i => Row(i.toDouble, i.toDouble)) ++
+      Seq(Row(null, 1.0), Row(1.0, null), Row(Double.NaN, 2.0))
+    val h = Stats.histogram2d(df(rows, s), "x", "y", bins = 10).collect()
+    assert(h.map(_.getAs[Long]("cnt")).sum == 100L,
+      "rows missing either dim are not joint observations")
+    assert(h.length == 10, "x=y data occupies exactly the diagonal")
+    assert(h.forall(r => r.getAs[Long]("bx") == r.getAs[Long]("by")))
+    assert(h.forall(r => r.getAs[Double]("x_lo") < r.getAs[Double]("x_hi")))
+  }
+
+  test("histogram2d: constant dim collapses to by=0; all-null input " +
+      "yields an empty frame with the right schema") {
+    val s = StructType(Seq(StructField("x", DoubleType),
+      StructField("y", DoubleType)))
+    val h = Stats.histogram2d(
+      df((0 to 9).map(i => Row(i.toDouble, 7.0)), s), "x", "y").collect()
+    assert(h.forall(_.getAs[Long]("by") == 0L))
+    assert(h.map(_.getAs[Long]("cnt")).sum == 10L)
+    val e = Stats.histogram2d(
+      df(Seq(Row(null, 1.0)), s), "x", "y")
+    assert(e.collect().isEmpty)
+    assert(e.columns.toSeq ==
+      Seq("bx", "by", "cnt", "x_lo", "x_hi", "y_lo", "y_hi"))
+  }
+
   test("freq: deterministic tie-break on value, topK respected, " +
       "remainder aggregated into __other__") {
     val s = StructType(Seq(StructField("c", StringType)))
