@@ -807,6 +807,75 @@ object Dedup {
       minCosine)
   }
 
+  /** Incremental semantic dedup — the daily-crawl shape of the
+    * SemDeDup family: flag each NEW-batch vector whose best cosine
+    * against the already-INDEXED corpus reaches `minCosine`,
+    * searching only the `nprobe` index cells nearest each batch
+    * vector. The coarse quantizer is derived from the INDEX side
+    * alone (seeded or Lloyd-trained like
+    * [[graft.ops.Similarity.ivfTopK]]) — a new batch never moves the
+    * frozen index geometry, exactly the `AnnIndex`
+    * write-once/probe-many contract; this stateless form is the
+    * oracle-checkable twin of probing the persisted index
+    * (`AnnIndex.probeAnnIndex`, probe ≡ rebuild unit-tested).
+    *
+    * Scale shape: cell assignment is a MAP-ONLY pass on each side
+    * (tiny broadcast codebook, argmin via the sorted cell array);
+    * the candidate join shuffles on the cell key, so each batch
+    * vector scores ~nprobe/C of the index, never the whole corpus;
+    * the per-vector best is a partial-aggregated max. Batch vectors
+    * whose probed cells hold no index vector surface with NULL
+    * best_match and is_dup = 0 — absent silently would under-count
+    * the batch. */
+  def incrementalSemanticDups(index: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, centroidLo: Long, centroidHi: Long,
+      nprobe: Int = 2, dim: Int = 64, minCosine: Double = 0.5,
+      iters: Int = 2): DataFrame = {
+    val idx = index.where(size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("vid"), col(vecCol).as("v"),
+        Similarity.norm(col(vecCol)).as("nrm"))
+    val cents =
+      if (iters <= 1)
+        Similarity.seedCodebook(idx, "vid", "v", centroidLo, centroidHi)
+      else Similarity.trainedCodebook(idx, "vid", "v", centroidLo,
+        centroidHi, dim, iters)
+    require(cents.nonEmpty,
+      s"no index centroid rows with id in [$centroidLo, $centroidHi)")
+    val assigned = idx.select(col("vid"), col("v"), col("nrm"),
+      element_at(Similarity.cellArray(col("v"), cents), 1)
+        .getField("cid").as("cell"))
+    val bat = batch.where(size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).as("qv"),
+        Similarity.norm(col(vecCol)).as("qnrm"),
+        Similarity.cellArray(col(vecCol), cents).as("cells"))
+    val probes = bat
+      .select(col("qid"), col("qv"), col("qnrm"),
+        explode(slice(col("cells"), 1, nprobe)).as("p"))
+      .select(col("qid"), col("qv"), col("qnrm"),
+        col("p").getField("cid").as("pcell"))
+    val scored = assigned
+      .join(probes, col("cell") === col("pcell") &&
+        col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"),
+        graft.det.Sig.sig5(Similarity.cosine(
+          Similarity.dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
+          .as("cosine"))
+      .where(col("cosine").isNotNull)
+    val best = scored.groupBy("qid").agg(max("cosine").as("best_cosine"))
+    // deterministic argmax: equal-best ties resolve to the smallest
+    // index id (cosine is sig5-rounded, so ties are real)
+    val bestMatch = scored.join(best, Seq("qid"))
+      .where(col("cosine") === col("best_cosine"))
+      .groupBy("qid", "best_cosine").agg(min("vid").as("best_match"))
+    bat.select(col("qid").as("vec_id"))
+      .join(bestMatch.select(col("qid").as("vec_id"), col("best_match"),
+        col("best_cosine")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("best_match"), col("best_cosine"),
+        when(col("best_cosine") >= minCosine, 1L).otherwise(0L)
+          .as("is_dup"))
+      .orderBy("vec_id")
+  }
+
   /** Benchmark decontamination: for each eval/benchmark document,
     * find training documents sharing ≥ `minShared` distinct n-gram
     * shingles (the GPT-3/PaLM-style n-gram overlap check), with the

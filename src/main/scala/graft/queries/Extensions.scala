@@ -119,6 +119,17 @@ object Extensions {
       Dedup.embedCosinePairsBanded(t(s, dir, "embeddings"), "vec_id",
         "embedding", minCosine = 0.5, bands = EmbedBands,
         rowsPerBand = EmbedRows)),
+    // daily-crawl semantic dedup: odd vec_ids are "today's batch",
+    // probed against the frozen even-id index (IVF cells trained on
+    // the index side only — the AnnIndex probe contract, stateless)
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.incrementalSemanticDups(
+        emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", centroidLo = 100L, centroidHi = 132L,
+        nprobe = 2, minCosine = 0.4, iters = 2)
+    }),
     // ---- similarity search ----
     "embed_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id",
@@ -1069,6 +1080,63 @@ object Extensions {
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS BIGINT) AS rnk,
        |    vid AS neighbor_id, cosine FROM cos)
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Incremental-semantic-dedup mirror: the [[embedAnnIvfSql]] replay
+    * with the codebook seeded AND trained on the even-id INDEX side
+    * only, probes for every odd-id batch vector, best-match argmax
+    * (max sig5 cosine, min-vid tie-break) and the ≥ 0.4 dup flag;
+    * batch vectors with no candidates surface via the left join. */
+  val dedupSemanticIncrementalSql: String = {
+    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i)),
+       |c0 AS (SELECT vec_id AS cid, i, v AS w FROM el
+       |       WHERE vec_id BETWEEN 100 AND 131 AND vec_id % 2 = 0),
+       |cn0 AS (SELECT cid, sum(w * w) AS cn2 FROM c0 GROUP BY 1),
+       |cd0 AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
+       |       FROM el a JOIN c0 c ON c.i = a.i
+       |       WHERE a.vec_id % 2 = 0 GROUP BY 1, 2),
+       |ta AS (SELECT vid, cid FROM (
+       |   SELECT vid, cd0.cid, row_number() OVER (PARTITION BY vid
+       |     ORDER BY ${sig("cn2 - 2 * dp")} ASC, cd0.cid ASC) AS rn
+       |   FROM cd0 JOIN cn0 ON cn0.cid = cd0.cid) WHERE rn = 1),
+       |c1 AS (SELECT ta.cid, el.i, avg(el.v) AS w FROM el
+       |       JOIN ta ON ta.vid = el.vec_id GROUP BY 1, 2),
+       |cn AS (SELECT cid, sum(w * w) AS cn2 FROM c1 GROUP BY 1),
+       |cd AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
+       |       FROM el a JOIN c1 c ON c.i = a.i GROUP BY 1, 2),
+       |sc AS (SELECT vid, cd.cid, ${sig("cn2 - 2 * dp")} AS score
+       |       FROM cd JOIN cn ON cn.cid = cd.cid),
+       |rk AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid
+       |       ORDER BY score ASC, cid ASC) AS rn FROM sc),
+       |assign AS (SELECT vid, cid AS cell FROM rk
+       |           WHERE vid % 2 = 0 AND rn = 1),
+       |probes AS (SELECT vid AS qid, cid AS cell FROM rk
+       |           WHERE vid % 2 = 1 AND rn <= 2),
+       |cand AS (SELECT p.qid, a.vid FROM probes p
+       |         JOIN assign a ON a.cell = p.cell WHERE a.vid <> p.qid),
+       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY 1),
+       |dot AS (SELECT c.qid, c.vid, sum(a.v * b.v) AS dp
+       |        FROM cand c JOIN el a ON a.vec_id = c.qid
+       |        JOIN el b ON b.vec_id = c.vid AND b.i = a.i
+       |        GROUP BY 1, 2),
+       |cos AS (SELECT qid, vid, $cosExpr AS cosine
+       |        FROM dot JOIN nrm na ON na.vec_id = dot.qid
+       |        JOIN nrm nb ON nb.vec_id = dot.vid
+       |        WHERE $cosExpr IS NOT NULL),
+       |best AS (SELECT qid, max(cosine) AS best_cosine FROM cos
+       |         GROUP BY 1),
+       |bm AS (SELECT cos.qid, best_cosine, min(vid) AS best_match
+       |       FROM cos JOIN best ON best.qid = cos.qid
+       |         AND cos.cosine = best.best_cosine
+       |       GROUP BY 1, 2)
+       |SELECT b.vec_id, bm.best_match, bm.best_cosine,
+       |CAST(CASE WHEN bm.best_cosine >= 0.4 THEN 1 ELSE 0 END
+       |  AS BIGINT) AS is_dup
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1) b
+       |LEFT JOIN bm ON bm.qid = b.vec_id
+       |ORDER BY b.vec_id""".stripMargin
   }
 
   /** IVF assignment re-derived: same cell CTEs as [[embedAnnIvfSql]]
@@ -3314,6 +3382,7 @@ val eventsRollupSql: String =
     "sample_stratified" -> sampleStratifiedSql,
     "sample_stratified_hash" -> sampleStratifiedHashSql,
     "dedup_embed" -> dedupEmbedSql,
+    "dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
     "embed_cosine_topk" -> embedCosineSql,
     "embed_ann_lsh" -> embedAnnLshSql,
     "embed_ann_ivf" -> embedAnnIvfSql,

@@ -421,4 +421,60 @@ class Round10Spec extends SparkSpec {
       .map(_.getString(1)).toSet
     assert(headGrams == Set("terms of service", "of service apply"))
   }
+
+  test("incrementalSemanticDups: full-probe best equals driver brute " +
+      "force; a planted exact duplicate is flagged even at nprobe=1") {
+    val s = spark
+    import s.implicits._
+    // the sin-family synthVec is near-collinear at dim 8 (best
+    // cosines all > 0.99); this hash-style generator spreads best
+    // cosines across ~[0.65, 0.97] so a 0.9 flag has both outcomes
+    def hashVec(i: Long, dim: Int): Array[Float] =
+      Array.tabulate(dim)(d =>
+        ((math.sin(i * 12.9898 + d * 78.233) * 43758.5453) % 1.0 - 0.5)
+          .toFloat)
+    val emb = (0 until 200)
+      .map(i => (i.toLong, hashVec(i.toLong, 8)))
+      .toDF("vec_id", "embedding")
+    val index = emb.where($"vec_id" % 2 === 0)
+    val planted = Seq((9999L, hashVec(42L, 8))).toDF("vec_id", "embedding")
+    val batch = emb.where($"vec_id" % 2 === 1).union(planted)
+    // nprobe = C (8 even seed ids in [100,116)) probes every cell, so
+    // the IVF best must equal exhaustive search exactly
+    val out = Dedup.incrementalSemanticDups(index, batch, "vec_id",
+        "embedding", centroidLo = 100L, centroidHi = 116L, nprobe = 8,
+        dim = 8, minCosine = 0.9, iters = 2).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+          r.getLong(3))).toMap
+    // driver brute force with the engine's arithmetic: sequential
+    // double dot over the float-valued entries, then sig5
+    val idxVecs = index.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+    val batVecs = batch.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+    for ((qid, qv) <- batVecs) {
+      val brute = idxVecs.map { case (_, v) =>
+        Sig.sig5(dot(qv, v) /
+          (math.sqrt(dot(qv, qv)) * math.sqrt(dot(v, v))))
+      }.max
+      assert(out(qid)._1 == brute,
+        s"full-probe best for $qid must equal brute force")
+    }
+    assert(out(9999L) == ((1.0, 1L)),
+      "the planted copy of index vector 42 scores cosine 1.0")
+    // the flag is exactly best ≥ minCosine, never vacuous either way
+    assert(out.forall { case (_, (b, f)) => f == (if (b >= 0.9) 1L else 0L) })
+    assert(out.exists(_._2._2 == 0L) && out.exists(_._2._2 == 1L),
+      "fixture must exercise both flag outcomes")
+    // nprobe = 1: the duplicate shares its twin's argmin cell, so the
+    // single probed cell already contains it
+    val np1 = Dedup.incrementalSemanticDups(index, planted, "vec_id",
+      "embedding", centroidLo = 100L, centroidHi = 116L, nprobe = 1,
+      dim = 8, minCosine = 0.9, iters = 2).collect().head
+    assert(np1.getLong(0) == 9999L && np1.getLong(3) == 1L &&
+      np1.getLong(1) == 42L)
+  }
 }
