@@ -807,6 +807,46 @@ object Dedup {
       minCosine)
   }
 
+  /** Edit-distance-verified near-dup pairs — the entity-resolution
+    * "fuzzy dedup" member of the family: candidate pairs from the
+    * exact inverted-shingle Jaccard index at a LOW blocking
+    * threshold, then true Levenshtein verification, keeping pairs
+    * whose distance normalized by the longer text is ≤ `maxNormDist`.
+    * Jaccard blocks on CONTENT overlap (order-insensitive); the edit
+    * distance then rejects candidates that share vocabulary but read
+    * differently — the classic block-then-verify ER shape.
+    *
+    * Scale shape: blocking is the shingle-index join (linear in
+    * corpus size, df-capped hot shingles), so the O(L²) DP is paid
+    * only on candidate pairs; verification is a per-row codegen'd
+    * expression (UTF8String levenshtein), no shuffle beyond the
+    * candidate join. The filter and the emitted norm use ONE IEEE
+    * division on integer-derived operands (cross-engine
+    * bit-identical; sig5 only decorates the emitted value). Engine
+    * note: Spark's levenshtein counts codepoints, DuckDB's bytes —
+    * identical on this ASCII corpus; a non-ASCII deployment should
+    * verify parity or normalize first. */
+  def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, blockJaccard: Double = 0.3, maxNormDist: Double = 0.05,
+      maxDf: Option[Long] = None): DataFrame = {
+    val cand = ngramJaccardPairs(df, idCol, textCol, n, blockJaccard,
+      maxDf).select("id_a", "id_b")
+    val txt = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val ratio = col("edit_dist").cast("double") /
+      greatest(length(col("ta")), length(col("tb"))).cast("double")
+    cand
+      .join(txt.select(col("id").as("id_a"), col("txt").as("ta")),
+        Seq("id_a"))
+      .join(txt.select(col("id").as("id_b"), col("txt").as("tb")),
+        Seq("id_b"))
+      .withColumn("edit_dist",
+        levenshtein(col("ta"), col("tb")).cast("long"))
+      .where(ratio <= maxNormDist)
+      .select(col("id_a"), col("id_b"), col("edit_dist"),
+        graft.det.Sig.sig5(ratio).as("norm_dist"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Incremental semantic dedup — the daily-crawl shape of the
     * SemDeDup family: flag each NEW-batch vector whose best cosine
     * against the already-INDEXED corpus reaches `minCosine`,

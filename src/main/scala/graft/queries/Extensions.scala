@@ -46,6 +46,12 @@ object Extensions {
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf))),
+    // block-then-verify fuzzy dedup: shingle-Jaccard blocking at 0.3,
+    // Levenshtein verify at ≤ 5% of the longer text
+    "dedup_fuzzy" -> ((s, dir) =>
+      Dedup.fuzzyPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, blockJaccard = 0.3, maxNormDist = 0.05,
+        maxDf = Some(NgramMaxDf))),
     // recall containment: exact J≥0.8 pairs ∩ MinHash-LSH candidates;
     // oracle = the exact pairs, so a hash-match proves 100% recall.
     // The premise threshold is 0.8 (not the 0.7 operating point) so
@@ -927,6 +933,22 @@ object Extensions {
        |ORDER BY id_a, id_b""".stripMargin
 
   val dedupNgramSql: String = ngramSql(0.5)
+
+  /** [[graft.ops.Dedup.fuzzyPairs]] mirror: the J≥0.3 blocking pairs,
+    * byte-Levenshtein (≡ codepoint on this ASCII corpus, asserted by
+    * the langid fixture being ASCII), the raw one-division ratio in
+    * the filter, sig5 on the emitted value only. */
+  val dedupFuzzySql: String =
+    s"""WITH p AS (SELECT id_a, id_b FROM (${ngramSql(0.3)})),
+       |v AS (SELECT p.id_a, p.id_b,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       |  CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) AS ln
+       |  FROM p JOIN documents a ON a.doc_id = p.id_a
+       |  JOIN documents b ON b.doc_id = p.id_b)
+       |SELECT id_a, id_b, edit_dist,
+       |${sig("CAST(edit_dist AS DOUBLE) / ln")} AS norm_dist
+       |FROM v WHERE CAST(edit_dist AS DOUBLE) / ln <= 0.05
+       |ORDER BY id_a, id_b""".stripMargin
   val dedupMinhashSql: String = ngramSql(0.8)
   val dedupSimhashSql: String = ngramSql(0.9)
 
@@ -3373,6 +3395,7 @@ val eventsRollupSql: String =
     "events_cube" -> eventsCubeSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram" -> dedupNgramSql,
+    "dedup_fuzzy" -> dedupFuzzySql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_simhash" -> dedupSimhashSql,

@@ -422,6 +422,35 @@ class Round10Spec extends SparkSpec {
     assert(headGrams == Set("terms of service", "of service apply"))
   }
 
+  test("fuzzyPairs: a one-char typo pair survives verification with " +
+      "edit_dist 1; a blocked candidate with a large insertion is " +
+      "rejected by the verify stage, not the blocker") {
+    val s = spark
+    import s.implicits._
+    val base = Seq.fill(5)("the quick brown fox jumps over the lazy dog")
+      .mkString(" ")
+    val typo = base.replaceFirst("lazy", "hazy")
+    val insert = base + " pelican stew tastes great right now today"
+    val docs = Seq((1L, base), (2L, typo), (3L, insert))
+      .toDF("doc_id", "text")
+    // (1,3) must BE a blocking candidate — otherwise the rejection
+    // below would prove nothing about the verify stage
+    val cand = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 3L)))
+    val out = Dedup.fuzzyPairs(docs, "doc_id", "text",
+      n = 3, blockJaccard = 0.3, maxNormDist = 0.05).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)),
+      "the 42-char insertion exceeds 5% of the longer text")
+    val typoRow = out.find(r =>
+      r.getLong(0) == 1L && r.getLong(1) == 2L).get
+    assert(typoRow.getLong(2) == 1L, "one substitution = distance 1")
+    assert(typoRow.getDouble(3) > 0.0 && typoRow.getDouble(3) < 0.01)
+  }
+
   test("incrementalSemanticDups: full-probe best equals driver brute " +
       "force; a planted exact duplicate is flagged even at nprobe=1") {
     val s = spark
