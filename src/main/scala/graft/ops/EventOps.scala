@@ -89,6 +89,35 @@ object EventOps {
       .orderBy("event_type", "next_type")
   }
 
+  /** Per-user sequence anomaly under the first-order Markov model:
+    * each user's average negative log-likelihood of their observed
+    * steps, scored against [[transitionMatrix]]'s row-normalized
+    * probabilities — bots and broken clients walk improbable paths,
+    * so high avg_nll surfaces them without any labeled data. Every
+    * observed step has p > 0 by construction (it contributed to its
+    * own count), so the log never sees zero.
+    *
+    * Scale shape: the matrix is |types|² rows — broadcast to the
+    * step join, so the only shuffles are the user_id window and the
+    * per-user aggregate (both on the same natural key; AQE coalesces
+    * the tiny matrix aggregation). Scoring joins on the sig5-rounded
+    * canon p, keeping the cross-engine replay exact. */
+  def sequenceAnomaly(df: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val steps = df
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsMicros(df).as("us"))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .where(col("next_type").isNotNull)
+    val matrix = transitionMatrix(df)
+      .select("event_type", "next_type", "p")
+    steps.join(broadcast(matrix), Seq("event_type", "next_type"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_steps"),
+        sig5(avg(-log(col("p")))).as("avg_nll"))
+      .orderBy("user_id")
+  }
+
   /** Profile the JSON-ish `props` payload: extract `$.k` and
     * aggregate per event type. Uses a regexp extraction that is
     * expressible identically in the oracle; the library also offers

@@ -773,6 +773,37 @@ object ProfileStore {
           c -> (if (r.isNullAt(i)) Double.NaN else Sig.sig5(r.getDouble(i)))
         }.toMap
       }
+    robustZ(spark, partMeans, cols, zThresh)
+  }
+
+  /** [[metricAnomaly]] over PERSISTED history: the per-snapshot
+    * metric means come straight from the store's sketch state (the
+    * buffer mean is an exact field), so the anomaly dashboard costs
+    * O(snapshots × cols) driver work and ZERO data rescans — the
+    * whole point of persisting state. Identical robust-z arithmetic
+    * to the stateless oracle-checked form (one shared
+    * implementation). */
+  def metricAnomalyFromStore(spark: SparkSession, path: String,
+      cols: Seq[String], zThresh: Double = 3.0): DataFrame = {
+    val ids = spark.read.parquet(s"$path/state")
+      .select("snapshot_id").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    require(ids.nonEmpty, s"no snapshots in $path")
+    val partMeans = ids.map { id =>
+      val bufs = mergedBuffers(spark, path, Some(Seq(id)))
+      id -> cols.map { c =>
+        val b = bufs.getOrElse(c,
+          throw new IllegalArgumentException(
+            s"column $c not profiled in $path"))._3
+        c -> (if (b.n > 0) Sig.sig5(b.mean) else Double.NaN)
+      }.toMap
+    }
+    robustZ(spark, partMeans, cols, zThresh)
+  }
+
+  private def robustZ(spark: SparkSession,
+      partMeans: Seq[(String, Map[String, Double])], cols: Seq[String],
+      zThresh: Double): DataFrame = {
     def medianCont(xs: Seq[Double]): Double = {
       val s = xs.sorted
       val pos = 0.5 * (s.length - 1).toDouble

@@ -470,6 +470,10 @@ object Extensions {
     // |types|² matrix with row-normalized probabilities
     "events_markov" -> ((s, dir) =>
       EventOps.transitionMatrix(t(s, dir, "events"))),
+    // per-user avg negative log-likelihood under the Markov model:
+    // improbable paths (bots, broken clients) score high, label-free
+    "events_seq_anomaly" -> ((s, dir) =>
+      EventOps.sequenceAnomaly(t(s, dir, "events"))),
     "events_props" -> ((s, dir) =>
       EventOps.propsKStats(t(s, dir, "events"))),
     // ---- nested-type profiling ----
@@ -1649,6 +1653,28 @@ object Extensions {
        |${sig("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type)")}
        |  AS p
        |FROM c ORDER BY event_type, next_type""".stripMargin
+
+  /** [[graft.ops.EventOps.sequenceAnomaly]] mirror: same step CTE,
+    * same sig5 transition canon, -ln scored on the canon (a 1-ulp
+    * libm divergence is absorbed by the final sig5 avg). */
+  val eventsSeqAnomalySql: String =
+    s"""WITH x AS (SELECT user_id, event_id, event_type,
+       |  epoch_ns(ts) // 1000 AS us FROM events),
+       |st AS (SELECT user_id, event_type, lead(event_type) OVER (
+       |    PARTITION BY user_id ORDER BY us, event_id) AS next_type
+       |  FROM x),
+       |s2 AS (SELECT user_id, event_type, next_type FROM st
+       |  WHERE next_type IS NOT NULL),
+       |c AS (SELECT event_type, next_type, count(*) AS n FROM s2
+       |  GROUP BY 1, 2),
+       |m AS (SELECT event_type, next_type,
+       |${sig("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type)")}
+       |  AS p FROM c)
+       |SELECT user_id, count(*) AS n_steps,
+       |${sig("avg(-ln(p))")} AS avg_nll
+       |FROM s2 JOIN m ON m.event_type = s2.event_type
+       |  AND m.next_type = s2.next_type
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   val eventsPropsSql: String =
     s"""WITH e AS (SELECT event_type,
@@ -3447,6 +3473,7 @@ val eventsRollupSql: String =
     "events_sliding" -> eventsSlidingSql,
     "events_sessionize" -> eventsSessionizeSql,
     "events_markov" -> eventsMarkovSql,
+    "events_seq_anomaly" -> eventsSeqAnomalySql,
     "events_props" -> eventsPropsSql,
     "array_profile" -> arrayProfileSql,
     "join_revenue_nation" -> joinRevenueNationSql,

@@ -733,6 +733,23 @@ class OpsSpec extends SparkSpec {
       ("B", "C") -> ((1L, 0.5))))
   }
 
+  test("sequenceAnomaly: the rare-path user scores -ln(0.2), the " +
+      "common-path users -ln(0.8)") {
+    val es = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_type", StringType)))
+    val min = 60L * 1000000000L
+    val rows = (1L to 4L).flatMap(u => Seq(
+      Row(u, u * 10, 0L * min, "A"), Row(u, u * 10 + 1, 1L * min, "B")
+    )) ++ Seq(Row(5L, 50L, 0L * min, "A"), Row(5L, 51L, 1L * min, "C"))
+    val ev = spark.createDataFrame(rows.asJava, es)
+    val r = EventOps.sequenceAnomaly(ev).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("avg_nll")).toMap
+    assert(math.abs(r(5L) - (-math.log(0.2))) < 1e-4)
+    assert((1L to 4L).forall(u => math.abs(r(u) - (-math.log(0.8))) < 1e-4))
+    assert(r(5L) > r(1L), "the improbable path must score higher")
+  }
+
   test("propsParsed: schema-on-read from_json extraction") {
     val es = StructType(Seq(StructField("props", StringType)))
     val ev = spark.createDataFrame(Seq(

@@ -430,6 +430,34 @@ class ProfileStoreSpec extends SparkSpec {
     assert(buf.nz === struct.getAs[Long]("nz"))
   }
 
+  test("metricAnomalyFromStore: persisted-state history flags the " +
+      "same day with the same z as the stateless rescan form") {
+    def day(seed: Long, shift: Double) =
+      spark.range(0, 3000).select(
+        (((col("id") * 131 + seed) % 997).cast("double") / 100.0 + shift)
+          .as("x"),
+        (col("id") % 17).cast("double").as("y"))
+    val days = Seq("day=1" -> day(1, 0.0), "day=2" -> day(2, 0.0),
+      "day=3" -> day(3, 0.0), "day=4" -> day(4, 25.0))
+    val path = tmp("pstore_anom")
+    ProfileStore.writeSnapshot(days.head._2, path, days.head._1)
+    days.tail.foreach { case (id, df) =>
+      ProfileStore.appendSnapshot(df, path, id) }
+    val fromStore = ProfileStore
+      .metricAnomalyFromStore(spark, path, Seq("x", "y")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("z"), r.getAs[Long]("anomalous"))).toMap
+    val stateless = ProfileStore
+      .metricAnomaly(days, Seq("x", "y")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("z"), r.getAs[Long]("anomalous"))).toMap
+    assert(fromStore == stateless,
+      "state-derived metrics must reproduce the rescan z exactly")
+    assert(fromStore(("day=4", "x"))._2 == 1L)
+    assert(fromStore(("day=4", "y"))._2 == 0L,
+      "the unshifted column must stay clean on the shifted day")
+  }
+
   test("metricAnomaly: only the shifted snapshot is flagged; a " +
       "constant history yields z=null / anomalous=0, never ±inf") {
     def day(seed: Long, shift: Double) =
