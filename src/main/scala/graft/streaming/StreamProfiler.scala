@@ -24,6 +24,17 @@ case class AsofOut(event_id: Long, user_id: Long, us: Long,
     matched_event_id: Option[Long], matched_us: Option[Long],
     gap_us: Option[Long], matched_value: Option[Double])
 
+/** Last event seen per user, carried between micro-batches by
+  * [[StreamProfiler.stepStream]]. */
+case class StepState(us: Long, eid: Long, tpe: String)
+
+/** One Markov step — same (event_type, next_type) contract as the
+  * batch [[graft.ops.EventOps.transitionMatrix]] step derivation;
+  * `us` is the timestamp of the step's SECOND event (the moment the
+  * transition became observable). */
+case class StepOut(user_id: Long, event_type: String,
+    next_type: String, us: Long)
+
 /** Continuous profiling over event-time streams — the reference is
   * batch-only (SURVEY.md §2.2: streaming absent); this is the
   * Spark-native extension mapping the same per-column statistics onto
@@ -174,6 +185,52 @@ object StreamProfiler {
             }
             out.iterator
           }
+      }.toDF()
+  }
+
+  /** Markov step extraction at ingest — the streaming twin of the
+    * step derivation inside [[graft.ops.EventOps.transitionMatrix]]
+    * and [[graft.ops.EventOps.sequenceAnomaly]]: per user, every
+    * consecutive (event_type → next_type) step, ACROSS micro-batch
+    * boundaries, via one tiny last-event record per user (a lead()
+    * window cannot run on an unbounded stream; the state here is
+    * exactly the carry it would need). Within a micro-batch rows
+    * process in (us, event_id) order — the batch tie-break; across
+    * batches steps follow arrival order, so an event arriving after
+    * a later one was already absorbed yields steps in arrival order
+    * (the sessionizeStream caveat — the batch operator is the
+    * audit/backfill path; in-order feeds reproduce it exactly,
+    * asserted in StreamingSpec). Downstream, `groupBy(window(...),
+    * event_type, next_type).count` over this stream is live
+    * transition-mix monitoring with the same counts the batch matrix
+    * aggregates; `us` is the step's second event (when the
+    * transition became observable). */
+  def stepStream(events: DataFrame, tsCol: String = "ts",
+      userCol: String = "user_id", watermark: String = "10 minutes")
+      : DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prepared = events
+      .withColumn("__ts", eventTime(events, tsCol))
+      .withWatermark("__ts", watermark)
+      .select(col(userCol).cast("long").as("user_id"),
+        col("event_id").cast("long").as("eid"),
+        col("event_type").as("tpe"),
+        unix_micros(col("__ts")).as("us"), col("__ts"))
+      .as[(Long, Long, String, Long, java.sql.Timestamp)]
+    prepared.groupByKey(_._1)
+      .flatMapGroupsWithState[StepState, StepOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val sorted = rows.toSeq.sortBy(r => (r._4, r._2))
+          val out = scala.collection.mutable.Buffer.empty[StepOut]
+          var cur = state.getOption
+          for (r <- sorted) {
+            cur.foreach(p => out += StepOut(user, p.tpe, r._3, r._4))
+            cur = Some(StepState(r._4, r._2, r._3))
+          }
+          cur.foreach(state.update)
+          out.iterator
       }.toDF()
   }
 

@@ -558,4 +558,43 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("stepStream: cross-batch steps come from per-user state; " +
+      "in-order feed reproduces the batch transition counts") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SideEv]
+    val q = StreamProfiler.stepStream(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("steps")
+      .outputMode("append").start()
+    val evs = Seq(
+      SideEv(t(60), 1L, 1L, "A", 0.0), SideEv(t(61), 1L, 2L, "B", 0.0),
+      SideEv(t(62), 2L, 3L, "A", 0.0),
+      // batch 2: user 1 continues with C — the cross-batch step B→C
+      // only exists if the last-event state survived the boundary
+      SideEv(t(70), 1L, 4L, "C", 0.0), SideEv(t(71), 2L, 5L, "A", 0.0))
+    try {
+      mem.addData(evs(0), evs(1), evs(2))
+      q.processAllAvailable()
+      mem.addData(evs(3), evs(4))
+      q.processAllAvailable()
+      val out = spark.table("steps")
+        .select("user_id", "event_type", "next_type", "us").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSet
+      val min = 60000000L // µs
+      assert(out == Set(
+        (1L, "A", "B", 61L * min), (1L, "B", "C", 70L * min),
+        (2L, "A", "A", 71L * min)))
+      // the stream's grouped step counts equal the batch matrix's n
+      val streamCounts = out.toSeq
+        .groupBy(s => (s._2, s._3)).map { case (k, v) => k -> v.size }
+      val batch = graft.ops.EventOps.transitionMatrix(evs.toDF())
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          r.getAs[Long]("n").toInt).toMap
+      assert(streamCounts == batch)
+    } finally q.stop()
+  }
 }
