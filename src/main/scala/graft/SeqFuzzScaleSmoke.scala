@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.EventOps
+
+/** Dev utility: scale measurements for the round-10 sequence and
+  * fuzzy-dedup additions.
+  *
+  * `markov` phase — [[graft.ops.EventOps.transitionMatrix]] and
+  * [[graft.ops.EventOps.sequenceAnomaly]] over `rows` generated
+  * events (default 100M across 2M users, 8 event types): the cost is
+  * ONE user_id window shuffle (plus a second for the anomaly's
+  * scoring join input); the matrix aggregate itself is |types|² and
+  * free at any corpus size.
+  *
+  * `fuzzy` phase — the Levenshtein VERIFY stage of
+  * [[graft.ops.Dedup.fuzzyPairs]] in isolation: `pairs` candidate
+  * pairs (default 100k) of ~330-char near-identical texts. The DP is
+  * O(L²) per pair (~10⁵ cells here), so verify cost is
+  * pairs × L² — the measurement that justifies the LOW-threshold
+  * Jaccard blocker: candidates, not corpus size, drive the bill.
+  *
+  * Usage: `graft.SeqFuzzScaleSmoke [rows] [pairs] [phases]`
+  * (phases CSV from `markov,fuzzy`). The incremental-semantic-dedup
+  * probe join is NOT re-measured here: its plan is the ivfTopK probe
+  * shape already measured at 2M vectors (BASELINE.md round-9). */
+object SeqFuzzScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toLong else 100000000L
+    val pairs = if (args.length > 1) args(1).toLong else 100000L
+    val phases = (if (args.length > 2) args(2) else "markov,fuzzy")
+      .split(",").toSet
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[seqfuzz-smoke] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    if (phases("markov")) {
+      val users = math.max(1L, rows / 50L) // ~50 events per user
+      val ev = spark.range(rows).select(
+        col("id").as("event_id"),
+        pmod(xxhash64(col("id")), lit(users)).as("user_id"),
+        // LongType ns timestamps (the parquet-nanos path); scramble
+        // so per-user sequences are not physically clustered
+        (pmod(xxhash64(col("id"), lit(1)), lit(rows)) * 1000000L)
+          .as("ts"),
+        concat(lit("t"), pmod(xxhash64(col("id"), lit(2)), lit(8L)))
+          .as("event_type"))
+        .transform(graft.ops.Materialize.materialize)
+      val m = timed(s"transitionMatrix over $rows events / $users users") {
+        EventOps.transitionMatrix(ev).count()
+      }
+      println(s"[seqfuzz-smoke]   matrix rows = $m")
+      val a = timed(s"sequenceAnomaly same corpus") {
+        EventOps.sequenceAnomaly(ev).count()
+      }
+      println(s"[seqfuzz-smoke]   scored users = $a")
+    }
+
+    if (phases("fuzzy")) {
+      val cand = spark.range(pairs).select(
+        repeat(concat(lit("word"), pmod(col("id"), lit(1000L)),
+          lit(" quick brown fox jumps over ")), 10).as("ta"))
+        .select(col("ta"),
+          concat(substring(col("ta"), 1, 150), lit("X"),
+            substring(col("ta"), 152, 100000)).as("tb"))
+        .transform(graft.ops.Materialize.materialize)
+      val d = timed(s"levenshtein verify on $pairs ~330-char pairs") {
+        cand.select(sum(levenshtein(col("ta"), col("tb"))))
+          .first().getLong(0)
+      }
+      println(s"[seqfuzz-smoke]   total distance = $d (expect = pairs)")
+    }
+
+    spark.stop()
+  }
+}
