@@ -89,6 +89,63 @@ object EventOps {
       .orderBy("event_type", "next_type")
   }
 
+  /** Transition-mix drift: did BEHAVIOR change between the early and
+    * late halves of the stream? Steps (same per-user lead derivation
+    * as [[transitionMatrix]]) are assigned to halves by the step's
+    * second-event time against the integer midpoint of the observed
+    * step-time range; each half gets its own row-normalized
+    * transition distribution, and per event_type the total-variation
+    * distance 0.5·Σ|p_a − p_b| over the full-outer next_type support
+    * says how far that type's outgoing behavior moved. A type with
+    * no steps in one half gets NULL (TVD against nothing is
+    * undefined, not 0.5). Complements drift_psi (value distributions)
+    * with sequence-behavior drift.
+    *
+    * Scale shape: the one user_id window pass, a (half, type, next)
+    * aggregate of ≤ 2·|types|² rows, and tiny-side joins/windows
+    * after that — same bill as [[transitionMatrix]] at any corpus
+    * size. The midpoint is two driver-collected longs (the histogram
+    * bounds precedent). */
+  def transitionDrift(df: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val steps0 = df
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsMicros(df).as("us"))
+      .withColumn("next_type", lead("event_type", 1).over(byUser))
+      .withColumn("next_us", lead("us", 1).over(byUser))
+      .where(col("next_type").isNotNull)
+      .select("event_type", "next_type", "next_us")
+    val mm = steps0.agg(min("next_us"), max("next_us")).first()
+    if (mm.isNullAt(0))
+      return steps0.sparkSession.emptyDataFrame
+        .select(lit("").as("event_type"), lit(0L).as("n_a"),
+          lit(0L).as("n_b"), lit(0.0).as("tvd")).limit(0)
+    val mid = (mm.getLong(0) + mm.getLong(1)) / 2L
+    val byHT = Window.partitionBy("half", "event_type")
+    val probs = steps0
+      .withColumn("half", when(col("next_us") <= mid, "a").otherwise("b"))
+      .groupBy("half", "event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") / sum("n").over(byHT))
+    val a = probs.where(col("half") === "a")
+      .select(col("event_type"), col("next_type"),
+        col("p").as("pa"), col("n").as("na"))
+    val b = probs.where(col("half") === "b")
+      .select(col("event_type"), col("next_type"),
+        col("p").as("pb"), col("n").as("nb"))
+    a.join(b, Seq("event_type", "next_type"), "full_outer")
+      .groupBy("event_type")
+      .agg(coalesce(sum("na"), lit(0L)).as("n_a"),
+        coalesce(sum("nb"), lit(0L)).as("n_b"),
+        sig5(lit(0.5) *
+          sum(abs(coalesce(col("pa"), lit(0.0)) -
+            coalesce(col("pb"), lit(0.0))))).as("tvd_raw"))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, col("tvd_raw"))
+          .as("tvd"))
+      .orderBy("event_type")
+  }
+
   /** Per-user sequence anomaly under the first-order Markov model:
     * each user's average negative log-likelihood of their observed
     * steps, scored against [[transitionMatrix]]'s row-normalized

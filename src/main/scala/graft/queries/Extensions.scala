@@ -474,6 +474,10 @@ object Extensions {
     // improbable paths (bots, broken clients) score high, label-free
     "events_seq_anomaly" -> ((s, dir) =>
       EventOps.sequenceAnomaly(t(s, dir, "events"))),
+    // sequence-behavior drift: per-type TVD between the early- and
+    // late-half transition distributions
+    "events_markov_drift" -> ((s, dir) =>
+      EventOps.transitionDrift(t(s, dir, "events"))),
     "events_props" -> ((s, dir) =>
       EventOps.propsKStats(t(s, dir, "events"))),
     // ---- nested-type profiling ----
@@ -1675,6 +1679,41 @@ object Extensions {
        |FROM s2 JOIN m ON m.event_type = s2.event_type
        |  AND m.next_type = s2.next_type
        |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** [[graft.ops.EventOps.transitionDrift]] mirror: same step CTE,
+    * integer midpoint split (positive epochs — floor ≡ truncate),
+    * per-half raw-division p canon, full-outer support union, sig5
+    * on the TVD sum only; the one-half-empty NULL guard replayed. */
+  val eventsMarkovDriftSql: String =
+    s"""WITH x AS (SELECT user_id, event_id, event_type,
+       |  epoch_ns(ts) // 1000 AS us FROM events),
+       |st AS (SELECT event_type,
+       |    lead(event_type) OVER w AS next_type,
+       |    lead(us) OVER w AS next_us
+       |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |s2 AS (SELECT event_type, next_type, next_us FROM st
+       |  WHERE next_type IS NOT NULL),
+       |md AS (SELECT (min(next_us) + max(next_us)) // 2 AS mid FROM s2),
+       |c AS (SELECT CASE WHEN next_us <= (SELECT mid FROM md)
+       |    THEN 'a' ELSE 'b' END AS half,
+       |    event_type, next_type, count(*) AS n
+       |  FROM s2 GROUP BY 1, 2, 3),
+       |pp AS (SELECT half, event_type, next_type, n,
+       |    CAST(n AS DOUBLE) /
+       |      sum(n) OVER (PARTITION BY half, event_type) AS p FROM c),
+       |j AS (SELECT coalesce(a.event_type, b.event_type) AS event_type,
+       |    a.p AS pa, b.p AS pb, a.n AS na, b.n AS nb
+       |  FROM (SELECT * FROM pp WHERE half = 'a') a
+       |  FULL JOIN (SELECT * FROM pp WHERE half = 'b') b
+       |    ON b.event_type = a.event_type
+       |    AND b.next_type = a.next_type)
+       |SELECT event_type,
+       |CAST(coalesce(sum(na), 0) AS BIGINT) AS n_a,
+       |CAST(coalesce(sum(nb), 0) AS BIGINT) AS n_b,
+       |CASE WHEN coalesce(sum(na), 0) > 0 AND coalesce(sum(nb), 0) > 0
+       |  THEN ${sig("0.5 * sum(abs(coalesce(pa, 0) - coalesce(pb, 0)))")}
+       |  ELSE NULL END AS tvd
+       |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val eventsPropsSql: String =
     s"""WITH e AS (SELECT event_type,
@@ -3474,6 +3513,7 @@ val eventsRollupSql: String =
     "events_sessionize" -> eventsSessionizeSql,
     "events_markov" -> eventsMarkovSql,
     "events_seq_anomaly" -> eventsSeqAnomalySql,
+    "events_markov_drift" -> eventsMarkovDriftSql,
     "events_props" -> eventsPropsSql,
     "array_profile" -> arrayProfileSql,
     "join_revenue_nation" -> joinRevenueNationSql,

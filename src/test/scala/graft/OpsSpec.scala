@@ -750,6 +750,38 @@ class OpsSpec extends SparkSpec {
     assert(r(5L) > r(1L), "the improbable path must score higher")
   }
 
+  test("transitionDrift: a flipped next-type distribution scores " +
+      "TVD 1, stable behavior 0, one-half-empty types NULL") {
+    val es = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_type", StringType)))
+    val min = 60L * 1000000000L
+    def ev(u: Long, e: Long, m: Long, t: String) = Row(u, e, m * min, t)
+    val rows = Seq(
+      // early half: users 1,2 do A→B; late half: users 3,4 do A→C
+      ev(1, 1, 10, "A"), ev(1, 2, 11, "B"),
+      ev(2, 3, 20, "A"), ev(2, 4, 21, "B"),
+      ev(3, 5, 2010, "A"), ev(3, 6, 2011, "C"),
+      ev(4, 7, 2020, "A"), ev(4, 8, 2021, "C"),
+      // stable: D→D in both halves
+      ev(5, 9, 30, "D"), ev(5, 10, 31, "D"),
+      ev(6, 11, 2030, "D"), ev(6, 12, 2031, "D"),
+      // early-only: E→F, no late E steps
+      ev(7, 13, 40, "E"), ev(7, 14, 41, "F"))
+    val r = EventOps.transitionDrift(
+        spark.createDataFrame(rows.asJava, es)).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) null else Double.box(x.getDouble(3))))
+      .toMap
+    assert(r("A") == ((2L, 2L, Double.box(1.0))),
+      "disjoint next distributions = TVD 1")
+    assert(r("D") == ((1L, 1L, Double.box(0.0))))
+    assert(r("E")._3 == null, "TVD against an empty half is undefined")
+    assert(!r.contains("B") && !r.contains("C") && !r.contains("F"),
+      "types with no outgoing steps don't appear")
+  }
+
   test("propsParsed: schema-on-read from_json extraction") {
     val es = StructType(Seq(StructField("props", StringType)))
     val ev = spark.createDataFrame(Seq(
