@@ -355,6 +355,81 @@ object TextStats {
       .orderBy("lang")
   }
 
+  /** Collocation discovery: the top-k word bigrams by occurrence
+    * count with their pointwise mutual information
+    * PMI = ln( p(ab) / (p(a)·p(b)) ) — how much more often the pair
+    * occurs than its unigram frequencies predict. High-count
+    * high-PMI bigrams are multiword units ("machine learning");
+    * high-count LOW-PMI bigrams are chance collisions of two
+    * stopwords — the statistic that separates them. `minCount`
+    * floors the estimate (PMI of a count-1 pair is noise).
+    *
+    * Scale shape: two corpus passes (unigram and bigram hash aggs —
+    * the bigram explode is the cost, same as the shingle family);
+    * the head is orderBy+limit (TakeOrderedAndProject heaps), rank
+    * stamped after the limit; unigram counts join against the ≤topK
+    * head rows (broadcast), totals are 1-row broadcast crossjoins.
+    * Nothing unbounded crosses one partition. */
+  def pmiBigrams(df: DataFrame, textCol: String, topK: Int = 20,
+      minCount: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = df.where(col(textCol).isNotNull)
+      .select(tokens(col(textCol)).as("w"))
+    val uc = d.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val nu = uc.agg(sum("c").cast("double").as("nu"))
+    val bc = d.select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val nb = bc.agg(sum("cab").cast("double").as("nb"))
+    val top = bc.where(col("cab") >= minCount)
+      .orderBy(col("cab").desc, col("a"), col("b")).limit(topK)
+    top
+      .join(uc.select(col("tok").as("a"), col("c").as("ca")), Seq("a"))
+      .join(uc.select(col("tok").as("b"), col("c").as("cb")), Seq("b"))
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("cab").desc, col("a"), col("b")))
+        .cast("long"))
+      .select(col("rnk"), col("a").as("token_a"), col("b").as("token_b"),
+        col("cab").as("cnt"),
+        sig5(log((col("cab") / col("nb")) /
+          ((col("ca") / col("nu")) * (col("cb") / col("nu")))))
+          .as("pmi"))
+      .orderBy("rnk")
+  }
+
+  /** Zipf rank-frequency fit: the least-squares slope of
+    * ln(count) ~ ln(rank) over the top-`topK` vocabulary — natural
+    * language sits near slope −1; a synthetic or template-heavy
+    * corpus reads much flatter or much steeper, making this a
+    * one-number corpus-naturalness gauge (with r² saying how
+    * line-like the fit is at all). Ranks use the vocab family's
+    * deterministic (count desc, token) ordering.
+    *
+    * Scale shape: the one (token → count) hash aggregation, a
+    * TakeOrderedAndProject head, then regr_* over ≤ topK rows. */
+  def zipfFit(df: DataFrame, textCol: String, topK: Int = 50)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(topK)
+    top
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("token"))))
+      .select(log(col("rnk").cast("double")).as("lx"),
+        log(col("cnt").cast("double")).as("ly"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sig5(expr("regr_slope(ly, lx)")).as("slope"),
+        sig5(expr("regr_intercept(ly, lx)")).as("intercept"),
+        sig5(expr("regr_r2(ly, lx)")).as("r2"))
+  }
+
   def vocab(df: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df

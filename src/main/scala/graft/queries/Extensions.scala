@@ -498,6 +498,15 @@ object Extensions {
     // ---- round 5: corpus-scale sketches & span dedup ----
     "text_vocab" -> ((s, dir) =>
       TextStats.vocab(t(s, dir, "documents"), "text", topK = 20)),
+    // collocations: top bigrams by count with PMI (multiword units
+    // vs stopword collisions)
+    "text_pmi" -> ((s, dir) =>
+      TextStats.pmiBigrams(t(s, dir, "documents"), "text",
+        topK = 20, minCount = 5L)),
+    // Zipf slope of the top-50 vocabulary: corpus naturalness in one
+    // number (natural language ≈ −1)
+    "text_zipf" -> ((s, dir) =>
+      TextStats.zipfFit(t(s, dir, "documents"), "text", topK = 50)),
     // encoding-health gate: replacement/control/mojibake counts +
     // non-ASCII ratio per language (mojibake via LITERAL substring
     // counting — no regex-dialect risk between engines)
@@ -2667,6 +2676,51 @@ val eventsRollupSql: String =
        |${sig("cnt / n_total")} AS share, n_vocab
        |FROM r, tot WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 
+  /** [[graft.ops.TextStats.pmiBigrams]] mirror: bigram occurrences
+    * via list_transform over the split tokens (the shingle pattern
+    * without per-doc dedup — PMI is an occurrence statistic), the
+    * same (cnt desc, a, b) head, PMI on exact counts with identical
+    * parenthesization. */
+  val textPmiSql: String =
+    s"""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents
+       |  WHERE text IS NOT NULL),
+       |uc AS (SELECT tok, count(*) AS c FROM
+       |  (SELECT unnest(w) AS tok FROM d) GROUP BY tok),
+       |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM uc),
+       |bc AS (SELECT split_part(bg, ' ', 1) AS a,
+       |    split_part(bg, ' ', 2) AS b, count(*) AS cab FROM
+       |  (SELECT unnest(list_transform(range(1, len(w)),
+       |     i -> w[i] || ' ' || w[i + 1])) AS bg FROM d)
+       |  GROUP BY 1, 2),
+       |nb AS (SELECT CAST(sum(cab) AS DOUBLE) AS nb FROM bc),
+       |top AS (SELECT a, b, cab,
+       |    row_number() OVER (ORDER BY cab DESC, a, b) AS rnk
+       |  FROM bc WHERE cab >= 5)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, a AS token_a, b AS token_b,
+       |cab AS cnt,
+       |${sig("ln((cab / nb.nb) / ((ua.c / nu.nu) * (ub.c / nu.nu)))")}
+       |  AS pmi
+       |FROM top JOIN uc ua ON ua.tok = top.a
+       |JOIN uc ub ON ub.tok = top.b, nu, nb
+       |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
+  /** [[graft.ops.TextStats.zipfFit]] mirror: same deterministic
+    * vocabulary head, same ln transforms, regr_* over ≤ topK rows
+    * (least-squares accumulation-order noise absorbed by sig5). */
+  val textZipfSql: String =
+    s"""WITH c AS (SELECT token, count(*) AS cnt FROM
+       |  (SELECT unnest(string_split(text, ' ')) AS token
+       |   FROM documents) GROUP BY token),
+       |r AS (SELECT cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM c),
+       |l AS (SELECT ln(CAST(rnk AS DOUBLE)) AS lx,
+       |    ln(CAST(cnt AS DOUBLE)) AS ly FROM r WHERE rnk <= 50)
+       |SELECT count(*) AS n_tokens,
+       |${sig("regr_slope(ly, lx)")} AS slope,
+       |${sig("regr_intercept(ly, lx)")} AS intercept,
+       |${sig("regr_r2(ly, lx)")} AS r2
+       |FROM l""".stripMargin
+
   /** Long-form per-group stats via one UNION ALL branch per column —
     * mirrors Stats.grouped's cast-to-double + sig5 contract. */
   val numGroupedSql: String = {
@@ -3443,6 +3497,8 @@ val eventsRollupSql: String =
     "text_bpe_train" -> textBpeTrainSql,
     "text_encoding" -> textEncodingSql,
     "text_vocab" -> textVocabSql,
+    "text_pmi" -> textPmiSql,
+    "text_zipf" -> textZipfSql,
     "text_boilerplate" -> textBoilerplateSql,
     "num_grouped" -> numGroupedSql,
     "cat_heavy_hitters" -> catHeavyHittersSql,

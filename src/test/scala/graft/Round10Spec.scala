@@ -506,4 +506,44 @@ class Round10Spec extends SparkSpec {
     assert(np1.getLong(0) == 9999L && np1.getLong(3) == 1L &&
       np1.getLong(1) == 42L)
   }
+
+  test("pmiBigrams: an always-together pair scores high PMI, an " +
+      "independent stopword collision scores near zero") {
+    val s = spark
+    import s.implicits._
+    // "new york" occurs only together (20×); "the" and "a" are both
+    // frequent (50× each) but adjacent only 5 times — roughly the
+    // rate unigram independence predicts, PMI ≈ ln(0.70) ≈ −0.35
+    val docs = ((0 until 20).map(i => s"new york city$i") ++
+      (0 until 5).map(i => s"the a p$i") ++
+      (0 until 45).map(i => s"the q$i r$i a"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val r = TextStats.pmiBigrams(docs, "text", topK = 10, minCount = 5)
+      .collect()
+      .map(x => (x.getString(1), x.getString(2)) -> x.getDouble(4))
+      .toMap
+    assert(r(("new", "york")) > 1.5,
+      "an exclusive pair must beat unigram-independence by a lot")
+    assert(math.abs(r(("the", "a"))) < 0.7,
+      "a chance collision of two frequent tokens sits near 0")
+    assert(r(("new", "york")) > r(("the", "a")) + 1.0)
+  }
+
+  test("zipfFit: an exact power-law vocabulary fits slope ≈ -1 with " +
+      "high r²") {
+    val s = spark
+    import s.implicits._
+    // token t_r appears round(720/r) times: counts 720, 360, 240, …
+    val words = (1 to 20).flatMap(r =>
+      Seq.fill(math.round(720.0 / r).toInt)(s"t${('a' + r).toChar}$r"))
+    val docs = words.grouped(50).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val row = TextStats.zipfFit(docs, "text", topK = 20).collect().head
+    assert(row.getLong(0) == 20L)
+    val slope = row.getDouble(1)
+    assert(slope > -1.1 && slope < -0.9, s"slope $slope should be ≈ -1")
+    assert(row.getDouble(3) > 0.99, "an exact power law is a line")
+  }
 }
