@@ -89,6 +89,40 @@ object EventOps {
       .orderBy("event_type", "next_type")
   }
 
+  /** Top user journeys: the most common 3-step event-type paths
+    * (two chained leads over the per-user order) with counts and
+    * corpus share — the product-analytics "what do users actually
+    * do" view that a funnel only answers for one predeclared path.
+    *
+    * Scale shape: the same single user_id window pass (both leads
+    * share one window frame), a (t1,t2,t3) hash aggregate whose key
+    * space is |types|³, and the head via orderBy+limit
+    * (TakeOrderedAndProject) with rank stamped after the limit —
+    * nothing unbounded crosses one partition. */
+  def topPaths(df: DataFrame, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val paths = df
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsMicros(df).as("us"))
+      .withColumn("t2", lead("event_type", 1).over(byUser))
+      .withColumn("t3", lead("event_type", 2).over(byUser))
+      .where(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = paths.agg(sum("cnt").cast("double").as("n_paths"))
+    val top = paths
+      .orderBy(col("cnt").desc, col("t1"), col("t2"), col("t3"))
+      .limit(topK)
+    top.crossJoin(broadcast(total))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("t1"), col("t2"),
+          col("t3"))).cast("long"))
+      .select(col("rnk"), col("t1"), col("t2"), col("t3"), col("cnt"),
+        sig5(col("cnt") / col("n_paths")).as("share"))
+      .orderBy("rnk")
+  }
+
   /** Transition-mix drift: did BEHAVIOR change between the early and
     * late halves of the stream? Steps (same per-user lead derivation
     * as [[transitionMatrix]]) are assigned to halves by the step's

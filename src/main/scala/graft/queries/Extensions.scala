@@ -478,6 +478,9 @@ object Extensions {
     // late-half transition distributions
     "events_markov_drift" -> ((s, dir) =>
       EventOps.transitionDrift(t(s, dir, "events"))),
+    // top user journeys: most common 3-step paths with corpus share
+    "events_paths" -> ((s, dir) =>
+      EventOps.topPaths(t(s, dir, "events"), topK = 20)),
     "events_props" -> ((s, dir) =>
       EventOps.propsKStats(t(s, dir, "events"))),
     // ---- nested-type profiling ----
@@ -1723,6 +1726,26 @@ object Extensions {
        |  THEN ${sig("0.5 * sum(abs(coalesce(pa, 0) - coalesce(pb, 0)))")}
        |  ELSE NULL END AS tvd
        |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** [[graft.ops.EventOps.topPaths]] mirror: two chained leads over
+    * the same window, the |types|³ aggregate, deterministic
+    * (cnt desc, t1, t2, t3) head, share on the exact totals. */
+  val eventsPathsSql: String =
+    s"""WITH x AS (SELECT user_id, event_id, event_type,
+       |  epoch_ns(ts) // 1000 AS us FROM events),
+       |st AS (SELECT event_type AS t1,
+       |    lead(event_type, 1) OVER w AS t2,
+       |    lead(event_type, 2) OVER w AS t3
+       |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |c AS (SELECT t1, t2, t3, count(*) AS cnt FROM st
+       |  WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3),
+       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_paths FROM c),
+       |r AS (SELECT t1, t2, t3, cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, t1, t2, t3) AS rnk
+       |  FROM c)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, t1, t2, t3, cnt,
+       |${sig("cnt / n_paths")} AS share
+       |FROM r, tot WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 
   val eventsPropsSql: String =
     s"""WITH e AS (SELECT event_type,
@@ -3570,6 +3593,7 @@ val eventsRollupSql: String =
     "events_markov" -> eventsMarkovSql,
     "events_seq_anomaly" -> eventsSeqAnomalySql,
     "events_markov_drift" -> eventsMarkovDriftSql,
+    "events_paths" -> eventsPathsSql,
     "events_props" -> eventsPropsSql,
     "array_profile" -> arrayProfileSql,
     "join_revenue_nation" -> joinRevenueNationSql,

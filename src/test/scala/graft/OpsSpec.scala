@@ -782,6 +782,27 @@ class OpsSpec extends SparkSpec {
       "types with no outgoing steps don't appear")
   }
 
+  test("topPaths: chained leads count per-user 3-step journeys with " +
+      "deterministic head and exact shares") {
+    val es = StructType(Seq(StructField("user_id", LongType),
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_type", StringType)))
+    val min = 60L * 1000000000L
+    val rows = Seq(
+      Row(1L, 1L, 1L * min, "A"), Row(1L, 2L, 2L * min, "B"),
+      Row(1L, 3L, 3L * min, "C"), Row(1L, 4L, 4L * min, "D"),
+      Row(2L, 5L, 1L * min, "A"), Row(2L, 6L, 2L * min, "B"),
+      Row(2L, 7L, 3L * min, "C"))
+    val r = EventOps.topPaths(
+        spark.createDataFrame(rows.asJava, es), topK = 5).collect()
+    assert(r.length == 2)
+    assert((r(0).getString(1), r(0).getString(2), r(0).getString(3),
+      r(0).getLong(4)) == (("A", "B", "C", 2L)))
+    assert((r(1).getString(1), r(1).getString(2), r(1).getString(3),
+      r(1).getLong(4)) == (("B", "C", "D", 1L)))
+    assert(math.abs(r(0).getAs[Double]("share") - 2.0 / 3.0) < 1e-4)
+  }
+
   test("propsParsed: schema-on-read from_json extraction") {
     val es = StructType(Seq(StructField("props", StringType)))
     val ev = spark.createDataFrame(Seq(
