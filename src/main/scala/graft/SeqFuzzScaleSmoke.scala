@@ -80,6 +80,14 @@ object SeqFuzzScaleSmoke {
           .first().getLong(0)
       }
       println(s"[seqfuzz-smoke]   total distance = $d (expect = pairs)")
+      // banded DP with the fuzzyPairs cap (0.05 × 330 ≈ 17): O(L·cap)
+      // per pair instead of O(L²) — the production verify form
+      val dCap = timed(s"levenshtein banded verify (cap=17) same pairs") {
+        cand.select(sum(greatest(
+            levenshtein(col("ta"), col("tb"), 17), lit(0))))
+          .first().getLong(0)
+      }
+      println(s"[seqfuzz-smoke]   banded total = $dCap (expect = pairs)")
     }
 
     spark.stop()

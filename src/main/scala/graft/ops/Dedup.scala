@@ -828,23 +828,46 @@ object Dedup {
     * verify parity or normalize first. */
   def fuzzyPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, blockJaccard: Double = 0.3, maxNormDist: Double = 0.05,
-      maxDf: Option[Long] = None): DataFrame = {
+      maxDf: Option[Long] = None, maxDistCap: Option[Int] = None)
+      : DataFrame = {
     val cand = ngramJaccardPairs(df, idCol, textCol, n, blockJaccard,
       maxDf).select("id_a", "id_b")
     val txt = df.select(col(idCol).as("id"), col(textCol).as("txt"))
     val ratio = col("edit_dist").cast("double") /
       greatest(length(col("ta")), length(col("tb"))).cast("double")
+    // with a cap, Spark's banded DP abandons early and returns −1 for
+    // over-cap pairs: O(L·cap) instead of O(L²) per pair. The kept
+    // set is unchanged IFF cap ≥ maxNormDist · longest-text (any pair
+    // the band abandons would have failed the ratio filter anyway) —
+    // [[fuzzyCap]] computes exactly that bound; the −1 sentinel must
+    // be filtered BEFORE the ratio test (−1/len passes any positive
+    // threshold).
+    val dist = maxDistCap match {
+      case Some(cap) => levenshtein(col("ta"), col("tb"), cap)
+      case None => levenshtein(col("ta"), col("tb"))
+    }
     cand
       .join(txt.select(col("id").as("id_a"), col("txt").as("ta")),
         Seq("id_a"))
       .join(txt.select(col("id").as("id_b"), col("txt").as("tb")),
         Seq("id_b"))
-      .withColumn("edit_dist",
-        levenshtein(col("ta"), col("tb")).cast("long"))
-      .where(ratio <= maxNormDist)
+      .withColumn("edit_dist", dist.cast("long"))
+      .where(col("edit_dist") >= 0L && ratio <= maxNormDist)
       .select(col("id_a"), col("id_b"), col("edit_dist"),
         graft.det.Sig.sig5(ratio).as("norm_dist"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** The tight banded-DP cap for [[fuzzyPairs]]: the largest distance
+    * any pair could carry and still pass the `maxNormDist` filter —
+    * ⌈maxNormDist · longest-text⌉ (one cheap max() scan, the
+    * histogram bounds precedent). Using this cap makes the banded
+    * form EXACTLY equivalent to the unbanded one. */
+  def fuzzyCap(df: DataFrame, textCol: String, maxNormDist: Double)
+      : Int = {
+    val mx = df.agg(max(length(col(textCol)))).first()
+    if (mx.isNullAt(0)) 0
+    else math.ceil(maxNormDist * mx.getInt(0).toDouble).toInt
   }
 
   /** Incremental semantic dedup — the daily-crawl shape of the

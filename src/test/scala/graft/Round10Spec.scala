@@ -449,6 +449,15 @@ class Round10Spec extends SparkSpec {
       r.getLong(0) == 1L && r.getLong(1) == 2L).get
     assert(typoRow.getLong(2) == 1L, "one substitution = distance 1")
     assert(typoRow.getDouble(3) > 0.0 && typoRow.getDouble(3) < 0.01)
+    // the banded form with the tight fuzzyCap is row-for-row equal:
+    // any pair the band abandons (−1) would have failed the ratio
+    // filter anyway
+    val cap = Dedup.fuzzyCap(docs, "text", 0.05)
+    assert(cap >= 1, "cap must allow the typo pair")
+    val banded = Dedup.fuzzyPairs(docs, "doc_id", "text",
+      n = 3, blockJaccard = 0.3, maxNormDist = 0.05,
+      maxDistCap = Some(cap)).collect()
+    assert(banded.map(_.toSeq).toSeq == out.map(_.toSeq).toSeq)
   }
 
   test("incrementalSemanticDups: full-probe best equals driver brute " +
