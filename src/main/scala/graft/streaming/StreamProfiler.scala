@@ -28,6 +28,17 @@ case class AsofOut(event_id: Long, user_id: Long, us: Long,
   * [[StreamProfiler.stepStream]]. */
 case class StepState(us: Long, eid: Long, tpe: String)
 
+/** Last TWO events per user, carried between micro-batches by
+  * [[StreamProfiler.pathStream]] (prev2 empty until the user has
+  * two events). */
+case class PathState(us1: Long, eid1: Long, t1: String,
+    us2: Long, eid2: Long, t2: String, hasTwo: Boolean)
+
+/** One 3-step journey — the [[graft.ops.EventOps.topPaths]] path
+  * contract; `us` is the third event's time. */
+case class PathOut(user_id: Long, t1: String, t2: String, t3: String,
+    us: Long)
+
 /** One Markov step — same (event_type, next_type) contract as the
   * batch [[graft.ops.EventOps.transitionMatrix]] step derivation;
   * `us` is the timestamp of the step's SECOND event (the moment the
@@ -228,6 +239,52 @@ object StreamProfiler {
           for (r <- sorted) {
             cur.foreach(p => out += StepOut(user, p.tpe, r._3, r._4))
             cur = Some(StepState(r._4, r._2, r._3))
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }.toDF()
+  }
+
+  /** 3-step journey extraction at ingest — the streaming twin of
+    * [[graft.ops.EventOps.topPaths]]'s chained-lead derivation: the
+    * per-user state is the last TWO events (the carry two leads
+    * would need), so paths spanning micro-batch boundaries are
+    * emitted exactly once. Ordering/caveat contract identical to
+    * [[stepStream]]. A windowed `groupBy(window(us), t1, t2, t3)
+    * .count` over this stream is live journey-mix monitoring. */
+  def pathStream(events: DataFrame, tsCol: String = "ts",
+      userCol: String = "user_id", watermark: String = "10 minutes")
+      : DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prepared = events
+      .withColumn("__ts", eventTime(events, tsCol))
+      .withWatermark("__ts", watermark)
+      .select(col(userCol).cast("long").as("user_id"),
+        col("event_id").cast("long").as("eid"),
+        col("event_type").as("tpe"),
+        unix_micros(col("__ts")).as("us"), col("__ts"))
+      .as[(Long, Long, String, Long, java.sql.Timestamp)]
+    prepared.groupByKey(_._1)
+      .flatMapGroupsWithState[PathState, PathOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val sorted = rows.toSeq.sortBy(r => (r._4, r._2))
+          val out = scala.collection.mutable.Buffer.empty[PathOut]
+          var cur = state.getOption
+          for (r <- sorted) {
+            cur match {
+              case Some(s) if s.hasTwo =>
+                out += PathOut(user, s.t1, s.t2, r._3, r._4)
+                cur = Some(PathState(s.us2, s.eid2, s.t2,
+                  r._4, r._2, r._3, hasTwo = true))
+              case Some(s) =>
+                cur = Some(PathState(s.us2, s.eid2, s.t2,
+                  r._4, r._2, r._3, hasTwo = true))
+              case None =>
+                cur = Some(PathState(0L, 0L, "",
+                  r._4, r._2, r._3, hasTwo = false))
+            }
           }
           cur.foreach(state.update)
           out.iterator

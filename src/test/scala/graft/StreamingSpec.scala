@@ -597,4 +597,33 @@ class StreamingSpec extends SparkSpec {
       assert(streamCounts == batch)
     } finally q.stop()
   }
+
+  test("pathStream: 3-step journeys spanning the micro-batch " +
+      "boundary come from the two-event state, exactly once") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SideEv]
+    val q = StreamProfiler.pathStream(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("paths")
+      .outputMode("append").start()
+    try {
+      // batch 1 ends mid-path: A,B buffered, nothing emitted yet
+      mem.addData(SideEv(t(60), 1L, 1L, "A", 0.0),
+        SideEv(t(61), 1L, 2L, "B", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("paths").count() == 0L)
+      // batch 2: C completes A→B→C, D completes B→C→D
+      mem.addData(SideEv(t(62), 1L, 3L, "C", 0.0),
+        SideEv(t(63), 1L, 4L, "D", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("paths")
+        .select("user_id", "t1", "t2", "t3", "us").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSet
+      val min = 60000000L
+      assert(out == Set((1L, "A", "B", "C", 62L * min),
+        (1L, "B", "C", "D", 63L * min)))
+    } finally q.stop()
+  }
 }
