@@ -516,6 +516,54 @@ class Round10Spec extends SparkSpec {
       np1.getLong(1) == 42L)
   }
 
+  test("session-4 plan shapes: heads are TakeOrderedAndProject, no " +
+      "cartesian product anywhere, fuzzy joins stay equi") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 40)
+      .map(i => (i.toLong, s"alpha beta gamma delta tok$i more$i"))
+      .toDF("doc_id", "text")
+    val events = (0 until 40).map(i =>
+      (i.toLong % 5, i.toLong, i.toLong * 60000000000L,
+        s"t${i % 3}")).toDF("user_id", "event_id", "ts", "event_type")
+    for ((name, df) <- Seq(
+      "pmi" -> TextStats.pmiBigrams(docs, "text", 5, 1L),
+      "zipf" -> TextStats.zipfFit(docs, "text", 10),
+      "paths" -> graft.ops.EventOps.topPaths(events, 5),
+      "fuzzy" -> Dedup.fuzzyPairs(docs, "doc_id", "text",
+        blockJaccard = 0.1, maxNormDist = 0.9))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must not plan a cartesian product")
+    }
+    val headPlans = Seq(
+      TextStats.pmiBigrams(docs, "text", 5, 1L),
+      graft.ops.EventOps.topPaths(events, 5))
+      .map(_.queryExecution.executedPlan.toString)
+    headPlans.foreach(p =>
+      assert(p.contains("TakeOrderedAndProject"),
+        "top-k heads must plan per-partition heaps"))
+  }
+
+  test("session-4 operators survive empty input with the right " +
+      "schema and zero rows") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val events = Seq.empty[(Long, Long, Long, String)]
+      .toDF("user_id", "event_id", "ts", "event_type")
+    assert(graft.ops.EventOps.transitionMatrix(events).collect().isEmpty)
+    assert(graft.ops.EventOps.sequenceAnomaly(events).collect().isEmpty)
+    assert(graft.ops.EventOps.transitionDrift(events).collect().isEmpty)
+    assert(graft.ops.EventOps.topPaths(events).collect().isEmpty)
+    assert(Dedup.fuzzyPairs(docs, "doc_id", "text").collect().isEmpty)
+    assert(Dedup.fuzzyCap(docs, "text", 0.05) == 0)
+    assert(TextStats.pmiBigrams(docs, "text").collect().isEmpty)
+    val z = TextStats.zipfFit(docs, "text").collect().head
+    assert(z.getLong(0) == 0L && z.isNullAt(1),
+      "regr over nothing is null, not a crash")
+  }
+
   test("pmiBigrams: an always-together pair scores high PMI, an " +
       "independent stopword collision scores near zero") {
     val s = spark
