@@ -335,6 +335,85 @@ object Multimodal {
       }
   }
 
+  /** Difference hash (dHash) over REAL decoded pixels: resize to a
+    * (gw × gh) grid (nearest — integer index math, no float), take
+    * the channel-sum luminance, and set bit (y·(gw−1)+x) iff the
+    * right neighbor is strictly brighter — the standard perceptual
+    * fingerprint that is invariant to the ENCODING of the image
+    * (filter type, compression level) because it sees only pixels.
+    * Default grid 9×7 → 56 bits: DuckDB refuses 1<<63, and 56 bits
+    * keeps the hash a non-negative BIGINT in every engine. */
+  def dHash(px: Pixels, gw: Int = 9, gh: Int = 7): Long = {
+    require((gw - 1) * gh <= 63, "hash must fit in a signed 64-bit")
+    val t = resizeNearest(px, gw, gh)
+    def lum(x: Int, y: Int): Int = {
+      val base = (y * gw + x) * t.channels
+      var s = 0; var c = 0
+      while (c < t.channels) { s += t.data(base + c) & 0xff; c += 1 }
+      s
+    }
+    var h = 0L
+    var y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw - 1) {
+        if (lum(x + 1, y) > lum(x, y)) h |= 1L << (y * (gw - 1) + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  /** Per-image perceptual hash + visually-identical group size: the
+    * image-dedup primitive (two payloads with different PNG filter
+    * types / compression but the same pixels collide exactly; near
+    * dups differ in few bits — band the 56 bits like SimHash for
+    * candidate pairs at corpus scale). mapPartitions only at the
+    * codec byte boundary, then an 8-byte groupBy for the group
+    * sizes — the exact-dedup shuffle shape. Undecodable rows are
+    * dropped, never fatal. */
+  def imagePhash(df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashes = df
+      .where(col(idCol).isNotNull && col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, payload) =>
+            decodePixels(payload).map(px => (id, dHash(px)))
+          }
+        }
+      }.toDF("doc_id", "phash")
+    val groups = hashes.groupBy("phash")
+      .agg(count(lit(1)).as("n_same"))
+    hashes.join(groups, Seq("phash"))
+      .select(col("doc_id"), col("phash"), col("n_same"))
+      .orderBy("doc_id")
+  }
+
+  /** Raster-image fixture column for the declared phash query: a
+    * REAL filtered+deflated PNG per row whose pixels are the pure
+    * id-derived formula of [[synthPngRaster]] — seed (id%7)·41
+    * (seven visually distinct images; the ·41 pushes the pixel ramp
+    * across mod-256 wraps so neighbor comparisons actually vary —
+    * a small seed leaves the ramp monotone and every dHash bit set),
+    * filter id%5 (five different ENCODINGS of each). The decoder
+    * sees only bytes; an oracle recomputing the hash from the pixel
+    * formula checks the whole inflate→unfilter→resize→hash chain. */
+  def synthRasterMedia(df: DataFrame, idCol: String,
+      w: Int = 16, h: Int = 12): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .map(id => (id,
+        synthPngRaster(w, h, ((id % 7L) * 41L).toInt, (id % 5L).toInt)))
+      .toDF("doc_id", "payload")
+  }
+
   /** Per-payload byte-distribution features: a `bins`-bucket
     * histogram over byte values (bucket = unsigned byte / (256/bins))
     * plus the Shannon entropy of the full 256-symbol distribution in

@@ -608,6 +608,14 @@ object Extensions {
       Multimodal.audioStats(
         Multimodal.synthAudio(t(s, dir, "documents"), "doc_id"),
         "doc_id", "payload").toDF().orderBy("doc_id")),
+    // perceptual image hash over REAL deflated/filtered PNG rasters:
+    // the oracle recomputes the 56-bit dHash from the pixel FORMULA,
+    // so the whole inflate→unfilter→resize→hash chain is checked;
+    // five encodings of each of seven images collide exactly
+    "multimodal_phash" -> ((s, dir) =>
+      Multimodal.imagePhash(
+        Multimodal.synthRasterMedia(t(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload")),
     // vocabulary-mix drift: PSI/TVD over the TOKEN distribution of
     // the two slices — the "did the crawl's language change" check
     // one level below the lang column; reuses categoricalDrift with
@@ -1439,6 +1447,37 @@ object Extensions {
     * container headers embed (see [[multimodalMetaSql]]): Spark's
     * sequence(0, n−1, 2) over the DECODED count must equal DuckDB's
     * range(0, n, 2) over the re-derived one. */
+  /** [[graft.ops.Multimodal.imagePhash]] mirror — the dHash replayed
+    * from the PIXEL FORMULA (pix(x,y,c) = (3x+5y+7c+seed) mod 256,
+    * seed = (doc_id mod 7)·41), nearest-resize 16×12 → 9×7 via the same
+    * integer floor indices, channel-sum luminance, bit (y·8+x) set
+    * iff the right neighbor is brighter. The Spark side hashes
+    * pixels obtained by inflating and unfiltering real PNG bytes, so
+    * agreement checks the whole decode chain. All-integer — exact. */
+  val multimodalPhashSql: String =
+    s"""WITH ids AS (SELECT doc_id, (doc_id % 7) * 41 AS seed
+       |  FROM documents),
+       |g AS (SELECT doc_id, seed, x, y,
+       |    (x * 16) // 9 AS sx, ((x + 1) * 16) // 9 AS sx1,
+       |    (y * 12) // 7 AS sy
+       |  FROM ids, range(0, 8) tx(x), range(0, 7) ty(y)),
+       |l AS (SELECT doc_id, x, y,
+       |    ((sx * 3 + sy * 5 + seed) % 256)
+       |      + ((sx * 3 + sy * 5 + 7 + seed) % 256)
+       |      + ((sx * 3 + sy * 5 + 14 + seed) % 256) AS l0,
+       |    ((sx1 * 3 + sy * 5 + seed) % 256)
+       |      + ((sx1 * 3 + sy * 5 + 7 + seed) % 256)
+       |      + ((sx1 * 3 + sy * 5 + 14 + seed) % 256) AS l1
+       |  FROM g),
+       |hsh AS (SELECT doc_id, bit_or(CASE WHEN l1 > l0
+       |    THEN 1::BIGINT << CAST(y * 8 + x AS INTEGER)
+       |    ELSE 0::BIGINT END) AS phash
+       |  FROM l GROUP BY doc_id),
+       |grp AS (SELECT phash, count(*) AS n_same FROM hsh GROUP BY phash)
+       |SELECT hsh.doc_id, hsh.phash, grp.n_same
+       |FROM hsh JOIN grp ON grp.phash = hsh.phash
+       |ORDER BY doc_id""".stripMargin
+
   val multimodalFramesSql: String =
     """WITH nf AS (SELECT doc_id,
       |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 5 WHEN 1 THEN 1
@@ -3578,6 +3617,7 @@ val eventsRollupSql: String =
     "pipeline_funnel" -> pipelineFunnelSql,
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,
+    "multimodal_phash" -> multimodalPhashSql,
     "join_asof" -> joinAsofSql,
     "join_range" -> joinRangeSql,
     "events_features" -> eventsFeaturesSql,

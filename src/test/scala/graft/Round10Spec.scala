@@ -564,6 +564,32 @@ class Round10Spec extends SparkSpec {
       "regr over nothing is null, not a crash")
   }
 
+  test("imagePhash: five PNG encodings of the same pixels collide " +
+      "exactly; different images differ; corrupt rows are dropped") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.Multimodal
+    // ids 0..34: seed = (id%7)*41, filter = id%5 — every filter type
+    // encodes every image at least once
+    val ids = (0L until 35L).toDF("doc_id")
+    val out = Multimodal.imagePhash(
+      Multimodal.synthRasterMedia(ids, "doc_id"), "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 35)
+    for (id <- 0L until 35L)
+      assert(out(id) == out(id % 7L),
+        s"id $id must hash equal to its same-pixel twin ${id % 7L}")
+    assert(out.values.toSet.size >= 2,
+      "the seven images must not all collide")
+    assert(out.values.forall(_ >= 0L), "56-bit hash stays non-negative")
+    // a corrupt payload is dropped, not fatal
+    val withJunk = Multimodal.synthRasterMedia(ids, "doc_id")
+      .union(Seq((999L, Array[Byte](1, 2, 3)))
+        .toDF("doc_id", "payload"))
+    assert(Multimodal.imagePhash(withJunk, "doc_id", "payload")
+      .count() == 35L)
+  }
+
   test("pmiBigrams: an always-together pair scores high PMI, an " +
       "independent stopword collision scores near zero") {
     val s = spark
