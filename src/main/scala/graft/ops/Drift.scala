@@ -175,6 +175,47 @@ object Drift {
       .where(col("n_a") + col("n_b") > 0)
   }
 
+  /** Per-GROUP binned KS — [[ksDrift]] in the sliced-monitoring form
+    * ("which SOURCE's distribution moved"): per-group bounds (a
+    * drifted group must read against its OWN range, the
+    * [[numericDriftByGroup]] premise), one (group, bin) count
+    * aggregation for every group at once, then cumulative CDFs via
+    * windows PARTITIONED BY GROUP over the ≤ groups×bins aggregated
+    * rows — no per-group jobs, no unbounded single-partition window.
+    * A group with an empty slice reads NULL, never NaN. */
+  def ksDriftByGroup(df: DataFrame, groupCol: String, value: Column,
+      slice: Column, bins: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(groupCol).as("g"),
+        value.cast("double").as("v"), slice.as("s"))
+      .where(col("v").isNotNull)
+    val bounds = base.groupBy("g").agg(min("v").as("mn"),
+      ((max("v") - min("v")) / bins.toDouble).as("w"))
+    val counts = base.join(broadcast(bounds), "g")
+      .select(col("g"), bin(col("v"), col("mn"), col("w"), bins),
+        col("s"))
+      .groupBy("g", "b")
+      .agg(sum(when(col("s") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("cb"))
+    val wCum = Window.partitionBy("g").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("g").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("na", sum("ca").over(wAll))
+      .withColumn("nb", sum("cb").over(wAll))
+      .withColumn("da", when(col("na") > 0,
+        sum("ca").over(wCum).cast("double") / col("na").cast("double")))
+      .withColumn("db", when(col("nb") > 0,
+        sum("cb").over(wCum).cast("double") / col("nb").cast("double")))
+      .groupBy("g")
+      .agg(min("na").cast("long").as("n_a"),
+        min("nb").cast("long").as("n_b"),
+        sig5(max(abs(col("da") - col("db")))).as("ks"))
+      .withColumnRenamed("g", groupCol)
+      .orderBy(groupCol)
+  }
+
   /** Per-quantile drift between the slices: exact per-slice quantiles
     * of a numeric dimension and their gaps — "the P90 document length
     * moved 40% while the median held" is the monitoring readout

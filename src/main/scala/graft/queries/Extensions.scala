@@ -315,6 +315,10 @@ object Extensions {
     "drift_psi_by_source" -> ((s, dir) =>
       Drift.numericDriftByGroup(t(s, dir, "documents"), "source",
         col("n_chars"), pmod(col("doc_id"), lit(2L)))),
+    // grouped KS: which source's WHOLE length distribution moved
+    "drift_ks_by_source" -> ((s, dir) =>
+      Drift.ksDriftByGroup(t(s, dir, "documents"), "source",
+        col("n_chars"), pmod(col("doc_id"), lit(2L)))),
     "drift_psi" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val slice = pmod(col("doc_id"), lit(2L))
@@ -2861,6 +2865,38 @@ val eventsRollupSql: String =
 
   /** Binned two-sample KS: shared-bounds 20-bin histogram per slice,
     * cumulative shares, max gap. */
+  /** [[graft.ops.Drift.ksDriftByGroup]] mirror: per-group bounds,
+    * per-(group, bin) counts, group-partitioned cumulative CDFs. */
+  val driftKsBySourceSql: String =
+    s"""WITH mm AS (SELECT source AS g,
+       |  min(CAST(n_chars AS DOUBLE)) AS mn,
+       |  (max(CAST(n_chars AS DOUBLE)) - min(CAST(n_chars AS DOUBLE)))
+       |    / 20.0 AS w
+       |  FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
+       |bn AS (SELECT d.source AS g, CASE WHEN mm.w > 0 THEN
+       |    CAST(least(floor((CAST(n_chars AS DOUBLE) - mm.mn) / mm.w),
+       |      19) AS BIGINT) ELSE 0 END AS b,
+       |    doc_id % 2 AS s
+       |  FROM documents d JOIN mm ON mm.g = d.source
+       |  WHERE n_chars IS NOT NULL),
+       |c AS (SELECT g, b,
+       |    sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+       |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+       |  FROM bn GROUP BY g, b),
+       |cum AS (SELECT g, b,
+       |    sum(ca) OVER (PARTITION BY g) AS na,
+       |    sum(cb) OVER (PARTITION BY g) AS nb,
+       |    sum(ca) OVER (PARTITION BY g ORDER BY b ROWS BETWEEN
+       |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+       |    sum(cb) OVER (PARTITION BY g ORDER BY b ROWS BETWEEN
+       |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+       |  FROM c)
+       |SELECT g AS source, CAST(min(na) AS BIGINT) AS n_a,
+       |  CAST(min(nb) AS BIGINT) AS n_b,
+       |${sig("max(abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb))")}
+       |  AS ks
+       |FROM cum GROUP BY g ORDER BY source""".stripMargin
+
   val driftKsSql: String =
     s"""WITH mm AS (SELECT min(CAST(n_chars AS DOUBLE)) AS mn,
        |  (max(CAST(n_chars AS DOUBLE)) - min(CAST(n_chars AS DOUBLE)))
@@ -3553,6 +3589,7 @@ val eventsRollupSql: String =
     "sample_quota" -> sampleQuotaSql,
     "dedup_semantic" -> dedupSemanticSql,
     "drift_ks" -> driftKsSql,
+    "drift_ks_by_source" -> driftKsBySourceSql,
     "text_pack" -> textPackSql,
     "join_salted" -> joinSaltedSql,
     "text_bpe_encode" -> textBpeEncodeSql,

@@ -385,6 +385,30 @@ class ProfileStoreSpec extends SparkSpec {
     assert(out("C") < 0.05, s"quiet small-range group C: ${out("C")}")
   }
 
+  test("ksDriftByGroup: the planted whole-distribution shift is " +
+      "near 1, quiet groups near 0, an empty slice reads NULL") {
+    val grp = element_at(typedLit(Seq("A", "B", "C")),
+      (col("id") % 3 + 1).cast("int"))
+    val df = spark.range(30000).select(
+      grp.as("src"), (col("id") % 2).as("slice"),
+      (when(grp === "A",
+        (col("id") % 100) + when(col("id") % 2 === 1, 500).otherwise(0))
+        .when(grp === "B", col("id") % 100)
+        .otherwise(col("id") % 5)).cast("double").as("v"))
+    val out = graft.ops.Drift.ksDriftByGroup(df, "src",
+        col("v"), col("slice"))
+      .collect().map(r => r.getString(0) ->
+        r.getDouble(r.fieldIndex("ks"))).toMap
+    assert(out("A") > 0.9, s"disjoint slices: KS → 1: ${out("A")}")
+    assert(out("B") < 0.05 && out("C") < 0.05)
+    // a group whose slice 1 is empty: CDF undefined → NULL
+    val one = spark.range(100).select(lit("D").as("src"),
+      lit(0L).as("slice"), (col("id") % 7).cast("double").as("v"))
+    val r = graft.ops.Drift.ksDriftByGroup(one, "src",
+      col("v"), col("slice")).collect().head
+    assert(r.isNullAt(r.fieldIndex("ks")))
+  }
+
   test("incrementalCorr merge algebra equals single-scan corrMatrix " +
       "to sig5 on an unbalanced split") {
     val whole = spark.range(25000).select(
