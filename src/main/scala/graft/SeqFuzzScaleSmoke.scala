@@ -21,10 +21,21 @@ import graft.ops.EventOps
   * pairs × L² — the measurement that justifies the LOW-threshold
   * Jaccard blocker: candidates, not corpus size, drive the bill.
   *
+  * `drift` phase — [[graft.ops.Drift.ksDriftByGroup]] +
+  * `numericDriftByGroup` at `rows` rows across 1000 groups: the
+  * claim under test is that per-group monitoring costs ONE bounds
+  * premise + ONE (group, bin) aggregation regardless of group count
+  * (windows only touch the groups×bins aggregate).
+  *
+  * `phash` phase — [[graft.ops.Multimodal.imagePhash]] over `pairs`
+  * real deflated/filtered PNG rasters: the codec mapPartitions
+  * boundary measured (inflate + unfilter + resize + hash per image).
+  *
   * Usage: `graft.SeqFuzzScaleSmoke [rows] [pairs] [phases]`
-  * (phases CSV from `markov,fuzzy`). The incremental-semantic-dedup
-  * probe join is NOT re-measured here: its plan is the ivfTopK probe
-  * shape already measured at 2M vectors (BASELINE.md round-9). */
+  * (phases CSV from `markov,fuzzy,drift,phash`). The
+  * incremental-semantic-dedup probe join is NOT re-measured here:
+  * its plan is the ivfTopK probe shape already measured at 2M
+  * vectors (BASELINE.md round-9). */
 object SeqFuzzScaleSmoke {
   def main(args: Array[String]): Unit = {
     val rows = if (args.length > 0) args(0).toLong else 100000000L
@@ -88,6 +99,38 @@ object SeqFuzzScaleSmoke {
           .first().getLong(0)
       }
       println(s"[seqfuzz-smoke]   banded total = $dCap (expect = pairs)")
+    }
+
+    if (phases("drift")) {
+      val df = spark.range(rows).select(
+        concat(lit("src"), pmod(xxhash64(col("id")), lit(1000L)))
+          .as("src"),
+        pmod(col("id"), lit(2L)).as("slice"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(10000L))
+          + when(pmod(xxhash64(col("id")), lit(1000L)) === 7L &&
+              col("id") % 2 === 1L, 5000L).otherwise(0L))
+          .cast("double").as("v"))
+        .transform(graft.ops.Materialize.materialize)
+      val ks = timed(s"ksDriftByGroup over $rows rows / 1000 groups") {
+        graft.ops.Drift.ksDriftByGroup(df, "src", col("v"),
+          col("slice")).count()
+      }
+      val psi = timed(s"numericDriftByGroup same corpus") {
+        graft.ops.Drift.numericDriftByGroup(df, "src", col("v"),
+          col("slice")).count()
+      }
+      println(s"[seqfuzz-smoke]   groups: ks=$ks psi=$psi")
+    }
+
+    if (phases("phash")) {
+      val imgs = graft.ops.Multimodal.synthRasterMedia(
+        spark.range(pairs).select(col("id").as("doc_id")), "doc_id")
+        .transform(graft.ops.Materialize.materialize)
+      val n = timed(s"imagePhash over $pairs real 16x12 PNGs") {
+        graft.ops.Multimodal.imagePhash(imgs, "doc_id", "payload")
+          .count()
+      }
+      println(s"[seqfuzz-smoke]   hashed images = $n")
     }
 
     spark.stop()
