@@ -110,9 +110,63 @@ object HtmlReport {
          |${rows.mkString("\n")}</table></div>""".stripMargin
     }
 
+  /** Joint-histogram heatmap: an SVG grid over
+    * [[graft.profiler.Stats.histogram2d]] output (bx, by, cnt) —
+    * the ridge two 1D histograms can't show. Cell darkness is
+    * cnt/max; empty input renders nothing. */
+  def heatmapSection(cells: Seq[(Long, Long, Long)],
+      xLabel: String, yLabel: String, bins: Int = 10): String =
+    if (cells.isEmpty) ""
+    else {
+      val mx = math.max(1L, cells.map(_._3).max).toDouble
+      val sz = 18
+      val rects = cells.map { case (bx, by, cnt) =>
+        val o = math.max(0.08, cnt / mx)
+        // SVG y grows downward; flip so by=0 sits at the bottom
+        s"""<rect x="${bx * sz}" y="${(bins - 1 - by) * sz}" """ +
+          s"""width="${sz - 1}" height="${sz - 1}" class="cell" """ +
+          f"""opacity="$o%.2f"><title>$cnt</title></rect>"""
+      }
+      s"""<div class="card"><h2>Joint histogram
+         |(${esc(xLabel)} &times; ${esc(yLabel)})</h2>
+         |<svg width="${bins * sz}" height="${bins * sz}"
+         |class="heatmap">${rects.mkString}</svg></div>""".stripMargin
+    }
+
+  /** Metric-history anomaly section:
+    * [[graft.profiler.ProfileStore.metricAnomaly]] output rows
+    * (part, col_name, metric, z, anomalous) — "which ingest day
+    * looks wrong" — flagged rows badged and counted in the header.
+    * Empty input renders nothing. */
+  def anomalySection(
+      rows: Seq[(String, String, Double, Option[Double], Long)])
+      : String =
+    if (rows.isEmpty) ""
+    else {
+      val nBad = rows.count(_._5 == 1L)
+      val cls = if (nBad == 0) "qc-pass" else "qc-fail"
+      val trs = rows.map { case (part, cn, m, z, anom) =>
+        val badge = if (anom == 1L) """<span class="bad">ANOMALY</span>"""
+          else """<span class="ok">ok</span>"""
+        s"<tr><td>${esc(part)}</td><td>${esc(cn)}</td>" +
+          s"<td>${fmtNumber(m)}</td>" +
+          s"<td>${z.map(fmtNumber).getOrElse("&mdash;")}</td>" +
+          s"<td>$badge</td></tr>"
+      }
+      s"""<div class="card $cls"><h2>Ingest history
+         |($nBad anomalous)</h2><table class="freq">
+         |<tr><th>snapshot</th><th>column</th><th>mean</th>
+         |<th>robust z</th><th>result</th></tr>
+         |${trs.mkString("\n")}</table></div>""".stripMargin
+    }
+
   def render(p: TableProfile, title: String = "graft profile",
       sample: Seq[Seq[String]] = Seq.empty,
       quality: Seq[(String, String, Double, Double, Double, Long)] =
+        Seq.empty,
+      heatmap: Seq[(Long, Long, Long)] = Seq.empty,
+      heatmapLabels: (String, String) = ("x", "y"),
+      anomalies: Seq[(String, String, Double, Option[Double], Long)] =
         Seq.empty): String = {
     val size =
       if (p.sizeBytes <= 0) Seq.empty
@@ -163,6 +217,7 @@ object HtmlReport {
        |.kind{font-size:0.7em;color:#888;border:1px solid #ccc;
        |  border-radius:4px;padding:1px 5px}
        |.hist .bar{fill:#337ab7}
+       |.heatmap .cell{fill:#337ab7}
        |.warnings li{color:#8a6d3b}
        |.qc-pass h2{color:#3c763d}
        |.qc-fail h2{color:#a94442}
@@ -173,6 +228,8 @@ object HtmlReport {
        |$overview
        |$warnings
        |${qualitySection(quality)}
+       |${anomalySection(anomalies)}
+       |${heatmapSection(heatmap, heatmapLabels._1, heatmapLabels._2)}
        |$assocHtml
        |${p.columns.map(columnCard).mkString("\n")}
        |$sampleHtml

@@ -89,4 +89,31 @@ class ReportSpec extends SparkSpec {
     assert(html.contains(">pass<") && html.contains(">FAIL<"))
     assert(html.contains("completeness") && html.contains("uniqueness"))
   }
+
+  test("heatmap and anomaly sections: real 2D-histogram cells render " +
+      "as opacity-scaled rects, flagged snapshots badge; both " +
+      "sections absent when not provided") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cells = graft.profiler.Stats
+      .histogram2d(li, "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(cells.nonEmpty)
+    val anom = Seq(
+      ("day=1", "x", 10.0, Some(0.2), 0L),
+      ("day=2", "x", 99.0, Some(8.7), 1L),
+      ("day=3", "x", 10.1, None, 0L))
+    val p = graft.profiler.TableProfile(1, 1, 0, 0.0, Seq.empty,
+      Seq.empty, Seq.empty)
+    val html = graft.report.HtmlReport.render(p,
+      heatmap = cells, heatmapLabels = ("price", "discount"),
+      anomalies = anom)
+    assert(html.contains("Joint histogram"))
+    assert("<rect ".r.findAllIn(html).size == cells.size)
+    assert(html.contains("price") && html.contains("discount"))
+    assert(html.contains("(1 anomalous)") && html.contains(">ANOMALY<"))
+    assert(html.contains("&mdash;"), "null z renders as a dash")
+    val plain = graft.report.HtmlReport.render(p)
+    assert(!plain.contains("Joint histogram") &&
+      !plain.contains("Ingest history"))
+  }
 }
