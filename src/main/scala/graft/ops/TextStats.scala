@@ -430,6 +430,47 @@ object TextStats {
         sig5(expr("regr_r2(ly, lx)")).as("r2"))
   }
 
+  /** Per-document deflate compression ratio — the Gopher-family
+    * quality heuristic: templated or highly repetitive text
+    * compresses far below natural language (English prose deflates
+    * to ~0.3–0.5 of raw; a repeated line to <0.05; near-random
+    * symbols toward 1.0), so the ratio separates boilerplate and
+    * generator loops from real content with zero linguistics.
+    *
+    * Scale shape: mapPartitions at the codec boundary (the
+    * [[Multimodal]] pattern — one Deflater reused per partition),
+    * O(len) per row, no shuffle. No relational oracle exists (the
+    * oracle engine has no deflate), so this ships as a library
+    * operator with unit contracts rather than a declared query —
+    * the repo's only-oracle-checked-queries rule stays intact. */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String,
+      level: Int = 6, batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(level)
+        val buf = new Array[Byte](1 << 16)
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, text) =>
+            val raw = text.getBytes("UTF-8")
+            deflater.reset()
+            deflater.setInput(raw)
+            deflater.finish()
+            var out = 0L
+            while (!deflater.finished())
+              out += deflater.deflate(buf)
+            (id, raw.length.toLong, out,
+              if (raw.length > 0)
+                graft.det.Sig.sig5(out.toDouble / raw.length.toDouble)
+              else Double.NaN)
+          }
+        }
+      }.toDF("doc_id", "raw_len", "deflate_len", "ratio")
+  }
+
   def vocab(df: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = df

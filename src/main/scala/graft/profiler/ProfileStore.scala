@@ -761,12 +761,22 @@ object ProfileStore {
     * v_lo + frac·(v_hi − v_lo) — quantile_cont's formula, so the
     * oracle's median() replays it bit-for-bit pre-rounding. */
   def metricAnomaly(parts: Seq[(String, DataFrame)], cols: Seq[String],
-      zThresh: Double = 3.0): DataFrame = {
+      zThresh: Double = 3.0, metric: String = "mean"): DataFrame = {
     require(parts.nonEmpty)
     val spark = parts.head._2.sparkSession
+    // "mean" watches value drift; "null_frac" watches completeness —
+    // the classic silent ingest breakage (a day whose extractor
+    // started dropping a field). Both sig5 canon per (part, col).
+    def m(c: String): Column = metric match {
+      case "mean" => avg(col(c).cast("double"))
+      case "null_frac" =>
+        avg(when(col(c).isNull, 1.0).otherwise(0.0))
+      case other =>
+        throw new IllegalArgumentException(s"unknown metric $other")
+    }
     val partMeans: Seq[(String, Map[String, Double])] =
       parts.map { case (pname, df) =>
-        val aggs = cols.map(c => avg(col(c).cast("double")).as(c))
+        val aggs = cols.map(c => m(c).as(c))
         val r = df.agg(aggs.head, aggs.tail: _*).first()
         pname -> cols.map { c =>
           val i = r.fieldIndex(c)

@@ -51,6 +51,20 @@ object StoreQueries {
       ProfileStore.metricAnomaly(
         anomSplits.map { case (p, pred) => p -> li.where(expr(pred)) },
         cols)
+    }),
+    // completeness anomaly: which ingest day's extractor started
+    // dropping fields — nulls synthesized per day, day d at 5× rate
+    "store_null_anomaly" -> ((s, dir) => {
+      val li = Core.li(s, dir)
+      val parts = nullSplits.map { case (p, nullPred) =>
+        p -> li.where(expr(anomMod(p)))
+          .select(li.columns.toSeq.map { c =>
+            (if (cols.contains(c))
+              when(expr(nullPred), lit(null)).otherwise(col(c))
+            else col(c)).as(c)
+          }: _*)
+      }
+      ProfileStore.metricAnomaly(parts, cols, metric = "null_frac")
     }))
 
   // the "bad ingest day": split d is biased to l_quantity > 40, so
@@ -61,6 +75,25 @@ object StoreQueries {
     "b" -> "l_orderkey % 4 = 1",
     "c" -> "l_orderkey % 4 = 2",
     "d" -> "l_orderkey % 4 = 3 AND l_quantity > 40")
+
+  /** The plain day split (completeness variant needs unbiased rows —
+    * the anomaly is synthesized in the NULL pattern, not the rows). */
+  private def anomMod(p: String): String = p match {
+    case "a" => "l_orderkey % 4 = 0"
+    case "b" => "l_orderkey % 4 = 1"
+    case "c" => "l_orderkey % 4 = 2"
+    case _ => "l_orderkey % 4 = 3"
+  }
+
+  // every day's extractor drops ~2% of the field (l_partkey % 50);
+  // broken day d drops ~10% (l_partkey % 10) — deterministic,
+  // key-derived, independently re-derivable (the null_association
+  // synthesis precedent; lineitem itself has no NULLs)
+  private val nullSplits = Seq(
+    "a" -> "l_partkey % 50 = 0",
+    "b" -> "l_partkey % 50 = 0",
+    "c" -> "l_partkey % 50 = 0",
+    "d" -> "l_partkey % 10 = 0")
 
   private val profileIncrementalSql: String = {
     val ctes = cols.flatMap { c =>
@@ -163,11 +196,15 @@ object StoreQueries {
     * quantile_cont(0.5) — the interpolation formula the Scala side
     * writes out), z from the ROUNDED med/mad, flag from the same raw
     * comparison. */
-  private val storeMetricAnomalySql: String = {
-    val pm = for { c <- cols; (p, pred) <- anomSplits } yield
+  private val storeMetricAnomalySql: String =
+    robustZSql(for { c <- cols; (p, pred) <- anomSplits } yield
       s"""SELECT '$p' AS part, '$c' AS col_name,
          |${sig(s"avg(CAST($c AS DOUBLE))")} AS m
-         |FROM $T WHERE ($pred)""".stripMargin
+         |FROM $T WHERE ($pred)""".stripMargin)
+
+  /** The shared robust-z CTE tail: median()/MAD over whatever
+    * per-(part, col) metric canon the `pm` branches compute. */
+  private def robustZSql(pm: Seq[String]): String =
     s"""WITH pm AS (
        |${pm.mkString("\nUNION ALL\n")}),
        |st AS (SELECT col_name, ${sig("median(m)")} AS med
@@ -184,10 +221,20 @@ object StoreQueries {
        |FROM pm JOIN st ON st.col_name = pm.col_name
        |JOIN md ON md.col_name = pm.col_name
        |ORDER BY col_name, part""".stripMargin
-  }
+
+  /** Completeness-anomaly mirror: the synthesized per-part null
+    * conditions replayed as CASE-averages (the base corpus has no
+    * NULLs; the text_pii / null_association synthesis precedent). */
+  private val storeNullAnomalySql: String =
+    robustZSql(for { c <- cols; (p, nullPred) <- nullSplits } yield
+      s"""SELECT '$p' AS part, '$c' AS col_name,
+         |${sig(s"avg(CASE WHEN ($nullPred) THEN 1.0 ELSE 0.0 END)")}
+         |  AS m
+         |FROM $T WHERE (${anomMod(p)})""".stripMargin)
 
   val oracle: Map[String, String] = Map(
     "profile_incremental" -> profileIncrementalSql,
     "profile_incremental_corr" -> profileIncrementalCorrSql,
-    "store_metric_anomaly" -> storeMetricAnomalySql)
+    "store_metric_anomaly" -> storeMetricAnomalySql,
+    "store_null_anomaly" -> storeNullAnomalySql)
 }

@@ -590,6 +590,24 @@ class Round10Spec extends SparkSpec {
       .count() == 35L)
   }
 
+  test("compressionRatio: a repeated line deflates far below mixed " +
+      "prose, which deflates below high-entropy text") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val docs = Seq(
+      (1L, Seq.fill(200)("all work and no play makes jack a dull boy")
+        .mkString(" ")),
+      (2L, (0 until 400).map(i => s"w${(i * 37) % 211}x$i").mkString(" ")),
+      (3L, Array.fill(4000)((33 + rng.nextInt(94)).toChar).mkString))
+      .toDF("doc_id", "text")
+    val r = TextStats.compressionRatio(docs, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) < 0.05, s"repetition must collapse: ${r(1L)}")
+    assert(r(1L) < r(2L) && r(2L) < r(3L))
+    assert(r(3L) > 0.7, s"high-entropy text barely deflates: ${r(3L)}")
+  }
+
   test("pmiBigrams: an always-together pair scores high PMI, an " +
       "independent stopword collision scores near zero") {
     val s = spark
