@@ -141,6 +141,33 @@ object TextStats {
       .orderBy("doc_id")
   }
 
+  /** The fuller Gopher repetition battery: per document and n-gram
+    * size, the fraction of n-gram OCCURRENCES that are duplicates
+    * (1 − distinct/total) — the `dup_ngram_frac` family
+    * ([[repetition]] covers the top-1 fractions; this covers the
+    * mass). Long-form output (doc_id, n, n_grams, dup_frac) so one
+    * query carries every n. A doc shorter than n tokens has no
+    * n-grams and is absent for that n.
+    *
+    * Scale shape: one hashed-gram pass per n (multiplicity — NO
+    * distinct), 8-byte shuffle keys, per-doc count +
+    * count-distinct; the ns are a tiny fixed list. */
+  def repetitionNgrams(df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 5, 10)): DataFrame = {
+    val parts = ns.map { n =>
+      Dedup.hashedGramFrame(df, idCol, textCol, n, distinct = false)
+        .select(col("id").as("doc_id"), col("shingle"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct("shingle").as("n_distinct"))
+        .select(col("doc_id"), lit(n.toLong).as("n"), col("n_grams"),
+          sig5(lit(1.0) -
+            col("n_distinct").cast("double") /
+              col("n_grams").cast("double")).as("dup_frac"))
+    }
+    parts.reduce(_ unionByName _).orderBy("doc_id", "n")
+  }
+
   /** Karp–Rabin rolling-hash document fingerprint: the minimum base-31
     * polynomial hash over all 8-char windows (winnowing with window =
     * whole doc). Pure integer arithmetic → exact. Docs shorter than

@@ -278,6 +278,11 @@ object Extensions {
     // Gopher/MassiveText-style within-doc repetition filters
     "text_repetition" -> ((s, dir) =>
       TextStats.repetition(t(s, dir, "documents"), "doc_id", "text")),
+    // dup_ngram_frac family (the fuller Gopher battery): per doc and
+    // n ∈ {2,5,10}, the duplicated n-gram occurrence mass
+    "text_repetition_ngrams" -> ((s, dir) =>
+      TextStats.repetitionNgrams(t(s, dir, "documents"), "doc_id",
+        "text")),
     // Okapi BM25 keyword retrieval, postings filtered to the query
     // terms before any shuffle; ranking on sig5-rounded scores
     "text_bm25" -> ((s, dir) =>
@@ -1926,6 +1931,29 @@ val eventsRollupSql: String =
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS BIGINT) AS rnk,
        |    vid AS neighbor_id, cosine FROM cos)
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** [[graft.ops.TextStats.repetitionNgrams]] mirror: string n-grams
+    * with full multiplicity (counts are hash-invariant absent
+    * collisions — the text_repetition precedent), one UNION branch
+    * per n. range(1, len−n+2) is empty when the doc is shorter than
+    * n, so those docs are absent for that n exactly as in Spark. */
+  val textRepetitionNgramsSql: String = {
+    val parts = Seq(2, 5, 10).map { n =>
+      val cat = (0 until n).map(k => s"w[i + $k]")
+        .mkString(" || ' ' || ")
+      s"""SELECT doc_id, CAST($n AS BIGINT) AS n,
+         |count(*) AS n_grams,
+         |${sig("1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*)")}
+         |  AS dup_frac
+         |FROM (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w) - $n + 2),
+         |      i -> $cat)) AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents))
+         |GROUP BY doc_id""".stripMargin
+    }
+    parts.mkString("", "\nUNION ALL\n", "\nORDER BY doc_id, n")
   }
 
   val textRepetitionSql: String =
@@ -3636,6 +3664,7 @@ val eventsRollupSql: String =
     "doc_fingerprint" -> docFingerprintSql,
     "text_tokens" -> textTokensSql,
     "text_repetition" -> textRepetitionSql,
+    "text_repetition_ngrams" -> textRepetitionNgramsSql,
     "search_hybrid_rrf" -> searchHybridRrfSql,
     "text_bm25" -> textBm25Sql,
     "text_pii" -> textPiiSql,

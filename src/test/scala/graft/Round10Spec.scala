@@ -590,6 +590,24 @@ class Round10Spec extends SparkSpec {
       .count() == 35L)
   }
 
+  test("repetitionNgrams: dup mass exact on a hand-computed doc; " +
+      "short docs absent for large n; unique docs read 0") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a a a a a"),          // 4 bigrams all equal → 0.75
+      (2L, "p q r s t u v w x y z p2 q2 r2 s2")) // all grams unique
+      .toDF("doc_id", "text")
+    val r = TextStats.repetitionNgrams(docs, "doc_id", "text",
+        ns = Seq(2, 5, 10)).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getDouble(3))).toMap
+    assert(r((1L, 2L)) == ((4L, 0.75)))
+    assert(r((1L, 5L)) == ((1L, 0.0)))
+    assert(!r.contains((1L, 10L)), "5 tokens have no 10-grams")
+    assert(Seq(2L, 5L, 10L).forall(n => r((2L, n))._2 == 0.0))
+  }
+
   test("compressionRatio: a repeated line deflates far below mixed " +
       "prose, which deflates below high-entropy text") {
     val s = spark
