@@ -298,6 +298,32 @@ object Stats {
     quantilesPerCol(df,
       cols.map(c => c -> !Kinds.isIntegral(df.schema(c).dataType)))
 
+  /** Per-GROUP exact quantiles — the grouped twin of [[quantiles]]
+    * ("the P95 length per language", the slice a single-table
+    * profile can't answer). ONE fused grouped aggregation carries
+    * every column's percentile array; output is long-form per
+    * (group, column). Scale shape: the one groupBy shuffle on the
+    * group key; exact `percentile` state is per (group, col) — use
+    * the approx form via [[quantiles]]' GK dispatch when group
+    * cardinality × column count makes exact state too large. */
+  def groupedQuantiles(df: DataFrame, groupCol: String,
+      cols: Seq[String]): DataFrame = {
+    val arr = Ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val aggs = cols.map(c =>
+      expr(s"percentile(cast(`$c` as double), $arr)").as(s"q__$c"))
+    val row = df.groupBy(col(groupCol).as("grp"))
+      .agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      struct((lit(c).as("col_name") +:
+        pNames.zipWithIndex.map { case (nm, i) =>
+          sig5(element_at(col(s"q__$c"), i + 1)).as(nm)
+        }): _*)
+    }
+    row.select(col("grp"), explode(array(structs: _*)).as("s"))
+      .select(col("grp").as(groupCol), col("s.*"))
+      .orderBy(col(groupCol), col("col_name"))
+  }
+
   private def quantilesPerCol(df: DataFrame,
       colApprox: Seq[(String, Boolean)]): DataFrame = {
     val arr = Ps.map(p => s"${p}D").mkString("array(", ", ", ")")

@@ -41,6 +41,10 @@ object Core {
     "col_types" -> ((s, dir) => Stats.kinds(li(s, dir), all)),
     "num_moments" -> ((s, dir) => Stats.moments(li(s, dir), nums)),
     "num_quantiles" -> ((s, dir) => Stats.quantiles(li(s, dir), nums)),
+    // grouped quantiles: the per-slice distribution view ("P95 price
+    // per return flag") a single-table profile can't answer
+    "num_grouped_quantiles" -> ((s, dir) =>
+      Stats.groupedQuantiles(li(s, dir), "l_returnflag", floats)),
     // upstream's per-dtype dispatch routes integral columns through
     // exact percentile — declared over the int columns so the oracle
     // (quantile_cont) checks the dispatch chose the exact path
@@ -212,6 +216,25 @@ object Core {
 
   val numQuantilesSql: String = quantilesSqlFor(nums)
   val numQuantilesIntSql: String = quantilesSqlFor(ints)
+
+  /** Grouped mirror of [[quantilesSqlFor]]: quantile_cont per group,
+    * same sig5 element extraction, long-form union per column. */
+  val numGroupedQuantilesSql: String = {
+    val qAggs = floats.map(c =>
+      s"quantile_cont(CAST($c AS DOUBLE), $psSql) AS q_$c")
+      .mkString(",\n")
+    val selects = floats.map { c =>
+      val fields = pCols.zipWithIndex.map { case (nm, i) =>
+        s"${sig(s"q_$c[${i + 1}]")} AS $nm"
+      }.mkString(", ")
+      s"SELECT grp AS l_returnflag, '$c' AS col_name, $fields FROM q"
+    }
+    s"""WITH q AS (SELECT l_returnflag AS grp,
+       |$qAggs
+       |FROM $T GROUP BY l_returnflag)
+       |${unionAll(selects)}
+       |ORDER BY l_returnflag, col_name""".stripMargin
+  }
 
   val numQuantilesApproxRankSql: String =
     unionAll(floats.flatMap(c => pCols.map(nm =>
@@ -575,6 +598,7 @@ object Core {
     "num_trimmed" -> numTrimmedSql,
     "num_quantiles" -> numQuantilesSql,
     "num_quantiles_int" -> numQuantilesIntSql,
+    "num_grouped_quantiles" -> numGroupedQuantilesSql,
     "num_quantiles_approx_rank" -> numQuantilesApproxRankSql,
     "num_derived" -> numDerivedSql,
     "num_outliers" -> numOutliersSql,
