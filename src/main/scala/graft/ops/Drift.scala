@@ -251,6 +251,40 @@ object Drift {
       .orderBy("p")
   }
 
+  /** Per-GROUP quantile drift — [[quantileDrift]] sliced by source:
+    * "src3's P90 length moved 40% while its median held", per group
+    * in ONE grouped aggregation (exact `percentile` over the slice
+    * CASE projections; a group missing a slice reads NULL
+    * quantiles/gap, never an error). Scale shape: the one groupBy
+    * shuffle; per-(group, slice) percentile state — the GK dispatch
+    * is the corpus-scale escape when groups × ps makes it large. */
+  def quantileDriftByGroup(df: DataFrame, groupCol: String,
+      value: Column, slice: Column,
+      ps: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    val base = df.select(col(groupCol).as("g"),
+        value.cast("double").as("v"), slice.as("s"))
+      .where(col("v").isNotNull)
+    val arr = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val nullArr = expr(s"array(${Seq.fill(ps.size)("CAST(NULL AS DOUBLE)")
+      .mkString(", ")})")
+    base.groupBy("g")
+      .agg(
+        expr(s"percentile(CASE WHEN s = 0 THEN v END, $arr)").as("qa"),
+        expr(s"percentile(CASE WHEN s = 1 THEN v END, $arr)").as("qb"),
+        count(col("v")).as("n"))
+      .select(col("g"), col("n"), typedlit(ps).as("p"),
+        coalesce(col("qa"), nullArr).as("qa"),
+        coalesce(col("qb"), nullArr).as("qb"))
+      .select(col("g"), col("n"),
+        posexplode(arrays_zip(col("p"), col("qa"), col("qb")))
+          .as(Seq("i", "z")))
+      .where(col("n") > 0)
+      .select(col("g").as(groupCol), col("z.p").as("p"),
+        sig5(col("z.qa")).as("q_a"), sig5(col("z.qb")).as("q_b"),
+        sig5(col("z.qb") - col("z.qa")).as("gap"))
+      .orderBy(col(groupCol), col("p"))
+  }
+
   // -------------------------------------------------------------------
   // Fixed-reference drift: a candidate slice scored against a LITERAL
   // reference histogram — the monitoring shape where the baseline is

@@ -734,6 +734,10 @@ object Extensions {
     "drift_quantiles" -> ((s, dir) =>
       Drift.quantileDrift(t(s, dir, "documents"), "n_chars",
         col("n_chars"), pmod(col("doc_id"), lit(2L)))),
+    // per-source quantile drift: WHOSE P90 moved, one grouped agg
+    "drift_quantiles_by_source" -> ((s, dir) =>
+      Drift.quantileDriftByGroup(t(s, dir, "documents"), "source",
+        col("n_chars"), pmod(col("doc_id"), lit(2L)))),
     // BPE counting pass: top adjacent char pairs within tokens — the
     // first merge rule of tokenizer training; distributed top-k
     "text_bpe_pairs" -> ((s, dir) =>
@@ -3196,6 +3200,24 @@ val eventsRollupSql: String =
        |${sig("qb[i] - qa[i]")} AS gap
        |FROM q, range(1, 6) t(i) WHERE n > 0 ORDER BY p""".stripMargin
 
+  /** Grouped mirror of [[driftQuantilesSql]]: quantile_cont over the
+    * slice CASE projections per source. */
+  val driftQuantilesBySourceSql: String =
+    s"""WITH b AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v,
+       |           doc_id % 2 AS s
+       |           FROM documents WHERE n_chars IS NOT NULL),
+       |q AS (SELECT g,
+       |   quantile_cont(CASE WHEN s = 0 THEN v END,
+       |     [0.1, 0.25, 0.5, 0.75, 0.9]) AS qa,
+       |   quantile_cont(CASE WHEN s = 1 THEN v END,
+       |     [0.1, 0.25, 0.5, 0.75, 0.9]) AS qb,
+       |   count(v) AS n FROM b GROUP BY g)
+       |SELECT g AS source,
+       |CAST(([0.1, 0.25, 0.5, 0.75, 0.9])[i] AS DOUBLE) AS p,
+       |${sig("qa[i]")} AS q_a, ${sig("qb[i]")} AS q_b,
+       |${sig("qb[i] - qa[i]")} AS gap
+       |FROM q, range(1, 6) t(i) WHERE n > 0 ORDER BY source, p""".stripMargin
+
   /** BPE pair counts re-derived with character-based substring on
     * both engines. */
   val textBpePairsSql: String =
@@ -3618,6 +3640,7 @@ val eventsRollupSql: String =
     "dedup_semantic" -> dedupSemanticSql,
     "drift_ks" -> driftKsSql,
     "drift_ks_by_source" -> driftKsBySourceSql,
+    "drift_quantiles_by_source" -> driftQuantilesBySourceSql,
     "text_pack" -> textPackSql,
     "join_salted" -> joinSaltedSql,
     "text_bpe_encode" -> textBpeEncodeSql,
