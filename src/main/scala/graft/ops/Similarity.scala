@@ -379,6 +379,55 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Embedding outlier screen: per vector, the squared distance to
+    * its assigned (Lloyd-trained) coarse centroid, flagged when it
+    * exceeds its CELL's p-th percentile — corrupt or mislabeled
+    * embeddings sit far from every center, and a per-cell threshold
+    * keeps a naturally diffuse cluster from flooding the report.
+    * dist² = sig5(cellScore + |v|²) where cellScore is the
+    * sig5-rounded |c|²−2v·c ranking canon (the discrete outlier
+    * decision compares rounded values — the engine contract).
+    *
+    * The codebook is SEEDED (iters = 1) by default, deliberately:
+    * Lloyd training is not outlier-robust — an extreme vector drags
+    * its cell's mean toward itself and, dragged far enough, becomes
+    * the sole member of its own cell, where a per-cell percentile
+    * can never flag it (its threshold IS its own distance; observed
+    * on a planted 100× vector in the unit test). Frozen seed
+    * centroids are corpus vectors an outlier cannot move, so the
+    * screen stays sensitive exactly to what it is hunting.
+    *
+    * Scale shape: assignment is the map-only broadcast-codebook
+    * pass; thresholds are an O(cells) aggregate broadcast back; the
+    * exact per-cell percentile state is bounded by cell populations
+    * (use a GK sketch per cell if cells get huge). */
+  def embedOutliers(df: DataFrame, idCol: String, vecCol: String,
+      centroidLo: Long = 100L, centroidHi: Long = 116L, dim: Int = 64,
+      iters: Int = 1, p: Double = 0.99): DataFrame = {
+    val base = df.where(size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+    val cents =
+      if (iters <= 1) seedCodebook(base, "vec_id", "v", centroidLo,
+        centroidHi)
+      else trainedCodebook(base, "vec_id", "v", centroidLo, centroidHi,
+        dim, iters)
+    require(cents.nonEmpty,
+      s"no centroid rows with id in [$centroidLo, $centroidHi)")
+    val scored = base
+      .select(col("vec_id"), dot(col("v"), col("v")).as("vn2"),
+        element_at(cellArray(col("v"), cents), 1).as("best"))
+      .select(col("vec_id"), col("best").getField("cid").as("cell"),
+        sig5(col("best").getField("score") + col("vn2")).as("dist2"))
+    val thr = scored.groupBy("cell")
+      .agg(expr(s"percentile(dist2, ${p}D)").as("praw"))
+      .select(col("cell"), sig5(col("praw")).as("p_thresh"))
+    scored.join(broadcast(thr), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("dist2"), col("p_thresh"),
+        when(col("dist2") > col("p_thresh"), 1L).otherwise(0L)
+          .as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   /** ANN top-k via hyperplane LSH: score only candidates colliding on
     * one of the query's probe buckets. With `multiProbe` (default),
     * each query also probes the `bits` neighboring buckets at Hamming

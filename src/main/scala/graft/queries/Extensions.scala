@@ -125,6 +125,11 @@ object Extensions {
       Dedup.embedCosinePairsBanded(t(s, dir, "embeddings"), "vec_id",
         "embedding", minCosine = 0.5, bands = EmbedBands,
         rowsPerBand = EmbedRows)),
+    // embedding outlier screen: distance-to-trained-centroid above
+    // the per-cell p99 — corrupt vectors sit far from every center
+    "embed_outliers" -> ((s, dir) =>
+      Similarity.embedOutliers(t(s, dir, "embeddings"), "vec_id",
+        "embedding")),
     // daily-crawl semantic dedup: odd vec_ids are "today's batch",
     // probed against the frozen even-id index (IVF cells trained on
     // the index side only — the AnnIndex probe contract, stateless)
@@ -1144,6 +1149,35 @@ object Extensions {
        |    vid AS neighbor_id, cosine FROM cos)
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** [[graft.ops.Similarity.embedOutliers]] mirror: the SEEDED-cell
+    * chain (frozen seed centroids — the operator deliberately skips
+    * Lloyd training, whose means an outlier drags; see the operator
+    * doc), sig5 score canon, dist² = sig5(score + |v|²), per-cell
+    * quantile_cont(0.99) threshold (sig5), rounded comparison. */
+  val embedOutliersSql: String =
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i)),
+       |c0 AS (SELECT vec_id AS cid, i, v AS w FROM el
+       |       WHERE vec_id BETWEEN 100 AND 115),
+       |cn AS (SELECT cid, sum(w * w) AS cn2 FROM c0 GROUP BY 1),
+       |cd AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
+       |       FROM el a JOIN c0 c ON c.i = a.i GROUP BY 1, 2),
+       |sc AS (SELECT vid, cd.cid, ${sig("cn2 - 2 * dp")} AS score
+       |       FROM cd JOIN cn ON cn.cid = cd.cid),
+       |rk AS (SELECT vid, cid, score, row_number() OVER (
+       |       PARTITION BY vid ORDER BY score ASC, cid ASC) AS rn
+       |       FROM sc),
+       |vn AS (SELECT vec_id, sum(v * v) AS vn2 FROM el GROUP BY 1),
+       |d AS (SELECT vid, cid AS cell, ${sig("score + vn2")} AS dist2
+       |      FROM rk JOIN vn ON vn.vec_id = rk.vid WHERE rn = 1),
+       |thr AS (SELECT cell, ${sig("quantile_cont(dist2, 0.99)")}
+       |        AS p_thresh FROM d GROUP BY cell)
+       |SELECT vid AS vec_id, d.cell, dist2, thr.p_thresh,
+       |CAST(CASE WHEN dist2 > p_thresh THEN 1 ELSE 0 END AS BIGINT)
+       |  AS is_outlier
+       |FROM d JOIN thr ON thr.cell = d.cell
+       |ORDER BY vec_id""".stripMargin
 
   /** Incremental-semantic-dedup mirror: the [[embedAnnIvfSql]] replay
     * with the codebook seeded AND trained on the even-id INDEX side
@@ -3677,6 +3711,7 @@ val eventsRollupSql: String =
     "sample_stratified_hash" -> sampleStratifiedHashSql,
     "dedup_embed" -> dedupEmbedSql,
     "dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
+    "embed_outliers" -> embedOutliersSql,
     "embed_cosine_topk" -> embedCosineSql,
     "embed_ann_lsh" -> embedAnnLshSql,
     "embed_ann_ivf" -> embedAnnIvfSql,

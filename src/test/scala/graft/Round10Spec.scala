@@ -590,6 +590,34 @@ class Round10Spec extends SparkSpec {
       .count() == 35L)
   }
 
+  test("embedOutliers: a planted far-away vector is flagged above " +
+      "its cell's p99; the flag equals the rounded comparison") {
+    val s = spark
+    import s.implicits._
+    def hv(i: Long, scale: Double): Array[Float] =
+      Array.tabulate(8)(d =>
+        (((math.sin(i * 12.9898 + d * 78.233) * 43758.5453) % 1.0 - 0.5)
+          * scale).toFloat)
+    val emb = ((0 until 300).map(i => (i.toLong, hv(i.toLong, 1.0))) :+
+      ((9999L, hv(3L, 100.0)))).toDF("vec_id", "embedding")
+    // seeded cells (the default): Lloyd training would let the 100×
+    // vector drag a centroid and become its cell's sole member,
+    // where a per-cell p99 can never flag it — the exact failure
+    // this operator's iters=1 default exists to avoid (observed:
+    // this same fixture goes unflagged at iters=2)
+    val out = Similarity.embedOutliers(emb, "vec_id", "embedding",
+        centroidLo = 100L, centroidHi = 116L, dim = 8).collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(byId(9999L)._3 == 1L, "the 100x vector must be flagged")
+    assert(byId(9999L)._1 > byId(9999L)._2)
+    assert(out.forall(r =>
+      r.getLong(4) == (if (r.getDouble(2) > r.getDouble(3)) 1L else 0L)))
+    val flagged = out.count(_.getLong(4) == 1L)
+    assert(flagged < out.length / 10,
+      "a p99 screen must not flood the report")
+  }
+
   test("repetitionNgrams: dup mass exact on a hand-computed doc; " +
       "short docs absent for large n; unique docs read 0") {
     val s = spark
