@@ -819,6 +819,41 @@ object Stats {
       .orderBy("col_name", "bin")
   }
 
+  /** String-pattern (mask) profile: each value mapped to its
+    * character-class mask (digits → 9, lowercase → a, uppercase → A,
+    * everything else verbatim), then the top-k masks per column —
+    * the "what SHAPES live in this column" view that catches a stray
+    * free-text row in an id column or a second phone format long
+    * before a regex validator is written. Classes are plain
+    * character-class regexes executed identically by Java regex and
+    * RE2 (the Pii contract).
+    *
+    * Scale shape: one map-only mask projection, a (col, mask) hash
+    * aggregate (mask cardinality ≪ value cardinality — that is the
+    * point of masking), a per-column top-k window over the
+    * aggregate. */
+  def patterns(df: DataFrame, cols: Seq[String], topK: Int = 10)
+      : DataFrame = {
+    def mask(c: Column): Column =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c.cast("string"), "[0-9]", "9"),
+          "[a-z]", "a"),
+        "[A-Z]", "A")
+    val structs = cols.map(c =>
+      struct(lit(c).as("col_name"), mask(col(c)).as("mask")))
+    val counted = df.select(explode(array(structs: _*)).as("s"))
+      .select("s.*").where(col("mask").isNotNull)
+      .groupBy("col_name", "mask").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("col_name")
+      .orderBy(col("cnt").desc, col("mask").asc)
+    counted.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= topK)
+      .select("col_name", "mask", "cnt", "rnk")
+      .orderBy("col_name", "rnk")
+  }
+
   /** Joint (2D) histogram of two numeric columns — the
     * correlation-visual primitive the 1D family can't express (two
     * marginals don't show a ridge). Same floor((x−mn)/w) binning as

@@ -88,6 +88,12 @@ object Core {
     "num_histogram2d" -> ((s, dir) =>
       Stats.histogram2d(li(s, dir), "l_extendedprice", "l_discount")),
     "cat_freq" -> ((s, dir) => Stats.freq(li(s, dir), cats)),
+    // string-mask profile: what SHAPES live in each column — catches
+    // a stray free-text row in an id column before any validator
+    "col_patterns" -> ((s, dir) =>
+      Stats.patterns(
+        s.read.parquet(s"$dir/customer.parquet"),
+        Seq("c_name", "c_mktsegment"))),
     // high-cardinality columns (25 brands / 150 types > topK=10) so
     // the "__other__" remainder bucket is exercised non-trivially
     "cat_freq_other" -> ((s, dir) =>
@@ -371,6 +377,26 @@ object Core {
   val dateHistogramSql: String =
     histogramSql(dates, c => s"CAST(epoch_us($c) AS DOUBLE)")
 
+  /** Mask-profile mirror: the same three character-class
+    * replacements ('g' — RE2 and Java regex agree on plain classes,
+    * the Pii contract), per-column top-k with (cnt desc, mask)
+    * ties. */
+  val colPatternsSql: String = {
+    val m = "regexp_replace(regexp_replace(regexp_replace(" +
+      "CAST({c} AS VARCHAR), '[0-9]', '9', 'g'), '[a-z]', 'a', 'g')," +
+      " '[A-Z]', 'A', 'g')"
+    val parts = Seq("c_name", "c_mktsegment").map { c =>
+      s"""SELECT * FROM (
+         |  SELECT '$c' AS col_name, ${m.replace("{c}", c)} AS mask,
+         |  count(*) AS cnt,
+         |  CAST(row_number() OVER (ORDER BY count(*) DESC,
+         |    ${m.replace("{c}", c)} ASC) AS BIGINT) AS rnk
+         |  FROM customer WHERE $c IS NOT NULL GROUP BY 2)
+         |WHERE rnk <= 10""".stripMargin
+    }
+    unionAll(parts) + "\nORDER BY col_name, rnk"
+  }
+
   val catFreqSql: String = {
     val parts = cats.map { c =>
       s"""SELECT * FROM (
@@ -607,6 +633,7 @@ object Core {
     "num_histogram" -> numHistogramSql,
     "num_histogram2d" -> numHistogram2dSql,
     "cat_freq" -> catFreqSql,
+    "col_patterns" -> colPatternsSql,
     "cat_freq_other" -> catFreqOtherSql,
     "table_kinds" -> tableKindsSql,
     "date_minmax" -> dateMinMaxSql,

@@ -140,6 +140,20 @@ class StatsSpec extends SparkSpec {
       Seq("bx", "by", "cnt", "x_lo", "x_hi", "y_lo", "y_hi"))
   }
 
+  test("patterns: the stray free-text row in an id column surfaces " +
+      "as its own mask; nulls excluded; topK + tie-break respected") {
+    val s = StructType(Seq(StructField("id", StringType)))
+    val rows = (0 until 50).map(i => Row(f"AB-$i%04d")) ++
+      Seq(Row("call me maybe"), Row(null))
+    val h = Stats.patterns(df(rows, s), Seq("id"), topK = 10).collect()
+    val m = h.map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(m("AA-9999") == 50L)
+    assert(m("aaaa aa aaaaa") == 1L, "the stray shape must be visible")
+    assert(h.map(_.getAs[Long]("cnt")).sum == 51L, "null not masked")
+    assert(h.head.getAs[Long]("rnk") == 1L &&
+      h.head.getString(1) == "AA-9999")
+  }
+
   test("freq: deterministic tie-break on value, topK respected, " +
       "remainder aggregated into __other__") {
     val s = StructType(Seq(StructField("c", StringType)))
