@@ -424,6 +424,46 @@ object VectorQuant {
     * ASSIGNMENT still ranks against the unrounded centroids (its
     * scores are sig5-rounded anyway); only the residual subtraction
     * reads the rounded canon. */
+  /** Two-stage search — ADC shortlist, exact re-rank: the deployed
+    * refinement that undoes PQ's quantization loss for the price of
+    * `topM` exact distances per query (M ≪ corpus; the shortlist is
+    * [[ivfPqTopK]]'s output verbatim, so index geometry, training
+    * and probing are shared, not re-implemented). A lossy ADC
+    * ordering only has to be right about WHICH M vectors matter;
+    * the exact cosine then fixes their order — the standard
+    * production answer to "PQ recall is fine but the top-1 is
+    * wrong".
+    *
+    * Scale shape: stage 1 is the ivfPqTopK plan; stage 2 joins the
+    * Q·M shortlist (tiny, broadcast) back to the corpus vectors by
+    * id — M exact 64-dim dots per query, then the window-free
+    * bounded-heap rank. */
+  def ivfPqRerankTopK(df: DataFrame, idCol: String, vecCol: String,
+      ivfLo: Long, ivfHi: Long, pqLo: Long, pqHi: Long,
+      numQueries: Int = 5, k: Int = 10, topM: Int = 25,
+      nprobe: Int = 4, dim: Int = 64, m: Int = 8, iters: Int = 1,
+      coarseIters: Int = 1): DataFrame = {
+    require(topM >= k, s"shortlist $topM must cover k=$k")
+    val shortlist = ivfPqTopK(df, idCol, vecCol, ivfLo, ivfHi, pqLo,
+      pqHi, numQueries, topM, nprobe, dim, m, iters, coarseIters)
+      .select(col("query_id").as("qid"), col("neighbor_id").as("vid"))
+    val base = KMeansOp.vecBase(df, idCol, vecCol, dim)
+      .select(col("vid"), col("v"),
+        Similarity.norm(col("v")).as("nrm"))
+    val scored = base
+      .join(broadcast(shortlist), Seq("vid"))
+      .join(broadcast(base
+        .select(col("vid").as("qid"), col("v").as("qv"),
+          col("nrm").as("qnrm"))
+        .where(col("qid") < numQueries)), Seq("qid"))
+      .select(col("qid"), col("vid"),
+        graft.det.Sig.sig5(Similarity.cosine(
+          Similarity.dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
+          .as("cosine"))
+      .where(col("cosine").isNotNull)
+    Similarity.rankTopK(scored, k)
+  }
+
   def ivfPqResidualTopK(df: DataFrame, idCol: String, vecCol: String,
       ivfLo: Long, ivfHi: Long, pqLo: Long, pqHi: Long,
       numQueries: Int = 5, k: Int = 10, nprobe: Int = 4,

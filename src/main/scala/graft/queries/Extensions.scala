@@ -807,6 +807,15 @@ object Extensions {
         "vec_id", "embedding", ivfLo = 100L, ivfHi = 116L,
         pqLo = 120L, pqHi = 152L, numQueries = 5, k = 10,
         nprobe = 4, dim = 64, m = 8, iters = 2, coarseIters = 2)),
+    // two-stage search: the same trained index's ADC top-25
+    // shortlist, exactly re-ranked — the deployed refinement that
+    // undoes PQ quantization loss at M exact distances per query
+    "embed_ivf_pq_rerank" -> ((s, dir) =>
+      VectorQuant.ivfPqRerankTopK(
+        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
+        "vec_id", "embedding", ivfLo = 100L, ivfHi = 116L,
+        pqLo = 120L, pqHi = 152L, numQueries = 5, k = 10, topM = 25,
+        nprobe = 4, dim = 64, m = 8, iters = 2, coarseIters = 2)),
     // RESIDUAL IVF-PQ (the full Jégou IVF-ADC shape): the PQ
     // codebook is trained on and encodes r = x − coarse centroid —
     // the refinement that separates a deployed IVF-ADC index from
@@ -3403,7 +3412,9 @@ val eventsRollupSql: String =
     * code-assignment CTEs, then candidates = probed cells and the
     * ADC sum (LUT against the trained codebook `c1`) over assigned
     * codes. */
-  val embedIvfPqSql: String =
+  /** k-parameterized so the rerank oracle can reuse the whole ADC
+    * replay as its shortlist subquery. */
+  def embedIvfPqSqlK(k: Int): String =
     s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v,
        |        (i - 1) // 8 AS s
        |       FROM embeddings, range(1, 65) t(i)
@@ -3446,7 +3457,36 @@ val eventsRollupSql: String =
        |        ORDER BY ${sig("dist")} ASC, vid ASC) AS rnk FROM sc)
        |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rnk,
        |vid AS neighbor_id, adc_d2
-       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
+
+  val embedIvfPqSql: String = embedIvfPqSqlK(10)
+
+  /** Rerank mirror: the WHOLE ADC replay at k = 25 as the shortlist
+    * subquery, then exact cosine + re-rank — stage 1 is shared by
+    * construction on both engines. */
+  val embedIvfPqRerankSql: String = {
+    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
+    s"""WITH cand AS (SELECT query_id AS qid, neighbor_id AS vid
+       |  FROM (${embedIvfPqSqlK(25)})),
+       |xel AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i)
+       |       WHERE vec_id < 2000 AND len(embedding) = 64),
+       |xnrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM xel
+       |         GROUP BY 1),
+       |xdot AS (SELECT c.qid, c.vid, sum(a.v * b.v) AS dp
+       |        FROM cand c JOIN xel a ON a.vec_id = c.qid
+       |        JOIN xel b ON b.vec_id = c.vid AND b.i = a.i
+       |        GROUP BY 1, 2),
+       |xcos AS (SELECT qid, vid, $cosExpr AS cosine
+       |        FROM xdot JOIN xnrm na ON na.vec_id = xdot.qid
+       |        JOIN xnrm nb ON nb.vec_id = xdot.vid)
+       |SELECT query_id, rnk, neighbor_id, cosine FROM (
+       |  SELECT qid AS query_id,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, vid ASC) AS BIGINT) AS rnk,
+       |    vid AS neighbor_id, cosine FROM xcos)
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** RESIDUAL IVF-PQ re-derived: the TRAINED coarse quantizer (seed
     * rows [100, 116) + one Lloyd round — the [[embedAnnIvfSql]]
@@ -3656,6 +3696,7 @@ val eventsRollupSql: String =
     "embed_pq" -> embedPqSql,
     "embed_pq_search" -> embedPqSearchSql,
     "embed_ivf_pq" -> embedIvfPqSql,
+    "embed_ivf_pq_rerank" -> embedIvfPqRerankSql,
     "embed_ivf_pq_residual" -> embedIvfPqResidualSql,
     "text_guard_recall" -> textGuardRecallSql,
     "text_bpe_pairs" -> textBpePairsSql,

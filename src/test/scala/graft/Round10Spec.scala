@@ -590,6 +590,45 @@ class Round10Spec extends SparkSpec {
       .count() == 35L)
   }
 
+  test("ivfPqRerankTopK: the re-ranked head is the exact-cosine " +
+      "ordering of the ADC shortlist, bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    def hv(i: Long): Array[Float] =
+      Array.tabulate(8)(d =>
+        ((math.sin(i * 12.9898 + d * 78.233) * 43758.5453) % 1.0 - 0.5)
+          .toFloat)
+    val emb = (0 until 300).map(i => (i.toLong, hv(i.toLong)))
+      .toDF("vec_id", "embedding")
+    val args = (100L, 116L, 120L, 128L) // ivfLo, ivfHi, pqLo, pqHi
+    val shortlist = VectorQuant.ivfPqTopK(emb, "vec_id", "embedding",
+        args._1, args._2, args._3, args._4, numQueries = 3, k = 25,
+        nprobe = 4, dim = 8, m = 2, iters = 2, coarseIters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+    val rerank = VectorQuant.ivfPqRerankTopK(emb, "vec_id", "embedding",
+        args._1, args._2, args._3, args._4, numQueries = 3, k = 10,
+        topM = 25, nprobe = 4, dim = 8, m = 2, iters = 2,
+        coarseIters = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val vecs = (0 until 300)
+      .map(i => i.toLong -> hv(i.toLong).map(_.toDouble)).toMap
+    for (q <- 0L until 3L) {
+      val cands = shortlist.filter(_._1 == q).map(_._2)
+      assert(cands.length == 25)
+      val brute = cands.map { vid =>
+        val (a, b) = (vecs(q), vecs(vid))
+        vid -> Sig.sig5(dot(a, b) /
+          (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+      }.sortBy { case (vid, c) => (-c, vid) }.take(10)
+      brute.zipWithIndex.foreach { case ((vid, c), idx) =>
+        assert(rerank((q, idx + 1L)) == ((vid, c)),
+          s"query $q rank ${idx + 1}")
+      }
+    }
+  }
+
   test("embedOutliers: a planted far-away vector is flagged above " +
       "its cell's p99; the flag equals the rounded comparison") {
     val s = spark
