@@ -129,6 +129,20 @@ object AnnScaleSmoke {
       f"adc=${clusterRecall(adc)}%.3f ivfpq=${clusterRecall(ivfpq)}%.3f " +
       f"adc_trained=${clusterRecall(adcT)}%.3f " +
       f"ivfpq_trained=${clusterRecall(ivfpqT)}%.3f")
+    // exact re-rank of the trained index's ADC top-50: the two-stage
+    // production form — the shortlist carries ADC's recall ceiling,
+    // the exact pass fixes the head ORDER (pair recall vs the exact
+    // cosine truth is the number that shows it)
+    val rerankT = timed(s"IVF-PQ trained + exact rerank (topM=50)") {
+      grab(VectorQuant.ivfPqRerankTopK(emb, "vec_id", "embedding",
+        ivfLo = q.toLong, ivfHi = q.toLong + cells,
+        pqLo = q.toLong + cells, pqHi = q.toLong + cells + pqKT,
+        numQueries = q, k = k, topM = 50, nprobe = nprobe, dim = dim,
+        m = 8, iters = 3))
+    }
+    println(f"[ann-smoke] rerank: pair=${recall(rerankT)}%.3f " +
+      f"cluster=${clusterRecall(rerankT)}%.3f " +
+      f"(vs ivfpq_trained pair=${recall(ivfpqT)}%.3f)")
     spark.stop()
   }
 }
