@@ -17,11 +17,13 @@ object SparkEntry {
     graft.queries.Core.queries ++ graft.queries.Extensions.queries ++
       graft.queries.QualityQueries.queries ++
       graft.queries.EmbedHealthQueries.queries ++
-      graft.queries.StoreQueries.queries
+      graft.queries.StoreQueries.queries ++
+      graft.queries.CorpusQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracle ++ graft.queries.Extensions.oracle ++
       graft.queries.QualityQueries.oracle ++
       graft.queries.EmbedHealthQueries.oracle ++
-      graft.queries.StoreQueries.oracle
+      graft.queries.StoreQueries.oracle ++
+      graft.queries.CorpusQueries.oracle
 }

@@ -1052,6 +1052,88 @@ object Stats {
       .orderBy("col_a", "col_b")
   }
 
+  /** Kendall's τ-b from a bins×bins joint grid — concordant/
+    * discordant pair correlation WITHOUT the O(n²) pair join exact
+    * Kendall needs and without any global sort: per column pair, one
+    * bounds aggregation + one map-side-combined cell count (the
+    * [[histogram2d]] plan), then ALL pair arithmetic runs over the
+    * O(bins²) cell frame — a self-join whose size is a constant of
+    * the grid, independent of row count. Grid τ equals exact τ-b
+    * whenever each variable takes ≤ `bins` distinct evenly-spaced
+    * values (ints, ratings, codes — Kendall's home turf, asserted by
+    * the unit test) and converges with bin refinement otherwise;
+    * within-cell pairs count as ties, which τ-b's denominator
+    * corrects for.
+    *
+    * Every pair count (concordant, discordant, tie corrections) is
+    * exact integer arithmetic — deterministic, oracle-replayable;
+    * the single division + sqrt at the end is IEEE-identical across
+    * engines. Long-overflow bound: products stay < n², so exact up
+    * to ~3·10⁹ valid rows per pair — beyond that, profile a sample
+    * (the estimate's variance is O(1/√n) anyway). */
+  def kendallGrid(df: DataFrame, pairs: Seq[(String, String)],
+      bins: Int = 20): DataFrame = {
+    val perPair = pairs.map { case (cx, cy) =>
+      val valid = df.where(
+        col(cx).isNotNull && !isnan(d(cx)) &&
+          col(cy).isNotNull && !isnan(d(cy)))
+      val mm = valid.agg(min(d(cx)), max(d(cx)), min(d(cy)), max(d(cy)))
+        .first()
+      val spark = df.sparkSession
+      import spark.implicits._
+      if (mm.isNullAt(0))
+        Seq((cx, cy, 0L, 0L, 0L, Option.empty[Double]))
+          .toDF("col_x", "col_y", "n", "concordant", "discordant",
+            "tau_b")
+      else {
+        val (mnx, mxx, mny, mxy) = (mm.getDouble(0), mm.getDouble(1),
+          mm.getDouble(2), mm.getDouble(3))
+        val wx = (mxx - mnx) / bins.toDouble
+        val wy = (mxy - mny) / bins.toDouble
+        def bin(c: String, mn: Double, w: Double): Column =
+          if (w == 0) lit(0L)
+          else least(floor((d(c) - lit(mn)) / lit(w)), lit(bins - 1L))
+            .cast("long")
+        val cells = valid
+          .select(bin(cx, mnx, wx).as("bx"), bin(cy, mny, wy).as("by"))
+          .groupBy("bx", "by").agg(count(lit(1)).as("cnt"))
+        // concordant/discordant over distinct cell pairs (bx strictly
+        // ordered, so each unordered pair contributes exactly once)
+        val cd = cells.as("a").join(cells.as("b"),
+            col("b.bx") > col("a.bx"))
+          .agg(
+            coalesce(sum(when(col("b.by") > col("a.by"),
+              col("a.cnt") * col("b.cnt"))), lit(0L)).as("conc"),
+            coalesce(sum(when(col("b.by") < col("a.by"),
+              col("a.cnt") * col("b.cnt"))), lit(0L)).as("disc"))
+        // tie corrections from the marginals: n1 = Σ tx(tx−1)/2 over
+        // x-marginal counts, n2 likewise for y — `div` keeps every
+        // count in exact integer arithmetic (Divide on longs would
+        // detour through double)
+        val n1 = cells.groupBy("bx").agg(sum("cnt").as("t"))
+          .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L))
+            .as("n1"))
+        val n2 = cells.groupBy("by").agg(sum("cnt").as("t"))
+          .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L))
+            .as("n2"))
+        val tot = cells.agg(sum("cnt").as("n"))
+        // n0 − n1 and n0 − n2 each fit a long; their PRODUCT may not
+        // — multiply the sqrts instead (IEEE-identical in any engine)
+        val n0 = expr("n * (n - 1) div 2")
+        val den = sqrt((n0 - col("n1")).cast("double")) *
+          sqrt((n0 - col("n2")).cast("double"))
+        cd.crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+          .crossJoin(broadcast(tot))
+          .select(lit(cx).as("col_x"), lit(cy).as("col_y"), col("n"),
+            col("conc").as("concordant"), col("disc").as("discordant"),
+            sig5(when(den =!= 0.0,
+              (col("conc") - col("disc")).cast("double") / den))
+              .as("tau_b"))
+      }
+    }
+    perPair.reduce(_.unionByName(_)).orderBy("col_x", "col_y")
+  }
+
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     val clean = df.na.drop(cols) // listwise deletion, mirroring reference
     val pairs = corrPairs(cols)

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Corpus, Privacy}
+
+/** Round-10 session-5 additions: corpus overlap (exact + KMV),
+  * token-budget planning, reproducible shuffle, privacy audits. */
+class CorpusPrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "source", "text")
+
+  test("kAnonymity flags small groups with 1/n risk") {
+    val df = Seq(
+      ("a", 1, "x"), ("a", 1, "y"), ("a", 1, "z"),
+      ("a", 2, "x"),
+      ("b", 1, "x"), ("b", 1, "y")
+    ).toDF("seg", "nat", "payload")
+    val out = Privacy.kAnonymity(df, Seq("seg", "nat"), k = 3L)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("a", 1, 3L, graft.det.Sig.sig5(1.0 / 3), false),
+      ("a", 2, 1L, 1.0, true),
+      ("b", 1, 2L, 0.5, true)))
+  }
+
+  test("lDiversity: homogeneous-sensitive group is flagged even when large") {
+    val df = Seq(
+      // group (a,1): 4 rows but only 1 distinct sensitive value
+      ("a", 1, 10L), ("a", 1, 10L), ("a", 1, 10L), ("a", 1, 10L),
+      // group (b,1): 3 rows, 3 distinct values
+      ("b", 1, 1L), ("b", 1, 2L), ("b", 1, 3L)
+    ).toDF("seg", "nat", "sens")
+    val out = Privacy.lDiversity(df, Seq("seg", "nat"), col("sens"), l = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.toSeq == Seq(("a", 4L, 1L, true), ("b", 3L, 3L, false)))
+  }
+
+  test("riskCurve counts groups and rows below each k") {
+    val df = (Seq.fill(5)("g1") ++ Seq.fill(2)("g2") ++ Seq("g3"))
+      .zipWithIndex.map { case (g, i) => (g, i) }.toDF("qi", "i")
+    val out = Privacy.riskCurve(df, Seq("qi"), Seq(2L, 5L, 10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // sizes: 5, 2, 1 over 8 rows
+    assert(out.toSeq == Seq(
+      (2L, 1L, 1L, graft.det.Sig.sig5(1.0 / 8)),
+      (5L, 2L, 3L, graft.det.Sig.sig5(3.0 / 8)),
+      (10L, 3L, 8L, 1.0)))
+  }
+
+  test("sourceOverlap: known gram sets, zero pairs emitted") {
+    // a: grams {p q r, q r s} ; b: {p q r, q r t} ; c: {x y z, y z w}
+    val df = docs(
+      (1L, "a", "p q r s"),
+      (2L, "b", "p q r t"),
+      (3L, "c", "x y z w"))
+    val out = Corpus.sourceOverlap(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // a∩b = {p q r} → J = 1/3; a∩c = b∩c = 0
+    assert(out.toSeq == Seq(
+      ("a", "b", 2L, 2L, 1L, graft.det.Sig.sig5(1.0 / 3)),
+      ("a", "c", 2L, 2L, 0L, 0.0),
+      ("b", "c", 2L, 2L, 0L, 0.0)))
+    // containments on the a/b pair: 1/2 each
+    val ab = Corpus.sourceOverlap(df, "source", "text")
+      .where(col("src_a") === "a" && col("src_b") === "b")
+      .select("c_a", "c_b").head()
+    assert(ab.getDouble(0) == 0.5 && ab.getDouble(1) == 0.5)
+  }
+
+  test("sourceOverlapSketch equals exact when k covers the union") {
+    // synthetic sources with controlled overlap: shared prefix docs
+    val shared = (0 until 6).map(i =>
+      (100L + i, "sA", s"common text block number $i alpha beta")) ++
+      (0 until 6).map(i =>
+        (200L + i, "sB", s"common text block number $i alpha beta"))
+    val own = Seq(
+      (300L, "sA", "only in source a entirely distinct words here"),
+      (301L, "sB", "unique to b nothing shared with anyone at all"))
+    val df = docs(shared ++ own: _*)
+    val exact = Corpus.sourceOverlap(df, "source", "text")
+      .select("src_a", "src_b", "jaccard").as[(String, String, Double)]
+      .collect().map { case (a, b, j) => ((a, b), j) }.toMap
+    val est = Corpus.sourceOverlapSketch(df, "source", "text", k = 4096)
+      .select("src_a", "src_b", "est_jaccard")
+      .as[(String, String, Double)].collect()
+    assert(est.nonEmpty)
+    est.foreach { case (a, b, e) =>
+      assert(math.abs(e - exact((a, b))) < 1e-12,
+        s"k >= |union| must make KMV exact for ($a,$b)") }
+  }
+
+  test("sourceOverlapSketch plan is window-free") {
+    val df = docs((1L, "a", "p q r s"), (2L, "b", "p q r t"))
+    val plan = Corpus.sourceOverlapSketch(df, "source", "text", k = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "sketch path must not sort partitions")
+  }
+
+  test("tokenBudget: targets, epochs and zero-weight sources") {
+    val df = docs(
+      (1L, "a", "one two three four"), // 4 tokens
+      (2L, "a", "five six"),           // 2
+      (3L, "b", "seven eight nine"))   // 3
+    val out = Corpus.tokenBudget(df, "source", "text",
+      Map("a" -> 0.75, "b" -> 0.25), budget = 12L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("a", 2L, 6L, 0.75, 9L, 1.5),
+      ("b", 1L, 3L, 0.25, 3L, 1.0)))
+    val zero = Corpus.tokenBudget(df, "source", "text",
+      Map("a" -> 1.0), budget = 10L)
+      .where(col("source") === "b").head()
+    assert(zero.getDouble(3) == 0.0 && zero.getLong(4) == 0L &&
+      zero.getDouble(5) == 0.0)
+  }
+
+  test("reproducibleShuffle: bijective, contiguous, partition-invariant") {
+    val df = (0L until 500L).toDF("id")
+    val a = Corpus.reproducibleShuffle(df, "id", shards = 8)
+    val rows = a.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every id exactly once
+    assert(rows.map(_._3).sorted.toSeq == (0L until 500L))
+    // pos contiguous from 1 within each shard
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length.toLong)) }
+    // identical coordinates regardless of input partitioning
+    val b = Corpus.reproducibleShuffle(df.repartition(13), "id", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sortBy(_._3).toSeq == b.sortBy(_._3).toSeq)
+  }
+}
