@@ -118,6 +118,14 @@ object Core {
     // |approx − exact| must stay inside the bound → oracle all-true
     "corr_spearman_approx_err" -> ((s, dir) =>
       Stats.spearmanApproxCheck(li(s, dir), floats)),
+    // Kendall τ-b from a 20×20 joint grid: concordant/discordant
+    // pair counts in exact integer arithmetic over O(bins²) cells —
+    // no O(n²) pair join, no global sort; the oracle replays the
+    // grid value-level
+    "corr_kendall" -> ((s, dir) =>
+      Stats.kendallGrid(li(s, dir), Seq(
+        ("l_quantity", "l_extendedprice"),
+        ("l_extendedprice", "l_discount")))),
     // a derived gross = price·(1+tax) column gives the rejection pass
     // a genuinely correlated pair (ρ ≈ 0.999 vs l_extendedprice), so
     // the oracle validates a NON-empty, order-dependent rejection
@@ -517,6 +525,62 @@ object Core {
       unionAll(selects) + "\nORDER BY col_a, col_b"
   }
 
+  /** Kendall τ-b grid oracle: the identical 20×20 binning as the
+    * Spark side (histogram2d arithmetic), exact-integer pair counts
+    * (`//` mirrors Spark's `div`), IEEE sqrt at the end. */
+  private def kendallPairCtes(p: String, cx: String, cy: String): String =
+    s"""${p}v AS (SELECT CAST($cx AS DOUBLE) AS x, CAST($cy AS DOUBLE) AS y
+       |  FROM $T WHERE $cx IS NOT NULL AND NOT isnan(CAST($cx AS DOUBLE))
+       |    AND $cy IS NOT NULL AND NOT isnan(CAST($cy AS DOUBLE))),
+       |${p}m AS (SELECT min(x) AS mnx, (max(x) - min(x)) / 20.0 AS wx,
+       |            min(y) AS mny, (max(y) - min(y)) / 20.0 AS wy
+       |          FROM ${p}v),
+       |${p}c AS (SELECT bx, by, count(*) AS cnt FROM (
+       |    SELECT CASE WHEN m.wx = 0 THEN 0
+       |      ELSE CAST(least(floor((x - m.mnx) / m.wx), 19) AS BIGINT)
+       |      END AS bx,
+       |      CASE WHEN m.wy = 0 THEN 0
+       |      ELSE CAST(least(floor((y - m.mny) / m.wy), 19) AS BIGINT)
+       |      END AS by
+       |    FROM ${p}v, ${p}m m) GROUP BY 1, 2),
+       |${p}cd AS (SELECT
+       |    CAST(coalesce(sum(CASE WHEN b.by > a.by
+       |      THEN a.cnt * b.cnt END), 0) AS BIGINT) AS conc,
+       |    CAST(coalesce(sum(CASE WHEN b.by < a.by
+       |      THEN a.cnt * b.cnt END), 0) AS BIGINT) AS disc
+       |  FROM ${p}c a JOIN ${p}c b ON b.bx > a.bx),
+       |${p}t1 AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0)
+       |    AS BIGINT) AS n1
+       |  FROM (SELECT sum(cnt) AS t FROM ${p}c GROUP BY bx)),
+       |${p}t2 AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0)
+       |    AS BIGINT) AS n2
+       |  FROM (SELECT sum(cnt) AS t FROM ${p}c GROUP BY by)),
+       |${p}n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM ${p}c)"""
+      .stripMargin
+
+  private def kendallPairSelect(p: String, cx: String, cy: String)
+      : String = {
+    val tau = s"(CAST(conc AS DOUBLE) - disc) / " +
+      s"(sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE)) * " +
+      s"sqrt(CAST(n * (n - 1) // 2 - n2 AS DOUBLE)))"
+    s"""SELECT '$cx' AS col_x, '$cy' AS col_y, n,
+       |  conc AS concordant, disc AS discordant,
+       |  CASE WHEN n * (n - 1) // 2 - n1 = 0
+       |         OR n * (n - 1) // 2 - n2 = 0 THEN NULL
+       |    ELSE ${sig(tau)} END AS tau_b
+       |FROM ${p}cd, ${p}t1, ${p}t2, ${p}n""".stripMargin
+  }
+
+  val corrKendallSql: String = {
+    val ps = Seq(("k0", "l_quantity", "l_extendedprice"),
+      ("k1", "l_extendedprice", "l_discount"))
+    "WITH " + ps.map { case (p, a, b) => kendallPairCtes(p, a, b) }
+      .mkString(",\n") + "\n" +
+      ps.map { case (p, a, b) => kendallPairSelect(p, a, b) }
+        .mkString("\nUNION ALL\n") +
+      "\nORDER BY col_x, col_y"
+  }
+
   val nullAssociationSql: String = {
     val ncols = Seq("l_tax", "l_discount", "l_quantity",
       "l_extendedprice")
@@ -640,6 +704,7 @@ object Core {
     "date_histogram" -> dateHistogramSql,
     "corr_matrix" -> corrMatrixSql,
     "corr_spearman" -> corrSpearmanSql,
+    "corr_kendall" -> corrKendallSql,
     "corr_spearman_approx_err" -> corrSpearmanApproxErrSql,
     "corr_reject" -> corrRejectSql,
     "sample_head" -> sampleHeadSql

@@ -121,6 +121,42 @@ class CorpusPrivacySpec extends SparkSpec {
       zero.getDouble(5) == 0.0)
   }
 
+  test("kendallGrid equals exact tau-b on integer data within grid range") {
+    // deterministic integer pairs with ties, values within 10 bins
+    val rng = new scala.util.Random(7)
+    val xs = Array.fill(400)(rng.nextInt(10).toLong)
+    val ys = xs.zipWithIndex.map { case (x, i) =>
+      if (i % 3 == 0) rng.nextInt(10).toLong else (x + rng.nextInt(3)) % 10 }
+    val df = xs.zip(ys).toSeq.toDF("x", "y")
+    // brute-force exact tau-b
+    var conc = 0L; var disc = 0L; var tx = 0L; var ty = 0L
+    for (i <- xs.indices; j <- (i + 1) until xs.length) {
+      val dx = java.lang.Long.compare(xs(i), xs(j))
+      val dy = java.lang.Long.compare(ys(i), ys(j))
+      if (dx == 0 && dy == 0) { tx += 1; ty += 1 }
+      else if (dx == 0) tx += 1
+      else if (dy == 0) ty += 1
+      else if (dx == dy) conc += 1
+      else disc += 1
+    }
+    val n0 = xs.length.toLong * (xs.length - 1) / 2
+    val exact = (conc - disc).toDouble /
+      (math.sqrt((n0 - tx).toDouble) * math.sqrt((n0 - ty).toDouble))
+    val row = graft.profiler.Stats.kendallGrid(df, Seq(("x", "y")),
+      bins = 10).head()
+    assert(row.getLong(3) == conc && row.getLong(4) == disc,
+      s"pair counts: got (${row.getLong(3)}, ${row.getLong(4)}), " +
+        s"want ($conc, $disc)")
+    assert(math.abs(row.getDouble(5) - exact) < 1e-5)
+    // perfect monotone and perfect reversal
+    val mono = (1L to 50L).map(i => (i, i * 2)).toDF("x", "y")
+    assert(graft.profiler.Stats.kendallGrid(mono, Seq(("x", "y")), 50)
+      .head().getDouble(5) == 1.0)
+    val rev = (1L to 50L).map(i => (i, 100L - i)).toDF("x", "y")
+    assert(graft.profiler.Stats.kendallGrid(rev, Seq(("x", "y")), 50)
+      .head().getDouble(5) == -1.0)
+  }
+
   test("reproducibleShuffle: bijective, contiguous, partition-invariant") {
     val df = (0L until 500L).toDF("id")
     val a = Corpus.reproducibleShuffle(df, "id", shards = 8)
