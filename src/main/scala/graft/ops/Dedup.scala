@@ -145,6 +145,38 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Asymmetric containment pairs: C(A→B) = |A∩B| / |A| per
+    * direction, kept when either direction reaches `minContain`.
+    * Catches exactly what Jaccard structurally misses — a short doc
+    * quoted inside a much longer one has J ≈ |A|/|B| ≈ 0 but
+    * C(A→B) = 1 (Broder 1997's containment measure; the gram-level
+    * form of quote/boilerplate reuse detection). Same capped shingle
+    * index, same 8-byte-hash self-join and same df-cap/star-cap
+    * scale guards as [[ngramJaccardPairs]] — only the acceptance
+    * formula differs, so the two can share one index build. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minContain: Double = 0.9,
+      maxDf: Option[Long] = None): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n, maxDf)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+        Seq("id_b"))
+      .withColumn("c_a", col("inter").cast("double") / col("sz_a"))
+      .withColumn("c_b", col("inter").cast("double") / col("sz_b"))
+      .where(greatest(col("c_a"), col("c_b")) >= minContain)
+      .select(col("id_a"), col("id_b"),
+        graft.det.Sig.sig5(col("c_a")).as("c_a"),
+        graft.det.Sig.sig5(col("c_b")).as("c_b"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** MinHash signatures: `numHashes` independent hash views via
     * seeded xxhash64; the signature entry is the min over the doc's
     * shingle set. Fully deterministic (seed folded into the hash

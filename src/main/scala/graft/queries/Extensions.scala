@@ -46,6 +46,22 @@ object Extensions {
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf))),
+    // asymmetric containment reuse: Jaccard is structurally blind to
+    // short-in-long quotes, so the fixture synthesizes them
+    // deterministically (the null_association precedent): every 17th
+    // doc contributes its 15-token prefix as a pseudo-quote doc
+    // (id + 1,000,000) — contained ≈1.0 in its parent while their
+    // Jaccard stays far below any dedup threshold
+    "dedup_containment" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val w = split(col("text"), " ")
+      val quotes = base
+        .where(col("doc_id") % 17 === 0 && size(w) >= 15)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(w, 1, 15), " ").as("text"))
+      Dedup.containmentPairs(base.unionByName(quotes), "doc_id",
+        "text", n = 3, minContain = 0.9, maxDf = Some(NgramMaxDf))
+    }),
     // block-then-verify fuzzy dedup: shingle-Jaccard blocking at 0.3,
     // Levenshtein verify at ≤ 5% of the longer text
     "dedup_fuzzy" -> ((s, dir) =>
@@ -1006,6 +1022,33 @@ object Extensions {
        |ORDER BY id_a, id_b""".stripMargin
   val dedupMinhashSql: String = ngramSql(0.8)
   val dedupSimhashSql: String = ngramSql(0.9)
+
+  /** [[graft.ops.Dedup.containmentPairs]] mirror over the quote-
+    * augmented corpus: same shingle CTE trio, containment acceptance
+    * in place of Jaccard. */
+  val dedupContainmentSql: String =
+    s"""WITH qsrc AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    array_to_string(w[1:15], ' ') AS text
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM documents)
+       |  WHERE doc_id % 17 = 0 AND len(w) >= 15),
+       |${shingleCteSql("sh", "qsrc")},
+       |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+       |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |       FROM sh a JOIN sh b
+       |         ON a.shingle = b.shingle AND a.id < b.id
+       |       GROUP BY a.id, b.id)
+       |SELECT pr.id_a, pr.id_b,
+       |  ${sig("CAST(inter AS DOUBLE) / sa.sz")} AS c_a,
+       |  ${sig("CAST(inter AS DOUBLE) / sb.sz")} AS c_b
+       |FROM pr JOIN sz sa ON sa.id = pr.id_a
+       |  JOIN sz sb ON sb.id = pr.id_b
+       |WHERE greatest(CAST(inter AS DOUBLE) / sa.sz,
+       |               CAST(inter AS DOUBLE) / sb.sz) >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Exact CROSS-side Jaccard pairs (src0 batch × catalog) at J≥0.8 —
     * the incremental-dedup ground truth, per-side df caps mirroring
@@ -3743,6 +3786,7 @@ val eventsRollupSql: String =
     "dedup_ngram" -> dedupNgramSql,
     "dedup_fuzzy" -> dedupFuzzySql,
     "dedup_minhash" -> dedupMinhashSql,
+    "dedup_containment" -> dedupContainmentSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_clusters" -> dedupClustersSql,

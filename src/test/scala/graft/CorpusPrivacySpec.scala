@@ -121,6 +121,26 @@ class CorpusPrivacySpec extends SparkSpec {
       zero.getDouble(5) == 0.0)
   }
 
+  test("containmentPairs finds the short-in-long quote Jaccard misses") {
+    val long = (1 to 60).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 12).map(i => s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val df = docs((1L, "s", long), (2L, "s", quote), (3L, "s", other))
+      .select("doc_id", "text")
+    val cont = graft.ops.Dedup.containmentPairs(df, "doc_id", "text",
+      minContain = 0.9).collect()
+    assert(cont.length == 1)
+    val r = cont.head
+    // quote (10 grams) fully inside long (58 grams): c_b = 1.0,
+    // c_a = 10/58
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getDouble(3) == 1.0)
+    assert(math.abs(r.getDouble(2) - graft.det.Sig.sig5(10.0 / 58)) < 1e-12)
+    // Jaccard at the usual 0.5 threshold is blind to this pair
+    assert(graft.ops.Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      minJaccard = 0.5).count() == 0L)
+  }
+
   test("kendallGrid equals exact tau-b on integer data within grid range") {
     // deterministic integer pairs with ties, values within 10 bins
     val rng = new scala.util.Random(7)
