@@ -566,6 +566,30 @@ object StreamProfiler {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("va"), col("vb"), col("nij"))
 
+  /** Windowed k-anonymity monitor — per event-time window, each
+    * quasi-identifier group's size and at-risk flag (the ingest-time
+    * twin of [[graft.ops.Privacy.kAnonymity]]): catches a batch
+    * whose QI groups became singletons BEFORE it lands in a
+    * releasable table. One windowed count aggregation; state =
+    * O(QI groups) counters per open window, append-mode legal. The
+    * batch operator's risk column is 1/n of the final count, so it
+    * is computed here the same way from the windowed count —
+    * per-window equality with the batch op is asserted in
+    * StreamingSpec. */
+  def windowedKAnonymity(events: DataFrame, qiCols: Seq[String],
+      k: Long, tsCol: String = "ts",
+      watermark: String = "10 minutes", windowLen: String = "1 hour")
+      : DataFrame =
+    events
+      .withColumn("__ts", eventTime(events, tsCol))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowLen) +: qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("window_start_us") +:
+        (qiCols.map(col) ++ Seq(col("n"),
+          sig5(lit(1.0) / col("n")).as("risk"),
+          (col("n") < k).as("at_risk"))): _*)
+
   /** Windowed IVF cell OCCUPANCY — per event-time window, how many
     * arriving vectors landed in each cell: the monitoring view over
     * [[ivfAssignStream]] that catches index skew (a hot cell =

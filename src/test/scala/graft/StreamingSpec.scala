@@ -626,4 +626,37 @@ class StreamingSpec extends SparkSpec {
         (1L, "B", "C", "D", 63L * min)))
     } finally q.stop()
   }
+
+  test("windowed k-anonymity matches the batch audit per window") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamProfiler
+      .windowedKAnonymity(mem.toDF(), Seq("event_type"), k = 2L,
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("kanon")
+      .outputMode("append").start()
+    try {
+      // hour 0: "a" ×2 (safe at k=2), "b" ×1 (at risk)
+      mem.addData(Ev(t(5), "a", 1.0), Ev(t(20), "a", 1.0),
+        Ev(t(30), "b", 1.0))
+      q.processAllAvailable()
+      mem.addData(Ev(t(2000), "z", 0.0)) // close hour 0
+      q.processAllAvailable()
+      val out = spark.table("kanon").where(col("window_start_us") === 0L)
+        .select("event_type", "n", "risk", "at_risk").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toSet
+      assert(out == Set(("a", 2L, 0.5, false), ("b", 1L, 1.0, true)))
+      // batch twin over the same closed-window rows
+      val batch = graft.ops.Privacy.kAnonymity(
+        Seq(("a", 1), ("a", 2), ("b", 3)).toDF("event_type", "i"),
+        Seq("event_type"), k = 2L)
+        .select("event_type", "n", "risk", "at_risk").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getBoolean(3))).toSet
+      assert(batch == out)
+    } finally q.stop()
+  }
 }
