@@ -62,6 +62,16 @@ object Extensions {
       Dedup.containmentPairs(base.unionByName(quotes), "doc_id",
         "text", n = 3, minContain = 0.9, maxDf = Some(NgramMaxDf))
     }),
+    // near-dup cluster-size distribution — the release-report view
+    // of the cluster frame ("how much of the corpus sits in 2-doc vs
+    // 50-doc duplicate families"); same canonical docClusters
+    // construction, two tiny aggregations on top
+    "dedup_cluster_stats" -> ((s, dir) =>
+      docClusters(s, dir)
+        .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_clusters"),
+          sum("size").as("n_docs"))
+        .orderBy("size")),
     // block-then-verify fuzzy dedup: shingle-Jaccard blocking at 0.3,
     // Levenshtein verify at ≤ 5% of the longer text
     "dedup_fuzzy" -> ((s, dir) =>
@@ -1130,6 +1140,15 @@ object Extensions {
   val dedupClustersSql: String =
     s"""WITH RECURSIVE $clustersCte
        |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin
+
+  val dedupClusterStatsSql: String =
+    s"""WITH RECURSIVE $clustersCte,
+       |cs AS (SELECT cluster_id, count(*) AS size FROM cl
+       |       GROUP BY cluster_id)
+       |SELECT CAST(size AS BIGINT) AS size,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(size) AS BIGINT) AS n_docs
+       |FROM cs GROUP BY size ORDER BY size""".stripMargin
 
   val dedupKeepSql: String =
     s"""WITH RECURSIVE $clustersCte,
@@ -3790,6 +3809,7 @@ val eventsRollupSql: String =
     "dedup_incremental" -> dedupIncrementalSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_cluster_stats" -> dedupClusterStatsSql,
     "dedup_keep" -> dedupKeepSql,
     "text_contamination" -> textContaminationSql,
     "sample_stratified" -> sampleStratifiedSql,
