@@ -40,6 +40,42 @@ object EventOps {
         min("value").as("min_value"), max("value").as("max_value"))
       .orderBy("window_start_us", "event_type")
 
+  /** Per-type linear trend of `value` over event time — the "which
+    * metric is drifting, how fast, and is the fit real" monitoring
+    * view (slope per hour, intercept at epoch, r²). Two-pass central
+    * computation (the corrMatrix precedent): means first (sig5-
+    * rounded so both engines center against identical literals),
+    * then one aggregation of centered cross-products — no window, no
+    * sort, two shuffles on the group key with map-side combine.
+    * Degenerate groups (constant time or <2 rows) emit NULL slope
+    * rather than ±Inf. */
+  def trendByType(df: DataFrame): DataFrame = {
+    val base = df.where(col("value").isNotNull)
+      .select(col("event_type"),
+        (tsMicros(df).cast("double") / lit(3.6e9)).as("x"), // hours
+        col("value").cast("double").as("y"))
+    val means = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sig5(avg("x")).as("mx"),
+        sig5(avg("y")).as("my"))
+    val cent = base.join(means, Seq("event_type"))
+      .groupBy("event_type")
+      .agg(first("n").as("n"), first("mx").as("mx"),
+        first("my").as("my"),
+        sum((col("x") - col("mx")) * (col("y") - col("my"))).as("sxy"),
+        sum((col("x") - col("mx")) * (col("x") - col("mx"))).as("sxx"),
+        sum((col("y") - col("my")) * (col("y") - col("my"))).as("syy"))
+    cent.select(col("event_type"), col("n"),
+        sig5(when(col("sxx") > 0, col("sxy") / col("sxx")))
+          .as("slope_per_hour"),
+        sig5(when(col("sxx") > 0,
+          col("my") - col("sxy") / col("sxx") * col("mx")))
+          .as("intercept"),
+        sig5(when(col("sxx") > 0 && col("syy") > 0,
+          col("sxy") * col("sxy") / (col("sxx") * col("syy"))))
+          .as("r2"))
+      .orderBy("event_type")
+  }
+
   /** Gap-based sessionization (30-min inactivity): lag → new-session
     * flag → running sum as session index → per-session aggregate.
     * The streaming twin uses flatMapGroupsWithState; this window-

@@ -476,6 +476,10 @@ object Extensions {
     // ---- events (streaming-equivalent batch) ----
     "events_window" -> ((s, dir) =>
       EventOps.windowedStats(t(s, dir, "events"))),
+    // per-type metric trend: slope/intercept/r² of value over event
+    // time (two-pass central fit, no sort) — "which metric drifts"
+    "events_trend" -> ((s, dir) =>
+      EventOps.trendByType(t(s, dir, "events"))),
     // per-hour facet association: Cramér's V / Theil's U between
     // event_type and the user cohort per event-time window — the
     // batch twin of StreamProfiler.windowedContingency feeding
@@ -1794,6 +1798,33 @@ object Extensions {
        |event_type, count(*) AS cnt, ${sig("avg(value)")} AS avg_value,
        |min(value) AS min_value, max(value) AS max_value
        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** [[graft.ops.EventOps.trendByType]] mirror: identical two-pass
+    * central fit — sig5-rounded means as the shared centering
+    * literals, then centered cross-product sums. */
+  val eventsTrendSql: String =
+    s"""WITH v AS (SELECT event_type,
+       |    CAST(epoch_ns(ts) // 1000 AS DOUBLE) / 3600000000.0 AS x,
+       |    CAST(value AS DOUBLE) AS y
+       |  FROM events WHERE value IS NOT NULL),
+       |m AS (SELECT event_type, count(*) AS n, ${sig("avg(x)")} AS mx,
+       |        ${sig("avg(y)")} AS my
+       |      FROM v GROUP BY 1),
+       |c AS (SELECT v.event_type, any_value(n) AS n,
+       |        any_value(mx) AS mx, any_value(my) AS my,
+       |        sum((x - mx) * (y - my)) AS sxy,
+       |        sum((x - mx) * (x - mx)) AS sxx,
+       |        sum((y - my) * (y - my)) AS syy
+       |      FROM v JOIN m ON m.event_type = v.event_type
+       |      GROUP BY v.event_type)
+       |SELECT event_type, CAST(n AS BIGINT) AS n,
+       |  CASE WHEN sxx > 0 THEN ${sig("sxy / sxx")} END
+       |    AS slope_per_hour,
+       |  CASE WHEN sxx > 0 THEN ${sig("my - sxy / sxx * mx")} END
+       |    AS intercept,
+       |  CASE WHEN sxx > 0 AND syy > 0
+       |    THEN ${sig("sxy * sxy / (sxx * syy)")} END AS r2
+       |FROM c ORDER BY event_type""".stripMargin
 
   val eventsSessionizeSql: String =
     """WITH x AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
@@ -3853,6 +3884,7 @@ val eventsRollupSql: String =
     "sample_weighted" -> sampleWeightedSql,
     "sample_split" -> sampleSplitSql,
     "events_window" -> eventsWindowSql,
+    "events_trend" -> eventsTrendSql,
     "events_window_assoc" -> eventsWindowAssocSql,
     "events_retention" -> eventsRetentionSql,
     "events_anomaly" -> eventsAnomalySql,

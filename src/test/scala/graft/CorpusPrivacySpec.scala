@@ -121,6 +121,25 @@ class CorpusPrivacySpec extends SparkSpec {
       zero.getDouble(5) == 0.0)
   }
 
+  test("trendByType recovers an exact line; degenerate groups emit NULL") {
+    import java.sql.Timestamp
+    def t(hr: Long) = new Timestamp(hr * 3600000L)
+    // "lin": y = 2·hours + 3 exactly; "flat": all at the same instant
+    val rows = (0L to 10L).map(h => (t(h), "lin", 2.0 * h + 3.0)) ++
+      Seq((t(1L), "flat", 1.0), (t(1L), "flat", 9.0))
+    val df = rows.toDF("ts", "event_type", "value")
+    val out = graft.ops.EventOps.trendByType(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val lin = out("lin")
+    assert(lin.getLong(1) == 11L)
+    assert(math.abs(lin.getDouble(2) - 2.0) < 1e-9, "slope")
+    assert(math.abs(lin.getDouble(3) - 3.0) < 1e-9, "intercept")
+    assert(lin.getDouble(4) == 1.0, "r2")
+    val flat = out("flat")
+    assert(flat.isNullAt(2) && flat.isNullAt(3) && flat.isNullAt(4),
+      "constant-time group must not emit ±Inf")
+  }
+
   test("containmentPairs finds the short-in-long quote Jaccard misses") {
     val long = (1 to 60).map(i => s"w$i").mkString(" ")
     val quote = (1 to 12).map(i => s"w$i").mkString(" ")
