@@ -185,6 +185,26 @@ object Extensions {
       Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         numQueries = 5, k = 10, centroidLo = 100L, centroidHi = 116L,
         nprobe = 4, dim = 64, iters = 2)),
+    // ANN recall as DATA: per query, |IVF top-10 ∩ brute top-10|/10
+    // — the index-quality number an operator tunes nprobe against,
+    // computed from the SAME two declared queries (literally composed
+    // so the recall view can never drift from what it audits)
+    "embed_ann_recall" -> ((s, dir) => {
+      val bf = Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", numQueries = 5, k = 10)
+      val ann = Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", numQueries = 5, k = 10, centroidLo = 100L,
+        centroidHi = 116L, nprobe = 4, dim = 64, iters = 2)
+      bf.select(col("query_id"), col("neighbor_id"))
+        .join(ann.select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(coalesce(sum("hit"), lit(0L)).as("n_common"))
+        .select(col("query_id"), col("n_common"),
+          graft.det.Sig.sig5(col("n_common").cast("double") / 10.0)
+            .as("recall10"))
+        .orderBy("query_id")
+    }),
     // margin-based bitext pair mining (Artetxe & Schwenk ratio
     // margin): even vec_ids as the source side, odd as the target —
     // cross-side cosine matrix, k-NN mean normalization on BOTH
@@ -1182,6 +1202,22 @@ object Extensions {
        |    vid AS neighbor_id, cosine FROM cos)
        |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** [[embedCosineSql]] ∩ [[embedAnnIvfSql]] per query — the recall
+    * view composes the two oracle derivations verbatim (subqueries),
+    * exactly as the Spark query composes the two operators. */
+  lazy val embedAnnRecallSql: String =
+    s"""WITH bf AS (SELECT * FROM ($embedCosineSql)),
+       |ann AS (SELECT * FROM ($embedAnnIvfSql))
+       |SELECT bf.query_id,
+       |  CAST(coalesce(sum(CASE WHEN ann.neighbor_id IS NOT NULL
+       |    THEN 1 END), 0) AS BIGINT) AS n_common,
+       |  ${sig("coalesce(sum(CASE WHEN ann.neighbor_id IS NOT NULL THEN 1 END), 0) / 10.0")}
+       |    AS recall10
+       |FROM bf LEFT JOIN ann
+       |  ON ann.query_id = bf.query_id
+       |  AND ann.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
 
   val embedAnnIvfSql: String = {
     val cosExpr = sig("dp / (na.nrm * nb.nrm)")
@@ -3851,6 +3887,7 @@ val eventsRollupSql: String =
     "embed_cosine_topk" -> embedCosineSql,
     "embed_ann_lsh" -> embedAnnLshSql,
     "embed_ann_ivf" -> embedAnnIvfSql,
+    "embed_ann_recall" -> embedAnnRecallSql,
     "embed_ivf_assign" -> embedIvfAssignSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
