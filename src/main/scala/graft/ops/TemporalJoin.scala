@@ -126,6 +126,50 @@ object TemporalJoin {
         intervalProj.map(col)): _*)
   }
 
+  /** Interval × interval overlap join via the same bucket
+    * decomposition: each side explodes its interval onto covering
+    * `bucketUs` buckets, candidates meet on bucket equality, and the
+    * true-overlap predicate (a.start < b.end ∧ b.start < a.end,
+    * strict — zero-length touching does not overlap) verifies. A
+    * pair sharing k buckets would match k times; it is kept ONLY in
+    * the first SHARED bucket (bucket == max(floor(a.start),
+    * floor(b.start)) — a map-side-decidable dedup, so no
+    * distinct/groupBy over the pair set ever runs. Output carries
+    * both projections plus the exact `overlap_us`.
+    *
+    * Scale shape: shuffle keys are (bucket), join fan-out is
+    * |intervals per bucket|² per bucket — pick bucketUs ≈ median
+    * interval length so occupancy stays O(concurrency), and the
+    * quadratic term is the TRUE concurrent-pair count the query
+    * asks for, not an artifact. `cond` prunes candidate pairs
+    * (e.g. different users only) INSIDE the join, before any
+    * materialization. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      startCol: String, endCol: String, bucketUs: Long,
+      leftProj: Seq[String], rightProj: Seq[String],
+      cond: org.apache.spark.sql.Column): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    def side(df: DataFrame, p: String, proj: Seq[String]): DataFrame =
+      df.where(col(startCol) <= col(endCol))
+        .select(proj.map(c => col(c).as(s"$p$c")) ++ Seq(
+          col(startCol).as(s"${p}start"), col(endCol).as(s"${p}end")): _*)
+        .withColumn("_bkt", explode(sequence(
+          col(s"${p}start") divide_bucket bucketUs,
+          col(s"${p}end") divide_bucket bucketUs)))
+    val a = side(left, "a_", leftProj)
+    val b = side(right, "b_", rightProj)
+    a.join(b, Seq("_bkt"))
+      .where(cond &&
+        col("a_start") < col("b_end") && col("b_start") < col("a_end") &&
+        col("_bkt") === greatest(
+          col("a_start") divide_bucket bucketUs,
+          col("b_start") divide_bucket bucketUs))
+      .select(leftProj.map(c => col(s"a_$c")) ++
+        rightProj.map(c => col(s"b_$c")) :+
+        (least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("overlap_us"): _*)
+  }
+
   /** Exact integer floor-division onto buckets (negative-safe:
     * Spark's `div` truncates toward zero, so true floor needs the
     * pmod correction for pre-epoch timestamps; pmod is non-negative

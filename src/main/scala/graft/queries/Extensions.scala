@@ -528,6 +528,23 @@ object Extensions {
     // overlapping 1h windows sliding every 30min
     "events_sliding" -> ((s, dir) =>
       EventOps.slidingWindowStats(t(s, dir, "events"))),
+    // interval × interval overlap join (concurrent sessions of
+    // DIFFERENT users): bucket decomposition + first-shared-bucket
+    // dedup — the oracle verifies with the naive pair join, so the
+    // bucketing must be result-invisible
+    "join_session_overlap" -> ((s, dir) => {
+      val sess = EventOps.sessionize(t(s, dir, "events"))
+        .where(col("user_id") < 30)
+        .select(col("user_id"), col("session_idx"),
+          col("session_start_us"), col("session_end_us"))
+      TemporalJoin.intervalOverlapJoin(sess, sess,
+        "session_start_us", "session_end_us", bucketUs = 1800000000L,
+        leftProj = Seq("user_id", "session_idx"),
+        rightProj = Seq("user_id", "session_idx"),
+        cond = col("a_user_id") < col("b_user_id"))
+        .orderBy("a_user_id", "a_session_idx", "b_user_id",
+          "b_session_idx")
+    }),
     "events_sessionize" -> ((s, dir) =>
       EventOps.sessionize(t(s, dir, "events"))),
     // first-order Markov transitions over per-user sequences: the
@@ -1862,8 +1879,10 @@ object Extensions {
        |    THEN ${sig("sxy * sxy / (sxx * syy)")} END AS r2
        |FROM c ORDER BY event_type""".stripMargin
 
-  val eventsSessionizeSql: String =
-    """WITH x AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+  /** The gap-sessionization CTE trio — ONE home shared by the
+    * sessionize oracle and the session-overlap join oracle. */
+  private val sessionCtes: String =
+    """x AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
       |f AS (SELECT user_id, event_id, us,
       |  CASE WHEN lag(us) OVER w IS NULL
       |       OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS flag
@@ -1871,11 +1890,33 @@ object Extensions {
       |s AS (SELECT user_id, us,
       |  sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-      |  FROM f)
+      |  FROM f)""".stripMargin
+
+  val eventsSessionizeSql: String =
+    s"""WITH $sessionCtes
       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
       |min(us) AS session_start_us, max(us) AS session_end_us,
       |count(*) AS n_events
       |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin
+
+  /** [[graft.ops.TemporalJoin.intervalOverlapJoin]] mirror over the
+    * same sessions: the oracle verifies with the NAIVE pair join —
+    * the bucket decomposition plus first-shared-bucket dedup must be
+    * result-invisible. Strict inequalities: zero-length touching
+    * does not overlap. */
+  val joinSessionOverlapSql: String =
+    s"""WITH $sessionCtes,
+      |g AS (SELECT user_id, session_idx, min(us) AS st, max(us) AS en
+      |      FROM s GROUP BY user_id, session_idx)
+      |SELECT a.user_id AS a_user_id,
+      |  CAST(a.session_idx AS BIGINT) AS a_session_idx,
+      |  b.user_id AS b_user_id,
+      |  CAST(b.session_idx AS BIGINT) AS b_session_idx,
+      |  least(a.en, b.en) - greatest(a.st, b.st) AS overlap_us
+      |FROM g a JOIN g b
+      |  ON a.user_id < b.user_id AND a.st < b.en AND b.st < a.en
+      |WHERE a.user_id < 30 AND b.user_id < 30
+      |ORDER BY 1, 2, 3, 4""".stripMargin
 
   /** Per-user lead() steps → (type, next_type) counts → row-normalized
     * probabilities, mirroring [[graft.ops.EventOps.transitionMatrix]]
@@ -3928,6 +3969,7 @@ val eventsRollupSql: String =
     "events_funnel" -> eventsFunnelSql,
     "events_sliding" -> eventsSlidingSql,
     "events_sessionize" -> eventsSessionizeSql,
+    "join_session_overlap" -> joinSessionOverlapSql,
     "events_markov" -> eventsMarkovSql,
     "events_seq_anomaly" -> eventsSeqAnomalySql,
     "events_markov_drift" -> eventsMarkovDriftSql,

@@ -121,6 +121,30 @@ class CorpusPrivacySpec extends SparkSpec {
       zero.getDouble(5) == 0.0)
   }
 
+  test("intervalOverlapJoin: exact pairs once each, touching excluded") {
+    val iv = Seq(
+      (1L, 0L, 10000L),   // overlaps 2 and 3
+      (2L, 5000L, 25000L), // spans 3 buckets at bucketUs=10k
+      (3L, 9999L, 10001L),
+      (4L, 10000L, 10000L), // zero-length, touches 1's end: no overlap
+      (5L, 40000L, 50000L)  // disjoint
+    ).toDF("iv_id", "s", "e")
+    val out = graft.ops.TemporalJoin.intervalOverlapJoin(
+      iv, iv, "s", "e", bucketUs = 10000L,
+      Seq("iv_id"), Seq("iv_id"),
+      col("a_iv_id") < col("b_iv_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(p => (p._1, p._2))
+    // (1,2): [5000,10000) = 5000; (1,3): [9999,10000) = 1;
+    // (2,3): [9999,10001) = 2 — each exactly once despite interval 2
+    // spanning buckets 0..2. The zero-length point 4 at 10000 TOUCHES
+    // 1's end (excluded: b.s < a.e is strict) but sits strictly
+    // INSIDE 2 and 3 (included, overlap_us 0 — a point-in-open-
+    // interval hit, same semantics as the naive predicate).
+    assert(out.toSeq == Seq((1L, 2L, 5000L), (1L, 3L, 1L),
+      (2L, 3L, 2L), (2L, 4L, 0L), (3L, 4L, 0L)))
+  }
+
   test("trendByType recovers an exact line; degenerate groups emit NULL") {
     import java.sql.Timestamp
     def t(hr: Long) = new Timestamp(hr * 3600000L)
