@@ -397,6 +397,52 @@ object TextStats {
     * stamped after the limit; unigram counts join against the ≤topK
     * head rows (broadcast), totals are 1-row broadcast crossjoins.
     * Nothing unbounded crosses one partition. */
+  /** Corpus n-gram entropy: Shannon entropy (bits) and perplexity of
+    * the unigram and bigram distributions, plus the conditional
+    * bigram entropy H(w₂|w₁) = H₂ − H₁ — the information-theoretic
+    * corpus gauges next to [[zipfFit]]: natural text sits near
+    * H(w₂|w₁) ≈ 6–8 bits; template/boilerplate-heavy corpora read
+    * far lower, random token soup reads ≈ H₁. Computed exactly from
+    * counts: H = log₂N − (Σ c·log₂c)/N, one (gram → count) hash
+    * aggregation per order + one tiny reduction over distinct grams
+    * — no sort anywhere. The conditional entropy subtracts the
+    * sig5-ROUNDED H values so both engines difference identical
+    * literals. */
+  def ngramEntropy(df: DataFrame, textCol: String): DataFrame = {
+    val d = df.where(col(textCol).isNotNull)
+      .select(tokens(col(textCol)).as("w"))
+    def gramRow(n: Int): DataFrame = {
+      val g =
+        if (n == 1) explode(col("w"))
+        else explode(when(size(col("w")) >= n, expr(
+          s"transform(sequence(1, size(w) - ${n - 1}), " +
+            s"i -> concat_ws(' ', slice(w, i, $n)))"))
+          .otherwise(array().cast("array<string>")))
+      d.select(g.as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .agg(sum("c").as("n_grams"), count(lit(1)).as("n_distinct"),
+          sum(col("c").cast("double") *
+            log(2.0, col("c").cast("double"))).as("s"))
+        .select(lit(n.toLong).as("n"), col("n_grams"),
+          col("n_distinct"),
+          sig5(log(2.0, col("n_grams").cast("double")) -
+            col("s") / col("n_grams")).as("entropy_bits"))
+    }
+    val e1 = gramRow(1)
+    val e2 = gramRow(2)
+    val r1 = e1.select(col("n"), col("n_grams"), col("n_distinct"),
+      col("entropy_bits"),
+      sig5(pow(lit(2.0), col("entropy_bits"))).as("perplexity"),
+      lit(null).cast("double").as("cond_bits"))
+    val r2 = e2.crossJoin(broadcast(
+        e1.select(col("entropy_bits").as("h1"))))
+      .select(col("n"), col("n_grams"), col("n_distinct"),
+        col("entropy_bits"),
+        sig5(pow(lit(2.0), col("entropy_bits"))).as("perplexity"),
+        sig5(col("entropy_bits") - col("h1")).as("cond_bits"))
+    r1.unionByName(r2).orderBy("n")
+  }
+
   def pmiBigrams(df: DataFrame, textCol: String, topK: Int = 20,
       minCount: Long = 5L): DataFrame = {
     import org.apache.spark.sql.expressions.Window

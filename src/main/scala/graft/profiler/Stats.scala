@@ -938,6 +938,35 @@ object Stats {
       .orderBy("col_name", "rnk")
   }
 
+  /** Join-skew advisor: for each candidate JOIN KEY column, the
+    * top-`topK` hottest values with their row share and the salt
+    * factor a salted join would need (ceil(hot-key rows /
+    * `targetRowsPerTask`)) — the pre-join planning number behind
+    * [[graft.ops.SkewJoin]]'s salting: a key with salt_factor 1
+    * needs no mitigation, a factor of 40 means the hot key alone
+    * would fill 40 tasks and the join should salt (or AQE-split) at
+    * least that wide. Same distributed top-k shape as [[freq]]
+    * (WindowGroupLimit-pushed heads), plus one tiny per-column
+    * total aggregate. */
+  def skewAdvisor(df: DataFrame, cols: Seq[String], topK: Int = 5,
+      targetRowsPerTask: Long = 5000000L): DataFrame = {
+    require(targetRowsPerTask > 0, "targetRowsPerTask must be positive")
+    val hot = freq(df, cols, topK).where(col("value") =!= "__other__")
+    val totalsRow = df.agg(
+      count(col(cols.head)).as(cols.head),
+      cols.tail.map(c => count(col(c)).as(c)): _*)
+    val totals = totalsRow.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).as("total"))): _*)).as("s"))
+      .select(col("s.col_name"), col("s.total"))
+    hot.join(totals, Seq("col_name"))
+      .select(col("col_name"), col("rnk"), col("value"), col("cnt"),
+        sig5(col("cnt").cast("double") / col("total")).as("share"),
+        greatest(lit(1L),
+          ceil(col("cnt").cast("double") / targetRowsPerTask)
+            .cast("long")).as("salt_factor"))
+      .orderBy("col_name", "rnk")
+  }
+
   /** Date-column histogram (DT1 extension): `bins` equal-width
     * buckets over the column as exact epoch MICROSECONDS — the
     * mini-histogram pandas-profiling 1.x renders for date columns,

@@ -99,6 +99,12 @@ object Core {
     "cat_freq_other" -> ((s, dir) =>
       Stats.freq(s.read.parquet(s"$dir/part.parquet"),
         Seq("p_brand", "p_type"))),
+    // pre-join skew planning: hottest values per candidate join key
+    // with the salt factor a salted join needs at the given task
+    // target — freq's distributed top-k shape + one total aggregate
+    "join_skew_advisor" -> ((s, dir) =>
+      Stats.skewAdvisor(li(s, dir), Seq("l_returnflag", "l_suppkey"),
+        topK = 5, targetRowsPerTask = 1000L)),
     "date_minmax" -> ((s, dir) => Stats.dateMinMax(li(s, dir), dates)),
     // date mini-histogram (pandas-profiling 1.x renders one for DATE
     // columns; the canonical describe_date_1d kept only min/max):
@@ -417,6 +423,23 @@ object Core {
     unionAll(parts) + "\nORDER BY col_name, rnk"
   }
 
+  val joinSkewAdvisorSql: String = {
+    val parts = Seq("l_returnflag", "l_suppkey").map { c =>
+      s"""SELECT * FROM (
+         |  SELECT '$c' AS col_name,
+         |  CAST(row_number() OVER (ORDER BY count(*) DESC,
+         |    CAST($c AS VARCHAR) ASC) AS BIGINT) AS rnk,
+         |  CAST($c AS VARCHAR) AS value, count(*) AS cnt,
+         |  ${sig(s"count(*) * 1.0 / (SELECT count($c) FROM $T)")}
+         |    AS share,
+         |  CAST(greatest(1, ceil(count(*) * 1.0 / 1000)) AS BIGINT)
+         |    AS salt_factor
+         |  FROM $T WHERE $c IS NOT NULL GROUP BY $c)
+         |WHERE rnk <= 5""".stripMargin
+    }
+    unionAll(parts) + "\nORDER BY col_name, rnk"
+  }
+
   val catFreqOtherSql: String = {
     val parts = Seq("p_brand", "p_type").map { c =>
       s"""SELECT * FROM (
@@ -699,6 +722,7 @@ object Core {
     "cat_freq" -> catFreqSql,
     "col_patterns" -> colPatternsSql,
     "cat_freq_other" -> catFreqOtherSql,
+    "join_skew_advisor" -> joinSkewAdvisorSql,
     "table_kinds" -> tableKindsSql,
     "date_minmax" -> dateMinMaxSql,
     "date_histogram" -> dateHistogramSql,

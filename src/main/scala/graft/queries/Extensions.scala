@@ -500,6 +500,10 @@ object Extensions {
     // time (two-pass central fit, no sort) — "which metric drifts"
     "events_trend" -> ((s, dir) =>
       EventOps.trendByType(t(s, dir, "events"))),
+    // corpus information content: unigram/bigram Shannon entropy,
+    // perplexity, conditional H(w2|w1) — exact from counts, no sort
+    "text_ngram_entropy" -> ((s, dir) =>
+      TextStats.ngramEntropy(t(s, dir, "documents"), "text")),
     // per-hour facet association: Cramér's V / Theil's U between
     // event_type and the user cohort per event-time window — the
     // batch twin of StreamProfiler.windowedContingency feeding
@@ -1891,6 +1895,42 @@ object Extensions {
       |  sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
       |  FROM f)""".stripMargin
+
+  /** [[graft.ops.TextStats.ngramEntropy]] mirror: same counts, same
+    * H = log₂N − Σc·log₂c/N, conditional entropy differenced over
+    * the sig5-rounded H literals. */
+  val textNgramEntropySql: String =
+    s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents
+       |           WHERE text IS NOT NULL),
+       |uc AS (SELECT g, count(*) AS c FROM
+       |        (SELECT unnest(w) AS g FROM w) GROUP BY g),
+       |e1 AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
+       |         CAST(count(*) AS BIGINT) AS nd,
+       |         sum(c * log2(c)) AS s FROM uc),
+       |bc AS (SELECT g, count(*) AS c FROM
+       |        (SELECT unnest(list_transform(range(1, len(w)),
+       |           i -> w[i] || ' ' || w[i+1])) AS g FROM w)
+       |       GROUP BY g),
+       |e2 AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
+       |         CAST(count(*) AS BIGINT) AS nd,
+       |         sum(c * log2(c)) AS s FROM bc),
+       |h1 AS (SELECT CAST(1 AS BIGINT) AS n, tot AS n_grams,
+       |         nd AS n_distinct,
+       |         ${sig("log2(CAST(tot AS DOUBLE)) - s / CAST(tot AS DOUBLE)")}
+       |           AS entropy_bits FROM e1),
+       |h2 AS (SELECT CAST(2 AS BIGINT) AS n, tot AS n_grams,
+       |         nd AS n_distinct,
+       |         ${sig("log2(CAST(tot AS DOUBLE)) - s / CAST(tot AS DOUBLE)")}
+       |           AS entropy_bits FROM e2)
+       |SELECT n, n_grams, n_distinct, entropy_bits,
+       |  ${sig("pow(2.0, entropy_bits)")} AS perplexity,
+       |  CAST(NULL AS DOUBLE) AS cond_bits FROM h1
+       |UNION ALL
+       |SELECT h2.n, h2.n_grams, h2.n_distinct, h2.entropy_bits,
+       |  ${sig("pow(2.0, h2.entropy_bits)")} AS perplexity,
+       |  ${sig("h2.entropy_bits - h1.entropy_bits")} AS cond_bits
+       |FROM h2, h1
+       |ORDER BY n""".stripMargin
 
   val eventsSessionizeSql: String =
     s"""WITH $sessionCtes
@@ -3963,6 +4003,7 @@ val eventsRollupSql: String =
     "sample_split" -> sampleSplitSql,
     "events_window" -> eventsWindowSql,
     "events_trend" -> eventsTrendSql,
+    "text_ngram_entropy" -> textNgramEntropySql,
     "events_window_assoc" -> eventsWindowAssocSql,
     "events_retention" -> eventsRetentionSql,
     "events_anomaly" -> eventsAnomalySql,

@@ -121,6 +121,41 @@ class CorpusPrivacySpec extends SparkSpec {
       zero.getDouble(5) == 0.0)
   }
 
+  test("skewAdvisor: hot-key shares and salt factors") {
+    val df = (Seq.fill(90)("hot") ++ (1 to 10).map(i => s"cold$i"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "i")
+    val out = graft.profiler.Stats.skewAdvisor(df, Seq("k"), topK = 2,
+      targetRowsPerTask = 40L).collect()
+    assert(out.length == 2)
+    val top = out.head
+    assert(top.getString(2) == "hot" && top.getLong(3) == 90L)
+    assert(top.getDouble(4) == 0.9)
+    assert(top.getLong(5) == 3L, "ceil(90/40) = 3 tasks worth of salt")
+    assert(out(1).getLong(5) == 1L, "cold keys need no salt")
+  }
+
+  test("ngramEntropy: uniform corpus hits log2(k) exactly; " +
+      "degenerate corpus reads zero") {
+    // 4 equally frequent tokens → H1 = 2 bits, perplexity 4;
+    // all bigrams distinct once each within docs
+    val uni = Seq("a b", "c d", "a b", "c d").toDF("text")
+    val e = graft.ops.TextStats.ngramEntropy(uni, "text").collect()
+    val u = e.find(_.getLong(0) == 1L).get
+    assert(u.getLong(1) == 8L && u.getLong(2) == 4L)
+    assert(u.getDouble(3) == 2.0 && u.getDouble(4) == 4.0)
+    val b = e.find(_.getLong(0) == 2L).get
+    // bigrams: "a b" ×2, "c d" ×2 → H2 = 1 bit; H(w2|w1) = 1−2 = −1?
+    // no — bigram N = 4, two distinct each ×2 → H2 = 1.0
+    assert(b.getLong(1) == 4L && b.getLong(2) == 2L)
+    assert(b.getDouble(3) == 1.0)
+    assert(b.getDouble(5) == -1.0, "cond = H2 - H1")
+    // single repeated token: zero entropy, perplexity 1
+    val mono = Seq("x x x x x").toDF("text")
+    val m = graft.ops.TextStats.ngramEntropy(mono, "text")
+      .where(col("n") === 1L).head()
+    assert(m.getDouble(3) == 0.0 && m.getDouble(4) == 1.0)
+  }
+
   test("intervalOverlapJoin: exact pairs once each, touching excluded") {
     val iv = Seq(
       (1L, 0L, 10000L),   // overlaps 2 and 3
