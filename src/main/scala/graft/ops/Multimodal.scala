@@ -3,7 +3,7 @@ package graft.ops
 import java.io.ByteArrayOutputStream
 import java.util.zip.CRC32
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column support: image/audio/video payloads ride as opaque
@@ -393,6 +393,44 @@ object Multimodal {
     hashes.join(groups, Seq("phash"))
       .select(col("doc_id"), col("phash"), col("n_same"))
       .orderBy("doc_id")
+  }
+
+  /** Banded Hamming near-dup pairs over perceptual hashes — the
+    * image twin of SimHash dedup: the 56-bit dHash splits into 4
+    * 14-bit bands; by pigeonhole any pair within Hamming distance 3
+    * agrees on at least one band, so band-equality joins are a
+    * RECALL-COMPLETE candidate generator at maxDist ≤ 3 and the
+    * bit_count(xor) verify is exact. A pair agreeing on several
+    * bands is kept only at its FIRST agreeing band (decidable from
+    * the two hashes post-join — no distinct over the pair set). Scale
+    * shape: explode ×4, shuffle on the 2-byte band value, per-band
+    * buckets are the candidate sets; identical-image clusters (the
+    * common case) cost |cluster|² pairs per band bucket, the true
+    * answer size. */
+  def phashNearDupPairs(hashes: DataFrame, idCol: String,
+      hashCol: String, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band pigeonhole guarantees recall only to 3")
+    def band(h: Column, i: Int): Column =
+      shiftrightunsigned(h, i * 14) bitwiseAND lit(16383L)
+    val ex = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .select(col("id"), col("h"),
+        explode(typedLit(List(0, 1, 2, 3))).as("bi"))
+      .withColumn("bv",
+        element_at(array((0 until 4).map(i => band(col("h"), i)): _*),
+          col("bi") + 1))
+    val firstAgree = (0 until 4).map { i =>
+      when(lit(i) < col("a.bi"),
+        band(col("a.h"), i) =!= band(col("b.h"), i)).otherwise(lit(true))
+    }.reduce(_ && _)
+    ex.as("a").join(ex.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .where(bit_count(col("a.h").bitwiseXOR(col("b.h"))) <= maxDist &&
+        firstAgree)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long")
+          .as("hamming"))
+      .orderBy("id_a", "id_b")
   }
 
   /** Raster-image fixture column for the declared phash query: a

@@ -701,6 +701,18 @@ object Extensions {
       Multimodal.imagePhash(
         Multimodal.synthRasterMedia(t(s, dir, "documents"), "doc_id"),
         "doc_id", "payload")),
+    // image near-dup pairs: 4-band pigeonhole over the 56-bit dHash
+    // (recall-complete at Hamming ≤ 3), exact bit_count verify,
+    // first-agreeing-band dedup — the oracle is the NAIVE all-pairs
+    // Hamming join, so the banding must be result-invisible
+    "multimodal_near_dup" -> ((s, dir) =>
+      Multimodal.phashNearDupPairs(
+        Multimodal.imagePhash(
+          Multimodal.synthRasterMedia(
+            t(s, dir, "documents").where(col("doc_id") < 100),
+            "doc_id"),
+          "doc_id", "payload"),
+        "doc_id", "phash", maxDist = 3)),
     // vocabulary-mix drift: PSI/TVD over the TOKEN distribution of
     // the two slices — the "did the crawl's language change" check
     // one level below the lang column; reuses categoricalDrift with
@@ -1633,9 +1645,12 @@ object Extensions {
     * iff the right neighbor is brighter. The Spark side hashes
     * pixels obtained by inflating and unfiltering real PNG bytes, so
     * agreement checks the whole decode chain. All-integer — exact. */
-  val multimodalPhashSql: String =
-    s"""WITH ids AS (SELECT doc_id, (doc_id % 7) * 41 AS seed
-       |  FROM documents),
+  /** The dHash-from-pixel-formula CTE chain (ids→g→l→hsh), shared by
+    * the phash profile oracle and the near-dup pair oracle. `pred`
+    * filters the doc population. */
+  private def phashCtes(pred: String): String =
+    s"""ids AS (SELECT doc_id, (doc_id % 7) * 41 AS seed
+       |  FROM documents WHERE $pred),
        |g AS (SELECT doc_id, seed, x, y,
        |    (x * 16) // 9 AS sx, ((x + 1) * 16) // 9 AS sx1,
        |    (y * 12) // 7 AS sy
@@ -1651,11 +1666,26 @@ object Extensions {
        |hsh AS (SELECT doc_id, bit_or(CASE WHEN l1 > l0
        |    THEN 1::BIGINT << CAST(y * 8 + x AS INTEGER)
        |    ELSE 0::BIGINT END) AS phash
-       |  FROM l GROUP BY doc_id),
+       |  FROM l GROUP BY doc_id)""".stripMargin
+
+  val multimodalPhashSql: String =
+    s"""WITH ${phashCtes("TRUE")},
        |grp AS (SELECT phash, count(*) AS n_same FROM hsh GROUP BY phash)
        |SELECT hsh.doc_id, hsh.phash, grp.n_same
        |FROM hsh JOIN grp ON grp.phash = hsh.phash
        |ORDER BY doc_id""".stripMargin
+
+  /** [[graft.ops.Multimodal.phashNearDupPairs]] mirror: the NAIVE
+    * all-pairs Hamming join — the 4-band pigeonhole candidate
+    * generation plus first-agreeing-band dedup must be
+    * result-invisible at maxDist ≤ 3. */
+  val multimodalNearDupSql: String =
+    s"""WITH ${phashCtes("doc_id < 100")}
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
 
   val multimodalFramesSql: String =
     """WITH nf AS (SELECT doc_id,
@@ -3996,6 +4026,7 @@ val eventsRollupSql: String =
     "multimodal_meta" -> multimodalMetaSql,
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_phash" -> multimodalPhashSql,
+    "multimodal_near_dup" -> multimodalNearDupSql,
     "join_asof" -> joinAsofSql,
     "join_range" -> joinRangeSql,
     "events_features" -> eventsFeaturesSql,

@@ -121,6 +121,25 @@ class CorpusPrivacySpec extends SparkSpec {
       zero.getDouble(5) == 0.0)
   }
 
+  test("phashNearDupPairs: banded recall complete at hamming<=3, once each") {
+    val base = 0x00F0F0F0F0F0F0L
+    val hashes = Seq(
+      (1L, base),
+      (2L, base ^ 0x7L),          // hamming 3 (one band differs)
+      (3L, base ^ 0x0FL),         // hamming 4: excluded despite 3 shared bands
+      (4L, base),                 // identical to 1
+      (5L, base ^ (1L << 55))     // hamming 1 in the TOP band
+    ).toDF("id", "h")
+    val out = graft.ops.Multimodal.phashNearDupPairs(hashes, "id", "h",
+      maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // d(1,2)=3, d(1,4)=0, d(1,5)=1, d(2,3)=1 (0x7^0xF=0x8),
+    // d(2,4)=3, d(4,5)=1; excluded: d(1,3)=4, d(2,5)=4, d(3,4)=4,
+    // d(3,5)=5 — each pair exactly once despite multiple shared bands
+    assert(out.toSeq == Seq((1L, 2L, 3L), (1L, 4L, 0L), (1L, 5L, 1L),
+      (2L, 3L, 1L), (2L, 4L, 3L), (4L, 5L, 1L)))
+  }
+
   test("skewAdvisor: hot-key shares and salt factors") {
     val df = (Seq.fill(90)("hot") ++ (1 to 10).map(i => s"cold$i"))
       .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "i")
