@@ -133,6 +133,27 @@ object HtmlReport {
          |class="heatmap">${rects.mkString}</svg></div>""".stripMargin
     }
 
+  /** Privacy-audit section: the [[graft.ops.Privacy.riskCurve]]
+    * output (k, groups_at_risk, rows_at_risk, share_at_risk) plus
+    * the headline smallest-group size — "what would a k-anonymous
+    * release of this table cost". Empty input renders nothing. */
+  def privacySection(minGroup: Long,
+      curve: Seq[(Long, Long, Long, Double)]): String =
+    if (curve.isEmpty) ""
+    else {
+      val cls = if (minGroup >= curve.map(_._1).min) "qc-pass"
+        else "qc-fail"
+      val rows = curve.map { case (k, g, r, s) =>
+        s"<tr><td>$k</td><td>$g</td><td>$r</td>" +
+          s"<td>${fmtPercent(s)}</td></tr>"
+      }
+      s"""<div class="card $cls"><h2>Privacy audit
+         |(smallest QI group: $minGroup)</h2><table class="freq">
+         |<tr><th>k</th><th>groups&lt;k</th><th>rows&lt;k</th>
+         |<th>share at risk</th></tr>
+         |${rows.mkString("\n")}</table></div>""".stripMargin
+    }
+
   /** Metric-history anomaly section:
     * [[graft.profiler.ProfileStore.metricAnomaly]] output rows
     * (part, col_name, metric, z, anomalous) — "which ingest day
@@ -167,7 +188,9 @@ object HtmlReport {
       heatmap: Seq[(Long, Long, Long)] = Seq.empty,
       heatmapLabels: (String, String) = ("x", "y"),
       anomalies: Seq[(String, String, Double, Option[Double], Long)] =
-        Seq.empty): String = {
+        Seq.empty,
+      privacy: Seq[(Long, Long, Long, Double)] = Seq.empty,
+      privacyMinGroup: Long = 0L): String = {
     val size =
       if (p.sizeBytes <= 0) Seq.empty
       else Seq(
@@ -228,6 +251,7 @@ object HtmlReport {
        |$overview
        |$warnings
        |${qualitySection(quality)}
+       |${privacySection(privacyMinGroup, privacy)}
        |${anomalySection(anomalies)}
        |${heatmapSection(heatmap, heatmapLabels._1, heatmapLabels._2)}
        |$assocHtml

@@ -116,4 +116,26 @@ class ReportSpec extends SparkSpec {
     assert(!plain.contains("Joint histogram") &&
       !plain.contains("Ingest history"))
   }
+
+  test("privacy section renders the risk curve from real audit rows") {
+    val sql = spark
+    import sql.implicits._
+    val cust = spark.read
+      .parquet("/root/testdata/sf0.001/customer.parquet")
+    val curve = graft.ops.Privacy.riskCurve(cust,
+      Seq("c_mktsegment", "c_nationkey"), Seq(2L, 10L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val minGroup = graft.ops.Privacy.kAnonymity(cust,
+      Seq("c_mktsegment", "c_nationkey"), 10L)
+      .agg(org.apache.spark.sql.functions.min("n")).head().getLong(0)
+    val p = graft.profiler.TableProfile(1, 1, 0, 0.0, Seq.empty,
+      Seq.empty, Seq.empty)
+    val html = graft.report.HtmlReport.render(p,
+      privacy = curve, privacyMinGroup = minGroup)
+    assert(html.contains("Privacy audit"))
+    assert(html.contains(s"smallest QI group: $minGroup"))
+    assert(html.contains("share at risk"))
+    assert(!graft.report.HtmlReport.render(p).contains("Privacy audit"))
+  }
 }
