@@ -59,6 +59,21 @@ object Privacy {
       .orderBy(qiCols.map(col): _*)
   }
 
+  /** The actionable half of [[kAnonymity]]: the k-anonymized release
+    * itself — rows whose QI group has ≥ k members (suppression; the
+    * generalization path is the caller coarsening a QI column first,
+    * e.g. bucketing age, and re-running). One aggregation on the QI
+    * tuple broadcast/shuffle-joined back — row order and all other
+    * columns preserved. */
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Long)
+      : DataFrame = {
+    val safe = df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= k)
+      .drop("__n")
+    df.join(safe, qiCols, "left_semi")
+  }
+
   /** Suppression-risk curve: for each candidate k, how many QI
     * groups and how many ROWS sit below it — i.e. what a k-anonymous
     * release would have to suppress (or generalize away) at that k.

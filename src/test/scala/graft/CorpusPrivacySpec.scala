@@ -39,6 +39,24 @@ class CorpusPrivacySpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 4L, 1L, true), ("b", 3L, 3L, false)))
   }
 
+  test("kAnonymize keeps exactly the rows the audit marks safe") {
+    val df = Seq(
+      ("a", 1, "r1"), ("a", 1, "r2"), ("a", 1, "r3"),
+      ("a", 2, "r4"),
+      ("b", 1, "r5"), ("b", 1, "r6")
+    ).toDF("seg", "nat", "payload")
+    val out = Privacy.kAnonymize(df, Seq("seg", "nat"), k = 2L)
+    assert(out.columns.toSeq == df.columns.toSeq,
+      "all columns preserved")
+    assert(out.select("payload").as[String].collect().sorted.toSeq ==
+      Seq("r1", "r2", "r3", "r5", "r6"), "only the singleton dropped")
+    // consistency with the audit: kept rows = rows NOT at_risk
+    val safeRows = Privacy.kAnonymity(df, Seq("seg", "nat"), 2L)
+      .where(!col("at_risk"))
+      .agg(sum("n")).head().getLong(0)
+    assert(out.count() == safeRows)
+  }
+
   test("riskCurve counts groups and rows below each k") {
     val df = (Seq.fill(5)("g1") ++ Seq.fill(2)("g2") ++ Seq("g3"))
       .zipWithIndex.map { case (g, i) => (g, i) }.toDF("qi", "i")
