@@ -77,6 +77,47 @@ object OverlapScaleSmoke {
       println(s"[overlap-smoke] shuffle shards materialized: $cnt")
     }
 
+    if (phases("kendall")) {
+      // 100M correlated pairs: y = x + uniform noise via MINSTD
+      val m = 100000000L
+      val df = spark.range(m).select(
+        (col("id") % 100000L).cast("double").as("x"),
+        ((col("id") % 100000L) +
+          graft.ops.Sampling.minstdMille(col("id")) * 50L)
+          .cast("double").as("y"))
+      val r = timed(s"kendallGrid $m rows (20x20 grid)") {
+        graft.profiler.Stats.kendallGrid(df, Seq(("x", "y"))).head()
+      }
+      println(s"[overlap-smoke] tau_b = ${r.getDouble(5)} over n=" +
+        s"${r.getLong(2)}")
+    }
+
+    if (phases("entropy")) {
+      // 100M docs of 4 tokens each (~400M tokens), Zipf-ish ids
+      val m = 100000000L
+      val df = spark.range(m).select(
+        concat(lit("w"), pmod(col("id") * col("id"), lit(50000L)),
+          lit(" v"), pmod(col("id"), lit(997L)),
+          lit(" u"), pmod(col("id"), lit(31L)),
+          lit(" t"), pmod(col("id"), lit(7L))).as("text"))
+      val e = timed(s"ngramEntropy $m docs (~${4 * m} tokens)") {
+        graft.ops.TextStats.ngramEntropy(df, "text").collect()
+      }
+      e.foreach(r => println(s"[overlap-smoke] n=${r.getLong(0)} " +
+        s"H=${r.getDouble(3)} bits over ${r.getLong(1)} grams"))
+    }
+
+    if (phases("kanon")) {
+      val m = 100000000L
+      val df = spark.range(m).select(col("id"),
+        (col("id") % 1000000L).as("qa"),
+        when(col("id") % 97 === 0, col("id")).otherwise(0L).as("qb"))
+      val kept = timed(s"kAnonymize $m rows at k=10") {
+        Privacy.kAnonymize(df, Seq("qa", "qb"), 10L).count()
+      }
+      println(s"[overlap-smoke] kept $kept of $m rows")
+    }
+
     if (phases("privacy")) {
       val m = 100000000L
       // ~1M QI groups of ~100 rows with a long singleton tail
