@@ -231,6 +231,27 @@ object TextStats {
       .orderBy("source")
   }
 
+  /** Two-level corpus composition: the (source × lang) datasheet —
+    * docs, tokens, and each cell's share WITHIN its source (the
+    * "what is src7 made of" view [[manifest]]'s one-level rows
+    * can't answer). One aggregation on the pair key + a broadcast of
+    * the O(sources) totals. */
+  def composition(df: DataFrame, srcCol: String, subCol: String,
+      textCol: String): DataFrame = {
+    val cells = df.groupBy(col(srcCol).as("source"),
+        col(subCol).as("sub"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol))).cast("long")).as("n_tokens"))
+    val totals = cells.groupBy("source")
+      .agg(sum("n_docs").as("src_docs"))
+    cells.join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("sub"), col("n_docs"),
+        col("n_tokens"),
+        sig5(col("n_docs").cast("double") / col("src_docs"))
+          .as("share_in_source"))
+      .orderBy("source", "sub")
+  }
+
   /** Top adjacent character-pair frequencies within tokens — the
     * counting pass of BPE tokenizer training (Sennrich et al. 2016):
     * the first merge rule is exactly the head of this list, and each
@@ -408,26 +429,34 @@ object TextStats {
     * — no sort anywhere. The conditional entropy subtracts the
     * sig5-ROUNDED H values so both engines difference identical
     * literals. */
-  def ngramEntropy(df: DataFrame, textCol: String): DataFrame = {
-    val d = df.where(col(textCol).isNotNull)
+  /** One-row gram-entropy frame (n, n_grams, n_distinct,
+    * entropy_bits) over a tokenized frame with a `w` array column —
+    * the shared core of [[ngramEntropy]] and [[entropyDrift]]. */
+  private def gramEntropyRow(d: DataFrame, n: Int): DataFrame = {
+    val g =
+      if (n == 1) explode(col("w"))
+      else explode(when(size(col("w")) >= n, expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $n)))"))
+        .otherwise(array().cast("array<string>")))
+    d.select(g.as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .agg(sum("c").as("n_grams"), count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") *
+          log(2.0, col("c").cast("double"))).as("s"))
+      .select(lit(n.toLong).as("n"), col("n_grams"),
+        col("n_distinct"),
+        sig5(log(2.0, col("n_grams").cast("double")) -
+          col("s") / col("n_grams")).as("entropy_bits"))
+  }
+
+  private def tokenized(df: DataFrame, textCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
       .select(tokens(col(textCol)).as("w"))
-    def gramRow(n: Int): DataFrame = {
-      val g =
-        if (n == 1) explode(col("w"))
-        else explode(when(size(col("w")) >= n, expr(
-          s"transform(sequence(1, size(w) - ${n - 1}), " +
-            s"i -> concat_ws(' ', slice(w, i, $n)))"))
-          .otherwise(array().cast("array<string>")))
-      d.select(g.as("g"))
-        .groupBy("g").agg(count(lit(1)).as("c"))
-        .agg(sum("c").as("n_grams"), count(lit(1)).as("n_distinct"),
-          sum(col("c").cast("double") *
-            log(2.0, col("c").cast("double"))).as("s"))
-        .select(lit(n.toLong).as("n"), col("n_grams"),
-          col("n_distinct"),
-          sig5(log(2.0, col("n_grams").cast("double")) -
-            col("s") / col("n_grams")).as("entropy_bits"))
-    }
+
+  def ngramEntropy(df: DataFrame, textCol: String): DataFrame = {
+    val d = tokenized(df, textCol)
+    def gramRow(n: Int): DataFrame = gramEntropyRow(d, n)
     val e1 = gramRow(1)
     val e2 = gramRow(2)
     val r1 = e1.select(col("n"), col("n_grams"), col("n_distinct"),
@@ -441,6 +470,26 @@ object TextStats {
         sig5(pow(lit(2.0), col("entropy_bits"))).as("perplexity"),
         sig5(col("entropy_bits") - col("h1")).as("cond_bits"))
     r1.unionByName(r2).orderBy("n")
+  }
+
+  /** Token-entropy drift between a reference and a current slice —
+    * "did the corpus's information content move": a template flood
+    * or a language-mix shift moves H by whole bits while count-based
+    * drift can stay flat. One count aggregation per side; the delta
+    * differences the sig5-rounded H literals (the events_trend
+    * centering contract). */
+  def entropyDrift(ref: DataFrame, cur: DataFrame, textCol: String)
+      : DataFrame = {
+    val hr = gramEntropyRow(tokenized(ref, textCol), 1)
+      .select(col("n_grams").as("n_tokens_ref"),
+        col("entropy_bits").as("h_ref"))
+    val hc = gramEntropyRow(tokenized(cur, textCol), 1)
+      .select(col("n_grams").as("n_tokens_cur"),
+        col("entropy_bits").as("h_cur"))
+    hr.crossJoin(broadcast(hc))
+      .select(col("n_tokens_ref"), col("n_tokens_cur"),
+        col("h_ref"), col("h_cur"),
+        sig5(col("h_cur") - col("h_ref")).as("delta_bits"))
   }
 
   def pmiBigrams(df: DataFrame, textCol: String, topK: Int = 20,

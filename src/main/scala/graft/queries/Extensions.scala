@@ -504,6 +504,15 @@ object Extensions {
     // perplexity, conditional H(w2|w1) — exact from counts, no sort
     "text_ngram_entropy" -> ((s, dir) =>
       TextStats.ngramEntropy(t(s, dir, "documents"), "text")),
+    // information-content drift between the even/odd doc slices —
+    // moves when a template flood or language-mix shift hits, even
+    // if per-value count drift stays flat
+    "drift_entropy" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextStats.entropyDrift(
+        d.where(col("doc_id") % 2 === 0),
+        d.where(col("doc_id") % 2 === 1), "text")
+    }),
     // per-hour facet association: Cramér's V / Theil's U between
     // event_type and the user cohort per event-time window — the
     // batch twin of StreamProfiler.windowedContingency feeding
@@ -733,6 +742,10 @@ object Extensions {
     // per-source corpus manifest (the training-data datasheet)
     "corpus_manifest" -> ((s, dir) =>
       TextStats.manifest(t(s, dir, "documents"), "source", "text")),
+    // the two-level datasheet: what each source is made of by lang
+    "corpus_composition" -> ((s, dir) =>
+      TextStats.composition(t(s, dir, "documents"), "source", "lang",
+        "text")),
     // schema-quality audit: key/FD claims with violation counts —
     // o_orderkey IS the table key (holds), o_custkey does not
     // determine status (fails, counted)
@@ -890,6 +903,28 @@ object Extensions {
         "vec_id", "embedding", ivfLo = 100L, ivfHi = 116L,
         pqLo = 120L, pqHi = 152L, numQueries = 5, k = 10,
         nprobe = 4, dim = 64, m = 8, iters = 2, coarseIters = 2)),
+    // PQ recall as DATA (the twin of embed_ann_recall for the
+    // quantized index): ADC top-10 ∩ exact top-10 per query over the
+    // same subset — the number that says the codebook size, not
+    // nprobe, is the quality knob (BASELINE r9/r10 frontier)
+    "embed_pq_recall" -> ((s, dir) => {
+      val sub = t(s, dir, "embeddings").where(col("vec_id") < 2000L)
+      val bf = Similarity.cosineTopK(sub, "vec_id", "embedding",
+        numQueries = 5, k = 10)
+      val pq = VectorQuant.ivfPqTopK(sub, "vec_id", "embedding",
+        ivfLo = 100L, ivfHi = 116L, pqLo = 120L, pqHi = 152L,
+        numQueries = 5, k = 10, nprobe = 4, dim = 64, m = 8,
+        iters = 2, coarseIters = 2)
+      bf.select(col("query_id"), col("neighbor_id"))
+        .join(pq.select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(coalesce(sum("hit"), lit(0L)).as("n_common"))
+        .select(col("query_id"), col("n_common"),
+          graft.det.Sig.sig5(col("n_common").cast("double") / 10.0)
+            .as("recall10"))
+        .orderBy("query_id")
+    }),
     // two-stage search: the same trained index's ADC top-25
     // shortlist, exactly re-ranked — the deployed refinement that
     // undoes PQ quantization loss at M exact distances per query
@@ -1961,6 +1996,38 @@ object Extensions {
        |  ${sig("h2.entropy_bits - h1.entropy_bits")} AS cond_bits
        |FROM h2, h1
        |ORDER BY n""".stripMargin
+
+  val corpusCompositionSql: String =
+    s"""WITH c AS (SELECT source, lang AS sub, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents GROUP BY source, lang),
+       |t AS (SELECT source, sum(n_docs) AS src_docs FROM c
+       |      GROUP BY source)
+       |SELECT c.source, c.sub, c.n_docs, c.n_tokens,
+       |  ${sig("CAST(c.n_docs AS DOUBLE) / t.src_docs")}
+       |    AS share_in_source
+       |FROM c JOIN t ON t.source = c.source
+       |ORDER BY c.source, c.sub""".stripMargin
+
+  /** [[graft.ops.TextStats.entropyDrift]] mirror: per-slice unigram
+    * entropy, delta over the sig5 literals. */
+  val driftEntropySql: String = {
+    def side(p: String, pred: String): String =
+      s"""${p}c AS (SELECT g, count(*) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS g
+         |    FROM documents WHERE text IS NOT NULL AND $pred)
+         |  GROUP BY g),
+         |$p AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
+         |  ${sig("log2(CAST(sum(c) AS DOUBLE)) - sum(c * log2(c)) / CAST(sum(c) AS DOUBLE)")}
+         |    AS h FROM ${p}c)""".stripMargin
+    s"""WITH ${side("er", "doc_id % 2 = 0")},
+       |${side("ec", "doc_id % 2 = 1")}
+       |SELECT er.tot AS n_tokens_ref, ec.tot AS n_tokens_cur,
+       |  er.h AS h_ref, ec.h AS h_cur,
+       |  ${sig("ec.h - er.h")} AS delta_bits
+       |FROM er, ec""".stripMargin
+  }
 
   val eventsSessionizeSql: String =
     s"""WITH $sessionCtes
@@ -3704,6 +3771,42 @@ val eventsRollupSql: String =
   /** Rerank mirror: the WHOLE ADC replay at k = 25 as the shortlist
     * subquery, then exact cosine + re-rank — stage 1 is shared by
     * construction on both engines. */
+  /** [[embedIvfPqSqlK]](10) ∩ exact subset top-10 per query — the
+    * PQ-recall view; brute side mirrors [[embedCosineSql]] restricted
+    * to the index's vec_id < 2000 population. */
+  lazy val embedPqRecallSql: String = {
+    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
+    s"""WITH ann AS (SELECT query_id, neighbor_id
+       |  FROM (${embedIvfPqSqlK(10)})),
+       |bel AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i)
+       |       WHERE vec_id < 2000 AND len(embedding) = 64),
+       |bnrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM bel
+       |         GROUP BY 1),
+       |bdot AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+       |          sum(a.v * b.v) AS dp
+       |        FROM bel a JOIN bel b
+       |          ON a.i = b.i AND b.vec_id <> a.vec_id
+       |        WHERE a.vec_id < 5 GROUP BY 1, 2),
+       |bcos AS (SELECT qid, vid, $cosExpr AS cosine
+       |        FROM bdot JOIN bnrm na ON na.vec_id = bdot.qid
+       |        JOIN bnrm nb ON nb.vec_id = bdot.vid),
+       |bf AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT qid AS query_id, vid AS neighbor_id,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, vid ASC) AS rn FROM bcos)
+       |  WHERE rn <= 10)
+       |SELECT bf.query_id,
+       |  CAST(coalesce(sum(CASE WHEN ann.neighbor_id IS NOT NULL
+       |    THEN 1 END), 0) AS BIGINT) AS n_common,
+       |  ${sig("coalesce(sum(CASE WHEN ann.neighbor_id IS NOT NULL THEN 1 END), 0) / 10.0")}
+       |    AS recall10
+       |FROM bf LEFT JOIN ann
+       |  ON ann.query_id = bf.query_id
+       |  AND ann.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
+  }
+
   val embedIvfPqRerankSql: String = {
     val cosExpr = sig("dp / (na.nrm * nb.nrm)")
     s"""WITH cand AS (SELECT query_id AS qid, neighbor_id AS vid
@@ -3999,6 +4102,7 @@ val eventsRollupSql: String =
     "embed_ann_lsh" -> embedAnnLshSql,
     "embed_ann_ivf" -> embedAnnIvfSql,
     "embed_ann_recall" -> embedAnnRecallSql,
+    "embed_pq_recall" -> embedPqRecallSql,
     "embed_ivf_assign" -> embedIvfAssignSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
@@ -4035,6 +4139,8 @@ val eventsRollupSql: String =
     "events_window" -> eventsWindowSql,
     "events_trend" -> eventsTrendSql,
     "text_ngram_entropy" -> textNgramEntropySql,
+    "drift_entropy" -> driftEntropySql,
+    "corpus_composition" -> corpusCompositionSql,
     "events_window_assoc" -> eventsWindowAssocSql,
     "events_retention" -> eventsRetentionSql,
     "events_anomaly" -> eventsAnomalySql,
