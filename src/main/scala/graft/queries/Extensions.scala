@@ -746,6 +746,22 @@ object Extensions {
     "corpus_composition" -> ((s, dir) =>
       TextStats.composition(t(s, dir, "documents"), "source", "lang",
         "text")),
+    // release diff: what changed between two corpus versions — v2 is
+    // a deterministic edit of v1 (every 11th doc removed, every 13th
+    // surviving doc's text edited, every 17th re-added under a new
+    // id), so all four statuses are exercised non-vacuously
+    "table_diff" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val v2 = v1.where(col("doc_id") % 11 =!= 0)
+        .withColumn("text", when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" [v2]"))).otherwise(col("text")))
+        .unionByName(v1.where(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            col("text"), col("lang"), col("source")))
+      graft.ops.TableDiff.diffSummary(v1, v2, Seq("doc_id"),
+        Seq("text", "lang", "source"))
+    }),
     // schema-quality audit: key/FD claims with violation counts —
     // o_orderkey IS the table key (holds), o_custkey does not
     // determine status (fails, counted)
@@ -1996,6 +2012,29 @@ object Extensions {
        |  ${sig("h2.entropy_bits - h1.entropy_bits")} AS cond_bits
        |FROM h2, h1
        |ORDER BY n""".stripMargin
+
+  /** [[graft.ops.TableDiff.diffSummary]] mirror over the same
+    * deterministic v2 edit. */
+  val tableDiffSql: String =
+    """WITH v1 AS (SELECT doc_id, text, lang, source FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN text || ' [v2]'
+      |         ELSE text END AS text, lang, source
+      |  FROM v1 WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang, source FROM v1
+      |  WHERE doc_id % 17 = 0),
+      |j AS (SELECT
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.text IS NOT DISTINCT FROM n.text
+      |        AND o.lang IS NOT DISTINCT FROM n.lang
+      |        AND o.source IS NOT DISTINCT FROM n.source THEN 'same'
+      |       ELSE 'changed' END AS status
+      |  FROM v1 o FULL OUTER JOIN v2 n ON n.doc_id = o.doc_id)
+      |SELECT status, count(*) AS n FROM j GROUP BY status
+      |ORDER BY status""".stripMargin
 
   val corpusCompositionSql: String =
     s"""WITH c AS (SELECT source, lang AS sub, count(*) AS n_docs,
@@ -4141,6 +4180,7 @@ val eventsRollupSql: String =
     "text_ngram_entropy" -> textNgramEntropySql,
     "drift_entropy" -> driftEntropySql,
     "corpus_composition" -> corpusCompositionSql,
+    "table_diff" -> tableDiffSql,
     "events_window_assoc" -> eventsWindowAssocSql,
     "events_retention" -> eventsRetentionSql,
     "events_anomaly" -> eventsAnomalySql,

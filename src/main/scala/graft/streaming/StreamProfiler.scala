@@ -566,6 +566,45 @@ object StreamProfiler {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("va"), col("vb"), col("nij"))
 
+  /** Windowed metric trend — per (event-time window, type), the
+    * value-over-time slope and r² from ONE-PASS sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy²): streaming state cannot do the batch
+    * operator's two-pass centering, but within a window the x range
+    * is tiny (≤ the window length in hours), so the one-pass form is
+    * well-conditioned there — x is re-based to the WINDOW START
+    * before the sums, which is what makes it so. Append-mode legal,
+    * O(types) state per open window. */
+  def windowedTrend(events: DataFrame, tsCol: String = "ts",
+      watermark: String = "10 minutes", windowLen: String = "1 hour",
+      windowUs: Long = 3600L * 1000000L): DataFrame = {
+    require(windowUs > 0, "windowUs must match windowLen in micros")
+    val withTs = events
+      .withColumn("__ts", eventTime(events, tsCol))
+      .withWatermark("__ts", watermark)
+    // x = hours since the WINDOW START (tumbling windows are
+    // epoch-aligned, so us mod windowUs is constant-shifted within a
+    // window) — the rebase that keeps the one-pass sums conditioned
+    val us = unix_micros(col("__ts"))
+    val agg = withTs
+      .where(col("value").isNotNull)
+      .withColumn("__x",
+        pmod(us, lit(windowUs)).cast("double") / lit(3.6e9))
+      .groupBy(window(col("__ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("__x")).as("sx"), sum(col("value")).as("sy"),
+        sum(col("__x") * col("value")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"),
+        sum(col("value") * col("value")).as("syy"))
+    val covN = col("sxy") - col("sx") * col("sy") / col("n")
+    val varX = col("sxx") - col("sx") * col("sx") / col("n")
+    val varY = col("syy") - col("sy") * col("sy") / col("n")
+    agg.select(unix_micros(col("window.start")).as("window_start_us"),
+      col("event_type"), col("n").cast("long").as("n"),
+      sig5(when(varX > 0, covN / varX)).as("slope_per_hour"),
+      sig5(when(varX > 0 && varY > 0,
+        covN * covN / (varX * varY))).as("r2"))
+  }
+
   /** Windowed k-anonymity monitor — per event-time window, each
     * quasi-identifier group's size and at-risk flag (the ingest-time
     * twin of [[graft.ops.Privacy.kAnonymity]]): catches a batch

@@ -139,6 +139,22 @@ class CorpusPrivacySpec extends SparkSpec {
       zero.getDouble(5) == 0.0)
   }
 
+  test("TableDiff: statuses, null-safe compare, detail rows") {
+    val v1 = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
+      (4L, Some("d"))).toDF("id", "v")
+    val v2 = Seq((1L, Some("a")), (2L, Some("B")), (3L, None),
+      (5L, Some("e"))).toDF("id", "v")
+    val sum = graft.ops.TableDiff.diffSummary(v1, v2, Seq("id"),
+      Seq("v")).collect().map(r => (r.getString(0), r.getLong(1)))
+    // 1 same, 2 changed, 3 same (NULL <=> NULL), 4 removed, 5 added
+    assert(sum.toSeq == Seq(("added", 1L), ("changed", 1L),
+      ("removed", 1L), ("same", 2L)))
+    val rows = graft.ops.TableDiff.diffRows(v1, v2, Seq("id"),
+      Seq("v")).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq == Seq((2L, "changed"), (4L, "removed"),
+      (5L, "added")))
+  }
+
   test("phashNearDupPairs: banded recall complete at hamming<=3, once each") {
     val base = 0x00F0F0F0F0F0F0L
     val hashes = Seq(

@@ -627,6 +627,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed trend recovers a per-window line and matches the " +
+      "batch fit") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamProfiler
+      .windowedTrend(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("wtrend")
+      .outputMode("append").start()
+    try {
+      // hour 0: y = 4·hours + 1 exactly at minutes 0, 15, 30, 45
+      val evs = Seq(0L, 15L, 30L, 45L).map(m =>
+        Ev(t(m), "lin", 4.0 * (m / 60.0) + 1.0))
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      mem.addData(Ev(t(2000), "z", 0.0)) // close hour 0
+      q.processAllAvailable()
+      val row = spark.table("wtrend")
+        .where(col("window_start_us") === 0L &&
+          col("event_type") === "lin").head()
+      assert(row.getLong(2) == 4L)
+      assert(math.abs(row.getDouble(3) - 4.0) < 1e-6, "slope")
+      assert(row.getDouble(4) == 1.0, "r2")
+      // batch central fit over the same rows agrees
+      val batch = graft.ops.EventOps.trendByType(evs.toDF())
+        .head()
+      assert(math.abs(batch.getDouble(2) - row.getDouble(3)) < 1e-6)
+    } finally q.stop()
+  }
+
   test("windowed k-anonymity matches the batch audit per window") {
     val sql = spark
     import sql.implicits._
