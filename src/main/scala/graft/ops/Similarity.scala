@@ -215,6 +215,32 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * top-k most-similar vectors with a DIFFERENT label — the pairs a
+    * contrastive loss learns the most from (high similarity, wrong
+    * class). Identical plan shape to [[cosineTopK]] (broadcast query
+    * side, codegen'd dot, bounded [[rankTopK]] heads) with the label
+    * inequality pushed into the candidate filter, so non-negative
+    * rows never reach the heap. */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val base = df.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      col(labelCol).as("lbl"), norm(col(vecCol)).as("nrm"))
+    val q = base.where(col("vid") < numQueries)
+      .select(col("vid").as("qid"), col("v").as("qv"),
+        col("lbl").as("qlbl"), col("nrm").as("qnrm"))
+    val scored = base.join(broadcast(q),
+        col("vid") =!= col("qid") &&
+          // a NULL label can't PROVE a different class — excluded
+          col("lbl").isNotNull && col("qlbl").isNotNull &&
+          col("lbl") =!= col("qlbl"))
+      .select(col("qid"), col("vid"),
+        sig5(cosine(dot(col("qv"), col("v")), col("qnrm"), col("nrm")))
+          .as("cosine"))
+      .where(col("cosine").isNotNull)
+    rankTopK(scored, k)
+  }
+
   /** Shared dim guard for every LSH entry point: a dim mismatch makes
     * the plane projection NULL, which would collapse every vector
     * into bucket 0 — a silent all-pairs join. Fails fast on the first

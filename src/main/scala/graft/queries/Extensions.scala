@@ -171,6 +171,13 @@ object Extensions {
     "embed_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id",
         "embedding", numQueries = 5, k = 10)),
+    // hard-negative mining: per query the most-similar DIFFERENT-
+    // label vectors (what a contrastive loss learns from) — the
+    // cosineTopK plan with the label inequality in the candidate
+    // filter, so non-negatives never reach the heap
+    "embed_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label", numQueries = 5, k = 10)),
     "embed_ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         numQueries = 5, k = 10, bits = 8, dim = 64, multiProbe = true)),
@@ -1302,6 +1309,36 @@ object Extensions {
        |  ON ann.query_id = bf.query_id
        |  AND ann.neighbor_id = bf.neighbor_id
        |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
+
+  /** [[embedCosineSql]] with the different-label candidate filter —
+    * the hard-negative mirror. */
+  val embedHardNegativesSql: String = {
+    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
+    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |            FROM embeddings, range(1, 65) t(i)),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el
+       |        GROUP BY vec_id),
+       |dot AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+       |          sum(a.v * b.v) AS dp
+       |        FROM el a JOIN el b
+       |          ON a.i = b.i AND b.vec_id <> a.vec_id
+       |        WHERE a.vec_id < 5 GROUP BY 1, 2),
+       |cos AS (SELECT qid, vid, $cosExpr AS cosine
+       |        FROM dot JOIN nrm na ON na.vec_id = dot.qid
+       |        JOIN nrm nb ON nb.vec_id = dot.vid),
+       |f AS (SELECT c.qid, c.vid, c.cosine FROM cos c
+       |      JOIN lab la ON la.vec_id = c.qid
+       |      JOIN lab lb ON lb.vec_id = c.vid
+       |      WHERE la.label IS NOT NULL AND lb.label IS NOT NULL
+       |        AND la.label <> lb.label)
+       |SELECT query_id, rnk, neighbor_id, cosine FROM (
+       |  SELECT qid AS query_id,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cosine DESC, vid ASC) AS BIGINT) AS rnk,
+       |    vid AS neighbor_id, cosine FROM f)
+       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+  }
 
   val embedAnnIvfSql: String = {
     val cosExpr = sig("dp / (na.nrm * nb.nrm)")
@@ -4142,6 +4179,7 @@ val eventsRollupSql: String =
     "embed_ann_ivf" -> embedAnnIvfSql,
     "embed_ann_recall" -> embedAnnRecallSql,
     "embed_pq_recall" -> embedPqRecallSql,
+    "embed_hard_negatives" -> embedHardNegativesSql,
     "embed_ivf_assign" -> embedIvfAssignSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
