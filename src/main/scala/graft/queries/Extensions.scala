@@ -633,6 +633,26 @@ object Extensions {
         .map(r => (r.getString(1), r.getString(2))).toSeq
       BpeTrain.encodeTokenCount(docs, "doc_id", "text", rules)
     }),
+    // tokenizer fertility by language: subwords-per-word under the
+    // SAME trained merges — the number that says which languages a
+    // tokenizer fragments (fertility ≈1 = native, ≫1 = expensive)
+    "text_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rules = BpeTrain.train(docs, "text", merges = 6)
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeTrain.encodeTokenCount(docs, "doc_id", "text", rules)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"),
+          sum("n_subwords").as("n_subwords"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_subwords"),
+          Sig.sig5(col("n_subwords").cast("double") / col("n_words"))
+            .as("fertility"))
+        .orderBy("lang")
+    }),
     // sliced profiling: per-returnflag numeric stats, long form
     "num_grouped" -> ((s, dir) =>
       graft.profiler.Stats.grouped(t(s, dir, "lineitem"), "l_returnflag",
@@ -1548,6 +1568,39 @@ object Extensions {
          |SELECT doc_id, count(*) AS n_words,
          |CAST(sum(len(string_split(sym, $S))) AS BIGINT) AS n_subwords
          |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"WITH $bpeTrainCtes,\n$tail"
+  }
+
+  /** [[textBpeEncodeSql]]'s per-doc counts grouped by language —
+    * fertility = Σ subwords / Σ words under the same trained merges. */
+  val textBpeFertilitySql: String = {
+    val M = bpeM; val S = bpeS
+    val applied = (1 to bpeIters).foldLeft("sym0") { (acc, k) =>
+      s"replace($acc, b$k.a || $S || b$k.b, $M || " +
+        s"replace(b$k.a, $M, '') || replace(b$k.b, $M, '') || $M)"
+    }
+    val bTables = (1 to bpeIters).map(k => s"b$k").mkString(", ")
+    val tail =
+      s"""dwords AS (SELECT doc_id, lower(tok) AS word FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents)
+         |  WHERE regexp_matches(lower(tok), '^[a-z]+${"$"}')
+         |    AND length(tok) <= 64),
+         |dsym AS (SELECT doc_id, rtrim(concat(regexp_replace(word,
+         |  '(.)', $M||'\\1'||$M||$S, 'g')), $S) AS sym0 FROM dwords),
+         |enc AS (SELECT doc_id, $applied AS sym
+         |        FROM dsym, $bTables),
+         |pc AS (SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(len(string_split(sym, $S))) AS BIGINT)
+         |    AS n_subwords
+         |  FROM enc GROUP BY doc_id)
+         |SELECT d.lang, count(*) AS n_docs,
+         |CAST(sum(pc.n_words) AS BIGINT) AS n_words,
+         |CAST(sum(pc.n_subwords) AS BIGINT) AS n_subwords,
+         |${sig("CAST(sum(pc.n_subwords) AS DOUBLE) / sum(pc.n_words)")}
+         |  AS fertility
+         |FROM pc JOIN documents d ON d.doc_id = pc.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
     s"WITH $bpeTrainCtes,\n$tail"
   }
 
@@ -4138,6 +4191,7 @@ val eventsRollupSql: String =
     "text_pack" -> textPackSql,
     "join_salted" -> joinSaltedSql,
     "text_bpe_encode" -> textBpeEncodeSql,
+    "text_bpe_fertility" -> textBpeFertilitySql,
     "text_bpe_train" -> textBpeTrainSql,
     "text_encoding" -> textEncodingSql,
     "text_vocab" -> textVocabSql,
