@@ -967,6 +967,40 @@ object Stats {
       .orderBy("col_name", "rnk")
   }
 
+  /** Date-continuity audit: the missing-day RUNS between a date
+    * column's min and max — "which ingest days never arrived", the
+    * calendar-completeness check a row count can't answer. One
+    * distinct-days aggregation (output O(calendar span), never
+    * O(rows)), an anti-join against the generated expected calendar,
+    * then the rank-islands grouping of consecutive missing days. The
+    * islands window sorts O(span) rows — thousands for decades of
+    * calendar — in one task by construction, which is the point:
+    * everything row-scaled happened in the first aggregation. */
+  def dateGaps(df: DataFrame, c: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val days = df.where(col(c).isNotNull)
+      .select(to_date(col(c)).as("d")).distinct()
+    val mm = days.agg(min("d"), max("d")).first()
+    if (mm.isNullAt(0))
+      return Seq.empty[(java.sql.Date, java.sql.Date, Long)]
+        .toDF("gap_start", "gap_end", "n_days")
+    val (mn, mx) = (mm.getDate(0), mm.getDate(1))
+    val expected = spark.range(1).select(explode(expr(
+      s"sequence(to_date('$mn'), to_date('$mx'), interval 1 day)"))
+      .as("d"))
+    val missing = expected.join(days, Seq("d"), "left_anti")
+    val w = Window.orderBy("d")
+    missing.withColumn("rn", row_number().over(w))
+      .withColumn("grp", date_sub(col("d"), col("rn")))
+      .groupBy("grp")
+      .agg(min("d").as("gap_start"), max("d").as("gap_end"),
+        count(lit(1)).as("n_days"))
+      .select("gap_start", "gap_end", "n_days")
+      .orderBy("gap_start")
+  }
+
   /** Date-column histogram (DT1 extension): `bins` equal-width
     * buckets over the column as exact epoch MICROSECONDS — the
     * mini-histogram pandas-profiling 1.x renders for date columns,

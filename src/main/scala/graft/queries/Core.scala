@@ -106,6 +106,14 @@ object Core {
       Stats.skewAdvisor(li(s, dir), Seq("l_returnflag", "l_suppkey"),
         topK = 5, targetRowsPerTask = 1000L)),
     "date_minmax" -> ((s, dir) => Stats.dateMinMax(li(s, dir), dates)),
+    // calendar-completeness audit: missing-day runs between min and
+    // max — the fixture calendar is dense, so deterministic weekly
+    // gaps are synthesized (every day ≡ 3 mod 7 since epoch dropped;
+    // the null_association non-vacuous-fixture precedent)
+    "date_gaps" -> ((s, dir) =>
+      Stats.dateGaps(li(s, dir).where(
+        datediff(to_date(col("l_shipdate")), to_date(lit("1970-01-01")))
+          % 7 =!= 3), "l_shipdate")),
     // date mini-histogram (pandas-profiling 1.x renders one for DATE
     // columns; the canonical describe_date_1d kept only min/max):
     // 10 equal-width bins over exact epoch micros
@@ -423,6 +431,21 @@ object Core {
     unionAll(parts) + "\nORDER BY col_name, rnk"
   }
 
+  val dateGapsSql: String =
+    s"""WITH days AS (SELECT DISTINCT CAST(l_shipdate AS DATE) AS d
+       |  FROM $T WHERE l_shipdate IS NOT NULL
+       |    AND (CAST(l_shipdate AS DATE) - DATE '1970-01-01') % 7 <> 3),
+       |b AS (SELECT min(d) AS mn, max(d) AS mx FROM days),
+       |ex AS (SELECT CAST(unnest(generate_series(mn, mx,
+       |    INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+       |miss AS (SELECT d FROM ex
+       |  WHERE d NOT IN (SELECT d FROM days)),
+       |isl AS (SELECT d, d - CAST(row_number() OVER (ORDER BY d)
+       |    AS INTEGER) AS grp FROM miss)
+       |SELECT min(d) AS gap_start, max(d) AS gap_end,
+       |  CAST(count(*) AS BIGINT) AS n_days
+       |FROM isl GROUP BY grp ORDER BY gap_start""".stripMargin
+
   val joinSkewAdvisorSql: String = {
     val parts = Seq("l_returnflag", "l_suppkey").map { c =>
       s"""SELECT * FROM (
@@ -726,6 +749,7 @@ object Core {
     "table_kinds" -> tableKindsSql,
     "date_minmax" -> dateMinMaxSql,
     "date_histogram" -> dateHistogramSql,
+    "date_gaps" -> dateGapsSql,
     "corr_matrix" -> corrMatrixSql,
     "corr_spearman" -> corrSpearmanSql,
     "corr_kendall" -> corrKendallSql,
