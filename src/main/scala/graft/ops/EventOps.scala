@@ -40,6 +40,22 @@ object EventOps {
         min("value").as("min_value"), max("value").as("max_value"))
       .orderBy("window_start_us", "event_type")
 
+  /** Day-of-week × hour activity profile — the calendar heatmap view
+    * ("when does this stream actually happen") with per-cell share.
+    * One aggregation over ≤ 168 cells; share against broadcast
+    * totals. */
+  def timeProfile(df: DataFrame): DataFrame = {
+    val t = timestamp_micros(tsMicros(df))
+    val cells = df.select(dayofweek(t).as("dow"), hour(t).as("hour"))
+      .groupBy("dow", "hour").agg(count(lit(1)).as("cnt"))
+    val total = cells.agg(sum("cnt").as("__t"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow").cast("long").as("dow"),
+        col("hour").cast("long").as("hour"), col("cnt"),
+        sig5(col("cnt").cast("double") / col("__t")).as("share"))
+      .orderBy("dow", "hour")
+  }
+
   /** Per-type linear trend of `value` over event time — the "which
     * metric is drifting, how fast, and is the fit real" monitoring
     * view (slope per hour, intercept at epoch, r²). Two-pass central

@@ -472,6 +472,39 @@ object TextStats {
     r1.unionByName(r2).orderBy("n")
   }
 
+  /** Corpus saturation curve: bucket the id range into `buckets`
+    * equal slices and count the distinct grams FIRST SEEN in each —
+    * a crawl running dry shows the new-gram share collapsing in the
+    * late buckets, long before raw row counts say anything (the
+    * cumulative view of doc_novelty). One gram→min(id) aggregation
+    * (map-side combined), then O(buckets) arithmetic; the cumulative
+    * window touches `buckets` rows. Uncapped grams on purpose: hot
+    * boilerplate is PART of the saturation signal. */
+  def saturationCurve(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1, "buckets must be >= 1")
+    val first = Dedup.hashedGramFrame(
+        df.where(col(textCol).isNotNull), idCol, textCol, n,
+        distinct = true)
+      .groupBy("shingle").agg(min("id").as("first_id"))
+    val m = df.agg(max(col(idCol))).first().getLong(0) + 1
+    val perBucket = first
+      .select(least(expr(s"first_id * $buckets div ${m}L"),
+        lit(buckets - 1L)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = perBucket.agg(sum("n_new").as("__t"))
+    perBucket
+      .withColumn("cum_new", sum("n_new").over(w))
+      .crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_new"), col("cum_new"),
+        sig5(col("n_new").cast("double") / col("__t"))
+          .as("new_share"))
+      .orderBy("bucket")
+  }
+
   /** Token-entropy drift between a reference and a current slice —
     * "did the corpus's information content move": a template flood
     * or a language-mix shift moves H by whole bits while count-based

@@ -507,6 +507,15 @@ object Extensions {
     // time (two-pass central fit, no sort) — "which metric drifts"
     "events_trend" -> ((s, dir) =>
       EventOps.trendByType(t(s, dir, "events"))),
+    // calendar heatmap: day-of-week × hour activity with shares
+    "events_time_profile" -> ((s, dir) =>
+      EventOps.timeProfile(t(s, dir, "events"))),
+    // crawl-saturation curve: distinct grams first seen per id-range
+    // decile — a drying crawl collapses the late-bucket new-gram
+    // share long before row counts move
+    "corpus_saturation" -> ((s, dir) =>
+      TextStats.saturationCurve(t(s, dir, "documents"), "doc_id",
+        "text")),
     // corpus information content: unigram/bigram Shannon entropy,
     // perplexity, conditional H(w2|w1) — exact from counts, no sort
     "text_ngram_entropy" -> ((s, dir) =>
@@ -2138,6 +2147,35 @@ object Extensions {
        |    AS share_in_source
        |FROM c JOIN t ON t.source = c.source
        |ORDER BY c.source, c.sub""".stripMargin
+
+  val eventsTimeProfileSql: String =
+    s"""WITH c AS (SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
+       |    count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |t AS (SELECT sum(cnt) AS tot FROM c)
+       |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+       |  cnt, ${sig("CAST(cnt AS DOUBLE) / tot")} AS share
+       |FROM c, t ORDER BY dow, hour""".stripMargin
+
+  /** [[graft.ops.TextStats.saturationCurve]] mirror: gram → min id,
+    * id-range decile of first sight, cumulative counts. Uncapped
+    * grams (`sh0` of the shared CTE trio). */
+  val corpusSaturationSql: String =
+    s"""WITH ${shingleCteSql("sh", "documents")},
+       |fs AS (SELECT shingle, min(id) AS fid FROM sh0
+       |       GROUP BY shingle),
+       |mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+       |pb AS (SELECT least(fid * 10 // m, 9) AS bucket, count(*)
+       |         AS n_new
+       |       FROM fs, mx GROUP BY 1),
+       |tt AS (SELECT sum(n_new) AS tot FROM pb)
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(n_new AS BIGINT) AS n_new,
+       |  CAST(sum(n_new) OVER (ORDER BY bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS cum_new,
+       |  ${sig("CAST(n_new AS DOUBLE) / tot")} AS new_share
+       |FROM pb, tt ORDER BY bucket""".stripMargin
 
   /** [[graft.ops.TextStats.entropyDrift]] mirror: per-slice unigram
     * entropy, delta over the sig5 literals. */
@@ -4272,6 +4310,8 @@ val eventsRollupSql: String =
     "text_ngram_entropy" -> textNgramEntropySql,
     "drift_entropy" -> driftEntropySql,
     "corpus_composition" -> corpusCompositionSql,
+    "events_time_profile" -> eventsTimeProfileSql,
+    "corpus_saturation" -> corpusSaturationSql,
     "table_diff" -> tableDiffSql,
     "events_window_assoc" -> eventsWindowAssocSql,
     "events_retention" -> eventsRetentionSql,
