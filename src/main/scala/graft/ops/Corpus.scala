@@ -164,6 +164,23 @@ object Corpus {
     * scale) each partition is bounded, so no single-task global sort
     * ever runs — this is exactly how sharded training data is
     * written (one output file per shard, rows in pos order). */
+  /** Persist a training order: the full rows plus their
+    * [[reproducibleShuffle]] (shard, pos) coordinates, laid out
+    * hive-style by shard (one directory per shard, each written by
+    * one task). Consumers read a shard's directory and sort by `pos`
+    * — the coordinates are IN the data, so the order survives any
+    * reader's row-group scheduling and can be re-audited from ids
+    * alone. */
+  def writeShuffled(df: DataFrame, idCol: String, path: String,
+      shards: Int): Unit = {
+    val coords = reproducibleShuffle(df.select(col(idCol)), idCol,
+      shards)
+    df.join(coords, Seq(idCol))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   def reproducibleShuffle(df: DataFrame, idCol: String,
       shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -272,6 +272,27 @@ class CorpusPrivacySpec extends SparkSpec {
       minJaccard = 0.5).count() == 0L)
   }
 
+  test("writeShuffled round-trips the training order by shard") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shuf").toString
+    val df = (0L until 200L).map(i => (i, s"payload$i"))
+      .toDF("id", "payload")
+    graft.ops.Corpus.writeShuffled(df, "id", dir, shards = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200L)
+    assert(back.columns.toSet ==
+      Set("id", "payload", "pos", "shard"))
+    // coordinates in the data equal a fresh shuffle derivation
+    val expect = graft.ops.Corpus.reproducibleShuffle(
+        df.select("id"), "id", 4)
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .toMap
+    back.select("id", "shard", "pos").collect().foreach { r =>
+      val (s, p) = expect(r.getLong(0))
+      assert(r.getInt(1).toLong == s && r.getLong(2) == p)
+    }
+  }
+
   test("kendallGrid equals exact tau-b on integer data within grid range") {
     // deterministic integer pairs with ties, values within 10 bins
     val rng = new scala.util.Random(7)
