@@ -35,6 +35,42 @@ object Drift {
     * rows — e.g. a numeric dimension whose value column is entirely
     * NULL) yields zero output rows rather than a row of NULLs, so the
     * degenerate case has the same defined shape on any engine. */
+  /** Per-GROUP categorical drift: for each group (source, shard,
+    * day…), the total-variation distance between the two slices'
+    * bucket distributions — "WHICH source changed its language mix",
+    * the grouped twin of [[categoricalDrift]]'s single global row.
+    * One (group, bucket) aggregation with conditional sums, then an
+    * O(groups × buckets) share/TVD reduction — per-group Laplace
+    * smoothing over that group's own bucket support, mirroring the
+    * global form. Groups with an empty slice emit NULL (no fake 0). */
+  def categoricalDriftByGroup(df: DataFrame, groupCol: String,
+      bucket: Column, slice: Column): DataFrame = {
+    val counts = df
+      .select(col(groupCol).as("g"), bucket.as("b"), slice.as("s"))
+      .groupBy("g", "b")
+      .agg(sum(when(col("s") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("s") === 1, 1L).otherwise(0L)).as("cb"))
+    val totals = counts.groupBy("g").agg(
+      sum("ca").cast("double").as("na"),
+      sum("cb").cast("double").as("nb"),
+      count(lit(1)).cast("double").as("k"))
+    counts.join(totals, Seq("g"))
+      .select(col("g"),
+        share(col("ca").cast("double"), col("na"), col("k")).as("p"),
+        share(col("cb").cast("double"), col("nb"), col("k")).as("q"),
+        col("na"), col("nb"))
+      .groupBy("g")
+      .agg(
+        min("na").as("__na"), min("nb").as("__nb"),
+        sum(abs(col("p") - col("q"))).as("__sad"))
+      .select(col("g").as(groupCol),
+        col("__na").cast("long").as("n_ref"),
+        col("__nb").cast("long").as("n_cur"),
+        sig5(when(col("__na") > 0 && col("__nb") > 0,
+          col("__sad") / 2.0)).as("tvd"))
+      .orderBy(groupCol)
+  }
+
   def categoricalDrift(df: DataFrame, dim: String, bucket: Column,
       slice: Column): DataFrame = {
     val counts = df

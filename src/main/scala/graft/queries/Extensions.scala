@@ -516,6 +516,12 @@ object Extensions {
     "corpus_saturation" -> ((s, dir) =>
       TextStats.saturationCurve(t(s, dir, "documents"), "doc_id",
         "text")),
+    // WHICH source changed its language mix: per-source TVD between
+    // the slices' lang distributions (grouped twin of drift_vocab's
+    // one global row)
+    "drift_lang_by_source" -> ((s, dir) =>
+      Drift.categoricalDriftByGroup(t(s, dir, "documents"), "source",
+        col("lang"), pmod(col("doc_id"), lit(2L)).cast("int"))),
     // corpus information content: unigram/bigram Shannon entropy,
     // perplexity, conditional H(w2|w1) — exact from counts, no sort
     "text_ngram_entropy" -> ((s, dir) =>
@@ -2147,6 +2153,27 @@ object Extensions {
        |    AS share_in_source
        |FROM c JOIN t ON t.source = c.source
        |ORDER BY c.source, c.sub""".stripMargin
+
+  /** [[graft.ops.Drift.categoricalDriftByGroup]] mirror: same
+    * per-group Laplace-smoothed shares and TVD. */
+  val driftLangBySourceSql: String =
+    s"""WITH c AS (SELECT source, lang AS b,
+       |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+       |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+       |  FROM documents GROUP BY 1, 2),
+       |t AS (SELECT source, CAST(sum(ca) AS DOUBLE) AS na,
+       |    CAST(sum(cb) AS DOUBLE) AS nb,
+       |    CAST(count(*) AS DOUBLE) AS k
+       |  FROM c GROUP BY source),
+       |s AS (SELECT c.source,
+       |    (ca + 0.5) / (na + 0.5 * k) AS p,
+       |    (cb + 0.5) / (nb + 0.5 * k) AS q, na, nb
+       |  FROM c JOIN t ON t.source = c.source)
+       |SELECT source, CAST(min(na) AS BIGINT) AS n_ref,
+       |  CAST(min(nb) AS BIGINT) AS n_cur,
+       |  CASE WHEN min(na) > 0 AND min(nb) > 0
+       |    THEN ${sig("sum(abs(p - q)) / 2.0")} END AS tvd
+       |FROM s GROUP BY source ORDER BY source""".stripMargin
 
   val eventsTimeProfileSql: String =
     s"""WITH c AS (SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
@@ -4312,6 +4339,7 @@ val eventsRollupSql: String =
     "corpus_composition" -> corpusCompositionSql,
     "events_time_profile" -> eventsTimeProfileSql,
     "corpus_saturation" -> corpusSaturationSql,
+    "drift_lang_by_source" -> driftLangBySourceSql,
     "table_diff" -> tableDiffSql,
     "events_window_assoc" -> eventsWindowAssocSql,
     "events_retention" -> eventsRetentionSql,
