@@ -272,6 +272,23 @@ class CorpusPrivacySpec extends SparkSpec {
       minJaccard = 0.5).count() == 0L)
   }
 
+  test("sourceOverlap: single source emits zero pairs; saturation " +
+      "buckets partition first-sight counts") {
+    val one = docs((1L, "only", "p q r s t"))
+    assert(graft.ops.Corpus.sourceOverlap(one, "source", "text")
+      .count() == 0L)
+    // 10 docs, ids 0..9, each with its own unique grams → bucket i
+    // gets exactly doc i's gram count; cumulative sums to the total
+    val d = (0L until 10L).map(i =>
+      (i, "s", s"a$i b$i c$i d$i e$i")).toSeq
+    val curve = graft.ops.TextStats.saturationCurve(
+      docs(d: _*), "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(curve.map(_._1).toSeq == (0L until 10L))
+    assert(curve.forall(_._2 == 3L), "5 tokens → 3 unique 3-grams each")
+    assert(curve.last._3 == 30L, "cumulative reaches the corpus total")
+  }
+
   test("writeShuffled round-trips the training order by shard") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_shuf").toString
