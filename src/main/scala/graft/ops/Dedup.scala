@@ -145,6 +145,28 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Per-source exact-duplicate profile — "WHICH source is
+    * internally duplicated": per source, rows, distinct texts, rows
+    * belonging to a within-source duplicate group and the dup share.
+    * One (source, text-hash) aggregation + one per-source rollup,
+    * both map-side combined. */
+  def exactStatsBySource(df: DataFrame, srcCol: String,
+      textCol: String): DataFrame = {
+    val g = df.groupBy(col(srcCol).as("source"),
+        xxhash64(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("c"))
+    g.groupBy("source")
+      .agg(sum("c").as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+          .as("n_dup_rows"))
+      .select(col("source"), col("n_rows"), col("n_distinct"),
+        col("n_dup_rows"),
+        graft.det.Sig.sig5(col("n_dup_rows").cast("double") /
+          col("n_rows")).as("dup_share"))
+      .orderBy("source")
+  }
+
   /** Asymmetric containment pairs: C(A→B) = |A∩B| / |A| per
     * direction, kept when either direction reaches `minContain`.
     * Catches exactly what Jaccard structurally misses — a short doc

@@ -40,6 +40,29 @@ object EventOps {
         min("value").as("min_value"), max("value").as("max_value"))
       .orderBy("window_start_us", "event_type")
 
+  /** User churn between the two halves of the observed time range:
+    * how many users were active only early (churned), only late
+    * (new), or in both (retained) — the one-row cohort movement
+    * summary behind the retention triangle. One per-user min/max
+    * aggregation against the integer-midpoint split (the histogram
+    * bounds precedent), then an O(1) rollup. */
+  def churnSummary(df: DataFrame): DataFrame = {
+    val us = tsMicros(df)
+    val b = df.agg(min(us).as("mn"), max(us).as("mx")).first()
+    val mid = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    val per = df.select(col("user_id"), us.as("t"))
+      .groupBy("user_id")
+      .agg(max(when(col("t") <= mid, 1L).otherwise(0L)).as("early"),
+        max(when(col("t") > mid, 1L).otherwise(0L)).as("late"))
+    per.agg(
+      sum(when(col("early") === 1 && col("late") === 1, 1L)
+        .otherwise(0L)).as("n_retained"),
+      sum(when(col("early") === 1 && col("late") === 0, 1L)
+        .otherwise(0L)).as("n_churned"),
+      sum(when(col("early") === 0 && col("late") === 1, 1L)
+        .otherwise(0L)).as("n_new"))
+  }
+
   /** Day-of-week × hour activity profile — the calendar heatmap view
     * ("when does this stream actually happen") with per-cell share.
     * One aggregation over ≤ 168 cells; share against broadcast

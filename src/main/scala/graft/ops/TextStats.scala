@@ -472,6 +472,30 @@ object TextStats {
     r1.unionByName(r2).orderBy("n")
   }
 
+  /** Token-length profile in power-of-two buckets — the sequence-
+    * length planner's input: how many docs and how much token MASS
+    * sit at each length scale (packing efficiency and truncation
+    * loss are both read straight off this table). One map-only
+    * bucket expression + one ≤64-group aggregation. */
+  def lengthProfile(df: DataFrame, textCol: String): DataFrame = {
+    val n = size(tokens(col(textCol)))
+    // floor(log2) via the binary-digit count — EXACT integer
+    // arithmetic (a float log2 can land a hair under a power of two
+    // and floor into the wrong bucket on one engine but not the
+    // other)
+    val bucket = (length(bin(n.cast("long"))) - 1).cast("long")
+    val cells = df.where(col(textCol).isNotNull && n >= 1)
+      .select(bucket.as("log2_len"), n.cast("long").as("nt"))
+      .groupBy("log2_len")
+      .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+    val tot = cells.agg(sum("n_tokens").as("__t"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("log2_len"), col("n_docs"), col("n_tokens"),
+        sig5(col("n_tokens").cast("double") / col("__t"))
+          .as("token_share"))
+      .orderBy("log2_len")
+  }
+
   /** Corpus saturation curve: bucket the id range into `buckets`
     * equal slices and count the distinct grams FIRST SEEN in each —
     * a crawl running dry shows the new-gram share collapsing in the

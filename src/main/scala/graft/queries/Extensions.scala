@@ -522,6 +522,18 @@ object Extensions {
     "drift_lang_by_source" -> ((s, dir) =>
       Drift.categoricalDriftByGroup(t(s, dir, "documents"), "source",
         col("lang"), pmod(col("doc_id"), lit(2L)).cast("int"))),
+    // which SOURCE is internally duplicated (per-source dedup_exact)
+    "dedup_exact_by_source" -> ((s, dir) =>
+      Dedup.exactStatsBySource(t(s, dir, "documents"), "source",
+        "text")),
+    // sequence-length planner input: docs + token mass per power-of-
+    // two length bucket (exact integer log2 via binary digit count)
+    "text_length_profile" -> ((s, dir) =>
+      TextStats.lengthProfile(t(s, dir, "documents"), "text")),
+    // cohort movement between the two halves of the observed range:
+    // retained / churned / new users in one row
+    "events_churn" -> ((s, dir) =>
+      EventOps.churnSummary(t(s, dir, "events"))),
     // corpus information content: unigram/bigram Shannon entropy,
     // perplexity, conditional H(w2|w1) — exact from counts, no sort
     "text_ngram_entropy" -> ((s, dir) =>
@@ -2174,6 +2186,47 @@ object Extensions {
        |  CASE WHEN min(na) > 0 AND min(nb) > 0
        |    THEN ${sig("sum(abs(p - q)) / 2.0")} END AS tvd
        |FROM s GROUP BY source ORDER BY source""".stripMargin
+
+  val dedupExactBySourceSql: String =
+    s"""WITH g AS (SELECT source, text, count(*) AS c
+       |  FROM documents GROUP BY source, text)
+       |SELECT source, CAST(sum(c) AS BIGINT) AS n_rows,
+       |  count(*) AS n_distinct,
+       |  CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
+       |    AS n_dup_rows,
+       |  ${sig("CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS DOUBLE) / sum(c)")}
+       |    AS dup_share
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
+  val textLengthProfileSql: String =
+    s"""WITH d AS (SELECT len(string_split(text, ' ')) AS nt
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT length(bin(nt)) - 1 AS log2_len,
+       |    count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+       |  FROM d WHERE nt >= 1 GROUP BY 1),
+       |t AS (SELECT sum(n_tokens) AS tot FROM c)
+       |SELECT CAST(log2_len AS BIGINT) AS log2_len, n_docs, n_tokens,
+       |  ${sig("CAST(n_tokens AS DOUBLE) / tot")} AS token_share
+       |FROM c, t ORDER BY log2_len""".stripMargin
+
+  val eventsChurnSql: String =
+    """WITH x AS (SELECT user_id, epoch_ns(ts) // 1000 AS us
+      |  FROM events),
+      |b AS (SELECT min(us) AS mn, max(us) AS mx FROM x),
+      |p AS (SELECT user_id,
+      |  max(CASE WHEN us <= mn + (mx - mn) // 2 THEN 1 ELSE 0 END)
+      |    AS early,
+      |  max(CASE WHEN us > mn + (mx - mn) // 2 THEN 1 ELSE 0 END)
+      |    AS late
+      |  FROM x, b GROUP BY user_id)
+      |SELECT
+      |  CAST(sum(CASE WHEN early = 1 AND late = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_retained,
+      |  CAST(sum(CASE WHEN early = 1 AND late = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_churned,
+      |  CAST(sum(CASE WHEN early = 0 AND late = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_new
+      |FROM p""".stripMargin
 
   val eventsTimeProfileSql: String =
     s"""WITH c AS (SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
@@ -4340,6 +4393,9 @@ val eventsRollupSql: String =
     "events_time_profile" -> eventsTimeProfileSql,
     "corpus_saturation" -> corpusSaturationSql,
     "drift_lang_by_source" -> driftLangBySourceSql,
+    "dedup_exact_by_source" -> dedupExactBySourceSql,
+    "text_length_profile" -> textLengthProfileSql,
+    "events_churn" -> eventsChurnSql,
     "table_diff" -> tableDiffSql,
     "events_window_assoc" -> eventsWindowAssocSql,
     "events_retention" -> eventsRetentionSql,
