@@ -39,6 +39,32 @@ class CorpusPrivacySpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 4L, 1L, true), ("b", 3L, 3L, false)))
   }
 
+  test("property: kAnonymize output always satisfies k-anonymity " +
+      "and is maximal") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = Gen.listOfN(60, for {
+      a <- Gen.oneOf("p", "q", "r")
+      b <- Gen.chooseNum(0, 5)
+    } yield (a, b))
+    (0 until 6).foreach { i =>
+      val rows = rowGen(Gen.Parameters.default, Seed(i.toLong)).get
+      val df = rows.toDF("seg", "nat")
+      (2L to 12L by 5L).foreach { k =>
+        val out = Privacy.kAnonymize(df, Seq("seg", "nat"), k)
+        // invariant 1: no surviving group is below k
+        val audit = Privacy.kAnonymity(out, Seq("seg", "nat"), k)
+          .where(col("at_risk")).count()
+        assert(audit == 0L, s"seed=$i k=$k violates k-anonymity")
+        // invariant 2 (maximality): kept = all rows of safe groups
+        val safe = Privacy.kAnonymity(df, Seq("seg", "nat"), k)
+          .where(!col("at_risk")).agg(sum("n")).head()
+        val expect = if (safe.isNullAt(0)) 0L else safe.getLong(0)
+        assert(out.count() == expect, s"seed=$i k=$k not maximal")
+      }
+    }
+  }
+
   test("kAnonymize keeps exactly the rows the audit marks safe") {
     val df = Seq(
       ("a", 1, "r1"), ("a", 1, "r2"), ("a", 1, "r3"),
