@@ -938,6 +938,64 @@ object Stats {
       .orderBy("col_name", "rnk")
   }
 
+  /** Gini coefficient per numeric column — the inequality /
+    * concentration number ("5% of orders carry 60% of revenue").
+    * Exact audit form: G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    * ascending-sorted values — one rank window per column (the
+    * corr_spearman exact-audit precedent: k single-partition sorts,
+    * declared at fixture scale; the corpus path reads concentration
+    * off the equi-depth histogram instead). Ties are safe: within a
+    * tie block x is constant, so Σi·x is permutation-invariant.
+    * Negative values are rejected per column (Gini is defined for
+    * non-negative distributions) by emitting NULL. */
+  def gini(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perCol = cols.map { c =>
+      val v = df.where(col(c).isNotNull && !isnan(d(c)))
+        .select(d(c).as("x"))
+      val w = Window.orderBy("x")
+      v.withColumn("i", row_number().over(w).cast("long"))
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("i") * col("x")).as("six"),
+          min("x").as("mn"))
+        .select(lit(c).as("col_name"), col("n"),
+          sig5(when(col("mn") >= 0 && col("sx") > 0,
+            lit(2.0) * col("six") / (col("n") * col("sx")) -
+              (col("n") + 1).cast("double") / col("n")))
+            .as("gini"))
+    }
+    perCol.reduce(_.unionByName(_)).orderBy("col_name")
+  }
+
+  /** Concentration profile per categorical column: the
+    * Herfindahl–Hirschman index Σ shareᵢ², its inverse (the
+    * EFFECTIVE number of categories) and the top value's share — the
+    * one-pass exact form of "how dominated is this column" that
+    * [[skewAdvisor]]'s top-k view samples. One unpivoted (col,
+    * value) count aggregation, then an O(distinct) reduction — no
+    * sort, no window. */
+  def concentration(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val structs = cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("value")))
+    val counted = df.select(explode(array(structs: _*)).as("s"))
+      .select("s.*").where(col("value").isNotNull)
+      .groupBy("col_name", "value").agg(count(lit(1)).as("c"))
+    counted.groupBy("col_name")
+      // c² in DOUBLE: a hot category at corpus scale overflows the
+      // long square (1e12² ≫ 2⁶³); the 5-digit canon absorbs the
+      // float-summation order on both engines
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * col("c")).as("ss"),
+        max("c").as("mx"))
+      .select(col("col_name"), col("n"), col("n_distinct"),
+        sig5(col("ss") / (col("n").cast("double") * col("n")))
+          .as("hhi"),
+        sig5(col("n").cast("double") * col("n") / col("ss"))
+          .as("effective_categories"),
+        sig5(col("mx").cast("double") / col("n")).as("top_share"))
+      .orderBy("col_name")
+  }
+
   /** Join-skew advisor: for each candidate JOIN KEY column, the
     * top-`topK` hottest values with their row share and the salt
     * factor a salted join would need (ceil(hot-key rows /

@@ -88,6 +88,16 @@ object Core {
     "num_histogram2d" -> ((s, dir) =>
       Stats.histogram2d(li(s, dir), "l_extendedprice", "l_discount")),
     "cat_freq" -> ((s, dir) => Stats.freq(li(s, dir), cats)),
+    // concentration: HHI / effective categories / top share — the
+    // exact one-pass form of "how dominated is this column"
+    "cat_concentration" -> ((s, dir) =>
+      Stats.concentration(li(s, dir),
+        Seq("l_returnflag", "l_linestatus", "l_suppkey"))),
+    // Gini inequality per numeric column (exact rank-window audit
+    // form, the corr_spearman precedent; corpus path reads the
+    // equi-depth histogram)
+    "num_gini" -> ((s, dir) =>
+      Stats.gini(li(s, dir), Seq("l_quantity", "l_extendedprice"))),
     // string-mask profile: what SHAPES live in each column — catches
     // a stray free-text row in an id column before any validator
     "col_patterns" -> ((s, dir) =>
@@ -431,6 +441,38 @@ object Core {
     unionAll(parts) + "\nORDER BY col_name, rnk"
   }
 
+  val catConcentrationSql: String = {
+    val parts = Seq("l_returnflag", "l_linestatus", "l_suppkey")
+      .map { c =>
+        s"""SELECT '$c' AS col_name, CAST(sum(c) AS BIGINT) AS n,
+           |  count(*) AS n_distinct,
+           |  ${sig("sum(CAST(c AS DOUBLE) * c) / (CAST(sum(c) AS DOUBLE) * sum(c))")}
+           |    AS hhi,
+           |  ${sig("CAST(sum(c) AS DOUBLE) * sum(c) / sum(CAST(c AS DOUBLE) * c)")}
+           |    AS effective_categories,
+           |  ${sig("CAST(max(c) AS DOUBLE) / sum(c)")} AS top_share
+           |FROM (SELECT count(*) AS c FROM $T
+           |      WHERE $c IS NOT NULL GROUP BY $c)""".stripMargin
+      }
+    unionAll(parts) + "\nORDER BY col_name"
+  }
+
+  val numGiniSql: String = {
+    val parts = Seq("l_quantity", "l_extendedprice").map { c =>
+      val g = "2.0 * six / (n * sx) - (n + 1.0) / n"
+      s"""SELECT '$c' AS col_name, n,
+         |  CASE WHEN mn >= 0 AND sx > 0 THEN ${sig(g)} END AS gini
+         |FROM (SELECT count(*) AS n, sum(x) AS sx,
+         |        sum(i * x) AS six, min(x) AS mn
+         |      FROM (SELECT CAST($c AS DOUBLE) AS x,
+         |              CAST(row_number() OVER (ORDER BY CAST($c AS DOUBLE))
+         |                AS BIGINT) AS i
+         |            FROM $T WHERE $c IS NOT NULL
+         |              AND NOT isnan(CAST($c AS DOUBLE))))""".stripMargin
+    }
+    unionAll(parts) + "\nORDER BY col_name"
+  }
+
   val dateGapsSql: String =
     s"""WITH days AS (SELECT DISTINCT CAST(l_shipdate AS DATE) AS d
        |  FROM $T WHERE l_shipdate IS NOT NULL
@@ -743,6 +785,8 @@ object Core {
     "num_histogram" -> numHistogramSql,
     "num_histogram2d" -> numHistogram2dSql,
     "cat_freq" -> catFreqSql,
+    "cat_concentration" -> catConcentrationSql,
+    "num_gini" -> numGiniSql,
     "col_patterns" -> colPatternsSql,
     "cat_freq_other" -> catFreqOtherSql,
     "join_skew_advisor" -> joinSkewAdvisorSql,

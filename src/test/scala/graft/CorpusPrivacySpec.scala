@@ -165,6 +165,38 @@ class CorpusPrivacySpec extends SparkSpec {
       zero.getDouble(5) == 0.0)
   }
 
+  test("gini: known distributions (equal=0, winner-takes-all→1)") {
+    val eq = Seq.fill(50)(10.0).zipWithIndex.map(_.swap)
+      .toDF("i", "x")
+    assert(graft.profiler.Stats.gini(eq, Seq("x")).head()
+      .getDouble(2) == 0.0)
+    // one unit each for n−1 rows, one huge holder: G → (n−1)/n
+    val wta = (Seq.fill(99)(0.0) :+ 990000.0).zipWithIndex
+      .map(_.swap).toDF("i", "x")
+    val g = graft.profiler.Stats.gini(wta, Seq("x")).head().getDouble(2)
+    assert(math.abs(g - 0.99) < 1e-9)
+    // negative values refuse (NULL), rather than a wrong number
+    val neg = Seq(-1.0, 2.0, 3.0).zipWithIndex.map(_.swap)
+      .toDF("i", "x")
+    assert(graft.profiler.Stats.gini(neg, Seq("x")).head().isNullAt(2))
+  }
+
+  test("concentration: uniform vs dominated columns") {
+    val df = (Seq.fill(90)("hot") ++ (1 to 10).map(i => s"c$i"))
+      .zipWithIndex.map(_.swap).toDF("i", "k")
+      .withColumn("u", col("i") % 4)
+    val out = graft.profiler.Stats.concentration(df, Seq("k", "u"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getLong(1) == 100L && k.getLong(2) == 11L)
+    assert(k.getDouble(5) == 0.9, "top share")
+    assert(math.abs(k.getDouble(3) - (0.9 * 0.9 + 10 * 0.0001)) < 1e-9,
+      "HHI")
+    val u = out("u")
+    assert(u.getDouble(4) == 4.0,
+      "uniform 4-value column has 4 effective categories")
+  }
+
   test("TableDiff: statuses, null-safe compare, detail rows") {
     val v1 = Seq((1L, Some("a")), (2L, Some("b")), (3L, None),
       (4L, Some("d"))).toDF("id", "v")
