@@ -1483,6 +1483,31 @@ object Stats {
     }.reduce(_ unionByName _).orderBy("lhs", "rhs")
   }
 
+  /** FD DISCOVERY over a candidate column set — [[fdCheck]] verifies
+    * declared claims; this finds them: for every ordered pair
+    * (a → b), holds iff |distinct(a)| = |distinct(a, b)|. Declared
+    * (oracle-exact) form computes the k + k·(k−1) exact distinct
+    * counts in ONE aggregation — the quality_suggest precedent: one
+    * Expand at fixture scale, and the corpus path swaps
+    * approx_count_distinct (no Expand, rsd-tolerant equality) behind
+    * the same output shape. */
+  def fdDiscover(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "fdDiscover needs at least two columns")
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    val singles = cols.map(c => countDistinct(col(c)).as(s"d_$c"))
+    val duos = pairs.map { case (a, b) =>
+      countDistinct(struct(col(a), col(b))).as(s"d_${a}__$b") }
+    val row = df.agg((singles ++ duos).head,
+      (singles ++ duos).tail: _*)
+    val out = pairs.map { case (a, b) =>
+      row.select(lit(a).as("lhs"), lit(b).as("rhs"),
+        col(s"d_$a").as("n_lhs"),
+        col(s"d_${a}__$b").as("n_pairs"),
+        (col(s"d_${a}__$b") === col(s"d_$a")).as("holds"))
+    }
+    out.reduce(_.unionByName(_)).orderBy("lhs", "rhs")
+  }
+
   /** Exact duplicate-row profile: (n_rows, n_distinct_rows,
     * n_duplicate_rows) — the "how much of this table is literal
     * copies" stat. One distinct aggregation over the full-row

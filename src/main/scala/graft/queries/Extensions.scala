@@ -526,6 +526,27 @@ object Extensions {
     "dedup_exact_by_source" -> ((s, dir) =>
       Dedup.exactStatsBySource(t(s, dir, "documents"), "source",
         "text")),
+    // dedup operating-point curve: how many pairs each candidate
+    // Jaccard threshold would link — the number you pick τ from;
+    // ONE unthresholded pair join, conditional sums per τ
+    "dedup_threshold_curve" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, minJaccard = 0.0,
+        maxDf = Some(NgramMaxDf))
+      pairs.select(explode(typedLit(
+          Seq(0.3, 0.5, 0.7, 0.8, 0.9))).as("threshold"),
+          col("jaccard"))
+        .groupBy("threshold")
+        .agg(sum(when(col("jaccard") >= col("threshold"), 1L)
+          .otherwise(0L)).as("n_pairs"))
+        .orderBy("threshold")
+    }),
+    // FD discovery over a candidate column set (fdCheck verifies
+    // claims; this finds them) — quality_suggest's one-Expand
+    // declared form, HLL at corpus scale
+    "col_fd_discover" -> ((s, dir) =>
+      graft.profiler.Stats.fdDiscover(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"))),
     // sequence-length planner input: docs + token mass per power-of-
     // two length bucket (exact integer log2 via binary digit count)
     "text_length_profile" -> ((s, dir) =>
@@ -2186,6 +2207,29 @@ object Extensions {
        |  CASE WHEN min(na) > 0 AND min(nb) > 0
        |    THEN ${sig("sum(abs(p - q)) / 2.0")} END AS tvd
        |FROM s GROUP BY source ORDER BY source""".stripMargin
+
+  /** Unthresholded [[ngramSql]] pairs + conditional sums per τ. */
+  val dedupThresholdCurveSql: String =
+    s"""WITH p AS (SELECT jaccard FROM (${ngramSql(0.0)})),
+       |ks(threshold) AS (VALUES (0.3), (0.5), (0.7), (0.8), (0.9))
+       |SELECT CAST(threshold AS DOUBLE) AS threshold,
+       |  CAST(coalesce(sum(CASE WHEN jaccard >= threshold
+       |    THEN 1 END), 0) AS BIGINT) AS n_pairs
+       |FROM ks CROSS JOIN p GROUP BY threshold
+       |ORDER BY threshold""".stripMargin
+
+  val colFdDiscoverSql: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    val parts = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS lhs, '$b' AS rhs,
+         |  count(DISTINCT $a) AS n_lhs,
+         |  count(DISTINCT ($a, $b)) AS n_pairs,
+         |  count(DISTINCT ($a, $b)) = count(DISTINCT $a) AS holds
+         |FROM orders""".stripMargin
+    }
+    parts.mkString("", "\nUNION ALL\n", "") + "\nORDER BY lhs, rhs"
+  }
 
   val dedupExactBySourceSql: String =
     s"""WITH g AS (SELECT source, text, count(*) AS c
@@ -4394,6 +4438,8 @@ val eventsRollupSql: String =
     "corpus_saturation" -> corpusSaturationSql,
     "drift_lang_by_source" -> driftLangBySourceSql,
     "dedup_exact_by_source" -> dedupExactBySourceSql,
+    "dedup_threshold_curve" -> dedupThresholdCurveSql,
+    "col_fd_discover" -> colFdDiscoverSql,
     "text_length_profile" -> textLengthProfileSql,
     "events_churn" -> eventsChurnSql,
     "table_diff" -> tableDiffSql,
