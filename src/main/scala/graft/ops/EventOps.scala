@@ -40,6 +40,21 @@ object EventOps {
         min("value").as("min_value"), max("value").as("max_value"))
       .orderBy("window_start_us", "event_type")
 
+  /** Session-duration distribution in power-of-two second buckets —
+    * the "how long are sessions really" view over [[sessionize]]'s
+    * output (exact integer log2 via binary digit count; single-event
+    * zero-duration sessions land in bucket 0). O(buckets) output. */
+  def sessionLengths(sessions: DataFrame): DataFrame =
+    sessions.select(
+        (length(bin(expr(
+          "(session_end_us - session_start_us) div 1000000"))) - 1)
+          .cast("long").as("log2_secs"),
+        col("n_events"))
+      .groupBy("log2_secs")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+      .orderBy("log2_secs")
+
   /** User churn between the two halves of the observed time range:
     * how many users were active only early (churned), only late
     * (new), or in both (retained) — the one-row cohort movement

@@ -361,6 +361,26 @@ object Extensions {
     "text_pii" -> ((s, dir) =>
       Pii.piiStats(Pii.synthPii(t(s, dir, "documents"), "doc_id",
         "text"), "doc_id", "text")),
+    // which SOURCE leaks PII: per-source exposure rollup over the
+    // same deterministic synthesis
+    "text_pii_by_source" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val p = Pii.piiStats(Pii.synthPii(d, "doc_id", "text"),
+        "doc_id", "text")
+      p.join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_emails") + col("n_ips") + col("n_phones")
+            > 0, 1L).otherwise(0L)).as("n_docs_with_pii"),
+          sum("n_emails").as("n_emails"),
+          sum("n_ips").as("n_ips"),
+          sum("n_phones").as("n_phones"))
+        .select(col("source"), col("n_docs"), col("n_docs_with_pii"),
+          col("n_emails"), col("n_ips"), col("n_phones"),
+          Sig.sig5(col("n_docs_with_pii").cast("double") /
+            col("n_docs")).as("pii_rate"))
+        .orderBy("source")
+    }),
     // context-window chunking: 64-token windows, stride 48 (16-token
     // overlap) — map-only generate, the pre-packing stage
     "text_chunk" -> ((s, dir) =>
@@ -555,6 +575,10 @@ object Extensions {
     // retained / churned / new users in one row
     "events_churn" -> ((s, dir) =>
       EventOps.churnSummary(t(s, dir, "events"))),
+    // session-duration distribution in power-of-two second buckets
+    "events_session_lengths" -> ((s, dir) =>
+      EventOps.sessionLengths(
+        EventOps.sessionize(t(s, dir, "events")))),
     // corpus information content: unigram/bigram Shannon entropy,
     // perplexity, conditional H(w2|w1) — exact from counts, no sort
     "text_ngram_entropy" -> ((s, dir) =>
@@ -2253,6 +2277,18 @@ object Extensions {
        |  ${sig("CAST(n_tokens AS DOUBLE) / tot")} AS token_share
        |FROM c, t ORDER BY log2_len""".stripMargin
 
+  /** [[graft.ops.EventOps.sessionLengths]] mirror over the shared
+    * sessionization CTEs. */
+  val eventsSessionLengthsSql: String =
+    s"""WITH $sessionCtes,
+      |g AS (SELECT user_id, session_idx, min(us) AS st, max(us) AS en,
+      |        count(*) AS ne
+      |      FROM s GROUP BY user_id, session_idx)
+      |SELECT CAST(length(bin((en - st) // 1000000)) - 1 AS BIGINT)
+      |    AS log2_secs,
+      |  count(*) AS n_sessions, CAST(sum(ne) AS BIGINT) AS n_events
+      |FROM g GROUP BY 1 ORDER BY log2_secs""".stripMargin
+
   val eventsChurnSql: String =
     """WITH x AS (SELECT user_id, epoch_ns(ts) // 1000 AS us
       |  FROM events),
@@ -2769,6 +2805,50 @@ val eventsRollupSql: String =
     * re-runs detection + redaction with DuckDB's RE2 engine — regex
     * semantics (leftmost-first, greedy, global replace) must agree
     * with Java's for the full redacted strings to hash-match. */
+  /** The deterministic PII-synthesis CTE `s` (doc_id, source, t2) —
+    * shared by the per-doc and per-source PII oracles. */
+  private val piiSynthCte: String =
+    s"""s AS (SELECT doc_id, source, text ||
+       |  CASE WHEN doc_id % 3 >= 1 THEN ' mail user' ||
+       |    CAST(doc_id AS VARCHAR) || 'a@mail.example.com'
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 3 = 2 THEN ' cc user' ||
+       |    CAST(doc_id AS VARCHAR) || 'b@mail.example.com'
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 2 = 0 THEN ' from 10.' ||
+       |    CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
+       |    CAST(doc_id % 250 + 1 AS VARCHAR)
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||
+       |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |    ELSE '' END AS t2
+       |  FROM documents)""".stripMargin
+
+  /** Per-source PII exposure rollup: which SOURCE leaks — docs with
+    * any hit, per-type totals, hit rate. */
+  val textPiiBySourceSql: String = {
+    import graft.ops.Pii.{EmailRe, Ipv4Re, PhoneRe}
+    s"""WITH $piiSynthCte,
+       |d AS (SELECT source,
+       |  CAST(len(regexp_extract_all(t2, '$EmailRe')) AS BIGINT)
+       |    AS ne,
+       |  CAST(len(regexp_extract_all(t2, '$Ipv4Re')) AS BIGINT)
+       |    AS ni,
+       |  CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT)
+       |    AS np
+       |  FROM s)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_docs_with_pii,
+       |  CAST(sum(ne) AS BIGINT) AS n_emails,
+       |  CAST(sum(ni) AS BIGINT) AS n_ips,
+       |  CAST(sum(np) AS BIGINT) AS n_phones,
+       |  ${sig("CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")}
+       |    AS pii_rate
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val textPiiSql: String = {
     import graft.ops.Pii.{EmailRe, Ipv4Re, PhoneRe}
     s"""WITH s AS (SELECT doc_id, text ||
@@ -4439,9 +4519,11 @@ val eventsRollupSql: String =
     "drift_lang_by_source" -> driftLangBySourceSql,
     "dedup_exact_by_source" -> dedupExactBySourceSql,
     "dedup_threshold_curve" -> dedupThresholdCurveSql,
+    "text_pii_by_source" -> textPiiBySourceSql,
     "col_fd_discover" -> colFdDiscoverSql,
     "text_length_profile" -> textLengthProfileSql,
     "events_churn" -> eventsChurnSql,
+    "events_session_lengths" -> eventsSessionLengthsSql,
     "table_diff" -> tableDiffSql,
     "events_window_assoc" -> eventsWindowAssocSql,
     "events_retention" -> eventsRetentionSql,
