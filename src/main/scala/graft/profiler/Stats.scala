@@ -967,6 +967,49 @@ object Stats {
     perCol.reduce(_.unionByName(_)).orderBy("col_name")
   }
 
+  /** Map-only approximate Gini — the corpus path [[gini]]'s scaladoc
+    * promises: B equal-frequency buckets from ONE chunked
+    * percentile_approx aggregation, bucket means approximated by
+    * adjacent-cut midpoints, then the grouped-data Gini formula over
+    * B rows of driver arithmetic. No sort, no window, error
+    * O(1/B + GK ε). GK summaries are merge-order dependent, so the
+    * VALUE can't be oracle-hashed — [[giniApproxCheck]] declares the
+    * error contract instead (the spearmanApproxCheck pattern). */
+  def giniApprox(df: DataFrame, cols: Seq[String],
+      buckets: Int = 100): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ps = (0 to buckets).map(_.toDouble / buckets)
+    val aggs = cols.map(c =>
+      percentile_approx(d(c), typedLit(ps), lit(10000)).as(c))
+    val row = chunkedAgg(df.na.drop(cols), aggs, 300)
+    cols.map { c =>
+      val cuts = row(c).asInstanceOf[scala.collection.Seq[Any]]
+        .map(_.asInstanceOf[Double]).toArray
+      val means = (0 until buckets).map(i => (cuts(i) + cuts(i + 1)) / 2)
+      val sm = means.sum
+      val g =
+        if (means.head < 0 || sm <= 0) None
+        else Some(2.0 * means.zipWithIndex
+          .map { case (m, i) => (i + 1) * m }.sum /
+          (buckets * sm) - (buckets + 1.0) / buckets)
+      (c, g.map(graft.det.Sig.sig5))
+    }.toDF("col_name", "gini_approx").orderBy("col_name")
+  }
+
+  /** The approx-Gini error CONTRACT as data: |approx − exact| within
+    * `bound` per column; oracle expects every row true. */
+  def giniApproxCheck(df: DataFrame, cols: Seq[String],
+      buckets: Int = 100, bound: Double = 0.02): DataFrame = {
+    val e = gini(df, cols).withColumnRenamed("gini", "g_exact")
+    val a = giniApprox(df, cols, buckets)
+    e.join(a, Seq("col_name"))
+      .select(col("col_name"),
+        (abs(col("gini_approx") - col("g_exact")) < bound)
+          .as("within_bound"))
+      .orderBy("col_name")
+  }
+
   /** Concentration profile per categorical column: the
     * Herfindahl–Hirschman index Σ shareᵢ², its inverse (the
     * EFFECTIVE number of categories) and the top value's share — the

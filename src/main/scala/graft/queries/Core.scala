@@ -98,6 +98,11 @@ object Core {
     // equi-depth histogram)
     "num_gini" -> ((s, dir) =>
       Stats.gini(li(s, dir), Seq("l_quantity", "l_extendedprice"))),
+    // the map-only scale path's error contract (GK merge order makes
+    // the value itself unhashable — the spearman precedent)
+    "num_gini_approx_err" -> ((s, dir) =>
+      Stats.giniApproxCheck(li(s, dir),
+        Seq("l_quantity", "l_extendedprice"))),
     // string-mask profile: what SHAPES live in each column — catches
     // a stray free-text row in an id column before any validator
     "col_patterns" -> ((s, dir) =>
@@ -473,6 +478,11 @@ object Core {
     unionAll(parts) + "\nORDER BY col_name"
   }
 
+  val numGiniApproxErrSql: String =
+    unionAll(Seq("l_quantity", "l_extendedprice").map { c =>
+      s"SELECT '$c' AS col_name, true AS within_bound"
+    }) + "\nORDER BY col_name"
+
   val dateGapsSql: String =
     s"""WITH days AS (SELECT DISTINCT CAST(l_shipdate AS DATE) AS d
        |  FROM $T WHERE l_shipdate IS NOT NULL
@@ -787,6 +797,7 @@ object Core {
     "cat_freq" -> catFreqSql,
     "cat_concentration" -> catConcentrationSql,
     "num_gini" -> numGiniSql,
+    "num_gini_approx_err" -> numGiniApproxErrSql,
     "col_patterns" -> colPatternsSql,
     "cat_freq_other" -> catFreqOtherSql,
     "join_skew_advisor" -> joinSkewAdvisorSql,
