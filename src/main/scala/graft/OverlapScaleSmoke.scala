@@ -107,6 +107,24 @@ object OverlapScaleSmoke {
         s"H=${r.getDouble(3)} bits over ${r.getLong(1)} grams"))
     }
 
+    if (phases("gini")) {
+      // 10M heavy-tailed values: x = (id % 1000)³ — strong inequality
+      val m = 10000000L
+      val df = spark.range(m).select(
+        (pmod(col("id"), lit(1000L)) * pmod(col("id"), lit(1000L)) *
+          pmod(col("id"), lit(1000L))).cast("double").as("x"))
+        .transform(graft.ops.Materialize.materialize)
+      val exact = timed(s"gini EXACT (rank window) $m rows") {
+        graft.profiler.Stats.gini(df, Seq("x")).head().getDouble(2)
+      }
+      val approx = timed("giniApprox (map-only, B=100)") {
+        graft.profiler.Stats.giniApprox(df, Seq("x")).head()
+          .getDouble(1)
+      }
+      println(f"[overlap-smoke] gini exact=$exact%.5f approx=" +
+        f"$approx%.5f  |err|=${math.abs(exact - approx)}%.5f")
+    }
+
     if (phases("kanon")) {
       val m = 100000000L
       val df = spark.range(m).select(col("id"),
