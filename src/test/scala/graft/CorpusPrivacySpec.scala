@@ -165,6 +165,41 @@ class CorpusPrivacySpec extends SparkSpec {
       zero.getDouble(5) == 0.0)
   }
 
+  test("plan shapes: kendall cells and hard-negatives are window-free") {
+    val df = (1L to 100L).map(i => (i.toDouble, (i * 7 % 50).toDouble))
+      .toDF("x", "y")
+    val kp = graft.profiler.Stats.kendallGrid(df, Seq(("x", "y")))
+      .queryExecution.executedPlan.toString
+    assert(!kp.contains("Window"),
+      "kendall pair math must stay on the O(bins²) cell frame")
+    val emb = (0L until 40L).map(i =>
+      (i, Array.fill(8)((i % 5).toFloat), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val hp = graft.ops.Similarity.hardNegatives(emb, "vec_id",
+      "embedding", "label", numQueries = 2, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!hp.contains("Window"),
+      "hard negatives must rank through the bounded heap, not a window")
+  }
+
+  test("property: TableDiff of a table with itself is all-same") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val g = Gen.listOfN(40, for {
+      id <- Gen.chooseNum(0L, 60L)
+      v <- Gen.option(Gen.alphaStr.map(_.take(4)))
+    } yield (id, v))
+    (0 until 4).foreach { i =>
+      val rows = g(Gen.Parameters.default, Seed(i.toLong)).get
+        .distinctBy(_._1)
+      val df = rows.toDF("id", "v")
+      val sum = graft.ops.TableDiff.diffSummary(df, df, Seq("id"),
+        Seq("v")).collect()
+      assert(sum.length == 1 && sum.head.getString(0) == "same" &&
+        sum.head.getLong(1) == rows.length.toLong, s"seed=$i")
+    }
+  }
+
   test("gini: known distributions (equal=0, winner-takes-all→1)") {
     val eq = Seq.fill(50)(10.0).zipWithIndex.map(_.swap)
       .toDF("i", "x")
