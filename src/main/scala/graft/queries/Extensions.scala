@@ -181,6 +181,26 @@ object Extensions {
     "embed_ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
         numQueries = 5, k = 10, bits = 8, dim = 64, multiProbe = true)),
+    // the recall trio's third member: multiprobe-LSH vs brute top-10
+    // (IVF and PQ twins above) — the bucketing-quality number that
+    // motivated the IVF default (BASELINE: LSH 0.10 vs IVF 0.50 on
+    // the hardest fixture regime)
+    "embed_lsh_recall" -> ((s, dir) => {
+      val bf = Similarity.cosineTopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", numQueries = 5, k = 10)
+      val lsh = Similarity.annTopK(t(s, dir, "embeddings"), "vec_id",
+        "embedding", numQueries = 5, k = 10, bits = 8, dim = 64,
+        multiProbe = true)
+      bf.select(col("query_id"), col("neighbor_id"))
+        .join(lsh.select(col("query_id"), col("neighbor_id"),
+          lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(coalesce(sum("hit"), lit(0L)).as("n_common"))
+        .select(col("query_id"), col("n_common"),
+          Sig.sig5(col("n_common").cast("double") / 10.0)
+            .as("recall10"))
+        .orderBy("query_id")
+    }),
     // IVF-flat ANN: Voronoi cells around designated corpus rows (ids
     // 100..115) as the codebook, nprobe=4 — the oracle recomputes the
     // identical cells relationally (no literals needed)
@@ -2580,6 +2600,21 @@ val eventsRollupSql: String =
        |WHERE cosine >= 0.5 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** [[embedCosineSql]] ∩ [[embedAnnLshSql]] per query — the LSH
+    * member of the recall trio. */
+  lazy val embedLshRecallSql: String =
+    s"""WITH bf AS (SELECT * FROM ($embedCosineSql)),
+       |ann AS (SELECT * FROM ($embedAnnLshSql))
+       |SELECT bf.query_id,
+       |  CAST(coalesce(sum(CASE WHEN ann.neighbor_id IS NOT NULL
+       |    THEN 1 END), 0) AS BIGINT) AS n_common,
+       |  ${sig("coalesce(sum(CASE WHEN ann.neighbor_id IS NOT NULL THEN 1 END), 0) / 10.0")}
+       |    AS recall10
+       |FROM bf LEFT JOIN ann
+       |  ON ann.query_id = bf.query_id
+       |  AND ann.neighbor_id = bf.neighbor_id
+       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
+
   val embedAnnLshSql: String = {
     val cosExpr = sig("dp / (na.nrm * nb.nrm)")
     val pv = planesValues(Similarity.hyperplanes(8, 64))
@@ -4472,6 +4507,7 @@ val eventsRollupSql: String =
     "embed_outliers" -> embedOutliersSql,
     "embed_cosine_topk" -> embedCosineSql,
     "embed_ann_lsh" -> embedAnnLshSql,
+    "embed_lsh_recall" -> embedLshRecallSql,
     "embed_ann_ivf" -> embedAnnIvfSql,
     "embed_ann_recall" -> embedAnnRecallSql,
     "embed_pq_recall" -> embedPqRecallSql,
