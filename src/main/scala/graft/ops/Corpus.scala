@@ -61,7 +61,16 @@ object Corpus {
   def sourceOverlap(df: DataFrame, srcCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val sets = gramSets(df, srcCol, textCol, n)
-    val sz = sets.groupBy("source").agg(count(lit(1)).as("sz"))
+    val sz0 = sets.groupBy("source").agg(count(lit(1)).as("sz"))
+    // pair frame built from the INPUT's distinct sources, not the
+    // gram-set sizes: a source whose docs are all shorter than n
+    // tokens (or all-null text) has an empty gram set but must still
+    // appear in the manifest (sz 0, zero overlaps) — "zero-overlap
+    // pairs ARE emitted" includes zero-GRAM sources.
+    val srcs = df.select(col(srcCol).cast("string").as("source"))
+      .where(col("source").isNotNull).distinct()
+    val sz = srcs.join(sz0, Seq("source"), "left")
+      .select(col("source"), coalesce(col("sz"), lit(0L)).as("sz"))
     val common = sets.as("a")
       .join(sets.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))
@@ -76,10 +85,14 @@ object Corpus {
         coalesce(col("n_common"), lit(0L)).as("n_common"))
       .select(col("src_a"), col("src_b"), col("sz_a"), col("sz_b"),
         col("n_common"),
-        Sig.sig5(col("n_common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("n_common"))).as("jaccard"),
-        Sig.sig5(col("n_common").cast("double") / col("sz_a")).as("c_a"),
-        Sig.sig5(col("n_common").cast("double") / col("sz_b")).as("c_b"))
+        Sig.sig5(when(col("sz_a") + col("sz_b") - col("n_common") > 0,
+          col("n_common").cast("double") /
+            (col("sz_a") + col("sz_b") - col("n_common"))))
+          .as("jaccard"),
+        Sig.sig5(when(col("sz_a") > 0,
+          col("n_common").cast("double") / col("sz_a"))).as("c_a"),
+        Sig.sig5(when(col("sz_b") > 0,
+          col("n_common").cast("double") / col("sz_b"))).as("c_b"))
       .orderBy("src_a", "src_b")
   }
 

@@ -980,16 +980,27 @@ object Stats {
     val spark = df.sparkSession
     import spark.implicits._
     val ps = (0 to buckets).map(_.toDouble / buckets)
+    // per-column population: each column's own non-null/non-NaN rows
+    // (percentile_approx skips nulls; the `when` nulls out NaNs), so
+    // the approx matches [[gini]]'s per-column filter — listwise
+    // na.drop would silently compare mismatched populations under
+    // uneven null patterns.
     val aggs = cols.map(c =>
-      percentile_approx(d(c), typedLit(ps), lit(10000)).as(c))
-    val row = chunkedAgg(df.na.drop(cols), aggs, 300)
+      percentile_approx(when(!isnan(d(c)), d(c)), typedLit(ps),
+        lit(10000)).as(c))
+    val row = chunkedAgg(df, aggs, 300)
     cols.map { c =>
-      val cuts = row(c).asInstanceOf[scala.collection.Seq[Any]]
-        .map(_.asInstanceOf[Double]).toArray
-      val means = (0 until buckets).map(i => (cuts(i) + cuts(i + 1)) / 2)
+      val raw = row(c)
+      val cuts =
+        if (raw == null) Array.empty[Double]
+        else raw.asInstanceOf[scala.collection.Seq[Any]]
+          .map(_.asInstanceOf[Double]).toArray
+      val means =
+        if (cuts.isEmpty) IndexedSeq.empty[Double]
+        else (0 until buckets).map(i => (cuts(i) + cuts(i + 1)) / 2)
       val sm = means.sum
       val g =
-        if (means.head < 0 || sm <= 0) None
+        if (means.isEmpty || means.head < 0 || sm <= 0) None
         else Some(2.0 * means.zipWithIndex
           .map { case (m, i) => (i + 1) * m }.sum /
           (buckets * sm) - (buckets + 1.0) / buckets)
@@ -1538,8 +1549,14 @@ object Stats {
     require(cols.size >= 2, "fdDiscover needs at least two columns")
     val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
     val singles = cols.map(c => countDistinct(col(c)).as(s"d_$c"))
+    // NULL semantics: the FD is evaluated over rows where the lhs is
+    // defined. countDistinct(a) already excludes NULL a, so the pair
+    // count must too — a bare struct(a, b) is never NULL and would
+    // count lhs-NULL rows, making any nullable lhs permanently
+    // holds=false even when the FD holds on every defined row.
     val duos = pairs.map { case (a, b) =>
-      countDistinct(struct(col(a), col(b))).as(s"d_${a}__$b") }
+      countDistinct(when(col(a).isNotNull, struct(col(a), col(b))))
+        .as(s"d_${a}__$b") }
     val row = df.agg((singles ++ duos).head,
       (singles ++ duos).tail: _*)
     val out = pairs.map { case (a, b) =>

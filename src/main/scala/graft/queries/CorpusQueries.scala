@@ -74,7 +74,11 @@ object CorpusQueries {
 
   val corpusOverlapSql: String =
     s"""WITH ${srcGramCte("sh")},
-       |sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+       |sz0 AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+       |srcs AS (SELECT DISTINCT source FROM documents
+       |         WHERE source IS NOT NULL),
+       |sz AS (SELECT srcs.source, coalesce(sz0.sz, 0) AS sz
+       |       FROM srcs LEFT JOIN sz0 ON sz0.source = srcs.source),
        |pr AS (SELECT a.source AS src_a, b.source AS src_b,
        |         count(*) AS n_common
        |       FROM sh a JOIN sh b
@@ -87,11 +91,12 @@ object CorpusQueries {
        |        coalesce(pr.n_common, 0) AS n_common
        |      FROM pp LEFT JOIN pr
        |        ON pr.src_a = pp.src_a AND pr.src_b = pp.src_b)
-       |SELECT src_a, src_b, sz_a, sz_b, n_common,
-       |  ${sig("CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common)")}
+       |SELECT src_a, src_b, CAST(sz_a AS BIGINT) AS sz_a,
+       |  CAST(sz_b AS BIGINT) AS sz_b, n_common,
+       |  ${sig("CASE WHEN sz_a + sz_b - n_common > 0 THEN CAST(n_common AS DOUBLE) / (sz_a + sz_b - n_common) END")}
        |    AS jaccard,
-       |  ${sig("CAST(n_common AS DOUBLE) / sz_a")} AS c_a,
-       |  ${sig("CAST(n_common AS DOUBLE) / sz_b")} AS c_b
+       |  ${sig("CASE WHEN sz_a > 0 THEN CAST(n_common AS DOUBLE) / sz_a END")} AS c_a,
+       |  ${sig("CASE WHEN sz_b > 0 THEN CAST(n_common AS DOUBLE) / sz_b END")} AS c_b
        |FROM j ORDER BY src_a, src_b""".stripMargin
 
   val corpusOverlapSketchSql: String =
@@ -132,7 +137,7 @@ object CorpusQueries {
        |w(source, wt) AS (VALUES $vals),
        |j AS (SELECT c.source, c.n_docs, c.n_tokens,
        |        coalesce(w.wt, 0.0) AS wt,
-       |        CAST(round(coalesce(w.wt, 0.0) * $BudgetTokens)
+       |        CAST(floor(coalesce(w.wt, 0.0) * $BudgetTokens)
        |          AS BIGINT) AS target_tokens
        |      FROM c LEFT JOIN w ON w.source = c.source)
        |SELECT source, n_docs, n_tokens, ${sig("wt")} AS weight,

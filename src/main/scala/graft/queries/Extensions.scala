@@ -2268,8 +2268,10 @@ object Extensions {
     val parts = pairs.map { case (a, b) =>
       s"""SELECT '$a' AS lhs, '$b' AS rhs,
          |  count(DISTINCT $a) AS n_lhs,
-         |  count(DISTINCT ($a, $b)) AS n_pairs,
-         |  count(DISTINCT ($a, $b)) = count(DISTINCT $a) AS holds
+         |  count(DISTINCT CASE WHEN $a IS NOT NULL
+         |    THEN ($a, $b) END) AS n_pairs,
+         |  count(DISTINCT CASE WHEN $a IS NOT NULL
+         |    THEN ($a, $b) END) = count(DISTINCT $a) AS holds
          |FROM orders""".stripMargin
     }
     parts.mkString("", "\nUNION ALL\n", "") + "\nORDER BY lhs, rhs"

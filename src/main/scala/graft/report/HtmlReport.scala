@@ -141,7 +141,9 @@ object HtmlReport {
       curve: Seq[(Long, Long, Long, Double)]): String =
     if (curve.isEmpty) ""
     else {
-      val cls = if (minGroup >= curve.map(_._1).min) "qc-pass"
+      // pass only when the STRICTEST candidate k is satisfied — a
+      // release failing any larger target must not render green
+      val cls = if (minGroup >= curve.map(_._1).max) "qc-pass"
         else "qc-fail"
       val rows = curve.map { case (k, g, r, s) =>
         s"<tr><td>$k</td><td>$g</td><td>$r</td>" +

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Corpus
+import graft.profiler.Stats
+import graft.report.HtmlReport
+
+/** Round-11 opening wave: pins the five ADVICE fixes — zero-gram
+  * sources kept in the overlap manifest, per-column populations in
+  * giniApprox, lhs-NULL semantics in FD discovery, and the
+  * strictest-k privacy-card criterion. */
+class Round11Spec extends SparkSpec {
+
+  test("sourceOverlap emits pairs for sources with empty gram sets " +
+      "(all docs shorter than n tokens)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("a", "one two three four"),
+      ("a", "one two three five"),
+      ("b", "one two three four"),
+      ("c", "tiny"), // < 3 tokens → zero 3-grams
+      ("d", null.asInstanceOf[String])) // null text → zero grams
+      .toDF("source", "text")
+    val got = Corpus.sourceOverlap(df, "source", "text", n = 3)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // all C(4,2)=6 pairs present, including the zero-gram sources
+    assert(got.size === 6)
+    assert(got(("a", "c")) === ((3L, 0L, 0L)))
+    assert(got(("c", "d")) === ((0L, 0L, 0L)))
+    assert(got(("a", "b"))._3 === 2L) // the two shared grams
+    // degenerate denominators yield NULL, not a crash / Infinity
+    val cd = Corpus.sourceOverlap(df, "source", "text", n = 3)
+      .where(col("src_a") === "c" && col("src_b") === "d")
+      .select("jaccard").collect().head
+    assert(cd.isNullAt(0))
+  }
+
+  test("fdDiscover: nullable lhs can still report holds=true over " +
+      "its defined rows") {
+    val s = spark
+    import s.implicits._
+    // a→b holds on every row where a is defined; a has NULLs
+    val df = Seq(
+      (Some(1), "x"), (Some(1), "x"), (Some(2), "y"),
+      (None: Option[Int], "x"), (None: Option[Int], "z"))
+      .toDF("a", "b")
+    val rows = Stats.fdDiscover(df, Seq("a", "b")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    val ab = rows.find(r => r._1 == "a" && r._2 == "b").get
+    assert(ab._3 === 2L) // distinct defined a
+    assert(ab._4 === 2L) // distinct (a,b) over defined a
+    assert(ab._5) // FD holds on defined rows
+    val ba = rows.find(r => r._1 == "b" && r._2 == "a").get
+    assert(!ba._5) // b=x maps to a∈{1,NULL} → 2 pairs vs eventually…
+  }
+
+  test("giniApprox uses each column's own non-null population " +
+      "(no listwise deletion)") {
+    val s = spark
+    import s.implicits._
+    // col u: uniform over defined rows; col v: nulls on DIFFERENT
+    // rows — listwise na.drop would gut u's population
+    val n = 2000
+    val df = (0 until n).map { i =>
+      val u = if (i % 2 == 0) Some(i.toDouble) else None
+      val v = if (i % 2 == 1) Some(1.0) else None
+      (u, v)
+    }.toDF("u", "v")
+    val got = Stats.giniApprox(df, Seq("u", "v"), buckets = 50)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // v is constant 1.0 over its own rows → gini ≈ 0
+    assert(got("v").exists(g => math.abs(g) < 0.02))
+    // u uniform on [0, n) → gini ≈ 1/3 over ITS rows; listwise
+    // deletion would leave u's agg empty (None)
+    assert(got("u").exists(g => math.abs(g - 1.0 / 3) < 0.03))
+    // all-null column: contract None, no NPE
+    val dfN = (0 until 10)
+      .map(i => (i.toDouble, None: Option[Double])).toDF("x", "z")
+    val gz = Stats.giniApprox(dfN, Seq("z"), buckets = 10).collect()
+    assert(gz.head.isNullAt(1))
+  }
+
+  test("privacySection passes only at the strictest candidate k") {
+    val curve = Seq((2L, 0L, 0L, 0.0), (10L, 3L, 12L, 0.1))
+    // smallest group 5 satisfies k=2 but NOT k=10 → must fail
+    assert(HtmlReport.privacySection(5L, curve).contains("qc-fail"))
+    assert(HtmlReport.privacySection(10L, curve).contains("qc-pass"))
+  }
+}
