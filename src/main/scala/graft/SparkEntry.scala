@@ -18,12 +18,14 @@ object SparkEntry {
       graft.queries.QualityQueries.queries ++
       graft.queries.EmbedHealthQueries.queries ++
       graft.queries.StoreQueries.queries ++
-      graft.queries.CorpusQueries.queries
+      graft.queries.CorpusQueries.queries ++
+      graft.queries.UrlQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracle ++ graft.queries.Extensions.oracle ++
       graft.queries.QualityQueries.oracle ++
       graft.queries.EmbedHealthQueries.oracle ++
       graft.queries.StoreQueries.oracle ++
-      graft.queries.CorpusQueries.oracle
+      graft.queries.CorpusQueries.oracle ++
+      graft.queries.UrlQueries.oracle
 }

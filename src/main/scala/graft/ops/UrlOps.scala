@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.det.Sig
+
+/** URL / domain operators — the first thing a web-crawl training
+  * pipeline does is group, filter and cap by registrable domain
+  * (per-domain doc caps, domain-mix datasheets, hot-domain
+  * detection). Reference scope: the upstream profiler has no URL
+  * support at all (spark-df-profiling profiles generic columns only);
+  * this family is part of the training-data-pipeline surface the
+  * brief adds on top.
+  *
+  * Scale stance: everything here is one hash aggregation over the
+  * corpus keyed by an O(domains) key — no window over docs, no
+  * driver-side loop. The per-domain cap rides the bounded
+  * [[graft.functions.TopKByScore]] heap (O(cap) state per domain,
+  * map-side pruned), so a 100 TB crawl with a billion-doc hot domain
+  * never sorts that domain's docs through one task.
+  */
+object UrlOps {
+
+  /** Deterministic URL synthesis from an integer id — the
+    * [[Pii.synthPii]] fixture precedent (the test tables carry no URL
+    * column, so the fixture derives one reproducibly). Pure integer
+    * arithmetic: any engine re-derives the identical string. The mix
+    * is deliberately crawl-shaped — two hot hubs take ~40% of docs,
+    * a 97-domain tail shares the rest; subdomain variety (www / cdnN
+    * / bare) exercises registrable-domain folding; 4 TLDs; path +
+    * optional query string exercise host extraction. */
+  def synthUrl(df: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val sub = when(id % 3 === 0, lit("www."))
+      .when(id % 3 === 1, concat(lit("cdn"), id % 5, lit(".")))
+      .otherwise(lit(""))
+    val dom = when(id % 10 < 4, concat(lit("hub"), id % 2))
+      .otherwise(concat(lit("site"), id % 97))
+    val tld = when(id % 7 <= 2, lit("com")).when(id % 7 <= 4, lit("org"))
+      .when(id % 7 === 5, lit("net")).otherwise(lit("io"))
+    val qs = when(id % 2 === 0, concat(lit("?ref=r"), id % 50))
+      .otherwise(lit(""))
+    df.withColumn("url", concat(lit("https://"), sub, dom, lit("."),
+      tld, lit("/p/"), id % 1000, qs))
+  }
+
+  /** Adds `host` (via Spark's builtin `parse_url`) and `domain` — the
+    * registrable domain approximated as the last two host labels.
+    * (A real crawl pipeline joins a broadcast public-suffix list for
+    * multi-label TLDs; the last-two-labels fold is the standard
+    * fixture-scope approximation and keeps the oracle a pure string
+    * re-derivation.) */
+  def withDomain(df: DataFrame, urlCol: String): DataFrame = {
+    val host = parse_url(col(urlCol), lit("HOST"))
+    df.withColumn("host", host)
+      .withColumn("domain",
+        concat_ws(".", slice(split(col("host"), "\\."), -2, 2)))
+  }
+
+  /** Per-registrable-domain datasheet: docs, tokens, distinct full
+    * hosts, doc share, and the hot flag (share above `hotShare`).
+    * ONE hash aggregation keyed by domain + a broadcast of the
+    * single-row total — no window, no second scan of the corpus. */
+  def domainProfile(df: DataFrame, urlCol: String, textCol: String,
+      hotShare: Double = 0.05): DataFrame = {
+    val d = withDomain(df, urlCol)
+    val agg = d.groupBy("domain").agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextStats.tokens(col(textCol))).cast("long"))
+        .as("n_tokens"),
+      countDistinct(col("host")).as("n_hosts"))
+    val tot = agg.agg(sum("n_docs").as("__t"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        col("n_hosts"),
+        Sig.sig5(col("n_docs").cast("double") / col("__t"))
+          .as("doc_share"))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        col("n_hosts"), col("doc_share"),
+        (col("doc_share") > hotShare).as("is_hot"))
+      .orderBy("domain")
+  }
+
+  /** Per-domain doc cap: keep at most `cap` docs per registrable
+    * domain, chosen REPRODUCIBLY (minstd hash of the id — "random
+    * but auditable", the training-order precedent) — the crawl
+    * pipeline's anti-hot-domain step. Bounded top-k heap per domain
+    * (score DESC, id ASC), so the hot domain's million docs cost
+    * O(cap) state per task, not a per-domain sort. Emits
+    * (domain, rnk, doc_id): rnk ≤ cap, ordered for the oracle. */
+  def domainCap(df: DataFrame, urlCol: String, idCol: String,
+      cap: Int): DataFrame = {
+    val d = withDomain(df, urlCol)
+    // minstd values are exact integers < 2^31: exactly representable
+    // as doubles, so the heap's Double order is portable without sig5
+    d.groupBy("domain")
+      .agg(graft.functions.TopKByScore.top_k(cap)(
+        Sampling.minstdHash(col(idCol)).cast("double"),
+        col(idCol)).as("top"))
+      .select(col("domain"), posexplode(col("top")).as(Seq("p", "e")))
+      .select(col("domain"), (col("p") + 1).cast("long").as("rnk"),
+        col("e._2").as("doc_id"))
+      .orderBy("domain", "rnk")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.det.Sig
+import graft.ops.UrlOps
+
+/** URL / domain-family queries (round 11): registrable-domain
+  * datasheet + the per-domain doc cap — the first two operations a
+  * crawl-pipeline user runs. The fixture URL column is synthesized
+  * deterministically from doc_id ([[UrlOps.synthUrl]], the text_pii
+  * precedent), so the DuckDB oracle re-derives the identical URLs,
+  * hosts and domains with pure string/integer ops and replays both
+  * queries value-level. */
+object UrlQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def sig(x: String) = Sig.sql(x)
+
+  val HotShare = 0.05
+  // binds at gate scale: sf0.01 has 500 docs and the hot hub.com
+  // domains hold ~44 each, so the cap genuinely truncates them
+  val DomainCap = 20
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // per-registrable-domain docs/tokens/hosts/share + hot flag
+    "text_domains" -> ((s, dir) =>
+      UrlOps.domainProfile(
+        UrlOps.synthUrl(t(s, dir, "documents"), "doc_id"),
+        "url", "text", HotShare)),
+    // reproducible per-domain doc cap (minstd order, bounded heap)
+    "sample_domain_cap" -> ((s, dir) =>
+      UrlOps.domainCap(
+        UrlOps.synthUrl(t(s, dir, "documents"), "doc_id"),
+        "url", "doc_id", DomainCap))
+  )
+
+  // ------------------------- oracle SQL ---------------------------- //
+
+  /** CTE `u`: the synthesized URL re-derived in DuckDB — mirrors
+    * [[UrlOps.synthUrl]] integer-for-integer. */
+  private val urlCte: String =
+    """u AS (SELECT doc_id, text,
+      |  'https://' ||
+      |  CASE WHEN doc_id % 3 = 0 THEN 'www.'
+      |       WHEN doc_id % 3 = 1 THEN 'cdn' || (doc_id % 5) || '.'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 10 < 4 THEN 'hub' || (doc_id % 2)
+      |       ELSE 'site' || (doc_id % 97) END || '.' ||
+      |  CASE WHEN doc_id % 7 <= 2 THEN 'com'
+      |       WHEN doc_id % 7 <= 4 THEN 'org'
+      |       WHEN doc_id % 7 = 5 THEN 'net' ELSE 'io' END ||
+      |  '/p/' || (doc_id % 1000) ||
+      |  CASE WHEN doc_id % 2 = 0 THEN '?ref=r' || (doc_id % 50)
+      |       ELSE '' END AS url
+      |  FROM documents)""".stripMargin
+
+  /** CTE `h`: host (regex re-derivation of parse_url HOST) and the
+    * last-two-labels registrable domain. */
+  private val hostCte: String =
+    """h AS (SELECT doc_id, text,
+      |  regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host FROM u),
+      |d AS (SELECT doc_id, text, host,
+      |  hl[len(hl)-1] || '.' || hl[len(hl)] AS domain FROM (
+      |  SELECT doc_id, text, host, string_split(host, '.') AS hl
+      |  FROM h))""".stripMargin
+
+  val textDomainsSql: String =
+    s"""WITH $urlCte, $hostCte,
+       |a AS (SELECT domain, count(*) AS n_docs,
+       |        CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+       |          AS n_tokens,
+       |        count(DISTINCT host) AS n_hosts
+       |      FROM d GROUP BY domain),
+       |s AS (SELECT domain, n_docs, n_tokens, n_hosts,
+       |        CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS sh
+       |      FROM a),
+       |r AS (SELECT domain, n_docs, n_tokens, n_hosts,
+       |        ${sig("sh")} AS doc_share FROM s)
+       |SELECT domain, n_docs, n_tokens, n_hosts, doc_share,
+       |  doc_share > $HotShare AS is_hot
+       |FROM r ORDER BY domain""".stripMargin
+
+  private def minstdSql(x: String): String = {
+    val m = "2147483647"; val a = "48271"
+    val h0 = s"((((CAST($x AS BIGINT) + 12345) % $m) + $m) % $m)"
+    val h1 = s"(($h0 * $a) % $m)"
+    s"(($h1 * $a) % $m)"
+  }
+
+  val sampleDomainCapSql: String =
+    s"""WITH $urlCte, $hostCte,
+       |r AS (SELECT domain, doc_id, row_number() OVER (
+       |        PARTITION BY domain
+       |        ORDER BY ${minstdSql("doc_id")} DESC, doc_id) AS rnk
+       |      FROM d)
+       |SELECT domain, CAST(rnk AS BIGINT) AS rnk, doc_id
+       |FROM r WHERE rnk <= $DomainCap
+       |ORDER BY domain, rnk""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "text_domains" -> textDomainsSql,
+    "sample_domain_cap" -> sampleDomainCapSql
+  )
+}

@@ -86,6 +86,57 @@ class Round11Spec extends SparkSpec {
     assert(gz.head.isNullAt(1))
   }
 
+  test("URL family: domain fold matches a driver-side re-derivation " +
+      "and the cap is windowless, bounded and reproducible") {
+    val s = spark
+    import s.implicits._
+    val n = 400
+    val df = (0 until n).map(i => (i.toLong, s"w$i x y z")).toDF(
+      "doc_id", "text")
+    val d = graft.ops.UrlOps.withDomain(
+      graft.ops.UrlOps.synthUrl(df, "doc_id"), "url")
+    // driver-side independent re-derivation of host + domain
+    def expect(id: Long): (String, String) = {
+      val sub = if (id % 3 == 0) "www."
+        else if (id % 3 == 1) s"cdn${id % 5}." else ""
+      val dom = if (id % 10 < 4) s"hub${id % 2}" else s"site${id % 97}"
+      val tld = if (id % 7 <= 2) "com" else if (id % 7 <= 4) "org"
+        else if (id % 7 == 5) "net" else "io"
+      (s"$sub$dom.$tld", s"$dom.$tld")
+    }
+    d.select("doc_id", "host", "domain").collect().foreach { r =>
+      val (h, dm) = expect(r.getLong(0))
+      assert(r.getString(1) === h)
+      assert(r.getString(2) === dm)
+    }
+    // the cap: no Window node (bounded heap), counts = min(n, cap)
+    val cap = 5
+    val capped = graft.ops.UrlOps.domainCap(
+      graft.ops.UrlOps.synthUrl(df, "doc_id"), "url", "doc_id", cap)
+    assert(!capped.queryExecution.executedPlan.toString
+      .contains("Window"), "domainCap must not plan a Window")
+    val byDom = capped.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val totals = d.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (dm, cnt) =>
+      assert(byDom(dm).length === math.min(cnt, cap.toLong)) }
+    // reproducible selection: kept ids = smallest-rank under
+    // (minstd DESC, id ASC), re-derived on the driver
+    def minstd(id: Long): Long = {
+      val m = 2147483647L; val a = 48271L
+      val h0 = ((id + 12345) % m + m) % m
+      ((h0 * a) % m) * a % m
+    }
+    val ids = df.collect().map(_.getLong(0))
+    val wantTop = ids.groupBy(id => expect(id)._2).map { case (dm, g) =>
+      dm -> g.sortBy(id => (-minstd(id), id)).take(cap).toSeq
+    }
+    byDom.foreach { case (dm, rows) =>
+      assert(rows.sortBy(_._2).map(_._3).toSeq === wantTop(dm)) }
+  }
+
   test("privacySection passes only at the strictest candidate k") {
     val curve = Seq((2L, 0L, 0L, 0.0), (10L, 3L, 12L, 0.1))
     // smallest group 5 satisfies k=2 but NOT k=10 → must fail
