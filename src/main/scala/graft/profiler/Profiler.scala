@@ -593,4 +593,94 @@ object Profiler {
     (tableRows ++ colRows ++ rejRows ++ assocRows)
       .toDF("col_name", "metric", "value_num", "value_str")
   }
+
+  /** The fused flagship's error CONTRACT as data — the
+    * col_distinct_approx_err pattern applied to [[profileFused]]:
+    * runs the exact multi-pass profile AND the one-scan fused profile
+    * on the same input and emits one (col_name, metric,
+    * within_bound) row per comparable statistic, each judged against
+    * its documented bound:
+    *
+    *  - exact fields (n, count, missing, min, max, n_zeros, date
+    *    min/max): equal;
+    *  - KMV distinct: |est − exact| ≤ 4σ·exact + 1, σ = 1/√k;
+    *  - streaming sums/moments vs two-pass: relative tolerance
+    *    (float summation order — 1e-8 for sum/mean, 1e-6 for
+    *    var/sd, 1e-4 for the higher moments);
+    *  - GK quantiles: verified against the DATA's true ranks (the
+    *    [[Stats.quantileRankCheck]] contract, rank error ε·n + 1),
+    *    not against the exact quantile value — GK's returned element
+    *    is merge-order dependent, its rank guarantee is not.
+    *
+    * One extra counting aggregation beyond the two profiles (the
+    * rank premises). Oracle: every row true. */
+  def fusedCheck(df: DataFrame, kmvK: Int = 1024,
+      accuracy: Int = 10000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cfg = ProfilerConfig(exactQuantiles = true,
+      exactDistinct = true, correlations = false)
+    val e = profile(df, cfg)
+    val f = profileFused(df, cfg.copy(fused = true))
+    val eCols = e.columns.map(c => c.name -> c).toMap
+    val fCols = f.columns.map(c => c.name -> c).toMap
+
+    def relOk(a: Option[Double], b: Option[Double],
+        tol: Double): Boolean = (a, b) match {
+      case (Some(x), Some(y)) =>
+        math.abs(x - y) <=
+          tol * math.max(math.abs(x), math.abs(y)) + 1e-12
+      case (None, None) => true
+      case _ => false
+    }
+
+    val rows =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Boolean)]
+    rows += (("__table__", "n", e.n == f.n))
+    val sd = 1.0 / math.sqrt(kmvK.toDouble)
+    df.columns.foreach { c =>
+      val ec = eCols(c); val fc = fCols(c)
+      rows += ((c, "count", ec.count == fc.count))
+      rows += ((c, "missing", ec.missing == fc.missing))
+      rows += ((c, "distinct",
+        math.abs(fc.distinct - ec.distinct) <= 4.0 * sd * ec.distinct + 1))
+      Seq(("min", 0.0), ("max", 0.0), ("n_zeros", 0.0),
+          ("dmn", 0.0), ("dmx", 0.0),
+          ("sum", 1e-8), ("mean", 1e-8),
+          ("var", 1e-6), ("sd", 1e-6), ("sk", 1e-4), ("ku", 1e-4))
+        .foreach { case (k, tol) =>
+          if (ec.stats.contains(k) || fc.stats.contains(k))
+            rows += ((c, k, relOk(ec.stats.get(k), fc.stats.get(k), tol)))
+        }
+    }
+    // GK rank contract for the fused quantile VALUES: one counting
+    // aggregation of (strictly-below, at-or-below) per (col, p)
+    val numCols = Kinds.numericCols(df)
+    val pOf = Seq("p05" -> 0.05, "q1" -> 0.25, "median" -> 0.5,
+      "q3" -> 0.75, "p95" -> 0.95)
+    val checks = numCols.flatMap { c =>
+      pOf.flatMap { case (nm, p) =>
+        fCols(c).quantiles.get(nm).map(v => (c, nm, p, v)) }
+    }
+    if (checks.nonEmpty) {
+      def dc(c: String) = col(c).cast("double")
+      val aggs = numCols.map(c => count(dc(c)).as(s"n__$c")) ++
+        checks.flatMap { case (c, nm, _, v) => Seq(
+          coalesce(sum(when(dc(c) < v, 1L)), lit(0L)).as(s"lo__${c}__$nm"),
+          coalesce(sum(when(dc(c) <= v, 1L)), lit(0L)).as(s"hi__${c}__$nm"))
+        }
+      val r = Stats.chunkedAgg(df, aggs, 300)
+      checks.foreach { case (c, nm, p, _) =>
+        val nC = r(s"n__$c").asInstanceOf[Long]
+        val lo = r(s"lo__${c}__$nm").asInstanceOf[Long]
+        val hi = r(s"hi__${c}__$nm").asInstanceOf[Long]
+        val target = p * nC
+        val margin = nC.toDouble / accuracy + 1.0
+        rows += ((c, nm,
+          lo + 1 <= target + margin && hi >= target - margin))
+      }
+    }
+    rows.toSeq.toDF("col_name", "metric", "within_bound")
+      .orderBy("col_name", "metric")
+  }
 }

@@ -38,6 +38,12 @@ object Core {
     // deterministic for fixed data) — oracle expects all-true
     "col_distinct_approx_err" -> ((s, dir) =>
       Stats.distinctSketchCheck(li(s, dir), all)),
+    // the fused one-scan flagship's error contract: exact profile vs
+    // fused profile per (column, metric), each within its documented
+    // bound (exact fields equal, KMV 4σ, streaming-moment tolerance,
+    // GK rank error vs the data) — oracle expects all-true
+    "profile_fused_err" -> ((s, dir) =>
+      graft.profiler.Profiler.fusedCheck(li(s, dir))),
     "col_types" -> ((s, dir) => Stats.kinds(li(s, dir), all)),
     "num_moments" -> ((s, dir) => Stats.moments(li(s, dir), nums)),
     "num_quantiles" -> ((s, dir) => Stats.quantiles(li(s, dir), nums)),
@@ -283,6 +289,24 @@ object Core {
     unionAll(floats.flatMap(c => pCols.map(nm =>
       s"SELECT '$c' AS col_name, '$nm' AS p_name, true AS within_bound"))) +
       "\nORDER BY col_name, p_name"
+
+  /** Enumerated all-true contract rows — the same static metric
+    * inventory [[graft.profiler.Profiler.fusedCheck]] emits for the
+    * lineitem schema (every numeric column of the fixture varies, so
+    * var/sd/sk/ku are always present). */
+  val profileFusedErrSql: String = {
+    val numMetrics = Seq("min", "max", "n_zeros", "sum", "mean",
+      "var", "sd", "sk", "ku", "p05", "q1", "median", "q3", "p95")
+    val rows =
+      Seq(("__table__", "n")) ++
+        all.flatMap(c =>
+          Seq((c, "count"), (c, "missing"), (c, "distinct"))) ++
+        nums.flatMap(c => numMetrics.map(m => (c, m))) ++
+        dates.flatMap(c => Seq((c, "dmn"), (c, "dmx")))
+    unionAll(rows.map { case (c, m) =>
+      s"SELECT '$c' AS col_name, '$m' AS metric, true AS within_bound"
+    }) + "\nORDER BY col_name, metric"
+  }
 
   val colDistinctApproxErrSql: String =
     unionAll(all.map(c =>
@@ -780,6 +804,7 @@ object Core {
     "col_counts" -> colCountsSql,
     "col_distinct" -> colDistinctSql,
     "col_distinct_approx_err" -> colDistinctApproxErrSql,
+    "profile_fused_err" -> profileFusedErrSql,
     "col_types" -> colTypesSql,
     "null_association" -> nullAssociationSql,
     "num_moments" -> numMomentsSql,

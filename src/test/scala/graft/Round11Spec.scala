@@ -137,6 +137,27 @@ class Round11Spec extends SparkSpec {
       assert(rows.sortBy(_._2).map(_._3).toSeq === wantTop(dm)) }
   }
 
+  test("fusedCheck: all-true contract on an adversarial frame " +
+      "(nulls, constants, negatives) with the right row inventory") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 3000).map { i =>
+      val x = if (i % 7 == 0) None else Some(i.toDouble - 1500)
+      val k = if (i % 3 == 0) "a" else "b"
+      (i.toLong, x, k, 1.0)
+    }.toDF("id", "x", "cat", "const")
+    val rows = graft.profiler.Profiler.fusedCheck(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(rows.forall(_._3), "every contract row must be true: " +
+      rows.filterNot(_._3).mkString(", "))
+    // inventory: table n + 3×4 count/missing/distinct + numeric
+    // metrics for id/x/const + 5 quantile rows each
+    assert(rows.count(_._2 == "distinct") === 4)
+    assert(rows.count(_._2 == "median") === 3)
+    // constant column: no var/sd/sk/ku (m2 = 0 on both sides)
+    assert(!rows.exists(r => r._1 == "const" && r._2 == "sk"))
+  }
+
   test("privacySection passes only at the strictest candidate k") {
     val curve = Seq((2L, 0L, 0L, 0.0), (10L, 3L, 12L, 0.1))
     // smallest group 5 satisfies k=2 but NOT k=10 → must fail
