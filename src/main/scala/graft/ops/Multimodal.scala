@@ -807,6 +807,78 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** 56-bit audio perceptual fingerprint — the PCM twin of [[dHash]]
+    * and the missing half of modality-parity dedup (images got
+    * dHash + banded near-dup in round 10): slice the sample stream
+    * into 57 equal time bands, sum each band's energy (Σs² — exact
+    * integer, 16-bit samples keep it far from Long overflow), and
+    * set bit j iff band j+1 is strictly more energetic than band j.
+    * Like dHash it sees only the SIGNAL — container metadata (sample
+    * rate header, chunk layout) never reaches the hash — and its
+    * 56 bits drop straight into [[phashNearDupPairs]]'s 4×14-band
+    * machinery. Empty trailing bands (clips shorter than `bands`
+    * samples) hold energy 0, deterministically. */
+  def audioFingerprint(samples: Array[Int], bands: Int = 57): Long = {
+    require((bands - 1) <= 63, "fingerprint must fit a signed 64-bit")
+    val e = new Array[Long](bands)
+    val n = samples.length
+    var k = 0
+    while (k < n) {
+      val b = ((k.toLong * bands) / n).toInt
+      val s = samples(k).toLong
+      e(b) += s * s
+      k += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < bands - 1) {
+      if (e(j + 1) > e(j)) h |= 1L << j
+      j += 1
+    }
+    h
+  }
+
+  /** Per-clip fingerprint + identical-signal group size — the audio
+    * twin of [[imagePhash]]: mapPartitions only at the codec byte
+    * boundary, then an 8-byte groupBy for group sizes. Undecodable
+    * or empty clips are dropped, never fatal. */
+  def audioPhash(df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashes = df
+      .where(col(idCol).isNotNull && col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, payload) =>
+            decodeSamples(payload).filter(_.nonEmpty)
+              .map(s => (id, audioFingerprint(s)))
+          }
+        }
+      }.toDF("doc_id", "afp")
+    val groups = hashes.groupBy("afp").agg(count(lit(1)).as("n_same"))
+    hashes.join(groups, Seq("afp"))
+      .select(col("doc_id"), col("afp"), col("n_same"))
+      .orderBy("doc_id")
+  }
+
+  /** Near-dup audio fixture — the [[synthRasterMedia]] precedent in
+    * the audio domain: seven distinct tones (seed (id%7)·293), each
+    * under five different CONTAINER encodings (the sample-rate
+    * header varies with id%5 but the samples don't), fixed 200
+    * mono frames. Same-tone clips must fingerprint identically
+    * whatever the header says. */
+  def synthAudioVariants(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .map(id => (id, synthWavTone(8000L + 1000L * (id % 5), 1L, 200L,
+        (id % 7) * 293L)))
+      .toDF(idCol, "payload")
+  }
+
   /** Tone-payload fixture: every id gets a WAV whose samples are a
     * closed-form function of the id (rate/channels/frames formulas
     * match [[synthPayload]]'s WAV arm; seed = id mod 997). */

@@ -841,6 +841,26 @@ object Extensions {
             "doc_id"),
           "doc_id", "payload"),
         "doc_id", "phash", maxDist = 3)),
+    // audio perceptual fingerprint over REAL decoded PCM: 57 time
+    // bands, sign of adjacent band-energy deltas → 56 bits; the
+    // oracle replays the tone formula band-for-band, so a wrong
+    // sample offset, band split, or energy overflow fails the hash
+    "multimodal_audio_fp" -> ((s, dir) =>
+      Multimodal.audioPhash(
+        Multimodal.synthAudio(t(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload")),
+    // audio near-dup pairs: same 4×14-band pigeonhole machinery as
+    // the image twin, over seven tones × five container encodings
+    // (sample-rate header varies, samples don't) — encoding variants
+    // must collide exactly; oracle is the naive all-pairs join
+    "multimodal_audio_near_dup" -> ((s, dir) =>
+      Multimodal.phashNearDupPairs(
+        Multimodal.audioPhash(
+          Multimodal.synthAudioVariants(
+            t(s, dir, "documents").where(col("doc_id") < 100),
+            "doc_id"),
+          "doc_id", "payload"),
+        "doc_id", "afp", maxDist = 3)),
     // vocabulary-mix drift: PSI/TVD over the TOKEN distribution of
     // the two slices — the "did the crawl's language change" check
     // one level below the lang column; reuses categoricalDrift with
@@ -1918,6 +1938,49 @@ object Extensions {
        |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
        |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Band-energy fingerprint CTEs over the closed-form tone samples:
+    * `par` supplies (doc_id, n, seed), the rest re-derives the 57
+    * time-band energies densely (empty bands are 0) and folds the 56
+    * adjacent-delta sign bits into `afp` — mirrors
+    * [[graft.ops.Multimodal.audioFingerprint]] integer-for-integer. */
+  private def audioFpCtes(par: String): String =
+    s"""par AS ($par),
+       |sam AS (SELECT doc_id, n, k,
+       |    (seed + 7 * k) % 4096 - 2048 AS v,
+       |    (k * 57) // n AS b
+       |  FROM par, LATERAL unnest(range(0, n)) t(k)),
+       |eb AS (SELECT doc_id, b, sum(CAST(v AS BIGINT) * v) AS e
+       |       FROM sam GROUP BY doc_id, b),
+       |dense AS (SELECT p.doc_id, g.b, coalesce(eb.e, 0) AS e
+       |  FROM (SELECT DISTINCT doc_id FROM par) p
+       |  CROSS JOIN (SELECT unnest(range(0, 57)) AS b) g
+       |  LEFT JOIN eb ON eb.doc_id = p.doc_id AND eb.b = g.b),
+       |dl AS (SELECT doc_id, b, e, lead(e) OVER (
+       |         PARTITION BY doc_id ORDER BY b) AS en FROM dense),
+       |hs AS (SELECT doc_id, CAST(coalesce(sum(
+       |    CASE WHEN en > e THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
+       |    END), 0) AS BIGINT) AS afp
+       |  FROM dl WHERE b < 56 GROUP BY doc_id)""".stripMargin
+
+  val multimodalAudioFpSql: String =
+    s"""WITH ${audioFpCtes(
+      """SELECT doc_id,
+        |    (16 + doc_id % 257) * (1 + doc_id % 2) AS n,
+        |    doc_id % 997 AS seed FROM documents""".stripMargin)},
+       |g AS (SELECT afp, count(*) AS n_same FROM hs GROUP BY afp)
+       |SELECT hs.doc_id, hs.afp, g.n_same
+       |FROM hs JOIN g USING (afp) ORDER BY doc_id""".stripMargin
+
+  val multimodalAudioNearDupSql: String =
+    s"""WITH ${audioFpCtes(
+      """SELECT doc_id, 200 AS n, (doc_id % 7) * 293 AS seed
+        |FROM documents WHERE doc_id < 100""".stripMargin)}
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+       |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.afp, b.afp)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
   val multimodalFramesSql: String =
@@ -4542,6 +4605,8 @@ val eventsRollupSql: String =
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_phash" -> multimodalPhashSql,
     "multimodal_near_dup" -> multimodalNearDupSql,
+    "multimodal_audio_fp" -> multimodalAudioFpSql,
+    "multimodal_audio_near_dup" -> multimodalAudioNearDupSql,
     "join_asof" -> joinAsofSql,
     "join_range" -> joinRangeSql,
     "events_features" -> eventsFeaturesSql,

@@ -158,6 +158,34 @@ class Round11Spec extends SparkSpec {
     assert(!rows.exists(r => r._1 == "const" && r._2 == "sk"))
   }
 
+  test("audioFingerprint: container-invariant, short-clip-safe, and " +
+      "equal to a driver-side band-energy reconstruction") {
+    import graft.ops.Multimodal
+    // same tone under five different sample-rate headers → one hash
+    val tones = (0 until 5).map { r =>
+      Multimodal.decodeSamples(
+        Multimodal.synthWavTone(8000L + 1000L * r, 1L, 200L, 879L)).get
+    }
+    val fps = tones.map(Multimodal.audioFingerprint(_))
+    assert(fps.distinct.size === 1)
+    // independent reconstruction from the tone formula
+    def expectFp(n: Int, seed: Long): Long = {
+      val e = new Array[Long](57)
+      (0 until n).foreach { k =>
+        val v = (seed + 7L * k) % 4096L - 2048L
+        e(((k.toLong * 57) / n).toInt) += v * v
+      }
+      (0 until 56).map(j => if (e(j + 1) > e(j)) 1L << j else 0L)
+        .foldLeft(0L)(_ | _)
+    }
+    assert(fps.head === expectFp(200, 879L))
+    // short clip (fewer samples than bands): trailing bands are 0
+    val short = Multimodal.decodeSamples(
+      Multimodal.synthWavTone(8000L, 1L, 20L, 5L)).get
+    assert(short.length === 20)
+    assert(Multimodal.audioFingerprint(short) === expectFp(20, 5L))
+  }
+
   test("privacySection passes only at the strictest candidate k") {
     val curve = Seq((2L, 0L, 0L, 0.0), (10L, 3L, 12L, 0.1))
     // smallest group 5 satisfies k=2 but NOT k=10 → must fail
