@@ -879,6 +879,62 @@ object Multimodal {
       .toDF(idCol, "payload")
   }
 
+  /** Per-format decode accounting — the corrupt-record-accounting
+    * pattern from Sources applied to the pixel path: a real image
+    * corpus is mostly JPEG, and this repo's raster decode covers PNG
+    * only (JPEG stops at the header — Scaladoc on decodeJpeg), so
+    * any phash run over a mixed corpus must say LOUDLY what it
+    * skipped rather than silently hashing the decodable minority.
+    * One mapPartitions classify (container sniff + pixel-decode
+    * attempt) + one O(formats) aggregation. */
+  def decodeAudit(df: DataFrame, idCol: String, binCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.where(col(idCol).isNotNull && col(binCol).isNotNull)
+      .select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (_, payload) =>
+            (decode(payload).format,
+              if (decodePixels(payload).isDefined) 1L else 0L)
+          }
+        }
+      }.toDF("format", "dec")
+      .groupBy("format")
+      .agg(count(lit(1)).as("n_payloads"),
+        sum("dec").as("n_decoded"),
+        (count(lit(1)) - sum("dec")).as("n_skipped"))
+      .select(col("format"), col("n_payloads"), col("n_decoded"),
+        col("n_skipped"),
+        graft.det.Sig.sig5(col("n_decoded").cast("double") /
+          col("n_payloads")).as("decode_rate"))
+      .orderBy("format")
+  }
+
+  /** Mixed-modality fixture: half real PNG rasters (the
+    * [[synthRasterMedia]] formula, pixel-decodable), a quarter JPEGs
+    * (header-only decodable by design), a quarter WAVs (wrong
+    * modality for the pixel path) — the undecodable-by-design corpus
+    * the decode audit and the mixed phash queries run over. */
+  def synthMixedMedia(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .map { id =>
+        val payload = (id % 4) match {
+          case 0 | 1 => synthPngRaster(16, 12,
+            ((id % 7L) * 41L).toInt, (id % 5L).toInt)
+          case 2 => synthJpeg(8 + (id * 13) % 509, 8 + (id * 11) % 387,
+            progressive = id % 2 == 1)
+          case _ => synthWavTone(8000L, 1L, 16L + id % 65, id % 997)
+        }
+        (id, payload)
+      }
+      .toDF(idCol, "payload")
+  }
+
   /** Tone-payload fixture: every id gets a WAV whose samples are a
     * closed-form function of the id (rate/channels/frames formulas
     * match [[synthPayload]]'s WAV arm; seed = id mod 997). */

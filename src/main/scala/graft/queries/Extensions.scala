@@ -861,6 +861,23 @@ object Extensions {
             "doc_id"),
           "doc_id", "payload"),
         "doc_id", "afp", maxDist = 3)),
+    // per-format decode accounting over a corpus where half the
+    // payloads are undecodable-by-design (JPEG header-only, WAV wrong
+    // modality): the pixel path must report skips LOUDLY — the
+    // oracle re-derives the per-format decoded/skipped counts from
+    // the fixture arithmetic, so a silent drop or a crash both fail
+    "multimodal_decode_audit" -> ((s, dir) =>
+      Multimodal.decodeAudit(
+        Multimodal.synthMixedMedia(t(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload")),
+    // phash over the SAME mixed corpus: output must be exactly the
+    // PNG arm's hashes (group sizes included) — the undecodable
+    // majority degrades to absence plus the audit row, never to
+    // wrong hashes
+    "multimodal_phash_mixed" -> ((s, dir) =>
+      Multimodal.imagePhash(
+        Multimodal.synthMixedMedia(t(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload")),
     // vocabulary-mix drift: PSI/TVD over the TOKEN distribution of
     // the two slices — the "did the crawl's language change" check
     // one level below the lang column; reuses categoricalDrift with
@@ -1923,6 +1940,34 @@ object Extensions {
 
   val multimodalPhashSql: String =
     s"""WITH ${phashCtes("TRUE")},
+       |grp AS (SELECT phash, count(*) AS n_same FROM hsh GROUP BY phash)
+       |SELECT hsh.doc_id, hsh.phash, grp.n_same
+       |FROM hsh JOIN grp ON grp.phash = hsh.phash
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-format decode accounting re-derived from the mixed-fixture
+    * arithmetic ([[graft.ops.Multimodal.synthMixedMedia]]: id%4 ≤ 1
+    * png raster, =2 jpeg, else wav; only the png arm pixel-decodes). */
+  val multimodalDecodeAuditSql: String =
+    s"""WITH m AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 4 <= 1 THEN 'png'
+       |         WHEN doc_id % 4 = 2 THEN 'jpeg' ELSE 'wav' END
+       |      AS format,
+       |    CASE WHEN doc_id % 4 <= 1 THEN 1 ELSE 0 END AS dec
+       |  FROM documents),
+       |a AS (SELECT format, count(*) AS n_payloads,
+       |    CAST(sum(dec) AS BIGINT) AS n_decoded,
+       |    CAST(count(*) - sum(dec) AS BIGINT) AS n_skipped,
+       |    CAST(sum(dec) AS DOUBLE) / count(*) AS rt
+       |  FROM m GROUP BY format)
+       |SELECT format, n_payloads, n_decoded, n_skipped,
+       |  ${sig("rt")} AS decode_rate
+       |FROM a ORDER BY format""".stripMargin
+
+  /** The mixed-corpus phash mirror: exactly the png arm's hashes —
+    * group sizes computed over the DECODED population only. */
+  val multimodalPhashMixedSql: String =
+    s"""WITH ${phashCtes("doc_id % 4 <= 1")},
        |grp AS (SELECT phash, count(*) AS n_same FROM hsh GROUP BY phash)
        |SELECT hsh.doc_id, hsh.phash, grp.n_same
        |FROM hsh JOIN grp ON grp.phash = hsh.phash
@@ -4607,6 +4652,8 @@ val eventsRollupSql: String =
     "multimodal_near_dup" -> multimodalNearDupSql,
     "multimodal_audio_fp" -> multimodalAudioFpSql,
     "multimodal_audio_near_dup" -> multimodalAudioNearDupSql,
+    "multimodal_decode_audit" -> multimodalDecodeAuditSql,
+    "multimodal_phash_mixed" -> multimodalPhashMixedSql,
     "join_asof" -> joinAsofSql,
     "join_range" -> joinRangeSql,
     "events_features" -> eventsFeaturesSql,

@@ -186,6 +186,26 @@ class Round11Spec extends SparkSpec {
     assert(Multimodal.audioFingerprint(short) === expectFp(20, 5L))
   }
 
+  test("decodeAudit: corrupt payloads land in an 'unknown' row with " +
+      "zero decodes — loud, not fatal") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.Multimodal
+    val rows = (0L until 20L).map { id =>
+      val p =
+        if (id % 2 == 0)
+          Multimodal.synthPngRaster(16, 12, (id % 7).toInt * 41,
+            (id % 5).toInt)
+        else Array.tabulate(40)(i => ((id + i) % 251).toByte) // garbage
+      (id, p)
+    }.toDF("doc_id", "payload")
+    val got = Multimodal.decodeAudit(rows, "doc_id", "payload")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got("png") === ((10L, 10L, 0L)))
+    assert(got("unknown") === ((10L, 0L, 10L)))
+  }
+
   test("privacySection passes only at the strictest candidate k") {
     val curve = Seq((2L, 0L, 0L, 0.0), (10L, 3L, 12L, 0.1))
     // smallest group 5 satisfies k=2 but NOT k=10 → must fail
