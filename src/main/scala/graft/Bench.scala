@@ -32,9 +32,26 @@ object Bench {
     // amortize to zero, so steady-state is the honest per-query
     // number. Warmup failures are ignored here; the timed run below
     // still reports them.
+    // Family filter (VERDICT r10 task 8): ~200 entries × 3 reps ≈
+    // 10 min wall and growing each round. SPARK_GRAFT_BENCH_ONLY=
+    // "dedup,embed,profile_full" — a comma list of FAMILIES (the
+    // prefix before the first '_') and/or exact query names —
+    // restricts the timed set for time-boxed local iteration. Which
+    // families actually ran is recorded in bench_full.json
+    // ("families") so a partial artifact can never masquerade as a
+    // full run. Default (unset): everything — the driver's per-round
+    // run stays complete.
+    def familyOf(name: String): String = name.takeWhile(_ != '_')
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty)
+    def selected(name: String): Boolean =
+      only.forall(o => o.contains(name) || o.contains(familyOf(name)))
     val warmDir = "/root/testdata/sf0.001"
     if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => selected(q._1)).foreach { case (_, fn) =>
         try { fn(spark, warmDir).collect(); () } catch { case _: Throwable => }
       }
       import graft.profiler.{Profiler => P, ProfilerConfig => PC}
@@ -92,7 +109,7 @@ object Bench {
     // and every failure is counted in the "fails" map.
     val results = (SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) => name -> (() => { fn(spark, sfDir).collect(); () })
-    } ++ flagship).map { case (name, run) =>
+    } ++ flagship).filter(e => selected(e._1)).map { case (name, run) =>
       val samples = (1 to reps).map { i =>
         val t0 = System.nanoTime()
         val ok =
@@ -113,9 +130,12 @@ object Bench {
     // wall/(sum of ALL samples) ≈ 1/overlap under no contention; a
     // ratio far above it with high load means the box was shared
     val sumAll = results.flatMap(_._4).sum
+    val familiesJson = results.map(r => familyOf(r._1)).distinct.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val loadJson = s""""load_avg_1m":{"before":$loadBefore,""" +
       s""""after":$loadAfter},"wall_vs_sum":${
-        if (sumAll > 0) "%.3f".format(wall / sumAll) else "null"}"""
+        if (sumAll > 0) "%.3f".format(wall / sumAll) else "null"},""" +
+      s""""families":$familiesJson,"filtered":${only.isDefined}"""
     val ordered = results.sortBy(_._2.getOrElse(Double.MaxValue))
     def queriesJson(fmt: Double => String): String =
       ordered.map { case (k, v, _, _) =>
