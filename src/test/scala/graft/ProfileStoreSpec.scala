@@ -503,4 +503,97 @@ class ProfileStoreSpec extends SparkSpec {
     assert(rc.forall(_.isNullAt(rc.head.fieldIndex("z"))))
     assert(rc.forall(_.getAs[Long]("anomalous") == 0L))
   }
+
+  test("property: compact(any partition of snapshots) then merge ≡ " +
+      "merge(all) — exact fields bit-equal, sketches within bounds") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // base store: 5 daily snapshots, built ONCE
+    val base = tmp("pstore_assoc")
+    val days = (0 until 5).map(i => f"day=$i%02d")
+    ProfileStore.writeSnapshot(corpus(0, 1200), base, days.head, k = 256)
+    days.tail.zipWithIndex.foreach { case (d, i) =>
+      ProfileStore.appendSnapshot(
+        corpus(1200L * (i + 1), 1200L * (i + 2)), base, d)
+    }
+    val want = ProfileStore.mergedProfile(spark, base).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val wantCorr = ProfileStore.mergedCorrelations(spark, base)
+      .map { case (a, b, r) => (a, b) -> r }.toMap
+
+    def copyDir(src: String): String = {
+      val dst = tmp("pstore_assoc_cp")
+      val sp = java.nio.file.Paths.get(src)
+      java.nio.file.Files.walk(sp).forEach { p =>
+        val t = java.nio.file.Paths.get(dst).resolve(sp.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      dst
+    }
+
+    val partGen = Gen.listOfN(days.size, Gen.chooseNum(0, 2))
+    (0 until 5).foreach { seed =>
+      val assign = partGen(Gen.Parameters.default, Seed(seed.toLong)).get
+      val groups = days.zip(assign).groupBy(_._2)
+        .values.map(_.map(_._1)).toSeq.sortBy(_.head)
+      val store = copyDir(base)
+      groups.zipWithIndex.foreach { case (ids, g) =>
+        ProfileStore.compactSnapshots(spark, store, ids, s"compact=$g")
+      }
+      val got = ProfileStore.mergedProfile(spark, store).collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(got.keySet === want.keySet)
+      got.foreach { case (c, r) =>
+        val w = want(c)
+        // exact over any merge grouping: counts, extremes, KMV set
+        Seq("kind", "n_rows", "n", "n_missing", "distinct_est",
+          "min_val", "max_val", "n_zeros").foreach { f =>
+          assert(r.getAs[Any](f) === w.getAs[Any](f),
+            s"seed=$seed $c.$f groups=$groups")
+        }
+        // float estimates: merge ORDER changes summation order, and
+        // sig5 rounding can split a near-boundary pair by one bucket
+        Seq("mean", "variance", "sum_val").foreach { f =>
+          val (a, b) = (r.getAs[Any](f), w.getAs[Any](f))
+          (a, b) match {
+            case (null, null) =>
+            case (x: java.lang.Double, y: java.lang.Double) =>
+              assert(math.abs(x - y) <=
+                1e-4 * math.max(1.0, math.abs(y)),
+                s"seed=$seed $c.$f $x vs $y")
+            case _ => fail(s"seed=$seed $c.$f nullability diverged")
+          }
+        }
+        // merged-GK quantiles: rank error stays O(ε·n) under any
+        // grouping; on these (near-)uniform columns that is a value
+        // band of ~4ε·range + discretization
+        val range = (r.getAs[Any]("max_val"), r.getAs[Any]("min_val"))
+          match {
+            case (mx: java.lang.Double, mn: java.lang.Double) => mx - mn
+            case _ => 0.0
+          }
+        Seq("p05", "q1", "median", "q3", "p95").foreach { f =>
+          val (a, b) = (r.getAs[Any](f), w.getAs[Any](f))
+          (a, b) match {
+            case (null, null) =>
+            case (x: java.lang.Double, y: java.lang.Double) =>
+              assert(math.abs(x - y) <= 0.004 * range + 1.0,
+                s"seed=$seed $c.$f $x vs $y")
+            case _ => fail(s"seed=$seed $c.$f nullability diverged")
+          }
+        }
+      }
+      // co-moment correlations survive any compaction grouping
+      val gotCorr = ProfileStore.mergedCorrelations(spark, store)
+        .map { case (a, b, rho) => (a, b) -> rho }.toMap
+      assert(gotCorr.keySet === wantCorr.keySet)
+      gotCorr.foreach { case (k2, rho) =>
+        assert(math.abs(rho - wantCorr(k2)) <= 1e-4,
+          s"seed=$seed corr $k2")
+      }
+    }
+  }
 }
