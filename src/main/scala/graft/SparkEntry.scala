@@ -15,6 +15,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Core.queries ++ graft.queries.Extensions.queries ++
+      graft.queries.DedupQueries.queries ++
+      graft.queries.EmbedQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.EventsQueries.queries ++
+      graft.queries.MultimodalQueries.queries ++
+      graft.queries.DriftQueries.queries ++
+      graft.queries.SampleQueries.queries ++
       graft.queries.QualityQueries.queries ++
       graft.queries.EmbedHealthQueries.queries ++
       graft.queries.StoreQueries.queries ++
@@ -23,6 +30,13 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracle ++ graft.queries.Extensions.oracle ++
+      graft.queries.DedupQueries.oracle ++
+      graft.queries.EmbedQueries.oracle ++
+      graft.queries.TextQueries.oracle ++
+      graft.queries.EventsQueries.oracle ++
+      graft.queries.MultimodalQueries.oracle ++
+      graft.queries.DriftQueries.oracle ++
+      graft.queries.SampleQueries.oracle ++
       graft.queries.QualityQueries.oracle ++
       graft.queries.EmbedHealthQueries.oracle ++
       graft.queries.StoreQueries.oracle ++

@@ -6,111 +6,16 @@ import graft.det.Sig
 import graft.ops._
 import graft.pipeline.CorpusPipeline
 
-/** LLM-data-pipeline extension queries (dedup, similarity search,
-  * text analysis, multimodal, event windows/sessions, star joins)
-  * with DuckDB oracles where the operator is SQL-expressible;
-  * probabilistic ops (MinHash, SimHash, hyperplane LSH) are
-  * deterministic but hash-function-bound, so they get rows-only
-  * checks (no oracle entry). */
+/** Remaining extension queries (star joins, categorical
+  * stats, relationship discovery, pipeline composition) —
+  * the per-family registries split out in round 11 live in
+  * DedupQueries / EmbedQueries / TextQueries / EventQueries /
+  * MultimodalQueries / DriftQueries / SampleQueries. */
 object Extensions {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  private def sig(x: String) = Sig.sql(x)
-
-  // English stopword list shared by Spark exprs and oracle SQL.
-  private val enStops = TextStats.stopwords.toMap.apply("en")
-  private def stopOr(v: String, ws: Seq[String]): String =
-    ws.map(w => s"$v = '$w'").mkString(" OR ")
-
-  /** Hot-shingle document-frequency cap (CCNet-style) used by every
-    * declared n-gram query AND its oracle SQL, so the scale guard is
-    * always on in production shape; no fixture shingle exceeds df 25,
-    * so the capped results equal the uncapped ones at test sf. */
-  val NgramMaxDf = 1000L
-
-  /** The canonical near-dup cluster frame — the ONE construction
-    * shared by `dedup_clusters` and `dedup_keep`, so the keep stats
-    * are computed over exactly the clusters the cluster query
-    * declares and the two can never drift. */
-  private def docClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateClustersStar(
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf)))
+  import Shared._
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ---- dedup ----
-    "dedup_exact" -> ((s, dir) =>
-      Dedup.exactStats(t(s, dir, "documents"), Seq("text"))),
-    "dedup_ngram" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf))),
-    // asymmetric containment reuse: Jaccard is structurally blind to
-    // short-in-long quotes, so the fixture synthesizes them
-    // deterministically (the null_association precedent): every 17th
-    // doc contributes its 15-token prefix as a pseudo-quote doc
-    // (id + 1,000,000) — contained ≈1.0 in its parent while their
-    // Jaccard stays far below any dedup threshold
-    "dedup_containment" -> ((s, dir) => {
-      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val w = split(col("text"), " ")
-      val quotes = base
-        .where(col("doc_id") % 17 === 0 && size(w) >= 15)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          array_join(slice(w, 1, 15), " ").as("text"))
-      Dedup.containmentPairs(base.unionByName(quotes), "doc_id",
-        "text", n = 3, minContain = 0.9, maxDf = Some(NgramMaxDf))
-    }),
-    // near-dup cluster-size distribution — the release-report view
-    // of the cluster frame ("how much of the corpus sits in 2-doc vs
-    // 50-doc duplicate families"); same canonical docClusters
-    // construction, two tiny aggregations on top
-    "dedup_cluster_stats" -> ((s, dir) =>
-      docClusters(s, dir)
-        .groupBy("cluster_id").agg(count(lit(1)).as("size"))
-        .groupBy("size").agg(count(lit(1)).as("n_clusters"),
-          sum("size").as("n_docs"))
-        .orderBy("size")),
-    // block-then-verify fuzzy dedup: shingle-Jaccard blocking at 0.3,
-    // Levenshtein verify at ≤ 5% of the longer text
-    "dedup_fuzzy" -> ((s, dir) =>
-      Dedup.fuzzyPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, blockJaccard = 0.3, maxNormDist = 0.05,
-        maxDf = Some(NgramMaxDf))),
-    // recall containment: exact J≥0.8 pairs ∩ MinHash-LSH candidates;
-    // oracle = the exact pairs, so a hash-match proves 100% recall.
-    // The premise threshold is 0.8 (not the 0.7 operating point) so
-    // the gate is robust to fixture drift: with 16 bands × 4 rows the
-    // per-pair capture probability at exactly J=0.8 is 1−(1−0.8⁴)¹⁶ ≈
-    // 0.99978 (vs ≈0.988 at J=0.7 — an unlucky exact pair at the
-    // lower threshold would fail the gate ~1% of the time per pair
-    // without any code regression)
-    "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashContainmentPairs(t(s, dir, "documents"), "doc_id",
-        "text", n = 3, numHashes = 64, bands = 16, minEstJaccard = 0.5,
-        minJaccard = 0.8, maxDf = Some(NgramMaxDf))),
-    // incremental (catalog) dedup — the daily-crawl shape: the src0
-    // slice arrives as the new batch, everything else is the
-    // persisted catalog; declared as the recall-containment gate
-    // (exact cross-side J≥0.8 pairs ∩ incremental LSH candidates,
-    // oracle = the exact pairs — fixture pairs sit at J 0.97–0.99
-    // where 16×4 banding capture is ≈1)
-    "dedup_incremental" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.incrementalContainmentPairs(
-        docs.where(col("source") === "src0"),
-        docs.where(col("source") =!= "src0"),
-        "doc_id", "text", n = 3, numHashes = 64, bands = 16,
-        minEstJaccard = 0.5, minJaccard = 0.8,
-        maxDf = Some(NgramMaxDf))
-    }),
-    // bounded-distance invariant: exact J≥0.9 pairs with SimHash
-    // Hamming ≤ 16; oracle = the exact pairs
-    "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashBoundedPairs(t(s, dir, "documents"), "doc_id", "text",
-        n = 3, minJaccard = 0.9, maxHamming = 16,
-        maxDf = Some(NgramMaxDf))),
     // the full corpus-preparation funnel as ONE oracle-checked query:
     // quality filter → near-dedup keep → decontamination, stage
     // counts compared against DuckDB's independent re-derivation
@@ -121,180 +26,6 @@ object Extensions {
         docs.where(col("source") === "src0"),
         "doc_id", "text")
     }),
-    // benchmark decontamination: src0 plays the eval set, the rest is
-    // the training corpus; GPT-3-style n-gram overlap with the same
-    // capped hashed-shingle index as the dedup family
-    "text_contamination" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.contaminationPairs(
-        docs.where(col("source") =!= "src0"),
-        docs.where(col("source") === "src0"),
-        "doc_id", "text", n = 3, minShared = 5L,
-        maxDf = Some(NgramMaxDf))
-    }),
-    // pairwise candidates → dedup decision: connected components over
-    // the capped exact pair graph (cluster id = min reachable doc id)
-    // via the O(log n)-round large-star/small-star algorithm — the
-    // any-diameter scale path (min-label propagation kept as the
-    // cross-checked simple variant)
-    "dedup_clusters" -> ((s, dir) => docClusters(s, dir)),
-    // end-to-end keep-one-representative stats over the SAME clusters
-    // frame dedup_clusters declares (one construction site — the two
-    // queries cannot drift; a real pipeline materializes the clusters
-    // once, as CorpusPipeline does)
-    "dedup_keep" -> ((s, dir) =>
-      Dedup.keepStats(t(s, dir, "documents"), "doc_id",
-        docClusters(s, dir))),
-    // the scale path IS the declared query: banded hyperplane LSH with
-    // the oracle replicating the banding (plane literals in the SQL)
-    "dedup_embed" -> ((s, dir) =>
-      Dedup.embedCosinePairsBanded(t(s, dir, "embeddings"), "vec_id",
-        "embedding", minCosine = 0.5, bands = EmbedBands,
-        rowsPerBand = EmbedRows)),
-    // embedding outlier screen: distance-to-trained-centroid above
-    // the per-cell p99 — corrupt vectors sit far from every center
-    "embed_outliers" -> ((s, dir) =>
-      Similarity.embedOutliers(t(s, dir, "embeddings"), "vec_id",
-        "embedding")),
-    // daily-crawl semantic dedup: odd vec_ids are "today's batch",
-    // probed against the frozen even-id index (IVF cells trained on
-    // the index side only — the AnnIndex probe contract, stateless)
-    "dedup_semantic_incremental" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Dedup.incrementalSemanticDups(
-        emb.where(col("vec_id") % 2 === 0),
-        emb.where(col("vec_id") % 2 === 1),
-        "vec_id", "embedding", centroidLo = 100L, centroidHi = 132L,
-        nprobe = 2, minCosine = 0.4, iters = 2)
-    }),
-    // ---- similarity search ----
-    "embed_cosine_topk" -> ((s, dir) =>
-      Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id",
-        "embedding", numQueries = 5, k = 10)),
-    // hard-negative mining: per query the most-similar DIFFERENT-
-    // label vectors (what a contrastive loss learns from) — the
-    // cosineTopK plan with the label inequality in the candidate
-    // filter, so non-negatives never reach the heap
-    "embed_hard_negatives" -> ((s, dir) =>
-      Similarity.hardNegatives(t(s, dir, "embeddings"), "vec_id",
-        "embedding", "label", numQueries = 5, k = 10)),
-    "embed_ann_lsh" -> ((s, dir) =>
-      Similarity.annTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        numQueries = 5, k = 10, bits = 8, dim = 64, multiProbe = true)),
-    // the recall trio's third member: multiprobe-LSH vs brute top-10
-    // (IVF and PQ twins above) — the bucketing-quality number that
-    // motivated the IVF default (BASELINE: LSH 0.10 vs IVF 0.50 on
-    // the hardest fixture regime)
-    "embed_lsh_recall" -> ((s, dir) => {
-      val bf = Similarity.cosineTopK(t(s, dir, "embeddings"),
-        "vec_id", "embedding", numQueries = 5, k = 10)
-      val lsh = Similarity.annTopK(t(s, dir, "embeddings"), "vec_id",
-        "embedding", numQueries = 5, k = 10, bits = 8, dim = 64,
-        multiProbe = true)
-      bf.select(col("query_id"), col("neighbor_id"))
-        .join(lsh.select(col("query_id"), col("neighbor_id"),
-          lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(coalesce(sum("hit"), lit(0L)).as("n_common"))
-        .select(col("query_id"), col("n_common"),
-          Sig.sig5(col("n_common").cast("double") / 10.0)
-            .as("recall10"))
-        .orderBy("query_id")
-    }),
-    // IVF-flat ANN: Voronoi cells around designated corpus rows (ids
-    // 100..115) as the codebook, nprobe=4 — the oracle recomputes the
-    // identical cells relationally (no literals needed)
-    // IVF with a TRAINED coarse quantizer (iters = 2: seed rows
-    // refined by one Lloyd round — the deployed IVF shape, like the
-    // PQ family's trained codebooks); the oracle replays the
-    // training round relationally
-    "embed_ann_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
-        numQueries = 5, k = 10, centroidLo = 100L, centroidHi = 116L,
-        nprobe = 4, dim = 64, iters = 2)),
-    // ANN recall as DATA: per query, |IVF top-10 ∩ brute top-10|/10
-    // — the index-quality number an operator tunes nprobe against,
-    // computed from the SAME two declared queries (literally composed
-    // so the recall view can never drift from what it audits)
-    "embed_ann_recall" -> ((s, dir) => {
-      val bf = Similarity.cosineTopK(t(s, dir, "embeddings"), "vec_id",
-        "embedding", numQueries = 5, k = 10)
-      val ann = Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id",
-        "embedding", numQueries = 5, k = 10, centroidLo = 100L,
-        centroidHi = 116L, nprobe = 4, dim = 64, iters = 2)
-      bf.select(col("query_id"), col("neighbor_id"))
-        .join(ann.select(col("query_id"), col("neighbor_id"),
-          lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(coalesce(sum("hit"), lit(0L)).as("n_common"))
-        .select(col("query_id"), col("n_common"),
-          graft.det.Sig.sig5(col("n_common").cast("double") / 10.0)
-            .as("recall10"))
-        .orderBy("query_id")
-    }),
-    // margin-based bitext pair mining (Artetxe & Schwenk ratio
-    // margin): even vec_ids as the source side, odd as the target —
-    // cross-side cosine matrix, k-NN mean normalization on BOTH
-    // sides (hubness correction), top-25 pairs by rounded margin
-    "embed_margin_mine" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").where(col("vec_id") < 2000L)
-      Similarity.marginMine(
-        e.where(col("vec_id") % 2 === 0),
-        e.where(col("vec_id") % 2 === 1),
-        "vec_id", "embedding", dim = 64, k = 4, topM = 25)
-    }),
-    // the SCALE form of margin mining as a first-class query (the
-    // _hash-twin precedent): candidates from hyperplane-LSH bucket
-    // collisions with X-side multiprobe — NO |X|·|Y| materialize
-    // anywhere in the plan — then the identical margin math over the
-    // survivors; the oracle replays buckets (same plane literals),
-    // probes, candidate join, and heaps relationally
-    "embed_margin_mine_ann" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").where(col("vec_id") < 2000L)
-      Similarity.marginMineAnn(
-        e.where(col("vec_id") % 2 === 0),
-        e.where(col("vec_id") % 2 === 1),
-        "vec_id", "embedding", dim = 64, bits = 8, k = 4, topM = 25)
-    }),
-    // embedding-quality eval against the labeled column (the checks
-    // run BEFORE trusting a space for semantic dedup / ANN): k-NN
-    // majority-vote label agreement — integer votes, (cnt DESC,
-    // label ASC) argmax as a struct max, no windows
-    "embed_knn_label" -> ((s, dir) =>
-      EmbedEval.knnLabelAgreement(
-        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
-        "vec_id", "embedding", "label", numQueries = 20, k = 10)),
-    // per-class separability: cohesion (members → own centroid) vs
-    // separation (nearest OTHER centroid) — centroids are one
-    // bounded O(L·dim) aggregation collected as broadcast state,
-    // cohesion a map-only pass
-    "embed_label_stats" -> ((s, dir) =>
-      EmbedEval.labelStats(
-        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
-        "vec_id", "embedding", "label", dim = 64)),
-    // cluster purity: do the seeded kmeans cells (the embed_kmeans
-    // seed rows) track the label classes? purity ≈ 1 means
-    // cell-scoped dedup/sampling decisions are class-scoped
-    "embed_cluster_purity" -> ((s, dir) =>
-      EmbedEval.clusterPurity(
-        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
-        "vec_id", "embedding", "label", seedLo = 120L,
-        seedHi = 136L, dim = 64)),
-    // the IVF index-build pass on its own: map-only nearest-cell
-    // assignment of every corpus vector against the broadcast
-    // codebook — the batch path of the streaming ingest twin
-    // (StreamProfiler.ivfAssignStream); one scalar row per vector
-    "embed_ivf_assign" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      Similarity.ivfAssign(emb, "vec_id", "embedding",
-        Similarity.seedCodebook(emb, "vec_id", "embedding", 100L, 116L),
-        dim = 64).orderBy("vec_id")
-    }),
-    // unigram-LM quality score (the CCNet perplexity filter's core):
-    // the corpus trains its own token model, each doc scored by avg
-    // negative log-likelihood
-    "text_lm_score" -> ((s, dir) =>
-      Search.unigramNll(t(s, dir, "documents"), "doc_id", "text")),
     // categorical distribution shape: Shannon entropy + evenness per
     // column via the O(distinct) identity H = ln n − (Σ c·ln c)/n
     "cat_entropy" -> ((s, dir) =>
@@ -317,158 +48,6 @@ object Extensions {
         .unionByName(CatStats.association(t(s, dir, "documents"),
           Seq(("lang", "source"))))
         .orderBy("col_a", "col_b")),
-    // int8 scalar quantization report: codes are bit-identical across
-    // engines (floor(x+0.5) on identical doubles), only the error
-    // averages are rounded
-    "embed_quantize" -> ((s, dir) =>
-      VectorQuant.quantizeStats(t(s, dir, "embeddings"), "embedding",
-        dim = 64)),
-    // seeded 2-iteration Lloyd k-means: designated corpus rows
-    // 120..135 as centroids (no RNG), assignment by sig5-rounded
-    // score argmin — the oracle unrolls both iterations relationally
-    "embed_kmeans" -> ((s, dir) =>
-      KMeansOp.kmeansStats(t(s, dir, "embeddings"), "vec_id",
-        "embedding", seedLo = 120L, seedHi = 136L, iters = 2)),
-    // the Lloyd convergence CONTRACT as data: per-iteration WCSS
-    // (non-increasing by construction) and squared centroid movement
-    // — the trajectory a user reads to size the iteration count; the
-    // oracle replays both iterations and the inter-codebook shift
-    "embed_kmeans_convergence" -> ((s, dir) =>
-      KMeansOp.kmeansConvergence(t(s, dir, "embeddings"), "vec_id",
-        "embedding", seedLo = 120L, seedHi = 136L, iters = 2)),
-    // ---- text analysis ----
-    "text_stats" -> ((s, dir) =>
-      TextStats.langStats(t(s, dir, "documents"), "text", "lang")),
-    "text_quality" -> ((s, dir) =>
-      TextStats.quality(t(s, dir, "documents"), "doc_id", "text")),
-    "text_langid" -> ((s, dir) =>
-      TextStats.langIdConfusion(t(s, dir, "documents"), "text", "lang")),
-    "doc_fingerprint" -> ((s, dir) =>
-      TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
-    "text_tokens" -> ((s, dir) =>
-      TextStats.tokenCounts(t(s, dir, "documents"), "doc_id", "text")),
-    // corpus boilerplate report: top word 3-grams by DOCUMENT
-    // frequency — the inspectable head of the hot-gram set the
-    // dedup family's df cap drops from signatures
-    "text_boilerplate" -> ((s, dir) =>
-      TextStats.boilerplateGrams(t(s, dir, "documents"), "doc_id",
-        "text", n = 3, topK = 20)),
-    // Gopher/MassiveText-style within-doc repetition filters
-    "text_repetition" -> ((s, dir) =>
-      TextStats.repetition(t(s, dir, "documents"), "doc_id", "text")),
-    // dup_ngram_frac family (the fuller Gopher battery): per doc and
-    // n ∈ {2,5,10}, the duplicated n-gram occurrence mass
-    "text_repetition_ngrams" -> ((s, dir) =>
-      TextStats.repetitionNgrams(t(s, dir, "documents"), "doc_id",
-        "text")),
-    // Okapi BM25 keyword retrieval, postings filtered to the query
-    // terms before any shuffle; ranking on sig5-rounded scores
-    "text_bm25" -> ((s, dir) =>
-      Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
-        Bm25Terms, k = 10)),
-    // hybrid retrieval: reciprocal-rank fusion of the BM25 and
-    // cosine legs (rank-based — no cross-scale score mixing);
-    // the fusion join moves ≤ 2k rows at any corpus size
-    "search_hybrid_rrf" -> ((s, dir) =>
-      Search.hybridRrf(t(s, dir, "documents"),
-        t(s, dir, "embeddings"), "doc_id", "text", "vec_id",
-        "embedding", Bm25Terms, k = 20, topM = 10)),
-    // PII scrub: deterministic synthesized PII (pure function of
-    // doc_id — the fixture corpus has none, which would make an
-    // all-zero detector pass vacuously), then regex detection +
-    // placeholder redaction; the oracle re-synthesizes and re-detects
-    // independently and the full redacted strings are hash-compared
-    "text_pii" -> ((s, dir) =>
-      Pii.piiStats(Pii.synthPii(t(s, dir, "documents"), "doc_id",
-        "text"), "doc_id", "text")),
-    // which SOURCE leaks PII: per-source exposure rollup over the
-    // same deterministic synthesis
-    "text_pii_by_source" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val p = Pii.piiStats(Pii.synthPii(d, "doc_id", "text"),
-        "doc_id", "text")
-      p.join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("n_emails") + col("n_ips") + col("n_phones")
-            > 0, 1L).otherwise(0L)).as("n_docs_with_pii"),
-          sum("n_emails").as("n_emails"),
-          sum("n_ips").as("n_ips"),
-          sum("n_phones").as("n_phones"))
-        .select(col("source"), col("n_docs"), col("n_docs_with_pii"),
-          col("n_emails"), col("n_ips"), col("n_phones"),
-          Sig.sig5(col("n_docs_with_pii").cast("double") /
-            col("n_docs")).as("pii_rate"))
-        .orderBy("source")
-    }),
-    // context-window chunking: 64-token windows, stride 48 (16-token
-    // overlap) — map-only generate, the pre-packing stage
-    "text_chunk" -> ((s, dir) =>
-      Chunking.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
-          size = 64, stride = 48)
-        .orderBy("doc_id", "chunk_idx")),
-    // fastText-shaped linear quality classifier with a fully
-    // relational surrogate weight table (MINSTD of the corpus count)
-    "text_classify" -> ((s, dir) =>
-      Search.linearScore(t(s, dir, "documents"), "doc_id", "text")),
-    // distribution drift between the even/odd doc_id slices: PSI +
-    // TVD over the language mix and the 10-bin length histogram
-    // sliced monitoring: WHICH source drifted — per-group PSI/TVD
-    // with per-group bins, all groups in one pass
-    "drift_psi_by_source" -> ((s, dir) =>
-      Drift.numericDriftByGroup(t(s, dir, "documents"), "source",
-        col("n_chars"), pmod(col("doc_id"), lit(2L)))),
-    // grouped KS: which source's WHOLE length distribution moved
-    "drift_ks_by_source" -> ((s, dir) =>
-      Drift.ksDriftByGroup(t(s, dir, "documents"), "source",
-        col("n_chars"), pmod(col("doc_id"), lit(2L)))),
-    "drift_psi" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val slice = pmod(col("doc_id"), lit(2L))
-      Drift.categoricalDrift(d, "lang", col("lang"), slice)
-        .unionByName(
-          Drift.numericDrift(d, "n_chars", col("n_chars"), slice))
-        .orderBy("dim")
-    }),
-    // deterministic stratified sample: 10% of each language, lowest
-    // doc_ids — exact fractions, fully oracle-expressible
-    "sample_stratified" -> ((s, dir) =>
-      Sampling.stratifiedExact(t(s, dir, "documents"), "lang", "doc_id",
-          0.1)
-        .select("doc_id", "lang").orderBy("doc_id")),
-    // the production stratified form: same EXACT per-stratum quota,
-    // but admission is a histogram-derived hash threshold (map-only
-    // for everything except the single boundary bucket) — no stratum
-    // is ever sorted through one task, so a 90%-skewed language costs
-    // a hash-agg, not a corpus sort. The oracle states the same
-    // selection as one window expression over the re-derived
-    // minstd bucket.
-    "sample_stratified_hash" -> ((s, dir) =>
-      Sampling.stratifiedHashExact(t(s, dir, "documents"), "lang",
-          "doc_id", 0.1)
-        .select("doc_id", "lang").orderBy("doc_id")),
-    // ---- multimodal ----
-    // real container-header decode: each doc_id gets a synthesized
-    // minimal PNG/JPEG/WAV payload (real signatures, chunk CRCs, SOF
-    // segments), the decoder parses the actual bytes, and the oracle
-    // re-derives the embedded parameters from doc_id independently —
-    // a wrong parse offset fails the hash compare
-    "multimodal_meta" -> ((s, dir) =>
-      Multimodal.mediaMeta(
-        Multimodal.synthMedia(t(s, dir, "documents"), "doc_id"),
-        "doc_id", "payload").toDF().orderBy("doc_id")),
-    // frame sampling over the REAL decoded frame counts (stride 2):
-    // the oracle re-derives n_frames from the embedded header params
-    // and generates the same index sequence — checks the decode →
-    // explode(sequence) chain end-to-end (frame_hash is xxhash64-
-    // bound, so the declared projection stops at the indices)
-    "multimodal_frames" -> ((s, dir) =>
-      Multimodal.frameSample(
-        Multimodal.mediaMeta(
-          Multimodal.synthMedia(t(s, dir, "documents"), "doc_id"),
-          "doc_id", "payload"), stride = 2L)
-        .select("doc_id", "frame_idx")
-        .orderBy("doc_id", "frame_idx")),
     // ---- temporal joins (operators Spark lacks as built-ins) ----
     // backward as-of join: every click matched to the user's most
     // recent purchase at-or-before it (7-day tolerance), via the
@@ -508,174 +87,18 @@ object Extensions {
         .select("event_id", "user_id", "us", "session_idx")
         .orderBy("event_id")
     }),
-    // per-event lag/rolling features (leakage-free: current row
-    // excluded from its own rolling frame)
-    "events_features" -> ((s, dir) =>
-      EventOps.laggedFeatures(t(s, dir, "events"))),
-    // quality-proportional subsampling via the MINSTD mille bucket —
-    // unlike xxhash64-bound splits this mixer is pure BIGINT
-    // arithmetic, so the oracle re-derives the exact kept set
-    "sample_weighted" -> ((s, dir) =>
-      Sampling.weightedSample(t(s, dir, "documents"), "doc_id",
-          least(col("n_chars") / 400.0, lit(1.0)))
-        .select("doc_id", "mille", "w_mille").orderBy("doc_id")),
-    // leakage-aware train/val/test split: membership decided by the
-    // MINSTD mille of the near-dup CLUSTER representative (the SAME
-    // clusters frame dedup_clusters declares), so near-dups never
-    // straddle a split; declared as the per-split balance report
-    "sample_split" -> ((s, dir) =>
-      Sampling.splitStats(t(s, dir, "documents"), docClusters(s, dir),
-        "doc_id", "n_chars")),
-    // data mixing to target source proportions: the largest sample
-    // hitting the requested 50/30/20 mix given availability —
-    // per-stratum quotas from one tiny broadcast reduction
-    "sample_mixture" -> ((s, dir) =>
-      Sampling.mixtureSample(t(s, dir, "documents"), "source", "doc_id",
-          MixtureWeights)
-        .select("doc_id", "source").orderBy("doc_id")),
-    // exact-mixture quotas on the hash-threshold scale path (the
-    // sample_stratified_hash machinery fed by the mixture quota
-    // derivation) — the form that survives a dominant stratum
-    "sample_mixture_hash" -> ((s, dir) =>
-      Sampling.mixtureSampleHash(t(s, dir, "documents"), "source",
-          "doc_id", MixtureWeights)
-        .select("doc_id", "source").orderBy("doc_id")),
-    // ---- events (streaming-equivalent batch) ----
-    "events_window" -> ((s, dir) =>
-      EventOps.windowedStats(t(s, dir, "events"))),
-    // per-type metric trend: slope/intercept/r² of value over event
-    // time (two-pass central fit, no sort) — "which metric drifts"
-    "events_trend" -> ((s, dir) =>
-      EventOps.trendByType(t(s, dir, "events"))),
-    // calendar heatmap: day-of-week × hour activity with shares
-    "events_time_profile" -> ((s, dir) =>
-      EventOps.timeProfile(t(s, dir, "events"))),
     // crawl-saturation curve: distinct grams first seen per id-range
     // decile — a drying crawl collapses the late-bucket new-gram
     // share long before row counts move
     "corpus_saturation" -> ((s, dir) =>
       TextStats.saturationCurve(t(s, dir, "documents"), "doc_id",
         "text")),
-    // WHICH source changed its language mix: per-source TVD between
-    // the slices' lang distributions (grouped twin of drift_vocab's
-    // one global row)
-    "drift_lang_by_source" -> ((s, dir) =>
-      Drift.categoricalDriftByGroup(t(s, dir, "documents"), "source",
-        col("lang"), pmod(col("doc_id"), lit(2L)).cast("int"))),
-    // which SOURCE is internally duplicated (per-source dedup_exact)
-    "dedup_exact_by_source" -> ((s, dir) =>
-      Dedup.exactStatsBySource(t(s, dir, "documents"), "source",
-        "text")),
-    // dedup operating-point curve: how many pairs each candidate
-    // Jaccard threshold would link — the number you pick τ from;
-    // ONE unthresholded pair join, conditional sums per τ
-    "dedup_threshold_curve" -> ((s, dir) => {
-      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-        "doc_id", "text", n = 3, minJaccard = 0.0,
-        maxDf = Some(NgramMaxDf))
-      pairs.select(explode(typedLit(
-          Seq(0.3, 0.5, 0.7, 0.8, 0.9))).as("threshold"),
-          col("jaccard"))
-        .groupBy("threshold")
-        .agg(sum(when(col("jaccard") >= col("threshold"), 1L)
-          .otherwise(0L)).as("n_pairs"))
-        .orderBy("threshold")
-    }),
     // FD discovery over a candidate column set (fdCheck verifies
     // claims; this finds them) — quality_suggest's one-Expand
     // declared form, HLL at corpus scale
     "col_fd_discover" -> ((s, dir) =>
       graft.profiler.Stats.fdDiscover(t(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus"))),
-    // sequence-length planner input: docs + token mass per power-of-
-    // two length bucket (exact integer log2 via binary digit count)
-    "text_length_profile" -> ((s, dir) =>
-      TextStats.lengthProfile(t(s, dir, "documents"), "text")),
-    // cohort movement between the two halves of the observed range:
-    // retained / churned / new users in one row
-    "events_churn" -> ((s, dir) =>
-      EventOps.churnSummary(t(s, dir, "events"))),
-    // session-duration distribution in power-of-two second buckets
-    "events_session_lengths" -> ((s, dir) =>
-      EventOps.sessionLengths(
-        EventOps.sessionize(t(s, dir, "events")))),
-    // corpus information content: unigram/bigram Shannon entropy,
-    // perplexity, conditional H(w2|w1) — exact from counts, no sort
-    "text_ngram_entropy" -> ((s, dir) =>
-      TextStats.ngramEntropy(t(s, dir, "documents"), "text")),
-    // information-content drift between the even/odd doc slices —
-    // moves when a template flood or language-mix shift hits, even
-    // if per-value count drift stays flat
-    "drift_entropy" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      TextStats.entropyDrift(
-        d.where(col("doc_id") % 2 === 0),
-        d.where(col("doc_id") % 2 === 1), "text")
-    }),
-    // per-hour facet association: Cramér's V / Theil's U between
-    // event_type and the user cohort per event-time window — the
-    // batch twin of StreamProfiler.windowedContingency feeding
-    // CatStats.associationGrouped (drift of facet association)
-    "events_window_assoc" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val us = EventOps.tsMicros(ev) // nanos-as-long-safe epoch micros
-      val cont = ev.select(
-          (us - pmod(us, lit(3600000000L))).as("window_start_us"),
-          col("event_type").as("va"),
-          pmod(col("user_id"), lit(4L)).cast("string").as("vb"))
-        .groupBy("window_start_us", "va", "vb")
-        .agg(count(lit(1)).as("nij"))
-      CatStats.associationGrouped(cont, "window_start_us")
-    }),
-    // cohort retention triangle: first-seen day → distinct active
-    // users per (cohort, day offset)
-    "events_retention" -> ((s, dir) =>
-      EventOps.retention(t(s, dir, "events"))),
-    // per-user z-score outliers, gate on the sig5-rounded z
-    "events_anomaly" -> ((s, dir) =>
-      EventOps.anomalies(t(s, dir, "events"))),
-    // strict-sequence conversion funnel view → click → purchase
-    "events_funnel" -> ((s, dir) =>
-      EventOps.funnel(t(s, dir, "events"))),
-    // overlapping 1h windows sliding every 30min
-    "events_sliding" -> ((s, dir) =>
-      EventOps.slidingWindowStats(t(s, dir, "events"))),
-    // interval × interval overlap join (concurrent sessions of
-    // DIFFERENT users): bucket decomposition + first-shared-bucket
-    // dedup — the oracle verifies with the naive pair join, so the
-    // bucketing must be result-invisible
-    "join_session_overlap" -> ((s, dir) => {
-      val sess = EventOps.sessionize(t(s, dir, "events"))
-        .where(col("user_id") < 30)
-        .select(col("user_id"), col("session_idx"),
-          col("session_start_us"), col("session_end_us"))
-      TemporalJoin.intervalOverlapJoin(sess, sess,
-        "session_start_us", "session_end_us", bucketUs = 1800000000L,
-        leftProj = Seq("user_id", "session_idx"),
-        rightProj = Seq("user_id", "session_idx"),
-        cond = col("a_user_id") < col("b_user_id"))
-        .orderBy("a_user_id", "a_session_idx", "b_user_id",
-          "b_session_idx")
-    }),
-    "events_sessionize" -> ((s, dir) =>
-      EventOps.sessionize(t(s, dir, "events"))),
-    // first-order Markov transitions over per-user sequences: the
-    // |types|² matrix with row-normalized probabilities
-    "events_markov" -> ((s, dir) =>
-      EventOps.transitionMatrix(t(s, dir, "events"))),
-    // per-user avg negative log-likelihood under the Markov model:
-    // improbable paths (bots, broken clients) score high, label-free
-    "events_seq_anomaly" -> ((s, dir) =>
-      EventOps.sequenceAnomaly(t(s, dir, "events"))),
-    // sequence-behavior drift: per-type TVD between the early- and
-    // late-half transition distributions
-    "events_markov_drift" -> ((s, dir) =>
-      EventOps.transitionDrift(t(s, dir, "events"))),
-    // top user journeys: most common 3-step paths with corpus share
-    "events_paths" -> ((s, dir) =>
-      EventOps.topPaths(t(s, dir, "events"), topK = 20)),
-    "events_props" -> ((s, dir) =>
-      EventOps.propsKStats(t(s, dir, "events"))),
     // ---- nested-type profiling ----
     "array_profile" -> ((s, dir) =>
       ArrayStats.profile(t(s, dir, "embeddings"), "embedding")),
@@ -684,67 +107,8 @@ object Extensions {
       StarJoins.revenueByNation(s, dir)),
     "join_top_suppliers" -> ((s, dir) =>
       StarJoins.topSuppliersPerNation(s, dir)),
-    // ---- grouping sets / set ops (absent in reference — §2.2) ----
-    "events_rollup" -> ((s, dir) => EventOps.rollupStats(t(s, dir, "events"))),
-    // CUBE adds the cross-marginals rollup's prefix sets can't
-    // express; gid pins Spark's grouping_id bit order to the oracle's
-    "events_cube" -> ((s, dir) => EventOps.cubeStats(t(s, dir, "events"))),
     "set_ops_customers" -> ((s, dir) =>
       StarJoins.customerSetOps(s, dir)),
-    // ---- round 5: corpus-scale sketches & span dedup ----
-    "text_vocab" -> ((s, dir) =>
-      TextStats.vocab(t(s, dir, "documents"), "text", topK = 20)),
-    // collocations: top bigrams by count with PMI (multiword units
-    // vs stopword collisions)
-    "text_pmi" -> ((s, dir) =>
-      TextStats.pmiBigrams(t(s, dir, "documents"), "text",
-        topK = 20, minCount = 5L)),
-    // Zipf slope of the top-50 vocabulary: corpus naturalness in one
-    // number (natural language ≈ −1)
-    "text_zipf" -> ((s, dir) =>
-      TextStats.zipfFit(t(s, dir, "documents"), "text", topK = 50)),
-    // encoding-health gate: replacement/control/mojibake counts +
-    // non-ASCII ratio per language (mojibake via LITERAL substring
-    // counting — no regex-dialect risk between engines)
-    "text_encoding" -> ((s, dir) =>
-      TextStats.encodingHealth(t(s, dir, "documents"), "text",
-        "lang")),
-    // BPE merge-rule TRAINING (Sennrich): 6 iterations of
-    // count-pairs → argmax → literal-rewrite over the word-frequency
-    // table; the oracle replays every iteration as CTEs
-    "text_bpe_train" -> ((s, dir) =>
-      BpeTrain.train(t(s, dir, "documents"), "text", merges = 6)),
-    // the apply side: train the 6 rules, then encode every doc with
-    // them (rules ride as literal rewrites — map-only) and count
-    // subword tokens; the oracle re-derives the rules and applies
-    // the identical nested replaces
-    "text_bpe_encode" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val rules = BpeTrain.train(docs, "text", merges = 6)
-        .collect().sortBy(_.getLong(0))
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      BpeTrain.encodeTokenCount(docs, "doc_id", "text", rules)
-    }),
-    // tokenizer fertility by language: subwords-per-word under the
-    // SAME trained merges — the number that says which languages a
-    // tokenizer fragments (fertility ≈1 = native, ≫1 = expensive)
-    "text_bpe_fertility" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val rules = BpeTrain.train(docs, "text", merges = 6)
-        .collect().sortBy(_.getLong(0))
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      BpeTrain.encodeTokenCount(docs, "doc_id", "text", rules)
-        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_words").as("n_words"),
-          sum("n_subwords").as("n_subwords"))
-        .select(col("lang"), col("n_docs"), col("n_words"),
-          col("n_subwords"),
-          Sig.sig5(col("n_subwords").cast("double") / col("n_words"))
-            .as("fertility"))
-        .orderBy("lang")
-    }),
     // sliced profiling: per-returnflag numeric stats, long form
     "num_grouped" -> ((s, dir) =>
       graft.profiler.Stats.grouped(t(s, dir, "lineitem"), "l_returnflag",
@@ -783,112 +147,6 @@ object Extensions {
       graft.functions.HeavyHitters.heavyHittersExact(
         t(s, dir, "lineitem").select(col("l_returnflag")),
         "l_returnflag", k = 2)),
-    // substring-level duplication (Lee et al. suffix-array semantics,
-    // n-gram-position-index shape)
-    "dedup_substring" -> ((s, dir) =>
-      SubstringDedup.duplicatedSpanStats(t(s, dir, "documents"),
-        "doc_id", "text", gram = 5, minOcc = 2L)),
-    // Bloom prefilter + exact overlap join; the oracle is the SAME
-    // exact contamination SQL as `text_contamination` — matching it
-    // proves the map-only prefilter has zero false negatives
-    "text_contamination_bloom" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      BloomPrefilter.bloomDecontaminate(
-        docs.where(col("source") =!= "src0"),
-        docs.where(col("source") === "src0"),
-        "doc_id", "text", n = 3, minShared = 5L,
-        maxDf = Some(NgramMaxDf))
-    }),
-    // binned two-sample KS statistic over the even/odd doc_id slices
-    "drift_ks" -> ((s, dir) =>
-      Drift.ksDrift(t(s, dir, "documents"), "n_chars", col("n_chars"),
-        pmod(col("doc_id"), lit(2L)), bins = 20)),
-    // concat-and-split sequence packing over non-overlapping chunks;
-    // shard expression is engine-portable so the oracle re-derives
-    // the full assignment
-    "text_pack" -> ((s, dir) =>
-      Chunking.packChunks(
-        Chunking.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
-          size = 64, stride = 64),
-        seqLen = 256, shards = 4,
-        shardExpr = Some(pmod(col("doc_id"), lit(4L))))),
-    // REAL audio decode: every doc gets a 16-bit PCM WAV whose
-    // samples are a closed-form function of doc_id; the decoder
-    // parses the actual bytes back and the oracle re-derives peak /
-    // RMS / zero-crossings from the formula — a wrong byte offset,
-    // endianness, or sign extension fails the hash compare
-    "multimodal_audio" -> ((s, dir) =>
-      Multimodal.audioStats(
-        Multimodal.synthAudio(t(s, dir, "documents"), "doc_id"),
-        "doc_id", "payload").toDF().orderBy("doc_id")),
-    // perceptual image hash over REAL deflated/filtered PNG rasters:
-    // the oracle recomputes the 56-bit dHash from the pixel FORMULA,
-    // so the whole inflate→unfilter→resize→hash chain is checked;
-    // five encodings of each of seven images collide exactly
-    "multimodal_phash" -> ((s, dir) =>
-      Multimodal.imagePhash(
-        Multimodal.synthRasterMedia(t(s, dir, "documents"), "doc_id"),
-        "doc_id", "payload")),
-    // image near-dup pairs: 4-band pigeonhole over the 56-bit dHash
-    // (recall-complete at Hamming ≤ 3), exact bit_count verify,
-    // first-agreeing-band dedup — the oracle is the NAIVE all-pairs
-    // Hamming join, so the banding must be result-invisible
-    "multimodal_near_dup" -> ((s, dir) =>
-      Multimodal.phashNearDupPairs(
-        Multimodal.imagePhash(
-          Multimodal.synthRasterMedia(
-            t(s, dir, "documents").where(col("doc_id") < 100),
-            "doc_id"),
-          "doc_id", "payload"),
-        "doc_id", "phash", maxDist = 3)),
-    // audio perceptual fingerprint over REAL decoded PCM: 57 time
-    // bands, sign of adjacent band-energy deltas → 56 bits; the
-    // oracle replays the tone formula band-for-band, so a wrong
-    // sample offset, band split, or energy overflow fails the hash
-    "multimodal_audio_fp" -> ((s, dir) =>
-      Multimodal.audioPhash(
-        Multimodal.synthAudio(t(s, dir, "documents"), "doc_id"),
-        "doc_id", "payload")),
-    // audio near-dup pairs: same 4×14-band pigeonhole machinery as
-    // the image twin, over seven tones × five container encodings
-    // (sample-rate header varies, samples don't) — encoding variants
-    // must collide exactly; oracle is the naive all-pairs join
-    "multimodal_audio_near_dup" -> ((s, dir) =>
-      Multimodal.phashNearDupPairs(
-        Multimodal.audioPhash(
-          Multimodal.synthAudioVariants(
-            t(s, dir, "documents").where(col("doc_id") < 100),
-            "doc_id"),
-          "doc_id", "payload"),
-        "doc_id", "afp", maxDist = 3)),
-    // per-format decode accounting over a corpus where half the
-    // payloads are undecodable-by-design (JPEG header-only, WAV wrong
-    // modality): the pixel path must report skips LOUDLY — the
-    // oracle re-derives the per-format decoded/skipped counts from
-    // the fixture arithmetic, so a silent drop or a crash both fail
-    "multimodal_decode_audit" -> ((s, dir) =>
-      Multimodal.decodeAudit(
-        Multimodal.synthMixedMedia(t(s, dir, "documents"), "doc_id"),
-        "doc_id", "payload")),
-    // phash over the SAME mixed corpus: output must be exactly the
-    // PNG arm's hashes (group sizes included) — the undecodable
-    // majority degrades to absence plus the audit row, never to
-    // wrong hashes
-    "multimodal_phash_mixed" -> ((s, dir) =>
-      Multimodal.imagePhash(
-        Multimodal.synthMixedMedia(t(s, dir, "documents"), "doc_id"),
-        "doc_id", "payload")),
-    // vocabulary-mix drift: PSI/TVD over the TOKEN distribution of
-    // the two slices — the "did the crawl's language change" check
-    // one level below the lang column; reuses categoricalDrift with
-    // tokens as buckets (one explode + one conditional-sum agg)
-    "drift_vocab" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      Drift.categoricalDrift(
-        d.select(explode(TextStats.tokens(col("text"))).as("tok"),
-          pmod(col("doc_id"), lit(2L)).as("sl")),
-        "token_mix", col("tok"), col("sl"))
-    }),
     // fixed-reference drift: the even-doc slice's lang histogram is
     // collected once (O(langs) driver state, the blessed-baseline
     // monitoring shape) and the odd-doc slice is scored against it in
@@ -1002,158 +260,6 @@ object Extensions {
         (abs(col("est_global") - col("exact")) <=
           col("exact").cast("double") * 0.05).as("global_err_bounded"))
     }),
-    // per-quantile drift: exact per-slice quantiles of doc length and
-    // their gaps — the readout PSI's single number hides
-    "drift_quantiles" -> ((s, dir) =>
-      Drift.quantileDrift(t(s, dir, "documents"), "n_chars",
-        col("n_chars"), pmod(col("doc_id"), lit(2L)))),
-    // per-source quantile drift: WHOSE P90 moved, one grouped agg
-    "drift_quantiles_by_source" -> ((s, dir) =>
-      Drift.quantileDriftByGroup(t(s, dir, "documents"), "source",
-        col("n_chars"), pmod(col("doc_id"), lit(2L)))),
-    // BPE counting pass: top adjacent char pairs within tokens — the
-    // first merge rule of tokenizer training; distributed top-k
-    "text_bpe_pairs" -> ((s, dir) =>
-      TextStats.bpePairs(t(s, dir, "documents"), "text", topK = 20)),
-    // embedding-space drift: centroid shift between the even/odd
-    // vector slices — the continuous twin of the categorical drifts
-    "drift_embedding" -> ((s, dir) =>
-      Drift.embeddingDrift(
-        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
-        "embedding", col("embedding"), pmod(col("vec_id"), lit(2L)),
-        dims = 64)),
-    // ingest-guard recall gate: every train doc the EXACT capped
-    // overlap join finds (≥1 shared gram) must carry a true Bloom
-    // flag — the no-false-negatives guarantee as a hash-checked
-    // boolean column, same pattern as the LSH recall gates. The
-    // streaming twin runs the identical map-only probe
-    // (StreamingSpec asserts stream/batch flag equality).
-    "text_guard_recall" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val train = docs.where(col("source") =!= "src0")
-      val eval = docs.where(col("source") === "src0")
-      val flagged = BloomPrefilter.flagMaybeContaminated(train, eval,
-          "doc_id", "text", n = 3, maxDf = Some(NgramMaxDf))
-        .select(col("doc_id"), col("maybe_contaminated"))
-      val exact = Dedup.contaminationPairs(train, eval, "doc_id",
-          "text", n = 3, minShared = 1L, maxDf = Some(NgramMaxDf))
-        .select(col("train_id").as("doc_id")).distinct()
-      exact.join(flagged, Seq("doc_id"))
-        .select(col("doc_id"),
-          col("maybe_contaminated").as("flagged"))
-        .orderBy("doc_id")
-    }),
-    // product quantization with a LEARNED codebook: 32 sub-centroids
-    // per subspace initialized from corpus seed rows and Lloyd-
-    // trained for one recompute round (iters = 2 — the actual PQ
-    // training loop, per-subspace k-means); map-only encode, one
-    // scalar row per (vec_id, subspace, code) — the nested
-    // codes-array form crashed the driver's pandas comparator
-    // (unhashable ndarray), so the harness-facing query posexplodes.
-    // The oracle re-derives the training round relationally (the
-    // embed_kmeans unrolling), so the codebook itself is verified.
-    "embed_pq" -> ((s, dir) =>
-      VectorQuant.pqCodeRows(
-        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
-        "vec_id", "embedding", seedLo = 120L, seedHi = 152L,
-        dim = 64, m = 8, iters = 2)),
-    // PQ asymmetric-distance (ADC) top-k: exact queries against the
-    // codes-only corpus via broadcast per-query LUTs — the search
-    // mode the PQ codes exist for; map-only scoring, TopKByScore
-    // tail; same trained codebook as embed_pq
-    "embed_pq_search" -> ((s, dir) =>
-      VectorQuant.pqAdcTopK(
-        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
-        "vec_id", "embedding", seedLo = 120L, seedHi = 152L,
-        numQueries = 5, k = 10, dim = 64, m = 8, iters = 2)),
-    // IVF-PQ: coarse cells (the embed_ann_ivf codebook) prune to
-    // nprobe cells, survivors scored by ADC against the TRAINED
-    // codes only — the canonical billion-scale index shape
-    "embed_ivf_pq" -> ((s, dir) =>
-      VectorQuant.ivfPqTopK(
-        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
-        "vec_id", "embedding", ivfLo = 100L, ivfHi = 116L,
-        pqLo = 120L, pqHi = 152L, numQueries = 5, k = 10,
-        nprobe = 4, dim = 64, m = 8, iters = 2, coarseIters = 2)),
-    // PQ recall as DATA (the twin of embed_ann_recall for the
-    // quantized index): ADC top-10 ∩ exact top-10 per query over the
-    // same subset — the number that says the codebook size, not
-    // nprobe, is the quality knob (BASELINE r9/r10 frontier)
-    "embed_pq_recall" -> ((s, dir) => {
-      val sub = t(s, dir, "embeddings").where(col("vec_id") < 2000L)
-      val bf = Similarity.cosineTopK(sub, "vec_id", "embedding",
-        numQueries = 5, k = 10)
-      val pq = VectorQuant.ivfPqTopK(sub, "vec_id", "embedding",
-        ivfLo = 100L, ivfHi = 116L, pqLo = 120L, pqHi = 152L,
-        numQueries = 5, k = 10, nprobe = 4, dim = 64, m = 8,
-        iters = 2, coarseIters = 2)
-      bf.select(col("query_id"), col("neighbor_id"))
-        .join(pq.select(col("query_id"), col("neighbor_id"),
-          lit(1L).as("hit")), Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(coalesce(sum("hit"), lit(0L)).as("n_common"))
-        .select(col("query_id"), col("n_common"),
-          graft.det.Sig.sig5(col("n_common").cast("double") / 10.0)
-            .as("recall10"))
-        .orderBy("query_id")
-    }),
-    // two-stage search: the same trained index's ADC top-25
-    // shortlist, exactly re-ranked — the deployed refinement that
-    // undoes PQ quantization loss at M exact distances per query
-    "embed_ivf_pq_rerank" -> ((s, dir) =>
-      VectorQuant.ivfPqRerankTopK(
-        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
-        "vec_id", "embedding", ivfLo = 100L, ivfHi = 116L,
-        pqLo = 120L, pqHi = 152L, numQueries = 5, k = 10, topM = 25,
-        nprobe = 4, dim = 64, m = 8, iters = 2, coarseIters = 2)),
-    // RESIDUAL IVF-PQ (the full Jégou IVF-ADC shape): the PQ
-    // codebook is trained on and encodes r = x − coarse centroid —
-    // the refinement that separates a deployed IVF-ADC index from
-    // naive per-cell PQ. TRAINED coarse quantizer (coarseIters = 2,
-    // like embed_ann_ivf/embed_ivf_pq — the deployed index trains
-    // its cells too; residuals subtract the CANONICAL sig5-rounded
-    // centroid components so they stay exact cross-engine
-    // differences), Lloyd-trained residual codebook (iters = 2),
-    // per-(query, probed-cell) LUTs
-    "embed_ivf_pq_residual" -> ((s, dir) =>
-      VectorQuant.ivfPqResidualTopK(
-        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
-        "vec_id", "embedding", ivfLo = 100L, ivfHi = 116L,
-        pqLo = 120L, pqHi = 152L, numQueries = 5, k = 10,
-        nprobe = 4, dim = 64, m = 8, iters = 2, coarseIters = 2)),
-    // temperature-scaled mixture quotas: stratum share ∝ n^(1/T)
-    // (T = 2 here) — the multilingual re-balancing rule; floor on the
-    // sig5-rounded share keeps the discrete quota cross-engine exact
-    "sample_temperature" -> ((s, dir) =>
-      Sampling.temperatureQuotas(t(s, dir, "documents"), "lang",
-        budget = 1000L, invT = 0.5)),
-    // n-gram novelty: the memorization-risk screen — per eval doc,
-    // the share of its distinct 3-grams never seen in training
-    // (uncapped on both sides: a df cap would falsely mark common
-    // grams as novel)
-    "doc_novelty" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.noveltyStats(
-        docs.where(col("source") =!= "src0"),
-        docs.where(col("source") === "src0"),
-        "doc_id", "text", n = 3)
-    }),
-    // DSIR-style data selection: raw docs scored by the unigram
-    // log-likelihood ratio against the src0 target slice, top 25 kept
-    // (rank on sig5-ROUNDED weight, doc_id tie-break)
-    "dsir_select" -> ((s, dir) =>
-      Dsir.topByImportance(t(s, dir, "documents"), "doc_id", "text",
-        col("source") === "src0", topK = 25)),
-    "drift_reference" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val refCounts = d
-        .where(col("doc_id") % 2 === 0 && col("lang").isNotNull)
-        .groupBy("lang").agg(count(lit(1)).as("c"))
-        .orderBy("lang").collect()
-        .map(r => (r.getString(0), r.getLong(1))).toSeq
-      Drift.referenceDrift(d.where(col("doc_id") % 2 === 1),
-        "lang_ref", col("lang"), refCounts)
-    }),
     // quality-quota data selection: the top-5 highest-quality docs
     // per language (rank on the sig5-ROUNDED score, doc_id
     // tie-break — the engine contract for discrete decisions)
@@ -1171,48 +277,6 @@ object Extensions {
     "corpus_shards" -> ((s, dir) =>
       graft.sources.Sources.shardManifest(t(s, dir, "documents"),
         "doc_id", buckets = 8)),
-    // loss-aware mixture reweighting (the DoReMi signal): hard
-    // domains upweighted via exp(excess NLL / T) → shares → quotas
-    "sample_mixture_loss" -> ((s, dir) =>
-      Sampling.mixtureByLoss(t(s, dir, "documents"), "doc_id",
-        "text", "source", budget = 1000L)),
-    // diversity-aware selection: one best-quality doc per Voronoi
-    // cell of the embedding space (the SemDeDup/k-center selection
-    // shape) — map-only assignment + windowless per-cell argmax
-    "sample_diverse" -> ((s, dir) =>
-      Sampling.diverseByCell(t(s, dir, "embeddings"), "vec_id",
-        "embedding", t(s, dir, "documents"), "doc_id", "n_chars",
-        100L, 116L)),
-    "sample_quota" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
-      val q = TextStats.quality(d, "doc_id", "text")
-        .select(col("doc_id"), col("quality"))
-      q.join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .where(col("quality").isNotNull) // heap contract: non-null score
-        .groupBy("lang")
-        .agg(graft.functions.TopKByScore.top_k(5)(
-          col("quality"), col("doc_id")).as("top"))
-        .select(col("lang"), posexplode(col("top")).as(Seq("p", "e")))
-        .select(col("lang"), (col("p") + 1).cast("long").as("rnk"),
-          col("e._2").as("doc_id"), col("e._1").as("quality"))
-        .orderBy("lang", "rnk")
-    }),
-    // SemDeDup: seeded-centroid clustering bounds the pair join to
-    // within-cluster comparisons; fixed 2000-vector shard gate (the
-    // operator is generic — the shard keeps the oracle's pair join
-    // a constant size across scale factors, like vec_id<5 does for
-    // the top-k queries)
-    "dedup_semantic" -> ((s, dir) =>
-      KMeansOp.semanticDupPairs(
-        t(s, dir, "embeddings").where(col("vec_id") < 2000L),
-        "vec_id", "embedding", seedLo = 120L, seedHi = 136L,
-        // the synthetic embedding space is near-random (global max
-        // pair cosine ≈ 0.51), so the fixture gate runs at 0.4; at
-        // web scale the operating point is ~0.9 — same machinery.
-        // maxCluster is the production default shape (cap ON): any
-        // cell over 150 members switches to star linking, and the
-        // oracle models the same cap.
-        dim = 64, minCosine = 0.4, maxCluster = Some(150L))),
     // the explicit hot-key mitigation path as a first-class query:
     // salted equi-join (big side salted, small side replicated), then
     // revenue by nation — the oracle is the PLAIN join, so the salt
@@ -1230,529 +294,6 @@ object Extensions {
     })
   )
 
-  /** Target mixture proportions for `sample_mixture` (shared with the
-    * oracle literal VALUES list). */
-  val MixtureWeights: Map[String, Double] =
-    Map("src1" -> 0.5, "src2" -> 0.3, "src3" -> 0.2)
-
-  // ------------------------- oracle SQL ---------------------------- //
-
-  val dedupExactSql: String =
-    """WITH g AS (SELECT text, count(*) AS c FROM documents GROUP BY text)
-      |SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_distinct,
-      |CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS n_dup_rows,
-      |CAST(coalesce(sum(CASE WHEN c > 1 THEN 1 END), 0) AS BIGINT) AS n_dup_groups
-      |FROM g""".stripMargin
-
-  /** The capped shingle-index CTE trio (`<p>0` exploded distinct
-    * 3-grams, `<p>_hot` over-cap shingles, `<p>` the capped index)
-    * over an arbitrary (doc_id, text) source — the ONE home of the
-    * oracle-side gram construction; every n-gram oracle (pair
-    * queries, contamination, the pipeline funnel) composes this so
-    * cap/gram semantics can never drift apart between them. */
-  private def shingleCteSql(p: String, src: String): String =
-    s"""${p}0 AS (
-       |  SELECT id, unnest(grams) AS shingle FROM (
-       |    SELECT doc_id AS id,
-       |      list_distinct(list_transform(range(1, len(w) - 1),
-       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src))),
-       |${p}_hot AS (SELECT shingle FROM ${p}0 GROUP BY shingle
-       |        HAVING count(*) > $NgramMaxDf),
-       |$p AS (SELECT * FROM ${p}0
-       |       WHERE shingle NOT IN (SELECT shingle FROM ${p}_hot))""".stripMargin
-
-  /** Exact n-gram Jaccard pairs at `minJ`, with the same hot-shingle
-    * df cap as the Spark side (no fixture shingle reaches the cap, so
-    * the CTE also serves as the uncapped ground truth). */
-  private def ngramSql(minJ: Double): String =
-    s"""WITH ${shingleCteSql("sh", "documents")},
-       |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-       |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-       |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-       |       GROUP BY a.id, b.id)
-       |SELECT pr.id_a, pr.id_b,
-       |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
-       |FROM pr JOIN sz sa ON sa.id = pr.id_a JOIN sz sb ON sb.id = pr.id_b
-       |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $minJ
-       |ORDER BY id_a, id_b""".stripMargin
-
-  val dedupNgramSql: String = ngramSql(0.5)
-
-  /** [[graft.ops.Dedup.fuzzyPairs]] mirror: the J≥0.3 blocking pairs,
-    * byte-Levenshtein (≡ codepoint on this ASCII corpus, asserted by
-    * the langid fixture being ASCII), the raw one-division ratio in
-    * the filter, sig5 on the emitted value only. */
-  val dedupFuzzySql: String =
-    s"""WITH p AS (SELECT id_a, id_b FROM (${ngramSql(0.3)})),
-       |v AS (SELECT p.id_a, p.id_b,
-       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
-       |  CAST(greatest(length(a.text), length(b.text)) AS DOUBLE) AS ln
-       |  FROM p JOIN documents a ON a.doc_id = p.id_a
-       |  JOIN documents b ON b.doc_id = p.id_b)
-       |SELECT id_a, id_b, edit_dist,
-       |${sig("CAST(edit_dist AS DOUBLE) / ln")} AS norm_dist
-       |FROM v WHERE CAST(edit_dist AS DOUBLE) / ln <= 0.05
-       |ORDER BY id_a, id_b""".stripMargin
-  val dedupMinhashSql: String = ngramSql(0.8)
-  val dedupSimhashSql: String = ngramSql(0.9)
-
-  /** [[graft.ops.Dedup.containmentPairs]] mirror over the quote-
-    * augmented corpus: same shingle CTE trio, containment acceptance
-    * in place of Jaccard. */
-  val dedupContainmentSql: String =
-    s"""WITH qsrc AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 1000000 AS doc_id,
-       |    array_to_string(w[1:15], ' ') AS text
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
-       |        FROM documents)
-       |  WHERE doc_id % 17 = 0 AND len(w) >= 15),
-       |${shingleCteSql("sh", "qsrc")},
-       |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
-       |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-       |       FROM sh a JOIN sh b
-       |         ON a.shingle = b.shingle AND a.id < b.id
-       |       GROUP BY a.id, b.id)
-       |SELECT pr.id_a, pr.id_b,
-       |  ${sig("CAST(inter AS DOUBLE) / sa.sz")} AS c_a,
-       |  ${sig("CAST(inter AS DOUBLE) / sb.sz")} AS c_b
-       |FROM pr JOIN sz sa ON sa.id = pr.id_a
-       |  JOIN sz sb ON sb.id = pr.id_b
-       |WHERE greatest(CAST(inter AS DOUBLE) / sa.sz,
-       |               CAST(inter AS DOUBLE) / sb.sz) >= 0.9
-       |ORDER BY id_a, id_b""".stripMargin
-
-  /** Exact CROSS-side Jaccard pairs (src0 batch × catalog) at J≥0.8 —
-    * the incremental-dedup ground truth, per-side df caps mirroring
-    * the per-side Spark signature computation. The raw double
-    * division is bit-identical across engines (integer-derived
-    * operands, one IEEE op) — same contract as [[ngramSql]]. */
-  val dedupIncrementalSql: String =
-    s"""WITH ${shingleCteSql("inc",
-        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")},
-       |${shingleCteSql("cat",
-        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')")},
-       |isz AS (SELECT id, count(*) AS sz FROM inc GROUP BY id),
-       |csz AS (SELECT id, count(*) AS sz FROM cat GROUP BY id),
-       |pr AS (SELECT i.id AS inc_id, c.id AS cat_id, count(*) AS inter
-       |       FROM inc i JOIN cat c ON c.shingle = i.shingle
-       |       GROUP BY 1, 2)
-       |SELECT pr.inc_id, pr.cat_id,
-       |  CAST(inter AS DOUBLE) / (si.sz + sc.sz - inter) AS jaccard
-       |FROM pr JOIN isz si ON si.id = pr.inc_id
-       |JOIN csz sc ON sc.id = pr.cat_id
-       |WHERE CAST(inter AS DOUBLE) / (si.sz + sc.sz - inter) >= 0.8
-       |ORDER BY inc_id, cat_id""".stripMargin
-
-  val sampleStratifiedSql: String =
-    """SELECT doc_id, lang FROM (
-      |  SELECT doc_id, lang,
-      |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
-      |    count(*) OVER (PARTITION BY lang) AS cnt
-      |  FROM documents)
-      |WHERE rn <= ceil(cnt * 0.1) ORDER BY doc_id""".stripMargin
-
-  /** The hash-threshold sampler's SPEC as one window expression: the
-    * quota smallest rows per stratum under (minstd bucket, doc_id) —
-    * the Spark side reaches the same set through the histogram
-    * thresholds without sorting any stratum. Quota arithmetic runs
-    * on DOUBLE in both engines (identical IEEE multiply+ceil, no
-    * DECIMAL boundary luck). */
-  val sampleStratifiedHashSql: String =
-    s"""SELECT doc_id, lang FROM (
-       |  SELECT doc_id, lang,
-       |    row_number() OVER (PARTITION BY lang
-       |      ORDER BY ${minstdHashSql("doc_id")} % 1000000, doc_id)
-       |      AS rn,
-       |    count(*) OVER (PARTITION BY lang) AS cnt
-       |  FROM documents)
-       |WHERE rn <= CAST(ceil(CAST(cnt AS DOUBLE) * CAST(0.1 AS DOUBLE))
-       |  AS BIGINT) ORDER BY doc_id""".stripMargin
-
-  val textContaminationSql: String = {
-    s"""WITH ${shingleCteSql("tr",
-        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')")},
-       |${shingleCteSql("ev",
-        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")},
-       |esz AS (SELECT id, count(*) AS esz FROM ev GROUP BY id),
-       |sh AS (SELECT ev.id AS eval_id, tr.id AS train_id,
-       |       count(*) AS n_shared
-       |       FROM ev JOIN tr ON tr.shingle = ev.shingle
-       |       GROUP BY 1, 2 HAVING count(*) >= 5)
-       |SELECT eval_id, train_id, n_shared,
-       |${sig("CAST(n_shared AS DOUBLE) / esz")} AS overlap
-       |FROM sh JOIN esz ON esz.id = sh.eval_id
-       |ORDER BY eval_id, train_id""".stripMargin
-  }
-
-  /** Transitive closure over the near-dup pair graph (DuckDB
-    * recursive CTE) → per-doc min reachable id, mirroring
-    * [[graft.ops.Dedup.duplicateClusters]]'s fixpoint. */
-  private def clustersCte: String =
-    s"""pairs AS (SELECT id_a, id_b FROM (${ngramSql(0.5)})),
-       |und AS (SELECT id_a AS a, id_b AS b FROM pairs
-       |        UNION SELECT id_b, id_a FROM pairs),
-       |reach(a, b) AS (
-       |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
-       |  UNION
-       |  SELECT e.a, r.b FROM und e JOIN reach r ON r.a = e.b),
-       |cl AS (SELECT a AS doc_id, min(b) AS cluster_id
-       |       FROM reach GROUP BY a)""".stripMargin
-
-  val dedupClustersSql: String =
-    s"""WITH RECURSIVE $clustersCte
-       |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin
-
-  val dedupClusterStatsSql: String =
-    s"""WITH RECURSIVE $clustersCte,
-       |cs AS (SELECT cluster_id, count(*) AS size FROM cl
-       |       GROUP BY cluster_id)
-       |SELECT CAST(size AS BIGINT) AS size,
-       |  CAST(count(*) AS BIGINT) AS n_clusters,
-       |  CAST(sum(size) AS BIGINT) AS n_docs
-       |FROM cs GROUP BY size ORDER BY size""".stripMargin
-
-  val dedupKeepSql: String =
-    s"""WITH RECURSIVE $clustersCte,
-       |s AS (SELECT count(*) AS n_in_clusters,
-       |      count(DISTINCT cluster_id) AS n_clusters FROM cl),
-       |n AS (SELECT count(doc_id) AS n_docs FROM documents)
-       |SELECT CAST(n_docs AS BIGINT) AS n_docs,
-       |CAST(n_in_clusters AS BIGINT) AS n_in_clusters,
-       |CAST(n_in_clusters - n_clusters AS BIGINT) AS n_dropped,
-       |CAST(n_docs - n_in_clusters + n_clusters AS BIGINT) AS n_kept
-       |FROM n, s""".stripMargin
-
-  val embedCosineSql: String = {
-    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |            FROM embeddings, range(1, 65) t(i)),
-       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY vec_id),
-       |dot AS (SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.v * b.v) AS dp
-       |        FROM el a JOIN el b ON a.i = b.i AND b.vec_id <> a.vec_id
-       |        WHERE a.vec_id < 5 GROUP BY 1, 2),
-       |cos AS (SELECT qid, vid, $cosExpr AS cosine
-       |        FROM dot JOIN nrm na ON na.vec_id = dot.qid
-       |        JOIN nrm nb ON nb.vec_id = dot.vid)
-       |SELECT query_id, rnk, neighbor_id, cosine FROM (
-       |  SELECT qid AS query_id,
-       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS BIGINT) AS rnk,
-       |    vid AS neighbor_id, cosine FROM cos)
-       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
-  }
-
-  /** [[embedCosineSql]] ∩ [[embedAnnIvfSql]] per query — the recall
-    * view composes the two oracle derivations verbatim (subqueries),
-    * exactly as the Spark query composes the two operators. */
-  lazy val embedAnnRecallSql: String =
-    s"""WITH bf AS (SELECT * FROM ($embedCosineSql)),
-       |ann AS (SELECT * FROM ($embedAnnIvfSql))
-       |SELECT bf.query_id,
-       |  CAST(coalesce(sum(CASE WHEN ann.neighbor_id IS NOT NULL
-       |    THEN 1 END), 0) AS BIGINT) AS n_common,
-       |  ${sig("coalesce(sum(CASE WHEN ann.neighbor_id IS NOT NULL THEN 1 END), 0) / 10.0")}
-       |    AS recall10
-       |FROM bf LEFT JOIN ann
-       |  ON ann.query_id = bf.query_id
-       |  AND ann.neighbor_id = bf.neighbor_id
-       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
-
-  /** [[embedCosineSql]] with the different-label candidate filter —
-    * the hard-negative mirror. */
-  val embedHardNegativesSql: String = {
-    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |            FROM embeddings, range(1, 65) t(i)),
-       |lab AS (SELECT vec_id, label FROM embeddings),
-       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el
-       |        GROUP BY vec_id),
-       |dot AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
-       |          sum(a.v * b.v) AS dp
-       |        FROM el a JOIN el b
-       |          ON a.i = b.i AND b.vec_id <> a.vec_id
-       |        WHERE a.vec_id < 5 GROUP BY 1, 2),
-       |cos AS (SELECT qid, vid, $cosExpr AS cosine
-       |        FROM dot JOIN nrm na ON na.vec_id = dot.qid
-       |        JOIN nrm nb ON nb.vec_id = dot.vid),
-       |f AS (SELECT c.qid, c.vid, c.cosine FROM cos c
-       |      JOIN lab la ON la.vec_id = c.qid
-       |      JOIN lab lb ON lb.vec_id = c.vid
-       |      WHERE la.label IS NOT NULL AND lb.label IS NOT NULL
-       |        AND la.label <> lb.label)
-       |SELECT query_id, rnk, neighbor_id, cosine FROM (
-       |  SELECT qid AS query_id,
-       |    CAST(row_number() OVER (PARTITION BY qid
-       |      ORDER BY cosine DESC, vid ASC) AS BIGINT) AS rnk,
-       |    vid AS neighbor_id, cosine FROM f)
-       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
-  }
-
-  val embedAnnIvfSql: String = {
-    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i)),
-       |c0 AS (SELECT vec_id AS cid, i, v AS w FROM el
-       |       WHERE vec_id BETWEEN 100 AND 115),
-       |cn0 AS (SELECT cid, sum(w * w) AS cn2 FROM c0 GROUP BY 1),
-       |cd0 AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
-       |       FROM el a JOIN c0 c ON c.i = a.i GROUP BY 1, 2),
-       |ta AS (SELECT vid, cid FROM (
-       |   SELECT vid, cd0.cid, row_number() OVER (PARTITION BY vid
-       |     ORDER BY ${sig("cn2 - 2 * dp")} ASC, cd0.cid ASC) AS rn
-       |   FROM cd0 JOIN cn0 ON cn0.cid = cd0.cid) WHERE rn = 1),
-       |c1 AS (SELECT ta.cid, el.i, avg(el.v) AS w FROM el
-       |       JOIN ta ON ta.vid = el.vec_id GROUP BY 1, 2),
-       |cn AS (SELECT cid, sum(w * w) AS cn2 FROM c1 GROUP BY 1),
-       |cd AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
-       |       FROM el a JOIN c1 c ON c.i = a.i GROUP BY 1, 2),
-       |sc AS (SELECT vid, cd.cid, ${sig("cn2 - 2 * dp")} AS score
-       |       FROM cd JOIN cn ON cn.cid = cd.cid),
-       |rk AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid
-       |       ORDER BY score ASC, cid ASC) AS rn FROM sc),
-       |assign AS (SELECT vid, cid AS cell FROM rk WHERE rn = 1),
-       |probes AS (SELECT vid AS qid, cid AS cell FROM rk
-       |           WHERE vid < 5 AND rn <= 4),
-       |cand AS (SELECT p.qid, a.vid FROM probes p
-       |         JOIN assign a ON a.cell = p.cell WHERE a.vid <> p.qid),
-       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY 1),
-       |dot AS (SELECT c.qid, c.vid, sum(a.v * b.v) AS dp
-       |        FROM cand c JOIN el a ON a.vec_id = c.qid
-       |        JOIN el b ON b.vec_id = c.vid AND b.i = a.i
-       |        GROUP BY 1, 2),
-       |cos AS (SELECT qid, vid, $cosExpr AS cosine
-       |        FROM dot JOIN nrm na ON na.vec_id = dot.qid
-       |        JOIN nrm nb ON nb.vec_id = dot.vid)
-       |SELECT query_id, rnk, neighbor_id, cosine FROM (
-       |  SELECT qid AS query_id,
-       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS BIGINT) AS rnk,
-       |    vid AS neighbor_id, cosine FROM cos)
-       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
-  }
-
-  /** [[graft.ops.Similarity.embedOutliers]] mirror: the SEEDED-cell
-    * chain (frozen seed centroids — the operator deliberately skips
-    * Lloyd training, whose means an outlier drags; see the operator
-    * doc), sig5 score canon, dist² = sig5(score + |v|²), per-cell
-    * quantile_cont(0.99) threshold (sig5), rounded comparison. */
-  val embedOutliersSql: String =
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i)),
-       |c0 AS (SELECT vec_id AS cid, i, v AS w FROM el
-       |       WHERE vec_id BETWEEN 100 AND 115),
-       |cn AS (SELECT cid, sum(w * w) AS cn2 FROM c0 GROUP BY 1),
-       |cd AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
-       |       FROM el a JOIN c0 c ON c.i = a.i GROUP BY 1, 2),
-       |sc AS (SELECT vid, cd.cid, ${sig("cn2 - 2 * dp")} AS score
-       |       FROM cd JOIN cn ON cn.cid = cd.cid),
-       |rk AS (SELECT vid, cid, score, row_number() OVER (
-       |       PARTITION BY vid ORDER BY score ASC, cid ASC) AS rn
-       |       FROM sc),
-       |vn AS (SELECT vec_id, sum(v * v) AS vn2 FROM el GROUP BY 1),
-       |d AS (SELECT vid, cid AS cell, ${sig("score + vn2")} AS dist2
-       |      FROM rk JOIN vn ON vn.vec_id = rk.vid WHERE rn = 1),
-       |thr AS (SELECT cell, ${sig("quantile_cont(dist2, 0.99)")}
-       |        AS p_thresh FROM d GROUP BY cell)
-       |SELECT vid AS vec_id, d.cell, dist2, thr.p_thresh,
-       |CAST(CASE WHEN dist2 > p_thresh THEN 1 ELSE 0 END AS BIGINT)
-       |  AS is_outlier
-       |FROM d JOIN thr ON thr.cell = d.cell
-       |ORDER BY vec_id""".stripMargin
-
-  /** Incremental-semantic-dedup mirror: the [[embedAnnIvfSql]] replay
-    * with the codebook seeded AND trained on the even-id INDEX side
-    * only, probes for every odd-id batch vector, best-match argmax
-    * (max sig5 cosine, min-vid tie-break) and the ≥ 0.4 dup flag;
-    * batch vectors with no candidates surface via the left join. */
-  val dedupSemanticIncrementalSql: String = {
-    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i)),
-       |c0 AS (SELECT vec_id AS cid, i, v AS w FROM el
-       |       WHERE vec_id BETWEEN 100 AND 131 AND vec_id % 2 = 0),
-       |cn0 AS (SELECT cid, sum(w * w) AS cn2 FROM c0 GROUP BY 1),
-       |cd0 AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
-       |       FROM el a JOIN c0 c ON c.i = a.i
-       |       WHERE a.vec_id % 2 = 0 GROUP BY 1, 2),
-       |ta AS (SELECT vid, cid FROM (
-       |   SELECT vid, cd0.cid, row_number() OVER (PARTITION BY vid
-       |     ORDER BY ${sig("cn2 - 2 * dp")} ASC, cd0.cid ASC) AS rn
-       |   FROM cd0 JOIN cn0 ON cn0.cid = cd0.cid) WHERE rn = 1),
-       |c1 AS (SELECT ta.cid, el.i, avg(el.v) AS w FROM el
-       |       JOIN ta ON ta.vid = el.vec_id GROUP BY 1, 2),
-       |cn AS (SELECT cid, sum(w * w) AS cn2 FROM c1 GROUP BY 1),
-       |cd AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
-       |       FROM el a JOIN c1 c ON c.i = a.i GROUP BY 1, 2),
-       |sc AS (SELECT vid, cd.cid, ${sig("cn2 - 2 * dp")} AS score
-       |       FROM cd JOIN cn ON cn.cid = cd.cid),
-       |rk AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid
-       |       ORDER BY score ASC, cid ASC) AS rn FROM sc),
-       |assign AS (SELECT vid, cid AS cell FROM rk
-       |           WHERE vid % 2 = 0 AND rn = 1),
-       |probes AS (SELECT vid AS qid, cid AS cell FROM rk
-       |           WHERE vid % 2 = 1 AND rn <= 2),
-       |cand AS (SELECT p.qid, a.vid FROM probes p
-       |         JOIN assign a ON a.cell = p.cell WHERE a.vid <> p.qid),
-       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY 1),
-       |dot AS (SELECT c.qid, c.vid, sum(a.v * b.v) AS dp
-       |        FROM cand c JOIN el a ON a.vec_id = c.qid
-       |        JOIN el b ON b.vec_id = c.vid AND b.i = a.i
-       |        GROUP BY 1, 2),
-       |cos AS (SELECT qid, vid, $cosExpr AS cosine
-       |        FROM dot JOIN nrm na ON na.vec_id = dot.qid
-       |        JOIN nrm nb ON nb.vec_id = dot.vid
-       |        WHERE $cosExpr IS NOT NULL),
-       |best AS (SELECT qid, max(cosine) AS best_cosine FROM cos
-       |         GROUP BY 1),
-       |bm AS (SELECT cos.qid, best_cosine, min(vid) AS best_match
-       |       FROM cos JOIN best ON best.qid = cos.qid
-       |         AND cos.cosine = best.best_cosine
-       |       GROUP BY 1, 2)
-       |SELECT b.vec_id, bm.best_match, bm.best_cosine,
-       |CAST(CASE WHEN bm.best_cosine >= 0.4 THEN 1 ELSE 0 END
-       |  AS BIGINT) AS is_dup
-       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1) b
-       |LEFT JOIN bm ON bm.qid = b.vec_id
-       |ORDER BY b.vec_id""".stripMargin
-  }
-
-  /** IVF assignment re-derived: same cell CTEs as [[embedAnnIvfSql]]
-    * (argmin over sig5-rounded |c|²−2·v·c with cid tie-break), whole
-    * corpus, one row per vector. */
-  /** The BPE-training oracle: every iteration (pair counts → best
-    * pair → vocab rewrite) unrolled as CTEs — the learned merge
-    * TABLE is value-checked, not just sampled. chr(2)/chr(1) are
-    * the symbol markers/separator (BpeTrain.Mark/Sep); greedy-left
-    * literal replace on that encoding ≡ BPE's merge pass. */
-  private val bpeM = "chr(2)"
-  private val bpeS = "chr(1)"
-  private val bpeIters = 6
-
-  /** The shared training-iteration CTEs (v0 → p_k/b_k/v_k unrolled):
-    * both the train oracle and the encode oracle replay the SAME
-    * learned rules from these. */
-  private val bpeTrainCtes: String = {
-    val M = bpeM; val S = bpeS
-    val base =
-      s"""words AS (SELECT lower(tok) AS word FROM (
-         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-         |  WHERE regexp_matches(lower(tok), '^[a-z]+${"$"}')
-         |    AND length(tok) <= 64),
-         |voc AS (SELECT word, count(*) AS freq FROM words GROUP BY 1),
-         |v0 AS (SELECT rtrim(concat(regexp_replace(word, '(.)',
-         |  $M||'\\1'||$M||$S, 'g')), $S) AS sym, freq FROM voc)""".stripMargin
-    val steps = (1 to bpeIters).flatMap { k =>
-      Seq(
-        s"""p$k AS (SELECT toks[i] AS a, toks[i+1] AS b,
-           |  CAST(sum(freq) AS BIGINT) AS cnt
-           |  FROM (SELECT string_split(sym, $S) AS toks, freq
-           |        FROM v${k - 1}) t, range(1, 65) r(i)
-           |  WHERE i + 1 <= len(toks) GROUP BY 1, 2)""".stripMargin,
-        s"""b$k AS (SELECT a, b, cnt FROM p$k
-           |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""".stripMargin,
-        s"""v$k AS (SELECT replace(sym, b$k.a || $S || b$k.b,
-           |  $M || replace(b$k.a, $M, '') || replace(b$k.b, $M, '')
-           |  || $M) AS sym, freq FROM v${k - 1}, b$k)""".stripMargin)
-    }
-    s"$base,\n${steps.mkString(",\n")}"
-  }
-
-  val textBpeTrainSql: String = {
-    val M = bpeM
-    val selects = (1 to bpeIters).map { k =>
-      s"""SELECT CAST($k AS BIGINT) AS rnk,
-         |replace(a, $M, '') AS left_sym, replace(b, $M, '') AS right_sym,
-         |replace(a, $M, '') || replace(b, $M, '') AS merged,
-         |cnt AS pair_count FROM b$k""".stripMargin
-    }
-    s"WITH $bpeTrainCtes\n" +
-      selects.mkString("", "\nUNION ALL\n", "") + "\nORDER BY rnk"
-  }
-
-  /** Apply-side oracle: re-derive the learned rules (the training
-    * CTEs), then encode every document's words with the same nested
-    * literal rewrites and count subwords. */
-  val textBpeEncodeSql: String = {
-    val M = bpeM; val S = bpeS
-    // single-line on purpose: a nested stripMargin would eat the
-    // leading pipes of any line starting with the || operator
-    val applied = (1 to bpeIters).foldLeft("sym0") { (acc, k) =>
-      s"replace($acc, b$k.a || $S || b$k.b, $M || " +
-        s"replace(b$k.a, $M, '') || replace(b$k.b, $M, '') || $M)"
-    }
-    val bTables = (1 to bpeIters).map(k => s"b$k").mkString(", ")
-    // the training CTEs are embedded AFTER stripMargin — running
-    // stripMargin over the combined text would eat leading || pipes
-    val tail =
-      s"""dwords AS (SELECT doc_id, lower(tok) AS word FROM (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |  FROM documents)
-         |  WHERE regexp_matches(lower(tok), '^[a-z]+${"$"}')
-         |    AND length(tok) <= 64),
-         |dsym AS (SELECT doc_id, rtrim(concat(regexp_replace(word,
-         |  '(.)', $M||'\\1'||$M||$S, 'g')), $S) AS sym0 FROM dwords),
-         |enc AS (SELECT doc_id, $applied AS sym
-         |        FROM dsym, $bTables)
-         |SELECT doc_id, count(*) AS n_words,
-         |CAST(sum(len(string_split(sym, $S))) AS BIGINT) AS n_subwords
-         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    s"WITH $bpeTrainCtes,\n$tail"
-  }
-
-  /** [[textBpeEncodeSql]]'s per-doc counts grouped by language —
-    * fertility = Σ subwords / Σ words under the same trained merges. */
-  val textBpeFertilitySql: String = {
-    val M = bpeM; val S = bpeS
-    val applied = (1 to bpeIters).foldLeft("sym0") { (acc, k) =>
-      s"replace($acc, b$k.a || $S || b$k.b, $M || " +
-        s"replace(b$k.a, $M, '') || replace(b$k.b, $M, '') || $M)"
-    }
-    val bTables = (1 to bpeIters).map(k => s"b$k").mkString(", ")
-    val tail =
-      s"""dwords AS (SELECT doc_id, lower(tok) AS word FROM (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-         |  FROM documents)
-         |  WHERE regexp_matches(lower(tok), '^[a-z]+${"$"}')
-         |    AND length(tok) <= 64),
-         |dsym AS (SELECT doc_id, rtrim(concat(regexp_replace(word,
-         |  '(.)', $M||'\\1'||$M||$S, 'g')), $S) AS sym0 FROM dwords),
-         |enc AS (SELECT doc_id, $applied AS sym
-         |        FROM dsym, $bTables),
-         |pc AS (SELECT doc_id, count(*) AS n_words,
-         |  CAST(sum(len(string_split(sym, $S))) AS BIGINT)
-         |    AS n_subwords
-         |  FROM enc GROUP BY doc_id)
-         |SELECT d.lang, count(*) AS n_docs,
-         |CAST(sum(pc.n_words) AS BIGINT) AS n_words,
-         |CAST(sum(pc.n_subwords) AS BIGINT) AS n_subwords,
-         |${sig("CAST(sum(pc.n_subwords) AS DOUBLE) / sum(pc.n_words)")}
-         |  AS fertility
-         |FROM pc JOIN documents d ON d.doc_id = pc.doc_id
-         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
-    s"WITH $bpeTrainCtes,\n$tail"
-  }
-
-  val textEncodingSql: String =
-    s"""WITH d AS (SELECT lang, length(text) AS nc,
-       |  CAST(length(text) - length(replace(text, '�', ''))
-       |    AS BIGINT) AS n_repl,
-       |  CAST(length(text) - length(regexp_replace(text,
-       |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))
-       |    AS BIGINT) AS n_ctrl,
-       |  CAST((length(text) - length(replace(text, 'Ã©', ''))) / 2
-       |    + (length(text) - length(replace(text, 'â€', ''))) / 2
-       |    AS BIGINT) AS n_moji,
-       |  CAST(length(text) - length(regexp_replace(text,
-       |    '[^\\x00-\\x7F]', '', 'g')) AS BIGINT) AS n_nonascii
-       |  FROM documents)
-       |SELECT lang, count(*) AS n_docs,
-       |CAST(sum(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS repl_docs,
-       |CAST(sum(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ctrl_docs,
-       |CAST(sum(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS moji_docs,
-       |${sig("CAST(sum(n_nonascii) AS DOUBLE) / sum(nc)")} AS nonascii_ratio
-       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
-
   val corpusShardsSql: String = {
     val h = "((((((doc_id + 12345) % 2147483647) * 48271) " +
       "% 2147483647) * 48271) % 2147483647)"
@@ -1761,343 +302,6 @@ object Extensions {
        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
   }
 
-  val sampleMixtureLossSql: String =
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-       |             FROM documents),
-       |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
-       |tot AS (SELECT sum(c) AS total FROM freq),
-       |dnll AS (SELECT doc_id,
-       |  ${sig("avg(-ln(CAST(c AS DOUBLE) / total))")} AS nll
-       |  FROM tok JOIN freq ON freq.t = tok.t, tot GROUP BY doc_id),
-       |src AS (SELECT d.source, count(*) AS n_docs,
-       |  ${sig("avg(nll)")} AS nll
-       |  FROM dnll JOIN documents d ON d.doc_id = dnll.doc_id
-       |  GROUP BY 1),
-       |mn AS (SELECT min(nll) AS mn FROM src),
-       |w AS (SELECT source, n_docs, nll,
-       |      exp((nll - mn) / 0.5) AS w FROM src, mn),
-       |tw AS (SELECT sum(w) AS tw FROM w)
-       |SELECT source, n_docs, nll, ${sig("w / tw")} AS share,
-       |CAST(floor((${sig("w / tw")}) * 1000.0) AS BIGINT) AS quota
-       |FROM w, tw ORDER BY source""".stripMargin
-
-  val sampleDiverseSql: String =
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i)
-       |       WHERE len(embedding) = 64),
-       |cn AS (SELECT vec_id AS cid, sum(v * v) AS cn2 FROM el
-       |       WHERE vec_id BETWEEN 100 AND 115 GROUP BY 1),
-       |cd AS (SELECT a.vec_id AS vid, c.vec_id AS cid, sum(a.v * c.v) AS dp
-       |       FROM el a JOIN el c ON c.i = a.i
-       |       AND c.vec_id BETWEEN 100 AND 115 GROUP BY 1, 2),
-       |sc AS (SELECT vid, cd.cid, ${sig("cn2 - 2 * dp")} AS score
-       |       FROM cd JOIN cn ON cn.cid = cd.cid),
-       |cells AS (SELECT vid, cid AS cell FROM (
-       |  SELECT vid, cid, row_number() OVER (PARTITION BY vid
-       |    ORDER BY score ASC, cid ASC) AS rn FROM sc) WHERE rn = 1),
-       |j AS (SELECT c.cell, c.vid, CAST(d.n_chars AS DOUBLE) AS q
-       |      FROM cells c JOIN documents d ON d.doc_id = c.vid)
-       |SELECT cell, vid AS vec_id, q AS quality, n_members FROM (
-       |  SELECT cell, vid, q,
-       |    count(*) OVER (PARTITION BY cell) AS n_members,
-       |    row_number() OVER (PARTITION BY cell
-       |      ORDER BY q DESC, vid ASC) AS rn FROM j)
-       |WHERE rn = 1 ORDER BY cell""".stripMargin
-
-  val embedIvfAssignSql: String =
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i)
-       |       WHERE len(embedding) = 64),
-       |cn AS (SELECT vec_id AS cid, sum(v * v) AS cn2 FROM el
-       |       WHERE vec_id BETWEEN 100 AND 115 GROUP BY 1),
-       |cd AS (SELECT a.vec_id AS vid, c.vec_id AS cid, sum(a.v * c.v) AS dp
-       |       FROM el a JOIN el c ON c.i = a.i
-       |       AND c.vec_id BETWEEN 100 AND 115 GROUP BY 1, 2),
-       |sc AS (SELECT vid, cd.cid, ${sig("cn2 - 2 * dp")} AS score
-       |       FROM cd JOIN cn ON cn.cid = cd.cid)
-       |SELECT vid AS vec_id, cid AS cell FROM (
-       |  SELECT vid, cid, row_number() OVER (PARTITION BY vid
-       |    ORDER BY score ASC, cid ASC) AS rn FROM sc) WHERE rn = 1
-       |ORDER BY vec_id""".stripMargin
-
-  val textStatsSql: String = {
-    val f = stopOr("x", enStops)
-    s"""WITH d AS (SELECT lang, length(text) AS nc,
-       |  len(string_split(text, ' ')) AS nt,
-       |  len(list_filter(string_split(text, ' '), x -> $f)) AS ns
-       |  FROM documents)
-       |SELECT lang, count(*) AS n_docs, ${sig("avg(nc)")} AS avg_chars,
-       |${sig("avg(nt)")} AS avg_tokens,
-       |${sig("CAST(sum(ns) AS DOUBLE) / CAST(sum(nt) AS DOUBLE)")} AS stop_ratio
-       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
-  }
-
-  val textQualitySql: String = {
-    val f = stopOr("x", enStops)
-    s"""WITH d AS (SELECT doc_id, length(text) AS nc,
-       |  string_split(text, ' ') AS t FROM documents),
-       |e AS (SELECT doc_id, nc, len(t) AS nt, len(list_distinct(t)) AS nd,
-       |  len(list_filter(t, x -> $f)) AS ns FROM d)
-       |SELECT doc_id, CAST(nc AS BIGINT) AS n_chars,
-       |CAST(nt AS BIGINT) AS n_tokens, CAST(nd AS BIGINT) AS n_distinct_tokens,
-       |${sig("CAST(ns AS DOUBLE) / nt")} AS stop_ratio,
-       |${sig("CAST(nd AS DOUBLE) / nt")} AS distinct_ratio,
-       |${sig("CAST(least(nt, 100) AS DOUBLE) / 100.0 * 0.3 + CAST(ns AS DOUBLE) / nt * 0.4 + CAST(nd AS DOUBLE) / nt * 0.3")} AS quality
-       |FROM e ORDER BY doc_id""".stripMargin
-  }
-
-  val textLangidSql: String = {
-    val scoreCols = TextStats.stopwords.map { case (l, ws) =>
-      s"len(list_filter(string_split(text, ' '), x -> ${stopOr("x", ws)})) AS s_$l"
-    }.mkString(",\n  ")
-    val langs = TextStats.stopwords.map(_._1)
-    val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
-    val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
-    val cases = langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
-    s"""WITH s AS (SELECT lang,
-       |  $scoreCols
-       |  FROM documents)
-       |SELECT lang, CASE WHEN $allZero THEN 'unknown' $cases END AS pred_lang,
-       |count(*) AS cnt FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-  }
-
-  val docFingerprintSql: String = {
-    val pow31 = TextStats.pow31
-    val terms = (0 until TextStats.FpGram).map { k =>
-      s"ord(substr(text, i + $k, 1)) * CAST(${pow31(k)} AS BIGINT)"
-    }.mkString(" + ")
-    s"""WITH pos AS (SELECT doc_id, text,
-       |  unnest(range(1, length(text) - ${TextStats.FpGram - 2})) AS i
-       |  FROM documents WHERE length(text) >= ${TextStats.FpGram})
-       |SELECT doc_id, min($terms) AS fp
-       |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
-
-  /** Re-derives the parameters `Multimodal.synthPayload` embeds into
-    * real PNG/JPEG/WAV header bytes. The Spark side never sees these
-    * formulas — it parses the container bytes — so this checks the
-    * parse, byte offsets and endianness included. Payload sizes:
-    * PNG 65 B still / 85 B animated (acTL), JPEG 41 B, WAV 44 B + PCM
-    * data (frames x channels x 2). */
-  val multimodalMetaSql: String =
-    """SELECT doc_id,
-      |CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav'
-      |  END AS format,
-      |CAST(CASE doc_id % 3
-      |  WHEN 0 THEN CASE WHEN doc_id % 5 = 0 THEN 65 ELSE 85 END
-      |  WHEN 1 THEN 41
-      |  ELSE 44 + (16 + doc_id % 257) * (1 + doc_id % 2) * 2
-      |  END AS BIGINT) AS n_bytes,
-      |CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 317
-      |  WHEN 1 THEN 8 + (doc_id * 13) % 509 ELSE NULL
-      |  END AS BIGINT) AS width,
-      |CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 7) % 211
-      |  WHEN 1 THEN 8 + (doc_id * 11) % 387 ELSE NULL
-      |  END AS BIGINT) AS height,
-      |CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 5 WHEN 1 THEN 1
-      |  ELSE 16 + doc_id % 257 END AS BIGINT) AS n_frames,
-      |CAST(CASE WHEN doc_id % 3 = 2 THEN
-      |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
-      |      WHEN 2 THEN 22050 ELSE 44100 END
-      |  ELSE NULL END AS BIGINT) AS sample_rate,
-      |CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2 ELSE 3
-      |  END AS BIGINT) AS channels
-      |FROM documents ORDER BY doc_id""".stripMargin
-
-  /** Stride-2 frame indices from the same per-doc frame counts the
-    * container headers embed (see [[multimodalMetaSql]]): Spark's
-    * sequence(0, n−1, 2) over the DECODED count must equal DuckDB's
-    * range(0, n, 2) over the re-derived one. */
-  /** [[graft.ops.Multimodal.imagePhash]] mirror — the dHash replayed
-    * from the PIXEL FORMULA (pix(x,y,c) = (3x+5y+7c+seed) mod 256,
-    * seed = (doc_id mod 7)·41), nearest-resize 16×12 → 9×7 via the same
-    * integer floor indices, channel-sum luminance, bit (y·8+x) set
-    * iff the right neighbor is brighter. The Spark side hashes
-    * pixels obtained by inflating and unfiltering real PNG bytes, so
-    * agreement checks the whole decode chain. All-integer — exact. */
-  /** The dHash-from-pixel-formula CTE chain (ids→g→l→hsh), shared by
-    * the phash profile oracle and the near-dup pair oracle. `pred`
-    * filters the doc population. */
-  private def phashCtes(pred: String): String =
-    s"""ids AS (SELECT doc_id, (doc_id % 7) * 41 AS seed
-       |  FROM documents WHERE $pred),
-       |g AS (SELECT doc_id, seed, x, y,
-       |    (x * 16) // 9 AS sx, ((x + 1) * 16) // 9 AS sx1,
-       |    (y * 12) // 7 AS sy
-       |  FROM ids, range(0, 8) tx(x), range(0, 7) ty(y)),
-       |l AS (SELECT doc_id, x, y,
-       |    ((sx * 3 + sy * 5 + seed) % 256)
-       |      + ((sx * 3 + sy * 5 + 7 + seed) % 256)
-       |      + ((sx * 3 + sy * 5 + 14 + seed) % 256) AS l0,
-       |    ((sx1 * 3 + sy * 5 + seed) % 256)
-       |      + ((sx1 * 3 + sy * 5 + 7 + seed) % 256)
-       |      + ((sx1 * 3 + sy * 5 + 14 + seed) % 256) AS l1
-       |  FROM g),
-       |hsh AS (SELECT doc_id, bit_or(CASE WHEN l1 > l0
-       |    THEN 1::BIGINT << CAST(y * 8 + x AS INTEGER)
-       |    ELSE 0::BIGINT END) AS phash
-       |  FROM l GROUP BY doc_id)""".stripMargin
-
-  val multimodalPhashSql: String =
-    s"""WITH ${phashCtes("TRUE")},
-       |grp AS (SELECT phash, count(*) AS n_same FROM hsh GROUP BY phash)
-       |SELECT hsh.doc_id, hsh.phash, grp.n_same
-       |FROM hsh JOIN grp ON grp.phash = hsh.phash
-       |ORDER BY doc_id""".stripMargin
-
-  /** Per-format decode accounting re-derived from the mixed-fixture
-    * arithmetic ([[graft.ops.Multimodal.synthMixedMedia]]: id%4 ≤ 1
-    * png raster, =2 jpeg, else wav; only the png arm pixel-decodes). */
-  val multimodalDecodeAuditSql: String =
-    s"""WITH m AS (SELECT doc_id,
-       |    CASE WHEN doc_id % 4 <= 1 THEN 'png'
-       |         WHEN doc_id % 4 = 2 THEN 'jpeg' ELSE 'wav' END
-       |      AS format,
-       |    CASE WHEN doc_id % 4 <= 1 THEN 1 ELSE 0 END AS dec
-       |  FROM documents),
-       |a AS (SELECT format, count(*) AS n_payloads,
-       |    CAST(sum(dec) AS BIGINT) AS n_decoded,
-       |    CAST(count(*) - sum(dec) AS BIGINT) AS n_skipped,
-       |    CAST(sum(dec) AS DOUBLE) / count(*) AS rt
-       |  FROM m GROUP BY format)
-       |SELECT format, n_payloads, n_decoded, n_skipped,
-       |  ${sig("rt")} AS decode_rate
-       |FROM a ORDER BY format""".stripMargin
-
-  /** The mixed-corpus phash mirror: exactly the png arm's hashes —
-    * group sizes computed over the DECODED population only. */
-  val multimodalPhashMixedSql: String =
-    s"""WITH ${phashCtes("doc_id % 4 <= 1")},
-       |grp AS (SELECT phash, count(*) AS n_same FROM hsh GROUP BY phash)
-       |SELECT hsh.doc_id, hsh.phash, grp.n_same
-       |FROM hsh JOIN grp ON grp.phash = hsh.phash
-       |ORDER BY doc_id""".stripMargin
-
-  /** [[graft.ops.Multimodal.phashNearDupPairs]] mirror: the NAIVE
-    * all-pairs Hamming join — the 4-band pigeonhole candidate
-    * generation plus first-agreeing-band dedup must be
-    * result-invisible at maxDist ≤ 3. */
-  val multimodalNearDupSql: String =
-    s"""WITH ${phashCtes("doc_id < 100")}
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
-       |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.phash, b.phash)) <= 3
-       |ORDER BY id_a, id_b""".stripMargin
-
-  /** Band-energy fingerprint CTEs over the closed-form tone samples:
-    * `par` supplies (doc_id, n, seed), the rest re-derives the 57
-    * time-band energies densely (empty bands are 0) and folds the 56
-    * adjacent-delta sign bits into `afp` — mirrors
-    * [[graft.ops.Multimodal.audioFingerprint]] integer-for-integer. */
-  private def audioFpCtes(par: String): String =
-    s"""par AS ($par),
-       |sam AS (SELECT doc_id, n, k,
-       |    (seed + 7 * k) % 4096 - 2048 AS v,
-       |    (k * 57) // n AS b
-       |  FROM par, LATERAL unnest(range(0, n)) t(k)),
-       |eb AS (SELECT doc_id, b, sum(CAST(v AS BIGINT) * v) AS e
-       |       FROM sam GROUP BY doc_id, b),
-       |dense AS (SELECT p.doc_id, g.b, coalesce(eb.e, 0) AS e
-       |  FROM (SELECT DISTINCT doc_id FROM par) p
-       |  CROSS JOIN (SELECT unnest(range(0, 57)) AS b) g
-       |  LEFT JOIN eb ON eb.doc_id = p.doc_id AND eb.b = g.b),
-       |dl AS (SELECT doc_id, b, e, lead(e) OVER (
-       |         PARTITION BY doc_id ORDER BY b) AS en FROM dense),
-       |hs AS (SELECT doc_id, CAST(coalesce(sum(
-       |    CASE WHEN en > e THEN (CAST(1 AS BIGINT) << CAST(b AS INTEGER))
-       |    END), 0) AS BIGINT) AS afp
-       |  FROM dl WHERE b < 56 GROUP BY doc_id)""".stripMargin
-
-  val multimodalAudioFpSql: String =
-    s"""WITH ${audioFpCtes(
-      """SELECT doc_id,
-        |    (16 + doc_id % 257) * (1 + doc_id % 2) AS n,
-        |    doc_id % 997 AS seed FROM documents""".stripMargin)},
-       |g AS (SELECT afp, count(*) AS n_same FROM hs GROUP BY afp)
-       |SELECT hs.doc_id, hs.afp, g.n_same
-       |FROM hs JOIN g USING (afp) ORDER BY doc_id""".stripMargin
-
-  val multimodalAudioNearDupSql: String =
-    s"""WITH ${audioFpCtes(
-      """SELECT doc_id, 200 AS n, (doc_id % 7) * 293 AS seed
-        |FROM documents WHERE doc_id < 100""".stripMargin)}
-       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       |  CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
-       |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.afp, b.afp)) <= 3
-       |ORDER BY id_a, id_b""".stripMargin
-
-  val multimodalFramesSql: String =
-    """WITH nf AS (SELECT doc_id,
-      |  CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 5 WHEN 1 THEN 1
-      |    ELSE 16 + doc_id % 257 END AS BIGINT) AS n_frames
-      |  FROM documents)
-      |SELECT doc_id, CAST(unnest(range(0, n_frames, 2)) AS BIGINT)
-      |  AS frame_idx
-      |FROM nf ORDER BY doc_id, frame_idx""".stripMargin
-
-  /** Retention triangle re-derived on exact integer epoch days. */
-  val eventsRetentionSql: String =
-    """WITH ev AS (SELECT user_id,
-      |        (epoch_ns(ts) // 1000) // 86400000000 AS day FROM events),
-      |fd AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1)
-      |SELECT fd.cohort_day, ev.day - fd.cohort_day AS day_offset,
-      |count(DISTINCT ev.user_id) AS n_users
-      |FROM ev JOIN fd ON fd.user_id = ev.user_id
-      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  /** Per-user z-score outliers; both the emitted z and the >3 gate
-    * use the sig5-rounded value so summation-order noise in mu/sd
-    * cannot flip membership. */
-  val eventsAnomalySql: String =
-    s"""WITH s AS (SELECT user_id, avg(value) AS mu,
-       |             stddev_samp(value) AS sd FROM events GROUP BY 1)
-       |SELECT event_id, e.user_id,
-       |${sig("(value - mu) / sd")} AS z
-       |FROM events e JOIN s ON s.user_id = e.user_id
-       |WHERE sd > 0 AND abs(${sig("(value - mu) / sd")}) > 3
-       |ORDER BY event_id""".stripMargin
-
-  /** Sliding windows re-derived: each event replicated into its
-    * len/slide containing windows by integer arithmetic. */
-  val eventsSlidingSql: String =
-    s"""WITH x AS (SELECT epoch_ns(ts) // 1000 AS us, event_type,
-       |             value FROM events),
-       |w AS (SELECT (us - us % 1800000000) - j * 1800000000
-       |          AS window_start_us, event_type, value
-       |      FROM x, range(0, 2) t(j))
-       |SELECT window_start_us, event_type, count(*) AS cnt,
-       |${sig("avg(value)")} AS avg_value,
-       |min(value) AS min_value, max(value) AS max_value
-       |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  /** Strict-sequence funnel re-derived: each step's frontier joins
-    * the previous one on user and requires at-or-after timing. */
-  val eventsFunnelSql: String =
-    """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
-      |             event_type FROM events),
-      |s1 AS (SELECT user_id, min(us) AS t1 FROM e
-      |       WHERE event_type = 'view' GROUP BY 1),
-      |s2 AS (SELECT e.user_id, min(us) AS t2 FROM e
-      |       JOIN s1 ON s1.user_id = e.user_id
-      |       WHERE event_type = 'click' AND us >= t1 GROUP BY 1),
-      |s3 AS (SELECT e.user_id, min(us) AS t3 FROM e
-      |       JOIN s2 ON s2.user_id = e.user_id
-      |       WHERE event_type = 'purchase' AND us >= t2 GROUP BY 1)
-      |SELECT * FROM (
-      |  SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
-      |         count(*) AS n_users FROM s1
-      |  UNION ALL SELECT 2, 'click', count(*) FROM s2
-      |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
-      |ORDER BY step""".stripMargin
-
-  /** The quadratic textbook as-of formulation (LEFT JOIN on the
-    * inequality + keep the rank-1 right row) — independent of the
-    * union-marker window plan the Spark side runs. Tolerance 7 days;
-    * unmatched/over-tolerance clicks survive with NULL match
-    * columns. All matched values are carried, never recomputed, so
-    * no rounding is needed anywhere. */
   val joinAsofSql: String =
     """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
       |            event_type, value FROM events),
@@ -2124,6 +328,7 @@ object Extensions {
   /** Each event's containing session derived straight from the
     * window formulation (sessions of one user are disjoint, so the
     * interval join has exactly one match per event). */
+
   val joinRangeSql: String =
     """WITH x AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us
       |           FROM events),
@@ -2139,172 +344,6 @@ object Extensions {
       |  AS session_idx
       |FROM s ORDER BY event_id""".stripMargin
 
-  val eventsFeaturesSql: String =
-    s"""WITH x AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
-       |           value FROM events)
-       |SELECT event_id, user_id, us,
-       |lag(value) OVER w AS prev_value,
-       |us - lag(us) OVER w AS dt_us,
-       |${sig("avg(value) OVER f")} AS avg_prev,
-       |count(*) OVER f AS n_prev
-       |FROM x
-       |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id),
-       |f AS (PARTITION BY user_id ORDER BY us, event_id
-       |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
-       |ORDER BY event_id""".stripMargin
-
-  /** The MINSTD double-step mille bucket re-derived in pure BIGINT
-    * arithmetic (no engine hash involved — see
-    * [[graft.ops.Sampling.minstdMille]]). */
-  val sampleWeightedSql: String =
-    """WITH h AS (SELECT doc_id,
-      |  ((((((doc_id + 12345) % 2147483647) * 48271) % 2147483647)
-      |    * 48271) % 2147483647) % 1000 AS mille,
-      |  CAST(floor(least(n_chars / 400.0, 1.0) * 1000.0) AS BIGINT)
-      |    AS w_mille
-      |  FROM documents)
-      |SELECT doc_id, mille, w_mille FROM h
-      |WHERE mille < w_mille ORDER BY doc_id""".stripMargin
-
-  /** Leakage-aware split re-derived: the SAME recursive-CTE cluster
-    * closure as [[dedupClustersSql]] gives each doc its near-dup
-    * representative (own id when unclustered), then the MINSTD mille
-    * of the REP decides the split — mirroring
-    * [[graft.ops.Sampling.splitAssign]]. */
-  val sampleSplitSql: String =
-    s"""WITH RECURSIVE $clustersCte,
-       |rep AS (SELECT d.doc_id, d.n_chars,
-       |        coalesce(cl.cluster_id, d.doc_id) AS rep
-       |        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
-       |sp AS (SELECT rep, n_chars,
-       |  ((((((rep + 12345) % 2147483647) * 48271) % 2147483647)
-       |    * 48271) % 2147483647) % 1000 AS mille FROM rep)
-       |SELECT CASE WHEN mille < 800 THEN 'train'
-       |            WHEN mille < 900 THEN 'val'
-       |            ELSE 'test' END AS split,
-       |CAST(count(*) AS BIGINT) AS n_docs,
-       |CAST(count(DISTINCT rep) AS BIGINT) AS n_groups,
-       |CAST(sum(n_chars) AS BIGINT) AS n_chars
-       |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
-
-  /** Per-window association re-derived: hourly contingency (same
-    * epoch-micros window arithmetic as [[eventsWindowSql]]), window
-    * marginals, then the SAME observed-cells identities as
-    * [[assocPairSql]] grouped by window. */
-  val eventsWindowAssocSql: String = {
-    val vGuard = "least(card_a, card_b) > 1 AND greatest(card_a, card_b) <= 10000"
-    val uGuard = "greatest(card_a, card_b) <= 10000"
-    s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type AS va,
-       |  CAST(user_id % 4 AS VARCHAR) AS vb FROM events),
-       |c AS (SELECT CAST(us - us % 3600000000 AS BIGINT) AS w, va, vb,
-       |      CAST(count(*) AS DOUBLE) AS nij FROM e GROUP BY 1, 2, 3),
-       |x AS (SELECT w, va, vb, nij,
-       |      sum(nij) OVER (PARTITION BY w, va) AS ri,
-       |      sum(nij) OVER (PARTITION BY w, vb) AS cj FROM c),
-       |g AS (SELECT w, sum(nij) AS n,
-       |      count(DISTINCT va)
-       |        + max(CASE WHEN va IS NULL THEN 1 ELSE 0 END) AS card_a,
-       |      count(DISTINCT vb)
-       |        + max(CASE WHEN vb IS NULL THEN 1 ELSE 0 END) AS card_b,
-       |      sum(nij * nij / (ri * cj)) AS sumsq,
-       |      sum(nij * ln(nij)) AS nln,
-       |      sum(nij * ln(cj)) AS clc,
-       |      sum(nij * ln(ri)) AS rlr
-       |      FROM x GROUP BY w)
-       |SELECT w AS window_start_us, CAST(n AS BIGINT) AS n,
-       |CAST(card_a AS BIGINT) AS card_a, CAST(card_b AS BIGINT) AS card_b,
-       |${sig(s"CASE WHEN $vGuard THEN sqrt(greatest((sumsq - 1) / (least(card_a, card_b) - 1), 0)) END")} AS cramers_v,
-       |${sig(s"CASE WHEN $uGuard AND card_a > 1 THEN ((ln(n) - rlr / n) - (clc - nln) / n) / greatest(ln(n) - rlr / n, 1e-12) END")} AS theils_u_ab,
-       |${sig(s"CASE WHEN $uGuard AND card_b > 1 THEN ((ln(n) - clc / n) - (rlr - nln) / n) / greatest(ln(n) - clc / n, 1e-12) END")} AS theils_u_ba
-       |FROM g ORDER BY window_start_us""".stripMargin
-  }
-
-  val eventsWindowSql: String =
-    s"""WITH e AS (SELECT epoch_ns(ts) // 1000 AS us, event_type, value
-       |  FROM events)
-       |SELECT CAST(us - us % 3600000000 AS BIGINT) AS window_start_us,
-       |event_type, count(*) AS cnt, ${sig("avg(value)")} AS avg_value,
-       |min(value) AS min_value, max(value) AS max_value
-       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  /** [[graft.ops.EventOps.trendByType]] mirror: identical two-pass
-    * central fit — sig5-rounded means as the shared centering
-    * literals, then centered cross-product sums. */
-  val eventsTrendSql: String =
-    s"""WITH v AS (SELECT event_type,
-       |    CAST(epoch_ns(ts) // 1000 AS DOUBLE) / 3600000000.0 AS x,
-       |    CAST(value AS DOUBLE) AS y
-       |  FROM events WHERE value IS NOT NULL),
-       |m AS (SELECT event_type, count(*) AS n, ${sig("avg(x)")} AS mx,
-       |        ${sig("avg(y)")} AS my
-       |      FROM v GROUP BY 1),
-       |c AS (SELECT v.event_type, any_value(n) AS n,
-       |        any_value(mx) AS mx, any_value(my) AS my,
-       |        sum((x - mx) * (y - my)) AS sxy,
-       |        sum((x - mx) * (x - mx)) AS sxx,
-       |        sum((y - my) * (y - my)) AS syy
-       |      FROM v JOIN m ON m.event_type = v.event_type
-       |      GROUP BY v.event_type)
-       |SELECT event_type, CAST(n AS BIGINT) AS n,
-       |  CASE WHEN sxx > 0 THEN ${sig("sxy / sxx")} END
-       |    AS slope_per_hour,
-       |  CASE WHEN sxx > 0 THEN ${sig("my - sxy / sxx * mx")} END
-       |    AS intercept,
-       |  CASE WHEN sxx > 0 AND syy > 0
-       |    THEN ${sig("sxy * sxy / (sxx * syy)")} END AS r2
-       |FROM c ORDER BY event_type""".stripMargin
-
-  /** The gap-sessionization CTE trio — ONE home shared by the
-    * sessionize oracle and the session-overlap join oracle. */
-  private val sessionCtes: String =
-    """x AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
-      |f AS (SELECT user_id, event_id, us,
-      |  CASE WHEN lag(us) OVER w IS NULL
-      |       OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS flag
-      |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-      |s AS (SELECT user_id, us,
-      |  sum(flag) OVER (PARTITION BY user_id ORDER BY us, event_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
-      |  FROM f)""".stripMargin
-
-  /** [[graft.ops.TextStats.ngramEntropy]] mirror: same counts, same
-    * H = log₂N − Σc·log₂c/N, conditional entropy differenced over
-    * the sig5-rounded H literals. */
-  val textNgramEntropySql: String =
-    s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents
-       |           WHERE text IS NOT NULL),
-       |uc AS (SELECT g, count(*) AS c FROM
-       |        (SELECT unnest(w) AS g FROM w) GROUP BY g),
-       |e1 AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
-       |         CAST(count(*) AS BIGINT) AS nd,
-       |         sum(c * log2(c)) AS s FROM uc),
-       |bc AS (SELECT g, count(*) AS c FROM
-       |        (SELECT unnest(list_transform(range(1, len(w)),
-       |           i -> w[i] || ' ' || w[i+1])) AS g FROM w)
-       |       GROUP BY g),
-       |e2 AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
-       |         CAST(count(*) AS BIGINT) AS nd,
-       |         sum(c * log2(c)) AS s FROM bc),
-       |h1 AS (SELECT CAST(1 AS BIGINT) AS n, tot AS n_grams,
-       |         nd AS n_distinct,
-       |         ${sig("log2(CAST(tot AS DOUBLE)) - s / CAST(tot AS DOUBLE)")}
-       |           AS entropy_bits FROM e1),
-       |h2 AS (SELECT CAST(2 AS BIGINT) AS n, tot AS n_grams,
-       |         nd AS n_distinct,
-       |         ${sig("log2(CAST(tot AS DOUBLE)) - s / CAST(tot AS DOUBLE)")}
-       |           AS entropy_bits FROM e2)
-       |SELECT n, n_grams, n_distinct, entropy_bits,
-       |  ${sig("pow(2.0, entropy_bits)")} AS perplexity,
-       |  CAST(NULL AS DOUBLE) AS cond_bits FROM h1
-       |UNION ALL
-       |SELECT h2.n, h2.n_grams, h2.n_distinct, h2.entropy_bits,
-       |  ${sig("pow(2.0, h2.entropy_bits)")} AS perplexity,
-       |  ${sig("h2.entropy_bits - h1.entropy_bits")} AS cond_bits
-       |FROM h2, h1
-       |ORDER BY n""".stripMargin
-
-  /** [[graft.ops.TableDiff.diffSummary]] mirror over the same
-    * deterministic v2 edit. */
   val tableDiffSql: String =
     """WITH v1 AS (SELECT doc_id, text, lang, source FROM documents),
       |v2 AS (
@@ -2341,34 +380,6 @@ object Extensions {
 
   /** [[graft.ops.Drift.categoricalDriftByGroup]] mirror: same
     * per-group Laplace-smoothed shares and TVD. */
-  val driftLangBySourceSql: String =
-    s"""WITH c AS (SELECT source, lang AS b,
-       |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
-       |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
-       |  FROM documents GROUP BY 1, 2),
-       |t AS (SELECT source, CAST(sum(ca) AS DOUBLE) AS na,
-       |    CAST(sum(cb) AS DOUBLE) AS nb,
-       |    CAST(count(*) AS DOUBLE) AS k
-       |  FROM c GROUP BY source),
-       |s AS (SELECT c.source,
-       |    (ca + 0.5) / (na + 0.5 * k) AS p,
-       |    (cb + 0.5) / (nb + 0.5 * k) AS q, na, nb
-       |  FROM c JOIN t ON t.source = c.source)
-       |SELECT source, CAST(min(na) AS BIGINT) AS n_ref,
-       |  CAST(min(nb) AS BIGINT) AS n_cur,
-       |  CASE WHEN min(na) > 0 AND min(nb) > 0
-       |    THEN ${sig("sum(abs(p - q)) / 2.0")} END AS tvd
-       |FROM s GROUP BY source ORDER BY source""".stripMargin
-
-  /** Unthresholded [[ngramSql]] pairs + conditional sums per τ. */
-  val dedupThresholdCurveSql: String =
-    s"""WITH p AS (SELECT jaccard FROM (${ngramSql(0.0)})),
-       |ks(threshold) AS (VALUES (0.3), (0.5), (0.7), (0.8), (0.9))
-       |SELECT CAST(threshold AS DOUBLE) AS threshold,
-       |  CAST(coalesce(sum(CASE WHEN jaccard >= threshold
-       |    THEN 1 END), 0) AS BIGINT) AS n_pairs
-       |FROM ks CROSS JOIN p GROUP BY threshold
-       |ORDER BY threshold""".stripMargin
 
   val colFdDiscoverSql: String = {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus")
@@ -2385,71 +396,6 @@ object Extensions {
     parts.mkString("", "\nUNION ALL\n", "") + "\nORDER BY lhs, rhs"
   }
 
-  val dedupExactBySourceSql: String =
-    s"""WITH g AS (SELECT source, text, count(*) AS c
-       |  FROM documents GROUP BY source, text)
-       |SELECT source, CAST(sum(c) AS BIGINT) AS n_rows,
-       |  count(*) AS n_distinct,
-       |  CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT)
-       |    AS n_dup_rows,
-       |  ${sig("CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS DOUBLE) / sum(c)")}
-       |    AS dup_share
-       |FROM g GROUP BY source ORDER BY source""".stripMargin
-
-  val textLengthProfileSql: String =
-    s"""WITH d AS (SELECT len(string_split(text, ' ')) AS nt
-       |  FROM documents WHERE text IS NOT NULL),
-       |c AS (SELECT length(bin(nt)) - 1 AS log2_len,
-       |    count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
-       |  FROM d WHERE nt >= 1 GROUP BY 1),
-       |t AS (SELECT sum(n_tokens) AS tot FROM c)
-       |SELECT CAST(log2_len AS BIGINT) AS log2_len, n_docs, n_tokens,
-       |  ${sig("CAST(n_tokens AS DOUBLE) / tot")} AS token_share
-       |FROM c, t ORDER BY log2_len""".stripMargin
-
-  /** [[graft.ops.EventOps.sessionLengths]] mirror over the shared
-    * sessionization CTEs. */
-  val eventsSessionLengthsSql: String =
-    s"""WITH $sessionCtes,
-      |g AS (SELECT user_id, session_idx, min(us) AS st, max(us) AS en,
-      |        count(*) AS ne
-      |      FROM s GROUP BY user_id, session_idx)
-      |SELECT CAST(length(bin((en - st) // 1000000)) - 1 AS BIGINT)
-      |    AS log2_secs,
-      |  count(*) AS n_sessions, CAST(sum(ne) AS BIGINT) AS n_events
-      |FROM g GROUP BY 1 ORDER BY log2_secs""".stripMargin
-
-  val eventsChurnSql: String =
-    """WITH x AS (SELECT user_id, epoch_ns(ts) // 1000 AS us
-      |  FROM events),
-      |b AS (SELECT min(us) AS mn, max(us) AS mx FROM x),
-      |p AS (SELECT user_id,
-      |  max(CASE WHEN us <= mn + (mx - mn) // 2 THEN 1 ELSE 0 END)
-      |    AS early,
-      |  max(CASE WHEN us > mn + (mx - mn) // 2 THEN 1 ELSE 0 END)
-      |    AS late
-      |  FROM x, b GROUP BY user_id)
-      |SELECT
-      |  CAST(sum(CASE WHEN early = 1 AND late = 1 THEN 1 ELSE 0 END)
-      |    AS BIGINT) AS n_retained,
-      |  CAST(sum(CASE WHEN early = 1 AND late = 0 THEN 1 ELSE 0 END)
-      |    AS BIGINT) AS n_churned,
-      |  CAST(sum(CASE WHEN early = 0 AND late = 1 THEN 1 ELSE 0 END)
-      |    AS BIGINT) AS n_new
-      |FROM p""".stripMargin
-
-  val eventsTimeProfileSql: String =
-    s"""WITH c AS (SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS hour,
-       |    count(*) AS cnt
-       |  FROM events GROUP BY 1, 2),
-       |t AS (SELECT sum(cnt) AS tot FROM c)
-       |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
-       |  cnt, ${sig("CAST(cnt AS DOUBLE) / tot")} AS share
-       |FROM c, t ORDER BY dow, hour""".stripMargin
-
-  /** [[graft.ops.TextStats.saturationCurve]] mirror: gram → min id,
-    * id-range decile of first sight, cumulative counts. Uncapped
-    * grams (`sh0` of the shared CTE trio). */
   val corpusSaturationSql: String =
     s"""WITH ${shingleCteSql("sh", "documents")},
        |fs AS (SELECT shingle, min(id) AS fid FROM sh0
@@ -2469,150 +415,6 @@ object Extensions {
 
   /** [[graft.ops.TextStats.entropyDrift]] mirror: per-slice unigram
     * entropy, delta over the sig5 literals. */
-  val driftEntropySql: String = {
-    def side(p: String, pred: String): String =
-      s"""${p}c AS (SELECT g, count(*) AS c FROM (
-         |    SELECT unnest(string_split(text, ' ')) AS g
-         |    FROM documents WHERE text IS NOT NULL AND $pred)
-         |  GROUP BY g),
-         |$p AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
-         |  ${sig("log2(CAST(sum(c) AS DOUBLE)) - sum(c * log2(c)) / CAST(sum(c) AS DOUBLE)")}
-         |    AS h FROM ${p}c)""".stripMargin
-    s"""WITH ${side("er", "doc_id % 2 = 0")},
-       |${side("ec", "doc_id % 2 = 1")}
-       |SELECT er.tot AS n_tokens_ref, ec.tot AS n_tokens_cur,
-       |  er.h AS h_ref, ec.h AS h_cur,
-       |  ${sig("ec.h - er.h")} AS delta_bits
-       |FROM er, ec""".stripMargin
-  }
-
-  val eventsSessionizeSql: String =
-    s"""WITH $sessionCtes
-      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-      |min(us) AS session_start_us, max(us) AS session_end_us,
-      |count(*) AS n_events
-      |FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin
-
-  /** [[graft.ops.TemporalJoin.intervalOverlapJoin]] mirror over the
-    * same sessions: the oracle verifies with the NAIVE pair join —
-    * the bucket decomposition plus first-shared-bucket dedup must be
-    * result-invisible. Strict inequalities: zero-length touching
-    * does not overlap. */
-  val joinSessionOverlapSql: String =
-    s"""WITH $sessionCtes,
-      |g AS (SELECT user_id, session_idx, min(us) AS st, max(us) AS en
-      |      FROM s GROUP BY user_id, session_idx)
-      |SELECT a.user_id AS a_user_id,
-      |  CAST(a.session_idx AS BIGINT) AS a_session_idx,
-      |  b.user_id AS b_user_id,
-      |  CAST(b.session_idx AS BIGINT) AS b_session_idx,
-      |  least(a.en, b.en) - greatest(a.st, b.st) AS overlap_us
-      |FROM g a JOIN g b
-      |  ON a.user_id < b.user_id AND a.st < b.en AND b.st < a.en
-      |WHERE a.user_id < 30 AND b.user_id < 30
-      |ORDER BY 1, 2, 3, 4""".stripMargin
-
-  /** Per-user lead() steps → (type, next_type) counts → row-normalized
-    * probabilities, mirroring [[graft.ops.EventOps.transitionMatrix]]
-    * (same window, same tie-breaks, same tiny-aggregate normalizing
-    * window). */
-  val eventsMarkovSql: String =
-    s"""WITH x AS (SELECT user_id, event_id, event_type,
-       |  epoch_ns(ts) // 1000 AS us FROM events),
-       |st AS (SELECT event_type, lead(event_type) OVER (
-       |    PARTITION BY user_id ORDER BY us, event_id) AS next_type
-       |  FROM x),
-       |c AS (SELECT event_type, next_type, count(*) AS n FROM st
-       |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
-       |SELECT event_type, next_type, n,
-       |${sig("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type)")}
-       |  AS p
-       |FROM c ORDER BY event_type, next_type""".stripMargin
-
-  /** [[graft.ops.EventOps.sequenceAnomaly]] mirror: same step CTE,
-    * same sig5 transition canon, -ln scored on the canon (a 1-ulp
-    * libm divergence is absorbed by the final sig5 avg). */
-  val eventsSeqAnomalySql: String =
-    s"""WITH x AS (SELECT user_id, event_id, event_type,
-       |  epoch_ns(ts) // 1000 AS us FROM events),
-       |st AS (SELECT user_id, event_type, lead(event_type) OVER (
-       |    PARTITION BY user_id ORDER BY us, event_id) AS next_type
-       |  FROM x),
-       |s2 AS (SELECT user_id, event_type, next_type FROM st
-       |  WHERE next_type IS NOT NULL),
-       |c AS (SELECT event_type, next_type, count(*) AS n FROM s2
-       |  GROUP BY 1, 2),
-       |m AS (SELECT event_type, next_type,
-       |${sig("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY event_type)")}
-       |  AS p FROM c)
-       |SELECT user_id, count(*) AS n_steps,
-       |${sig("avg(-ln(p))")} AS avg_nll
-       |FROM s2 JOIN m ON m.event_type = s2.event_type
-       |  AND m.next_type = s2.next_type
-       |GROUP BY user_id ORDER BY user_id""".stripMargin
-
-  /** [[graft.ops.EventOps.transitionDrift]] mirror: same step CTE,
-    * integer midpoint split (positive epochs — floor ≡ truncate),
-    * per-half raw-division p canon, full-outer support union, sig5
-    * on the TVD sum only; the one-half-empty NULL guard replayed. */
-  val eventsMarkovDriftSql: String =
-    s"""WITH x AS (SELECT user_id, event_id, event_type,
-       |  epoch_ns(ts) // 1000 AS us FROM events),
-       |st AS (SELECT event_type,
-       |    lead(event_type) OVER w AS next_type,
-       |    lead(us) OVER w AS next_us
-       |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-       |s2 AS (SELECT event_type, next_type, next_us FROM st
-       |  WHERE next_type IS NOT NULL),
-       |md AS (SELECT (min(next_us) + max(next_us)) // 2 AS mid FROM s2),
-       |c AS (SELECT CASE WHEN next_us <= (SELECT mid FROM md)
-       |    THEN 'a' ELSE 'b' END AS half,
-       |    event_type, next_type, count(*) AS n
-       |  FROM s2 GROUP BY 1, 2, 3),
-       |pp AS (SELECT half, event_type, next_type, n,
-       |    CAST(n AS DOUBLE) /
-       |      sum(n) OVER (PARTITION BY half, event_type) AS p FROM c),
-       |j AS (SELECT coalesce(a.event_type, b.event_type) AS event_type,
-       |    a.p AS pa, b.p AS pb, a.n AS na, b.n AS nb
-       |  FROM (SELECT * FROM pp WHERE half = 'a') a
-       |  FULL JOIN (SELECT * FROM pp WHERE half = 'b') b
-       |    ON b.event_type = a.event_type
-       |    AND b.next_type = a.next_type)
-       |SELECT event_type,
-       |CAST(coalesce(sum(na), 0) AS BIGINT) AS n_a,
-       |CAST(coalesce(sum(nb), 0) AS BIGINT) AS n_b,
-       |CASE WHEN coalesce(sum(na), 0) > 0 AND coalesce(sum(nb), 0) > 0
-       |  THEN ${sig("0.5 * sum(abs(coalesce(pa, 0) - coalesce(pb, 0)))")}
-       |  ELSE NULL END AS tvd
-       |FROM j GROUP BY event_type ORDER BY event_type""".stripMargin
-
-  /** [[graft.ops.EventOps.topPaths]] mirror: two chained leads over
-    * the same window, the |types|³ aggregate, deterministic
-    * (cnt desc, t1, t2, t3) head, share on the exact totals. */
-  val eventsPathsSql: String =
-    s"""WITH x AS (SELECT user_id, event_id, event_type,
-       |  epoch_ns(ts) // 1000 AS us FROM events),
-       |st AS (SELECT event_type AS t1,
-       |    lead(event_type, 1) OVER w AS t2,
-       |    lead(event_type, 2) OVER w AS t3
-       |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-       |c AS (SELECT t1, t2, t3, count(*) AS cnt FROM st
-       |  WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1, 2, 3),
-       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_paths FROM c),
-       |r AS (SELECT t1, t2, t3, cnt,
-       |    row_number() OVER (ORDER BY cnt DESC, t1, t2, t3) AS rnk
-       |  FROM c)
-       |SELECT CAST(rnk AS BIGINT) AS rnk, t1, t2, t3, cnt,
-       |${sig("cnt / n_paths")} AS share
-       |FROM r, tot WHERE rnk <= 20 ORDER BY rnk""".stripMargin
-
-  val eventsPropsSql: String =
-    s"""WITH e AS (SELECT event_type,
-       |  TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
-       |  FROM events)
-       |SELECT event_type, count(*) AS n, count(k) AS n_with_k,
-       |${sig("avg(k)")} AS avg_k, min(k) AS min_k, max(k) AS max_k
-       |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val arrayProfileSql: String =
     s"""WITH l AS (SELECT len(embedding) AS ln FROM embeddings
@@ -2647,14 +449,6 @@ object Extensions {
        |  FROM rev)
        |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin
 
-val eventsRollupSql: String =
-    s"""SELECT event_type, user_bucket, count(*) AS cnt,
-       |${sig("avg(value)")} AS avg_value
-       |FROM (SELECT event_type, user_id % 4 AS user_bucket, value
-       |      FROM events)
-       |GROUP BY ROLLUP(event_type, user_bucket)
-       |ORDER BY coalesce(event_type, '~'), coalesce(user_bucket, -1)""".stripMargin
-
   val setOpsCustomersSql: String =
     """WITH open AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
       |closed AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
@@ -2667,147 +461,6 @@ val eventsRollupSql: String =
       |   WHERE o_orderstatus IN ('O', 'F')))
       |SELECT * FROM b, oo, a""".stripMargin
 
-  // banded-LSH geometry for dedup_embed, shared by the Spark query and
-  // the oracle SQL (which embeds the very same hyperplane components
-  // as literals, so the bucketing is replicated bit-for-bit)
-  val EmbedBands = 8
-  val EmbedRows = 4
-
-  /** (plane_index, 1-based_component, weight) VALUES list for a
-    * deterministic hyperplane array — Double.toString round-trips
-    * exactly, so DuckDB parses the identical IEEE value. */
-  private def planesValues(planes: Array[Array[Double]]): String =
-    planes.zipWithIndex.flatMap { case (p, j) =>
-      p.zipWithIndex.map { case (w, d) => s"($j, ${d + 1}, $w)" }
-    }.mkString(", ")
-
-  val dedupEmbedSql: String = {
-    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
-    val pv = planesValues(
-      Similarity.hyperplanes(EmbedBands * EmbedRows, 64))
-    s"""WITH planes(pj, i, w) AS (VALUES $pv),
-       |el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i)),
-       |proj AS (SELECT e.vec_id, p.pj, sum(e.v * p.w) AS pr
-       |         FROM el e JOIN planes p ON p.i = e.i GROUP BY 1, 2),
-       |bh AS (SELECT vec_id, pj // $EmbedRows AS band,
-       |       CAST(sum(CASE WHEN pr >= 1e-12
-       |         THEN CAST(1 AS BIGINT) << (pj % $EmbedRows)
-       |         ELSE 0 END) AS BIGINT) AS bh
-       |       FROM proj GROUP BY 1, 2),
-       |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
-       |         FROM bh a JOIN bh b
-       |         ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id),
-       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY vec_id),
-       |dot AS (SELECT c.ia, c.ib, sum(a.v * b.v) AS dp
-       |        FROM cand c JOIN el a ON a.vec_id = c.ia
-       |        JOIN el b ON b.vec_id = c.ib AND b.i = a.i
-       |        GROUP BY 1, 2),
-       |cos AS (SELECT ia, ib, $cosExpr AS cosine
-       |        FROM dot JOIN nrm na ON na.vec_id = dot.ia
-       |        JOIN nrm nb ON nb.vec_id = dot.ib)
-       |SELECT ia AS id_a, ib AS id_b, cosine FROM cos
-       |WHERE cosine >= 0.5 ORDER BY id_a, id_b""".stripMargin
-  }
-
-  /** [[embedCosineSql]] ∩ [[embedAnnLshSql]] per query — the LSH
-    * member of the recall trio. */
-  lazy val embedLshRecallSql: String =
-    s"""WITH bf AS (SELECT * FROM ($embedCosineSql)),
-       |ann AS (SELECT * FROM ($embedAnnLshSql))
-       |SELECT bf.query_id,
-       |  CAST(coalesce(sum(CASE WHEN ann.neighbor_id IS NOT NULL
-       |    THEN 1 END), 0) AS BIGINT) AS n_common,
-       |  ${sig("coalesce(sum(CASE WHEN ann.neighbor_id IS NOT NULL THEN 1 END), 0) / 10.0")}
-       |    AS recall10
-       |FROM bf LEFT JOIN ann
-       |  ON ann.query_id = bf.query_id
-       |  AND ann.neighbor_id = bf.neighbor_id
-       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
-
-  val embedAnnLshSql: String = {
-    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
-    val pv = planesValues(Similarity.hyperplanes(8, 64))
-    s"""WITH planes(pj, i, w) AS (VALUES $pv),
-       |el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i)),
-       |proj AS (SELECT e.vec_id, p.pj, sum(e.v * p.w) AS pr
-       |         FROM el e JOIN planes p ON p.i = e.i GROUP BY 1, 2),
-       |bkt AS (SELECT vec_id,
-       |        CAST(sum(CASE WHEN pr >= 1e-12
-       |          THEN CAST(1 AS BIGINT) << pj
-       |          ELSE 0 END) AS BIGINT) AS bucket
-       |        FROM proj GROUP BY 1),
-       |q AS (SELECT vec_id AS qid, bucket AS qb FROM bkt WHERE vec_id < 5),
-       |probes AS (SELECT qid, CASE WHEN t.j = 8 THEN qb
-       |             ELSE xor(qb, CAST(1 AS BIGINT) << t.j) END AS pb
-       |           FROM q, range(0, 9) t(j)),
-       |cand AS (SELECT p.qid, b.vec_id AS vid FROM probes p
-       |         JOIN bkt b ON b.bucket = p.pb WHERE b.vec_id <> p.qid),
-       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY vec_id),
-       |dot AS (SELECT c.qid, c.vid, sum(a.v * b.v) AS dp
-       |        FROM cand c JOIN el a ON a.vec_id = c.qid
-       |        JOIN el b ON b.vec_id = c.vid AND b.i = a.i
-       |        GROUP BY 1, 2),
-       |cos AS (SELECT qid, vid, $cosExpr AS cosine
-       |        FROM dot JOIN nrm na ON na.vec_id = dot.qid
-       |        JOIN nrm nb ON nb.vec_id = dot.vid)
-       |SELECT query_id, rnk, neighbor_id, cosine FROM (
-       |  SELECT qid AS query_id,
-       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vid ASC) AS BIGINT) AS rnk,
-       |    vid AS neighbor_id, cosine FROM cos)
-       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
-  }
-
-  /** [[graft.ops.TextStats.repetitionNgrams]] mirror: string n-grams
-    * with full multiplicity (counts are hash-invariant absent
-    * collisions — the text_repetition precedent), one UNION branch
-    * per n. range(1, len−n+2) is empty when the doc is shorter than
-    * n, so those docs are absent for that n exactly as in Spark. */
-  val textRepetitionNgramsSql: String = {
-    val parts = Seq(2, 5, 10).map { n =>
-      val cat = (0 until n).map(k => s"w[i + $k]")
-        .mkString(" || ' ' || ")
-      s"""SELECT doc_id, CAST($n AS BIGINT) AS n,
-         |count(*) AS n_grams,
-         |${sig("1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*)")}
-         |  AS dup_frac
-         |FROM (SELECT doc_id,
-         |    unnest(list_transform(range(1, len(w) - $n + 2),
-         |      i -> $cat)) AS g
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
-         |        FROM documents))
-         |GROUP BY doc_id""".stripMargin
-    }
-    parts.mkString("", "\nUNION ALL\n", "\nORDER BY doc_id, n")
-  }
-
-  val textRepetitionSql: String =
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-       |             FROM documents),
-       |tc AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id, t),
-       |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-       |       max(c) AS top_tok FROM tc GROUP BY doc_id),
-       |bg AS (SELECT doc_id, unnest(grams) AS g FROM (
-       |  SELECT doc_id, list_transform(range(1, len(w)),
-       |    i -> w[i] || ' ' || w[i+1]) AS grams
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
-       |        FROM documents))),
-       |bc AS (SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, g),
-       |bs AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bi
-       |       FROM bc GROUP BY doc_id)
-       |SELECT ts.doc_id, n_tokens,
-       |${sig("CAST(top_tok AS DOUBLE) / n_tokens")} AS top_token_frac,
-       |${sig("CAST(top_bi AS DOUBLE) / n_bigrams")} AS top_bigram_frac
-       |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id
-       |ORDER BY ts.doc_id""".stripMargin
-
-  /** The whole corpus-preparation funnel re-derived independently in
-    * DuckDB: quality filter (token range + sig5-rounded top-bigram
-    * repetition), near-dedup via recursive-CTE connected components
-    * over capped n-gram Jaccard pairs, then n-gram-overlap
-    * decontamination against the src0 eval slice. A hash-match proves
-    * the COMPOSITION of the operators, not just each in isolation. */
   val pipelineFunnelSql: String = {
     val repFrac = sig("CAST(top_bi AS DOUBLE) / n_bigrams")
     s"""WITH RECURSIVE
@@ -2863,178 +516,6 @@ val eventsRollupSql: String =
        |(SELECT count(*) FROM final) AS n_clean""".stripMargin
   }
 
-  /** BM25 query-term literal set (shared Spark/oracle). */
-  val Bm25Terms: Seq[String] = Seq("spark", "hash", "window")
-
-  /** BM25 re-derived relationally. Every float constant (k1+1, 1−b,
-    * …) is interpolated from the SAME Scala doubles the Spark plan
-    * uses — Double.toString round-trips exactly, so both engines
-    * compute from identical IEEE values; ln() may differ by an ulp
-    * between engines, absorbed by the sig5 ranking contract. */
-  val textBm25Sql: String = {
-    val (k1, b) = (1.2, 0.75)
-    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-       |             FROM documents),
-       |lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-       |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
-       |qt AS (SELECT * FROM tok WHERE t IN ($terms)),
-       |dft AS (SELECT t, count(DISTINCT doc_id) AS df_t FROM qt GROUP BY t),
-       |tf AS (SELECT doc_id, t, count(*) AS tf FROM qt GROUP BY doc_id, t),
-       |sc AS (SELECT tf.doc_id,
-       |  ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) *
-       |  (tf * ${k1 + 1.0}) /
-       |  (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)) AS s
-       |  FROM tf JOIN dft ON dft.t = tf.t
-       |  JOIN lens ON lens.doc_id = tf.doc_id, corpus),
-       |agg AS (SELECT doc_id, ${sig("sum(s)")} AS score FROM sc
-       |        GROUP BY doc_id)
-       |SELECT CAST(rn AS BIGINT) AS rnk, doc_id, score FROM (
-       |  SELECT doc_id, score,
-       |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
-       |  FROM agg)
-       |WHERE rn <= 10 ORDER BY rnk""".stripMargin
-  }
-
-  /** RRF fusion oracle: both legs' CTEs (BM25 k=20 and qid-0 cosine
-    * k=20), FULL OUTER joined, fused with the identical fixed-order
-    * 1/(60+rank) arithmetic — ranks are integers, so the fused score
-    * is bit-exact with no sig rounding. */
-  val searchHybridRrfSql: String = {
-    val (k1, b) = (1.2, 0.75)
-    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
-    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-       |             FROM documents),
-       |lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-       |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
-       |qt AS (SELECT * FROM tok WHERE t IN ($terms)),
-       |dft AS (SELECT t, count(DISTINCT doc_id) AS df_t FROM qt GROUP BY t),
-       |tf AS (SELECT doc_id, t, count(*) AS tf FROM qt GROUP BY doc_id, t),
-       |sc AS (SELECT tf.doc_id,
-       |  ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) *
-       |  (tf * ${k1 + 1.0}) /
-       |  (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)) AS s
-       |  FROM tf JOIN dft ON dft.t = tf.t
-       |  JOIN lens ON lens.doc_id = tf.doc_id, corpus),
-       |lagg AS (SELECT doc_id, ${sig("sum(s)")} AS score FROM sc
-       |         GROUP BY doc_id),
-       |lex AS (SELECT doc_id, CAST(rn AS BIGINT) AS lex_rnk FROM (
-       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC,
-       |    doc_id ASC) AS rn FROM lagg) WHERE rn <= 20),
-       |el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i)),
-       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY vec_id),
-       |dot AS (SELECT b.vec_id AS vid, sum(a.v * b.v) AS dp
-       |        FROM el a JOIN el b ON a.i = b.i AND b.vec_id <> 0
-       |        WHERE a.vec_id = 0 GROUP BY 1),
-       |cos AS (SELECT vid, $cosExpr AS cosine
-       |        FROM dot JOIN nrm na ON na.vec_id = 0
-       |        JOIN nrm nb ON nb.vec_id = dot.vid),
-       |sem AS (SELECT vid AS doc_id, CAST(rn AS BIGINT) AS sem_rnk FROM (
-       |  SELECT vid, row_number() OVER (ORDER BY cosine DESC,
-       |    vid ASC) AS rn FROM cos) WHERE rn <= 20),
-       |fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
-       |  coalesce(1.0 / (60.0 + CAST(lex_rnk AS DOUBLE)), 0.0) +
-       |  coalesce(1.0 / (60.0 + CAST(sem_rnk AS DOUBLE)), 0.0)
-       |    AS rrf_score, lex_rnk, sem_rnk
-       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
-       |SELECT CAST(rn AS BIGINT) AS rnk, doc_id, rrf_score,
-       |  lex_rnk, sem_rnk FROM (
-       |  SELECT *, row_number() OVER (ORDER BY rrf_score DESC,
-       |    doc_id ASC) AS rn FROM fused) WHERE rn <= 10
-       |ORDER BY rnk""".stripMargin
-  }
-
-  /** Re-synthesizes the deterministic PII payloads from doc_id and
-    * re-runs detection + redaction with DuckDB's RE2 engine — regex
-    * semantics (leftmost-first, greedy, global replace) must agree
-    * with Java's for the full redacted strings to hash-match. */
-  /** The deterministic PII-synthesis CTE `s` (doc_id, source, t2) —
-    * shared by the per-doc and per-source PII oracles. */
-  private val piiSynthCte: String =
-    s"""s AS (SELECT doc_id, source, text ||
-       |  CASE WHEN doc_id % 3 >= 1 THEN ' mail user' ||
-       |    CAST(doc_id AS VARCHAR) || 'a@mail.example.com'
-       |    ELSE '' END ||
-       |  CASE WHEN doc_id % 3 = 2 THEN ' cc user' ||
-       |    CAST(doc_id AS VARCHAR) || 'b@mail.example.com'
-       |    ELSE '' END ||
-       |  CASE WHEN doc_id % 2 = 0 THEN ' from 10.' ||
-       |    CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
-       |    CAST(doc_id % 250 + 1 AS VARCHAR)
-       |    ELSE '' END ||
-       |  CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||
-       |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
-       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-       |    ELSE '' END AS t2
-       |  FROM documents)""".stripMargin
-
-  /** Per-source PII exposure rollup: which SOURCE leaks — docs with
-    * any hit, per-type totals, hit rate. */
-  val textPiiBySourceSql: String = {
-    import graft.ops.Pii.{EmailRe, Ipv4Re, PhoneRe}
-    s"""WITH $piiSynthCte,
-       |d AS (SELECT source,
-       |  CAST(len(regexp_extract_all(t2, '$EmailRe')) AS BIGINT)
-       |    AS ne,
-       |  CAST(len(regexp_extract_all(t2, '$Ipv4Re')) AS BIGINT)
-       |    AS ni,
-       |  CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT)
-       |    AS np
-       |  FROM s)
-       |SELECT source, count(*) AS n_docs,
-       |  CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)
-       |    AS BIGINT) AS n_docs_with_pii,
-       |  CAST(sum(ne) AS BIGINT) AS n_emails,
-       |  CAST(sum(ni) AS BIGINT) AS n_ips,
-       |  CAST(sum(np) AS BIGINT) AS n_phones,
-       |  ${sig("CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")}
-       |    AS pii_rate
-       |FROM d GROUP BY source ORDER BY source""".stripMargin
-  }
-
-  val textPiiSql: String = {
-    import graft.ops.Pii.{EmailRe, Ipv4Re, PhoneRe}
-    s"""WITH s AS (SELECT doc_id, text ||
-       |  CASE WHEN doc_id % 3 >= 1 THEN ' mail user' ||
-       |    CAST(doc_id AS VARCHAR) || 'a@mail.example.com'
-       |    ELSE '' END ||
-       |  CASE WHEN doc_id % 3 = 2 THEN ' cc user' ||
-       |    CAST(doc_id AS VARCHAR) || 'b@mail.example.com'
-       |    ELSE '' END ||
-       |  CASE WHEN doc_id % 2 = 0 THEN ' from 10.' ||
-       |    CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
-       |    CAST(doc_id % 250 + 1 AS VARCHAR)
-       |    ELSE '' END ||
-       |  CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||
-       |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
-       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-       |    ELSE '' END AS t2
-       |  FROM documents)
-       |SELECT doc_id,
-       |CAST(len(regexp_extract_all(t2, '$EmailRe')) AS BIGINT)
-       |  AS n_emails,
-       |CAST(len(regexp_extract_all(t2, '$Ipv4Re')) AS BIGINT) AS n_ips,
-       |CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT)
-       |  AS n_phones,
-       |regexp_replace(regexp_replace(regexp_replace(t2,
-       |  '$EmailRe', '<EMAIL>', 'g'),
-       |  '$Ipv4Re', '<IP>', 'g'),
-       |  '$PhoneRe', '<PHONE>', 'g') AS redacted
-       |FROM s ORDER BY doc_id""".stripMargin
-  }
-
-  val textLmScoreSql: String =
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-       |             FROM documents),
-       |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
-       |tot AS (SELECT sum(c) AS total FROM freq)
-       |SELECT doc_id, count(*) AS n_tokens,
-       |${sig("avg(-ln(CAST(c AS DOUBLE) / total))")} AS nll
-       |FROM tok JOIN freq ON freq.t = tok.t, tot
-       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-
   private def entropyColSql(c: String): String =
     s"""SELECT '$c' AS col_name, CAST(n AS BIGINT) AS n,
        |CAST(nd AS BIGINT) AS n_distinct,
@@ -3057,38 +538,7 @@ val eventsRollupSql: String =
     * (valid because Σ_cells nij·ln ri = Σ_a ri·ln ri), and
     * H(A|B) = (Σ nij·ln cj − Σ nij·ln nij)/n. Marginals via window
     * sums over the contingency. */
-  private def assocPairSql(table: String, a: String, b: String): String = {
-    val vGuard = "least(card_a, card_b) > 1 AND greatest(card_a, card_b) <= 10000"
-    val uGuard = "greatest(card_a, card_b) <= 10000"
-    s"""SELECT '$a' AS col_a, '$b' AS col_b, CAST(n AS BIGINT) AS n,
-       |CAST(card_a AS BIGINT) AS card_a, CAST(card_b AS BIGINT) AS card_b,
-       |${sig(s"CASE WHEN $vGuard THEN sqrt(greatest((sumsq - 1) / (least(card_a, card_b) - 1), 0)) END")} AS cramers_v,
-       |${sig(s"CASE WHEN $uGuard AND card_a > 1 THEN ((ln(n) - rlr / n) - (clc - nln) / n) / greatest(ln(n) - rlr / n, 1e-12) END")} AS theils_u_ab,
-       |${sig(s"CASE WHEN $uGuard AND card_b > 1 THEN ((ln(n) - clc / n) - (rlr - nln) / n) / greatest(ln(n) - clc / n, 1e-12) END")} AS theils_u_ba
-       |FROM (
-       |  SELECT sum(nij) AS n,
-       |    count(DISTINCT va)
-       |      + max(CASE WHEN va IS NULL THEN 1 ELSE 0 END) AS card_a,
-       |    count(DISTINCT vb)
-       |      + max(CASE WHEN vb IS NULL THEN 1 ELSE 0 END) AS card_b,
-       |    sum(nij * nij / (ri * cj)) AS sumsq,
-       |    sum(nij * ln(nij)) AS nln,
-       |    sum(nij * ln(cj)) AS clc,
-       |    sum(nij * ln(ri)) AS rlr
-       |  FROM (
-       |    SELECT va, vb, nij,
-       |      sum(nij) OVER (PARTITION BY va) AS ri,
-       |      sum(nij) OVER (PARTITION BY vb) AS cj
-       |    FROM (SELECT $a AS va, $b AS vb,
-       |          CAST(count(*) AS DOUBLE) AS nij
-       |          FROM $table GROUP BY 1, 2)))""".stripMargin
-  }
 
-  /** Equi-depth histogram re-derived: quantile_cont edges (proven
-    * interpolation-identical to Spark's exact `percentile` by the
-    * num_quantiles gates), bin = #rounded-edges ≤ v — the same
-    * rounded-edge decision [[graft.profiler.Stats.eqDepthHistogram]]
-    * makes. */
   val numHistogramEqdepthSql: String = {
     val fracs = (1 to 9).map(i => s"0.$i").mkString("[", ", ", "]")
     val binSum = (1 to 9)
@@ -3116,577 +566,7 @@ val eventsRollupSql: String =
     * floor(x+0.5) on doubles both engines computed with identical
     * correctly-rounded IEEE ops, so mn/mx/step/max_abs_err/n_codes
     * need NO rounding; only avg(err) (summation order) is sig5'd. */
-  val embedQuantizeSql: String =
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i)),
-       |b AS (SELECT i, min(v) AS mn, max(v) AS mx,
-       |      (max(v) - min(v)) / 255.0 AS step FROM el GROUP BY i),
-       |e AS (SELECT el.i, mn, mx, step,
-       |      CASE WHEN step > 0 THEN
-       |        CAST(least(greatest(floor((v - mn) / step + 0.5), 0.0),
-       |          255.0) AS BIGINT)
-       |        ELSE 0 END AS q, v
-       |      FROM el JOIN b ON b.i = el.i),
-       |w AS (SELECT i, mn, mx, step, q,
-       |      abs(v - (mn + q * step)) AS err FROM e)
-       |SELECT i, mn, mx, step, ${sig("avg(err)")} AS avg_abs_err,
-       |max(err) AS max_abs_err,
-       |CAST(count(DISTINCT q) AS BIGINT) AS n_codes
-       |FROM w GROUP BY i, mn, mx, step ORDER BY i""".stripMargin
 
-  /** Two Lloyd iterations unrolled relationally: seed centroids =
-    * corpus rows 120..135, argmin on the sig5-rounded score
-    * |c|² − 2·v·c with cid tie-break (identical decision machinery as
-    * [[embedAnnIvfSql]]); WCSS sums the rounded score + raw |v|². */
-  val embedKmeansSql: String = {
-    val score = sig("cn2 - 2 * dp")
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i)),
-       |vn AS (SELECT vec_id, sum(v * v) AS vn2 FROM el GROUP BY vec_id),
-       |c0 AS (SELECT vec_id AS cid, i, v AS w FROM el
-       |       WHERE vec_id BETWEEN 120 AND 135),
-       |cn0 AS (SELECT cid, sum(w * w) AS cn2 FROM c0 GROUP BY cid),
-       |d0 AS (SELECT e.vec_id AS vid, c.cid, sum(e.v * c.w) AS dp
-       |       FROM el e JOIN c0 c ON c.i = e.i GROUP BY 1, 2),
-       |s0 AS (SELECT vid, d0.cid, $score AS score
-       |       FROM d0 JOIN cn0 ON cn0.cid = d0.cid),
-       |a0 AS (SELECT vid, cid FROM (
-       |  SELECT vid, cid, row_number() OVER (PARTITION BY vid
-       |    ORDER BY score ASC, cid ASC) AS rn FROM s0) WHERE rn = 1),
-       |c1 AS (SELECT a0.cid, el.i, avg(el.v) AS w FROM el
-       |       JOIN a0 ON a0.vid = el.vec_id GROUP BY 1, 2),
-       |cn1 AS (SELECT cid, sum(w * w) AS cn2 FROM c1 GROUP BY cid),
-       |d1 AS (SELECT e.vec_id AS vid, c.cid, sum(e.v * c.w) AS dp
-       |       FROM el e JOIN c1 c ON c.i = e.i GROUP BY 1, 2),
-       |s1 AS (SELECT vid, d1.cid, $score AS score
-       |       FROM d1 JOIN cn1 ON cn1.cid = d1.cid),
-       |a1 AS (SELECT vid, cid, score FROM (
-       |  SELECT vid, cid, score, row_number() OVER (PARTITION BY vid
-       |    ORDER BY score ASC, cid ASC) AS rn FROM s1) WHERE rn = 1)
-       |SELECT cid AS cluster_id, count(*) AS n_members,
-       |${sig("sum(score + vn2)")} AS wcss
-       |FROM a1 JOIN vn ON vn.vec_id = a1.vid
-       |GROUP BY cid ORDER BY cluster_id""".stripMargin
-  }
-
-  /** The convergence trajectory re-derived: [[embedKmeansSql]]'s
-    * unrolled iterations with the assignment score carried through
-    * both rounds — per-iteration inertia = the wcss formula over that
-    * round's assignment, center_shift = Σ (c1 − c0)² joined on
-    * (cid, dim) for the surviving centroids (NULL on round 1). */
-  val embedKmeansConvergenceSql: String = {
-    val score = sig("cn2 - 2 * dp")
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i)),
-       |vn AS (SELECT vec_id, sum(v * v) AS vn2 FROM el GROUP BY vec_id),
-       |c0 AS (SELECT vec_id AS cid, i, v AS w FROM el
-       |       WHERE vec_id BETWEEN 120 AND 135),
-       |cn0 AS (SELECT cid, sum(w * w) AS cn2 FROM c0 GROUP BY cid),
-       |d0 AS (SELECT e.vec_id AS vid, c.cid, sum(e.v * c.w) AS dp
-       |       FROM el e JOIN c0 c ON c.i = e.i GROUP BY 1, 2),
-       |s0 AS (SELECT vid, d0.cid, $score AS score
-       |       FROM d0 JOIN cn0 ON cn0.cid = d0.cid),
-       |a0 AS (SELECT vid, cid, score FROM (
-       |  SELECT vid, cid, score, row_number() OVER (PARTITION BY vid
-       |    ORDER BY score ASC, cid ASC) AS rn FROM s0) WHERE rn = 1),
-       |i1 AS (SELECT count(DISTINCT cid) AS n_clusters,
-       |       ${sig("sum(score + vn2)")} AS inertia
-       |       FROM a0 JOIN vn ON vn.vec_id = a0.vid),
-       |c1 AS (SELECT a0.cid, el.i, avg(el.v) AS w FROM el
-       |       JOIN a0 ON a0.vid = el.vec_id GROUP BY 1, 2),
-       |cn1 AS (SELECT cid, sum(w * w) AS cn2 FROM c1 GROUP BY cid),
-       |d1 AS (SELECT e.vec_id AS vid, c.cid, sum(e.v * c.w) AS dp
-       |       FROM el e JOIN c1 c ON c.i = e.i GROUP BY 1, 2),
-       |s1 AS (SELECT vid, d1.cid, $score AS score
-       |       FROM d1 JOIN cn1 ON cn1.cid = d1.cid),
-       |a1 AS (SELECT vid, cid, score FROM (
-       |  SELECT vid, cid, score, row_number() OVER (PARTITION BY vid
-       |    ORDER BY score ASC, cid ASC) AS rn FROM s1) WHERE rn = 1),
-       |i2 AS (SELECT count(DISTINCT cid) AS n_clusters,
-       |       ${sig("sum(score + vn2)")} AS inertia
-       |       FROM a1 JOIN vn ON vn.vec_id = a1.vid),
-       |sh AS (SELECT
-       |       ${sig("sum((c1.w - c0.w) * (c1.w - c0.w))")} AS shift
-       |       FROM c1 JOIN c0 ON c0.cid = c1.cid AND c0.i = c1.i)
-       |SELECT CAST(1 AS BIGINT) AS iter,
-       |CAST(n_clusters AS BIGINT) AS n_clusters, inertia,
-       |CAST(NULL AS DOUBLE) AS center_shift FROM i1
-       |UNION ALL
-       |SELECT CAST(2 AS BIGINT), CAST(n_clusters AS BIGINT), inertia,
-       |(SELECT shift FROM sh) FROM i2
-       |ORDER BY iter""".stripMargin
-  }
-
-  /** Margin mining re-derived: cross-parity cosine matrix, per-side
-    * k-NN means over the ROUNDED cosines (row_number windows with
-    * id tie-breaks — the TopKByScore twin), guarded ratio margin,
-    * rounded again, top 25 by (margin DESC, src, tgt). */
-  val embedMarginMineSql: String =
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i)
-       |       WHERE vec_id < 2000 AND len(embedding) = 64),
-       |nr AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY 1),
-       |dp AS (SELECT a.vec_id AS xid, b.vec_id AS yid,
-       |       sum(a.v * b.v) AS dp
-       |       FROM el a JOIN el b ON b.i = a.i
-       |       WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
-       |       GROUP BY 1, 2),
-       |cc AS (SELECT xid, yid,
-       |       ${sig("CASE WHEN nx.nrm > 0 AND ny.nrm > 0 THEN dp / (nx.nrm * ny.nrm) END")} AS c
-       |       FROM dp JOIN nr nx ON nx.vec_id = xid
-       |       JOIN nr ny ON ny.vec_id = yid),
-       |cn AS (SELECT * FROM cc WHERE c IS NOT NULL),
-       |ax AS (SELECT xid, avg(c) AS ax FROM (
-       |   SELECT xid, c, row_number() OVER (PARTITION BY xid
-       |     ORDER BY c DESC, yid ASC) AS rn FROM cn)
-       |   WHERE rn <= 4 GROUP BY xid),
-       |ay AS (SELECT yid, avg(c) AS ay FROM (
-       |   SELECT yid, c, row_number() OVER (PARTITION BY yid
-       |     ORDER BY c DESC, xid ASC) AS rn FROM cn)
-       |   WHERE rn <= 4 GROUP BY yid),
-       |m AS (SELECT cn.xid, cn.yid, c,
-       |      ${sig("CASE WHEN (ax + ay) / 2 > 0 THEN c / ((ax + ay) / 2) END")} AS margin
-       |      FROM cn JOIN ax ON ax.xid = cn.xid
-       |      JOIN ay ON ay.yid = cn.yid),
-       |r AS (SELECT xid, yid, c, margin,
-       |      row_number() OVER (ORDER BY margin DESC, xid, yid) AS rnk
-       |      FROM m WHERE margin IS NOT NULL)
-       |SELECT CAST(rnk AS BIGINT) AS rnk, xid AS src_id,
-       |yid AS tgt_id, c AS cosine, margin
-       |FROM r WHERE rnk <= 25 ORDER BY rnk""".stripMargin
-
-  /** ANN-pruned margin mining re-derived: the [[embedAnnLshSql]]
-    * bucket CTEs (identical plane literals, `pr >= 1e-12` bit test),
-    * X-side multiprobe (bucket + 8 Hamming-1 neighbors — j = 8 is
-    * the identity probe), candidate pairs = bucket collisions, then
-    * the [[embedMarginMineSql]] margin math verbatim over the
-    * SURVIVING candidates (k-NN means are over the retrieved lists,
-    * exactly the Spark `marginFromPairs` contract). */
-  val embedMarginMineAnnSql: String = {
-    val pv = planesValues(Similarity.hyperplanes(8, 64))
-    s"""WITH planes(pj, i, w) AS (VALUES $pv),
-       |el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i)
-       |       WHERE vec_id < 2000 AND len(embedding) = 64),
-       |proj AS (SELECT e.vec_id, p.pj, sum(e.v * p.w) AS pr
-       |         FROM el e JOIN planes p ON p.i = e.i GROUP BY 1, 2),
-       |bkt AS (SELECT vec_id,
-       |        CAST(sum(CASE WHEN pr >= 1e-12
-       |          THEN CAST(1 AS BIGINT) << pj
-       |          ELSE 0 END) AS BIGINT) AS bucket
-       |        FROM proj GROUP BY 1),
-       |xb AS (SELECT vec_id AS xid, bucket FROM bkt
-       |       WHERE vec_id % 2 = 0),
-       |yb AS (SELECT vec_id AS yid, bucket FROM bkt
-       |       WHERE vec_id % 2 = 1),
-       |probes AS (SELECT xid, CASE WHEN t.j = 8 THEN bucket
-       |             ELSE xor(bucket, CAST(1 AS BIGINT) << t.j) END AS pb
-       |           FROM xb, range(0, 9) t(j)),
-       |cand AS (SELECT p.xid, y.yid FROM probes p
-       |         JOIN yb y ON y.bucket = p.pb),
-       |nr AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY 1),
-       |dp AS (SELECT c.xid, c.yid, sum(a.v * b.v) AS dp
-       |       FROM cand c JOIN el a ON a.vec_id = c.xid
-       |       JOIN el b ON b.vec_id = c.yid AND b.i = a.i
-       |       GROUP BY 1, 2),
-       |cc AS (SELECT xid, yid,
-       |       ${sig("CASE WHEN nx.nrm > 0 AND ny.nrm > 0 THEN dp / (nx.nrm * ny.nrm) END")} AS c
-       |       FROM dp JOIN nr nx ON nx.vec_id = xid
-       |       JOIN nr ny ON ny.vec_id = yid),
-       |cn AS (SELECT * FROM cc WHERE c IS NOT NULL),
-       |ax AS (SELECT xid, avg(c) AS ax FROM (
-       |   SELECT xid, c, row_number() OVER (PARTITION BY xid
-       |     ORDER BY c DESC, yid ASC) AS rn FROM cn)
-       |   WHERE rn <= 4 GROUP BY xid),
-       |ay AS (SELECT yid, avg(c) AS ay FROM (
-       |   SELECT yid, c, row_number() OVER (PARTITION BY yid
-       |     ORDER BY c DESC, xid ASC) AS rn FROM cn)
-       |   WHERE rn <= 4 GROUP BY yid),
-       |m AS (SELECT cn.xid, cn.yid, c,
-       |      ${sig("CASE WHEN (ax + ay) / 2 > 0 THEN c / ((ax + ay) / 2) END")} AS margin
-       |      FROM cn JOIN ax ON ax.xid = cn.xid
-       |      JOIN ay ON ay.yid = cn.yid),
-       |r AS (SELECT xid, yid, c, margin,
-       |      row_number() OVER (ORDER BY margin DESC, xid, yid) AS rnk
-       |      FROM m WHERE margin IS NOT NULL)
-       |SELECT CAST(rnk AS BIGINT) AS rnk, xid AS src_id,
-       |yid AS tgt_id, c AS cosine, margin
-       |FROM r WHERE rnk <= 25 ORDER BY rnk""".stripMargin
-  }
-
-  /** k-NN label agreement re-derived: the [[embedCosineSql]] exact
-    * top-k CTEs with Q = 20 queries, then integer vote counts and
-    * the (cnt DESC, label ASC) argmax as a row_number pick — the
-    * Spark struct-max twin. */
-  val embedKnnLabelSql: String = {
-    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |            FROM embeddings, range(1, 65) t(i)
-       |            WHERE vec_id < 2000),
-       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY vec_id),
-       |dot AS (SELECT a.vec_id AS qid, b.vec_id AS vid, sum(a.v * b.v) AS dp
-       |        FROM el a JOIN el b ON a.i = b.i AND b.vec_id <> a.vec_id
-       |        WHERE a.vec_id < 20 GROUP BY 1, 2),
-       |cos AS (SELECT qid, vid, $cosExpr AS cosine
-       |        FROM dot JOIN nrm na ON na.vec_id = dot.qid
-       |        JOIN nrm nb ON nb.vec_id = dot.vid),
-       |nb AS (SELECT qid, vid FROM (
-       |   SELECT qid, vid, row_number() OVER (PARTITION BY qid
-       |     ORDER BY cosine DESC, vid ASC) AS rnk FROM cos)
-       |   WHERE rnk <= 10),
-       |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label
-       |       FROM embeddings WHERE vec_id < 2000),
-       |votes AS (SELECT nb.qid, lb.label, count(*) AS cnt
-       |          FROM nb JOIN lb ON lb.vec_id = nb.vid GROUP BY 1, 2),
-       |pick AS (SELECT qid, label AS pred_label, cnt AS n_votes FROM (
-       |   SELECT qid, label, cnt, row_number() OVER (PARTITION BY qid
-       |     ORDER BY cnt DESC, label ASC) AS rn FROM votes)
-       |   WHERE rn = 1)
-       |SELECT p.qid AS query_id, t.label AS true_label, p.pred_label,
-       |CAST(p.n_votes AS BIGINT) AS n_votes,
-       |t.label = p.pred_label AS correct
-       |FROM pick p JOIN lb t ON t.vec_id = p.qid
-       |ORDER BY query_id""".stripMargin
-  }
-
-  /** Per-class separability re-derived: per-label centroids as
-    * (label, dim) averages, member→centroid cosines rounded then
-    * averaged (rounded again), centroid-pair cosines rounded with a
-    * (cos DESC, label ASC) nearest-other pick — mirroring
-    * [[graft.ops.EmbedEval.labelStats]]'s broadcast-centroid map
-    * pass and driver-side argmax. */
-  val embedLabelStatsSql: String =
-    s"""WITH el AS (SELECT vec_id, CAST(label AS BIGINT) AS label, i,
-       |        CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i)
-       |       WHERE vec_id < 2000 AND len(embedding) = 64),
-       |cent AS (SELECT label, i, avg(v) AS w FROM el GROUP BY 1, 2),
-       |cn AS (SELECT label, sqrt(sum(w * w)) AS cnrm FROM cent GROUP BY 1),
-       |vn AS (SELECT vec_id, sqrt(sum(v * v)) AS vnrm FROM el GROUP BY 1),
-       |dp AS (SELECT e.vec_id, e.label, sum(e.v * c.w) AS dp
-       |       FROM el e JOIN cent c ON c.label = e.label AND c.i = e.i
-       |       GROUP BY 1, 2),
-       |coh0 AS (SELECT dp.label,
-       |       ${sig("CASE WHEN vnrm > 0 AND cnrm > 0 THEN dp / (vnrm * cnrm) END")} AS coh
-       |       FROM dp JOIN vn ON vn.vec_id = dp.vec_id
-       |       JOIN cn ON cn.label = dp.label),
-       |coh AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
-       |        ${sig("avg(coh)")} AS cohesion FROM coh0 GROUP BY 1),
-       |cc AS (SELECT a.label AS la, b.label AS lb2, sum(a.w * b.w) AS dp
-       |       FROM cent a JOIN cent b ON b.i = a.i AND b.label <> a.label
-       |       GROUP BY 1, 2),
-       |sep0 AS (SELECT la, lb2,
-       |        ${sig("CASE WHEN na.cnrm > 0 AND nb.cnrm > 0 THEN dp / (na.cnrm * nb.cnrm) END")} AS cos
-       |        FROM cc JOIN cn na ON na.label = la
-       |        JOIN cn nb ON nb.label = lb2),
-       |sep AS (SELECT la AS label, lb2 AS nn_label, cos AS separation
-       |        FROM (SELECT la, lb2, cos,
-       |          row_number() OVER (PARTITION BY la
-       |            ORDER BY cos DESC, lb2 ASC) AS rn
-       |          FROM sep0 WHERE cos IS NOT NULL) WHERE rn = 1)
-       |SELECT c.label, c.n, c.cohesion, s.nn_label, s.separation
-       |FROM coh c LEFT JOIN sep s ON s.label = c.label
-       |ORDER BY c.label""".stripMargin
-
-  /** Cluster purity re-derived: the seed-assignment CTEs (the
-    * [[embedIvfAssignSql]] pattern over the embed_kmeans seed rows
-    * [120, 136)), label votes per cell, and the (cnt DESC, label
-    * ASC) argmax as a row_number pick — the Spark struct-max twin;
-    * purity = top_n / n on integer operands, rounded identically. */
-  val embedClusterPuritySql: String =
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i)
-       |       WHERE vec_id < 2000 AND len(embedding) = 64),
-       |cn AS (SELECT vec_id AS cid, sum(v * v) AS cn2 FROM el
-       |       WHERE vec_id BETWEEN 120 AND 135 GROUP BY 1),
-       |cd AS (SELECT a.vec_id AS vid, c.vec_id AS cid, sum(a.v * c.v) AS dp
-       |       FROM el a JOIN el c ON c.i = a.i
-       |       AND c.vec_id BETWEEN 120 AND 135 GROUP BY 1, 2),
-       |sc AS (SELECT vid, cd.cid, ${sig("cn2 - 2 * dp")} AS score
-       |       FROM cd JOIN cn ON cn.cid = cd.cid),
-       |asg AS (SELECT vid, cid AS cell FROM (
-       |  SELECT vid, cid, row_number() OVER (PARTITION BY vid
-       |    ORDER BY score ASC, cid ASC) AS rn FROM sc) WHERE rn = 1),
-       |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS label
-       |       FROM embeddings WHERE vec_id < 2000),
-       |votes AS (SELECT cell, label, count(*) AS cnt
-       |          FROM asg JOIN lb ON lb.vec_id = asg.vid GROUP BY 1, 2),
-       |tot AS (SELECT cell, CAST(sum(cnt) AS BIGINT) AS n
-       |        FROM votes GROUP BY 1),
-       |pick AS (SELECT cell, label AS top_label, cnt AS top_n FROM (
-       |  SELECT cell, label, cnt, row_number() OVER (PARTITION BY cell
-       |    ORDER BY cnt DESC, label ASC) AS rn FROM votes)
-       |  WHERE rn = 1)
-       |SELECT t.cell AS cluster_id, t.n, p.top_label,
-       |CAST(p.top_n AS BIGINT) AS top_n,
-       |${sig("CAST(p.top_n AS DOUBLE) / t.n")} AS purity
-       |FROM tot t JOIN pick p ON p.cell = t.cell
-       |ORDER BY cluster_id""".stripMargin
-
-  val textTokensSql: String =
-    s"""SELECT doc_id,
-       |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-       |CAST(len(regexp_extract_all(text, '${TextStats.BpePattern}')) AS BIGINT) AS n_bpe_tokens
-       |FROM documents ORDER BY doc_id""".stripMargin
-
-  /** 64-token windows at stride 48, re-derived with DuckDB's 1-based
-    * inclusive list slicing (Spark's slice(ts, start+1, 64) ≙
-    * ts[start+1 : start+64]); chunk_idx = start // stride exactly.
-    * string_split never returns an empty list (''→['']), so
-    * range(0, len, stride) enumerates the same starts as the Spark
-    * side's sequence(0, len−1, stride). */
-  val textChunkSql: String =
-    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
-      |             FROM documents),
-      |st AS (SELECT doc_id, ts,
-      |       unnest(range(0, len(ts), 48)) AS start FROM tok)
-      |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
-      |CAST(least(len(ts) - start, 64) AS BIGINT) AS n_tokens,
-      |array_to_string(ts[start + 1 : start + 64], ' ') AS chunk_text
-      |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
-
-  /** The surrogate weight model re-derived relationally: MINSTD of
-    * the corpus token count mapped to [−1, 1] (same BIGINT chain as
-    * [[sampleWeightedSql]]), sigmoid of the per-doc mean; the keep
-    * decision ranks the sig5-rounded score on both engines. */
-  val textClassifySql: String =
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-       |             FROM documents),
-       |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
-       |wt AS (SELECT t,
-       |  (CAST(((((((c + 12345) % 2147483647) * 48271) % 2147483647)
-       |    * 48271) % 2147483647) % 1000 AS DOUBLE) - 499.5) / 499.5 AS w
-       |  FROM freq),
-       |s AS (SELECT doc_id, count(*) AS n_tokens,
-       |      ${sig("1.0 / (1.0 + exp(-avg(w)))")} AS score
-       |      FROM tok JOIN wt ON wt.t = tok.t GROUP BY doc_id)
-       |SELECT doc_id, n_tokens, score, score >= 0.5 AS keep
-       |FROM s ORDER BY doc_id""".stripMargin
-
-  /** One drift dimension's PSI/TVD re-derivation: `bucketExpr` must
-    * produce the same bucket values as the Spark side (lang string /
-    * fixed-width bin index), slice = doc_id parity, Laplace-smoothed
-    * shares (c+0.5)/(n+0.5k). */
-  private def driftDimSql(dim: String, src: String, bucketExpr: String)
-      : String =
-    s"""SELECT '$dim' AS dim, CAST(min(na) AS BIGINT) AS n_a,
-       |CAST(min(nb) AS BIGINT) AS n_b,
-       |CAST(min(k) AS BIGINT) AS n_buckets,
-       |${sig("sum((p - q) * ln(p / q))")} AS psi,
-       |${sig("sum(abs(p - q)) / 2.0")} AS tvd
-       |FROM (
-       |  SELECT (ca + 0.5) / (na + 0.5 * k) AS p,
-       |         (cb + 0.5) / (nb + 0.5 * k) AS q, na, nb, k
-       |  FROM (SELECT $bucketExpr AS b,
-       |          sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
-       |          sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
-       |        FROM $src GROUP BY 1) c,
-       |       -- totals from the counts themselves (a NULL bucket is a
-       |       -- regular category, exactly like the Spark groupBy)
-       |       (SELECT CAST(sum(ca) AS DOUBLE) AS na,
-       |        CAST(sum(cb) AS DOUBLE) AS nb,
-       |        CAST(count(*) AS DOUBLE) AS k
-       |        FROM (SELECT $bucketExpr AS b,
-       |                sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
-       |                sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
-       |              FROM $src GROUP BY 1)) t)
-       |-- empty-dimension guard: Spark's groupBy emits ZERO rows for
-       |-- an empty input, while a bare aggregate here would emit one
-       |-- all-NULL row — drop it so both engines agree
-       |HAVING count(*) > 0""".stripMargin
-
-  val driftPsiBySourceSql: String = {
-    val binExpr =
-      """CASE WHEN mm.w > 0 THEN
-        |  CAST(least(floor((CAST(n_chars AS DOUBLE) - mm.mn) / mm.w),
-        |    9) AS BIGINT) ELSE 0 END""".stripMargin
-    s"""WITH mm AS (SELECT source AS g,
-       |  min(CAST(n_chars AS DOUBLE)) AS mn,
-       |  (max(CAST(n_chars AS DOUBLE)) - min(CAST(n_chars AS DOUBLE)))
-       |    / 10.0 AS w
-       |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
-       |binned AS (SELECT d.doc_id, d.source AS g, $binExpr AS b
-       |           FROM documents d JOIN mm ON mm.g = d.source
-       |           WHERE n_chars IS NOT NULL),
-       |c AS (SELECT g, b,
-       |        sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
-       |        sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
-       |      FROM binned GROUP BY 1, 2),
-       |t AS (SELECT g, CAST(sum(ca) AS DOUBLE) AS na,
-       |        CAST(sum(cb) AS DOUBLE) AS nb,
-       |        CAST(count(*) AS DOUBLE) AS k
-       |      FROM c GROUP BY 1),
-       |sh AS (SELECT c.g, (ca + 0.5) / (na + 0.5 * k) AS p,
-       |         (cb + 0.5) / (nb + 0.5 * k) AS q, na, nb, k
-       |       FROM c JOIN t ON t.g = c.g)
-       |SELECT g AS source, CAST(min(na) AS BIGINT) AS n_a,
-       |CAST(min(nb) AS BIGINT) AS n_b,
-       |CAST(min(k) AS BIGINT) AS n_buckets,
-       |${sig("sum((p - q) * ln(p / q))")} AS psi,
-       |${sig("sum(abs(p - q)) / 2.0")} AS tvd
-       |FROM sh GROUP BY g ORDER BY source""".stripMargin
-  }
-
-  val driftPsiSql: String = {
-    val ncharsBin =
-      """CASE WHEN mm.w > 0 THEN
-        |  CAST(least(floor((CAST(n_chars AS DOUBLE) - mm.mn) / mm.w),
-        |    9) AS BIGINT) ELSE 0 END""".stripMargin
-    s"""WITH mm AS (SELECT min(CAST(n_chars AS DOUBLE)) AS mn,
-       |  (max(CAST(n_chars AS DOUBLE)) - min(CAST(n_chars AS DOUBLE)))
-       |    / 10.0 AS w
-       |  FROM documents WHERE n_chars IS NOT NULL),
-       |binned AS (SELECT doc_id, $ncharsBin AS b
-       |           FROM documents, mm WHERE n_chars IS NOT NULL)
-       |SELECT * FROM (
-       |${driftDimSql("lang", "documents", "lang")}
-       |UNION ALL
-       |${driftDimSql("n_chars", "binned", "b")}
-       |) ORDER BY dim""".stripMargin
-  }
-
-  /** Quotas from scale = min(avail/weight) — every float step is a
-    * single IEEE op on identical operands in both engines, so the
-    * floor() quota needs no rounding contract. */
-  val sampleMixtureSql: String = {
-    val values = MixtureWeights.toSeq.sorted
-      .map { case (k, v) => s"('$k', $v)" }.mkString(", ")
-    s"""WITH w(stratum, wt) AS (VALUES $values),
-       |avail AS (SELECT source AS stratum, count(*) AS n
-       |          FROM documents GROUP BY source),
-       |a AS (SELECT w.stratum, n, wt FROM avail
-       |      JOIN w ON w.stratum = avail.stratum),
-       |sc AS (SELECT min(n / wt) AS scale FROM a),
-       |q AS (SELECT stratum, CAST(floor(scale * wt) AS BIGINT) AS quota
-       |      FROM a, sc),
-       |r AS (SELECT doc_id, source, quota,
-       |        row_number() OVER (PARTITION BY source ORDER BY doc_id)
-       |          AS rn
-       |      FROM documents d JOIN q ON q.stratum = d.source)
-       |SELECT doc_id, source FROM r WHERE rn <= quota
-       |ORDER BY doc_id""".stripMargin
-  }
-
-  /** [[sampleMixtureSql]]'s quota derivation with the hash-threshold
-    * selection rule (minstd bucket, doc_id) — the
-    * sample_stratified_hash spec applied to mixture quotas. */
-  val sampleMixtureHashSql: String = {
-    val values = MixtureWeights.toSeq.sorted
-      .map { case (k, v) => s"('$k', $v)" }.mkString(", ")
-    s"""WITH w(stratum, wt) AS (VALUES $values),
-       |avail AS (SELECT source AS stratum, count(*) AS n
-       |          FROM documents GROUP BY source),
-       |a AS (SELECT w.stratum, n, wt FROM avail
-       |      JOIN w ON w.stratum = avail.stratum),
-       |sc AS (SELECT min(n / wt) AS scale FROM a),
-       |q AS (SELECT stratum, CAST(floor(scale * wt) AS BIGINT) AS quota
-       |      FROM a, sc),
-       |r AS (SELECT doc_id, source, quota,
-       |        row_number() OVER (PARTITION BY source
-       |          ORDER BY ${minstdHashSql("doc_id")} % 1000000, doc_id)
-       |          AS rn
-       |      FROM documents d JOIN q ON q.stratum = d.source)
-       |SELECT doc_id, source FROM r WHERE rn <= quota
-       |ORDER BY doc_id""".stripMargin
-  }
-
-  /** CUBE with Spark's grouping_id bit order (event_type bit 1,
-    * hour bit 0) and integer-micros hour-of-day arithmetic. */
-  val eventsCubeSql: String =
-    s"""WITH e AS (SELECT event_type,
-       |  (epoch_ns(ts) // 1000) % 86400000000 // 3600000000 AS hour,
-       |  value FROM events)
-       |SELECT CAST(grouping(event_type) * 2 + grouping(hour) AS BIGINT)
-       |  AS gid,
-       |event_type, hour, count(*) AS cnt,
-       |${sig("sum(value)")} AS sum_value
-       |FROM e GROUP BY CUBE(event_type, hour)
-       |ORDER BY gid, coalesce(event_type, '~'), coalesce(hour, -1)""".stripMargin
-
-  /** Boilerplate grams re-derived: per-doc DISTINCT 3-grams from
-    * DuckDB's inclusive list slicing (ts[i+1 : i+3] ≙ Spark
-    * slice(ts, i+1, 3)); range(0, len−2) enumerates the same starts
-    * as sequence(0, size−3) and is empty for short docs like the
-    * Spark guard. Tie-break (df DESC, gram ASC) in both engines. */
-  val textBoilerplateSql: String =
-    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
-       |             FROM documents WHERE text IS NOT NULL),
-       |st AS (SELECT doc_id, ts,
-       |       unnest(range(0, len(ts) - 2)) AS i FROM tok),
-       |g AS (SELECT DISTINCT doc_id,
-       |        array_to_string(ts[i + 1 : i + 3], ' ') AS gram
-       |      FROM st),
-       |c AS (SELECT gram, count(*) AS df_docs FROM g GROUP BY gram),
-       |nd AS (SELECT count(*) AS n_docs FROM tok),
-       |r AS (SELECT gram, df_docs,
-       |        row_number() OVER (ORDER BY df_docs DESC, gram) AS rnk
-       |      FROM c)
-       |SELECT CAST(rnk AS BIGINT) AS rnk, gram,
-       |CAST(df_docs AS BIGINT) AS df_docs,
-       |${sig("CAST(df_docs AS DOUBLE) / n_docs")} AS df_share,
-       |CAST(n_docs AS BIGINT) AS n_docs
-       |FROM r, nd WHERE rnk <= 20 ORDER BY rnk""".stripMargin
-
-  val textVocabSql: String =
-    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
-       |            FROM documents),
-       |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
-       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
-       |        count(*) AS n_vocab FROM c),
-       |r AS (SELECT token, cnt,
-       |        row_number() OVER (ORDER BY cnt DESC, token) AS rnk
-       |      FROM c)
-       |SELECT CAST(rnk AS BIGINT) AS rnk, token, cnt,
-       |${sig("cnt / n_total")} AS share, n_vocab
-       |FROM r, tot WHERE rnk <= 20 ORDER BY rnk""".stripMargin
-
-  /** [[graft.ops.TextStats.pmiBigrams]] mirror: bigram occurrences
-    * via list_transform over the split tokens (the shingle pattern
-    * without per-doc dedup — PMI is an occurrence statistic), the
-    * same (cnt desc, a, b) head, PMI on exact counts with identical
-    * parenthesization. */
-  val textPmiSql: String =
-    s"""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents
-       |  WHERE text IS NOT NULL),
-       |uc AS (SELECT tok, count(*) AS c FROM
-       |  (SELECT unnest(w) AS tok FROM d) GROUP BY tok),
-       |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM uc),
-       |bc AS (SELECT split_part(bg, ' ', 1) AS a,
-       |    split_part(bg, ' ', 2) AS b, count(*) AS cab FROM
-       |  (SELECT unnest(list_transform(range(1, len(w)),
-       |     i -> w[i] || ' ' || w[i + 1])) AS bg FROM d)
-       |  GROUP BY 1, 2),
-       |nb AS (SELECT CAST(sum(cab) AS DOUBLE) AS nb FROM bc),
-       |top AS (SELECT a, b, cab,
-       |    row_number() OVER (ORDER BY cab DESC, a, b) AS rnk
-       |  FROM bc WHERE cab >= 5)
-       |SELECT CAST(rnk AS BIGINT) AS rnk, a AS token_a, b AS token_b,
-       |cab AS cnt,
-       |${sig("ln((cab / nb.nb) / ((ua.c / nu.nu) * (ub.c / nu.nu)))")}
-       |  AS pmi
-       |FROM top JOIN uc ua ON ua.tok = top.a
-       |JOIN uc ub ON ub.tok = top.b, nu, nb
-       |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
-
-  /** [[graft.ops.TextStats.zipfFit]] mirror: same deterministic
-    * vocabulary head, same ln transforms, regr_* over ≤ topK rows
-    * (least-squares accumulation-order noise absorbed by sig5). */
-  val textZipfSql: String =
-    s"""WITH c AS (SELECT token, count(*) AS cnt FROM
-       |  (SELECT unnest(string_split(text, ' ')) AS token
-       |   FROM documents) GROUP BY token),
-       |r AS (SELECT cnt,
-       |    row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM c),
-       |l AS (SELECT ln(CAST(rnk AS DOUBLE)) AS lx,
-       |    ln(CAST(cnt AS DOUBLE)) AS ly FROM r WHERE rnk <= 50)
-       |SELECT count(*) AS n_tokens,
-       |${sig("regr_slope(ly, lx)")} AS slope,
-       |${sig("regr_intercept(ly, lx)")} AS intercept,
-       |${sig("regr_r2(ly, lx)")} AS r2
-       |FROM l""".stripMargin
-
-  /** Long-form per-group stats via one UNION ALL branch per column —
-    * mirrors Stats.grouped's cast-to-double + sig5 contract. */
   val numGroupedSql: String = {
     def branch(c: String): String =
       s"""SELECT l_returnflag AS grp, '$c' AS col_name,
@@ -3704,6 +584,7 @@ val eventsRollupSql: String =
 
   /** Exact heavy hitters above the n/(k+1) MG threshold (k = 2); the
     * guarantee booleans are theorems (order-free), so TRUE literals. */
+
   val catHeavyHittersSql: String =
     """WITH c AS (SELECT l_returnflag AS item, count(*) AS cnt
       |           FROM lineitem GROUP BY 1),
@@ -3715,6 +596,7 @@ val eventsRollupSql: String =
     * GROUP BY + threshold — candidates beyond the true heavy set are
     * filtered out by the exact recount, so the sketch pass is
     * result-invisible. */
+
   val catHeavyExactSql: String =
     s"""WITH c AS (SELECT l_returnflag AS item, count(*) AS cnt
        |           FROM lineitem GROUP BY 1),
@@ -3725,186 +607,7 @@ val eventsRollupSql: String =
   /** Duplicated-span report re-derived on string grams: position
     * index → df≥2 flags → gaps-and-islands runs → interval union.
     * range(a,b) is [a,b); list_slice is 1-based inclusive. */
-  val dedupSubstringSql: String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
-       |              FROM documents),
-       |pos AS (SELECT doc_id, i - 1 AS p,
-       |          array_to_string(list_slice(w, i, i + 4), ' ') AS gram
-       |        FROM toks, LATERAL unnest(range(1, len(w) - 3)) AS t(i)
-       |        WHERE len(w) >= 5),
-       |dg AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
-       |dp AS (SELECT doc_id, p FROM pos
-       |       WHERE gram IN (SELECT gram FROM dg)),
-       |runs AS (SELECT doc_id, min(p) AS s, max(p) + 4 AS e
-       |         FROM (SELECT doc_id, p, p - row_number()
-       |                 OVER (PARTITION BY doc_id ORDER BY p) AS isl
-       |               FROM dp)
-       |         GROUP BY doc_id, isl),
-       |m AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id
-       |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND
-       |        1 PRECEDING) AS pme FROM runs),
-       |g AS (SELECT doc_id, s, e,
-       |        sum(CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0
-       |            END) OVER (PARTITION BY doc_id ORDER BY s ROWS
-       |            BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-       |      FROM m),
-       |cov AS (SELECT doc_id, grp, min(s) AS cs, max(e) AS ce
-       |        FROM g GROUP BY doc_id, grp),
-       |pd AS (SELECT doc_id, count(*) AS n_dup_spans,
-       |         CAST(sum(ce - cs + 1) AS BIGINT) AS n_dup_tokens
-       |       FROM cov GROUP BY doc_id),
-       |nt AS (SELECT doc_id,
-       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-       |       FROM documents)
-       |SELECT pd.doc_id, n_dup_spans, n_dup_tokens, n_tokens,
-       |${sig("CAST(n_dup_tokens AS DOUBLE) / n_tokens")} AS dup_frac
-       |FROM pd JOIN nt ON nt.doc_id = pd.doc_id
-       |ORDER BY pd.doc_id""".stripMargin
 
-  /** Binned two-sample KS: shared-bounds 20-bin histogram per slice,
-    * cumulative shares, max gap. */
-  /** [[graft.ops.Drift.ksDriftByGroup]] mirror: per-group bounds,
-    * per-(group, bin) counts, group-partitioned cumulative CDFs. */
-  val driftKsBySourceSql: String =
-    s"""WITH mm AS (SELECT source AS g,
-       |  min(CAST(n_chars AS DOUBLE)) AS mn,
-       |  (max(CAST(n_chars AS DOUBLE)) - min(CAST(n_chars AS DOUBLE)))
-       |    / 20.0 AS w
-       |  FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
-       |bn AS (SELECT d.source AS g, CASE WHEN mm.w > 0 THEN
-       |    CAST(least(floor((CAST(n_chars AS DOUBLE) - mm.mn) / mm.w),
-       |      19) AS BIGINT) ELSE 0 END AS b,
-       |    doc_id % 2 AS s
-       |  FROM documents d JOIN mm ON mm.g = d.source
-       |  WHERE n_chars IS NOT NULL),
-       |c AS (SELECT g, b,
-       |    sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
-       |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
-       |  FROM bn GROUP BY g, b),
-       |cum AS (SELECT g, b,
-       |    sum(ca) OVER (PARTITION BY g) AS na,
-       |    sum(cb) OVER (PARTITION BY g) AS nb,
-       |    sum(ca) OVER (PARTITION BY g ORDER BY b ROWS BETWEEN
-       |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
-       |    sum(cb) OVER (PARTITION BY g ORDER BY b ROWS BETWEEN
-       |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
-       |  FROM c)
-       |SELECT g AS source, CAST(min(na) AS BIGINT) AS n_a,
-       |  CAST(min(nb) AS BIGINT) AS n_b,
-       |${sig("max(abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb))")}
-       |  AS ks
-       |FROM cum GROUP BY g ORDER BY source""".stripMargin
-
-  val driftKsSql: String =
-    s"""WITH mm AS (SELECT min(CAST(n_chars AS DOUBLE)) AS mn,
-       |  (max(CAST(n_chars AS DOUBLE)) - min(CAST(n_chars AS DOUBLE)))
-       |    / 20.0 AS w
-       |  FROM documents WHERE n_chars IS NOT NULL),
-       |bn AS (SELECT CASE WHEN mm.w > 0 THEN
-       |    CAST(least(floor((CAST(n_chars AS DOUBLE) - mm.mn) / mm.w),
-       |      19) AS BIGINT) ELSE 0 END AS b,
-       |    doc_id % 2 AS s
-       |  FROM documents, mm WHERE n_chars IS NOT NULL),
-       |c AS (SELECT b,
-       |    sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
-       |    sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
-       |  FROM bn GROUP BY b),
-       |cum AS (SELECT b, sum(ca) OVER () AS na, sum(cb) OVER () AS nb,
-       |    sum(ca) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
-       |      AND CURRENT ROW) AS cuma,
-       |    sum(cb) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
-       |      AND CURRENT ROW) AS cumb
-       |  FROM c)
-       |SELECT 'n_chars' AS dim, CAST(min(na) AS BIGINT) AS n_a,
-       |  CAST(min(nb) AS BIGINT) AS n_b,
-       |${sig("max(abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb))")}
-       |  AS ks
-       |FROM cum""".stripMargin
-
-  /** Concat-and-split packing re-derived: same chunking CTE shape as
-    * [[textChunkSql]] at stride = size, per-shard running sums. */
-  val textPackSql: String =
-    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
-      |             FROM documents),
-      |st AS (SELECT doc_id, ts,
-      |       unnest(range(0, len(ts), 64)) AS start FROM tok),
-      |ch AS (SELECT doc_id % 4 AS shard, doc_id,
-      |       CAST(start // 64 AS BIGINT) AS chunk_idx,
-      |       CAST(least(len(ts) - start, 64) AS BIGINT) AS n_tokens
-      |       FROM st),
-      |cb AS (SELECT shard, doc_id, chunk_idx, n_tokens,
-      |       coalesce(sum(n_tokens) OVER (PARTITION BY shard
-      |         ORDER BY doc_id, chunk_idx ROWS BETWEEN UNBOUNDED
-      |         PRECEDING AND 1 PRECEDING), 0) AS cum_before
-      |       FROM ch)
-      |SELECT shard, doc_id, chunk_idx, n_tokens,
-      |CAST(cum_before // 256 AS BIGINT) AS pack_id,
-      |CAST(cum_before % 256 AS BIGINT) AS pack_pos
-      |FROM cb ORDER BY shard, doc_id, chunk_idx""".stripMargin
-
-  /** One seed-assignment round (embedKmeansSql's a0 stage), then
-    * within-cluster pairs with sig5-rounded cosine ≥ 0.9; the cid is
-    * attached to element rows BEFORE the pair join so the join keys
-    * are (cid, i) and the intermediate never crosses clusters. */
-  val dedupSemanticSql: String = {
-    val score = sig("cn2 - 2 * dp")
-    val cos = sig("dp / (na.nrm * nb.nrm)")
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i) WHERE vec_id < 2000),
-       |c0 AS (SELECT vec_id AS cid, i, v AS w FROM el
-       |       WHERE vec_id BETWEEN 120 AND 135),
-       |cn0 AS (SELECT cid, sum(w * w) AS cn2 FROM c0 GROUP BY cid),
-       |d0 AS (SELECT e.vec_id AS vid, c.cid, sum(e.v * c.w) AS dp
-       |       FROM el e JOIN c0 c ON c.i = e.i GROUP BY 1, 2),
-       |s0 AS (SELECT vid, d0.cid, $score AS score
-       |       FROM d0 JOIN cn0 ON cn0.cid = d0.cid),
-       |a0 AS (SELECT vid, cid FROM (
-       |  SELECT vid, cid, row_number() OVER (PARTITION BY vid
-       |    ORDER BY score ASC, cid ASC) AS rn FROM s0) WHERE rn = 1),
-       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el
-       |        GROUP BY vec_id),
-       |sz AS (SELECT cid, count(*) AS m, min(vid) AS rep FROM a0
-       |       GROUP BY cid),
-       |elc AS (SELECT el.vec_id, a0.cid, sz.m, sz.rep, el.i, el.v
-       |        FROM el JOIN a0 ON a0.vid = el.vec_id
-       |        JOIN sz ON sz.cid = a0.cid),
-       |pr AS (SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
-       |         sum(a.v * b.v) AS dp
-       |       FROM elc a JOIN elc b ON a.cid = b.cid AND a.i = b.i
-       |         AND ((a.m <= 150 AND a.vec_id < b.vec_id)
-       |           OR (a.m > 150 AND a.vec_id = a.rep
-       |               AND b.vec_id <> b.rep))
-       |       GROUP BY 1, 2, 3)
-       |SELECT cid AS cluster_id, id_a, id_b, $cos AS cosine
-       |FROM pr JOIN nrm na ON na.vec_id = id_a
-       |JOIN nrm nb ON nb.vec_id = id_b
-       |WHERE $cos >= 0.4
-       |ORDER BY cluster_id, id_a, id_b""".stripMargin
-  }
-
-  /** The tone generator re-derived: sample k of doc d is
-    * ((d mod 997) + 7k) mod 4096 − 2048 over n = frames·channels
-    * samples; v(k−1) is closed-form too, so zero-crossings need no
-    * window. v² sums are integer-exact in doubles (< 2⁵³), so the
-    * RMS is bit-identical regardless of summation order. */
-  val multimodalAudioSql: String =
-    s"""WITH par AS (SELECT doc_id,
-       |    (16 + doc_id % 257) * (1 + doc_id % 2) AS n,
-       |    doc_id % 997 AS seed FROM documents),
-       |s AS (SELECT doc_id, n, k,
-       |    (seed + 7 * k) % 4096 - 2048 AS v,
-       |    CASE WHEN k > 0 THEN (seed + 7 * (k - 1)) % 4096 - 2048
-       |      END AS pv
-       |  FROM par, LATERAL unnest(range(0, n)) t(k))
-       |SELECT doc_id, CAST(min(n) AS BIGINT) AS n_samples,
-       |CAST(max(abs(v)) AS BIGINT) AS peak,
-       |${sig("sqrt(sum(CAST(v AS DOUBLE) * v) / min(n))")} AS rms,
-       |CAST(sum(CASE WHEN k > 0 AND ((v < 0) <> (pv < 0)) THEN 1
-       |  ELSE 0 END) AS BIGINT) AS n_zero_cross
-       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
-
-  /** Manifest re-derived; token counts via string_split like the
-    * other token oracles. */
   val corpusManifestSql: String =
     s"""WITH c AS (SELECT source, count(*) AS n_docs,
        |  sum(len(string_split(text, ' '))) AS n_tokens,
@@ -3919,6 +622,7 @@ val eventsRollupSql: String =
   /** Inclusion coefficients re-derived: distinct child keys
     * left-semi'd against distinct parent keys, per candidate pair —
     * mirrors [[graft.ops.Inclusion.inclusionStats]]. */
+
   val tableInclusionSql: String = {
     val pairs = Seq(
       ("customer.c_nationkey->nation.n_nationkey",
@@ -3948,18 +652,7 @@ val eventsRollupSql: String =
   /** The [[graft.ops.Sampling.minstdHash]] twin in portable SQL:
     * two Lehmer steps in pure BIGINT arithmetic (products bounded
     * ≪ 2⁶³), pmod spelled out for negative inputs. */
-  private def minstdHashSql(x: String): String = {
-    val m = "2147483647"; val a = "48271"
-    val h0 = s"((((CAST($x AS BIGINT) + 12345) % $m) + $m) % $m)"
-    val h1 = s"(($h0 * $a) % $m)" // h0 ≥ 0, so % IS pmod from here
-    s"(($h1 * $a) % $m)"
-  }
 
-  /** Bottom-k containment re-derived VALUE-LEVEL: because the key
-    * hash is pure integer arithmetic, DuckDB rebuilds the identical
-    * SA/SB/merged sketches (ORDER BY h LIMIT k over DISTINCT hashes
-    * = the BottomK aggregate's set property) and lands on the same
-    * estimate — the error contract is checked, not declared. */
   val tableInclusionSketchSql: String = {
     val k = 1024
     val pairs = Seq(
@@ -4013,6 +706,7 @@ val eventsRollupSql: String =
 
   /** FD/key claims re-derived; row(...) constructors mirror Spark's
     * struct() distinct semantics (NULL fields stay row-valued). */
+
   val colFdKeysSql: String =
     """SELECT lhs, rhs, n_lhs, n_lhs_rhs,
       |n_lhs_rhs - n_lhs AS n_violations, n_lhs_rhs = n_lhs AS holds
@@ -4044,6 +738,7 @@ val eventsRollupSql: String =
   /** Mergeable-distinct gate: exact count + both error-envelope
     * theorems as TRUE literals (5% at default lgK=12 is ~3σ of the
     * ~1.6% RSE — far beyond observed deviation). */
+
   val colDistinctMergeableSql: String =
     """SELECT count(DISTINCT doc_id) AS exact,
       |TRUE AS merged_err_bounded, TRUE AS global_err_bounded
@@ -4051,492 +746,6 @@ val eventsRollupSql: String =
 
   /** Quantile drift re-derived: DuckDB quantile_cont per slice via
     * conditional inputs, indexed unnest over the quantile list. */
-  val driftQuantilesSql: String =
-    s"""WITH b AS (SELECT CAST(n_chars AS DOUBLE) AS v, doc_id % 2 AS s
-       |           FROM documents WHERE n_chars IS NOT NULL),
-       |q AS (SELECT
-       |   quantile_cont(CASE WHEN s = 0 THEN v END,
-       |     [0.1, 0.25, 0.5, 0.75, 0.9]) AS qa,
-       |   quantile_cont(CASE WHEN s = 1 THEN v END,
-       |     [0.1, 0.25, 0.5, 0.75, 0.9]) AS qb,
-       |   count(v) AS n FROM b)
-       |SELECT 'n_chars' AS dim,
-       |CAST(([0.1, 0.25, 0.5, 0.75, 0.9])[i] AS DOUBLE) AS p,
-       |${sig("qa[i]")} AS q_a, ${sig("qb[i]")} AS q_b,
-       |${sig("qb[i] - qa[i]")} AS gap
-       |FROM q, range(1, 6) t(i) WHERE n > 0 ORDER BY p""".stripMargin
-
-  /** Grouped mirror of [[driftQuantilesSql]]: quantile_cont over the
-    * slice CASE projections per source. */
-  val driftQuantilesBySourceSql: String =
-    s"""WITH b AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS v,
-       |           doc_id % 2 AS s
-       |           FROM documents WHERE n_chars IS NOT NULL),
-       |q AS (SELECT g,
-       |   quantile_cont(CASE WHEN s = 0 THEN v END,
-       |     [0.1, 0.25, 0.5, 0.75, 0.9]) AS qa,
-       |   quantile_cont(CASE WHEN s = 1 THEN v END,
-       |     [0.1, 0.25, 0.5, 0.75, 0.9]) AS qb,
-       |   count(v) AS n FROM b GROUP BY g)
-       |SELECT g AS source,
-       |CAST(([0.1, 0.25, 0.5, 0.75, 0.9])[i] AS DOUBLE) AS p,
-       |${sig("qa[i]")} AS q_a, ${sig("qb[i]")} AS q_b,
-       |${sig("qb[i] - qa[i]")} AS gap
-       |FROM q, range(1, 6) t(i) WHERE n > 0 ORDER BY source, p""".stripMargin
-
-  /** BPE pair counts re-derived with character-based substring on
-    * both engines. */
-  val textBpePairsSql: String =
-    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
-       |             FROM documents),
-       |pr AS (SELECT substring(tok, i, 2) AS pair
-       |       FROM tok, LATERAL unnest(range(1, len(tok))) t(i)
-       |       WHERE len(tok) >= 2),
-       |c AS (SELECT pair, count(*) AS cnt FROM pr GROUP BY 1)
-       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair)
-       |  AS BIGINT) AS rnk, pair, cnt
-       |FROM c ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
-
-  /** Embedding drift re-derived: per-dim conditional sums, slice
-    * means, centroid L2/cosine over the 64-row mean table. */
-  val driftEmbeddingSql: String =
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v,
-       |        vec_id % 2 AS s
-       |      FROM embeddings, range(1, 65) t(i)
-       |      WHERE vec_id < 2000 AND len(embedding) = 64),
-       |pd AS (SELECT i,
-       |        sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
-       |        sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb,
-       |        sum(CASE WHEN s = 0 THEN v ELSE 0 END) AS sa,
-       |        sum(CASE WHEN s = 1 THEN v ELSE 0 END) AS sb
-       |      FROM el GROUP BY 1),
-       |m AS (SELECT ca, cb,
-       |        CASE WHEN ca > 0 THEN sa / ca END AS ma,
-       |        CASE WHEN cb > 0 THEN sb / cb END AS mb FROM pd)
-       |SELECT 'embedding' AS dim, CAST(min(ca) AS BIGINT) AS n_a,
-       |CAST(min(cb) AS BIGINT) AS n_b,
-       |${sig("sqrt(sum((ma - mb) * (ma - mb)))")} AS l2,
-       |${sig("CASE WHEN sqrt(sum(ma * ma)) * sqrt(sum(mb * mb)) > 0 " +
-          "THEN sum(ma * mb) / (sqrt(sum(ma * ma)) * " +
-          "sqrt(sum(mb * mb))) END")} AS centroid_cos,
-       |${sig("max(abs(ma - mb))")} AS max_dim_gap
-       |FROM m HAVING min(ca) IS NOT NULL""".stripMargin
-
-  /** Guard recall gate: the exact ≥1-shared-gram train set with TRUE
-    * literals — the Bloom flag has no false negatives, so a false
-    * flag anywhere fails the hash compare. */
-  val textGuardRecallSql: String =
-    s"""WITH ${shingleCteSql("tr",
-        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')")},
-       |${shingleCteSql("ev",
-        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")}
-       |SELECT DISTINCT tr.id AS doc_id, TRUE AS flagged
-       |FROM tr JOIN ev ON ev.shingle = tr.shingle
-       |ORDER BY doc_id""".stripMargin
-
-  /** The trained-PQ codebook + code-assignment CTE chain shared by
-    * the three PQ oracles (each supplies the same `el` CTE first):
-    * per-subspace seeds = corpus rows [120, 152) sliced by
-    * s = (i−1)//8, ONE Lloyd recompute round — training argmin `ta`
-    * ranks the sig5-rounded |c|² − 2·x·c with cid tie-break (the
-    * Spark trainer's exact per-stage decision, |x|² dropped as a
-    * per-(vid, s) constant), `c1` = per-(cid, subspace, dim) average
-    * of the assigned slices — then the final encode argmin `a` on
-    * the full rounded squared distance, mirroring
-    * [[graft.ops.VectorQuant.pqCodebook]] with iters = 2 feeding the
-    * encode. Sub-clusters emptied by the round drop out of `c1` in
-    * both engines. `withScore` threads the winning rounded distance
-    * through for the mse report. */
-  private def pqTrainedCtes(withScore: Boolean,
-      src: String = "el"): String = {
-    val scoreSel = if (withScore) ", sd2" else ""
-    val scoreCol = if (withScore) s", ${sig("d2")} AS sd2" else ""
-    s"""xn AS (SELECT vec_id, s, sum(v * v) AS xn2 FROM $src GROUP BY 1, 2),
-       |c0 AS (SELECT vec_id AS cid, i, v AS w, s FROM $src
-       |       WHERE vec_id BETWEEN 120 AND 151),
-       |cn0 AS (SELECT cid, s, sum(w * w) AS cn2 FROM c0 GROUP BY 1, 2),
-       |tdp AS (SELECT e.vec_id AS vid, c.cid, e.s, sum(e.v * c.w) AS dp
-       |       FROM $src e JOIN c0 c ON c.i = e.i
-       |       GROUP BY 1, 2, 3),
-       |ta AS (SELECT vid, s, cid FROM (
-       |   SELECT t.vid, t.s, t.cid,
-       |     row_number() OVER (PARTITION BY t.vid, t.s
-       |       ORDER BY ${sig("cn2 - 2 * dp")} ASC, t.cid ASC) AS rn
-       |   FROM tdp t JOIN cn0 ON cn0.cid = t.cid AND cn0.s = t.s)
-       |   WHERE rn = 1),
-       |c1 AS (SELECT ta.cid, e.i, avg(e.v) AS w, e.s FROM $src e
-       |       JOIN ta ON ta.vid = e.vec_id AND ta.s = e.s
-       |       GROUP BY 1, 2, 4),
-       |cn AS (SELECT cid, s, sum(w * w) AS cn2 FROM c1 GROUP BY 1, 2),
-       |dp AS (SELECT e.vec_id AS vid, c.cid, e.s, sum(e.v * c.w) AS dp
-       |       FROM $src e JOIN c1 c ON c.i = e.i
-       |       GROUP BY 1, 2, 3),
-       |d AS (SELECT vid, dp.cid, dp.s, cn2 - 2 * dp + xn2 AS d2
-       |      FROM dp JOIN cn ON cn.cid = dp.cid AND cn.s = dp.s
-       |      JOIN xn ON xn.vec_id = dp.vid AND xn.s = dp.s),
-       |a AS (SELECT vid, s, cid$scoreSel FROM (
-       |   SELECT vid, s, cid$scoreCol,
-       |     row_number() OVER (PARTITION BY vid, s
-       |       ORDER BY ${sig("d2")} ASC, cid ASC) AS rn
-       |   FROM d) WHERE rn = 1)""".stripMargin
-  }
-
-  /** PQ re-derived: subspace id s = (i−1)//8 folds each dimension
-    * into its slice, the [[pqTrainedCtes]] Lloyd-trained codebook and
-    * rounded argmin assignment, one scalar row per
-    * (vec_id, subspace, code) with the per-vector mse repeated —
-    * mirrors [[graft.ops.VectorQuant.pqCodeRows]] at iters = 2. The
-    * `len(embedding) = 64` guard matches the Spark side's
-    * `KMeansOp.vecBase` length filter. */
-  val embedPqSql: String =
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v,
-       |        (i - 1) // 8 AS s
-       |       FROM embeddings, range(1, 65) t(i)
-       |       WHERE vec_id < 2000 AND len(embedding) = 64),
-       |${pqTrainedCtes(withScore = true)},
-       |m AS (SELECT vid, ${sig("sum(sd2) / 64.0")} AS mse
-       |      FROM a GROUP BY vid)
-       |SELECT a.vid AS vec_id, a.s AS subspace, a.cid - 120 AS code,
-       |m.mse
-       |FROM a JOIN m ON m.vid = a.vid
-       |ORDER BY vec_id, subspace""".stripMargin
-
-  /** ADC search re-derived: the SAME trained code-assignment CTEs as
-    * [[embedPqSql]] ([[pqTrainedCtes]]: Lloyd round, rounded
-    * per-subspace argmin, cid tie-break), then the LUT as exact
-    * per-(query, centroid, subspace) squared distances AGAINST THE
-    * TRAINED codebook `c1` and the ADC score as their sum over the
-    * assigned codes. Only the SUMMED distance is rounded (matching
-    * [[graft.ops.VectorQuant.pqAdcTopK]]); ranking compares rounded
-    * values with vid tie-break. */
-  val embedPqSearchSql: String =
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v,
-       |        (i - 1) // 8 AS s
-       |       FROM embeddings, range(1, 65) t(i)
-       |       WHERE vec_id < 2000 AND len(embedding) = 64),
-       |${pqTrainedCtes(withScore = false)},
-       |q AS (SELECT vec_id AS qid, i, v, s FROM el WHERE vec_id < 5),
-       |ld AS (SELECT q.qid, c.cid, q.s,
-       |       sum((q.v - c.w) * (q.v - c.w)) AS d2
-       |       FROM q JOIN c1 c ON c.i = q.i GROUP BY 1, 2, 3),
-       |sc AS (SELECT ld.qid, a.vid, sum(ld.d2) AS dist
-       |       FROM a JOIN ld ON ld.cid = a.cid AND ld.s = a.s
-       |       WHERE a.vid <> ld.qid GROUP BY 1, 2),
-       |r AS (SELECT qid, vid, ${sig("dist")} AS adc_d2,
-       |      row_number() OVER (PARTITION BY qid
-       |        ORDER BY ${sig("dist")} ASC, vid ASC) AS rnk FROM sc)
-       |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rnk,
-       |vid AS neighbor_id, adc_d2
-       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
-
-  /** IVF-PQ re-derived: [[embedAnnIvfSql]]'s cell/probe CTEs
-    * (i-prefixed to avoid collisions) over the SAME restricted
-    * corpus as the PQ family, [[pqTrainedCtes]]'s trained
-    * code-assignment CTEs, then candidates = probed cells and the
-    * ADC sum (LUT against the trained codebook `c1`) over assigned
-    * codes. */
-  /** k-parameterized so the rerank oracle can reuse the whole ADC
-    * replay as its shortlist subquery. */
-  def embedIvfPqSqlK(k: Int): String =
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v,
-       |        (i - 1) // 8 AS s
-       |       FROM embeddings, range(1, 65) t(i)
-       |       WHERE vec_id < 2000 AND len(embedding) = 64),
-       |ic0 AS (SELECT vec_id AS cid, i, v AS w FROM el
-       |       WHERE vec_id BETWEEN 100 AND 115),
-       |icn0 AS (SELECT cid, sum(w * w) AS cn2 FROM ic0 GROUP BY 1),
-       |icd0 AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
-       |       FROM el a JOIN ic0 c ON c.i = a.i GROUP BY 1, 2),
-       |ita AS (SELECT vid, cid FROM (
-       |   SELECT vid, icd0.cid, row_number() OVER (PARTITION BY vid
-       |     ORDER BY ${sig("cn2 - 2 * dp")} ASC, icd0.cid ASC) AS rn
-       |   FROM icd0 JOIN icn0 ON icn0.cid = icd0.cid) WHERE rn = 1),
-       |ic1 AS (SELECT ita.cid, el.i, avg(el.v) AS w FROM el
-       |       JOIN ita ON ita.vid = el.vec_id GROUP BY 1, 2),
-       |icn AS (SELECT cid, sum(w * w) AS cn2 FROM ic1 GROUP BY 1),
-       |icd AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
-       |       FROM el a JOIN ic1 c ON c.i = a.i GROUP BY 1, 2),
-       |isc AS (SELECT vid, icd.cid, ${sig("cn2 - 2 * dp")} AS score
-       |       FROM icd JOIN icn ON icn.cid = icd.cid),
-       |irk AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid
-       |       ORDER BY score ASC, cid ASC) AS rn FROM isc),
-       |iassign AS (SELECT vid, cid AS cell FROM irk WHERE rn = 1),
-       |iprobes AS (SELECT vid AS qid, cid AS cell FROM irk
-       |           WHERE vid < 5 AND rn <= 4),
-       |cand AS (SELECT p.qid, a.vid FROM iprobes p
-       |         JOIN iassign a ON a.cell = p.cell WHERE a.vid <> p.qid),
-       |${pqTrainedCtes(withScore = false)},
-       |q AS (SELECT vec_id AS qid, i, v, s FROM el WHERE vec_id < 5),
-       |ld AS (SELECT q.qid, c.cid, q.s,
-       |       sum((q.v - c.w) * (q.v - c.w)) AS d2
-       |       FROM q JOIN c1 c ON c.i = q.i GROUP BY 1, 2, 3),
-       |sc AS (SELECT cd.qid, cd.vid, sum(ld.d2) AS dist
-       |       FROM cand cd JOIN a ON a.vid = cd.vid
-       |       JOIN ld ON ld.qid = cd.qid AND ld.cid = a.cid
-       |        AND ld.s = a.s
-       |       GROUP BY 1, 2),
-       |r AS (SELECT qid, vid, ${sig("dist")} AS adc_d2,
-       |      row_number() OVER (PARTITION BY qid
-       |        ORDER BY ${sig("dist")} ASC, vid ASC) AS rnk FROM sc)
-       |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rnk,
-       |vid AS neighbor_id, adc_d2
-       |FROM r WHERE rnk <= $k ORDER BY query_id, rnk""".stripMargin
-
-  val embedIvfPqSql: String = embedIvfPqSqlK(10)
-
-  /** Rerank mirror: the WHOLE ADC replay at k = 25 as the shortlist
-    * subquery, then exact cosine + re-rank — stage 1 is shared by
-    * construction on both engines. */
-  /** [[embedIvfPqSqlK]](10) ∩ exact subset top-10 per query — the
-    * PQ-recall view; brute side mirrors [[embedCosineSql]] restricted
-    * to the index's vec_id < 2000 population. */
-  lazy val embedPqRecallSql: String = {
-    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
-    s"""WITH ann AS (SELECT query_id, neighbor_id
-       |  FROM (${embedIvfPqSqlK(10)})),
-       |bel AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i)
-       |       WHERE vec_id < 2000 AND len(embedding) = 64),
-       |bnrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM bel
-       |         GROUP BY 1),
-       |bdot AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
-       |          sum(a.v * b.v) AS dp
-       |        FROM bel a JOIN bel b
-       |          ON a.i = b.i AND b.vec_id <> a.vec_id
-       |        WHERE a.vec_id < 5 GROUP BY 1, 2),
-       |bcos AS (SELECT qid, vid, $cosExpr AS cosine
-       |        FROM bdot JOIN bnrm na ON na.vec_id = bdot.qid
-       |        JOIN bnrm nb ON nb.vec_id = bdot.vid),
-       |bf AS (SELECT query_id, neighbor_id FROM (
-       |  SELECT qid AS query_id, vid AS neighbor_id,
-       |    row_number() OVER (PARTITION BY qid
-       |      ORDER BY cosine DESC, vid ASC) AS rn FROM bcos)
-       |  WHERE rn <= 10)
-       |SELECT bf.query_id,
-       |  CAST(coalesce(sum(CASE WHEN ann.neighbor_id IS NOT NULL
-       |    THEN 1 END), 0) AS BIGINT) AS n_common,
-       |  ${sig("coalesce(sum(CASE WHEN ann.neighbor_id IS NOT NULL THEN 1 END), 0) / 10.0")}
-       |    AS recall10
-       |FROM bf LEFT JOIN ann
-       |  ON ann.query_id = bf.query_id
-       |  AND ann.neighbor_id = bf.neighbor_id
-       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
-  }
-
-  val embedIvfPqRerankSql: String = {
-    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
-    s"""WITH cand AS (SELECT query_id AS qid, neighbor_id AS vid
-       |  FROM (${embedIvfPqSqlK(25)})),
-       |xel AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i)
-       |       WHERE vec_id < 2000 AND len(embedding) = 64),
-       |xnrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM xel
-       |         GROUP BY 1),
-       |xdot AS (SELECT c.qid, c.vid, sum(a.v * b.v) AS dp
-       |        FROM cand c JOIN xel a ON a.vec_id = c.qid
-       |        JOIN xel b ON b.vec_id = c.vid AND b.i = a.i
-       |        GROUP BY 1, 2),
-       |xcos AS (SELECT qid, vid, $cosExpr AS cosine
-       |        FROM xdot JOIN xnrm na ON na.vec_id = xdot.qid
-       |        JOIN xnrm nb ON nb.vec_id = xdot.vid)
-       |SELECT query_id, rnk, neighbor_id, cosine FROM (
-       |  SELECT qid AS query_id,
-       |    CAST(row_number() OVER (PARTITION BY qid
-       |      ORDER BY cosine DESC, vid ASC) AS BIGINT) AS rnk,
-       |    vid AS neighbor_id, cosine FROM xcos)
-       |WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
-  }
-
-  /** RESIDUAL IVF-PQ re-derived: the TRAINED coarse quantizer (seed
-    * rows [100, 116) + one Lloyd round — the [[embedAnnIvfSql]]
-    * replay, r-prefixed), residualization against the CANONICAL
-    * sig5-ROUNDED trained components (`rcw` — a Lloyd average's last
-    * ulp differs between engines, so both subtract the identical
-    * rounded double and residuals stay exact differences; cell
-    * assignment still ranks the unrounded components through
-    * sig5-rounded scores), the residual CTE `rel` (v − rounded
-    * assigned-cell centroid, column-compatible with `el` so
-    * [[pqTrainedCtes]] trains the PQ codebook ON RESIDUALS
-    * unchanged), per-(query, probed-cell) LUTs against the trained
-    * residual codebook `c1`, and the ADC sum over each candidate
-    * through the LUT of ITS cell — mirroring
-    * [[graft.ops.VectorQuant.ivfPqResidualTopK]] at iters = 2,
-    * coarseIters = 2. */
-  val embedIvfPqResidualSql: String =
-    s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v,
-       |        (i - 1) // 8 AS s
-       |       FROM embeddings, range(1, 65) t(i)
-       |       WHERE vec_id < 2000 AND len(embedding) = 64),
-       |rc0 AS (SELECT vec_id AS cid, i, v AS w FROM el
-       |       WHERE vec_id BETWEEN 100 AND 115),
-       |rcn0 AS (SELECT cid, sum(w * w) AS cn2 FROM rc0 GROUP BY 1),
-       |rcd0 AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
-       |       FROM el a JOIN rc0 c ON c.i = a.i GROUP BY 1, 2),
-       |rta AS (SELECT vid, cid FROM (
-       |   SELECT vid, rcd0.cid, row_number() OVER (PARTITION BY vid
-       |     ORDER BY ${sig("cn2 - 2 * dp")} ASC, rcd0.cid ASC) AS rn
-       |   FROM rcd0 JOIN rcn0 ON rcn0.cid = rcd0.cid) WHERE rn = 1),
-       |rc1 AS (SELECT rta.cid, el.i, avg(el.v) AS w FROM el
-       |       JOIN rta ON rta.vid = el.vec_id GROUP BY 1, 2),
-       |rcn AS (SELECT cid, sum(w * w) AS cn2 FROM rc1 GROUP BY 1),
-       |rcd AS (SELECT a.vec_id AS vid, c.cid, sum(a.v * c.w) AS dp
-       |       FROM el a JOIN rc1 c ON c.i = a.i GROUP BY 1, 2),
-       |rrk AS (SELECT vid, rcd.cid,
-       |       row_number() OVER (PARTITION BY vid
-       |         ORDER BY ${sig("cn2 - 2 * dp")} ASC, rcd.cid ASC) AS rn
-       |       FROM rcd JOIN rcn ON rcn.cid = rcd.cid),
-       |rassign AS (SELECT vid, cid AS cell FROM rrk WHERE rn = 1),
-       |rprobes AS (SELECT vid AS qid, cid AS cell FROM rrk
-       |           WHERE vid < 5 AND rn <= 4),
-       |rcw AS (SELECT cid, i, ${sig("w")} AS w FROM rc1),
-       |rel AS (SELECT e.vec_id, e.i, e.v - c.w AS v, e.s FROM el e
-       |       JOIN rassign ra ON ra.vid = e.vec_id
-       |       JOIN rcw c ON c.cid = ra.cell AND c.i = e.i),
-       |${pqTrainedCtes(withScore = false, src = "rel")},
-       |qr AS (SELECT p.qid, p.cell, e.i, e.v - c.w AS v, e.s
-       |       FROM rprobes p
-       |       JOIN el e ON e.vec_id = p.qid
-       |       JOIN rcw c ON c.cid = p.cell AND c.i = e.i),
-       |ld AS (SELECT qr.qid, qr.cell, c.cid, qr.s,
-       |       sum((qr.v - c.w) * (qr.v - c.w)) AS d2
-       |       FROM qr JOIN c1 c ON c.i = qr.i GROUP BY 1, 2, 3, 4),
-       |cand AS (SELECT p.qid, p.cell, a2.vid FROM rprobes p
-       |         JOIN rassign a2 ON a2.cell = p.cell
-       |         WHERE a2.vid <> p.qid),
-       |sc AS (SELECT cd.qid, cd.vid, sum(ld.d2) AS dist
-       |       FROM cand cd JOIN a ON a.vid = cd.vid
-       |       JOIN ld ON ld.qid = cd.qid AND ld.cell = cd.cell
-       |        AND ld.cid = a.cid AND ld.s = a.s
-       |       GROUP BY 1, 2),
-       |r AS (SELECT qid, vid, ${sig("dist")} AS adc_d2,
-       |      row_number() OVER (PARTITION BY qid
-       |        ORDER BY ${sig("dist")} ASC, vid ASC) AS rnk FROM sc)
-       |SELECT qid AS query_id, CAST(rnk AS BIGINT) AS rnk,
-       |vid AS neighbor_id, adc_d2
-       |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
-
-  /** Temperature quotas re-derived; floor runs on the sig5-rounded
-    * share in BOTH engines so pow/sum ulp noise never flips the
-    * discrete quota. */
-  val sampleTemperatureSql: String =
-    s"""WITH c AS (SELECT lang AS stratum, count(*) AS n_docs
-       |           FROM documents GROUP BY 1),
-       |w AS (SELECT stratum, n_docs,
-       |        pow(CAST(n_docs AS DOUBLE), 0.5) AS wgt FROM c),
-       |t AS (SELECT sum(wgt) AS tw FROM w)
-       |SELECT stratum, n_docs, ${sig("wgt / tw")} AS share,
-       |CAST(floor(${sig("wgt / tw")} * 1000.0) AS BIGINT) AS quota
-       |FROM w, t ORDER BY stratum""".stripMargin
-
-  /** Novelty re-derived on string grams (no hot cap on either side —
-    * unlike the contamination CTEs — because common grams must count
-    * as SEEN, not novel). */
-  val docNoveltySql: String =
-    s"""WITH tg AS (
-       |  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-       |    AS shingle
-       |  FROM (SELECT string_split(text, ' ') AS w FROM documents
-       |        WHERE source <> 'src0') s,
-       |    LATERAL unnest(range(1, len(w) - 1)) t(i)),
-       |ev AS (
-       |  SELECT id, unnest(grams) AS shingle FROM (
-       |    SELECT doc_id AS id,
-       |      list_distinct(list_transform(range(1, len(w) - 1),
-       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
-       |    FROM (SELECT doc_id, string_split(text, ' ') AS w
-       |          FROM documents WHERE source = 'src0')))
-       |SELECT ev.id AS doc_id, count(*) AS n_grams,
-       |CAST(sum(CASE WHEN tg.shingle IS NOT NULL THEN 1 ELSE 0 END)
-       |  AS BIGINT) AS n_seen,
-       |${sig("1.0 - CAST(sum(CASE WHEN tg.shingle IS NOT NULL " +
-          "THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS novelty
-       |FROM ev LEFT JOIN tg ON tg.shingle = ev.shingle
-       |GROUP BY 1 ORDER BY 1""".stripMargin
-
-  /** DSIR importance selection re-derived: per-slice smoothed unigram
-    * probs over the shared vocabulary, per-doc Σ ln ratio (sig5 —
-    * summation-order float noise is absorbed before the rank
-    * compares), row_number-then-limit ≡ the Spark rank-after-limit. */
-  val dsirSelectSql: String =
-    s"""WITH tok AS (SELECT doc_id, (source = 'src0') AS tgt,
-       |        unnest(string_split(text, ' ')) AS token FROM documents),
-       |c AS (SELECT token,
-       |        sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ca,
-       |        sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cb
-       |      FROM tok GROUP BY 1),
-       |t AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
-       |        CAST(sum(cb) AS DOUBLE) AS nb,
-       |        CAST(count(*) AS DOUBLE) AS k FROM c),
-       |lr AS (SELECT token, ln(((ca + 0.5) / (na + 0.5 * k)) /
-       |        ((cb + 0.5) / (nb + 0.5 * k))) AS lr FROM c, t),
-       |w AS (SELECT tok.doc_id, count(*) AS n_tokens,
-       |        ${sig("sum(lr)")} AS w
-       |      FROM tok JOIN lr USING (token) WHERE NOT tgt GROUP BY 1)
-       |SELECT CAST(row_number() OVER (ORDER BY w DESC, doc_id)
-       |         AS BIGINT) AS rnk,
-       |  doc_id, n_tokens, w
-       |FROM w ORDER BY w DESC, doc_id LIMIT 25""".stripMargin
-
-  /** Fixed-reference drift re-derived: literal reference shares from
-    * the even slice, candidate shares from the odd slice, PSI/TVD
-    * over the reference buckets ∪ `__other__`, KS as the max
-    * cumulative-share gap in (bucket, other-last) order — the same
-    * fold order as the Scala finisher's scanLeft. */
-  val driftReferenceSql: String =
-    s"""WITH ref AS (SELECT lang AS b, count(*) AS c FROM documents
-       |       WHERE doc_id % 2 = 0 AND lang IS NOT NULL GROUP BY 1),
-       |mt AS (SELECT CAST(sum(c) AS DOUBLE) AS na,
-       |       CAST(count(*) + 1 AS DOUBLE) AS k FROM ref),
-       |cand AS (SELECT CASE WHEN lang IN (SELECT b FROM ref)
-       |           THEN lang ELSE '__other__' END AS b, count(*) AS c
-       |         FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
-       |nbt AS (SELECT CAST(COALESCE(sum(c), 0) AS DOUBLE) AS nb
-       |        FROM cand),
-       |bk AS (SELECT b, c, 0 AS iso FROM ref
-       |       UNION ALL SELECT '__other__', 0, 1),
-       |sh AS (SELECT bk.b, bk.iso,
-       |         (CAST(bk.c AS DOUBLE) + 0.5) / (mt.na + 0.5 * mt.k)
-       |           AS p,
-       |         (CAST(COALESCE(cand.c, 0) AS DOUBLE) + 0.5)
-       |           / (nbt.nb + 0.5 * mt.k) AS q,
-       |         mt.na AS na, nbt.nb AS nb, mt.k AS k
-       |       FROM bk CROSS JOIN mt CROSS JOIN nbt
-       |       LEFT JOIN cand ON cand.b = bk.b),
-       |cum AS (SELECT *, sum(p) OVER w AS pc, sum(q) OVER w AS qc
-       |        FROM sh WINDOW w AS (ORDER BY iso, b
-       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-       |SELECT 'lang_ref' AS dim, CAST(min(na) AS BIGINT) AS n_a,
-       |CAST(min(nb) AS BIGINT) AS n_b,
-       |CAST(min(k) AS BIGINT) AS n_buckets,
-       |${sig("sum((p - q) * ln(p / q))")} AS psi,
-       |${sig("sum(abs(p - q)) / 2.0")} AS tvd,
-       |${sig("max(abs(pc - qc))")} AS ks
-       |FROM cum""".stripMargin
-
-  /** Token-distribution drift via the shared per-dim CTE (tokens as
-    * buckets). */
-  val driftVocabSql: String = driftDimSql("token_mix",
-    "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
-      "FROM documents)", "tok")
-
-  /** Quality-quota selection: textQualitySql's score formula ranked
-    * per language, top 5, rounded-score ordering. */
-  val sampleQuotaSql: String = {
-    val f = stopOr("x", enStops)
-    val quality = sig("CAST(least(nt, 100) AS DOUBLE) / 100.0 * 0.3 " +
-      "+ CAST(ns AS DOUBLE) / nt * 0.4 + CAST(nd AS DOUBLE) / nt * 0.3")
-    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t
-       |           FROM documents),
-       |e AS (SELECT doc_id, lang, len(t) AS nt,
-       |  len(list_distinct(t)) AS nd,
-       |  len(list_filter(t, x -> $f)) AS ns FROM d),
-       |q AS (SELECT doc_id, lang, $quality AS quality FROM e),
-       |r AS (SELECT lang, doc_id, quality, row_number() OVER (
-       |        PARTITION BY lang ORDER BY quality DESC, doc_id) AS rnk
-       |      FROM q WHERE quality IS NOT NULL)
-       |SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, quality
-       |FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin
-  }
 
   /** The PLAIN join — salting must be result-invisible. */
   val joinSaltedSql: String =
@@ -4546,152 +755,30 @@ val eventsRollupSql: String =
        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    "multimodal_audio" -> multimodalAudioSql,
-    "drift_vocab" -> driftVocabSql,
-    "drift_reference" -> driftReferenceSql,
-    "dsir_select" -> dsirSelectSql,
-    "doc_novelty" -> docNoveltySql,
-    "sample_temperature" -> sampleTemperatureSql,
-    "embed_pq" -> embedPqSql,
-    "embed_pq_search" -> embedPqSearchSql,
-    "embed_ivf_pq" -> embedIvfPqSql,
-    "embed_ivf_pq_rerank" -> embedIvfPqRerankSql,
-    "embed_ivf_pq_residual" -> embedIvfPqResidualSql,
-    "text_guard_recall" -> textGuardRecallSql,
-    "text_bpe_pairs" -> textBpePairsSql,
-    "drift_quantiles" -> driftQuantilesSql,
     "col_distinct_mergeable" -> colDistinctMergeableSql,
     "col_fd_keys" -> colFdKeysSql,
     "table_inclusion" -> tableInclusionSql,
     "table_inclusion_sketch" -> tableInclusionSketchSql,
     "corpus_manifest" -> corpusManifestSql,
     "table_duplicates" -> tableDuplicatesSql,
-    "drift_embedding" -> driftEmbeddingSql,
-    "sample_diverse" -> sampleDiverseSql,
     "corpus_shards" -> corpusShardsSql,
-    "sample_mixture_loss" -> sampleMixtureLossSql,
-    "sample_quota" -> sampleQuotaSql,
-    "dedup_semantic" -> dedupSemanticSql,
-    "drift_ks" -> driftKsSql,
-    "drift_ks_by_source" -> driftKsBySourceSql,
-    "drift_quantiles_by_source" -> driftQuantilesBySourceSql,
-    "text_pack" -> textPackSql,
     "join_salted" -> joinSaltedSql,
-    "text_bpe_encode" -> textBpeEncodeSql,
-    "text_bpe_fertility" -> textBpeFertilitySql,
-    "text_bpe_train" -> textBpeTrainSql,
-    "text_encoding" -> textEncodingSql,
-    "text_vocab" -> textVocabSql,
-    "text_pmi" -> textPmiSql,
-    "text_zipf" -> textZipfSql,
-    "text_boilerplate" -> textBoilerplateSql,
     "num_grouped" -> numGroupedSql,
     "cat_heavy_hitters" -> catHeavyHittersSql,
     "cat_heavy_exact" -> catHeavyExactSql,
-    "dedup_substring" -> dedupSubstringSql,
-    // identical exact-contamination SQL: the Bloom prefilter must
-    // lose nothing (no false negatives)
-    "text_contamination_bloom" -> textContaminationSql,
-    "text_chunk" -> textChunkSql,
-    "text_classify" -> textClassifySql,
-    "drift_psi" -> driftPsiSql,
-    "drift_psi_by_source" -> driftPsiBySourceSql,
-    "sample_mixture" -> sampleMixtureSql,
-    "sample_mixture_hash" -> sampleMixtureHashSql,
-    "events_cube" -> eventsCubeSql,
-    "dedup_exact" -> dedupExactSql,
-    "dedup_ngram" -> dedupNgramSql,
-    "dedup_fuzzy" -> dedupFuzzySql,
-    "dedup_minhash" -> dedupMinhashSql,
-    "dedup_containment" -> dedupContainmentSql,
-    "dedup_incremental" -> dedupIncrementalSql,
-    "dedup_simhash" -> dedupSimhashSql,
-    "dedup_clusters" -> dedupClustersSql,
-    "dedup_cluster_stats" -> dedupClusterStatsSql,
-    "dedup_keep" -> dedupKeepSql,
-    "text_contamination" -> textContaminationSql,
-    "sample_stratified" -> sampleStratifiedSql,
-    "sample_stratified_hash" -> sampleStratifiedHashSql,
-    "dedup_embed" -> dedupEmbedSql,
-    "dedup_semantic_incremental" -> dedupSemanticIncrementalSql,
-    "embed_outliers" -> embedOutliersSql,
-    "embed_cosine_topk" -> embedCosineSql,
-    "embed_ann_lsh" -> embedAnnLshSql,
-    "embed_lsh_recall" -> embedLshRecallSql,
-    "embed_ann_ivf" -> embedAnnIvfSql,
-    "embed_ann_recall" -> embedAnnRecallSql,
-    "embed_pq_recall" -> embedPqRecallSql,
-    "embed_hard_negatives" -> embedHardNegativesSql,
-    "embed_ivf_assign" -> embedIvfAssignSql,
-    "text_stats" -> textStatsSql,
-    "text_quality" -> textQualitySql,
-    "text_langid" -> textLangidSql,
-    "doc_fingerprint" -> docFingerprintSql,
-    "text_tokens" -> textTokensSql,
-    "text_repetition" -> textRepetitionSql,
-    "text_repetition_ngrams" -> textRepetitionNgramsSql,
-    "search_hybrid_rrf" -> searchHybridRrfSql,
-    "text_bm25" -> textBm25Sql,
-    "text_pii" -> textPiiSql,
-    "text_lm_score" -> textLmScoreSql,
     "cat_entropy" -> catEntropySql,
     "cat_association" -> catAssociationSql,
     "num_histogram_eqdepth" -> numHistogramEqdepthSql,
-    "embed_quantize" -> embedQuantizeSql,
-    "embed_kmeans" -> embedKmeansSql,
-    "embed_kmeans_convergence" -> embedKmeansConvergenceSql,
-    "embed_margin_mine" -> embedMarginMineSql,
-    "embed_margin_mine_ann" -> embedMarginMineAnnSql,
-    "embed_knn_label" -> embedKnnLabelSql,
-    "embed_label_stats" -> embedLabelStatsSql,
-    "embed_cluster_purity" -> embedClusterPuritySql,
     "pipeline_funnel" -> pipelineFunnelSql,
-    "multimodal_meta" -> multimodalMetaSql,
-    "multimodal_frames" -> multimodalFramesSql,
-    "multimodal_phash" -> multimodalPhashSql,
-    "multimodal_near_dup" -> multimodalNearDupSql,
-    "multimodal_audio_fp" -> multimodalAudioFpSql,
-    "multimodal_audio_near_dup" -> multimodalAudioNearDupSql,
-    "multimodal_decode_audit" -> multimodalDecodeAuditSql,
-    "multimodal_phash_mixed" -> multimodalPhashMixedSql,
     "join_asof" -> joinAsofSql,
     "join_range" -> joinRangeSql,
-    "events_features" -> eventsFeaturesSql,
-    "sample_weighted" -> sampleWeightedSql,
-    "sample_split" -> sampleSplitSql,
-    "events_window" -> eventsWindowSql,
-    "events_trend" -> eventsTrendSql,
-    "text_ngram_entropy" -> textNgramEntropySql,
-    "drift_entropy" -> driftEntropySql,
     "corpus_composition" -> corpusCompositionSql,
-    "events_time_profile" -> eventsTimeProfileSql,
     "corpus_saturation" -> corpusSaturationSql,
-    "drift_lang_by_source" -> driftLangBySourceSql,
-    "dedup_exact_by_source" -> dedupExactBySourceSql,
-    "dedup_threshold_curve" -> dedupThresholdCurveSql,
-    "text_pii_by_source" -> textPiiBySourceSql,
     "col_fd_discover" -> colFdDiscoverSql,
-    "text_length_profile" -> textLengthProfileSql,
-    "events_churn" -> eventsChurnSql,
-    "events_session_lengths" -> eventsSessionLengthsSql,
     "table_diff" -> tableDiffSql,
-    "events_window_assoc" -> eventsWindowAssocSql,
-    "events_retention" -> eventsRetentionSql,
-    "events_anomaly" -> eventsAnomalySql,
-    "events_funnel" -> eventsFunnelSql,
-    "events_sliding" -> eventsSlidingSql,
-    "events_sessionize" -> eventsSessionizeSql,
-    "join_session_overlap" -> joinSessionOverlapSql,
-    "events_markov" -> eventsMarkovSql,
-    "events_seq_anomaly" -> eventsSeqAnomalySql,
-    "events_markov_drift" -> eventsMarkovDriftSql,
-    "events_paths" -> eventsPathsSql,
-    "events_props" -> eventsPropsSql,
     "array_profile" -> arrayProfileSql,
     "join_revenue_nation" -> joinRevenueNationSql,
     "join_top_suppliers" -> joinTopSuppliersSql,
-    "events_rollup" -> eventsRollupSql,
     "set_ops_customers" -> setOpsCustomersSql
   )
-
 }

@@ -1,0 +1,932 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.det.Sig
+import graft.ops._
+import graft.pipeline.CorpusPipeline
+
+/** Text-analysis, tokenizer, retrieval and decontamination queries. Split from the monolithic Extensions
+  * registry (round 11) — pure move, zero behavior; every
+  * query keeps its DuckDB oracle. */
+object TextQueries {
+
+  import Shared._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // benchmark decontamination: src0 plays the eval set, the rest is
+    // the training corpus; GPT-3-style n-gram overlap with the same
+    // capped hashed-shingle index as the dedup family
+    "text_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationPairs(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", n = 3, minShared = 5L,
+        maxDf = Some(NgramMaxDf))
+    }),
+    // unigram-LM quality score (the CCNet perplexity filter's core):
+    // the corpus trains its own token model, each doc scored by avg
+    // negative log-likelihood
+    "text_lm_score" -> ((s, dir) =>
+      Search.unigramNll(t(s, dir, "documents"), "doc_id", "text")),
+    // ---- text analysis ----
+    "text_stats" -> ((s, dir) =>
+      TextStats.langStats(t(s, dir, "documents"), "text", "lang")),
+    "text_quality" -> ((s, dir) =>
+      TextStats.quality(t(s, dir, "documents"), "doc_id", "text")),
+    "text_langid" -> ((s, dir) =>
+      TextStats.langIdConfusion(t(s, dir, "documents"), "text", "lang")),
+    "doc_fingerprint" -> ((s, dir) =>
+      TextStats.fingerprints(t(s, dir, "documents"), "doc_id", "text")),
+    "text_tokens" -> ((s, dir) =>
+      TextStats.tokenCounts(t(s, dir, "documents"), "doc_id", "text")),
+    // corpus boilerplate report: top word 3-grams by DOCUMENT
+    // frequency — the inspectable head of the hot-gram set the
+    // dedup family's df cap drops from signatures
+    "text_boilerplate" -> ((s, dir) =>
+      TextStats.boilerplateGrams(t(s, dir, "documents"), "doc_id",
+        "text", n = 3, topK = 20)),
+    // Gopher/MassiveText-style within-doc repetition filters
+    "text_repetition" -> ((s, dir) =>
+      TextStats.repetition(t(s, dir, "documents"), "doc_id", "text")),
+    // dup_ngram_frac family (the fuller Gopher battery): per doc and
+    // n ∈ {2,5,10}, the duplicated n-gram occurrence mass
+    "text_repetition_ngrams" -> ((s, dir) =>
+      TextStats.repetitionNgrams(t(s, dir, "documents"), "doc_id",
+        "text")),
+    // Okapi BM25 keyword retrieval, postings filtered to the query
+    // terms before any shuffle; ranking on sig5-rounded scores
+    "text_bm25" -> ((s, dir) =>
+      Search.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, k = 10)),
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 and
+    // cosine legs (rank-based — no cross-scale score mixing);
+    // the fusion join moves ≤ 2k rows at any corpus size
+    "search_hybrid_rrf" -> ((s, dir) =>
+      Search.hybridRrf(t(s, dir, "documents"),
+        t(s, dir, "embeddings"), "doc_id", "text", "vec_id",
+        "embedding", Bm25Terms, k = 20, topM = 10)),
+    // PII scrub: deterministic synthesized PII (pure function of
+    // doc_id — the fixture corpus has none, which would make an
+    // all-zero detector pass vacuously), then regex detection +
+    // placeholder redaction; the oracle re-synthesizes and re-detects
+    // independently and the full redacted strings are hash-compared
+    "text_pii" -> ((s, dir) =>
+      Pii.piiStats(Pii.synthPii(t(s, dir, "documents"), "doc_id",
+        "text"), "doc_id", "text")),
+    // which SOURCE leaks PII: per-source exposure rollup over the
+    // same deterministic synthesis
+    "text_pii_by_source" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val p = Pii.piiStats(Pii.synthPii(d, "doc_id", "text"),
+        "doc_id", "text")
+      p.join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_emails") + col("n_ips") + col("n_phones")
+            > 0, 1L).otherwise(0L)).as("n_docs_with_pii"),
+          sum("n_emails").as("n_emails"),
+          sum("n_ips").as("n_ips"),
+          sum("n_phones").as("n_phones"))
+        .select(col("source"), col("n_docs"), col("n_docs_with_pii"),
+          col("n_emails"), col("n_ips"), col("n_phones"),
+          Sig.sig5(col("n_docs_with_pii").cast("double") /
+            col("n_docs")).as("pii_rate"))
+        .orderBy("source")
+    }),
+    // context-window chunking: 64-token windows, stride 48 (16-token
+    // overlap) — map-only generate, the pre-packing stage
+    "text_chunk" -> ((s, dir) =>
+      Chunking.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+          size = 64, stride = 48)
+        .orderBy("doc_id", "chunk_idx")),
+    // fastText-shaped linear quality classifier with a fully
+    // relational surrogate weight table (MINSTD of the corpus count)
+    "text_classify" -> ((s, dir) =>
+      Search.linearScore(t(s, dir, "documents"), "doc_id", "text")),
+    // sequence-length planner input: docs + token mass per power-of-
+    // two length bucket (exact integer log2 via binary digit count)
+    "text_length_profile" -> ((s, dir) =>
+      TextStats.lengthProfile(t(s, dir, "documents"), "text")),
+    // corpus information content: unigram/bigram Shannon entropy,
+    // perplexity, conditional H(w2|w1) — exact from counts, no sort
+    "text_ngram_entropy" -> ((s, dir) =>
+      TextStats.ngramEntropy(t(s, dir, "documents"), "text")),
+    // ---- round 5: corpus-scale sketches & span dedup ----
+    "text_vocab" -> ((s, dir) =>
+      TextStats.vocab(t(s, dir, "documents"), "text", topK = 20)),
+    // collocations: top bigrams by count with PMI (multiword units
+    // vs stopword collisions)
+    "text_pmi" -> ((s, dir) =>
+      TextStats.pmiBigrams(t(s, dir, "documents"), "text",
+        topK = 20, minCount = 5L)),
+    // Zipf slope of the top-50 vocabulary: corpus naturalness in one
+    // number (natural language ≈ −1)
+    "text_zipf" -> ((s, dir) =>
+      TextStats.zipfFit(t(s, dir, "documents"), "text", topK = 50)),
+    // encoding-health gate: replacement/control/mojibake counts +
+    // non-ASCII ratio per language (mojibake via LITERAL substring
+    // counting — no regex-dialect risk between engines)
+    "text_encoding" -> ((s, dir) =>
+      TextStats.encodingHealth(t(s, dir, "documents"), "text",
+        "lang")),
+    // BPE merge-rule TRAINING (Sennrich): 6 iterations of
+    // count-pairs → argmax → literal-rewrite over the word-frequency
+    // table; the oracle replays every iteration as CTEs
+    "text_bpe_train" -> ((s, dir) =>
+      BpeTrain.train(t(s, dir, "documents"), "text", merges = 6)),
+    // the apply side: train the 6 rules, then encode every doc with
+    // them (rules ride as literal rewrites — map-only) and count
+    // subword tokens; the oracle re-derives the rules and applies
+    // the identical nested replaces
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rules = BpeTrain.train(docs, "text", merges = 6)
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeTrain.encodeTokenCount(docs, "doc_id", "text", rules)
+    }),
+    // tokenizer fertility by language: subwords-per-word under the
+    // SAME trained merges — the number that says which languages a
+    // tokenizer fragments (fertility ≈1 = native, ≫1 = expensive)
+    "text_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val rules = BpeTrain.train(docs, "text", merges = 6)
+        .collect().sortBy(_.getLong(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      BpeTrain.encodeTokenCount(docs, "doc_id", "text", rules)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"),
+          sum("n_subwords").as("n_subwords"))
+        .select(col("lang"), col("n_docs"), col("n_words"),
+          col("n_subwords"),
+          Sig.sig5(col("n_subwords").cast("double") / col("n_words"))
+            .as("fertility"))
+        .orderBy("lang")
+    }),
+    // Bloom prefilter + exact overlap join; the oracle is the SAME
+    // exact contamination SQL as `text_contamination` — matching it
+    // proves the map-only prefilter has zero false negatives
+    "text_contamination_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      BloomPrefilter.bloomDecontaminate(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", n = 3, minShared = 5L,
+        maxDf = Some(NgramMaxDf))
+    }),
+    // concat-and-split sequence packing over non-overlapping chunks;
+    // shard expression is engine-portable so the oracle re-derives
+    // the full assignment
+    "text_pack" -> ((s, dir) =>
+      Chunking.packChunks(
+        Chunking.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+          size = 64, stride = 64),
+        seqLen = 256, shards = 4,
+        shardExpr = Some(pmod(col("doc_id"), lit(4L))))),
+    // BPE counting pass: top adjacent char pairs within tokens — the
+    // first merge rule of tokenizer training; distributed top-k
+    "text_bpe_pairs" -> ((s, dir) =>
+      TextStats.bpePairs(t(s, dir, "documents"), "text", topK = 20)),
+    // ingest-guard recall gate: every train doc the EXACT capped
+    // overlap join finds (≥1 shared gram) must carry a true Bloom
+    // flag — the no-false-negatives guarantee as a hash-checked
+    // boolean column, same pattern as the LSH recall gates. The
+    // streaming twin runs the identical map-only probe
+    // (StreamingSpec asserts stream/batch flag equality).
+    "text_guard_recall" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val train = docs.where(col("source") =!= "src0")
+      val eval = docs.where(col("source") === "src0")
+      val flagged = BloomPrefilter.flagMaybeContaminated(train, eval,
+          "doc_id", "text", n = 3, maxDf = Some(NgramMaxDf))
+        .select(col("doc_id"), col("maybe_contaminated"))
+      val exact = Dedup.contaminationPairs(train, eval, "doc_id",
+          "text", n = 3, minShared = 1L, maxDf = Some(NgramMaxDf))
+        .select(col("train_id").as("doc_id")).distinct()
+      exact.join(flagged, Seq("doc_id"))
+        .select(col("doc_id"),
+          col("maybe_contaminated").as("flagged"))
+        .orderBy("doc_id")
+    }),
+    // n-gram novelty: the memorization-risk screen — per eval doc,
+    // the share of its distinct 3-grams never seen in training
+    // (uncapped on both sides: a df cap would falsely mark common
+    // grams as novel)
+    "doc_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.noveltyStats(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", n = 3)
+    })
+  )
+
+  val textContaminationSql: String = {
+    s"""WITH ${shingleCteSql("tr",
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')")},
+       |${shingleCteSql("ev",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")},
+       |esz AS (SELECT id, count(*) AS esz FROM ev GROUP BY id),
+       |sh AS (SELECT ev.id AS eval_id, tr.id AS train_id,
+       |       count(*) AS n_shared
+       |       FROM ev JOIN tr ON tr.shingle = ev.shingle
+       |       GROUP BY 1, 2 HAVING count(*) >= 5)
+       |SELECT eval_id, train_id, n_shared,
+       |${sig("CAST(n_shared AS DOUBLE) / esz")} AS overlap
+       |FROM sh JOIN esz ON esz.id = sh.eval_id
+       |ORDER BY eval_id, train_id""".stripMargin
+  }
+
+  /** Transitive closure over the near-dup pair graph (DuckDB
+    * recursive CTE) → per-doc min reachable id, mirroring
+    * [[graft.ops.Dedup.duplicateClusters]]'s fixpoint. */
+
+  private val bpeM = "chr(2)"
+
+  private val bpeS = "chr(1)"
+
+  private val bpeIters = 6
+
+  /** The shared training-iteration CTEs (v0 → p_k/b_k/v_k unrolled):
+    * both the train oracle and the encode oracle replay the SAME
+    * learned rules from these. */
+
+  private val bpeTrainCtes: String = {
+    val M = bpeM; val S = bpeS
+    val base =
+      s"""words AS (SELECT lower(tok) AS word FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE regexp_matches(lower(tok), '^[a-z]+${"$"}')
+         |    AND length(tok) <= 64),
+         |voc AS (SELECT word, count(*) AS freq FROM words GROUP BY 1),
+         |v0 AS (SELECT rtrim(concat(regexp_replace(word, '(.)',
+         |  $M||'\\1'||$M||$S, 'g')), $S) AS sym, freq FROM voc)""".stripMargin
+    val steps = (1 to bpeIters).flatMap { k =>
+      Seq(
+        s"""p$k AS (SELECT toks[i] AS a, toks[i+1] AS b,
+           |  CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT string_split(sym, $S) AS toks, freq
+           |        FROM v${k - 1}) t, range(1, 65) r(i)
+           |  WHERE i + 1 <= len(toks) GROUP BY 1, 2)""".stripMargin,
+        s"""b$k AS (SELECT a, b, cnt FROM p$k
+           |  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)""".stripMargin,
+        s"""v$k AS (SELECT replace(sym, b$k.a || $S || b$k.b,
+           |  $M || replace(b$k.a, $M, '') || replace(b$k.b, $M, '')
+           |  || $M) AS sym, freq FROM v${k - 1}, b$k)""".stripMargin)
+    }
+    s"$base,\n${steps.mkString(",\n")}"
+  }
+
+  val textBpeTrainSql: String = {
+    val M = bpeM
+    val selects = (1 to bpeIters).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS rnk,
+         |replace(a, $M, '') AS left_sym, replace(b, $M, '') AS right_sym,
+         |replace(a, $M, '') || replace(b, $M, '') AS merged,
+         |cnt AS pair_count FROM b$k""".stripMargin
+    }
+    s"WITH $bpeTrainCtes\n" +
+      selects.mkString("", "\nUNION ALL\n", "") + "\nORDER BY rnk"
+  }
+
+  /** Apply-side oracle: re-derive the learned rules (the training
+    * CTEs), then encode every document's words with the same nested
+    * literal rewrites and count subwords. */
+
+  val textBpeEncodeSql: String = {
+    val M = bpeM; val S = bpeS
+    // single-line on purpose: a nested stripMargin would eat the
+    // leading pipes of any line starting with the || operator
+    val applied = (1 to bpeIters).foldLeft("sym0") { (acc, k) =>
+      s"replace($acc, b$k.a || $S || b$k.b, $M || " +
+        s"replace(b$k.a, $M, '') || replace(b$k.b, $M, '') || $M)"
+    }
+    val bTables = (1 to bpeIters).map(k => s"b$k").mkString(", ")
+    // the training CTEs are embedded AFTER stripMargin — running
+    // stripMargin over the combined text would eat leading || pipes
+    val tail =
+      s"""dwords AS (SELECT doc_id, lower(tok) AS word FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents)
+         |  WHERE regexp_matches(lower(tok), '^[a-z]+${"$"}')
+         |    AND length(tok) <= 64),
+         |dsym AS (SELECT doc_id, rtrim(concat(regexp_replace(word,
+         |  '(.)', $M||'\\1'||$M||$S, 'g')), $S) AS sym0 FROM dwords),
+         |enc AS (SELECT doc_id, $applied AS sym
+         |        FROM dsym, $bTables)
+         |SELECT doc_id, count(*) AS n_words,
+         |CAST(sum(len(string_split(sym, $S))) AS BIGINT) AS n_subwords
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"WITH $bpeTrainCtes,\n$tail"
+  }
+
+  /** [[textBpeEncodeSql]]'s per-doc counts grouped by language —
+    * fertility = Σ subwords / Σ words under the same trained merges. */
+
+  val textBpeFertilitySql: String = {
+    val M = bpeM; val S = bpeS
+    val applied = (1 to bpeIters).foldLeft("sym0") { (acc, k) =>
+      s"replace($acc, b$k.a || $S || b$k.b, $M || " +
+        s"replace(b$k.a, $M, '') || replace(b$k.b, $M, '') || $M)"
+    }
+    val bTables = (1 to bpeIters).map(k => s"b$k").mkString(", ")
+    val tail =
+      s"""dwords AS (SELECT doc_id, lower(tok) AS word FROM (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents)
+         |  WHERE regexp_matches(lower(tok), '^[a-z]+${"$"}')
+         |    AND length(tok) <= 64),
+         |dsym AS (SELECT doc_id, rtrim(concat(regexp_replace(word,
+         |  '(.)', $M||'\\1'||$M||$S, 'g')), $S) AS sym0 FROM dwords),
+         |enc AS (SELECT doc_id, $applied AS sym
+         |        FROM dsym, $bTables),
+         |pc AS (SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(len(string_split(sym, $S))) AS BIGINT)
+         |    AS n_subwords
+         |  FROM enc GROUP BY doc_id)
+         |SELECT d.lang, count(*) AS n_docs,
+         |CAST(sum(pc.n_words) AS BIGINT) AS n_words,
+         |CAST(sum(pc.n_subwords) AS BIGINT) AS n_subwords,
+         |${sig("CAST(sum(pc.n_subwords) AS DOUBLE) / sum(pc.n_words)")}
+         |  AS fertility
+         |FROM pc JOIN documents d ON d.doc_id = pc.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+    s"WITH $bpeTrainCtes,\n$tail"
+  }
+
+  val textEncodingSql: String =
+    s"""WITH d AS (SELECT lang, length(text) AS nc,
+       |  CAST(length(text) - length(replace(text, '�', ''))
+       |    AS BIGINT) AS n_repl,
+       |  CAST(length(text) - length(regexp_replace(text,
+       |    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))
+       |    AS BIGINT) AS n_ctrl,
+       |  CAST((length(text) - length(replace(text, 'Ã©', ''))) / 2
+       |    + (length(text) - length(replace(text, 'â€', ''))) / 2
+       |    AS BIGINT) AS n_moji,
+       |  CAST(length(text) - length(regexp_replace(text,
+       |    '[^\\x00-\\x7F]', '', 'g')) AS BIGINT) AS n_nonascii
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs,
+       |CAST(sum(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS repl_docs,
+       |CAST(sum(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS ctrl_docs,
+       |CAST(sum(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS moji_docs,
+       |${sig("CAST(sum(n_nonascii) AS DOUBLE) / sum(nc)")} AS nonascii_ratio
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  val textStatsSql: String = {
+    val f = stopOr("x", enStops)
+    s"""WITH d AS (SELECT lang, length(text) AS nc,
+       |  len(string_split(text, ' ')) AS nt,
+       |  len(list_filter(string_split(text, ' '), x -> $f)) AS ns
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_docs, ${sig("avg(nc)")} AS avg_chars,
+       |${sig("avg(nt)")} AS avg_tokens,
+       |${sig("CAST(sum(ns) AS DOUBLE) / CAST(sum(nt) AS DOUBLE)")} AS stop_ratio
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  val textLangidSql: String = {
+    val scoreCols = TextStats.stopwords.map { case (l, ws) =>
+      s"len(list_filter(string_split(text, ' '), x -> ${stopOr("x", ws)})) AS s_$l"
+    }.mkString(",\n  ")
+    val langs = TextStats.stopwords.map(_._1)
+    val allZero = langs.map(l => s"s_$l = 0").mkString(" AND ")
+    val m = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN s_$l = $m THEN '$l'").mkString(" ")
+    s"""WITH s AS (SELECT lang,
+       |  $scoreCols
+       |  FROM documents)
+       |SELECT lang, CASE WHEN $allZero THEN 'unknown' $cases END AS pred_lang,
+       |count(*) AS cnt FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  val docFingerprintSql: String = {
+    val pow31 = TextStats.pow31
+    val terms = (0 until TextStats.FpGram).map { k =>
+      s"ord(substr(text, i + $k, 1)) * CAST(${pow31(k)} AS BIGINT)"
+    }.mkString(" + ")
+    s"""WITH pos AS (SELECT doc_id, text,
+       |  unnest(range(1, length(text) - ${TextStats.FpGram - 2})) AS i
+       |  FROM documents WHERE length(text) >= ${TextStats.FpGram})
+       |SELECT doc_id, min($terms) AS fp
+       |FROM pos GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** Re-derives the parameters `Multimodal.synthPayload` embeds into
+    * real PNG/JPEG/WAV header bytes. The Spark side never sees these
+    * formulas — it parses the container bytes — so this checks the
+    * parse, byte offsets and endianness included. Payload sizes:
+    * PNG 65 B still / 85 B animated (acTL), JPEG 41 B, WAV 44 B + PCM
+    * data (frames x channels x 2). */
+
+  val textNgramEntropySql: String =
+    s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents
+       |           WHERE text IS NOT NULL),
+       |uc AS (SELECT g, count(*) AS c FROM
+       |        (SELECT unnest(w) AS g FROM w) GROUP BY g),
+       |e1 AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
+       |         CAST(count(*) AS BIGINT) AS nd,
+       |         sum(c * log2(c)) AS s FROM uc),
+       |bc AS (SELECT g, count(*) AS c FROM
+       |        (SELECT unnest(list_transform(range(1, len(w)),
+       |           i -> w[i] || ' ' || w[i+1])) AS g FROM w)
+       |       GROUP BY g),
+       |e2 AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
+       |         CAST(count(*) AS BIGINT) AS nd,
+       |         sum(c * log2(c)) AS s FROM bc),
+       |h1 AS (SELECT CAST(1 AS BIGINT) AS n, tot AS n_grams,
+       |         nd AS n_distinct,
+       |         ${sig("log2(CAST(tot AS DOUBLE)) - s / CAST(tot AS DOUBLE)")}
+       |           AS entropy_bits FROM e1),
+       |h2 AS (SELECT CAST(2 AS BIGINT) AS n, tot AS n_grams,
+       |         nd AS n_distinct,
+       |         ${sig("log2(CAST(tot AS DOUBLE)) - s / CAST(tot AS DOUBLE)")}
+       |           AS entropy_bits FROM e2)
+       |SELECT n, n_grams, n_distinct, entropy_bits,
+       |  ${sig("pow(2.0, entropy_bits)")} AS perplexity,
+       |  CAST(NULL AS DOUBLE) AS cond_bits FROM h1
+       |UNION ALL
+       |SELECT h2.n, h2.n_grams, h2.n_distinct, h2.entropy_bits,
+       |  ${sig("pow(2.0, h2.entropy_bits)")} AS perplexity,
+       |  ${sig("h2.entropy_bits - h1.entropy_bits")} AS cond_bits
+       |FROM h2, h1
+       |ORDER BY n""".stripMargin
+
+  /** [[graft.ops.TableDiff.diffSummary]] mirror over the same
+    * deterministic v2 edit. */
+
+  val textLengthProfileSql: String =
+    s"""WITH d AS (SELECT len(string_split(text, ' ')) AS nt
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT length(bin(nt)) - 1 AS log2_len,
+       |    count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+       |  FROM d WHERE nt >= 1 GROUP BY 1),
+       |t AS (SELECT sum(n_tokens) AS tot FROM c)
+       |SELECT CAST(log2_len AS BIGINT) AS log2_len, n_docs, n_tokens,
+       |  ${sig("CAST(n_tokens AS DOUBLE) / tot")} AS token_share
+       |FROM c, t ORDER BY log2_len""".stripMargin
+
+  /** [[graft.ops.EventOps.sessionLengths]] mirror over the shared
+    * sessionization CTEs. */
+
+  val textRepetitionNgramsSql: String = {
+    val parts = Seq(2, 5, 10).map { n =>
+      val cat = (0 until n).map(k => s"w[i + $k]")
+        .mkString(" || ' ' || ")
+      s"""SELECT doc_id, CAST($n AS BIGINT) AS n,
+         |count(*) AS n_grams,
+         |${sig("1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*)")}
+         |  AS dup_frac
+         |FROM (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(w) - $n + 2),
+         |      i -> $cat)) AS g
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents))
+         |GROUP BY doc_id""".stripMargin
+    }
+    parts.mkString("", "\nUNION ALL\n", "\nORDER BY doc_id, n")
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |             FROM documents),
+       |tc AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id, t),
+       |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |       max(c) AS top_tok FROM tc GROUP BY doc_id),
+       |bg AS (SELECT doc_id, unnest(grams) AS g FROM (
+       |  SELECT doc_id, list_transform(range(1, len(w)),
+       |    i -> w[i] || ' ' || w[i+1]) AS grams
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM documents))),
+       |bc AS (SELECT doc_id, count(*) AS c FROM bg GROUP BY doc_id, g),
+       |bs AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bi
+       |       FROM bc GROUP BY doc_id)
+       |SELECT ts.doc_id, n_tokens,
+       |${sig("CAST(top_tok AS DOUBLE) / n_tokens")} AS top_token_frac,
+       |${sig("CAST(top_bi AS DOUBLE) / n_bigrams")} AS top_bigram_frac
+       |FROM ts LEFT JOIN bs ON bs.doc_id = ts.doc_id
+       |ORDER BY ts.doc_id""".stripMargin
+
+  /** The whole corpus-preparation funnel re-derived independently in
+    * DuckDB: quality filter (token range + sig5-rounded top-bigram
+    * repetition), near-dedup via recursive-CTE connected components
+    * over capped n-gram Jaccard pairs, then n-gram-overlap
+    * decontamination against the src0 eval slice. A hash-match proves
+    * the COMPOSITION of the operators, not just each in isolation. */
+
+  /** BM25 query-term literal set (shared Spark/oracle). */
+  val Bm25Terms: Seq[String] = Seq("spark", "hash", "window")
+
+  /** BM25 re-derived relationally. Every float constant (k1+1, 1−b,
+    * …) is interpolated from the SAME Scala doubles the Spark plan
+    * uses — Double.toString round-trips exactly, so both engines
+    * compute from identical IEEE values; ln() may differ by an ulp
+    * between engines, absorbed by the sig5 ranking contract. */
+
+  val textBm25Sql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |             FROM documents),
+       |lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+       |qt AS (SELECT * FROM tok WHERE t IN ($terms)),
+       |dft AS (SELECT t, count(DISTINCT doc_id) AS df_t FROM qt GROUP BY t),
+       |tf AS (SELECT doc_id, t, count(*) AS tf FROM qt GROUP BY doc_id, t),
+       |sc AS (SELECT tf.doc_id,
+       |  ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) *
+       |  (tf * ${k1 + 1.0}) /
+       |  (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)) AS s
+       |  FROM tf JOIN dft ON dft.t = tf.t
+       |  JOIN lens ON lens.doc_id = tf.doc_id, corpus),
+       |agg AS (SELECT doc_id, ${sig("sum(s)")} AS score FROM sc
+       |        GROUP BY doc_id)
+       |SELECT CAST(rn AS BIGINT) AS rnk, doc_id, score FROM (
+       |  SELECT doc_id, score,
+       |    row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+       |  FROM agg)
+       |WHERE rn <= 10 ORDER BY rnk""".stripMargin
+  }
+
+  /** RRF fusion oracle: both legs' CTEs (BM25 k=20 and qid-0 cosine
+    * k=20), FULL OUTER joined, fused with the identical fixed-order
+    * 1/(60+rank) arithmetic — ranks are integers, so the fused score
+    * is bit-exact with no sig rounding. */
+
+  val searchHybridRrfSql: String = {
+    val (k1, b) = (1.2, 0.75)
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |             FROM documents),
+       |lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+       |qt AS (SELECT * FROM tok WHERE t IN ($terms)),
+       |dft AS (SELECT t, count(DISTINCT doc_id) AS df_t FROM qt GROUP BY t),
+       |tf AS (SELECT doc_id, t, count(*) AS tf FROM qt GROUP BY doc_id, t),
+       |sc AS (SELECT tf.doc_id,
+       |  ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) *
+       |  (tf * ${k1 + 1.0}) /
+       |  (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)) AS s
+       |  FROM tf JOIN dft ON dft.t = tf.t
+       |  JOIN lens ON lens.doc_id = tf.doc_id, corpus),
+       |lagg AS (SELECT doc_id, ${sig("sum(s)")} AS score FROM sc
+       |         GROUP BY doc_id),
+       |lex AS (SELECT doc_id, CAST(rn AS BIGINT) AS lex_rnk FROM (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score DESC,
+       |    doc_id ASC) AS rn FROM lagg) WHERE rn <= 20),
+       |el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+       |       FROM embeddings, range(1, 65) t(i)),
+       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY vec_id),
+       |dot AS (SELECT b.vec_id AS vid, sum(a.v * b.v) AS dp
+       |        FROM el a JOIN el b ON a.i = b.i AND b.vec_id <> 0
+       |        WHERE a.vec_id = 0 GROUP BY 1),
+       |cos AS (SELECT vid, $cosExpr AS cosine
+       |        FROM dot JOIN nrm na ON na.vec_id = 0
+       |        JOIN nrm nb ON nb.vec_id = dot.vid),
+       |sem AS (SELECT vid AS doc_id, CAST(rn AS BIGINT) AS sem_rnk FROM (
+       |  SELECT vid, row_number() OVER (ORDER BY cosine DESC,
+       |    vid ASC) AS rn FROM cos) WHERE rn <= 20),
+       |fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       |  coalesce(1.0 / (60.0 + CAST(lex_rnk AS DOUBLE)), 0.0) +
+       |  coalesce(1.0 / (60.0 + CAST(sem_rnk AS DOUBLE)), 0.0)
+       |    AS rrf_score, lex_rnk, sem_rnk
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT CAST(rn AS BIGINT) AS rnk, doc_id, rrf_score,
+       |  lex_rnk, sem_rnk FROM (
+       |  SELECT *, row_number() OVER (ORDER BY rrf_score DESC,
+       |    doc_id ASC) AS rn FROM fused) WHERE rn <= 10
+       |ORDER BY rnk""".stripMargin
+  }
+
+  /** Re-synthesizes the deterministic PII payloads from doc_id and
+    * re-runs detection + redaction with DuckDB's RE2 engine — regex
+    * semantics (leftmost-first, greedy, global replace) must agree
+    * with Java's for the full redacted strings to hash-match. */
+  /** The deterministic PII-synthesis CTE `s` (doc_id, source, t2) —
+    * shared by the per-doc and per-source PII oracles. */
+
+  private val piiSynthCte: String =
+    s"""s AS (SELECT doc_id, source, text ||
+       |  CASE WHEN doc_id % 3 >= 1 THEN ' mail user' ||
+       |    CAST(doc_id AS VARCHAR) || 'a@mail.example.com'
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 3 = 2 THEN ' cc user' ||
+       |    CAST(doc_id AS VARCHAR) || 'b@mail.example.com'
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 2 = 0 THEN ' from 10.' ||
+       |    CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
+       |    CAST(doc_id % 250 + 1 AS VARCHAR)
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||
+       |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |    ELSE '' END AS t2
+       |  FROM documents)""".stripMargin
+
+  /** Per-source PII exposure rollup: which SOURCE leaks — docs with
+    * any hit, per-type totals, hit rate. */
+
+  val textPiiBySourceSql: String = {
+    import graft.ops.Pii.{EmailRe, Ipv4Re, PhoneRe}
+    s"""WITH $piiSynthCte,
+       |d AS (SELECT source,
+       |  CAST(len(regexp_extract_all(t2, '$EmailRe')) AS BIGINT)
+       |    AS ne,
+       |  CAST(len(regexp_extract_all(t2, '$Ipv4Re')) AS BIGINT)
+       |    AS ni,
+       |  CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT)
+       |    AS np
+       |  FROM s)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_docs_with_pii,
+       |  CAST(sum(ne) AS BIGINT) AS n_emails,
+       |  CAST(sum(ni) AS BIGINT) AS n_ips,
+       |  CAST(sum(np) AS BIGINT) AS n_phones,
+       |  ${sig("CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")}
+       |    AS pii_rate
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  val textPiiSql: String = {
+    import graft.ops.Pii.{EmailRe, Ipv4Re, PhoneRe}
+    s"""WITH s AS (SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 3 >= 1 THEN ' mail user' ||
+       |    CAST(doc_id AS VARCHAR) || 'a@mail.example.com'
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 3 = 2 THEN ' cc user' ||
+       |    CAST(doc_id AS VARCHAR) || 'b@mail.example.com'
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 2 = 0 THEN ' from 10.' ||
+       |    CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
+       |    CAST(doc_id % 250 + 1 AS VARCHAR)
+       |    ELSE '' END ||
+       |  CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||
+       |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |    ELSE '' END AS t2
+       |  FROM documents)
+       |SELECT doc_id,
+       |CAST(len(regexp_extract_all(t2, '$EmailRe')) AS BIGINT)
+       |  AS n_emails,
+       |CAST(len(regexp_extract_all(t2, '$Ipv4Re')) AS BIGINT) AS n_ips,
+       |CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT)
+       |  AS n_phones,
+       |regexp_replace(regexp_replace(regexp_replace(t2,
+       |  '$EmailRe', '<EMAIL>', 'g'),
+       |  '$Ipv4Re', '<IP>', 'g'),
+       |  '$PhoneRe', '<PHONE>', 'g') AS redacted
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  val textLmScoreSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |             FROM documents),
+       |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+       |tot AS (SELECT sum(c) AS total FROM freq)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |${sig("avg(-ln(CAST(c AS DOUBLE) / total))")} AS nll
+       |FROM tok JOIN freq ON freq.t = tok.t, tot
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val textTokensSql: String =
+    s"""SELECT doc_id,
+       |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       |CAST(len(regexp_extract_all(text, '${TextStats.BpePattern}')) AS BIGINT) AS n_bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** 64-token windows at stride 48, re-derived with DuckDB's 1-based
+    * inclusive list slicing (Spark's slice(ts, start+1, 64) ≙
+    * ts[start+1 : start+64]); chunk_idx = start // stride exactly.
+    * string_split never returns an empty list (''→['']), so
+    * range(0, len, stride) enumerates the same starts as the Spark
+    * side's sequence(0, len−1, stride). */
+
+  val textClassifySql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |             FROM documents),
+       |freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+       |wt AS (SELECT t,
+       |  (CAST(((((((c + 12345) % 2147483647) * 48271) % 2147483647)
+       |    * 48271) % 2147483647) % 1000 AS DOUBLE) - 499.5) / 499.5 AS w
+       |  FROM freq),
+       |s AS (SELECT doc_id, count(*) AS n_tokens,
+       |      ${sig("1.0 / (1.0 + exp(-avg(w)))")} AS score
+       |      FROM tok JOIN wt ON wt.t = tok.t GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, score, score >= 0.5 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** One drift dimension's PSI/TVD re-derivation: `bucketExpr` must
+    * produce the same bucket values as the Spark side (lang string /
+    * fixed-width bin index), slice = doc_id parity, Laplace-smoothed
+    * shares (c+0.5)/(n+0.5k). */
+
+  val textBoilerplateSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+       |             FROM documents WHERE text IS NOT NULL),
+       |st AS (SELECT doc_id, ts,
+       |       unnest(range(0, len(ts) - 2)) AS i FROM tok),
+       |g AS (SELECT DISTINCT doc_id,
+       |        array_to_string(ts[i + 1 : i + 3], ' ') AS gram
+       |      FROM st),
+       |c AS (SELECT gram, count(*) AS df_docs FROM g GROUP BY gram),
+       |nd AS (SELECT count(*) AS n_docs FROM tok),
+       |r AS (SELECT gram, df_docs,
+       |        row_number() OVER (ORDER BY df_docs DESC, gram) AS rnk
+       |      FROM c)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, gram,
+       |CAST(df_docs AS BIGINT) AS df_docs,
+       |${sig("CAST(df_docs AS DOUBLE) / n_docs")} AS df_share,
+       |CAST(n_docs AS BIGINT) AS n_docs
+       |FROM r, nd WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
+  val textVocabSql: String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+       |            FROM documents),
+       |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+       |        count(*) AS n_vocab FROM c),
+       |r AS (SELECT token, cnt,
+       |        row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+       |      FROM c)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, token, cnt,
+       |${sig("cnt / n_total")} AS share, n_vocab
+       |FROM r, tot WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
+  /** [[graft.ops.TextStats.pmiBigrams]] mirror: bigram occurrences
+    * via list_transform over the split tokens (the shingle pattern
+    * without per-doc dedup — PMI is an occurrence statistic), the
+    * same (cnt desc, a, b) head, PMI on exact counts with identical
+    * parenthesization. */
+
+  val textPmiSql: String =
+    s"""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents
+       |  WHERE text IS NOT NULL),
+       |uc AS (SELECT tok, count(*) AS c FROM
+       |  (SELECT unnest(w) AS tok FROM d) GROUP BY tok),
+       |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM uc),
+       |bc AS (SELECT split_part(bg, ' ', 1) AS a,
+       |    split_part(bg, ' ', 2) AS b, count(*) AS cab FROM
+       |  (SELECT unnest(list_transform(range(1, len(w)),
+       |     i -> w[i] || ' ' || w[i + 1])) AS bg FROM d)
+       |  GROUP BY 1, 2),
+       |nb AS (SELECT CAST(sum(cab) AS DOUBLE) AS nb FROM bc),
+       |top AS (SELECT a, b, cab,
+       |    row_number() OVER (ORDER BY cab DESC, a, b) AS rnk
+       |  FROM bc WHERE cab >= 5)
+       |SELECT CAST(rnk AS BIGINT) AS rnk, a AS token_a, b AS token_b,
+       |cab AS cnt,
+       |${sig("ln((cab / nb.nb) / ((ua.c / nu.nu) * (ub.c / nu.nu)))")}
+       |  AS pmi
+       |FROM top JOIN uc ua ON ua.tok = top.a
+       |JOIN uc ub ON ub.tok = top.b, nu, nb
+       |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
+  /** [[graft.ops.TextStats.zipfFit]] mirror: same deterministic
+    * vocabulary head, same ln transforms, regr_* over ≤ topK rows
+    * (least-squares accumulation-order noise absorbed by sig5). */
+
+  val textZipfSql: String =
+    s"""WITH c AS (SELECT token, count(*) AS cnt FROM
+       |  (SELECT unnest(string_split(text, ' ')) AS token
+       |   FROM documents) GROUP BY token),
+       |r AS (SELECT cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, token) AS rnk FROM c),
+       |l AS (SELECT ln(CAST(rnk AS DOUBLE)) AS lx,
+       |    ln(CAST(cnt AS DOUBLE)) AS ly FROM r WHERE rnk <= 50)
+       |SELECT count(*) AS n_tokens,
+       |${sig("regr_slope(ly, lx)")} AS slope,
+       |${sig("regr_intercept(ly, lx)")} AS intercept,
+       |${sig("regr_r2(ly, lx)")} AS r2
+       |FROM l""".stripMargin
+
+  /** Long-form per-group stats via one UNION ALL branch per column —
+    * mirrors Stats.grouped's cast-to-double + sig5 contract. */
+
+  val textPackSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+      |             FROM documents),
+      |st AS (SELECT doc_id, ts,
+      |       unnest(range(0, len(ts), 64)) AS start FROM tok),
+      |ch AS (SELECT doc_id % 4 AS shard, doc_id,
+      |       CAST(start // 64 AS BIGINT) AS chunk_idx,
+      |       CAST(least(len(ts) - start, 64) AS BIGINT) AS n_tokens
+      |       FROM st),
+      |cb AS (SELECT shard, doc_id, chunk_idx, n_tokens,
+      |       coalesce(sum(n_tokens) OVER (PARTITION BY shard
+      |         ORDER BY doc_id, chunk_idx ROWS BETWEEN UNBOUNDED
+      |         PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |       FROM ch)
+      |SELECT shard, doc_id, chunk_idx, n_tokens,
+      |CAST(cum_before // 256 AS BIGINT) AS pack_id,
+      |CAST(cum_before % 256 AS BIGINT) AS pack_pos
+      |FROM cb ORDER BY shard, doc_id, chunk_idx""".stripMargin
+
+  /** One seed-assignment round (embedKmeansSql's a0 stage), then
+    * within-cluster pairs with sig5-rounded cosine ≥ 0.9; the cid is
+    * attached to element rows BEFORE the pair join so the join keys
+    * are (cid, i) and the intermediate never crosses clusters. */
+
+  val textBpePairsSql: String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+       |             FROM documents),
+       |pr AS (SELECT substring(tok, i, 2) AS pair
+       |       FROM tok, LATERAL unnest(range(1, len(tok))) t(i)
+       |       WHERE len(tok) >= 2),
+       |c AS (SELECT pair, count(*) AS cnt FROM pr GROUP BY 1)
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair)
+       |  AS BIGINT) AS rnk, pair, cnt
+       |FROM c ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+
+  /** Embedding drift re-derived: per-dim conditional sums, slice
+    * means, centroid L2/cosine over the 64-row mean table. */
+
+  val textGuardRecallSql: String =
+    s"""WITH ${shingleCteSql("tr",
+        "(SELECT doc_id, text FROM documents WHERE source <> 'src0')")},
+       |${shingleCteSql("ev",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")}
+       |SELECT DISTINCT tr.id AS doc_id, TRUE AS flagged
+       |FROM tr JOIN ev ON ev.shingle = tr.shingle
+       |ORDER BY doc_id""".stripMargin
+
+  /** The trained-PQ codebook + code-assignment CTE chain shared by
+    * the three PQ oracles (each supplies the same `el` CTE first):
+    * per-subspace seeds = corpus rows [120, 152) sliced by
+    * s = (i−1)//8, ONE Lloyd recompute round — training argmin `ta`
+    * ranks the sig5-rounded |c|² − 2·x·c with cid tie-break (the
+    * Spark trainer's exact per-stage decision, |x|² dropped as a
+    * per-(vid, s) constant), `c1` = per-(cid, subspace, dim) average
+    * of the assigned slices — then the final encode argmin `a` on
+    * the full rounded squared distance, mirroring
+    * [[graft.ops.VectorQuant.pqCodebook]] with iters = 2 feeding the
+    * encode. Sub-clusters emptied by the round drop out of `c1` in
+    * both engines. `withScore` threads the winning rounded distance
+    * through for the mse report. */
+
+  val docNoveltySql: String =
+    s"""WITH tg AS (
+       |  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |    AS shingle
+       |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+       |        WHERE source <> 'src0') s,
+       |    LATERAL unnest(range(1, len(w) - 1)) t(i)),
+       |ev AS (
+       |  SELECT id, unnest(grams) AS shingle FROM (
+       |    SELECT doc_id AS id,
+       |      list_distinct(list_transform(range(1, len(w) - 1),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |          FROM documents WHERE source = 'src0')))
+       |SELECT ev.id AS doc_id, count(*) AS n_grams,
+       |CAST(sum(CASE WHEN tg.shingle IS NOT NULL THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS n_seen,
+       |${sig("1.0 - CAST(sum(CASE WHEN tg.shingle IS NOT NULL " +
+          "THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS novelty
+       |FROM ev LEFT JOIN tg ON tg.shingle = ev.shingle
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DSIR importance selection re-derived: per-slice smoothed unigram
+    * probs over the shared vocabulary, per-doc Σ ln ratio (sig5 —
+    * summation-order float noise is absorbed before the rank
+    * compares), row_number-then-limit ≡ the Spark rank-after-limit. */
+
+  val oracle: Map[String, String] = Map(
+    "doc_novelty" -> docNoveltySql,
+    "text_guard_recall" -> textGuardRecallSql,
+    "text_bpe_pairs" -> textBpePairsSql,
+    "text_pack" -> textPackSql,
+    "text_bpe_encode" -> textBpeEncodeSql,
+    "text_bpe_fertility" -> textBpeFertilitySql,
+    "text_bpe_train" -> textBpeTrainSql,
+    "text_encoding" -> textEncodingSql,
+    "text_vocab" -> textVocabSql,
+    "text_pmi" -> textPmiSql,
+    "text_zipf" -> textZipfSql,
+    "text_boilerplate" -> textBoilerplateSql,
+    "text_contamination_bloom" -> textContaminationSql,
+    "text_chunk" -> textChunkSql,
+    "text_classify" -> textClassifySql,
+    "text_contamination" -> textContaminationSql,
+    "text_stats" -> textStatsSql,
+    "text_quality" -> textQualitySql,
+    "text_langid" -> textLangidSql,
+    "doc_fingerprint" -> docFingerprintSql,
+    "text_tokens" -> textTokensSql,
+    "text_repetition" -> textRepetitionSql,
+    "text_repetition_ngrams" -> textRepetitionNgramsSql,
+    "search_hybrid_rrf" -> searchHybridRrfSql,
+    "text_bm25" -> textBm25Sql,
+    "text_pii" -> textPiiSql,
+    "text_lm_score" -> textLmScoreSql,
+    "text_ngram_entropy" -> textNgramEntropySql,
+    "text_pii_by_source" -> textPiiBySourceSql,
+    "text_length_profile" -> textLengthProfileSql
+  )
+}
