@@ -133,6 +133,84 @@ object SeqFuzzScaleSmoke {
       println(s"[seqfuzz-smoke]   hashed images = $n")
     }
 
+    // `audiofp` — the audio twin of `phash`: fingerprint `pairs`
+    // real 16-bit PCM WAVs (~280 samples each). Cost shape is the
+    // same codec mapPartitions boundary + an 8-byte groupBy.
+    if (phases("audiofp")) {
+      val clips = graft.ops.Multimodal.synthAudio(
+        spark.range(pairs).select(col("id").as("doc_id")), "doc_id")
+        .transform(graft.ops.Materialize.materialize)
+      val n = timed(s"audioPhash over $pairs real PCM WAVs") {
+        graft.ops.Multimodal.audioPhash(clips, "doc_id", "payload")
+          .count()
+      }
+      println(s"[seqfuzz-smoke]   fingerprinted clips = $n")
+    }
+
+    // `url` — the round-11 domain family at corpus scale: `rows`
+    // synthetic URLs with the crawl-shaped hot-domain skew. The
+    // claims under test: domainProfile is ONE hash aggregation
+    // (O(domains) groups), and domainCap's bounded heap never sorts
+    // the hot domain's docs through one task (vs the window form).
+    if (phases("url")) {
+      import org.apache.spark.sql.expressions.Window
+      val docs = spark.range(rows).select(col("id").as("doc_id"),
+        lit("w x y z q r s t").as("text"))
+      val withUrl = graft.ops.UrlOps.synthUrl(docs, "doc_id")
+      val prof = timed(s"domainProfile over $rows docs") {
+        graft.ops.UrlOps.domainProfile(withUrl, "url", "text").count()
+      }
+      println(s"[seqfuzz-smoke]   domains = $prof")
+      val kept = timed(s"domainCap(cap=100k) over $rows docs, heap") {
+        graft.ops.UrlOps.domainCap(withUrl, "url", "doc_id",
+          cap = 100000).count()
+      }
+      println(s"[seqfuzz-smoke]   kept docs = $kept")
+      val keptH = timed(s"domainCapHash(cap=100k) over $rows docs") {
+        graft.ops.UrlOps.domainCapHash(withUrl, "url", "doc_id",
+          cap = 100000L).count()
+      }
+      println(s"[seqfuzz-smoke]   kept docs (hash) = $keptH")
+      // the window comparison: rank-per-domain then filter — the
+      // plan the heap replaces (full per-domain sort)
+      val keptW = timed(s"window row_number cap over $rows docs") {
+        val d = graft.ops.UrlOps.withDomain(withUrl, "url")
+        d.withColumn("rn", row_number().over(Window
+            .partitionBy("domain")
+            .orderBy(graft.ops.Sampling.minstdHash(col("doc_id")).desc,
+              col("doc_id"))))
+          .where(col("rn") <= 100000).count()
+      }
+      println(s"[seqfuzz-smoke]   kept docs (window) = $keptW")
+    }
+
+    // `urlskew` — the case the hash form exists for, in isolation
+    if (phases("urlskew")) {
+      import org.apache.spark.sql.expressions.Window
+      // the case the hash form exists for: ONE domain holding ~90%
+      // of the corpus — the window plans a single-task sort of that
+      // domain; the hash form's window touches only the
+      // O(domains × buckets) histogram
+      val skewed = spark.range(rows).select(col("id").as("doc_id"),
+        when(col("id") % 10 < 9, lit("https://mega.example.com/p/1"))
+          .otherwise(concat(lit("https://site"), col("id") % 97,
+            lit(".net/p/1"))).as("url"))
+      val keptSH = timed(s"domainCapHash, 90%-skewed $rows docs") {
+        graft.ops.UrlOps.domainCapHash(skewed, "url", "doc_id",
+          cap = 100000L).count()
+      }
+      println(s"[seqfuzz-smoke]   kept (hash, skew) = $keptSH")
+      val keptSW = timed(s"window cap, 90%-skewed $rows docs") {
+        val d = graft.ops.UrlOps.withDomain(skewed, "url")
+        d.withColumn("rn", row_number().over(Window
+            .partitionBy("domain")
+            .orderBy(graft.ops.Sampling.minstdHash(col("doc_id")).desc,
+              col("doc_id"))))
+          .where(col("rn") <= 100000).count()
+      }
+      println(s"[seqfuzz-smoke]   kept (window, skew) = $keptSW")
+    }
+
     spark.stop()
   }
 }
