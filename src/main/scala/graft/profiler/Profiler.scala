@@ -652,6 +652,19 @@ object Profiler {
           if (ec.stats.contains(k) || fc.stats.contains(k))
             rows += ((c, k, relOk(ec.stats.get(k), fc.stats.get(k), tol)))
         }
+      // fused histogram: GK-ESTIMATED bins vs the exact conditional-
+      // sum bins — each bin's count is a difference of two rank
+      // queries, so per-bin error ≤ 2·ε·n (+2 for edge ties)
+      if (ec.histogram.nonEmpty || fc.histogram.nonEmpty) {
+        val eh = ec.histogram.toMap
+        val fh = fc.histogram.toMap
+        val n = ec.count
+        val bound = 2.0 * n / accuracy + 2.0
+        val ok = (eh.keySet ++ fh.keySet).forall { b =>
+          math.abs(eh.getOrElse(b, 0L) - fh.getOrElse(b, 0L)) <= bound
+        }
+        rows += ((c, "histogram", ok))
+      }
     }
     // GK rank contract for the fused quantile VALUES: one counting
     // aggregation of (strictly-below, at-or-below) per (col, p)

@@ -302,6 +302,7 @@ object Core {
         all.flatMap(c =>
           Seq((c, "count"), (c, "missing"), (c, "distinct"))) ++
         nums.flatMap(c => numMetrics.map(m => (c, m))) ++
+        (nums ++ dates).map(c => (c, "histogram")) ++
         dates.flatMap(c => Seq((c, "dmn"), (c, "dmx")))
     unionAll(rows.map { case (c, m) =>
       s"SELECT '$c' AS col_name, '$m' AS metric, true AS within_bound"

@@ -156,6 +156,31 @@ object HtmlReport {
          |${rows.mkString("\n")}</table></div>""".stripMargin
     }
 
+  /** Domain-mix datasheet section:
+    * [[graft.ops.UrlOps.domainProfile]] output rows (domain, docs,
+    * tokens, hosts, doc share, hot flag) — hot domains badged and
+    * counted in the header; rows rendered share-descending (the
+    * reading order of a crawl datasheet). Empty input renders
+    * nothing. */
+  def domainSection(
+      rows: Seq[(String, Long, Long, Long, Double, Boolean)]): String =
+    if (rows.isEmpty) ""
+    else {
+      val nHot = rows.count(_._6)
+      val trs = rows.sortBy(-_._5).map {
+        case (d, docs, toks, hosts, share, hot) =>
+          val badge =
+            if (hot) """ <span class="bad">HOT</span>""" else ""
+          s"<tr><td>${esc(d)}$badge</td><td>$docs</td><td>$toks</td>" +
+            s"<td>$hosts</td><td>${fmtPercent(share)}</td></tr>"
+      }
+      s"""<div class="card"><h2>Domain mix
+         |(${rows.size} domains, $nHot hot)</h2><table class="freq">
+         |<tr><th>domain</th><th>docs</th><th>tokens</th>
+         |<th>hosts</th><th>doc share</th></tr>
+         |${trs.mkString("\n")}</table></div>""".stripMargin
+    }
+
   /** Metric-history anomaly section:
     * [[graft.profiler.ProfileStore.metricAnomaly]] output rows
     * (part, col_name, metric, z, anomalous) — "which ingest day
@@ -192,7 +217,9 @@ object HtmlReport {
       anomalies: Seq[(String, String, Double, Option[Double], Long)] =
         Seq.empty,
       privacy: Seq[(Long, Long, Long, Double)] = Seq.empty,
-      privacyMinGroup: Long = 0L): String = {
+      privacyMinGroup: Long = 0L,
+      domains: Seq[(String, Long, Long, Long, Double, Boolean)] =
+        Seq.empty): String = {
     val size =
       if (p.sizeBytes <= 0) Seq.empty
       else Seq(
@@ -254,6 +281,7 @@ object HtmlReport {
        |$warnings
        |${qualitySection(quality)}
        |${privacySection(privacyMinGroup, privacy)}
+       |${domainSection(domains)}
        |${anomalySection(anomalies)}
        |${heatmapSection(heatmap, heatmapLabels._1, heatmapLabels._2)}
        |$assocHtml

@@ -629,6 +629,34 @@ object StreamProfiler {
           sig5(lit(1.0) / col("n")).as("risk"),
           (col("n") < k).as("at_risk"))): _*)
 
+  /** Windowed per-DOMAIN ingest counts — the streaming twin of
+    * [[graft.ops.UrlOps.domainProfile]]'s counting core: per
+    * event-time window, docs and tokens per registrable domain
+    * (parse_url host, last-two-labels fold — the same expressions as
+    * the batch op). The ingest-time hot-domain monitor: a crawler
+    * stuck on one site shows up as a domain whose per-window count
+    * explodes, BEFORE the corpus-level datasheet is ever built. One
+    * windowed count aggregation; state = O(domains) counters per
+    * open window, append-mode legal. Per-window equality with the
+    * batch groupBy is asserted in StreamingSpec. */
+  def windowedDomainCounts(events: DataFrame, urlCol: String,
+      textCol: String, tsCol: String = "ts",
+      watermark: String = "10 minutes", windowLen: String = "1 hour")
+      : DataFrame = {
+    val host = parse_url(col(urlCol), lit("HOST"))
+    val domain = concat_ws(".", slice(split(host, "\\."), -2, 2))
+    events
+      .withColumn("__ts", eventTime(events, tsCol))
+      .withWatermark("__ts", watermark)
+      .withColumn("__domain", domain)
+      .groupBy(window(col("__ts"), windowLen), col("__domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(graft.ops.TextStats.tokens(col(textCol)))
+          .cast("long")).as("n_tokens"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("__domain").as("domain"), col("n_docs"), col("n_tokens"))
+  }
+
   /** Windowed IVF cell OCCUPANCY — per event-time window, how many
     * arriving vectors landed in each cell: the monitoring view over
     * [[ivfAssignStream]] that catches index skew (a hot cell =

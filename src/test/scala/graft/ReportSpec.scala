@@ -138,4 +138,23 @@ class ReportSpec extends SparkSpec {
     assert(html.contains("share at risk"))
     assert(!graft.report.HtmlReport.render(p).contains("Privacy audit"))
   }
+
+  test("domain section renders the datasheet from real domainProfile " +
+      "rows, hot domains badged") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = graft.ops.UrlOps.domainProfile(
+        graft.ops.UrlOps.synthUrl(docs, "doc_id"), "url", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getBoolean(5))).toSeq
+    val p = graft.profiler.Profiler.profile(docs.select("doc_id"))
+    val html = graft.report.HtmlReport.render(p, domains = rows)
+    assert(html.contains("Domain mix"))
+    assert(html.contains("doc share"))
+    val nHot = rows.count(_._6)
+    assert(html.contains(s"${rows.size} domains, $nHot hot"))
+    if (nHot > 0) assert(html.contains("HOT"))
+    assert(!graft.report.HtmlReport.render(p).contains("Domain mix"))
+  }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.streaming.StreamProfiler
 
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class UrlDoc(ts: Timestamp, url: String, text: String)
 case class GrpEv(ts: Timestamp, src: String, event_type: String)
 case class StreamDoc(doc_id: Long, text: String)
 case class UserEv(ts: Timestamp, user_id: Long)
@@ -655,6 +656,46 @@ class StreamingSpec extends SparkSpec {
       val batch = graft.ops.EventOps.trendByType(evs.toDF())
         .head()
       assert(math.abs(batch.getDouble(2) - row.getDouble(3)) < 1e-6)
+    } finally q.stop()
+  }
+
+  test("windowed domain counts match the batch domain fold per window") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UrlDoc]
+    val q = StreamProfiler
+      .windowedDomainCounts(mem.toDF(), "url", "text",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("wdomains")
+      .outputMode("append").start()
+    try {
+      // hour 0: hub.com twice (www + cdn subdomains fold together),
+      // site9.net once
+      mem.addData(
+        UrlDoc(t(5), "https://www.hub.com/a", "x y z"),
+        UrlDoc(t(20), "https://cdn1.hub.com/b?q=1", "x y"),
+        UrlDoc(t(30), "https://site9.net/c", "x"))
+      q.processAllAvailable()
+      mem.addData(UrlDoc(t(2000), "https://z.io/d", "x")) // close hour 0
+      q.processAllAvailable()
+      val out = spark.table("wdomains")
+        .where(col("window_start_us") === 0L)
+        .select("domain", "n_docs", "n_tokens").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set(("hub.com", 2L, 5L), ("site9.net", 1L, 1L)))
+      // batch fold over the same rows agrees
+      val batch = graft.ops.UrlOps.withDomain(
+          Seq(("https://www.hub.com/a", "x y z"),
+            ("https://cdn1.hub.com/b?q=1", "x y"),
+            ("https://site9.net/c", "x")).toDF("url", "text"), "url")
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long"))
+            .as("n_tokens"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch == out)
     } finally q.stop()
   }
 
