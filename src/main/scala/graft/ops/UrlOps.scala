@@ -115,6 +115,59 @@ object UrlOps {
     * is reproducible (minstd-bucket order + id tie-break) but NOT
     * rank-annotated — the audit form emits ranks, this form emits
     * the kept ROWS, which is what the pipeline feeds downstream. */
+  /** Dirty-URL fixture for the filter query: five arms by id —
+    * clean, too-deep path, session-id query spam, calendar page,
+    * clean-with-one-param. Deterministic string synthesis (the
+    * synthUrl precedent), so the oracle replays arm membership from
+    * the id arithmetic AND the filter re-derives it from the STRINGS
+    * — agreement proves the string rules classify exactly the arms
+    * they were designed for. */
+  def synthUrlDirty(df: DataFrame, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val site = concat(lit("https://site"), id % 50, lit(".com"))
+    df.withColumn("url",
+      when(id % 5 === 0, concat(site, lit("/a/b")))
+        .when(id % 5 === 1, concat(site, lit("/a/b/c/d/e/f")))
+        .when(id % 5 === 2,
+          concat(site, lit("/p?sid=abc"), id, lit("&ref=1&x=2")))
+        .when(id % 5 === 3,
+          concat(site, lit("/cal/2020/01/"),
+            lpad((id % 28 + 1).cast("string"), 2, "0")))
+        .otherwise(concat(site, lit("/q?ref=r"), id % 9)))
+  }
+
+  /** Crawl-side URL junk filter with LOUD accounting — the gate a
+    * web pipeline runs before any text is fetched or tokenized:
+    * per-URL structural rules (path depth, query-param count, a
+    * calendar/archive pattern) with FIRST-failing-rule precedence,
+    * aggregated to one row per reason (kept included). Pure string
+    * arithmetic — no UDF, everything codegen'd — and O(reasons)
+    * output at any corpus size. The reason column, not a silent
+    * drop, is the point: a rule that suddenly eats 40% of a crawl
+    * shows up in this table. */
+  def urlFilterStats(df: DataFrame, urlCol: String, maxDepth: Int = 4,
+      maxParams: Int = 2): DataFrame = {
+    val pathQ = regexp_replace(col(urlCol), "^[a-z]+://[^/]+", "")
+    val path = regexp_replace(pathQ, "\\?.*$", "")
+    val query = when(pathQ.contains("?"),
+      regexp_replace(pathQ, "^[^?]*\\?", "")).otherwise(lit(""))
+    val depth = size(filter(split(path, "/"), s => s =!= ""))
+    val nParams = when(query === "", lit(0))
+      .otherwise(size(split(query, "&")))
+    val reason = when(depth > maxDepth, lit("too_deep"))
+      .when(nParams > maxParams, lit("too_many_params"))
+      .when(path.rlike("/\\d{4}/\\d{2}/"), lit("calendar"))
+      .otherwise(lit("kept"))
+    val agg = df.groupBy(reason.as("reason"))
+      .agg(count(lit(1)).as("n_urls"))
+    val tot = agg.agg(sum("n_urls").as("__t"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("reason"), col("n_urls"),
+        Sig.sig5(col("n_urls").cast("double") / col("__t"))
+          .as("share"))
+      .orderBy("reason")
+  }
+
   def domainCapHash(df: DataFrame, urlCol: String, idCol: String,
       cap: Long, buckets: Int = 8192): DataFrame = {
     val d = withDomain(df, urlCol)

@@ -36,6 +36,14 @@ object UrlQueries {
       UrlOps.domainCap(
         UrlOps.synthUrl(t(s, dir, "documents"), "doc_id"),
         "url", "doc_id", DomainCap)),
+    // crawl-side URL junk filter with loud reason accounting over a
+    // deliberately dirty fixture (deep paths, param spam, calendar
+    // pages): the oracle re-derives the strings AND replays the
+    // string rules, so the classifier must land every arm exactly
+    "url_filter_stats" -> ((s, dir) =>
+      UrlOps.urlFilterStats(
+        UrlOps.synthUrlDirty(t(s, dir, "documents"), "doc_id"),
+        "url")),
     // the LARGE-cap production twin: hash-bucket quota selection
     // (windows touch only the O(domains×buckets) histogram —
     // measured 7.5× vs the per-domain sort window at 100M docs with
@@ -124,9 +132,46 @@ object UrlQueries {
        |SELECT domain, doc_id FROM r WHERE rn <= $DomainCap
        |ORDER BY domain, doc_id""".stripMargin
 
+  /** Replays BOTH the dirty-URL synthesis and the string rules —
+    * mirrors [[UrlOps.synthUrlDirty]] + [[UrlOps.urlFilterStats]]. */
+  val urlFilterStatsSql: String =
+    """WITH u AS (SELECT doc_id,
+      |    'https://site' || (doc_id % 50) || '.com' ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '/a/b'
+      |         WHEN doc_id % 5 = 1 THEN '/a/b/c/d/e/f'
+      |         WHEN doc_id % 5 = 2 THEN
+      |           '/p?sid=abc' || doc_id || '&ref=1&x=2'
+      |         WHEN doc_id % 5 = 3 THEN '/cal/2020/01/' ||
+      |           lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+      |         ELSE '/q?ref=r' || (doc_id % 9) END AS url
+      |  FROM documents),
+      |pq AS (SELECT regexp_replace(url, '^[a-z]+://[^/]+', '')
+      |         AS pqv FROM u),
+      |f AS (SELECT regexp_replace(pqv, '\?.*$', '') AS path,
+      |        CASE WHEN contains(pqv, '?')
+      |          THEN regexp_replace(pqv, '^[^?]*\?', '')
+      |          ELSE '' END AS qs
+      |      FROM pq),
+      |r AS (SELECT CASE
+      |        WHEN len(list_filter(string_split(path, '/'),
+      |          s -> s != '')) > 4 THEN 'too_deep'
+      |        WHEN (CASE WHEN qs = '' THEN 0
+      |          ELSE len(string_split(qs, '&')) END) > 2
+      |          THEN 'too_many_params'
+      |        WHEN regexp_matches(path, '/\d{4}/\d{2}/')
+      |          THEN 'calendar'
+      |        ELSE 'kept' END AS reason FROM f),
+      |a AS (SELECT reason, count(*) AS n_urls FROM r GROUP BY reason),
+      |t AS (SELECT CAST(sum(n_urls) AS DOUBLE) AS td FROM a)
+      |SELECT reason, n_urls,
+      |""".stripMargin +
+      s"  ${sig("CAST(n_urls AS DOUBLE) / td")} AS share\n" +
+      "FROM a, t ORDER BY reason"
+
   val oracle: Map[String, String] = Map(
     "text_domains" -> textDomainsSql,
     "sample_domain_cap" -> sampleDomainCapSql,
-    "sample_domain_cap_hash" -> sampleDomainCapHashSql
+    "sample_domain_cap_hash" -> sampleDomainCapHashSql,
+    "url_filter_stats" -> urlFilterStatsSql
   )
 }

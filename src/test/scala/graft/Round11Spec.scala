@@ -206,6 +206,26 @@ class Round11Spec extends SparkSpec {
     assert(got("unknown") === ((10L, 0L, 10L)))
   }
 
+  test("urlFilterStats: exact arm counts and first-failing-rule " +
+      "precedence") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.UrlOps
+    val n = 100
+    val df = (0 until n).map(i => Tuple1(i.toLong)).toDF("doc_id")
+    val got = UrlOps.urlFilterStats(
+        UrlOps.synthUrlDirty(df, "doc_id"), "url")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // arms 0,4 kept (40), 1 too_deep (20), 2 params (20), 3 cal (20)
+    assert(got === Map("kept" -> 40L, "too_deep" -> 20L,
+      "too_many_params" -> 20L, "calendar" -> 20L))
+    // precedence: deep AND calendar AND params → first rule wins
+    val both = Seq("https://x.com/a/b/c/d/e/2020/01/05?a=1&b=2&c=3")
+      .toDF("url")
+    val r = UrlOps.urlFilterStats(both, "url").collect()
+    assert(r.map(_.getString(0)).toSeq === Seq("too_deep"))
+  }
+
   test("privacySection passes only at the strictest candidate k") {
     val curve = Seq((2L, 0L, 0L, 0.0), (10L, 3L, 12L, 0.1))
     // smallest group 5 satisfies k=2 but NOT k=10 → must fail
