@@ -619,7 +619,7 @@ object Profiler {
     val spark = df.sparkSession
     import spark.implicits._
     val cfg = ProfilerConfig(exactQuantiles = true,
-      exactDistinct = true, correlations = false)
+      exactDistinct = true)
     val e = profile(df, cfg)
     val f = profileFused(df, cfg.copy(fused = true))
     val eCols = e.columns.map(c => c.name -> c).toMap
@@ -665,6 +665,18 @@ object Profiler {
         }
         rows += ((c, "histogram", ok))
       }
+    }
+    // correlation contract: the fused all-pairs co-moment matrix vs
+    // the exact path's matrix, pairwise — both sig5-rounded in their
+    // assemblies, so agreement is within one rounding bucket
+    val eCorr = e.correlations.map { case (a, b, r) => (a, b) -> r }.toMap
+    val fCorr = f.correlations.map { case (a, b, r) => (a, b) -> r }.toMap
+    (eCorr.keySet ++ fCorr.keySet).toSeq.sorted.foreach { case (a, b) =>
+      val ok = (eCorr.get((a, b)), fCorr.get((a, b))) match {
+        case (Some(x), Some(y)) => math.abs(x - y) <= 1e-4
+        case _ => false
+      }
+      rows += ((s"$a|$b", "pearson", ok))
     }
     // GK rank contract for the fused quantile VALUES: one counting
     // aggregation of (strictly-below, at-or-below) per (col, p)

@@ -297,13 +297,17 @@ object Core {
   val profileFusedErrSql: String = {
     val numMetrics = Seq("min", "max", "n_zeros", "sum", "mean",
       "var", "sd", "sk", "ku", "p05", "q1", "median", "q3", "p95")
+    val pairs = for {
+      i <- nums.indices; j <- (i + 1) until nums.size
+    } yield (s"${nums(i)}|${nums(j)}", "pearson")
     val rows =
       Seq(("__table__", "n")) ++
         all.flatMap(c =>
           Seq((c, "count"), (c, "missing"), (c, "distinct"))) ++
         nums.flatMap(c => numMetrics.map(m => (c, m))) ++
         (nums ++ dates).map(c => (c, "histogram")) ++
-        dates.flatMap(c => Seq((c, "dmn"), (c, "dmx")))
+        dates.flatMap(c => Seq((c, "dmn"), (c, "dmx"))) ++
+        pairs
     unionAll(rows.map { case (c, m) =>
       s"SELECT '$c' AS col_name, '$m' AS metric, true AS within_bound"
     }) + "\nORDER BY col_name, metric"
