@@ -110,7 +110,12 @@ object Corpus {
     val sig = sets.groupBy("source")
       .agg(graft.functions.BottomKSketch.bottom_k(k)(col("h")).as("sig"))
     val ex = sig.select(col("source"), explode(col("sig")).as("h"))
-    val srcs = sig.select("source")
+    // pair frame from the INPUT's distinct sources (the exact form's
+    // zero-gram-source rule applied to the sketch twin): a source
+    // with an empty gram set keeps its manifest rows (k_used 0,
+    // est NULL) instead of silently vanishing
+    val srcs = df.select(col(srcCol).cast("string").as("source"))
+      .where(col("source").isNotNull).distinct()
     val pairs = srcs.select(col("source").as("src_a"))
       .crossJoin(broadcast(srcs.select(col("source").as("src_b"))))
       .where(col("src_a") < col("src_b"))
@@ -130,13 +135,18 @@ object Corpus {
     val ubk = u.groupBy("src_a", "src_b")
       .agg(graft.functions.BottomKSketch.bottom_k(k)(col("h")).as("sig"))
       .select(col("src_a"), col("src_b"), explode(col("sig")).as("h"))
-    ubk.join(u, Seq("src_a", "src_b", "h"))
+    val est = ubk.join(u, Seq("src_a", "src_b", "h"))
       .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("k_used"),
         sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
           .otherwise(0L)).as("n_both"))
+    pairs.join(est, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("k_used"), lit(0L)).as("k_used"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"))
       .select(col("src_a"), col("src_b"), col("k_used"), col("n_both"),
-        Sig.sig5(col("n_both").cast("double") / col("k_used"))
+        Sig.sig5(when(col("k_used") > 0,
+          col("n_both").cast("double") / col("k_used")))
           .as("est_jaccard"))
       .orderBy("src_a", "src_b")
   }

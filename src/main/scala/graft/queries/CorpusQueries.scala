@@ -106,8 +106,10 @@ object CorpusQueries {
        |           PARTITION BY source ORDER BY h) AS rn FROM sh)
        |       WHERE rn <= $OverlapK),
        |pp AS (SELECT a.source AS src_a, b.source AS src_b
-       |       FROM (SELECT DISTINCT source FROM sh) a
-       |       JOIN (SELECT DISTINCT source FROM sh) b
+       |       FROM (SELECT DISTINCT source FROM documents
+       |             WHERE source IS NOT NULL) a
+       |       JOIN (SELECT DISTINCT source FROM documents
+       |             WHERE source IS NOT NULL) b
        |         ON a.source < b.source),
        |u AS (SELECT src_a, src_b, h,
        |        max(in_a) AS in_a, max(in_b) AS in_b FROM (
@@ -122,10 +124,16 @@ object CorpusQueries {
        |est AS (SELECT src_a, src_b, count(*) AS k_used,
        |          sum(CASE WHEN in_a = 1 AND in_b = 1
        |              THEN 1 ELSE 0 END) AS n_both
-       |        FROM rk WHERE rn <= $OverlapK GROUP BY 1, 2)
-       |SELECT src_a, src_b, k_used, CAST(n_both AS BIGINT) AS n_both,
-       |  ${sig("CAST(n_both AS DOUBLE) / k_used")} AS est_jaccard
-       |FROM est ORDER BY src_a, src_b""".stripMargin
+       |        FROM rk WHERE rn <= $OverlapK GROUP BY 1, 2),
+       |j AS (SELECT pp.src_a, pp.src_b,
+       |        coalesce(est.k_used, 0) AS k_used,
+       |        CAST(coalesce(est.n_both, 0) AS BIGINT) AS n_both
+       |      FROM pp LEFT JOIN est
+       |        ON est.src_a = pp.src_a AND est.src_b = pp.src_b)
+       |SELECT src_a, src_b, k_used, n_both,
+       |  ${sig("CASE WHEN k_used > 0 THEN CAST(n_both AS DOUBLE) / k_used END")}
+       |    AS est_jaccard
+       |FROM j ORDER BY src_a, src_b""".stripMargin
 
   val corpusBudgetSql: String = {
     val vals = BudgetWeights.toSeq.sortBy(_._1)

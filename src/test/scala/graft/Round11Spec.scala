@@ -37,6 +37,14 @@ class Round11Spec extends SparkSpec {
       .where(col("src_a") === "c" && col("src_b") === "d")
       .select("jaccard").collect().head
     assert(cd.isNullAt(0))
+    // the KMV sketch twin applies the same zero-gram-source rule
+    val sk = Corpus.sourceOverlapSketch(df, "source", "text", n = 3,
+        k = 16).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.isNullAt(4)))).toMap
+    assert(sk.size === 6)
+    assert(sk(("c", "d")) === ((0L, 0L, true))) // k_used 0, est NULL
+    assert(sk(("a", "b"))._1 > 0L)
   }
 
   test("fdDiscover: nullable lhs can still report holds=true over " +
