@@ -36,6 +36,23 @@ object UrlQueries {
       UrlOps.domainCap(
         UrlOps.synthUrl(t(s, dir, "documents"), "doc_id"),
         "url", "doc_id", DomainCap)),
+    // per-domain quality datasheet: which domains feed garbage —
+    // the domain fold joined to the text quality score, one
+    // aggregation (avg quality + low-quality share per domain);
+    // thresholds compare the sig5-rounded score on both engines
+    "text_quality_by_domain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val d = UrlOps.withDomain(UrlOps.synthUrl(docs, "doc_id"), "url")
+      val q = graft.ops.TextStats.quality(docs, "doc_id", "text")
+        .select(col("doc_id"), col("quality"))
+      d.select(col("doc_id"), col("domain")).join(q, Seq("doc_id"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_docs"),
+          Sig.sig5(avg(col("quality"))).as("avg_quality"),
+          Sig.sig5(sum(when(col("quality") < 0.5, 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("low_quality_share"))
+        .orderBy("domain")
+    }),
     // crawl-side URL junk filter with loud reason accounting over a
     // deliberately dirty fixture (deep paths, param spam, calendar
     // pages): the oracle re-derives the strings AND replays the
@@ -168,7 +185,31 @@ object UrlQueries {
       s"  ${sig("CAST(n_urls AS DOUBLE) / td")} AS share\n" +
       "FROM a, t ORDER BY reason"
 
+  /** Domain fold + the text-quality formula (the sample_quota oracle's
+    * expression), sig5 applied per doc BEFORE the aggregate exactly
+    * as [[graft.ops.TextStats.quality]] rounds in-plan. */
+  val textQualityByDomainSql: String = {
+    val f = Shared.stopOr("x", Shared.enStops)
+    val quality = sig("CAST(least(nt, 100) AS DOUBLE) / 100.0 * 0.3 " +
+      "+ CAST(ns AS DOUBLE) / nt * 0.4 + CAST(nd AS DOUBLE) / nt * 0.3")
+    s"""WITH $urlCte, $hostCte,
+       |e AS (SELECT doc_id, domain, len(t) AS nt,
+       |        len(list_distinct(t)) AS nd,
+       |        len(list_filter(t, x -> $f)) AS ns
+       |      FROM (SELECT doc_id, domain, string_split(text, ' ') AS t
+       |            FROM d)),
+       |q AS (SELECT doc_id, domain, $quality AS quality FROM e),
+       |a AS (SELECT domain, count(*) AS n_docs, avg(quality) AS aq,
+       |        CAST(sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END)
+       |          AS DOUBLE) / count(*) AS lows
+       |      FROM q GROUP BY domain)
+       |SELECT domain, n_docs, ${sig("aq")} AS avg_quality,
+       |  ${sig("lows")} AS low_quality_share
+       |FROM a ORDER BY domain""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_quality_by_domain" -> textQualityByDomainSql,
     "text_domains" -> textDomainsSql,
     "sample_domain_cap" -> sampleDomainCapSql,
     "sample_domain_cap_hash" -> sampleDomainCapHashSql,
