@@ -145,6 +145,60 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** [[ngramJaccardPairs]] with a BLOCKING key: candidate pairs are
+    * generated only within a block (language, registrable domain,
+    * source …) — the standard crawl-dedup partition. Not a post-hoc
+    * filter: the block rides the shingle-join KEY, so a shingle hot
+    * across blocks (boilerplate shared by every language) never
+    * generates cross-block candidates, and the df cap applies at the
+    * block granularity (a gram can be boilerplate in one language
+    * and meaningful in another). At corpus scale this is the
+    * difference between one global inverted index and B independent
+    * ones that shuffle and skew separately. */
+  def ngramJaccardPairsBlocked(df: DataFrame, idCol: String,
+      textCol: String, blockCol: String, n: Int = 3,
+      minJaccard: Double = 0.5, maxDf: Option[Long] = None)
+      : DataFrame = {
+    // same two-projection gram derivation as hashedGramFrame (see
+    // its O(tokens²) warning) with the block value carried through
+    val hw = df.select(col(idCol).as("id"),
+      col(blockCol).cast("string").as("blk"),
+      transform(split(col(textCol), " "), t => xxhash64(t)).as("hw"))
+    val a = col("hw")
+    val grams = transform(sequence(lit(0), size(a) - n), i =>
+      xxhash64((0 until n).map(k => element_at(a, i + k + 1)): _*))
+    val guarded = when(size(a) >= n, grams)
+      .otherwise(array().cast("array<bigint>"))
+    val sh0 = hw.select(col("id"), col("blk"),
+      explode(array_distinct(guarded)).as("shingle"))
+    val sh = maxDf match {
+      case None => sh0
+      case Some(cap) =>
+        val hot = sh0.groupBy("blk", "shingle")
+          .agg(count(lit(1)).as("df")).where(col("df") > cap)
+          .select("blk", "shingle")
+        sh0.join(broadcast(hot), Seq("blk", "shingle"), "left_anti")
+    }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.shingle") === col("b.shingle") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.blk").as("block"), col("a.id").as("id_a"),
+        col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+        Seq("id_b"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select("block", "id_a", "id_b", "jaccard")
+      .orderBy("block", "id_a", "id_b")
+  }
+
   /** Per-source exact-duplicate profile — "WHICH source is
     * internally duplicated": per source, rows, distinct texts, rows
     * belonging to a within-source duplicate group and the dup share.

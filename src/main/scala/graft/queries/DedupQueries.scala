@@ -20,6 +20,14 @@ object DedupQueries {
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf))),
+    // LANGUAGE-blocked near-dup: candidates generated only within a
+    // block (the block rides the shingle-join key, df cap per block)
+    // — the crawl-dedup partition; the oracle replays the blocked
+    // join, so cross-block pair suppression must be exact
+    "dedup_ngram_blocked" -> ((s, dir) =>
+      Dedup.ngramJaccardPairsBlocked(t(s, dir, "documents"), "doc_id",
+        "text", "lang", n = 3, minJaccard = 0.5,
+        maxDf = Some(NgramMaxDf))),
     // asymmetric containment reuse: Jaccard is structurally blind to
     // short-in-long quotes, so the fixture synthesizes them
     // deterministically (the null_association precedent): every 17th
@@ -473,11 +481,40 @@ object DedupQueries {
     * window. v² sums are integer-exact in doubles (< 2⁵³), so the
     * RMS is bit-identical regardless of summation order. */
 
+  /** Blocked mirror of [[Shared.ngramSql]]: the block (lang) rides
+    * the shingle-join key and the df cap applies per block. */
+  val dedupNgramBlockedSql: String =
+    s"""WITH sh0 AS (
+       |  SELECT id, blk, unnest(grams) AS shingle FROM (
+       |    SELECT doc_id AS id, lang AS blk,
+       |      list_distinct(list_transform(range(1, len(w) - 1),
+       |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+       |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS w
+       |          FROM documents))),
+       |hot AS (SELECT blk, shingle FROM sh0 GROUP BY blk, shingle
+       |        HAVING count(*) > $NgramMaxDf),
+       |sh AS (SELECT * FROM sh0 WHERE NOT EXISTS (
+       |    SELECT 1 FROM hot
+       |    WHERE hot.blk = sh0.blk AND hot.shingle = sh0.shingle)),
+       |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+       |pr AS (SELECT a.blk AS block, a.id AS id_a, b.id AS id_b,
+       |         count(*) AS inter
+       |       FROM sh a JOIN sh b ON a.blk = b.blk
+       |         AND a.shingle = b.shingle AND a.id < b.id
+       |       GROUP BY a.blk, a.id, b.id)
+       |SELECT pr.block, pr.id_a, pr.id_b,
+       |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+       |FROM pr JOIN sz sa ON sa.id = pr.id_a
+       |  JOIN sz sb ON sb.id = pr.id_b
+       |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+       |ORDER BY block, id_a, id_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_ngram" -> dedupNgramSql,
+    "dedup_ngram_blocked" -> dedupNgramBlockedSql,
     "dedup_fuzzy" -> dedupFuzzySql,
     "dedup_minhash" -> dedupMinhashSql,
     "dedup_containment" -> dedupContainmentSql,

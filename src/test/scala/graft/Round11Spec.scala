@@ -234,6 +234,38 @@ class Round11Spec extends SparkSpec {
     assert(r.map(_.getString(0)).toSeq === Seq("too_deep"))
   }
 
+  test("ngramJaccardPairsBlocked equals the unblocked pairs filtered " +
+      "to same-block (no cap), and suppresses cross-block candidates") {
+    val s = spark
+    import s.implicits._
+    import graft.ops.Dedup
+    // duplicate texts planted ACROSS blocks: same text in en and fr
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, "en", base), (2L, "en", base + " iota"),
+      (3L, "fr", base), (4L, "fr", base + " iota"),
+      (5L, "en", "one two three four five six seven"),
+      (6L, "de", base))
+      .toDF("doc_id", "lang", "text")
+    val blocked = Dedup.ngramJaccardPairsBlocked(df, "doc_id", "text",
+        "lang", n = 3, minJaccard = 0.3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val langOf = df.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        n = 3, minJaccard = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a2, b2, _) => langOf(a2) == langOf(b2) }
+      .map { case (a2, b2, j) => (langOf(a2), a2, b2, j) }.toSet
+    assert(blocked === want)
+    // the cross-block duplicates (1,3), (1,6), (3,6)… are suppressed
+    assert(!blocked.exists { case (_, a2, b2, _) =>
+      langOf(a2) != langOf(b2) })
+    assert(blocked.contains(("en", 1L, 2L,
+      blocked.find(p => p._2 == 1L && p._3 == 2L).get._4)))
+  }
+
   test("privacySection passes only at the strictest candidate k") {
     val curve = Seq((2L, 0L, 0L, 0.0), (10L, 3L, 12L, 0.1))
     // smallest group 5 satisfies k=2 but NOT k=10 → must fail
