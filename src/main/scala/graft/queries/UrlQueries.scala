@@ -36,6 +36,15 @@ object UrlQueries {
       UrlOps.domainCap(
         UrlOps.synthUrl(t(s, dir, "documents"), "doc_id"),
         "url", "doc_id", DomainCap)),
+    // domain-mix drift between the even/odd doc slices: PSI + TVD
+    // over the registrable-domain distribution — "did the crawl's
+    // composition change" one level above the lang column
+    "drift_domains" -> ((s, dir) => {
+      val d = UrlOps.withDomain(
+        UrlOps.synthUrl(t(s, dir, "documents"), "doc_id"), "url")
+      graft.ops.Drift.categoricalDrift(d, "domain_mix", col("domain"),
+        pmod(col("doc_id"), lit(2L)))
+    }),
     // per-domain quality datasheet: which domains feed garbage —
     // the domain fold joined to the text quality score, one
     // aggregation (avg quality + low-quality share per domain);
@@ -208,7 +217,28 @@ object UrlQueries {
        |FROM a ORDER BY domain""".stripMargin
   }
 
+  /** Laplace-smoothed PSI/TVD over the re-derived domain buckets —
+    * the categoricalDrift formula on the urlCte/hostCte fold. */
+  val driftDomainsSql: String =
+    s"""WITH $urlCte, $hostCte,
+       |c AS (SELECT domain AS b,
+       |    sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+       |    sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+       |  FROM d GROUP BY 1),
+       |t2 AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+       |    CAST(sum(cb) AS DOUBLE) AS nb,
+       |    CAST(count(*) AS DOUBLE) AS k FROM c),
+       |s2 AS (SELECT (ca + 0.5) / (na + 0.5 * k) AS p,
+       |    (cb + 0.5) / (nb + 0.5 * k) AS q, na, nb, k FROM c, t2)
+       |SELECT 'domain_mix' AS dim, CAST(min(na) AS BIGINT) AS n_a,
+       |  CAST(min(nb) AS BIGINT) AS n_b,
+       |  CAST(min(k) AS BIGINT) AS n_buckets,
+       |  ${sig("sum((p - q) * ln(p / q))")} AS psi,
+       |  ${sig("sum(abs(p - q)) / 2.0")} AS tvd
+       |FROM s2""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "drift_domains" -> driftDomainsSql,
     "text_quality_by_domain" -> textQualityByDomainSql,
     "text_domains" -> textDomainsSql,
     "sample_domain_cap" -> sampleDomainCapSql,
