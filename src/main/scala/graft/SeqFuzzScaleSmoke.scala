@@ -133,6 +133,45 @@ object SeqFuzzScaleSmoke {
       println(s"[seqfuzz-smoke]   hashed images = $n")
     }
 
+    // `blocked` — global vs LANGUAGE-blocked near-dup candidate
+    // generation at `rows` docs: same fixture (per-lang content
+    // windows force within-lang near-dups; shared boilerplate gram
+    // appears in EVERY lang), so the blocked index must suppress the
+    // cross-lang candidates the global one pays for.
+    if (phases("blocked")) {
+      val langs = 5L
+      val docs = spark.range(rows).select(
+        col("id").as("doc_id"),
+        concat(lit("l"), pmod(col("id"), lit(langs))).as("lang"),
+        // ~50-token docs; near-dup neighbors share a content window
+        // WITHIN a lang; +boilerplate trigram shared across langs
+        concat_ws(" ",
+          (0 until 40).map(j =>
+            concat(lit(s"w${j}_"), pmod(col("id"), lit(langs)),
+              // integer div (Column./ is DOUBLE division — the
+              // BASELINE r10 content-id lesson)
+              lit("_"), expr(s"id div ${langs * 3L}"))) ++
+            // sub-cap CROSS-LANG template grams (df ≈ 100 ≪ cap):
+            // candidate-pair fuel the global index pays for and the
+            // blocked index prunes — they never pass the Jaccard
+            // threshold, so they are pure candidate overhead
+            (0 until 5).map(j =>
+              concat(lit(s"tpl${j}_"), expr("id div 100"))): _*)
+          .as("text"))
+        .transform(graft.ops.Materialize.materialize)
+      val g = timed(s"GLOBAL ngram pairs over $rows docs") {
+        graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, minJaccard = 0.5, maxDf = Some(1000L)).count()
+      }
+      println(s"[seqfuzz-smoke]   global pairs = $g")
+      val b = timed(s"LANG-blocked ngram pairs over $rows docs") {
+        graft.ops.Dedup.ngramJaccardPairsBlocked(docs, "doc_id",
+          "text", "lang", n = 3, minJaccard = 0.5,
+          maxDf = Some(1000L)).count()
+      }
+      println(s"[seqfuzz-smoke]   blocked pairs = $b")
+    }
+
     // `audiofp` — the audio twin of `phash`: fingerprint `pairs`
     // real 16-bit PCM WAVs (~280 samples each). Cost shape is the
     // same codec mapPartitions boundary + an 8-byte groupBy.
