@@ -36,6 +36,18 @@ object UrlQueries {
       UrlOps.domainCap(
         UrlOps.synthUrl(t(s, dir, "documents"), "doc_id"),
         "url", "doc_id", DomainCap)),
+    // the one-call corpus DATASHEET: composition, domain mix,
+    // per-lang quality, duplication and PII exposure as one
+    // long-format frame — every section an existing audited operator
+    // re-shaped; the fixture synthesizes PII and URLs so no section
+    // passes vacuously, and the oracle replays all five sections
+    // over the same synthesized corpus
+    "corpus_datasheet" -> ((s, dir) => {
+      val d = UrlOps.synthUrl(
+        graft.ops.Pii.synthPii(t(s, dir, "documents"), "doc_id",
+          "text"), "doc_id")
+      graft.ops.Datasheet.corpusDatasheet(d, urlCol = Some("url"))
+    }),
     // domain-mix drift between the even/odd doc slices: PSI + TVD
     // over the registrable-domain distribution — "did the crawl's
     // composition change" one level above the lang column
@@ -237,7 +249,147 @@ object UrlQueries {
        |  ${sig("sum(abs(p - q)) / 2.0")} AS tvd
        |FROM s2""".stripMargin
 
+  /** Five-section datasheet replay over the SAME synthesized corpus
+    * (PII-augmented text + doc_id-derived URLs): each section's
+    * formula is the already-audited family oracle, melted to
+    * (section, entity, metric, value). */
+  val corpusDatasheetSql: String = {
+    import graft.ops.Pii.{EmailRe, Ipv4Re, PhoneRe}
+    val qual = sig("CAST(least(nt, 100) AS DOUBLE) / 100.0 * 0.3 " +
+      "+ CAST(ns AS DOUBLE) / nt * 0.4 + CAST(nd AS DOUBLE) / nt * 0.3")
+    val f = Shared.stopOr("x", Shared.enStops)
+    def arm(section: String, entity: String, metric: String,
+        value: String, from: String): String =
+      s"SELECT '$section' AS section, $entity AS entity, " +
+        s"'$metric' AS metric, $value AS value FROM $from"
+    val arms = Seq(
+      arm("corpus", "source", "n_docs", "CAST(n_docs AS DOUBLE)", "man"),
+      arm("corpus", "source", "n_tokens", "CAST(n_tokens AS DOUBLE)",
+        "man"),
+      arm("corpus", "source", "n_chars", "CAST(n_chars AS DOUBLE)",
+        "man"),
+      arm("corpus", "source", "doc_share",
+        sig("CAST(n_docs AS DOUBLE) / td"), "man, mant"),
+      arm("domains", "domain", "n_docs", "CAST(n_docs AS DOUBLE)",
+        "domr"),
+      arm("domains", "domain", "n_tokens", "CAST(n_tokens AS DOUBLE)",
+        "domr"),
+      arm("domains", "domain", "n_hosts", "CAST(n_hosts AS DOUBLE)",
+        "domr"),
+      arm("domains", "domain", "doc_share", "doc_share", "domr"),
+      arm("domains", "domain", "is_hot",
+        s"CAST(CASE WHEN doc_share > $HotShare THEN 1 ELSE 0 END " +
+          "AS DOUBLE)", "domr"),
+      arm("quality", "lang", "avg_quality", "avg_quality", "ql"),
+      arm("quality", "lang", "low_quality_share", "low_quality_share",
+        "ql"),
+      arm("dedup", "'__corpus__'", "n_rows", "CAST(n_rows AS DOUBLE)",
+        "dd"),
+      arm("dedup", "'__corpus__'", "n_distinct",
+        "CAST(n_distinct AS DOUBLE)", "dd"),
+      arm("dedup", "'__corpus__'", "n_dup_rows",
+        "CAST(n_dup_rows AS DOUBLE)", "dd"),
+      arm("dedup", "'__corpus__'", "n_dup_groups",
+        "CAST(n_dup_groups AS DOUBLE)", "dd"),
+      arm("pii", "'__corpus__'", "n_docs", "CAST(n_docs AS DOUBLE)",
+        "pt"),
+      arm("pii", "'__corpus__'", "n_docs_with_pii",
+        "CAST(n_docs_with_pii AS DOUBLE)", "pt"),
+      arm("pii", "'__corpus__'", "n_emails",
+        "CAST(n_emails AS DOUBLE)", "pt"),
+      arm("pii", "'__corpus__'", "n_ips", "CAST(n_ips AS DOUBLE)",
+        "pt"),
+      arm("pii", "'__corpus__'", "n_phones",
+        "CAST(n_phones AS DOUBLE)", "pt"))
+    s"""WITH base AS (SELECT doc_id, source, lang, text ||
+       |    CASE WHEN doc_id % 3 >= 1 THEN ' mail user' ||
+       |      CAST(doc_id AS VARCHAR) || 'a@mail.example.com'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 3 = 2 THEN ' cc user' ||
+       |      CAST(doc_id AS VARCHAR) || 'b@mail.example.com'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 2 = 0 THEN ' from 10.' ||
+       |      CAST(doc_id % 200 AS VARCHAR) || '.0.' ||
+       |      CAST(doc_id % 250 + 1 AS VARCHAR)
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||
+       |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      ELSE '' END AS t2
+       |  FROM documents),
+       |man AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(t2, ' '))) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(sum(len(t2)) AS BIGINT) AS n_chars
+       |  FROM base GROUP BY source),
+       |mant AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS td FROM man),
+       |uu AS (SELECT doc_id, t2,
+       |    'https://' ||
+       |    CASE WHEN doc_id % 3 = 0 THEN 'www.'
+       |         WHEN doc_id % 3 = 1 THEN 'cdn' || (doc_id % 5) || '.'
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 10 < 4 THEN 'hub' || (doc_id % 2)
+       |         ELSE 'site' || (doc_id % 97) END || '.' ||
+       |    CASE WHEN doc_id % 7 <= 2 THEN 'com'
+       |         WHEN doc_id % 7 <= 4 THEN 'org'
+       |         WHEN doc_id % 7 = 5 THEN 'net' ELSE 'io' END
+       |      AS url FROM base),
+       |hh AS (SELECT doc_id, t2,
+       |    regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host
+       |  FROM uu),
+       |ddm AS (SELECT doc_id, t2, host,
+       |    hl[len(hl)-1] || '.' || hl[len(hl)] AS domain FROM (
+       |    SELECT doc_id, t2, host, string_split(host, '.') AS hl
+       |    FROM hh)),
+       |doma AS (SELECT domain, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(t2, ' '))) AS BIGINT)
+       |      AS n_tokens,
+       |    count(DISTINCT host) AS n_hosts
+       |  FROM ddm GROUP BY domain),
+       |doms AS (SELECT domain, n_docs, n_tokens, n_hosts,
+       |    CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS sh
+       |  FROM doma),
+       |domr AS (SELECT domain, n_docs, n_tokens, n_hosts,
+       |    ${sig("sh")} AS doc_share FROM doms),
+       |qe AS (SELECT lang, len(tk) AS nt,
+       |    len(list_distinct(tk)) AS nd,
+       |    len(list_filter(tk, x -> $f)) AS ns
+       |  FROM (SELECT lang, string_split(t2, ' ') AS tk FROM base)),
+       |qq AS (SELECT lang, $qual AS quality FROM qe),
+       |ql AS (SELECT lang,
+       |    ${sig("avg(quality)")} AS avg_quality,
+       |    ${sig("CAST(sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")}
+       |      AS low_quality_share
+       |  FROM qq GROUP BY lang),
+       |dg AS (SELECT t2, count(*) AS c FROM base GROUP BY t2),
+       |dd AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+       |    count(*) AS n_distinct,
+       |    CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+       |      AS BIGINT) AS n_dup_rows,
+       |    CAST(coalesce(sum(CASE WHEN c > 1 THEN 1 END), 0)
+       |      AS BIGINT) AS n_dup_groups
+       |  FROM dg),
+       |pd AS (SELECT
+       |    CAST(len(regexp_extract_all(t2, '$EmailRe')) AS BIGINT)
+       |      AS ne,
+       |    CAST(len(regexp_extract_all(t2, '$Ipv4Re')) AS BIGINT)
+       |      AS ni,
+       |    CAST(len(regexp_extract_all(t2, '$PhoneRe')) AS BIGINT)
+       |      AS np
+       |  FROM base),
+       |pt AS (SELECT count(*) AS n_docs,
+       |    CAST(sum(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_docs_with_pii,
+       |    CAST(sum(ne) AS BIGINT) AS n_emails,
+       |    CAST(sum(ni) AS BIGINT) AS n_ips,
+       |    CAST(sum(np) AS BIGINT) AS n_phones
+       |  FROM pd)
+       |${arms.mkString("\nUNION ALL\n")}
+       |ORDER BY section, entity, metric""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "corpus_datasheet" -> corpusDatasheetSql,
     "drift_domains" -> driftDomainsSql,
     "text_quality_by_domain" -> textQualityByDomainSql,
     "text_domains" -> textDomainsSql,

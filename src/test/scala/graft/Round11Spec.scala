@@ -266,6 +266,35 @@ class Round11Spec extends SparkSpec {
       blocked.find(p => p._2 == 1L && p._3 == 2L).get._4)))
   }
 
+  test("corpusDatasheet: sections are internally consistent " +
+      "(doc totals agree, shares sum to 1, PII arms fire)") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val d = graft.ops.UrlOps.synthUrl(
+      graft.ops.Pii.synthPii(docs, "doc_id", "text"), "doc_id")
+    val rows = graft.ops.Datasheet
+      .corpusDatasheet(d, urlCol = Some("url")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(3)))
+    def sect(sec: String, m: String) =
+      rows.filter(r => r._1 == sec && r._3 == m).map(_._4)
+    val nDocs = docs.count().toDouble
+    assert(sect("corpus", "n_docs").sum === nDocs)
+    assert(sect("domains", "n_docs").sum === nDocs)
+    assert(sect("dedup", "n_rows").sum === nDocs)
+    assert(sect("pii", "n_docs").sum === nDocs)
+    assert(math.abs(sect("corpus", "doc_share").sum - 1.0) < 1e-3)
+    assert(math.abs(sect("domains", "doc_share").sum - 1.0) < 1e-2)
+    // PII synthesis guarantees hits (2/3 of docs get an email)
+    assert(sect("pii", "n_docs_with_pii").head > 0)
+    assert(sect("pii", "n_emails").head > 0)
+    // every section present
+    assert(rows.map(_._1).distinct.sorted.toSeq ===
+      Seq("corpus", "dedup", "domains", "pii", "quality"))
+  }
+
   test("privacySection passes only at the strictest candidate k") {
     val curve = Seq((2L, 0L, 0L, 0.0), (10L, 3L, 12L, 0.1))
     // smallest group 5 satisfies k=2 but NOT k=10 → must fail
