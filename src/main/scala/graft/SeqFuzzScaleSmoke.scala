@@ -172,6 +172,29 @@ object SeqFuzzScaleSmoke {
       println(s"[seqfuzz-smoke]   blocked pairs = $b")
     }
 
+    // `datasheet` — the one-call corpus datasheet end-to-end at
+    // `rows` docs (5 sections: manifest, domains, per-lang quality,
+    // exact dedup, PII regex sweep). The PII regex projection is the
+    // expected dominant term (3 regexes × corpus); everything else
+    // is one hash aggregation per section.
+    if (phases("datasheet")) {
+      val docs = spark.range(rows).select(
+        col("id").as("doc_id"),
+        concat(lit("s"), pmod(col("id"), lit(20L))).as("source"),
+        concat(lit("l"), pmod(col("id"), lit(7L))).as("lang"),
+        concat_ws(" ", (0 until 30).map(j =>
+          concat(lit(s"tok${j}_"), pmod(col("id"), lit(5000L)))): _*)
+          .as("text"))
+        .transform(graft.ops.Materialize.materialize)
+      val d = graft.ops.UrlOps.synthUrl(
+        graft.ops.Pii.synthPii(docs, "doc_id", "text"), "doc_id")
+      val n = timed(s"corpusDatasheet over $rows docs (5 sections)") {
+        graft.ops.Datasheet
+          .corpusDatasheet(d, urlCol = Some("url")).count()
+      }
+      println(s"[seqfuzz-smoke]   datasheet rows = $n")
+    }
+
     // `audiofp` — the audio twin of `phash`: fingerprint `pairs`
     // real 16-bit PCM WAVs (~280 samples each). Cost shape is the
     // same codec mapPartitions boundary + an 8-byte groupBy.

@@ -181,6 +181,47 @@ object HtmlReport {
          |${trs.mkString("\n")}</table></div>""".stripMargin
     }
 
+  /** Standalone corpus-datasheet DOCUMENT from the melted
+    * [[graft.ops.Datasheet.corpusDatasheet]] rows: one card per
+    * section, entities as table rows, metrics as columns — the
+    * publishable "datasheets for datasets" artifact. Counts render
+    * as integers, shares as percentages, other floats as-is. */
+  def datasheetHtml(rows: Seq[(String, String, String, Double)],
+      title: String = "corpus datasheet"): String = {
+    def fmt(metric: String, v: Double): String =
+      if (metric.contains("share")) fmtPercent(v)
+      else if (v == math.floor(v) && math.abs(v) < 1e15)
+        fmtNumber(v)
+      else f"$v%.5g"
+    val cards = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (section, rs) =>
+        val metrics = rs.map(_._3).distinct.sorted
+        val ents = rs.groupBy(_._2).toSeq.sortBy(_._1)
+        val head = metrics.map(m => s"<th>${esc(m)}</th>")
+          .mkString
+        val trs = ents.map { case (e, er) =>
+          val vals = er.map(r => r._3 -> r._4).toMap
+          val tds = metrics.map(m => "<td>" +
+            vals.get(m).map(fmt(m, _)).getOrElse("") + "</td>")
+          s"<tr><td>${esc(e)}</td>${tds.mkString}</tr>"
+        }
+        s"""<div class="card"><h2>${esc(section)}</h2>
+           |<table class="freq"><tr><th>entity</th>$head</tr>
+           |${trs.mkString("\n")}</table></div>""".stripMargin
+    }
+    s"""<!DOCTYPE html><html><head><meta charset="utf-8">
+       |<title>${esc(title)}</title><style>
+       |body{font-family:sans-serif;margin:2em;background:#fafafa}
+       |.card{background:#fff;border:1px solid #ddd;border-radius:6px;
+       |  padding:1em;margin-bottom:1em}
+       |table.freq{border-collapse:collapse}
+       |table.freq td,table.freq th{border:1px solid #eee;
+       |  padding:2px 8px}
+       |</style></head><body><h1>${esc(title)}</h1>
+       |${cards.mkString("\n")}
+       |</body></html>""".stripMargin
+  }
+
   /** Metric-history anomaly section:
     * [[graft.profiler.ProfileStore.metricAnomaly]] output rows
     * (part, col_name, metric, z, anomalous) — "which ingest day

@@ -157,4 +157,22 @@ class ReportSpec extends SparkSpec {
     if (nHot > 0) assert(html.contains("HOT"))
     assert(!graft.report.HtmlReport.render(p).contains("Domain mix"))
   }
+
+  test("datasheet document renders every section from real " +
+      "corpusDatasheet rows") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val d = graft.ops.UrlOps.synthUrl(
+      graft.ops.Pii.synthPii(docs, "doc_id", "text"), "doc_id")
+    val rows = graft.ops.Datasheet
+      .corpusDatasheet(d, urlCol = Some("url")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getDouble(3))).toSeq
+    val html = graft.report.HtmlReport.datasheetHtml(rows)
+    Seq("corpus", "domains", "quality", "dedup", "pii").foreach(s0 =>
+      assert(html.contains(s"<h2>$s0</h2>"), s0))
+    assert(html.contains("doc_share"))
+    assert(html.contains("%")) // shares render as percentages
+    assert(html.contains("__corpus__"))
+  }
 }
