@@ -107,9 +107,23 @@ object Bench {
     // with the failure visible only on stderr. The median is over
     // SUCCESSFUL reps only; queries with zero successes report null
     // and every failure is counted in the "fails" map.
-    val results = (SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val allEntries = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) => name -> (() => { fn(spark, sfDir).collect(); () })
-    } ++ flagship).filter(e => selected(e._1)).map { case (name, run) =>
+    } ++ flagship
+    // A typoed filter token (e.g. "dedupe") must fail LOUDLY, not
+    // complete and write a vacuous bench_full.json with families:[]
+    // that only the filtered:true flag hints at. Every token must
+    // match a known query name or family.
+    only.foreach { o =>
+      val names = allEntries.map(_._1).toSet
+      val unmatched = o.filterNot(t =>
+        names.contains(t) || names.exists(familyOf(_) == t))
+      require(unmatched.isEmpty,
+        "SPARK_GRAFT_BENCH_ONLY tokens match no query or family: " +
+          unmatched.toSeq.sorted.mkString(",") +
+          s" (families: ${names.map(familyOf).toSeq.sorted.distinct.mkString(",")})")
+    }
+    val results = allEntries.filter(e => selected(e._1)).map { case (name, run) =>
       val samples = (1 to reps).map { i =>
         val t0 = System.nanoTime()
         val ok =

@@ -103,17 +103,23 @@ object Dedup {
     * access — O(tokens²) per document (see the shingleIndex note; do
     * not "simplify" the two selects into one). */
   private[ops] def hashedGramFrame(df: DataFrame, idCol: String,
-      textCol: String, n: Int, distinct: Boolean): DataFrame = {
-    val hw = df.select(col(idCol).as("id"),
-      transform(split(col(textCol), " "), t => xxhash64(t)).as("hw"))
+      textCol: String, n: Int, distinct: Boolean,
+      carry: Seq[(String, Column)] = Nil): DataFrame = {
+    // `carry` threads extra per-doc columns (e.g. a blocking key)
+    // through both projections so blocked variants share THIS
+    // derivation instead of re-implementing it (a change here must
+    // reach every gram consumer and its oracle).
+    val hw = df.select(col(idCol).as("id") +:
+      carry.map { case (nm, c) => c.as(nm) } :+
+      transform(split(col(textCol), " "), t => xxhash64(t)).as("hw"): _*)
     val a = col("hw")
     val grams = transform(sequence(lit(0), size(a) - n), i =>
       xxhash64((0 until n).map(k => element_at(a, i + k + 1)): _*))
     val guarded = when(size(a) >= n, grams)
       .otherwise(array().cast("array<bigint>"))
-    hw.select(col("id"),
+    hw.select(col("id") +: carry.map(c => col(c._1)) :+
       explode(if (distinct) array_distinct(guarded) else guarded)
-        .as("shingle"))
+        .as("shingle"): _*)
   }
 
   /** EXACT n-gram Jaccard near-duplicate pairs via inverted-index
@@ -159,18 +165,12 @@ object Dedup {
       textCol: String, blockCol: String, n: Int = 3,
       minJaccard: Double = 0.5, maxDf: Option[Long] = None)
       : DataFrame = {
-    // same two-projection gram derivation as hashedGramFrame (see
-    // its O(tokens²) warning) with the block value carried through
-    val hw = df.select(col(idCol).as("id"),
-      col(blockCol).cast("string").as("blk"),
-      transform(split(col(textCol), " "), t => xxhash64(t)).as("hw"))
-    val a = col("hw")
-    val grams = transform(sequence(lit(0), size(a) - n), i =>
-      xxhash64((0 until n).map(k => element_at(a, i + k + 1)): _*))
-    val guarded = when(size(a) >= n, grams)
-      .otherwise(array().cast("array<bigint>"))
-    val sh0 = hw.select(col("id"), col("blk"),
-      explode(array_distinct(guarded)).as("shingle"))
+    // the shared gram derivation with the block value carried
+    // through — the df cap below is block-granular (a gram can be
+    // boilerplate in one language and meaningful in another), so it
+    // cannot reuse shingleIndex's global cap
+    val sh0 = hashedGramFrame(df, idCol, textCol, n, distinct = true,
+      carry = Seq("blk" -> col(blockCol).cast("string")))
     val sh = maxDf match {
       case None => sh0
       case Some(cap) =>

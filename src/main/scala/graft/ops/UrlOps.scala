@@ -103,18 +103,6 @@ object UrlOps {
       .orderBy("domain", "rnk")
   }
 
-  /** LARGE-cap production twin of [[domainCap]] — measured at 20M
-    * docs / cap 100k: the bounded heap pays an O(cap) array insert
-    * per row (30.3 s, beaten even by the 6.9 s per-domain sort
-    * window), because it is a SMALL-k structure; the right large-cap
-    * plan is the [[Sampling.quotaSampleByHash]] shape — one
-    * (domain, minstd-bucket) histogram, a window over only the
-    * O(domains × buckets) aggregate, then a bucket-threshold filter
-    * of the corpus (measured 7.4 s at the same scale, and the gap
-    * widens with cap since no per-row O(cap) term exists). Selection
-    * is reproducible (minstd-bucket order + id tie-break) but NOT
-    * rank-annotated — the audit form emits ranks, this form emits
-    * the kept ROWS, which is what the pipeline feeds downstream. */
   /** Dirty-URL fixture for the filter query: five arms by id —
     * clean, too-deep path, session-id query spam, calendar page,
     * clean-with-one-param. Deterministic string synthesis (the
@@ -168,6 +156,18 @@ object UrlOps {
       .orderBy("reason")
   }
 
+  /** LARGE-cap production twin of [[domainCap]] — measured at 20M
+    * docs / cap 100k: the bounded heap pays an O(cap) array insert
+    * per row (30.3 s, beaten even by the 6.9 s per-domain sort
+    * window), because it is a SMALL-k structure; the right large-cap
+    * plan is the [[Sampling.quotaSampleByHash]] shape — one
+    * (domain, minstd-bucket) histogram, a window over only the
+    * O(domains × buckets) aggregate, then a bucket-threshold filter
+    * of the corpus (measured 7.4 s at the same scale, and the gap
+    * widens with cap since no per-row O(cap) term exists). Selection
+    * is reproducible (minstd-bucket order + id tie-break) but NOT
+    * rank-annotated — the audit form emits ranks, this form emits
+    * the kept ROWS, which is what the pipeline feeds downstream. */
   def domainCapHash(df: DataFrame, urlCol: String, idCol: String,
       cap: Long, buckets: Int = 8192): DataFrame = {
     val d = withDomain(df, urlCol)

@@ -188,9 +188,14 @@ object HtmlReport {
     * as integers, shares as percentages, other floats as-is. */
   def datasheetHtml(rows: Seq[(String, String, String, Double)],
       title: String = "corpus datasheet"): String = {
+    // integer-vs-float decided by metric NAME, not by the value's
+    // floor equality — a float metric that happens to land on an
+    // integral value (avg_quality exactly 1.0) must not switch to
+    // integer style mid-column. Count metrics are known by
+    // convention: n_* and the is_hot flag.
     def fmt(metric: String, v: Double): String =
       if (metric.contains("share")) fmtPercent(v)
-      else if (v == math.floor(v) && math.abs(v) < 1e15)
+      else if (metric.startsWith("n_") || metric == "is_hot")
         fmtNumber(v)
       else f"$v%.5g"
     val cards = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
