@@ -124,6 +124,73 @@ object Search {
       .orderBy("doc_id")
   }
 
+  /** Adjacent-bigram frame (doc, w1, w2), one row per OCCURRENCE —
+    * the shared derivation for bigram LM training and scoring. Two
+    * projections on purpose: `w` is referenced more than once, so
+    * CollapseProject keeps the split() out of the transform lambda
+    * (the hashedGramFrame O(tokens²) note applies verbatim). */
+  private def bigramPairs(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("w"))
+      .select(col("doc_id"), explode(when(size(col("w")) >= 2,
+          expr("transform(sequence(0, size(w)-2)," +
+            " i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+        .otherwise(expr(
+          "CAST(array() AS array<struct<w1:string,w2:string>>)")))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+
+  /** Interpolated bigram Kneser–Ney document scoring (Kneser & Ney
+    * 1995; Chen & Goodman 1999) — the CCNet-style LM-perplexity
+    * filter: train the LM on a REFERENCE slice, score every document
+    * by per-bigram negative log-likelihood, keep the in-distribution
+    * tail. Unlike [[unigramNll]] (self-scored, smoothing-free), this
+    * is the cross-corpus form, so unseen events are first-class:
+    *
+    *   P(w2|w1) = (max(c(w1w2)−D, 0) + D·N1+(w1·)·Pcont(w2)) / c(w1·)
+    *   Pcont(w2) = N1+(·w2) / N1+(··)      (continuation probability)
+    *
+    * with c(w1·) unseen → back off to Pcont(w2) alone, and a 1e-10
+    * probability floor for tokens the model has never seen in any
+    * role (deterministic — both engines floor identically).
+    *
+    * Scale shape: the MODEL is three aggregates of the training
+    * bigram stream — bigram counts (O(bigram types), Zipf-bounded),
+    * left-context totals and continuation counts (O(vocab)) — all
+    * map-side combined; scoring joins the scored corpus's bigram
+    * stream against them on token keys (the model side is the small
+    * side at corpus scale — AQE broadcasts it), and the grand total
+    * rides a 1-row broadcast. Nothing driver-side; no UDFs. */
+  def knBigramNll(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75): DataFrame = {
+    val big = bigramPairs(train, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val left = big.groupBy("w1")
+      .agg(sum("c").as("c1"), count(lit(1)).as("n1f"))
+    val cont = big.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val types = big.agg(count(lit(1)).as("bi_types"))
+    val d = lit(discount)
+    val pcont = coalesce(col("n1b").cast("double"), lit(0.0)) /
+      col("bi_types")
+    val p = when(col("c1").isNotNull,
+        (greatest(coalesce(col("c").cast("double"), lit(0.0)) - d,
+          lit(0.0)) + d * col("n1f") * pcont) / col("c1"))
+      .otherwise(pcont)
+    bigramPairs(score, idCol, textCol)
+      .join(big, Seq("w1", "w2"), "left")
+      .join(left, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(types))
+      .select(col("doc_id"),
+        (-log(greatest(p, lit(1e-10)))).as("nl"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sig5(avg(col("nl"))).as("nll"),
+        sig5(exp(avg(col("nl")))).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
     * Büttcher, SIGIR 2009): fuse the lexical (BM25) and semantic
     * (embedding-cosine) rankings with score(d) = Σ 1/(rrfK + rank_d)

@@ -30,6 +30,15 @@ object TextQueries {
     // negative log-likelihood
     "text_lm_score" -> ((s, dir) =>
       Search.unigramNll(t(s, dir, "documents"), "doc_id", "text")),
+    // interpolated bigram Kneser–Ney perplexity (the cross-corpus
+    // CCNet filter proper): model trained on the non-src0 slice,
+    // EVERY doc scored — unseen contexts back off to continuation
+    // probability, never-seen tokens hit the deterministic floor
+    "text_kn_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Search.knBigramNll(docs.where(col("source") =!= "src0"),
+        docs, "doc_id", "text")
+    }),
     // ---- text analysis ----
     "text_stats" -> ((s, dir) =>
       TextStats.langStats(t(s, dir, "documents"), "text", "lang")),
@@ -695,6 +704,46 @@ object TextQueries {
        |FROM tok JOIN freq ON freq.t = tok.t, tot
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Kneser–Ney re-derivation: DuckDB's 1-based end-exclusive
+    * range(1, len(w)) enumerates the same bigram starts as Spark's
+    * sequence(0, size(w)-2); lockstep unnest of the two
+    * list_transforms zips (w1, w2) pairs. Parenthesization mirrors
+    * the Spark expression tree exactly — (D·n1f)·(n1b/T), not
+    * ((D·n1f)·n1b)/T — so the only cross-engine drift is avg()
+    * summation order, absorbed by sig5. */
+  val textKnScoreSql: String =
+    s"""WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w
+       |            FROM documents),
+       |tp AS (SELECT
+       |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+       |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+       |  FROM ws WHERE source <> 'src0'),
+       |sp AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+       |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+       |  FROM ws),
+       |big AS (SELECT w1, w2, count(*) AS c FROM tp GROUP BY w1, w2),
+       |lft AS (SELECT w1, sum(c) AS c1, count(*) AS n1f
+       |        FROM big GROUP BY w1),
+       |cont AS (SELECT w2, count(*) AS n1b FROM big GROUP BY w2),
+       |tt AS (SELECT count(*) AS bi_types FROM big),
+       |sc AS (SELECT p.doc_id,
+       |  -ln(greatest(CASE WHEN lft.c1 IS NOT NULL THEN
+       |    (greatest(coalesce(CAST(big.c AS DOUBLE), 0.0) - 0.75, 0.0)
+       |     + (0.75 * lft.n1f) *
+       |       (coalesce(CAST(cont.n1b AS DOUBLE), 0.0) / tt.bi_types))
+       |    / lft.c1
+       |  ELSE coalesce(CAST(cont.n1b AS DOUBLE), 0.0) / tt.bi_types
+       |  END, 1e-10)) AS nl
+       |  FROM sp p
+       |  LEFT JOIN big USING (w1, w2)
+       |  LEFT JOIN lft USING (w1)
+       |  LEFT JOIN cont USING (w2), tt)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |${sig("avg(nl)")} AS nll,
+       |${sig("exp(avg(nl))")} AS ppl
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val textTokensSql: String =
     s"""SELECT doc_id,
        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -925,6 +974,7 @@ object TextQueries {
     "text_bm25" -> textBm25Sql,
     "text_pii" -> textPiiSql,
     "text_lm_score" -> textLmScoreSql,
+    "text_kn_score" -> textKnScoreSql,
     "text_ngram_entropy" -> textNgramEntropySql,
     "text_pii_by_source" -> textPiiBySourceSql,
     "text_length_profile" -> textLengthProfileSql

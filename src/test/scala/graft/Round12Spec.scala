@@ -1,5 +1,6 @@
 package graft
 
+import graft.ops.Search
 import graft.report.HtmlReport
 
 /** Round-12 opening wave: pins the ADVICE fixes — datasheet metric
@@ -27,5 +28,27 @@ class Round12Spec extends SparkSpec {
     assert(html.contains("<td>12,345</td>"))
     assert(html.contains("<td>1</td>"))
     assert(html.contains("<td>25.0%</td>"))
+  }
+
+  test("knBigramNll matches the closed-form interpolated KN " +
+      "probabilities, including both backoff tiers") {
+    val s = spark
+    import s.implicits._
+    // train bigrams: (a,b)×2, (b,a)×1, (a,c)×1
+    //   c(a·)=3 N1+(a·)=2 | c(b·)=1 N1+(b·)=1 | T=3
+    //   Pcont(a)=Pcont(b)=Pcont(c)=1/3
+    val train = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (10L, "a b"), // seen bigram: (2−.75 + .75·2·⅓)/3 = 1.75/3
+      (11L, "a a"), // unseen pair, seen context: (.75·2·⅓)/3 = 1/6
+      (12L, "z q")) // fully unseen: 1e-10 floor
+      .toDF("doc_id", "text")
+    val got = Search.knBigramNll(train, score, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(10L)._1 == 1L)
+    assert(math.abs(got(10L)._2 - (-math.log(1.75 / 3.0))) < 1e-4)
+    assert(math.abs(got(11L)._2 - (-math.log(1.0 / 6.0))) < 1e-4)
+    assert(math.abs(got(12L)._2 - (-math.log(1e-10))) < 1e-4)
   }
 }
