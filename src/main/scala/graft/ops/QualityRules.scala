@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.det.Sig.sig5
+
+/** Gopher-style document-quality RULE GATE (Rae et al. 2021, "Scaling
+  * Language Models: ... Gopher", App. A — the public rule family
+  * every crawl pipeline runs before tokenization): token-count
+  * bounds, mean-word-length bounds, a minimum stop-word count and a
+  * repetition cap, applied with FIRST-failing-rule precedence and
+  * LOUD per-rule accounting (the [[UrlOps.urlFilterStats]] contract:
+  * a rule that suddenly eats 40% of a crawl must show up in a table,
+  * not vanish into a silent drop).
+  *
+  * Scale shape: two aggregations of the token stream (one per-doc
+  * projection with the split() kept out of the HOF lambdas — the
+  * hashedGramFrame CollapseProject note — and one (doc, token)
+  * count for the repetition signal), then ALL funnel arithmetic runs
+  * on the O(rules) aggregate: the rule table is a literal frame, the
+  * cumulative-survivor window orders 6 rows. Nothing driver-side
+  * grows with the corpus; no UDFs, no transcendentals in any rule
+  * DECISION (integer ratios compare identically across engines). */
+object QualityRules {
+
+  /** Rule names in evaluation order; index = first-fail precedence. */
+  val RuleNames: Seq[String] = Seq("too_few_tokens", "too_many_tokens",
+    "mean_word_length", "too_few_stopwords", "repetitive", "kept")
+
+  /** Per-document rule assignment: (doc_id, rule_idx, rule) where
+    * rule is the FIRST failing rule, or "kept". */
+  def ruleAssign(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 50L, maxTokens: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minStopwords: Long = 2L, maxTopTokenFrac: Double = 0.2)
+      : DataFrame = {
+    val en = TextStats.stopwords.toMap.apply("en")
+    val base = df.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("nt"),
+        aggregate(col("w"), lit(0L), (acc, x) => acc + length(x))
+          .as("sum_len"),
+        size(filter(col("w"), t =>
+          t.isin(en.map(x => lit(x)): _*))).cast("long").as("ns"))
+    // repetition signal: per-doc top-token share needs the (doc,
+    // token) histogram — the one row-scaled shuffle here, map-side
+    // combined on (doc_id, token)
+    val rep = df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_c"))
+    val meanWl = col("sum_len").cast("double") / col("nt")
+    val topFrac = col("top_c").cast("double") / col("nt")
+    val idx = when(col("nt") < minTokens, 0L)
+      .when(col("nt") > maxTokens, 1L)
+      .when(meanWl < minMeanWordLen || meanWl > maxMeanWordLen, 2L)
+      .when(col("ns") < minStopwords, 3L)
+      .when(topFrac > maxTopTokenFrac, 4L)
+      .otherwise(5L)
+    base.join(rep, Seq("doc_id"))
+      .select(col("doc_id"), idx.as("rule_idx"))
+  }
+
+  /** The funnel table: one row per rule (plus "kept"), with the
+    * first-fail count, its corpus share, and the number of documents
+    * SURVIVING that rule and all earlier ones — the cumulative
+    * survival curve a pipeline datasheet publishes. Every rule row
+    * is always present (zero-count rules included) via the literal
+    * rule frame. */
+  def filterFunnel(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 50L, maxTokens: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minStopwords: Long = 2L, maxTopTokenFrac: Double = 0.2)
+      : DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val counts = ruleAssign(df, idCol, textCol, minTokens, maxTokens,
+        minMeanWordLen, maxMeanWordLen, minStopwords, maxTopTokenFrac)
+      .groupBy("rule_idx").agg(count(lit(1)).as("n"))
+    val rules = RuleNames.zipWithIndex
+      .map { case (r, i) => (i.toLong, r) }.toDF("rule_idx", "rule")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("rule_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    // O(rules) frame from here on — the single-partition window
+    // orders 6 rows, never corpus rows
+    rules.join(counts, Seq("rule_idx"), "left")
+      .select(col("rule_idx"), col("rule"),
+        coalesce(col("n"), lit(0L)).as("n_docs"))
+      .withColumn("__cum", sum("n_docs").over(w))
+      .withColumn("__tot", sum("n_docs").over(
+        org.apache.spark.sql.expressions.Window
+          .rowsBetween(Long.MinValue, Long.MaxValue)))
+      .select(col("rule_idx"), col("rule"), col("n_docs"),
+        sig5(col("n_docs").cast("double") / col("__tot")).as("share"),
+        when(col("rule") === "kept", col("n_docs"))
+          .otherwise(col("__tot") - col("__cum")).as("n_surviving"))
+      .orderBy("rule_idx")
+  }
+
+  /** The keep TRANSFORM: rows whose document passes every rule —
+    * what the pipeline feeds downstream after publishing the funnel
+    * table. Same assignment, so the two can never drift. */
+  def filterDocs(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Long = 50L, maxTokens: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minStopwords: Long = 2L, maxTopTokenFrac: Double = 0.2)
+      : DataFrame = {
+    val kept = ruleAssign(df, idCol, textCol, minTokens, maxTokens,
+        minMeanWordLen, maxMeanWordLen, minStopwords, maxTopTokenFrac)
+      .where(col("rule_idx") === 5L).select(col("doc_id").as("__keep"))
+    df.join(kept, col(idCol) === col("__keep")).drop("__keep")
+  }
+}

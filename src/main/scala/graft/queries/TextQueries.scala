@@ -39,6 +39,14 @@ object TextQueries {
       Search.knBigramNll(docs.where(col("source") =!= "src0"),
         docs, "doc_id", "text")
     }),
+    // Gopher-style rule gate with first-failing-rule accounting and
+    // the cumulative survival funnel; thresholds tuned so every arm
+    // of the fixture corpus is populated
+    "text_filter_funnel" -> ((s, dir) =>
+      QualityRules.filterFunnel(t(s, dir, "documents"),
+        "doc_id", "text", minTokens = 30L, maxTokens = 90L,
+        minMeanWordLen = 3.8, maxMeanWordLen = 5.0,
+        minStopwords = 2L, maxTopTokenFrac = 0.12)),
     // ---- text analysis ----
     "text_stats" -> ((s, dir) =>
       TextStats.langStats(t(s, dir, "documents"), "text", "lang")),
@@ -744,6 +752,48 @@ object TextQueries {
        |${sig("exp(avg(nl))")} AS ppl
        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Funnel re-derivation: same per-doc signals (token count,
+    * list_sum word lengths, stop-word filter, top-token share from
+    * the (doc, token) histogram), same CASE precedence — all rule
+    * decisions are integer-ratio compares, so no sig5 is needed
+    * anywhere except the published share. */
+  val textFilterFunnelSql: String = {
+    val f = stopOr("x", enStops)
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+       |           FROM documents),
+       |e AS (SELECT doc_id, len(t) AS nt,
+       |  list_sum(list_transform(t, x -> length(x))) AS sl,
+       |  len(list_filter(t, x -> $f)) AS ns FROM d),
+       |tok AS (SELECT doc_id, unnest(t) AS w FROM d),
+       |ts AS (SELECT doc_id, max(c) AS top_c FROM (
+       |  SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id, w)
+       |  GROUP BY doc_id),
+       |fi AS (SELECT e.doc_id,
+       |  CASE WHEN nt < 30 THEN 0 WHEN nt > 90 THEN 1
+       |    WHEN CAST(sl AS DOUBLE) / nt < 3.8
+       |      OR CAST(sl AS DOUBLE) / nt > 5.0 THEN 2
+       |    WHEN ns < 2 THEN 3
+       |    WHEN CAST(top_c AS DOUBLE) / nt > 0.12 THEN 4
+       |    ELSE 5 END AS rule_idx
+       |  FROM e JOIN ts USING (doc_id)),
+       |c AS (SELECT rule_idx, count(*) AS n FROM fi GROUP BY rule_idx),
+       |r(rule_idx, rule) AS (VALUES
+       |  (0, 'too_few_tokens'), (1, 'too_many_tokens'),
+       |  (2, 'mean_word_length'), (3, 'too_few_stopwords'),
+       |  (4, 'repetitive'), (5, 'kept')),
+       |j AS (SELECT r.rule_idx, r.rule, coalesce(n, 0) AS n_docs
+       |      FROM r LEFT JOIN c USING (rule_idx))
+       |SELECT CAST(rule_idx AS BIGINT) AS rule_idx, rule,
+       |CAST(n_docs AS BIGINT) AS n_docs,
+       |${sig("CAST(n_docs AS DOUBLE) / (SELECT sum(n_docs) FROM j)")}
+       |  AS share,
+       |CAST(CASE WHEN rule = 'kept' THEN n_docs
+       |  ELSE (SELECT sum(n_docs) FROM j) - sum(n_docs)
+       |    OVER (ORDER BY rule_idx ROWS UNBOUNDED PRECEDING)
+       |  END AS BIGINT) AS n_surviving
+       |FROM j ORDER BY rule_idx""".stripMargin
+  }
+
   val textTokensSql: String =
     s"""SELECT doc_id,
        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -975,6 +1025,7 @@ object TextQueries {
     "text_pii" -> textPiiSql,
     "text_lm_score" -> textLmScoreSql,
     "text_kn_score" -> textKnScoreSql,
+    "text_filter_funnel" -> textFilterFunnelSql,
     "text_ngram_entropy" -> textNgramEntropySql,
     "text_pii_by_source" -> textPiiBySourceSql,
     "text_length_profile" -> textLengthProfileSql

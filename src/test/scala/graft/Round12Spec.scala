@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Search
+import graft.ops.{QualityRules, Search}
 import graft.report.HtmlReport
 
 /** Round-12 opening wave: pins the ADVICE fixes — datasheet metric
@@ -50,5 +50,41 @@ class Round12Spec extends SparkSpec {
     assert(math.abs(got(10L)._2 - (-math.log(1.75 / 3.0))) < 1e-4)
     assert(math.abs(got(11L)._2 - (-math.log(1.0 / 6.0))) < 1e-4)
     assert(math.abs(got(12L)._2 - (-math.log(1e-10))) < 1e-4)
+  }
+
+  test("filterFunnel assigns each doc its FIRST failing rule, keeps " +
+      "zero-count rule rows, and filterDocs equals the kept row") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // fails too_few_tokens AND stopwords — precedence picks idx 0
+      (1L, "x y z"),
+      // 5 tokens, mean word length 1 → mean_word_length (idx 2)
+      (2L, "p q r s t"),
+      // good length/wl but zero stopwords → too_few_stopwords
+      (3L, "alpha beta gamma delta hello"),
+      // stopwords ok, but one token is 3/6 of the doc → repetitive
+      (4L, "the echo echo echo is echo"),
+      // passes everything
+      (5L, "the alpha is beta and gamma of delta"))
+      .toDF("doc_id", "text")
+    val funnel = QualityRules.filterFunnel(docs, "doc_id", "text",
+      minTokens = 5L, maxTokens = 50L,
+      minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+      minStopwords = 1L, maxTopTokenFrac = 0.5)
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getLong(4))).toMap
+    assert(funnel("too_few_tokens") == ((1L, 4L)))
+    assert(funnel("too_many_tokens") == ((0L, 4L))) // zero-count row kept
+    assert(funnel("mean_word_length") == ((1L, 3L)))
+    assert(funnel("too_few_stopwords") == ((1L, 2L)))
+    assert(funnel("repetitive") == ((1L, 1L)))
+    assert(funnel("kept") == ((1L, 1L)))
+    val kept = QualityRules.filterDocs(docs, "doc_id", "text",
+      minTokens = 5L, maxTokens = 50L,
+      minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+      minStopwords = 1L, maxTopTokenFrac = 0.5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(5L))
   }
 }
