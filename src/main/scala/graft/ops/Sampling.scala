@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.det.Sig.sig5
 
 /** Deterministic sampling / train-val splitting for training-data
   * pipelines. Two paths with different scale shapes:
@@ -191,6 +192,49 @@ object Sampling {
         countDistinct(col("rep")).as("n_groups"),
         sum(col(charsCol)).cast("long").as("n_chars"))
       .orderBy("split")
+
+  /** Split-LEAKAGE audit: given the corpus's near-dup pairs and its
+    * cluster map, count pairs straddling a split boundary under (a)
+    * the naive per-doc hash split and (b) [[splitAssign]]'s
+    * cluster-representative split — the before/after table that
+    * justifies the leakage-aware split to a release reviewer (Lee et
+    * al. §6: near-dups across train/test inflate eval). The
+    * cluster_rep row's n_cross is ZERO by construction — published,
+    * not asserted, so a broken cluster map shows up as a nonzero
+    * row, loudly.
+    *
+    * Scale shape: both assignments ride ONE pass over docs (the
+    * splitAssign join), the pair frame joins the O(docs) assignment
+    * on each endpoint, and everything after is a 1-row aggregate
+    * fanned to 2 output rows. */
+  def splitLeakage(docs: DataFrame, pairs: DataFrame,
+      clusters: DataFrame, idCol: String, trainPerMille: Int = 800,
+      valPerMille: Int = 100): DataFrame = {
+    val m = minstdMille(col(idCol))
+    val naive = when(m < trainPerMille, lit("train"))
+      .when(m < trainPerMille + valPerMille, lit("val"))
+      .otherwise(lit("test"))
+    val a = splitAssign(docs, clusters, idCol, trainPerMille,
+        valPerMille)
+      .select(col(idCol).as("did"), naive.as("naive"),
+        col("split").as("aware"))
+    val pa = pairs
+      .join(a.select(col("did").as("id_a"), col("naive").as("naive_a"),
+        col("aware").as("aware_a")), Seq("id_a"))
+      .join(a.select(col("did").as("id_b"), col("naive").as("naive_b"),
+        col("aware").as("aware_b")), Seq("id_b"))
+    val aggd = pa.agg(count(lit(1)).as("np"),
+      sum(when(col("naive_a") =!= col("naive_b"), 1L).otherwise(0L))
+        .as("xn"),
+      sum(when(col("aware_a") =!= col("aware_b"), 1L).otherwise(0L))
+        .as("xa"))
+    def row(mode: String, x: Column) = aggd.select(
+      lit(mode).as("mode"), col("np").as("n_pairs"),
+      x.as("n_cross"),
+      sig5(x.cast("double") / col("np")).as("cross_share"))
+    row("cluster_rep", col("xa")).unionByName(row("naive", col("xn")))
+      .orderBy("mode")
+  }
 
   private val MinstdM = 2147483647L // 2^31 − 1 (MINSTD modulus)
   private val MinstdA = 48271L

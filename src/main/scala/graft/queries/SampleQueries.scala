@@ -45,6 +45,17 @@ object SampleQueries {
     "sample_split" -> ((s, dir) =>
       Sampling.splitStats(t(s, dir, "documents"), docClusters(s, dir),
         "doc_id", "n_chars")),
+    // the leakage AUDIT behind sample_split: near-dup pairs crossing
+    // a split boundary under the naive per-doc hash vs the
+    // cluster-representative split (whose cross count is zero BY
+    // CONSTRUCTION — published, so a broken cluster map fails loud)
+    "split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf))
+      Sampling.splitLeakage(docs, pairs,
+        Dedup.duplicateClustersStar(pairs), "doc_id")
+    }),
     // data mixing to target source proportions: the largest sample
     // hitting the requested 50/30/20 mix given availability —
     // per-stratum quotas from one tiny broadcast reduction
@@ -189,6 +200,38 @@ object SampleQueries {
        |CAST(sum(n_chars) AS BIGINT) AS n_chars
        |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** Leakage audit re-derived: the SAME pairs + recursive cluster
+    * closure as [[sampleSplitSql]], each pair endpoint labeled under
+    * both the own-id and the representative MINSTD mille, crossing
+    * counts from one aggregate fanned to the two mode rows. */
+  val splitLeakageSql: String = {
+    def mille(x: String): String =
+      s"(((((($x + 12345) % 2147483647) * 48271) % 2147483647)" +
+        s" * 48271) % 2147483647) % 1000"
+    def lbl(m: String): String =
+      s"CASE WHEN $m < 800 THEN 'train' WHEN $m < 900 THEN 'val'" +
+        s" ELSE 'test' END"
+    s"""WITH RECURSIVE $clustersCte,
+       |lbl AS (SELECT d.doc_id,
+       |  ${lbl(mille("d.doc_id"))} AS naive,
+       |  ${lbl(mille("coalesce(cl.cluster_id, d.doc_id)"))} AS aware
+       |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+       |px AS (SELECT a.naive AS na, b.naive AS nb2,
+       |  a.aware AS aa, b.aware AS ab
+       |  FROM pairs p JOIN lbl a ON a.doc_id = p.id_a
+       |  JOIN lbl b ON b.doc_id = p.id_b),
+       |agg AS (SELECT count(*) AS np,
+       |  sum(CASE WHEN na <> nb2 THEN 1 ELSE 0 END) AS xn,
+       |  sum(CASE WHEN aa <> ab THEN 1 ELSE 0 END) AS xa FROM px)
+       |SELECT 'cluster_rep' AS mode, CAST(np AS BIGINT) AS n_pairs,
+       |  CAST(xa AS BIGINT) AS n_cross,
+       |  ${sig("CAST(xa AS DOUBLE) / np")} AS cross_share FROM agg
+       |UNION ALL
+       |SELECT 'naive', CAST(np AS BIGINT), CAST(xn AS BIGINT),
+       |  ${sig("CAST(xn AS DOUBLE) / np")} FROM agg
+       |ORDER BY mode""".stripMargin
+  }
+
   /** Per-window association re-derived: hourly contingency (same
     * epoch-micros window arithmetic as [[eventsWindowSql]]), window
     * marginals, then the SAME observed-cells identities as
@@ -308,6 +351,7 @@ object SampleQueries {
     "sample_stratified" -> sampleStratifiedSql,
     "sample_stratified_hash" -> sampleStratifiedHashSql,
     "sample_weighted" -> sampleWeightedSql,
-    "sample_split" -> sampleSplitSql
+    "sample_split" -> sampleSplitSql,
+    "split_leakage" -> splitLeakageSql
   )
 }

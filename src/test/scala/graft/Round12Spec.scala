@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{QualityRules, Search}
+import graft.ops.{QualityRules, Sampling, Search}
 import graft.report.HtmlReport
 
 /** Round-12 opening wave: pins the ADVICE fixes — datasheet metric
@@ -86,5 +86,20 @@ class Round12Spec extends SparkSpec {
       minStopwords = 1L, maxTopTokenFrac = 0.5)
       .select("doc_id").as[Long].collect().toSeq
     assert(kept == Seq(5L))
+  }
+
+  test("splitLeakage: a near-dup pair straddling the naive hash " +
+      "split is healed by the cluster-representative split") {
+    val s = spark
+    import s.implicits._
+    // minstd milles: id 0 → 227 (train), id 8 → 932 (test)
+    val docs = (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 8L, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val clusters = Seq((0L, 0L), (8L, 0L)).toDF("doc_id", "cluster_id")
+    val got = Sampling.splitLeakage(docs, pairs, clusters, "doc_id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(got("naive") == ((1L, 1L)))       // the pair leaks
+    assert(got("cluster_rep") == ((1L, 0L))) // the rep split heals it
   }
 }
