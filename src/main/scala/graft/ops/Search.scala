@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.det.Sig.sig5
 
@@ -131,15 +131,7 @@ object Search {
     * (the hashedGramFrame O(tokens²) note applies verbatim). */
   private def bigramPairs(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        split(col(textCol), " ").as("w"))
-      .select(col("doc_id"), explode(when(size(col("w")) >= 2,
-          expr("transform(sequence(0, size(w)-2)," +
-            " i -> struct(w[i] AS w1, w[i+1] AS w2))"))
-        .otherwise(expr(
-          "CAST(array() AS array<struct<w1:string,w2:string>>)")))
-        .as("b"))
-      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    bigramPairsCarry(df, idCol, textCol, Nil)
 
   /** Interpolated bigram Kneser–Ney document scoring (Kneser & Ney
     * 1995; Chen & Goodman 1999) — the CCNet-style LM-perplexity
@@ -162,34 +154,72 @@ object Search {
     * stream against them on token keys (the model side is the small
     * side at corpus scale — AQE broadcasts it), and the grand total
     * rides a 1-row broadcast. Nothing driver-side; no UDFs. */
-  def knBigramNll(train: DataFrame, score: DataFrame, idCol: String,
-      textCol: String, discount: Double = 0.75): DataFrame = {
+  /** A trained KN bigram model: three aggregates plus the 1-row
+    * bigram-type count (see [[knBigramNll]]) — all static frames a
+    * streaming scorer can stream-static join against. */
+  case class KnLm(big: DataFrame, left: DataFrame, cont: DataFrame,
+    types: DataFrame, discount: Double)
+
+  def knTrain(train: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): KnLm = {
     val big = bigramPairs(train, idCol, textCol)
       .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
-    val left = big.groupBy("w1")
-      .agg(sum("c").as("c1"), count(lit(1)).as("n1f"))
-    val cont = big.groupBy("w2").agg(count(lit(1)).as("n1b"))
-    val types = big.agg(count(lit(1)).as("bi_types"))
-    val d = lit(discount)
+    KnLm(big,
+      big.groupBy("w1").agg(sum("c").as("c1"), count(lit(1)).as("n1f")),
+      big.groupBy("w2").agg(count(lit(1)).as("n1b")),
+      big.agg(count(lit(1)).as("bi_types")),
+      discount)
+  }
+
+  /** Per-bigram-occurrence negative log-likelihood under `lm`:
+    * (doc_id, nl) plus any `carry` columns from the bigram frame.
+    * Pure joins + projection — stateless, so it is legal inside a
+    * streaming plan (the batch and streaming scorers share it). */
+  def knScoreBigrams(pairs: DataFrame, lm: KnLm): DataFrame = {
+    val d = lit(lm.discount)
     val pcont = coalesce(col("n1b").cast("double"), lit(0.0)) /
       col("bi_types")
     val p = when(col("c1").isNotNull,
         (greatest(coalesce(col("c").cast("double"), lit(0.0)) - d,
           lit(0.0)) + d * col("n1f") * pcont) / col("c1"))
       .otherwise(pcont)
-    bigramPairs(score, idCol, textCol)
-      .join(big, Seq("w1", "w2"), "left")
-      .join(left, Seq("w1"), "left")
-      .join(cont, Seq("w2"), "left")
-      .crossJoin(broadcast(types))
-      .select(col("doc_id"),
-        (-log(greatest(p, lit(1e-10)))).as("nl"))
+    pairs
+      .join(lm.big, Seq("w1", "w2"), "left")
+      .join(lm.left, Seq("w1"), "left")
+      .join(lm.cont, Seq("w2"), "left")
+      .crossJoin(broadcast(lm.types))
+      .withColumn("nl", -log(greatest(p, lit(1e-10))))
+      .drop("w1", "w2", "c", "c1", "n1f", "n1b", "bi_types")
+  }
+
+  def knBigramNll(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75): DataFrame =
+    knScoreBigrams(bigramPairs(score, idCol, textCol),
+        knTrain(train, idCol, textCol, discount))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         sig5(avg(col("nl"))).as("nll"),
         sig5(exp(avg(col("nl")))).as("ppl"))
       .orderBy("doc_id")
-  }
+
+  /** Bigram frame with extra per-doc columns carried through (the
+    * hashedGramFrame `carry` pattern) — for blocked/streaming KN
+    * variants that need a language or event-time column alongside
+    * each bigram occurrence. */
+  private[graft] def bigramPairsCarry(df: DataFrame, idCol: String,
+      textCol: String, carry: Seq[(String, Column)]): DataFrame =
+    df.select(col(idCol).as("doc_id") +:
+        carry.map { case (nm, c) => c.as(nm) } :+
+        split(col(textCol), " ").as("w"): _*)
+      .select(col("doc_id") +: carry.map(c => col(c._1)) :+
+        explode(when(size(col("w")) >= 2,
+          expr("transform(sequence(0, size(w)-2)," +
+            " i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+        .otherwise(expr(
+          "CAST(array() AS array<struct<w1:string,w2:string>>)")))
+        .as("b"): _*)
+      .select(col("doc_id") +: carry.map(c => col(c._1)) :+
+        col("b.w1") :+ col("b.w2"): _*)
 
   /** Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
     * Büttcher, SIGIR 2009): fuse the lexical (BM25) and semantic

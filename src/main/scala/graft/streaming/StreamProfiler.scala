@@ -463,6 +463,32 @@ object StreamProfiler {
       .agg(graft.functions.HeavyHitters.mg(col("gram"), k).as("mg"))
       .select(col("mg.n").as("n_grams"), col("mg.items").as("items"))
 
+  /** Streaming twin of [[graft.ops.Search.knBigramNll]]: score a
+    * document stream against a FROZEN Kneser–Ney model (the static
+    * frames [[graft.ops.Search.knTrain]] produced — train offline,
+    * gate online, the CCNet deployment shape). The per-bigram scorer
+    * is the exact batch expression tree (shared code, so the two can
+    * never drift); it is stateless stream-static joins, and the only
+    * state is the per-(window, doc) aggregate inside the watermark
+    * horizon. Emits (window, doc_id, n_bigrams, nll, ppl) on window
+    * close — append-mode legal. */
+  def knScoreStream(docs: DataFrame, lm: graft.ops.Search.KnLm,
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ts", watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame = {
+    val pairs = graft.ops.Search.bigramPairsCarry(
+      docs.where(col(textCol).isNotNull), idCol, textCol,
+      Seq("__ts" -> eventTime(docs, tsCol)))
+    graft.ops.Search.knScoreBigrams(pairs, lm)
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowLen), col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        graft.det.Sig.sig5(avg(col("nl"))).as("nll"),
+        graft.det.Sig.sig5(exp(avg(col("nl")))).as("ppl"))
+      .select(col("window.start").as("window_start"), col("doc_id"),
+        col("n_bigrams"), col("nll"), col("ppl"))
+  }
+
   /** Native session-window aggregation (`session_window(ts, gap)`) —
     * the DECLARATIVE alternative to [[sessionizeStream]]'s custom
     * flatMapGroupsWithState state machine: Spark's own session

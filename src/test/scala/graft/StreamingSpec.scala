@@ -9,6 +9,7 @@ case class Ev(ts: Timestamp, event_type: String, value: Double)
 case class UrlDoc(ts: Timestamp, url: String, text: String)
 case class GrpEv(ts: Timestamp, src: String, event_type: String)
 case class StreamDoc(doc_id: Long, text: String)
+case class TsDoc(ts: Timestamp, doc_id: Long, text: String)
 case class UserEv(ts: Timestamp, user_id: Long)
 case class SideEv(ts: Timestamp, user_id: Long, event_id: Long,
     event_type: String, value: Double)
@@ -729,6 +730,37 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
           r.getBoolean(3))).toSet
       assert(batch == out)
+    } finally q.stop()
+  }
+
+  test("knScoreStream scores a doc stream against a frozen KN model " +
+      "identically to the batch scorer") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((1L, "a b a b"), (2L, "a c"))
+      .toDF("doc_id", "text")
+    val lm = graft.ops.Search.knTrain(train, "doc_id", "text")
+    val mem = MemoryStream[TsDoc]
+    val q = StreamProfiler.knScoreStream(mem.toDF(), lm)
+      .writeStream.format("memory").queryName("knscore")
+      .outputMode("append").start()
+    try {
+      mem.addData(TsDoc(t(5), 10L, "a b"), TsDoc(t(20), 11L, "a a z q"))
+      q.processAllAvailable()
+      mem.addData(TsDoc(t(2000), 99L, "x y")) // close hour 0
+      q.processAllAvailable()
+      val out = spark.table("knscore")
+        .where(col("doc_id").isin(10L, 11L))
+        .select("doc_id", "n_bigrams", "nll", "ppl").collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      val batch = graft.ops.Search.knBigramNll(train,
+          Seq((10L, "a b"), (11L, "a a z q")).toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(out == batch)
     } finally q.stop()
   }
 }
