@@ -202,6 +202,86 @@ object Search {
         sig5(exp(avg(col("nl")))).as("ppl"))
       .orderBy("doc_id")
 
+  /** BLOCKED Kneser–Ney: one model per block (language, source …)
+    * trained and applied in ONE pass each — the production form of
+    * [[knBigramNll]] for a multilingual corpus, where a global model
+    * would score every non-majority language as noise. The block
+    * rides every model KEY (counts, continuation, type totals are
+    * all per-block — a word common in one language can be rare in
+    * another), exactly the [[Dedup.ngramJaccardPairsBlocked]]
+    * contract. A block absent from the training slice backs off to
+    * the probability floor (NULL-tolerant expression, identical in
+    * both engines). Same shuffle count as the global form; the keys
+    * are just (block, token) pairs. */
+  def knBigramNllByBlock(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String, blockCol: String,
+      discount: Double = 0.75): DataFrame = {
+    def pairs(df: DataFrame) = bigramPairsCarry(df, idCol, textCol,
+      Seq("blk" -> col(blockCol).cast("string")))
+    val big = pairs(train).groupBy("blk", "w1", "w2")
+      .agg(count(lit(1)).as("c"))
+    val left = big.groupBy("blk", "w1")
+      .agg(sum("c").as("c1"), count(lit(1)).as("n1f"))
+    val cont = big.groupBy("blk", "w2").agg(count(lit(1)).as("n1b"))
+    val types = big.groupBy("blk").agg(count(lit(1)).as("bi_types"))
+    val d = lit(discount)
+    val pcont = coalesce(col("n1b").cast("double"), lit(0.0)) /
+      col("bi_types")
+    val p = when(col("c1").isNotNull,
+        (greatest(coalesce(col("c").cast("double"), lit(0.0)) - d,
+          lit(0.0)) + d * col("n1f") * pcont) / col("c1"))
+      .otherwise(pcont)
+    pairs(score)
+      .join(big, Seq("blk", "w1", "w2"), "left")
+      .join(left, Seq("blk", "w1"), "left")
+      .join(cont, Seq("blk", "w2"), "left")
+      .join(types, Seq("blk"), "left")
+      .select(col("doc_id"), col("blk"),
+        (-log(greatest(p, lit(1e-10)))).as("nl"))
+      .groupBy("doc_id", "blk")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sig5(avg(col("nl"))).as("nll"),
+        sig5(exp(avg(col("nl")))).as("ppl"))
+      .withColumnRenamed("blk", "block")
+      .orderBy("doc_id")
+  }
+
+  /** CCNet's head/middle/tail release buckets (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets ..."): per
+    * language, documents ranked by KN nll and cut at integer
+    * terciles — head = most in-distribution third, the slice CCNet
+    * keeps by default. Ranking uses the sig5-ROUNDED nll with doc_id
+    * tie-break (discrete decisions rank rounded values — the engine
+    * contract), and the tercile cuts rn·3 ≤ n / rn·3 ≤ 2n are pure
+    * integer arithmetic, so there is no interpolated quantile for
+    * two engines to disagree about.
+    *
+    * Scale shape: this DECLARED form ranks each language partition
+    * through one sort window — the exact audit form. The corpus
+    * path replaces the window with per-language GK nll thresholds
+    * (profiler quantile machinery) and a map-only bucket compare;
+    * same output contract, no per-language sort. */
+  def knPplBuckets(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, langCol: String, discount: Double = 0.75)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = knBigramNll(train, score, idCol, textCol, discount)
+    val lg = perDoc.join(score.select(col(idCol).as("doc_id"),
+      col(langCol).as("lang")), Seq("doc_id"))
+    val w = Window.partitionBy("lang").orderBy(col("nll"), col("doc_id"))
+    lg.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("n"), lit("head"))
+          .when(col("rn") * 3 <= col("n") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sig5(avg(col("ppl"))).as("avg_ppl"),
+        max(col("nll")).as("max_nll"))
+      .orderBy("lang", "bucket")
+  }
+
   /** Bigram frame with extra per-doc columns carried through (the
     * hashedGramFrame `carry` pattern) — for blocked/streaming KN
     * variants that need a language or event-time column alongside

@@ -39,6 +39,22 @@ object TextQueries {
       Search.knBigramNll(docs.where(col("source") =!= "src0"),
         docs, "doc_id", "text")
     }),
+    // per-LANGUAGE KN models trained and applied in one pass each —
+    // the multilingual production twin of text_kn_score (a global
+    // model scores every minority language as noise)
+    "text_kn_by_lang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Search.knBigramNllByBlock(docs.where(col("source") =!= "src0"),
+        docs, "doc_id", "text", "lang")
+    }),
+    // CCNet head/middle/tail: per-language KN-nll terciles — the
+    // bucket composition a CCNet-style release publishes (head =
+    // the kept third); integer tercile cuts on the rounded rank
+    "text_ppl_buckets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Search.knPplBuckets(docs.where(col("source") =!= "src0"),
+        docs, "doc_id", "text", "lang")
+    }),
     // Gopher-style rule gate with first-failing-rule accounting and
     // the cumulative survival funnel; thresholds tuned so every arm
     // of the fixture corpus is populated
@@ -719,8 +735,8 @@ object TextQueries {
     * the Spark expression tree exactly — (D·n1f)·(n1b/T), not
     * ((D·n1f)·n1b)/T — so the only cross-engine drift is avg()
     * summation order, absorbed by sig5. */
-  val textKnScoreSql: String =
-    s"""WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w
+  private val knScoreCtes: String =
+    s"""ws AS (SELECT doc_id, source, string_split(text, ' ') AS w
        |            FROM documents),
        |tp AS (SELECT
        |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
@@ -746,11 +762,79 @@ object TextQueries {
        |  FROM sp p
        |  LEFT JOIN big USING (w1, w2)
        |  LEFT JOIN lft USING (w1)
-       |  LEFT JOIN cont USING (w2), tt)
-       |SELECT doc_id, count(*) AS n_bigrams,
+       |  LEFT JOIN cont USING (w2), tt),
+       |kd AS (SELECT doc_id, count(*) AS n_bigrams,
        |${sig("avg(nl)")} AS nll,
        |${sig("exp(avg(nl))")} AS ppl
-       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |FROM sc GROUP BY doc_id)""".stripMargin
+
+  val textKnScoreSql: String =
+    s"""WITH $knScoreCtes
+       |SELECT doc_id, n_bigrams, nll, ppl FROM kd
+       |ORDER BY doc_id""".stripMargin
+
+  /** CCNet's head/middle/tail release buckets (Wenzek et al. 2020):
+    * per language, rank documents by the sig5-ROUNDED KN nll (rank
+    * on rounded values + doc_id tie-break = the engine's discrete-
+    * decision contract), cut at the integer terciles rn·3 ≤ n and
+    * rn·3 ≤ 2n — pure integer arithmetic, no interpolated quantile
+    * to disagree about. */
+  val textPplBucketsSql: String =
+    s"""WITH $knScoreCtes,
+       |lg AS (SELECT kd.doc_id, d.lang, kd.nll, kd.ppl FROM kd
+       |       JOIN documents d ON d.doc_id = kd.doc_id),
+       |r AS (SELECT lang, nll, ppl,
+       |  row_number() OVER (PARTITION BY lang
+       |    ORDER BY nll, doc_id) AS rn,
+       |  count(*) OVER (PARTITION BY lang) AS n FROM lg)
+       |SELECT lang,
+       |CASE WHEN rn * 3 <= n THEN 'head'
+       |     WHEN rn * 3 <= n * 2 THEN 'middle'
+       |     ELSE 'tail' END AS bucket,
+       |CAST(count(*) AS BIGINT) AS n_docs,
+       |${sig("avg(ppl)")} AS avg_ppl,
+       |max(nll) AS max_nll
+       |FROM r GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
+  /** [[textKnScoreSql]] with the language carried on every model
+    * key and per-language type totals; a block missing from the
+    * training slice floors via the NULL-tolerant greatest (both
+    * engines ignore NULL in greatest). */
+  val textKnByLangSql: String =
+    s"""WITH ws AS (SELECT doc_id, source, lang,
+       |    string_split(text, ' ') AS w FROM documents),
+       |tp AS (SELECT lang AS blk,
+       |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+       |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+       |  FROM ws WHERE source <> 'src0'),
+       |sp AS (SELECT doc_id, lang AS blk,
+       |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+       |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+       |  FROM ws),
+       |big AS (SELECT blk, w1, w2, count(*) AS c FROM tp
+       |        GROUP BY blk, w1, w2),
+       |lft AS (SELECT blk, w1, sum(c) AS c1, count(*) AS n1f
+       |        FROM big GROUP BY blk, w1),
+       |cont AS (SELECT blk, w2, count(*) AS n1b FROM big
+       |         GROUP BY blk, w2),
+       |tt AS (SELECT blk, count(*) AS bi_types FROM big GROUP BY blk),
+       |sc AS (SELECT p.doc_id, p.blk,
+       |  -ln(greatest(CASE WHEN lft.c1 IS NOT NULL THEN
+       |    (greatest(coalesce(CAST(big.c AS DOUBLE), 0.0) - 0.75, 0.0)
+       |     + (0.75 * lft.n1f) *
+       |       (coalesce(CAST(cont.n1b AS DOUBLE), 0.0) / tt.bi_types))
+       |    / lft.c1
+       |  ELSE coalesce(CAST(cont.n1b AS DOUBLE), 0.0) / tt.bi_types
+       |  END, 1e-10)) AS nl
+       |  FROM sp p
+       |  LEFT JOIN big USING (blk, w1, w2)
+       |  LEFT JOIN lft USING (blk, w1)
+       |  LEFT JOIN cont USING (blk, w2)
+       |  LEFT JOIN tt USING (blk))
+       |SELECT doc_id, blk AS block, count(*) AS n_bigrams,
+       |${sig("avg(nl)")} AS nll,
+       |${sig("exp(avg(nl))")} AS ppl
+       |FROM sc GROUP BY doc_id, blk ORDER BY doc_id""".stripMargin
 
   /** Funnel re-derivation: same per-doc signals (token count,
     * list_sum word lengths, stop-word filter, top-token share from
@@ -1025,6 +1109,8 @@ object TextQueries {
     "text_pii" -> textPiiSql,
     "text_lm_score" -> textLmScoreSql,
     "text_kn_score" -> textKnScoreSql,
+    "text_kn_by_lang" -> textKnByLangSql,
+    "text_ppl_buckets" -> textPplBucketsSql,
     "text_filter_funnel" -> textFilterFunnelSql,
     "text_ngram_entropy" -> textNgramEntropySql,
     "text_pii_by_source" -> textPiiBySourceSql,

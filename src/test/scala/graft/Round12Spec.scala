@@ -88,6 +88,47 @@ class Round12Spec extends SparkSpec {
     assert(kept == Seq(5L))
   }
 
+  test("knBigramNllByBlock isolates models per block: the same text " +
+      "scores in-distribution in its block, floors in a foreign or " +
+      "unseen block") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((1L, "en", "x y x y"), (2L, "de", "x z"))
+      .toDF("doc_id", "lang", "text")
+    val score = Seq((10L, "en", "x y"), (11L, "de", "x y"),
+      (12L, "fr", "x y")).toDF("doc_id", "lang", "text")
+    val got = graft.ops.Search.knBigramNllByBlock(train, score,
+        "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // en: c(x,y)=2, c(x·)=2, N1+(x·)=1, Pcont(y)=1/2
+    //   → (2−.75 + .75·1·(1/2))/2 = 1.625/2
+    assert(math.abs(got(10L) - (-math.log(1.625 / 2.0))) < 1e-4)
+    // de: context x seen, pair unseen, Pcont_de(y)=0 → floor
+    assert(math.abs(got(11L) - (-math.log(1e-10))) < 1e-4)
+    // fr: block absent from training → floor
+    assert(math.abs(got(12L) - (-math.log(1e-10))) < 1e-4)
+  }
+
+  test("knPplBuckets cuts integer terciles per language with " +
+      "monotone bucket boundaries") {
+    val s = spark
+    import s.implicits._
+    // 6 docs, increasingly repetitive → distinct nll ranks
+    val docs = (1L to 6L).map { i =>
+      val rare = (1L to i).map(k => s"rare${i}_$k").mkString(" ")
+      (i, "en", s"a b a b a b $rare")
+    }.toDF("doc_id", "lang", "text")
+    val got = graft.ops.Search.knPplBuckets(docs, docs,
+        "doc_id", "text", "lang")
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(2), r.getDouble(4))).toMap
+    assert(got.keySet == Set("head", "middle", "tail"))
+    assert(got("head")._1 == 2L && got("middle")._1 == 2L &&
+      got("tail")._1 == 2L)
+    assert(got("head")._2 <= got("middle")._2)
+    assert(got("middle")._2 <= got("tail")._2)
+  }
+
   test("splitLeakage: a near-dup pair straddling the naive hash " +
       "split is healed by the cluster-representative split") {
     val s = spark
