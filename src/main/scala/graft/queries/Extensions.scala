@@ -26,6 +26,19 @@ object Extensions {
         docs.where(col("source") === "src0"),
         "doc_id", "text")
     }),
+    // link-graph centrality over the deterministic synthesized crawl
+    // graph: 3 power iterations of damped PageRank, top-20 on the
+    // sig5-rounded rank with node tie-break
+    "graph_pagerank" -> ((s, dir) =>
+      GraphOps.pageRank(
+        GraphOps.synthLinkGraph(t(s, dir, "documents"), "doc_id"),
+        "src", "dst", iters = 3, topK = Some(20))),
+    // the shape check before any centrality run: power-of-two
+    // in-degree histogram (exact binary-digit-count log2)
+    "graph_degree_stats" -> ((s, dir) =>
+      GraphOps.degreeStats(
+        GraphOps.synthLinkGraph(t(s, dir, "documents"), "doc_id"),
+        "src", "dst")),
     // categorical distribution shape: Shannon entropy + evenness per
     // column via the O(distinct) identity H = ln n − (Σ c·ln c)/n
     "cat_entropy" -> ((s, dir) =>
@@ -461,6 +474,62 @@ object Extensions {
       |   WHERE o_orderstatus IN ('O', 'F')))
       |SELECT * FROM b, oo, a""".stripMargin
 
+  /** Shared link-graph fixture CTEs: the affine-mod edge synthesis
+    * replayed from id arithmetic (list_distinct ≙ array_distinct). */
+  private val linkEdgesCte: String =
+    """nn0 AS (SELECT count(*) AS cnt FROM documents),
+      |ed AS (SELECT doc_id AS src, unnest(list_distinct(
+      |  CASE WHEN doc_id % 4 = 0 THEN
+      |    [(doc_id * 7 + 1) % cnt, (doc_id * 13 + 3) % cnt,
+      |     (doc_id * 29 + 7) % cnt, doc_id % 10]
+      |  ELSE
+      |    [(doc_id * 7 + 1) % cnt, (doc_id * 13 + 3) % cnt,
+      |     (doc_id * 29 + 7) % cnt] END)) AS dst
+      |  FROM documents, nn0)""".stripMargin
+
+  /** Three power iterations replayed as chained CTEs; every float
+    * literal CAST to DOUBLE (the DECIMAL-literal trap) and the
+    * (1 − d) subtraction mirrored as the same IEEE op the Spark
+    * side's lit(1.0 − damping) performs. Top-20 cut on the
+    * sig5-ROUNDED rank with node tie-break. */
+  val graphPagerankSql: String = {
+    def iter(k: Int): String =
+      s"""r$k AS (SELECT n.node,
+         |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n_nodes
+         |    + CAST(0.85 AS DOUBLE) *
+         |      coalesce(c.in_pr, CAST(0.0 AS DOUBLE)) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT dst AS node, sum(pr / od) AS in_pr
+         |    FROM e JOIN r${k - 1} ON r${k - 1}.node = e.src
+         |    GROUP BY dst) c ON c.node = n.node, nn)""".stripMargin
+    s"""WITH $linkEdgesCte,
+       |outdeg AS (SELECT src, count(*) AS od FROM ed GROUP BY src),
+       |e AS (SELECT ed.src, ed.dst, od FROM ed
+       |      JOIN outdeg USING (src)),
+       |nodes AS (SELECT src AS node FROM ed
+       |          UNION SELECT dst FROM ed),
+       |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n_nodes AS pr
+       |       FROM nodes, nn),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT node, pr FROM (
+       |  SELECT node, pr,
+       |    row_number() OVER (ORDER BY pr DESC, node ASC) AS rn
+       |  FROM (SELECT node, ${sig("pr")} AS pr FROM r3))
+       |WHERE rn <= 20 ORDER BY pr DESC, node ASC""".stripMargin
+  }
+
+  val graphDegreeStatsSql: String =
+    s"""WITH $linkEdgesCte,
+       |ind AS (SELECT dst AS node, count(*) AS indeg FROM ed
+       |        GROUP BY dst)
+       |SELECT CAST(length(bin(indeg)) - 1 AS BIGINT) AS log2_indeg,
+       |CAST(count(*) AS BIGINT) AS n_nodes,
+       |CAST(sum(indeg) AS BIGINT) AS n_edges
+       |FROM ind GROUP BY 1 ORDER BY 1""".stripMargin
+
   val pipelineFunnelSql: String = {
     val repFrac = sig("CAST(top_bi AS DOUBLE) / n_bigrams")
     s"""WITH RECURSIVE
@@ -770,6 +839,8 @@ object Extensions {
     "cat_association" -> catAssociationSql,
     "num_histogram_eqdepth" -> numHistogramEqdepthSql,
     "pipeline_funnel" -> pipelineFunnelSql,
+    "graph_pagerank" -> graphPagerankSql,
+    "graph_degree_stats" -> graphDegreeStatsSql,
     "join_asof" -> joinAsofSql,
     "join_range" -> joinRangeSql,
     "corpus_composition" -> corpusCompositionSql,

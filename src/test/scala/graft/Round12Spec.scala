@@ -129,6 +129,24 @@ class Round12Spec extends SparkSpec {
     assert(got("middle")._2 <= got("tail")._2)
   }
 
+  test("pageRank matches the closed-form damped power iteration") {
+    val s = spark
+    import s.implicits._
+    // 1→{2,3}, 2→1, 3→1: after one iteration from uniform 1/3,
+    //   p(1) = 0.15/3 + 0.85·(1/3 + 1/3)        = 0.61666…
+    //   p(2) = p(3) = 0.15/3 + 0.85·(1/3)/2     = 0.19166…
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+      .toDF("src", "dst")
+    val got = graft.ops.GraphOps.pageRank(edges, "src", "dst",
+        iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(1L) - (0.05 + 0.85 * 2.0 / 3.0)) < 1e-4)
+    assert(math.abs(got(2L) - (0.05 + 0.85 / 6.0)) < 1e-4)
+    assert(math.abs(got(3L) - got(2L)) < 1e-9)
+    // mass is conserved (no dangling nodes by contract)
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
+  }
+
   test("splitLeakage: a near-dup pair straddling the naive hash " +
       "split is healed by the cluster-representative split") {
     val s = spark
