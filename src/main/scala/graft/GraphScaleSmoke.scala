@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.GraphOps
+
+/** Dev utility: PageRank at crawl scale — measures the iterative-
+  * join claim: each power iteration is one src-keyed join of the
+  * (persisted) edge list against the O(nodes) rank frame plus one
+  * dst-keyed aggregation, so k iterations cost k·(join + agg) with
+  * NO driver-side state and no growth in any frame. Also measures
+  * the edge-persist decision: re-deriving edges per iteration vs
+  * scanning the parquet edge list.
+  *
+  * Graph: the synthLinkGraph shape at `nodes` scale (3 affine-mod
+  * out-links each, hubs at id % 10 for every 4th node — skewed
+  * in-degree like a real crawl).
+  *
+  * Usage: `graft.GraphScaleSmoke [nodes] [iters]`. */
+object GraphScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val nodes = if (args.length > 0) args(0).toLong else 10000000L
+    val iters = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(
+        f"[graph-smoke] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val path = "/tmp/graft_graph_smoke"
+    timed(s"synthesize + persist edges for $nodes nodes") {
+      GraphOps.synthLinkGraph(
+        spark.range(nodes).select(col("id").as("doc_id")), "doc_id")
+        .write.mode("overwrite").parquet(path)
+    }
+    val edges = spark.read.parquet(path)
+    println(s"[graph-smoke] edges = ${edges.count()}")
+    timed(s"pageRank $iters iterations (persisted edge list)") {
+      val top = GraphOps.pageRank(edges, "src", "dst", iters,
+        topK = Some(10)).collect()
+      println(s"[graph-smoke] top = ${top.take(3).mkString(", ")}")
+    }
+    timed("degreeStats") {
+      GraphOps.degreeStats(edges, "src", "dst").collect()
+        .foreach(r => println(s"[graph-smoke] deg $r"))
+    }
+    spark.stop()
+  }
+}
