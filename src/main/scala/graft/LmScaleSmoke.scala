@@ -42,7 +42,8 @@ object LmScaleSmoke {
       r
     }
     val path = "/tmp/graft_lm_smoke"
-    timed(s"generate + write $docs docs x 40 words") {
+    def gen(ids: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
       val letters = typedLit(('a' to 'z').map(_.toString))
       def letter(idx: org.apache.spark.sql.Column) =
         element_at(letters, (idx + 1).cast("int"))
@@ -58,10 +59,12 @@ object LmScaleSmoke {
             .otherwise(lit("")),
           when(wid >= 456976L, lit("x")).otherwise(lit("")))
       }
-      spark.range(docs)
-        .select(col("id").as("doc_id"),
-          pmod(col("id"), lit(8L)).cast("string").as("lang"),
-          concat_ws(" ", w: _*).as("text"))
+      ids.select(col("id").as("doc_id"),
+        pmod(col("id"), lit(8L)).cast("string").as("lang"),
+        concat_ws(" ", w: _*).as("text"))
+    }
+    timed(s"generate + write $docs docs x 40 words") {
+      gen(spark.range(docs).toDF("id"))
         .write.mode("overwrite").parquet(path)
     }
     val corpus = spark.read.parquet(path)
@@ -93,6 +96,23 @@ object LmScaleSmoke {
         minMeanWordLen = 3.1, maxMeanWordLen = 3.6,
         minStopwords = 0L, maxTopTokenFrac = 0.3)
         .collect().foreach(r => println(s"[lm-smoke] funnel $r"))
+    }
+    if (phases("incremental")) {
+      val storePath = "/tmp/graft_lm_smoke_store"
+      timed("KN store write (full corpus counts)") {
+        Search.writeKnCounts(corpus, "doc_id", "text", storePath)
+      }
+      val batch = gen(spark.range(docs, docs + 100000L).toDF("id"))
+      timed("KN store append (100k-doc daily batch)") {
+        Search.appendKnCounts(batch, "doc_id", "text", storePath)
+      }
+      timed("KN store load + merge-on-read (model rebuild)") {
+        println(s"[lm-smoke] merged bigram types = " +
+          Search.loadKn(spark, storePath).big.count())
+      }
+      timed("KN store compact") {
+        Search.compactKnCounts(spark, storePath)
+      }
     }
     if (phases("buckets")) timed("ppl buckets (8-language sort-window " +
         "audit form)") {

@@ -160,15 +160,65 @@ object Search {
   case class KnLm(big: DataFrame, left: DataFrame, cont: DataFrame,
     types: DataFrame, discount: Double)
 
-  def knTrain(train: DataFrame, idCol: String, textCol: String,
-      discount: Double = 0.75): KnLm = {
-    val big = bigramPairs(train, idCol, textCol)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+  /** The model's DERIVED frames from its sufficient statistic (the
+    * bigram-count table): left-context totals, continuation counts
+    * and the type total are all O(bigram types) re-aggregations, so
+    * any source of a correct count table (fresh training, a
+    * merge-on-read of persisted deltas) yields the identical model. */
+  def knFromCounts(big: DataFrame, discount: Double = 0.75): KnLm =
     KnLm(big,
       big.groupBy("w1").agg(sum("c").as("c1"), count(lit(1)).as("n1f")),
       big.groupBy("w2").agg(count(lit(1)).as("n1b")),
       big.agg(count(lit(1)).as("bi_types")),
       discount)
+
+  def knTrain(train: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): KnLm =
+    knFromCounts(bigramPairs(train, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c")), discount)
+
+  /** Persisted INCREMENTAL KN — the dedup-catalog/ANN-index lifecycle
+    * applied to the LM: the bigram-count table is the model's entire
+    * sufficient statistic and counts merge by ADDITION, so a daily
+    * batch appends its O(batch) delta counts and never rescans the
+    * corpus; the derived frames (continuation counts are counts of
+    * DISTINCT types, which do NOT merge additively) are recomputed
+    * from the merged counts at load — an O(bigram types)
+    * re-aggregation, corpus-size-free. [[compactKnCounts]] folds
+    * accumulated deltas into one table via the temp-dir + rename
+    * swap (the ProfileStore contract: a failure mid-write must not
+    * truncate the store). */
+  def writeKnCounts(train: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    bigramPairs(train, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$path/counts")
+
+  def appendKnCounts(batch: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    bigramPairs(batch, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .write.mode("append").parquet(s"$path/counts")
+
+  /** Merge-on-read of the persisted delta counts → the full model. */
+  def loadKn(spark: org.apache.spark.sql.SparkSession, path: String,
+      discount: Double = 0.75): KnLm =
+    knFromCounts(spark.read.parquet(s"$path/counts")
+      .groupBy("w1", "w2").agg(sum("c").as("c")), discount)
+
+  def compactKnCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val tmp = s"$path/counts_compact_tmp"
+    spark.read.parquet(s"$path/counts")
+      .groupBy("w1", "w2").agg(sum("c").as("c"))
+      .write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val cur = new org.apache.hadoop.fs.Path(s"$path/counts")
+    val old = new org.apache.hadoop.fs.Path(s"$path/counts_old")
+    fs.rename(cur, old)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), cur)
+    fs.delete(old, true)
   }
 
   /** Per-bigram-occurrence negative log-likelihood under `lm`:

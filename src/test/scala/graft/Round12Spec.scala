@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.ops.{QualityRules, Sampling, Search}
 import graft.report.HtmlReport
 
@@ -127,6 +128,38 @@ class Round12Spec extends SparkSpec {
       got("tail")._1 == 2L)
     assert(got("head")._2 <= got("middle")._2)
     assert(got("middle")._2 <= got("tail")._2)
+  }
+
+  test("incremental KN store: write + append + load ≡ retraining on " +
+      "the union corpus, and compaction preserves the model") {
+    val s = spark
+    import s.implicits._
+    val day1 = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val day2 = Seq((3L, "a b c a"), (4L, "b b")).toDF("doc_id", "text")
+    val probe = Seq((10L, "a b c"), (11L, "b a b")).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("kn_store").toString
+    graft.ops.Search.writeKnCounts(day1, "doc_id", "text", path)
+    graft.ops.Search.appendKnCounts(day2, "doc_id", "text", path)
+    def scores(lm: graft.ops.Search.KnLm) =
+      graft.ops.Search.knScoreBigrams(
+          graft.ops.Search.bigramPairsCarry(probe, "doc_id", "text",
+            Nil), lm)
+        .groupBy("doc_id")
+        .agg(graft.det.Sig.sig5(avg("nl")).as("nll"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = graft.ops.Search.knTrain(day1.unionByName(day2),
+      "doc_id", "text")
+    val loaded = graft.ops.Search.loadKn(spark, path)
+    // count tables identical → identical scores
+    assert(loaded.big.collect().map(r => (r.getString(0),
+        r.getString(1), r.getLong(2))).toSet ==
+      full.big.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).toSet)
+    assert(scores(loaded) == scores(full))
+    // compaction folds the two delta files into one, same model
+    graft.ops.Search.compactKnCounts(spark, path)
+    assert(scores(graft.ops.Search.loadKn(spark, path)) == scores(full))
   }
 
   test("pageRank matches the closed-form damped power iteration") {
