@@ -108,6 +108,49 @@ object QualityRules {
       .orderBy("rule_idx")
   }
 
+  /** [[filterFunnel]] sliced per source — "WHICH feed is dying at
+    * WHICH rule": the per-(source, rule) first-fail counts, shares
+    * within the source, and the per-source survival curve. Every
+    * (source, rule) row is present (zero counts included) via the
+    * rule-frame × distinct-sources cross (O(sources · rules), tiny);
+    * the windows order rule rows WITHIN a source — never corpus
+    * rows. */
+  def filterFunnelBySource(df: DataFrame, idCol: String,
+      textCol: String, srcCol: String,
+      minTokens: Long = 50L, maxTokens: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minStopwords: Long = 2L, maxTopTokenFrac: Double = 0.2)
+      : DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    val counts = ruleAssign(df, idCol, textCol, minTokens, maxTokens,
+        minMeanWordLen, maxMeanWordLen, minStopwords, maxTopTokenFrac)
+      .join(df.select(col(idCol).as("doc_id"),
+        col(srcCol).as("source")), Seq("doc_id"))
+      .groupBy("source", "rule_idx").agg(count(lit(1)).as("n"))
+    val rules = RuleNames.zipWithIndex
+      .map { case (r, i) => (i.toLong, r) }.toDF("rule_idx", "rule")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("rule_idx")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+    df.select(col(srcCol).as("source")).distinct()
+      .crossJoin(rules)
+      .join(counts, Seq("source", "rule_idx"), "left")
+      .select(col("source"), col("rule_idx"), col("rule"),
+        coalesce(col("n"), lit(0L)).as("n_docs"))
+      .withColumn("__cum", sum("n_docs").over(w))
+      .withColumn("__tot", sum("n_docs").over(wTot))
+      .select(col("source"), col("rule_idx"), col("rule"),
+        col("n_docs"),
+        sig5(col("n_docs").cast("double") / col("__tot")).as("share"),
+        when(col("rule") === "kept", col("n_docs"))
+          .otherwise(col("__tot") - col("__cum")).as("n_surviving"))
+      .orderBy("source", "rule_idx")
+  }
+
   /** The keep TRANSFORM: rows whose document passes every rule —
     * what the pipeline feeds downstream after publishing the funnel
     * table. Same assignment, so the two can never drift. */

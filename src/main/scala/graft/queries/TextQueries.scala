@@ -63,6 +63,13 @@ object TextQueries {
         "doc_id", "text", minTokens = 30L, maxTokens = 90L,
         minMeanWordLen = 3.8, maxMeanWordLen = 5.0,
         minStopwords = 2L, maxTopTokenFrac = 0.12)),
+    // the funnel sliced per source: which feed is dying at which
+    // rule — zero-count (source, rule) rows always present
+    "text_filter_funnel_by_source" -> ((s, dir) =>
+      QualityRules.filterFunnelBySource(t(s, dir, "documents"),
+        "doc_id", "text", "source", minTokens = 30L, maxTokens = 90L,
+        minMeanWordLen = 3.8, maxMeanWordLen = 5.0,
+        minStopwords = 2L, maxTopTokenFrac = 0.12)),
     // ---- text analysis ----
     "text_stats" -> ((s, dir) =>
       TextStats.langStats(t(s, dir, "documents"), "text", "lang")),
@@ -878,6 +885,53 @@ object TextQueries {
        |FROM j ORDER BY rule_idx""".stripMargin
   }
 
+  /** Per-source slice of the funnel: same per-doc CASE joined to the
+    * doc's source; the rule frame crossed with distinct sources so
+    * zero-count (source, rule) rows survive; shares and survival
+    * computed within the source partition. */
+  val textFilterFunnelBySourceSql: String = {
+    val f = stopOr("x", enStops)
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t
+       |           FROM documents),
+       |e AS (SELECT doc_id, source, len(t) AS nt,
+       |  list_sum(list_transform(t, x -> length(x))) AS sl,
+       |  len(list_filter(t, x -> $f)) AS ns FROM d),
+       |tok AS (SELECT doc_id, unnest(t) AS w FROM d),
+       |ts AS (SELECT doc_id, max(c) AS top_c FROM (
+       |  SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id, w)
+       |  GROUP BY doc_id),
+       |fi AS (SELECT e.doc_id, e.source,
+       |  CASE WHEN nt < 30 THEN 0 WHEN nt > 90 THEN 1
+       |    WHEN CAST(sl AS DOUBLE) / nt < 3.8
+       |      OR CAST(sl AS DOUBLE) / nt > 5.0 THEN 2
+       |    WHEN ns < 2 THEN 3
+       |    WHEN CAST(top_c AS DOUBLE) / nt > 0.12 THEN 4
+       |    ELSE 5 END AS rule_idx
+       |  FROM e JOIN ts USING (doc_id)),
+       |c AS (SELECT source, rule_idx, count(*) AS n FROM fi
+       |      GROUP BY source, rule_idx),
+       |r(rule_idx, rule) AS (VALUES
+       |  (0, 'too_few_tokens'), (1, 'too_many_tokens'),
+       |  (2, 'mean_word_length'), (3, 'too_few_stopwords'),
+       |  (4, 'repetitive'), (5, 'kept')),
+       |srcs AS (SELECT DISTINCT source FROM documents),
+       |j AS (SELECT srcs.source, r.rule_idx, r.rule,
+       |      coalesce(n, 0) AS n_docs
+       |      FROM srcs CROSS JOIN r
+       |      LEFT JOIN c ON c.source = srcs.source
+       |        AND c.rule_idx = r.rule_idx)
+       |SELECT source, CAST(rule_idx AS BIGINT) AS rule_idx, rule,
+       |CAST(n_docs AS BIGINT) AS n_docs,
+       |${sig("CAST(n_docs AS DOUBLE) / sum(n_docs) OVER " +
+        "(PARTITION BY source)")} AS share,
+       |CAST(CASE WHEN rule = 'kept' THEN n_docs
+       |  ELSE sum(n_docs) OVER (PARTITION BY source) - sum(n_docs)
+       |    OVER (PARTITION BY source ORDER BY rule_idx
+       |          ROWS UNBOUNDED PRECEDING)
+       |  END AS BIGINT) AS n_surviving
+       |FROM j ORDER BY source, rule_idx""".stripMargin
+  }
+
   val textTokensSql: String =
     s"""SELECT doc_id,
        |CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
@@ -1112,6 +1166,7 @@ object TextQueries {
     "text_kn_by_lang" -> textKnByLangSql,
     "text_ppl_buckets" -> textPplBucketsSql,
     "text_filter_funnel" -> textFilterFunnelSql,
+    "text_filter_funnel_by_source" -> textFilterFunnelBySourceSql,
     "text_ngram_entropy" -> textNgramEntropySql,
     "text_pii_by_source" -> textPiiBySourceSql,
     "text_length_profile" -> textLengthProfileSql
