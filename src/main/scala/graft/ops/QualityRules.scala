@@ -32,8 +32,8 @@ object QualityRules {
   def ruleAssign(df: DataFrame, idCol: String, textCol: String,
       minTokens: Long = 50L, maxTokens: Long = 100000L,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
-      minStopwords: Long = 2L, maxTopTokenFrac: Double = 0.2)
-      : DataFrame = {
+      minStopwords: Long = 2L, maxTopTokenFrac: Double = 0.2,
+      carry: Seq[String] = Nil): DataFrame = {
     val en = TextStats.stopwords.toMap.apply("en")
     // repetition signal WITHOUT the (doc, token) histogram shuffle:
     // the per-doc top-token count is the longest equal run of the
@@ -50,15 +50,18 @@ object QualityRules {
         'run', IF(x = a.prev, a.run + 1L, 1L),
         'best', GREATEST(a.best, IF(x = a.prev, a.run + 1L, 1L))),
       a -> a.best)""")
-    val base = df.select(col(idCol).as("doc_id"),
-        split(col(textCol), " ").as("w"))
-      .select(col("doc_id"),
+    // `carry` threads extra df columns (event time, source) through
+    // the projection so stream/slice twins stay map-only instead of
+    // joining back against their own input
+    val base = df.select(col(idCol).as("doc_id") +:
+        carry.map(col) :+ split(col(textCol), " ").as("w"): _*)
+      .select((col("doc_id") +: carry.map(col)) ++ Seq(
         size(col("w")).cast("long").as("nt"),
         aggregate(col("w"), lit(0L), (acc, x) => acc + length(x))
           .as("sum_len"),
         size(filter(col("w"), t =>
           t.isin(en.map(x => lit(x)): _*))).cast("long").as("ns"),
-        topC.as("top_c"))
+        topC.as("top_c")): _*)
     val meanWl = col("sum_len").cast("double") / col("nt")
     val topFrac = col("top_c").cast("double") / col("nt")
     val idx = when(col("nt") < minTokens, 0L)
@@ -67,7 +70,8 @@ object QualityRules {
       .when(col("ns") < minStopwords, 3L)
       .when(topFrac > maxTopTokenFrac, 4L)
       .otherwise(5L)
-    base.select(col("doc_id"), idx.as("rule_idx"))
+    base.select(col("doc_id") +: carry.map(col) :+
+      idx.as("rule_idx"): _*)
   }
 
   /** The funnel table: one row per rule (plus "kept"), with the
@@ -124,10 +128,10 @@ object QualityRules {
     val s = df.sparkSession
     import s.implicits._
     val counts = ruleAssign(df, idCol, textCol, minTokens, maxTokens,
-        minMeanWordLen, maxMeanWordLen, minStopwords, maxTopTokenFrac)
-      .join(df.select(col(idCol).as("doc_id"),
-        col(srcCol).as("source")), Seq("doc_id"))
-      .groupBy("source", "rule_idx").agg(count(lit(1)).as("n"))
+        minMeanWordLen, maxMeanWordLen, minStopwords, maxTopTokenFrac,
+        carry = Seq(srcCol))
+      .groupBy(col(srcCol).as("source"), col("rule_idx"))
+      .agg(count(lit(1)).as("n"))
     val rules = RuleNames.zipWithIndex
       .map { case (r, i) => (i.toLong, r) }.toDF("rule_idx", "rule")
     val w = org.apache.spark.sql.expressions.Window

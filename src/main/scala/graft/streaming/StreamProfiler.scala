@@ -489,6 +489,48 @@ object StreamProfiler {
         col("n_bigrams"), col("nll"), col("ppl"))
   }
 
+  /** Streaming twin of [[graft.ops.QualityRules.filterFunnel]]: per
+    * event-time window, the first-failing-rule counts of the
+    * document stream — "did a rule start eating the crawl THIS
+    * hour". The per-doc assignment is the batch operator's own
+    * map-only projection (shared code, no histogram shuffle — the
+    * in-row repetition fold), so the only state is O(rules) counters
+    * per open window. Emits (window_start, rule_idx, rule, n_docs)
+    * on window close; survival/share arithmetic is the downstream
+    * batch funnel's job on the closed rows (zero-count rules are
+    * absent here — a stream can't cross a literal frame per window
+    * without a stateful join; the batch funnel table remains the
+    * zero-complete form). */
+  def ruleGateStream(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ts", watermark: String = "10 minutes",
+      windowLen: String = "1 hour",
+      minTokens: Long = 50L, maxTokens: Long = 100000L,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minStopwords: Long = 2L, maxTopTokenFrac: Double = 0.2)
+      : DataFrame = {
+    val withTs = docs.where(col(textCol).isNotNull)
+      .withColumn("__ts", eventTime(docs, tsCol))
+    // the event time rides ruleAssign's carry columns — the whole
+    // per-doc path stays ONE map-only projection (a join back onto
+    // the input would be an illegal stream-stream self-join)
+    val assigned = graft.ops.QualityRules.ruleAssign(
+      withTs, idCol, textCol, minTokens, maxTokens,
+      minMeanWordLen, maxMeanWordLen, minStopwords, maxTopTokenFrac,
+      carry = Seq("__ts"))
+    val names = graft.ops.QualityRules.RuleNames
+    val nameOf = names.zipWithIndex.foldLeft(lit(names.last)) {
+      case (acc, (nm, i)) =>
+        when(col("rule_idx") === i.toLong, lit(nm)).otherwise(acc)
+    }
+    assigned
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowLen), col("rule_idx"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("window.start").as("window_start"), col("rule_idx"),
+        nameOf.as("rule"), col("n_docs"))
+  }
+
   /** Native session-window aggregation (`session_window(ts, gap)`) —
     * the DECLARATIVE alternative to [[sessionizeStream]]'s custom
     * flatMapGroupsWithState state machine: Spark's own session

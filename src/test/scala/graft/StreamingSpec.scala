@@ -763,4 +763,45 @@ class StreamingSpec extends SparkSpec {
       assert(out == batch)
     } finally q.stop()
   }
+
+  test("ruleGateStream counts first-failing rules per window, " +
+      "matching the batch funnel on the closed window's docs") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TsDoc]
+    val q = StreamProfiler.ruleGateStream(mem.toDF(),
+        minTokens = 5L, maxTokens = 50L,
+        minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+        minStopwords = 1L, maxTopTokenFrac = 0.5)
+      .writeStream.format("memory").queryName("rulegate")
+      .outputMode("append").start()
+    try {
+      val docs = Seq(
+        (1L, "x y z"),                          // too_few_tokens
+        (2L, "the echo echo echo is echo"),     // repetitive
+        (3L, "the alpha is beta and gamma of delta")) // kept
+      mem.addData(docs.zipWithIndex.map { case ((id, tx), i) =>
+        TsDoc(t(5 + i), id, tx) }: _*)
+      q.processAllAvailable()
+      mem.addData(TsDoc(t(2000), 99L, "x")) // close hour 0
+      q.processAllAvailable()
+      val out = sql.table("rulegate")
+        .where(col("window_start") === new Timestamp(0L))
+        .select("rule", "n_docs").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out == Map("too_few_tokens" -> 1L, "repetitive" -> 1L,
+        "kept" -> 1L))
+      // batch funnel over the same docs agrees on every nonzero row
+      val batch = graft.ops.QualityRules.filterFunnel(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          minTokens = 5L, maxTokens = 50L,
+          minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+          minStopwords = 1L, maxTopTokenFrac = 0.5)
+        .where(col("n_docs") > 0)
+        .select("rule", "n_docs").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(batch == out)
+    } finally q.stop()
+  }
 }
