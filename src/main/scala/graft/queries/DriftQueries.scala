@@ -33,6 +33,15 @@ object DriftQueries {
           Drift.numericDrift(d, "n_chars", col("n_chars"), slice))
         .orderBy("dim")
     }),
+    // did the quality GATE's behavior shift between slices: PSI/TVD
+    // of the first-failing-rule distribution (a rule that suddenly
+    // eats a feed moves this even when corpus volume stays flat)
+    "drift_filter_reasons" -> ((s, dir) =>
+      Drift.categoricalDrift(
+        QualityRules.ruleAssign(t(s, dir, "documents"), "doc_id",
+          "text", 30L, 90L, 3.8, 5.0, 2L, 0.12),
+        "filter_rule", col("rule_idx"),
+        pmod(col("doc_id"), lit(2L)))),
     // WHICH source changed its language mix: per-source TVD between
     // the slices' lang distributions (grouped twin of drift_vocab's
     // one global row)
@@ -366,6 +375,12 @@ object DriftQueries {
   /** Token-distribution drift via the shared per-dim CTE (tokens as
     * buckets). */
 
+  /** Rule-distribution drift: the drift template over the shared
+    * (doc_id, rule_idx) subquery — same rule CASE as the funnel
+    * oracles ([[TextQueries.ruleIdxSubquery]]). */
+  val driftFilterReasonsSql: String = driftDimSql("filter_rule",
+    TextQueries.ruleIdxSubquery, "rule_idx")
+
   val driftVocabSql: String = driftDimSql("token_mix",
     "(SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
       "FROM documents)", "tok")
@@ -375,6 +390,7 @@ object DriftQueries {
 
   val oracle: Map[String, String] = Map(
     "drift_vocab" -> driftVocabSql,
+    "drift_filter_reasons" -> driftFilterReasonsSql,
     "drift_reference" -> driftReferenceSql,
     "drift_quantiles" -> driftQuantilesSql,
     "drift_embedding" -> driftEmbeddingSql,

@@ -843,6 +843,35 @@ object TextQueries {
        |${sig("exp(avg(nl))")} AS ppl
        |FROM sc GROUP BY doc_id, blk ORDER BY doc_id""".stripMargin
 
+  /** The fixture-tuned first-failing-rule CASE — the single SQL home
+    * of the rule thresholds, shared by both funnel oracles and the
+    * rule-drift oracle so the three can never drift. */
+  private[queries] val ruleCaseSql: String =
+    """CASE WHEN nt < 30 THEN 0 WHEN nt > 90 THEN 1
+      |    WHEN CAST(sl AS DOUBLE) / nt < 3.8
+      |      OR CAST(sl AS DOUBLE) / nt > 5.0 THEN 2
+      |    WHEN ns < 2 THEN 3
+      |    WHEN CAST(top_c AS DOUBLE) / nt > 0.12 THEN 4
+      |    ELSE 5 END""".stripMargin
+
+  /** Self-contained (doc_id, rule_idx) SUBQUERY form of the rule
+    * assignment (no WITH — embeddable inside another oracle's
+    * CTE-free template, e.g. the drift family's). */
+  private[queries] val ruleIdxSubquery: String = {
+    val f = stopOr("x", enStops)
+    s"""(SELECT e.doc_id, $ruleCaseSql AS rule_idx
+       | FROM (SELECT doc_id, len(t) AS nt,
+       |    list_sum(list_transform(t, x -> length(x))) AS sl,
+       |    len(list_filter(t, x -> $f)) AS ns
+       |   FROM (SELECT doc_id, string_split(text, ' ') AS t
+       |         FROM documents)) e
+       | JOIN (SELECT doc_id, max(c) AS top_c FROM (
+       |    SELECT doc_id, w, count(*) AS c FROM (
+       |      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents) GROUP BY doc_id, w)
+       |   GROUP BY doc_id) ts USING (doc_id))""".stripMargin
+  }
+
   /** Funnel re-derivation: same per-doc signals (token count,
     * list_sum word lengths, stop-word filter, top-token share from
     * the (doc, token) histogram), same CASE precedence — all rule
@@ -860,12 +889,7 @@ object TextQueries {
        |  SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id, w)
        |  GROUP BY doc_id),
        |fi AS (SELECT e.doc_id,
-       |  CASE WHEN nt < 30 THEN 0 WHEN nt > 90 THEN 1
-       |    WHEN CAST(sl AS DOUBLE) / nt < 3.8
-       |      OR CAST(sl AS DOUBLE) / nt > 5.0 THEN 2
-       |    WHEN ns < 2 THEN 3
-       |    WHEN CAST(top_c AS DOUBLE) / nt > 0.12 THEN 4
-       |    ELSE 5 END AS rule_idx
+       |  $ruleCaseSql AS rule_idx
        |  FROM e JOIN ts USING (doc_id)),
        |c AS (SELECT rule_idx, count(*) AS n FROM fi GROUP BY rule_idx),
        |r(rule_idx, rule) AS (VALUES
@@ -901,12 +925,7 @@ object TextQueries {
        |  SELECT doc_id, count(*) AS c FROM tok GROUP BY doc_id, w)
        |  GROUP BY doc_id),
        |fi AS (SELECT e.doc_id, e.source,
-       |  CASE WHEN nt < 30 THEN 0 WHEN nt > 90 THEN 1
-       |    WHEN CAST(sl AS DOUBLE) / nt < 3.8
-       |      OR CAST(sl AS DOUBLE) / nt > 5.0 THEN 2
-       |    WHEN ns < 2 THEN 3
-       |    WHEN CAST(top_c AS DOUBLE) / nt > 0.12 THEN 4
-       |    ELSE 5 END AS rule_idx
+       |  $ruleCaseSql AS rule_idx
        |  FROM e JOIN ts USING (doc_id)),
        |c AS (SELECT source, rule_idx, count(*) AS n FROM fi
        |      GROUP BY source, rule_idx),
