@@ -181,6 +181,32 @@ object HtmlReport {
          |${trs.mkString("\n")}</table></div>""".stripMargin
     }
 
+  /** Quality-gate funnel section:
+    * [[graft.ops.QualityRules.filterFunnel]] output rows (rule_idx,
+    * rule, n_docs, share, n_surviving) — rules rendered in
+    * evaluation order with the survival curve; rules eating more
+    * than 20% of the corpus badged. Empty input renders nothing. */
+  def funnelSection(
+      rows: Seq[(Long, String, Long, Double, Long)]): String =
+    if (rows.isEmpty) ""
+    else {
+      val kept = rows.find(_._2 == "kept").map(_._3).getOrElse(0L)
+      val total = rows.filter(_._2 != "kept").map(_._3).sum + kept
+      val trs = rows.sortBy(_._1).map {
+        case (_, rule, n, share, surviving) =>
+          val badge =
+            if (rule != "kept" && share > 0.2)
+              """ <span class="bad">EATING</span>""" else ""
+          s"<tr><td>${esc(rule)}$badge</td><td>$n</td>" +
+            s"<td>${fmtPercent(share)}</td><td>$surviving</td></tr>"
+      }
+      s"""<div class="card"><h2>Quality gate
+         |($kept of $total kept)</h2><table class="freq">
+         |<tr><th>rule</th><th>first-fail docs</th>
+         |<th>share</th><th>surviving</th></tr>
+         |${trs.mkString("\n")}</table></div>""".stripMargin
+    }
+
   /** Standalone corpus-datasheet DOCUMENT from the melted
     * [[graft.ops.Datasheet.corpusDatasheet]] rows: one card per
     * section, entities as table rows, metrics as columns — the

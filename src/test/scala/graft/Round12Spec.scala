@@ -130,6 +130,21 @@ class Round12Spec extends SparkSpec {
     assert(got("middle")._2 <= got("tail")._2)
   }
 
+  test("funnelSection renders rules in order, badges heavy eaters, " +
+      "and renders nothing on empty input") {
+    val rows = Seq(
+      (0L, "too_few_tokens", 300L, 0.3, 700L),
+      (1L, "too_many_tokens", 0L, 0.0, 700L),
+      (5L, "kept", 700L, 0.7, 700L))
+    val html = HtmlReport.funnelSection(rows)
+    assert(html.contains("700 of 1,000 kept") ||
+      html.contains("700 of 1000 kept"))
+    assert(html.contains("EATING")) // 30% > the 20% badge threshold
+    assert(html.indexOf("<td>too_few_tokens") <
+      html.indexOf("<td>kept</td>"))
+    assert(HtmlReport.funnelSection(Nil) == "")
+  }
+
   test("incremental KN store: write + append + load ≡ retraining on " +
       "the union corpus, and compaction preserves the model") {
     val s = spark
