@@ -332,6 +332,66 @@ object Search {
       .orderBy("lang", "bucket")
   }
 
+  /** Error contract for the ppl-bucket PRODUCTION path: the corpus
+    * form replaces [[knPplBuckets]]'s per-language sort window with
+    * per-language GK tercile thresholds (`percentile_approx`,
+    * rank error ≤ n/accuracy) and a map-only value compare. This
+    * query runs BOTH forms and emits, per (lang, bucket), the
+    * deviation verdict under the provable bound
+    *
+    *   |n_exact − n_approx| ≤ 2·⌈n/accuracy⌉ + maxTie + 2
+    *
+    * (GK rank slack on each threshold, plus the largest nll tie
+    * class — the value compare lands a whole tie class on one side
+    * while the exact rank cut splits it, plus integer-cut rounding).
+    * All-true output; the oracle is the literal contract table — a
+    * bound violation flips a boolean and fails the hash. */
+  def knPplBucketsApproxErr(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String, langCol: String,
+      accuracy: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = score.sparkSession
+    import s.implicits._
+    val lg = knBigramNll(train, score, idCol, textCol)
+      .join(score.select(col(idCol).as("doc_id"),
+        col(langCol).as("lang")), Seq("doc_id"))
+    val w = Window.partitionBy("lang").orderBy(col("nll"), col("doc_id"))
+    val bucketOf = (cond1: Column, cond2: Column) =>
+      when(cond1, lit("head")).when(cond2, lit("middle"))
+        .otherwise(lit("tail"))
+    val exact = lg
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .groupBy(col("lang"), bucketOf(col("rn") * 3 <= col("n"),
+        col("rn") * 3 <= col("n") * 2).as("bucket"))
+      .agg(count(lit(1)).as("n_exact"))
+    val thr = lg.groupBy("lang")
+      .agg(percentile_approx(col("nll"),
+        typedLit(Seq(1.0 / 3.0, 2.0 / 3.0)), lit(accuracy)).as("t"))
+    val approx = lg.join(thr, Seq("lang"))
+      .groupBy(col("lang"),
+        bucketOf(col("nll") <= element_at(col("t"), 1),
+          col("nll") <= element_at(col("t"), 2)).as("bucket"))
+      .agg(count(lit(1)).as("n_approx"))
+    val bound = lg.groupBy("lang", "nll").agg(count(lit(1)).as("tc"))
+      .groupBy("lang").agg(max("tc").as("max_tie"),
+        sum("tc").as("n"))
+      .select(col("lang"),
+        (lit(2) * ceil(col("n").cast("double") / accuracy) +
+          col("max_tie") + lit(2)).as("bound"))
+    val frame = lg.select("lang").distinct()
+      .crossJoin(Seq("head", "middle", "tail").toDF("bucket"))
+    frame
+      .join(exact, Seq("lang", "bucket"), "left")
+      .join(approx, Seq("lang", "bucket"), "left")
+      .join(bound, Seq("lang"))
+      .select(col("lang"), col("bucket"),
+        (abs(coalesce(col("n_exact"), lit(0L)) -
+          coalesce(col("n_approx"), lit(0L))) <= col("bound"))
+          .as("within_bound"))
+      .orderBy("lang", "bucket")
+  }
+
   /** Bigram frame with extra per-doc columns carried through (the
     * hashedGramFrame `carry` pattern) — for blocked/streaming KN
     * variants that need a language or event-time column alongside

@@ -55,6 +55,14 @@ object TextQueries {
       Search.knPplBuckets(docs.where(col("source") =!= "src0"),
         docs, "doc_id", "text", "lang")
     }),
+    // the bucket production path's error contract: GK tercile
+    // thresholds + map-only compare vs the exact rank cut, verdicts
+    // under the provable rank-slack + tie-class bound (all-true)
+    "text_ppl_buckets_err" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Search.knPplBucketsApproxErr(docs.where(col("source") =!= "src0"),
+        docs, "doc_id", "text", "lang")
+    }),
     // Gopher-style rule gate with first-failing-rule accounting and
     // the cumulative survival funnel; thresholds tuned so every arm
     // of the fixture corpus is populated
@@ -843,6 +851,15 @@ object TextQueries {
        |${sig("exp(avg(nl))")} AS ppl
        |FROM sc GROUP BY doc_id, blk ORDER BY doc_id""".stripMargin
 
+  /** The contract table: every (lang, bucket) verdict must be true —
+    * the approx-err oracle pattern (the Spark side computes both
+    * forms and the bound; a violation flips a boolean here). */
+  val textPplBucketsErrSql: String =
+    """SELECT lang, bucket, true AS within_bound
+      |FROM (SELECT DISTINCT lang FROM documents)
+      |CROSS JOIN (VALUES ('head'), ('middle'), ('tail')) b(bucket)
+      |ORDER BY lang, bucket""".stripMargin
+
   /** The fixture-tuned first-failing-rule CASE — the single SQL home
     * of the rule thresholds, shared by both funnel oracles and the
     * rule-drift oracle so the three can never drift. */
@@ -1184,6 +1201,7 @@ object TextQueries {
     "text_kn_score" -> textKnScoreSql,
     "text_kn_by_lang" -> textKnByLangSql,
     "text_ppl_buckets" -> textPplBucketsSql,
+    "text_ppl_buckets_err" -> textPplBucketsErrSql,
     "text_filter_funnel" -> textFilterFunnelSql,
     "text_filter_funnel_by_source" -> textFilterFunnelBySourceSql,
     "text_ngram_entropy" -> textNgramEntropySql,
