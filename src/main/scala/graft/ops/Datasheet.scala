@@ -42,7 +42,8 @@ object Datasheet {
   def corpusDatasheet(docs: DataFrame, srcCol: String = "source",
       langCol: String = "lang", idCol: String = "doc_id",
       textCol: String = "text", urlCol: Option[String] = None,
-      hotShare: Double = 0.05): DataFrame = {
+      hotShare: Double = 0.05,
+      gate: Option[QualityRules.Thresholds] = None): DataFrame = {
     val corpus = melt(TextStats.manifest(docs, srcCol, textCol),
       "corpus", col(srcCol),
       Seq("n_docs", "n_tokens", "n_chars", "doc_share"))
@@ -80,7 +81,18 @@ object Datasheet {
       "pii", lit("__corpus__"),
       Seq("n_docs", "n_docs_with_pii", "n_emails", "n_ips", "n_phones"))
 
-    (Seq(corpus) ++ domains ++ Seq(quality, dedup, pii))
+    // gate:     per-rule first-fail counts, shares, survival curve
+    // (the quality-gate funnel — which rule eats how much of the
+    // release; optional because the thresholds are a pipeline
+    // decision, not a datasheet default)
+    val gateSec = gate.map { th =>
+      melt(QualityRules.filterFunnel(docs, idCol, textCol,
+          th.minTokens, th.maxTokens, th.minMeanWordLen,
+          th.maxMeanWordLen, th.minStopwords, th.maxTopTokenFrac),
+        "gate", col("rule"), Seq("n_docs", "share", "n_surviving"))
+    }
+
+    (Seq(corpus) ++ domains ++ Seq(quality, dedup, pii) ++ gateSec)
       .reduce(_.unionByName(_))
       .orderBy("section", "entity", "metric")
   }

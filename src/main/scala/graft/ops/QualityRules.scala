@@ -27,6 +27,14 @@ object QualityRules {
   val RuleNames: Seq[String] = Seq("too_few_tokens", "too_many_tokens",
     "mean_word_length", "too_few_stopwords", "repetitive", "kept")
 
+  /** The rule thresholds as one value (for callers like the corpus
+    * datasheet that thread a whole gate config through). Defaults
+    * are Gopher's published operating points. */
+  case class Thresholds(minTokens: Long = 50L,
+    maxTokens: Long = 100000L, minMeanWordLen: Double = 3.0,
+    maxMeanWordLen: Double = 10.0, minStopwords: Long = 2L,
+    maxTopTokenFrac: Double = 0.2)
+
   /** Per-document rule assignment: (doc_id, rule_idx, rule) where
     * rule is the FIRST failing rule, or "kept". */
   def ruleAssign(df: DataFrame, idCol: String, textCol: String,

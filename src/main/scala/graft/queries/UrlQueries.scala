@@ -46,7 +46,9 @@ object UrlQueries {
       val d = UrlOps.synthUrl(
         graft.ops.Pii.synthPii(t(s, dir, "documents"), "doc_id",
           "text"), "doc_id")
-      graft.ops.Datasheet.corpusDatasheet(d, urlCol = Some("url"))
+      graft.ops.Datasheet.corpusDatasheet(d, urlCol = Some("url"),
+        gate = Some(graft.ops.QualityRules.Thresholds(30L, 90L, 3.8,
+          5.0, 2L, 0.12)))
     }),
     // domain-mix drift between the even/odd doc slices: PSI + TVD
     // over the registrable-domain distribution — "did the crawl's
@@ -300,7 +302,11 @@ object UrlQueries {
       arm("pii", "'__corpus__'", "n_ips", "CAST(n_ips AS DOUBLE)",
         "pt"),
       arm("pii", "'__corpus__'", "n_phones",
-        "CAST(n_phones AS DOUBLE)", "pt"))
+        "CAST(n_phones AS DOUBLE)", "pt"),
+      arm("gate", "rule", "n_docs", "CAST(n_docs AS DOUBLE)", "gj2"),
+      arm("gate", "rule", "share", "share", "gj2"),
+      arm("gate", "rule", "n_surviving",
+        "CAST(n_surviving AS DOUBLE)", "gj2"))
     s"""WITH base AS (SELECT doc_id, source, lang, text ||
        |    CASE WHEN doc_id % 3 >= 1 THEN ' mail user' ||
        |      CAST(doc_id AS VARCHAR) || 'a@mail.example.com'
@@ -383,7 +389,33 @@ object UrlQueries {
        |    CAST(sum(ne) AS BIGINT) AS n_emails,
        |    CAST(sum(ni) AS BIGINT) AS n_ips,
        |    CAST(sum(np) AS BIGINT) AS n_phones
-       |  FROM pd)
+       |  FROM pd),
+       |gd AS (SELECT doc_id, string_split(t2, ' ') AS gt FROM base),
+       |ge AS (SELECT doc_id, len(gt) AS nt,
+       |    list_sum(list_transform(gt, x -> length(x))) AS sl,
+       |    len(list_filter(gt, x -> $f)) AS ns FROM gd),
+       |gts AS (SELECT doc_id, max(c) AS top_c FROM (
+       |    SELECT doc_id, gw, count(*) AS c FROM (
+       |      SELECT doc_id, unnest(gt) AS gw FROM gd)
+       |    GROUP BY doc_id, gw) GROUP BY doc_id),
+       |gfi AS (SELECT ge.doc_id,
+       |  ${TextQueries.ruleCaseSql} AS rule_idx
+       |  FROM ge JOIN gts USING (doc_id)),
+       |gc AS (SELECT rule_idx, count(*) AS n FROM gfi
+       |       GROUP BY rule_idx),
+       |grl(rule_idx, rule) AS (VALUES
+       |  (0, 'too_few_tokens'), (1, 'too_many_tokens'),
+       |  (2, 'mean_word_length'), (3, 'too_few_stopwords'),
+       |  (4, 'repetitive'), (5, 'kept')),
+       |gj AS (SELECT grl.rule_idx, grl.rule, coalesce(n, 0) AS n_docs
+       |       FROM grl LEFT JOIN gc USING (rule_idx)),
+       |gj2 AS (SELECT rule, CAST(n_docs AS BIGINT) AS n_docs,
+       |  ${sig("CAST(n_docs AS DOUBLE) / (SELECT sum(n_docs) FROM gj)")}
+       |    AS share,
+       |  CAST(CASE WHEN rule = 'kept' THEN n_docs
+       |    ELSE (SELECT sum(n_docs) FROM gj) - sum(n_docs)
+       |      OVER (ORDER BY rule_idx ROWS UNBOUNDED PRECEDING)
+       |    END AS BIGINT) AS n_surviving FROM gj)
        |${arms.mkString("\nUNION ALL\n")}
        |ORDER BY section, entity, metric""".stripMargin
   }
