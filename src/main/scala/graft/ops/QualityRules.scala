@@ -163,6 +163,42 @@ object QualityRules {
       .orderBy("source", "rule_idx")
   }
 
+  /** Operating-point table for the gate's token-count floor (the
+    * [[Dedup]] threshold-curve pattern applied to the rule gate):
+    * for each candidate minTokens, the kept count and share under
+    * the FULL gate with every other rule fixed — the table a
+    * pipeline owner reads before picking the cutoff, from ONE scan.
+    * The per-doc signals are computed once; the candidate list rides
+    * a broadcast literal frame (O(candidates) multiplier on the
+    * already-aggregated comparisons, no re-scan per point). */
+  def thresholdCurve(df: DataFrame, idCol: String, textCol: String,
+      minTokensCandidates: Seq[Long],
+      maxTokens: Long = 100000L, minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0, minStopwords: Long = 2L,
+      maxTopTokenFrac: Double = 0.2): DataFrame = {
+    require(minTokensCandidates.nonEmpty)
+    val s = df.sparkSession
+    import s.implicits._
+    // minTokens = 0 disables the floor, so ruleAssign emits the
+    // OTHER rules' verdict; the floor is re-applied per candidate
+    val sig = ruleAssign(df, idCol, textCol, 0L, maxTokens,
+      minMeanWordLen, maxMeanWordLen, minStopwords, maxTopTokenFrac,
+      carry = Seq())
+    val nt = df.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("nt"))
+    val cand = minTokensCandidates.toDF("min_tokens")
+    sig.join(nt, Seq("doc_id"))
+      .crossJoin(broadcast(cand))
+      .groupBy("min_tokens")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rule_idx") === 5L && col("nt") >=
+          col("min_tokens"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("min_tokens"), col("n_docs"), col("n_kept"),
+        sig5(col("n_kept").cast("double") / col("n_docs"))
+          .as("kept_share"))
+      .orderBy("min_tokens")
+  }
+
   /** The keep TRANSFORM: rows whose document passes every rule —
     * what the pipeline feeds downstream after publishing the funnel
     * table. Same assignment, so the two can never drift. */

@@ -28,6 +28,23 @@ object DedupQueries {
       Dedup.ngramJaccardPairsBlocked(t(s, dir, "documents"), "doc_id",
         "text", "lang", n = 3, minJaccard = 0.5,
         maxDf = Some(NgramMaxDf))),
+    // PASSAGE-level near-dup (the RAG-corpus gate doc-level dedup
+    // misses): the chunker's 64/48 windows near-dup'd by the exact
+    // n-gram machinery; chunk identity = doc_id·1000 + chunk_idx,
+    // decoded back in the output
+    "chunk_dedup" -> ((s, dir) => {
+      val ch = Chunking.chunkTokens(t(s, dir, "documents"), "doc_id",
+          "text", size = 64, stride = 48)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
+          col("chunk_text"))
+      Dedup.ngramJaccardPairs(ch, "cid", "chunk_text", n = 3,
+          minJaccard = 0.8, maxDf = Some(NgramMaxDf))
+        .select(expr("id_a div 1000").as("doc_a"),
+          pmod(col("id_a"), lit(1000L)).as("chunk_a"),
+          expr("id_b div 1000").as("doc_b"),
+          pmod(col("id_b"), lit(1000L)).as("chunk_b"), col("jaccard"))
+        .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+    }),
     // asymmetric containment reuse: Jaccard is structurally blind to
     // short-in-long quotes, so the fixture synthesizes them
     // deterministically (the null_association precedent): every 17th
@@ -509,7 +526,41 @@ object DedupQueries {
        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
        |ORDER BY block, id_a, id_b""".stripMargin
 
+  /** Chunk-level near-dup re-derived: the chunk oracle's window
+    * slicing rebased to composite ids, then the standard shingle
+    * self-join chain (the shingleCteSql src parameter doing its
+    * job); the composite id decodes with integer div/mod on both
+    * engines. Jaccard is one division of exact integers —
+    * bit-equal, no sig5. */
+  val chunkDedupSql: String = {
+    val chunkSrc =
+      """(SELECT doc_id * 1000 + chunk_idx AS doc_id,
+        |  chunk_text AS text FROM (
+        |  SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+        |    array_to_string(ts[start + 1 : start + 64], ' ')
+        |      AS chunk_text
+        |  FROM (SELECT doc_id, ts,
+        |      unnest(range(0, len(ts), 48)) AS start
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ts
+        |          FROM documents))))""".stripMargin
+    s"""WITH ${shingleCteSql("sh", chunkSrc)},
+       |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+       |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |       FROM sh a JOIN sh b
+       |       ON a.shingle = b.shingle AND a.id < b.id
+       |       GROUP BY a.id, b.id),
+       |pj AS (SELECT pr.id_a, pr.id_b,
+       |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+       |  FROM pr JOIN sz sa ON sa.id = pr.id_a
+       |  JOIN sz sb ON sb.id = pr.id_b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8)
+       |SELECT id_a // 1000 AS doc_a, id_a % 1000 AS chunk_a,
+       |id_b // 1000 AS doc_b, id_b % 1000 AS chunk_b, jaccard
+       |FROM pj ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "chunk_dedup" -> chunkDedupSql,
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_exact" -> dedupExactSql,

@@ -71,6 +71,14 @@ object TextQueries {
         "doc_id", "text", minTokens = 30L, maxTokens = 90L,
         minMeanWordLen = 3.8, maxMeanWordLen = 5.0,
         minStopwords = 2L, maxTopTokenFrac = 0.12)),
+    // operating-point table for the gate's token floor: kept share
+    // per candidate minTokens under the full gate, from one scan
+    // (the dedup_threshold_curve pattern applied to the rule gate)
+    "text_filter_threshold_curve" -> ((s, dir) =>
+      QualityRules.thresholdCurve(t(s, dir, "documents"),
+        "doc_id", "text", Seq(10L, 20L, 30L, 40L, 50L, 60L),
+        maxTokens = 90L, minMeanWordLen = 3.8, maxMeanWordLen = 5.0,
+        minStopwords = 2L, maxTopTokenFrac = 0.12)),
     // the funnel sliced per source: which feed is dying at which
     // rule — zero-count (source, rule) rows always present
     "text_filter_funnel_by_source" -> ((s, dir) =>
@@ -926,6 +934,40 @@ object TextQueries {
        |FROM j ORDER BY rule_idx""".stripMargin
   }
 
+  /** Threshold-curve re-derivation: the rule CASE with the token
+    * floor DISABLED (nt < 0 never fires), then each candidate floor
+    * re-applied as kept = passes-others AND nt ≥ mt, all candidates
+    * from one CROSS JOIN against the VALUES list. */
+  val textFilterThresholdCurveSql: String = {
+    val f = stopOr("x", enStops)
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+       |           FROM documents),
+       |e AS (SELECT doc_id, len(t) AS nt,
+       |  list_sum(list_transform(t, x -> length(x))) AS sl,
+       |  len(list_filter(t, x -> $f)) AS ns FROM d),
+       |ts AS (SELECT doc_id, max(c) AS top_c FROM (
+       |  SELECT doc_id, w, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(t) AS w FROM d)
+       |  GROUP BY doc_id, w) GROUP BY doc_id),
+       |fi AS (SELECT e.doc_id, nt,
+       |  CASE WHEN nt > 90 THEN 1
+       |    WHEN CAST(sl AS DOUBLE) / nt < 3.8
+       |      OR CAST(sl AS DOUBLE) / nt > 5.0 THEN 2
+       |    WHEN ns < 2 THEN 3
+       |    WHEN CAST(top_c AS DOUBLE) / nt > 0.12 THEN 4
+       |    ELSE 5 END AS ri
+       |  FROM e JOIN ts USING (doc_id)),
+       |cand(mt) AS (VALUES (10), (20), (30), (40), (50), (60))
+       |SELECT CAST(mt AS BIGINT) AS min_tokens,
+       |CAST(count(*) AS BIGINT) AS n_docs,
+       |CAST(sum(CASE WHEN ri = 5 AND nt >= mt THEN 1 ELSE 0 END)
+       |  AS BIGINT) AS n_kept,
+       |${sig("CAST(sum(CASE WHEN ri = 5 AND nt >= mt THEN 1 ELSE 0" +
+        " END) AS DOUBLE) / count(*)")} AS kept_share
+       |FROM fi CROSS JOIN cand GROUP BY mt
+       |ORDER BY min_tokens""".stripMargin
+  }
+
   /** Per-source slice of the funnel: same per-doc CASE joined to the
     * doc's source; the rule frame crossed with distinct sources so
     * zero-count (source, rule) rows survive; shares and survival
@@ -1204,6 +1246,7 @@ object TextQueries {
     "text_ppl_buckets_err" -> textPplBucketsErrSql,
     "text_filter_funnel" -> textFilterFunnelSql,
     "text_filter_funnel_by_source" -> textFilterFunnelBySourceSql,
+    "text_filter_threshold_curve" -> textFilterThresholdCurveSql,
     "text_ngram_entropy" -> textNgramEntropySql,
     "text_pii_by_source" -> textPiiBySourceSql,
     "text_length_profile" -> textLengthProfileSql
