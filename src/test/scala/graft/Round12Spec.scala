@@ -145,6 +145,32 @@ class Round12Spec extends SparkSpec {
     assert(HtmlReport.funnelSection(Nil) == "")
   }
 
+  test("plan shapes: ruleAssign is exchange-free (map-only), and " +
+      "KN scoring / pageRank plan no cartesian product") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c the is"), (2L, "x y z a b"))
+      .toDF("doc_id", "text")
+    // the 10M-doc measurement said the gate is ONE map-only scan —
+    // pin it: no Exchange anywhere in the per-doc assignment
+    val assignPlan = QualityRules.ruleAssign(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange"),
+      s"ruleAssign must be map-only, got:\n$assignPlan")
+    val lm = Search.knTrain(docs, "doc_id", "text")
+    val knPlan = Search.knScoreBigrams(
+        Search.bigramPairsCarry(docs, "doc_id", "text", Nil), lm)
+      .queryExecution.executedPlan.toString
+    assert(!knPlan.contains("CartesianProduct"),
+      "KN scoring must broadcast the 1-row type total, not plan a " +
+        "cartesian product")
+    val prPlan = graft.ops.GraphOps.pageRank(
+        Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), "src", "dst",
+        iters = 2)
+      .queryExecution.executedPlan.toString
+    assert(!prPlan.contains("CartesianProduct"))
+  }
+
   test("incremental KN store: write + append + load ≡ retraining on " +
       "the union corpus, and compaction preserves the model") {
     val s = spark
