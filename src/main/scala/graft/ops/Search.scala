@@ -311,9 +311,12 @@ object Search {
     * path replaces the window with per-language GK nll thresholds
     * (profiler quantile machinery) and a map-only bucket compare;
     * same output contract, no per-language sort. */
-  def knPplBuckets(train: DataFrame, score: DataFrame, idCol: String,
-      textCol: String, langCol: String, discount: Double = 0.75)
-      : DataFrame = {
+  /** Per-document tercile assignment (doc_id, lang, nll, ppl, rn,
+    * n, bucket) — the shared derivation behind [[knPplBuckets]] and
+    * pipeline LM cuts that keep/drop whole buckets. */
+  def knPplBucketAssign(train: DataFrame, score: DataFrame,
+      idCol: String, textCol: String, langCol: String,
+      discount: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val perDoc = knBigramNll(train, score, idCol, textCol, discount)
     val lg = perDoc.join(score.select(col(idCol).as("doc_id"),
@@ -325,12 +328,17 @@ object Search {
         when(col("rn") * 3 <= col("n"), lit("head"))
           .when(col("rn") * 3 <= col("n") * 2, lit("middle"))
           .otherwise(lit("tail")))
+  }
+
+  def knPplBuckets(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, langCol: String, discount: Double = 0.75)
+      : DataFrame =
+    knPplBucketAssign(train, score, idCol, textCol, langCol, discount)
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"),
         sig5(avg(col("ppl"))).as("avg_ppl"),
         max(col("nll")).as("max_nll"))
       .orderBy("lang", "bucket")
-  }
 
   /** Error contract for the ppl-bucket PRODUCTION path: the corpus
     * form replaces [[knPplBuckets]]'s per-language sort window with

@@ -95,4 +95,42 @@ object CorpusPipeline {
     Seq((corpus.count(), q.count(), d.count(), c.count()))
       .toDF("n_corpus", "n_quality", "n_dedup", "n_clean")
   }
+
+  /** The CCNet-complete preparation funnel (Wenzek et al. 2020
+    * composed with the Gopher gate):
+    *
+    *   raw corpus → structural rule gate (first-failing-rule gate,
+    *                [[graft.ops.QualityRules]])
+    *              → LM cut: per-language Kneser–Ney terciles against
+    *                an LM trained on the TARGET slice; the worst
+    *                tercile (tail) is dropped — CCNet's head+middle
+    *                keep
+    *              → near-dedup keep one → decontamination vs target
+    *
+    * Stage counts as one row; every stage reuses its oracle-checked
+    * operator, and each materializes once before the next consumes
+    * it (the funnelCounts contract). */
+  def ccnetCounts(corpus: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, langCol: String,
+      th: graft.ops.QualityRules.Thresholds =
+        graft.ops.QualityRules.Thresholds(),
+      cfg: FunnelConfig = FunnelConfig()): DataFrame = {
+    val g = graft.ops.QualityRules.filterDocs(corpus, idCol, textCol,
+        th.minTokens, th.maxTokens, th.minMeanWordLen,
+        th.maxMeanWordLen, th.minStopwords, th.maxTopTokenFrac)
+      .transform(Materialize.materialize)
+    val keep = graft.ops.Search
+      .knPplBucketAssign(target, g, idCol, textCol, langCol)
+      .where(col("bucket") =!= "tail")
+      .select(col("doc_id").as(idCol))
+    val l = g.join(keep, Seq(idCol), "left_semi")
+      .transform(Materialize.materialize)
+    val d = dedupKeepOne(l, idCol, textCol, cfg)
+      .transform(Materialize.materialize)
+    val c = decontaminated(d, target, idCol, textCol, cfg)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((corpus.count(), g.count(), l.count(), d.count(), c.count()))
+      .toDF("n_corpus", "n_gate", "n_lm", "n_dedup", "n_clean")
+  }
 }

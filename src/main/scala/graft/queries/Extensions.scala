@@ -26,6 +26,18 @@ object Extensions {
         docs.where(col("source") === "src0"),
         "doc_id", "text")
     }),
+    // the CCNet-complete funnel: rule gate → per-language KN tercile
+    // cut against a TARGET-trained LM (drop the tail) → near-dedup
+    // keep → decontamination — stage counts vs DuckDB's independent
+    // replay of all four stages
+    "pipeline_ccnet" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusPipeline.ccnetCounts(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", "lang",
+        th = QualityRules.Thresholds(30L, 90L, 3.8, 5.0, 2L, 0.12))
+    }),
     // link-graph centrality over the deterministic synthesized crawl
     // graph: 3 power iterations of damped PageRank, top-20 on the
     // sig5-rounded rank with node tie-break
@@ -474,6 +486,65 @@ object Extensions {
       |   WHERE o_orderstatus IN ('O', 'F')))
       |SELECT * FROM b, oo, a""".stripMargin
 
+  /** The ccnet funnel re-derived end to end: gate via the shared
+    * rule subquery over the corpus slice, KN via the parametrized
+    * model CTE chain (trained on the TARGET slice, scoring the gated
+    * docs), the tercile keep as the same rank arithmetic as the
+    * bucket oracle, then the recursive cluster closure and the
+    * shingle-overlap decontamination — every stage the SAME
+    * derivation its standalone oracle uses. */
+  val pipelineCcnetSql: String =
+    s"""WITH RECURSIVE
+       |corpus AS (SELECT doc_id, lang, text FROM documents
+       |           WHERE source <> 'src0'),
+       |gk AS (SELECT doc_id FROM
+       |  ${TextQueries.ruleIdxSubqueryFor("corpus")}
+       |  WHERE rule_idx = 5),
+       |g AS (SELECT c.doc_id, c.lang, c.text FROM corpus c
+       |      JOIN gk USING (doc_id)),
+       |${TextQueries.knCtesFor(
+        "(SELECT text FROM documents WHERE source = 'src0')", "g")},
+       |lgr AS (SELECT kd.doc_id, g.lang, kd.nll FROM kd
+       |        JOIN g USING (doc_id)),
+       |rk AS (SELECT doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY nll, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n FROM lgr),
+       |l AS (SELECT g.doc_id, g.text FROM g JOIN rk USING (doc_id)
+       |      WHERE rn * 3 <= n * 2),
+       |${shingleCteSql("sh", "l")},
+       |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+       |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |       FROM sh a JOIN sh b
+       |       ON a.shingle = b.shingle AND a.id < b.id
+       |       GROUP BY a.id, b.id),
+       |pairs AS (SELECT pr.id_a, pr.id_b
+       |  FROM pr JOIN sz sa ON sa.id = pr.id_a
+       |  JOIN sz sb ON sb.id = pr.id_b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+       |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+       |  UNION
+       |  SELECT e.a, r.b FROM und e JOIN reach r ON r.a = e.b),
+       |cl AS (SELECT a AS doc_id, min(b) AS cluster_id
+       |       FROM reach GROUP BY a),
+       |dd AS (SELECT * FROM l WHERE doc_id NOT IN
+       |       (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)),
+       |${shingleCteSql("tr", "dd")},
+       |${shingleCteSql("ev",
+        "(SELECT doc_id, text FROM documents WHERE source = 'src0')")},
+       |contam AS (SELECT DISTINCT tr.id AS train_id
+       |  FROM ev JOIN tr ON tr.shingle = ev.shingle
+       |  GROUP BY ev.id, tr.id HAVING count(*) >= 5)
+       |SELECT (SELECT count(*) FROM corpus) AS n_corpus,
+       |(SELECT count(*) FROM g) AS n_gate,
+       |(SELECT count(*) FROM l) AS n_lm,
+       |(SELECT count(*) FROM dd) AS n_dedup,
+       |(SELECT count(*) FROM dd WHERE doc_id NOT IN
+       |  (SELECT train_id FROM contam)) AS n_clean""".stripMargin
+
   /** Shared link-graph fixture CTEs: the affine-mod edge synthesis
     * replayed from id arithmetic (list_distinct ≙ array_distinct). */
   private val linkEdgesCte: String =
@@ -839,6 +910,7 @@ object Extensions {
     "cat_association" -> catAssociationSql,
     "num_histogram_eqdepth" -> numHistogramEqdepthSql,
     "pipeline_funnel" -> pipelineFunnelSql,
+    "pipeline_ccnet" -> pipelineCcnetSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_degree_stats" -> graphDegreeStatsSql,
     "join_asof" -> joinAsofSql,

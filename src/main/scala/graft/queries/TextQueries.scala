@@ -758,17 +758,24 @@ object TextQueries {
     * the Spark expression tree exactly — (D·n1f)·(n1b/T), not
     * ((D·n1f)·n1b)/T — so the only cross-engine drift is avg()
     * summation order, absorbed by sig5. */
-  private val knScoreCtes: String =
-    s"""ws AS (SELECT doc_id, source, string_split(text, ' ') AS w
-       |            FROM documents),
+  /** Parametrized KN model + per-doc score CTE chain: `trainSrc`
+    * needs a text column, `scoreSrc` needs (doc_id, text); emits
+    * `kd` (doc_id, n_bigrams, sig5 nll, sig5 ppl). Shared by the KN
+    * score oracle, the bucket oracle and the ccnet pipeline
+    * oracle. */
+  private[queries] def knCtesFor(trainSrc: String,
+      scoreSrc: String): String =
+    s"""ktw AS (SELECT string_split(text, ' ') AS w FROM $trainSrc),
+       |ksw AS (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM $scoreSrc),
        |tp AS (SELECT
        |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
        |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
-       |  FROM ws WHERE source <> 'src0'),
+       |  FROM ktw),
        |sp AS (SELECT doc_id,
        |    unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
        |    unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
-       |  FROM ws),
+       |  FROM ksw),
        |big AS (SELECT w1, w2, count(*) AS c FROM tp GROUP BY w1, w2),
        |lft AS (SELECT w1, sum(c) AS c1, count(*) AS n1f
        |        FROM big GROUP BY w1),
@@ -790,6 +797,10 @@ object TextQueries {
        |${sig("avg(nl)")} AS nll,
        |${sig("exp(avg(nl))")} AS ppl
        |FROM sc GROUP BY doc_id)""".stripMargin
+
+  private val knScoreCtes: String = knCtesFor(
+    "(SELECT text FROM documents WHERE source <> 'src0')",
+    "documents")
 
   val textKnScoreSql: String =
     s"""WITH $knScoreCtes
@@ -880,22 +891,26 @@ object TextQueries {
       |    ELSE 5 END""".stripMargin
 
   /** Self-contained (doc_id, rule_idx) SUBQUERY form of the rule
-    * assignment (no WITH — embeddable inside another oracle's
-    * CTE-free template, e.g. the drift family's). */
-  private[queries] val ruleIdxSubquery: String = {
+    * assignment over `src` (needs doc_id + text; no WITH —
+    * embeddable inside another oracle's template, e.g. the drift
+    * family's or the ccnet pipeline's). */
+  private[queries] def ruleIdxSubqueryFor(src: String): String = {
     val f = stopOr("x", enStops)
     s"""(SELECT e.doc_id, $ruleCaseSql AS rule_idx
        | FROM (SELECT doc_id, len(t) AS nt,
        |    list_sum(list_transform(t, x -> length(x))) AS sl,
        |    len(list_filter(t, x -> $f)) AS ns
        |   FROM (SELECT doc_id, string_split(text, ' ') AS t
-       |         FROM documents)) e
+       |         FROM $src)) e
        | JOIN (SELECT doc_id, max(c) AS top_c FROM (
        |    SELECT doc_id, w, count(*) AS c FROM (
        |      SELECT doc_id, unnest(string_split(text, ' ')) AS w
-       |      FROM documents) GROUP BY doc_id, w)
+       |      FROM $src) GROUP BY doc_id, w)
        |   GROUP BY doc_id) ts USING (doc_id))""".stripMargin
   }
+
+  private[queries] val ruleIdxSubquery: String =
+    ruleIdxSubqueryFor("documents")
 
   /** Funnel re-derivation: same per-doc signals (token count,
     * list_sum word lengths, stop-word filter, top-token share from
