@@ -114,6 +114,22 @@ object LmScaleSmoke {
         Search.compactKnCounts(spark, storePath)
       }
     }
+    if (phases("ccnet")) timed("ccnet end-to-end funnel (gate + LM " +
+        "cut + near-dedup + decontamination)") {
+      // target = a held-out 1% slice with the same distribution
+      val target = gen(spark.range(docs, docs + docs / 100).toDF("id"))
+      // thresholds matched to the synthetic corpus (40-token docs,
+      // no English stopwords in the generated vocabulary)
+      // maxDf 64 — the DedupScaleSmoke operating point for Zipf
+      // synthetic corpora at this scale (the 1000 default leaves a
+      // sub-cap df band whose df² pair fan-out dominates everything)
+      val counts = graft.pipeline.CorpusPipeline.ccnetCounts(
+        corpus, target, "doc_id", "text", "lang",
+        th = graft.ops.QualityRules.Thresholds(30L, 60L, 3.0, 10.0,
+          0L, 0.3),
+        cfg = graft.pipeline.CorpusPipeline.FunnelConfig(maxDf = 64L))
+      counts.collect().foreach(r => println(s"[lm-smoke] ccnet $r"))
+    }
     if (phases("buckets")) timed("ppl buckets (8-language sort-window " +
         "audit form)") {
       val b = Search.knPplBuckets(corpus, corpus, "doc_id", "text",
