@@ -65,6 +65,19 @@ object MultimodalQueries {
             "doc_id"),
           "doc_id", "payload"),
         "doc_id", "phash", maxDist = 3)),
+    // image DEDUP GROUPS: the near-dup pairs closed into connected
+    // components by the dedup family's star machinery — the
+    // keep-one-per-group unit an image pipeline actually deletes by
+    "multimodal_phash_clusters" -> ((s, dir) =>
+      Dedup.duplicateClustersStar(
+        Multimodal.phashNearDupPairs(
+          Multimodal.imagePhash(
+            Multimodal.synthRasterMedia(
+              t(s, dir, "documents").where(col("doc_id") < 100),
+              "doc_id"),
+            "doc_id", "payload"),
+          "doc_id", "phash", maxDist = 3))
+        .orderBy("doc_id")),
     // audio perceptual fingerprint over REAL decoded PCM: 57 time
     // bands, sign of adjacent band-energy deltas → 56 bits; the
     // oracle replays the tone formula band-for-band, so a wrong
@@ -214,6 +227,24 @@ object MultimodalQueries {
        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** The near-dup pairs closed into components with the standard
+    * recursive reach — the dedup_clusters oracle pattern over the
+    * phash pair derivation. */
+  val multimodalPhashClustersSql: String =
+    s"""WITH RECURSIVE ${phashCtes("doc_id < 100")},
+       |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+       |und AS (SELECT id_a AS a, id_b AS b FROM prs
+       |        UNION SELECT id_b, id_a FROM prs),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+       |  UNION
+       |  SELECT e.a, r.b FROM und e JOIN reach r ON r.a = e.b),
+       |cl AS (SELECT a AS doc_id, min(b) AS cluster_id
+       |       FROM reach GROUP BY a)
+       |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin
+
   /** Band-energy fingerprint CTEs over the closed-form tone samples:
     * `par` supplies (doc_id, n, seed), the rest re-derives the 57
     * time-band energies densely (empty bands are 0) and folds the 56
@@ -292,6 +323,7 @@ object MultimodalQueries {
     "multimodal_frames" -> multimodalFramesSql,
     "multimodal_phash" -> multimodalPhashSql,
     "multimodal_near_dup" -> multimodalNearDupSql,
+    "multimodal_phash_clusters" -> multimodalPhashClustersSql,
     "multimodal_audio_fp" -> multimodalAudioFpSql,
     "multimodal_audio_near_dup" -> multimodalAudioNearDupSql,
     "multimodal_decode_audit" -> multimodalDecodeAuditSql,

@@ -203,6 +203,37 @@ class Round12Spec extends SparkSpec {
     assert(scores(graft.ops.Search.loadKn(spark, path)) == scores(full))
   }
 
+  test("interpolated KN is a proper distribution: P(·|w1) sums to 1 " +
+      "over the continuation vocabulary for every seen context") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val words = Vector("a", "b", "c", "d", "e", "f")
+    val docs = (1L to 20L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(12))(
+        words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val lm = Search.knTrain(docs, "doc_id", "text")
+    val big = lm.big.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val left = lm.left.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val cont = lm.cont.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val types = lm.types.collect().head.getLong(0).toDouble
+    val d = 0.75
+    for ((w1, (c1, n1f)) <- left) {
+      // .toSeq: Map.keys is a Set, and mapping a Set by the
+      // probability VALUE would deduplicate equal probabilities
+      val mass = cont.keys.toSeq.map { w2 =>
+        val c = big.getOrElse((w1, w2), 0L).toDouble
+        (math.max(c - d, 0.0) + d * n1f * (cont(w2) / types)) / c1
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-9,
+        s"P(·|$w1) sums to $mass, not 1")
+    }
+  }
+
   test("pageRank matches the closed-form damped power iteration") {
     val s = spark
     import s.implicits._
