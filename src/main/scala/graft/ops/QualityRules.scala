@@ -64,7 +64,9 @@ object QualityRules {
     val base = df.select(col(idCol).as("doc_id") +:
         carry.map(col) :+ split(col(textCol), " ").as("w"): _*)
       .select((col("doc_id") +: carry.map(col)) ++ Seq(
-        size(col("w")).cast("long").as("nt"),
+        // NULL text → nt 0, so it fails too_few_tokens instead of
+        // falling through every NULL comparison into "kept"
+        coalesce(size(col("w")).cast("long"), lit(0L)).as("nt"),
         aggregate(col("w"), lit(0L), (acc, x) => acc + length(x))
           .as("sum_len"),
         size(filter(col("w"), t =>

@@ -897,7 +897,7 @@ object TextQueries {
   private[queries] def ruleIdxSubqueryFor(src: String): String = {
     val f = stopOr("x", enStops)
     s"""(SELECT e.doc_id, $ruleCaseSql AS rule_idx
-       | FROM (SELECT doc_id, len(t) AS nt,
+       | FROM (SELECT doc_id, coalesce(len(t), 0) AS nt,
        |    list_sum(list_transform(t, x -> length(x))) AS sl,
        |    len(list_filter(t, x -> $f)) AS ns
        |   FROM (SELECT doc_id, string_split(text, ' ') AS t
@@ -921,7 +921,7 @@ object TextQueries {
     val f = stopOr("x", enStops)
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
        |           FROM documents),
-       |e AS (SELECT doc_id, len(t) AS nt,
+       |e AS (SELECT doc_id, coalesce(len(t), 0) AS nt,
        |  list_sum(list_transform(t, x -> length(x))) AS sl,
        |  len(list_filter(t, x -> $f)) AS ns FROM d),
        |tok AS (SELECT doc_id, unnest(t) AS w FROM d),
@@ -957,7 +957,7 @@ object TextQueries {
     val f = stopOr("x", enStops)
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
        |           FROM documents),
-       |e AS (SELECT doc_id, len(t) AS nt,
+       |e AS (SELECT doc_id, coalesce(len(t), 0) AS nt,
        |  list_sum(list_transform(t, x -> length(x))) AS sl,
        |  len(list_filter(t, x -> $f)) AS ns FROM d),
        |ts AS (SELECT doc_id, max(c) AS top_c FROM (
@@ -991,7 +991,7 @@ object TextQueries {
     val f = stopOr("x", enStops)
     s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t
        |           FROM documents),
-       |e AS (SELECT doc_id, source, len(t) AS nt,
+       |e AS (SELECT doc_id, source, coalesce(len(t), 0) AS nt,
        |  list_sum(list_transform(t, x -> length(x))) AS sl,
        |  len(list_filter(t, x -> $f)) AS ns FROM d),
        |tok AS (SELECT doc_id, unnest(t) AS w FROM d),

@@ -216,7 +216,7 @@ object UrlQueries {
     val quality = sig("CAST(least(nt, 100) AS DOUBLE) / 100.0 * 0.3 " +
       "+ CAST(ns AS DOUBLE) / nt * 0.4 + CAST(nd AS DOUBLE) / nt * 0.3")
     s"""WITH $urlCte, $hostCte,
-       |e AS (SELECT doc_id, domain, len(t) AS nt,
+       |e AS (SELECT doc_id, domain, coalesce(len(t), 0) AS nt,
        |        len(list_distinct(t)) AS nd,
        |        len(list_filter(t, x -> $f)) AS ns
        |      FROM (SELECT doc_id, domain, string_split(text, ' ') AS t
@@ -391,7 +391,7 @@ object UrlQueries {
        |    CAST(sum(np) AS BIGINT) AS n_phones
        |  FROM pd),
        |gd AS (SELECT doc_id, string_split(t2, ' ') AS gt FROM base),
-       |ge AS (SELECT doc_id, len(gt) AS nt,
+       |ge AS (SELECT doc_id, coalesce(len(gt), 0) AS nt,
        |    list_sum(list_transform(gt, x -> length(x))) AS sl,
        |    len(list_filter(gt, x -> $f)) AS ns FROM gd),
        |gts AS (SELECT doc_id, max(c) AS top_c FROM (

@@ -203,6 +203,22 @@ class Round12Spec extends SparkSpec {
     assert(scores(graft.ops.Search.loadKn(spark, path)) == scores(full))
   }
 
+  test("a NULL-text document fails too_few_tokens instead of " +
+      "falling through every NULL comparison into kept") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, null.asInstanceOf[String]),
+      (2L, "the alpha is beta and gamma of delta"))
+      .toDF("doc_id", "text")
+    val got = QualityRules.ruleAssign(docs, "doc_id", "text",
+        minTokens = 5L, maxTokens = 50L, minMeanWordLen = 2.0,
+        maxMeanWordLen = 10.0, minStopwords = 1L,
+        maxTopTokenFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 0L) // too_few_tokens, not kept
+    assert(got(2L) == 5L)
+  }
+
   test("interpolated KN is a proper distribution: P(·|w1) sums to 1 " +
       "over the continuation vocabulary for every seen context") {
     val s = spark
