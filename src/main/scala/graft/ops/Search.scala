@@ -400,6 +400,80 @@ object Search {
       .orderBy("lang", "bucket")
   }
 
+  /** Adjacent-trigram frame (doc, w1, w2, w3) per occurrence — the
+    * bigramPairs derivation at order 3 (same CollapseProject
+    * two-projection shape). */
+  private def trigramTriples(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("w"))
+      .select(col("doc_id"), explode(when(size(col("w")) >= 3,
+          expr("transform(sequence(0, size(w)-3), i -> struct(" +
+            "w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3))"))
+        .otherwise(expr("CAST(array() AS " +
+          "array<struct<w1:string,w2:string,w3:string>>)")))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"), col("b.w3"))
+
+  /** Order-3 interpolated Kneser–Ney (the KenLM shape at trigram
+    * order, single discount): the top level interpolates true
+    * trigram counts with the bigram level, and the bigram level is
+    * built from CONTINUATION counts (distinct left contexts), not
+    * raw counts — the KN insight, applied recursively:
+    *
+    *   P3(w3|w1w2) = (max(c3−D,0) + D·N1+(w1w2·)·P2(w3|w2)) / c3(w1w2·)
+    *   P2(w3|w2)   = (max(t2−D,0) + D·N2(w2·)·Pc(w3)) / t2(w2·)
+    *   Pc(w3)      = N1+(·w3) / N1+(··)       over BIGRAM types
+    *
+    * where t2(w2w3) = N1+(·w2w3) is the distinct-left-context count
+    * of the bigram. Unseen (w1,w2) backs off to P2, unseen w2 to
+    * Pc, never-seen w3 to the 1e-10 floor — every tier a
+    * NULL-tolerant CASE identical across engines.
+    *
+    * Scale shape: the whole model is FIVE aggregates of the trigram
+    * type table (itself one map-side-combined aggregation of the
+    * trigram stream): trigram counts, (w1,w2) context totals,
+    * bigram continuation counts, w2 context totals, unigram
+    * continuation counts — O(trigram types), Zipf-bounded; scoring
+    * is the trigram stream joined against them on token keys. */
+  def knTrigramNll(train: DataFrame, score: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75): DataFrame = {
+    val tri = trigramTriples(train, idCol, textCol)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val triCtx = tri.groupBy("w1", "w2")
+      .agg(sum("c3").as("c3ctx"), count(lit(1)).as("n3"))
+    val t2 = tri.groupBy("w2", "w3").agg(count(lit(1)).as("t2c"))
+    val t2Ctx = t2.groupBy("w2")
+      .agg(sum("t2c").as("t2ctx"), count(lit(1)).as("n2"))
+    val cont3 = t2.groupBy("w3").agg(count(lit(1)).as("n1b3"))
+    val types = t2.agg(count(lit(1)).as("bi_types3"))
+    val d = lit(discount)
+    val pc = coalesce(col("n1b3").cast("double"), lit(0.0)) /
+      col("bi_types3")
+    val p2 = when(col("t2ctx").isNotNull,
+        (greatest(coalesce(col("t2c").cast("double"), lit(0.0)) - d,
+          lit(0.0)) + d * col("n2") * pc) / col("t2ctx"))
+      .otherwise(pc)
+    val p3 = when(col("c3ctx").isNotNull,
+        (greatest(coalesce(col("c3").cast("double"), lit(0.0)) - d,
+          lit(0.0)) + d * col("n3") * p2) / col("c3ctx"))
+      .otherwise(p2)
+    trigramTriples(score, idCol, textCol)
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(triCtx, Seq("w1", "w2"), "left")
+      .join(t2, Seq("w2", "w3"), "left")
+      .join(t2Ctx, Seq("w2"), "left")
+      .join(cont3, Seq("w3"), "left")
+      .crossJoin(broadcast(types))
+      .select(col("doc_id"),
+        (-log(greatest(p3, lit(1e-10)))).as("nl"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sig5(avg(col("nl"))).as("nll"),
+        sig5(exp(avg(col("nl")))).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   /** Bigram frame with extra per-doc columns carried through (the
     * hashedGramFrame `carry` pattern) — for blocked/streaming KN
     * variants that need a language or event-time column alongside

@@ -39,6 +39,14 @@ object TextQueries {
       Search.knBigramNll(docs.where(col("source") =!= "src0"),
         docs, "doc_id", "text")
     }),
+    // order-3 KN (the KenLM shape): trigram counts interpolated
+    // through a continuation-count bigram level down to the unigram
+    // continuation — three NULL-tolerant backoff tiers
+    "text_kn_trigram" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Search.knTrigramNll(docs.where(col("source") =!= "src0"),
+        docs, "doc_id", "text")
+    }),
     // per-LANGUAGE KN models trained and applied in one pass each —
     // the multilingual production twin of text_kn_score (a global
     // model scores every minority language as noise)
@@ -798,6 +806,66 @@ object TextQueries {
        |${sig("exp(avg(nl))")} AS ppl
        |FROM sc GROUP BY doc_id)""".stripMargin
 
+  /** Order-3 KN re-derivation: lockstep unnest of the three
+    * list_transforms over range(1, len(w)−1) zips the trigram
+    * stream; the five model aggregates and the three-tier CASE
+    * mirror the Spark expression tree exactly (parenthesization
+    * (D·n)·p, not (D·n·num)/den). */
+  val textKnTrigramSql: String =
+    s"""WITH tws AS (SELECT string_split(text, ' ') AS w
+       |  FROM documents WHERE source <> 'src0'),
+       |sws AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents),
+       |tp AS (SELECT
+       |    unnest(list_transform(range(1, len(w) - 1), i -> w[i])) AS w1,
+       |    unnest(list_transform(range(1, len(w) - 1), i -> w[i+1])) AS w2,
+       |    unnest(list_transform(range(1, len(w) - 1), i -> w[i+2])) AS w3
+       |  FROM tws),
+       |sp AS (SELECT doc_id,
+       |    unnest(list_transform(range(1, len(w) - 1), i -> w[i])) AS w1,
+       |    unnest(list_transform(range(1, len(w) - 1), i -> w[i+1])) AS w2,
+       |    unnest(list_transform(range(1, len(w) - 1), i -> w[i+2])) AS w3
+       |  FROM sws),
+       |tri AS (SELECT w1, w2, w3, count(*) AS c3 FROM tp
+       |        GROUP BY w1, w2, w3),
+       |tctx AS (SELECT w1, w2, sum(c3) AS c3ctx, count(*) AS n3
+       |         FROM tri GROUP BY w1, w2),
+       |t2 AS (SELECT w2, w3, count(*) AS t2c FROM tri GROUP BY w2, w3),
+       |t2ctx AS (SELECT w2, sum(t2c) AS t2ctx, count(*) AS n2
+       |          FROM t2 GROUP BY w2),
+       |c3t AS (SELECT w3, count(*) AS n1b3 FROM t2 GROUP BY w3),
+       |tt AS (SELECT count(*) AS bi_types3 FROM t2),
+       |sc AS (SELECT p.doc_id,
+       |  -ln(greatest(
+       |    CASE WHEN tctx.c3ctx IS NOT NULL THEN
+       |      (greatest(coalesce(CAST(tri.c3 AS DOUBLE), 0.0) - 0.75,
+       |        0.0) + (0.75 * tctx.n3) *
+       |        (CASE WHEN t2ctx.t2ctx IS NOT NULL THEN
+       |          (greatest(coalesce(CAST(t2.t2c AS DOUBLE), 0.0)
+       |            - 0.75, 0.0) + (0.75 * t2ctx.n2) *
+       |            (coalesce(CAST(c3t.n1b3 AS DOUBLE), 0.0)
+       |              / tt.bi_types3)) / t2ctx.t2ctx
+       |        ELSE coalesce(CAST(c3t.n1b3 AS DOUBLE), 0.0)
+       |          / tt.bi_types3 END)) / tctx.c3ctx
+       |    ELSE CASE WHEN t2ctx.t2ctx IS NOT NULL THEN
+       |      (greatest(coalesce(CAST(t2.t2c AS DOUBLE), 0.0) - 0.75,
+       |        0.0) + (0.75 * t2ctx.n2) *
+       |        (coalesce(CAST(c3t.n1b3 AS DOUBLE), 0.0)
+       |          / tt.bi_types3)) / t2ctx.t2ctx
+       |    ELSE coalesce(CAST(c3t.n1b3 AS DOUBLE), 0.0)
+       |      / tt.bi_types3 END
+       |    END, 1e-10)) AS nl
+       |  FROM sp p
+       |  LEFT JOIN tri USING (w1, w2, w3)
+       |  LEFT JOIN tctx USING (w1, w2)
+       |  LEFT JOIN t2 USING (w2, w3)
+       |  LEFT JOIN t2ctx USING (w2)
+       |  LEFT JOIN c3t USING (w3), tt)
+       |SELECT doc_id, count(*) AS n_trigrams,
+       |${sig("avg(nl)")} AS nll,
+       |${sig("exp(avg(nl))")} AS ppl
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val knScoreCtes: String = knCtesFor(
     "(SELECT text FROM documents WHERE source <> 'src0')",
     "documents")
@@ -1256,6 +1324,7 @@ object TextQueries {
     "text_pii" -> textPiiSql,
     "text_lm_score" -> textLmScoreSql,
     "text_kn_score" -> textKnScoreSql,
+    "text_kn_trigram" -> textKnTrigramSql,
     "text_kn_by_lang" -> textKnByLangSql,
     "text_ppl_buckets" -> textPplBucketsSql,
     "text_ppl_buckets_err" -> textPplBucketsErrSql,

@@ -250,6 +250,59 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("order-3 KN is a proper distribution: P(·|w1,w2) sums to 1 " +
+      "for every seen trigram context (normalization survives the " +
+      "recursive continuation backoff)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 15L).map(i =>
+      (i, Seq.fill(4 + rnd.nextInt(10))(
+        words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    // rebuild the model frames exactly as knTrigramNll does
+    val tri = docs.selectExpr("doc_id",
+        "split(text, ' ') AS w")
+      .selectExpr("explode(transform(sequence(0, size(w)-3), " +
+        "i -> struct(w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3))) AS b")
+      .select("b.w1", "b.w2", "b.w3")
+      .groupBy("w1", "w2", "w3").count()
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2)) -> r.getLong(3)).toMap
+    val t2 = tri.keys.groupBy(k => (k._2, k._3)).map { case (k, v) =>
+      k -> v.size.toLong }
+    val t2ctx = t2.keys.toSeq.groupBy(_._1).map { case (w2, ks) =>
+      w2 -> (ks.map(t2).sum, ks.size.toLong) }
+    val cont = t2.keys.toSeq.groupBy(_._2).map { case (w3, ks) =>
+      w3 -> ks.size.toLong }
+    val bT = t2.size.toDouble
+    val d = 0.75
+    def pc(w3: String) = cont.getOrElse(w3, 0L) / bT
+    def p2(w2: String, w3: String) = t2ctx.get(w2) match {
+      case Some((tc, n2)) =>
+        (math.max(t2.getOrElse((w2, w3), 0L) - d, 0.0) +
+          d * n2 * pc(w3)) / tc
+      case None => pc(w3)
+    }
+    val ctxs = tri.keys.toSeq.map(k => (k._1, k._2)).distinct
+    for ((w1, w2) <- ctxs) {
+      val seen = tri.keys.toSeq.filter(k => k._1 == w1 && k._2 == w2)
+      val c3ctx = seen.map(tri).sum.toDouble
+      val n3 = seen.size
+      val mass = cont.keys.toSeq.map { w3 =>
+        (math.max(tri.getOrElse((w1, w2, w3), 0L) - d, 0.0) +
+          d * n3 * p2(w2, w3)) / c3ctx
+      }.sum
+      assert(math.abs(mass - 1.0) < 1e-9,
+        s"P(·|$w1,$w2) sums to $mass")
+    }
+    // and the operator's own output is finite and positive
+    val out = Search.knTrigramNll(docs, docs, "doc_id", "text")
+      .collect()
+    assert(out.length == 15 && out.forall(_.getDouble(2) > 0))
+  }
+
   test("pageRank matches the closed-form damped power iteration") {
     val s = spark
     import s.implicits._
