@@ -114,6 +114,12 @@ object LmScaleSmoke {
         Search.compactKnCounts(spark, storePath)
       }
     }
+    if (phases("trigram")) timed("order-3 KN train + score " +
+        "(five model aggregates + trigram-stream joins)") {
+      val scored = Search.knTrigramNll(corpus, corpus, "doc_id",
+        "text")
+      println(s"[lm-smoke] trigram-scored docs = ${scored.count()}")
+    }
     if (phases("ccnet")) timed("ccnet end-to-end funnel (gate + LM " +
         "cut + near-dedup + decontamination)") {
       // target = a held-out 1% slice with the same distribution
