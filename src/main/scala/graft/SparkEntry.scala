@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.EmbedHealthQueries.queries ++
       graft.queries.StoreQueries.queries ++
       graft.queries.CorpusQueries.queries ++
-      graft.queries.UrlQueries.queries
+      graft.queries.UrlQueries.queries ++
+      graft.queries.ClassifierQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracle ++ graft.queries.Extensions.oracle ++
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.EmbedHealthQueries.oracle ++
       graft.queries.StoreQueries.oracle ++
       graft.queries.CorpusQueries.oracle ++
-      graft.queries.UrlQueries.oracle
+      graft.queries.UrlQueries.oracle ++
+      graft.queries.ClassifierQueries.oracle
 }

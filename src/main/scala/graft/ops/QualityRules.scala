@@ -35,6 +35,20 @@ object QualityRules {
     maxMeanWordLen: Double = 10.0, minStopwords: Long = 2L,
     maxTopTokenFrac: Double = 0.2)
 
+  /** The repetition signal as an in-row fold: per-doc top-token
+    * count = the longest equal run of the SORTED token array over
+    * token array column `w` — shared by the rule gate and the
+    * learned-filter featurizer so the two can never drift (see
+    * [[ruleAssign]]'s scale note for the measured win over the
+    * (doc, token) histogram join it replaced). */
+  private[ops] val topRunExpr = expr("""aggregate(array_sort(w),
+      named_struct('prev', '', 'run', 0L, 'best', 0L),
+      (a, x) -> named_struct(
+        'prev', x,
+        'run', IF(x = a.prev, a.run + 1L, 1L),
+        'best', GREATEST(a.best, IF(x = a.prev, a.run + 1L, 1L))),
+      a -> a.best)""")
+
   /** Per-document rule assignment: (doc_id, rule_idx, rule) where
     * rule is the FIRST failing rule, or "kept". */
   def ruleAssign(df: DataFrame, idCol: String, textCol: String,
@@ -51,13 +65,7 @@ object QualityRules {
     // almost all of it the 400M-row (doc_id, token) shuffle this
     // fold deletes (value-identical — the oracle still derives
     // top_c from the histogram).
-    val topC = expr("""aggregate(array_sort(w),
-      named_struct('prev', '', 'run', 0L, 'best', 0L),
-      (a, x) -> named_struct(
-        'prev', x,
-        'run', IF(x = a.prev, a.run + 1L, 1L),
-        'best', GREATEST(a.best, IF(x = a.prev, a.run + 1L, 1L))),
-      a -> a.best)""")
+    val topC = topRunExpr
     // `carry` threads extra df columns (event time, source) through
     // the projection so stream/slice twins stay map-only instead of
     // joining back against their own input

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.det.Sig
+import graft.ops.{Classifier, QualityRules}
+import Shared.{enStops, stopOr, t}
+
+/** Learned quality-filter queries (round 12): logistic regression
+  * distilled from the Gopher rule gate ([[graft.ops.Classifier]]),
+  * trained INSIDE the engine by full-batch GD with sig5-rounded
+  * per-iteration weights. The DuckDB oracle replays the ENTIRE
+  * training run — featurization, standardization moments, and every
+  * gradient step as chained CTEs (the graph_pagerank / BPE-trainer
+  * replay pattern) — so the declared rows pin the learning
+  * trajectory itself, not just a final score. */
+object ClassifierQueries {
+
+  private def sig(x: String) = Sig.sql(x)
+
+  /** ccnet-gate thresholds (the pipeline_ccnet operating point) —
+    * 305/500 keep at sf0.01, so both classes are well-populated. */
+  val Th: QualityRules.Thresholds =
+    QualityRules.Thresholds(30L, 90L, 3.8, 5.0, 2L, 0.12)
+  val Iters = 5
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the full GD trajectory: (iter, feature, weight) — the oracle
+    // replays every iteration, so a wrong gradient ANYWHERE fails
+    "text_lr_train" -> ((s, dir) =>
+      Classifier.trajectoryFrame(t(s, dir, "documents"),
+        "doc_id", "text", Th, Iters)),
+    // per-doc scores under the trained model (map-only production
+    // scorer): (doc_id, gate label, sig5 keep-probability)
+    "text_lr_score" -> ((s, dir) =>
+      Classifier.trainScored(t(s, dir, "documents"),
+        "doc_id", "text", Th, Iters).orderBy("doc_id")),
+    // exact rank-sum ROC AUC of the learned scores vs the gate
+    // labels — "did the distillation actually learn the gate";
+    // the rank window orders the sig5-BOUNDED grouped-prob frame
+    "text_lr_auc" -> ((s, dir) =>
+      Classifier.auc(Classifier.trainScored(t(s, dir, "documents"),
+        "doc_id", "text", Th, Iters))),
+    // reliability table: 10 fixed bins -> n, mean prob, keep rate
+    "text_lr_calibration" -> ((s, dir) =>
+      Classifier.calibration(
+        Classifier.trainScored(t(s, dir, "documents"),
+          "doc_id", "text", Th, Iters))))
+
+  /** Featurize → standardize → 5 GD iterations as chained CTEs.
+    * Every float literal CAST to DOUBLE (the DECIMAL trap); moments
+    * and per-iteration weights sig5-rounded exactly as the Spark
+    * side rounds them, so each iteration starts from bitwise
+    * identical inputs on both engines. */
+  private val lrCoreCte: String = {
+    val f = stopOr("x", enStops)
+    val d1 = "CAST(1.0 AS DOUBLE)"
+    val moments = (1 to 5).map { j =>
+      s"${sig(s"avg(x$j)")} AS m$j, ${sig(s"stddev_pop(x$j)")} AS r$j"
+    }.mkString(",\n|  ")
+    val guards = (1 to 5).map { j =>
+      s"m$j, CASE WHEN r$j < 1e-9 THEN $d1 ELSE r$j END AS s$j"
+    }.mkString(", ")
+    val zcols = (1 to 5).map(j => s"(x$j - m$j) / s$j AS z$j")
+      .mkString(", ")
+    val w0 = (0 to 5).map(j => s"($j, CAST(0.0 AS DOUBLE))")
+      .mkString(", ")
+    def iter(k: Int): String =
+      s"""sc$k AS (SELECT f.doc_id, max(f.y) AS y, sum(w.w * f.v) AS s
+         |  FROM fl f JOIN w${k - 1} w ON w.j = f.j GROUP BY f.doc_id),
+         |g$k AS (SELECT f.j,
+         |  sum(($d1 / ($d1 + exp(-sc.s)) - sc.y) * f.v) AS g
+         |  FROM fl f JOIN sc$k sc ON sc.doc_id = f.doc_id
+         |  GROUP BY f.j),
+         |w$k AS (SELECT g.j, ${sig("w.w - g.g / nn.n")} AS w
+         |  FROM w${k - 1} w JOIN g$k g ON g.j = w.j, nn)""".stripMargin
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS t
+       |       FROM documents),
+       |e AS (SELECT doc_id, coalesce(len(t), 0) AS nt,
+       |  list_sum(list_transform(t, x -> length(x))) AS sl,
+       |  len(list_filter(t, x -> $f)) AS ns,
+       |  len(list_distinct(t)) AS nd FROM d),
+       |tt AS (SELECT doc_id, max(c) AS top_c FROM (
+       |  SELECT doc_id, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(t) AS w FROM d)
+       |  GROUP BY doc_id, w) GROUP BY doc_id),
+       |x AS (SELECT e.doc_id,
+       |  CASE WHEN nt < 30 OR nt > 90
+       |    OR CAST(sl AS DOUBLE) / nt < 3.8
+       |    OR CAST(sl AS DOUBLE) / nt > 5.0
+       |    OR ns < 2 OR CAST(top_c AS DOUBLE) / nt > 0.12
+       |    THEN CAST(0.0 AS DOUBLE) ELSE $d1 END AS y,
+       |  ln(nt) AS x1, CAST(sl AS DOUBLE) / nt AS x2,
+       |  CAST(ns AS DOUBLE) / nt AS x3,
+       |  CAST(nd AS DOUBLE) / nt AS x4,
+       |  CAST(top_c AS DOUBLE) / nt AS x5
+       |  FROM e JOIN tt USING (doc_id) WHERE nt >= 1),
+       |st AS (SELECT $moments FROM x),
+       |stg AS (SELECT $guards FROM st),
+       |z AS (SELECT doc_id, y, $zcols FROM x, stg),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM x),
+       |fl AS (SELECT doc_id, y, j, CASE j WHEN 0 THEN $d1
+       |  WHEN 1 THEN z1 WHEN 2 THEN z2 WHEN 3 THEN z3
+       |  WHEN 4 THEN z4 ELSE z5 END AS v
+       |  FROM z, range(0, 6) t(j)),
+       |w0(j, w) AS (VALUES $w0),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)},
+       |${iter(4)},
+       |${iter(5)}""".stripMargin
+  }
+
+  /** Final-model per-doc scores (the sc-iteration shape against the
+    * trained w5), shared by the score / auc / calibration oracles. */
+  private val scoredCte: String = {
+    val d1 = "CAST(1.0 AS DOUBLE)"
+    s"""$lrCoreCte,
+       |scf AS (SELECT f.doc_id, max(f.y) AS y, sum(w.w * f.v) AS s
+       |  FROM fl f JOIN w5 w ON w.j = f.j GROUP BY f.doc_id),
+       |p AS (SELECT doc_id, CAST(y AS BIGINT) AS yy,
+       |  ${sig(s"$d1 / ($d1 + exp(-s))")} AS prob FROM scf)""".stripMargin
+  }
+
+  val textLrTrainSql: String = {
+    val names = Classifier.FeatureNames.zipWithIndex
+      .map { case (n, j) => s"($j, '$n')" }.mkString(", ")
+    val union = (1 to Iters)
+      .map(k => s"SELECT $k AS it, j, w FROM w$k")
+      .mkString("\n|  UNION ALL ")
+    s"""WITH $lrCoreCte,
+       |names(j, feature) AS (VALUES $names),
+       |tr AS ($union)
+       |SELECT CAST(it AS BIGINT) AS iter, feature, w AS weight
+       |FROM tr JOIN names USING (j) ORDER BY iter, feature""".stripMargin
+  }
+
+  val textLrScoreSql: String =
+    s"""WITH $scoredCte
+       |SELECT doc_id, yy AS label, prob FROM p ORDER BY doc_id""".stripMargin
+
+  val textLrAucSql: String = {
+    val d2 = "CAST(2.0 AS DOUBLE)"
+    s"""WITH $scoredCte,
+       |grp AS (SELECT prob, count(*) AS c, sum(yy) AS pos
+       |        FROM p GROUP BY prob),
+       |cum AS (SELECT prob, c, pos, coalesce(sum(c) OVER (
+       |  ORDER BY prob ROWS BETWEEN UNBOUNDED PRECEDING
+       |  AND 1 PRECEDING), 0) AS lt FROM grp),
+       |ag AS (SELECT
+       |  sum(CAST(pos AS DOUBLE) * (lt + (c + 1) / $d2)) AS s,
+       |  sum(pos) AS np, sum(c) AS n FROM cum)
+       |SELECT CAST(np AS BIGINT) AS n_pos,
+       |CAST(n - np AS BIGINT) AS n_neg,
+       |${sig(s"(s - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1) / $d2) / (CAST(np AS DOUBLE) * CAST(n - np AS DOUBLE))")} AS auc
+       |FROM ag""".stripMargin
+  }
+
+  val textLrCalibrationSql: String =
+    s"""WITH $scoredCte
+       |SELECT CAST(least(CAST(floor(prob * 10) AS BIGINT), 9)
+       |  AS BIGINT) AS bin,
+       |CAST(count(*) AS BIGINT) AS n_docs,
+       |${sig("avg(prob)")} AS avg_prob,
+       |${sig("CAST(sum(yy) AS DOUBLE) / count(*)")} AS keep_rate
+       |FROM p GROUP BY 1 ORDER BY bin""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "text_lr_train" -> textLrTrainSql,
+    "text_lr_score" -> textLrScoreSql,
+    "text_lr_auc" -> textLrAucSql,
+    "text_lr_calibration" -> textLrCalibrationSql)
+}
