@@ -22,7 +22,8 @@ import graft.ops.{QualityRules, Search}
   * windows have real partitions.
   *
   * Usage: `graft.LmScaleSmoke [docs] [phases]`, phases CSV from
-  * `train,score,funnel,buckets` (default all). */
+  * `train,score,funnel,buckets,incremental,trigram,ccnet,lr`
+  * (default train,score,funnel,buckets). */
 object LmScaleSmoke {
   def main(args: Array[String]): Unit = {
     val docs = if (args.length > 0) args(0).toLong else 10000000L
@@ -135,6 +136,30 @@ object LmScaleSmoke {
           0L, 0.3),
         cfg = graft.pipeline.CorpusPipeline.FunnelConfig(maxDf = 64L))
       counts.collect().foreach(r => println(s"[lm-smoke] ccnet $r"))
+    }
+    if (phases("lr")) {
+      // thresholds matched to the generator (nt is constant 40, so
+      // the word-length band and repetition cap carry the labels)
+      // band top at the corpus mwl MEDIAN (3.4) so labels split
+      // ~50/50 on a linearly separable, one-sided signal
+      val th = QualityRules.Thresholds(30L, 60L, 3.1, 3.4, 0L, 0.3)
+      // materialized ONCE (the trainScored contract): the collapsed
+      // scorer projection otherwise clones the token folds past
+      // Janino's method limit, and train + score reuse the pass
+      val feats = timed("LR featurize (materialized feature frame)") {
+        graft.ops.Materialize.materialize(
+          graft.ops.Classifier.featurize(corpus, "doc_id", "text", th))
+      }
+      val m = timed("LR train (5 GD iterations, one " +
+          "map-side-combined agg each)") {
+        graft.ops.Classifier.train(feats, iters = 5)
+      }
+      println(s"[lm-smoke] final w = ${m.weights.toSeq}")
+      timed("LR score + exact AUC (bounded rank window)") {
+        graft.ops.Classifier.auc(
+            graft.ops.Classifier.scored(feats, m))
+          .collect().foreach(r => println(s"[lm-smoke] auc $r"))
+      }
     }
     if (phases("buckets")) timed("ppl buckets (8-language sort-window " +
         "audit form)") {

@@ -221,4 +221,91 @@ object CatStats {
               log(col("n_distinct").cast("double"))))
             .as("evenness"))
     }.reduce(_ unionByName _).orderBy("col_name")
+
+  /** Count–Min sketch (Cormode & Muthukrishnan 2005): the MERGEABLE
+    * production twin of exact frequency counting — d×w counters,
+    * est(v) = min over the d rows of the counter at hash_i(v), with
+    * the one-sided guarantee true ≤ est and the ε = e/w Markov bound
+    * est − true ≤ ε·N (per row with prob 1−1/e; the min over d rows
+    * makes an excess vanishingly unlikely).
+    *
+    * Scale shape: the sketch is built from the per-VALUE count frame
+    * (one O(distinct) shuffle — the same shuffle exact counting
+    * pays), so the counter matrix lives as an O(d·w) frame that
+    * merges across shards/days by counter ADDITION (union +
+    * re-aggregate — the col_distinct_mergeable contract), and point
+    * lookups broadcast it. Hashes are the engine's portable 60-bit
+    * md5 keys, so any engine rebuilds the identical sketch. */
+  private def cmBucket(v: Column, i: Column, w: Int): Column =
+    pmod(conv(substring(md5(concat(v, lit("|"), i.cast("string"))
+      .cast("binary")), 1, 15), 16, 10).cast("long"), lit(w.toLong))
+
+  /** The counter matrix (i, b, mc) of `colName` over `df`. */
+  def countMinSketch(df: DataFrame, colName: String, d: Int = 4,
+      w: Int = 256): DataFrame = {
+    val vc = df.groupBy(col(colName).cast("string").as("v"))
+      .agg(count(lit(1)).as("c"))
+    vc.select(col("v"), col("c"),
+        explode(typedLit((0 until d).map(_.toLong).toList)).as("i"))
+      .groupBy(col("i"), cmBucket(col("v"), col("i"), w).as("b"))
+      .agg(sum("c").as("mc"))
+  }
+
+  /** Error-contract table for the top-k heavy values: exact count vs
+    * the CM estimate, the overestimate, and the ε·N Markov-bound
+    * verdict — the `col_distinct_approx_err` pattern applied to
+    * frequency sketching. One O(distinct) shuffle builds both sides;
+    * the bound check runs on the O(distinct) estimate frame. */
+  def countMinErr(df: DataFrame, colName: String, d: Int = 4,
+      w: Int = 256, topK: Int = 20): DataFrame = {
+    val vc = df.groupBy(col(colName).cast("string").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val rows = vc.select(col("v"), col("c"),
+        explode(typedLit((0 until d).map(_.toLong).toList)).as("i"))
+      .withColumn("b", cmBucket(col("v"), col("i"), w))
+    val m = rows.groupBy("i", "b").agg(sum("c").as("mc"))
+    val n = vc.agg(sum("c").cast("long").as("n"))
+    val est = rows.join(m, Seq("i", "b"))
+      .groupBy("v").agg(max("c").as("true_count"),
+        min("mc").cast("long").as("cm_count"))
+    est.crossJoin(broadcast(n))
+      .select(col("v").as("value"), col("true_count"),
+        col("cm_count"),
+        (col("cm_count") - col("true_count")).as("overestimate"),
+        (col("cm_count") >= col("true_count")).as("lower_ok"),
+        ((col("cm_count") - col("true_count")).cast("double") <=
+          lit(2.718281828459045) / lit(w.toDouble) *
+            col("n").cast("double")).as("within_eps"))
+      .orderBy(col("true_count").desc, col("value").asc)
+      .limit(topK)
+  }
+
+  /** Merge-algebra check: per-`shardCol` sketches summed
+    * counter-wise vs the whole-corpus sketch, every (row, bucket)
+    * compared — the `col_distinct_mergeable` contract applied to
+    * Count–Min (pins that the hash depends on the value alone, so
+    * shard-built counters really are addable across days/shards). */
+  def countMinMergeCheck(df: DataFrame, colName: String,
+      shardCol: String, d: Int = 4, w: Int = 256): DataFrame = {
+    val shardSk = df
+      .groupBy(col(shardCol).as("shard"),
+        col(colName).cast("string").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("shard"), col("v"), col("c"),
+        explode(typedLit((0 until d).map(_.toLong).toList)).as("i"))
+      .groupBy(col("shard"), col("i"),
+        cmBucket(col("v"), col("i"), w).as("b"))
+      .agg(sum("c").as("mc"))
+    val merged = shardSk.groupBy("i", "b")
+      .agg(sum("mc").cast("long").as("mc_merged"))
+    val whole = countMinSketch(df, colName, d, w)
+      .select(col("i"), col("b"), col("mc").cast("long").as("mc_whole"))
+    whole.join(merged, Seq("i", "b"), "full")
+      .select(col("i"), col("b"),
+        coalesce(col("mc_whole"), lit(0L)).as("mc_whole"),
+        coalesce(col("mc_merged"), lit(0L)).as("mc_merged"),
+        (coalesce(col("mc_whole"), lit(0L)) ===
+          coalesce(col("mc_merged"), lit(0L))).as("equal"))
+      .orderBy("i", "b")
+  }
 }

@@ -148,7 +148,8 @@ object Classifier {
       th: QualityRules.Thresholds, iters: Int = 5): DataFrame = {
     val s = df.sparkSession
     import s.implicits._
-    val m = train(featurize(df, idCol, textCol, th), iters)
+    val m = train(Materialize.materialize(
+      featurize(df, idCol, textCol, th)), iters)
     m.trajectory.zipWithIndex.flatMap { case (w, it) =>
       FeatureNames.zip(w).map { case (f, v) =>
         ((it + 1).toLong, f, v)
@@ -164,10 +165,19 @@ object Classifier {
       .select(col("doc_id"), col("y").cast("long").as("label"),
         sig5(sigmoid(dot(m.weights))).as("prob"))
 
-  /** Train-then-score in one call (the declared-query form). */
+  /** Train-then-score in one call (the declared-query form). The
+    * feature frame is MATERIALIZED first: the token folds are
+    * expensive expression trees that CollapseProject would clone
+    * into every downstream feature reference (~19 copies of the
+    * split/fold tree in the collapsed scorer projection — observed
+    * to blow Janino's 64 KB method limit at 10M docs), and train +
+    * score each need a pass anyway. This is also the production
+    * shape: featurize ONCE, persist the O(n·6-double) frame, run
+    * every training iteration and the scorer against it. */
   def trainScored(df: DataFrame, idCol: String, textCol: String,
       th: QualityRules.Thresholds, iters: Int = 5): DataFrame = {
-    val feats = featurize(df, idCol, textCol, th)
+    val feats = Materialize.materialize(
+      featurize(df, idCol, textCol, th))
     scored(feats, train(feats, iters))
   }
 
@@ -195,11 +205,16 @@ object Classifier {
       .select(col("np").cast("long").as("n_pos"),
         (col("n") - col("np")).cast("long").as("n_neg"),
         // n₊ terms in DOUBLE: n₊·(n₊+1) overflows a long at web
-        // scale; doubles stay exact to 2^53 and match the oracle
-        sig5((col("s") - col("np").cast("double") *
-            (col("np").cast("double") + lit(1.0)) / lit(2.0))
-          / (col("np").cast("double") *
-            (col("n") - col("np")).cast("double"))).as("auc"))
+        // scale; doubles stay exact to 2^53 and match the oracle.
+        // Single-class input → AUC undefined → NULL, not a crash
+        // (ANSI divide-by-zero): a gate whose corpus is all-kept
+        // must fail loudly downstream, not here.
+        when(col("np") === 0L || col("np") === col("n"),
+          lit(null).cast("double"))
+          .otherwise(sig5((col("s") - col("np").cast("double") *
+              (col("np").cast("double") + lit(1.0)) / lit(2.0))
+            / (col("np").cast("double") *
+              (col("n") - col("np")).cast("double")))).as("auc"))
   }
 
   /** Reliability table: 10 fixed probability bins → doc count, mean

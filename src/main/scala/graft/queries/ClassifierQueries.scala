@@ -151,7 +151,9 @@ object ClassifierQueries {
        |  sum(pos) AS np, sum(c) AS n FROM cum)
        |SELECT CAST(np AS BIGINT) AS n_pos,
        |CAST(n - np AS BIGINT) AS n_neg,
-       |${sig(s"(s - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1) / $d2) / (CAST(np AS DOUBLE) * CAST(n - np AS DOUBLE))")} AS auc
+       |CASE WHEN np = 0 OR np = n THEN CAST(NULL AS DOUBLE)
+       |  ELSE ${sig(s"(s - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) + 1) / $d2) / (CAST(np AS DOUBLE) * CAST(n - np AS DOUBLE))")}
+       |END AS auc
        |FROM ag""".stripMargin
   }
 

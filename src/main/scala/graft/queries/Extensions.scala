@@ -56,6 +56,17 @@ object Extensions {
     "cat_entropy" -> ((s, dir) =>
       CatStats.entropy(t(s, dir, "orders"),
         Seq("o_orderstatus", "o_orderpriority"))),
+    // Count–Min error contract: exact top-20 counts vs the 4×256
+    // sketch estimate, one-sided lower_ok + ε·N Markov verdict
+    // (l_partkey: ~2000 distinct >> 256 buckets, so collisions are
+    // real and the bound is doing work)
+    "cat_countmin_err" -> ((s, dir) =>
+      CatStats.countMinErr(t(s, dir, "lineitem"), "l_partkey")),
+    // the sketch's merge algebra pinned: per-shard sketches summed
+    // counter-wise ≡ the whole-corpus sketch, every (row, bucket)
+    "cat_countmin_mergeable" -> ((s, dir) =>
+      CatStats.countMinMergeCheck(t(s, dir, "lineitem"),
+        "l_partkey", "l_returnflag")),
     // equi-DEPTH histogram: ~equal-count buckets bounded by exact
     // percentiles — readable under skew where equi-width collapses;
     // one edge agg + one conditional pass, rounded-edge decisions
@@ -894,7 +905,58 @@ object Extensions {
        |FROM orders JOIN customer ON c_custkey = o_custkey
        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** Portable CM bucket: the engine's 60-bit md5 key mod w — the
+    * identical integer arithmetic on both engines. */
+  private def cmBucketSql(v: String, i: String, w: Int): String =
+    s"CAST(('0x'||substr(md5($v || '|' || $i), 1, 15)) AS BIGINT) % $w"
+
+  /** The whole sketch replayed value-level: DuckDB rebuilds the
+    * identical counter matrix (integer arithmetic only), so the
+    * estimates — and both verdict booleans — land exactly. */
+  val catCountminErrSql: String = {
+    val eps = "CAST(2.718281828459045 AS DOUBLE) / " +
+      "CAST(256.0 AS DOUBLE)"
+    s"""WITH vc AS (SELECT CAST(l_partkey AS VARCHAR) AS v,
+       |  count(*) AS c FROM lineitem GROUP BY 1),
+       |r AS (SELECT v, c, i, ${cmBucketSql("v", "i", 256)} AS b
+       |      FROM vc, range(0, 4) t(i)),
+       |m AS (SELECT i, b, sum(c) AS mc FROM r GROUP BY i, b),
+       |nn AS (SELECT sum(c) AS n FROM vc),
+       |e AS (SELECT v, max(c) AS tru, min(mc) AS est
+       |      FROM r JOIN m USING (i, b) GROUP BY v)
+       |SELECT value, true_count, cm_count, overestimate, lower_ok,
+       |  within_eps FROM (
+       |  SELECT v AS value, CAST(tru AS BIGINT) AS true_count,
+       |    CAST(est AS BIGINT) AS cm_count,
+       |    CAST(est - tru AS BIGINT) AS overestimate,
+       |    est >= tru AS lower_ok,
+       |    CAST(est - tru AS DOUBLE) <= $eps * CAST(n AS DOUBLE)
+       |      AS within_eps,
+       |    row_number() OVER (ORDER BY tru DESC, v ASC) AS rn
+       |  FROM e, nn)
+       |WHERE rn <= 20 ORDER BY true_count DESC, value ASC""".stripMargin
+  }
+
+  val catCountminMergeableSql: String =
+    s"""WITH vcs AS (SELECT l_returnflag AS shard,
+       |  CAST(l_partkey AS VARCHAR) AS v, count(*) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |ss AS (SELECT shard, i, ${cmBucketSql("v", "i", 256)} AS b,
+       |  sum(c) AS mc FROM vcs, range(0, 4) t(i) GROUP BY 1, 2, 3),
+       |mg AS (SELECT i, b, sum(mc) AS mcm FROM ss GROUP BY 1, 2),
+       |vc AS (SELECT CAST(l_partkey AS VARCHAR) AS v, count(*) AS c
+       |       FROM lineitem GROUP BY 1),
+       |mw AS (SELECT i, ${cmBucketSql("v", "i", 256)} AS b,
+       |  sum(c) AS mcw FROM vc, range(0, 4) t(i) GROUP BY 1, 2)
+       |SELECT CAST(i AS BIGINT) AS i, CAST(b AS BIGINT) AS b,
+       |CAST(coalesce(mcw, 0) AS BIGINT) AS mc_whole,
+       |CAST(coalesce(mcm, 0) AS BIGINT) AS mc_merged,
+       |coalesce(mcw, 0) = coalesce(mcm, 0) AS equal
+       |FROM mw FULL JOIN mg USING (i, b) ORDER BY i, b""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "cat_countmin_err" -> catCountminErrSql,
+    "cat_countmin_mergeable" -> catCountminMergeableSql,
     "col_distinct_mergeable" -> colDistinctMergeableSql,
     "col_fd_keys" -> colFdKeysSql,
     "table_inclusion" -> tableInclusionSql,

@@ -79,6 +79,15 @@ class ClassifierSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.75, s"auc ${r.getDouble(2)} != 0.75")
   }
 
+  test("auc is NULL, not a crash, on single-class input") {
+    val s = spark
+    import s.implicits._
+    val allPos = Seq((1L, 1L, 0.9), (2L, 1L, 0.4))
+      .toDF("doc_id", "label", "prob")
+    val r = Classifier.auc(allPos).head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.isNullAt(2))
+  }
+
   test("calibration clamps prob = 1.0 into the top bin and reports " +
       "exact keep rates") {
     val s = spark
