@@ -53,19 +53,23 @@ object Classifier {
     * ratio, top-token fraction — all exact integer ratios (or ln of
     * one) from ONE projection sharing the gate's own token folds. */
   def featurize(df: DataFrame, idCol: String, textCol: String,
-      th: QualityRules.Thresholds): DataFrame = {
+      th: QualityRules.Thresholds,
+      carry: Seq[String] = Nil): DataFrame = {
     val en = TextStats.stopwords.toMap.apply("en")
+    // `carry` threads extra df columns (event time, source) through
+    // the projection — the ruleAssign contract that keeps streaming
+    // twins map-only instead of joining back against their input
     val base = df
-      .select(col(idCol).as("doc_id"),
-        split(col(textCol), " ").as("w"))
-      .select(col("doc_id"),
+      .select(col(idCol).as("doc_id") +: carry.map(col) :+
+        split(col(textCol), " ").as("w"): _*)
+      .select((col("doc_id") +: carry.map(col)) ++ Seq(
         coalesce(size(col("w")).cast("long"), lit(0L)).as("nt"),
         aggregate(col("w"), lit(0L), (acc, x) => acc + length(x))
           .as("sl"),
         size(filter(col("w"), t =>
           t.isin(en.map(x => lit(x)): _*))).cast("long").as("ns"),
         size(array_distinct(col("w"))).cast("long").as("nd"),
-        QualityRules.topRunExpr.as("top_c"))
+        QualityRules.topRunExpr.as("top_c")): _*)
       .where(col("nt") >= 1L)
     val meanWl = col("sl").cast("double") / col("nt")
     val topFrac = col("top_c").cast("double") / col("nt")
@@ -76,22 +80,23 @@ object Classifier {
       .when(col("ns") < th.minStopwords, 0.0)
       .when(topFrac > th.maxTopTokenFrac, 0.0)
       .otherwise(1.0)
-    base.select(col("doc_id"), y.as("y"),
+    base.select(col("doc_id") +: carry.map(col) ++: Seq(y.as("y"),
       log(col("nt").cast("double")).as("x1"),
       meanWl.as("x2"),
       (col("ns").cast("double") / col("nt")).as("x3"),
       (col("nd").cast("double") / col("nt")).as("x4"),
-      topFrac.as("x5"))
+      topFrac.as("x5")): _*)
   }
 
   /** Standardized copy of a [[featurize]] frame given sig5 moments:
     * z_j = (x_j − μ_j) / σ_j (σ < 1e-9 → 1.0, the constant-feature
     * guard, applied to the ROUNDED σ on both engines). */
   private def standardized(feats: DataFrame, mu: Array[Double],
-      sigma: Array[Double]): DataFrame =
-    feats.select(col("doc_id") +: col("y") +: (1 to K).map(j =>
-      ((col(s"x$j") - lit(mu(j - 1))) / lit(sigma(j - 1)))
-        .as(s"z$j")): _*)
+      sigma: Array[Double], carry: Seq[String] = Nil): DataFrame =
+    feats.select((col("doc_id") +: carry.map(col) :+ col("y")) ++
+      (1 to K).map(j =>
+        ((col(s"x$j") - lit(mu(j - 1))) / lit(sigma(j - 1)))
+          .as(s"z$j")): _*)
 
   /** sig5-rounded standardization moments of a feature frame, with
     * the σ < 1e-9 → 1.0 guard already applied. One aggregation. */
@@ -160,25 +165,60 @@ object Classifier {
 
   /** Per-doc scores under a trained model: (doc_id, label, prob)
     * with prob sig5-rounded — the map-only production scorer. */
-  def scored(feats: DataFrame, m: LrModel): DataFrame =
-    standardized(feats, m.mu, m.sigma)
-      .select(col("doc_id"), col("y").cast("long").as("label"),
-        sig5(sigmoid(dot(m.weights))).as("prob"))
+  def scored(feats: DataFrame, m: LrModel,
+      carry: Seq[String] = Nil): DataFrame =
+    standardized(feats, m.mu, m.sigma, carry)
+      .select(col("doc_id") +: carry.map(col) ++: Seq(
+        col("y").cast("long").as("label"),
+        sig5(sigmoid(dot(m.weights))).as("prob")): _*)
 
   /** Train-then-score in one call (the declared-query form). The
-    * feature frame is MATERIALIZED first: the token folds are
-    * expensive expression trees that CollapseProject would clone
-    * into every downstream feature reference (~19 copies of the
-    * split/fold tree in the collapsed scorer projection — observed
-    * to blow Janino's 64 KB method limit at 10M docs), and train +
-    * score each need a pass anyway. This is also the production
-    * shape: featurize ONCE, persist the O(n·6-double) frame, run
-    * every training iteration and the scorer against it. */
+    * feature frame is MATERIALIZED first: moments + every GD
+    * iteration + the final scorer each scan it (iters + 3 passes),
+    * and un-materialized each pass would re-run the token folds —
+    * whose expression trees CollapseProject also clones into every
+    * downstream feature reference (~19 copies of the split/fold
+    * tree in the collapsed scorer projection). Featurize ONCE,
+    * persist the O(n·6-double) frame, run everything against it —
+    * measured at 10M docs: 23.5 s for the pass, then ~1 s per
+    * iteration and 1.6 s to score (BASELINE r12). */
   def trainScored(df: DataFrame, idCol: String, textCol: String,
       th: QualityRules.Thresholds, iters: Int = 5): DataFrame = {
     val feats = Materialize.materialize(
       featurize(df, idCol, textCol, th))
     scored(feats, train(feats, iters))
+  }
+
+  /** Persist a trained model: one parquet row per weight index —
+    * (j, feature, mu, sigma, weight, iters) with μ/σ NULL for the
+    * bias. Train once on the corpus version, score every daily
+    * batch and stream from the loaded frame (the AnnIndex persisted-
+    * lifecycle contract, sized O(features) instead of O(codebook)). */
+  def writeLrModel(m: LrModel, path: String,
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    FeatureNames.zipWithIndex.map { case (f, j) =>
+      (j.toLong, f,
+        if (j == 0) None else Some(m.mu(j - 1)),
+        if (j == 0) None else Some(m.sigma(j - 1)),
+        m.weights(j), m.trajectory.length.toLong)
+    }.toDF("j", "feature", "mu", "sigma", "weight", "iters")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted model; fails loudly on a frame whose feature
+    * names do not match this build's [[FeatureNames]] (a model
+    * trained by a different featurizer must not silently score). */
+  def loadLrModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): LrModel = {
+    val rows = spark.read.parquet(path).orderBy("j").collect()
+    val names = rows.map(_.getString(1)).toSeq
+    require(names == FeatureNames,
+      s"persisted model features $names != $FeatureNames")
+    LrModel(
+      rows.tail.map(_.getDouble(2)),
+      rows.tail.map(_.getDouble(3)),
+      Array(rows.map(_.getDouble(4))))
   }
 
   /** Exact ROC AUC of the scores against the labels by rank-sum

@@ -60,6 +60,48 @@ object GraphOps {
     }
   }
 
+  /** HITS hubs/authorities (Kleinberg 1999) after a fixed number of
+    * iterations — the complement of [[pageRank]] for crawl curation:
+    * a directory page (high hub) is kept for link discovery, a
+    * high-authority page for content. From all-ones: h_k = A·a_{k−1}
+    * then a_k = Aᵀ·h_k, each one edge-keyed join + aggregation (the
+    * PageRank scale shape — the edge list is the bucketed big side,
+    * the score frame the small side). Every intermediate score is an
+    * INTEGER-VALUED double (sums of counts), so the only float step
+    * is the final L1 normalization — one broadcast scalar each —
+    * making the whole run exactly replayable. `topK` cuts on the
+    * sig5-rounded authority with node tie-break. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 2, topK: Option[Int] = None): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var a = nodes.select(col("node"), lit(1.0).as("auth"))
+    var h = nodes.select(col("node"), lit(1.0).as("hub"))
+    for (_ <- 1 to iters) {
+      h = nodes.join(
+          e.join(a, e("dst") === a("node"))
+            .groupBy(col("src").as("node"))
+            .agg(sum("auth").as("s")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0.0)).as("hub"))
+      a = nodes.join(
+          e.join(h, e("src") === h("node"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum("hub").as("s")), Seq("node"), "left")
+        .select(col("node"), coalesce(col("s"), lit(0.0)).as("auth"))
+    }
+    val sums = a.join(h, Seq("node"))
+      .agg(sum("auth").as("sa"), sum("hub").as("sh"))
+    val out = a.join(h, Seq("node")).crossJoin(broadcast(sums))
+      .select(col("node"), sig5(col("hub") / col("sh")).as("hub"),
+        sig5(col("auth") / col("sa")).as("authority"))
+    topK match {
+      case Some(k) => out
+        .orderBy(col("authority").desc, col("node").asc).limit(k)
+      case None => out.orderBy("node")
+    }
+  }
+
   /** Deterministic crawl-shaped link-graph fixture from a doc-id
     * column (the synthUrl precedent — the fixture corpus has no link
     * data, so the edges are synthesized from id arithmetic the

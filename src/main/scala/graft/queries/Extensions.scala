@@ -51,6 +51,13 @@ object Extensions {
       GraphOps.degreeStats(
         GraphOps.synthLinkGraph(t(s, dir, "documents"), "doc_id"),
         "src", "dst")),
+    // HITS hubs/authorities: 2 fixed iterations from all-ones
+    // (integer-exact until the final L1 normalization), top-20 on
+    // the sig5 authority with node tie-break
+    "graph_hits" -> ((s, dir) =>
+      GraphOps.hits(
+        GraphOps.synthLinkGraph(t(s, dir, "documents"), "doc_id"),
+        "src", "dst", iters = 2, topK = Some(20))),
     // categorical distribution shape: Shannon entropy + evenness per
     // column via the O(distinct) identity H = ln n − (Σ c·ln c)/n
     "cat_entropy" -> ((s, dir) =>
@@ -603,6 +610,40 @@ object Extensions {
        |WHERE rn <= 20 ORDER BY pr DESC, node ASC""".stripMargin
   }
 
+  /** h_k = A·a_{k−1} then a_k = Aᵀ·h_k replayed as chained CTEs;
+    * all scores stay integer-valued doubles until the final L1
+    * normalization, so only the last division needs sig5. */
+  val graphHitsSql: String = {
+    def iter(k: Int): String =
+      s"""h$k AS (SELECT n.node,
+         |  coalesce(s.s, CAST(0.0 AS DOUBLE)) AS hub
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT src AS node, sum(auth) AS s
+         |    FROM ed JOIN a${k - 1} ON a${k - 1}.node = ed.dst
+         |    GROUP BY src) s ON s.node = n.node),
+         |a$k AS (SELECT n.node,
+         |  coalesce(s.s, CAST(0.0 AS DOUBLE)) AS auth
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT dst AS node, sum(hub) AS s
+         |    FROM ed JOIN h$k ON h$k.node = ed.src
+         |    GROUP BY dst) s ON s.node = n.node)""".stripMargin
+    s"""WITH $linkEdgesCte,
+       |nodes AS (SELECT src AS node FROM ed
+       |          UNION SELECT dst FROM ed),
+       |a0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS auth FROM nodes),
+       |${iter(1)},
+       |${iter(2)},
+       |sm AS (SELECT sum(auth) AS sa FROM a2),
+       |sh AS (SELECT sum(hub) AS shh FROM h2)
+       |SELECT node, hub, authority FROM (
+       |  SELECT a2.node, ${sig("h2.hub / shh")} AS hub,
+       |    ${sig("a2.auth / sa")} AS authority,
+       |    row_number() OVER (ORDER BY ${sig("a2.auth / sa")} DESC,
+       |      a2.node ASC) AS rn
+       |  FROM a2 JOIN h2 ON h2.node = a2.node, sm, sh)
+       |WHERE rn <= 20 ORDER BY authority DESC, node ASC""".stripMargin
+  }
+
   val graphDegreeStatsSql: String =
     s"""WITH $linkEdgesCte,
        |ind AS (SELECT dst AS node, count(*) AS indeg FROM ed
@@ -975,6 +1016,7 @@ object Extensions {
     "pipeline_ccnet" -> pipelineCcnetSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_degree_stats" -> graphDegreeStatsSql,
+    "graph_hits" -> graphHitsSql,
     "join_asof" -> joinAsofSql,
     "join_range" -> joinRangeSql,
     "corpus_composition" -> corpusCompositionSql,

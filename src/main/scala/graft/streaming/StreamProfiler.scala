@@ -489,6 +489,40 @@ object StreamProfiler {
         col("n_bigrams"), col("nll"), col("ppl"))
   }
 
+  /** Streaming twin of the learned quality filter
+    * ([[graft.ops.Classifier]]): per event-time window, the doc
+    * count, mean model keep-probability, the share the model would
+    * keep at the 0.5 threshold, and the share the TEACHER gate
+    * keeps — "is the learned filter still tracking the gate on live
+    * traffic". The model is FROZEN (trained offline, loaded via
+    * [[graft.ops.Classifier.loadLrModel]]); the per-doc path is the
+    * batch featurizer + scorer with the event time riding the carry
+    * columns (one map-only projection — the ruleGateStream
+    * contract), so the only state is O(1) sums per open window. */
+  def lrScoreStream(docs: DataFrame, m: graft.ops.Classifier.LrModel,
+      th: graft.ops.QualityRules.Thresholds,
+      idCol: String = "doc_id", textCol: String = "text",
+      tsCol: String = "ts", watermark: String = "10 minutes",
+      windowLen: String = "1 hour"): DataFrame = {
+    val withTs = docs.where(col(textCol).isNotNull)
+      .withColumn("__ts", eventTime(docs, tsCol))
+    val scoredDocs = graft.ops.Classifier.scored(
+      graft.ops.Classifier.featurize(withTs, idCol, textCol, th,
+        carry = Seq("__ts")), m, carry = Seq("__ts"))
+    scoredDocs
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowLen))
+      .agg(count(lit(1)).as("n_docs"),
+        graft.det.Sig.sig5(avg(col("prob"))).as("avg_prob"),
+        graft.det.Sig.sig5(avg(when(col("prob") >= 0.5, 1.0)
+          .otherwise(0.0))).as("model_keep_share"),
+        graft.det.Sig.sig5(avg(col("label").cast("double")))
+          .as("gate_keep_share"))
+      .select(col("window.start").as("window_start"), col("n_docs"),
+        col("avg_prob"), col("model_keep_share"),
+        col("gate_keep_share"))
+  }
+
   /** Streaming twin of [[graft.ops.QualityRules.filterFunnel]]: per
     * event-time window, the first-failing-rule counts of the
     * document stream — "did a rule start eating the crawl THIS

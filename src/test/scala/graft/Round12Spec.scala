@@ -321,6 +321,25 @@ class Round12Spec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-4)
   }
 
+  test("hits matches the closed-form two-iteration hand computation") {
+    val s = spark
+    import s.implicits._
+    // 1→{2,3}, 2→3, 3→1. From all-ones:
+    //   h1 = (2,1,1); a1 = (1,2,3); h2 = (5,3,1); a2 = (1,5,8)
+    //   Σh = 9, Σa = 14 → hub(1) = 5/9, authority(3) = 8/14
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val got = graft.ops.GraphOps.hits(edges, "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(got(1L)._1 - 5.0 / 9.0) < 1e-4)
+    assert(math.abs(got(3L)._2 - 8.0 / 14.0) < 1e-4)
+    assert(math.abs(got(2L)._2 - 5.0 / 14.0) < 1e-4)
+    // L1-normalized: each score family sums to 1
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-4)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-4)
+  }
+
   test("splitLeakage: a near-dup pair straddling the naive hash " +
       "split is healed by the cluster-representative split") {
     val s = spark

@@ -804,4 +804,74 @@ class StreamingSpec extends SparkSpec {
       assert(batch == out)
     } finally q.stop()
   }
+
+  test("lrScoreStream scores a doc stream under a frozen PERSISTED " +
+      "model, matching the batch scorer's window stats") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val th = graft.ops.QualityRules.Thresholds(3L, 8L, 1.0, 9.0,
+      1L, 0.6)
+    val train = Seq((1L, "the cat sat on a mat"), (2L, "a b"),
+        (3L, "the a a a a a"), (4L, "is it a dog or cat"))
+      .toDF("doc_id", "text")
+    val m0 = graft.ops.Classifier.train(
+      graft.ops.Classifier.featurize(train, "doc_id", "text", th),
+      iters = 3)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lr").toString + "/model"
+    graft.ops.Classifier.writeLrModel(m0, path, spark)
+    val m = graft.ops.Classifier.loadLrModel(spark, path)
+    // the persisted round trip is bit-exact
+    assert(m.mu.toSeq == m0.mu.toSeq &&
+      m.sigma.toSeq == m0.sigma.toSeq &&
+      m.weights.toSeq == m0.weights.toSeq)
+    val mem = MemoryStream[TsDoc]
+    val q = StreamProfiler.lrScoreStream(mem.toDF(), m, th)
+      .writeStream.format("memory").queryName("lrscore")
+      .outputMode("append").start()
+    try {
+      val docs = Seq((10L, "the cat sat on a mat"), (11L, "a b"))
+      mem.addData(docs.zipWithIndex.map { case ((id, tx), i) =>
+        TsDoc(t(5 + i), id, tx) }: _*)
+      q.processAllAvailable()
+      mem.addData(TsDoc(t(2000), 99L, "x")) // close hour 0
+      q.processAllAvailable()
+      val out = sql.table("lrscore")
+        .where(col("window_start") === new Timestamp(0L))
+        .select("n_docs", "avg_prob", "model_keep_share",
+          "gate_keep_share").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getDouble(3)))
+      // batch twin: the same docs through the batch featurize+score
+      val batch = graft.ops.Classifier.scored(
+          graft.ops.Classifier.featurize(docs.toDF("doc_id", "text"),
+            "doc_id", "text", th), m)
+        .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+          graft.det.Sig.sig5(avg(col("prob"))).as("ap"),
+          graft.det.Sig.sig5(avg(when(col("prob") >= 0.5, 1.0)
+            .otherwise(0.0))).as("mk"),
+          graft.det.Sig.sig5(avg(col("label").cast("double")))
+            .as("gk"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          r.getDouble(2), r.getDouble(3)))
+      assert(out.toSeq == batch.toSeq && out.head._1 == 2L)
+    } finally q.stop()
+  }
+
+  test("loadLrModel fails loudly on a foreign feature layout") {
+    val sql = spark
+    import sql.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lr_bad").toString + "/model"
+    Seq((0L, "bias", None: Option[Double], None: Option[Double],
+        0.1, 3L),
+      (1L, "something_else", Some(1.0), Some(1.0), 0.2, 3L))
+      .toDF("j", "feature", "mu", "sigma", "weight", "iters")
+      .write.parquet(path)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Classifier.loadLrModel(spark, path)
+    }
+    assert(e.getMessage.contains("persisted model features"))
+  }
 }
