@@ -667,4 +667,41 @@ object TextStats {
         col("n_vocab"))
       .orderBy("rnk")
   }
+
+  /** Per-document top-k TF-IDF terms (Spärck Jones 1972; the
+    * sklearn-convention smooth idf ln((N+1)/(df+1)) + 1 so unseen
+    * and ubiquitous terms stay finite) — keyword extraction, the
+    * first summarization a corpus datasheet shows per document.
+    *
+    * Scale shape: one (doc, token) count shuffle (the exact shuffle
+    * token histograms already pay), document frequency as an
+    * O(vocab) re-aggregation of THAT frame (no second corpus scan),
+    * N as a 1-row broadcast, and the top-k cut ranks within
+    * doc_id PARTITIONS — parallel across docs, never a global sort.
+    * Ranking compares the sig5-ROUNDED score (cross-engine ln noise
+    * cannot flip a rank). */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    val tok = df.select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = tf.select("doc_id").distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val idf = log((col("n_docs").cast("double") + lit(1.0)) /
+      (col("df").cast("double") + lit(1.0))) + lit(1.0)
+    val scored = tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("token"),
+        graft.det.Sig.sig5(col("tf").cast("double") * idf)
+          .as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select("doc_id", "rnk", "token", "tfidf")
+      .orderBy("doc_id", "rnk")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.det.Sig
 import graft.ops.{Classifier, QualityRules}
 import Shared.{enStops, stopOr, t}
@@ -44,7 +45,31 @@ object ClassifierQueries {
     "text_lr_calibration" -> ((s, dir) =>
       Classifier.calibration(
         Classifier.trainScored(t(s, dir, "documents"),
-          "doc_id", "text", Th, Iters))))
+          "doc_id", "text", Th, Iters))),
+    // where the linear model can't express the gate: top-20 docs by
+    // |prob − label| — the feature-engineering worklist (a band rule
+    // is non-monotone in ln_tokens, so big gaps are structural)
+    "text_lr_disagreement" -> ((s, dir) =>
+      Classifier.trainScored(t(s, dir, "documents"),
+          "doc_id", "text", Th, Iters)
+        .select(col("doc_id"), col("label"), col("prob"),
+          abs(col("prob") - col("label").cast("double")).as("gap"))
+        .orderBy(col("gap").desc, col("doc_id").asc)
+        .limit(20)),
+    // model-score drift between the reference feed (src0) and the
+    // rest: PSI/TVD over the 10 calibration bins — "is the learned
+    // filter seeing a different score distribution on new traffic"
+    "drift_lr_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val feats = graft.ops.Materialize.materialize(
+        Classifier.featurize(docs, "doc_id", "text", Th,
+          carry = Seq("source")))
+      val sc = Classifier.scored(feats,
+        Classifier.train(feats, Iters), carry = Seq("source"))
+      graft.ops.Drift.categoricalDrift(sc, "lr_score",
+        least(floor(col("prob") * 10).cast("long"), lit(9L)),
+        when(col("source") === "src0", 0).otherwise(1))
+    }))
 
   /** Featurize → standardize → 5 GD iterations as chained CTEs.
     * Every float literal CAST to DOUBLE (the DECIMAL trap); moments
@@ -166,9 +191,48 @@ object ClassifierQueries {
        |${sig("CAST(sum(yy) AS DOUBLE) / count(*)")} AS keep_rate
        |FROM p GROUP BY 1 ORDER BY bin""".stripMargin
 
+  val textLrDisagreementSql: String =
+    s"""WITH $scoredCte
+       |SELECT doc_id, yy AS label, prob, gap FROM (
+       |  SELECT doc_id, yy, prob,
+       |    abs(prob - CAST(yy AS DOUBLE)) AS gap,
+       |    row_number() OVER (
+       |      ORDER BY abs(prob - CAST(yy AS DOUBLE)) DESC,
+       |      doc_id ASC) AS rn
+       |  FROM p)
+       |WHERE rn <= 20 ORDER BY gap DESC, doc_id ASC""".stripMargin
+
+  /** The drift family's smoothed-share PSI/TVD shape over the
+    * classifier's 10 calibration bins, source re-attached by doc_id
+    * (the scored frame is keyed, so the join is value-identical to
+    * the Spark side's carry column). */
+  val driftLrScoreSql: String =
+    s"""WITH $scoredCte,
+       |ps AS (SELECT p.doc_id, prob,
+       |  CASE WHEN d.source = 'src0' THEN 0 ELSE 1 END AS sl
+       |  FROM p JOIN documents d USING (doc_id)),
+       |c AS (SELECT least(CAST(floor(prob * 10) AS BIGINT), 9) AS b,
+       |  sum(CASE WHEN sl = 0 THEN 1 ELSE 0 END) AS ca,
+       |  sum(CASE WHEN sl = 1 THEN 1 ELSE 0 END) AS cb
+       |  FROM ps GROUP BY 1),
+       |dtot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+       |  CAST(sum(cb) AS DOUBLE) AS nb,
+       |  CAST(count(*) AS DOUBLE) AS k FROM c)
+       |SELECT 'lr_score' AS dim, CAST(min(na) AS BIGINT) AS n_a,
+       |CAST(min(nb) AS BIGINT) AS n_b,
+       |CAST(min(k) AS BIGINT) AS n_buckets,
+       |${sig("sum((sp - sq) * ln(sp / sq))")} AS psi,
+       |${sig("sum(abs(sp - sq)) / 2.0")} AS tvd
+       |FROM (SELECT (ca + 0.5) / (na + 0.5 * k) AS sp,
+       |        (cb + 0.5) / (nb + 0.5 * k) AS sq, na, nb, k
+       |      FROM c, dtot)
+       |HAVING count(*) > 0""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "text_lr_train" -> textLrTrainSql,
     "text_lr_score" -> textLrScoreSql,
     "text_lr_auc" -> textLrAucSql,
-    "text_lr_calibration" -> textLrCalibrationSql)
+    "text_lr_calibration" -> textLrCalibrationSql,
+    "text_lr_disagreement" -> textLrDisagreementSql,
+    "drift_lr_score" -> driftLrScoreSql)
 }

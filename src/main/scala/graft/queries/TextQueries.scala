@@ -39,6 +39,11 @@ object TextQueries {
       Search.knBigramNll(docs.where(col("source") =!= "src0"),
         docs, "doc_id", "text")
     }),
+    // per-doc top-3 TF-IDF keywords (smooth sklearn idf), ranks on
+    // the sig5-rounded score so cross-engine ln noise can't flip one
+    "text_tfidf_topk" -> ((s, dir) =>
+      TextStats.tfidfTopK(t(s, dir, "documents"), "doc_id", "text",
+        k = 3)),
     // order-3 KN (the KenLM shape): trigram counts interpolated
     // through a continuation-count bigram level down to the unigram
     // continuation — three NULL-tolerant backoff tiers
@@ -1295,7 +1300,29 @@ object TextQueries {
     * summation-order float noise is absorbed before the rank
     * compares), row_number-then-limit ≡ the Spark rank-after-limit. */
 
+  /** TF-IDF replayed: same (doc, token) histogram, O(vocab) df
+    * re-aggregation, smooth idf with every literal CAST to DOUBLE,
+    * rank on the sig5-rounded score with token tie-break. */
+  val textTfidfTopkSql: String = {
+    val one = "CAST(1.0 AS DOUBLE)"
+    val score = sig(s"CAST(tf AS DOUBLE) * (ln((CAST(n AS DOUBLE) + $one) / (CAST(df AS DOUBLE) + $one)) + $one)")
+    s"""WITH tok AS (SELECT doc_id,
+       |  unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+       |       GROUP BY 1, 2),
+       |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+       |sc AS (SELECT doc_id, token, $score AS tfidf
+       |       FROM tf JOIN dfq USING (token), nd)
+       |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, tfidf
+       |FROM (SELECT doc_id, token, tfidf, row_number() OVER (
+       |    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rnk
+       |  FROM sc)
+       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "text_tfidf_topk" -> textTfidfTopkSql,
     "doc_novelty" -> docNoveltySql,
     "text_guard_recall" -> textGuardRecallSql,
     "text_bpe_pairs" -> textBpePairsSql,

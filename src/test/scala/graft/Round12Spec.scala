@@ -340,6 +340,22 @@ class Round12Spec extends SparkSpec {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-4)
   }
 
+  test("tfidfTopK matches the closed-form smooth-idf scores") {
+    val s = spark
+    import s.implicits._
+    // N=2; df: a=1, b=2, c=1 -> idf(a)=idf(c)=ln(3/2)+1, idf(b)=1
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = graft.ops.TextStats.tfidfTopK(docs, "doc_id", "text",
+        k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getDouble(3))).toMap
+    val idfRare = math.log(3.0 / 2.0) + 1.0
+    assert(got((1L, 1L))._1 == "a")
+    assert(math.abs(got((1L, 1L))._2 - 2.0 * idfRare) < 1e-4)
+    assert(got((1L, 2L)) == (("b", 1.0))) // ubiquitous term: idf 1
+    assert(got((2L, 1L))._1 == "c" && got((2L, 2L))._1 == "b")
+  }
+
   test("splitLeakage: a near-dup pair straddling the naive hash " +
       "split is healed by the cluster-representative split") {
     val s = spark
