@@ -257,6 +257,30 @@ object Classifier {
               (col("n") - col("np")).cast("double")))).as("auc"))
   }
 
+  /** Confusion matrix of the thresholded scores against the labels:
+    * TP/FP/TN/FN at `tau`, plus precision, recall and F1 (via the
+    * single-division identity F1 = 2·TP/(2·TP+FP+FN)), each NULL
+    * when its denominator is empty. One aggregation. */
+  def confusion(scoredDf: DataFrame, tau: Double = 0.5): DataFrame = {
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    val pos = col("label") === 1L
+    val pred = col("prob") >= tau
+    scoredDf
+      .agg(cnt(pos && pred).as("tp"), cnt(!pos && pred).as("fp"),
+        cnt(!pos && !pred).as("tn"), cnt(pos && !pred).as("fn"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        sig5(when(col("tp") + col("fp") > 0L,
+          col("tp").cast("double") / (col("tp") + col("fp"))))
+          .as("precision"),
+        sig5(when(col("tp") + col("fn") > 0L,
+          col("tp").cast("double") / (col("tp") + col("fn"))))
+          .as("recall"),
+        sig5(when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+          lit(2.0) * col("tp") /
+            (lit(2L) * col("tp") + col("fp") + col("fn"))))
+          .as("f1"))
+  }
+
   /** Reliability table: 10 fixed probability bins → doc count, mean
     * predicted prob, empirical keep rate. O(bins) output from one
     * aggregation — the calibration curve a gate owner reads before

@@ -46,6 +46,11 @@ object ClassifierQueries {
       Classifier.calibration(
         Classifier.trainScored(t(s, dir, "documents"),
           "doc_id", "text", Th, Iters))),
+    // confusion matrix at tau = 0.5 + precision/recall/F1 — the
+    // operating-point numbers a gate owner reads next to the AUC
+    "text_lr_confusion" -> ((s, dir) =>
+      Classifier.confusion(Classifier.trainScored(
+        t(s, dir, "documents"), "doc_id", "text", Th, Iters))),
     // where the linear model can't express the gate: top-20 docs by
     // |prob − label| — the feature-engineering worklist (a band rule
     // is non-monotone in ln_tokens, so big gaps are structural)
@@ -191,6 +196,32 @@ object ClassifierQueries {
        |${sig("CAST(sum(yy) AS DOUBLE) / count(*)")} AS keep_rate
        |FROM p GROUP BY 1 ORDER BY bin""".stripMargin
 
+  val textLrConfusionSql: String = {
+    val d2 = "CAST(2.0 AS DOUBLE)"
+    s"""WITH $scoredCte,
+       |cm AS (SELECT
+       |  sum(CASE WHEN yy = 1 AND prob >= 0.5 THEN 1 ELSE 0 END)
+       |    AS tp,
+       |  sum(CASE WHEN yy = 0 AND prob >= 0.5 THEN 1 ELSE 0 END)
+       |    AS fp,
+       |  sum(CASE WHEN yy = 0 AND prob < 0.5 THEN 1 ELSE 0 END)
+       |    AS tn,
+       |  sum(CASE WHEN yy = 1 AND prob < 0.5 THEN 1 ELSE 0 END)
+       |    AS fn FROM p)
+       |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+       |CASE WHEN tp + fp > 0
+       |  THEN ${sig("CAST(tp AS DOUBLE) / (tp + fp)")}
+       |  ELSE CAST(NULL AS DOUBLE) END AS precision,
+       |CASE WHEN tp + fn > 0
+       |  THEN ${sig("CAST(tp AS DOUBLE) / (tp + fn)")}
+       |  ELSE CAST(NULL AS DOUBLE) END AS recall,
+       |CASE WHEN 2 * tp + fp + fn > 0
+       |  THEN ${sig(s"$d2 * tp / (2 * tp + fp + fn)")}
+       |  ELSE CAST(NULL AS DOUBLE) END AS f1
+       |FROM cm""".stripMargin
+  }
+
   val textLrDisagreementSql: String =
     s"""WITH $scoredCte
        |SELECT doc_id, yy AS label, prob, gap FROM (
@@ -234,5 +265,6 @@ object ClassifierQueries {
     "text_lr_auc" -> textLrAucSql,
     "text_lr_calibration" -> textLrCalibrationSql,
     "text_lr_disagreement" -> textLrDisagreementSql,
+    "text_lr_confusion" -> textLrConfusionSql,
     "drift_lr_score" -> driftLrScoreSql)
 }

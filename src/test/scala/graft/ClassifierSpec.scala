@@ -101,6 +101,26 @@ class ClassifierSpec extends SparkSpec {
     assert(rows(3L) == ((2L, 0.5)))
   }
 
+  test("confusion matrix counts the threshold boundary as predicted " +
+      "keep and matches the closed form") {
+    val s = spark
+    import s.implicits._
+    val scored = Seq((1L, 1L, 0.9), (2L, 0L, 0.7), (3L, 0L, 0.2),
+        (4L, 1L, 0.4), (5L, 1L, 0.5)) // 0.5 is ON the boundary
+      .toDF("doc_id", "label", "prob")
+    val r = Classifier.confusion(scored).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 1L, 1L, 1L)))
+    assert(math.abs(r.getDouble(4) - 2.0 / 3.0) < 1e-4) // precision
+    assert(math.abs(r.getDouble(5) - 2.0 / 3.0) < 1e-4) // recall
+    assert(math.abs(r.getDouble(6) - 2.0 / 3.0) < 1e-4) // f1
+    // degenerate: nothing predicted positive -> precision NULL
+    val none = Seq((1L, 1L, 0.1), (2L, 0L, 0.2))
+      .toDF("doc_id", "label", "prob")
+    val r2 = Classifier.confusion(none).head()
+    assert(r2.isNullAt(4) && r2.getDouble(5) == 0.0)
+  }
+
   test("featurizer and scorer are map-only; training aggregates " +
       "have no corpus-sized shuffle") {
     val s = spark
