@@ -43,7 +43,8 @@ object Datasheet {
       langCol: String = "lang", idCol: String = "doc_id",
       textCol: String = "text", urlCol: Option[String] = None,
       hotShare: Double = 0.05,
-      gate: Option[QualityRules.Thresholds] = None): DataFrame = {
+      gate: Option[QualityRules.Thresholds] = None,
+      lrIters: Option[Int] = None): DataFrame = {
     val corpus = melt(TextStats.manifest(docs, srcCol, textCol),
       "corpus", col(srcCol),
       Seq("n_docs", "n_tokens", "n_chars", "doc_share"))
@@ -92,7 +93,23 @@ object Datasheet {
         "gate", col("rule"), Seq("n_docs", "share", "n_surviving"))
     }
 
-    (Seq(corpus) ++ domains ++ Seq(quality, dedup, pii) ++ gateSec)
+    // model:    the learned-filter scorecard next to the gate it
+    // distills — confusion at τ=0.5 plus the exact AUC (requires
+    // `gate` for the teacher labels; `lrIters` opts in because
+    // training is a pipeline decision, not a datasheet default)
+    val modelSec = for { th <- gate; it <- lrIters } yield {
+      val feats = Materialize.materialize(
+        Classifier.featurize(docs, idCol, textCol, th))
+      val sc = Classifier.scored(feats, Classifier.train(feats, it))
+      melt(Classifier.confusion(sc)
+          .crossJoin(broadcast(Classifier.auc(sc).select(col("auc")))),
+        "model", lit("__model__"),
+        Seq("tp", "fp", "tn", "fn", "precision", "recall", "f1",
+          "auc"))
+    }
+
+    (Seq(corpus) ++ domains ++ Seq(quality, dedup, pii) ++ gateSec ++
+        modelSec)
       .reduce(_.unionByName(_))
       .orderBy("section", "entity", "metric")
   }

@@ -80,8 +80,11 @@ object ClassifierQueries {
     * Every float literal CAST to DOUBLE (the DECIMAL trap); moments
     * and per-iteration weights sig5-rounded exactly as the Spark
     * side rounds them, so each iteration starts from bitwise
-    * identical inputs on both engines. */
-  private val lrCoreCte: String = {
+    * identical inputs on both engines. `src` is any relation with
+    * (doc_id, text); `pfx` namespaces every CTE so the chain embeds
+    * into larger oracles (the corpus datasheet). */
+  private[queries] def lrCoreCteOn(src: String, pfx: String): String = {
+    def N(x: String) = pfx + x
     val f = stopOr("x", enStops)
     val d1 = "CAST(1.0 AS DOUBLE)"
     val moments = (1 to 5).map { j =>
@@ -95,25 +98,29 @@ object ClassifierQueries {
     val w0 = (0 to 5).map(j => s"($j, CAST(0.0 AS DOUBLE))")
       .mkString(", ")
     def iter(k: Int): String =
-      s"""sc$k AS (SELECT f.doc_id, max(f.y) AS y, sum(w.w * f.v) AS s
-         |  FROM fl f JOIN w${k - 1} w ON w.j = f.j GROUP BY f.doc_id),
-         |g$k AS (SELECT f.j,
+      s"""${N(s"sc$k")} AS MATERIALIZED (SELECT f.doc_id, max(f.y) AS y,
+         |  sum(w.w * f.v) AS s
+         |  FROM ${N("fl")} f JOIN ${N(s"w${k - 1}")} w ON w.j = f.j
+         |  GROUP BY f.doc_id),
+         |${N(s"g$k")} AS (SELECT f.j,
          |  sum(($d1 / ($d1 + exp(-sc.s)) - sc.y) * f.v) AS g
-         |  FROM fl f JOIN sc$k sc ON sc.doc_id = f.doc_id
+         |  FROM ${N("fl")} f JOIN ${N(s"sc$k")} sc
+         |    ON sc.doc_id = f.doc_id
          |  GROUP BY f.j),
-         |w$k AS (SELECT g.j, ${sig("w.w - g.g / nn.n")} AS w
-         |  FROM w${k - 1} w JOIN g$k g ON g.j = w.j, nn)""".stripMargin
-    s"""d AS (SELECT doc_id, string_split(text, ' ') AS t
-       |       FROM documents),
-       |e AS (SELECT doc_id, coalesce(len(t), 0) AS nt,
+         |${N(s"w$k")} AS MATERIALIZED (SELECT g.j, ${sig("w.w - g.g / nn.n")} AS w
+         |  FROM ${N(s"w${k - 1}")} w JOIN ${N(s"g$k")} g
+         |    ON g.j = w.j, ${N("nn")} nn)""".stripMargin
+    s"""${N("d")} AS (SELECT doc_id, string_split(text, ' ') AS t
+       |       FROM $src),
+       |${N("e")} AS (SELECT doc_id, coalesce(len(t), 0) AS nt,
        |  list_sum(list_transform(t, x -> length(x))) AS sl,
        |  len(list_filter(t, x -> $f)) AS ns,
-       |  len(list_distinct(t)) AS nd FROM d),
-       |tt AS (SELECT doc_id, max(c) AS top_c FROM (
+       |  len(list_distinct(t)) AS nd FROM ${N("d")}),
+       |${N("tt")} AS (SELECT doc_id, max(c) AS top_c FROM (
        |  SELECT doc_id, count(*) AS c FROM (
-       |    SELECT doc_id, unnest(t) AS w FROM d)
+       |    SELECT doc_id, unnest(t) AS w FROM ${N("d")})
        |  GROUP BY doc_id, w) GROUP BY doc_id),
-       |x AS (SELECT e.doc_id,
+       |${N("x")} AS MATERIALIZED (SELECT e.doc_id,
        |  CASE WHEN nt < 30 OR nt > 90
        |    OR CAST(sl AS DOUBLE) / nt < 3.8
        |    OR CAST(sl AS DOUBLE) / nt > 5.0
@@ -123,16 +130,19 @@ object ClassifierQueries {
        |  CAST(ns AS DOUBLE) / nt AS x3,
        |  CAST(nd AS DOUBLE) / nt AS x4,
        |  CAST(top_c AS DOUBLE) / nt AS x5
-       |  FROM e JOIN tt USING (doc_id) WHERE nt >= 1),
-       |st AS (SELECT $moments FROM x),
-       |stg AS (SELECT $guards FROM st),
-       |z AS (SELECT doc_id, y, $zcols FROM x, stg),
-       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM x),
-       |fl AS (SELECT doc_id, y, j, CASE j WHEN 0 THEN $d1
+       |  FROM ${N("e")} e JOIN ${N("tt")} USING (doc_id)
+       |  WHERE nt >= 1),
+       |${N("st")} AS (SELECT $moments FROM ${N("x")}),
+       |${N("stg")} AS (SELECT $guards FROM ${N("st")}),
+       |${N("z")} AS (SELECT doc_id, y, $zcols FROM ${N("x")},
+       |  ${N("stg")}),
+       |${N("nn")} AS (SELECT CAST(count(*) AS DOUBLE) AS n
+       |  FROM ${N("x")}),
+       |${N("fl")} AS MATERIALIZED (SELECT doc_id, y, j, CASE j WHEN 0 THEN $d1
        |  WHEN 1 THEN z1 WHEN 2 THEN z2 WHEN 3 THEN z3
        |  WHEN 4 THEN z4 ELSE z5 END AS v
-       |  FROM z, range(0, 6) t(j)),
-       |w0(j, w) AS (VALUES $w0),
+       |  FROM ${N("z")}, range(0, 6) t(j)),
+       |${N("w0")}(j, w) AS (VALUES $w0),
        |${iter(1)},
        |${iter(2)},
        |${iter(3)},
@@ -141,15 +151,22 @@ object ClassifierQueries {
   }
 
   /** Final-model per-doc scores (the sc-iteration shape against the
-    * trained w5), shared by the score / auc / calibration oracles. */
-  private val scoredCte: String = {
+    * trained w5), shared by the score / auc / calibration oracles
+    * and embeddable under a prefix (the datasheet model section). */
+  private[queries] def scoredCteOn(src: String, pfx: String): String = {
+    def N(x: String) = pfx + x
     val d1 = "CAST(1.0 AS DOUBLE)"
-    s"""$lrCoreCte,
-       |scf AS (SELECT f.doc_id, max(f.y) AS y, sum(w.w * f.v) AS s
-       |  FROM fl f JOIN w5 w ON w.j = f.j GROUP BY f.doc_id),
-       |p AS (SELECT doc_id, CAST(y AS BIGINT) AS yy,
-       |  ${sig(s"$d1 / ($d1 + exp(-s))")} AS prob FROM scf)""".stripMargin
+    s"""${lrCoreCteOn(src, pfx)},
+       |${N("scf")} AS (SELECT f.doc_id, max(f.y) AS y,
+       |  sum(w.w * f.v) AS s
+       |  FROM ${N("fl")} f JOIN ${N("w5")} w ON w.j = f.j
+       |  GROUP BY f.doc_id),
+       |${N("p")} AS MATERIALIZED (SELECT doc_id, CAST(y AS BIGINT) AS yy,
+       |  ${sig(s"$d1 / ($d1 + exp(-s))")} AS prob
+       |  FROM ${N("scf")})""".stripMargin
   }
+
+  private val scoredCte: String = scoredCteOn("documents", "")
 
   val textLrTrainSql: String = {
     val names = Classifier.FeatureNames.zipWithIndex
@@ -157,7 +174,7 @@ object ClassifierQueries {
     val union = (1 to Iters)
       .map(k => s"SELECT $k AS it, j, w FROM w$k")
       .mkString("\n|  UNION ALL ")
-    s"""WITH $lrCoreCte,
+    s"""WITH ${lrCoreCteOn("documents", "")},
        |names(j, feature) AS (VALUES $names),
        |tr AS ($union)
        |SELECT CAST(it AS BIGINT) AS iter, feature, w AS weight

@@ -48,7 +48,7 @@ object UrlQueries {
           "text"), "doc_id")
       graft.ops.Datasheet.corpusDatasheet(d, urlCol = Some("url"),
         gate = Some(graft.ops.QualityRules.Thresholds(30L, 90L, 3.8,
-          5.0, 2L, 0.12)))
+          5.0, 2L, 0.12)), lrIters = Some(5))
     }),
     // domain-mix drift between the even/odd doc slices: PSI + TVD
     // over the registrable-domain distribution — "did the crawl's
@@ -306,7 +306,24 @@ object UrlQueries {
       arm("gate", "rule", "n_docs", "CAST(n_docs AS DOUBLE)", "gj2"),
       arm("gate", "rule", "share", "share", "gj2"),
       arm("gate", "rule", "n_surviving",
-        "CAST(n_surviving AS DOUBLE)", "gj2"))
+        "CAST(n_surviving AS DOUBLE)", "gj2"),
+      arm("model", "'__model__'", "tp", "CAST(tp AS DOUBLE)", "lrcm"),
+      arm("model", "'__model__'", "fp", "CAST(fp AS DOUBLE)", "lrcm"),
+      arm("model", "'__model__'", "tn", "CAST(tn AS DOUBLE)", "lrcm"),
+      arm("model", "'__model__'", "fn", "CAST(fn AS DOUBLE)", "lrcm"),
+      arm("model", "'__model__'", "precision",
+        "CASE WHEN tp + fp > 0 THEN " +
+          sig("CAST(tp AS DOUBLE) / (tp + fp)") +
+          " ELSE CAST(NULL AS DOUBLE) END", "lrcm"),
+      arm("model", "'__model__'", "recall",
+        "CASE WHEN tp + fn > 0 THEN " +
+          sig("CAST(tp AS DOUBLE) / (tp + fn)") +
+          " ELSE CAST(NULL AS DOUBLE) END", "lrcm"),
+      arm("model", "'__model__'", "f1",
+        "CASE WHEN 2 * tp + fp + fn > 0 THEN " +
+          sig("CAST(2.0 AS DOUBLE) * tp / (2 * tp + fp + fn)") +
+          " ELSE CAST(NULL AS DOUBLE) END", "lrcm"),
+      arm("model", "'__model__'", "auc", "auc", "lrauc"))
     s"""WITH base AS (SELECT doc_id, source, lang, text ||
        |    CASE WHEN doc_id % 3 >= 1 THEN ' mail user' ||
        |      CAST(doc_id AS VARCHAR) || 'a@mail.example.com'
@@ -415,7 +432,33 @@ object UrlQueries {
        |  CAST(CASE WHEN rule = 'kept' THEN n_docs
        |    ELSE (SELECT sum(n_docs) FROM gj) - sum(n_docs)
        |      OVER (ORDER BY rule_idx ROWS UNBOUNDED PRECEDING)
-       |    END AS BIGINT) AS n_surviving FROM gj)
+       |    END AS BIGINT) AS n_surviving FROM gj),
+       |${ClassifierQueries.scoredCteOn(
+            "(SELECT doc_id, t2 AS text FROM base)", "lr_")},
+       |lrcm AS MATERIALIZED (SELECT
+       |  sum(CASE WHEN yy = 1 AND prob >= 0.5 THEN 1 ELSE 0 END)
+       |    AS tp,
+       |  sum(CASE WHEN yy = 0 AND prob >= 0.5 THEN 1 ELSE 0 END)
+       |    AS fp,
+       |  sum(CASE WHEN yy = 0 AND prob < 0.5 THEN 1 ELSE 0 END)
+       |    AS tn,
+       |  sum(CASE WHEN yy = 1 AND prob < 0.5 THEN 1 ELSE 0 END)
+       |    AS fn FROM lr_p),
+       |lrgrp AS (SELECT prob, count(*) AS c, sum(yy) AS pos
+       |          FROM lr_p GROUP BY prob),
+       |lrcum AS (SELECT prob, c, pos, coalesce(sum(c) OVER (
+       |  ORDER BY prob ROWS BETWEEN UNBOUNDED PRECEDING
+       |  AND 1 PRECEDING), 0) AS lt FROM lrgrp),
+       |lrag AS (SELECT
+       |  sum(CAST(pos AS DOUBLE) *
+       |    (lt + (c + 1) / CAST(2.0 AS DOUBLE))) AS s,
+       |  sum(pos) AS np, sum(c) AS n FROM lrcum),
+       |lrauc AS MATERIALIZED (SELECT
+       |  CASE WHEN np = 0 OR np = n THEN CAST(NULL AS DOUBLE)
+       |  ELSE ${sig("(s - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE)" +
+            " + 1) / CAST(2.0 AS DOUBLE)) / (CAST(np AS DOUBLE) *" +
+            " CAST(n - np AS DOUBLE))")}
+       |  END AS auc FROM lrag)
        |${arms.mkString("\nUNION ALL\n")}
        |ORDER BY section, entity, metric""".stripMargin
   }

@@ -221,7 +221,8 @@ object HtmlReport {
     // convention: n_* and the is_hot flag.
     def fmt(metric: String, v: Double): String =
       if (metric.contains("share")) fmtPercent(v)
-      else if (metric.startsWith("n_") || metric == "is_hot")
+      else if (metric.startsWith("n_") || metric == "is_hot" ||
+        Set("tp", "fp", "tn", "fn")(metric))
         fmtNumber(v)
       else f"$v%.5g"
     val cards = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
