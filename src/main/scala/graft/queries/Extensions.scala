@@ -581,7 +581,9 @@ object Extensions {
     * (1 − d) subtraction mirrored as the same IEEE op the Spark
     * side's lit(1.0 − damping) performs. Top-20 cut on the
     * sig5-ROUNDED rank with node tie-break. */
-  val graphPagerankSql: String = {
+  /** The three-iteration chain (through CTE r3), shared by the
+    * top-20 query and the domain-mass composition. */
+  private[queries] val pageRankCtes: String = {
     def iter(k: Int): String =
       s"""r$k AS (SELECT n.node,
          |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n_nodes
@@ -591,7 +593,7 @@ object Extensions {
          |    SELECT dst AS node, sum(pr / od) AS in_pr
          |    FROM e JOIN r${k - 1} ON r${k - 1}.node = e.src
          |    GROUP BY dst) c ON c.node = n.node, nn)""".stripMargin
-    s"""WITH $linkEdgesCte,
+    s"""$linkEdgesCte,
        |outdeg AS (SELECT src, count(*) AS od FROM ed GROUP BY src),
        |e AS (SELECT ed.src, ed.dst, od FROM ed
        |      JOIN outdeg USING (src)),
@@ -602,7 +604,11 @@ object Extensions {
        |       FROM nodes, nn),
        |${iter(1)},
        |${iter(2)},
-       |${iter(3)}
+       |${iter(3)}""".stripMargin
+  }
+
+  val graphPagerankSql: String = {
+    s"""WITH $pageRankCtes
        |SELECT node, pr FROM (
        |  SELECT node, pr,
        |    row_number() OVER (ORDER BY pr DESC, node ASC) AS rn

@@ -50,6 +50,25 @@ object UrlQueries {
         gate = Some(graft.ops.QualityRules.Thresholds(30L, 90L, 3.8,
           5.0, 2L, 0.12)), lrIters = Some(5))
     }),
+    // PageRank mass rolled up to registrable domains — "which
+    // domains carry the link authority" (the per-domain rank a
+    // crawl curator caps/boosts by): the graph family composed with
+    // the URL fold, top-15 by sig5 rank mass with domain tie-break
+    "graph_domain_rank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pr = graft.ops.GraphOps.pageRank(
+        graft.ops.GraphOps.synthLinkGraph(docs, "doc_id"),
+        "src", "dst", iters = 3)
+      val dom = UrlOps.withDomain(UrlOps.synthUrl(docs, "doc_id"),
+          "url")
+        .select(col("doc_id").as("node"), col("domain"))
+      pr.join(dom, Seq("node"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_pages"),
+          Sig.sig5(sum("pr")).as("rank_mass"))
+        .orderBy(col("rank_mass").desc, col("domain").asc)
+        .limit(15)
+    }),
     // domain-mix drift between the even/odd doc slices: PSI + TVD
     // over the registrable-domain distribution — "did the crawl's
     // composition change" one level above the lang column
@@ -463,7 +482,24 @@ object UrlQueries {
        |ORDER BY section, entity, metric""".stripMargin
   }
 
+  /** PageRank chain (Extensions.pageRankCtes) composed with the URL
+    * fold: per-domain page count + sig5 rank mass, top-15. */
+  val graphDomainRankSql: String =
+    s"""WITH ${Extensions.pageRankCtes},
+       |$urlCte, $hostCte,
+       |prr AS (SELECT node, ${sig("pr")} AS pr FROM r3),
+       |dm AS (SELECT d.domain, prr.pr FROM prr
+       |       JOIN d ON d.doc_id = prr.node),
+       |ag AS (SELECT domain, count(*) AS n_pages,
+       |       ${sig("sum(pr)")} AS rank_mass FROM dm GROUP BY domain)
+       |SELECT domain, n_pages, rank_mass FROM (
+       |  SELECT domain, CAST(n_pages AS BIGINT) AS n_pages,
+       |    rank_mass, row_number() OVER (
+       |      ORDER BY rank_mass DESC, domain ASC) AS rn FROM ag)
+       |WHERE rn <= 15 ORDER BY rank_mass DESC, domain ASC""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "graph_domain_rank" -> graphDomainRankSql,
     "corpus_datasheet" -> corpusDatasheetSql,
     "drift_domains" -> driftDomainsSql,
     "text_quality_by_domain" -> textQualityByDomainSql,
