@@ -52,6 +52,11 @@ object GraphScaleSmoke {
       GraphOps.degreeStats(edges, "src", "dst").collect()
         .foreach(r => println(s"[graph-smoke] deg $r"))
     }
+    timed("hits 2 iterations (persisted edge list)") {
+      val top = GraphOps.hits(edges, "src", "dst", iters = 2,
+        topK = Some(10)).collect()
+      println(s"[graph-smoke] hits top = ${top.take(3).mkString(", ")}")
+    }
     spark.stop()
   }
 }

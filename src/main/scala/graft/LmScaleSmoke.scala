@@ -161,6 +161,12 @@ object LmScaleSmoke {
           .collect().foreach(r => println(s"[lm-smoke] auc $r"))
       }
     }
+    if (phases("tfidf")) timed("tfidf top-3 keywords per doc (one " +
+        "(doc,token) shuffle + O(vocab) df + per-doc rank windows)") {
+      val out = graft.ops.TextStats.tfidfTopK(corpus, "doc_id",
+        "text", k = 3)
+      println(s"[lm-smoke] tfidf rows = ${out.count()}")
+    }
     if (phases("buckets")) timed("ppl buckets (8-language sort-window " +
         "audit form)") {
       val b = Search.knPplBuckets(corpus, corpus, "doc_id", "text",

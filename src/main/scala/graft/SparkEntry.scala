@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.StoreQueries.queries ++
       graft.queries.CorpusQueries.queries ++
       graft.queries.UrlQueries.queries ++
-      graft.queries.ClassifierQueries.queries
+      graft.queries.ClassifierQueries.queries ++
+      graft.queries.UnigramQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracle ++ graft.queries.Extensions.oracle ++
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.StoreQueries.oracle ++
       graft.queries.CorpusQueries.oracle ++
       graft.queries.UrlQueries.oracle ++
-      graft.queries.ClassifierQueries.oracle
+      graft.queries.ClassifierQueries.oracle ++
+      graft.queries.UnigramQueries.oracle
 }
