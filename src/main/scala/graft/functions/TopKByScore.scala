@@ -104,4 +104,74 @@ object TopKByScore {
   def top_k(k: Int)(score: Column, id: Column): Column =
     udaf(new TopKByScore(k), ExpressionEncoder[(Double, Long)]())
       .apply(score, id)
+
+  /** String-id form: `top_k_str(score, key)` — same bounded heap,
+    * ties on ascending STRING key (lexicographic, the collation
+    * both engines share for ASCII keys). */
+  def top_k_str(k: Int)(score: Column, key: Column): Column =
+    udaf(new TopKByScoreStr(k), ExpressionEncoder[(Double, String)]())
+      .apply(score, key)
+}
+
+/** String-keyed twin of [[TopKByScore]] (ranked TEXT entries — the
+  * TF-IDF keyword head): identical bounded-heap algebra and
+  * determinism contract, with ties on ascending string key. Kept as
+  * a sibling rather than a type-parameterized base because the
+  * Aggregator's tuple encoders are resolved per concrete type at
+  * the udaf call. */
+class TopKByScoreStr(k: Int)
+    extends Aggregator[(Double, String), Array[(Double, String)],
+      Array[(Double, String)]] {
+  require(k > 0)
+
+  @inline private def lt(s1: Double, i1: String, s2: Double, i2: String)
+      : Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
+
+  override def zero: Array[(Double, String)] = Array.empty
+
+  override def reduce(buf: Array[(Double, String)],
+      e: (Double, String)): Array[(Double, String)] = {
+    var lo = 0; var hi = buf.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (lt(buf(mid)._1, buf(mid)._2, e._1, e._2)) lo = mid + 1
+      else hi = mid
+    }
+    if (buf.length >= k && lo >= k) buf
+    else {
+      val n = math.min(buf.length + 1, k)
+      val out = new Array[(Double, String)](n)
+      System.arraycopy(buf, 0, out, 0, lo)
+      out(lo) = e
+      System.arraycopy(buf, lo, out, lo + 1, n - lo - 1)
+      out
+    }
+  }
+
+  override def merge(a: Array[(Double, String)],
+      b: Array[(Double, String)]): Array[(Double, String)] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val out =
+      new Array[(Double, String)](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var o = 0
+    while (o < out.length) {
+      val takeA = j >= b.length || (i < a.length &&
+        !lt(b(j)._1, b(j)._2, a(i)._1, a(i)._2))
+      if (takeA) { out(o) = a(i); i += 1 } else { out(o) = b(j); j += 1 }
+      o += 1
+    }
+    out
+  }
+
+  override def finish(buf: Array[(Double, String)])
+      : Array[(Double, String)] = buf
+
+  override def bufferEncoder: Encoder[Array[(Double, String)]] =
+    ExpressionEncoder[Array[(Double, String)]]()
+  override def outputEncoder: Encoder[Array[(Double, String)]] =
+    ExpressionEncoder[Array[(Double, String)]]()
 }
