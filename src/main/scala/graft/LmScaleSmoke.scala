@@ -161,6 +161,18 @@ object LmScaleSmoke {
           .collect().foreach(r => println(s"[lm-smoke] auc $r"))
       }
     }
+    if (phases("unigram")) {
+      val vocab = timed("unigram hard-EM train (distinct-word DP)") {
+        val v = graft.ops.UnigramLm.train(corpus, "doc_id", "text")
+        println(s"[lm-smoke] unigram vocab = ${v.count()}")
+        v
+      }
+      timed("unigram encode stats (per-word pieces joined back)") {
+        println(s"[lm-smoke] encoded docs = " +
+          graft.ops.UnigramLm.encodeStats(corpus, "doc_id", "text",
+            vocab).count())
+      }
+    }
     if (phases("tfidf")) timed("tfidf top-3 keywords per doc (one " +
         "(doc,token) shuffle + O(vocab) df + per-doc rank windows)") {
       val out = graft.ops.TextStats.tfidfTopK(corpus, "doc_id",
