@@ -135,13 +135,20 @@ object UnigramLm {
         sig5(log(col("cnt").cast("double") / col("tot"))).as("logp"))
   }
 
-  /** One hard-EM step from the seed: the trained vocabulary. */
+  /** `iters` hard-EM steps from the seed: the trained vocabulary.
+    * Each round's vocabulary is MATERIALIZED (the iterative-
+    * algorithm lineage contract) — round k's DP otherwise replays
+    * every earlier round's segmentation inside its own plan. */
   def train(df: DataFrame, idCol: String, textCol: String,
-      minCount: Long = 2L): DataFrame = {
+      minCount: Long = 2L, iters: Int = 1): DataFrame = {
     val words = Materialize.materialize(
       wordCounts(df, idCol, textCol))
-    reestimate(segment(words, seedVocab(words, minCount)),
-      seedVocab(words, minCount))
+    val seed = seedVocab(words, minCount)
+    var vocab = seed
+    for (_ <- 1 to iters)
+      vocab = Materialize.materialize(
+        reestimate(segment(words, vocab), seed))
+    vocab
   }
 
   /** Per-document encoding stats under a trained vocabulary:

@@ -26,6 +26,11 @@ object UnigramQueries {
     "text_unigram_train" -> ((s, dir) =>
       UnigramLm.train(t(s, dir, "documents"), "doc_id", "text",
         MinCount).orderBy("piece")),
+    // the SECOND hard-EM step — the trajectory, not just one
+    // M-step, is oracle-pinned (the BPE-trainer replay standard)
+    "text_unigram_train2" -> ((s, dir) =>
+      UnigramLm.train(t(s, dir, "documents"), "doc_id", "text",
+        MinCount, iters = 2).orderBy("piece")),
     // per-doc encoding stats under the trained vocabulary —
     // tokenizer fertility, the number a pipeline owner compares
     // against the BPE twin before picking a tokenizer
@@ -98,35 +103,50 @@ object UnigramQueries {
       .mkString(",\n")
   }
 
-  /** M-step: counts from `${pfx}segs`, single chars floored at 1. */
-  private def emCtes(pfx: String): String =
-    s"""chr1 AS (SELECT piece FROM v0 WHERE length(piece) = 1),
-       |used AS (SELECT piece, sum(cnt) AS c FROM ${pfx}segs
+  /** M-step: counts from `${pfx}segs`, single chars (from the SEED
+    * vocabulary — the stable closure set) floored at 1; emits CTE
+    * `$out`. */
+  private def emCtes(pfx: String, out: String): String =
+    s"""${pfx}chr1 AS (SELECT piece FROM v0 WHERE length(piece) = 1),
+       |${pfx}used AS (SELECT piece, sum(cnt) AS c FROM ${pfx}segs
        |         GROUP BY piece),
-       |v2c AS (SELECT coalesce(u.piece, ch.piece) AS piece,
+       |${out}c AS (SELECT coalesce(u.piece, ch.piece) AS piece,
        |  CASE WHEN length(coalesce(u.piece, ch.piece)) = 1
        |    THEN greatest(coalesce(c, 0), 1) ELSE c END AS cnt
-       |  FROM used u FULL JOIN chr1 ch ON ch.piece = u.piece),
-       |v2t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM v2c),
-       |v2 AS MATERIALIZED (SELECT piece, cnt,
+       |  FROM ${pfx}used u FULL JOIN ${pfx}chr1 ch
+       |    ON ch.piece = u.piece),
+       |${out}t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot
+       |  FROM ${out}c),
+       |$out AS MATERIALIZED (SELECT piece, cnt,
        |  ${sig("ln(CAST(cnt AS DOUBLE) / tot)")} AS lp
-       |  FROM v2c, v2t)""".stripMargin
+       |  FROM ${out}c, ${out}t)""".stripMargin
 
   val textUnigramTrainSql: String =
     s"""WITH $wordsCte,
        |$spansCte,
        |$seedCtes,
        |${dpCtes("t_", "v0")},
-       |${emCtes("t_")}
+       |${emCtes("t_", "v2")}
        |SELECT piece, CAST(cnt AS BIGINT) AS cnt, lp AS logp
        |FROM v2 ORDER BY piece""".stripMargin
+
+  val textUnigramTrain2Sql: String =
+    s"""WITH $wordsCte,
+       |$spansCte,
+       |$seedCtes,
+       |${dpCtes("t_", "v0")},
+       |${emCtes("t_", "v2")},
+       |${dpCtes("u_", "v2")},
+       |${emCtes("u_", "v3")}
+       |SELECT piece, CAST(cnt AS BIGINT) AS cnt, lp AS logp
+       |FROM v3 ORDER BY piece""".stripMargin
 
   val textUnigramEncodeSql: String =
     s"""WITH $wordsCte,
        |$spansCte,
        |$seedCtes,
        |${dpCtes("t_", "v0")},
-       |${emCtes("t_")},
+       |${emCtes("t_", "v2")},
        |${dpCtes("e_", "v2")},
        |pw AS (SELECT word, count(*) AS np FROM e_segs
        |       GROUP BY word),
@@ -143,5 +163,6 @@ object UnigramQueries {
 
   val oracle: Map[String, String] = Map(
     "text_unigram_train" -> textUnigramTrainSql,
+    "text_unigram_train2" -> textUnigramTrain2Sql,
     "text_unigram_encode" -> textUnigramEncodeSql)
 }
