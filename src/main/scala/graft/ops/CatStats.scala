@@ -236,7 +236,7 @@ object CatStats {
     * re-aggregate — the col_distinct_mergeable contract), and point
     * lookups broadcast it. Hashes are the engine's portable 60-bit
     * md5 keys, so any engine rebuilds the identical sketch. */
-  private def cmBucket(v: Column, i: Column, w: Int): Column =
+  private[graft] def cmBucket(v: Column, i: Column, w: Int): Column =
     pmod(conv(substring(md5(concat(v, lit("|"), i.cast("string"))
       .cast("binary")), 1, 15), 16, 10).cast("long"), lit(w.toLong))
 

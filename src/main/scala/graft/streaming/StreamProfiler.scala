@@ -489,6 +489,31 @@ object StreamProfiler {
         col("n_bigrams"), col("nll"), col("ppl"))
   }
 
+  /** Streaming Count–Min: per event-time window, the d×w counter
+    * frame of `valCol` ([[graft.ops.CatStats.countMinSketch]]'s
+    * twin — same portable buckets, so window sketches ADD
+    * counter-wise with each other and with batch sketches, the
+    * mergeable contract). One stateful aggregation over the d-way
+    * exploded stream; state is O(open windows · d · w) regardless
+    * of stream rate. Emits (window_start, i, b, mc) on close. */
+  def windowedCountMin(events: DataFrame, valCol: String,
+      tsCol: String = "ts", watermark: String = "10 minutes",
+      windowLen: String = "1 hour", d: Int = 4, w: Int = 256)
+      : DataFrame = {
+    val withTs = events
+      .withColumn("__ts", eventTime(events, tsCol))
+      .select(col("__ts"), col(valCol).cast("string").as("v"))
+      .select(col("__ts"), col("v"),
+        explode(typedLit((0 until d).map(_.toLong).toList)).as("i"))
+    withTs
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowLen), col("i"),
+        graft.ops.CatStats.cmBucket(col("v"), col("i"), w).as("b"))
+      .agg(count(lit(1)).as("mc"))
+      .select(col("window.start").as("window_start"), col("i"),
+        col("b"), col("mc"))
+  }
+
   /** Streaming twin of the learned quality filter
     * ([[graft.ops.Classifier]]): per event-time window, the doc
     * count, mean model keep-probability, the share the model would

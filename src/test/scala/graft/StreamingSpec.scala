@@ -874,4 +874,34 @@ class StreamingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("persisted model features"))
   }
+
+  test("windowedCountMin emits the batch sketch's counters for the " +
+      "closed window (mergeable twin)") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TsDoc]
+    val q = StreamProfiler.windowedCountMin(mem.toDF(), "text",
+        d = 2, w = 8)
+      .writeStream.format("memory").queryName("wcm")
+      .outputMode("append").start()
+    try {
+      val vals = Seq("x", "x", "y", "z", "x")
+      mem.addData(vals.zipWithIndex.map { case (v, i) =>
+        TsDoc(t(5 + i), i.toLong, v) }: _*)
+      q.processAllAvailable()
+      mem.addData(TsDoc(t(2000), 99L, "q")) // close hour 0
+      q.processAllAvailable()
+      val out = sql.table("wcm")
+        .where(col("window_start") === new Timestamp(0L))
+        .select("i", "b", "mc").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val batch = graft.ops.CatStats.countMinSketch(
+          vals.toDF("text"), "text", d = 2, w = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(out == batch, s"stream $out != batch $batch")
+      // total mass per sketch row = events in the window
+      assert(out.collect { case ((0L, _), c) => c }.sum == 5L)
+    } finally q.stop()
+  }
 }
