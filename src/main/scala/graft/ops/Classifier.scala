@@ -189,6 +189,23 @@ object Classifier {
     scored(feats, train(feats, iters))
   }
 
+  /** The production keep-transform (the [[QualityRules]] filterDocs
+    * parity): rows of `df` whose model keep-probability clears
+    * `tau` under the frozen model `m` — ONE map-only pass (the
+    * featurizer + scorer fused), original columns preserved. Rows
+    * without a single token score no probability and are dropped
+    * (they fail the gate teacher too). */
+  def filterDocs(df: DataFrame, idCol: String, textCol: String,
+      th: QualityRules.Thresholds, m: LrModel,
+      tau: Double = 0.5): DataFrame = {
+    // every original column rides the carry lane — no join back
+    // against the input (a corpus-sized semi-join), no broadcast
+    val carry = df.columns.filterNot(_ == idCol).toSeq
+    scored(featurize(df, idCol, textCol, th, carry), m, carry)
+      .where(col("prob") >= tau)
+      .select(col("doc_id").as(idCol) +: carry.map(col): _*)
+  }
+
   /** Persist a trained model: one parquet row per weight index —
     * (j, feature, mu, sigma, weight, iters) with μ/σ NULL for the
     * bias. Train once on the corpus version, score every daily

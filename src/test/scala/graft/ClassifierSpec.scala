@@ -121,6 +121,27 @@ class ClassifierSpec extends SparkSpec {
     assert(r2.isNullAt(4) && r2.getDouble(5) == 0.0)
   }
 
+  test("filterDocs keeps exactly the above-threshold docs, " +
+      "preserves columns, and stays map-only") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "the cat sat on a mat", "web"),
+        (2L, "a b", "web"), (3L, "the a dog ate it", "book"))
+      .toDF("doc_id", "text", "source")
+    val feats = Classifier.featurize(docs, "doc_id", "text", th)
+    val m = Classifier.train(feats, iters = 3)
+    val kept = Classifier.filterDocs(docs, "doc_id", "text", th, m)
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "source"))
+    val keptIds = kept.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val expect = Classifier.scored(feats, m)
+      .where(col("prob") >= 0.5).collect().map(_.getLong(0)).toSet
+    assert(keptIds == expect, s"$keptIds != $expect")
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"filterDocs must be one map-only pass:\n$plan")
+  }
+
   test("featurizer and scorer are map-only; training aggregates " +
       "have no corpus-sized shuffle") {
     val s = spark
