@@ -133,4 +133,34 @@ object CorpusPipeline {
     Seq((corpus.count(), g.count(), l.count(), d.count(), c.count()))
       .toDF("n_corpus", "n_gate", "n_lm", "n_dedup", "n_clean")
   }
+
+  /** The MODEL-gated curation funnel — CCNet's actual architecture
+    * (the learned filter, not the rule gate, makes the keep call):
+    *
+    *   raw corpus → train the LR distillation of the rule gate on
+    *                the corpus itself ([[graft.ops.Classifier]]),
+    *                keep docs the MODEL keeps at `tau`
+    *              → near-dedup keep one → decontamination vs target
+    *
+    * Stage counts as one row; the training pass and every stage
+    * materialize once (the funnelCounts contract). */
+  def curateCounts(corpus: DataFrame, target: DataFrame,
+      idCol: String, textCol: String,
+      th: graft.ops.QualityRules.Thresholds,
+      iters: Int = 5, tau: Double = 0.5,
+      cfg: FunnelConfig = FunnelConfig()): DataFrame = {
+    val feats = Materialize.materialize(
+      graft.ops.Classifier.featurize(corpus, idCol, textCol, th))
+    val m = graft.ops.Classifier.train(feats, iters)
+    val g = graft.ops.Classifier
+      .filterDocs(corpus, idCol, textCol, th, m, tau)
+      .transform(Materialize.materialize)
+    val d = dedupKeepOne(g, idCol, textCol, cfg)
+      .transform(Materialize.materialize)
+    val c = decontaminated(d, target, idCol, textCol, cfg)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((corpus.count(), g.count(), d.count(), c.count()))
+      .toDF("n_corpus", "n_model", "n_dedup", "n_clean")
+  }
 }

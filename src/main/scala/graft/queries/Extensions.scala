@@ -38,6 +38,17 @@ object Extensions {
         "doc_id", "text", "lang",
         th = QualityRules.Thresholds(30L, 90L, 3.8, 5.0, 2L, 0.12))
     }),
+    // the MODEL-gated curation funnel (CCNet's actual architecture:
+    // the learned filter makes the keep call): train the LR
+    // distillation in-engine, model keep at tau=0.5 -> near-dedup ->
+    // decontamination; the oracle replays training AND all stages
+    "pipeline_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusPipeline.curateCounts(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", ClassifierQueries.Th)
+    }),
     // link-graph centrality over the deterministic synthesized crawl
     // graph: 3 power iterations of damped PageRank, top-20 on the
     // sig5-rounded rank with node tie-break
@@ -1001,7 +1012,52 @@ object Extensions {
        |coalesce(mcw, 0) = coalesce(mcm, 0) AS equal
        |FROM mw FULL JOIN mg USING (i, b) ORDER BY i, b""".stripMargin
 
+  /** The model-gated funnel replayed: the full LR training chain on
+    * the corpus slice, the tau keep, then the funnel oracle's own
+    * dedup-keep and decontamination fragments. */
+  val pipelineCurateSql: String =
+    s"""WITH RECURSIVE ${ClassifierQueries.scoredCteOn(
+          "(SELECT doc_id, text FROM documents WHERE source <> 'src0')",
+          "lr_")},
+       |corpus AS (SELECT doc_id, text FROM documents
+       |           WHERE source <> 'src0'),
+       |q AS (SELECT doc_id FROM lr_p WHERE prob >= 0.5),
+       |qd AS (SELECT c.doc_id, c.text FROM corpus c
+       |       JOIN q USING (doc_id)),
+       |${shingleCteSql("sh", "qd")},
+       |sz AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+       |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |       FROM sh a JOIN sh b ON a.shingle = b.shingle
+       |       AND a.id < b.id GROUP BY a.id, b.id),
+       |pairs AS (SELECT pr.id_a, pr.id_b
+       |  FROM pr JOIN sz sa ON sa.id = pr.id_a
+       |  JOIN sz sb ON sb.id = pr.id_b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+       |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |        UNION SELECT id_b, id_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+       |  UNION
+       |  SELECT e.a, r.b FROM und e JOIN reach r ON r.a = e.b),
+       |cl AS (SELECT a AS doc_id, min(b) AS cluster_id
+       |       FROM reach GROUP BY a),
+       |dd AS (SELECT * FROM qd WHERE doc_id NOT IN
+       |       (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)),
+       |${shingleCteSql("tr", "dd")},
+       |${shingleCteSql("ev",
+          "(SELECT doc_id, text FROM documents WHERE source = 'src0')")},
+       |contam AS (SELECT DISTINCT tr.id AS train_id
+       |  FROM ev JOIN tr ON tr.shingle = ev.shingle
+       |  GROUP BY ev.id, tr.id HAVING count(*) >= 5),
+       |final AS (SELECT doc_id FROM dd
+       |          WHERE doc_id NOT IN (SELECT train_id FROM contam))
+       |SELECT (SELECT count(*) FROM corpus) AS n_corpus,
+       |(SELECT count(*) FROM q) AS n_model,
+       |(SELECT count(*) FROM dd) AS n_dedup,
+       |(SELECT count(*) FROM final) AS n_clean""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "pipeline_curate" -> pipelineCurateSql,
     "cat_countmin_err" -> catCountminErrSql,
     "cat_countmin_mergeable" -> catCountminMergeableSql,
     "col_distinct_mergeable" -> colDistinctMergeableSql,
