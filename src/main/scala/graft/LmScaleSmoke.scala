@@ -161,6 +161,15 @@ object LmScaleSmoke {
           .collect().foreach(r => println(s"[lm-smoke] auc $r"))
       }
     }
+    if (phases("curate")) timed("model-gated curate funnel (train " +
+        "LR + model keep + near-dedup + decontamination)") {
+      val target = gen(spark.range(docs, docs + docs / 100).toDF("id"))
+      val counts = graft.pipeline.CorpusPipeline.curateCounts(
+        corpus, target, "doc_id", "text",
+        graft.ops.QualityRules.Thresholds(30L, 60L, 3.1, 3.4, 0L, 0.3),
+        cfg = graft.pipeline.CorpusPipeline.FunnelConfig(maxDf = 64L))
+      counts.collect().foreach(r => println(s"[lm-smoke] curate $r"))
+    }
     if (phases("unigram")) {
       val vocab = timed("unigram hard-EM train (distinct-word DP)") {
         val v = graft.ops.UnigramLm.train(corpus, "doc_id", "text")
