@@ -22,8 +22,8 @@ import graft.ops.{QualityRules, Search}
   * windows have real partitions.
   *
   * Usage: `graft.LmScaleSmoke [docs] [phases]`, phases CSV from
-  * `train,score,funnel,buckets,incremental,trigram,ccnet,lr`
-  * (default train,score,funnel,buckets). */
+  * `train,score,funnel,buckets,incremental,trigram,ccnet,lr,
+  * tfidf,unigram,curate` (default train,score,funnel,buckets). */
 object LmScaleSmoke {
   def main(args: Array[String]): Unit = {
     val docs = if (args.length > 0) args(0).toLong else 10000000L
@@ -143,9 +143,9 @@ object LmScaleSmoke {
       // band top at the corpus mwl MEDIAN (3.4) so labels split
       // ~50/50 on a linearly separable, one-sided signal
       val th = QualityRules.Thresholds(30L, 60L, 3.1, 3.4, 0L, 0.3)
-      // materialized ONCE (the trainScored contract): the collapsed
-      // scorer projection otherwise clones the token folds past
-      // Janino's method limit, and train + score reuse the pass
+      // materialized ONCE (the trainScored contract): moments +
+      // iterations + scorer are iters+3 passes that would otherwise
+      // each re-run the token folds
       val feats = timed("LR featurize (materialized feature frame)") {
         graft.ops.Materialize.materialize(
           graft.ops.Classifier.featurize(corpus, "doc_id", "text", th))
