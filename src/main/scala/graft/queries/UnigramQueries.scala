@@ -31,6 +31,31 @@ object UnigramQueries {
     "text_unigram_train2" -> ((s, dir) =>
       UnigramLm.train(t(s, dir, "documents"), "doc_id", "text",
         MinCount, iters = 2).orderBy("piece")),
+    // per-LANGUAGE fertility under the trained vocabulary — which
+    // languages the tokenizer serves worst (the SentencePiece
+    // fairness table); the encode stats rolled up by the lang column
+    "text_unigram_by_lang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val enc = UnigramLm.encodeStats(docs, "doc_id", "text",
+        UnigramLm.train(docs, "doc_id", "text", MinCount))
+      docs.select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("lang"))
+        .join(enc, Seq("doc_id"))
+        .groupBy("lang")
+        .agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.sum("n_words").cast("long")
+            .as("n_words"),
+          org.apache.spark.sql.functions.sum("n_pieces").cast("long")
+            .as("n_pieces"),
+          graft.det.Sig.sig5(
+            org.apache.spark.sql.functions.sum("n_pieces")
+              .cast("double") /
+            org.apache.spark.sql.functions.sum("n_words"))
+            .as("fertility"))
+        .orderBy("lang")
+    }),
     // per-doc encoding stats under the trained vocabulary —
     // tokenizer fertility, the number a pipeline owner compares
     // against the BPE twin before picking a tokenizer
@@ -161,8 +186,31 @@ object UnigramQueries {
        |${sig("CAST(npc AS DOUBLE) / nw")} AS fertility
        |FROM enc ORDER BY doc_id""".stripMargin
 
+  val textUnigramByLangSql: String =
+    s"""WITH $wordsCte,
+       |$spansCte,
+       |$seedCtes,
+       |${dpCtes("t_", "v0")},
+       |${emCtes("t_", "v2")},
+       |${dpCtes("e_", "v2")},
+       |pw AS (SELECT word, count(*) AS np FROM e_segs
+       |       GROUP BY word),
+       |dw AS (SELECT doc_id, w AS word FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents)
+       |  WHERE length(w) BETWEEN 1 AND $MaxL),
+       |enc AS (SELECT doc_id, count(*) AS nw, sum(np) AS npc
+       |        FROM dw JOIN pw USING (word) GROUP BY doc_id)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |CAST(sum(nw) AS BIGINT) AS n_words,
+       |CAST(sum(npc) AS BIGINT) AS n_pieces,
+       |${sig("CAST(sum(npc) AS DOUBLE) / sum(nw)")} AS fertility
+       |FROM enc JOIN documents USING (doc_id)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "text_unigram_train" -> textUnigramTrainSql,
+    "text_unigram_by_lang" -> textUnigramByLangSql,
     "text_unigram_train2" -> textUnigramTrain2Sql,
     "text_unigram_encode" -> textUnigramEncodeSql)
 }
