@@ -151,6 +151,30 @@ object UnigramLm {
     vocab
   }
 
+  /** The words a trained vocabulary serves WORST: per distinct
+    * multi-char word, pieces used, per-word fertility
+    * (pieces/chars — 1.0 = pure character fallback, the tokenizer's
+    * OOV diagnostic), ranked worst-first with (count desc, word
+    * asc) ties. Runs on the distinct-word frame like everything
+    * else here. */
+  def worstServed(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame, k: Int = 20): DataFrame = {
+    val words = Materialize.materialize(
+      wordCounts(df, idCol, textCol))
+    segment(words, vocab)
+      .groupBy("word", "cnt").agg(count(lit(1)).as("n_pieces"))
+      .where(length(col("word")) > 1)
+      .select(col("word"), col("cnt"), col("n_pieces"),
+        length(col("word")).cast("long").as("word_len"),
+        sig5(col("n_pieces").cast("double") / length(col("word")))
+          .as("fertility"),
+        (col("n_pieces") === length(col("word")))
+          .as("char_fallback"))
+      .orderBy(col("fertility").desc, col("cnt").desc,
+        col("word").asc)
+      .limit(k)
+  }
+
   /** Per-document encoding stats under a trained vocabulary:
     * (doc_id, n_words, n_pieces, fertility). The per-word piece
     * count is computed once on the distinct-word frame and joined

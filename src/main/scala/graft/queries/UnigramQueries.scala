@@ -31,6 +31,14 @@ object UnigramQueries {
     "text_unigram_train2" -> ((s, dir) =>
       UnigramLm.train(t(s, dir, "documents"), "doc_id", "text",
         MinCount, iters = 2).orderBy("piece")),
+    // the tokenizer's OOV diagnostic: multi-char words ranked by
+    // per-word fertility (1.0 = pure character fallback) — the
+    // worst-served-words table a tokenizer owner reads first
+    "text_unigram_oov" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      UnigramLm.worstServed(docs, "doc_id", "text",
+        UnigramLm.train(docs, "doc_id", "text", MinCount))
+    }),
     // per-LANGUAGE fertility under the trained vocabulary — which
     // languages the tokenizer serves worst (the SentencePiece
     // fairness table); the encode stats rolled up by the lang column
@@ -208,8 +216,33 @@ object UnigramQueries {
        |FROM enc JOIN documents USING (doc_id)
        |GROUP BY lang ORDER BY lang""".stripMargin
 
+  val textUnigramOovSql: String =
+    s"""WITH $wordsCte,
+       |$spansCte,
+       |$seedCtes,
+       |${dpCtes("t_", "v0")},
+       |${emCtes("t_", "v2")},
+       |${dpCtes("e_", "v2")},
+       |pw AS (SELECT s.word, max(w.cnt) AS cnt, count(*) AS np
+       |       FROM e_segs s JOIN wrds w ON w.word = s.word
+       |       WHERE length(s.word) > 1 GROUP BY s.word)
+       |SELECT word, cnt, n_pieces, word_len, fertility,
+       |  char_fallback FROM (
+       |  SELECT word, CAST(cnt AS BIGINT) AS cnt,
+       |    CAST(np AS BIGINT) AS n_pieces,
+       |    CAST(length(word) AS BIGINT) AS word_len,
+       |    ${sig("CAST(np AS DOUBLE) / length(word)")} AS fertility,
+       |    np = length(word) AS char_fallback,
+       |    row_number() OVER (ORDER BY
+       |      ${sig("CAST(np AS DOUBLE) / length(word)")} DESC,
+       |      cnt DESC, word ASC) AS rn
+       |  FROM pw)
+       |WHERE rn <= 20
+       |ORDER BY fertility DESC, cnt DESC, word ASC""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "text_unigram_train" -> textUnigramTrainSql,
+    "text_unigram_oov" -> textUnigramOovSql,
     "text_unigram_by_lang" -> textUnigramByLangSql,
     "text_unigram_train2" -> textUnigramTrain2Sql,
     "text_unigram_encode" -> textUnigramEncodeSql)
