@@ -45,6 +45,22 @@ class UnigramSpec extends SparkSpec {
     assert(enc(1L) == ((3L, 3L, 1.0)) && enc(2L) == ((3L, 3L, 1.0)))
   }
 
+  test("worstServed ranks character-fallback words first and " +
+      "computes per-word fertility") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "ab ab xy")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 1L, -1.0), ("b", 1L, -1.0),
+        ("x", 1L, -2.0), ("y", 1L, -2.0), ("ab", 2L, -0.5))
+      .toDF("piece", "cnt", "logp")
+    val rows = UnigramLm.worstServed(docs, "doc_id", "text", vocab)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getDouble(4), r.getBoolean(5)))
+    // xy: 2 pieces / 2 chars = 1.0 fallback; ab: 1/2 = 0.5
+    assert(rows.toSeq == Seq(("xy", 1L, 2L, 1.0, true),
+      ("ab", 2L, 1L, 0.5, false)), rows.toSeq)
+  }
+
   test("viterbi breaks score ties toward the smaller piece start") {
     val s = spark
     import s.implicits._
