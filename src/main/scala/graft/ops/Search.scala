@@ -202,9 +202,19 @@ object Search {
 
   /** Merge-on-read of the persisted delta counts → the full model. */
   def loadKn(spark: org.apache.spark.sql.SparkSession, path: String,
-      discount: Double = 0.75): KnLm =
-    knFromCounts(spark.read.parquet(s"$path/counts")
+      discount: Double = 0.75): KnLm = {
+    // Crash-recovery: if a compact died between its two renames,
+    // `counts` is missing but `counts_old` holds the full pre-compact
+    // delta set — read that instead (merge-on-read makes it valid).
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/counts")))
+        s"$path/counts"
+      else s"$path/counts_old"
+    knFromCounts(spark.read.parquet(dir)
       .groupBy("w1", "w2").agg(sum("c").as("c")), discount)
+  }
 
   def compactKnCounts(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
@@ -216,8 +226,15 @@ object Search {
       spark.sparkContext.hadoopConfiguration)
     val cur = new org.apache.hadoop.fs.Path(s"$path/counts")
     val old = new org.apache.hadoop.fs.Path(s"$path/counts_old")
-    fs.rename(cur, old)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), cur)
+    // Hadoop rename signals failure by RETURNING FALSE — check each
+    // step so a failed swap can't silently leave stale/duplicated
+    // counts behind; loadKn falls back to counts_old for the window
+    // between the two renames.
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(cur, old),
+      s"compactKnCounts: rename $cur -> $old failed")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), cur),
+      s"compactKnCounts: rename $tmp -> $cur failed")
     fs.delete(old, true)
   }
 
@@ -227,8 +244,12 @@ object Search {
     * streaming plan (the batch and streaming scorers share it). */
   def knScoreBigrams(pairs: DataFrame, lm: KnLm): DataFrame = {
     val d = lit(lm.discount)
-    val pcont = coalesce(col("n1b").cast("double"), lit(0.0)) /
-      col("bi_types")
+    // A training slice with no >=2-token docs gives bi_types = 0;
+    // guard the ratio (ANSI mode makes x/0 a DIVIDE_BY_ZERO crash,
+    // not NaN) and degrade to the probability floor instead.
+    val pcont = when(col("bi_types") > 0,
+      coalesce(col("n1b").cast("double"), lit(0.0)) /
+        col("bi_types")).otherwise(lit(0.0))
     val p = when(col("c1").isNotNull,
         (greatest(coalesce(col("c").cast("double"), lit(0.0)) - d,
           lit(0.0)) + d * col("n1f") * pcont) / col("c1"))

@@ -76,27 +76,36 @@ object UnigramLm {
   def segment(words: DataFrame, vocab: DataFrame): DataFrame = {
     val cands = spans(words)
       .join(broadcast(vocab.select(col("piece"), col("logp"))),
-        Seq("piece"))
+        Seq("piece"), "left")
       .groupBy("word", "cnt")
-      .agg(array_sort(collect_list(expr(
-        "named_struct('e', e, 's', s, 'lp', logp)"))).as("ps"))
+      .agg(array_sort(collect_list(when(col("logp").isNotNull, expr(
+        "named_struct('e', e, 's', s, 'lp', logp)")))).as("ps"))
     // acc(i+1) = named_struct(sc = best score to position i,
-    //            pv = chosen piece start). Single-char pieces are
-    // always in the vocabulary, so filter() is never empty.
+    //            pv = chosen piece start). When the vocabulary was
+    // trained on the same corpus every single char is a piece and
+    // filter() is never empty; with a PERSISTED vocab an unseen
+    // character would make it empty, so the DP falls back to a
+    // floored single-char OOV piece (logp = -100, far below any
+    // real ln-share) instead of crashing under ANSI element_at.
     val best = expr(s"""aggregate(
       sequence(1, length(word)),
       array(named_struct('sc', 0.0D, 'pv', -1)),
-      (acc, j) -> array_append(acc, named_struct(
-        'sc', -element_at(array_sort(transform(
-          filter(ps, p -> p.e = j),
-          p -> named_struct(
-            'nsc', -(element_at(acc, p.s + 1).sc + p.lp),
-            'pv', p.s))), 1).nsc,
-        'pv', element_at(array_sort(transform(
-          filter(ps, p -> p.e = j),
-          p -> named_struct(
-            'nsc', -(element_at(acc, p.s + 1).sc + p.lp),
-            'pv', p.s))), 1).pv)),
+      (acc, j) -> array_append(acc,
+        if(size(filter(ps, p -> p.e = j)) = 0,
+          named_struct(
+            'sc', element_at(acc, j).sc + -100.0D,
+            'pv', j - 1),
+          named_struct(
+            'sc', -element_at(array_sort(transform(
+              filter(ps, p -> p.e = j),
+              p -> named_struct(
+                'nsc', -(element_at(acc, p.s + 1).sc + p.lp),
+                'pv', p.s))), 1).nsc,
+            'pv', element_at(array_sort(transform(
+              filter(ps, p -> p.e = j),
+              p -> named_struct(
+                'nsc', -(element_at(acc, p.s + 1).sc + p.lp),
+                'pv', p.s))), 1).pv))),
       acc -> acc)""")
     val parts = expr(s"""reverse(aggregate(
       sequence(1, length(word)),

@@ -30,19 +30,22 @@ object DedupQueries {
         maxDf = Some(NgramMaxDf))),
     // PASSAGE-level near-dup (the RAG-corpus gate doc-level dedup
     // misses): the chunker's 64/48 windows near-dup'd by the exact
-    // n-gram machinery; chunk identity = doc_id·1000 + chunk_idx,
-    // decoded back in the output
+    // n-gram machinery; chunk identity = doc_id·1e9 + chunk_idx
+    // (wide enough that no realistic document — <~48M tokens at
+    // size=64/stride=48 — can alias across documents), decoded back
+    // in the output
     "chunk_dedup" -> ((s, dir) => {
       val ch = Chunking.chunkTokens(t(s, dir, "documents"), "doc_id",
           "text", size = 64, stride = 48)
-        .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
-          col("chunk_text"))
+        .select((col("doc_id") * 1000000000L + col("chunk_idx"))
+          .as("cid"), col("chunk_text"))
       Dedup.ngramJaccardPairs(ch, "cid", "chunk_text", n = 3,
           minJaccard = 0.8, maxDf = Some(NgramMaxDf))
-        .select(expr("id_a div 1000").as("doc_a"),
-          pmod(col("id_a"), lit(1000L)).as("chunk_a"),
-          expr("id_b div 1000").as("doc_b"),
-          pmod(col("id_b"), lit(1000L)).as("chunk_b"), col("jaccard"))
+        .select(expr("id_a div 1000000000").as("doc_a"),
+          pmod(col("id_a"), lit(1000000000L)).as("chunk_a"),
+          expr("id_b div 1000000000").as("doc_b"),
+          pmod(col("id_b"), lit(1000000000L)).as("chunk_b"),
+          col("jaccard"))
         .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
     }),
     // asymmetric containment reuse: Jaccard is structurally blind to
@@ -534,7 +537,7 @@ object DedupQueries {
     * bit-equal, no sig5. */
   val chunkDedupSql: String = {
     val chunkSrc =
-      """(SELECT doc_id * 1000 + chunk_idx AS doc_id,
+      """(SELECT doc_id * 1000000000 + chunk_idx AS doc_id,
         |  chunk_text AS text FROM (
         |  SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
         |    array_to_string(ts[start + 1 : start + 64], ' ')
@@ -554,8 +557,10 @@ object DedupQueries {
        |  FROM pr JOIN sz sa ON sa.id = pr.id_a
        |  JOIN sz sb ON sb.id = pr.id_b
        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8)
-       |SELECT id_a // 1000 AS doc_a, id_a % 1000 AS chunk_a,
-       |id_b // 1000 AS doc_b, id_b % 1000 AS chunk_b, jaccard
+       |SELECT id_a // 1000000000 AS doc_a,
+       |id_a % 1000000000 AS chunk_a,
+       |id_b // 1000000000 AS doc_b,
+       |id_b % 1000000000 AS chunk_b, jaccard
        |FROM pj ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin
   }
 

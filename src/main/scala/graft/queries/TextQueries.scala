@@ -960,7 +960,7 @@ object TextQueries {
       |    WHEN CAST(sl AS DOUBLE) / nt < 3.8
       |      OR CAST(sl AS DOUBLE) / nt > 5.0 THEN 2
       |    WHEN ns < 2 THEN 3
-      |    WHEN CAST(top_c AS DOUBLE) / nt > 0.12 THEN 4
+      |    WHEN CAST(coalesce(top_c, 0) AS DOUBLE) / nt > 0.12 THEN 4
       |    ELSE 5 END""".stripMargin
 
   /** Self-contained (doc_id, rule_idx) SUBQUERY form of the rule
@@ -975,7 +975,7 @@ object TextQueries {
        |    len(list_filter(t, x -> $f)) AS ns
        |   FROM (SELECT doc_id, string_split(text, ' ') AS t
        |         FROM $src)) e
-       | JOIN (SELECT doc_id, max(c) AS top_c FROM (
+       | LEFT JOIN (SELECT doc_id, max(c) AS top_c FROM (
        |    SELECT doc_id, w, count(*) AS c FROM (
        |      SELECT doc_id, unnest(string_split(text, ' ')) AS w
        |      FROM $src) GROUP BY doc_id, w)
@@ -1003,7 +1003,7 @@ object TextQueries {
        |  GROUP BY doc_id),
        |fi AS (SELECT e.doc_id,
        |  $ruleCaseSql AS rule_idx
-       |  FROM e JOIN ts USING (doc_id)),
+       |  FROM e LEFT JOIN ts USING (doc_id)),
        |c AS (SELECT rule_idx, count(*) AS n FROM fi GROUP BY rule_idx),
        |r(rule_idx, rule) AS (VALUES
        |  (0, 'too_few_tokens'), (1, 'too_many_tokens'),
@@ -1042,9 +1042,9 @@ object TextQueries {
        |    WHEN CAST(sl AS DOUBLE) / nt < 3.8
        |      OR CAST(sl AS DOUBLE) / nt > 5.0 THEN 2
        |    WHEN ns < 2 THEN 3
-       |    WHEN CAST(top_c AS DOUBLE) / nt > 0.12 THEN 4
+       |    WHEN CAST(coalesce(top_c, 0) AS DOUBLE) / nt > 0.12 THEN 4
        |    ELSE 5 END AS ri
-       |  FROM e JOIN ts USING (doc_id)),
+       |  FROM e LEFT JOIN ts USING (doc_id)),
        |cand(mt) AS (VALUES (10), (20), (30), (40), (50), (60))
        |SELECT CAST(mt AS BIGINT) AS min_tokens,
        |CAST(count(*) AS BIGINT) AS n_docs,
@@ -1073,7 +1073,7 @@ object TextQueries {
        |  GROUP BY doc_id),
        |fi AS (SELECT e.doc_id, e.source,
        |  $ruleCaseSql AS rule_idx
-       |  FROM e JOIN ts USING (doc_id)),
+       |  FROM e LEFT JOIN ts USING (doc_id)),
        |c AS (SELECT source, rule_idx, count(*) AS n FROM fi
        |      GROUP BY source, rule_idx),
        |r(rule_idx, rule) AS (VALUES

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 robustness pins (the advisor's findings): the unigram
+  * tokenizer's persisted-vocab OOV lifecycle, the KN count store's
+  * crash-recovery contract, and the degenerate-training-slice guard
+  * in KN scoring. */
+class Round13Spec extends SparkSpec {
+
+  test("segment() under a persisted vocab survives unseen characters" +
+      " via the floored single-char fallback") {
+    val s = spark
+    import s.implicits._
+    // vocab trained on a corpus whose alphabet is {a, b}
+    val trainDocs = Seq((1L, "ab ab b ab")).toDF("doc_id", "text")
+    val vocab = graft.ops.UnigramLm.train(trainDocs, "doc_id", "text",
+      minCount = 1L)
+    assert(!vocab.select("piece").as[String].collect().contains("x"))
+    // encode a DIFFERENT corpus: 'axb' has an unseen middle char,
+    // 'zz' is entirely unseen — the documented train-offline /
+    // encode-later lifecycle that used to crash under ANSI
+    val newDocs = Seq((10L, "axb ab zz")).toDF("doc_id", "text")
+    val words = graft.ops.UnigramLm.wordCounts(newDocs, "doc_id",
+      "text")
+    val segs = graft.ops.UnigramLm.segment(words, vocab)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(2), r.getString(3)))
+    // axb: no vocab piece ends at the 'x' position → single-char
+    // fallback there; 'a'/'b' are real pieces
+    assert(segs.filter(_._1 == "axb").sortBy(_._2).map(_._3).toSeq ==
+      Seq("a", "x", "b"))
+    // zz: EVERY position falls back (the word has no vocab spans at
+    // all — the left join keeps it with an empty candidate set)
+    assert(segs.filter(_._1 == "zz").sortBy(_._2).map(_._3).toSeq ==
+      Seq("z", "z"))
+    // the in-vocab word still segments normally
+    assert(segs.filter(_._1 == "ab").map(_._3).toSeq == Seq("ab"))
+    // and the document-level encoder runs end-to-end on it
+    val enc = graft.ops.UnigramLm.encodeStats(newDocs, "doc_id",
+        "text", vocab).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enc(10L) == ((3L, 6L))) // axb→3 + ab→1 + zz→2 pieces
+  }
+
+  test("loadKn falls back to counts_old when a compact crashed " +
+      "between its two renames") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b a c")).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("kn_crash").toString
+    graft.ops.Search.writeKnCounts(docs, "doc_id", "text", path)
+    val before = graft.ops.Search.loadKn(spark, path)
+      .big.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // simulate the crash window: counts has been renamed to
+    // counts_old but the compacted tmp dir was never moved in
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$path/counts"),
+      new org.apache.hadoop.fs.Path(s"$path/counts_old")))
+    val after = graft.ops.Search.loadKn(spark, path)
+      .big.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(after == before)
+  }
+
+  test("knScoreBigrams degrades to the probability floor when the " +
+      "training slice has no bigrams (bi_types = 0)") {
+    val s = spark
+    import s.implicits._
+    // only 1-token docs → empty bigram table, bi_types = 0
+    val train = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val lm = graft.ops.Search.knTrain(train, "doc_id", "text")
+    assert(lm.types.collect().head.getLong(0) == 0L)
+    val probe = Seq((10L, "a b c")).toDF("doc_id", "text")
+    val scored = graft.ops.Search.knScoreBigrams(
+        graft.ops.Search.bigramPairsCarry(probe, "doc_id", "text",
+          Nil), lm)
+      .select("nl").as[Double].collect()
+    // ANSI mode would have thrown DIVIDE_BY_ZERO here; instead every
+    // bigram lands on the 1e-10 floor
+    assert(scored.length == 2)
+    assert(scored.forall(v => math.abs(v - (-math.log(1e-10))) < 1e-6))
+  }
+}
