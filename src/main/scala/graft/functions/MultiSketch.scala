@@ -505,4 +505,25 @@ object MultiSketch {
     }
     (0 until bins).map(i => (i.toLong, cum(i + 1) - cum(i)))
   }
+
+  /** Quantile-value queries against a serialized GK summary — the
+    * profiler's no-extra-scan source of Spearman grid cuts (ps must
+    * be ascending; one monotone walk answers them all). Value error
+    * follows the GK rank guarantee: the returned element's true rank
+    * is within ε·n of the target. */
+  def gkQuantiles(bytes: Array[Byte], ps: Seq[Double]): Array[Double] = {
+    val gk = parseGk(bytes)
+    if (gk.count == 0L) return Array.empty
+    val out = new Array[Double](ps.size)
+    var i = 0
+    var j = 0
+    while (j < ps.size) {
+      val target = math.max(1L, math.ceil(ps(j) * gk.count).toLong)
+      while (i < gk.values.length - 1 &&
+          gk.rMin(i) + gk.delta(i) < target) i += 1
+      out(j) = gk.values(i)
+      j += 1
+    }
+    out
+  }
 }

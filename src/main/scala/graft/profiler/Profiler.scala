@@ -45,7 +45,18 @@ case class ProfilerConfig(
     catAssociations: Boolean = false,
     /** cap on cat-association pairs (k_cat²/2 grows fast); excess
       * pairs are dropped with a warning */
-    maxCatAssocPairs: Int = 15)
+    maxCatAssocPairs: Int = 15,
+    /** Spearman rank-correlation matrix beside Pearson (the
+      * pandas-profiling lineage shows both; monotonic association
+      * Pearson misses). The default path is the map-only GK-grid
+      * approximation ([[Stats.spearmanApprox]] — no global sort, no
+      * window, survives any corpus size; |error| < 0.05 per the
+      * corr_spearman_approx_err contract); `exactSpearman` switches
+      * to the window-sort exact form (audit scale only — k
+      * single-partition sorts). */
+    spearman: Boolean = true,
+    exactSpearman: Boolean = false,
+    spearmanGrid: Int = 1024)
 
 /** One column's profile (reference: one row of the `variables` frame in
   * base.py::describe's description set). */
@@ -84,7 +95,13 @@ case class TableProfile(
       * df.memory_usage; a distributed engine reports the plan
       * statistic instead of a driver-side materialization). 0 when
       * unavailable. */
-    sizeBytes: BigInt = BigInt(0))
+    sizeBytes: BigInt = BigInt(0),
+    /** upper-triangle Spearman rank-correlation matrix over the NUM
+      * columns (GK-grid approx path by default, exact under
+      * `cfg.exactSpearman`; empty when `cfg.spearman` is off or
+      * fewer than two numeric columns). Declared LAST so older
+      * positional constructions stay source-compatible. */
+    spearman: Seq[(String, String, Double)] = Seq.empty)
 
 /** The public profiling API (reference: `ProfileReport(df, …)`).
   *
@@ -202,8 +219,17 @@ object Profiler {
       }
 
     // ---- pass B: all quantiles in one agg ----
-    val qMap: Map[String, Seq[Double]] =
-      if (numCols.isEmpty) Map.empty
+    // The Spearman grid cuts ride in the SAME scan (one extra
+    // percentile_approx per numeric column — cheap next to the exact
+    // percentile buffers), so pass D2 only pays its rank/co-moment
+    // pass instead of a dedicated grid aggregation.
+    val withSpearmanGrid =
+      cfg.spearman && !cfg.exactSpearman && numCols.size >= 2
+    val gridPs: Seq[Double] =
+      (0 to cfg.spearmanGrid).map(_.toDouble / cfg.spearmanGrid)
+    val (qMap, spearmanCuts): (Map[String, Seq[Double]],
+        Map[String, Array[Double]]) =
+      if (numCols.isEmpty) (Map.empty, Map.empty)
       else {
         val arr = Stats.Ps.map(p => s"${p}D").mkString("array(", ", ", ")")
         val aggsB = numCols.map { c =>
@@ -216,7 +242,11 @@ object Profiler {
               s"percentile_approx(cast(`$c` as double), $arr, 10000)"
             else s"percentile(cast(`$c` as double), $arr)"
           expr(e).as(s"q__$c")
-        }
+        } ++
+          (if (!withSpearmanGrid) Nil
+           else numCols.map(c => percentile_approx(
+             col(c).cast("double"), typedLit(gridPs), lit(2500))
+             .as(s"sg__$c")))
         // chunked: each percentile agg buffers its column's values
         // (exact path) — bounding aggs-per-scan bounds that memory.
         // Chunks run as CONCURRENT jobs: a global exact percentile's
@@ -226,15 +256,20 @@ object Profiler {
         // profile_full 11.4 s → single digits at sf0.1).
         val b = Stats.chunkedAggPar(df, aggsB,
           chunk = math.max(1, (aggsB.size + 7) / 8))
-        numCols.map { c =>
-          val v = b(s"q__$c").asInstanceOf[scala.collection.Seq[Any]]
-          c -> (if (v == null) Seq.empty[Double]
-                else v.map(x => Option(x).map(_.asInstanceOf[Double])
-                  .getOrElse(Double.NaN)).toSeq)
-        }.toMap
+        def arrOf(key: String): Seq[Double] =
+          Option(b.getOrElse(key, null))
+            .map(_.asInstanceOf[scala.collection.Seq[Any]]
+              .map(x => Option(x).map(_.asInstanceOf[Double])
+                .getOrElse(Double.NaN)).toSeq)
+            .getOrElse(Seq.empty)
+        (numCols.map(c => c -> arrOf(s"q__$c")).toMap,
+         if (!withSpearmanGrid) Map.empty
+         else numCols.map(c => c -> arrOf(s"sg__$c").toArray).toMap)
       }
 
-    assemble(df, cfg, aMap, momentMap, qMap)
+    assemble(df, cfg, aMap, momentMap, qMap,
+      spearmanCutsOverride =
+        if (withSpearmanGrid) Some(spearmanCuts) else None)
   }
 
   /** Whole-table profile in ONE input scan for all scannable
@@ -250,7 +285,9 @@ object Profiler {
     * accuracy 10000 — the same class percentile_approx uses) and
     * exact elsewhere (counts, min/max/sum/zeros; moments exact up to
     * float summation order). The 100 TB default: one pass over the
-    * corpus instead of three. */
+    * corpus instead of three. (`cfg.spearman` — on by default — adds
+    * the shared rank-correlation passes on top, same as [[profile]];
+    * set it false for the strict single-scan form.) */
   def profileFused(df: DataFrame,
       cfg: ProfilerConfig = ProfilerConfig()): TableProfile = {
     import graft.functions.MultiSketch
@@ -353,8 +390,24 @@ object Profiler {
       if (!withCorr) Some(Map.empty)
       else Some(corrFromCmRow(
         m("__cm").asInstanceOf[org.apache.spark.sql.Row], numColsOrdered))
+    // Spearman grid cuts queried straight from the fused GK summaries
+    // — no extra scan for the grid; pass D2 then costs exactly one
+    // rank/co-moment pass on top of the single profile scan.
+    val spearmanCutsF: Option[Map[String, Array[Double]]] =
+      if (!cfg.spearman || cfg.exactSpearman ||
+          numColsOrdered.size < 2) None
+      else {
+        val ps = (0 to cfg.spearmanGrid)
+          .map(_.toDouble / cfg.spearmanGrid)
+        Some(numColsOrdered.flatMap { c =>
+          val gk = rowOf(c).getAs[Array[Byte]]("gk")
+          if (gk == null) None
+          else Some(c -> MultiSketch.gkQuantiles(gk, ps))
+        }.toMap)
+      }
     assemble(df, cfg, aMap, momentMap, qMap,
-      histOverride = Some(histOverride), corrOverride = corrOverride)
+      histOverride = Some(histOverride), corrOverride = corrOverride,
+      spearmanCutsOverride = spearmanCutsF)
   }
 
   /** ρ matrix from a collected [[graft.functions.CoMomentAgg]] struct,
@@ -398,7 +451,8 @@ object Profiler {
       momentMap: Map[String, Map[String, Double]],
       qMap: Map[String, Seq[Double]],
       histOverride: Option[Map[String, Seq[(Long, Long)]]] = None,
-      corrOverride: Option[Map[(String, String), Option[Double]]] = None)
+      corrOverride: Option[Map[(String, String), Option[Double]]] = None,
+      spearmanCutsOverride: Option[Map[String, Array[Double]]] = None)
       : TableProfile = {
     val allCols = df.columns.toSeq
     val numCols = Kinds.numericCols(df)
@@ -538,6 +592,55 @@ object Profiler {
           s"capped to ${catPairs.size}")
       else warnings0
 
+    // ---- pass D2: Spearman rank correlations (beside Pearson, the
+    // pandas-profiling-lineage pair of matrices). Approx GK-grid path
+    // by default, in the PROFILE-optimized shape: one chunked
+    // percentile agg for the per-column grids, then the map-only
+    // GridRank transform feeding the SAME single-pass streaming
+    // co-moment aggregate pass D uses — two extra scans total, no
+    // global sort anywhere. (Stats.spearmanApprox keeps the two-pass
+    // corrMatrix tail for oracle parity with corr_spearman_approx_err;
+    // values here land in the same sig5 buckets.) The exact window
+    // form only under cfg.exactSpearman — audit scale.
+    val spearmanM: Seq[(String, String, Double)] =
+      if (!cfg.spearman || numCols.size < 2) Seq.empty
+      else if (cfg.exactSpearman)
+        Stats.spearmanMatrix(df, numCols).collect().toSeq.flatMap { r =>
+          if (r.isNullAt(2)) None
+          else Some((r.getString(0), r.getString(1), r.getDouble(2)))
+        }.sortBy(t => (t._1, t._2))
+      else {
+        val clean = df.na.drop(numCols)
+        // grid cuts come FREE when the caller already scanned a
+        // quantile structure (pass B's fused grid agg, or the fused
+        // profile's GK summaries); only a standalone assemble pays
+        // its own chunked percentile agg here
+        val cutMap: Map[String, Array[Double]] =
+          spearmanCutsOverride.getOrElse {
+            val grid = cfg.spearmanGrid
+            val ps = (0 to grid).map(_.toDouble / grid)
+            val gridAggs = numCols.map(c => percentile_approx(
+              col(c).cast("double"), typedLit(ps), lit(2500)).as(c))
+            val cutRow = Stats.chunkedAgg(clean, gridAggs, 300)
+            numCols.map { c =>
+              c -> cutRow(c).asInstanceOf[scala.collection.Seq[Any]]
+                .map(_.asInstanceOf[Double]).toArray
+            }.toMap
+          }
+        val usable = numCols.filter(c =>
+          cutMap.get(c).exists(_.nonEmpty))
+        if (usable.size < 2) Seq.empty
+        else {
+          val ranked = clean.select(usable.map { c =>
+            graft.functions.GridRank.grid_rank(
+              col(c).cast("double"), cutMap(c)).as(c)
+          }: _*)
+          coMomentCorr(ranked, usable).toSeq.collect {
+            case ((a, b), Some(rho)) => (a, b, rho)
+          }.sortBy(t => (t._1, t._2))
+        }
+      }
+
     TableProfile(n, nvar, totalMissing,
       if (n == 0 || nvar == 0) 0.0
       else totalMissing.toDouble / (n.toDouble * nvar),
@@ -548,7 +651,8 @@ object Profiler {
       catAssociations = catAssoc,
       sizeBytes = scala.util.Try(
         df.queryExecution.optimizedPlan.stats.sizeInBytes)
-        .getOrElse(BigInt(0)))
+        .getOrElse(BigInt(0)),
+      spearman = spearmanM)
   }
 
   /** Full profile flattened to a tidy queryable DataFrame
@@ -590,7 +694,10 @@ object Profiler {
     val assocRows = p.catAssociations.map { case (a0, b, v) =>
       (a0, "cramers_v_vs", Some(v), Some(b))
     }
-    (tableRows ++ colRows ++ rejRows ++ assocRows)
+    val spearmanRows = p.spearman.map { case (a0, b, rho) =>
+      (a0, "spearman_vs", Some(rho), Some(b))
+    }
+    (tableRows ++ colRows ++ rejRows ++ assocRows ++ spearmanRows)
       .toDF("col_name", "metric", "value_num", "value_str")
   }
 
@@ -618,8 +725,12 @@ object Profiler {
       accuracy: Int = 10000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // spearman off: the contract has no spearman rows (the approx
+    // value is GK-merge-order dependent — its own error contract is
+    // corr_spearman_approx_err), so paying its passes twice here
+    // would be dead cost in the audit.
     val cfg = ProfilerConfig(exactQuantiles = true,
-      exactDistinct = true)
+      exactDistinct = true, spearman = false)
     val e = profile(df, cfg)
     val f = profileFused(df, cfg.copy(fused = true))
     val eCols = e.columns.map(c => c.name -> c).toMap

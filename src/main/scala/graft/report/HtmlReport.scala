@@ -318,6 +318,18 @@ object HtmlReport {
           "<tr>" + r.map(v => s"<td>${esc(v)}</td>").mkString + "</tr>")
         s"""<div class="card"><h2>Sample</h2><table class="freq">${rows.mkString}</table></div>"""
       }
+    val spearmanHtml =
+      if (p.spearman.isEmpty) ""
+      else {
+        val rows = p.spearman.map { case (a, b, rho) =>
+          s"<tr><td>${esc(a)}</td><td>${esc(b)}</td>" +
+            s"<td>${fmtNumber(rho)}</td></tr>"
+        }
+        s"""<div class="card"><h2>Spearman rank correlations
+           |(&rho;)</h2><table class="freq">
+           |<tr><th>column</th><th>column</th><th>&rho;</th></tr>
+           |${rows.mkString("\n")}</table></div>""".stripMargin
+      }
     val assocHtml =
       if (p.catAssociations.isEmpty) ""
       else {
@@ -357,6 +369,7 @@ object HtmlReport {
        |${domainSection(domains)}
        |${anomalySection(anomalies)}
        |${heatmapSection(heatmap, heatmapLabels._1, heatmapLabels._2)}
+       |$spearmanHtml
        |$assocHtml
        |${p.columns.map(columnCard).mkString("\n")}
        |$sampleHtml

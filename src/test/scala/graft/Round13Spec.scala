@@ -85,4 +85,60 @@ class Round13Spec extends SparkSpec {
     assert(scored.length == 2)
     assert(scored.forall(v => math.abs(v - (-math.log(1e-10))) < 1e-6))
   }
+
+  test("TableProfile.spearman: approx populated by default, exact " +
+      "under config, off when disabled") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.profiler.{Profiler, ProfilerConfig}
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("a", DoubleType),
+      StructField("b", DoubleType), StructField("k", StringType)))
+    // b = a^3 is a MONOTONIC but non-linear map: Spearman rho = 1
+    // exactly while Pearson stays visibly below it
+    val df = spark.createDataFrame(
+      (1 to 200).map(i => Row(i.toDouble, math.pow(i.toDouble, 3.0),
+        if (i % 2 == 0) "e" else "o")).asJava, schema)
+    val p = Profiler.profile(df,
+      ProfilerConfig(corrReject = 1.1)) // keep b un-rejected
+    assert(p.spearman.map(t => (t._1, t._2)) == Seq(("a", "b")))
+    // 200 distinct values across a 1024-point grid: approx rank is
+    // near-exact; rho within the documented 0.05 contract of 1.0
+    assert(math.abs(p.spearman.head._3 - 1.0) < 0.05)
+    val pearson = p.correlations.find(t => t._1 == "a" && t._2 == "b")
+      .map(_._3).get
+    assert(pearson < 0.96)
+    // exact path: average-rank Spearman is exactly 1 for a monotone map
+    val pe = Profiler.profile(df,
+      ProfilerConfig(corrReject = 1.1, exactSpearman = true))
+    assert(pe.spearman.head._3 == 1.0)
+    val off = Profiler.profile(df,
+      ProfilerConfig(corrReject = 1.1, spearman = false))
+    assert(off.spearman.isEmpty)
+    // tidy carries the matrix; html renders the section
+    val tidy = Profiler.profileTidy(df, ProfilerConfig(corrReject = 1.1))
+      .where(col("metric") === "spearman_vs").collect()
+    assert(tidy.length == 1 && tidy.head.getString(0) == "a" &&
+      tidy.head.getString(3) == "b")
+    val html = graft.report.HtmlReport.render(p)
+    assert(html.contains("Spearman rank correlations"))
+  }
+
+  test("fused profile honors cfg.spearman and matches the pass-based " +
+      "approx matrix on the same input") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.profiler.{Profiler, ProfilerConfig}
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("a", DoubleType),
+      StructField("b", DoubleType)))
+    val df = spark.createDataFrame(
+      (1 to 100).map(i => Row(i.toDouble, (101 - i).toDouble)).asJava,
+      schema)
+    val f = Profiler.profileFused(df, ProfilerConfig(corrReject = 1.1))
+    assert(f.spearman.map(t => (t._1, t._2)) == Seq(("a", "b")))
+    assert(math.abs(f.spearman.head._3 - (-1.0)) < 0.05)
+    assert(Profiler.profileFused(df,
+      ProfilerConfig(spearman = false)).spearman.isEmpty)
+  }
 }
