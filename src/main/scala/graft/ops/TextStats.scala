@@ -702,6 +702,13 @@ object TextStats {
           array_append(a.acc, named_struct('t', a.prev, 'c', a.run)),
           a.acc)),
       a -> a.acc)""")
+    // NOT persisted, deliberately (r13 measurement): tf feeds two
+    // consumers, but both exchange on `token` (dfreq's groupBy and
+    // the scoring join's shuffle side), so ReuseExchange already
+    // dedupes the fold+shuffle subplan — the "persist would halve"
+    // hypothesis was refuted at 10M docs: bare 183.9 s, Dataset
+    // cache 189.9 s (write cost eats the reuse), localCheckpoint
+    // 366.5 s (RDD-block materialization costs more than the fold).
     val tf = df
       .select(col(idCol).as("doc_id"),
         split(col(textCol), " ").as("w"))
