@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.CorpusQueries.queries ++
       graft.queries.UrlQueries.queries ++
       graft.queries.ClassifierQueries.queries ++
-      graft.queries.UnigramQueries.queries
+      graft.queries.UnigramQueries.queries ++
+      graft.queries.WordPieceQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracle ++ graft.queries.Extensions.oracle ++
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.CorpusQueries.oracle ++
       graft.queries.UrlQueries.oracle ++
       graft.queries.ClassifierQueries.oracle ++
-      graft.queries.UnigramQueries.oracle
+      graft.queries.UnigramQueries.oracle ++
+      graft.queries.WordPieceQueries.oracle
 }
