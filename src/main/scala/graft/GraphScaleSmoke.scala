@@ -57,6 +57,34 @@ object GraphScaleSmoke {
         topK = Some(10)).collect()
       println(s"[graph-smoke] hits top = ${top.take(3).mkString(", ")}")
     }
+    // ---- incremental phase: append a ~2% delta, then compare a
+    // 1-iteration WARM refresh from the persisted rank vector
+    // against a full cold rebuild — the append-vs-recompute decision
+    // for the persisted graph state (r13) ----
+    val store = "/tmp/graft_graph_store"
+    val day1 = edges.where(pmod(col("src"), lit(50L)) =!= 0L)
+    val day2 = edges.where(pmod(col("src"), lit(50L)) === 0L)
+    timed("incremental: write day-1 edges + cold ranks") {
+      GraphOps.writeEdges(day1, "src", "dst", store)
+      GraphOps.writeRanks(
+        GraphOps.pageRank(day1, "src", "dst", iters), store)
+    }
+    timed("incremental: append ~2% delta edges") {
+      GraphOps.appendEdges(day2, "src", "dst", store)
+    }
+    val warm = timed("incremental: 1-iteration warm refresh") {
+      GraphOps.pageRankIncremental(spark, store, iters = 1)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val cold = timed(s"incremental: full $iters-iteration rebuild") {
+      GraphOps.pageRank(GraphOps.loadEdges(spark, store),
+        "src", "dst", iters)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }
+    val l1 = warm.map { case (n, p) =>
+      math.abs(p - cold.getOrElse(n, 0.0)) }.sum
+    println(f"[graph-smoke] warm-vs-rebuild L1 distance = $l1%.6f " +
+      f"(mass 1.0) over ${warm.size} nodes")
     spark.stop()
   }
 }

@@ -60,6 +60,94 @@ object GraphOps {
     }
   }
 
+  /** Damped PageRank WARM-STARTED from a previous rank vector — the
+    * incremental form for daily crawl deltas: instead of re-iterating
+    * from uniform 1/N, start from yesterday's (sig5-canonical) ranks
+    * and run a SHORT refresh (1–2 iterations). Power iteration with
+    * damping contracts toward the stationary vector from ANY start,
+    * and yesterday's ranks are already near it, so the refresh buys
+    * most of a full rebuild's accuracy at a fraction of the joins
+    * (measured in GraphScaleSmoke / BASELINE.md r13). Nodes unseen by
+    * `ranks0` (the delta's new pages) start at uniform 1/N.
+    *
+    * Determinism contract: the handoff vector is the sig5-ROUNDED
+    * [[pageRank]] output (the sig5-shared-literal pattern — both
+    * engines warm-start from bitwise-identical doubles), so the
+    * refresh iterations replay exactly in the oracle's CTEs. */
+  def pageRankWarm(edges: DataFrame, srcCol: String, dstCol: String,
+      ranks0: DataFrame, iters: Int = 1, damping: Double = 0.85,
+      topK: Option[Int] = None): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val outdeg = e0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = e0.join(outdeg, Seq("src"))
+    val nodes = e0.select(col("src").as("node"))
+      .union(e0.select(col("dst").as("node"))).distinct()
+    val total = nodes.agg(count(lit(1)).as("n_nodes"))
+    var r = nodes
+      .join(ranks0.select(col("node"), col("pr").as("pr0")),
+        Seq("node"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("node"),
+        coalesce(col("pr0"), lit(1.0) / col("n_nodes")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(r, col("src") === col("node"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("outdeg")).as("in_pr"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("node"),
+          (lit(1.0 - damping) / col("n_nodes") +
+            lit(damping) * coalesce(col("in_pr"), lit(0.0))).as("pr"))
+    }
+    val out = r.select(col("node"), sig5(col("pr")).as("pr"))
+    topK match {
+      case Some(k) =>
+        out.orderBy(col("pr").desc, col("node").asc).limit(k)
+      case None => out.orderBy("node")
+    }
+  }
+
+  /** Persisted link-graph state — the graph member of the
+    * persisted-state family (dedup catalog, ANN index, profile
+    * store, KN counts): the edge list IS the model's sufficient
+    * statistic and merges by plain UNION, so a daily crawl appends
+    * its O(delta) edges and never rewrites the graph; the rank
+    * vector is a cached derived artifact the next refresh
+    * warm-starts from. Edges are written partitioned such that a
+    * cluster deployment would bucket on src (every refresh
+    * iteration's join is src-keyed). */
+  def writeEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      path: String): Unit =
+    edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .write.mode("overwrite").parquet(s"$path/edges")
+
+  def appendEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      path: String): Unit =
+    edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .write.mode("append").parquet(s"$path/edges")
+
+  def loadEdges(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/edges")
+
+  /** Persist a (node, pr) rank vector (the [[pageRank]] /
+    * [[pageRankWarm]] output — already sig5-canonical). */
+  def writeRanks(ranks: DataFrame, path: String): Unit =
+    ranks.select(col("node"), col("pr"))
+      .write.mode("overwrite").parquet(s"$path/ranks")
+
+  def loadRanks(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/ranks")
+
+  /** Refresh the persisted graph's ranks after [[appendEdges]]:
+    * warm-start from the stored vector over the merged edge list. */
+  def pageRankIncremental(spark: org.apache.spark.sql.SparkSession,
+      path: String, iters: Int = 1, damping: Double = 0.85,
+      topK: Option[Int] = None): DataFrame =
+    pageRankWarm(loadEdges(spark, path), "src", "dst",
+      loadRanks(spark, path), iters, damping, topK)
+
   /** HITS hubs/authorities (Kleinberg 1999) after a fixed number of
     * iterations — the complement of [[pageRank]] for crawl curation:
     * a directory page (high hub) is kept for link discovery, a

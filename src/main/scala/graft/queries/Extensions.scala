@@ -56,6 +56,21 @@ object Extensions {
       GraphOps.pageRank(
         GraphOps.synthLinkGraph(t(s, dir, "documents"), "doc_id"),
         "src", "dst", iters = 3, topK = Some(20))),
+    // INCREMENTAL PageRank (the persisted-state lifecycle's graph
+    // member): day-1 edges (src % 5 <> 0) ranked cold (3 iters),
+    // then the day-2 delta appended and the ranks REFRESHED by 2
+    // warm-start iterations from day-1's sig5-canonical vector —
+    // the oracle replays day-1's chain AND the warm refresh; the
+    // disk roundtrip (writeEdges/appendEdges/writeRanks) is pinned
+    // store ≡ frame in Round13Spec
+    "graph_pagerank_incremental" -> ((s, dir) => {
+      val edges = GraphOps.synthLinkGraph(
+        t(s, dir, "documents"), "doc_id")
+      val day1 = edges.where(pmod(col("src"), lit(5L)) =!= 0L)
+      val r1 = GraphOps.pageRank(day1, "src", "dst", iters = 3)
+      GraphOps.pageRankWarm(edges, "src", "dst", r1, iters = 2,
+        topK = Some(20))
+    }),
     // the shape check before any centrality run: power-of-two
     // in-degree histogram (exact binary-digit-count log2)
     "graph_degree_stats" -> ((s, dir) =>
@@ -627,6 +642,54 @@ object Extensions {
        |WHERE rn <= 20 ORDER BY pr DESC, node ASC""".stripMargin
   }
 
+  /** Incremental-PageRank oracle: day-1's three cold iterations over
+    * the src % 5 <> 0 subgraph, the handoff vector sig5-rounded (the
+    * Spark side's [[graft.ops.GraphOps.pageRank]] output rounding),
+    * then two warm iterations over the FULL graph with new nodes at
+    * uniform 1/N — every CTE the same IEEE shape as the cold chain. */
+  val graphPagerankIncrementalSql: String = {
+    def iter(out: String, in: String, eT: String, nT: String,
+        mT: String): String =
+      s"""$out AS (SELECT n.node,
+         |  (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / $mT.n_nodes
+         |    + CAST(0.85 AS DOUBLE) *
+         |      coalesce(c.in_pr, CAST(0.0 AS DOUBLE)) AS pr
+         |  FROM $nT n LEFT JOIN (
+         |    SELECT dst AS node, sum(pr / od) AS in_pr
+         |    FROM $eT JOIN $in ON $in.node = $eT.src
+         |    GROUP BY dst) c ON c.node = n.node, $mT)""".stripMargin
+    s"""WITH $linkEdgesCte,
+       |ed1 AS (SELECT src, dst FROM ed WHERE src % 5 <> 0),
+       |od1 AS (SELECT src, count(*) AS od FROM ed1 GROUP BY src),
+       |e1 AS (SELECT ed1.src, ed1.dst, od FROM ed1
+       |       JOIN od1 USING (src)),
+       |n1 AS (SELECT src AS node FROM ed1
+       |       UNION SELECT dst FROM ed1),
+       |m1 AS (SELECT count(*) AS n_nodes FROM n1),
+       |d0 AS (SELECT node, CAST(1.0 AS DOUBLE) / m1.n_nodes AS pr
+       |       FROM n1, m1),
+       |${iter("d1", "d0", "e1", "n1", "m1")},
+       |${iter("d2", "d1", "e1", "n1", "m1")},
+       |${iter("d3", "d2", "e1", "n1", "m1")},
+       |c1 AS (SELECT node, ${sig("pr")} AS pr FROM d3),
+       |outdeg AS (SELECT src, count(*) AS od FROM ed GROUP BY src),
+       |e AS (SELECT ed.src, ed.dst, od FROM ed
+       |      JOIN outdeg USING (src)),
+       |nodes AS (SELECT src AS node FROM ed
+       |          UNION SELECT dst FROM ed),
+       |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+       |w0 AS (SELECT n.node,
+       |  coalesce(c1.pr, CAST(1.0 AS DOUBLE) / nn.n_nodes) AS pr
+       |  FROM nodes n LEFT JOIN c1 ON c1.node = n.node, nn),
+       |${iter("w1", "w0", "e", "nodes", "nn")},
+       |${iter("w2", "w1", "e", "nodes", "nn")}
+       |SELECT node, pr FROM (
+       |  SELECT node, pr,
+       |    row_number() OVER (ORDER BY pr DESC, node ASC) AS rn
+       |  FROM (SELECT node, ${sig("pr")} AS pr FROM w2))
+       |WHERE rn <= 20 ORDER BY pr DESC, node ASC""".stripMargin
+  }
+
   /** h_k = A·a_{k−1} then a_k = Aᵀ·h_k replayed as chained CTEs;
     * all scores stay integer-valued doubles until the final L1
     * normalization, so only the last division needs sig5. */
@@ -1077,6 +1140,7 @@ object Extensions {
     "pipeline_funnel" -> pipelineFunnelSql,
     "pipeline_ccnet" -> pipelineCcnetSql,
     "graph_pagerank" -> graphPagerankSql,
+    "graph_pagerank_incremental" -> graphPagerankIncrementalSql,
     "graph_degree_stats" -> graphDegreeStatsSql,
     "graph_hits" -> graphHitsSql,
     "join_asof" -> joinAsofSql,

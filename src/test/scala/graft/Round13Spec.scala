@@ -86,6 +86,50 @@ class Round13Spec extends SparkSpec {
     assert(scored.forall(v => math.abs(v - (-math.log(1e-10))) < 1e-6))
   }
 
+  test("incremental PageRank: append == rebuild on the edge store, " +
+      "store-backed refresh == the frame form, and the warm start " +
+      "tracks the converged ranks closer than a cold restart") {
+    val s = spark
+    import s.implicits._
+    val day1 = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 1L), (2L, 3L))
+      .toDF("src", "dst")
+    val day2 = Seq((4L, 2L), (1L, 4L), (4L, 0L)).toDF("src", "dst")
+    val all = day1.unionByName(day2)
+    val path = java.nio.file.Files
+      .createTempDirectory("pr_store").toString
+    graft.ops.GraphOps.writeEdges(day1, "src", "dst", path)
+    val r1 = graft.ops.GraphOps.pageRank(day1, "src", "dst", iters = 3)
+    graft.ops.GraphOps.writeRanks(r1, path)
+    graft.ops.GraphOps.appendEdges(day2, "src", "dst", path)
+    // append == rebuild: the stored edge set is the union
+    val stored = graft.ops.GraphOps.loadEdges(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stored == all.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // store-backed refresh == frame-form warm start
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaStore = m(graft.ops.GraphOps.pageRankIncremental(
+      spark, path, iters = 2))
+    val viaFrame = m(graft.ops.GraphOps.pageRankWarm(
+      all, "src", "dst", r1, iters = 2))
+    assert(viaStore == viaFrame)
+    // warm start converges faster: after ONE refresh iteration the
+    // warm vector is closer (L1) to the near-converged 20-iteration
+    // ranks than one cold iteration from uniform is
+    val ref = m(graft.ops.GraphOps.pageRank(all, "src", "dst",
+      iters = 20))
+    def l1(a: Map[Long, Double]) =
+      ref.map { case (n, p) => math.abs(a(n) - p) }.sum
+    val warm1 = m(graft.ops.GraphOps.pageRankWarm(all, "src", "dst",
+      m(graft.ops.GraphOps.pageRank(all, "src", "dst", iters = 3))
+        .toSeq.toDF("node", "pr"), iters = 1))
+    val cold1 = m(graft.ops.GraphOps.pageRank(all, "src", "dst",
+      iters = 1))
+    assert(l1(warm1) < l1(cold1),
+      s"warm ${l1(warm1)} !< cold ${l1(cold1)}")
+  }
+
   test("TableProfile.spearman: approx populated by default, exact " +
       "under config, off when disabled") {
     import org.apache.spark.sql.Row
