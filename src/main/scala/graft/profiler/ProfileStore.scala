@@ -43,11 +43,32 @@ object ProfileStore {
     * v3: one `__corr__` row per snapshot carries the serialized
     * [[graft.functions.CoMomentBuf]] (all-pairs streaming
     * co-moments over the SORTED numeric columns), so the Pearson
-    * matrix too is answerable from state with no rescan. */
-  val FormatVersion = 3
+    * matrix too is answerable from state with no rescan.
+    * v4: one `__spear__` row per snapshot carries a second co-moment
+    * buffer over GRID-RANK-transformed numeric values, so the
+    * SPEARMAN matrix is answerable from state too. Rank co-moments
+    * cannot be derived from per-column state after the fact (they
+    * need the joint pass), and each snapshot must rank against the
+    * SAME transform for the buffers to merge exactly — so the store
+    * FREEZES its rank grid at creation (`spearman_grid/`, the
+    * AnnIndex frozen-index contract): later batches probe the stored
+    * cuts map-only in the same single aggregation pass. The grid
+    * approximates the creation batch's CDF; the documented 0.05
+    * error contract therefore holds while the marginals stay near
+    * that reference — exactly the condition the store's own drift
+    * report monitors — and compaction is the natural point to
+    * re-freeze if drift is detected. */
+  val FormatVersion = 4
 
   /** Reserved snapshot row name for the co-moment state. */
   val CorrRow = "__corr__"
+
+  /** Reserved snapshot row name for the rank co-moment state. */
+  val SpearRow = "__spear__"
+
+  /** Rank-grid resolution frozen at store creation: 1/256 rank
+    * granularity is ~20× finer than the 0.05 Spearman contract. */
+  val SpearGrid = 256
 
   /** Store defaults: KMV k as the fused profiler uses, but GK
     * accuracy 1000 (ε=1e-3), NOT the profiler's scan-time 10000 —
@@ -74,7 +95,9 @@ object ProfileStore {
     * (n + counters) IS the buffer state, so it persists as plain
     * parquet columns and merges with the PODS-2012 rule. */
   def snapshotState(df: DataFrame, k: Int = DefaultK,
-      accuracy: Int = DefaultAccuracy): DataFrame = {
+      accuracy: Int = DefaultAccuracy,
+      spearCuts: Option[Map[String, Array[Double]]] = None)
+      : DataFrame = {
     val spark = df.sparkSession
     val cols = df.columns.toSeq
     val numSet = Kinds.numericCols(df).toSet
@@ -101,6 +124,11 @@ object ProfileStore {
     // agree across every snapshot of a store
     val corrCols = cols.filter(numSet).sorted
     val withCorr = corrCols.size >= 2
+    // rank co-moments ride the SAME aggregation pass: the frozen
+    // grid cuts are expression-local literals, so the rank transform
+    // is map-only (GridRank binary search) under the agg
+    val withSpear = withCorr && spearCuts.exists(m =>
+      corrCols.forall(m.contains))
     val aggs = (count(lit(1)).as("__n") +: cols.map(c =>
       MultiSketch.state(col(s"v__$c"), col(s"h__$c"), k, accuracy)
         .as(s"st__$c"))) ++
@@ -111,6 +139,12 @@ object ProfileStore {
         Seq(graft.functions.CoMoment.sketch(
           array(corrCols.map(c => col(s"v__$c")): _*), corrCols.size)
           .as("__cm"))
+      else Nil) ++
+      (if (withSpear)
+        Seq(graft.functions.CoMoment.sketch(
+          array(corrCols.map(c => graft.functions.GridRank.grid_rank(
+            col(s"v__$c"), spearCuts.get(c))): _*), corrCols.size)
+          .as("__sm"))
       else Nil)
     val row = proj.agg(aggs.head, aggs.tail: _*).first()
     val nRows = row.getLong(0)
@@ -136,6 +170,16 @@ object ProfileStore {
       cm.zipWithIndex.foreach { case (v, i) => buf.c(i) = v }
       Seq(Row(CorrRow, "corr", nRows,
         graft.functions.CoMoment.serializeBuf(buf), null, null))
+    } else Nil) ++ (if (withSpear) {
+      val s = row.getAs[Row]("__sm")
+      val buf = new graft.functions.CoMomentBuf(corrCols.size)
+      buf.n = s.getAs[Long]("n")
+      val means = s.getAs[scala.collection.Seq[Double]]("means")
+      val cm = s.getAs[scala.collection.Seq[Double]]("cm")
+      means.zipWithIndex.foreach { case (v, i) => buf.mean(i) = v }
+      cm.zipWithIndex.foreach { case (v, i) => buf.c(i) = v }
+      Seq(Row(SpearRow, "spear", nRows,
+        graft.functions.CoMoment.serializeBuf(buf), null, null))
     } else Nil)
     spark.createDataFrame(
       spark.sparkContext.parallelize(out, 1),
@@ -149,11 +193,54 @@ object ProfileStore {
           MapType(StringType, LongType), nullable = true))))
   }
 
-  /** Create a store at `path` from the first batch. Overwrites. */
+  /** The store's frozen Spearman rank grid, computed from a batch:
+    * per sorted numeric column, SpearGrid+1 approximate quantile
+    * cuts. Empty map when fewer than two numeric columns. */
+  def spearmanGridFromBatch(df: DataFrame)
+      : Map[String, Array[Double]] = {
+    val numCols = Kinds.numericCols(df).sorted
+    if (numCols.size < 2) return Map.empty
+    val ps = (0 to SpearGrid).map(_.toDouble / SpearGrid)
+    val aggs = numCols.map(c => percentile_approx(
+      col(c).cast("double"), typedLit(ps), lit(2500)).as(c))
+    val row = Stats.chunkedAgg(df, aggs, 300)
+    numCols.flatMap { c =>
+      Option(row(c)).map(v =>
+        c -> v.asInstanceOf[scala.collection.Seq[Any]]
+          .flatMap(x => Option(x).map(_.asInstanceOf[Double]))
+          .toArray)
+    }.toMap.filter(_._2.nonEmpty)
+  }
+
+  /** The persisted frozen grid, if the store carries one. */
+  def loadSpearmanGrid(spark: SparkSession, path: String)
+      : Option[Map[String, Array[Double]]] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$path/spearman_grid")
+    if (!fs.exists(p)) return None
+    Some(spark.read.parquet(s"$path/spearman_grid").collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[Double](1).toArray).toMap)
+  }
+
+  /** Create a store at `path` from the first batch. Overwrites.
+    * Freezes the Spearman rank grid from this batch (one extra
+    * chunked percentile aggregation — creation only; appends rank
+    * against the stored cuts inside their single state pass). */
   def writeSnapshot(df: DataFrame, path: String, snapshotId: String,
       k: Int = DefaultK, accuracy: Int = DefaultAccuracy): Unit = {
     val spark = df.sparkSession
-    snapshotState(df, k, accuracy)
+    import spark.implicits._
+    val grid = spearmanGridFromBatch(df)
+    if (grid.nonEmpty)
+      grid.toSeq.sortBy(_._1).map { case (c, cuts) =>
+        (c, cuts.toSeq) }
+        .toDF("col_name", "cuts")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/spearman_grid")
+    snapshotState(df, k, accuracy,
+        if (grid.isEmpty) None else Some(grid))
       .withColumn("snapshot_id", lit(snapshotId))
       .coalesce(1)
       .write.mode("overwrite").partitionBy("snapshot_id")
@@ -187,14 +274,17 @@ object ProfileStore {
     require(!storedIds.contains(snapshotId),
       s"snapshot_id '$snapshotId' already present in $path")
     val storedCols = existing.select("col_name", "kind").distinct()
-      .where(col("col_name") =!= CorrRow)
+      .where(col("col_name") =!= CorrRow &&
+        col("col_name") =!= SpearRow)
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     val batchCols = df.columns.toSet
     require(batchCols == storedCols.keySet,
       s"batch columns $batchCols do not match stored profile " +
         s"columns ${storedCols.keySet}")
-    val snap = snapshotState(df, k, accuracy)
-    snap.collect().filter(_.getString(0) != CorrRow).foreach { r =>
+    val snap = snapshotState(df, k, accuracy,
+      loadSpearmanGrid(spark, path))
+    snap.collect().filter(r => r.getString(0) != CorrRow &&
+        r.getString(0) != SpearRow).foreach { r =>
       val c = r.getString(0)
       require(r.getString(1) == storedCols(c),
         s"column $c: batch kind ${r.getString(1)} vs stored " +
@@ -227,7 +317,8 @@ object ProfileStore {
     // the fixed order keeps runs reproducible)
     val rows = st.select("col_name", "kind", "n_rows", "state",
         "snapshot_id", "mg_n", "mg_items")
-      .where(col("col_name") =!= CorrRow)
+      .where(col("col_name") =!= CorrRow &&
+        col("col_name") =!= SpearRow)
       .collect().sortBy(r => (r.getString(0), r.getString(4)))
     require(rows.nonEmpty, s"no snapshots selected at $path")
     rows.groupBy(_.getString(0)).map { case (c, rs) =>
@@ -324,12 +415,15 @@ object ProfileStore {
     require(!(allIds -- ids.toSet).contains(newId),
       s"compacted id '$newId' collides with a kept snapshot")
     val merged = mergedBuffers(spark, path, Some(ids))
-    // co-moment state for the selected ids, merged in sorted-id order
-    val corrRows = st
-      .where(col("col_name") === CorrRow &&
+    // co-moment state (raw + rank) for the selected ids, merged in
+    // sorted-id order
+    def specialRows(name: String) = st
+      .where(col("col_name") === name &&
         col("snapshot_id").isin(ids: _*))
       .select("state", "snapshot_id", "n_rows")
       .collect().sortBy(_.getString(1))
+    val corrRows = specialRows(CorrRow)
+    val spearRows = specialRows(SpearRow)
     val nTotal = merged.values.map(_._2).max
     val compacted = merged.toSeq.sortBy(_._1).map {
       case (c, (kind, n, buf, mg)) =>
@@ -338,17 +432,21 @@ object ProfileStore {
           case None => (null, null)
         }
         Row(c, kind, n, MultiSketch.serializeBuf(buf), mgN, mgItems)
-    } ++ (if (corrRows.nonEmpty) {
-      val kk = {
-        val numCols = merged.count(_._2._1 == "num")
-        numCols
-      }
-      val mergedCm = corrRows.map(r => graft.functions.CoMoment
-          .deserializeBuf(r.getAs[Array[Byte]](0), kk))
-        .reduceLeft(_.mergeIn(_))
-      Seq(Row(CorrRow, "corr", nTotal,
-        graft.functions.CoMoment.serializeBuf(mergedCm), null, null))
-    } else Nil)
+    } ++ {
+      val kk = merged.count(_._2._1 == "num")
+      def foldSpecial(rows: Array[Row], name: String, kind: String) =
+        if (rows.isEmpty) Nil
+        else {
+          val mergedCm = rows.map(r => graft.functions.CoMoment
+              .deserializeBuf(r.getAs[Array[Byte]](0), kk))
+            .reduceLeft(_.mergeIn(_))
+          Seq(Row(name, kind, nTotal,
+            graft.functions.CoMoment.serializeBuf(mergedCm),
+            null, null))
+        }
+      foldSpecial(corrRows, CorrRow, "corr") ++
+        foldSpecial(spearRows, SpearRow, "spear")
+    }
     val keep = st.where(!col("snapshot_id").isin(ids: _*))
       .select("col_name", "kind", "n_rows", "state", "mg_n",
         "mg_items", "snapshot_id")
@@ -386,12 +484,32 @@ object ProfileStore {
     * fewer than two numeric columns. */
   def mergedCorrelations(spark: SparkSession, path: String,
       snapshotIds: Option[Seq[String]] = None)
+      : Seq[(String, String, Double)] =
+    mergedCoMomentCorr(spark, path, CorrRow, snapshotIds)
+
+  /** Merged SPEARMAN matrix from persisted rank co-moment state
+    * (v4): the same merge + corr arithmetic as
+    * [[mergedCorrelations]], over the grid-rank-transformed buffers
+    * — every snapshot ranked against the store's frozen grid, so
+    * buffers merge exactly. Accuracy contract: matches the scan-side
+    * [[Stats.spearmanApprox]] within the documented 0.05 bound while
+    * the data's marginals stay near the grid's reference batch
+    * (unit-pinned store-vs-scan in ProfileStoreSpec/Round13Spec).
+    * Empty when the store predates v4's grid or has < 2 numeric
+    * columns. */
+  def mergedSpearmanApprox(spark: SparkSession, path: String,
+      snapshotIds: Option[Seq[String]] = None)
+      : Seq[(String, String, Double)] =
+    mergedCoMomentCorr(spark, path, SpearRow, snapshotIds)
+
+  private def mergedCoMomentCorr(spark: SparkSession, path: String,
+      rowName: String, snapshotIds: Option[Seq[String]])
       : Seq[(String, String, Double)] = {
     val (version, _, _) = readMeta(spark, path)
     require(version == FormatVersion,
       s"profile store at $path has format v$version")
     val st0 = spark.read.parquet(s"$path/state")
-      .where(col("col_name") === CorrRow)
+      .where(col("col_name") === rowName)
     val st = snapshotIds match {
       case None => st0
       case Some(ids) => st0.where(col("snapshot_id").isin(ids: _*))
@@ -502,7 +620,8 @@ object ProfileStore {
         if (nRows == 0 || columns.isEmpty) 0.0
         else totalMissing.toDouble / (nRows.toDouble * columns.size),
       columns = columns, rejected = Seq.empty, warnings = warnings,
-      correlations = mergedCorrelations(spark, path, snapshotIds))
+      correlations = mergedCorrelations(spark, path, snapshotIds),
+      spearman = mergedSpearmanApprox(spark, path, snapshotIds))
   }
 
   /** Standalone HTML report from the store (no data rescan). */

@@ -86,6 +86,58 @@ class Round13Spec extends SparkSpec {
     assert(scored.forall(v => math.abs(v - (-math.log(1e-10))) < 1e-6))
   }
 
+  test("ProfileStore v4: merged Spearman from rank co-moment state " +
+      "matches the scan-side approx and the exact matrix within " +
+      "the 0.05 contract, and survives compaction") {
+    val s = spark
+    import s.implicits._
+    import graft.profiler.{ProfileStore, Stats}
+    // b = a^3 monotone (rho = 1), c anti-monotone in a (rho = -1),
+    // split into three "ingest days" by id stripe
+    val base = (1 to 900).map { i =>
+      (i.toLong, i.toDouble, math.pow(i.toDouble, 3.0),
+        (901 - i).toDouble)
+    }.toDF("id", "a", "b", "c")
+    val path = java.nio.file.Files
+      .createTempDirectory("spear_store").toString
+    ProfileStore.writeSnapshot(
+      base.where(col("id") % 3 === 0).drop("id"), path, "d0")
+    ProfileStore.appendSnapshot(
+      base.where(col("id") % 3 === 1).drop("id"), path, "d1")
+    ProfileStore.appendSnapshot(
+      base.where(col("id") % 3 === 2).drop("id"), path, "d2")
+    val st = ProfileStore.mergedSpearmanApprox(spark, path)
+      .map { case (x, y, r) => (x, y) -> r }.toMap
+    assert(st.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // exact Spearman on the union: 1, -1, -1
+    val ex = Stats.spearmanMatrix(base.drop("id"),
+        Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    st.foreach { case (k, v) =>
+      assert(math.abs(v - ex(k)) < 0.05,
+        s"store $k -> $v vs exact ${ex(k)}")
+    }
+    // scan-side approx on the union agrees within the same contract
+    val ap = Stats.spearmanApprox(base.drop("id"),
+        Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    st.foreach { case (k, v) =>
+      assert(math.abs(v - ap(k)) < 0.05) }
+    // the store-rendered TableProfile surfaces the matrix
+    assert(ProfileStore.storeProfile(spark, path)
+      .spearman.map(t => (t._1, t._2)).toSet == st.keySet)
+    // compaction folds the rank state too (exact merge — values
+    // unchanged up to merge-order float noise inside sig5)
+    ProfileStore.compactSnapshots(spark, path, Seq("d0", "d1"), "m01")
+    val stC = ProfileStore.mergedSpearmanApprox(spark, path)
+      .map { case (x, y, r) => (x, y) -> r }.toMap
+    assert(stC.keySet == st.keySet)
+    stC.foreach { case (k, v) =>
+      assert(math.abs(v - st(k)) < 1e-3, s"compaction moved $k") }
+  }
+
   test("incremental PageRank: append == rebuild on the edge store, " +
       "store-backed refresh == the frame form, and the warm start " +
       "tracks the converged ranks closer than a cold restart") {
