@@ -1,0 +1,596 @@
+package graft.ops
+
+import java.io.ByteArrayOutputStream
+
+/** Baseline-sequential JPEG (ITU-T T.81 / JFIF) pixel codec — pure
+  * public-format byte arithmetic, no codec libraries, closing the one
+  * loudly-accounted hole in the multimodal chain (real crawls are
+  * majority-JPEG; the header-only parse lived in
+  * [[Multimodal.decode]]).
+  *
+  * Decoder scope (everything else degrades to None, never throws —
+  * one corrupt blob cannot kill a 100 TB scan):
+  *   - baseline DCT (SOF0), 8-bit precision, 1 (grey) or 3 (YCbCr)
+  *     components, sampling factors 1..4, 8-bit DQT tables, DRI/RSTn
+  *     restart intervals, 0xFF00 byte stuffing.
+  *   - progressive (SOF2) and the other SOF variants are REJECTED and
+  *     show up as skips in [[Multimodal.decodeAudit]] — accounted, not
+  *     silent.
+  *
+  * Exactness contract the fixture arm builds on: a block whose only
+  * nonzero coefficient is the DC term IDCTs to the flat value
+  * dequant/8 in closed form (s(x,y) = F(0,0)/8 — every cosine at
+  * u=v=0 is 1 and C(0)² /4 folds to 1/8), so with quantizer 8 the
+  * roundtrip value→coefficient→value is EXACT despite JPEG being
+  * lossy in general. [[synthJpegRaster]] exploits this: per-8×8-block
+  * flat luma from a pure (bx, by, seed) formula, neutral chroma —
+  * the DuckDB oracle recomputes the perceptual hash from the formula
+  * alone while Spark decodes real entropy-coded bytes (Huffman,
+  * dequant, dezigzag, IDCT, level shift, colour convert), the same
+  * synthesis-inverts-decode pattern as the PNG raster fixture.
+  *
+  * Reference scope: upstream spark-df-profiling has no multimodal
+  * support; this extends the training-data-pipeline surface
+  * (SURVEY.md §2.2).
+  */
+object Jpeg {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 8) | u8(b, i + 1)
+
+  /** Zig-zag order: ZigZag(k) = natural (row-major) index of the k-th
+    * coefficient in transmission order (T.81 figure A.6). */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Separable 1-D IDCT basis with the normalization folded in:
+    * T(u)(x) = C(u)/2 · cos((2x+1)uπ/16). Row pass then column pass
+    * over this table is the 2-D IDCT; for a DC-only block the two
+    * passes multiply to exactly 1/8 (see object Scaladoc). */
+  private val IdctT: Array[Array[Double]] = Array.tabulate(8, 8) {
+    (u, x) =>
+      val c = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      c / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  private final class CorruptStream extends RuntimeException
+
+  /** MSB-first entropy-stream bit reader with T.81 §F.1.2.3 byte
+    * stuffing (0xFF 0x00 → literal 0xFF data byte). Running into a
+    * real marker mid-coefficient means a truncated/corrupt scan. */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    def readBit(): Int = {
+      if (n == 0) {
+        if (pos >= b.length) throw new CorruptStream
+        var v = u8(b, pos); pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) throw new CorruptStream
+          val m = u8(b, pos)
+          if (m == 0x00) pos += 1 // stuffed data byte
+          else throw new CorruptStream // marker inside a coefficient
+        }
+        acc = v; n = 8
+      }
+      n -= 1
+      (acc >> n) & 1
+    }
+    def receive(len: Int): Int = {
+      var v = 0; var i = 0
+      while (i < len) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    /** Restart boundary: discard the partial byte, consume the RSTm
+      * marker (cycling m), leave the reader on the next entropy byte. */
+    def restart(expect: Int): Unit = {
+      n = 0
+      if (pos + 1 >= b.length) throw new CorruptStream
+      if (u8(b, pos) != 0xff || u8(b, pos + 1) != 0xd0 + expect)
+        throw new CorruptStream
+      pos += 2
+    }
+  }
+
+  /** Canonical Huffman table per T.81 §C: `bits(l)` codes of length
+    * l+1, values in `vals` in canonical order. Decode walks lengths
+    * with the standard mincode/maxcode/valptr arrays (§F.2.2.3). */
+  private final class Huff(bits: Array[Int], vals: Array[Int]) {
+    private val maxcode = Array.fill(17)(-1)
+    private val mincode = new Array[Int](17)
+    private val valptr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valptr(l) = k
+          mincode(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxcode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(r: BitReader): Int = {
+      var l = 1
+      var code = r.readBit()
+      while (l < 16 && (maxcode(l) < 0 || code > maxcode(l))) {
+        code = (code << 1) | r.readBit(); l += 1
+      }
+      if (maxcode(l) < 0 || code > maxcode(l)) throw new CorruptStream
+      vals(valptr(l) + code - mincode(l))
+    }
+  }
+
+  /** T.81 §F.2.2.1 EXTEND: map `v` (a `size`-bit magnitude field) to
+    * the signed coefficient value. */
+  private def extend(v: Int, size: Int): Int =
+    if (size == 0) 0
+    else if (v < (1 << (size - 1))) v - (1 << size) + 1
+    else v
+
+  private final case class Component(id: Int, h: Int, v: Int, tq: Int) {
+    var td: Int = 0 // DC huffman table (from SOS)
+    var ta: Int = 0 // AC huffman table (from SOS)
+  }
+
+  /** Decode a baseline JPEG to interleaved pixels (grey → 1 channel,
+    * YCbCr → RGB 3 channels). None for anything outside the supported
+    * envelope or any corrupt/truncated stream. Dimension product is
+    * capped so a hostile header cannot allocate unbounded memory on
+    * an executor. */
+  def decodePixels(p: Array[Byte], maxPixels: Long = 1L << 26)
+      : Option[Multimodal.Pixels] =
+    try decodeImpl(p, maxPixels)
+    catch {
+      case _: CorruptStream | _: ArrayIndexOutOfBoundsException |
+          _: NegativeArraySizeException => None
+    }
+
+  private def decodeImpl(p: Array[Byte], maxPixels: Long)
+      : Option[Multimodal.Pixels] = {
+    if (p == null || p.length < 4) return None
+    if (u8(p, 0) != 0xff || u8(p, 1) != 0xd8) return None // SOI
+    val quant = new Array[Array[Int]](4) // zigzag order, as transmitted
+    val huffDc = new Array[Huff](4)
+    val huffAc = new Array[Huff](4)
+    var comps: Array[Component] = null
+    var w = 0; var h = 0
+    var dri = 0
+    var pos = 2
+    var scanStart = -1
+    while (scanStart < 0) {
+      if (pos + 1 >= p.length) return None
+      if (u8(p, pos) != 0xff) return None
+      val m = u8(p, pos + 1)
+      if (m == 0xff) { pos += 1 } // fill byte
+      else if (m == 0xd9) return None // EOI before SOS
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2
+      else {
+        if (pos + 3 >= p.length) return None
+        val len = be16(p, pos + 2)
+        if (len < 2 || pos + 2 + len > p.length) return None
+        val seg = pos + 4 // first payload byte
+        m match {
+          case 0xdb => // DQT — possibly several tables per segment
+            var q = seg
+            while (q < pos + 2 + len) {
+              val pq = u8(p, q) >> 4; val tq = u8(p, q) & 15
+              if (pq != 0 || tq > 3) return None // 16-bit tables: out
+              if (q + 65 > pos + 2 + len) return None
+              quant(tq) = Array.tabulate(64)(i => u8(p, q + 1 + i))
+              q += 65
+            }
+          case 0xc4 => // DHT — possibly several tables per segment
+            var q = seg
+            while (q < pos + 2 + len) {
+              val tc = u8(p, q) >> 4; val th = u8(p, q) & 15
+              if (tc > 1 || th > 3) return None
+              val bits = Array.tabulate(16)(i => u8(p, q + 1 + i))
+              val n = bits.sum
+              if (q + 17 + n > pos + 2 + len) return None
+              val vals = Array.tabulate(n)(i => u8(p, q + 17 + i))
+              val t = new Huff(bits, vals)
+              if (tc == 0) huffDc(th) = t else huffAc(th) = t
+              q += 17 + n
+            }
+          case 0xc0 => // SOF0 baseline
+            if (u8(p, seg) != 8) return None // precision
+            h = be16(p, seg + 1); w = be16(p, seg + 3)
+            val nc = u8(p, seg + 5)
+            if (nc != 1 && nc != 3) return None
+            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+            comps = Array.tabulate(nc) { i =>
+              val o = seg + 6 + 3 * i
+              val c = Component(u8(p, o), u8(p, o + 1) >> 4,
+                u8(p, o + 1) & 15, u8(p, o + 2))
+              if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3)
+                return None
+              c
+            }
+            // a single-component scan is non-interleaved (T.81
+            // §A.2.2): the MCU is ONE data unit and the declared
+            // sampling factors do not replicate blocks
+            if (nc == 1) comps(0) = comps(0).copy(h = 1, v = 1)
+          case sof if sof >= 0xc1 && sof <= 0xcf && sof != 0xc4 &&
+              sof != 0xc8 && sof != 0xcc =>
+            return None // progressive / lossless / arithmetic: skip
+          case 0xdd => // DRI
+            dri = be16(p, seg)
+          case 0xda => // SOS
+            if (comps == null) return None
+            val ns = u8(p, seg)
+            if (ns != comps.length) return None // single full scan only
+            var i = 0
+            while (i < ns) {
+              val cid = u8(p, seg + 1 + 2 * i)
+              val tt = u8(p, seg + 2 + 2 * i)
+              val c = comps.find(_.id == cid).getOrElse(return None)
+              c.td = tt >> 4; c.ta = tt & 15
+              i += 1
+            }
+            scanStart = pos + 2 + len
+          case _ => () // APPn / COM / others: skip
+        }
+        pos += 2 + len
+      }
+    }
+
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // per-component plane, padded to whole MCUs
+    val planeW = comps.map(c => mcusX * 8 * c.h)
+    val planeH = comps.map(c => mcusY * 8 * c.v)
+    val planes = Array.tabulate(comps.length)(i =>
+      new Array[Byte](planeW(i) * planeH(i)))
+    for (c <- comps) {
+      if (quant(c.tq) == null) return None
+      if (huffDc(c.td) == null || huffAc(c.ta) == null) return None
+    }
+
+    val r = new BitReader(p, scanStart)
+    val dcPred = new Array[Int](comps.length)
+    val coef = new Array[Double](64)
+    val tmp = new Array[Double](64)
+    var mcu = 0
+    var rstCount = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+          r.restart(rstCount % 8)
+          rstCount += 1
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        var ci = 0
+        while (ci < comps.length) {
+          val c = comps(ci)
+          val q = quant(c.tq)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              // ---- entropy-decode one block (natural order, dequantized)
+              java.util.Arrays.fill(coef, 0.0)
+              val t = huffDc(c.td).decode(r)
+              if (t > 15) throw new CorruptStream
+              dcPred(ci) += extend(r.receive(t), t)
+              coef(0) = dcPred(ci).toDouble * q(0)
+              var k = 1
+              var eob = false
+              while (!eob && k < 64) {
+                val rs = huffAc(c.ta).decode(r)
+                val run = rs >> 4; val size = rs & 15
+                if (size == 0) {
+                  if (run == 15) k += 16 else eob = true // ZRL / EOB
+                } else {
+                  k += run
+                  if (k > 63) throw new CorruptStream
+                  coef(ZigZag(k)) =
+                    extend(r.receive(size), size).toDouble * q(k)
+                  k += 1
+                }
+              }
+              // ---- separable IDCT: rows then columns
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var s = 0.0; var u = 0
+                  while (u < 8) { s += coef(y * 8 + u) * IdctT(u)(x); u += 1 }
+                  tmp(y * 8 + x) = s
+                  x += 1
+                }
+                y += 1
+              }
+              val px0 = (mx * c.h + bx) * 8
+              val py0 = (my * c.v + by) * 8
+              var x = 0
+              while (x < 8) {
+                var yy = 0
+                while (yy < 8) {
+                  var s = 0.0; var v = 0
+                  while (v < 8) { s += tmp(v * 8 + x) * IdctT(v)(yy); v += 1 }
+                  val pix = math.round(s).toInt + 128
+                  val clamped = if (pix < 0) 0 else if (pix > 255) 255 else pix
+                  planes(ci)((py0 + yy) * planeW(ci) + px0 + x) =
+                    clamped.toByte
+                  yy += 1
+                }
+                x += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+
+    // ---- upsample (sample replication) + colour convert
+    if (comps.length == 1) {
+      val out = new Array[Byte](w * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(planes(0), y * planeW(0), out, y * w, w)
+        y += 1
+      }
+      Some(Multimodal.Pixels(w, h, 1, out))
+    } else {
+      val out = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yv = (planes(0)(
+            (y * comps(0).v / vmax) * planeW(0) +
+              x * comps(0).h / hmax) & 0xff).toDouble
+          val cb = (planes(1)(
+            (y * comps(1).v / vmax) * planeW(1) +
+              x * comps(1).h / hmax) & 0xff) - 128
+          val cr = (planes(2)(
+            (y * comps(2).v / vmax) * planeW(2) +
+              x * comps(2).h / hmax) & 0xff) - 128
+          def clamp(d: Double): Byte = {
+            val v = math.round(d).toInt
+            (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+          }
+          val o = (y * w + x) * 3
+          out(o) = clamp(yv + 1.402 * cr)
+          out(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+          out(o + 2) = clamp(yv + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+      Some(Multimodal.Pixels(w, h, 3, out))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Encoder — fixture synthesis in coefficient space. Compact custom
+  // canonical Huffman tables (every DC category at length 4, every
+  // (run, size≤4) AC symbol plus EOB/ZRL at length 7 — Kraft-feasible,
+  // all-ones codes unused per §C.2) keep the DHT segments small while
+  // the DECODER stays fully general: it builds whatever tables the
+  // stream declares.
+  // ------------------------------------------------------------------
+
+  private val DcBits: Array[Int] =
+    Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals: Array[Int] = (0 to 11).toArray
+  private val AcBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 66, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val AcVals: Array[Int] =
+    Array(0x00, 0xf0) ++
+      (for (run <- 0 to 15; size <- 1 to 4) yield (run << 4) | size)
+
+  /** Canonical (code, length) assignment for a (bits, vals) table —
+    * the same §C.2 procedure the decoder's mincode/maxcode walk
+    * inverts, so encoder and DHT stay consistent by construction. */
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int])
+      : Map[Int, (Int, Int)] = {
+    var code = 0; var k = 0
+    val m = Map.newBuilder[Int, (Int, Int)]
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l - 1)) {
+        m += vals(k) -> ((code, l)); code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    m.result()
+  }
+
+  private val DcCodes = canonicalCodes(DcBits, DcVals)
+  private val AcCodes = canonicalCodes(AcBits, AcVals)
+
+  private final class BitWriter(out: ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the final partial byte with 1-bits (§F.1.2.3). */
+    def flush(): Unit =
+      if (n > 0) { put(0xff, 8 - n); () }
+  }
+
+  private def magnitude(v: Int): Int = {
+    var size = 0; var a = math.abs(v)
+    while (a > 0) { size += 1; a >>= 1 }
+    size
+  }
+
+  private def putCoef(bw: BitWriter, codes: Map[Int, (Int, Int)],
+      run: Int, v: Int): Unit = {
+    val size = magnitude(v)
+    val (code, len) = codes((run << 4) | size)
+    bw.put(code, len)
+    if (size > 0) {
+      val bitsVal = if (v < 0) v + (1 << size) - 1 else v
+      bw.put(bitsVal, size)
+    }
+  }
+
+  private def seg(out: ByteArrayOutputStream, marker: Int,
+      payload: Array[Int]): Unit = {
+    out.write(0xff); out.write(marker)
+    val len = payload.length + 2
+    out.write(len >> 8); out.write(len & 0xff)
+    payload.foreach(out.write)
+  }
+
+  /** Encode a baseline JPEG from QUANTIZED coefficient blocks.
+    * `coefs(comp)(bx, by)` returns the 64 quantized coefficients of
+    * that component-plane block in NATURAL (row-major) order; block
+    * coordinates run over the padded MCU grid. Components: 1 (grey)
+    * or 3 (luma h×v = `hY`×`vY`, chroma 1×1). One shared 8-bit quant
+    * table `quant` (natural order), one DC + one AC Huffman table.
+    * `dri` > 0 emits a DRI segment and RSTn markers every `dri`
+    * MCUs — byte-level framing variety with identical pixels. */
+  def encodeBaseline(w: Int, h: Int, nComp: Int, hY: Int, vY: Int,
+      quant: Array[Int], coefs: Int => (Int, Int) => Array[Int],
+      dri: Int = 0): Array[Byte] = {
+    require(nComp == 1 || nComp == 3)
+    require(hY >= 1 && hY <= 4 && vY >= 1 && vY <= 4)
+    // grey scans are non-interleaved: one block per MCU (§A.2.2)
+    require(nComp == 3 || (hY == 1 && vY == 1))
+    require(quant.length == 64)
+    val out = new ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(out, 0xe0, Array( // APP0 JFIF v1.1, no density/thumbnail
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(out, 0xdb, 0 +: ZigZag.map(quant)) // DQT id 0, zigzag order
+    seg(out, 0xc4, (0x00 +: DcBits) ++ DcVals) // DHT DC id 0
+    seg(out, 0xc4, (0x10 +: AcBits) ++ AcVals) // DHT AC id 0
+    val compSpec =
+      if (nComp == 1) Array(1, (hY << 4) | vY, 0)
+      else Array(1, (hY << 4) | vY, 0, 2, 0x11, 0, 3, 0x11, 0)
+    seg(out, 0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, nComp)
+      ++ compSpec)
+    if (dri > 0) seg(out, 0xdd, Array(dri >> 8, dri & 0xff))
+    seg(out, 0xda,
+      Array(nComp) ++ (1 to nComp).flatMap(id => Array(id, 0x00)) ++
+        Array(0, 63, 0))
+    val hmax = if (nComp == 1) hY else math.max(hY, 1)
+    val vmax = if (nComp == 1) vY else math.max(vY, 1)
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val sampling = Array.tabulate(nComp)(i =>
+      if (i == 0) (hY, vY) else (1, 1))
+    val bw = new BitWriter(out)
+    val dcPred = new Array[Int](nComp)
+    var mcu = 0
+    var rstCount = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+          bw.flush()
+          out.write(0xff); out.write(0xd0 + rstCount % 8)
+          rstCount += 1
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        var ci = 0
+        while (ci < nComp) {
+          val (ch, cv) = sampling(ci)
+          var by = 0
+          while (by < cv) {
+            var bx = 0
+            while (bx < ch) {
+              val block = coefs(ci)(mx * ch + bx, my * cv + by)
+              val diff = block(0) - dcPred(ci)
+              dcPred(ci) = block(0)
+              val dSize = magnitude(diff)
+              val (dCode, dLen) = DcCodes(dSize)
+              bw.put(dCode, dLen)
+              if (dSize > 0) {
+                val bitsVal =
+                  if (diff < 0) diff + (1 << dSize) - 1 else diff
+                bw.put(bitsVal, dSize)
+              }
+              // AC run-length: walk zigzag positions 1..63
+              var run = 0
+              var k = 1
+              while (k < 64) {
+                val v = block(ZigZag(k))
+                if (v == 0) run += 1
+                else {
+                  while (run > 15) { putCoef(bw, AcCodes, 15, 0); run -= 16 }
+                  putCoef(bw, AcCodes, run, v)
+                  run = 0
+                }
+                k += 1
+              }
+              if (run > 0) { // EOB
+                val (eCode, eLen) = AcCodes(0x00)
+                bw.put(eCode, eLen)
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** The luma formula the raster fixture embeds, per 8×8 block —
+    * exposed so oracles and tests recompute pixels independently of
+    * the codec (37/71 strides keep neighbouring blocks' brightness
+    * order varied across the seven fixture seeds). */
+  def blockLuma(bx: Int, by: Int, seed: Int): Int =
+    ((bx * 37 + by * 71 + seed) % 256 + 256) % 256
+
+  /** All-8 quantizer: the DC dequant 8·s/8 = s makes flat blocks
+    * roundtrip exactly (object Scaladoc). */
+  private val FlatQuant: Array[Int] = Array.fill(64)(8)
+
+  /** A REAL baseline JPEG whose decoded pixels are the pure
+    * [[blockLuma]] formula: 4:4:4 YCbCr, every 8×8 block flat
+    * (DC-only) with Y = blockLuma(bx, by, seed) and neutral chroma
+    * (Cb = Cr = 128 → R = G = B = Y exactly). `dri` varies the
+    * restart framing — different BYTES, identical pixels, the
+    * encoding-invariance axis of the perceptual-hash fixture. */
+  def synthJpegRaster(w: Int, h: Int, seed: Int, dri: Int = 0)
+      : Array[Byte] =
+    encodeBaseline(w, h, nComp = 3, hY = 1, vY = 1, FlatQuant,
+      coefs = ci => (bx, by) => {
+        val b = new Array[Int](64)
+        b(0) = if (ci == 0) blockLuma(bx, by, seed) - 128 else 0
+        b
+      }, dri = dri)
+}

@@ -196,6 +196,7 @@ object Multimodal {
 
   def decodePixels(p: Array[Byte]): Option[Pixels] = {
     val d = decode(p)
+    if (d.format == "jpeg") return Jpeg.decodePixels(p)
     if (d.format != "png") return None
     if (u8(p, 24) != 8) return None // bit depth
     if (u8(p, 26) != 0 || u8(p, 28) != 0) return None // compression/interlace
@@ -880,13 +881,13 @@ object Multimodal {
   }
 
   /** Per-format decode accounting — the corrupt-record-accounting
-    * pattern from Sources applied to the pixel path: a real image
-    * corpus is mostly JPEG, and this repo's raster decode covers PNG
-    * only (JPEG stops at the header — Scaladoc on decodeJpeg), so
-    * any phash run over a mixed corpus must say LOUDLY what it
-    * skipped rather than silently hashing the decodable minority.
-    * One mapPartitions classify (container sniff + pixel-decode
-    * attempt) + one O(formats) aggregation. */
+    * pattern from Sources applied to the pixel path: the raster
+    * decode covers PNG and baseline-sequential JPEG ([[Jpeg]]);
+    * progressive/lossless/arithmetic JPEG and non-image payloads are
+    * skipped, and any phash run over a mixed corpus must say LOUDLY
+    * what it skipped rather than silently hashing the decodable
+    * subset. One mapPartitions classify (container sniff +
+    * pixel-decode attempt) + one O(formats) aggregation. */
   def decodeAudit(df: DataFrame, idCol: String, binCol: String,
       batchSize: Int = 256): DataFrame = {
     val spark = df.sparkSession
@@ -915,9 +916,12 @@ object Multimodal {
 
   /** Mixed-modality fixture: half real PNG rasters (the
     * [[synthRasterMedia]] formula, pixel-decodable), a quarter JPEGs
-    * (header-only decodable by design), a quarter WAVs (wrong
-    * modality for the pixel path) — the undecodable-by-design corpus
-    * the decode audit and the mixed phash queries run over. */
+    * — half of those REAL baseline rasters (pixel-decodable via
+    * [[Jpeg.decodePixels]], id ≡ 2 mod 8) and half progressive
+    * header-only stubs (undecodable by design, id ≡ 6 mod 8) — and a
+    * quarter WAVs (wrong modality for the pixel path): the corpus
+    * the decode audit and the mixed phash queries run over, now with
+    * a partially-decodable jpeg arm like a real crawl. */
   def synthMixedMedia(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -926,13 +930,35 @@ object Multimodal {
         val payload = (id % 4) match {
           case 0 | 1 => synthPngRaster(16, 12,
             ((id % 7L) * 41L).toInt, (id % 5L).toInt)
-          case 2 => synthJpeg(8 + (id * 13) % 509, 8 + (id * 11) % 387,
-            progressive = id % 2 == 1)
+          case 2 =>
+            if (id % 8 == 2)
+              Jpeg.synthJpegRaster(32, 24, ((id % 7L) * 41L).toInt,
+                dri = (id % 3L).toInt)
+            else synthJpeg(8 + (id * 13) % 509, 8 + (id * 11) % 387,
+              progressive = true)
           case _ => synthWavTone(8000L, 1L, 16L + id % 65, id % 997)
         }
         (id, payload)
       }
       .toDF(idCol, "payload")
+  }
+
+  /** JPEG-raster fixture column for the jpeg phash query: a REAL
+    * entropy-coded baseline JPEG per row whose decoded pixels are
+    * the pure [[Jpeg.blockLuma]] block formula (seed (id%7)·41 —
+    * seven distinct images), framed with restart interval id%3
+    * (three byte-different ENCODINGS of each, identical pixels). The
+    * decoder sees only bytes; the oracle recomputes the hash from
+    * the formula, checking the whole huffman→dequant→IDCT→colour→
+    * resize→hash chain. */
+  def synthJpegRasterMedia(df: DataFrame, idCol: String,
+      w: Int = 32, h: Int = 24): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .map(id => (id, Jpeg.synthJpegRaster(w, h,
+        ((id % 7L) * 41L).toInt, dri = (id % 3L).toInt)))
+      .toDF("doc_id", "payload")
   }
 
   /** Tone-payload fixture: every id gets a WAV whose samples are a

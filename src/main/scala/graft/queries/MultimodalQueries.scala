@@ -98,9 +98,10 @@ object MultimodalQueries {
             "doc_id"),
           "doc_id", "payload"),
         "doc_id", "afp", maxDist = 3)),
-    // per-format decode accounting over a corpus where half the
-    // payloads are undecodable-by-design (JPEG header-only, WAV wrong
-    // modality): the pixel path must report skips LOUDLY — the
+    // per-format decode accounting over a corpus where the jpeg arm
+    // is PARTIALLY decodable (real baseline rasters for id≡2 mod 8,
+    // progressive header stubs otherwise) and WAV is the wrong
+    // modality: the pixel path must report skips LOUDLY — the
     // oracle re-derives the per-format decoded/skipped counts from
     // the fixture arithmetic, so a silent drop or a crash both fail
     "multimodal_decode_audit" -> ((s, dir) =>
@@ -108,12 +109,23 @@ object MultimodalQueries {
         Multimodal.synthMixedMedia(t(s, dir, "documents"), "doc_id"),
         "doc_id", "payload")),
     // phash over the SAME mixed corpus: output must be exactly the
-    // PNG arm's hashes (group sizes included) — the undecodable
-    // majority degrades to absence plus the audit row, never to
-    // wrong hashes
+    // PNG arm's hashes PLUS the baseline-jpeg arm's (group sizes
+    // over the decoded union) — the undecodable rest degrades to
+    // absence plus the audit row, never to wrong hashes
     "multimodal_phash_mixed" -> ((s, dir) =>
       Multimodal.imagePhash(
         Multimodal.synthMixedMedia(t(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload")),
+    // perceptual hash over REAL entropy-coded baseline JPEGs: the
+    // oracle recomputes the 56-bit dHash from the flat-block luma
+    // FORMULA (Jpeg.blockLuma — DC-only blocks roundtrip exactly),
+    // so the whole huffman→dequant→IDCT→colour→resize→hash chain is
+    // checked; three restart framings of each of seven images
+    // collide exactly
+    "multimodal_phash_jpeg" -> ((s, dir) =>
+      Multimodal.imagePhash(
+        Multimodal.synthJpegRasterMedia(t(s, dir, "documents"),
+          "doc_id"),
         "doc_id", "payload"))
   )
 
@@ -186,14 +198,17 @@ object MultimodalQueries {
 
   /** Per-format decode accounting re-derived from the mixed-fixture
     * arithmetic ([[graft.ops.Multimodal.synthMixedMedia]]: id%4 ≤ 1
-    * png raster, =2 jpeg, else wav; only the png arm pixel-decodes). */
+    * png raster, =2 jpeg — baseline raster iff id%8=2, else a
+    * progressive stub —, else wav; png and baseline jpeg
+    * pixel-decode). */
 
   val multimodalDecodeAuditSql: String =
     s"""WITH m AS (SELECT doc_id,
        |    CASE WHEN doc_id % 4 <= 1 THEN 'png'
        |         WHEN doc_id % 4 = 2 THEN 'jpeg' ELSE 'wav' END
        |      AS format,
-       |    CASE WHEN doc_id % 4 <= 1 THEN 1 ELSE 0 END AS dec
+       |    CASE WHEN doc_id % 4 <= 1 OR doc_id % 8 = 2 THEN 1
+       |      ELSE 0 END AS dec
        |  FROM documents),
        |a AS (SELECT format, count(*) AS n_payloads,
        |    CAST(sum(dec) AS BIGINT) AS n_decoded,
@@ -204,14 +219,51 @@ object MultimodalQueries {
        |  ${sig("rt")} AS decode_rate
        |FROM a ORDER BY format""".stripMargin
 
-  /** The mixed-corpus phash mirror: exactly the png arm's hashes —
-    * group sizes computed over the DECODED population only. */
+  /** [[graft.ops.Multimodal.synthJpegRasterMedia]] mirror — the
+    * dHash replayed from the flat-BLOCK luma formula
+    * (Jpeg.blockLuma(bx, by, seed) = (37bx + 71by + seed) mod 256,
+    * seed = (doc_id mod 7)·41, every channel equal so luminance =
+    * 3·blockLuma), nearest-resize 32×24 → 9×7 via the same integer
+    * floor indices, block index = source pixel // 8. The Spark side
+    * hashes pixels obtained by huffman-decoding, dequantizing and
+    * IDCT-ing real baseline JPEG bytes (restart interval doc_id%3
+    * varies the framing), so agreement checks the whole decode
+    * chain; DC-only blocks make it all-integer — exact. */
+  private def jpegPhashCtes(pred: String): String =
+    s"""jids AS (SELECT doc_id, (doc_id % 7) * 41 AS seed
+       |  FROM documents WHERE $pred),
+       |jg AS (SELECT doc_id, seed, x, y,
+       |    ((x * 32) // 9) // 8 AS bx, (((x + 1) * 32) // 9) // 8 AS bx1,
+       |    ((y * 24) // 7) // 8 AS by
+       |  FROM jids, range(0, 8) tx(x), range(0, 7) ty(y)),
+       |jl AS (SELECT doc_id, x, y,
+       |    3 * ((bx * 37 + by * 71 + seed) % 256) AS l0,
+       |    3 * ((bx1 * 37 + by * 71 + seed) % 256) AS l1
+       |  FROM jg),
+       |jhsh AS (SELECT doc_id, bit_or(CASE WHEN l1 > l0
+       |    THEN 1::BIGINT << CAST(y * 8 + x AS INTEGER)
+       |    ELSE 0::BIGINT END) AS phash
+       |  FROM jl GROUP BY doc_id)""".stripMargin
+
+  val multimodalPhashJpegSql: String =
+    s"""WITH ${jpegPhashCtes("TRUE")},
+       |grp AS (SELECT phash, count(*) AS n_same FROM jhsh GROUP BY phash)
+       |SELECT jhsh.doc_id, jhsh.phash, grp.n_same
+       |FROM jhsh JOIN grp ON grp.phash = jhsh.phash
+       |ORDER BY doc_id""".stripMargin
+
+  /** The mixed-corpus phash mirror: the png arm's hashes plus the
+    * baseline-jpeg arm's — group sizes computed over the DECODED
+    * union only. */
 
   val multimodalPhashMixedSql: String =
     s"""WITH ${phashCtes("doc_id % 4 <= 1")},
-       |grp AS (SELECT phash, count(*) AS n_same FROM hsh GROUP BY phash)
-       |SELECT hsh.doc_id, hsh.phash, grp.n_same
-       |FROM hsh JOIN grp ON grp.phash = hsh.phash
+       |${jpegPhashCtes("doc_id % 8 = 2")},
+       |uni AS (SELECT doc_id, phash FROM hsh
+       |        UNION ALL SELECT doc_id, phash FROM jhsh),
+       |grp AS (SELECT phash, count(*) AS n_same FROM uni GROUP BY phash)
+       |SELECT uni.doc_id, uni.phash, grp.n_same
+       |FROM uni JOIN grp ON grp.phash = uni.phash
        |ORDER BY doc_id""".stripMargin
 
   /** [[graft.ops.Multimodal.phashNearDupPairs]] mirror: the NAIVE
@@ -327,6 +379,7 @@ object MultimodalQueries {
     "multimodal_audio_fp" -> multimodalAudioFpSql,
     "multimodal_audio_near_dup" -> multimodalAudioNearDupSql,
     "multimodal_decode_audit" -> multimodalDecodeAuditSql,
-    "multimodal_phash_mixed" -> multimodalPhashMixedSql
+    "multimodal_phash_mixed" -> multimodalPhashMixedSql,
+    "multimodal_phash_jpeg" -> multimodalPhashJpegSql
   )
 }
