@@ -75,6 +75,15 @@ class ProfileReport(df: DataFrame,
   lazy val html: String =
     HtmlReport.render(getDescription, title, sample)
 
+  /** Rendered report with user render-hook overrides — the analogue
+    * of swapping the reference's jinja2 templates
+    * (spark_df_profiling/templates.py). E.g.
+    * `report.render(ReportTemplates.pngHistograms)` for
+    * matplotlib-parity base64-PNG histograms. */
+  def render(templates: graft.report.ReportTemplates): String =
+    HtmlReport.render(getDescription, title, sample,
+      templates = templates)
+
   /** Report WITH a quality-gate section: evaluates the declared
     * check suite ([[graft.ops.Quality.runChecks]] — one extra
     * aggregation scan) and renders the pass/fail table above the

@@ -2,6 +2,43 @@ package graft.report
 
 import graft.profiler.{ColumnProfile, TableProfile}
 
+/** User-swappable render hooks — the Scala analogue of the
+  * reference's jinja2 template-override mechanism
+  * (spark_df_profiling/templates.py::template ≈L10–80, where callers
+  * swap row/base templates by name). Instead of a string-template
+  * registry (stringly-typed, runtime-failing), each override point is
+  * a typed function with the stock renderer as its default:
+  *
+  * {{{
+  *   // reference:  templates.template("base") = my_jinja_template
+  *   HtmlReport.render(profile,
+  *     templates = ReportTemplates(
+  *       statRow = (k, v) => s"<tr class='my'><th>$k</th><td>$v</td></tr>",
+  *       css = myCss))
+  *   // matplotlib-parity histograms (base64 PNG data-URIs):
+  *   HtmlReport.render(profile, templates = ReportTemplates.pngHistograms)
+  * }}}
+  */
+final case class ReportTemplates(
+    /** One key/value row inside a stats table. Receives RAW strings —
+      * implementations escape (the default uses [[HtmlReport.statRow]],
+      * which does). */
+    statRow: (String, String) => String = HtmlReport.statRow,
+    /** Per-column histogram renderer; (bin, count) pairs in. */
+    histogram: Seq[(Long, Long)] => String = HtmlReport.svgHistogram,
+    /** Page stylesheet (the `<style>` body). */
+    css: String = HtmlReport.defaultCss,
+    /** Outer document: (escaped title, css, body html) → page. */
+    pageShell: (String, String, String) => String =
+      HtmlReport.defaultShell)
+
+object ReportTemplates {
+  /** Reference-parity histograms: base64 PNG `<img>` data-URIs, as
+    * matplotlib produces, instead of inline SVG. */
+  val pngHistograms: ReportTemplates =
+    ReportTemplates(histogram = ChartPng.histogramImg)
+}
+
 /** Self-contained HTML rendering of a [[TableProfile]] — the
   * Spark-native analogue of the reference's jinja2 + matplotlib layer
   * (spark_df_profiling/templates/ *.html, base.py::to_html ≈L400–470,
@@ -31,10 +68,13 @@ object HtmlReport {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;").replace("'", "&#39;")
 
-  private def statRow(k: String, v: String): String =
+  def statRow(k: String, v: String): String =
     s"<tr><th>${esc(k)}</th><td>${esc(v)}</td></tr>"
 
-  private def miniHistogram(h: Seq[(Long, Long)]): String = {
+  /** Default histogram renderer: inline SVG bars (16 px per bin,
+    * 60 px max bar height) — see [[ChartPng.histogramImg]] for the
+    * PNG-parity alternative with identical geometry. */
+  def svgHistogram(h: Seq[(Long, Long)]): String = {
     if (h.isEmpty) return ""
     val maxC = math.max(1L, h.map(_._2).max)
     val bars = h.map { case (bin, cnt) =>
@@ -44,7 +84,9 @@ object HtmlReport {
     s"""<svg width="${h.map(_._1).max * 16 + 16}" height="64" class="hist">$bars</svg>"""
   }
 
-  private def columnCard(c: ColumnProfile): String = {
+  private def columnCard(c: ColumnProfile,
+      t: ReportTemplates = ReportTemplates()): String = {
+    val statRow = t.statRow
     val common = Seq(
       statRow("Type", c.kind),
       statRow("Count", fmtNumber(c.count.toDouble)),
@@ -78,7 +120,7 @@ object HtmlReport {
        |<h3>${esc(c.name)} <span class="kind">${c.kind}</span></h3>
        |<div class="row">
        |<table class="stats">${(common ++ numeric ++ dates ++ quant).mkString}</table>
-       |${miniHistogram(c.histogram)}
+       |${t.histogram(c.histogram)}
        |$freq
        |</div></div>""".stripMargin
   }
@@ -292,7 +334,9 @@ object HtmlReport {
       privacy: Seq[(Long, Long, Long, Double)] = Seq.empty,
       privacyMinGroup: Long = 0L,
       domains: Seq[(String, Long, Long, Long, Double, Boolean)] =
-        Seq.empty): String = {
+        Seq.empty,
+      templates: ReportTemplates = ReportTemplates()): String = {
+    val statRow = templates.statRow
     val size =
       if (p.sizeBytes <= 0) Seq.empty
       else Seq(
@@ -342,37 +386,46 @@ object HtmlReport {
            |<tr><th>column</th><th>column</th><th>V</th></tr>
            |${rows.mkString("\n")}</table></div>""".stripMargin
       }
-    s"""<!DOCTYPE html><html><head><meta charset="utf-8">
-       |<title>${esc(title)}</title><style>
-       |body{font-family:sans-serif;margin:2em;background:#fafafa}
-       |.card{background:#fff;border:1px solid #ddd;border-radius:6px;
-       |  padding:1em;margin-bottom:1em}
-       |.col .row{display:flex;gap:2em;align-items:flex-start}
-       |table.stats th{text-align:left;padding-right:1em;color:#555}
-       |table.freq{border-collapse:collapse}
-       |table.freq td,table.freq th{border:1px solid #eee;padding:2px 8px}
-       |.kind{font-size:0.7em;color:#888;border:1px solid #ccc;
-       |  border-radius:4px;padding:1px 5px}
-       |.hist .bar{fill:#337ab7}
-       |.heatmap .cell{fill:#337ab7}
-       |.warnings li{color:#8a6d3b}
-       |.qc-pass h2{color:#3c763d}
-       |.qc-fail h2{color:#a94442}
-       |.ok{color:#3c763d;font-weight:bold}
-       |.bad{color:#a94442;font-weight:bold}
-       |</style></head><body>
-       |<h1>${esc(title)}</h1>
-       |$overview
-       |$warnings
-       |${qualitySection(quality)}
-       |${privacySection(privacyMinGroup, privacy)}
-       |${domainSection(domains)}
-       |${anomalySection(anomalies)}
-       |${heatmapSection(heatmap, heatmapLabels._1, heatmapLabels._2)}
-       |$spearmanHtml
-       |$assocHtml
-       |${p.columns.map(columnCard).mkString("\n")}
-       |$sampleHtml
-       |</body></html>""".stripMargin
+    val body =
+      s"""$overview
+         |$warnings
+         |${qualitySection(quality)}
+         |${privacySection(privacyMinGroup, privacy)}
+         |${domainSection(domains)}
+         |${anomalySection(anomalies)}
+         |${heatmapSection(heatmap, heatmapLabels._1, heatmapLabels._2)}
+         |$spearmanHtml
+         |$assocHtml
+         |${p.columns.map(columnCard(_, templates)).mkString("\n")}
+         |$sampleHtml""".stripMargin
+    templates.pageShell(esc(title), templates.css, body)
   }
+
+  val defaultCss: String =
+    """body{font-family:sans-serif;margin:2em;background:#fafafa}
+      |.card{background:#fff;border:1px solid #ddd;border-radius:6px;
+      |  padding:1em;margin-bottom:1em}
+      |.col .row{display:flex;gap:2em;align-items:flex-start}
+      |table.stats th{text-align:left;padding-right:1em;color:#555}
+      |table.freq{border-collapse:collapse}
+      |table.freq td,table.freq th{border:1px solid #eee;padding:2px 8px}
+      |.kind{font-size:0.7em;color:#888;border:1px solid #ccc;
+      |  border-radius:4px;padding:1px 5px}
+      |.hist .bar{fill:#337ab7}
+      |.heatmap .cell{fill:#337ab7}
+      |.warnings li{color:#8a6d3b}
+      |.qc-pass h2{color:#3c763d}
+      |.qc-fail h2{color:#a94442}
+      |.ok{color:#3c763d;font-weight:bold}
+      |.bad{color:#a94442;font-weight:bold}""".stripMargin
+
+  def defaultShell(escTitle: String, css: String, body: String)
+      : String =
+    s"""<!DOCTYPE html><html><head><meta charset="utf-8">
+       |<title>$escTitle</title><style>
+       |$css
+       |</style></head><body>
+       |<h1>$escTitle</h1>
+       |$body
+       |</body></html>""".stripMargin
 }

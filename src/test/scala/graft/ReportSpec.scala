@@ -158,6 +158,59 @@ class ReportSpec extends SparkSpec {
     assert(!graft.report.HtmlReport.render(p).contains("Domain mix"))
   }
 
+  test("PNG histogram round-trips through the engine's own decoder") {
+    import graft.report.ChartPng
+    val hist = Seq(0L -> 5L, 1L -> 60L, 2L -> 1L, 4L -> 30L)
+    val img = ChartPng.histogramImg(hist)
+    assert(img.startsWith("""<img class="hist" """))
+    val b64 = img.split("base64,")(1).takeWhile(_ != '"')
+    val png = java.util.Base64.getDecoder.decode(b64)
+    val px = graft.ops.Multimodal.decodePixels(png).get
+    // same geometry as the SVG renderer: 16 px/bin, 64 px tall
+    assert(px.width == 4 * 16 + 16 && px.height == 64 &&
+      px.channels == 3)
+    def rgb(x: Int, y: Int): Int =
+      ((px.data((y * px.width + x) * 3) & 0xff) << 16) |
+        ((px.data((y * px.width + x) * 3 + 1) & 0xff) << 8) |
+        (px.data((y * px.width + x) * 3 + 2) & 0xff)
+    // recompute every pixel from the bar formula — full-raster check
+    val maxC = 60L
+    for (y <- 0 until 64; x <- 0 until px.width) {
+      val bin = x / 16
+      val inBar = (x % 16) < 14 &&
+        hist.toMap.get(bin.toLong).exists { cnt =>
+          val hgt = math.max(1L, cnt * 60 / maxC).toInt
+          y >= 62 - hgt && y < 62
+        }
+      assert(rgb(x, y) == (if (inBar) ChartPng.BarRgb else 0xffffff),
+        s"pixel ($x,$y)")
+    }
+    assert(ChartPng.histogramImg(Seq.empty) == "")
+  }
+
+  test("template hooks override row/css/histogram rendering") {
+    import graft.report.{HtmlReport, ReportTemplates}
+    val p = graft.profiler.TableProfile(5, 1, 0, 0.0,
+      Seq(graft.profiler.ColumnProfile("x", "NUM", 5, 0, 0.0, 5, 1.0,
+        Map("mean" -> 2.0), Map.empty, Seq(0L -> 3L, 1L -> 2L),
+        Seq.empty)),
+      Seq.empty, Seq.empty)
+    val custom = HtmlReport.render(p, templates = ReportTemplates(
+      statRow = (k, v) => s"<tr data-hook='1'><th>$k</th><td>$v</td></tr>",
+      css = "/* my-css-marker */ body{color:red}"))
+    assert(custom.contains("data-hook='1'"))
+    assert(custom.contains("my-css-marker"))
+    assert(!custom.contains("background:#fafafa")) // stock css replaced
+    // png-parity histograms: no inline SVG remains, data-URI appears
+    val png = HtmlReport.render(p,
+      templates = ReportTemplates.pngHistograms)
+    assert(png.contains("data:image/png;base64,"))
+    assert(!png.contains("<svg"))
+    // default render is unchanged by the hook machinery
+    val stock = HtmlReport.render(p)
+    assert(stock.contains("<svg") && !stock.contains("base64"))
+  }
+
   test("datasheet document renders every section from real " +
       "corpusDatasheet rows") {
     val docs = spark.read
