@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.UrlQueries.queries ++
       graft.queries.ClassifierQueries.queries ++
       graft.queries.UnigramQueries.queries ++
-      graft.queries.WordPieceQueries.queries
+      graft.queries.WordPieceQueries.queries ++
+      graft.queries.BlocklistQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracle ++ graft.queries.Extensions.oracle ++
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.queries.UrlQueries.oracle ++
       graft.queries.ClassifierQueries.oracle ++
       graft.queries.UnigramQueries.oracle ++
-      graft.queries.WordPieceQueries.oracle
+      graft.queries.WordPieceQueries.oracle ++
+      graft.queries.BlocklistQueries.oracle
 }

@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho–Corasick multi-pattern counting automaton over raw bytes.
+  *
+  * Dense goto table (states × 256 ints) converted to a total
+  * transition function (the classic BFS fail-link construction, with
+  * fail transitions folded INTO the table so the scan loop is one
+  * array lookup per input byte — no fail-chain walking at match
+  * time). Per-state pattern-hit lists are pre-closed over the fail
+  * chain and flattened into (offset, ids) arrays, so emitting matches
+  * is a straight array scan.
+  *
+  * Counting semantics: every END POSITION of every pattern counts —
+  * i.e. all occurrences, overlapping included, per pattern
+  * independently. For patterns with no proper border (prefix that is
+  * also a suffix) this equals the non-overlapping count.
+  *
+  * Memory: states ≤ Σ pattern bytes + 1; the table is
+  * 1 KiB per state — a 5k-term, 8-byte-average blocklist is ~40 MiB,
+  * built once per executor from the tiny pattern list (the list, not
+  * the table, travels with the serialized plan).
+  */
+final class AcAutomaton(patterns: Array[Array[Byte]])
+    extends Serializable {
+
+  val nPatterns: Int = patterns.length
+
+  // --- trie construction -------------------------------------------------
+  // goto(state)(byte) = next state, -1 while building
+  private val (gotoTab: Array[Array[Int]],
+      hitOff: Array[Int], hitIds: Array[Int]) = {
+    require(patterns.forall(_.nonEmpty), "empty blocklist pattern")
+    val maxStates = patterns.map(_.length).sum + 1
+    val g = Array.fill(maxStates, 256)(-1)
+    val ends = Array.fill(maxStates)(List.empty[Int]) // pattern ids ending here
+    var nStates = 1
+    patterns.zipWithIndex.foreach { case (p, id) =>
+      var s = 0
+      p.foreach { b =>
+        val c = b & 0xff
+        if (g(s)(c) == -1) { g(s)(c) = nStates; nStates += 1 }
+        s = g(s)(c)
+      }
+      ends(s) ::= id
+    }
+    // BFS: fail links; fold fails into the table (total function) and
+    // close the hit lists over the fail chain.
+    val fail = new Array[Int](nStates)
+    val queue = scala.collection.mutable.Queue.empty[Int]
+    (0 until 256).foreach { c =>
+      if (g(0)(c) == -1) g(0)(c) = 0
+      else { fail(g(0)(c)) = 0; queue += g(0)(c) }
+    }
+    while (queue.nonEmpty) {
+      val s = queue.dequeue()
+      ends(s) = ends(s) ++ ends(fail(s)) // fail-chain closure
+      (0 until 256).foreach { c =>
+        val t = g(s)(c)
+        if (t == -1) g(s)(c) = g(fail(s))(c)
+        else { fail(t) = g(fail(s))(c); queue += t }
+      }
+    }
+    val off = new Array[Int](nStates + 1)
+    (0 until nStates).foreach(s => off(s + 1) = off(s) + ends(s).size)
+    val ids = new Array[Int](off(nStates))
+    (0 until nStates).foreach { s =>
+      var k = off(s)
+      ends(s).foreach { id => ids(k) = id; k += 1 }
+    }
+    (g.take(nStates), off, ids)
+  }
+
+  /** One pass; per-pattern occurrence counts. */
+  def count(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](nPatterns)
+    var s = 0
+    var i = 0
+    while (i < bytes.length) {
+      s = gotoTab(s)(bytes(i) & 0xff)
+      var k = hitOff(s)
+      val end = hitOff(s + 1)
+      while (k < end) { out(hitIds(k)) += 1L; k += 1 }
+      i += 1
+    }
+    out
+  }
+
+  /** Codegen entry point: UTF8String in, Catalyst array out. */
+  def countArray(str: UTF8String): GenericArrayData =
+    new GenericArrayData(count(str.getBytes))
+}
+
+/** Native Catalyst expression: per-pattern occurrence counts of a
+  * literal pattern list in one Aho–Corasick pass over the input
+  * string (SURVEY.md §7.5 tier (b) — the composed built-in form is k
+  * separate full-string scans). Returns `array<bigint>` aligned with
+  * the pattern list; null in → null out.
+  */
+case class AhoCorasickCount(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "ac_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"ac_counts needs a string input, got ${child.dataType.catalogString}")
+    else if (patterns.isEmpty || patterns.exists(_.isEmpty))
+      TypeCheckResult.TypeCheckFailure(
+        "ac_counts needs a non-empty list of non-empty patterns")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val ac =
+    new AcAutomaton(patterns.map(_.getBytes("UTF-8")).toArray)
+
+  override def nullSafeEval(input: Any): Any =
+    ac.countArray(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("acAutomaton", ac,
+      classOf[AcAutomaton].getName)
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = $acRef.countArray($str);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AhoCorasickCount = copy(child = newChild)
+}
+
+object AhoCorasickCount {
+  import org.apache.spark.sql.graftbridge.GraftSql
+
+  /** Column API: `ac_counts(lower(col("text")), terms)`. */
+  def ac_counts(c: Column, patterns: Seq[String]): Column =
+    GraftSql.column(AhoCorasickCount(GraftSql.expression(c), patterns))
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.det.Sig
+import graft.ops.Blocklist
+import Shared.t
+
+/** Blocklist (bad-word / banned-phrase) gate queries — the C4/CCNet
+  * term-list filtering stage, computed by ONE Aho–Corasick pass per
+  * document ([[graft.ops.Blocklist]], native Catalyst expression)
+  * instead of k per-term scans.
+  *
+  * Oracle strategy: every fixture term is BORDERLESS (no proper
+  * prefix that is also a suffix), so the AC all-occurrences count
+  * equals the non-overlapping count, which DuckDB computes exactly as
+  * `(length(t) - length(replace(t, term, ''))) // length(term)` — a
+  * closed form with no position enumeration. The overlap semantics
+  * themselves are pinned by BlocklistSpec's ScalaCheck sweep against
+  * a naive scan. Terms include two-word phrases (cross-word matches)
+  * and a zero-hit term (absent-from-corpus arm). */
+object BlocklistQueries {
+
+  private def sig(x: String) = Sig.sql(x)
+
+  /** Shared fixture blocklist — sorted, borderless, lowercase. */
+  val Terms: Seq[String] = Seq("big data", "drop table", "fast merge",
+    "query", "slow", "spark", "stream", "vector")
+
+  private val termValues =
+    Terms.map(tm => s"('$tm')").mkString(", ")
+
+  /** Per-language lists (CCNet shape) — a subset of [[Terms]] split
+    * across the five fixture languages, so one union automaton serves
+    * all five. */
+  val TermsByLang: Map[String, Seq[String]] = Map(
+    "en" -> Seq("slow", "spark"),
+    "es" -> Seq("query", "stream"),
+    "zh" -> Seq("vector", "big data"),
+    "fr" -> Seq("fast merge"),
+    "de" -> Seq("drop table"))
+
+  /** The (doc, term) hit-count CTE both oracles share. */
+  private val hitCte =
+    s"""terms(term) AS (VALUES $termValues),
+       |d AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |h AS (SELECT d.doc_id, term,
+       |  CAST((length(t) - length(replace(t, term, '')))
+       |    // length(term) AS BIGINT) AS n
+       |  FROM d CROSS JOIN terms)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // corpus-level per-term stats: one aggregation pass over the
+    // counts array (2k element-wise sums, no explode, no shuffle)
+    "text_blocklist_stats" -> ((s, dir) =>
+      Blocklist.termStats(t(s, dir, "documents"), "text", Terms)
+        .orderBy("term")),
+    // per-document gate: total hits, terms hit, keep verdict —
+    // map-only, one AC scan per document
+    "text_blocklist" -> ((s, dir) =>
+      Blocklist.gate(t(s, dir, "documents"), "doc_id", "text", Terms)
+        .orderBy("doc_id")),
+    // per-language lists, one union automaton, grouped aggregation
+    "text_blocklist_by_lang" -> ((s, dir) =>
+      Blocklist.termStatsByLang(t(s, dir, "documents"), "lang",
+        "text", TermsByLang).orderBy("lang", "term")))
+
+  val oracle: Map[String, String] = Map(
+    "text_blocklist_stats" ->
+      s"""WITH $hitCte
+         |SELECT term, CAST(sum(n) AS BIGINT) AS occurrences,
+         |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_hit,
+         |  ${sig("CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS DOUBLE) / (SELECT count(*) FROM documents)")}
+         |    AS doc_hit_rate
+         |FROM h GROUP BY term ORDER BY term""".stripMargin,
+    "text_blocklist" ->
+      s"""WITH $hitCte
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS total_hits,
+         |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS terms_hit,
+         |  sum(n) <= 0 AS kept
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_blocklist_by_lang" -> {
+      val pairValues = TermsByLang.toSeq.sortBy(_._1).flatMap {
+        case (l, ts) => ts.map(tm => s"('$l', '$tm')")
+      }.mkString(", ")
+      s"""WITH pl(lang, term) AS (VALUES $pairValues),
+         |d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+         |h AS (SELECT d.lang, term,
+         |  CAST((length(t) - length(replace(t, term, '')))
+         |    // length(term) AS BIGINT) AS n
+         |  FROM d JOIN pl ON pl.lang = d.lang)
+         |SELECT lang, term, CAST(sum(n) AS BIGINT) AS occurrences,
+         |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_hit
+         |FROM h GROUP BY lang, term ORDER BY lang, term""".stripMargin
+    })
+}

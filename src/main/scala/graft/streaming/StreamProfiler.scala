@@ -784,6 +784,36 @@ object StreamProfiler {
         col("__domain").as("domain"), col("n_docs"), col("n_tokens"))
   }
 
+  /** Windowed blocklist monitoring — per event-time window and
+    * blocklist term, total occurrences and documents hit: the
+    * streaming twin of [[graft.ops.Blocklist.termStats]] (an ingest
+    * gate wants the PER-TERM hit trend, not a corpus constant). The
+    * per-document scan is the same single Aho–Corasick pass
+    * ([[graft.functions.AhoCorasickCount]], map-only, stateless);
+    * state = O(terms) counters per open window. The counts array is
+    * materialized in its own projection BEFORE posexplode so the
+    * generator's pushed-down size filter cannot clone the AC scan. */
+  def blocklistStatsStream(docs: DataFrame, terms: Seq[String],
+      textCol: String = "text", tsCol: String = "ts",
+      watermark: String = "10 minutes", windowLen: String = "1 hour")
+      : DataFrame = {
+    val withCnts = docs.where(col(textCol).isNotNull)
+      .withColumn("__ts", eventTime(docs, tsCol))
+      .select(col("__ts"), graft.functions.AhoCorasickCount
+        .ac_counts(lower(col(textCol)), terms).as("cnts"))
+    val termArr = typedLit(terms.toList)
+    withCnts
+      .select(col("__ts"), posexplode(col("cnts")).as(Seq("i", "n")))
+      .select(col("__ts"),
+        element_at(termArr, col("i") + 1).as("term"), col("n"))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowLen), col("term"))
+      .agg(sum("n").as("occurrences"),
+        sum(when(col("n") > 0, 1L).otherwise(0L)).as("docs_hit"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("term"), col("occurrences"), col("docs_hit"))
+  }
+
   /** Windowed IVF cell OCCUPANCY — per event-time window, how many
     * arriving vectors landed in each cell: the monitoring view over
     * [[ivfAssignStream]] that catches index skew (a hot cell =

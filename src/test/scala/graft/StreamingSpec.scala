@@ -904,4 +904,35 @@ class StreamingSpec extends SparkSpec {
       assert(out.collect { case ((0L, _), c) => c }.sum == 5L)
     } finally q.stop()
   }
+
+  test("blocklistStatsStream matches batch termStats on the closed window") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val terms = Seq("spark", "slow", "big data")
+    val docs = Seq(
+      TsDoc(t(5), 0L, "SPARK is slow slow"),
+      TsDoc(t(20), 1L, "clean text"),
+      TsDoc(t(40), 2L, "big data spark here"))
+    val mem = MemoryStream[TsDoc]
+    val q = StreamProfiler.blocklistStatsStream(mem.toDF(), terms)
+      .writeStream.format("memory").queryName("blstream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      mem.addData(TsDoc(t(2000), 99L, "closer")) // close hour 0
+      q.processAllAvailable()
+      val out = sql.table("blstream")
+        .where(col("window_start_us") === 0L)
+        .collect().map(r => r.getString(1) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      val batch = graft.ops.Blocklist
+        .termStats(docs.toDF(), "text", terms).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(out == batch, s"stream $out != batch $batch")
+      assert(out("slow") == ((2L, 1L)))
+    } finally q.stop()
+  }
 }
