@@ -90,10 +90,15 @@ object BlocklistScaleSmoke {
     println(s"[bl-smoke] values equal across ${terms.size} terms; " +
       s"total hits=${acStats.values.sum}")
 
-    val gateN = timed("AC filterDocs (gate) count") {
-      Blocklist.filterDocs(corpus, "text", terms.take(16)).count()
+    val gateN = timed(s"AC filterDocs early-exit gate (${terms.size} terms)") {
+      Blocklist.filterDocs(corpus, "text", terms).count()
     }
-    println(s"[bl-smoke] gate kept $gateN / $docs")
+    val gateC = timed(s"composed instr-gate x${terms.size}") {
+      corpus.where(terms.map(tm => instr(col("text"), tm) === 0)
+        .reduce(_ && _)).count()
+    }
+    require(gateN == gateC, s"gate mismatch: $gateN != $gateC")
+    println(s"[bl-smoke] gate kept $gateN / $docs (both forms agree)")
     spark.stop()
   }
 }

@@ -36,7 +36,7 @@ final class AcAutomaton(patterns: Array[Array[Byte]])
 
   // --- trie construction -------------------------------------------------
   // goto(state)(byte) = next state, -1 while building
-  private val (gotoTab: Array[Array[Int]],
+  private val (gotoTab2: Array[Array[Int]],
       hitOff: Array[Int], hitIds: Array[Int]) = {
     require(patterns.forall(_.nonEmpty), "empty blocklist pattern")
     val maxStates = patterns.map(_.length).sum + 1
@@ -79,24 +79,58 @@ final class AcAutomaton(patterns: Array[Array[Byte]])
     (g.take(nStates), off, ids)
   }
 
+  /** Flattened transition table (state*256 + byte) — one bounds
+    * check and better locality than the 2-D form in the hot loop. */
+  private val gotoFlat: Array[Int] = {
+    val f = new Array[Int](gotoTab2.length * 256)
+    var s = 0
+    while (s < gotoTab2.length) {
+      System.arraycopy(gotoTab2(s), 0, f, s * 256, 256)
+      s += 1
+    }
+    f
+  }
+
   /** One pass; per-pattern occurrence counts. */
   def count(bytes: Array[Byte]): Array[Long] = {
     val out = new Array[Long](nPatterns)
+    val g = gotoFlat
+    val off = hitOff
     var s = 0
     var i = 0
     while (i < bytes.length) {
-      s = gotoTab(s)(bytes(i) & 0xff)
-      var k = hitOff(s)
-      val end = hitOff(s + 1)
+      s = g((s << 8) | (bytes(i) & 0xff))
+      var k = off(s)
+      val end = off(s + 1)
       while (k < end) { out(hitIds(k)) += 1L; k += 1 }
       i += 1
     }
     out
   }
 
+  /** One pass with EARLY EXIT: true as soon as ANY pattern occurs —
+    * the boolean gate form (`max hits = 0`), where a rejected
+    * document stops at its first hit and a kept document costs
+    * exactly one scan. */
+  def anyHit(bytes: Array[Byte]): Boolean = {
+    val g = gotoFlat
+    val off = hitOff
+    var s = 0
+    var i = 0
+    while (i < bytes.length) {
+      s = g((s << 8) | (bytes(i) & 0xff))
+      if (off(s) != off(s + 1)) return true
+      i += 1
+    }
+    false
+  }
+
   /** Codegen entry point: UTF8String in, Catalyst array out. */
   def countArray(str: UTF8String): GenericArrayData =
     new GenericArrayData(count(str.getBytes))
+
+  /** Codegen entry point for the gate form. */
+  def hit(str: UTF8String): Boolean = anyHit(str.getBytes)
 }
 
 /** Native Catalyst expression: per-pattern occurrence counts of a
@@ -139,10 +173,55 @@ case class AhoCorasickCount(child: Expression, patterns: Seq[String])
       newChild: Expression): AhoCorasickCount = copy(child = newChild)
 }
 
+/** Boolean gate form of [[AhoCorasickCount]]: does ANY pattern occur?
+  * Same automaton, but the scan EARLY-EXITS at the first hit — the
+  * right shape for a zero-tolerance blocklist filter, where rejected
+  * documents (the ones that cost a naive k-scan composition the most)
+  * stop at their first match. */
+case class AhoCorasickHit(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "ac_hit"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"ac_hit needs a string input, got ${child.dataType.catalogString}")
+    else if (patterns.isEmpty || patterns.exists(_.isEmpty))
+      TypeCheckResult.TypeCheckFailure(
+        "ac_hit needs a non-empty list of non-empty patterns")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val ac =
+    new AcAutomaton(patterns.map(_.getBytes("UTF-8")).toArray)
+
+  override def nullSafeEval(input: Any): Any =
+    ac.hit(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("acAutomaton", ac,
+      classOf[AcAutomaton].getName)
+    nullSafeCodeGen(ctx, ev, str =>
+      s"${ev.value} = $acRef.hit($str);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AhoCorasickHit = copy(child = newChild)
+}
+
 object AhoCorasickCount {
   import org.apache.spark.sql.graftbridge.GraftSql
 
   /** Column API: `ac_counts(lower(col("text")), terms)`. */
   def ac_counts(c: Column, patterns: Seq[String]): Column =
     GraftSql.column(AhoCorasickCount(GraftSql.expression(c), patterns))
+
+  /** Column API: `ac_hit(lower(col("text")), terms)` — early-exit
+    * boolean gate. */
+  def ac_hit(c: Column, patterns: Seq[String]): Column =
+    GraftSql.column(AhoCorasickHit(GraftSql.expression(c), patterns))
 }

@@ -57,11 +57,18 @@ object Blocklist {
       .withColumn("kept", col("total_hits") <= maxTotal)
 
   /** Documents that pass the gate (default: zero blocklist hits) —
-    * the production filter composition. Map-only, one pass. */
+    * the production filter composition. Map-only, one pass; the
+    * zero-tolerance case uses the early-exit boolean scan
+    * ([[graft.functions.AhoCorasickHit]]) — a rejected document stops
+    * at its FIRST hit instead of counting the rest. */
   def filterDocs(df: DataFrame, textCol: String, terms: Seq[String],
       maxTotal: Long = 0L): DataFrame =
-    df.where(aggregate(ac_counts(lower(col(textCol)), terms),
-      lit(0L), _ + _) <= maxTotal)
+    if (maxTotal == 0L)
+      df.where(!graft.functions.AhoCorasickCount
+        .ac_hit(lower(col(textCol)), terms))
+    else
+      df.where(aggregate(ac_counts(lower(col(textCol)), terms),
+        lit(0L), _ + _) <= maxTotal)
 
   /** Corpus-level per-term statistics: total occurrences, documents
     * hit, and the document hit rate — ONE aggregation pass computing

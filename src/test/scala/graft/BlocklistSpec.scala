@@ -118,6 +118,27 @@ class BlocklistSpec extends SparkSpec {
     assert(m == Map("spark" -> 2L, "slow" -> 1L))
   }
 
+  test("ac_hit (early-exit gate) agrees with counts on random draws and nulls") {
+    val rnd = new scala.util.Random(7)
+    (1 to 200).foreach { _ =>
+      val text = (1 to rnd.nextInt(40)).map(_ =>
+        "ab".charAt(rnd.nextInt(2))).mkString
+      val pats = (1 to 1 + rnd.nextInt(3)).map(_ =>
+        (1 to 1 + rnd.nextInt(3)).map(_ =>
+          "ab".charAt(rnd.nextInt(2))).mkString).distinct
+      val auto = new graft.functions.AcAutomaton(
+        pats.map(_.getBytes("UTF-8")).toArray)
+      assert(auto.anyHit(text.getBytes("UTF-8")) ==
+        naive(text, pats).exists(_ > 0), s"text=$text pats=$pats")
+    }
+    val d = df(0L -> "clean", 1L -> null, 2L -> "has spark here")
+    val r = d.select(col("doc_id"), graft.functions.AhoCorasickCount
+      .ac_hit(col("text"), Seq("spark")).as("h")).collect()
+      .map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getBoolean(1)))).toMap
+    assert(r == Map(0L -> Some(false), 1L -> None, 2L -> Some(true)))
+  }
+
   test("termStatsByLang reports only each language's own list") {
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("lang", StringType), StructField("text", StringType)))
