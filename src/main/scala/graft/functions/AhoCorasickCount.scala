@@ -224,4 +224,17 @@ object AhoCorasickCount {
     * boolean gate. */
   def ac_hit(c: Column, patterns: Seq[String]): Column =
     GraftSql.column(AhoCorasickHit(GraftSql.expression(c), patterns))
+
+  private def litPatterns(exprs: Seq[Expression]): Seq[String] =
+    exprs.tail.map(_.eval(null)
+      .asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+
+  /** SQL registration: `ac_counts(text, 't1', 't2', …)` /
+    * `ac_hit(text, 't1', …)` with literal pattern arguments. */
+  def register(spark: SparkSession): Unit = {
+    GraftSql.registerFunction(spark, "ac_counts",
+      exprs => AhoCorasickCount(exprs.head, litPatterns(exprs)))
+    GraftSql.registerFunction(spark, "ac_hit",
+      exprs => AhoCorasickHit(exprs.head, litPatterns(exprs)))
+  }
 }

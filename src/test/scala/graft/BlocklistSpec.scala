@@ -158,6 +158,33 @@ class BlocklistSpec extends SparkSpec {
       ("es", "stream") -> ((1L, 1L))))
   }
 
+  test("gate plan shape: map-only, no exchange, inside codegen") {
+    // parquet-backed source: a LocalRelation would be constant-folded
+    // by ConvertToLocalRelation and leave no plan to assert on
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bl_plan").toString
+    df(0L -> "spark slow", 1L -> "clean").write
+      .mode("overwrite").parquet(dir)
+    val d = spark.read.parquet(dir)
+    val plan = Blocklist.filterDocs(d, "text", Seq("spark", "x y"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"blocklist gate must be map-only:\n$plan")
+    // `*(1)` is the whole-stage-codegen marker in the simple plan
+    // string — the filter must carry it
+    assert(plan.contains("*(1) Filter"),
+      s"ac_hit must stay inside whole-stage codegen:\n$plan")
+  }
+
+  test("SQL registration: ac_counts / ac_hit usable from SQL") {
+    graft.functions.AhoCorasickCount.register(spark)
+    df(0L -> "spark slow spark").createOrReplaceTempView("bldocs")
+    val r = spark.sql("SELECT ac_counts(text, 'spark', 'slow') AS c, " +
+      "ac_hit(text, 'absent') AS h FROM bldocs").collect().head
+    assert(r.getSeq[Long](0) == Seq(2L, 1L))
+    assert(!r.getBoolean(1))
+  }
+
   test("ac_counts rejects empty pattern lists and non-string input") {
     val d = df(0L -> "x")
     intercept[Exception] {
