@@ -68,6 +68,13 @@ def main():
     if "--no-verify" not in sys.argv:
         run_verify()
     con = duckdb.connect()
+    # optional memory cap (e.g. "90GB"): DuckDB then SPILLS heavy
+    # oracle joins to disk instead of being OOM-killed — needed for
+    # the quadratic dedup-family oracles at sf>=1
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
