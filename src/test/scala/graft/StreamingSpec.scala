@@ -905,6 +905,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Blocklist.filterDocs is streaming-compatible (stateless gate)") {
+    val sql = spark
+    import sql.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val q = graft.ops.Blocklist
+      .filterDocs(mem.toDF(), "text", Seq("spark", "bad phrase"))
+      .writeStream.format("memory").queryName("blgate")
+      .outputMode("append").start()
+    try {
+      mem.addData(StreamDoc(0L, "clean doc"),
+        StreamDoc(1L, "has SPARK inside"),
+        StreamDoc(2L, "a bad phrase here"),
+        StreamDoc(3L, "also fine"))
+      q.processAllAvailable()
+      val kept = sql.table("blgate").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(0L, 3L))
+    } finally q.stop()
+  }
+
   test("blocklistStatsStream matches batch termStats on the closed window") {
     val sql = spark
     import sql.implicits._
