@@ -38,13 +38,16 @@ object Datasheet {
     *  - quality:  per-language mean quality + low-quality share
     *  - dedup:    exact text duplication counts (one entity)
     *  - pii:      regex-detected exposure totals (one entity)
+    *  - blocklist (opt-in): per-term occurrences / docs hit / hit
+    *    rate from ONE Aho–Corasick pass ([[Blocklist.termStats]])
     */
   def corpusDatasheet(docs: DataFrame, srcCol: String = "source",
       langCol: String = "lang", idCol: String = "doc_id",
       textCol: String = "text", urlCol: Option[String] = None,
       hotShare: Double = 0.05,
       gate: Option[QualityRules.Thresholds] = None,
-      lrIters: Option[Int] = None): DataFrame = {
+      lrIters: Option[Int] = None,
+      blocklist: Option[Seq[String]] = None): DataFrame = {
     val corpus = melt(TextStats.manifest(docs, srcCol, textCol),
       "corpus", col(srcCol),
       Seq("n_docs", "n_tokens", "n_chars", "doc_share"))
@@ -108,8 +111,16 @@ object Datasheet {
           "auc"))
     }
 
+    // blocklist: per-term exposure of a curated banned-term list —
+    // opt-in because the list is a pipeline decision
+    val blSec = blocklist.map { terms =>
+      melt(Blocklist.termStats(docs, textCol, terms),
+        "blocklist", col("term"),
+        Seq("occurrences", "docs_hit", "doc_hit_rate"))
+    }
+
     (Seq(corpus) ++ domains ++ Seq(quality, dedup, pii) ++ gateSec ++
-        modelSec)
+        modelSec ++ blSec)
       .reduce(_.unionByName(_))
       .orderBy("section", "entity", "metric")
   }

@@ -48,7 +48,8 @@ object UrlQueries {
           "text"), "doc_id")
       graft.ops.Datasheet.corpusDatasheet(d, urlCol = Some("url"),
         gate = Some(graft.ops.QualityRules.Thresholds(30L, 90L, 3.8,
-          5.0, 2L, 0.12)), lrIters = Some(5))
+          5.0, 2L, 0.12)), lrIters = Some(5),
+        blocklist = Some(BlocklistQueries.Terms))
     }),
     // PageRank mass rolled up to registrable domains — "which
     // domains carry the link authority" (the per-domain rank a
@@ -342,7 +343,13 @@ object UrlQueries {
         "CASE WHEN 2 * tp + fp + fn > 0 THEN " +
           sig("CAST(2.0 AS DOUBLE) * tp / (2 * tp + fp + fn)") +
           " ELSE CAST(NULL AS DOUBLE) END", "lrcm"),
-      arm("model", "'__model__'", "auc", "auc", "lrauc"))
+      arm("model", "'__model__'", "auc", "auc", "lrauc"),
+      arm("blocklist", "term", "occurrences",
+        "CAST(occurrences AS DOUBLE)", "bls"),
+      arm("blocklist", "term", "docs_hit", "CAST(docs_hit AS DOUBLE)",
+        "bls"),
+      arm("blocklist", "term", "doc_hit_rate",
+        sig("CAST(docs_hit AS DOUBLE) / bl_nd"), "bls"))
     s"""WITH base AS (SELECT doc_id, source, lang, text ||
        |    CASE WHEN doc_id % 3 >= 1 THEN ' mail user' ||
        |      CAST(doc_id AS VARCHAR) || 'a@mail.example.com'
@@ -477,7 +484,18 @@ object UrlQueries {
        |  ELSE ${sig("(s - CAST(np AS DOUBLE) * (CAST(np AS DOUBLE)" +
             " + 1) / CAST(2.0 AS DOUBLE)) / (CAST(np AS DOUBLE) *" +
             " CAST(n - np AS DOUBLE))")}
-       |  END AS auc FROM lrag)
+       |  END AS auc FROM lrag),
+       |blt(term) AS (VALUES ${BlocklistQueries.Terms
+            .map(tm => s"('$tm')").mkString(", ")}),
+       |blh AS (SELECT b.doc_id, term,
+       |  CAST((length(lower(t2)) - length(replace(lower(t2), term,
+       |    ''))) // length(term) AS BIGINT) AS n
+       |  FROM base b CROSS JOIN blt),
+       |bls AS (SELECT term, CAST(sum(n) AS BIGINT) AS occurrences,
+       |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_hit,
+       |  (SELECT count(*) FROM base) AS bl_nd
+       |  FROM blh GROUP BY term)
        |${arms.mkString("\nUNION ALL\n")}
        |ORDER BY section, entity, metric""".stripMargin
   }
