@@ -32,13 +32,18 @@ import org.apache.spark.unsafe.types.UTF8String
 final class AcAutomaton(patterns: Array[Array[Byte]])
     extends Serializable {
 
+  require(patterns.forall(_.nonEmpty), "empty blocklist pattern")
+
   val nPatterns: Int = patterns.length
 
   // --- trie construction -------------------------------------------------
+  // ONLY `patterns` is serialized state: the dense tables (1 KiB per
+  // state) live in this @transient lazy group and are rebuilt once
+  // per JVM on first use, so the plan ships the tiny term list, never
+  // the automaton. The flat table is built in place (the 2-D build
+  // array is local and dropped), so peak memory is one table, not two.
   // goto(state)(byte) = next state, -1 while building
-  private val (gotoTab2: Array[Array[Int]],
-      hitOff: Array[Int], hitIds: Array[Int]) = {
-    require(patterns.forall(_.nonEmpty), "empty blocklist pattern")
+  @transient private lazy val tables: (Array[Int], Array[Int], Array[Int]) = {
     val maxStates = patterns.map(_.length).sum + 1
     val g = Array.fill(maxStates, 256)(-1)
     val ends = Array.fill(maxStates)(List.empty[Int]) // pattern ids ending here
@@ -76,33 +81,34 @@ final class AcAutomaton(patterns: Array[Array[Byte]])
       var k = off(s)
       ends(s).foreach { id => ids(k) = id; k += 1 }
     }
-    (g.take(nStates), off, ids)
-  }
-
-  /** Flattened transition table (state*256 + byte) — one bounds
-    * check and better locality than the 2-D form in the hot loop. */
-  private val gotoFlat: Array[Int] = {
-    val f = new Array[Int](gotoTab2.length * 256)
+    // flatten (state*256 + byte) — one bounds check and better
+    // locality than the 2-D form in the hot loop
+    val f = new Array[Int](nStates * 256)
     var s = 0
-    while (s < gotoTab2.length) {
-      System.arraycopy(gotoTab2(s), 0, f, s * 256, 256)
+    while (s < nStates) {
+      System.arraycopy(g(s), 0, f, s * 256, 256)
       s += 1
     }
-    f
+    (f, off, ids)
   }
+
+  @transient private lazy val gotoFlat: Array[Int] = tables._1
+  @transient private lazy val hitOff: Array[Int] = tables._2
+  @transient private lazy val hitIds: Array[Int] = tables._3
 
   /** One pass; per-pattern occurrence counts. */
   def count(bytes: Array[Byte]): Array[Long] = {
     val out = new Array[Long](nPatterns)
     val g = gotoFlat
     val off = hitOff
+    val ids = hitIds
     var s = 0
     var i = 0
     while (i < bytes.length) {
       s = g((s << 8) | (bytes(i) & 0xff))
       var k = off(s)
       val end = off(s + 1)
-      while (k < end) { out(hitIds(k)) += 1L; k += 1 }
+      while (k < end) { out(ids(k)) += 1L; k += 1 }
       i += 1
     }
     out

@@ -28,6 +28,14 @@ import graft.functions.AhoCorasickCount.ac_counts
   */
 object Blocklist {
 
+  /** Escape a term for embedding in a Spark SQL single-quoted literal
+    * (the `stack` reshape below): backslashes FIRST (Spark string
+    * literals treat `\` as an escape even outside ANSI mode), then
+    * quotes — an unescaped backslash would silently shift every
+    * subsequent term's column alignment. */
+  private def sqlLit(t: String): String =
+    t.replace("\\", "\\\\").replace("'", "\\'")
+
   /** Per-document per-term hit counts, exploded to scalar rows:
     * (id, term, n) for every document × term. One AC pass per doc. */
   def matchCounts(df: DataFrame, idCol: String, textCol: String,
@@ -87,7 +95,7 @@ object Blocklist {
     } :+ sum(col("one")).as("n_docs")
     val one = cnts.agg(aggs.head, aggs.tail: _*)
     val stackArgs = terms.zipWithIndex.map { case (t, i) =>
-      s"'${t.replace("'", "''")}', tot_$i, hit_$i"
+      s"'${sqlLit(t)}', tot_$i, hit_$i"
     }.mkString(", ")
     one.selectExpr(s"stack(${terms.size}, $stackArgs) " +
       "AS (term, occurrences, docs_hit)", "n_docs")
@@ -106,6 +114,10 @@ object Blocklist {
     * breaks the single-projection shape. */
   def termStatsByLang(df: DataFrame, langCol: String, textCol: String,
       lists: Map[String, Seq[String]]): DataFrame = {
+    // \u0001 is the (lang, term) membership-key separator below — a
+    // term containing it could alias another language's entry
+    require(lists.values.flatten.forall(!_.contains('\u0001')),
+      "blocklist terms must not contain \\u0001 (membership separator)")
     val union = lists.values.flatten.toSeq.distinct.sorted
     val cnts = df.select(col(langCol).as("lang"),
       ac_counts(lower(col(textCol)), union).as("cnts"))
@@ -116,7 +128,7 @@ object Blocklist {
     }
     val g = cnts.groupBy("lang").agg(aggs.head, aggs.tail: _*)
     val stackArgs = union.zipWithIndex.map { case (t, i) =>
-      s"'${t.replace("'", "''")}', tot_$i, hit_$i"
+      s"'${sqlLit(t)}', tot_$i, hit_$i"
     }.mkString(", ")
     val rows = g.selectExpr("lang",
       s"stack(${union.size}, $stackArgs) AS (term, occurrences, docs_hit)")

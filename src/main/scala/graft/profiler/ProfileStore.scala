@@ -495,8 +495,9 @@ object ProfileStore {
     * [[Stats.spearmanApprox]] within the documented 0.05 bound while
     * the data's marginals stay near the grid's reference batch
     * (unit-pinned store-vs-scan in ProfileStoreSpec/Round13Spec).
-    * Empty when the store predates v4's grid or has < 2 numeric
-    * columns. */
+    * Empty when the store predates v4's grid (v3 stores carry no
+    * SpearRow state — v3 is readable here because its state rows are
+    * a strict subset of v4's) or has < 2 numeric columns. */
   def mergedSpearmanApprox(spark: SparkSession, path: String,
       snapshotIds: Option[Seq[String]] = None)
       : Seq[(String, String, Double)] =
@@ -506,7 +507,10 @@ object ProfileStore {
       rowName: String, snapshotIds: Option[Seq[String]])
       : Seq[(String, String, Double)] = {
     val (version, _, _) = readMeta(spark, path)
-    require(version == FormatVersion,
+    // v3 state is a strict subset of v4 (no SpearRow grid-rank
+    // buffers), so the correlation readers stay backward-compatible:
+    // Pearson merges as before, Spearman comes back empty
+    require(version == FormatVersion || version == 3,
       s"profile store at $path has format v$version")
     val st0 = spark.read.parquet(s"$path/state")
       .where(col("col_name") === rowName)

@@ -73,10 +73,15 @@ object BlocklistQueries {
          |  ${sig("CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS DOUBLE) / (SELECT count(*) FROM documents)")}
          |    AS doc_hit_rate
          |FROM h GROUP BY term ORDER BY term""".stripMargin,
+    // a null text yields NULL counts on the Spark side (ac_counts is
+    // null-in-null-out, so total_hits, terms_hit, and kept are all
+    // NULL); n IS NULL exactly for null-text docs here, so the CASE
+    // keeps the engines aligned should the fixture ever gain one
     "text_blocklist" ->
       s"""WITH $hitCte
          |SELECT doc_id, CAST(sum(n) AS BIGINT) AS total_hits,
-         |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |  CAST(CASE WHEN sum(n) IS NULL THEN NULL
+         |    ELSE sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) END AS BIGINT)
          |    AS terms_hit,
          |  sum(n) <= 0 AS kept
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
