@@ -429,6 +429,58 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** The PRODUCTION near-dup pair plan: MinHash-LSH banded candidate
+    * generation with the EXACT n-gram Jaccard verified ONLY on the
+    * candidates — the standard two-phase web-scale design (candidates
+    * from banding, precision from exact verification; Lee et al.,
+    * ACL 2022 §4.1 describe the same candidate→verify split). Where
+    * [[ngramJaccardPairs]] pays Θ(Σ_g df(g)²) for the inverted-index
+    * self-join, this plan is linear: one shingle aggregation
+    * producing BOTH the 64-hash signature and the doc's shingle-set
+    * array (one shuffle, reused by every downstream consumer via
+    * ReuseExchange), a banded bucket join bounded by the `maxBucket`
+    * star cap, and an O(candidates) verify computing the exact
+    * Jaccard from the two docs' shingle arrays (`array_intersect` —
+    * no re-scan of the corpus, no index self-join).
+    *
+    * Output schema AND values match [[ngramJaccardPairs]] wherever
+    * banding recall is 1 (same division arithmetic on the same
+    * intersection counts), so the exact-pair oracle replays verbatim;
+    * the fixtures' surviving pairs sit at J ≥ 0.8 where 16×4 banding
+    * capture is 1 − (1 − J⁴)¹⁶ ≥ 0.9998 per pair and deterministic
+    * given the seeded hashes (the dedup_minhash containment gate pins
+    * exactly this). A pair suppressed by the star cap (both members
+    * of an over-cap bucket, neither the representative) degrades the
+    * PAIR LIST but not cluster connectivity — the cap's documented
+    * contract. */
+  def minhashVerifiedPairs(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minJaccard: Double = 0.5, maxDf: Option[Long] = None,
+      maxBucket: Option[Long] = Some(1024L)): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n, maxDf)
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")) ++
+      Seq(collect_set(col("shingle")).as("ss"),
+        count(lit(1)).as("sz"))
+    // one aggregation = signatures + shingle sets + sizes; the three
+    // consumers below all read this same exchange
+    val docs = sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val cand = bandedCandidates(
+      bandedFromSignatures(docs, numHashes, bands), maxBucket)
+    cand
+      .join(docs.select(col("id").as("id_a"), col("ss").as("ss_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("ss").as("ss_b"),
+        col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("ss_a"), col("ss_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Exact cross-side n-gram Jaccard pairs (incoming × catalog) —
     * the ground-truth premise for incremental dedup: every
     * (incoming, catalog) pair whose capped-3-gram Jaccard reaches

@@ -19,6 +19,21 @@ import graft.ops.{Dedup, Materialize, Sampling, TextStats}
   * funnel is itself oracle-checkable (`pipeline_funnel`). */
 object CorpusPipeline {
 
+  /** How the funnel's near-dedup stage generates candidate pairs.
+    * Both strategies emit the same (id_a, id_b, jaccard) frame at the
+    * same exact-Jaccard threshold — they differ only in HOW
+    * candidates are found, so the funnel oracle is strategy-
+    * independent wherever banding recall is 1 (the fixtures). */
+  sealed trait NearDupStrategy
+  /** Exact inverted-index pair join ([[Dedup.ngramJaccardPairs]]) —
+    * the audit path: ground truth, but Θ(Σ_g df(g)²) candidates. */
+  case object ExactNgram extends NearDupStrategy
+  /** MinHash-banded candidates verified exactly on the candidate set
+    * ([[Dedup.minhashVerifiedPairs]]) — the production path: linear
+    * in the corpus, bucket skew bounded by the star cap. */
+  final case class BandedMinHash(numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Option[Long] = Some(1024L)) extends NearDupStrategy
+
   case class FunnelConfig(
       minTokens: Long = 20L,
       maxTokens: Long = 1000L,
@@ -26,7 +41,18 @@ object CorpusPipeline {
       dedupMinJaccard: Double = 0.5,
       contaminationMinShared: Long = 5L,
       maxDf: Long = 1000L,
-      holdoutPerMille: Int = 100)
+      holdoutPerMille: Int = 100,
+      nearDup: NearDupStrategy = ExactNgram,
+      // route decontamination through the Bloom prefilter
+      // ([[graft.ops.BloomPrefilter.bloomDecontaminate]] — identical
+      // result by the no-false-negatives argument, candidates cut to
+      // the sliver that can overlap the eval set)
+      bloomContam: Boolean = false)
+
+  /** The production-shape funnel parameterization: banded near-dup +
+    * Bloom-prefiltered decontamination. Same thresholds, same oracle. */
+  val BandedConfig: FunnelConfig =
+    FunnelConfig(nearDup = BandedMinHash(), bloomContam = true)
 
   /** Quality-filter survivors: token count in range and the
     * (sig5-rounded) top-bigram repetition below threshold. */
@@ -43,11 +69,25 @@ object CorpusPipeline {
 
   /** Near-dedup keep: drop cluster members that are not the
     * minimum-id representative. */
+  /** The near-dup pair frame for `docs` under the configured
+    * strategy — one dispatch site, so every funnel variant's dedup
+    * stage is the same code path modulo candidate generation. */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      cfg: FunnelConfig): DataFrame = cfg.nearDup match {
+    case ExactNgram =>
+      Dedup.ngramJaccardPairs(docs, idCol, textCol, n = 3,
+        minJaccard = cfg.dedupMinJaccard, maxDf = Some(cfg.maxDf))
+    case BandedMinHash(numHashes, bands, maxBucket) =>
+      Dedup.minhashVerifiedPairs(docs, idCol, textCol, n = 3,
+        numHashes = numHashes, bands = bands,
+        minJaccard = cfg.dedupMinJaccard, maxDf = Some(cfg.maxDf),
+        maxBucket = maxBucket)
+  }
+
   def dedupKeepOne(docs: DataFrame, idCol: String, textCol: String,
       cfg: FunnelConfig): DataFrame = {
     val clusters = Dedup.duplicateClustersStar(
-      Dedup.ngramJaccardPairs(docs, idCol, textCol, n = 3,
-        minJaccard = cfg.dedupMinJaccard, maxDf = Some(cfg.maxDf)))
+      nearDupPairs(docs, idCol, textCol, cfg))
     docs.join(
       clusters.where(col("doc_id") =!= col("cluster_id"))
         .select(col("doc_id").as(idCol)),
@@ -58,10 +98,17 @@ object CorpusPipeline {
     * with any eval doc. */
   def decontaminated(docs: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String, cfg: FunnelConfig): DataFrame = {
-    val flagged = Dedup.contaminationPairs(docs, evalDocs, idCol,
-        textCol, n = 3, minShared = cfg.contaminationMinShared,
-        maxDf = Some(cfg.maxDf))
-      .select(col("train_id").as(idCol)).distinct()
+    val pairs =
+      if (cfg.bloomContam)
+        graft.ops.BloomPrefilter.bloomDecontaminate(docs, evalDocs,
+          idCol, textCol, n = 3,
+          minShared = cfg.contaminationMinShared,
+          maxDf = Some(cfg.maxDf))
+      else
+        Dedup.contaminationPairs(docs, evalDocs, idCol,
+          textCol, n = 3, minShared = cfg.contaminationMinShared,
+          maxDf = Some(cfg.maxDf))
+    val flagged = pairs.select(col("train_id").as(idCol)).distinct()
     docs.join(flagged, Seq(idCol), "left_anti")
   }
 

@@ -20,6 +20,13 @@ object DedupQueries {
     "dedup_ngram" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf))),
+    // the PRODUCTION near-dup pair plan (r14): MinHash-banded
+    // candidates, exact Jaccard verified on candidates only — linear
+    // where dedup_ngram is Θ(Σdf²); SAME oracle (values match the
+    // exact plan wherever banding recall is 1, which the fixtures pin)
+    "dedup_ngram_banded" -> ((s, dir) =>
+      Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id",
+        "text", n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf))),
     // LANGUAGE-blocked near-dup: candidates generated only within a
     // block (the block rides the shingle-join key, df cap per block)
     // — the crawl-dedup partition; the oracle replays the blocked
@@ -40,6 +47,23 @@ object DedupQueries {
         .select((col("doc_id") * 1000000000L + col("chunk_idx"))
           .as("cid"), col("chunk_text"))
       Dedup.ngramJaccardPairs(ch, "cid", "chunk_text", n = 3,
+          minJaccard = 0.8, maxDf = Some(NgramMaxDf))
+        .select(expr("id_a div 1000000000").as("doc_a"),
+          pmod(col("id_a"), lit(1000000000L)).as("chunk_a"),
+          expr("id_b div 1000000000").as("doc_b"),
+          pmod(col("id_b"), lit(1000000000L)).as("chunk_b"),
+          col("jaccard"))
+        .orderBy("doc_a", "chunk_a", "doc_b", "chunk_b")
+    }),
+    // passage-level near-dup on the PRODUCTION pair plan — the banded
+    // twin of chunk_dedup (chunks are the unit, so the candidate
+    // volume the banding bounds is per-chunk); same oracle
+    "chunk_dedup_banded" -> ((s, dir) => {
+      val ch = Chunking.chunkTokens(t(s, dir, "documents"), "doc_id",
+          "text", size = 64, stride = 48)
+        .select((col("doc_id") * 1000000000L + col("chunk_idx"))
+          .as("cid"), col("chunk_text"))
+      Dedup.minhashVerifiedPairs(ch, "cid", "chunk_text", n = 3,
           minJaccard = 0.8, maxDf = Some(NgramMaxDf))
         .select(expr("id_a div 1000000000").as("doc_a"),
           pmod(col("id_a"), lit(1000000000L)).as("chunk_a"),
@@ -119,6 +143,11 @@ object DedupQueries {
     // any-diameter scale path (min-label propagation kept as the
     // cross-checked simple variant)
     "dedup_clusters" -> ((s, dir) => docClusters(s, dir)),
+    // the banded production twin of dedup_clusters: same star
+    // clustering over minhashVerifiedPairs candidates (star-capped
+    // buckets preserve connectivity, so even an engaged cap keeps the
+    // cluster frame identical); same exact-closure oracle
+    "dedup_clusters_banded" -> ((s, dir) => bandedDocClusters(s, dir)),
     // end-to-end keep-one-representative stats over the SAME clusters
     // frame dedup_clusters declares (one construction site — the two
     // queries cannot drift; a real pipeline materializes the clusters
@@ -126,6 +155,11 @@ object DedupQueries {
     "dedup_keep" -> ((s, dir) =>
       Dedup.keepStats(t(s, dir, "documents"), "doc_id",
         docClusters(s, dir))),
+    // keep-one stats over the BANDED cluster frame — the production
+    // end-to-end dedup decision; same oracle as dedup_keep
+    "dedup_keep_banded" -> ((s, dir) =>
+      Dedup.keepStats(t(s, dir, "documents"), "doc_id",
+        bandedDocClusters(s, dir))),
     // the scale path IS the declared query: banded hyperplane LSH with
     // the oracle replicating the banding (plane literals in the SQL)
     "dedup_embed" -> ((s, dir) =>
@@ -566,6 +600,13 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "chunk_dedup" -> chunkDedupSql,
+    // banded production twins share the exact plans' oracles: the
+    // declared contract is "identical values wherever banding recall
+    // is 1", and the compare enforces it
+    "chunk_dedup_banded" -> chunkDedupSql,
+    "dedup_ngram_banded" -> dedupNgramSql,
+    "dedup_clusters_banded" -> dedupClustersSql,
+    "dedup_keep_banded" -> dedupKeepSql,
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_exact" -> dedupExactSql,

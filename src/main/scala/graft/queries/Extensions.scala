@@ -26,6 +26,18 @@ object Extensions {
         docs.where(col("source") === "src0"),
         "doc_id", "text")
     }),
+    // the PRODUCTION-shape funnel (r14): near-dedup via MinHash-banded
+    // candidates + exact verify, decontamination through the Bloom
+    // prefilter — the declared end-to-end plan a user runs at 100 TB.
+    // Identical stage counts, SAME oracle (banding recall 1 on the
+    // fixtures, bloom provably lossless)
+    "pipeline_funnel_banded" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusPipeline.funnelCounts(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", CorpusPipeline.BandedConfig)
+    }),
     // the CCNet-complete funnel: rule gate → per-language KN tercile
     // cut against a TARGET-trained LM (drop the tail) → near-dedup
     // keep → decontamination — stage counts vs DuckDB's independent
@@ -48,6 +60,16 @@ object Extensions {
         docs.where(col("source") =!= "src0"),
         docs.where(col("source") === "src0"),
         "doc_id", "text", ClassifierQueries.Th)
+    }),
+    // the model-gated funnel on the production dedup/decontamination
+    // paths (banded near-dup + bloom prefilter); same oracle
+    "pipeline_curate_banded" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusPipeline.curateCounts(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", ClassifierQueries.Th,
+        cfg = CorpusPipeline.BandedConfig)
     }),
     // link-graph centrality over the deterministic synthesized crawl
     // graph: 3 power iterations of damped PageRank, top-20 on the
@@ -1138,6 +1160,8 @@ object Extensions {
     "cat_association" -> catAssociationSql,
     "num_histogram_eqdepth" -> numHistogramEqdepthSql,
     "pipeline_funnel" -> pipelineFunnelSql,
+    "pipeline_funnel_banded" -> pipelineFunnelSql,
+    "pipeline_curate_banded" -> pipelineCurateSql,
     "pipeline_ccnet" -> pipelineCcnetSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_pagerank_incremental" -> graphPagerankIncrementalSql,

@@ -45,6 +45,13 @@ object SampleQueries {
     "sample_split" -> ((s, dir) =>
       Sampling.splitStats(t(s, dir, "documents"), docClusters(s, dir),
         "doc_id", "n_chars")),
+    // the PRODUCTION-path split: same cluster-representative rule
+    // over the BANDED cluster frame (linear candidate generation);
+    // same oracle — the cluster frames agree wherever banding recall
+    // is 1, which the shared exact oracle pins
+    "sample_split_banded" -> ((s, dir) =>
+      Sampling.splitStats(t(s, dir, "documents"),
+        bandedDocClusters(s, dir), "doc_id", "n_chars")),
     // the leakage AUDIT behind sample_split: near-dup pairs crossing
     // a split boundary under the naive per-doc hash vs the
     // cluster-representative split (whose cross count is zero BY
@@ -52,6 +59,16 @@ object SampleQueries {
     "split_leakage" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf))
+      Sampling.splitLeakage(docs, pairs,
+        Dedup.duplicateClustersStar(pairs), "doc_id")
+    }),
+    // the leakage audit on the PRODUCTION pair plan — banded
+    // candidates, exact verify; one pair frame feeds both the naive
+    // cross count and the cluster split, exactly as split_leakage
+    "split_leakage_banded" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashVerifiedPairs(docs, "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf))
       Sampling.splitLeakage(docs, pairs,
         Dedup.duplicateClustersStar(pairs), "doc_id")
@@ -352,6 +369,9 @@ object SampleQueries {
     "sample_stratified_hash" -> sampleStratifiedHashSql,
     "sample_weighted" -> sampleWeightedSql,
     "sample_split" -> sampleSplitSql,
-    "split_leakage" -> splitLeakageSql
+    "split_leakage" -> splitLeakageSql,
+    // banded twins: identical declared values, shared exact oracles
+    "sample_split_banded" -> sampleSplitSql,
+    "split_leakage_banded" -> splitLeakageSql
   )
 }

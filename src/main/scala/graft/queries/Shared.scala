@@ -39,6 +39,16 @@ private[queries] object Shared {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf)))
 
+  /** The PRODUCTION-path twin of [[docClusters]]: candidate pairs
+    * from MinHash banding, exact Jaccard verified on candidates only
+    * ([[Dedup.minhashVerifiedPairs]] — linear, no Σdf² index
+    * self-join). Identical cluster frame wherever banding recall is 1
+    * (the fixtures — pinned by the shared exact oracle). */
+  def bandedDocClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClustersStar(
+      Dedup.minhashVerifiedPairs(t(s, dir, "documents"), "doc_id",
+        "text", n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf)))
+
   def shingleCteSql(p: String, src: String): String =
     s"""${p}0 AS (
        |  SELECT id, unnest(grams) AS shingle FROM (
