@@ -1108,6 +1108,26 @@ object Dedup {
     * `maxDf` cap defuses boilerplate shingles on both sides. A
     * training pipeline drops (or flags) every training doc that
     * contaminates an eval doc. */
+  /** Corpus-size-ROUTED decontamination (the quantilesByDtype
+    * dispatch pattern made explicit for the gram-probe family): the
+    * exact inverted-index join is the audit path, affordable while
+    * the training side is small; above `bloomAboveRows` the SAME
+    * result is computed through the Bloom prefilter
+    * ([[BloomPrefilter.bloomDecontaminate]] — provably lossless, no
+    * false negatives), whose corpus-side pass is a map-only bitset
+    * probe. One count() action (scan-only, no shuffle) decides; both
+    * branches share one oracle because both are value-identical. */
+  def contaminationPairsRouted(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, minShared: Long = 5L,
+      maxDf: Option[Long] = None, bloomAboveRows: Long = 20000L)
+      : DataFrame =
+    if (train.count() > bloomAboveRows)
+      BloomPrefilter.bloomDecontaminate(train, eval, idCol, textCol,
+        n, minShared, maxDf)
+    else
+      contaminationPairs(train, eval, idCol, textCol, n, minShared,
+        maxDf)
+
   def contaminationPairs(train: DataFrame, eval: DataFrame,
       idCol: String, textCol: String, n: Int = 3, minShared: Long = 5L,
       maxDf: Option[Long] = None): DataFrame = {

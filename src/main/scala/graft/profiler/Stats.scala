@@ -324,6 +324,78 @@ object Stats {
       .orderBy(col(groupCol), col("col_name"))
   }
 
+  /** GK-PER-GROUP escape for [[groupedQuantiles]]: exact grouped
+    * `percentile` holds O(distinct values) of state per (group, col)
+    * — the routed form runs percentile_approx inside the grouped agg
+    * (state bounded by `accuracy` per cell) and declares the
+    * per-(group, column, percentile) rank CONTRACT, checked against
+    * exact ranks counted in ONE second grouped pass (the approx
+    * values ride a per-group CASE literal — O(groups × cols × 5)
+    * driver state, so the group key must be a low-cardinality facet,
+    * the same domain [[groupedQuantiles]] documents). Oracle:
+    * all-true rows per (group, col, percentile) — scale-invariant,
+    * while a sketch regression still fails the compare. */
+  def groupedQuantilesRouted(df: DataFrame, groupCol: String,
+      cols: Seq[String], accuracy: Int = 10000): DataFrame = {
+    val arr = Ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val qAggs = cols.map(c =>
+      expr(s"percentile_approx(cast(`$c` as double), $arr, $accuracy)")
+        .as(s"q__$c"))
+    val g = col(groupCol).cast("string")
+    val qRows = df.groupBy(g.as("grp"))
+      .agg(qAggs.head, qAggs.tail: _*).collect()
+    val groups = qRows.map(_.getString(0))
+    // per (group, col, p) approx value; None when the cell was empty
+    val av: Map[(String, String, Int), Option[Double]] = (for {
+      r <- qRows; c <- cols; i <- Ps.indices
+    } yield {
+      val arr = r.getAs[scala.collection.Seq[Any]](s"q__$c")
+      ((r.getString(0), c, i),
+        if (arr == null) None
+        else Option(arr(i)).map(_.asInstanceOf[Double]))
+    }).toMap
+    // second grouped pass: exact lo/hi ranks against the per-group
+    // literal (CASE on the group value — no join, no explode)
+    val cntAggs = cols.flatMap { c =>
+      count(d(c)).as(s"n__$c") +: Ps.indices.flatMap { i =>
+        val lits = groups.flatMap(gr =>
+          av((gr, c, i)).map(v => when(g <=> lit(gr), lit(v))))
+        if (lits.isEmpty) Seq.empty
+        else {
+          val avc = coalesce(lits: _*)
+          Seq(coalesce(sum(when(d(c) < avc, 1L)), lit(0L))
+              .as(s"lo__${c}__$i"),
+            coalesce(sum(when(d(c) <= avc, 1L)), lit(0L))
+              .as(s"hi__${c}__$i"))
+        }
+      }
+    }
+    val cnts = df.groupBy(g.as("grp"))
+      .agg(cntAggs.head, cntAggs.tail: _*).collect()
+    val spark = df.sparkSession
+    import spark.implicits._
+    cnts.toSeq.flatMap { r =>
+      val gr = r.getString(0)
+      cols.flatMap { c =>
+        val n = r.getAs[Long](s"n__$c")
+        Ps.zip(pNames).zipWithIndex.map { case ((p, nm), i) =>
+          val ok = av((gr, c, i)) match {
+            case None => n == 0
+            case Some(_) =>
+              val lo = r.getAs[Long](s"lo__${c}__$i")
+              val hi = r.getAs[Long](s"hi__${c}__$i")
+              val target = p * n
+              val margin = n.toDouble / accuracy + 1.0
+              lo + 1 <= target + margin && hi >= target - margin
+          }
+          (gr, c, nm, ok)
+        }
+      }
+    }.toDF("grp", "col_name", "p_name", "within_bound")
+      .withColumnRenamed("grp", groupCol)
+      .orderBy(groupCol, "col_name", "p_name")
+  }
+
   private def quantilesPerCol(df: DataFrame,
       colApprox: Seq[(String, Boolean)]): DataFrame = {
     val arr = Ps.map(p => s"${p}D").mkString("array(", ", ", ")")
@@ -353,11 +425,52 @@ object Stats {
     * regression (or a mis-wired accuracy) breaks the booleans and
     * fails the hash-compare. */
   def quantileRankCheck(df: DataFrame, cols: Seq[String],
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = 10000): DataFrame =
+    quantileRankCheckPerCol(df, cols.map(c => c -> Some(accuracy)))
+
+  /** SCALE-ROUTED quantile dispatch — the escape hatch for
+    * [[quantilesByDtype]]'s exact-int path: exact `percentile` keeps
+    * O(distinct values) of state per column, fine for enum-like ints
+    * but unbounded for key-like ones. The router measures each
+    * column's approximate distinct count in ONE cheap pre-agg
+    * (HLL — order-independent, deterministic) and keeps exact
+    * percentile only for integral columns whose value-domain state
+    * stays under `maxDomain`; everything else takes the
+    * bounded-memory GK sketch. Because GK values are merge-order
+    * dependent, the DECLARED output is the rank CONTRACT
+    * (col_name, p_name, within_bound): exact columns must land
+    * within rank margin 1 (interpolation), GK ones within
+    * n/accuracy + 1 — the oracle (all-true rows) is scale-invariant
+    * while a sketch or dispatch regression still fails the compare. */
+  def quantilesRouted(df: DataFrame, cols: Seq[String],
+      maxDomain: Long = 65536L, accuracy: Int = 10000): DataFrame = {
+    val acdAggs = cols.map(c =>
+      approx_count_distinct(col(c)).as(s"acd__$c"))
+    val acd = df.agg(acdAggs.head, acdAggs.tail: _*).first()
+    quantileRankCheckPerCol(df, cols.map { c =>
+      val exact = Kinds.isIntegral(df.schema(c).dataType) &&
+        acd.getAs[Long](s"acd__$c") <= maxDomain
+      c -> (if (exact) None else Some(accuracy))
+    })
+  }
+
+  /** The [[quantileRankCheck]] machinery generalized to a per-column
+    * path choice: `None` = exact `percentile` (rank margin 1 — the
+    * interpolated value always sits between the two ranks bracketing
+    * p·(n−1)+1), `Some(acc)` = GK with margin n/acc + 1. */
+  private def quantileRankCheckPerCol(df: DataFrame,
+      colAcc: Seq[(String, Option[Int])]): DataFrame = {
     val arr = Ps.map(p => s"${p}D").mkString("array(", ", ", ")")
-    val qAggs = cols.map(c =>
-      expr(s"percentile_approx(cast(`$c` as double), $arr, $accuracy)")
-        .as(s"q__$c"))
+    val cols = colAcc.map(_._1)
+    val accOf = colAcc.toMap
+    val qAggs = colAcc.map { case (c, acc) =>
+      val e = acc match {
+        case Some(a) =>
+          s"percentile_approx(cast(`$c` as double), $arr, $a)"
+        case None => s"percentile(cast(`$c` as double), $arr)"
+      }
+      expr(e).as(s"q__$c")
+    }
     val qRow = df.agg(qAggs.head, qAggs.tail: _*).first()
     val approxVals: Map[String, Seq[Option[Double]]] = cols.map { c =>
       val v = qRow.getAs[scala.collection.Seq[Any]](s"q__$c")
@@ -386,7 +499,10 @@ object Stats {
             val lo = r.getAs[Long](s"lo__${c}__$i")
             val hi = r.getAs[Long](s"hi__${c}__$i")
             val target = p * n
-            val margin = n.toDouble / accuracy + 1.0
+            val margin = accOf(c) match {
+              case Some(a) => n.toDouble / a + 1.0
+              case None => 1.0 // exact interpolation bound
+            }
             lo + 1 <= target + margin && hi >= target - margin
         }
         (c, nm, ok)

@@ -62,6 +62,16 @@ object Core {
     // every (col, percentile) to be within bound
     "num_quantiles_approx_rank" -> ((s, dir) =>
       Stats.quantileRankCheck(li(s, dir), floats)),
+    // the SCALE-ROUTED dispatch (r14): exact percentile only while a
+    // column's HLL distinct estimate keeps the value-domain state
+    // bounded, GK beyond (key-like ints route to GK from sf0.1 up);
+    // declared as the rank contract so the oracle is scale-invariant
+    "num_quantiles_routed" -> ((s, dir) =>
+      Stats.quantilesRouted(li(s, dir), nums)),
+    // GK-per-group escape for the grouped quantiles: bounded sketch
+    // state per (group, col) with the per-cell rank contract declared
+    "num_grouped_quantiles_routed" -> ((s, dir) =>
+      Stats.groupedQuantilesRouted(li(s, dir), "l_returnflag", floats)),
     "num_derived" -> ((s, dir) => Stats.derived(li(s, dir), nums)),
     // Tukey-fence outlier counts: fences sig5-rounded BEFORE counting
     // so both engines count against identical literal doubles
@@ -289,6 +299,27 @@ object Core {
     unionAll(floats.flatMap(c => pCols.map(nm =>
       s"SELECT '$c' AS col_name, '$nm' AS p_name, true AS within_bound"))) +
       "\nORDER BY col_name, p_name"
+
+  /** All-true contract rows for the routed dispatch — over EVERY
+    * numeric column (the router decides exact-vs-GK internally; both
+    * paths must satisfy their rank bound). */
+  val numQuantilesRoutedSql: String =
+    unionAll(nums.flatMap(c => pCols.map(nm =>
+      s"SELECT '$c' AS col_name, '$nm' AS p_name, true AS within_bound"))) +
+      "\nORDER BY col_name, p_name"
+
+  /** Per-(group, column, percentile) all-true contract rows; the
+    * groups come from the table so the row set tracks the data. */
+  val numGroupedQuantilesRoutedSql: String = {
+    val cVals = floats.map(c => s"('$c')").mkString(", ")
+    val pVals = pCols.map(nm => s"('$nm')").mkString(", ")
+    s"""WITH g AS (SELECT DISTINCT l_returnflag FROM $T),
+       |c(col_name) AS (VALUES $cVals),
+       |p(p_name) AS (VALUES $pVals)
+       |SELECT l_returnflag, col_name, p_name, true AS within_bound
+       |FROM g CROSS JOIN c CROSS JOIN p
+       |ORDER BY l_returnflag, col_name, p_name""".stripMargin
+  }
 
   /** Enumerated all-true contract rows — the same static metric
     * inventory [[graft.profiler.Profiler.fusedCheck]] emits for the
@@ -818,6 +849,8 @@ object Core {
     "num_quantiles_int" -> numQuantilesIntSql,
     "num_grouped_quantiles" -> numGroupedQuantilesSql,
     "num_quantiles_approx_rank" -> numQuantilesApproxRankSql,
+    "num_quantiles_routed" -> numQuantilesRoutedSql,
+    "num_grouped_quantiles_routed" -> numGroupedQuantilesRoutedSql,
     "num_derived" -> numDerivedSql,
     "num_outliers" -> numOutliersSql,
     "num_mad" -> numMadSql,

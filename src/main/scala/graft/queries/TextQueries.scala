@@ -25,6 +25,19 @@ object TextQueries {
         "doc_id", "text", n = 3, minShared = 5L,
         maxDf = Some(NgramMaxDf))
     }),
+    // the ROUTED decontamination (r14): exact gram-probe while the
+    // train side is small, the lossless Bloom-prefiltered form above
+    // the row threshold — one dispatch, one oracle (both branches
+    // value-identical); at the fixture SFs the exact branch runs, at
+    // the GenSf sf1 gate the bloom branch does
+    "text_contamination_routed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationPairsRouted(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", n = 3, minShared = 5L,
+        maxDf = Some(NgramMaxDf))
+    }),
     // unigram-LM quality score (the CCNet perplexity filter's core):
     // the corpus trains its own token model, each doc scored by avg
     // negative log-likelihood
@@ -1339,6 +1352,7 @@ object TextQueries {
     "text_chunk" -> textChunkSql,
     "text_classify" -> textClassifySql,
     "text_contamination" -> textContaminationSql,
+    "text_contamination_routed" -> textContaminationSql,
     "text_stats" -> textStatsSql,
     "text_quality" -> textQualitySql,
     "text_langid" -> textLangidSql,

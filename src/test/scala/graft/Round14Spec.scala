@@ -71,6 +71,61 @@ class Round14Spec extends SparkSpec {
     assert(banded == exact)
   }
 
+  test("quantilesRouted satisfies the rank contract on both paths") {
+    val s = spark
+    import s.implicits._
+    // k: key-like (all distinct — routes to GK under maxDomain=16);
+    // e: enum-like (3 values — stays exact, margin 1)
+    val df = (1L to 1000L).map(i => (i, (i % 3).toInt))
+      .toDF("k", "e")
+    val out = graft.profiler.Stats.quantilesRouted(df, Seq("k", "e"),
+      maxDomain = 16L).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getBoolean(2)), "a rank bound failed")
+    // and with a domain cap that admits both, still all-true
+    val out2 = graft.profiler.Stats.quantilesRouted(df, Seq("k", "e"),
+      maxDomain = 100000L).collect()
+    assert(out2.forall(_.getBoolean(2)))
+  }
+
+  test("groupedQuantilesRouted contract holds incl. an empty cell") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0), ("b", null), ("c", null))
+      .toDF("g", "v")
+    val out = graft.profiler.Stats.groupedQuantilesRouted(
+      df, "g", Seq("v")).collect()
+    assert(out.length == 15) // 3 groups x 1 col x 5 percentiles
+    assert(out.forall(_.getBoolean(3)))
+  }
+
+  test("contaminationPairsRouted is value-identical on both branches") {
+    val s = spark
+    import s.implicits._
+    val train = (1L to 30L).map(i =>
+      (i, s"doc number $i about spark shuffles and partitions today " +
+        (if (i % 7 == 0) "leaked eval benchmark question text here" else "")))
+      .toDF("doc_id", "text")
+    val eval = Seq((100L,
+      "the leaked eval benchmark question text here verbatim"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = rows(graft.ops.Dedup.contaminationPairs(
+      train, eval, "doc_id", "text", n = 3, minShared = 3L))
+    assert(exact.nonEmpty)
+    // threshold above the corpus -> exact branch; below -> bloom
+    val hi = rows(graft.ops.Dedup.contaminationPairsRouted(
+      train, eval, "doc_id", "text", n = 3, minShared = 3L,
+      bloomAboveRows = 1000L))
+    val lo = rows(graft.ops.Dedup.contaminationPairsRouted(
+      train, eval, "doc_id", "text", n = 3, minShared = 3L,
+      bloomAboveRows = 5L))
+    assert(hi == exact && lo == exact)
+  }
+
   test("AcAutomaton serialized state is the pattern list, not tables") {
     val terms = (0 until 200).map(i => s"pattern$i bad term")
     val ac = new graft.functions.AcAutomaton(
