@@ -37,14 +37,40 @@ for p in ["java.base/java.lang", "java.base/java.lang.invoke",
     ADD_OPENS += ["--add-opens", p + "=ALL-UNNAMED"]
 
 
+def table_bytes(sfdir):
+    return sum(os.path.getsize(p)
+               for p in glob.glob(os.path.join(sfdir, "*.parquet")))
+
+
+def verify_heap(sfdir, cpus):
+    """Heap sized by SF and thread count, not lore: the r13 sf1 gate
+    OOM-killed an -Xmx8g/32-thread Verify on pipeline_funnel (~250
+    MB/thread); real executor sizing is 1.5-4 GB/core at that scale.
+    Rule: >= 2 GB + 300x the on-disk parquet footprint (snappy parquet
+    decompresses ~5-10x and the materialized funnels hold several
+    shuffled copies; calibrated on the r13 sf1 tier, ~160 MB on disk
+    needing ~48 GB), plus a 1.5 GB/thread floor once the tier stops
+    being toy-sized (>= 100 MB on disk), capped at 48 GB. Override:
+    GRAFT_VERIFY_XMX=48g."""
+    override = os.environ.get("GRAFT_VERIFY_XMX")
+    if override:
+        return override
+    gb = table_bytes(sfdir) / (1 << 30)
+    need = 2.0 + 300.0 * gb
+    if gb >= 0.1:
+        need = max(need, 1.5 * cpus)
+    return f"{min(max(int(need + 0.999), 8), 48)}g"
+
+
 def run_verify():
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CPUS", "4")
+    xmx = verify_heap(SF, int(env["SPARK_GRAFT_CPUS"]))
     cmd = (["java"] + ADD_OPENS +
-           ["-Xmx8g", "-Dspark.ui.enabled=false",
+           [f"-Xmx{xmx}", "-Dspark.ui.enabled=false",
             "-Dspark.sql.session.timeZone=UTC",
             "-cp", CP, "graft.Verify", SF, OUT] +
            ([",".join(sorted(ONLY))] if ONLY else []))
-    env = dict(os.environ)
-    env.setdefault("SPARK_GRAFT_CPUS", "4")
     r = subprocess.run(cmd, capture_output=True, text=True, env=env,
                        cwd="/root/repo")
     for line in r.stderr.splitlines():
