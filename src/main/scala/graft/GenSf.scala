@@ -18,7 +18,19 @@ import org.apache.spark.sql.functions._
   * retries, or row order, the same contract as the testdata fixtures.
   * Generation is distributed (spark.range → typed map, no shuffle).
   *
-  * Usage: graft.GenSf <outDir> [scaleVsSf01=100]  (100 → sf1)
+  * Usage: graft.GenSf <outDir> [scaleVsSf01=100] [vocab] [only]
+  *   vocab: `closed` (default — the fixtures' 31-word vocabulary) or
+  *     `heaps` — OPEN vocabulary: tokens Zipf-drawn from a 10M-rank
+  *     tail (rank = R^u, giving df(r) ∝ 1/r), so the distinct-gram
+  *     space GROWS with the corpus (Heaps' law) instead of
+  *     saturating — the production crawl regime where the exact
+  *     near-dup family's Σdf² stays ~linear in corpus size. Every
+  *     101st document is a planted near-dup (its predecessor's text
+  *     with the final token replaced), so pair queries have
+  *     ground-truth output across tiers.
+  *   only: comma-list of table names to write (e.g. `documents` for
+  *     the dedup-family gate tiers — skips the 6M-row lineitem).
+  * (100 → sf1)
   */
 object GenSf {
 
@@ -76,9 +88,28 @@ object GenSf {
   private def orderDateMicros(orderkey: Long): Long =
     Epoch1995 + new Rng(90, orderkey).int(2405) * DayMicros
 
+  /** One open-vocabulary document: tokens "w<rank>" with rank = R^u
+    * (u uniform), the inverse-CDF of a truncated 1/r Zipf over R=1e7
+    * ranks — low ranks are stopword-like boilerplate (their grams are
+    * exactly what the df cap exists for), the tail is effectively
+    * unbounded so distinct grams grow with the corpus. */
+  private val HeapsRanks = 1e7
+  private def heapsText(id: Long): String = {
+    val r = new Rng(17, id)
+    val wc = 10 + r.int(91)
+    Array.fill(wc) {
+      "w" + math.floor(math.pow(HeapsRanks, r.uniform())).toLong
+    }.mkString(" ")
+  }
+
   def main(args: Array[String]): Unit = {
     val out = args(0)
     val scale = if (args.length > 1) args(1).toInt else 100 // vs sf0.01
+    val vocabMode = if (args.length > 2) args(2) else "closed"
+    require(vocabMode == "closed" || vocabMode == "heaps",
+      s"vocab mode must be closed|heaps, got $vocabMode")
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").toSet else Set.empty
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -101,6 +132,7 @@ object GenSf {
     // single file per table named <t>.parquet, like the driver's
     // fixtures (DuckDB opens the path directly, no glob)
     def write(df: DataFrame, name: String): Unit = {
+      if (only.nonEmpty && !only(name)) return
       val tmp = s"$out/_tmp_$name"
       df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
       val conf = spark.sparkContext.hadoopConfiguration
@@ -189,11 +221,22 @@ object GenSf {
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .withColumn("ts", timestamp_micros(col("ts"))), "events")
 
+    val heaps = vocabMode == "heaps"
     write(spark.range(nDocs).map { id =>
       val r = new Rng(7, id)
       val wc = 10 + r.int(91)
-      val text = Array.fill(wc)(Vocab(r.int(Vocab.length)))
-        .mkString(" ")
+      val text =
+        if (!heaps)
+          Array.fill(wc)(Vocab(r.int(Vocab.length))).mkString(" ")
+        else if (id >= 101L && id % 101L == 0L) {
+          // planted near-dup: the PREDECESSOR doc's text (id-1 is
+          // never ≡ 0 mod 101, so the source is a base doc whose own
+          // text is heapsText(id-1)) with the final token replaced —
+          // text is a pure function of id, no cross-row state
+          val w = heapsText(id - 1L).split(" ")
+          w(w.length - 1) = s"dup$id"
+          w.mkString(" ")
+        } else heapsText(id)
       val lang = if (r.uniform() < 0.4) "en" else Langs(r.int(4))
       (id, text, lang, s"src${id % 20}", text.length.toLong)
     }.toDF("doc_id", "text", "lang", "source", "n_chars"), "documents")
