@@ -916,12 +916,14 @@ object Multimodal {
 
   /** Mixed-modality fixture: half real PNG rasters (the
     * [[synthRasterMedia]] formula, pixel-decodable), a quarter JPEGs
-    * — half of those REAL baseline rasters (pixel-decodable via
-    * [[Jpeg.decodePixels]], id ≡ 2 mod 8) and half progressive
-    * header-only stubs (undecodable by design, id ≡ 6 mod 8) — and a
-    * quarter WAVs (wrong modality for the pixel path): the corpus
-    * the decode audit and the mixed phash queries run over, now with
-    * a partially-decodable jpeg arm like a real crawl. */
+    * — baseline rasters (id ≡ 2 mod 8), REAL progressive (SOF2)
+    * rasters of the SAME luma formula (id ≡ 6 mod 16, decodable
+    * since r14's multi-scan decoder), and header-only stubs standing
+    * in for the still-unsupported encodings (arithmetic/lossless;
+    * id ≡ 14 mod 16 — undecodable by design, the loud-skip arm) —
+    * and a quarter WAVs (wrong modality for the pixel path): the
+    * corpus the decode audit and the mixed phash queries run over,
+    * with a partially-decodable jpeg arm like a real crawl. */
   def synthMixedMedia(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -934,6 +936,9 @@ object Multimodal {
             if (id % 8 == 2)
               Jpeg.synthJpegRaster(32, 24, ((id % 7L) * 41L).toInt,
                 dri = (id % 3L).toInt)
+            else if (id % 16 == 6)
+              Jpeg.synthJpegRasterProgressive(32, 24,
+                ((id % 7L) * 41L).toInt)
             else synthJpeg(8 + (id * 13) % 509, 8 + (id * 11) % 387,
               progressive = true)
           case _ => synthWavTone(8000L, 1L, 16L + id % 65, id % 997)

@@ -207,7 +207,8 @@ object MultimodalQueries {
        |    CASE WHEN doc_id % 4 <= 1 THEN 'png'
        |         WHEN doc_id % 4 = 2 THEN 'jpeg' ELSE 'wav' END
        |      AS format,
-       |    CASE WHEN doc_id % 4 <= 1 OR doc_id % 8 = 2 THEN 1
+       |    CASE WHEN doc_id % 4 <= 1 OR doc_id % 8 = 2
+       |              OR doc_id % 16 = 6 THEN 1
        |      ELSE 0 END AS dec
        |  FROM documents),
        |a AS (SELECT format, count(*) AS n_payloads,
@@ -258,7 +259,7 @@ object MultimodalQueries {
 
   val multimodalPhashMixedSql: String =
     s"""WITH ${phashCtes("doc_id % 4 <= 1")},
-       |${jpegPhashCtes("doc_id % 8 = 2")},
+       |${jpegPhashCtes("doc_id % 8 = 2 OR doc_id % 16 = 6")},
        |uni AS (SELECT doc_id, phash FROM hsh
        |        UNION ALL SELECT doc_id, phash FROM jhsh),
        |grp AS (SELECT phash, count(*) AS n_same FROM uni GROUP BY phash)

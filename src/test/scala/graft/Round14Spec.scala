@@ -126,6 +126,50 @@ class Round14Spec extends SparkSpec {
     assert(hi == exact && lo == exact)
   }
 
+  test("progressive JPEG: flat fixture == baseline == luma formula") {
+    import graft.ops.Jpeg
+    for (seed <- Seq(0, 41, 82, 123); wh <- Seq((32, 24), (17, 9), (8, 8))) {
+      val (w, h) = wh
+      val pb = Jpeg.decodePixels(Jpeg.synthJpegRaster(w, h, seed)).get
+      val pp = Jpeg.decodePixels(
+        Jpeg.synthJpegRasterProgressive(w, h, seed)).get
+      assert(pp.width == w && pp.height == h && pp.channels == 3)
+      assert(pb.data.sameElements(pp.data), s"seed=$seed ${w}x$h")
+      assert((pp.data(0) & 0xff) == Jpeg.blockLuma(0, 0, seed))
+    }
+  }
+
+  test("progressive JPEG: random coefficients roundtrip == baseline," +
+      " both approximation chains") {
+    import graft.ops.Jpeg
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 12) {
+      val w = 8 + rnd.nextInt(50)
+      val h = 8 + rnd.nextInt(40)
+      val nComp = if (trial % 2 == 0) 1 else 3
+      val quant = Array.fill(64)(1 + rnd.nextInt(16))
+      // pure function of (ci, bx, by): sparse small coefficients —
+      // |v| ≤ 7 keeps every point-transformed size within the table
+      def coefs(ci: Int)(bx: Int, by: Int): Array[Int] = {
+        val r2 = new scala.util.Random(ci * 1000003 + bx * 1009 + by)
+        val b = new Array[Int](64)
+        b(0) = r2.nextInt(255) - 127
+        for (_ <- 0 until r2.nextInt(20))
+          b(r2.nextInt(63) + 1) = r2.nextInt(15) - 7
+        b
+      }
+      val base = Jpeg.decodePixels(
+        Jpeg.encodeBaseline(w, h, nComp, 1, 1, quant, coefs)).get
+      for (acAl <- Seq(0, 1)) {
+        val prog = Jpeg.decodePixels(Jpeg.encodeProgressive(
+          w, h, nComp, 1, 1, quant, coefs, acAl = acAl)).get
+        assert(prog.width == base.width && prog.height == base.height)
+        assert(base.data.sameElements(prog.data),
+          s"trial=$trial ${w}x$h nComp=$nComp acAl=$acAl")
+      }
+    }
+  }
+
   test("AcAutomaton serialized state is the pattern list, not tables") {
     val terms = (0 until 200).map(i => s"pattern$i bad term")
     val ac = new graft.functions.AcAutomaton(
