@@ -29,6 +29,42 @@ object BlocklistQueries {
   private val termValues =
     Terms.map(tm => s"('$tm')").mkString(", ")
 
+  /** Does `t` have a proper border (a prefix that is also a suffix)?
+    * Bordered terms can self-overlap in text, where AC end-position
+    * counting diverges from DuckDB's non-overlapping replace-count —
+    * the oracle routes them through a positional scanner instead. */
+  private def hasBorder(t: String): Boolean =
+    (1 until t.length).exists(k =>
+      t.substring(0, k) == t.substring(t.length - k))
+
+  /** The fixture corpus vocabulary (31 words — TESTDATA.md's document
+    * generator), the alphabet every term below is built from so the
+    * large list actually matches the corpus. */
+  private val Vocab: Seq[String] = Seq("a", "agg", "batch", "big",
+    "column", "customer", "data", "dup", "fast", "filter", "group",
+    "hash", "join", "key", "line", "merge", "order", "part", "query",
+    "row", "scan", "slow", "small", "sort", "spark", "stream", "table",
+    "the", "value", "vector", "window")
+
+  /** ~400-term LDNOOBW-scale blocklist: every vocab word, a
+    * deterministic spread of two-word phrases, sub-word letter
+    * n-grams (mixed lengths 2–6), and a curated BORDERED subset
+    * ("a a" genuinely self-overlaps wherever the corpus repeats the
+    * word "a"). One automaton, one scan — the realistic-scale
+    * exercise of [[graft.functions.AhoCorasickCount]]. */
+  val TermsLarge: Seq[String] = {
+    val phrases = (for {
+      i <- Vocab.indices; j <- Vocab.indices
+      if i != j && (i * 31 + j) % 3 == 0
+    } yield s"${Vocab(i)} ${Vocab(j)}").filterNot(hasBorder).take(330)
+    val ngrams = Seq("ar", "ta", "ue", "or", "ow", "in", "at", "er",
+      "ba", "da", "que", "tab", "sca", "val", "ort", "ream", "ndow",
+      "lumn", "ustom", "ilter", "roup", "ectod").filterNot(hasBorder)
+    val bordered = Seq("a a", "the the", "data data", "row row",
+      "dup dup", "ata", "a batch a", "erge", "w row w")
+    (Vocab ++ phrases ++ ngrams ++ bordered).distinct.sorted
+  }
+
   /** Per-language lists (CCNet shape) — a subset of [[Terms]] split
     * across the five fixture languages, so one union automaton serves
     * all five. */
@@ -62,7 +98,15 @@ object BlocklistQueries {
     // per-language lists, one union automaton, grouped aggregation
     "text_blocklist_by_lang" -> ((s, dir) =>
       Blocklist.termStatsByLang(t(s, dir, "documents"), "lang",
-        "text", TermsByLang).orderBy("lang", "term")))
+        "text", TermsByLang).orderBy("lang", "term")),
+    // the realistic-scale list (~400 mixed-length terms incl. a
+    // BORDERED subset): one automaton, one corpus scan; the oracle
+    // replace-counts the borderless majority and POSITION-SCANS the
+    // bordered terms, so AC's overlapping-occurrence semantics are
+    // value-checked where they actually differ from replace-counting
+    "text_blocklist_bordered" -> ((s, dir) =>
+      Blocklist.termStats(t(s, dir, "documents"), "text", TermsLarge)
+        .orderBy("term")))
 
   val oracle: Map[String, String] = Map(
     "text_blocklist_stats" ->
@@ -85,6 +129,32 @@ object BlocklistQueries {
          |    AS terms_hit,
          |  sum(n) <= 0 AS kept
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_blocklist_bordered" -> {
+      val borderless = TermsLarge.filterNot(hasBorder)
+      val bordered = TermsLarge.filter(hasBorder)
+      def vals(ts: Seq[String]) = ts.map(tm => s"('$tm')").mkString(", ")
+      s"""WITH bl(term) AS (VALUES ${vals(borderless)}),
+         |d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |h1 AS (SELECT d.doc_id, term,
+         |  CAST((length(t) - length(replace(t, term, '')))
+         |    // length(term) AS BIGINT) AS n
+         |  FROM d CROSS JOIN bl),
+         |bt(term) AS (VALUES ${vals(bordered)}),
+         |h2 AS (SELECT d.doc_id, term,
+         |  CAST(sum(CASE WHEN i <= length(t) AND substr(t,
+         |      CAST(i AS INTEGER),
+         |      length(term)) = term THEN 1 ELSE 0 END) AS BIGINT) AS n
+         |  FROM d CROSS JOIN bt,
+         |    range(1, 4097) r(i)
+         |  GROUP BY d.doc_id, term),
+         |h AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+         |SELECT term, CAST(sum(n) AS BIGINT) AS occurrences,
+         |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_hit,
+         |  ${sig("CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS DOUBLE) / (SELECT count(*) FROM documents)")}
+         |    AS doc_hit_rate
+         |FROM h GROUP BY term ORDER BY term""".stripMargin
+    },
     "text_blocklist_by_lang" -> {
       val pairValues = TermsByLang.toSeq.sortBy(_._1).flatMap {
         case (l, ts) => ts.map(tm => s"('$l', '$tm')")
