@@ -126,6 +126,25 @@ class Round14Spec extends SparkSpec {
     assert(hi == exact && lo == exact)
   }
 
+  test("minhashVerifiedPairs plan shape: no shingle self-join, no " +
+      "cartesian — candidates come from the banded bucket key") {
+    val docs = fixtureDocs
+    val qe = graft.ops.Dedup.minhashVerifiedPairs(docs, "doc_id",
+      "text", n = 3, minJaccard = 0.5).queryExecution
+    val physical = qe.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"))
+    assert(!physical.contains("BroadcastNestedLoopJoin"))
+    // the quadratic signature of the exact plan is the inverted-index
+    // self-join keyed on the shingle hash; the banded plan must join
+    // on (band, bh) and the candidate ids only
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    val shingleKeyed = joins.exists(_.condition.exists(
+      _.references.exists(_.name == "shingle")))
+    assert(!shingleKeyed, "banded plan must never self-join on shingle")
+  }
+
   test("progressive JPEG: flat fixture == baseline == luma formula") {
     import graft.ops.Jpeg
     for (seed <- Seq(0, 41, 82, 123); wh <- Seq((32, 24), (17, 9), (8, 8))) {
