@@ -858,6 +858,29 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** The PRODUCTION twin of [[simhashBoundedPairs]]: the high-J
+    * premise pairs come from the banded MinHash path (at J ≥ 0.9 the
+    * 16×4 per-pair capture is ≥ 1 − 3·10⁻⁸) instead of the Σdf²
+    * inverted-index join; the SimHash Hamming bound then verifies as
+    * before. Same oracle as the exact form. */
+  def simhashBoundedPairsBanded(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minJaccard: Double = 0.9,
+      maxHamming: Int = 16, maxDf: Option[Long] = None,
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Option[Long] = Some(1024L)): DataFrame = {
+    val prem = minhashVerifiedPairs(df, idCol, textCol, n, numHashes,
+      bands, minJaccard, maxDf, maxBucket)
+    val fps = simhash(df, idCol, textCol)
+    prem
+      .join(fps.select(col("id").as("id_a"), col("simhash").as("ha")),
+        Seq("id_a"))
+      .join(fps.select(col("id").as("id_b"), col("simhash").as("hb")),
+        Seq("id_b"))
+      .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Embedding-cosine near-duplicate pairs: exact all-pairs self-join
     * scored by cosine (the baseline; quadratic — test scale /
     * per-bucket use). At corpus scale, pre-bucket with
@@ -990,8 +1013,31 @@ object Dedup {
       n: Int = 3, blockJaccard: Double = 0.3, maxNormDist: Double = 0.05,
       maxDf: Option[Long] = None, maxDistCap: Option[Int] = None)
       : DataFrame = {
-    val cand = ngramJaccardPairs(df, idCol, textCol, n, blockJaccard,
-      maxDf).select("id_a", "id_b")
+    fuzzyVerify(
+      ngramJaccardPairs(df, idCol, textCol, n, blockJaccard, maxDf)
+        .select("id_a", "id_b"),
+      df, idCol, textCol, maxNormDist, maxDistCap)
+  }
+
+  /** The PRODUCTION twin of [[fuzzyPairs]]: blocking candidates from
+    * the banded MinHash path ([[minhashVerifiedPairs]] at the block
+    * threshold) instead of the Σdf² inverted-index join — identical
+    * kept set wherever banding recall is 1 at the block threshold
+    * (the declared gate pins it), linear candidate generation. */
+  def fuzzyPairsBanded(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, blockJaccard: Double = 0.3, maxNormDist: Double = 0.05,
+      maxDf: Option[Long] = None, maxDistCap: Option[Int] = None,
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Option[Long] = Some(1024L)): DataFrame =
+    fuzzyVerify(
+      minhashVerifiedPairs(df, idCol, textCol, n, numHashes, bands,
+        blockJaccard, maxDf, maxBucket).select("id_a", "id_b"),
+      df, idCol, textCol, maxNormDist, maxDistCap)
+
+  /** The Levenshtein verify stage both fuzzy forms share. */
+  private def fuzzyVerify(cand: DataFrame, df: DataFrame,
+      idCol: String, textCol: String, maxNormDist: Double,
+      maxDistCap: Option[Int]): DataFrame = {
     val txt = df.select(col(idCol).as("id"), col(textCol).as("txt"))
     val ratio = col("edit_dist").cast("double") /
       greatest(length(col("ta")), length(col("tb"))).cast("double")

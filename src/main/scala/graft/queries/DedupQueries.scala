@@ -104,6 +104,13 @@ object DedupQueries {
       Dedup.fuzzyPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, blockJaccard = 0.3, maxNormDist = 0.05,
         maxDf = Some(NgramMaxDf))),
+    // fuzzy dedup on the PRODUCTION blocking path: banded MinHash
+    // candidates at the block threshold, same Levenshtein verify,
+    // same oracle
+    "dedup_fuzzy_banded" -> ((s, dir) =>
+      Dedup.fuzzyPairsBanded(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, blockJaccard = 0.3, maxNormDist = 0.05,
+        maxDf = Some(NgramMaxDf))),
     // recall containment: exact J≥0.8 pairs ∩ MinHash-LSH candidates;
     // oracle = the exact pairs, so a hash-match proves 100% recall.
     // The premise threshold is 0.8 (not the 0.7 operating point) so
@@ -136,6 +143,13 @@ object DedupQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashBoundedPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, minJaccard = 0.9, maxHamming = 16,
+        maxDf = Some(NgramMaxDf))),
+    // the bounded-distance invariant on the PRODUCTION premise path:
+    // banded MinHash pairs at J>=0.9 (capture >= 1-3e-8 per pair),
+    // same Hamming bound, same oracle
+    "dedup_simhash_banded" -> ((s, dir) =>
+      Dedup.simhashBoundedPairsBanded(t(s, dir, "documents"), "doc_id",
+        "text", n = 3, minJaccard = 0.9, maxHamming = 16,
         maxDf = Some(NgramMaxDf))),
     // pairwise candidates → dedup decision: connected components over
     // the capped exact pair graph (cluster id = min reachable doc id)
@@ -187,6 +201,22 @@ object DedupQueries {
     "dedup_threshold_curve" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
         "doc_id", "text", n = 3, minJaccard = 0.0,
+        maxDf = Some(NgramMaxDf))
+      pairs.select(explode(typedLit(
+          Seq(0.3, 0.5, 0.7, 0.8, 0.9))).as("threshold"),
+          col("jaccard"))
+        .groupBy("threshold")
+        .agg(sum(when(col("jaccard") >= col("threshold"), 1L)
+          .otherwise(0L)).as("n_pairs"))
+        .orderBy("threshold")
+    }),
+    // the curve on the PRODUCTION pair plan: banded candidates
+    // verified at the curve's lowest threshold (0.3), same
+    // conditional sums, same oracle (identical counts wherever
+    // banding recall is 1 at J>=0.3 — the shared gate pins it)
+    "dedup_threshold_curve_banded" -> ((s, dir) => {
+      val pairs = Dedup.minhashVerifiedPairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 3, minJaccard = 0.3,
         maxDf = Some(NgramMaxDf))
       pairs.select(explode(typedLit(
           Seq(0.3, 0.5, 0.7, 0.8, 0.9))).as("threshold"),
@@ -607,6 +637,9 @@ object DedupQueries {
     "dedup_ngram_banded" -> dedupNgramSql,
     "dedup_clusters_banded" -> dedupClustersSql,
     "dedup_keep_banded" -> dedupKeepSql,
+    "dedup_fuzzy_banded" -> dedupFuzzySql,
+    "dedup_simhash_banded" -> dedupSimhashSql,
+    "dedup_threshold_curve_banded" -> dedupThresholdCurveSql,
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_substring" -> dedupSubstringSql,
     "dedup_exact" -> dedupExactSql,
