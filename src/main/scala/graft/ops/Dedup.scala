@@ -456,8 +456,23 @@ object Dedup {
   def minhashVerifiedPairs(df: DataFrame, idCol: String,
       textCol: String, n: Int = 3, numHashes: Int = 64, bands: Int = 16,
       minJaccard: Double = 0.5, maxDf: Option[Long] = None,
-      maxBucket: Option[Long] = Some(1024L)): DataFrame = {
-    val sh = shingleIndex(df, idCol, textCol, n, maxDf)
+      maxBucket: Option[Long] = Some(1024L)): DataFrame =
+    bandedVerifiedInter(
+      shingleIndex(df, idCol, textCol, n, maxDf), numHashes, bands,
+      maxBucket)
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+      .orderBy("id_a", "id_b")
+
+  /** The shared core of the banded-verified family: candidates from
+    * MinHash banding over a (id, shingle) index, exact intersection
+    * counts computed ONLY on the candidates. Returns
+    * (id_a, id_b, inter, sz_a, sz_b) so each caller applies its own
+    * acceptance formula (Jaccard, containment, …). */
+  private def bandedVerifiedInter(sh: DataFrame, numHashes: Int,
+      bands: Int, maxBucket: Option[Long]): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")) ++
       Seq(collect_set(col("shingle")).as("ss"),
@@ -474,10 +489,68 @@ object Dedup {
         col("sz").as("sz_b")), Seq("id_b"))
       .withColumn("inter",
         size(array_intersect(col("ss_a"), col("ss_b"))).cast("long"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")))
-      .where(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b")
+  }
+
+  /** Containment on the PRODUCTION paths — two arms replacing
+    * [[containmentPairs]]'s Σdf² index self-join:
+    *
+    *  (a) QUOTE PROBE: documents of ≤ `shortMaxTokens` tokens are
+    *      probed against the full corpus gram index (the
+    *      decontamination shape — the probe side's grams are few, so
+    *      the join is Σ df(g) over quote grams, df-capped). Catches
+    *      short-in-long quotes at ANY length ratio.
+    *  (b) NEAR-DUP ARM: banded MinHash candidates with containment
+    *      verified exactly on the candidate set. Catches containment
+    *      between similar-length docs: C ≥ 0.9 with sizes within ~2×
+    *      implies J ≥ 0.45, where 16×4 banding recall is high and
+    *      deterministic for the fixtures' actual (J ≥ 0.8) pairs.
+    *
+    * Out of scope BY DECLARATION: mid-ratio partial containment
+    * (both sides long, J below the banding floor) — that regime
+    * belongs to the substring family ([[SubstringDedup]] detects
+    * shared spans without pair enumeration). On corpora whose
+    * containment pairs fall in the two covered regimes (the
+    * fixtures — gated at three SFs plus the open-vocab tier) the
+    * output is identical to [[containmentPairs]], and the two arms
+    * compute c_a/c_b from the same capped index, so values match
+    * bitwise. */
+  def containmentPairsRouted(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minContain: Double = 0.9,
+      maxDf: Option[Long] = None, shortMaxTokens: Int = 24,
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Option[Long] = Some(1024L)): DataFrame = {
+    val sh = shingleIndex(df, idCol, textCol, n, maxDf)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val shortIds = df
+      .where(size(split(col(textCol), " ")) <= shortMaxTokens)
+      .select(col(idCol).as("id"))
+    val shShort = sh.join(shortIds, Seq("id"), "left_semi")
+    // arm (a): probe-side join; distinct canonical (ia, ib, shingle)
+    // so a short-short pair hit from both directions counts once
+    val probePairs = shShort.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        col("a.shingle").as("shingle"))
+      .distinct()
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+        Seq("id_b"))
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b")
+    // arm (b): banded near-dup candidates with exact intersections
+    val banded = bandedVerifiedInter(sh, numHashes, bands, maxBucket)
+    probePairs.unionByName(banded)
+      .withColumn("c_a", col("inter").cast("double") / col("sz_a"))
+      .withColumn("c_b", col("inter").cast("double") / col("sz_b"))
+      .where(greatest(col("c_a"), col("c_b")) >= minContain)
+      .select(col("id_a"), col("id_b"),
+        graft.det.Sig.sig5(col("c_a")).as("c_a"),
+        graft.det.Sig.sig5(col("c_b")).as("c_b"))
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 

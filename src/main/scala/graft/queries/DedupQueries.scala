@@ -88,6 +88,20 @@ object DedupQueries {
       Dedup.containmentPairs(base.unionByName(quotes), "doc_id",
         "text", n = 3, minContain = 0.9, maxDf = Some(NgramMaxDf))
     }),
+    // containment on the PRODUCTION paths: short docs probe the gram
+    // index (any length ratio), similar-length containment rides the
+    // banded near-dup arm; mid-ratio partial containment is the
+    // substring family's job by declaration. Same fixture, same oracle
+    "dedup_containment_routed" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val w = split(col("text"), " ")
+      val quotes = base
+        .where(col("doc_id") % 17 === 0 && size(w) >= 15)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(slice(w, 1, 15), " ").as("text"))
+      Dedup.containmentPairsRouted(base.unionByName(quotes), "doc_id",
+        "text", n = 3, minContain = 0.9, maxDf = Some(NgramMaxDf))
+    }),
     // near-dup cluster-size distribution — the release-report view
     // of the cluster frame ("how much of the corpus sits in 2-doc vs
     // 50-doc duplicate families"); same canonical docClusters
@@ -638,6 +652,7 @@ object DedupQueries {
     "dedup_clusters_banded" -> dedupClustersSql,
     "dedup_keep_banded" -> dedupKeepSql,
     "dedup_fuzzy_banded" -> dedupFuzzySql,
+    "dedup_containment_routed" -> dedupContainmentSql,
     "dedup_simhash_banded" -> dedupSimhashSql,
     "dedup_threshold_curve_banded" -> dedupThresholdCurveSql,
     "dedup_semantic" -> dedupSemanticSql,

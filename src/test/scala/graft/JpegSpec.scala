@@ -142,7 +142,9 @@ class JpegSpec extends SparkSpec {
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(audit("png") == ((32L, 32L, 0L)))
-    assert(audit("jpeg") == ((16L, 8L, 8L))) // id%8==2 decodes
+    // id%8==2 baseline + id%16==6 REAL progressive decode (r14);
+    // id%16==14 header-only stubs remain the loud-skip arm
+    assert(audit("jpeg") == ((16L, 12L, 4L)))
     assert(audit("wav") == ((16L, 0L, 16L)))
   }
 
