@@ -406,7 +406,7 @@ object Jpeg {
     * (run, size) symbols at bit position Al, with EOBn run-length
     * coding across blocks. Returns the updated EOB run. */
   private def acFirstBlock(r: BitReader, huff: Huff, blk: Array[Int],
-      ss: Int, se: Int, al: Int, eobrun0: Int): Int = {
+      base: Int, ss: Int, se: Int, al: Int, eobrun0: Int): Int = {
     var eobrun = eobrun0
     if (eobrun > 0) return eobrun - 1
     var k = ss
@@ -423,7 +423,7 @@ object Jpeg {
       } else {
         k += run
         if (k > se) throw new CorruptStream
-        blk(ZigZag(k)) = extend(r.receive(size), size) << al
+        blk(base + ZigZag(k)) = extend(r.receive(size), size) << al
         k += 1
       }
     }
@@ -435,7 +435,7 @@ object Jpeg {
     * already-nonzero coefficient passed over contributes one
     * correction bit (§G.2.3). Returns the updated EOB run. */
   private def acRefineBlock(r: BitReader, huff: Huff, blk: Array[Int],
-      ss: Int, se: Int, al: Int, eobrun0: Int): Int = {
+      base: Int, ss: Int, se: Int, al: Int, eobrun0: Int): Int = {
     val p1 = 1 << al
     val m1 = -1 << al
     var eobrun = eobrun0
@@ -459,7 +459,7 @@ object Jpeg {
         if (!atEob) {
           var placed = false
           while (!placed && k <= se) {
-            val z = ZigZag(k)
+            val z = base + ZigZag(k)
             if (blk(z) != 0) {
               if (r.readBit() == 1 && (blk(z) & p1) == 0)
                 blk(z) += (if (blk(z) >= 0) p1 else m1)
@@ -475,7 +475,7 @@ object Jpeg {
     }
     if (eobrun > 0) {
       while (k <= se) { // correction bits under an EOB run
-        val z = ZigZag(k)
+        val z = base + ZigZag(k)
         if (blk(z) != 0) {
           if (r.readBit() == 1 && (blk(z) & p1) == 0)
             blk(z) += (if (blk(z) >= 0) p1 else m1)
@@ -568,15 +568,19 @@ object Jpeg {
             val totalInts = comps.indices.map(i =>
               gridW(i).toLong * (mcusY * comps(i).v) * 64L).sum
             if (totalInts > (1L << 26)) return None // coef-store cap
-            store = Array.tabulate(comps.length)(i =>
-              new Array[Int](totalIntsOf(gridW(i), mcusY * comps(i).v)))
+            // store itself is allocated lazily at the first SOS —
+            // header-only stubs (SOF2 + EOI, the audit's loud-skip
+            // arm) must stay allocation-free
           case sof if sof >= 0xc0 && sof <= 0xcf && sof != 0xc4 &&
               sof != 0xc8 && sof != 0xcc =>
             return None // a second frame type inside the SOF2 path
           case 0xdd =>
             dri = be16(p, seg)
           case 0xda =>
-            if (comps == null || store == null) return None
+            if (comps == null) return None
+            if (store == null)
+              store = Array.tabulate(comps.length)(i =>
+                new Array[Int](totalIntsOf(gridW(i), mcusY * comps(i).v)))
             val ns = u8(p, seg)
             if (ns < 1 || ns > comps.length) return None
             val scomps = new Array[Int](ns) // component indices
@@ -686,13 +690,12 @@ object Jpeg {
       } else {
         val huff = huffAc(c.ta)
         if (huff == null) throw new CorruptStream
-        // view the block as its own 64-slot array for the AC helpers
-        val view = new Array[Int](64)
-        System.arraycopy(blk, blkBase, view, 0, 64)
+        // the AC helpers address the block in place at its store
+        // offset — no per-block copy in the decoder's hottest loop
         eobrun =
-          if (ah == 0) acFirstBlock(r, huff, view, ss, se, al, eobrun)
-          else acRefineBlock(r, huff, view, ss, se, al, eobrun)
-        System.arraycopy(view, 0, blk, blkBase, 64)
+          if (ah == 0)
+            acFirstBlock(r, huff, blk, blkBase, ss, se, al, eobrun)
+          else acRefineBlock(r, huff, blk, blkBase, ss, se, al, eobrun)
       }
     }
 

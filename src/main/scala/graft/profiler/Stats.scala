@@ -455,9 +455,12 @@ object Stats {
   }
 
   /** The [[quantileRankCheck]] machinery generalized to a per-column
-    * path choice: `None` = exact `percentile` (rank margin 1 — the
-    * interpolated value always sits between the two ranks bracketing
-    * p·(n−1)+1), `Some(acc)` = GK with margin n/acc + 1. */
+    * path choice: `None` = exact `percentile` — checked against the
+    * rank it actually interpolates at, p·(n−1)+1 (NOT p·n: the two
+    * differ by up to 1−p, enough that a fully-distinct column fails a
+    * p·n-anchored bound on correct data), with margin 1 since the
+    * interpolated value sits between the ranks bracketing that
+    * position; `Some(acc)` = GK against target p·n, margin n/acc + 1. */
   private def quantileRankCheckPerCol(df: DataFrame,
       colAcc: Seq[(String, Option[Int])]): DataFrame = {
     val arr = Ps.map(p => s"${p}D").mkString("array(", ", ", ")")
@@ -498,10 +501,10 @@ object Stats {
           case Some(_) =>
             val lo = r.getAs[Long](s"lo__${c}__$i")
             val hi = r.getAs[Long](s"hi__${c}__$i")
-            val target = p * n
-            val margin = accOf(c) match {
-              case Some(a) => n.toDouble / a + 1.0
-              case None => 1.0 // exact interpolation bound
+            val (target, margin) = accOf(c) match {
+              case Some(a) => (p * n, n.toDouble / a + 1.0)
+              // exact percentile interpolates at rank p·(n−1)+1
+              case None => (p * (n - 1) + 1.0, 1.0)
             }
             lo + 1 <= target + margin && hi >= target - margin
         }

@@ -140,13 +140,14 @@ object BlocklistQueries {
          |    // length(term) AS BIGINT) AS n
          |  FROM d CROSS JOIN bl),
          |bt(term) AS (VALUES ${vals(bordered)}),
-         |h2 AS (SELECT d.doc_id, term,
-         |  CAST(sum(CASE WHEN i <= length(t) AND substr(t,
-         |      CAST(i AS INTEGER),
+         |h2 AS (SELECT doc_id, term,
+         |  CAST(sum(CASE WHEN substr(t, CAST(i AS INTEGER),
          |      length(term)) = term THEN 1 ELSE 0 END) AS BIGINT) AS n
-         |  FROM d CROSS JOIN bt,
-         |    range(1, 4097) r(i)
-         |  GROUP BY d.doc_id, term),
+         |  FROM (SELECT d.doc_id, term, t,
+         |      unnest(range(1, CAST(coalesce(length(t) - length(term)
+         |        + 2, 1) AS BIGINT))) AS i
+         |    FROM d CROSS JOIN bt)
+         |  GROUP BY doc_id, term),
          |h AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
          |SELECT term, CAST(sum(n) AS BIGINT) AS occurrences,
          |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)

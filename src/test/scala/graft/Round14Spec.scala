@@ -88,6 +88,21 @@ class Round14Spec extends SparkSpec {
     assert(out2.forall(_.getBoolean(2)))
   }
 
+  test("quantilesRouted exact path holds at non-integral p*n") {
+    val s = spark
+    import s.implicits._
+    // 1010 fully-distinct ints on the EXACT branch: p*n = 50.5 at
+    // p05 while percentile interpolates at rank p*(n-1)+1 = 51.45 —
+    // a p*n-anchored bound fails here on perfectly correct data
+    // (lo = 51 > 50.5), which is the r14-review regression this pins
+    val df = (1L to 1010L).toDF("k")
+    val out = graft.profiler.Stats.quantilesRouted(df, Seq("k"),
+      maxDomain = 100000L).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getBoolean(2)),
+      "exact interpolation-rank bound failed")
+  }
+
   test("groupedQuantilesRouted contract holds incl. an empty cell") {
     val s = spark
     import s.implicits._

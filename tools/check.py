@@ -59,7 +59,21 @@ def verify_heap(sfdir, cpus):
     need = 2.0 + 300.0 * gb
     if gb >= 0.1:
         need = max(need, 1.5 * cpus)
-    return f"{min(max(int(need + 0.999), 8), 48)}g"
+    # cap by what the box can actually give (80% of RAM), and SAY SO:
+    # a tier big enough to hit the cap is exactly the case where the
+    # r13 OOM-kill happened silently under a too-small fixed heap
+    try:
+        with open("/proc/meminfo") as f:
+            ram_gb = int(f.readline().split()[1]) / (1 << 20)
+    except OSError:
+        ram_gb = 60.0
+    cap = max(int(ram_gb * 0.8), 48)
+    want = max(int(need + 0.999), 8)
+    if want > cap:
+        print(f"[check] WARNING: verify heap clamped to {cap}g "
+              f"(rule wants {want}g for this tier); Verify may OOM — "
+              f"reduce SPARK_GRAFT_CPUS or set GRAFT_VERIFY_XMX")
+    return f"{min(want, cap)}g"
 
 
 def run_verify():
