@@ -116,8 +116,11 @@ def main():
         con.execute(f"SET memory_limit='{mem}'")
         con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        # `only`-filtered GenSf tiers (e.g. heaps documents+embeddings)
+        # carry a subset of the tables; register what exists
+        if os.path.exists(f"{SF}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     with open(f"{OUT}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
