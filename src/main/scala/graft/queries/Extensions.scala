@@ -584,11 +584,11 @@ object Extensions {
        |       FROM sh a JOIN sh b
        |       ON a.shingle = b.shingle AND a.id < b.id
        |       GROUP BY a.id, b.id),
-       |pairs AS (SELECT pr.id_a, pr.id_b
+       |pairs AS MATERIALIZED (SELECT pr.id_a, pr.id_b
        |  FROM pr JOIN sz sa ON sa.id = pr.id_a
        |  JOIN sz sb ON sb.id = pr.id_b
        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
-       |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |und AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
        |        UNION SELECT id_b, id_a FROM pairs),
        |reach(a, b) AS (
        |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
@@ -782,11 +782,11 @@ object Extensions {
        |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
        |       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
        |       GROUP BY a.id, b.id),
-       |pairs AS (SELECT pr.id_a, pr.id_b
+       |pairs AS MATERIALIZED (SELECT pr.id_a, pr.id_b
        |  FROM pr JOIN sz sa ON sa.id = pr.id_a
        |  JOIN sz sb ON sb.id = pr.id_b
        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
-       |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |und AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
        |        UNION SELECT id_b, id_a FROM pairs),
        |reach(a, b) AS (
        |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
@@ -1114,11 +1114,11 @@ object Extensions {
        |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
        |       FROM sh a JOIN sh b ON a.shingle = b.shingle
        |       AND a.id < b.id GROUP BY a.id, b.id),
-       |pairs AS (SELECT pr.id_a, pr.id_b
+       |pairs AS MATERIALIZED (SELECT pr.id_a, pr.id_b
        |  FROM pr JOIN sz sa ON sa.id = pr.id_a
        |  JOIN sz sb ON sb.id = pr.id_b
        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
-       |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+       |und AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
        |        UNION SELECT id_b, id_a FROM pairs),
        |reach(a, b) AS (
        |  SELECT a, a FROM (SELECT DISTINCT a FROM und)

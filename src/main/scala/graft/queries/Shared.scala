@@ -78,8 +78,12 @@ private[queries] object Shared {
        |ORDER BY id_a, id_b""".stripMargin
 
   def clustersCte: String =
-    s"""pairs AS (SELECT id_a, id_b FROM (${ngramSql(0.5)})),
-       |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+    // MATERIALIZED: without the hint DuckDB inlines `pairs` into the
+    // recursive closure and re-evaluates the Σdf² shingle self-join
+    // PER ITERATION — at the 500k-doc heaps tier that exhausted 80 GB
+    // of spill where the plain pair oracle (one evaluation) passed
+    s"""pairs AS MATERIALIZED (SELECT id_a, id_b FROM (${ngramSql(0.5)})),
+       |und AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs
        |        UNION SELECT id_b, id_a FROM pairs),
        |reach(a, b) AS (
        |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
