@@ -372,7 +372,14 @@ object DedupQueries {
        |FROM n, s""".stripMargin
 
   val dedupSemanticIncrementalSql: String = {
-    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
+    // the candidate-pair cosine rides list_dot_product (same
+    // left-to-right summation as the exploded SUM it replaces,
+    // sig5-rounded output) so the probe x cell-member set streams
+    // as O(dim) scalar work per pair instead of a 64x exploded
+    // join — the intermediate that exhausted spill at sf1
+    val listCosExpr = sig("list_dot_product(a.e, b.e) / " +
+      "(sqrt(list_dot_product(a.e, a.e)) * " +
+      "sqrt(list_dot_product(b.e, b.e)))")
     s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
        |       FROM embeddings, range(1, 65) t(i)),
        |c0 AS (SELECT vec_id AS cid, i, v AS w FROM el
@@ -400,15 +407,13 @@ object DedupQueries {
        |           WHERE vid % 2 = 1 AND rn <= 2),
        |cand AS (SELECT p.qid, a.vid FROM probes p
        |         JOIN assign a ON a.cell = p.cell WHERE a.vid <> p.qid),
-       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY 1),
-       |dot AS (SELECT c.qid, c.vid, sum(a.v * b.v) AS dp
-       |        FROM cand c JOIN el a ON a.vec_id = c.qid
-       |        JOIN el b ON b.vec_id = c.vid AND b.i = a.i
-       |        GROUP BY 1, 2),
-       |cos AS (SELECT qid, vid, $cosExpr AS cosine
-       |        FROM dot JOIN nrm na ON na.vec_id = dot.qid
-       |        JOIN nrm nb ON nb.vec_id = dot.vid
-       |        WHERE $cosExpr IS NOT NULL),
+       |emb AS MATERIALIZED (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |cos AS (SELECT c.qid, c.vid, $listCosExpr AS cosine
+       |        FROM cand c JOIN emb a ON a.vec_id = c.qid
+       |        JOIN emb b ON b.vec_id = c.vid
+       |        WHERE $listCosExpr IS NOT NULL),
        |best AS (SELECT qid, max(cosine) AS best_cosine FROM cos
        |         GROUP BY 1),
        |bm AS (SELECT cos.qid, best_cosine, min(vid) AS best_match
@@ -465,14 +470,25 @@ object DedupQueries {
     * exactly, so DuckDB parses the identical IEEE value. */
 
   val dedupEmbedSql: String = {
-    val cosExpr = sig("dp / (na.nrm * nb.nrm)")
-    val pv = planesValues(
-      Similarity.hyperplanes(EmbedBands * EmbedRows, 64))
-    s"""WITH planes(pj, i, w) AS (VALUES $pv),
-       |el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
-       |       FROM embeddings, range(1, 65) t(i)),
-       |proj AS (SELECT e.vec_id, p.pj, sum(e.v * p.w) AS pr
-       |         FROM el e JOIN planes p ON p.i = e.i GROUP BY 1, 2),
+    // per-plane LIST literals + list_dot_product: the banded
+    // candidate set is quadratic in cell occupancy (~10^8 pairs at
+    // 20k random vectors), so the 64-dim exploded join the old
+    // replay used materialized ~6x10^9 rows and exhausted spill at
+    // sf1; a native O(64) scalar dot per pair streams instead.
+    // list_dot_product sums left-to-right like the SUM(el join) it
+    // replaces (parity asserted bit-identical on the fixture) and
+    // every emitted value stays sig5-rounded.
+    val planeLists = Similarity.hyperplanes(EmbedBands * EmbedRows, 64)
+      .zipWithIndex
+      .map { case (p, j) => s"($j, [${p.mkString(", ")}])" }
+      .mkString(", ")
+    s"""WITH planes(pj, w) AS (VALUES $planeLists),
+       |emb AS MATERIALIZED (SELECT vec_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |proj AS (SELECT m.vec_id, p.pj,
+       |         list_dot_product(m.e, p.w) AS pr
+       |         FROM emb m CROSS JOIN planes p),
        |bh AS (SELECT vec_id, pj // $EmbedRows AS band,
        |       CAST(sum(CASE WHEN pr >= 1e-12
        |         THEN CAST(1 AS BIGINT) << (pj % $EmbedRows)
@@ -481,14 +497,10 @@ object DedupQueries {
        |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
        |         FROM bh a JOIN bh b
        |         ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id),
-       |nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM el GROUP BY vec_id),
-       |dot AS (SELECT c.ia, c.ib, sum(a.v * b.v) AS dp
-       |        FROM cand c JOIN el a ON a.vec_id = c.ia
-       |        JOIN el b ON b.vec_id = c.ib AND b.i = a.i
-       |        GROUP BY 1, 2),
-       |cos AS (SELECT ia, ib, $cosExpr AS cosine
-       |        FROM dot JOIN nrm na ON na.vec_id = dot.ia
-       |        JOIN nrm nb ON nb.vec_id = dot.ib)
+       |cos AS (SELECT c.ia, c.ib,
+       |        ${sig("list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))")} AS cosine
+       |        FROM cand c JOIN emb a ON a.vec_id = c.ia
+       |        JOIN emb b ON b.vec_id = c.ib)
        |SELECT ia AS id_a, ib AS id_b, cosine FROM cos
        |WHERE cosine >= 0.5 ORDER BY id_a, id_b""".stripMargin
   }
