@@ -466,6 +466,27 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
       .orderBy("id_a", "id_b")
 
+  /** Corpus-size-ROUTED near-dup pairs ([[contaminationPairsRouted]]'s
+    * dispatch applied to the pair family): the exact inverted-index
+    * join ([[ngramJaccardPairs]] — ground truth, Θ(Σ_g df(g)²)
+    * candidates) while the corpus is small enough to afford the
+    * audit, [[minhashVerifiedPairs]] (banded candidates, exact
+    * Jaccard verified on candidates only — linear) above
+    * `bandedAboveRows`. One count() action (scan-only, no shuffle)
+    * decides; both branches share one oracle wherever banding recall
+    * is 1 — the r14 banded twins pin exactly that at every gate tier
+    * plus the open-vocab heaps tiers. */
+  def ngramJaccardPairsRouted(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, minJaccard: Double = 0.5,
+      maxDf: Option[Long] = None, numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Option[Long] = Some(1024L),
+      bandedAboveRows: Long = 20000L): DataFrame =
+    if (df.count() > bandedAboveRows)
+      minhashVerifiedPairs(df, idCol, textCol, n, numHashes, bands,
+        minJaccard, maxDf, maxBucket)
+    else
+      ngramJaccardPairs(df, idCol, textCol, n, minJaccard, maxDf)
+
   /** The shared core of the banded-verified family: candidates from
     * MinHash banding over a (id, shingle) index, exact intersection
     * counts computed ONLY on the candidates. Returns

@@ -13,9 +13,14 @@ import java.io.ByteArrayOutputStream
   *   - baseline DCT (SOF0), 8-bit precision, 1 (grey) or 3 (YCbCr)
   *     components, sampling factors 1..4, 8-bit DQT tables, DRI/RSTn
   *     restart intervals, 0xFF00 byte stuffing.
-  *   - progressive (SOF2) and the other SOF variants are REJECTED and
-  *     show up as skips in [[Multimodal.decodeAudit]] — accounted, not
-  *     silent.
+  *   - progressive (SOF2, T.81 §G.2): full multi-scan assembly —
+  *     spectral selection, successive approximation (first + refine
+  *     passes), EOBn run lengths — then the same dequant/IDCT tail
+  *     as baseline (pinned pixel-equal to baseline on random
+  *     coefficients by the unit suite).
+  *   - the remaining SOF variants (arithmetic-coded SOF9+, 12-bit,
+  *     lossless/hierarchical) are REJECTED and show up as skips in
+  *     [[Multimodal.decodeAudit]] — accounted, not silent.
   *
   * Exactness contract the fixture arm builds on: a block whose only
   * nonzero coefficient is the DC term IDCTs to the flat value

@@ -135,6 +135,42 @@ object Multimodal {
     none
   }
 
+  /** Finer-grained JPEG taxonomy for the decode audit: the SOF
+    * marker + frame-header fields name WHICH real-crawl variant a
+    * payload is, so a skip is attributed ("jpeg_arith"), never
+    * lumped into a bare "jpeg". Shares [[decodeJpeg]]'s marker walk;
+    * anything without a parseable SOF is "jpeg_other"
+    * (truncated/misaligned streams). Precedence: the entropy coder
+    * (arithmetic, SOF9+ — unsupported regardless of anything else),
+    * then sample precision (12-bit), then the 4-component
+    * Adobe-CMYK/YCCK shape, then the frame type. */
+  def jpegVariant(p: Array[Byte]): String = {
+    var pos = 2
+    while (pos + 1 < p.length) {
+      if (u8(p, pos) != 0xff) return "jpeg_other"
+      val m = u8(p, pos + 1)
+      if (m == 0xff) pos += 1
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) pos += 2
+      else if (m == 0xd9) return "jpeg_other"
+      else if (pos + 3 >= p.length) return "jpeg_other"
+      else if (isSof(m)) {
+        if (pos + 9 >= p.length) return "jpeg_other"
+        val precision = u8(p, pos + 4)
+        val nComp = u8(p, pos + 9)
+        return if (m >= 0xc9) "jpeg_arith"
+        else if (precision != 8) "jpeg_12bit"
+        else if (nComp == 4) "jpeg_cmyk"
+        else m match {
+          case 0xc0 => "jpeg_baseline"
+          case 0xc1 => "jpeg_extseq"
+          case 0xc2 => "jpeg_progressive"
+          case _ => "jpeg_lossless"
+        }
+      } else pos += 2 + be16(p, pos + 2).toInt
+    }
+    "jpeg_other"
+  }
+
   private def decodeWav(p: Array[Byte]): Decoded = {
     var channels, sampleRate, blockAlign = Option.empty[Long]
     var dataSize = Option.empty[Long]
@@ -638,6 +674,35 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Header-only JPEG stub for a named real-crawl variant the pixel
+    * decoder REJECTS — the loud-skip arms of the decode audit:
+    * `marker` picks the SOF type (0xc9 = extended sequential with
+    * ARITHMETIC entropy coding; 0xc1 + `precision` 12 = 12-bit;
+    * 0xc0 + `nComp` 4 = Adobe CMYK/YCCK). Parseable by [[decode]]
+    * and [[jpegVariant]] (so the variant is attributed with
+    * width/height accounted) but carries no scan data — undecodable
+    * BY CONSTRUCTION, exactly what the audit must report. */
+  def synthJpegStub(w: Long, h: Long, marker: Int, precision: Int,
+      nComp: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0xff, 0xd8).map(_.toByte)) // SOI
+    out.write(Array(0xff, 0xe0, 0x00, 0x10).map(_.toByte)) // APP0
+    out.write("JFIF".getBytes("US-ASCII"))
+    out.write(Array(0x00, 0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01,
+      0x00, 0x00).map(_.toByte)) // v1.1, no density, no thumbnail
+    out.write(Array(0xff, marker, 0x00, 8 + 3 * nComp).map(_.toByte))
+    out.write(precision.toByte)
+    out.write(be16b(h)); out.write(be16b(w))
+    out.write(nComp.toByte)
+    for (i <- 1 to nComp) { // id, sampling, quant-table id
+      out.write(i.toByte)
+      out.write((if (i == 1) 0x22 else 0x11).toByte)
+      out.write((if (i == 1) 0x00 else 0x01).toByte)
+    }
+    out.write(Array(0xff, 0xd9).map(_.toByte)) // EOI
+    out.toByteArray
+  }
+
   /** Minimal PCM WAV: RIFF/WAVE, 16-byte fmt chunk, zero-filled data
     * chunk of `frames` samples x `channels` x 16-bit. 44 + data bytes. */
   def synthWav(sampleRate: Long, channels: Long, frames: Long)
@@ -882,11 +947,14 @@ object Multimodal {
 
   /** Per-format decode accounting — the corrupt-record-accounting
     * pattern from Sources applied to the pixel path: the raster
-    * decode covers PNG and baseline-sequential JPEG ([[Jpeg]]);
-    * progressive/lossless/arithmetic JPEG and non-image payloads are
-    * skipped, and any phash run over a mixed corpus must say LOUDLY
-    * what it skipped rather than silently hashing the decodable
-    * subset. One mapPartitions classify (container sniff +
+    * decode covers PNG and baseline + progressive JPEG ([[Jpeg]]);
+    * the remaining JPEG variants and non-image payloads are skipped,
+    * and any phash run over a mixed corpus must say LOUDLY what it
+    * skipped rather than silently hashing the decodable subset.
+    * JPEG payloads are accounted per VARIANT ([[jpegVariant]] —
+    * arithmetic-coded, 12-bit, CMYK, lossless each get their own
+    * row), so the audit names every real-crawl encoding it does not
+    * decode. One mapPartitions classify (container sniff +
     * pixel-decode attempt) + one O(formats) aggregation. */
   def decodeAudit(df: DataFrame, idCol: String, binCol: String,
       batchSize: Int = 256): DataFrame = {
@@ -898,8 +966,11 @@ object Multimodal {
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (_, payload) =>
-            (decode(payload).format,
-              if (decodePixels(payload).isDefined) 1L else 0L)
+            val fmt = decode(payload).format match {
+              case "jpeg" => jpegVariant(payload)
+              case f => f
+            }
+            (fmt, if (decodePixels(payload).isDefined) 1L else 0L)
           }
         }
       }.toDF("format", "dec")
@@ -918,12 +989,15 @@ object Multimodal {
     * [[synthRasterMedia]] formula, pixel-decodable), a quarter JPEGs
     * — baseline rasters (id ≡ 2 mod 8), REAL progressive (SOF2)
     * rasters of the SAME luma formula (id ≡ 6 mod 16, decodable
-    * since r14's multi-scan decoder), and header-only stubs standing
-    * in for the still-unsupported encodings (arithmetic/lossless;
-    * id ≡ 14 mod 16 — undecodable by design, the loud-skip arm) —
-    * and a quarter WAVs (wrong modality for the pixel path): the
-    * corpus the decode audit and the mixed phash queries run over,
-    * with a partially-decodable jpeg arm like a real crawl. */
+    * since r14's multi-scan decoder), and the id ≡ 14 (mod 16) slot
+    * rotated over the three NAMED unsupported-variant stubs
+    * ([[synthJpegStub]]): arithmetic-coded SOF9 (id ≡ 14 mod 48),
+    * 12-bit extended sequential (id ≡ 30 mod 48), 4-component Adobe
+    * CMYK (id ≡ 46 mod 48) — each undecodable by design and each
+    * its own loud-skip audit row — and a quarter WAVs (wrong
+    * modality for the pixel path): the corpus the decode audit and
+    * the mixed phash queries run over, with a partially-decodable
+    * jpeg arm like a real crawl. */
   def synthMixedMedia(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -939,8 +1013,14 @@ object Multimodal {
             else if (id % 16 == 6)
               Jpeg.synthJpegRasterProgressive(32, 24,
                 ((id % 7L) * 41L).toInt)
-            else synthJpeg(8 + (id * 13) % 509, 8 + (id * 11) % 387,
-              progressive = true)
+            else (id % 48) match {
+              case 14 => synthJpegStub(8 + (id * 13) % 509,
+                8 + (id * 11) % 387, 0xc9, 8, 3)
+              case 30 => synthJpegStub(8 + (id * 13) % 509,
+                8 + (id * 11) % 387, 0xc1, 12, 3)
+              case _ => synthJpegStub(8 + (id * 13) % 509,
+                8 + (id * 11) % 387, 0xc0, 8, 4)
+            }
           case _ => synthWavTone(8000L, 1L, 16L + id % 65, id % 997)
         }
         (id, payload)

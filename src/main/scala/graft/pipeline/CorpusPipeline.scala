@@ -33,6 +33,28 @@ object CorpusPipeline {
     * in the corpus, bucket skew bounded by the star cap. */
   final case class BandedMinHash(numHashes: Int = 64, bands: Int = 16,
       maxBucket: Option[Long] = Some(1024L)) extends NearDupStrategy
+  /** Corpus-size-ROUTED (the default since r15): exact while one
+    * scan-only count() says Σdf² is affordable, banded above
+    * `bandedAboveRows` ([[Dedup.ngramJaccardPairsRouted]]) — the
+    * no-config funnel never embeds the quadratic stage on a corpus
+    * big enough for it to matter. */
+  final case class Routed(bandedAboveRows: Long = 20000L,
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Option[Long] = Some(1024L)) extends NearDupStrategy
+
+  /** How the funnel's decontamination stage finds (train, eval)
+    * overlap pairs; all three arms are value-identical (the Bloom
+    * prefilter is provably lossless — no false negatives). */
+  sealed trait ContamStrategy
+  /** Exact inverted-index gram-probe join — the audit arm. */
+  case object ExactContam extends ContamStrategy
+  /** Always through [[graft.ops.BloomPrefilter.bloomDecontaminate]]
+    * — map-only bitset probe on the corpus side. */
+  case object BloomContam extends ContamStrategy
+  /** Train-side-row-count routed ([[Dedup.contaminationPairsRouted]])
+    * — the default: exact below the threshold, bloom above. */
+  final case class RoutedContam(bloomAboveRows: Long = 20000L)
+    extends ContamStrategy
 
   case class FunnelConfig(
       minTokens: Long = 20L,
@@ -42,17 +64,22 @@ object CorpusPipeline {
       contaminationMinShared: Long = 5L,
       maxDf: Long = 1000L,
       holdoutPerMille: Int = 100,
-      nearDup: NearDupStrategy = ExactNgram,
-      // route decontamination through the Bloom prefilter
-      // ([[graft.ops.BloomPrefilter.bloomDecontaminate]] — identical
-      // result by the no-false-negatives argument, candidates cut to
-      // the sliver that can overlap the eval set)
-      bloomContam: Boolean = false)
+      nearDup: NearDupStrategy = Routed(),
+      contam: ContamStrategy = RoutedContam())
 
-  /** The production-shape funnel parameterization: banded near-dup +
-    * Bloom-prefiltered decontamination. Same thresholds, same oracle. */
+  /** The exact-everything parameterization — the AUDIT funnel
+    * (ground-truth Θ(Σdf²) near-dup join + exact gram-probe
+    * decontamination at any size); the declared `pipeline_funnel` /
+    * `pipeline_curate` queries run this form so the exact oracles
+    * stay exercised verbatim. */
+  val ExactConfig: FunnelConfig =
+    FunnelConfig(nearDup = ExactNgram, contam = ExactContam)
+
+  /** The always-banded parameterization: banded near-dup +
+    * Bloom-prefiltered decontamination at every size. Same
+    * thresholds, same oracle. */
   val BandedConfig: FunnelConfig =
-    FunnelConfig(nearDup = BandedMinHash(), bloomContam = true)
+    FunnelConfig(nearDup = BandedMinHash(), contam = BloomContam)
 
   /** Quality-filter survivors: token count in range and the
     * (sig5-rounded) top-bigram repetition below threshold. */
@@ -82,6 +109,11 @@ object CorpusPipeline {
         numHashes = numHashes, bands = bands,
         minJaccard = cfg.dedupMinJaccard, maxDf = Some(cfg.maxDf),
         maxBucket = maxBucket)
+    case Routed(aboveRows, numHashes, bands, maxBucket) =>
+      Dedup.ngramJaccardPairsRouted(docs, idCol, textCol, n = 3,
+        minJaccard = cfg.dedupMinJaccard, maxDf = Some(cfg.maxDf),
+        numHashes = numHashes, bands = bands, maxBucket = maxBucket,
+        bandedAboveRows = aboveRows)
   }
 
   def dedupKeepOne(docs: DataFrame, idCol: String, textCol: String,
@@ -98,16 +130,21 @@ object CorpusPipeline {
     * with any eval doc. */
   def decontaminated(docs: DataFrame, evalDocs: DataFrame,
       idCol: String, textCol: String, cfg: FunnelConfig): DataFrame = {
-    val pairs =
-      if (cfg.bloomContam)
+    val pairs = cfg.contam match {
+      case BloomContam =>
         graft.ops.BloomPrefilter.bloomDecontaminate(docs, evalDocs,
           idCol, textCol, n = 3,
           minShared = cfg.contaminationMinShared,
           maxDf = Some(cfg.maxDf))
-      else
+      case ExactContam =>
         Dedup.contaminationPairs(docs, evalDocs, idCol,
           textCol, n = 3, minShared = cfg.contaminationMinShared,
           maxDf = Some(cfg.maxDf))
+      case RoutedContam(aboveRows) =>
+        Dedup.contaminationPairsRouted(docs, evalDocs, idCol,
+          textCol, n = 3, minShared = cfg.contaminationMinShared,
+          maxDf = Some(cfg.maxDf), bloomAboveRows = aboveRows)
+    }
     val flagged = pairs.select(col("train_id").as(idCol)).distinct()
     docs.join(flagged, Seq(idCol), "left_anti")
   }

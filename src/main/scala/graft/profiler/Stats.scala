@@ -329,10 +329,14 @@ object Stats {
     * — the routed form runs percentile_approx inside the grouped agg
     * (state bounded by `accuracy` per cell) and declares the
     * per-(group, column, percentile) rank CONTRACT, checked against
-    * exact ranks counted in ONE second grouped pass (the approx
-    * values ride a per-group CASE literal — O(groups × cols × 5)
-    * driver state, so the group key must be a low-cardinality facet,
-    * the same domain [[groupedQuantiles]] documents). Oracle:
+    * exact ranks counted in ONE second grouped pass. The per-group
+    * approx arrays travel as a PREMISE FRAME joined back on the
+    * group key — one row per group, produced by the groupBy's own
+    * exchange and broadcast by AQE when small — never as driver
+    * literals: the r14 form compiled a groups × cols × 5 CASE chain
+    * into one expression tree, fine for a bounded facet but a
+    * driver-state scale killer on per-domain or per-user keys
+    * (measured at 1M groups in `graft.GroupedScaleSmoke`). Oracle:
     * all-true rows per (group, col, percentile) — scale-invariant,
     * while a sketch regression still fails the compare. */
   def groupedQuantilesRouted(df: DataFrame, groupCol: String,
@@ -342,57 +346,44 @@ object Stats {
       expr(s"percentile_approx(cast(`$c` as double), $arr, $accuracy)")
         .as(s"q__$c"))
     val g = col(groupCol).cast("string")
-    val qRows = df.groupBy(g.as("grp"))
-      .agg(qAggs.head, qAggs.tail: _*).collect()
-    val groups = qRows.map(_.getString(0))
-    // per (group, col, p) approx value; None when the cell was empty
-    val av: Map[(String, String, Int), Option[Double]] = (for {
-      r <- qRows; c <- cols; i <- Ps.indices
-    } yield {
-      val arr = r.getAs[scala.collection.Seq[Any]](s"q__$c")
-      ((r.getString(0), c, i),
-        if (arr == null) None
-        else Option(arr(i)).map(_.asInstanceOf[Double]))
-    }).toMap
-    // second grouped pass: exact lo/hi ranks against the per-group
-    // literal (CASE on the group value — no join, no explode)
+    // premise: one row per group carrying every column's approx
+    // quantile array — stays on the executors at any cardinality
+    val premise = df.groupBy(g.as("grp_p"))
+      .agg(qAggs.head, qAggs.tail: _*)
+    val base = df.select(
+      (g.as("grp") +: cols.map(c => d(c).as(s"v__$c"))): _*)
+    // null-safe equi-join: a NULL group key is a group like any other
+    val joined = base.join(premise, col("grp") <=> col("grp_p"))
+    // second grouped pass: exact lo/hi ranks against the joined
+    // premise (constant within each group, so min/max read it back)
     val cntAggs = cols.flatMap { c =>
-      count(d(c)).as(s"n__$c") +: Ps.indices.flatMap { i =>
-        val lits = groups.flatMap(gr =>
-          av((gr, c, i)).map(v => when(g <=> lit(gr), lit(v))))
-        if (lits.isEmpty) Seq.empty
-        else {
-          val avc = coalesce(lits: _*)
-          Seq(coalesce(sum(when(d(c) < avc, 1L)), lit(0L))
-              .as(s"lo__${c}__$i"),
-            coalesce(sum(when(d(c) <= avc, 1L)), lit(0L))
-              .as(s"hi__${c}__$i"))
-        }
+      count(col(s"v__$c")).as(s"n__$c") +: Ps.indices.flatMap { i =>
+        val avc = element_at(col(s"q__$c"), i + 1)
+        Seq(max(avc.isNotNull).as(s"has__${c}__$i"),
+          coalesce(sum(when(col(s"v__$c") < avc, 1L)), lit(0L))
+            .as(s"lo__${c}__$i"),
+          coalesce(sum(when(col(s"v__$c") <= avc, 1L)), lit(0L))
+            .as(s"hi__${c}__$i"))
       }
     }
-    val cnts = df.groupBy(g.as("grp"))
-      .agg(cntAggs.head, cntAggs.tail: _*).collect()
-    val spark = df.sparkSession
-    import spark.implicits._
-    cnts.toSeq.flatMap { r =>
-      val gr = r.getString(0)
-      cols.flatMap { c =>
-        val n = r.getAs[Long](s"n__$c")
-        Ps.zip(pNames).zipWithIndex.map { case ((p, nm), i) =>
-          val ok = av((gr, c, i)) match {
-            case None => n == 0
-            case Some(_) =>
-              val lo = r.getAs[Long](s"lo__${c}__$i")
-              val hi = r.getAs[Long](s"hi__${c}__$i")
-              val target = p * n
-              val margin = n.toDouble / accuracy + 1.0
-              lo + 1 <= target + margin && hi >= target - margin
-          }
-          (gr, c, nm, ok)
-        }
+    val cnts = joined.groupBy("grp").agg(cntAggs.head, cntAggs.tail: _*)
+    val structs = cols.flatMap { c =>
+      val n = col(s"n__$c")
+      val margin = n.cast("double") / accuracy + lit(1.0)
+      Ps.zip(pNames).zipWithIndex.map { case ((p, nm), i) =>
+        val target = lit(p) * n.cast("double")
+        val ok = when(!col(s"has__${c}__$i"), n === 0L)
+          .otherwise(
+            (col(s"lo__${c}__$i") + lit(1L)).cast("double") <=
+              target + margin &&
+            col(s"hi__${c}__$i").cast("double") >= target - margin)
+        struct(lit(c).as("col_name"), lit(nm).as("p_name"),
+          ok.as("within_bound"))
       }
-    }.toDF("grp", "col_name", "p_name", "within_bound")
-      .withColumnRenamed("grp", groupCol)
+    }
+    cnts.select(col("grp"), explode(array(structs: _*)).as("s"))
+      .select(col("grp").as(groupCol), col("s.col_name"),
+        col("s.p_name"), col("s.within_bound"))
       .orderBy(groupCol, "col_name", "p_name")
   }
 
@@ -1345,6 +1336,42 @@ object Stats {
           .as("within_bound"))
       .orderBy("col_a", "col_b")
   }
+
+  /** SCALE-ROUTED Spearman (the [[quantilesRouted]] dispatch for
+    * rank correlation): one scan-only count() decides whether the k
+    * single-partition sort windows of the exact form are affordable.
+    * Both branches declare the same CONTRACT output
+    * (col_a, col_b, within_bound), so the oracle (all-true rows per
+    * pair) is scale-invariant:
+    *   - ≤ `exactBelowRows`: the full [[spearmanApproxCheck]] audit —
+    *     |ρ_grid − ρ_exact| < `bound`, the strongest check, run
+    *     exactly where exact ranks are cheap;
+    *   - above: grid-REFINEMENT convergence — ρ at `grid` lattice
+    *     points vs ρ at `grid`/2, both map-only (no sort, no window).
+    *     Rank error is O(1/grid + GK ε), so halving the lattice moves
+    *     ρ by at most that order on any distribution the grid
+    *     resolves; a lattice/binary-search regression perturbs the
+    *     two estimates incoherently and flips the booleans.
+    * The production VALUE path at corpus scale stays
+    * [[spearmanApprox]] (folded into the profile flagship via
+    * GridRank); this routed form is its declared, oracle-checkable
+    * face. */
+  def spearmanRouted(df: DataFrame, cols: Seq[String],
+      exactBelowRows: Long = 1000000L, grid: Int = 1024,
+      bound: Double = 0.05): DataFrame =
+    if (df.count() <= exactBelowRows)
+      spearmanApproxCheck(df, cols, grid, bound)
+    else {
+      val fine = spearmanApprox(df, cols, grid)
+        .withColumnRenamed("rho", "rho_fine")
+      val coarse = spearmanApprox(df, cols, grid / 2)
+        .withColumnRenamed("rho", "rho_coarse")
+      fine.join(coarse, Seq("col_a", "col_b"))
+        .select(col("col_a"), col("col_b"),
+          (abs(col("rho_fine") - col("rho_coarse")) < bound)
+            .as("within_bound"))
+        .orderBy("col_a", "col_b")
+    }
 
   /** Kendall's τ-b from a bins×bins joint grid — concordant/
     * discordant pair correlation WITHOUT the O(n²) pair join exact

@@ -129,6 +129,11 @@ object BlocklistQueries {
          |    AS terms_hit,
          |  sum(n) <= 0 AS kept
          |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // h2's position scan emits no row for a bordered term longer
+    // than every document (the unnest range is empty), while Spark's
+    // termStats always emits the term with 0 occurrences — the
+    // zero-anchor UNION keeps such terms in the oracle output
+    // (n = 0 adds nothing to any aggregate)
     "text_blocklist_bordered" -> {
       val borderless = TermsLarge.filterNot(hasBorder)
       val bordered = TermsLarge.filter(hasBorder)
@@ -148,7 +153,9 @@ object BlocklistQueries {
          |        + 2, 1) AS BIGINT))) AS i
          |    FROM d CROSS JOIN bt)
          |  GROUP BY doc_id, term),
-         |h AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+         |h AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2
+         |  UNION ALL SELECT CAST(NULL AS BIGINT) AS doc_id, term,
+         |    CAST(0 AS BIGINT) AS n FROM bt)
          |SELECT term, CAST(sum(n) AS BIGINT) AS occurrences,
          |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
          |    AS docs_hit,

@@ -163,6 +163,13 @@ object Core {
     // |approx − exact| must stay inside the bound → oracle all-true
     "corr_spearman_approx_err" -> ((s, dir) =>
       Stats.spearmanApproxCheck(li(s, dir), floats)),
+    // the SCALE-ROUTED Spearman (r15): below the row threshold the
+    // full exact-vs-grid audit runs (the approx_err check, strongest
+    // where exact sorts are cheap — all driver tiers); above it the
+    // map-only grid-refinement convergence check (ρ@1024 vs ρ@512,
+    // no sort anywhere) — one dispatch, one all-true contract oracle
+    "corr_spearman_routed" -> ((s, dir) =>
+      Stats.spearmanRouted(li(s, dir), floats)),
     // Kendall τ-b from a 20×20 joint grid: concordant/discordant
     // pair counts in exact integer arithmetic over O(bins²) cells —
     // no O(n²) pair join, no global sort; the oracle replays the
@@ -872,6 +879,9 @@ object Core {
     "corr_spearman" -> corrSpearmanSql,
     "corr_kendall" -> corrKendallSql,
     "corr_spearman_approx_err" -> corrSpearmanApproxErrSql,
+    // the routed form shares the all-true contract oracle: whichever
+    // branch the dispatch takes must satisfy its bound
+    "corr_spearman_routed" -> corrSpearmanApproxErrSql,
     "corr_reject" -> corrRejectSql,
     "sample_head" -> sampleHeadSql
   )

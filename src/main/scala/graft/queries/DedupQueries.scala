@@ -409,7 +409,7 @@ object DedupQueries {
        |         JOIN assign a ON a.cell = p.cell WHERE a.vid <> p.qid),
        |emb AS MATERIALIZED (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-       |  FROM embeddings),
+       |  FROM embeddings WHERE len(embedding) = 64),
        |cos AS (SELECT c.qid, c.vid, $listCosExpr AS cosine
        |        FROM cand c JOIN emb a ON a.vec_id = c.qid
        |        JOIN emb b ON b.vec_id = c.vid
@@ -477,7 +477,11 @@ object DedupQueries {
     // sf1; a native O(64) scalar dot per pair streams instead.
     // list_dot_product sums left-to-right like the SUM(el join) it
     // replaces (parity asserted bit-identical on the fixture) and
-    // every emitted value stays sig5-rounded.
+    // every emitted value stays sig5-rounded. Unlike the exploded
+    // join (which NULL-skipped ragged lists), list_dot_product RAISES
+    // on length mismatch — the len(embedding) = 64 guard keeps a
+    // hypothetical malformed row a value-level event instead of a
+    // whole-oracle error (the embedMarginMineAnnSql precedent).
     val planeLists = Similarity.hyperplanes(EmbedBands * EmbedRows, 64)
       .zipWithIndex
       .map { case (p, j) => s"($j, [${p.mkString(", ")}])" }
@@ -485,7 +489,7 @@ object DedupQueries {
     s"""WITH planes(pj, w) AS (VALUES $planeLists),
        |emb AS MATERIALIZED (SELECT vec_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-       |  FROM embeddings),
+       |  FROM embeddings WHERE len(embedding) = 64),
        |proj AS (SELECT m.vec_id, p.pj,
        |         list_dot_product(m.e, p.w) AS pr
        |         FROM emb m CROSS JOIN planes p),

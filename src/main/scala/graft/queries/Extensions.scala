@@ -24,6 +24,20 @@ object Extensions {
       CorpusPipeline.funnelCounts(
         docs.where(col("source") =!= "src0"),
         docs.where(col("source") === "src0"),
+        "doc_id", "text", CorpusPipeline.ExactConfig)
+    }),
+    // the ROUTED funnel (r15) — the NO-CONFIG path a user gets:
+    // corpus-stat dispatch picks the exact near-dup join below the
+    // row threshold and the banded plan above, decontamination
+    // routes exact-vs-bloom the same way — one dispatch, one oracle
+    // (all arms value-identical where banding recall is 1; the
+    // banded twins pin that at every tier). At the driver SFs the
+    // exact arms run; at GenSf sf1/heaps the production arms do
+    "pipeline_funnel_routed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusPipeline.funnelCounts(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
         "doc_id", "text")
     }),
     // the PRODUCTION-shape funnel (r14): near-dedup via MinHash-banded
@@ -55,6 +69,16 @@ object Extensions {
     // distillation in-engine, model keep at tau=0.5 -> near-dedup ->
     // decontamination; the oracle replays training AND all stages
     "pipeline_curate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      CorpusPipeline.curateCounts(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "doc_id", "text", ClassifierQueries.Th,
+        cfg = CorpusPipeline.ExactConfig)
+    }),
+    // the model-gated funnel on the ROUTED dedup/decontamination
+    // dispatch (the r15 no-config path); same oracle
+    "pipeline_curate_routed" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       CorpusPipeline.curateCounts(
         docs.where(col("source") =!= "src0"),
@@ -1161,7 +1185,9 @@ object Extensions {
     "num_histogram_eqdepth" -> numHistogramEqdepthSql,
     "pipeline_funnel" -> pipelineFunnelSql,
     "pipeline_funnel_banded" -> pipelineFunnelSql,
+    "pipeline_funnel_routed" -> pipelineFunnelSql,
     "pipeline_curate_banded" -> pipelineCurateSql,
+    "pipeline_curate_routed" -> pipelineCurateSql,
     "pipeline_ccnet" -> pipelineCcnetSql,
     "graph_pagerank" -> graphPagerankSql,
     "graph_pagerank_incremental" -> graphPagerankIncrementalSql,

@@ -98,10 +98,12 @@ object MultimodalQueries {
             "doc_id"),
           "doc_id", "payload"),
         "doc_id", "afp", maxDist = 3)),
-    // per-format decode accounting over a corpus where the jpeg arm
-    // is PARTIALLY decodable (real baseline rasters for id≡2 mod 8,
-    // progressive header stubs otherwise) and WAV is the wrong
-    // modality: the pixel path must report skips LOUDLY — the
+    // per-VARIANT decode accounting over a corpus where the jpeg arm
+    // is PARTIALLY decodable (real baseline + progressive rasters)
+    // and the undecodable slots are NAMED real-crawl variants —
+    // arithmetic-coded SOF9, 12-bit, 4-component CMYK stubs each get
+    // their own audit row (r15) — while WAV is the wrong modality:
+    // the pixel path must report skips LOUDLY per variant; the
     // oracle re-derives the per-format decoded/skipped counts from
     // the fixture arithmetic, so a silent drop or a crash both fail
     "multimodal_decode_audit" -> ((s, dir) =>
@@ -205,7 +207,12 @@ object MultimodalQueries {
   val multimodalDecodeAuditSql: String =
     s"""WITH m AS (SELECT doc_id,
        |    CASE WHEN doc_id % 4 <= 1 THEN 'png'
-       |         WHEN doc_id % 4 = 2 THEN 'jpeg' ELSE 'wav' END
+       |         WHEN doc_id % 4 = 3 THEN 'wav'
+       |         WHEN doc_id % 8 = 2 THEN 'jpeg_baseline'
+       |         WHEN doc_id % 16 = 6 THEN 'jpeg_progressive'
+       |         WHEN doc_id % 48 = 14 THEN 'jpeg_arith'
+       |         WHEN doc_id % 48 = 30 THEN 'jpeg_12bit'
+       |         ELSE 'jpeg_cmyk' END
        |      AS format,
        |    CASE WHEN doc_id % 4 <= 1 OR doc_id % 8 = 2
        |              OR doc_id % 16 = 6 THEN 1

