@@ -55,7 +55,10 @@ object Extensions {
     // the CCNet-complete funnel: rule gate → per-language KN tercile
     // cut against a TARGET-trained LM (drop the tail) → near-dedup
     // keep → decontamination — stage counts vs DuckDB's independent
-    // replay of all four stages
+    // replay of all four stages. Runs the r15 ROUTED default for the
+    // dedup/contamination stages (exact arms below the corpus-size
+    // threshold — all driver tiers; banded/bloom arms above, same
+    // values where banding recall is 1)
     "pipeline_ccnet" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       CorpusPipeline.ccnetCounts(
