@@ -130,9 +130,20 @@ object GenSf {
     val nEmb = 200L * scale // embeddings scale at 0.4× docs
 
     // single file per table named <t>.parquet, like the driver's
-    // fixtures (DuckDB opens the path directly, no glob)
+    // fixtures (DuckDB opens the path directly, no glob). Bench-only
+    // tiers (no DuckDB replay) can set GRAFT_GENSF_PARTS>1 to keep the
+    // write parallel: <t>.parquet becomes a normal multi-part parquet
+    // directory, which spark.read handles identically — at the sf100
+    // tier the coalesce(1) funnel is a ~25 GB single-thread encode.
+    val parts = sys.env.getOrElse("GRAFT_GENSF_PARTS", "1").toInt
     def write(df: DataFrame, name: String): Unit = {
       if (only.nonEmpty && !only(name)) return
+      if (parts > 1) {
+        df.repartition(parts).write.mode(SaveMode.Overwrite)
+          .parquet(s"$out/$name.parquet")
+        println(s"[gensf] wrote $name ($parts parts)")
+        return
+      }
       val tmp = s"$out/_tmp_$name"
       df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
       val conf = spark.sparkContext.hadoopConfiguration

@@ -143,8 +143,17 @@ class JpegSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(audit("png") == ((32L, 32L, 0L)))
     // id%8==2 baseline + id%16==6 REAL progressive decode (r14);
-    // id%16==14 header-only stubs remain the loud-skip arm
-    assert(audit("jpeg") == ((16L, 12L, 4L)))
+    // the id%16==14 slot rotates over the r15 NAMED loud-skip stubs
+    // (arith mod 48 = 14, 12-bit = 30, CMYK = 46) — one audit row
+    // per variant, summing to the former (16, 12, 4) jpeg arm
+    assert(audit("jpeg_baseline") == ((8L, 8L, 0L)))
+    assert(audit("jpeg_progressive") == ((4L, 4L, 0L)))
+    assert(audit("jpeg_arith") == ((2L, 0L, 2L)))
+    assert(audit("jpeg_12bit") == ((1L, 0L, 1L)))
+    assert(audit("jpeg_cmyk") == ((1L, 0L, 1L)))
+    val jpeg = audit.collect { case (k, v) if k.startsWith("jpeg") => v }
+    assert(jpeg.map(_._1).sum == 16L && jpeg.map(_._2).sum == 12L &&
+      jpeg.map(_._3).sum == 4L)
     assert(audit("wav") == ((16L, 0L, 16L)))
   }
 
