@@ -45,7 +45,7 @@ object BpeTrain {
       : DataFrame =
     df.select(explode(split(col(textCol), " ")).as("tok"))
       .select(lower(col("tok")).as("word"))
-      .where(col("word").rlike("^[a-z]+$") &&
+      .where(col("word").rlike("^[a-z0-9]+$") &&
         length(col("word")) <= maxWordLen)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .select(
@@ -117,7 +117,7 @@ object BpeTrain {
         lit(Mark + a + b + Mark))
     }
     df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
-      .where(lower(col("tok")).rlike("^[a-z]+$") &&
+      .where(lower(col("tok")).rlike("^[a-z0-9]+$") &&
         length(col("tok")) <= maxWordLen)
       .select(col(idCol), (size(split(symN, Sep))).as("n_sub"))
       .groupBy(idCol)

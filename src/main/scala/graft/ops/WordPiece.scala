@@ -52,7 +52,7 @@ object WordPiece {
     df.select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("tok"))
       .select(col("doc_id"), lower(col("tok")).as("word"))
-      .where(col("word").rlike("^[a-z]+$") &&
+      .where(col("word").rlike("^[a-z0-9]+$") &&
         length(col("word")) <= maxWordLen)
 
   /** Word-frequency table symbolized WordPiece-style: first char
@@ -63,7 +63,7 @@ object WordPiece {
     val words = df
       .select(explode(split(col(textCol), " ")).as("tok"))
       .select(lower(col("tok")).as("word"))
-      .where(col("word").rlike("^[a-z]+$") &&
+      .where(col("word").rlike("^[a-z0-9]+$") &&
         length(col("word")) <= maxWordLen)
       .groupBy("word").agg(count(lit(1)).as("freq"))
     words.select(symbolize(col("word")).as("sym"), col("freq"))
@@ -149,7 +149,7 @@ object WordPiece {
     val chars = df
       .select(explode(split(col(textCol), " ")).as("tok"))
       .select(lower(col("tok")).as("word"))
-      .where(col("word").rlike("^[a-z]+$") &&
+      .where(col("word").rlike("^[a-z0-9]+$") &&
         length(col("word")) <= maxWordLen)
       .select(explode(split(col("word"), "")).as("ch"))
       .where(length(col("ch")) === 1)
@@ -169,8 +169,13 @@ object WordPiece {
     * token-histogram-shaped shuffle and nothing else. */
   def encodeTokenCount(df: DataFrame, idCol: String, textCol: String,
       pieces: Seq[String], maxWordLen: Int = 64): DataFrame = {
-    require(pieces.nonEmpty, "empty piece vocabulary")
-    val maxP = pieces.map(p => stripCont(p).length).max
+    // Empty vocabulary (a corpus whose every token failed the word
+    // filter — the pre-r15 open-vocab regression) degrades to the
+    // single-char sentinel per character, the [UNK]-style total
+    // fallback, instead of crashing the whole job: the loud signal
+    // is the TRAIN query's zero rows, not a mid-pipeline exception.
+    val maxP =
+      if (pieces.isEmpty) 1 else pieces.map(p => stripCont(p).length).max
     val dwords = docWords(df, idCol, textCol, maxWordLen)
     val uw = dwords.select("word").distinct()
     val vocabLit = typedLit(pieces)

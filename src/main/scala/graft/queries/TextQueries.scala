@@ -342,7 +342,7 @@ object TextQueries {
     val base =
       s"""words AS (SELECT lower(tok) AS word FROM (
          |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-         |  WHERE regexp_matches(lower(tok), '^[a-z]+${"$"}')
+         |  WHERE regexp_matches(lower(tok), '^[a-z0-9]+${"$"}')
          |    AND length(tok) <= 64),
          |voc AS (SELECT word, count(*) AS freq FROM words GROUP BY 1),
          |v0 AS (SELECT rtrim(concat(regexp_replace(word, '(.)',
@@ -394,7 +394,7 @@ object TextQueries {
       s"""dwords AS (SELECT doc_id, lower(tok) AS word FROM (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |  FROM documents)
-         |  WHERE regexp_matches(lower(tok), '^[a-z]+${"$"}')
+         |  WHERE regexp_matches(lower(tok), '^[a-z0-9]+${"$"}')
          |    AND length(tok) <= 64),
          |dsym AS (SELECT doc_id, rtrim(concat(regexp_replace(word,
          |  '(.)', $M||'\\1'||$M||$S, 'g')), $S) AS sym0 FROM dwords),
@@ -420,7 +420,7 @@ object TextQueries {
       s"""dwords AS (SELECT doc_id, lower(tok) AS word FROM (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |  FROM documents)
-         |  WHERE regexp_matches(lower(tok), '^[a-z]+${"$"}')
+         |  WHERE regexp_matches(lower(tok), '^[a-z0-9]+${"$"}')
          |    AND length(tok) <= 64),
          |dsym AS (SELECT doc_id, rtrim(concat(regexp_replace(word,
          |  '(.)', $M||'\\1'||$M||$S, 'g')), $S) AS sym0 FROM dwords),
@@ -1195,14 +1195,21 @@ object TextQueries {
        |nb AS (SELECT CAST(sum(cab) AS DOUBLE) AS nb FROM bc),
        |top AS (SELECT a, b, cab,
        |    row_number() OVER (ORDER BY cab DESC, a, b) AS rnk
-       |  FROM bc WHERE cab >= 5)
+       |  FROM bc WHERE cab >= 5),
+       |-- rnk<=20 BEFORE the unigram joins, and the two uc probes
+       |-- staged as MATERIALIZED steps: the comma-join form let the
+       |-- optimizer reorder ua x ub into a CROSS_PRODUCT build side
+       |-- - quadratic in vocabulary, fatal on open-vocab tiers
+       |top20 AS MATERIALIZED (SELECT * FROM top WHERE rnk <= 20),
+       |ja AS MATERIALIZED (SELECT top20.*, ua.c AS ca FROM top20
+       |  JOIN uc ua ON ua.tok = top20.a),
+       |jb AS MATERIALIZED (SELECT ja.*, ub.c AS cb FROM ja
+       |  JOIN uc ub ON ub.tok = ja.b)
        |SELECT CAST(rnk AS BIGINT) AS rnk, a AS token_a, b AS token_b,
        |cab AS cnt,
-       |${sig("ln((cab / nb.nb) / ((ua.c / nu.nu) * (ub.c / nu.nu)))")}
+       |${sig("ln((cab / nb.nb) / ((ca / nu.nu) * (cb / nu.nu)))")}
        |  AS pmi
-       |FROM top JOIN uc ua ON ua.tok = top.a
-       |JOIN uc ub ON ub.tok = top.b, nu, nb
-       |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+       |FROM jb, nu, nb ORDER BY rnk""".stripMargin
 
   /** [[graft.ops.TextStats.zipfFit]] mirror: same deterministic
     * vocabulary head, same ln transforms, regr_* over ≤ topK rows

@@ -51,7 +51,7 @@ object WordPieceQueries {
     val base =
       s"""words AS (SELECT lower(tok) AS word FROM (
          |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-         |  WHERE regexp_matches(lower(tok), '^[a-z]+${"$"}')
+         |  WHERE regexp_matches(lower(tok), '^[a-z0-9]+${"$"}')
          |    AND length(tok) <= 64),
          |voc AS (SELECT word, count(*) AS freq FROM words GROUP BY 1),
          |w0 AS (SELECT CASE WHEN length(word) = 1
@@ -116,7 +116,7 @@ object WordPieceQueries {
       s"""dwords AS (SELECT doc_id, lower(tok) AS word FROM (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
          |  FROM documents)
-         |  WHERE regexp_matches(lower(tok), '^[a-z]+${"$"}')
+         |  WHERE regexp_matches(lower(tok), '^[a-z0-9]+${"$"}')
          |    AND length(tok) <= 64),
          |chars AS (SELECT DISTINCT substr(word, i + 1, 1) AS ch
          |  FROM voc, range(0, 64) r(i) WHERE i < length(word)),

@@ -146,4 +146,35 @@ class WordPieceSpec extends SparkSpec {
         s"encode mismatch on $corpus")
     }
   }
+
+  test("open-vocabulary alphanumeric tokens train a real vocabulary " +
+      "(r15: the heaps-tier corpus no longer yields zero pieces)") {
+    // the GenSf heaps regime: every token is w<digits> — the pre-r15
+    // [a-z]+ word filter rejected ALL of them, training an empty
+    // vocab (BPE too) and crashing the encoder
+    val docs = Seq((1L, "w17 w17 w17 w4213 w4213 w99"))
+      .toDF("doc_id", "text")
+    val rules = WordPiece.train(docs, "text", merges = 2).collect()
+    assert(rules.length == 2, "digits must survive the word filter")
+    val pieces = WordPiece.vocabPieces(docs, "text",
+      rules.map(_.getString(3)).toSeq)
+    assert(pieces.exists(_.matches("[0-9#]+.*")))
+    val enc = WordPiece.encodeTokenCount(docs, "doc_id", "text",
+      pieces).collect()
+    assert(enc.length == 1 && enc.head.getLong(1) == 6L)
+    assert(enc.head.getLong(2) < 6L * 5L) // merged pieces compress
+  }
+
+  test("empty piece vocabulary degrades to the single-char sentinel " +
+      "per character, never throws (r15 total-encode contract)") {
+    val docs = Seq((1L, "abc de"), (2L, "x"))
+      .toDF("doc_id", "text")
+    val enc = WordPiece.encodeTokenCount(docs, "doc_id", "text",
+      Seq.empty).collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // nothing matches, so the sentinel advances one char per tick:
+    // n_subwords = total chars per doc
+    assert(enc(1L) == ((2L, 5L)))
+    assert(enc(2L) == ((1L, 1L)))
+  }
 }
