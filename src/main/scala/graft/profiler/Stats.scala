@@ -1352,6 +1352,14 @@ object Stats {
     *     ρ by at most that order on any distribution the grid
     *     resolves; a lattice/binary-search regression perturbs the
     *     two estimates incoherently and flips the booleans.
+    * The scale arm is FUSED (r15): the `grid`/2 lattice is exactly
+    * the even-index subset of the `grid` lattice, so ONE GK premise
+    * serves both, and both rank matrices come out of a single
+    * [[corrMatrix]] call over the 2k fine+coarse rank columns — one
+    * quantile scan plus corrMatrix's two co-moment scans, versus the
+    * naive two-approx form's doubled GK work and six scans (measured
+    * 22.8×/decade at the 600M-row tier before the fusion, the count
+    * scan and GK dominating).
     * The production VALUE path at corpus scale stays
     * [[spearmanApprox]] (folded into the profile flagship via
     * GridRank); this routed form is its declared, oracle-checkable
@@ -1362,11 +1370,35 @@ object Stats {
     if (df.count() <= exactBelowRows)
       spearmanApproxCheck(df, cols, grid, bound)
     else {
-      val fine = spearmanApprox(df, cols, grid)
-        .withColumnRenamed("rho", "rho_fine")
-      val coarse = spearmanApprox(df, cols, grid / 2)
-        .withColumnRenamed("rho", "rho_coarse")
-      fine.join(coarse, Seq("col_a", "col_b"))
+      val clean = df.na.drop(cols)
+      val ps = (0 to grid).map(_.toDouble / grid)
+      val aggs = cols.map(c =>
+        percentile_approx(d(c), typedLit(ps), lit(10000)).as(c))
+      val row = chunkedAgg(clean, aggs, 300)
+      def cuts(c: String): Array[Double] =
+        row(c).asInstanceOf[scala.collection.Seq[Any]]
+          .map(_.asInstanceOf[Double]).toArray
+      val ranked = clean.select(cols.flatMap { c =>
+        val fine = cuts(c)
+        val coarse = fine.indices.collect {
+          case i if i % 2 == 0 => fine(i) }.toArray
+        Seq(graft.functions.GridRank.grid_rank(d(c), fine)
+            .as(s"${c}__f"),
+          graft.functions.GridRank.grid_rank(d(c), coarse)
+            .as(s"${c}__c"))
+      }: _*)
+      val m = corrMatrix(ranked,
+        cols.map(c => s"${c}__f") ++ cols.map(c => s"${c}__c"))
+      def strip(side: String) = m
+        .where(col("col_a").endsWith(side) &&
+          col("col_b").endsWith(side))
+        .select(
+          expr(s"substring(col_a, 1, length(col_a) - 3)").as("col_a"),
+          expr(s"substring(col_b, 1, length(col_b) - 3)").as("col_b"),
+          col("rho"))
+      strip("__f").withColumnRenamed("rho", "rho_fine")
+        .join(strip("__c").withColumnRenamed("rho", "rho_coarse"),
+          Seq("col_a", "col_b"))
         .select(col("col_a"), col("col_b"),
           (abs(col("rho_fine") - col("rho_coarse")) < bound)
             .as("within_bound"))

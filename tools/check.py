@@ -119,8 +119,12 @@ def main():
         # `only`-filtered GenSf tiers (e.g. heaps documents+embeddings)
         # carry a subset of the tables; register what exists
         if os.path.exists(f"{SF}/{t}.parquet"):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+            # GRAFT_GENSF_PARTS>1 tiers write <t>.parquet as a normal
+            # multi-part parquet DIRECTORY; DuckDB needs the glob form
+            p = f"{SF}/{t}.parquet"
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(f"{OUT}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0

@@ -1,0 +1,41 @@
+#!/usr/bin/env python3
+"""Convert a tools/check.py log into a CORRECTNESS_r{N}-style JSON map
+(rows/schema/hash booleans per query) so off-driver sweeps (heaps
+tiers, GenSf scale tiers) leave the same artifact shape the driver
+writes. PASS lines carry the row count; FAIL lines keep the reason in
+`err`.
+
+Usage: python3 tools/log2json.py <check.log> <out.json>
+"""
+import json
+import re
+import sys
+
+
+def main():
+    log, out = sys.argv[1], sys.argv[2]
+    entries = {}
+    with open(log) as f:
+        for line in f:
+            m = re.match(r"PASS (\S+) \((\d+) rows\)", line)
+            if m:
+                n = int(m.group(2))
+                entries[m.group(1)] = {
+                    "rows_match": True, "schema_match": True,
+                    "hash_match": True, "spark_rows": n,
+                    "oracle_rows": n, "err": None}
+                continue
+            m = re.match(r"FAIL (\S+): (.*)", line)
+            if m:
+                entries[m.group(1)] = {
+                    "rows_match": False, "schema_match": False,
+                    "hash_match": False, "spark_rows": None,
+                    "oracle_rows": None, "err": m.group(2).strip()}
+    with open(out, "w") as f:
+        json.dump(entries, f, indent=1, sort_keys=True)
+    npass = sum(1 for v in entries.values() if v["hash_match"])
+    print(f"{out}: {npass}/{len(entries)} pass")
+
+
+if __name__ == "__main__":
+    main()
