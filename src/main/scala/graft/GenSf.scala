@@ -152,7 +152,12 @@ object GenSf {
       val part = fs.globStatus(
         new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))(0).getPath
       val dest = new org.apache.hadoop.fs.Path(s"$out/$name.parquet")
-      fs.delete(dest, false)
+      // A previous GRAFT_GENSF_PARTS>1 run leaves a multi-part
+      // DIRECTORY here; a non-recursive delete fails on a non-empty
+      // dir and the rename then aborts opaquely — delete recursively
+      // when the destination is a directory.
+      if (fs.exists(dest))
+        fs.delete(dest, fs.getFileStatus(dest).isDirectory)
       require(fs.rename(part, dest), s"rename failed for $name")
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       println(s"[gensf] wrote $name")

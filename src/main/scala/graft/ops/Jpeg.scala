@@ -10,7 +10,8 @@ import java.io.ByteArrayOutputStream
   *
   * Decoder scope (everything else degrades to None, never throws —
   * one corrupt blob cannot kill a 100 TB scan):
-  *   - baseline DCT (SOF0), 8-bit precision, 1 (grey) or 3 (YCbCr)
+  *   - baseline DCT (SOF0), 8-bit precision, 1 (grey), 3 (YCbCr) or
+  *     4 (Adobe CMYK/YCCK via the APP14 transform flag — r16)
   *     components, sampling factors 1..4, 8-bit DQT tables, DRI/RSTn
   *     restart intervals, 0xFF00 byte stuffing.
   *   - progressive (SOF2, T.81 §G.2): full multi-scan assembly —
@@ -169,6 +170,10 @@ object Jpeg {
     var dri = 0
     var pos = 2
     var scanStart = -1
+    // APP14 "Adobe" transform flag (None = no Adobe marker): 0 =
+    // component values stored directly (4 comps ⇒ Adobe-INVERTED
+    // CMYK), 2 = YCCK (YCbCr-transformed inverted CMY + K).
+    var adobeTransform: Option[Int] = None
     while (scanStart < 0) {
       if (pos + 1 >= p.length) return None
       if (u8(p, pos) != 0xff) return None
@@ -208,7 +213,7 @@ object Jpeg {
             if (u8(p, seg) != 8) return None // precision
             h = be16(p, seg + 1); w = be16(p, seg + 3)
             val nc = u8(p, seg + 5)
-            if (nc != 1 && nc != 3) return None
+            if (nc != 1 && nc != 3 && nc != 4) return None
             if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
             comps = Array.tabulate(nc) { i =>
               val o = seg + 6 + 3 * i
@@ -229,6 +234,10 @@ object Jpeg {
             return None // extended/lossless/arithmetic: skip
           case 0xdd => // DRI
             dri = be16(p, seg)
+          case 0xee => // APP14 — Adobe colour-transform flag
+            if (len >= 14 &&
+                new String(p, seg, 5, "US-ASCII") == "Adobe")
+              adobeTransform = Some(u8(p, seg + 11))
           case 0xda => // SOS
             if (comps == null) return None
             val ns = u8(p, seg)
@@ -320,7 +329,8 @@ object Jpeg {
       my += 1
     }
 
-    assemblePixels(comps, planes, planeW, w, h, hmax, vmax)
+    assemblePixels(comps, planes, planeW, w, h, hmax, vmax,
+      adobeTransform)
   }
 
   /** Separable 2-D IDCT of one dequantized block (natural order) into
@@ -357,10 +367,21 @@ object Jpeg {
 
   /** Upsample (sample replication) + colour convert the decoded
     * component planes to interleaved output pixels. Shared by the
-    * baseline and progressive paths. */
+    * baseline and progressive paths.
+    *
+    * 4-component frames are print-pipeline CMYK (T.81 says nothing
+    * about colour; the de-facto conventions are Adobe's): with an
+    * APP14 Adobe marker the stored samples are INVERTED ink values
+    * (Photoshop convention — 255 = no ink), so RGB = stored·K/255;
+    * transform 2 (YCCK) first runs the YCbCr→RGB rotation over the
+    * first three components, which lands on the same inverted CMY.
+    * Without APP14 the samples are plain ink coverage:
+    * RGB = (255−ink)(255−K)/255. Output is always 3-channel RGB so
+    * downstream (dHash, resize) is colour-space-agnostic. */
   private def assemblePixels(comps: Array[Component],
       planes: Array[Array[Byte]], planeW: Array[Int], w: Int, h: Int,
-      hmax: Int, vmax: Int): Option[Multimodal.Pixels] = {
+      hmax: Int, vmax: Int, adobeTransform: Option[Int] = None)
+      : Option[Multimodal.Pixels] = {
     if (comps.length == 1) {
       val out = new Array[Byte](w * h)
       var y = 0
@@ -369,6 +390,50 @@ object Jpeg {
         y += 1
       }
       Some(Multimodal.Pixels(w, h, 1, out))
+    } else if (comps.length == 4) {
+      val out = new Array[Byte](w * h * 3)
+      val inverted = adobeTransform.isDefined
+      val ycck = adobeTransform.contains(2)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          def s(i: Int): Int = planes(i)(
+            (y * comps(i).v / vmax) * planeW(i) +
+              x * comps(i).h / hmax) & 0xff
+          def clampI(d: Double): Int = {
+            val v = math.round(d).toInt
+            if (v < 0) 0 else if (v > 255) 255 else v
+          }
+          val k = s(3)
+          // channel values BEFORE the ink/K combination: for YCCK the
+          // stored Y/Cb/Cr encode the (inverted) CMY through the same
+          // YCbCr rotation as photographic JPEG
+          val (c0, c1, c2) =
+            if (ycck) {
+              val yv = s(0).toDouble
+              val cb = s(1) - 128; val cr = s(2) - 128
+              (clampI(yv + 1.402 * cr),
+                clampI(yv - 0.344136 * cb - 0.714136 * cr),
+                clampI(yv + 1.772 * cb))
+            } else (s(0), s(1), s(2))
+          val o = (y * w + x) * 3
+          if (inverted) {
+            // Adobe-inverted: stored = 255 − ink, so
+            // RGB = stored_channel · stored_K / 255 (round-half-up)
+            out(o) = ((c0 * k + 127) / 255).toByte
+            out(o + 1) = ((c1 * k + 127) / 255).toByte
+            out(o + 2) = ((c2 * k + 127) / 255).toByte
+          } else {
+            out(o) = (((255 - c0) * (255 - k) + 127) / 255).toByte
+            out(o + 1) = (((255 - c1) * (255 - k) + 127) / 255).toByte
+            out(o + 2) = (((255 - c2) * (255 - k) + 127) / 255).toByte
+          }
+          x += 1
+        }
+        y += 1
+      }
+      Some(Multimodal.Pixels(w, h, 3, out))
     } else {
       val out = new Array[Byte](w * h * 3)
       var y = 0
@@ -854,22 +919,29 @@ object Jpeg {
     * MCUs — byte-level framing variety with identical pixels. */
   def encodeBaseline(w: Int, h: Int, nComp: Int, hY: Int, vY: Int,
       quant: Array[Int], coefs: Int => (Int, Int) => Array[Int],
-      dri: Int = 0): Array[Byte] = {
-    require(nComp == 1 || nComp == 3)
+      dri: Int = 0, app14Transform: Option[Int] = None): Array[Byte] = {
+    require(nComp == 1 || nComp == 3 || nComp == 4)
     require(hY >= 1 && hY <= 4 && vY >= 1 && vY <= 4)
-    // grey scans are non-interleaved: one block per MCU (§A.2.2)
+    // grey scans are non-interleaved: one block per MCU (§A.2.2);
+    // the 4-comp (CMYK) encoder stays 4:4:4:4
     require(nComp == 3 || (hY == 1 && vY == 1))
     require(quant.length == 64)
     val out = new ByteArrayOutputStream()
     out.write(0xff); out.write(0xd8) // SOI
     seg(out, 0xe0, Array( // APP0 JFIF v1.1, no density/thumbnail
       'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    // APP14 Adobe marker: version 100, flags 0, transform byte last —
+    // the colour-transform convention real print-pipeline CMYK JPEGs
+    // carry (and [[decodePixels]] keys the inverse transform on)
+    app14Transform.foreach(t => seg(out, 0xee,
+      Array[Int]('A', 'd', 'o', 'b', 'e', 0, 100, 0, 0, 0, 0, t)))
     seg(out, 0xdb, 0 +: ZigZag.map(quant)) // DQT id 0, zigzag order
     seg(out, 0xc4, (0x00 +: DcBits) ++ DcVals) // DHT DC id 0
     seg(out, 0xc4, (0x10 +: AcBits) ++ AcVals) // DHT AC id 0
     val compSpec =
       if (nComp == 1) Array(1, (hY << 4) | vY, 0)
-      else Array(1, (hY << 4) | vY, 0, 2, 0x11, 0, 3, 0x11, 0)
+      else (1 to nComp).flatMap(id => Array(
+        id, if (id == 1) (hY << 4) | vY else 0x11, 0)).toArray
     seg(out, 0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, nComp)
       ++ compSpec)
     if (dri > 0) seg(out, 0xdd, Array(dri >> 8, dri & 0xff))
@@ -972,6 +1044,21 @@ object Jpeg {
         b(0) = if (ci == 0) blockLuma(bx, by, seed) - 128 else 0
         b
       }, dri = dri)
+
+  /** A REAL 4-component Adobe CMYK baseline JPEG (APP14 transform 0)
+    * whose decoded pixels are the SAME [[blockLuma]] formula as
+    * [[synthJpegRaster]]: stored (Adobe-inverted) C = M = Y =
+    * blockLuma and K = 255 (no black ink), so the inverse transform
+    * stored·K/255 lands on R = G = B = blockLuma exactly — all
+    * integer, every block DC-only. The print-pipeline arm of the
+    * decode audit becomes decodable with the identical oracle. */
+  def synthJpegRasterCmyk(w: Int, h: Int, seed: Int): Array[Byte] =
+    encodeBaseline(w, h, nComp = 4, hY = 1, vY = 1, FlatQuant,
+      coefs = ci => (bx, by) => {
+        val b = new Array[Int](64)
+        b(0) = (if (ci == 3) 255 else blockLuma(bx, by, seed)) - 128
+        b
+      }, app14Transform = Some(0))
 
   /** Encode a PROGRESSIVE (SOF2) JPEG from the same quantized
     * coefficient blocks as [[encodeBaseline]] — identical pixels,

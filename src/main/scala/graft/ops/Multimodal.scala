@@ -990,11 +990,12 @@ object Multimodal {
     * — baseline rasters (id ≡ 2 mod 8), REAL progressive (SOF2)
     * rasters of the SAME luma formula (id ≡ 6 mod 16, decodable
     * since r14's multi-scan decoder), and the id ≡ 14 (mod 16) slot
-    * rotated over the three NAMED unsupported-variant stubs
-    * ([[synthJpegStub]]): arithmetic-coded SOF9 (id ≡ 14 mod 48),
-    * 12-bit extended sequential (id ≡ 30 mod 48), 4-component Adobe
-    * CMYK (id ≡ 46 mod 48) — each undecodable by design and each
-    * its own loud-skip audit row — and a quarter WAVs (wrong
+    * rotated over three NAMED real-crawl variants: arithmetic-coded
+    * SOF9 (id ≡ 14 mod 48) and 12-bit extended sequential
+    * (id ≡ 30 mod 48) as undecodable [[synthJpegStub]] loud-skip
+    * rows, plus a REAL 4-component Adobe CMYK raster
+    * (id ≡ 46 mod 48, [[Jpeg.synthJpegRasterCmyk]] — decodable since
+    * r16, same blockLuma formula) — and a quarter WAVs (wrong
     * modality for the pixel path): the corpus the decode audit and
     * the mixed phash queries run over, with a partially-decodable
     * jpeg arm like a real crawl. */
@@ -1018,8 +1019,8 @@ object Multimodal {
                 8 + (id * 11) % 387, 0xc9, 8, 3)
               case 30 => synthJpegStub(8 + (id * 13) % 509,
                 8 + (id * 11) % 387, 0xc1, 12, 3)
-              case _ => synthJpegStub(8 + (id * 13) % 509,
-                8 + (id * 11) % 387, 0xc0, 8, 4)
+              case _ => // REAL Adobe CMYK raster — decodable since r16
+                Jpeg.synthJpegRasterCmyk(32, 24, ((id % 7L) * 41L).toInt)
             }
           case _ => synthWavTone(8000L, 1L, 16L + id % 65, id % 997)
         }

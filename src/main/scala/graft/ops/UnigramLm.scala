@@ -198,7 +198,11 @@ object UnigramLm {
         explode(split(col(textCol), " ")).as("word"))
       .where(length(col("word")) >= 1 &&
         length(col("word")) <= MaxWordLen)
-      .join(broadcast(perWord), Seq("word"))
+      // NO broadcast hint on the per-word frame: distinct words grow
+      // with Heaps' law, so forcing a broadcast caps the operator at
+      // Spark's 8 GB broadcast ceiling. AQE picks broadcast when the
+      // measured size is small, sort-merge otherwise.
+      .join(perWord, Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum("n_pieces").cast("long").as("n_pieces"))

@@ -166,7 +166,15 @@ object WordPiece {
     * Scale shape: the greedy DP is an in-row fold over the DISTINCT
     * word frame (vocabulary rides as one array literal — map-only),
     * joined back to the (doc, word) stream — the corpus pays one
-    * token-histogram-shaped shuffle and nothing else. */
+    * token-histogram-shaped shuffle and nothing else.
+    *
+    * Empty-vocabulary contract: with `pieces` empty the fold's
+    * single-char sentinel fires on every character, so n_subwords
+    * degrades to total chars per doc — a crash-avoidance fallback,
+    * NOT the reference one-[UNK]-per-word convention, and the DuckDB
+    * oracle has no matching branch. The declared oracle contract
+    * therefore assumes a non-empty vocabulary (train rows > 0); the
+    * sentinel path is out-of-contract by design. */
   def encodeTokenCount(df: DataFrame, idCol: String, textCol: String,
       pieces: Seq[String], maxWordLen: Int = 64): DataFrame = {
     // Empty vocabulary (a corpus whose every token failed the word
@@ -202,7 +210,12 @@ object WordPiece {
     val perWord = uw.withColumn("__wp_vocab", vocabLit)
       .withColumn("n_sub", expr(foldSql))
       .select("word", "n_sub")
-    dwords.join(broadcast(perWord), Seq("word"))
+    // NO broadcast hint: the distinct-word frame grows with Heaps'
+    // law (10^8-10^9 words at 100 TB crawl scale), so a forced
+    // broadcast dies at the 8 GB ceiling. AQE broadcasts it anyway
+    // whenever it measures small; above the threshold the join
+    // degrades gracefully to sort-merge on `word`.
+    dwords.join(perWord, Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum("n_sub").cast("long").as("n_subwords"))

@@ -99,10 +99,11 @@ object MultimodalQueries {
           "doc_id", "payload"),
         "doc_id", "afp", maxDist = 3)),
     // per-VARIANT decode accounting over a corpus where the jpeg arm
-    // is PARTIALLY decodable (real baseline + progressive rasters)
-    // and the undecodable slots are NAMED real-crawl variants —
-    // arithmetic-coded SOF9, 12-bit, 4-component CMYK stubs each get
-    // their own audit row (r15) — while WAV is the wrong modality:
+    // is PARTIALLY decodable (real baseline + progressive + Adobe
+    // CMYK rasters, the latter decodable since r16) and the
+    // undecodable slots are NAMED real-crawl variants — arithmetic-
+    // coded SOF9 and 12-bit stubs each get their own loud-skip audit
+    // row — while WAV is the wrong modality:
     // the pixel path must report skips LOUDLY per variant; the
     // oracle re-derives the per-format decoded/skipped counts from
     // the fixture arithmetic, so a silent drop or a crash both fail
@@ -200,9 +201,10 @@ object MultimodalQueries {
 
   /** Per-format decode accounting re-derived from the mixed-fixture
     * arithmetic ([[graft.ops.Multimodal.synthMixedMedia]]: id%4 ≤ 1
-    * png raster, =2 jpeg — baseline raster iff id%8=2, else a
-    * progressive stub —, else wav; png and baseline jpeg
-    * pixel-decode). */
+    * png raster, =2 jpeg — baseline raster iff id%8=2, progressive
+    * raster iff id%16=6, Adobe CMYK raster iff id%48=46, loud-skip
+    * stubs otherwise —, else wav; png, baseline, progressive and
+    * CMYK jpeg pixel-decode). */
 
   val multimodalDecodeAuditSql: String =
     s"""WITH m AS (SELECT doc_id,
@@ -215,7 +217,7 @@ object MultimodalQueries {
        |         ELSE 'jpeg_cmyk' END
        |      AS format,
        |    CASE WHEN doc_id % 4 <= 1 OR doc_id % 8 = 2
-       |              OR doc_id % 16 = 6 THEN 1
+       |              OR doc_id % 16 = 6 OR doc_id % 48 = 46 THEN 1
        |      ELSE 0 END AS dec
        |  FROM documents),
        |a AS (SELECT format, count(*) AS n_payloads,
@@ -266,7 +268,8 @@ object MultimodalQueries {
 
   val multimodalPhashMixedSql: String =
     s"""WITH ${phashCtes("doc_id % 4 <= 1")},
-       |${jpegPhashCtes("doc_id % 8 = 2 OR doc_id % 16 = 6")},
+       |${jpegPhashCtes(
+      "doc_id % 8 = 2 OR doc_id % 16 = 6 OR doc_id % 48 = 46")},
        |uni AS (SELECT doc_id, phash FROM hsh
        |        UNION ALL SELECT doc_id, phash FROM jhsh),
        |grp AS (SELECT phash, count(*) AS n_same FROM uni GROUP BY phash)

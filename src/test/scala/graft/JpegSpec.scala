@@ -143,17 +143,18 @@ class JpegSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(audit("png") == ((32L, 32L, 0L)))
     // id%8==2 baseline + id%16==6 REAL progressive decode (r14);
-    // the id%16==14 slot rotates over the r15 NAMED loud-skip stubs
-    // (arith mod 48 = 14, 12-bit = 30, CMYK = 46) — one audit row
-    // per variant, summing to the former (16, 12, 4) jpeg arm
+    // the id%16==14 slot rotates over the NAMED variants (arith
+    // mod 48 = 14, 12-bit = 30 — loud-skip stubs — and CMYK = 46, a
+    // REAL Adobe raster decodable since r16) — one audit row per
+    // variant, summing to the former (16, 12→13, 4→3) jpeg arm
     assert(audit("jpeg_baseline") == ((8L, 8L, 0L)))
     assert(audit("jpeg_progressive") == ((4L, 4L, 0L)))
     assert(audit("jpeg_arith") == ((2L, 0L, 2L)))
     assert(audit("jpeg_12bit") == ((1L, 0L, 1L)))
-    assert(audit("jpeg_cmyk") == ((1L, 0L, 1L)))
+    assert(audit("jpeg_cmyk") == ((1L, 1L, 0L)))
     val jpeg = audit.collect { case (k, v) if k.startsWith("jpeg") => v }
-    assert(jpeg.map(_._1).sum == 16L && jpeg.map(_._2).sum == 12L &&
-      jpeg.map(_._3).sum == 4L)
+    assert(jpeg.map(_._1).sum == 16L && jpeg.map(_._2).sum == 13L &&
+      jpeg.map(_._3).sum == 3L)
     assert(audit("wav") == ((16L, 0L, 16L)))
   }
 
@@ -184,5 +185,39 @@ class JpegSpec extends SparkSpec {
       assert(out(id)._1 == expected(id), s"id $id")
     // 42 ids over 7 seeds -> 6 per seed, all colliding
     assert(out.values.forall(_._2 == 6L))
+  }
+
+  test("jpeg: Adobe CMYK raster decodes to the same blockLuma pixels " +
+      "as the 3-component raster (APP14 inverse transform)") {
+    for (seed <- Seq(0, 41, 205)) {
+      val cmyk = Jpeg.synthJpegRasterCmyk(32, 24, seed)
+      val px = Multimodal.decodePixels(cmyk)
+        .getOrElse(fail(s"seed $seed cmyk did not decode"))
+      assert(px.width == 32 && px.height == 24 && px.channels == 3)
+      val rgb = Multimodal.decodePixels(
+        Jpeg.synthJpegRaster(32, 24, seed)).get
+      assert(java.util.Arrays.equals(px.data, rgb.data),
+        s"seed $seed: cmyk pixels != 3-comp raster pixels")
+      assert(Multimodal.jpegVariant(cmyk) == "jpeg_cmyk")
+    }
+  }
+
+  test("jpeg: YCCK (APP14 transform 2) with neutral chroma inverts " +
+      "to the stored grey; no-APP14 4-comp uses plain ink values") {
+    def flat(v: Int => Int): Int => (Int, Int) => Array[Int] =
+      ci => (_, _) => { val b = new Array[Int](64); b(0) = v(ci) - 128; b }
+    // YCCK: stored Y=200, Cb=Cr=128 (neutral -> inverted CMY all 200),
+    // K=255 -> RGB = 200*255/255 = 200 exactly
+    val ycck = Jpeg.encodeBaseline(16, 8, 4, 1, 1,
+      Array.fill(64)(8), flat(ci => if (ci == 3) 255
+        else if (ci == 0) 200 else 128), app14Transform = Some(2))
+    val py = Multimodal.decodePixels(ycck).get
+    assert(py.channels == 3 && py.data.forall(b => (b & 0xff) == 200))
+    // no APP14: plain (non-inverted) ink, C=M=Y=55, K=0 ->
+    // RGB = (255-55)*(255-0)/255 = 200
+    val plain = Jpeg.encodeBaseline(16, 8, 4, 1, 1,
+      Array.fill(64)(8), flat(ci => if (ci == 3) 0 else 55))
+    val pp = Multimodal.decodePixels(plain).get
+    assert(pp.channels == 3 && pp.data.forall(b => (b & 0xff) == 200))
   }
 }

@@ -5,15 +5,32 @@ tiers, GenSf scale tiers) leave the same artifact shape the driver
 writes. PASS lines carry the row count; FAIL lines keep the reason in
 `err`.
 
-Usage: python3 tools/log2json.py <check.log> <out.json>
+A truncated log (a check.py traceback, a killed sweep) would otherwise
+convert into a smaller-but-all-green artifact that overstates coverage,
+so an optional third argument pins the expected entry count: pass an
+integer, or a path to an oracle_sql.json whose key count is the
+expectation. The script exits nonzero when the log yields fewer
+entries.
+
+Usage: python3 tools/log2json.py <check.log> <out.json> [expected]
+       expected = integer | path to oracle_sql.json
 """
 import json
+import os
 import re
 import sys
 
 
 def main():
     log, out = sys.argv[1], sys.argv[2]
+    expected = None
+    if len(sys.argv) > 3:
+        arg = sys.argv[3]
+        if os.path.exists(arg):
+            with open(arg) as f:
+                expected = len(json.load(f))
+        else:
+            expected = int(arg)
     entries = {}
     with open(log) as f:
         for line in f:
@@ -35,6 +52,11 @@ def main():
         json.dump(entries, f, indent=1, sort_keys=True)
     npass = sum(1 for v in entries.values() if v["hash_match"])
     print(f"{out}: {npass}/{len(entries)} pass")
+    if expected is not None and len(entries) < expected:
+        print(f"ERROR: log yielded {len(entries)} entries, expected "
+              f"{expected} — truncated sweep, refusing to pass it off "
+              f"as complete", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
