@@ -8,9 +8,52 @@ import org.apache.spark.sql.SparkSession
   * measured; all query results are small (stats / top-k / pair sets),
   * never proportional to input size. */
 object Bench {
+
+  /** The GB/core sizing rule as CODE (VERDICT r15 task 4): the exact
+    * profile at 600M rows GC-thrashed to heartbeat death at
+    * 1.5 GB/thread and needed ~3.3 GB/thread (80g / 24 threads on the
+    * 15 GB-on-disk sf100 tier). Calibrated on the measured tiers:
+    * total heap ≈ 2 GB + 5 × on-disk parquet GB (sf100: 77 GB ✓;
+    * sf0.1 driver tier 17 MB: ~2 GB, the stock -Xmx8g is fine).
+    * Returns (wantGb, diskGb). */
+  def heapRule(sfDir: String): (Double, Double) = {
+    val files = Option(new java.io.File(sfDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet"))
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
+      else f.length()
+    val diskGb = files.map(sizeOf).sum / (1L << 30).toDouble
+    (2.0 + 5.0 * diskGb, diskGb)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Refuse LOUDLY (not an opaque executor-heartbeat death an hour
+    // in) when the configured heap is far below the sizing rule for
+    // this tier; warn when merely below it. GRAFT_BENCH_FORCE=1
+    // overrides — the refusal is a guard rail, not a cage.
+    locally {
+      val (wantGb, diskGb) = heapRule(sfDir)
+      val haveGb = Runtime.getRuntime.maxMemory / (1L << 30).toDouble
+      if (haveGb < wantGb) {
+        val threads = math.max(1, math.min(cpus.toInt,
+          (wantGb / 2.5).toInt)) // the 2–4 GB/core band
+        System.err.println(f"[bench] heap $haveGb%.1fg is below the " +
+          f"sizing rule's $wantGb%.1fg for this ${diskGb}%.1f GB tier" +
+          f" — suggest -Xmx${math.ceil(wantGb).toInt}g with " +
+          s"SPARK_GRAFT_CPUS=$threads (2-4 GB/core)")
+        if (haveGb < 0.5 * wantGb && diskGb >= 5.0 &&
+            !sys.env.get("GRAFT_BENCH_FORCE").contains("1")) {
+          System.err.println("[bench] refusing: heap under half the " +
+            "rule on a big tier means GC-thrash/heartbeat death, not " +
+            "a measurement (set GRAFT_BENCH_FORCE=1 to override)")
+          sys.exit(2)
+        }
+      }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
