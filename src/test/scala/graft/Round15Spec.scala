@@ -142,10 +142,12 @@ class Round15Spec extends SparkSpec {
       graft.ops.Multimodal.synthMixedMedia(ids, "doc_id"),
       "doc_id", "payload").collect()
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
-    for (v <- Seq("jpeg_arith", "jpeg_12bit", "jpeg_cmyk")) {
+    for (v <- Seq("jpeg_arith", "jpeg_12bit")) {
       val (dec, skip) = audit(v)
       assert(dec == 0L && skip > 0L, s"$v should be a pure-skip row")
     }
+    // r16: Adobe CMYK baseline is decodable (APP14 inverse transform)
+    assert(audit("jpeg_cmyk")._1 > 0L)
     assert(audit("jpeg_baseline")._1 > 0L)
     assert(audit("jpeg_progressive")._1 > 0L)
     assert(audit("png")._2 == 0L)
