@@ -266,12 +266,13 @@ object Drift {
       ps: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9)): DataFrame = {
     val base = df.select(value.cast("double").as("v"), slice.as("s"))
       .where(col("v").isNotNull)
-    val arr = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
     val nullArr = expr(s"array(${Seq.fill(ps.size)("CAST(NULL AS DOUBLE)")
       .mkString(", ")})")
     val agg = base.agg(
-      expr(s"percentile(CASE WHEN s = 0 THEN v END, $arr)").as("qa"),
-      expr(s"percentile(CASE WHEN s = 1 THEN v END, $arr)").as("qb"),
+      graft.functions.ExactPercentile.pctl(
+        expr("CASE WHEN s = 0 THEN v END"), ps).as("qa"),
+      graft.functions.ExactPercentile.pctl(
+        expr("CASE WHEN s = 1 THEN v END"), ps).as("qb"),
       count(col("v")).as("n"))
     agg
       .select(col("n"), typedlit(ps).as("p"),
@@ -300,13 +301,14 @@ object Drift {
     val base = df.select(col(groupCol).as("g"),
         value.cast("double").as("v"), slice.as("s"))
       .where(col("v").isNotNull)
-    val arr = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
     val nullArr = expr(s"array(${Seq.fill(ps.size)("CAST(NULL AS DOUBLE)")
       .mkString(", ")})")
     base.groupBy("g")
       .agg(
-        expr(s"percentile(CASE WHEN s = 0 THEN v END, $arr)").as("qa"),
-        expr(s"percentile(CASE WHEN s = 1 THEN v END, $arr)").as("qb"),
+        graft.functions.ExactPercentile.pctl(
+          expr("CASE WHEN s = 0 THEN v END"), ps).as("qa"),
+        graft.functions.ExactPercentile.pctl(
+          expr("CASE WHEN s = 1 THEN v END"), ps).as("qb"),
         count(col("v")).as("n"))
       .select(col("g"), col("n"), typedlit(ps).as("p"),
         coalesce(col("qa"), nullArr).as("qa"),

@@ -244,7 +244,11 @@ object Quality {
         Seq(min(col(c)).cast("double").as(s"__min_$c"),
           max(col(c)).cast("double").as(s"__max_$c"))
       }
-    val r = df.agg(aggs.head, aggs.tail: _*).first()
+    // every suggest aggregate is order-independent (counts, exact
+    // distinct, min/max, and the sorted collect_set below), so the
+    // unsplittable-input repartition is value-neutral
+    val par = graft.profiler.Stats.parallelized(df)
+    val r = par.agg(aggs.head, aggs.tail: _*).first()
     def l(name: String): Long = r.getAs[Long](name)
     def d(name: String): Double = r.getAs[Double](name)
     val n = l("__n")
@@ -256,7 +260,7 @@ object Quality {
       else {
         val setAggs = lowCardStrings.map(c =>
           concat_ws(",", sort_array(collect_set(col(c)))).as(s"__set_$c"))
-        val sr = df.agg(setAggs.head, setAggs.tail: _*).first()
+        val sr = par.agg(setAggs.head, setAggs.tail: _*).first()
         lowCardStrings.map(c => c -> sr.getAs[String](s"__set_$c")).toMap
       }
 

@@ -445,7 +445,8 @@ object Similarity {
       .select(col("vec_id"), col("best").getField("cid").as("cell"),
         sig5(col("best").getField("score") + col("vn2")).as("dist2"))
     val thr = scored.groupBy("cell")
-      .agg(expr(s"percentile(dist2, ${p}D)").as("praw"))
+      .agg(element_at(graft.functions.ExactPercentile.pctl(
+        col("dist2"), Seq(p)), 1).as("praw"))
       .select(col("cell"), sig5(col("praw")).as("p_thresh"))
     scored.join(broadcast(thr), Seq("cell"))
       .select(col("vec_id"), col("cell"), col("dist2"), col("p_thresh"),

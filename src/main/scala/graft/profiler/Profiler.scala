@@ -187,7 +187,7 @@ object Profiler {
         // heavy final stage that would otherwise serialize.
         val dAggs = allCols.map(c =>
           countDistinct(Stats.orderable(df, c)).as(s"dis__$c"))
-        base ++ Stats.chunkedAggPar(df, dAggs,
+        base ++ Stats.chunkedAggPar(Stats.parallelized(df), dAggs,
           chunk = math.max(1, (dAggs.size + 7) / 8))
       }
     }
@@ -237,11 +237,12 @@ object Profiler {
             if (cfg.quantilesByDtype)
               !Kinds.isIntegral(df.schema(c).dataType)
             else !cfg.exactQuantiles
-          val e =
-            if (useApprox)
-              s"percentile_approx(cast(`$c` as double), $arr, 10000)"
-            else s"percentile(cast(`$c` as double), $arr)"
-          expr(e).as(s"q__$c")
+          if (useApprox)
+            expr(s"percentile_approx(cast(`$c` as double), $arr, 10000)")
+              .as(s"q__$c")
+          else // r16: primitive buffer, value-identical
+            graft.functions.ExactPercentile.pctl(
+              col(c).cast("double"), Stats.Ps).as(s"q__$c")
         } ++
           (if (!withSpearmanGrid) Nil
            else numCols.map(c => percentile_approx(

@@ -108,6 +108,26 @@ object Stats {
     row.select(explode(array(structs: _*)).as("s")).select("s.*")
       .orderBy("col_name")
 
+  /** Ensure enough partitions for CPU-parallel partial aggregation
+    * when the scan cannot split (r16, guide §2.5 "input skew: one
+    * huge unsplittable file"): a single parquet ROW GROUP is one
+    * scan task no matter the split size, so every partial aggregate
+    * over it runs single-threaded — measured 2.9 s vs 1.4 s for the
+    * 8-column exact-distinct Expand at sf0.1 (one 600k-row row
+    * group on 32 cores). Round-robin repartition is only used by
+    * consumers whose aggregates are ORDER-INDEPENDENT (counts, exact
+    * distinct, min/max, percentile maps) — never under float sums,
+    * whose value depends on summation order. Scale-adaptive by
+    * construction: a real corpus tier scans with thousands of
+    * splits, the condition never fires, and the plan is untouched —
+    * this is NOT a local-mode constant, it is "repartition
+    * immediately after an unsplittable read" from the guide. */
+  def parallelized(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 4 >= target) df
+    else df.repartition(target)
+  }
+
   /** Run a wide single-row aggregation in chunks of at most `chunk`
     * expressions — several scans instead of one enormous plan — and
     * merge the results into one name→value map. Catalyst analysis and
@@ -183,7 +203,11 @@ object Stats {
         if (approx) approx_count_distinct(oc) else countDistinct(oc)
       Seq(count(col(c)).as(s"cnt__$c"), dc.as(s"dis__$c"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    // exact multi-distinct Expands every row (k+1)× and the partial
+    // agg inherits the scan's parallelism — parallelized() for the
+    // unsplittable-input case (all aggs order-independent)
+    val row = (if (approx) df else parallelized(df))
+      .agg(aggs.head, aggs.tail: _*)
     val structs = cols.map { c =>
       val cnt = col(s"cnt__$c"); val dis = col(s"dis__$c")
       struct(
@@ -203,7 +227,7 @@ object Stats {
       Seq(count(col(c)).as(s"cnt__$c"),
         countDistinct(orderable(df, c)).as(s"dis__$c"))
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
+    val row = parallelized(df).agg(aggs.head, aggs.tail: _*)
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val structs = cols.map { c =>
       val cnt = col(s"cnt__$c"); val dis = col(s"dis__$c")
@@ -308,9 +332,8 @@ object Stats {
     * cardinality × column count makes exact state too large. */
   def groupedQuantiles(df: DataFrame, groupCol: String,
       cols: Seq[String]): DataFrame = {
-    val arr = Ps.map(p => s"${p}D").mkString("array(", ", ", ")")
     val aggs = cols.map(c =>
-      expr(s"percentile(cast(`$c` as double), $arr)").as(s"q__$c"))
+      graft.functions.ExactPercentile.pctl(d(c), Ps).as(s"q__$c"))
     val row = df.groupBy(col(groupCol).as("grp"))
       .agg(aggs.head, aggs.tail: _*)
     val structs = cols.map { c =>
@@ -391,10 +414,11 @@ object Stats {
       colApprox: Seq[(String, Boolean)]): DataFrame = {
     val arr = Ps.map(p => s"${p}D").mkString("array(", ", ", ")")
     val aggs = colApprox.map { case (c, approx) =>
-      val e =
-        if (approx) s"percentile_approx(cast(`$c` as double), $arr, 10000)"
-        else s"percentile(cast(`$c` as double), $arr)"
-      expr(e).as(s"q__$c")
+      if (approx)
+        expr(s"percentile_approx(cast(`$c` as double), $arr, 10000)")
+          .as(s"q__$c")
+      else // r16: primitive buffer, value-identical (ExactPercentile)
+        graft.functions.ExactPercentile.pctl(d(c), Ps).as(s"q__$c")
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val structs = colApprox.map { case (c, _) =>
@@ -458,12 +482,13 @@ object Stats {
     val cols = colAcc.map(_._1)
     val accOf = colAcc.toMap
     val qAggs = colAcc.map { case (c, acc) =>
-      val e = acc match {
+      acc match {
         case Some(a) =>
-          s"percentile_approx(cast(`$c` as double), $arr, $a)"
-        case None => s"percentile(cast(`$c` as double), $arr)"
+          expr(s"percentile_approx(cast(`$c` as double), $arr, $a)")
+            .as(s"q__$c")
+        case None =>
+          graft.functions.ExactPercentile.pctl(d(c), Ps).as(s"q__$c")
       }
-      expr(e).as(s"q__$c")
     }
     val qRow = df.agg(qAggs.head, qAggs.tail: _*).first()
     val approxVals: Map[String, Seq[Option[Double]]] = cols.map { c =>
@@ -531,10 +556,13 @@ object Stats {
     // under ObjectHashAggregate)
     // chunk 64 bounds the per-scan Expand multiplier on wide tables
     // (same bound Profiler uses for its exact-distinct pass)
-    val exacts = chunkedAgg(df, cols.map { c =>
+    // both scans' aggregates are order-independent (exact distinct,
+    // HLL registers, KMV bottom-k set) — parallelized() applies
+    val par = parallelized(df)
+    val exacts = chunkedAgg(par, cols.map { c =>
       countDistinct(orderable(df, c)).as(s"ex__$c")
     }, chunk = 64)
-    val sketches = chunkedAgg(df, cols.flatMap { c =>
+    val sketches = chunkedAgg(par, cols.flatMap { c =>
       val oc = orderable(df, c)
       Seq(approx_count_distinct(oc, rsd).as(s"hll__$c"),
         graft.functions.MultiSketch.sketch(lit(null).cast("double"),
@@ -568,11 +596,12 @@ object Stats {
     val aggs = cols.flatMap { c =>
       val qe =
         if (approx)
-          s"percentile_approx(cast(`$c` as double), array(0.25D, 0.75D), 10000)"
-        else s"percentile(cast(`$c` as double), array(0.25D, 0.75D))"
+          expr(s"percentile_approx(cast(`$c` as double), " +
+            "array(0.25D, 0.75D), 10000)")
+        else graft.functions.ExactPercentile.pctl(d(c), Seq(0.25, 0.75))
       Seq(min(d(c)).as(s"min__$c"), max(d(c)).as(s"max__$c"),
         avg(d(c)).as(s"mean__$c"), stddev_samp(d(c)).as(s"sd__$c"),
-        expr(qe).as(s"q__$c"))
+        qe.as(s"q__$c"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val structs = cols.map { c =>
@@ -672,8 +701,8 @@ object Stats {
   def trimmed(df: DataFrame, cols: Seq[String], pLo: Double = 0.05,
       pHi: Double = 0.95): DataFrame = {
     val qAggs = cols.map { c =>
-      expr(s"percentile(cast(`$c` as double), " +
-        s"array(${pLo}D, ${pHi}D))").as(s"q__$c")
+      graft.functions.ExactPercentile.pctl(d(c), Seq(pLo, pHi))
+        .as(s"q__$c")
     }
     val fenceRow = df.agg(qAggs.head, qAggs.tail: _*).select(
       cols.flatMap { c =>
@@ -719,11 +748,12 @@ object Stats {
   def outliers(df: DataFrame, cols: Seq[String], k: Double = 1.5,
       approx: Boolean = false): DataFrame = {
     val qAggs = cols.map { c =>
-      val qe =
-        if (approx)
-          s"percentile_approx(cast(`$c` as double), array(0.25D, 0.75D), 10000)"
-        else s"percentile(cast(`$c` as double), array(0.25D, 0.75D))"
-      expr(qe).as(s"q__$c")
+      if (approx)
+        expr(s"percentile_approx(cast(`$c` as double), " +
+          "array(0.25D, 0.75D), 10000)").as(s"q__$c")
+      else
+        graft.functions.ExactPercentile.pctl(d(c), Seq(0.25, 0.75))
+          .as(s"q__$c")
     }
     val fenceRow = df.agg(qAggs.head, qAggs.tail: _*).select(
       cols.flatMap { c =>
@@ -834,15 +864,14 @@ object Stats {
       : DataFrame = {
     require(bins >= 2, "need at least 2 bins")
     val probs = (1 until bins).map(_.toDouble / bins)
-    val arr = probs.mkString("array(", ", ", ")")
     // NaN is excluded alongside NULL in BOTH passes (and in the
     // oracle): the engines order NaN oppositely — Spark bins it to
     // bin 0 (NaN >= edge is false), DuckDB sorts it greatest, i.e.
     // the top bin — so a float column with NaNs would diverge; the
     // same guard the equi-width histogram's bounds pass applies.
     val edges = df.agg(
-      expr(s"percentile(CASE WHEN NOT isnan(cast(`$c` as double)) " +
-        s"THEN cast(`$c` as double) END, $arr)").as("es"))
+      graft.functions.ExactPercentile.pctl(
+        when(!isnan(d(c)), d(c)), probs).as("es"))
     val binExpr = (1 until bins).map(i =>
       when(d(c) >= sig5(element_at(col("es"), i)), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -1284,16 +1313,46 @@ object Stats {
     * corpus path: a per-column GK quantile grid (one agg) + a
     * map-only binary-search rank transform — no global sort
     * anywhere, error O(1/grid + ε). */
-  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** The exact average-rank transform feeding [[spearmanMatrix]] —
+    * exposed for plan tooling ([[graft.PlanProbe]]).
+    *
+    * r16: ONE window spec per column instead of two. The average rank
+    * of a tie group is (first rank + last rank)/2; rank() gives the
+    * first, and count(*) over the RANGE frame (unbounded preceding →
+    * current row) counts rows with value ≤ v — exactly the last rank
+    * of the tie group. Both expressions share the same
+    * (no-partition, orderBy value) spec, so Catalyst plans ONE Window
+    * operator (one single-partition sort) per column where the old
+    * rank + count-over-partitionBy pair planned two (the global-sort
+    * rank window PLUS a second sort for the tie-count window): the
+    * plan drops from 8 Window/Sort pairs to 4 for k=4. Value
+    * equivalence is exact, not approximate: with r the tie group's
+    * min rank and t its size, old = r + (t−1)/2, new = (r + (r+t−1))/2
+    * — the same half-integer, and both forms compute it from exact
+    * integers in IEEE doubles (sums < 2^53), so the transform stays
+    * bit-identical cross-engine (pinned by the oracle hash). */
+  def spearmanRanked(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val clean = df.na.drop(cols)
-    val ranked = clean.select(cols.map { c =>
-      (rank().over(Window.orderBy(d(c))).cast("double") +
-        (count(lit(1)).over(Window.partitionBy(d(c)))
-          .cast("double") - lit(1.0)) / lit(2.0)).as(c)
+    clean.select(cols.map { c =>
+      val byValue = Window.orderBy(d(c))
+      ((rank().over(byValue).cast("double") +
+        count(lit(1)).over(byValue.rangeBetween(
+          Window.unboundedPreceding, Window.currentRow))
+          .cast("double")) / lit(2.0)).as(c)
     }: _*)
-    corrMatrix(ranked, cols)
   }
+
+  /** r16: the ranked frame is MATERIALIZED once before [[corrMatrix]]
+    * consumes it — corrMatrix's two chunked agg passes (means, then
+    * centered co-moments) would otherwise re-execute the whole
+    * single-partition window chain per pass (measured 2× the window
+    * cost at sf0.1). The frame is O(n·k) doubles; the exact-rank
+    * audit form is row-bounded by [[spearmanRouted]]'s dispatch at
+    * corpus scale, so the materialization is bounded too. */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame =
+    corrMatrix(
+      graft.ops.Materialize.materialize(spearmanRanked(df, cols)), cols)
 
   /** Map-only approximate Spearman: ranks estimated by binary search
     * into a per-column `grid`-point GK quantile lattice (collected in
@@ -1308,8 +1367,16 @@ object Stats {
       grid: Int = 1024): DataFrame = {
     val clean = df.na.drop(cols)
     val ps = (0 to grid).map(_.toDouble / grid)
+    // r16: GK accuracy O(grid), not 10000 — the cuts only need rank
+    // resolution ~1/grid, so accuracy 2·grid keeps GK ε at half a
+    // lattice step while an over-resolved sketch pays compression
+    // churn across grid+1 query points (the same reasoning measured
+    // on the spearmanRouted scale arm: sf100 240→43 s). ρ error stays
+    // O(1/grid) — an order of magnitude inside the 0.05 contract
+    // bound checked by corr_spearman_approx_err.
+    val acc = math.max(2 * grid, 1000)
     val aggs = cols.map(c =>
-      percentile_approx(d(c), typedLit(ps), lit(10000)).as(c))
+      percentile_approx(d(c), typedLit(ps), lit(acc)).as(c))
     val row = chunkedAgg(clean, aggs, 300)
     val ranked = clean.select(cols.map { c =>
       val cuts = row(c).asInstanceOf[scala.collection.Seq[Any]]
