@@ -128,6 +128,92 @@ object OptProbe {
         expr(s"percentile(cast(`$c` as double), $arr)").as(s"q__$c"))
       li8.agg(aggs.head, aggs.tail: _*).first(); ()
     }
+    timed("distinct11_par_chunk1_noexpand") {
+      val all = graft.queries.Core.all
+      val par = graft.profiler.Stats.parallelized(li)
+      val dAggs = all.map(c => countDistinct(col(c)).as(s"d__$c"))
+      val cAggs = all.map(c => count(col(c)).as(s"c__$c"))
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      val futs = (dAggs.map(a => Future { par.agg(a).first() }) :+
+        Future { li.agg(cAggs.head, cAggs.tail: _*).first() })
+      Await.result(Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf)
+      pool.shutdown()
+    }
+    if (sys.env.get("GRAFT_PROBE_PIPE").contains("1")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val corpus = docs.where(col("source") =!= "src0")
+      val evalD = docs.where(col("source") === "src0")
+      import graft.pipeline.CorpusPipeline
+      import graft.ops.{Dedup, Materialize, TextStats}
+      val cfg = CorpusPipeline.BandedConfig
+      timed("pipe_repetition") {
+        TextStats.repetition(corpus, "doc_id", "text").collect(); ()
+      }
+      timed("pipe_quality") {
+        CorpusPipeline.qualityFiltered(corpus, "doc_id", "text", cfg)
+          .count(); ()
+      }
+      val q = Materialize.materialize(
+        CorpusPipeline.qualityFiltered(corpus, "doc_id", "text", cfg))
+      timed("pipe_pairs_banded") {
+        Dedup.minhashVerifiedPairs(q, "doc_id", "text", n = 3,
+          numHashes = 64, bands = 16, minJaccard = 0.5,
+          maxDf = Some(1000L), maxBucket = Some(1024L)).collect(); ()
+      }
+      timed("pipe_pairs_exact") {
+        Dedup.ngramJaccardPairs(q, "doc_id", "text", n = 3,
+          minJaccard = 0.5, maxDf = Some(1000L)).collect(); ()
+      }
+      val pairs = CorpusPipeline.nearDupPairs(q, "doc_id", "text", cfg)
+      timed("pipe_clusters") {
+        Dedup.duplicateClustersStar(pairs).collect(); ()
+      }
+      val d = Materialize.materialize(
+        CorpusPipeline.dedupKeepOne(q, "doc_id", "text", cfg))
+      timed("pipe_decontam_bloom") {
+        CorpusPipeline.decontaminated(d, evalD, "doc_id", "text", cfg)
+          .count(); ()
+      }
+      timed("pipe_funnel_banded_total") {
+        CorpusPipeline.funnelCounts(corpus, evalD, "doc_id", "text",
+          cfg).collect(); ()
+      }
+      timed("pipe_curate_banded_total") {
+        CorpusPipeline.curateCounts(corpus, evalD, "doc_id", "text",
+          graft.queries.ClassifierQueries.Th,
+          cfg = cfg).collect(); ()
+      }
+    }
+    // job-level decomposition of the exact profile (guide §1.1):
+    // which pass owns the time
+    if (sys.env.get("GRAFT_PROBE_PROFILE").contains("1")) {
+      val jobs = new java.util.concurrent.ConcurrentHashMap[Int,
+        (Long, String)]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart)
+              : Unit =
+            jobs.put(j.jobId, (j.time,
+              Option(j.properties.getProperty(
+                "spark.job.description")).getOrElse("?")))
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd)
+              : Unit = {
+            val (t0, d) = jobs.getOrDefault(j.jobId, (j.time, "?"))
+            println(f"[job] ${j.jobId}%4d ${(j.time - t0) / 1e3}%7.2fs $d")
+          }
+        })
+      graft.profiler.Profiler.profile(li) // warm
+      println("=== exact profile jobs (warmed run) ===")
+      val t0 = System.nanoTime()
+      graft.profiler.Profiler.profile(li)
+      println(f"profile_full total ${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
     spark.stop()
   }
 }

@@ -1445,9 +1445,13 @@ object Dedup {
     }
     val e0 = canon(pairs.select(col(idA).as("a"), col(idB).as("b")))
       .transform(Materialize.materialize)
-    if (e0.count() <= driverThreshold) {
+    // r16: ONE take(threshold+1) action replaces the count() + collect()
+    // pair — same decision, same rows (e0 is materialized, so take
+    // reads checkpointed blocks), one driver round-trip fewer
+    val head = e0.take(driverThreshold.toInt + 1)
+    if (head.length <= driverThreshold) {
       // driver union-find over the (bounded) edge list
-      val edges = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val edges = head.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -176,8 +176,28 @@ object CorpusPipeline {
     val c = decontaminated(d, evalDocs, idCol, textCol, cfg)
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((corpus.count(), q.count(), d.count(), c.count()))
+    // r16: the four stage counts are independent actions once q/d are
+    // materialized — overlap them (guide §2.6); values unchanged
+    val Seq(nCorpus, nQ, nD, nC) =
+      countsConcurrently(Seq(corpus, q, d, c))
+    Seq((nCorpus, nQ, nD, nC))
       .toDF("n_corpus", "n_quality", "n_dedup", "n_clean")
+  }
+
+  /** Run several independent count() actions concurrently — the
+    * funnel's stage counts are read-only jobs over already-
+    * materialized (or disjoint) frames, so overlapping them changes
+    * nothing but the wall clock. */
+  private def countsConcurrently(dfs: Seq[DataFrame]): Seq[Long] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(dfs.size)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try Await.result(
+      Future.sequence(dfs.map(df => Future(df.count()))), Duration.Inf)
+    finally pool.shutdown()
   }
 
   /** The CCNet-complete preparation funnel (Wenzek et al. 2020
@@ -214,7 +234,9 @@ object CorpusPipeline {
     val c = decontaminated(d, target, idCol, textCol, cfg)
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((corpus.count(), g.count(), l.count(), d.count(), c.count()))
+    val Seq(nCorpus, nG, nL, nD, nC) =
+      countsConcurrently(Seq(corpus, g, l, d, c))
+    Seq((nCorpus, nG, nL, nD, nC))
       .toDF("n_corpus", "n_gate", "n_lm", "n_dedup", "n_clean")
   }
 
@@ -244,7 +266,9 @@ object CorpusPipeline {
     val c = decontaminated(d, target, idCol, textCol, cfg)
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq((corpus.count(), g.count(), d.count(), c.count()))
+    val Seq(nCorpus, nG, nD, nC) =
+      countsConcurrently(Seq(corpus, g, d, c))
+    Seq((nCorpus, nG, nD, nC))
       .toDF("n_corpus", "n_model", "n_dedup", "n_clean")
   }
 }

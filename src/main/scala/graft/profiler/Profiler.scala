@@ -175,98 +175,111 @@ object Profiler {
         Seq(unix_micros(min(col(c)).cast("timestamp")).as(s"dmn__$c"),
           unix_micros(max(col(c)).cast("timestamp")).as(s"dmx__$c"))
       }
-    val aMap: Map[String, Any] = {
-      val base = chunkedAgg(df, aggsA, chunk = 600)
-      if (!cfg.exactDistinct) base
-      else {
-        // smaller chunks for exact distincts: the Expand multiplier
-        // equals the number of distinct aggs in the scan, so total
-        // expanded rows stay ~k·n however we chunk — but each scan's
-        // hash-agg memory is bounded by its chunk. Chunks run as
-        // concurrent jobs: each distinct's de-dup hash agg has a
-        // heavy final stage that would otherwise serialize.
-        val dAggs = allCols.map(c =>
-          countDistinct(Stats.orderable(df, c)).as(s"dis__$c"))
-        base ++ Stats.chunkedAggPar(Stats.parallelized(df), dAggs,
-          chunk = math.max(1, (dAggs.size + 7) / 8))
-      }
-    }
-    def aLong(name: String): Long = aMap(name).asInstanceOf[Long]
-    def aDouble(name: String): Option[Double] =
-      Option(aMap(name)).map {
-        case x: Double => x
-        case x: Long => x.toDouble
-        case x: Number => x.doubleValue()
-      }
-    val n = aLong("__n")
-
-    // ---- pass A2: central power sums → var/sd/skew/kurt ----
-    val momentMap: Map[String, Map[String, Double]] =
-      if (numCols.isEmpty) Map.empty
-      else {
-        val withMu = numCols.flatMap(c => aDouble(s"mean__$c").map(c -> _))
-        if (withMu.isEmpty) Map.empty
-        else {
-          val r2 = chunkedAgg(df, Stats.centralSumAggs(withMu),
-            chunk = 600)
-          withMu.map { case (c, _) =>
-            c -> Stats.momentsFromSums(aLong(s"cnt__$c"),
-              r2(s"s2__$c").asInstanceOf[Double],
-              r2(s"s3__$c").asInstanceOf[Double],
-              r2(s"s4__$c").asInstanceOf[Double])
-          }.toMap
+    // r16: passes A (base), A-distinct and B are INDEPENDENT plans —
+    // submit them from a small thread pool so their jobs overlap
+    // (guide §2.6: actions are only sequential because driver code
+    // calls them sequentially). A2 depends on A's means, so it runs
+    // as soon as A lands, concurrently with the still-running
+    // distinct/B jobs. Each pass's PLAN is byte-identical to the
+    // sequential form — only submission order changes, so every
+    // collected value is unchanged.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val (aMap, momentMap, qMap, spearmanCuts, withSpearmanGrid) = try {
+      val fBase = Future { chunkedAgg(df, aggsA, chunk = 600) }
+      // exact distincts in their own pass: k distinct aggs plan an
+      // Expand that multiplies rows (k+1)× — fusing the cheap
+      // aggregates into that stream measured ~2× slower. r16: with
+      // parallelized() input the Expand's partial agg and the
+      // (gid, value) de-dup both run data-parallel, so ONE 64-column
+      // chunk beats 8 narrow concurrent jobs (measured 1.4 s vs
+      // 2.3 s for 11 columns at sf0.1); 64 per scan still bounds
+      // Expand memory on very wide tables.
+      val fDis: Future[Map[String, Any]] =
+        if (!cfg.exactDistinct) Future.successful(Map.empty)
+        else Future {
+          val dAggs = allCols.map(c =>
+            countDistinct(Stats.orderable(df, c)).as(s"dis__$c"))
+          Stats.chunkedAggPar(Stats.parallelized(df), dAggs, chunk = 64)
         }
-      }
-
-    // ---- pass B: all quantiles in one agg ----
-    // The Spearman grid cuts ride in the SAME scan (one extra
-    // percentile_approx per numeric column — cheap next to the exact
-    // percentile buffers), so pass D2 only pays its rank/co-moment
-    // pass instead of a dedicated grid aggregation.
-    val withSpearmanGrid =
-      cfg.spearman && !cfg.exactSpearman && numCols.size >= 2
-    val gridPs: Seq[Double] =
-      (0 to cfg.spearmanGrid).map(_.toDouble / cfg.spearmanGrid)
-    val (qMap, spearmanCuts): (Map[String, Seq[Double]],
-        Map[String, Array[Double]]) =
-      if (numCols.isEmpty) (Map.empty, Map.empty)
-      else {
-        val arr = Stats.Ps.map(p => s"${p}D").mkString("array(", ", ", ")")
-        val aggsB = numCols.map { c =>
-          val useApprox =
-            if (cfg.quantilesByDtype)
-              !Kinds.isIntegral(df.schema(c).dataType)
-            else !cfg.exactQuantiles
-          if (useApprox)
-            expr(s"percentile_approx(cast(`$c` as double), $arr, 10000)")
-              .as(s"q__$c")
-          else // r16: primitive buffer, value-identical
-            graft.functions.ExactPercentile.pctl(
-              col(c).cast("double"), Stats.Ps).as(s"q__$c")
-        } ++
-          (if (!withSpearmanGrid) Nil
-           else numCols.map(c => percentile_approx(
-             col(c).cast("double"), typedLit(gridPs), lit(2500))
-             .as(s"sg__$c")))
-        // chunked: each percentile agg buffers its column's values
-        // (exact path) — bounding aggs-per-scan bounds that memory.
-        // Chunks run as CONCURRENT jobs: a global exact percentile's
-        // final merge (all partial value buffers → one sorted pass)
-        // is one single-threaded task, so k columns in one agg pay k
-        // serial merges; per-column jobs overlap them (measured r6:
-        // profile_full 11.4 s → single digits at sf0.1).
-        val b = Stats.chunkedAggPar(df, aggsB,
-          chunk = math.max(1, (aggsB.size + 7) / 8))
-        def arrOf(key: String): Seq[Double] =
-          Option(b.getOrElse(key, null))
-            .map(_.asInstanceOf[scala.collection.Seq[Any]]
-              .map(x => Option(x).map(_.asInstanceOf[Double])
-                .getOrElse(Double.NaN)).toSeq)
-            .getOrElse(Seq.empty)
-        (numCols.map(c => c -> arrOf(s"q__$c")).toMap,
-         if (!withSpearmanGrid) Map.empty
-         else numCols.map(c => c -> arrOf(s"sg__$c").toArray).toMap)
-      }
+      // ---- pass B: all quantiles in one agg ----
+      // The Spearman grid cuts ride in the SAME scan (one extra
+      // percentile_approx per numeric column — cheap next to the
+      // exact percentile buffers), so pass D2 only pays its
+      // rank/co-moment pass instead of a dedicated grid aggregation.
+      val wsg = cfg.spearman && !cfg.exactSpearman && numCols.size >= 2
+      val gridPs: Seq[Double] =
+        (0 to cfg.spearmanGrid).map(_.toDouble / cfg.spearmanGrid)
+      val fB: Future[(Map[String, Seq[Double]],
+          Map[String, Array[Double]])] =
+        if (numCols.isEmpty) Future.successful((Map.empty, Map.empty))
+        else Future {
+          val arr =
+            Stats.Ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+          val aggsB = numCols.map { c =>
+            val useApprox =
+              if (cfg.quantilesByDtype)
+                !Kinds.isIntegral(df.schema(c).dataType)
+              else !cfg.exactQuantiles
+            if (useApprox)
+              expr(s"percentile_approx(cast(`$c` as double), $arr, " +
+                "10000)").as(s"q__$c")
+            else // r16: primitive buffer, value-identical
+              graft.functions.ExactPercentile.pctl(
+                col(c).cast("double"), Stats.Ps).as(s"q__$c")
+          } ++
+            (if (!wsg) Nil
+             else numCols.map(c => percentile_approx(
+               col(c).cast("double"), typedLit(gridPs), lit(2500))
+               .as(s"sg__$c")))
+          // chunked: each percentile agg buffers its column's values
+          // (exact path) — bounding aggs-per-scan bounds that memory;
+          // chunks run as concurrent jobs (chunkedAggPar).
+          val b = Stats.chunkedAggPar(df, aggsB,
+            chunk = math.max(1, (aggsB.size + 7) / 8))
+          def arrOf(key: String): Seq[Double] =
+            Option(b.getOrElse(key, null))
+              .map(_.asInstanceOf[scala.collection.Seq[Any]]
+                .map(x => Option(x).map(_.asInstanceOf[Double])
+                  .getOrElse(Double.NaN)).toSeq)
+              .getOrElse(Seq.empty)
+          (numCols.map(c => c -> arrOf(s"q__$c")).toMap,
+           if (!wsg) Map.empty[String, Array[Double]]
+           else numCols.map(c => c -> arrOf(s"sg__$c").toArray).toMap)
+        }
+      val base = Await.result(fBase, Duration.Inf)
+      def bLong(name: String): Long = base(name).asInstanceOf[Long]
+      def bDouble(name: String): Option[Double] =
+        Option(base(name)).map {
+          case x: Double => x
+          case x: Long => x.toDouble
+          case x: Number => x.doubleValue()
+        }
+      // ---- pass A2: central power sums → var/sd/skew/kurt ----
+      // (needs A's means; overlaps the distinct/B jobs still running)
+      val mm: Map[String, Map[String, Double]] =
+        if (numCols.isEmpty) Map.empty
+        else {
+          val withMu =
+            numCols.flatMap(c => bDouble(s"mean__$c").map(c -> _))
+          if (withMu.isEmpty) Map.empty
+          else {
+            val r2 = chunkedAgg(df, Stats.centralSumAggs(withMu),
+              chunk = 600)
+            withMu.map { case (c, _) =>
+              c -> Stats.momentsFromSums(bLong(s"cnt__$c"),
+                r2(s"s2__$c").asInstanceOf[Double],
+                r2(s"s3__$c").asInstanceOf[Double],
+                r2(s"s4__$c").asInstanceOf[Double])
+            }.toMap
+          }
+        }
+      val (q, cuts) = Await.result(fB, Duration.Inf)
+      (base ++ Await.result(fDis, Duration.Inf), mm, q, cuts, wsg)
+    } finally pool.shutdown()
 
     assemble(df, cfg, aMap, momentMap, qMap,
       spearmanCutsOverride =
@@ -485,10 +498,22 @@ object Profiler {
       if (dateColsA.isEmpty) df
       else df.select(numCols.map(col) ++ dateColsA.map(c =>
         unix_micros(col(c).cast("timestamp")).cast("double").as(c)): _*)
-    // chunked by column group: bins·k conditional sums per scan
-    // otherwise (wide-table plan blowup, same rationale as chunkedAgg)
-    val histRows: Map[String, Seq[(Long, Long)]] =
-      histOverride.getOrElse(
+    // r16: histograms, frequency tables, the Pearson co-moment scan,
+    // categorical associations and the Spearman pass are MUTUALLY
+    // INDEPENDENT plans (hist needs only pass A's bounds, already in
+    // aMap) — submit them from a small pool so their jobs overlap
+    // (guide §2.6); each individual plan is unchanged, so every
+    // collected value is identical to the sequential form.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val (histRows, freqRows, corrM, catAssoc0, spearmanM) = try {
+    val fHist: Future[Map[String, Seq[(Long, Long)]]] =
+      histOverride.map(Future.successful).getOrElse(Future {
+        // chunked by column group: bins·k conditional sums per scan
+        // otherwise (wide-table plan blowup, as chunkedAgg)
         (numCols ++ dateColsA).grouped(60).flatMap { g =>
           Stats.histogramWithBounds(histSrc, g, cfg.bins, mnMap, mxMap)
             .collect()
@@ -498,24 +523,103 @@ object Profiler {
                 (r.getAs[Long]("bin"), r.getAs[Long]("cnt")))
                 .toSeq.sortBy(_._1)
             }
-        }.toMap)
+        }.toMap
+      })
     val catColsS = Kinds.catCols(df)
-    val freqRows: Map[String, Seq[(String, Long)]] =
-      if (catColsS.isEmpty) Map.empty
-      else Stats.freq(df, catColsS, cfg.topK).collect()
-        .groupBy(_.getString(0))
-        .map { case (k, rs) =>
-          k -> rs.sortBy(_.getAs[Long]("rnk"))
-            .map(r => (r.getAs[String]("value"), r.getAs[Long]("cnt")))
-            .toSeq
-        }
-
+    val fFreq: Future[Map[String, Seq[(String, Long)]]] =
+      if (catColsS.isEmpty) Future.successful(Map.empty)
+      else Future {
+        Stats.freq(df, catColsS, cfg.topK).collect()
+          .groupBy(_.getString(0))
+          .map { case (k, rs) =>
+            k -> rs.sortBy(_.getAs[Long]("rnk"))
+              .map(r =>
+                (r.getAs[String]("value"), r.getAs[Long]("cnt")))
+              .toSeq
+          }
+      }
     // ---- pass D: correlations + rejection — one co-moment scan
     // (the oracle-parity two-pass plan lives on in Stats.corrMatrix,
     // which the corr_matrix query declares directly) ----
-    val corrM: Map[(String, String), Option[Double]] =
-      if (!cfg.correlations || numCols.size < 2) Map.empty
-      else corrOverride.getOrElse(coMomentCorr(df, numCols))
+    val fCorr: Future[Map[(String, String), Option[Double]]] =
+      if (!cfg.correlations || numCols.size < 2)
+        Future.successful(Map.empty)
+      else corrOverride.map(Future.successful)
+        .getOrElse(Future { coMomentCorr(df, numCols) })
+    // ---- pass E (opt-in) + pass D2 (Spearman), moved ahead of the
+    // driver-side assembly so their scans overlap the other passes —
+    // bodies unchanged (see the pass D2 scaladoc below) ----
+    val fCatAssoc: Future[(Seq[(String, String, Double)], Int, Int)] =
+      Future {
+        // the same CAT-candidate set the column assembly derives:
+        // base kind CAT, 1 < distinct ≤ 100, not UNIQUE (a CAT column
+        // is never CORR-rejected — rejection runs over numCols only)
+        val typeOf = df.schema.fields.map(f => f.name -> f.dataType).toMap
+        val catCand = allCols.filter { c =>
+          Kinds.baseKind(typeOf(c)) == "CAT" && {
+            val dis = aLong(s"dis__$c"); val cnt = aLong(s"cnt__$c")
+            dis > 1 && dis <= 100 && !(dis == cnt && cnt > 1)
+          }
+        }
+        val catPairsAll =
+          for { i <- catCand.indices; j <- (i + 1) until catCand.size }
+            yield (catCand(i), catCand(j))
+        val catPairs = catPairsAll.take(cfg.maxCatAssocPairs)
+        val assoc =
+          if (!cfg.catAssociations || catPairs.isEmpty) Seq.empty
+          else graft.ops.CatStats.associationAll(df, catPairs)
+            .collect().toSeq.flatMap { r =>
+              if (r.isNullAt(5)) None
+              else
+                Some((r.getString(0), r.getString(1), r.getDouble(5)))
+            }
+        (assoc, catPairsAll.size, catPairs.size)
+      }
+    val fSpearman: Future[Seq[(String, String, Double)]] = Future {
+      if (!cfg.spearman || numCols.size < 2) Seq.empty
+      else if (cfg.exactSpearman)
+        Stats.spearmanMatrix(df, numCols).collect().toSeq.flatMap { r =>
+          if (r.isNullAt(2)) None
+          else Some((r.getString(0), r.getString(1), r.getDouble(2)))
+        }.sortBy(t => (t._1, t._2))
+      else {
+        val clean = df.na.drop(numCols)
+        // grid cuts come FREE when the caller already scanned a
+        // quantile structure (pass B's fused grid agg, or the fused
+        // profile's GK summaries); only a standalone assemble pays
+        // its own chunked percentile agg here
+        val cutMap: Map[String, Array[Double]] =
+          spearmanCutsOverride.getOrElse {
+            val grid = cfg.spearmanGrid
+            val ps = (0 to grid).map(_.toDouble / grid)
+            val gridAggs = numCols.map(c => percentile_approx(
+              col(c).cast("double"), typedLit(ps), lit(2500)).as(c))
+            val cutRow = Stats.chunkedAgg(clean, gridAggs, 300)
+            numCols.map { c =>
+              c -> cutRow(c).asInstanceOf[scala.collection.Seq[Any]]
+                .map(_.asInstanceOf[Double]).toArray
+            }.toMap
+          }
+        val usable = numCols.filter(c =>
+          cutMap.get(c).exists(_.nonEmpty))
+        if (usable.size < 2) Seq.empty
+        else {
+          val ranked = clean.select(usable.map { c =>
+            graft.functions.GridRank.grid_rank(
+              col(c).cast("double"), cutMap(c)).as(c)
+          }: _*)
+          coMomentCorr(ranked, usable).toSeq.collect {
+            case ((a, b), Some(rho)) => (a, b, rho)
+          }.sortBy(t => (t._1, t._2))
+        }
+      }
+    }
+    (Await.result(fHist, Duration.Inf),
+      Await.result(fFreq, Duration.Inf),
+      Await.result(fCorr, Duration.Inf),
+      Await.result(fCatAssoc, Duration.Inf),
+      Await.result(fSpearman, Duration.Inf))
+    } finally pool.shutdown()
     val rejected: Seq[(String, String, Double)] =
       Stats.rejectFromMatrix(numCols, corrM, cfg.corrReject)
     val rejectedNames = rejected.map(_._1).toSet
@@ -571,76 +675,17 @@ object Profiler {
       w.toSeq
     }
 
-    // ---- optional pass E: categorical associations (opt-in; one
-    // corpus scan for every CAT pair via associationAll) ----
-    val catCols = columns
-      .filter(c => c.kind == "CAT" && c.distinct > 1 && c.distinct <= 100)
-      .map(_.name)
-    val allCatPairs =
-      for { i <- catCols.indices; j <- (i + 1) until catCols.size }
-        yield (catCols(i), catCols(j))
-    val catPairs = allCatPairs.take(cfg.maxCatAssocPairs)
-    val catAssoc: Seq[(String, String, Double)] =
-      if (!cfg.catAssociations || catPairs.isEmpty) Seq.empty
-      else graft.ops.CatStats.associationAll(df, catPairs)
-        .collect().toSeq.flatMap { r =>
-          if (r.isNullAt(5)) None
-          else Some((r.getString(0), r.getString(1), r.getDouble(5)))
-        }
+    // pass E computed concurrently above (fCatAssoc) — the candidate
+    // filter there replicates this assembly's CAT-kind derivation
+    val (catAssoc, nAllCatPairs, nCatPairs) = catAssoc0
     val warnings =
-      if (cfg.catAssociations && allCatPairs.size > catPairs.size)
-        warnings0 :+ (s"cat associations: ${allCatPairs.size} pairs " +
-          s"capped to ${catPairs.size}")
+      if (cfg.catAssociations && nAllCatPairs > nCatPairs)
+        warnings0 :+ (s"cat associations: $nAllCatPairs pairs " +
+          s"capped to $nCatPairs")
       else warnings0
 
-    // ---- pass D2: Spearman rank correlations (beside Pearson, the
-    // pandas-profiling-lineage pair of matrices). Approx GK-grid path
-    // by default, in the PROFILE-optimized shape: one chunked
-    // percentile agg for the per-column grids, then the map-only
-    // GridRank transform feeding the SAME single-pass streaming
-    // co-moment aggregate pass D uses — two extra scans total, no
-    // global sort anywhere. (Stats.spearmanApprox keeps the two-pass
-    // corrMatrix tail for oracle parity with corr_spearman_approx_err;
-    // values here land in the same sig5 buckets.) The exact window
-    // form only under cfg.exactSpearman — audit scale.
-    val spearmanM: Seq[(String, String, Double)] =
-      if (!cfg.spearman || numCols.size < 2) Seq.empty
-      else if (cfg.exactSpearman)
-        Stats.spearmanMatrix(df, numCols).collect().toSeq.flatMap { r =>
-          if (r.isNullAt(2)) None
-          else Some((r.getString(0), r.getString(1), r.getDouble(2)))
-        }.sortBy(t => (t._1, t._2))
-      else {
-        val clean = df.na.drop(numCols)
-        // grid cuts come FREE when the caller already scanned a
-        // quantile structure (pass B's fused grid agg, or the fused
-        // profile's GK summaries); only a standalone assemble pays
-        // its own chunked percentile agg here
-        val cutMap: Map[String, Array[Double]] =
-          spearmanCutsOverride.getOrElse {
-            val grid = cfg.spearmanGrid
-            val ps = (0 to grid).map(_.toDouble / grid)
-            val gridAggs = numCols.map(c => percentile_approx(
-              col(c).cast("double"), typedLit(ps), lit(2500)).as(c))
-            val cutRow = Stats.chunkedAgg(clean, gridAggs, 300)
-            numCols.map { c =>
-              c -> cutRow(c).asInstanceOf[scala.collection.Seq[Any]]
-                .map(_.asInstanceOf[Double]).toArray
-            }.toMap
-          }
-        val usable = numCols.filter(c =>
-          cutMap.get(c).exists(_.nonEmpty))
-        if (usable.size < 2) Seq.empty
-        else {
-          val ranked = clean.select(usable.map { c =>
-            graft.functions.GridRank.grid_rank(
-              col(c).cast("double"), cutMap(c)).as(c)
-          }: _*)
-          coMomentCorr(ranked, usable).toSeq.collect {
-            case ((a, b), Some(rho)) => (a, b, rho)
-          }.sortBy(t => (t._1, t._2))
-        }
-      }
+    // pass D2 (Spearman) computed concurrently above (fSpearman);
+    // the scaladoc moved with the body. spearmanM already sorted.
 
     TableProfile(n, nvar, totalMissing,
       if (n == 0 || nvar == 0) 0.0
@@ -732,8 +777,20 @@ object Profiler {
     // would be dead cost in the audit.
     val cfg = ProfilerConfig(exactQuantiles = true,
       exactDistinct = true, spearman = false)
-    val e = profile(df, cfg)
-    val f = profileFused(df, cfg.copy(fused = true))
+    // r16: the exact profile and the fused profile are independent —
+    // run them concurrently (guide §2.6); both results unchanged
+    val (e, f) = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(pool)
+      try {
+        val fe = Future { profile(df, cfg) }
+        val ff = Future { profileFused(df, cfg.copy(fused = true)) }
+        (Await.result(fe, Duration.Inf), Await.result(ff, Duration.Inf))
+      } finally pool.shutdown()
+    }
     val eCols = e.columns.map(c => c.name -> c).toMap
     val fCols = f.columns.map(c => c.name -> c).toMap
 
