@@ -1445,13 +1445,12 @@ object Dedup {
     }
     val e0 = canon(pairs.select(col(idA).as("a"), col(idB).as("b")))
       .transform(Materialize.materialize)
-    // r16: ONE take(threshold+1) action replaces the count() + collect()
-    // pair — same decision, same rows (e0 is materialized, so take
-    // reads checkpointed blocks), one driver round-trip fewer
-    val head = e0.take(driverThreshold.toInt + 1)
-    if (head.length <= driverThreshold) {
+    // (r16 note: a take(threshold+1) here was measured SLOWER than
+    // count()+collect() — when rows << limit, take() runs up to 4
+    // incremental scaled jobs to prove the limit can't be reached)
+    if (e0.count() <= driverThreshold) {
       // driver union-find over the (bounded) edge list
-      val edges = head.map(r => (r.getLong(0), r.getLong(1)))
+      val edges = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
