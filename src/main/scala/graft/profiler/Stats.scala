@@ -124,7 +124,7 @@ object Stats {
     * immediately after an unsplittable read" from the guide. */
   def parallelized(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 4 >= target) df
+    if (df.rdd.getNumPartitions * 2 >= target) df
     else df.repartition(target)
   }
 
