@@ -110,6 +110,19 @@ case class ExactPercentileAgg(child: Expression, ps: Seq[Double],
   require(ps.forall(p => p >= 0.0 && p <= 1.0),
     s"percentages must be in [0, 1], got $ps")
 
+  // r17 (advisor): declare the input contract so a non-double child
+  // fails at ANALYSIS time instead of a runtime ClassCastException
+  // in update() — all repo call sites already cast, but the helper
+  // is public.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"exact_percentile requires a DOUBLE child (cast first); " +
+          s"got ${child.dataType.catalogString}")
+
   override def nullable: Boolean = true
   override def dataType: DataType =
     ArrayType(DoubleType, containsNull = false)

@@ -30,6 +30,20 @@ object Materialize {
 
   val ConfKey = "spark.graft.checkpoint.reliable"
 
+  /** Unpersist the storage blocks behind a [[materialize]]d frame.
+    * localCheckpoint blocks otherwise sit in executor storage until
+    * the ContextCleaner happens to GC the RDD — repeated audits in a
+    * long session accumulate them (advisor r16). Call ONLY once no
+    * surviving plan references the frame: a localCheckpoint has no
+    * lineage, so a consumer executed after release would fail rather
+    * than recompute. No-op for frames that are not checkpoint-backed;
+    * reliable-checkpoint files stay on disk (owned by the checkpoint
+    * dir). */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   def materialize(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val dirSet = spark.sparkContext.getCheckpointDir.isDefined

@@ -234,13 +234,21 @@ object Quality {
       cols.filter(c => types(c).isInstanceOf[NumericType])
     val strings = cols.filter(c => types(c).typeName == "string")
 
+    // r17: the EXACT arm's k countDistinct expressions ran in one agg
+    // — an Expand multiplying every row (k+1)× (the col_distinct
+    // lesson). They now run as per-column single-distinct jobs
+    // (Stats.exactDistinctPerCol — no Expand, column-pruned scans);
+    // values identical (count/countDistinct are order-independent and
+    // every suggest column is an orderable type). The approx arm (HLL,
+    // Expand-free) stays fused in the one scan.
+    val exactDis: Map[String, (Long, Long)] =
+      if (approxUnique) Map.empty
+      else graft.profiler.Stats.exactDistinctPerCol(df, cols)
     val aggs = Seq(count(lit(1)).as("__n")) ++
-      cols.flatMap { c =>
-        val dis =
-          if (approxUnique) approx_count_distinct(col(c), 0.02)
-          else countDistinct(col(c))
-        Seq(count(col(c)).as(s"__cnt_$c"), dis.as(s"__dis_$c"))
-      } ++ numeric.flatMap { c =>
+      (if (approxUnique) cols.flatMap { c =>
+        Seq(count(col(c)).as(s"__cnt_$c"),
+          approx_count_distinct(col(c), 0.02).as(s"__dis_$c"))
+      } else Nil) ++ numeric.flatMap { c =>
         Seq(min(col(c)).cast("double").as(s"__min_$c"),
           max(col(c)).cast("double").as(s"__max_$c"))
       }
@@ -249,7 +257,12 @@ object Quality {
     // unsplittable-input repartition is value-neutral
     val par = graft.profiler.Stats.parallelized(df)
     val r = par.agg(aggs.head, aggs.tail: _*).first()
-    def l(name: String): Long = r.getAs[Long](name)
+    def l(name: String): Long =
+      if (!approxUnique && name.startsWith("__cnt_"))
+        exactDis(name.stripPrefix("__cnt_"))._1
+      else if (!approxUnique && name.startsWith("__dis_"))
+        exactDis(name.stripPrefix("__dis_"))._2
+      else r.getAs[Long](name)
     def d(name: String): Double = r.getAs[Double](name)
     val n = l("__n")
 

@@ -176,28 +176,16 @@ object CorpusPipeline {
     val c = decontaminated(d, evalDocs, idCol, textCol, cfg)
     val spark = corpus.sparkSession
     import spark.implicits._
-    // r16: the four stage counts are independent actions once q/d are
-    // materialized — overlap them (guide §2.6); values unchanged
-    val Seq(nCorpus, nQ, nD, nC) =
-      countsConcurrently(Seq(corpus, q, d, c))
-    Seq((nCorpus, nQ, nD, nC))
+    // r17: the stage counts run SEQUENTIALLY. r16 overlapped them
+    // (guide §2.6), but the driver measured all 7 pipeline queries
+    // 14–36% slower at 32 cores with faster-at-8-cores scaling — the
+    // overlapped jobs are CHEAP (counts over already-materialized
+    // frames), so there is no tail to back-fill and the concurrent
+    // jobs only contend for cores with the funnel's real work.
+    // Action overlap pays for expensive independent scans (the
+    // Profiler passes), not for trivial counts.
+    Seq((corpus.count(), q.count(), d.count(), c.count()))
       .toDF("n_corpus", "n_quality", "n_dedup", "n_clean")
-  }
-
-  /** Run several independent count() actions concurrently — the
-    * funnel's stage counts are read-only jobs over already-
-    * materialized (or disjoint) frames, so overlapping them changes
-    * nothing but the wall clock. */
-  private def countsConcurrently(dfs: Seq[DataFrame]): Seq[Long] = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors
-      .newFixedThreadPool(dfs.size)
-    implicit val ec: ExecutionContext =
-      ExecutionContext.fromExecutorService(pool)
-    try Await.result(
-      Future.sequence(dfs.map(df => Future(df.count()))), Duration.Inf)
-    finally pool.shutdown()
   }
 
   /** The CCNet-complete preparation funnel (Wenzek et al. 2020
@@ -234,9 +222,8 @@ object CorpusPipeline {
     val c = decontaminated(d, target, idCol, textCol, cfg)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val Seq(nCorpus, nG, nL, nD, nC) =
-      countsConcurrently(Seq(corpus, g, l, d, c))
-    Seq((nCorpus, nG, nL, nD, nC))
+    // sequential stage counts — see funnelCounts (r17 revert)
+    Seq((corpus.count(), g.count(), l.count(), d.count(), c.count()))
       .toDF("n_corpus", "n_gate", "n_lm", "n_dedup", "n_clean")
   }
 
@@ -266,9 +253,8 @@ object CorpusPipeline {
     val c = decontaminated(d, target, idCol, textCol, cfg)
     val spark = corpus.sparkSession
     import spark.implicits._
-    val Seq(nCorpus, nG, nD, nC) =
-      countsConcurrently(Seq(corpus, g, d, c))
-    Seq((nCorpus, nG, nD, nC))
+    // sequential stage counts — see funnelCounts (r17 revert)
+    Seq((corpus.count(), g.count(), d.count(), c.count()))
       .toDF("n_corpus", "n_model", "n_dedup", "n_clean")
   }
 }

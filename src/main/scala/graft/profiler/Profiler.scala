@@ -139,6 +139,21 @@ object Profiler {
   private def chunkedAgg(df: DataFrame, aggs: Seq[org.apache.spark.sql.Column],
       chunk: Int): Map[String, Any] = Stats.chunkedAgg(df, aggs, chunk)
 
+  /** Tag the jobs a concurrent pass submits from its POOL thread
+    * (r17, VERDICT item 5): a per-pass scheduler pool so overlapped
+    * passes cannot starve each other under `spark.scheduler.mode=FAIR`
+    * at scale (inert under the default FIFO mode — pools only exist
+    * in FAIR mode; local bench numbers are untouched), plus a guide
+    * §1.5 job description for the UI. Both properties are
+    * thread-local: call this ONLY on a dedicated executor-pool
+    * thread, never the caller's thread, or they leak into later
+    * queries. */
+  private def tagPass(df: DataFrame, pass: String): Unit = {
+    val sc = df.sparkSession.sparkContext
+    sc.setLocalProperty("spark.scheduler.pool", s"graft-$pass")
+    sc.setJobDescription(s"profile: $pass")
+  }
+
   def profile(df: DataFrame,
       cfg: ProfilerConfig = ProfilerConfig()): TableProfile = {
     val allCols = df.columns.toSeq
@@ -189,21 +204,22 @@ object Profiler {
     implicit val ec: ExecutionContext =
       ExecutionContext.fromExecutorService(pool)
     val (aMap, momentMap, qMap, spearmanCuts, withSpearmanGrid) = try {
-      val fBase = Future { chunkedAgg(df, aggsA, chunk = 600) }
-      // exact distincts in their own pass: k distinct aggs plan an
-      // Expand that multiplies rows (k+1)× — fusing the cheap
-      // aggregates into that stream measured ~2× slower. r16: with
-      // parallelized() input the Expand's partial agg and the
-      // (gid, value) de-dup both run data-parallel, so ONE 64-column
-      // chunk beats 8 narrow concurrent jobs (measured 1.4 s vs
-      // 2.3 s for 11 columns at sf0.1); 64 per scan still bounds
-      // Expand memory on very wide tables.
+      val fBase = Future {
+        tagPass(df, "passA-base")
+        chunkedAgg(df, aggsA, chunk = 600)
+      }
+      // exact distincts in their own pass: r17 — per-column single-
+      // distinct jobs (Stats.exactDistinctPerCol; no Expand: partial
+      // agg keyed on the value, exchange of distinct values only,
+      // each job reads one column's parquet pages). Replaces the r16
+      // 64-column Expand chunk that measured ~280 s at 60M rows.
       val fDis: Future[Map[String, Any]] =
         if (!cfg.exactDistinct) Future.successful(Map.empty)
         else Future {
-          val dAggs = allCols.map(c =>
-            countDistinct(Stats.orderable(df, c)).as(s"dis__$c"))
-          Stats.chunkedAggPar(Stats.parallelized(df), dAggs, chunk = 64)
+          tagPass(df, "passA-distinct")
+          Stats.exactDistinctPerCol(df, allCols).map {
+            case (c, (_, dis)) => s"dis__$c" -> (dis: Any)
+          }
         }
       // ---- pass B: all quantiles in one agg ----
       // The Spearman grid cuts ride in the SAME scan (one extra
@@ -217,6 +233,7 @@ object Profiler {
           Map[String, Array[Double]])] =
         if (numCols.isEmpty) Future.successful((Map.empty, Map.empty))
         else Future {
+          tagPass(df, "passB-quantiles")
           val arr =
             Stats.Ps.map(p => s"${p}D").mkString("array(", ", ", ")")
           val aggsB = numCols.map { c =>
@@ -512,6 +529,7 @@ object Profiler {
     val (histRows, freqRows, corrM, catAssoc0, spearmanM) = try {
     val fHist: Future[Map[String, Seq[(Long, Long)]]] =
       histOverride.map(Future.successful).getOrElse(Future {
+        tagPass(df, "passC-histograms")
         // chunked by column group: bins·k conditional sums per scan
         // otherwise (wide-table plan blowup, as chunkedAgg)
         (numCols ++ dateColsA).grouped(60).flatMap { g =>
@@ -529,6 +547,7 @@ object Profiler {
     val fFreq: Future[Map[String, Seq[(String, Long)]]] =
       if (catColsS.isEmpty) Future.successful(Map.empty)
       else Future {
+        tagPass(df, "passC-freq")
         Stats.freq(df, catColsS, cfg.topK).collect()
           .groupBy(_.getString(0))
           .map { case (k, rs) =>
@@ -545,12 +564,15 @@ object Profiler {
       if (!cfg.correlations || numCols.size < 2)
         Future.successful(Map.empty)
       else corrOverride.map(Future.successful)
-        .getOrElse(Future { coMomentCorr(df, numCols) })
+        .getOrElse(Future {
+          tagPass(df, "passD-pearson"); coMomentCorr(df, numCols)
+        })
     // ---- pass E (opt-in) + pass D2 (Spearman), moved ahead of the
     // driver-side assembly so their scans overlap the other passes —
     // bodies unchanged (see the pass D2 scaladoc below) ----
     val fCatAssoc: Future[(Seq[(String, String, Double)], Int, Int)] =
       Future {
+        tagPass(df, "passE-catassoc")
         // the same CAT-candidate set the column assembly derives:
         // base kind CAT, 1 < distinct ≤ 100, not UNIQUE (a CAT column
         // is never CORR-rejected — rejection runs over numCols only)
@@ -576,6 +598,7 @@ object Profiler {
         (assoc, catPairsAll.size, catPairs.size)
       }
     val fSpearman: Future[Seq[(String, String, Double)]] = Future {
+      tagPass(df, "passD2-spearman")
       if (!cfg.spearman || numCols.size < 2) Seq.empty
       else if (cfg.exactSpearman)
         Stats.spearmanMatrix(df, numCols).collect().toSeq.flatMap { r =>
@@ -786,8 +809,11 @@ object Profiler {
       implicit val ec: ExecutionContext =
         ExecutionContext.fromExecutorService(pool)
       try {
-        val fe = Future { profile(df, cfg) }
-        val ff = Future { profileFused(df, cfg.copy(fused = true)) }
+        val fe = Future { tagPass(df, "check-exact"); profile(df, cfg) }
+        val ff = Future {
+          tagPass(df, "check-fused")
+          profileFused(df, cfg.copy(fused = true))
+        }
         (Await.result(fe, Duration.Inf), Await.result(ff, Duration.Inf))
       } finally pool.shutdown()
     }

@@ -123,8 +123,22 @@ object Stats {
     * this is NOT a local-mode constant, it is "repartition
     * immediately after an unsplittable read" from the guide. */
   def parallelized(df: DataFrame): DataFrame = {
+    // r17 (advisor): restrict the probe to SCAN-ROOTED plans. df.rdd
+    // on a derived input (join/aggregate) finalizes the AQE plan and
+    // eagerly EXECUTES its upstream shuffle stages, and the
+    // subsequent repartition builds a new plan that cannot reuse
+    // them — upstream work would run twice. A plan of only
+    // scan/project/filter/subquery-alias nodes has no query stages to
+    // pre-execute, so the probe is safe there; anything else returns
+    // unchanged (the unsplittable-single-file hazard this guards is a
+    // raw-scan property anyway).
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, SubqueryAlias, LeafNode}
+    val scanRooted = df.queryExecution.optimizedPlan.collect {
+      case _: Project | _: Filter | _: SubqueryAlias | _: LeafNode => true
+      case _ => false
+    }.forall(identity)
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= target) df
+    if (!scanRooted || df.rdd.getNumPartitions * 2 >= target) df
     else df.repartition(target)
   }
 
@@ -173,6 +187,49 @@ object Stats {
     }
   }
 
+  /** Exact (non-null count, distinct count) per column: ONE single-
+    * distinct aggregation JOB PER COLUMN, submitted concurrently —
+    * replacing one fused agg carrying k countDistinct expressions.
+    *
+    * k distinct aggregates in one Aggregate make Catalyst plan an
+    * Expand that multiplies every input row (k+1)× through a single
+    * partial hash aggregate with 2k+ buffer fields — measured ~280 s
+    * for 12 columns over 60M rows (sf10, r16), the largest single-
+    * operator cost in the repo. A single-distinct agg plans Spark's
+    * Expand-free form instead: partial aggregate KEYED ON THE VALUE
+    * (map-side dedup) → exchange of the distinct values only → merge
+    * → final count. Each job also reads ONLY its column's parquet
+    * pages (the fused scan decodes all k for every expanded row), and
+    * per-task hash state is one column's values, not k wide buffers
+    * (guide §2.3 shuffle fewer bytes / §2.5 two-level aggregation).
+    * Both aggregates are order-independent, so the values are
+    * identical to the fused form's. `maxPar` bounds in-flight jobs
+    * (guide §2.6). */
+  def exactDistinctPerCol(df: DataFrame, cols: Seq[String],
+      maxPar: Int = 8): Map[String, (Long, Long)] = {
+    if (cols.isEmpty) return Map.empty
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(cols.size, maxPar))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      // NO parallelized() here (measured r17, OptProbe17 at sf0.1/32c:
+      // 0.6–0.8 s without vs 2.3–3.2 s with): the concurrent jobs
+      // already fill the cores when the scan cannot split, and the
+      // repartition adds an exchange + a df.rdd planning probe to
+      // every per-column job; on a splittable tier the scan is
+      // data-parallel on its own.
+      val futs = cols.map { c => Future {
+        val r = df.select(col(c)).agg(count(col(c)).as("cnt"),
+          countDistinct(orderable(df, c)).as("dis")).first()
+        c -> (r.getLong(0), r.getLong(1))
+      } }
+      Await.result(Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf).toMap
+    } finally pool.shutdown()
+  }
+
   // -------------------------------------------------------------------
   // Counts / missing (C1, C3, T1) — one pass over all columns.
   // -------------------------------------------------------------------
@@ -197,17 +254,30 @@ object Stats {
   // -------------------------------------------------------------------
   def distinct(df: DataFrame, cols: Seq[String], approx: Boolean = false)
       : DataFrame = {
+    if (!approx) {
+      // r17: per-column single-distinct jobs (no Expand — see
+      // exactDistinctPerCol); the derived stats are computed by the
+      // SAME Column expressions as before, over a local (c, cnt, dis)
+      // relation, so every value is identical
+      val m = exactDistinctPerCol(df, cols)
+      val spark = df.sparkSession
+      import spark.implicits._
+      val base = cols.map(c => (c, m(c)._1, m(c)._2))
+        .toDF("col_name", "cnt", "dis")
+      return base.select(
+        col("col_name"),
+        col("dis").as("distinct_cnt"),
+        sig5(ratio(col("dis"), col("cnt"))).as("p_unique"),
+        when(col("dis") === col("cnt"), 1L).otherwise(0L)
+          .as("is_unique"))
+        .orderBy("col_name")
+    }
     val aggs = cols.flatMap { c =>
       val oc = orderable(df, c)
-      val dc =
-        if (approx) approx_count_distinct(oc) else countDistinct(oc)
-      Seq(count(col(c)).as(s"cnt__$c"), dc.as(s"dis__$c"))
+      Seq(count(col(c)).as(s"cnt__$c"),
+        approx_count_distinct(oc).as(s"dis__$c"))
     }
-    // exact multi-distinct Expands every row (k+1)× and the partial
-    // agg inherits the scan's parallelism — parallelized() for the
-    // unsplittable-input case (all aggs order-independent)
-    val row = (if (approx) df else parallelized(df))
-      .agg(aggs.head, aggs.tail: _*)
+    val row = df.agg(aggs.head, aggs.tail: _*)
     val structs = cols.map { c =>
       val cnt = col(s"cnt__$c"); val dis = col(s"dis__$c")
       struct(
@@ -223,21 +293,22 @@ object Stats {
   // Type inference (C5, U1, U2): dtype bucket + CONST/UNIQUE overrides.
   // -------------------------------------------------------------------
   def kinds(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"cnt__$c"),
-        countDistinct(orderable(df, c)).as(s"dis__$c"))
-    }
-    val row = parallelized(df).agg(aggs.head, aggs.tail: _*)
+    // r17: per-column single-distinct jobs (no Expand — see
+    // exactDistinctPerCol). The CONST/UNIQUE overrides are exact
+    // integer comparisons on the same (cnt, dis) longs the fused agg
+    // produced, so the kinds are identical.
+    val m = exactDistinctPerCol(df, cols)
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    val structs = cols.map { c =>
-      val cnt = col(s"cnt__$c"); val dis = col(s"dis__$c")
-      struct(
-        lit(c).as("col_name"),
-        when(dis === 1, "CONST")
-          .when(dis === cnt && cnt > 1, "UNIQUE")
-          .otherwise(Kinds.baseKind(byName(c))).as("kind"))
-    }
-    tidy(row, structs)
+    val spark = df.sparkSession
+    import spark.implicits._
+    cols.map { c =>
+      val (cnt, dis) = m(c)
+      val kind =
+        if (dis == 1L) "CONST"
+        else if (dis == cnt && cnt > 1L) "UNIQUE"
+        else Kinds.baseKind(byName(c))
+      (c, kind)
+    }.toDF("col_name", "kind").orderBy("col_name")
   }
 
   // -------------------------------------------------------------------
@@ -548,21 +619,15 @@ object Stats {
       : DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // exact countDistinct in its OWN scan (k distinct aggs plan an
-    // Expand that multiplies every row (k+1)× — any other aggregate
-    // fused into that scan gets dragged through the expanded stream,
-    // measured 59 s vs 7 s at sf0.1); both sketches fuse in a second
+    // r17: exact countDistinct as per-column single-distinct jobs (no
+    // Expand — see exactDistinctPerCol); the sketches fuse in one
     // Expand-free scan (declarative HLL + imperative KMV mix fine
-    // under ObjectHashAggregate)
-    // chunk 64 bounds the per-scan Expand multiplier on wide tables
-    // (same bound Profiler uses for its exact-distinct pass)
-    // both scans' aggregates are order-independent (exact distinct,
-    // HLL registers, KMV bottom-k set) — parallelized() applies
-    val par = parallelized(df)
-    val exacts = chunkedAgg(par, cols.map { c =>
-      countDistinct(orderable(df, c)).as(s"ex__$c")
-    }, chunk = 64)
-    val sketches = chunkedAgg(par, cols.flatMap { c =>
+    // under ObjectHashAggregate), order-independent → parallelized()
+    val exactPerCol = exactDistinctPerCol(df, cols)
+    val exacts: Map[String, Any] = exactPerCol.map {
+      case (c, (_, dis)) => s"ex__$c" -> (dis: Any)
+    }
+    val sketches = chunkedAgg(parallelized(df), cols.flatMap { c =>
       val oc = orderable(df, c)
       Seq(approx_count_distinct(oc, rsd).as(s"hll__$c"),
         graft.functions.MultiSketch.sketch(lit(null).cast("double"),
@@ -1350,9 +1415,17 @@ object Stats {
     * cost at sf0.1). The frame is O(n·k) doubles; the exact-rank
     * audit form is row-bounded by [[spearmanRouted]]'s dispatch at
     * corpus scale, so the materialization is bounded too. */
-  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame =
-    corrMatrix(
-      graft.ops.Materialize.materialize(spearmanRanked(df, cols)), cols)
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val ranked =
+      graft.ops.Materialize.materialize(spearmanRanked(df, cols))
+    // corrMatrix is eager (both chunked agg passes collect inside it)
+    // and returns a LOCAL relation, so the ranked blocks can be
+    // unpersisted as soon as it returns (advisor r16: repeated exact-
+    // Spearman audits otherwise accumulate localCheckpoint blocks
+    // until the ContextCleaner runs)
+    try corrMatrix(ranked, cols)
+    finally graft.ops.Materialize.release(ranked)
+  }
 
   /** Map-only approximate Spearman: ranks estimated by binary search
     * into a per-column `grid`-point GK quantile lattice (collected in

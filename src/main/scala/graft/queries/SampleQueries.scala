@@ -58,8 +58,13 @@ object SampleQueries {
     // CONSTRUCTION — published, so a broken cluster map fails loud)
     "split_leakage" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf))
+      // r17: the pair plan feeds TWO separate actions (the cluster
+      // build materializes its canonical edges; the leakage join is
+      // the final collect) — materialize it ONCE or the Σdf² index
+      // self-join executes twice (the spearmanMatrix lesson, §1.2)
+      val pairs = Materialize.materialize(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf)))
       Sampling.splitLeakage(docs, pairs,
         Dedup.duplicateClustersStar(pairs), "doc_id")
     }),
@@ -68,8 +73,10 @@ object SampleQueries {
     // cross count and the cluster split, exactly as split_leakage
     "split_leakage_banded" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.minhashVerifiedPairs(docs, "doc_id", "text",
-        n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf))
+      // materialized once — two consumers, see split_leakage (r17)
+      val pairs = Materialize.materialize(
+        Dedup.minhashVerifiedPairs(docs, "doc_id", "text",
+          n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf)))
       Sampling.splitLeakage(docs, pairs,
         Dedup.duplicateClustersStar(pairs), "doc_id")
     }),
@@ -79,8 +86,10 @@ object SampleQueries {
     // value-identical where banding recall is 1)
     "split_leakage_routed" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairsRouted(docs, "doc_id",
-        "text", n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf))
+      // materialized once — two consumers, see split_leakage (r17)
+      val pairs = Materialize.materialize(
+        Dedup.ngramJaccardPairsRouted(docs, "doc_id",
+          "text", n = 3, minJaccard = 0.5, maxDf = Some(NgramMaxDf)))
       Sampling.splitLeakage(docs, pairs,
         Dedup.duplicateClustersStar(pairs), "doc_id")
     }),

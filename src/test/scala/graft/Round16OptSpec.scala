@@ -27,18 +27,49 @@ class Round16OptSpec extends SparkSpec {
     val cols = Seq("a", "b")
     def d(c: String) = col(c).cast("double")
     val clean = df.na.drop(cols)
-    // the r15 form: rank() + (count over partitionBy(value) - 1)/2
-    val old = clean.select(cols.map { c =>
-      (rank().over(Window.orderBy(d(c))).cast("double") +
-        (count(lit(1)).over(Window.partitionBy(d(c)))
-          .cast("double") - lit(1.0)) / lit(2.0)).as(c)
-    } :+ monotonically_increasing_id().as("__r"): _*)
-    val neu = Stats.spearmanRanked(df, cols)
-      .withColumn("__r", monotonically_increasing_id())
-    // compare as sorted multisets per column (row order may differ)
+    // r17 (advisor): the pin is VALUE-ALIGNED, not a sorted multiset —
+    // the average rank is a pure function of the value (every member
+    // of a tie group gets the tie group's mean rank), so pairing each
+    // distinct value with its rank in both forms catches a cross-row
+    // permutation a multiset compare cannot.
     for (c <- cols) {
-      val o = old.select(c).collect().map(_.getDouble(0)).sorted
-      val n = neu.select(c).collect().map(_.getDouble(0)).sorted
+      // the r15 form: rank() + (count over partitionBy(value) - 1)/2
+      val oldByValue = clean.select(
+        d(c).as("v"),
+        (rank().over(Window.orderBy(d(c))).cast("double") +
+          (count(lit(1)).over(Window.partitionBy(d(c)))
+            .cast("double") - lit(1.0)) / lit(2.0)).as("r"))
+        .distinct().collect()
+        .map(x => x.getDouble(0) -> x.getDouble(1)).toMap
+      // the fused r16 form, with the value kept for alignment
+      val byValue = Window.orderBy(d(c))
+      val neuByValue = clean.select(
+        d(c).as("v"),
+        ((rank().over(byValue).cast("double") +
+          count(lit(1)).over(byValue.rangeBetween(
+            Window.unboundedPreceding, Window.currentRow))
+            .cast("double")) / lit(2.0)).as("r"))
+        .distinct().collect()
+        .map(x => x.getDouble(0) -> x.getDouble(1)).toMap
+      assert(oldByValue.keySet == neuByValue.keySet, s"$c: value sets")
+      oldByValue.foreach { case (v, r) =>
+        assert(java.lang.Double.doubleToRawLongBits(r) ==
+          java.lang.Double.doubleToRawLongBits(neuByValue(v)),
+          s"$c: value $v old rank $r vs new ${neuByValue(v)}")
+      }
+    }
+    // and the API output matches the fused form as a multiset (the
+    // public frame drops the value column, so alignment is above)
+    for (c <- cols) {
+      val byValue = Window.orderBy(d(c))
+      val o = clean.select(
+        ((rank().over(byValue).cast("double") +
+          count(lit(1)).over(byValue.rangeBetween(
+            Window.unboundedPreceding, Window.currentRow))
+            .cast("double")) / lit(2.0)).as(c))
+        .collect().map(_.getDouble(0)).sorted
+      val n = Stats.spearmanRanked(df, cols)
+        .select(c).collect().map(_.getDouble(0)).sorted
       assert(o.length == n.length)
       o.zip(n).foreach { case (x, y) =>
         assert(java.lang.Double.doubleToRawLongBits(x) ==
