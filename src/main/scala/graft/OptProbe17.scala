@@ -64,6 +64,122 @@ object OptProbe17 {
             countDistinct(Stats.orderable(li, c))).first()
         }
       }
+    // ---- near-dup pair plan: does materializing the shingle index
+    // pay? (the index is derived ~3x per action: hot-gram build +
+    // shingle-keyed exchange + id-keyed sizes exchange) ----
+    if (which == "pairs") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      docs.count()
+      import graft.ops.{Dedup, Materialize}
+      timed("ngram_pairs_asis") {
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+          minJaccard = 0.5, maxDf = Some(1000L)).collect(); ()
+      }
+      timed("ngram_pairs_sh_mat") {
+        // same plan with the post-cap shingle index materialized once
+        val sh = Materialize.materialize(
+          Dedup.shingleIndex(docs, "doc_id", "text", 3, Some(1000L)))
+        val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+        val pairs = sh.as("a").join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")),
+            Seq("id_a"))
+          .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")),
+            Seq("id_b"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")))
+          .where(col("jaccard") >= 0.5)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b").collect()
+        Materialize.release(sh)
+      }
+    }
+    // ---- banded-verified decomposition (VERDICT item 3): stage
+    // costs + bucket skew of the shared banded core ----
+    if (which == "banded") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      docs.count()
+      import graft.ops.Dedup
+      val sh = Dedup.shingleIndex(docs, "doc_id", "text", 3,
+        Some(1000L))
+      timed("b_shingle_index") {
+        sh.write.format("noop").mode("overwrite").save()
+      }
+      val aggs = (0 until 64).map(i =>
+        min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")) ++
+        Seq(collect_set(col("shingle")).as("ss"),
+          count(lit(1)).as("sz"))
+      val docsAgg = sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      timed("b_docs_agg_full") {
+        docsAgg.write.format("noop").mode("overwrite").save()
+      }
+      val sigsOnly = sh.groupBy("id").agg(
+        (0 until 64).map(i =>
+          min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")).head,
+        (0 until 64).map(i =>
+          min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")).tail: _*)
+      timed("b_docs_agg_sigs_only") {
+        sigsOnly.write.format("noop").mode("overwrite").save()
+      }
+      val banded = Dedup.bandedFromSignatures(docsAgg, 64, 16)
+      timed("b_bucket_profile") {
+        Dedup.bucketCapProfile(banded, 1024L).collect().foreach(r =>
+          println("  bucket profile: " + r))
+      }
+      timed("b_full_verified") {
+        Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 3, 64, 16,
+          0.5, Some(1000L), Some(1024L)).collect(); ()
+      }
+      timed("b_full_verified_candonly") {
+        // variant: materialize sh once; signatures WITHOUT
+        // collect_set; shingle sets gathered only for candidate ids
+        val shM = graft.ops.Materialize.materialize(sh)
+        val sAggs = (0 until 64).map(i =>
+          min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")) :+
+          count(lit(1)).as("sz")
+        val dSigs = shM.groupBy("id").agg(sAggs.head, sAggs.tail: _*)
+        val cand = Dedup.bandedCandidates(
+          Dedup.bandedFromSignatures(dSigs, 64, 16), Some(1024L))
+        val candIds = cand.select(col("id_a").as("id"))
+          .union(cand.select(col("id_b").as("id"))).distinct()
+        val sets = shM.join(candIds, Seq("id"), "left_semi")
+          .groupBy("id").agg(collect_set(col("shingle")).as("ss"))
+        val szs = dSigs.select(col("id"), col("sz"))
+        val out = cand
+          .join(sets.select(col("id").as("id_a"), col("ss").as("ss_a")),
+            Seq("id_a"))
+          .join(sets.select(col("id").as("id_b"), col("ss").as("ss_b")),
+            Seq("id_b"))
+          .join(szs.select(col("id").as("id_a"), col("sz").as("sz_a")),
+            Seq("id_a"))
+          .join(szs.select(col("id").as("id_b"), col("sz").as("sz_b")),
+            Seq("id_b"))
+          .withColumn("inter",
+            size(array_intersect(col("ss_a"), col("ss_b"))).cast("long"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")))
+          .where(col("jaccard") >= 0.5)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b").collect()
+        println(s"  candonly pairs = ${out.length}")
+        graft.ops.Materialize.release(shM)
+      }
+    }
+    // ---- KN ppl bucket err baseline (lg-materialization A/B rides
+    // the production code path once changed) ----
+    if (which == "ppl") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      docs.count()
+      import graft.ops.Search
+      timed("ppl_buckets_err_asis") {
+        Search.knPplBucketsApproxErr(docs.where(col("source") =!= "src0"),
+          docs, "doc_id", "text", "lang").collect(); ()
+      }
+    }
     spark.stop()
   }
 }

@@ -133,7 +133,15 @@ object Dedup {
     // shuffle keys, long-equality probes). A collision would inflate
     // one intersection count; at D distinct shingles the probability
     // is ~D²/2⁶⁵ (≈4e-8 for D=1e6) — negligible.
-    val sh = shingleIndex(df, idCol, textCol, n, maxDf)
+    // r17: the index is MATERIALIZED once — the plan otherwise
+    // derives it three times per action (the hot-gram broadcast
+    // build, the shingle-keyed self-join exchange, the id-keyed
+    // sizes exchange), and the gram explode is the measured dominant
+    // cost of the family (OptProbe17 sf0.1/32c: 2.86 → 2.11 s warm).
+    // Values unchanged; storage is one copy of the same bytes every
+    // exchange already spills.
+    val sh = Materialize.materialize(
+      shingleIndex(df, idCol, textCol, n, maxDf))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -171,6 +179,10 @@ object Dedup {
     // cannot reuse shingleIndex's global cap
     val sh0 = hashedGramFrame(df, idCol, textCol, n, distinct = true,
       carry = Seq("blk" -> col(blockCol).cast("string")))
+    // (r17 note: materializing sh here like ngramJaccardPairs was
+    // MEASURED SLOWER — 2.10 → 2.39 s at sf0.1 — the wider
+    // (id, blk, shingle) checkpoint costs more than the re-derivation
+    // it saves; honest negative result, kept as-was)
     val sh = maxDf match {
       case None => sh0
       case Some(cap) =>
@@ -233,7 +245,9 @@ object Dedup {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, minContain: Double = 0.9,
       maxDf: Option[Long] = None): DataFrame = {
-    val sh = shingleIndex(df, idCol, textCol, n, maxDf)
+    // r17: one derivation instead of three (see ngramJaccardPairs)
+    val sh = Materialize.materialize(
+      shingleIndex(df, idCol, textCol, n, maxDf))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val pairs = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -297,7 +311,7 @@ object Dedup {
     * clustering consumes while bounding candidate volume — the shared
     * skew guard for every banded LSH family (MinHash and hyperplane).
     */
-  private def bandedCandidates(banded: DataFrame,
+  private[graft] def bandedCandidates(banded: DataFrame,
       maxBucket: Option[Long]): DataFrame = maxBucket match {
     case None =>
       banded.as("x").join(banded.as("y"),
@@ -541,7 +555,11 @@ object Dedup {
       maxDf: Option[Long] = None, shortMaxTokens: Int = 24,
       numHashes: Int = 64, bands: Int = 16,
       maxBucket: Option[Long] = Some(1024L)): DataFrame = {
-    val sh = shingleIndex(df, idCol, textCol, n, maxDf)
+    // r17: the index feeds FIVE consumers here (sizes, the short-doc
+    // probe side, both probe-join sides, the banded arm) — one
+    // derivation instead of ~four (see ngramJaccardPairs)
+    val sh = Materialize.materialize(
+      shingleIndex(df, idCol, textCol, n, maxDf))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val shortIds = df
       .where(size(split(col(textCol), " ")) <= shortMaxTokens)
@@ -586,6 +604,11 @@ object Dedup {
       idCol: String, textCol: String, n: Int = 3,
       minJaccard: Double = 0.5, maxDf: Option[Long] = None)
       : DataFrame = {
+    // (r17 note: materializing both indexes like ngramJaccardPairs
+    // was MEASURED SLOWER on the incremental path — 2.33 → 3.08 s at
+    // sf0.1 — the incoming batch is small, so two eager checkpoint
+    // jobs cost more than the re-derivations they save; honest
+    // negative result, kept as-was)
     val shI = shingleIndex(incoming, idCol, textCol, n, maxDf)
     val shC = shingleIndex(catalog, idCol, textCol, n, maxDf)
     val szI = shI.groupBy("id").agg(count(lit(1)).as("sz_a"))

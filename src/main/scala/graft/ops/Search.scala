@@ -381,9 +381,16 @@ object Search {
     import org.apache.spark.sql.expressions.Window
     val s = score.sparkSession
     import s.implicits._
-    val lg = knBigramNll(train, score, idCol, textCol)
-      .join(score.select(col(idCol).as("doc_id"),
-        col(langCol).as("lang")), Seq("doc_id"))
+    // r17: the scored frame feeds FIVE subplans below (exact buckets,
+    // GK thresholds, approx buckets, the tie-class bound, the lang
+    // frame) — materialize it once or the whole KN train+score join
+    // chain re-executes per consumer (ReuseExchange only dedupes the
+    // identical exchanges, not the per-consumer aggregations above
+    // them). O(docs) rows; values unchanged.
+    val lg = graft.ops.Materialize.materialize(
+      knBigramNll(train, score, idCol, textCol)
+        .join(score.select(col(idCol).as("doc_id"),
+          col(langCol).as("lang")), Seq("doc_id")))
     val w = Window.partitionBy("lang").orderBy(col("nll"), col("doc_id"))
     val bucketOf = (cond1: Column, cond2: Column) =>
       when(cond1, lit("head")).when(cond2, lit("middle"))
