@@ -169,6 +169,84 @@ object OptProbe17 {
         graft.ops.Materialize.release(shM)
       }
     }
+    // ---- banded core: does materializing the docs aggregation
+    // (signatures + shingle sets + sizes) pay? The agg feeds THREE
+    // consumers (banding, id_a join, id_b join) — ReuseExchange
+    // dedupes the exchange but each consumer re-runs the FINAL
+    // aggregation (merging collect_set buffers) from it. ----
+    if (which == "bdocs") {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      docs.count()
+      import graft.ops.{Dedup, Materialize}
+      timed("fuzzy_banded_asis") {
+        Dedup.fuzzyPairsBanded(docs, "doc_id", "text",
+          maxDf = Some(1000L)).collect(); ()
+      }
+      timed("verified_asis_030") {
+        Dedup.minhashVerifiedPairs(docs, "doc_id", "text", 3, 64, 16,
+          0.3, Some(1000L), Some(1024L)).collect(); ()
+      }
+      timed("verified_matdocs_030") {
+        val sh = Dedup.shingleIndex(docs, "doc_id", "text", 3,
+          Some(1000L))
+        val aggs = (0 until 64).map(i =>
+          min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i")) ++
+          Seq(collect_set(col("shingle")).as("ss"),
+            count(lit(1)).as("sz"))
+        val d = Materialize.materialize(
+          sh.groupBy("id").agg(aggs.head, aggs.tail: _*))
+        val cand = Dedup.bandedCandidates(
+          Dedup.bandedFromSignatures(d, 64, 16), Some(1024L))
+        val out = cand
+          .join(d.select(col("id").as("id_a"), col("ss").as("ss_a"),
+            col("sz").as("sz_a")), Seq("id_a"))
+          .join(d.select(col("id").as("id_b"), col("ss").as("ss_b"),
+            col("sz").as("sz_b")), Seq("id_b"))
+          .withColumn("inter",
+            size(array_intersect(col("ss_a"), col("ss_b"))).cast("long"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")))
+          .where(col("jaccard") >= 0.3)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b").collect()
+        println(s"  matdocs pairs = ${out.length}")
+        Materialize.release(d)
+      }
+    }
+    // ---- pipeline funnel stage decomposition: where do the ~4-6 s
+    // go at sf0.1? ----
+    if (which == "funnel") {
+      import graft.pipeline.CorpusPipeline
+      import graft.ops.{Dedup, Materialize}
+      val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
+      docsAll.count()
+      val corpus = docsAll.where(col("source") =!= "src0")
+      val evalD = docsAll.where(col("source") === "src0")
+      val cfg = CorpusPipeline.ExactConfig
+      timed("f_corpus_count") { corpus.count(); () }
+      val q = CorpusPipeline.qualityFiltered(corpus, "doc_id", "text", cfg)
+      var qm: org.apache.spark.sql.DataFrame = null
+      timed("f_q_materialize") { qm = Materialize.materialize(q) }
+      timed("f_q_count") { qm.count(); () }
+      var dm: org.apache.spark.sql.DataFrame = null
+      timed("f_d_materialize") {
+        dm = Materialize.materialize(
+          CorpusPipeline.dedupKeepOne(qm, "doc_id", "text", cfg))
+      }
+      timed("f_d_count") { dm.count(); () }
+      timed("f_c_count") {
+        CorpusPipeline.decontaminated(dm, evalD, "doc_id", "text", cfg)
+          .count(); ()
+      }
+      timed("f_full_funnelCounts") {
+        CorpusPipeline.funnelCounts(corpus, evalD, "doc_id", "text",
+          cfg).collect(); ()
+      }
+      timed("f_full_banded") {
+        CorpusPipeline.funnelCounts(corpus, evalD, "doc_id", "text",
+          CorpusPipeline.BandedConfig).collect(); ()
+      }
+    }
     // ---- KN ppl bucket err baseline (lg-materialization A/B rides
     // the production code path once changed) ----
     if (which == "ppl") {

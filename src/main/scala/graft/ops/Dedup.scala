@@ -1165,10 +1165,13 @@ object Dedup {
     // [[fuzzyCap]] computes exactly that bound; the −1 sentinel must
     // be filtered BEFORE the ratio test (−1/len passes any positive
     // threshold).
-    val dist = maxDistCap match {
-      case Some(cap) => levenshtein(col("ta"), col("tb"), cap)
-      case None => levenshtein(col("ta"), col("tb"))
-    }
+    // r17: with no explicit cap, derive the TIGHT one ([[fuzzyCap]]):
+    // the kept set is provably unchanged (any pair the band abandons
+    // would have failed the ratio filter), and the per-pair DP drops
+    // from O(L²) to O(L·cap) — at maxNormDist 0.05 a 20× verify-stage
+    // cut for one extra max() map-only scan.
+    val cap = maxDistCap.getOrElse(fuzzyCap(df, textCol, maxNormDist))
+    val dist = levenshtein(col("ta"), col("tb"), cap)
     cand
       .join(txt.select(col("id").as("id_a"), col("txt").as("ta")),
         Seq("id_a"))

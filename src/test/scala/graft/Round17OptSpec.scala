@@ -102,6 +102,34 @@ class Round17OptSpec extends SparkSpec {
       r.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE))
   }
 
+  test("fuzzyVerify auto-cap keeps the exact kept set and distances " +
+      "at the ratio boundary") {
+    import spark.implicits._
+    // 20-char base: one pair at exactly the 0.05 boundary (dist 1,
+    // longer len 20 → ratio 0.05, kept with ≤) and one just over
+    // (dist 2 → 0.10, dropped). Shared-vocab texts so the Jaccard
+    // block at 0.3 passes them into verification.
+    val base = "aa bb cc dd ee ff gg hh"   // 23 chars
+    val docs = Seq(
+      (1L, base),
+      (2L, base.dropRight(1) + "x"),       // dist 1 vs doc 1
+      (3L, base.replace("gg hh", "gx hx")) // dist 2 vs doc 1
+    ).toDF("doc_id", "text")
+    // effectively-uncapped expectation: cap far above any distance
+    val expect = graft.ops.Dedup.fuzzyPairs(docs, "doc_id", "text",
+      n = 2, blockJaccard = 0.1, maxNormDist = 1.0 / base.length,
+      maxDistCap = Some(10000)).collect()
+    // auto-cap path (maxDistCap = None → tight fuzzyCap)
+    val got = graft.ops.Dedup.fuzzyPairs(docs, "doc_id", "text",
+      n = 2, blockJaccard = 0.1, maxNormDist = 1.0 / base.length)
+      .collect()
+    assert(expect.nonEmpty, "fixture must keep the boundary pair")
+    assert(got.toSeq == expect.toSeq)
+    assert(got.forall(_.getAs[Long]("edit_dist") == 1L))
+    assert(!got.exists(r => r.getAs[Long]("id_a") == 1L &&
+      r.getAs[Long]("id_b") == 3L), "the over-boundary pair must drop")
+  }
+
   test("parallelized leaves non-scan-rooted plans untouched") {
     // a joined input: probing df.rdd here would finalize + execute
     // the AQE stages eagerly (advisor r16) — the gate must skip it
